@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Relational / analytical operator pack (SURVEY.md §2.2).
+  *
+  * Determinism rule (SURVEY.md §4): sums over monetary doubles are
+  * computed as exact DECIMAL(18,4) — associative, so the result is
+  * independent of partitioning and add order — then cast to double for
+  * the oracle compare. Counts stay BIGINT. Every query ends in a total
+  * ORDER BY matching its oracle.
+  */
+object Relational {
+
+  private val Dec = DecimalType(18, 4)
+  private def dec(c: Column): Column = c.cast(Dec)
+
+  /** Grouped aggregation, TPC-H Q1 shape. Partial (map-side) aggregation
+    * + single shuffle on the group keys; filter reaches the parquet scan.
+    */
+  def q01Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> (q01Agg _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}

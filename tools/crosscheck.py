@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage:
+  python3 tools/crosscheck.py <sfDir> <verifyOutDir> [query ...]
+
+Assumes `graft.Verify` already wrote <verifyOutDir>/<name>/ parquet and
+<verifyOutDir>/oracle_sql.json. For each query: registers the sf tables
+as DuckDB views, runs the oracle SQL, and compares against the Spark
+result — columns sorted by name, rows sorted by all columns, values
+hashed. Reports exact match plus max numeric deviation so near-misses
+are debuggable.
+"""
+import sys, os, glob, json, math
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for a stable total sort (mixed types sort poorly)
+    key = df.astype(str)
+    order = key.sort_values(by=list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+
+def cell_repr(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    return str(v)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame):
+    issues = []
+    s_cols, d_cols = sorted(spark_df.columns), sorted(duck_df.columns)
+    if s_cols != d_cols:
+        return [f"SCHEMA: spark={s_cols} duck={d_cols}"], None
+    if len(spark_df) != len(duck_df):
+        issues.append(f"ROWS: spark={len(spark_df)} duck={len(duck_df)}")
+        return issues, None
+    s, d = normalize(spark_df), normalize(duck_df)
+    max_dev = 0.0
+    n_diff = 0
+    first_diff = None
+    for col in s.columns:
+        sv, dv = s[col].tolist(), d[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            ra, rb = cell_repr(a), cell_repr(b)
+            if ra != rb:
+                # numeric tolerance report
+                try:
+                    fa, fb = float(a), float(b)
+                    dev = abs(fa - fb) / max(1.0, abs(fb))
+                    max_dev = max(max_dev, dev)
+                except (TypeError, ValueError):
+                    max_dev = float("inf")
+                n_diff += 1
+                if first_diff is None:
+                    first_diff = f"col={col} row={i}: spark={ra!r} duck={rb!r}"
+    if n_diff:
+        issues.append(f"VALUES: {n_diff} cells differ, max_rel_dev={max_dev:.3e}; first: {first_diff}")
+    return issues, max_dev
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        res_dir = f"{out_dir}/{name}"
+        files = sorted(glob.glob(f"{res_dir}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark result at {res_dir}")
+            n_fail += 1
+            continue
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        issues, max_dev = compare(name, spark_df, duck_df)
+        if issues:
+            print(f"FAIL {name}: " + " | ".join(issues))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spark_df)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
