@@ -1,0 +1,46 @@
+package graft.streamlog
+
+/** Pure compaction-window planner. Re-expresses the reference's
+  * calculateCompactWindow (/root/reference/src/segment.ts:60-144):
+  *
+  * Walk segments oldest → newest accumulating a window; stop (and compact
+  * the window) when the window already holds MaxSegments segments, MaxBytes
+  * bytes, or MaxRecords records. A segment that individually exceeds
+  * MaxBytes/MaxRecords is never pulled into a window: if fewer than 2
+  * segments are accumulated so far the window resets and planning restarts
+  * after the oversized segment; otherwise the accumulated window compacts.
+  * A window of fewer than 2 segments is never returned.
+  */
+object Compaction {
+  val MaxSegments = 10
+  val MaxRecords = 5000L
+  val MaxBytes = 10000000L // 10 MB; worst-case merged output < 2*MaxBytes
+
+  final case class Limits(
+      maxSegments: Int = MaxSegments,
+      maxRecords: Long = MaxRecords,
+      maxBytes: Long = MaxBytes)
+
+  /** @param segments live segments in firstOffset order (oldest first). */
+  def window(segments: Seq[SegmentMeta], limits: Limits = Limits()): Seq[SegmentMeta] = {
+    var acc = Vector.empty[SegmentMeta]
+    var bytes = 0L
+    var records = 0L
+    val it = segments.iterator
+    var done = false
+    while (!done && it.hasNext) {
+      val s = it.next()
+      if (acc.length >= limits.maxSegments || bytes >= limits.maxBytes ||
+          records >= limits.maxRecords) {
+        done = true // window full → compact what we have
+      } else if (s.bytes > limits.maxBytes || s.records > limits.maxRecords) {
+        if (acc.length < 2) { // skip oversized, restart after it
+          acc = Vector.empty; bytes = 0L; records = 0L
+        } else done = true    // compact what precedes it
+      } else {
+        acc :+= s; bytes += s.bytes; records += s.records
+      }
+    }
+    if (acc.length < 2) Seq.empty else acc
+  }
+}

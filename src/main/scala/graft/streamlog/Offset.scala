@@ -1,0 +1,55 @@
+package graft.streamlog
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The 32-char sortable stream offset: 16-digit zero-padded epoch-millis
+  * followed by a 16-digit zero-padded per-epoch counter. Lexicographic
+  * order == (epoch, counter) order, so plain string comparison / sorting
+  * works everywhere (Spark filters, range partitioning, DuckDB oracles).
+  *
+  * Reference semantics: /root/reference/src/stream_manager.ts:76-85
+  * (serialize/parse), :403-411 (monotonic epoch), :458 (poke offset),
+  * README.md:103-108 (time-travel prefix).
+  */
+object Offset {
+  val Width = 32
+  val HalfWidth = 16
+
+  /** `epoch.toString.padStart(16,'0') ++ counter.padStart(16,'0')`. */
+  def serialize(epochMs: Long, counter: Long): String = {
+    require(epochMs >= 0 && counter >= 0, s"negative offset parts: $epochMs/$counter")
+    f"$epochMs%016d$counter%016d"
+  }
+
+  def parse(offset: String): (Long, Long) = {
+    require(offset.length == Width, s"offset must be $Width chars, got '${offset}'")
+    (offset.substring(0, HalfWidth).toLong, offset.substring(HalfWidth).toLong)
+  }
+
+  /** Exclusive-start boundary that reads "all events flushed at/after T":
+    * every offset with epoch >= T sorts strictly above this. */
+  def timeTravel(epochMs: Long): String = f"${epochMs - 1}%016d" + ("9" * HalfWidth)
+
+  /** The offset just below a flush epoch — used to poke long-poll
+    * consumers so no record of the new flush is missed. */
+  def poke(epoch: Long): String = f"${epoch - 1}%016d" + ("9" * HalfWidth)
+
+  /** "-" means "from the beginning" (exclusive start below everything). */
+  val Beginning = "-"
+
+  // ---- Catalyst-native column expressions (codegen'd, no UDFs) ----
+
+  /** Column form of [[serialize]]: epoch/counter BIGINT cols → 32-char offset. */
+  def serializeCol(epochMs: Column, counter: Column): Column =
+    concat(lpad(epochMs.cast("string"), HalfWidth, "0"),
+           lpad(counter.cast("string"), HalfWidth, "0"))
+
+  /** Epoch-millis component of an offset column. */
+  def epochCol(offset: Column): Column =
+    substring(offset, 1, HalfWidth).cast("long")
+
+  /** Counter component of an offset column. */
+  def counterCol(offset: Column): Column =
+    substring(offset, HalfWidth + 1, HalfWidth).cast("long")
+}

@@ -1,0 +1,58 @@
+package graft.streamlog
+
+import scala.collection.immutable.TreeMap
+
+/** Sorted, non-overlapping index of live segments keyed by firstOffset.
+  * Immutable — every mutation returns a new index, so readers never lock
+  * (the reference serializes through a mutex + red-black tree instead;
+  * /root/reference/src/stream_manager.ts:106-127,678-717).
+  */
+final case class SegmentIndex(byFirst: TreeMap[String, SegmentMeta]) {
+
+  def add(m: SegmentMeta): SegmentIndex = copy(byFirst + (m.firstOffset -> m))
+
+  def remove(m: SegmentMeta): SegmentIndex = copy(byFirst - m.firstOffset)
+
+  def segments: Seq[SegmentMeta] = byFirst.values.toSeq // oldest → newest
+
+  def isEmpty: Boolean = byFirst.isEmpty
+
+  def min: Option[SegmentMeta] = byFirst.headOption.map(_._2)
+  def max: Option[SegmentMeta] = byFirst.lastOption.map(_._2)
+
+  /** First segment that can contain offsets strictly greater than `offset`
+    * ("-" = beginning → the first segment). A segment qualifies iff its
+    * lastOffset > offset; because ranges are sorted and non-overlapping the
+    * earliest such segment is the unique answer. This strictly covers the
+    * reference's lowerBound+max-fallback lookup (stream_manager.ts:678-717)
+    * and also finds mid-segment offsets its lowerBound probe would skip.
+    */
+  def segmentAfter(offset: String): Option[SegmentMeta] = {
+    if (offset == Offset.Beginning) return min
+    // candidates: the segment whose range straddles `offset` (the greatest
+    // firstOffset <= offset) or the first segment starting above it.
+    val straddling = byFirst.rangeTo(offset).lastOption.map(_._2)
+      .filter(_.lastOffset > offset)
+    // fallback scans forward past any segment with last == first == offset
+    // (single-record segment at exactly the cursor) to the next qualifying one.
+    straddling.orElse(
+      byFirst.rangeFrom(offset).valuesIterator.find(_.lastOffset > offset))
+  }
+
+  /** All segments holding offsets strictly greater than `offset`, in order —
+    * this is the segment-pruning set handed to the Spark scan (the analog of
+    * partition pruning: files outside the range are never listed/read). */
+  def segmentsAfter(offset: String): Seq[SegmentMeta] =
+    if (offset == Offset.Beginning) segments
+    else segments.filter(_.lastOffset > offset)
+
+  /** Segments intersecting the inclusive offset range [from, to]. */
+  def segmentsInRange(from: String, to: String): Seq[SegmentMeta] =
+    segments.filter(m => m.lastOffset >= from && m.firstOffset <= to)
+}
+
+object SegmentIndex {
+  val empty: SegmentIndex = SegmentIndex(TreeMap.empty)
+  def of(ms: Seq[SegmentMeta]): SegmentIndex =
+    SegmentIndex(TreeMap.from(ms.map(m => m.firstOffset -> m)))
+}

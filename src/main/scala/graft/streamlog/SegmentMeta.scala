@@ -1,0 +1,79 @@
+package graft.streamlog
+
+/** Metadata for one immutable NDJSON log segment.
+  * Mirrors the reference's SegmentMetadata (/root/reference/src/segment.ts:3-14):
+  * {name, firstOffset, lastOffset, createdMS, records, bytes}. Segments never
+  * overlap in offset range; the index is keyed by firstOffset.
+  */
+final case class SegmentMeta(
+    name: String,
+    firstOffset: String,
+    lastOffset: String,
+    createdMS: Long,
+    records: Long,
+    bytes: Long)
+
+/** Hand-rolled JSON for the tiny metadata log — zero deps, line-oriented.
+  * Entry types: add (segment becomes live), tombstone (segment compacted
+  * away, kept for age-based cleanup), version (producer fencing bump),
+  * destroy (stream reset marker).
+  */
+object MetaJson {
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def add(m: SegmentMeta): String =
+    s"""{"type":"add","name":"${esc(m.name)}","firstOffset":"${m.firstOffset}","lastOffset":"${m.lastOffset}","createdMS":${m.createdMS},"records":${m.records},"bytes":${m.bytes}}"""
+
+  def tombstone(name: String, tombstonedMS: Long): String =
+    s"""{"type":"tombstone","name":"${esc(name)}","tombstonedMS":$tombstonedMS}"""
+
+  def purge(name: String): String =
+    s"""{"type":"purge","name":"${esc(name)}"}"""
+
+  def version(v: Long): String =
+    s"""{"type":"version","producer_version":$v}"""
+
+  def destroy(ms: Long): String =
+    s"""{"type":"destroy","destroyedMS":$ms}"""
+
+  // -- minimal parser for the fixed shapes above (no nesting, no arrays) --
+
+  private val Str = """"([^"]*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+  private val Num = """"([^"]*)"\s*:\s*(-?\d+)""".r
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'n'  => b += '\n'; i += 2
+          case 'r'  => b += '\r'; i += 2
+          case 't'  => b += '\t'; i += 2
+          case 'u'  => b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case o    => b += o; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.result()
+  }
+
+  /** Parse one metadata-log line into (strings, numbers) field maps. */
+  def parseLine(line: String): (Map[String, String], Map[String, Long]) = {
+    val strs = Str.findAllMatchIn(line).map(m => m.group(1) -> unesc(m.group(2))).toMap
+    val nums = Num.findAllMatchIn(line).map(m => m.group(1) -> m.group(2).toLong).toMap
+    (strs, nums)
+  }
+}

@@ -1,0 +1,318 @@
+package graft.streamlog
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Version-fencing rejection (the reference's HTTP 409;
+  * /root/reference/src/stream_manager.ts:240-267). */
+final case class FencedException(provided: Long, current: Long)
+    extends RuntimeException(
+      s"Producer version too old: provided=$provided current=$current")
+
+/** A durable, bottomless stream log over a directory of immutable NDJSON
+  * segments — the reference's Durable-Object-per-stream engine re-expressed
+  * for Spark (see SURVEY.md §2.1 for the file:line map into
+  * /root/reference/src/stream_manager.ts).
+  *
+  * Layout under `root/name/`:
+  *   - `segments/<firstOffset>-<uuid>.seg` — lines of
+  *     `offset(32 chars) ++ json ++ '\n'`, strictly offset-ordered,
+  *     non-overlapping across segments.
+  *   - `meta.jsonl` — append-only metadata log (add / tombstone / purge /
+  *     version / destroy entries), the analog of the reference's DO-KV.
+  *
+  * Scale design: the segment directory is the object-store prefix; the
+  * metadata index prunes segments BEFORE Spark lists files, so a consume
+  * at offset X scans only segments with lastOffset > X (the analog of
+  * partition pruning). Appends are driver-side (a batch is small, in-memory
+  * — same as the reference's pendingMessages buffer); compaction merges are
+  * distributed Spark sorts, never a driver loop over records.
+  *
+  * Single-writer per stream (the reference serializes through one DO).
+  */
+final class StreamLog(val spark: SparkSession, root: String, val name: String) {
+
+  val streamDir: Path = Paths.get(root, name)
+  val segmentDir: Path = streamDir.resolve("segments")
+  private val metaPath: Path = streamDir.resolve("meta.jsonl")
+
+  // -- in-memory state (rebuilt from the metadata log on construction).
+  // Single writer; @volatile so concurrent pollers/readers see fresh state.
+  @volatile private var index: SegmentIndex = SegmentIndex.empty
+  @volatile private var tombstones: Map[String, Long] = Map.empty // name -> tombstonedMS
+  @volatile private var producerVersionVar: Long = 0L
+  @volatile private var epoch: Long = 0L
+  @volatile private var lastOffsetVar: String = ""
+
+  load()
+
+  def producerVersion: Long = producerVersionVar
+  def lastOffset: Option[String] = Option(lastOffsetVar).filter(_.nonEmpty)
+  def segments: Seq[SegmentMeta] = index.segments
+  def tombstoneNames: Set[String] = tombstones.keySet
+
+  /** Replay the metadata log — crash-safe cold start
+    * (stream_manager.ts:138-179,503-511). */
+  private def load(): Unit = {
+    index = SegmentIndex.empty; tombstones = Map.empty
+    producerVersionVar = 0L; epoch = 0L; lastOffsetVar = ""
+    if (Files.exists(metaPath)) {
+      Files.readAllLines(metaPath, UTF_8).asScala.foreach { line =>
+        if (line.nonEmpty) {
+          val (s, n) = MetaJson.parseLine(line)
+          s.get("type").orElse(Some(if (n.contains("producer_version")) "version" else "")).get match {
+            case "add" =>
+              val m = SegmentMeta(s("name"), s("firstOffset"), s("lastOffset"),
+                n("createdMS"), n("records"), n("bytes"))
+              index = index.add(m)
+            case "tombstone" =>
+              index.segments.find(_.name == s("name")).foreach(m => index = index.remove(m))
+              tombstones += s("name") -> n("tombstonedMS")
+            case "purge" => tombstones -= s("name")
+            case "version" => producerVersionVar = n("producer_version")
+            case "destroy" =>
+              index = SegmentIndex.empty; tombstones = Map.empty
+              producerVersionVar = 0L; lastOffsetVar = ""
+            case _ => // unknown entry type: ignore (forward compatibility)
+          }
+        }
+      }
+      index.max.foreach { m =>
+        lastOffsetVar = m.lastOffset
+        epoch = Offset.parse(m.lastOffset)._1
+      }
+    }
+  }
+
+  private def appendMeta(lines: String*): Unit = {
+    Files.createDirectories(streamDir)
+    Files.write(metaPath, (lines.mkString("", "\n", "\n")).getBytes(UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  // ------------------------------------------------------------------
+  // Publish
+  // ------------------------------------------------------------------
+
+  /** Append a batch of JSON records as one new segment, assigning each
+    * record a monotonic offset at flush time (stream_manager.ts:401-468).
+    *
+    * @param version optional producer fencing token: < current → throws
+    *   [[FencedException]]; > current → version bumps (persisted); records
+    *   may be empty for a pure version bump.
+    * @return the offsets assigned, in record order.
+    */
+  def publish(records: Seq[String], version: Option[Long] = None,
+              nowMs: () => Long = () => System.currentTimeMillis()): Seq[String] = {
+    version.foreach { v =>
+      if (v < producerVersionVar) throw FencedException(v, producerVersionVar)
+      if (v > producerVersionVar) {
+        producerVersionVar = v
+        appendMeta(MetaJson.version(v))
+      }
+    }
+    if (records.isEmpty) return Seq.empty
+
+    // monotonic epoch with clock-regression guard (ts:403-411)
+    val now = nowMs()
+    epoch = if (now <= epoch) epoch + 1 else now
+    val offsets = records.indices.map(i => Offset.serialize(epoch, i.toLong))
+    lastOffsetVar = offsets.last
+
+    val segName = s"${offsets.head}-${UUID.randomUUID()}.seg"
+    val bytes = records.map(r => 33L + r.length).sum // 32 offset + '\n' per line
+    Files.createDirectories(segmentDir)
+    val tmp = segmentDir.resolve(s".$segName.tmp")
+    val content = offsets.zip(records).map { case (o, r) => o + r }.mkString("", "\n", "\n")
+    Files.write(tmp, content.getBytes(UTF_8))
+    Files.move(tmp, segmentDir.resolve(segName), StandardCopyOption.ATOMIC_MOVE)
+
+    val meta = SegmentMeta(segName, offsets.head, offsets.last, nowMs(),
+      records.size.toLong, bytes)
+    index = index.add(meta)
+    appendMeta(MetaJson.add(meta))
+    offsets
+  }
+
+  // ------------------------------------------------------------------
+  // Read
+  // ------------------------------------------------------------------
+
+  private def segPath(m: SegmentMeta): String =
+    segmentDir.resolve(m.name).toString
+
+  /** DataFrame of (offset STRING, data STRING) for all records with
+    * offset strictly greater than `after` ("-" = beginning). Only segments
+    * whose range can intersect are handed to the scan (metadata pruning).
+    * Ordering/limit are left to the caller so Catalyst can pick
+    * TakeOrderedAndProject for consume-with-limit. */
+  def readAfter(after: String = Offset.Beginning): DataFrame = {
+    val segs = index.segmentsAfter(after)
+    if (segs.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(String, String)].toDF("offset", "data")
+    }
+    val df = spark.read.text(segs.map(segPath): _*)
+      .select(
+        substring(col("value"), 1, Offset.Width).as("offset"),
+        expr(s"substring(value, ${Offset.Width + 1})").as("data"))
+    if (after == Offset.Beginning) df else df.filter(col("offset") > after)
+  }
+
+  /** Driver-side consume: exclusive-start offset, in-order, limited —
+    * the reference's getMessagesFromOffset with segment chaining
+    * (ts:295-382). Returns (offset, json) pairs. */
+  def consume(after: String = Offset.Beginning, limit: Int = 100): Seq[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    var n = 0
+    var cursor = after
+    var seg = index.segmentAfter(cursor)
+    while (n < limit && seg.isDefined) {
+      val m = seg.get
+      val lines = Files.readAllLines(segmentDir.resolve(m.name), UTF_8).asScala
+      val it = lines.iterator.filter(l => l.length >= Offset.Width && l.substring(0, Offset.Width) > cursor)
+      while (n < limit && it.hasNext) {
+        val l = it.next()
+        out += ((l.substring(0, Offset.Width), l.substring(Offset.Width)))
+        n += 1
+      }
+      cursor = m.lastOffset
+      seg = if (n < limit) index.segmentAfter(cursor) else None
+    }
+    out.result()
+  }
+
+  /** Long-poll batch fallback: wait up to `timeoutMs` for records after
+    * `after` (streaming tail lives in graft.streaming.StreamTail). */
+  def poll(after: String, limit: Int, timeoutMs: Long, intervalMs: Long = 50): Seq[(String, String)] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var res = consume(after, limit)
+    while (res.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(intervalMs)
+      res = consume(after, limit)
+    }
+    res
+  }
+
+  /** Time-travel read: everything flushed at/after wall-clock T
+    * (README.md:103-108). */
+  def readSince(epochMs: Long): DataFrame = readAfter(Offset.timeTravel(epochMs))
+
+  // ------------------------------------------------------------------
+  // Compaction
+  // ------------------------------------------------------------------
+
+  /** Plan and execute one compaction: k-way merge of the planner's window
+    * into a single segment (ts:521-609, kway.ts:7-55). The merge is a
+    * distributed Spark sort over the window's files — the driver never
+    * materializes records. Contiguous sorted inputs make this an ordered
+    * concat, which a single-partition sort performs in one pass.
+    * @return the merged segment's metadata, or None if nothing to compact. */
+  def compactOnce(limits: Compaction.Limits = Compaction.Limits(),
+                  nowMs: () => Long = () => System.currentTimeMillis()): Option[SegmentMeta] = {
+    val window = Compaction.window(index.segments, limits)
+    if (window.isEmpty) return None
+
+    val merged = SegmentMeta(
+      name = s"${window.head.firstOffset}-${UUID.randomUUID()}.seg",
+      firstOffset = window.head.firstOffset,
+      lastOffset = window.last.lastOffset,
+      createdMS = nowMs(),
+      records = window.map(_.records).sum,
+      bytes = window.map(_.bytes).sum)
+
+    // Window output is bounded (< 2*MaxBytes), so one partition; offsets are
+    // the 32-char line prefix, so sorting whole lines == sorting by offset.
+    val tmpDir = streamDir.resolve(s".merge-${UUID.randomUUID()}")
+    spark.read.text(window.map(segPath): _*)
+      .repartition(1)
+      .sortWithinPartitions("value")
+      .write.mode("overwrite").text(tmpDir.toString)
+    val part = Files.list(tmpDir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-")).toSeq match {
+        case Seq(p) => p
+        case ps => throw new IllegalStateException(s"expected 1 part file, got $ps")
+      }
+    Files.move(part, segmentDir.resolve(merged.name), StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(tmpDir)
+
+    val ts = nowMs()
+    window.foreach(m => index = index.remove(m))
+    index = index.add(merged)
+    tombstones ++= window.map(_.name -> ts)
+    appendMeta(window.map(m => MetaJson.tombstone(m.name, ts)) :+ MetaJson.add(merged): _*)
+    Some(merged)
+  }
+
+  /** Delete tombstoned segment files older than `maxAgeMs` (ts:590-636;
+    * reference default 1 day). */
+  def cleanTombstones(maxAgeMs: Long = 86400000L,
+                      nowMs: () => Long = () => System.currentTimeMillis()): Seq[String] = {
+    val cutoff = nowMs() - maxAgeMs
+    val expired = tombstones.filter(_._2 <= cutoff).keys.toSeq.sorted
+    expired.foreach { n =>
+      Files.deleteIfExists(segmentDir.resolve(n))
+      tombstones -= n
+    }
+    if (expired.nonEmpty) appendMeta(expired.map(MetaJson.purge): _*)
+    expired
+  }
+
+  /** Delete storage objects referenced by neither the live index nor the
+    * tombstone set (ts:638-676). */
+  def purgeOrphans(): Seq[String] = {
+    if (!Files.isDirectory(segmentDir)) return Seq.empty
+    val referenced = index.segments.map(_.name).toSet ++ tombstones.keySet
+    val orphans = Files.list(segmentDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => !f.startsWith(".") && !referenced.contains(f))
+      .toSeq.sorted
+    orphans.foreach(n => Files.deleteIfExists(segmentDir.resolve(n)))
+    orphans
+  }
+
+  /** Delete the stream's data + metadata; the name is immediately reusable
+    * with fresh state (ts:722-758). */
+  def destroy(): Unit = {
+    if (Files.exists(streamDir)) deleteRecursively(streamDir)
+    load()
+  }
+
+  /** Crash recovery without the metadata log: rebuild the index by listing
+    * segment files and reading their first/last records. Validates against
+    * or replaces a lost/corrupt meta.jsonl. */
+  def rebuildFromSegments(nowMs: () => Long = () => System.currentTimeMillis()): Unit = {
+    val metas = if (!Files.isDirectory(segmentDir)) Seq.empty else {
+      Files.list(segmentDir).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".seg"))
+        .map { p =>
+          val lines = Files.readAllLines(p, UTF_8).asScala.filter(_.nonEmpty)
+          SegmentMeta(p.getFileName.toString,
+            lines.head.substring(0, Offset.Width),
+            lines.last.substring(0, Offset.Width),
+            nowMs(), lines.size.toLong, lines.map(_.length + 1L).sum)
+        }.toSeq.sortBy(_.firstOffset)
+    }
+    val keepVersion = producerVersionVar
+    index = SegmentIndex.of(metas)
+    tombstones = Map.empty
+    lastOffsetVar = index.max.map(_.lastOffset).getOrElse("")
+    epoch = index.max.map(m => Offset.parse(m.lastOffset)._1).getOrElse(0L)
+    Files.deleteIfExists(metaPath)
+    if (keepVersion > 0) appendMeta(MetaJson.version(keepVersion))
+    producerVersionVar = keepVersion
+    if (metas.nonEmpty) appendMeta(metas.map(MetaJson.add): _*)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

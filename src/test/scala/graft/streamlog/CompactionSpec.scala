@@ -1,0 +1,73 @@
+package graft.streamlog
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's 7 calculateCompactWindow cases
+  * (/root/reference/tests/index.test.ts:351-655) plus boundary checks. */
+class CompactionSpec extends AnyFunSuite {
+
+  private def seg(name: String, first: Long, records: Long = 1, bytes: Long = 1) =
+    SegmentMeta(name, f"$first%016d", f"$first%016d", first * 100, records, bytes)
+
+  private def names(w: Seq[SegmentMeta]) = w.map(_.name)
+
+  test("full window when all segments are within bounds") {
+    val w = Compaction.window(Seq(seg("seg1", 1), seg("seg2", 2), seg("seg3", 3)))
+    assert(names(w) == Seq("seg1", "seg2", "seg3"))
+  }
+
+  test("window stops before an item strictly exceeding the bytes limit") {
+    val w = Compaction.window(Seq(
+      seg("normal1", 1), seg("normal2", 2),
+      seg("exceeding", 3, bytes = 10000001L), seg("normal3", 4)))
+    assert(names(w) == Seq("normal1", "normal2"))
+  }
+
+  test("window stops before an item strictly exceeding the records limit") {
+    val w = Compaction.window(Seq(
+      seg("normal1", 1), seg("normal2", 2),
+      seg("exceeding", 3, records = 5001), seg("normal3", 4)))
+    assert(names(w) == Seq("normal1", "normal2"))
+  }
+
+  test("an item exactly AT the bytes limit is included, then the window trips") {
+    val w = Compaction.window(Seq(
+      seg("normal1", 1), seg("normal2", 2),
+      seg("exceeding", 3, bytes = 10000000L), seg("normal3", 4)))
+    assert(names(w) == Seq("normal1", "normal2", "exceeding"))
+  }
+
+  test("an item exactly AT the records limit is included, then the window trips") {
+    val w = Compaction.window(Seq(
+      seg("normal1", 1), seg("normal2", 2),
+      seg("exceeding", 3, records = 5000), seg("normal3", 4)))
+    assert(names(w) == Seq("normal1", "normal2", "exceeding"))
+  }
+
+  test("oversized leading segment is skipped; window restarts after it") {
+    val w = Compaction.window(Seq(
+      seg("exceeding", 1, bytes = 10000001L), seg("normal1", 2), seg("normal2", 3)))
+    assert(names(w) == Seq("normal1", "normal2"))
+  }
+
+  test("fewer than two valid segments → empty window") {
+    assert(Compaction.window(Seq(seg("normal1", 1))).isEmpty)
+    assert(Compaction.window(Seq.empty).isEmpty)
+    // one valid + one oversized → still nothing to do
+    assert(Compaction.window(Seq(seg("a", 1), seg("big", 2, bytes = 10000001L))).isEmpty)
+  }
+
+  test("max-segments cap: window holds at most MaxSegments") {
+    val segs = (1 to 25).map(i => seg(s"s$i", i.toLong))
+    val w = Compaction.window(segs)
+    assert(w.length == Compaction.MaxSegments)
+    assert(names(w) == (1 to 10).map(i => s"s$i"))
+  }
+
+  test("record-budget cap: window stops once accumulated records reach the limit") {
+    val segs = (1 to 10).map(i => seg(s"s$i", i.toLong, records = 2000))
+    // 2000+2000 = 4000 < 5000 → add third (6000 >= 5000) → stop before 4th
+    val w = Compaction.window(segs)
+    assert(names(w) == Seq("s1", "s2", "s3"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streamlog
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class OffsetSpec extends AnyFunSuite {
+
+  test("serialize is 32 chars, zero-padded halves") {
+    assert(Offset.serialize(0, 0) == "0" * 32)
+    assert(Offset.serialize(1723400000123L, 42) ==
+      "0001723400000123" + "0000000000000042")
+  }
+
+  test("parse inverts serialize (randomized, seeded)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val e = rnd.nextLong(9999999999999999L)
+      val c = rnd.nextLong(9999999999999999L)
+      assert(Offset.parse(Offset.serialize(e, c)) == ((e, c)))
+    }
+  }
+
+  test("lexicographic order == (epoch, counter) order") {
+    val rnd = new scala.util.Random(7)
+    (1 to 1000).foreach { _ =>
+      val (e1, e2) = (rnd.nextLong(1L << 50), rnd.nextLong(1L << 50))
+      val (c1, c2) = (rnd.nextLong(100000L), rnd.nextLong(100000L))
+      val cmp = implicitly[Ordering[(Long, Long)]].compare((e1, c1), (e2, c2))
+      val scmp = Offset.serialize(e1, c1).compareTo(Offset.serialize(e2, c2))
+      assert(math.signum(cmp.toDouble) == math.signum(scmp.toDouble))
+    }
+  }
+
+  test("poke offset sits strictly between epoch-1 records and epoch records") {
+    val poke = Offset.poke(1000)
+    assert(poke >= Offset.serialize(999, 9999999999999999L))
+    assert(poke < Offset.serialize(1000, 0))
+  }
+
+  test("timeTravel boundary: excludes epoch < T, includes epoch >= T (exclusive-start)") {
+    val t = 1723400000123L
+    val boundary = Offset.timeTravel(t)
+    assert(Offset.serialize(t - 1, 12345) < boundary)
+    assert(Offset.serialize(t, 0) > boundary)
+  }
+
+  test("column expressions round-trip through Spark") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1723400000123L, 0L), (1723400000123L, 41L), (999L, 7L))
+      .toDF("e", "c")
+      .select(Offset.serializeCol(col("e"), col("c")).as("off"), col("e"), col("c"))
+      .select(Offset.epochCol(col("off")).as("e2"), Offset.counterCol(col("off")).as("c2"),
+              col("e"), col("c"))
+    assert(df.collect().forall(r => r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(3)))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streamlog
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SegmentIndexSpec extends AnyFunSuite {
+
+  private def m(name: String, first: Long, last: Long) =
+    SegmentMeta(name, Offset.serialize(1000, first), Offset.serialize(1000, last),
+      0L, last - first + 1, 100)
+
+  private val idx = SegmentIndex.of(Seq(m("a", 0, 9), m("b", 10, 19), m("c", 20, 29)))
+
+  test("'-' returns the first segment") {
+    assert(idx.segmentAfter(Offset.Beginning).map(_.name).contains("a"))
+  }
+
+  test("offset inside a segment returns that segment (mid-range lookup)") {
+    assert(idx.segmentAfter(Offset.serialize(1000, 5)).map(_.name).contains("a"))
+    assert(idx.segmentAfter(Offset.serialize(1000, 15)).map(_.name).contains("b"))
+  }
+
+  test("offset at a segment's lastOffset returns the NEXT segment (exclusive start)") {
+    assert(idx.segmentAfter(Offset.serialize(1000, 9)).map(_.name).contains("b"))
+    assert(idx.segmentAfter(Offset.serialize(1000, 19)).map(_.name).contains("c"))
+  }
+
+  test("offset at/above the max lastOffset returns None") {
+    assert(idx.segmentAfter(Offset.serialize(1000, 29)).isEmpty)
+    assert(idx.segmentAfter(Offset.serialize(2000, 0)).isEmpty)
+  }
+
+  test("offset below everything returns the first segment") {
+    assert(idx.segmentAfter(Offset.serialize(999, 0)).map(_.name).contains("a"))
+  }
+
+  test("segmentsAfter prunes fully-consumed segments only") {
+    assert(idx.segmentsAfter(Offset.Beginning).map(_.name) == Seq("a", "b", "c"))
+    assert(idx.segmentsAfter(Offset.serialize(1000, 9)).map(_.name) == Seq("b", "c"))
+    assert(idx.segmentsAfter(Offset.serialize(1000, 15)).map(_.name) == Seq("b", "c"))
+    assert(idx.segmentsAfter(Offset.serialize(1000, 29)).isEmpty)
+  }
+
+  test("segmentsInRange intersects inclusively") {
+    assert(idx.segmentsInRange(Offset.serialize(1000, 9), Offset.serialize(1000, 10))
+      .map(_.name) == Seq("a", "b"))
+    assert(idx.segmentsInRange(Offset.serialize(1000, 11), Offset.serialize(1000, 12))
+      .map(_.name) == Seq("b"))
+  }
+
+  test("empty index") {
+    assert(SegmentIndex.empty.segmentAfter(Offset.Beginning).isEmpty)
+    assert(SegmentIndex.empty.segmentsAfter("x").isEmpty)
+  }
+}

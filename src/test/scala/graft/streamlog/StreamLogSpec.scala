@@ -1,0 +1,202 @@
+package graft.streamlog
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Mirrors the reference's worker tests (/root/reference/tests/index.test.ts):
+  * produce, consume from "-" with limit, consume from offset, long-poll
+  * delivery + timeout, merge order/completeness, producer-version fencing,
+  * destroy + name reuse — plus tombstone cleanup, orphan purging, and
+  * crash rebuild (stream_manager.ts:590-676,138-179). */
+class StreamLogSpec extends SparkSpec {
+
+  private def freshLog(): StreamLog = {
+    val root = Files.createTempDirectory("graft-streamlog").toString
+    new StreamLog(spark, root, "s1")
+  }
+
+  // deterministic clock: strictly needed so repeated publishes in the same
+  // millisecond still exercise distinct epochs via the regression guard
+  private def clock(start: Long): () => Long = {
+    var t = start
+    () => { t += 1; t }
+  }
+
+  test("produce assigns in-order offsets within one epoch") {
+    val log = freshLog()
+    val offs = log.publish((1 to 8).map(i => s"""{"value":$i}"""), nowMs = clock(1000000))
+    assert(offs.length == 8)
+    assert(offs == offs.sorted)
+    val (e, c0) = Offset.parse(offs.head)
+    assert(c0 == 0)
+    assert(offs.map(o => Offset.parse(o)._2) == (0L to 7L))
+    assert(Offset.parse(offs.last)._1 == e) // one flush = one epoch
+  }
+
+  test("epoch is monotonic under clock regression") {
+    val log = freshLog()
+    val o1 = log.publish(Seq("""{"a":1}"""), nowMs = () => 5000)
+    val o2 = log.publish(Seq("""{"a":2}"""), nowMs = () => 4000) // clock went back
+    assert(Offset.parse(o2.head)._1 == Offset.parse(o1.head)._1 + 1)
+    assert(o2.head > o1.head)
+  }
+
+  test("consume from '-' respects limit and order; chaining crosses segments") {
+    val log = freshLog()
+    val c = clock(2000000)
+    val all = (1 to 3).flatMap(b => log.publish((1 to 4).map(i => s"""{"b":$b,"i":$i}"""), nowMs = c))
+    assert(log.segments.length == 3)
+
+    val first5 = log.consume(Offset.Beginning, limit = 5)
+    assert(first5.map(_._1) == all.take(5)) // crossed the first segment boundary
+    val everything = log.consume(Offset.Beginning, limit = 100)
+    assert(everything.map(_._1) == all)
+  }
+
+  test("consume from an offset is exclusive-start") {
+    val log = freshLog()
+    val offs = log.publish((1 to 10).map(i => s"""{"i":$i}"""), nowMs = clock(3000000))
+    val rest = log.consume(offs(4), limit = 100)
+    assert(rest.map(_._1) == offs.drop(5))
+    assert(rest.head._2 == """{"i":6}""")
+    assert(log.consume(offs.last, 10).isEmpty)
+  }
+
+  test("readAfter (Spark scan) matches driver consume and prunes segments") {
+    val log = freshLog()
+    val c = clock(4000000)
+    val all = (1 to 4).flatMap(_ => log.publish((1 to 5).map(i => s"""{"i":$i}"""), nowMs = c))
+    val mid = all(12)
+    val rows = log.readAfter(mid).orderBy("offset").collect()
+    assert(rows.map(_.getString(0)).toSeq == all.drop(13))
+    // pruning: only segments with lastOffset > mid are eligible
+    val consumed = log.consume(mid, 100)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq == consumed)
+  }
+
+  test("time-travel read returns everything flushed at/after T") {
+    val log = freshLog()
+    log.publish(Seq("""{"old":1}"""), nowMs = () => 10000)
+    val newer = log.publish(Seq("""{"new":1}""", """{"new":2}"""), nowMs = () => 20000)
+    val rows = log.readSince(20000).orderBy("offset").collect()
+    assert(rows.map(_.getString(0)).toSeq == newer)
+    assert(log.readSince(10000).count() == 3)
+    assert(log.readSince(20001).count() == 0)
+  }
+
+  test("long-poll delivers on publish; times out empty on silent stream") {
+    val log = freshLog()
+    val t0 = System.currentTimeMillis()
+    assert(log.poll(Offset.Beginning, 10, timeoutMs = 200).isEmpty)
+    assert(System.currentTimeMillis() - t0 >= 200)
+
+    val waiter = new Thread(null, () => {
+      val got = log.poll(Offset.Beginning, 10, timeoutMs = 5000)
+      assert(got.nonEmpty && got.head._2 == """{"x":1}""")
+    }, "poller")
+    waiter.start()
+    Thread.sleep(100)
+    log.publish(Seq("""{"x":1}"""))
+    waiter.join(5000)
+    assert(!waiter.isAlive)
+  }
+
+  test("producer-version fencing: stale rejected, higher bumps, equal ok, absent ok") {
+    val log = freshLog()
+    log.publish(Seq("""{"v":1}"""), version = Some(5))
+    assert(log.producerVersion == 5)
+    intercept[FencedException] { log.publish(Seq("""{"v":2}"""), version = Some(4)) }
+    log.publish(Seq("""{"v":3}"""), version = Some(5)) // equal is fine
+    log.publish(Seq("""{"v":4}""")) // no version is fine
+    log.publish(Seq.empty, version = Some(9)) // pure bump, no records
+    assert(log.producerVersion == 9)
+    assert(log.consume(Offset.Beginning, 100).length == 3)
+    intercept[FencedException] { log.publish(Seq("""{"v":5}"""), version = Some(8)) }
+  }
+
+  test("compaction merges a window into one segment preserving order + completeness") {
+    val log = freshLog()
+    val c = clock(5000000)
+    val all = (1 to 5).flatMap(b => log.publish((1 to 6).map(i => s"""{"b":$b,"i":$i}"""), nowMs = c))
+    assert(log.segments.length == 5)
+    val merged = log.compactOnce(nowMs = c)
+    assert(merged.isDefined)
+    assert(log.segments.length == 1)
+    assert(merged.get.firstOffset == all.head && merged.get.lastOffset == all.last)
+    assert(merged.get.records == 30)
+    val after = log.consume(Offset.Beginning, 1000)
+    assert(after.map(_._1) == all) // identical stream content post-merge
+    assert(log.tombstoneNames.size == 5)
+  }
+
+  test("compaction respects planner limits (large segment excluded)") {
+    val log = freshLog()
+    val c = clock(6000000)
+    log.publish((1 to 3).map(i => s"""{"i":$i}"""), nowMs = c)
+    log.publish((1 to 3).map(i => s"""{"j":$i}"""), nowMs = c)
+    log.publish((1 to 50).map(i => s"""{"k":$i}"""), nowMs = c)
+    val merged = log.compactOnce(Compaction.Limits(maxRecords = 10), nowMs = c)
+    assert(merged.isDefined && merged.get.records == 6) // big third segment left alone
+    assert(log.segments.length == 2)
+  }
+
+  test("tombstones are cleaned only after max age") {
+    val log = freshLog()
+    val c = clock(7000000)
+    log.publish(Seq("""{"a":1}"""), nowMs = c)
+    log.publish(Seq("""{"a":2}"""), nowMs = c)
+    log.compactOnce(nowMs = c)
+    assert(log.tombstoneNames.size == 2)
+    assert(log.cleanTombstones(maxAgeMs = 86400000L, nowMs = c).isEmpty) // too young
+    val cleaned = log.cleanTombstones(maxAgeMs = 0, nowMs = () => 7100000)
+    assert(cleaned.size == 2 && log.tombstoneNames.isEmpty)
+    assert(log.consume(Offset.Beginning, 10).length == 2) // merged data intact
+  }
+
+  test("orphan purging removes unreferenced files only") {
+    val log = freshLog()
+    log.publish(Seq("""{"a":1}"""))
+    val orphan = log.segmentDir.resolve("9999-deadbeef.seg")
+    Files.write(orphan, "junk\n".getBytes)
+    val purged = log.purgeOrphans()
+    assert(purged == Seq("9999-deadbeef.seg"))
+    assert(!Files.exists(orphan))
+    assert(log.consume(Offset.Beginning, 10).length == 1)
+  }
+
+  test("destroy resets the stream; the name is reusable with fresh offsets") {
+    val log = freshLog()
+    log.publish(Seq("""{"a":1}"""), version = Some(7))
+    log.destroy()
+    assert(log.segments.isEmpty && log.producerVersion == 0 && log.lastOffset.isEmpty)
+    assert(log.consume(Offset.Beginning, 10).isEmpty)
+    val offs = log.publish(Seq("""{"b":1}"""))
+    assert(offs.length == 1)
+    assert(log.consume(Offset.Beginning, 10).head._2 == """{"b":1}""")
+  }
+
+  test("cold start replays the metadata log; rebuildFromSegments recovers without it") {
+    val root = Files.createTempDirectory("graft-streamlog").toString
+    val log = new StreamLog(spark, root, "s1")
+    val c = clock(8000000)
+    val all = (1 to 3).flatMap(_ => log.publish((1 to 4).map(i => s"""{"i":$i}"""), nowMs = c))
+    log.publish(Seq.empty, version = Some(3))
+
+    val reopened = new StreamLog(spark, root, "s1")
+    assert(reopened.segments.map(_.name) == log.segments.map(_.name))
+    assert(reopened.producerVersion == 3)
+    assert(reopened.consume(Offset.Beginning, 100).map(_._1) == all)
+    // epoch restored: next publish must sort above everything
+    val next = reopened.publish(Seq("""{"next":1}"""), nowMs = () => 1)
+    assert(next.head > all.last)
+
+    // lose the metadata log entirely → rebuild from the data files
+    Files.delete(java.nio.file.Paths.get(root, "s1", "meta.jsonl"))
+    val rebuilt = new StreamLog(spark, root, "s1")
+    assert(rebuilt.segments.isEmpty) // nothing until rebuild is invoked
+    rebuilt.rebuildFromSegments()
+    assert(rebuilt.consume(Offset.Beginning, 100).map(_._1) == all :+ next.head)
+    assert(rebuilt.segments.length == 4)
+  }
+}
