@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
 
 import graft.core.Tables
 
@@ -13,6 +14,11 @@ import graft.core.Tables
   * independent of partitioning and add order — then cast to double for
   * the oracle compare. Counts stay BIGINT. Every query ends in a total
   * ORDER BY matching its oracle.
+  *
+  * Scale notes per query are in each Scaladoc: what shuffles, what is
+  * broadcast, what pushes down. All queries are DataFrame-declarative so
+  * Catalyst plans them (pushdown, pruning, AQE, codegen) — nothing is
+  * hand-scheduled.
   */
 object Relational {
 
@@ -36,8 +42,207 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Filter + projection pushdown: both predicates and the 4-column
+    * projection must reach the parquet scan (PushedFilters + pruned
+    * ReadSchema) — at 100 TB this is the difference between reading
+    * 4 columns of a narrow row group and the whole table. No shuffle
+    * except the final range-partitioned sort.
+    */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .filter($"l_quantity" >= 48.0 && $"l_discount" <= 0.02)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Broadcast hash join: fact(lineitem) ⋈ small dim(part), dim explicitly
+    * broadcast so the fact table never shuffles for the join — the only
+    * shuffle is the groupBy on p_brand (25 groups, map-side combined).
+    */
+  def q03JoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lineitem = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+    lineitem
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(
+        sum(dec($"l_extendedprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"p_brand")
+  }
+
+  /** Shuffle (sort-merge) join: big ⋈ big on the order key, forced via the
+    * MERGE hint (at 100 TB neither side broadcasts). Both sides shuffle
+    * once on o_orderkey/l_orderkey; AQE can still coalesce partitions or
+    * split skew at runtime.
+    */
+  def q04JoinShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables(spark, dir, "orders").hint("merge")
+    val lineitem = Tables(spark, dir, "lineitem")
+    orders
+      .join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        countDistinct($"o_orderkey").as("n_orders"),
+        sum(dec($"l_extendedprice")).cast("double").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Multi-way star join, TPC-H Q5 shape:
+    * region→nation (broadcast) →customer→orders→lineitem→supplier, with the
+    * supplier-nation colocation constraint. Small dims broadcast; the
+    * big joins shuffle on their keys; date filter pushes to the orders scan.
+    */
+  def q05MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables(spark, dir, "region").filter($"r_name" === "ASIA")
+    val nation = Tables(spark, dir, "nation")
+    val customer = Tables(spark, dir, "customer")
+    val supplier = Tables(spark, dir, "supplier")
+    val orders = Tables(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    val lineitem = Tables(spark, dir, "lineitem")
+    lineitem
+      .join(broadcast(supplier), $"l_suppkey" === $"s_suppkey")
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer.join(broadcast(
+          nation.join(broadcast(region), $"n_regionkey" === $"r_regionkey")),
+        $"c_nationkey" === $"n_nationkey")),
+        $"o_custkey" === $"c_custkey" && $"s_nationkey" === $"c_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Window functions: row_number + rank + running sum per customer.
+    * One shuffle on the partition key (o_custkey); ordering within the
+    * partition is local. The running sum is decimal-exact so it's
+    * independent of physical row order within equal keys.
+    */
+  def q06Window(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byDate = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val byPrice = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables(spark, dir, "orders")
+      .select(
+        $"o_custkey", $"o_orderkey",
+        row_number().over(byDate).as("rn"),
+        rank().over(byPrice).as("price_rank"),
+        sum(dec($"o_totalprice")).over(byDate).cast("double").as("running_spend"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Exact distinct aggregation: two COUNT(DISTINCT) over different keys in
+    * one pass — Spark expands then aggregates; partial aggregation still
+    * dedups map-side before the shuffle.
+    */
+  def q07Distinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Semi + anti join (EXISTS / NOT EXISTS): customers with vs without
+    * orders per market segment. LeftSemi/LeftAnti never materialize the
+    * probe side's payload — at scale only o_custkey is shuffled.
+    */
+  def q08SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables(spark, dir, "customer")
+    val orderKeys = Tables(spark, dir, "orders").select($"o_custkey")
+    def side(joinType: String, tag: String): DataFrame =
+      customer.join(orderKeys, $"c_custkey" === $"o_custkey", joinType)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .select($"c_mktsegment", lit(tag).as("kind"), $"n_customers")
+    side("left_semi", "with_orders")
+      .unionAll(side("left_anti", "no_orders"))
+      .orderBy($"kind", $"c_mktsegment")
+  }
+
+  /** Top-K without a global sort: orderBy+limit plans as
+    * TakeOrderedAndProject — each partition keeps its local top 100, the
+    * driver merges K*partitions rows, never the full table.
+    */
+  def q09TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  /** Rollup / grouping sets: (flag, status), (flag), () in one pass.
+    * Spark expands the grouping sets before the single shuffle. NULL group
+    * markers are coalesced to 'ALL' so both engines order identically.
+    */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"),
+        $"sum_qty", $"n_rows")
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Global sort: range-partitioned (sampled boundaries), so each
+    * partition sorts locally and partitions are globally ordered — no
+    * single-node merge. Filter + projection still push to the scan.
+    */
+  def q11Sort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        unix_millis($"l_shipdate".cast("timestamp")).as("ship_ms"),
+        $"l_quantity")
+      .orderBy($"ship_ms", $"l_orderkey", $"l_linenumber")
+  }
+
+  /** Approximate distinct (HLL++): constant memory per group vs the exact
+    * expand+dedup — the scale path for high-cardinality distincts.
+    * Not SQL-oracle-comparable (estimator differs per engine) → rows-only
+    * gate; the exactness bound is spec-checked against q07's exact counts.
+    */
+  def q12ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+        approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_agg" -> (q01Agg _)
+    "q01_agg" -> (q01Agg _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_join_broadcast" -> (q03JoinBroadcast _),
+    "q04_join_shuffle" -> (q04JoinShuffle _),
+    "q05_multi_join" -> (q05MultiJoin _),
+    "q06_window" -> (q06Window _),
+    "q07_distinct" -> (q07Distinct _),
+    "q08_semi_anti" -> (q08SemiAnti _),
+    "q09_topk" -> (q09TopK _),
+    "q10_rollup" -> (q10Rollup _),
+    "q11_sort" -> (q11Sort _),
+    "q12_approx_distinct" -> (q12ApproxDistinct _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -50,6 +255,87 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 48.0 AND l_discount <= 0.02
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_broadcast" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q04_join_shuffle" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q05_multi_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q06_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q07_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q08_semi_anti" ->
+      """SELECT c_mktsegment, 'with_orders' AS kind, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT c_mktsegment, 'no_orders' AS kind, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY kind, c_mktsegment""".stripMargin,
+    "q09_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q10_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q11_sort" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  epoch_ms(l_shipdate) AS ship_ms,
+        |  l_quantity
+        |FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |ORDER BY ship_ms, l_orderkey, l_linenumber""".stripMargin
+    // q12_approx_distinct: rows-only (estimator is engine-specific);
+    // exactness bound is checked in RelationalSpec against q07.
   )
 }

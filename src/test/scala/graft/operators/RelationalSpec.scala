@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan-shape + approximation checks for the relational pack. Value
+  * correctness is gated by the DuckDB oracle (tools/crosscheck.py); these
+  * specs assert the *physical plans* are the ones we'd want at 100 TB.
+  */
+class RelationalSpec extends SparkSpec {
+
+  private def formattedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val w = new java.io.StringWriter()
+    Console.withOut(new java.io.PrintStream(new java.io.OutputStream {
+      def write(b: Int): Unit = w.write(b)
+    })) { df.explain("formatted") }
+    w.toString
+  }
+
+  test("q02: filter and projection reach the parquet scan") {
+    val plan = formattedPlan(Relational.q02FilterProject(spark, sfDir))
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(l_quantity"),
+      s"filter not pushed:\n$plan")
+    // pruned read schema: only the 2 filter + 2 output columns, not all 11
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"),
+      s"projection not pruned: $readSchema")
+  }
+
+  test("q03: dim side is broadcast") {
+    val plan = formattedPlan(Relational.q03JoinBroadcast(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q04: big-big join is sort-merge (no broadcast of a fact table)") {
+    val plan = formattedPlan(Relational.q04JoinShuffle(spark, sfDir))
+    assert(plan.contains("SortMergeJoin"), s"no sort-merge join:\n$plan")
+  }
+
+  test("q09: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = formattedPlan(Relational.q09TopK(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$plan")
+  }
+
+  test("q01/q03 aggregate with map-side partial aggregation") {
+    val plan = formattedPlan(Relational.q01Agg(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, // partial + final
+      s"no partial aggregation:\n$plan")
+  }
+
+  test("q12: approx distinct within 5% of exact at rsd=0.01") {
+    val approx = Relational.q12ApproxDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Relational.q07Distinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (flag, (parts, supps)) =>
+      val (ap, as) = approx(flag)
+      assert(math.abs(ap - parts).toDouble / parts < 0.05, s"$flag parts: $ap vs $parts")
+      assert(math.abs(as - supps).toDouble / supps < 0.05, s"$flag supps: $as vs $supps")
+    }
+  }
+}
