@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.streamlog.Offset
+
+/** Event-stream analytics pack (SURVEY.md §2.3): the reference's stream
+  * semantics (offset assignment, consume, time travel, fencing, merge,
+  * segment planning input) re-expressed as declarative queries over the
+  * `events` table, plus the standard stream aggregations (tumbling
+  * windows, sessionization).
+  *
+  * Offset semantics follow /root/reference/src/stream_manager.ts:76-85:
+  * 32-char sortable key = zero-padded epoch-millis ++ zero-padded
+  * per-epoch counter. Here the "flush batch" is all events sharing an
+  * epoch-millisecond, countered in event_id order.
+  *
+  * All timestamps cross the Spark/DuckDB boundary as epoch-millis BIGINT
+  * (SURVEY.md §4 — the parquet is ns, Spark truncates to µs, both floor
+  * identically to ms).
+  */
+object EventOps {
+
+  private val Dec = DecimalType(18, 4)
+  private def dec(c: Column): Column = c.cast(Dec)
+
+  /** Shared SQL prefix: events + epoch-millis + assigned 32-char offset. */
+  private val EvCte =
+    """WITH ev AS (
+      |  SELECT *, epoch_ms(ts) AS e_ms,
+      |    lpad(CAST(epoch_ms(ts) AS VARCHAR), 16, '0') ||
+      |    lpad(CAST(row_number() OVER (PARTITION BY epoch_ms(ts) ORDER BY event_id) - 1 AS VARCHAR), 16, '0') AS offset
+      |  FROM events
+      |)""".stripMargin
+
+  /** Epoch-millis of the event time. The parquet stores ns (which Spark
+    * only reads as BIGINT via `spark.sql.legacy.parquet.nanosAsLong`);
+    * integer `div` avoids the precision loss a double division would have
+    * at 1.7e18 ns. Handles either representation.
+    */
+  private def eMsOf(df: DataFrame): Column = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+    case _ => unix_millis(col("ts").cast("timestamp"))
+  }
+
+  /** Event time as a µs timestamp regardless of on-disk representation. */
+  private def tsOf(df: DataFrame): Column = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+    case _ => col("ts").cast("timestamp")
+  }
+
+  /** events + `e_ms` (epoch millis) + `offset` (32-char sortable). The
+    * row_number window shuffles once on e_ms; at scale the per-epoch
+    * partitions are tiny (one flush batch) so there is no skew.
+    */
+  def withOffsets(events: DataFrame): DataFrame = {
+    val counter = row_number()
+      .over(Window.partitionBy(col("e_ms")).orderBy(col("event_id"))) - lit(1)
+    events
+      .withColumn("e_ms", eMsOf(events))
+      .withColumn("offset", Offset.serializeCol(col("e_ms"), counter))
+  }
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+
+  /** q20: offset assignment — epoch-millis + per-epoch counter. */
+  def q20StreamOffsets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withOffsets(events(spark, dir))
+      .select($"event_id", $"event_type", $"offset")
+      .orderBy($"offset")
+  }
+
+  /** q21: consume from an offset — exclusive start, offset order, limit.
+    * The stream-log analog prunes segments before the scan (StreamLog
+    * .readAfter); on the flat table the filter pushes to parquet and
+    * orderBy+limit plans as TakeOrderedAndProject.
+    */
+  def q21ConsumeFromOffset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val after = Offset.serialize(1705276800000L, 0L) // 2024-01-15T00:00:00Z
+    withOffsets(events(spark, dir))
+      .filter($"offset" > after)
+      .select($"offset", $"event_id", $"event_type", $"user_id")
+      .orderBy($"offset")
+      .limit(500)
+  }
+
+  /** q22: time-travel read — "everything flushed at/after T" via the
+    * boundary offset (README.md:103-108), aggregated per event type.
+    */
+  def q22TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val boundary = Offset.timeTravel(1705708800000L) // 2024-01-20T00:00:00Z
+    withOffsets(events(spark, dir))
+      .filter($"offset" > boundary)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"offset").as("first_offset"),
+        max($"offset").as("last_offset"))
+      .orderBy($"event_type")
+  }
+
+  /** q23: tumbling-window aggregation — per hour × event type. Uses
+    * Spark's `window()` tumbling windows (same operator the streaming
+    * path uses); one shuffle on (window, type) with map-side combine.
+    */
+  def q23Tumbling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    ev
+      .groupBy(
+        window(tsOf(ev), "1 hour").as("w"),
+        $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .select(
+        unix_millis($"w.start").as("hour_ms"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy($"hour_ms", $"event_type")
+  }
+
+  /** q24: gap-based sessionization (30-min inactivity): lag marks session
+    * starts, a running sum numbers sessions, then a per-session rollup.
+    * One shuffle on user_id; both window passes reuse the partitioning.
+    */
+  def q24Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"e_ms", $"event_id")
+    val gapMs = 1800000L
+    withOffsets(events(spark, dir))
+      .withColumn("prev_ms", lag($"e_ms", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ms".isNull || $"e_ms" - $"prev_ms" > gapMs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"e_ms").as("start_ms"),
+        max($"e_ms").as("end_ms"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  /** q25: segment stats — events bucketed into 1-minute flush segments;
+    * per segment the planner's inputs: records, byte length (the
+    * reference's Σ(33 + len(json)) formula, stream_manager.ts:393-399),
+    * first/last offsets.
+    */
+  def q25SegmentStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withOffsets(events(spark, dir))
+      .withColumn("segment_ms", ($"e_ms" / 60000L).cast("long") * 60000L)
+      .groupBy($"segment_ms")
+      .agg(
+        count(lit(1)).as("records"),
+        sum(length($"props") + lit(33L)).as("bytes"),
+        min($"offset").as("first_offset"),
+        max($"offset").as("last_offset"))
+      .orderBy($"segment_ms")
+  }
+
+  /** q26: producer-version fencing replayed analytically
+    * (stream_manager.ts:240-267): an event's version (the `k` prop) is
+    * accepted iff >= the running max of all prior versions in its
+    * user's stream; rejected otherwise.
+    */
+  def q26Fencing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val version = regexp_extract($"props", "\"k\": (\\d+)", 1).cast("long")
+    val prior = Window.partitionBy($"user_id").orderBy($"e_ms", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withOffsets(events(spark, dir))
+      .withColumn("version", version)
+      .withColumn("prev_max", max($"version").over(prior))
+      .withColumn("accepted",
+        when($"prev_max".isNull || $"version" >= $"prev_max", 1L).otherwise(0L))
+      .groupBy($"user_id")
+      .agg(
+        sum($"accepted").as("n_accepted"),
+        (count(lit(1)) - sum($"accepted")).as("n_rejected"),
+        max($"version").as("max_version"))
+      .orderBy($"user_id")
+  }
+
+  /** q27: k-way merge — five per-type sorted runs (the reference's
+    * segment files, kway.ts:7-55) unioned and globally offset-ordered.
+    * Spark's range-partitioned sort IS the distributed k-way merge: no
+    * single node ever holds more than its range.
+    */
+  def q27KwayMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = withOffsets(events(spark, dir))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    types.map(t => ev.filter($"event_type" === t))
+      .reduce(_ unionAll _)
+      .select($"offset", $"event_id", $"event_type")
+      .orderBy($"offset")
+      .limit(1000)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_stream_offsets" -> (q20StreamOffsets _),
+    "q21_consume_from_offset" -> (q21ConsumeFromOffset _),
+    "q22_time_travel" -> (q22TimeTravel _),
+    "q23_tumbling" -> (q23Tumbling _),
+    "q24_sessionize" -> (q24Sessionize _),
+    "q25_segment_stats" -> (q25SegmentStats _),
+    "q26_fencing" -> (q26Fencing _),
+    "q27_kway_merge" -> (q27KwayMerge _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q20_stream_offsets" ->
+      s"""$EvCte
+         |SELECT event_id, event_type, "offset" FROM ev ORDER BY "offset"""".stripMargin,
+    "q21_consume_from_offset" ->
+      s"""$EvCte
+         |SELECT "offset", event_id, event_type, user_id FROM ev
+         |WHERE "offset" > '${Offset.serialize(1705276800000L, 0L)}'
+         |ORDER BY "offset" LIMIT 500""".stripMargin,
+    "q22_time_travel" ->
+      s"""$EvCte
+         |SELECT event_type, count(*) AS n_events,
+         |  min("offset") AS first_offset, max("offset") AS last_offset
+         |FROM ev WHERE "offset" > '${Offset.timeTravel(1705708800000L)}'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q23_tumbling" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q24_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS e_ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+        |), numbered AS (
+        |  SELECT *, sum(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY e_ms, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx_raw
+        |  FROM marked
+        |)
+        |SELECT user_id, CAST(session_idx_raw AS BIGINT) AS session_idx, count(*) AS n_events,
+        |  min(e_ms) AS start_ms, max(e_ms) AS end_ms,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM numbered
+        |GROUP BY user_id, session_idx_raw
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q25_segment_stats" ->
+      s"""$EvCte
+         |SELECT (e_ms // 60000) * 60000 AS segment_ms,
+         |  count(*) AS records,
+         |  CAST(sum(length(props) + 33) AS BIGINT) AS bytes,
+         |  min("offset") AS first_offset, max("offset") AS last_offset
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_fencing" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS e_ms,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS version
+        |  FROM events
+        |), judged AS (
+        |  SELECT user_id, version,
+        |    max(version) OVER (PARTITION BY user_id ORDER BY e_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM v
+        |)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_max IS NULL OR version >= prev_max THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+        |  CAST(sum(CASE WHEN prev_max IS NOT NULL AND version < prev_max THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+        |  max(version) AS max_version
+        |FROM judged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q27_kway_merge" ->
+      s"""$EvCte
+         |SELECT "offset", event_id, event_type FROM ev
+         |ORDER BY "offset" LIMIT 1000""".stripMargin
+  )
+}
