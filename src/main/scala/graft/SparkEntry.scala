@@ -8,9 +8,11 @@ object SparkEntry {
     Relational.q01Agg(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ EventOps.queries
+    Relational.queries ++ EventOps.queries ++ Dedup.queries ++
+      Similarity.queries ++ TextOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ EventOps.oracle
+    Relational.oracle ++ EventOps.oracle ++ Dedup.oracle ++
+      Similarity.oracle ++ TextOps.oracle
 }

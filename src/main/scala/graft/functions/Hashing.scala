@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic hashing used by the dedup / fingerprint
+  * operators. Everything bottoms out in md5 (bit-identical hex in Spark,
+  * DuckDB, and any other engine) mapped to a non-negative 60-bit BIGINT
+  * via the first 15 hex chars (SURVEY.md §4) — so oracle SQL can replay
+  * the exact same hash values with
+  * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
+  *
+  * Spark's own `hash()`/`xxhash64` are faster but engine-specific; md5
+  * keeps every dedup decision replayable outside Spark. All expressions
+  * here are Catalyst-native (codegen'd) — no UDFs.
+  */
+object Hashing {
+
+  /** Non-negative 60-bit hash of a string column. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash family member `seed` — the MinHash
+    * permutation trick without mod-prime arithmetic (no overflow, no
+    * coordination of constants across engines).
+    */
+  def hash60Seeded(seed: Column, c: Column): Column =
+    hash60(concat(seed.cast("string"), lit(":"), c))
+
+  /** The matching DuckDB SQL fragment for [[hash60]] of expression `e`. */
+  def duckHash60(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+}

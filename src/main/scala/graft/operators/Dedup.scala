@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Hashing
+
+/** Training-data deduplication pack (SURVEY.md §2.4) over `documents`.
+  *
+  * All candidate-generation is bucket-join shaped (LSH bands / inverted
+  * index), never all-pairs: at 100 TB the only shuffles are on hash keys
+  * with near-uniform fan-out, and the quadratic work is confined to
+  * within-bucket pairs. Every hash is md5-based (graft.functions.Hashing)
+  * so the DuckDB oracle replays decisions bit-for-bit.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** doc_id + distinct word-3-gram shingle per row. */
+  private def shingled(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("sh"))
+      .distinct()
+
+  /** The shared oracle CTE producing the same distinct shingles. */
+  private val ShCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] FOR i IN range(len(t)-2)]) AS sh
+      |    FROM toks)
+      |)""".stripMargin
+
+  /** Exact-Jaccard verification of candidate pairs against the full
+    * shingle sets (the verify stage shared by MinHash and the inverted-
+    * index join): shared counts via an equi-join on shingle, sizes via a
+    * per-doc count, J = |∩| / (|A|+|B|-|∩|).
+    */
+  private def verifiedJaccard(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .filter(col("shared") / (col("na.n_sh") + col("nb.n_sh") - col("shared")) >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared") / (col("na.n_sh") + col("nb.n_sh") - col("shared")), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The oracle twin of [[verifiedJaccard]], appended after a `cand` CTE. */
+  private def verifyOracleTail(tau: String): String =
+    s""", sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT doc_a, doc_b, count(*) AS shared FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+       |  GROUP BY doc_a, doc_b
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(shared / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
+       |FROM shared
+       |JOIN sizes na ON na.doc_id = doc_a
+       |JOIN sizes nb ON nb.doc_id = doc_b
+       |WHERE shared / (na.n_sh + nb.n_sh - shared) >= $tau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q30: exact dedup — content-hash groupBy, keep the smallest doc_id.
+    * One shuffle on the hash; at 100 TB this is the canonical first pass
+    * (hash is 32 bytes regardless of document size).
+    */
+  def q30DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .groupBy(md5($"text").as("content_hash"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy($"keeper")
+  }
+
+  /** q31: MinHash + LSH near-dup. 16 seeded min-hashes over word-3-gram
+    * shingles, banded 4×4; docs sharing a band bucket become candidates;
+    * candidates are verified with exact Jaccard ≥ 0.5. The only large
+    * shuffles key on (shingle) and (band, band_key) — both near-uniform.
+    * Band keys concatenate the 4 in-band seeds via one-per-seed min(CASE)
+    * aggregates, which is order-deterministic (collect_list is not).
+    */
+  def q31DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(docs(spark, dir))
+    val mh = sh
+      .select($"doc_id", $"sh", explode(expr("sequence(0, 15)")).as("seed"))
+      .select($"doc_id", $"seed", Hashing.hash60Seeded($"seed", $"sh").as("h"))
+      .groupBy($"doc_id", $"seed").agg(min($"h").as("mh"))
+    val bands = mh
+      .groupBy($"doc_id", expr("seed div 4").as("band"))
+      .agg(concat_ws(",",
+        min(when($"seed" % 4 === 0, $"mh")),
+        min(when($"seed" % 4 === 1, $"mh")),
+        min(when($"seed" % 4 === 2, $"mh")),
+        min(when($"seed" % 4 === 3, $"mh"))).as("band_key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifiedJaccard(cand, sh, 0.5)
+  }
+
+  /** q32: SimHash near-dup. 60-bit signature: per-token ±count votes on
+    * each hash bit (integer sums — no float anywhere), banded 4×15 so any
+    * pair at Hamming ≤ 3 shares at least one exact band (pigeonhole).
+    */
+  def q32DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = docs(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("th", Hashing.hash60($"tok"))
+    val sig = tok
+      .select($"doc_id", $"cnt", $"th", explode(expr("sequence(0, 59)")).as("b"))
+      .groupBy($"doc_id", $"b")
+      .agg(sum(when(expr("(th >> b) & 1") === 1, $"cnt").otherwise(-$"cnt")).as("s"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"s" > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("simhash"))
+    val bands = sig
+      .select($"doc_id", $"simhash", explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("band_val", expr("(simhash >> (band * 15)) & 32767"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q33: exact n-gram Jaccard similarity join via an inverted index:
+    * candidates are pairs sharing a *rare* shingle (document frequency in
+    * [2, 50] — the df cap is what keeps the self-join sub-quadratic at
+    * scale), then verified with exact Jaccard ≥ 0.3 over the full sets.
+    */
+  def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(docs(spark, dir))
+    val rare = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= 50)
+      .select($"sh")
+    val inv = sh.join(rare, "sh")
+    val cand = inv.as("a")
+      .join(inv.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifiedJaccard(cand, sh, 0.3)
+  }
+
+  /** q35: embedding near-dup — 16 deterministic random-hyperplane sign
+    * bits (±1 planes derived from md5, so both engines build the identical
+    * matrix), banded 2×8; bucket-mates are verified with exact cosine
+    * ≥ 0.4. Dot products are strict left folds over DOUBLE — bit-identical
+    * in Spark (`aggregate`) and DuckDB (`list_dot_product`).
+    */
+  def q35EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "embeddings")
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("signs", Vectors.planeSignsLit)
+      .withColumn("dots", expr(
+        """transform(signs, sv -> aggregate(sequence(0, 63), 0D,
+          |  (acc, d) -> acc + v[d] * (CASE WHEN substring(sv, d+1, 1) = '1' THEN 1D ELSE -1D END)))""".stripMargin))
+      .withColumn("sig", expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, p) ->
+          |  acc + (CASE WHEN dots[p] > 0D THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END))""".stripMargin))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .select($"vec_id", $"v", $"norm", $"sig")
+    val bands = e
+      .select($"vec_id", explode(expr("sequence(0, 1)")).as("band"), $"sig")
+      .withColumn("band_val", expr("(sig >> (band * 8)) & 255"))
+      .select($"vec_id", $"band", $"band_val")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select($"vec_id", $"v".as("va"), $"norm".as("na")), col("vec_a") === col("vec_id")).drop("vec_id")
+      .join(e.select($"vec_id", $"v".as("vb"), $"norm".as("nb")), col("vec_b") === col("vec_id")).drop("vec_id")
+      .withColumn("cos_raw",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (col("na") * col("nb")))
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> (q30DedupExact _),
+    "q31_dedup_minhash" -> (q31DedupMinhash _),
+    "q32_dedup_simhash" -> (q32DedupSimhash _),
+    "q33_ngram_jaccard" -> (q33NgramJaccard _),
+    "q35_embed_neardup" -> (q35EmbedNeardup _)
+  )
+
+  private val h = Hashing.duckHash60 _
+
+  val oracle: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    "q31_dedup_minhash" ->
+      s"""$ShCte, mh AS (
+         |  SELECT doc_id, seed, min(${h("CAST(seed AS VARCHAR) || ':' || sh")}) AS mh
+         |  FROM sh, range(16) s(seed) GROUP BY doc_id, seed
+         |), bands AS (
+         |  SELECT doc_id, seed // 4 AS band, concat_ws(',',
+         |    min(CASE WHEN seed % 4 = 0 THEN mh END), min(CASE WHEN seed % 4 = 1 THEN mh END),
+         |    min(CASE WHEN seed % 4 = 2 THEN mh END), min(CASE WHEN seed % 4 = 3 THEN mh END)) AS band_key
+         |  FROM mh GROUP BY doc_id, band
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |)
+         |${verifyOracleTail("0.5")}""".stripMargin,
+    "q32_dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, tok, count(*) AS cnt, ${h("tok")} AS th
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok
+         |), bits AS (
+         |  SELECT doc_id, b, sum(CASE WHEN (th >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+         |  FROM tok, range(60) t(b) GROUP BY doc_id, b
+         |), sig AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS band_val
+         |  FROM sig, range(4) r(band)
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q33_ngram_jaccard" ->
+      s"""$ShCte, rare AS (
+         |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+         |  WHERE df >= 2 AND df <= 50
+         |), inv AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |)
+         |${verifyOracleTail("0.3")}""".stripMargin,
+    "q35_embed_neardup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+         |    list_transform(${Vectors.duckPlanesLit},
+         |      pv -> list_dot_product(embedding::DOUBLE[], pv)) AS dots
+         |  FROM embeddings
+         |), sig AS (
+         |  SELECT vec_id, v, norm,
+         |    CAST(list_sum([CASE WHEN dots[p+1] > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END FOR p IN range(16)]) AS BIGINT) AS sig
+         |  FROM e
+         |), bands AS (
+         |  SELECT vec_id, band, (sig >> (band * 8)) & 255 AS band_val
+         |  FROM sig, range(2) r(band)
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b,
+         |  round(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm), 6) AS cos_sim
+         |FROM cand
+         |JOIN sig ea ON ea.vec_id = vec_a
+         |JOIN sig eb ON eb.vec_id = vec_b
+         |WHERE list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

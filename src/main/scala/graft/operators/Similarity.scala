@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Similarity-search pack (SURVEY.md §2.5) over `embeddings`.
+  *
+  * Dot products are strict left folds over DOUBLE
+  * (`aggregate(zip_with(...))`) — bit-identical to DuckDB's
+  * `list_dot_product`, so cosine values cross the oracle boundary exactly
+  * (then rounded to 6 decimals for rank stability, SURVEY.md §5).
+  */
+object Similarity {
+
+  /** embeddings + double vector + norm. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+
+  private val dotVV = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  /** q34: brute-force cosine top-k — the correctness baseline every ANN
+    * variant is measured against. The query set (5 vectors) is broadcast;
+    * the corpus is scanned once, each partition ranks locally and
+    * TakeOrdered-style window+filter keeps k per query. At 100 TB the
+    * corpus side stays partition-parallel with no shuffle of vectors —
+    * only (qid, cos) pairs move.
+    */
+  def q34KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"))
+    val byQ = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"neighbor_id")
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("neighbor_id"),
+        round(expr(dotVV) / ($"qnorm" * $"norm"), 6).as("cos_sim"))
+      .withColumn("knn_rank", row_number().over(byQ))
+      .filter($"knn_rank" <= 10)
+      .orderBy($"qid", $"knn_rank")
+  }
+
+  /** q36: LSH-bucketed ANN (the scale path): hyperplane signature bands
+    * (shared with q35) prune the corpus to bucket-mates, then exact
+    * cosine re-ranks top-k. Rows-only gate; recall vs q34 is spec-checked
+    * (SimilaritySpec). At scale the bucket join replaces the full scan —
+    * cost proportional to bucket occupancy, not corpus size.
+    */
+  def q36KnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir)
+      .withColumn("signs", Vectors.planeSignsLit)
+      .withColumn("dots", expr(
+        """transform(signs, sv -> aggregate(sequence(0, 63), 0D,
+          |  (acc, d) -> acc + v[d] * (CASE WHEN substring(sv, d+1, 1) = '1' THEN 1D ELSE -1D END)))""".stripMargin))
+      .withColumn("sig", expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, p) ->
+          |  acc + (CASE WHEN dots[p] > 0D THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END))""".stripMargin))
+      .select($"vec_id", $"v", $"norm", $"sig")
+    val bands = e
+      .select($"vec_id", $"v", $"norm", explode(expr("sequence(0, 3)")).as("band"), $"sig")
+      .withColumn("band_val", expr("(sig >> (band * 4)) & 15"))
+    val q = bands.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"), $"band", $"band_val")
+    val byQ = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"neighbor_id")
+    bands.join(broadcast(q), Seq("band", "band_val"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("neighbor_id"),
+        round(expr(dotVV) / ($"qnorm" * $"norm"), 6).as("cos_sim"))
+      .distinct() // a pair can share several bands
+      .withColumn("knn_rank", row_number().over(byQ))
+      .filter($"knn_rank" <= 10)
+      .orderBy($"qid", $"knn_rank")
+  }
+
+  /** q37: per-label vector stats. Norms are rounded to 6 decimals, then
+    * summed as exact DECIMAL so the mean is partitioning-independent.
+    */
+  def q37VectorStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    vecs(spark, dir)
+      .withColumn("norm_r", round($"norm", 6))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum($"norm_r".cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("avg_norm"),
+        min($"norm_r").as("min_norm"),
+        max($"norm_r").as("max_norm"))
+      .orderBy($"label")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_knn_brute" -> (q34KnnBrute _),
+    "q36_knn_lsh" -> (q36KnnLsh _),
+    "q37_vector_stats" -> (q37VectorStats _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q34_knn_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM e WHERE vec_id < 5
+        |), pairs AS (
+        |  SELECT qid, e.vec_id AS neighbor_id,
+        |    round(list_dot_product(qv, v) / (qnorm * norm), 6) AS cos_sim
+        |  FROM e, q WHERE e.vec_id != qid
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+        |  FROM pairs
+        |)
+        |SELECT qid, neighbor_id, cos_sim, knn_rank FROM ranked
+        |WHERE knn_rank <= 10 ORDER BY qid, knn_rank""".stripMargin,
+    // q36_knn_lsh: rows-only (recall vs q34 is spec-gated).
+    "q37_vector_stats" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm_r
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(CAST(sum(CAST(norm_r AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_norm,
+        |  min(norm_r) AS min_norm, max(norm_r) AS max_norm
+        |FROM e GROUP BY label ORDER BY label""".stripMargin
+  )
+}

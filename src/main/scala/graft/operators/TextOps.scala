@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.functions.Hashing
+
+/** Text-analysis pack (SURVEY.md §2.6) over `documents`: language ID,
+  * quality scoring, token counting, fingerprinting. All per-document and
+  * embarrassingly parallel — no shuffle except final aggregations; every
+  * metric is integer-derived or a division of exact integers so the
+  * oracle compare is exact.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** (marker token, language) evidence list for the n-gram/stopword
+    * language-ID heuristic. Deliberately tiny and transparent — the
+    * operator's value is the argmax machinery, not the dictionary.
+    */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "the" -> "en", "and" -> "en", "of" -> "en", "to" -> "en", "a" -> "en",
+    "el" -> "es", "la" -> "es", "que" -> "es", "los" -> "es", "y" -> "es",
+    "der" -> "de", "die" -> "de", "und" -> "de", "ist" -> "de", "das" -> "de",
+    "le" -> "fr", "les" -> "fr", "et" -> "fr", "est" -> "fr", "une" -> "fr",
+    "shi" -> "zh", "bu" -> "zh", "wo" -> "zh", "ni" -> "zh", "ta" -> "zh")
+
+  private val EnStop = Seq("the", "a", "of", "and", "to")
+  private def sqlIn(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** q38: language ID — count marker-token hits per candidate language,
+    * argmax with (score desc, lang asc) tie-break, 'und' when no marker
+    * fires; reported as a labeled-vs-predicted confusion matrix.
+    */
+  def q38LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val markers = LangMarkers.toDF("tok", "mlang")
+    val scores = docs(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .join(broadcast(markers), "tok")
+      .groupBy($"doc_id", $"mlang").agg(count(lit(1)).as("score"))
+    val best = scores
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"mlang")))
+      .filter($"rnk" === 1)
+      .select($"doc_id", $"mlang".as("pred"))
+    docs(spark, dir).select($"doc_id", $"lang")
+      .join(best, Seq("doc_id"), "left")
+      .select($"lang", coalesce($"pred", lit("und")).as("pred_lang"))
+      .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  /** q39: quality scoring — length, token-shape and stopword-density
+    * ratios combined into a transcendental-free score (pure rational
+    * arithmetic on integers → exact cross-engine doubles).
+    */
+  def q39Quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", $"text", split($"text", " ").as("toks"))
+      .select($"doc_id",
+        length($"text").cast("long").as("len"),
+        size($"toks").cast("long").as("n_tokens"),
+        expr(s"CAST(size(filter(toks, t -> t IN ${sqlIn(EnStop)})) AS BIGINT)").as("n_stop"))
+      .select($"doc_id", $"n_tokens",
+        round(($"len" - $"n_tokens" + lit(1L)) / $"n_tokens", 6).as("avg_token_len"),
+        round($"n_stop" / $"n_tokens", 6).as("stop_ratio"),
+        round(
+          lit(0.4) * least($"n_tokens" / lit(100.0), lit(1.0)) +
+          lit(0.4) * ($"n_stop" / $"n_tokens") +
+          lit(0.2) * (lit(1.0) - least(
+            abs(($"len" - $"n_tokens" + lit(1L)) / $"n_tokens" - lit(5.0)) / lit(10.0),
+            lit(1.0))), 6).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  /** q40: token counting per source — whitespace tokens, regex
+    * word/punctuation tokens (a BPE-ish upper estimate), and the
+    * chars/4 BPE heuristic.
+    */
+  def q40Tokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"source",
+        size(split($"text", " ")).cast("long").as("ws_tokens"),
+        expr("""CAST(size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)) AS BIGINT)""").as("re_tokens"),
+        ceil($"n_chars" / lit(4.0)).cast("long").as("bpe_est"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"ws_tokens").as("sum_ws_tokens"),
+        sum($"re_tokens").as("sum_re_tokens"),
+        sum($"bpe_est").as("sum_bpe_est"))
+      .orderBy($"source")
+  }
+
+  /** q41: document fingerprinting — min-hash over all 8-char rolling
+    * windows of the whitespace-normalized text (winnowing's degenerate
+    * single-window form): one stable 60-bit id per document, identical
+    * in any engine that has md5.
+    */
+  def q41Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id",
+        trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm"))
+      .filter(length($"norm") >= 8)
+      .select($"doc_id",
+        expr("""array_min(transform(sequence(0, length(norm) - 8),
+                i -> CAST(conv(substring(md5(substring(norm, i + 1, 8)), 1, 15), 16, 10) AS BIGINT)))""")
+          .as("fingerprint"),
+        (length($"norm") - lit(7)).cast("long").as("n_grams"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_lang_id" -> (q38LangId _),
+    "q39_quality" -> (q39Quality _),
+    "q40_tokens" -> (q40Tokens _),
+    "q41_fingerprint" -> (q41Fingerprint _)
+  )
+
+  private val markerValues =
+    LangMarkers.map { case (t, l) => s"('$t', '$l')" }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q38_lang_id" ->
+      s"""WITH markers(tok, mlang) AS (VALUES $markerValues),
+         |scores AS (
+         |  SELECT doc_id, mlang, count(*) AS score
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+         |  JOIN markers USING (tok)
+         |  GROUP BY doc_id, mlang
+         |), best AS (
+         |  SELECT doc_id, mlang AS pred FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, mlang) AS rnk
+         |    FROM scores) WHERE rnk = 1
+         |)
+         |SELECT d.lang, coalesce(b.pred, 'und') AS pred_lang, count(*) AS n_docs
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q39_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len([tk FOR tk IN string_split(text, ' ') IF tk IN ${sqlIn(EnStop)}]) AS BIGINT) AS n_stop
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_tokens,
+         |  round((len - n_tokens + 1) / n_tokens, 6) AS avg_token_len,
+         |  round(n_stop / n_tokens, 6) AS stop_ratio,
+         |  round(0.4 * least(n_tokens / 100.0, 1.0)
+         |      + 0.4 * (n_stop / n_tokens)
+         |      + 0.2 * (1.0 - least(abs((len - n_tokens + 1) / n_tokens - 5.0) / 10.0, 1.0)), 6) AS quality_score
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q40_tokens" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS re_tokens,
+        |    CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(sum(re_tokens) AS BIGINT) AS sum_re_tokens,
+        |  CAST(sum(bpe_est) AS BIGINT) AS sum_bpe_est
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q41_fingerprint" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  list_min([${Hashing.duckHash60("substr(norm, i + 1, 8)")} FOR i IN range(length(norm) - 7)]) AS fingerprint,
+         |  CAST(length(norm) - 7 AS BIGINT) AS n_grams
+         |FROM n WHERE length(norm) >= 8 ORDER BY doc_id""".stripMargin
+  )
+}

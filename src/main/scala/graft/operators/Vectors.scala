@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic random-hyperplane material shared by the embedding LSH
+  * operators (q35 embed near-dup, q36 LSH ANN) and their oracles.
+  *
+  * Plane p's sign on dimension d is +1 iff the first hex char of
+  * md5("p_d") is in 0-7 — a coin flip both engines can replay exactly,
+  * so the ±1 matrix is a compile-time constant here and a literal in the
+  * oracle SQL. 16 planes × 64 dims.
+  */
+object Vectors {
+  val NPlanes = 16
+  val Dims = 64
+
+  /** signs(p)(d) ∈ {+1, -1}. */
+  val signs: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NPlanes).map { p =>
+      (0 until Dims).map { d =>
+        val hex = md.digest(s"${p}_${d}".getBytes("UTF-8"))
+        // first hex char < '8' == top bit of first byte clear
+        if ((hex(0) & 0x80) == 0) 1 else -1
+      }
+    }
+  }
+
+  /** Spark literal: array of 16 strings of '1'/'0' (1 = +1), indexed by
+    * plane then dim — string form keeps the whole signature computation
+    * inside one codegen'd expression tree.
+    */
+  def planeSignsLit: Column =
+    array(signs.map(row => lit(row.map(s => if (s > 0) '1' else '0').mkString)): _*)
+
+  /** DuckDB literal: DOUBLE[][] of the same matrix, for list_dot_product. */
+  def duckPlanesLit: String =
+    signs.map(_.map(s => s"$s.0").mkString("[", ",", "]")).mkString("[", ",", "]")
+}

@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Gates for the non-oracle similarity ops: q36 (LSH ANN) is rows-only in
+  * the driver, so its quality bound lives here — recall@10 against the
+  * q34 brute-force baseline.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  test("q36 LSH ANN: non-empty and recall@10 vs brute force >= 0.2") {
+    val brute = Similarity.q34KnnBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.q36KnnLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "LSH returned no neighbors")
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // 16-bit signatures over 4 bands on near-orthogonal synthetic vectors:
+    // a loose floor — the point is the bucket-join machinery, tightened as
+    // signatures widen in later rounds.
+    assert(recall >= 0.2, s"recall@10 = $recall")
+  }
+
+  test("q36 LSH candidates agree with q34 on shared pairs' cosine") {
+    val brute = Similarity.q34KnnBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.q36KnnLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = brute.keySet & lsh.keySet
+    assert(shared.nonEmpty)
+    shared.foreach { k => assert(brute(k) == lsh(k), s"cosine mismatch at $k") }
+  }
+}
