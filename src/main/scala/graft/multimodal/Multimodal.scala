@@ -1,0 +1,109 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2.7): image/audio/video rows as
+  * opaque BINARY payloads + typed metadata, with the decode /
+  * feature-extract stage as a per-partition batch operator.
+  *
+  * The media codecs themselves are STUBBED (this container has no
+  * image/audio libraries): [[StubCodec.decode]] derives deterministic
+  * fake features from the payload bytes. Everything Spark-side is real —
+  * the schema, the binary encoding, the partition-parallel batch shape
+  * (one codec context per partition, amortized across rows, exactly how
+  * a JNI/FFmpeg decoder would be driven), and the downstream relational
+  * ops over extracted features.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String,          // image | audio | video
+      payload: Array[Byte],
+      declared_bytes: Long)
+
+  /** Extracted features (decode output). */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      content_hash: String,
+      width: Int,            // stubbed for audio: 0
+      height: Int,
+      duration_ms: Long)     // stubbed for image: 0
+
+  /** STUB codec — deterministic fake decode so the pipeline is testable
+    * without media libraries. A real deployment swaps `decode` for the
+    * JNI/FFmpeg call; nothing else changes.
+    */
+  object StubCodec {
+    def decode(row: MediaRow): MediaFeatures = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hash = md.digest(row.payload).map("%02x".format(_)).mkString
+      // fake dimensions derived from stable content bytes
+      val h32 = java.lang.Long.parseLong(hash.substring(0, 8), 16)
+      MediaFeatures(
+        media_id = row.media_id,
+        kind = row.kind,
+        n_bytes = row.payload.length.toLong,
+        content_hash = hash,
+        width = if (row.kind == "audio") 0 else (160 + (h32 % 8) * 160).toInt,
+        height = if (row.kind == "audio") 0 else (90 + (h32 % 8) * 90).toInt,
+        duration_ms = if (row.kind == "image") 0L else (h32 % 600000L))
+    }
+  }
+
+  /** Synthesize a media table from `documents` (the testdata carries no
+    * real binaries): payload = utf-8 text bytes, kind assigned
+    * round-robin from doc_id — deterministic, so specs and the rows-only
+    * driver gate are stable.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("payload"),
+        col("n_chars").as("declared_bytes"))
+      .as[MediaRow]
+  }
+
+  /** The decode / feature-extract stage: partition-parallel batch map.
+    * One codec instance per partition (the expensive init a real decoder
+    * amortizes); rows stream through without materializing the partition.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec init would go here (JNI context, thread pins)
+      rows.map(StubCodec.decode)
+    }
+  }
+
+  /** q42: per-kind feature rollup after decode — the rows-only driver
+    * gate for the multimodal path (no SQL oracle: the stub codec is not
+    * expressible in DuckDB).
+    */
+  def q42MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaFromDocuments(spark, dir))
+      .groupBy($"kind")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum($"n_bytes").as("total_bytes"),
+        countDistinct($"content_hash").as("n_distinct"),
+        max($"width").cast("long").as("max_width"),
+        max($"duration_ms").as("max_duration_ms"))
+      .orderBy($"kind")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_multimodal_meta" -> (q42MultimodalMeta _)
+  )
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.streamlog.{Offset, StreamLog}
+
+/** Streaming tail over a stream-log segment directory — the reference's
+  * long-poll consumer loop (/root/reference/src/stream_manager.ts:306-326,
+  * 454-467) re-expressed as Structured Streaming: new segment files ARE
+  * the poke; the file source discovers them per micro-batch, so a
+  * `writeStream` over [[records]] delivers exactly the long-poll
+  * semantics (deliver-on-flush, no busy-wait) with checkpointed
+  * exactly-once state on top — which the reference cannot do.
+  *
+  * At scale the segment directory is an object-store prefix;
+  * `maxFilesPerTrigger` bounds per-batch work and watermarks bound state.
+  */
+object StreamTail {
+
+  /** Unbounded (offset STRING, data STRING) stream of records appended to
+    * the log — each new flushed segment becomes part of exactly one
+    * micro-batch, in offset order within the batch.
+    */
+  def records(spark: SparkSession, log: StreamLog): DataFrame = {
+    spark.readStream
+      .option("maxFilesPerTrigger", 64)
+      .text(log.segmentDir.toString + "/*.seg")
+      .select(
+        substring(col("value"), 1, Offset.Width).as("offset"),
+        expr(s"substring(value, ${Offset.Width + 1})").as("data"))
+  }
+
+  /** Event-time view of a records stream whose JSON payloads carry
+    * `ts` (epoch millis), `user_id` and `value` fields.
+    */
+  def events(records: DataFrame): DataFrame =
+    records.select(
+      col("offset"),
+      get_json_object(col("data"), "$.ts").cast("long").as("e_ms"),
+      get_json_object(col("data"), "$.user_id").cast("long").as("user_id"),
+      get_json_object(col("data"), "$.value").cast("double").as("value"))
+      .withColumn("ts", timestamp_millis(col("e_ms")))
+
+  /** Tumbling-window count/sum with a watermark — the streaming twin of
+    * EventOps.q23Tumbling. The watermark bounds window state: late data
+    * beyond `watermark` is dropped, windows finalize and evict.
+    */
+  def windowedAgg(events: DataFrame,
+                  windowLen: String = "1 minute",
+                  watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(unix_millis(col("w.start")).as("window_ms"), col("n_events"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, e_ms: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, sum_value: Double)
+
+  /** Stateful gap-based sessionization — the streaming twin of
+    * EventOps.q24Sessionize via flatMapGroupsWithState: one O(1) state
+    * record per live user session — the shape that survives unbounded
+    * streams. A session closes (and is emitted) when a later event
+    * arrives more than `gapMs` past its end; with
+    * `withProcessingTimeout` the engine additionally closes idle
+    * sessions after `gapMs` of wall-clock silence (production tails;
+    * deterministic tests keep it off — wall-clock timeouts make
+    * `processAllAvailable` unbounded).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long = 1800000L,
+                 withProcessingTimeout: Boolean = false): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (withProcessingTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeoutConf) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start, s.last, s.n, s.sum))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.e_ms))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.e_ms - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, e.e_ms, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(e.e_ms, e.e_ms, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.e_ms, e.e_ms, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (withProcessingTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,33 @@
+package graft.multimodal
+
+import org.apache.spark.sql.types.BinaryType
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media rows carry opaque binary payloads with typed metadata") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    assert(media.schema("payload").dataType == BinaryType)
+    val n = media.count()
+    assert(n > 0)
+    assert(media.select("kind").distinct().count() == 3)
+  }
+
+  test("feature extraction is deterministic and partition-parallel") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir).repartition(8)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media.repartition(3)).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq) // partitioning must not change decode output
+    assert(f1.forall(f => f.n_bytes > 0 && f.content_hash.length == 32))
+    assert(f1.filter(_.kind == "audio").forall(_.width == 0))
+    assert(f1.filter(_.kind == "image").forall(_.duration_ms == 0L))
+  }
+
+  test("q42 aggregates decoded features per kind") {
+    val rows = Multimodal.q42MultimodalMeta(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    assert(rows.map(_.getLong(1)).sum ==
+      Multimodal.mediaFromDocuments(spark, sfDir).count())
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.streamlog.StreamLog
+
+/** Structured-Streaming twins of the batch event ops: file-source tail
+  * over the segment log (long-poll semantics), watermarked tumbling
+  * windows, and flatMapGroupsWithState sessionization.
+  */
+class StreamTailSpec extends SparkSpec {
+
+  private def freshLog(): StreamLog = {
+    val root = Files.createTempDirectory("graft-tail").toString
+    new StreamLog(spark, root, "s")
+  }
+
+  private def ev(ts: Long, user: Long, v: Double): String =
+    s"""{"ts":$ts,"user_id":$user,"value":$v}"""
+
+  test("tail delivers newly flushed segments (streaming long-poll)") {
+    val log = freshLog()
+    log.publish(Seq(ev(60000, 1, 1.0), ev(61000, 2, 2.0)))
+    val q = StreamTail.records(spark, log).writeStream
+      .format("memory").queryName("tail_t").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT count(*) FROM tail_t").head().getLong(0) == 2)
+
+    // a new flush = a new segment file = the poke; a fresh pass sees it
+    log.publish(Seq(ev(62000, 1, 3.0)))
+    val q2 = StreamTail.records(spark, log).writeStream
+      .format("memory").queryName("tail_t2").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(spark.sql("SELECT count(*) FROM tail_t2").head().getLong(0) == 3)
+    log.destroy()
+  }
+
+  test("watermarked tumbling window aggregation over the tail") {
+    val log = freshLog()
+    // two 1-minute windows: [60000,120000) has 2 events, [120000,180000) has 1
+    log.publish(Seq(ev(60000, 1, 1.5), ev(90000, 2, 2.5), ev(120000, 1, 4.0)))
+    val agg = StreamTail.windowedAgg(StreamTail.events(StreamTail.records(spark, log)))
+    val q = agg.writeStream
+      .format("memory").queryName("win_t").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT * FROM win_t ORDER BY window_ms").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((60000L, 2L, 4.0), (120000L, 1L, 4.0)))
+    log.destroy()
+  }
+
+  test("stateful sessionization closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamTail.SessionEvent]
+    val out = StreamTail.sessionize(input.toDS(), gapMs = 1000)
+    val q = out.writeStream
+      .format("memory").queryName("sess_t").outputMode("append").start()
+    // batch 1: user 1 has two sessions separated by > 1s; the first closes
+    // as soon as the second's first event arrives in a later batch.
+    input.addData(
+      StreamTail.SessionEvent(1, 1000, 1.0),
+      StreamTail.SessionEvent(1, 1500, 2.0))
+    q.processAllAvailable()
+    input.addData(StreamTail.SessionEvent(1, 10000, 5.0))
+    q.processAllAvailable()
+    val closed = spark.sql("SELECT * FROM sess_t").as[StreamTail.SessionOut].collect()
+    assert(closed.toSeq == Seq(StreamTail.SessionOut(1, 1000, 1500, 2, 3.0)))
+    q.stop()
+  }
+}
