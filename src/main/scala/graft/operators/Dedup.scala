@@ -46,10 +46,18 @@ object Dedup {
     */
   private def verifiedJaccard(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+    // shared counts from ONE self-join of the shingle table (output size
+    // Σ df·(df-1)/2), then restricted to candidates — candidates × full
+    // set re-join would expand |cand|·|avg set| rows instead. (If some
+    // shingle were ultra-common this self-join is where a df cap guards
+    // the blowup; every candidate pair shares ≥1 shingle so the inner
+    // join loses nothing.)
+    val shared = sh.as("sa")
+      .join(sh.as("sb"), col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
+      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+    cand
+      .join(shared, Seq("doc_a", "doc_b"))
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
       .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
       .filter(col("shared") / (col("na.n_sh") + col("nb.n_sh") - col("shared")) >= tau)
@@ -61,11 +69,13 @@ object Dedup {
   /** The oracle twin of [[verifiedJaccard]], appended after a `cand` CTE. */
   private def verifyOracleTail(tau: String): String =
     s""", sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-       |shared AS (
-       |  SELECT doc_a, doc_b, count(*) AS shared FROM cand
-       |  JOIN sh sa ON sa.doc_id = doc_a
-       |  JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
-       |  GROUP BY doc_a, doc_b
+       |shared_all AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+       |  GROUP BY 1, 2
+       |), shared AS (
+       |  SELECT c.doc_a, c.doc_b, s.shared FROM cand c
+       |  JOIN shared_all s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
        |)
        |SELECT doc_a, doc_b,
        |  round(shared / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
@@ -96,7 +106,8 @@ object Dedup {
     */
   def q31DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingled(docs(spark, dir))
+    // persisted: feeds the seeded-hash explosion AND the verify joins
+    val sh = shingled(docs(spark, dir)).persist()
     val mh = sh
       .select($"doc_id", $"sh", explode(expr("sequence(0, 15)")).as("seed"))
       .select($"doc_id", $"seed", Hashing.hash60Seeded($"seed", $"sh").as("h"))
@@ -150,14 +161,15 @@ object Dedup {
 
   /** q33: exact n-gram Jaccard similarity join via an inverted index:
     * candidates are pairs sharing a *rare* shingle (document frequency in
-    * [2, 50] — the df cap is what keeps the self-join sub-quadratic at
+    * [2, 20] — the df cap is what keeps the self-join sub-quadratic at
     * scale), then verified with exact Jaccard ≥ 0.3 over the full sets.
     */
   def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingled(docs(spark, dir))
+    // persisted: inverted index + verify stage both traverse the shingles
+    val sh = shingled(docs(spark, dir)).persist()
     val rare = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .filter($"df" >= 2 && $"df" <= 50)
+      .filter($"df" >= 2 && $"df" <= 20)
       .select($"sh")
     val inv = sh.join(rare, "sh")
     val cand = inv.as("a")
@@ -175,17 +187,9 @@ object Dedup {
     */
   def q35EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables(spark, dir, "embeddings")
-      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("signs", Vectors.planeSignsLit)
-      .withColumn("dots", expr(
-        """transform(signs, sv -> aggregate(sequence(0, 63), 0D,
-          |  (acc, d) -> acc + v[d] * (CASE WHEN substring(sv, d+1, 1) = '1' THEN 1D ELSE -1D END)))""".stripMargin))
-      .withColumn("sig", expr(
-        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, p) ->
-          |  acc + (CASE WHEN dots[p] > 0D THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END))""".stripMargin))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
-      .select($"vec_id", $"v", $"norm", $"sig")
+    // persisted: the signature subtree feeds the band self-join AND both
+    // verify joins — without persist it would evaluate 4× per run.
+    val e = Vectors.signed(Tables(spark, dir, "embeddings")).persist()
     val bands = e
       .select($"vec_id", explode(expr("sequence(0, 1)")).as("band"), $"sig")
       .withColumn("band_val", expr("(sig >> (band * 8)) & 255"))
@@ -260,7 +264,7 @@ object Dedup {
     "q33_ngram_jaccard" ->
       s"""$ShCte, rare AS (
          |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
-         |  WHERE df >= 2 AND df <= 50
+         |  WHERE df >= 2 AND df <= 20
          |), inv AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

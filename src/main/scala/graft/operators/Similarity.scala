@@ -54,15 +54,7 @@ object Similarity {
     */
   def q36KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = vecs(spark, dir)
-      .withColumn("signs", Vectors.planeSignsLit)
-      .withColumn("dots", expr(
-        """transform(signs, sv -> aggregate(sequence(0, 63), 0D,
-          |  (acc, d) -> acc + v[d] * (CASE WHEN substring(sv, d+1, 1) = '1' THEN 1D ELSE -1D END)))""".stripMargin))
-      .withColumn("sig", expr(
-        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, p) ->
-          |  acc + (CASE WHEN dots[p] > 0D THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END))""".stripMargin))
-      .select($"vec_id", $"v", $"norm", $"sig")
+    val e = Vectors.signed(Tables(spark, dir, "embeddings")).persist()
     val bands = e
       .select($"vec_id", $"v", $"norm", explode(expr("sequence(0, 3)")).as("band"), $"sig")
       .withColumn("band_val", expr("(sig >> (band * 4)) & 15"))
