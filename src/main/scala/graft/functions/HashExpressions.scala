@@ -1,0 +1,143 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Batch md5-hash kernels: one JVM call per ROW instead of one
+  * interpreted-lambda frame per element. Hash semantics are exactly
+  * [[Hashing.hash60]] (first 60 bits of md5 — SURVEY.md §4), so DuckDB
+  * oracles replay every value; only the evaluation strategy changes.
+  */
+object HashKernels {
+
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex nibbles of md5(bytes) as a non-negative long —
+    * identical to CAST(conv(substr(md5(x),1,15),16,10) AS BIGINT).
+    */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = digest.get()
+    md.reset()
+    val h = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 15) {
+      val nib = if ((i & 1) == 0) (h(i >> 1) >> 4) & 0xF else h(i >> 1) & 0xF
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
+  def hash60(s: String): Long = hash60(s.getBytes("UTF-8"))
+
+  /** All `nSeeds` min-hashes of a shingle set in one pass:
+    * sig(s) = min over shingles of hash60(s + ":" + shingle).
+    */
+  def minHashSigs(shingles: ArrayData, nSeeds: Int): ArrayData = {
+    val out = Array.fill(nSeeds)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val sh = shingles.getUTF8String(i).toString
+      var s = 0
+      while (s < nSeeds) {
+        val h = hash60(s.toString + ":" + sh)
+        if (h < out(s)) out(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Min hash60 over all k-char rolling windows of `s` (q41's
+    * fingerprint); Long.MaxValue signals "shorter than k" (mapped to
+    * NULL by the expression).
+    */
+  def rollingMin(s: UTF8String, k: Int): Long = {
+    val str = s.toString
+    if (str.length < k) return Long.MaxValue
+    var min = Long.MaxValue
+    var i = 0
+    val last = str.length - k
+    while (i <= last) {
+      val h = hash60(str.substring(i, i + k))
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}
+
+/** sigs = all `nSeeds` seeded min-hashes of an ARRAY<STRING> shingle set. */
+case class MinHashSigs(child: Expression, nSeeds: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs requires ARRAY<STRING>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minHashSigs(input.asInstanceOf[ArrayData], nSeeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.minHashSigs($c, $nSeeds)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Min 60-bit hash over all k-char rolling windows of a string; NULL when
+  * the string is shorter than k.
+  */
+case class RollingMinHash(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rolling_minhash requires STRING, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = HashKernels.rollingMin(input.asInstanceOf[UTF8String], k)
+    if (v == Long.MaxValue) null else v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.HashKernels.rollingMin($c, $k);
+       |if (${ev.value} == Long.MAX_VALUE) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  def minhashSigs(shingles: Column, nSeeds: Int): Column =
+    bridge.column(MinHashSigs(bridge.expression(shingles), nSeeds))
+  def rollingMinhash(s: Column, k: Int): Column =
+    bridge.column(RollingMinHash(bridge.expression(s), k))
+}

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{array, lit, sqrt}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Strict left-fold dot product over two ARRAY<DOUBLE> columns as a
+  * native Catalyst expression with whole-stage codegen — the hot loop of
+  * every similarity operator compiles to a bare primitive `for` over the
+  * unsafe array data, replacing the interpreted
+  * `aggregate(zip_with(...))` higher-order chain (which allocates a
+  * lambda frame per element).
+  *
+  * Semantics are EXACTLY the fold `((0 + a0*b0) + a1*b1) + ...` — the
+  * same association order as the SQL `aggregate` form and DuckDB's
+  * `list_dot_product`, so oracle results are bit-identical (SURVEY.md §4).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<DOUBLE> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}Acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level vector functions backed by the codegen expressions. */
+object VectorFunctions {
+
+  /** Strict-left-fold dot product of two ARRAY<DOUBLE> columns. */
+  def dot(a: Column, b: Column): Column =
+    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  /** L2 norm via the same fold (sqrt of self-dot). */
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Constant ARRAY<DOUBLE> column from a Scala vector. */
+  def constVec(xs: Seq[Double]): Column = array(xs.map(lit): _*)
+}

@@ -106,19 +106,21 @@ object Dedup {
     */
   def q31DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // persisted: feeds the seeded-hash explosion AND the verify joins
+    // persisted: feeds the verify joins twice
     val sh = shingled(docs(spark, dir)).persist()
-    val mh = sh
-      .select($"doc_id", $"sh", explode(expr("sequence(0, 15)")).as("seed"))
-      .select($"doc_id", $"seed", Hashing.hash60Seeded($"seed", $"sh").as("h"))
-      .groupBy($"doc_id", $"seed").agg(min($"h").as("mh"))
-    val bands = mh
-      .groupBy($"doc_id", expr("seed div 4").as("band"))
-      .agg(concat_ws(",",
-        min(when($"seed" % 4 === 0, $"mh")),
-        min(when($"seed" % 4 === 1, $"mh")),
-        min(when($"seed" % 4 === 2, $"mh")),
-        min(when($"seed" % 4 === 3, $"mh"))).as("band_key"))
+    // all 16 signatures in ONE codegen'd pass over each doc's shingle
+    // array — no explode, no per-seed shuffle; the min over a multiset
+    // equals the min over the set, so the un-deduped array is fine.
+    val sigd = docs(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", graft.functions.HashFunctions.minhashSigs(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"),
+        16).as("sigs"))
+    val bands = sigd.select($"doc_id",
+      posexplode(array((0 until 4).map(b => concat_ws(",",
+        $"sigs" (b * 4), $"sigs" (b * 4 + 1), $"sigs" (b * 4 + 2), $"sigs" (b * 4 + 3))): _*))
+        .as(Seq("band", "band_key")))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -204,8 +206,7 @@ object Dedup {
       .join(e.select($"vec_id", $"v".as("va"), $"norm".as("na")), col("vec_a") === col("vec_id")).drop("vec_id")
       .join(e.select($"vec_id", $"v".as("vb"), $"norm".as("nb")), col("vec_b") === col("vec_id")).drop("vec_id")
       .withColumn("cos_raw",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-          (col("na") * col("nb")))
+        graft.functions.VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos_raw") >= 0.4)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))

@@ -15,14 +15,14 @@ import graft.core.Tables
   */
 object Similarity {
 
-  /** embeddings + double vector + norm. */
+  import graft.functions.VectorFunctions.{dot, l2norm}
+
+  /** embeddings + double vector + norm (codegen'd fold). */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
-
-  private val dotVV = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+      .withColumn("norm", l2norm(col("v")))
 
   /** q34: brute-force cosine top-k — the correctness baseline every ANN
     * variant is measured against. The query set (5 vectors) is broadcast;
@@ -40,7 +40,7 @@ object Similarity {
     e.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("neighbor_id"),
-        round(expr(dotVV) / ($"qnorm" * $"norm"), 6).as("cos_sim"))
+        round(dot($"qv", $"v") / ($"qnorm" * $"norm"), 6).as("cos_sim"))
       .withColumn("knn_rank", row_number().over(byQ))
       .filter($"knn_rank" <= 10)
       .orderBy($"qid", $"knn_rank")
@@ -64,7 +64,7 @@ object Similarity {
     bands.join(broadcast(q), Seq("band", "band_val"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("neighbor_id"),
-        round(expr(dotVV) / ($"qnorm" * $"norm"), 6).as("cos_sim"))
+        round(dot($"qv", $"v") / ($"qnorm" * $"norm"), 6).as("cos_sim"))
       .distinct() // a pair can share several bands
       .withColumn("knn_rank", row_number().over(byQ))
       .filter($"knn_rank" <= 10)

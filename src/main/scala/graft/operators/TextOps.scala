@@ -111,9 +111,9 @@ object TextOps {
         trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm"))
       .filter(length($"norm") >= 8)
       .select($"doc_id",
-        expr("""array_min(transform(sequence(0, length(norm) - 8),
-                i -> CAST(conv(substring(md5(substring(norm, i + 1, 8)), 1, 15), 16, 10) AS BIGINT)))""")
-          .as("fingerprint"),
+        // codegen'd rolling-window kernel: one call per doc instead of an
+        // interpreted md5 lambda per 8-gram (same hash values, §4)
+        graft.functions.HashFunctions.rollingMinhash($"norm", 8).as("fingerprint"),
         (length($"norm") - lit(7)).cast("long").as("n_grams"))
       .orderBy($"doc_id")
   }

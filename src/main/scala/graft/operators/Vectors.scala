@@ -48,15 +48,18 @@ object Vectors {
     */
   def signed(embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
+    import graft.functions.VectorFunctions._
+    // one codegen'd DotProduct per plane against a constant ±1 vector —
+    // the whole signature is a single whole-stage-codegen projection.
+    val dots = org.apache.spark.sql.functions.array(
+      signs.map(row => dot(col("v"), constVec(row.map(_.toDouble)))): _*)
     embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("planes", planesLit)
-      .withColumn("dots", expr(
-        "transform(planes, pv -> aggregate(zip_with(v, pv, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"))
+      .withColumn("dots", dots)
       .withColumn("sig", expr(
         """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, p) ->
           |  acc + (CASE WHEN dots[p] > 0D THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END))""".stripMargin))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("norm", l2norm(col("v")))
       .select(col("vec_id"), col("v"), col("norm"), col("sig"))
   }
 }

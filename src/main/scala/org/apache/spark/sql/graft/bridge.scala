@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to the `private[sql]` Column ↔ Expression converters —
+  * the supported pattern for libraries that ship custom Catalyst
+  * expressions (the public API intentionally hides Expression since
+  * Spark 4 split Column from Catalyst).
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.HashFunctions._
+
+class HashExpressionsSpec extends SparkSpec {
+
+  test("hash60 kernel matches the SQL conv(md5) form") {
+    import spark.implicits._
+    val df = Seq("hello", "a b c", "", "0:x y z").toDF("s")
+    val rows = df.select(
+      expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("sql"),
+      $"s").collect()
+    rows.foreach(r => assert(HashKernels.hash60(r.getString(1)) == r.getLong(0)))
+  }
+
+  test("minhash_sigs equals per-seed min of seeded hash60") {
+    import spark.implicits._
+    val df = Seq(Seq("aa bb cc", "bb cc dd", "cc dd ee")).toDF("shs")
+    val sigs = df.select(minhashSigs($"shs", 16).as("sigs")).head().getSeq[Long](0)
+    val exp = (0 until 16).map(s =>
+      Seq("aa bb cc", "bb cc dd", "cc dd ee").map(sh => HashKernels.hash60(s"$s:$sh")).min)
+    assert(sigs == exp)
+  }
+
+  test("rolling_minhash equals min over substring hashes; NULL under k") {
+    import spark.implicits._
+    val df = Seq("abcdefghij", "short").toDF("s")
+    val out = df.select(rollingMinhash($"s", 8).as("f")).collect()
+    val exp = (0 to 2).map(i => HashKernels.hash60("abcdefghij".substring(i, i + 8))).min
+    assert(out(0).getLong(0) == exp)
+    assert(out(1).isNullAt(0))
+  }
+}

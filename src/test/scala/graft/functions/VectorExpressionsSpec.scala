@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions._
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("DotProduct matches the interpreted left-fold bit-for-bit") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val both = df.select(
+      dot($"v", $"v").as("native"),
+      expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)").as("folded"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
+  test("DotProduct is null-safe and handles constants") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1.0, 2.0, 3.0))), (None: Option[Seq[Double]]))
+      .toDF("v")
+    val out = df.select(dot($"v", constVec(Seq(2.0, 0.5, 1.0))).as("d")).collect()
+    assert(out(0).getDouble(0) == 1.0 * 2.0 + 2.0 * 0.5 + 3.0 * 1.0)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("DotProduct participates in whole-stage codegen") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(dot($"v", $"v").as("d"))
+      .filter($"d" > 0)
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen span
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_dot""".r.findFirstIn(plan).isDefined,
+      s"graft_dot not in a codegen span:\n$plan")
+  }
+}
