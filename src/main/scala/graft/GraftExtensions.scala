@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{DotProduct, MinHashSigs, RollingMinHash}
+
+/** SparkSessionExtensions entry point: makes the native expressions
+  * available to SQL users —
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * [[GraftFunctions.register]] on an existing session) enables
+  *
+  *   graft_dot(ARRAY<DOUBLE>, ARRAY<DOUBLE>) -> DOUBLE
+  *   minhash_sigs(ARRAY<STRING>, n)          -> ARRAY<BIGINT>
+  *   rolling_minhash(STRING, k)              -> BIGINT
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT, got $other")
+  }
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    (FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (es: Seq[Expression]) => MinHashSigs(es(0), intLit(es(1), "minhash_sigs"))),
+    (FunctionIdentifier("rolling_minhash"),
+      new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_minhash"),
+      (es: Seq[Expression]) => RollingMinHash(es(0), intLit(es(1), "rolling_minhash"))))
+
+  /** Imperative registration on an already-built session. */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    descriptors.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+  }
+}

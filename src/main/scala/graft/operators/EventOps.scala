@@ -207,7 +207,64 @@ object EventOps {
       .limit(1000)
   }
 
+  /** q28: as-of join — for every purchase, the user's most recent click
+    * at-or-before it. Implemented the scalable way: one union + one
+    * shuffle on user_id + a running `last(ignoreNulls)` window — never
+    * the pair expansion a join+filter+rank would cost (for a user with
+    * n clicks and m purchases this is O(n+m), not O(n·m)). Ties at the
+    * same millisecond order clicks before purchases ("at-or-before"),
+    * then by event_id (latest click wins).
+    */
+  def q28AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val base = ev.withColumn("e_ms", eMsOf(ev))
+    val clicks = base.filter($"event_type" === "click")
+      .select($"user_id", $"e_ms", $"event_id", lit(0).as("is_left"),
+        $"e_ms".as("click_ms"), $"value".as("click_value"))
+    val purchases = base.filter($"event_type" === "purchase")
+      .select($"user_id", $"e_ms", $"event_id", lit(1).as("is_left"),
+        lit(null).cast("long").as("click_ms"), lit(null).cast("double").as("click_value"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"e_ms", $"is_left", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionAll(purchases)
+      .withColumn("asof_click_ms", last($"click_ms", ignoreNulls = true).over(w))
+      .withColumn("asof_click_value", last($"click_value", ignoreNulls = true).over(w))
+      .filter($"is_left" === 1)
+      .select($"event_id", $"user_id", $"e_ms".as("purchase_ms"),
+        $"asof_click_ms", $"asof_click_value")
+      .orderBy($"event_id")
+  }
+
+  /** q29: range (interval) join — purchases within 5 minutes after an
+    * error by the same user. The user_id equi-key keeps this a hash/
+    * sort-merge join with the time band as a residual predicate — the
+    * join never goes quadratic in the table size, only within a user's
+    * events.
+    */
+  def q29RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val base = ev.withColumn("e_ms", eMsOf(ev))
+    val errors = base.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"e_ms".as("err_ms"))
+    val purchases = base.filter($"event_type" === "purchase")
+      .select($"user_id", $"e_ms".as("buy_ms"), $"value")
+    purchases
+      .join(errors, $"user_id" === $"e_user" &&
+        $"buy_ms" >= $"err_ms" && $"buy_ms" <= $"err_ms" + 300000L)
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min($"buy_ms" - $"err_ms").as("min_delay_ms"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_asof_join" -> (q28AsofJoin _),
+    "q29_range_join" -> (q29RangeJoin _),
     "q20_stream_offsets" -> (q20StreamOffsets _),
     "q21_consume_from_offset" -> (q21ConsumeFromOffset _),
     "q22_time_travel" -> (q22TimeTravel _),
@@ -219,6 +276,33 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q28_asof_join" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS e_ms FROM events),
+        |tagged AS (
+        |  SELECT user_id, e_ms, event_id, 0 AS is_left, e_ms AS click_ms, value AS click_value
+        |  FROM base WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, e_ms, event_id, 1 AS is_left, NULL, NULL
+        |  FROM base WHERE event_type = 'purchase'
+        |), carried AS (
+        |  SELECT *,
+        |    last_value(click_ms IGNORE NULLS) OVER w AS asof_click_ms,
+        |    last_value(click_value IGNORE NULLS) OVER w AS asof_click_value
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY e_ms, is_left, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, e_ms AS purchase_ms, asof_click_ms, asof_click_value
+        |FROM carried WHERE is_left = 1 ORDER BY event_id""".stripMargin,
+    "q29_range_join" ->
+      """WITH base AS (SELECT user_id, event_type, value, epoch_ms(ts) AS e_ms FROM events)
+        |SELECT p.user_id, count(*) AS n_pairs,
+        |  min(p.e_ms - e.e_ms) AS min_delay_ms,
+        |  CAST(sum(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM (SELECT * FROM base WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM base WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id AND p.e_ms >= e.e_ms AND p.e_ms <= e.e_ms + 300000
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
     "q20_stream_offsets" ->
       s"""$EvCte
          |SELECT event_id, event_type, "offset" FROM ev ORDER BY "offset"""".stripMargin,

@@ -1,0 +1,28 @@
+package graft
+
+import graft.functions.HashKernels
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("registered SQL functions evaluate the native expressions") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot(array(1D, 2D, 3D), array(2D, 0.5D, 1D)) AS d,
+        |  minhash_sigs(array('aa', 'bb'), 4) AS sigs,
+        |  rolling_minhash('abcdefghij', 8) AS fp""".stripMargin).head()
+    assert(r.getDouble(0) == 6.0)
+    val expSigs = (0 until 4).map(s => Seq("aa", "bb").map(x => HashKernels.hash60(s"$s:$x")).min)
+    assert(r.getSeq[Long](1) == expSigs)
+    val expFp = (0 to 2).map(i => HashKernels.hash60("abcdefghij".substring(i, i + 8))).min
+    assert(r.getLong(2) == expFp)
+  }
+
+  test("extensions class injects the same functions into a fresh session") {
+    val ext = new GraftExtensions()
+    val extensions = new org.apache.spark.sql.SparkSessionExtensions
+    ext(extensions) // must not throw; function list is shared with register()
+    assert(GraftFunctions.descriptors.map(_._1.funcName).sorted ==
+      Seq("graft_dot", "minhash_sigs", "rolling_minhash"))
+  }
+}
