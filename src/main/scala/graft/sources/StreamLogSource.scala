@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.streamlog.{MetaLog, Offset}
+
+/** DataSource V2 batch connector for the stream-log:
+  *
+  * {{{
+  *   spark.read.format("streamlog")
+  *     .option("path", root).option("stream", name)
+  *     [.option("after", offset)]       // exclusive start
+  *     .load()                          // schema: offset STRING, data STRING
+  * }}}
+  *
+  * `offset > X` / `offset >= X` filters (and the `after` option) push
+  * into the scan and prune whole segments via the metadata index BEFORE
+  * any file is opened — the object-store analog of partition pruning
+  * (SURVEY.md §3): a consume-from-tail on a 100 TB stream plans only the
+  * segments whose [first,last] range can intersect. One input partition
+  * per segment preserves intra-segment order and parallelizes across
+  * segments.
+  */
+class StreamLogSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "streamlog"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StreamLogTable.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new StreamLogTable(
+      Option(properties.get("path")).getOrElse(
+        throw new IllegalArgumentException("streamlog: 'path' option is required")),
+      Option(properties.get("stream")).getOrElse(
+        throw new IllegalArgumentException("streamlog: 'stream' option is required")),
+      Option(properties.get("after")))
+}
+
+object StreamLogTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("offset", StringType, nullable = false),
+    StructField("data", StringType, nullable = false)))
+}
+
+class StreamLogTable(root: String, stream: String, after: Option[String])
+    extends Table with SupportsRead {
+
+  override def name(): String = s"streamlog:$root/$stream"
+  override def schema(): StructType = StreamLogTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new StreamLogScanBuilder(root, stream, after)
+}
+
+class StreamLogScanBuilder(root: String, stream: String, after: Option[String])
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  // exclusive lower bound accumulated from the option + pushed filters
+  private var lowerBound: String = after.getOrElse(Offset.Beginning)
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def raise(bound: String): Unit =
+      if (lowerBound == Offset.Beginning || bound > lowerBound) lowerBound = bound
+    filters.foreach {
+      case GreaterThan("offset", v: String) => raise(v)
+      // offset >= v: shrink by one lexicographic step so records equal to
+      // v survive segment pruning (the index prunes on lastOffset > bound)
+      case GreaterThanOrEqual("offset", v: String) => raise(prevBound(v))
+      case _ =>
+    }
+    pushed = filters.filter {
+      case GreaterThan("offset", _: String) | GreaterThanOrEqual("offset", _: String) => true
+      case _ => false
+    }
+    // Return ALL filters for Spark to re-evaluate: the bound only PRUNES
+    // segments/lines, it does not guarantee exact filter semantics (the
+    // >= bound is deliberately loose by one step).
+    filters
+  }
+
+  /** Largest string strictly below `v` for pruning purposes: trimming the
+    * final char keeps every offset == v inside the pruned set.
+    */
+  private def prevBound(v: String): String =
+    if (v.isEmpty) Offset.Beginning else v.substring(0, v.length - 1)
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new StreamLogScan(root, stream, lowerBound)
+}
+
+class StreamLogScan(root: String, stream: String, lowerBound: String)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StreamLogTable.Schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"StreamLogScan($root/$stream, after=$lowerBound)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = Paths.get(root, stream)
+    val st = MetaLog.replay(dir.resolve("meta.jsonl"))
+    // THE pruning step: only segments whose range can intersect survive
+    st.index.segmentsAfter(lowerBound)
+      .map(m => StreamLogPartition(
+        dir.resolve("segments").resolve(m.name).toString, lowerBound): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    StreamLogReaderFactory
+}
+
+case class StreamLogPartition(file: String, after: String) extends InputPartition
+
+object StreamLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StreamLogPartition]
+    new PartitionReader[InternalRow] {
+      private val lines = Files.readAllLines(Paths.get(p.file), UTF_8).asScala.iterator
+        .filter(l => l.length >= Offset.Width &&
+          (p.after == Offset.Beginning || l.substring(0, Offset.Width) > p.after))
+      override def next(): Boolean = lines.hasNext
+      override def get(): InternalRow = {
+        val l = lines.next()
+        InternalRow(
+          UTF8String.fromString(l.substring(0, Offset.Width)),
+          UTF8String.fromString(l.substring(Offset.Width)))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

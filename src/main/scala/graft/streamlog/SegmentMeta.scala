@@ -77,3 +77,48 @@ object MetaJson {
     (strs, nums)
   }
 }
+
+/** Pure (session-free) replay of a stream's metadata log — shared by
+  * StreamLog's cold start and the DataSource V2 connector, which must
+  * load the segment index on the driver without a StreamLog instance.
+  */
+object MetaLog {
+
+  final case class State(
+      index: SegmentIndex,
+      tombstones: Map[String, Long],
+      producerVersion: Long,
+      lastOffset: String,
+      epoch: Long)
+
+  def replay(metaPath: java.nio.file.Path): State = {
+    import scala.jdk.CollectionConverters._
+    var index = SegmentIndex.empty
+    var tombstones = Map.empty[String, Long]
+    var version = 0L
+    if (java.nio.file.Files.exists(metaPath)) {
+      java.nio.file.Files.readAllLines(metaPath, java.nio.charset.StandardCharsets.UTF_8)
+        .asScala.foreach { line =>
+          if (line.nonEmpty) {
+            val (s, n) = MetaJson.parseLine(line)
+            s.get("type").orElse(Some(if (n.contains("producer_version")) "version" else "")).get match {
+              case "add" =>
+                index = index.add(SegmentMeta(s("name"), s("firstOffset"), s("lastOffset"),
+                  n("createdMS"), n("records"), n("bytes")))
+              case "tombstone" =>
+                index.segments.find(_.name == s("name")).foreach(m => index = index.remove(m))
+                tombstones += s("name") -> n("tombstonedMS")
+              case "purge" => tombstones -= s("name")
+              case "version" => version = n("producer_version")
+              case "destroy" =>
+                index = SegmentIndex.empty; tombstones = Map.empty; version = 0L
+              case _ => // unknown entry type: ignore (forward compatibility)
+            }
+          }
+        }
+    }
+    State(index, tombstones, version,
+      index.max.map(_.lastOffset).getOrElse(""),
+      index.max.map(m => Offset.parse(m.lastOffset)._1).getOrElse(0L))
+  }
+}

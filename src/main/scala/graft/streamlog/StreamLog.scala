@@ -60,34 +60,11 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
   /** Replay the metadata log — crash-safe cold start
     * (stream_manager.ts:138-179,503-511). */
   private def load(): Unit = {
-    index = SegmentIndex.empty; tombstones = Map.empty
-    producerVersionVar = 0L; epoch = 0L; lastOffsetVar = ""
-    if (Files.exists(metaPath)) {
-      Files.readAllLines(metaPath, UTF_8).asScala.foreach { line =>
-        if (line.nonEmpty) {
-          val (s, n) = MetaJson.parseLine(line)
-          s.get("type").orElse(Some(if (n.contains("producer_version")) "version" else "")).get match {
-            case "add" =>
-              val m = SegmentMeta(s("name"), s("firstOffset"), s("lastOffset"),
-                n("createdMS"), n("records"), n("bytes"))
-              index = index.add(m)
-            case "tombstone" =>
-              index.segments.find(_.name == s("name")).foreach(m => index = index.remove(m))
-              tombstones += s("name") -> n("tombstonedMS")
-            case "purge" => tombstones -= s("name")
-            case "version" => producerVersionVar = n("producer_version")
-            case "destroy" =>
-              index = SegmentIndex.empty; tombstones = Map.empty
-              producerVersionVar = 0L; lastOffsetVar = ""
-            case _ => // unknown entry type: ignore (forward compatibility)
-          }
-        }
-      }
-      index.max.foreach { m =>
-        lastOffsetVar = m.lastOffset
-        epoch = Offset.parse(m.lastOffset)._1
-      }
-    }
+    val st = MetaLog.replay(metaPath)
+    index = st.index; tombstones = st.tombstones
+    producerVersionVar = st.producerVersion
+    lastOffsetVar = st.lastOffset
+    epoch = st.epoch
   }
 
   private def appendMeta(lines: String*): Unit = {
