@@ -9,6 +9,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -63,7 +64,7 @@ class StreamLogTable(root: String, stream: String, after: Option[String])
   override def name(): String = s"streamlog:$root/$stream"
   override def schema(): StructType = StreamLogTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StreamLogScanBuilder(root, stream, after)
@@ -121,23 +122,88 @@ class StreamLogScan(root: String, stream: String, lowerBound: String)
     // THE pruning step: only segments whose range can intersect survive
     st.index.segmentsAfter(lowerBound)
       .map(m => StreamLogPartition(
-        dir.resolve("segments").resolve(m.name).toString, lowerBound): InputPartition)
+        dir.resolve("segments").resolve(m.name).toString, lowerBound, ""): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     StreamLogReaderFactory
+
+  /** Micro-batch view: the stream's cursor IS the record offset — the
+    * exact consumer semantics of the reference's long-poll loop
+    * (exclusive-start consume from the committed cursor, stream_manager
+    * .ts:295-382), with Spark's checkpointing providing the durable
+    * consumer-group state the reference leaves to its callers.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new StreamLogMicroBatch(root, stream, lowerBound)
 }
 
-case class StreamLogPartition(file: String, after: String) extends InputPartition
+/** Streaming cursor: the last-delivered 32-char offset ("-" = nothing). */
+case class StreamLogOffset(last: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"last":"$last"}"""
+}
+
+class StreamLogMicroBatch(root: String, stream: String, startAfter: String)
+    extends MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+
+  private def dir = Paths.get(root, stream)
+
+  override def initialOffset(): SOffset = StreamLogOffset(startAfter)
+
+  override def latestOffset(): SOffset = {
+    val st = MetaLog.replay(dir.resolve("meta.jsonl"))
+    StreamLogOffset(if (st.lastOffset.isEmpty) Offset.Beginning else st.lastOffset)
+  }
+
+  override def deserializeOffset(json: String): SOffset =
+    StreamLogOffset(MetaJsonOffset.parse(json))
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val after = start.asInstanceOf[StreamLogOffset].last
+    val until = end.asInstanceOf[StreamLogOffset].last
+    if (until == Offset.Beginning) return Array.empty
+    val st = MetaLog.replay(dir.resolve("meta.jsonl"))
+    st.index.segmentsAfter(after)
+      .filter(m => m.firstOffset <= until)
+      .map(m => StreamLogPartition(
+        dir.resolve("segments").resolve(m.name).toString, after, until): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = StreamLogReaderFactory
+  override def commit(end: SOffset): Unit = () // cursor durability = Spark checkpoint
+  override def stop(): Unit = ()
+}
+
+private object MetaJsonOffset {
+  private val Re = """\{"last":"([^"]*)"\}""".r
+  def parse(json: String): String = json match {
+    case Re(last) => last
+    case other => throw new IllegalArgumentException(s"bad streamlog offset: $other")
+  }
+}
+
+/** One segment file scanned for offsets in (after, until]; empty `until`
+  * means unbounded (batch reads).
+  */
+case class StreamLogPartition(file: String, after: String, until: String)
+    extends InputPartition
 
 object StreamLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StreamLogPartition]
     new PartitionReader[InternalRow] {
       private val lines = Files.readAllLines(Paths.get(p.file), UTF_8).asScala.iterator
-        .filter(l => l.length >= Offset.Width &&
-          (p.after == Offset.Beginning || l.substring(0, Offset.Width) > p.after))
+        .filter { l =>
+          l.length >= Offset.Width && {
+            val off = l.substring(0, Offset.Width)
+            (p.after == Offset.Beginning || off > p.after) &&
+              (p.until.isEmpty || off <= p.until)
+          }
+        }
       override def next(): Boolean = lines.hasNext
       override def get(): InternalRow = {
         val l = lines.next()

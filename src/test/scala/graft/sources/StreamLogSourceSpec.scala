@@ -66,4 +66,28 @@ class StreamLogSourceSpec extends SparkSpec {
   }
 
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
+
+  test("micro-batch stream delivers incrementally with a durable cursor") {
+    import org.apache.spark.sql.streaming.Trigger
+    val log = freshLog()
+    val c = clock
+    val first = log.publish(Seq("""{"x":1}""", """{"x":2}"""), nowMs = c)
+    val stream = spark.readStream.format("streamlog")
+      .option("path", log.streamDir.getParent.toString)
+      .option("stream", log.name).load()
+    val q = stream.writeStream.format("memory").queryName("mb_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT count(*) FROM mb_t").head().getLong(0) == 2)
+
+    // records published after the first pass arrive in the next batch only
+    val second = log.publish(Seq("""{"x":3}"""), nowMs = c)
+    val q2 = stream.writeStream.format("memory").queryName("mb_t2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val offs = spark.sql("SELECT offset FROM mb_t2 ORDER BY offset")
+      .collect().map(_.getString(0)).toSeq
+    assert(offs == (first ++ second))
+    log.destroy()
+  }
 }
