@@ -88,10 +88,48 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** q43: IVF ANN — the coarse-quantizer scale path. Cells are the 16
+    * deterministic "centroids" (the first 16 vectors; a Lloyd refinement
+    * would need order-dependent float means, which §4 forbids for gated
+    * results); every vector joins the broadcast centroid set once and
+    * keeps its argmin cell via min(struct(dist, cid)) — deterministic
+    * tie-break, no shuffle of vectors. Queries probe their 4 nearest
+    * cells and re-rank exactly. At 100 TB: the corpus is partitioned by
+    * cell once at ingest, a query touches nprobe/ncells of the data.
+    */
+  def q43KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir).persist()
+    val cents = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
+    // squared L2 via dots: |v|^2 - 2 v·c + |c|^2 (monotone in true dist)
+    val d2 = $"norm" * $"norm" - lit(2.0) * dot($"v", $"cv") + $"cnorm" * $"cnorm"
+    val assigned = e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"v", $"norm", struct(d2.as("d2"), $"cid").as("dc"))
+      .groupBy($"vec_id", $"v", $"norm")
+      .agg(min($"dc").getField("cid").as("cell"))
+    val qcells = e.filter($"vec_id" < 5).crossJoin(broadcast(cents))
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"), $"cid",
+        (($"norm" * $"norm") - lit(2.0) * dot($"v", $"cv") + $"cnorm" * $"cnorm").as("d2"))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"d2", $"cid")))
+      .filter($"cell_rank" <= 4)
+      .select($"qid", $"qv", $"qnorm", $"cid".as("cell"))
+    val byQ = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"neighbor_id")
+    assigned.join(broadcast(qcells), Seq("cell"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qnorm" * $"norm"), 6).as("cos_sim"))
+      .withColumn("knn_rank", row_number().over(byQ))
+      .filter($"knn_rank" <= 10)
+      .orderBy($"qid", $"knn_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_knn_brute" -> (q34KnnBrute _),
     "q36_knn_lsh" -> (q36KnnLsh _),
-    "q37_vector_stats" -> (q37VectorStats _)
+    "q37_vector_stats" -> (q37VectorStats _),
+    "q43_knn_ivf" -> (q43KnnIvf _) // rows-only; recall spec-gated
   )
 
   val oracle: Map[String, String] = Map(

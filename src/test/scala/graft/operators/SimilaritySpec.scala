@@ -21,6 +21,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall@10 = $recall")
   }
 
+  test("q43 IVF ANN: non-empty, 10 per query, recall@10 vs brute force >= 0.2") {
+    val brute = Similarity.q34KnnBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.q43KnnIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall@10 = $recall") // nprobe=4 of 16 cells
+  }
+
   test("q36 LSH candidates agree with q34 on shared pairs' cosine") {
     val brute = Similarity.q34KnnBrute(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
