@@ -230,7 +230,40 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** q13: pivot — revenue per return flag (rows) × line status (pivoted
+    * columns, fixed value list so the plan is static and the shuffle is
+    * a single groupBy; an inferred-values pivot would need an extra
+    * distinct pass at scale).
+    */
+  def q13Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec($"l_extendedprice")).cast("double"))
+      .select($"l_returnflag",
+        coalesce($"F", lit(0.0)).as("rev_f"),
+        coalesce($"O", lit(0.0)).as("rev_o"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** q14: set operations — customers in both/only-one of two order-value
+    * cohorts via INTERSECT / EXCEPT (distinct semantics; Spark plans
+    * them as semi/anti joins on the shuffled key).
+    */
+  def q14SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables(spark, dir, "orders")
+    val big = orders.filter($"o_totalprice" > 150000.0).select($"o_custkey")
+    val urgent = orders.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    big.intersect(urgent).select($"o_custkey", lit("both").as("cohort"))
+      .unionAll(big.except(urgent).select($"o_custkey", lit("big_only").as("cohort")))
+      .orderBy($"cohort", $"o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_pivot" -> (q13Pivot _),
+    "q14_set_ops" -> (q14SetOps _),
     "q01_agg" -> (q01Agg _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_join_broadcast" -> (q03JoinBroadcast _),
@@ -246,6 +279,18 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q13_pivot" ->
+      """SELECT l_returnflag,
+        |  coalesce(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS rev_f,
+        |  coalesce(CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS rev_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q14_set_ops" ->
+      """WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000.0),
+        |urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_custkey, 'both' AS cohort FROM (SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM urgent)
+        |UNION ALL
+        |SELECT o_custkey, 'big_only' AS cohort FROM (SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM urgent)
+        |ORDER BY cohort, o_custkey""".stripMargin,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

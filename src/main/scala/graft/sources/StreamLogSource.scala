@@ -6,17 +6,20 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.streamlog.{MetaLog, Offset}
+import graft.streamlog.{MetaLog, Offset, SegmentMeta}
 
 /** DataSource V2 batch connector for the stream-log:
   *
@@ -59,15 +62,23 @@ object StreamLogTable {
 }
 
 class StreamLogTable(root: String, stream: String, after: Option[String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"streamlog:$root/$stream"
   override def schema(): StructType = StreamLogTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StreamLogScanBuilder(root, stream, after)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val fields = info.schema().fieldNames.toSeq
+    require(fields == Seq("offset", "data"),
+      s"streamlog writes require (offset STRING, data STRING), got $fields")
+    new StreamLogWriteBuilder(root, stream)
+  }
 }
 
 class StreamLogScanBuilder(root: String, stream: String, after: Option[String])
@@ -184,6 +195,109 @@ private object MetaJsonOffset {
     case Re(last) => last
     case other => throw new IllegalArgumentException(s"bad streamlog offset: $other")
   }
+}
+
+/** Distributed bulk append: each (range-partitioned, offset-sorted) task
+  * writes one immutable segment file; the driver-side commit appends all
+  * segment metadata to the log atomically-enough for the single-writer
+  * model (the reference serializes through one DO; here the invariant is
+  * "one bulk load at a time", and readers replay metadata so they never
+  * see half a load). RequiresDistributionAndOrdering makes SPARK enforce
+  * the physical invariant — offsets range-partitioned and sorted — so a
+  * 100 TB ingest is a single range-shuffle plus embarrassingly parallel
+  * segment writes.
+  *
+  * Overlap with existing segments or between incoming segments fails the
+  * commit (no metadata is written; files are orphans the next
+  * purgeOrphans() collects after recovery).
+  */
+class StreamLogWriteBuilder(root: String, stream: String) extends WriteBuilder {
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    private val sort: SortOrder =
+      Expressions.sort(Expressions.column("offset"), SortDirection.ASCENDING)
+    override def requiredDistribution(): Distribution = Distributions.ordered(Array(sort))
+    override def requiredOrdering(): Array[SortOrder] = Array(sort)
+    override def toBatch: BatchWrite = new StreamLogBatchWrite(root, stream)
+  }
+}
+
+case class SegmentCommit(name: String, firstOffset: String, lastOffset: String,
+                         records: Long, bytes: Long) extends WriterCommitMessage
+
+class StreamLogBatchWrite(root: String, stream: String) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    StreamLogWriterFactory(Paths.get(root, stream, "segments").toString)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val segs = messages.collect { case s: SegmentCommit if s.records > 0 => s }
+      .sortBy(_.firstOffset)
+    if (segs.isEmpty) return
+    segs.sliding(2).foreach {
+      case Array(a, b) => require(a.lastOffset < b.firstOffset,
+        s"overlapping segments in bulk load: ${a.name} / ${b.name}")
+      case _ =>
+    }
+    val dir = Paths.get(root, stream)
+    val st = MetaLog.replay(dir.resolve("meta.jsonl"))
+    st.index.max.foreach { m =>
+      require(m.lastOffset < segs.head.firstOffset,
+        s"bulk load overlaps existing log: last=${m.lastOffset} incoming=${segs.head.firstOffset}")
+    }
+    val now = System.currentTimeMillis()
+    val lines = segs.map(s => graft.streamlog.MetaJson.add(
+      SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes)))
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("meta.jsonl"),
+      lines.mkString("", "\n", "\n").getBytes(UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case s: SegmentCommit =>
+        Files.deleteIfExists(Paths.get(root, stream, "segments", s.name))
+      case _ =>
+    }
+}
+
+case class StreamLogWriterFactory(segmentDir: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var first: String = _
+      private var last: String = _
+      private var records = 0L
+      private var bytes = 0L
+      private val tmp = Paths.get(segmentDir, s".w-$partitionId-$taskId.tmp")
+      private lazy val out = {
+        Files.createDirectories(Paths.get(segmentDir))
+        Files.newBufferedWriter(tmp, UTF_8)
+      }
+
+      override def write(row: InternalRow): Unit = {
+        val off = row.getUTF8String(0).toString
+        val data = row.getUTF8String(1).toString
+        require(off.length == Offset.Width, s"bad offset '$off'")
+        require(last == null || off > last, s"unsorted offsets: $last then $off")
+        if (first == null) first = off
+        last = off
+        out.write(off); out.write(data); out.write("\n")
+        records += 1
+        bytes += Offset.Width + 1L + data.length
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (records == 0) return SegmentCommit("", "", "", 0L, 0L)
+        out.close()
+        val name = s"$first-${java.util.UUID.randomUUID()}.seg"
+        Files.move(tmp, Paths.get(segmentDir, name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        SegmentCommit(name, first, last, records, bytes)
+      }
+
+      override def abort(): Unit = { try out.close() catch { case _: Throwable => () }; Files.deleteIfExists(tmp) }
+      override def close(): Unit = ()
+    }
 }
 
 /** One segment file scanned for offsets in (after, until]; empty `until`

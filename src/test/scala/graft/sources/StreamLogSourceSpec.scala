@@ -67,6 +67,52 @@ class StreamLogSourceSpec extends SparkSpec {
 
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 
+  test("bulk write: range-partitioned sorted segments, readable + appendable") {
+    import graft.operators.EventOps
+    val log = freshLog()
+    val root = log.streamDir.getParent.toString
+
+    // distributed ingest: events -> offsets -> streamlog (Spark enforces
+    // range distribution + per-partition offset order for the writer)
+    val src = EventOps.withOffsets(graft.core.Tables(spark, "/root/testdata/sf0.001", "events"))
+      .select(org.apache.spark.sql.functions.col("offset"),
+        org.apache.spark.sql.functions.col("props").as("data"))
+    src.write.format("streamlog")
+      .option("path", root).option("stream", log.name).mode("append").save()
+
+    val back = spark.read.format("streamlog")
+      .option("path", root).option("stream", log.name).load()
+    assert(back.count() == src.count())
+    // a fresh StreamLog instance replays the committed metadata
+    val log2 = new graft.streamlog.StreamLog(spark, root, log.name)
+    assert(log2.segments.nonEmpty)
+    assert(log2.segments.map(_.records).sum == src.count())
+    // non-overlap invariant across committed segments
+    val segs = log2.segments
+    segs.sliding(2).foreach {
+      case Seq(a, b) => assert(a.lastOffset < b.firstOffset)
+      case _ =>
+    }
+    // publishing after a bulk load continues the stream
+    val more = log2.publish(Seq("""{"tail":1}"""))
+    assert(more.head > segs.last.lastOffset)
+    log2.destroy()
+  }
+
+  test("bulk write refuses overlap with the existing log") {
+    val log = freshLog()
+    val root = log.streamDir.getParent.toString
+    import spark.implicits._
+    val mk = (o: Long) => graft.streamlog.Offset.serialize(o, 0)
+    Seq((mk(2000), "a")).toDF("offset", "data").write.format("streamlog")
+      .option("path", root).option("stream", log.name).mode("append").save()
+    intercept[Exception] {
+      Seq((mk(1000), "b")).toDF("offset", "data").write.format("streamlog")
+        .option("path", root).option("stream", log.name).mode("append").save()
+    }
+    log.destroy()
+  }
+
   test("micro-batch stream delivers incrementally with a durable cursor") {
     import org.apache.spark.sql.streaming.Trigger
     val log = freshLog()
