@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Writes PLANS.md: the formatted physical plan of each headline query at
+  * the given SF — the audit trail for the scale claims (pushdown, pruned
+  * schemas, broadcast vs sort-merge, codegen spans, exchange count).
+  * Usage: runMain graft.Plans [sfDir] [outFile]
+  */
+object Plans {
+  val Headline = Seq(
+    "q01_agg", "q02_filter_project", "q03_join_broadcast", "q04_join_shuffle",
+    "q05_multi_join", "q09_topk", "q21_consume_from_offset", "q28_asof_join",
+    "q31_dedup_minhash", "q34_knn_brute", "q36_knn_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outFile = args.lift(1).getOrElse("PLANS.md")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    sb.append("# Physical plans (explain formatted)\n\n")
+    sb.append(s"Generated against `$sfDir`. Things to check per plan: " +
+      "PushedFilters reach the scan, ReadSchema is pruned, small dims are " +
+      "BroadcastHashJoin, big-big is SortMergeJoin, `*(n)` codegen spans " +
+      "are wide, exchanges only on semantic keys.\n")
+    Headline.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
+    Files.writeString(Paths.get(outFile), sb.toString)
+    println(s"wrote $outFile")
+    spark.stop()
+  }
+}

@@ -262,7 +262,26 @@ object EventOps {
       .orderBy($"user_id")
   }
 
+  /** q15: semi-structured JSON — extract the `k` prop from the JSON
+    * payload (codegen'd get_json_object path parser, no UDF) and
+    * aggregate per decile bucket. At scale this is the schema-on-read
+    * pattern: the scan reads only the props column; parsing is
+    * partition-local.
+    */
+  def q15Json(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select(get_json_object($"props", "$.k").cast("long").as("k"),
+        dec($"value").as("v"))
+      .withColumn("k_bucket", ($"k" / 10L).cast("long") * 10L)
+      .groupBy($"k_bucket")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"v").cast("double").as("sum_value"))
+      .orderBy($"k_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_json" -> (q15Json _),
     "q28_asof_join" -> (q28AsofJoin _),
     "q29_range_join" -> (q29RangeJoin _),
     "q20_stream_offsets" -> (q20StreamOffsets _),
@@ -276,6 +295,11 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q15_json" ->
+      """SELECT (CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) // 10) * 10 AS k_bucket,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q28_asof_join" ->
       """WITH base AS (SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS e_ms FROM events),
         |tagged AS (
