@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins and aggregations.
+  *
+  * AQE's skew-join split handles most runtime skew; salting is the
+  * explicit tool for the pathological case AQE can't fix — one key so
+  * hot that even a split partition's build side won't fit, or a
+  * deterministic-layout requirement. The trade: the small side is
+  * replicated `salts`×, the big side's hot rows spread over `salts`
+  * reducers.
+  */
+object Skew {
+
+  /** Inner equi-join with the left (big, possibly skewed) side salted.
+    *
+    * Left rows get a deterministic salt in [0, salts) derived from a
+    * spread column (any column with per-row variety — a row id, an
+    * offset; determinism keeps results replayable, random salts would
+    * not be). The right (small) side is exploded `salts`× so every
+    * (key, salt) bucket finds its match.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 spread: Column, salts: Int): DataFrame = {
+    require(salts > 0)
+    val salted = left.withColumn("__salt", pmod(hash(spread), lit(salts)))
+    val replicated = right.withColumn("__salt",
+      explode(expr(s"sequence(0, ${salts - 1})")))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase (partial → final) aggregation that spreads a hot group
+    * key: phase 1 aggregates per (key, salt), phase 2 merges the salt
+    * partials per key. `aggs` must be algebraic (sum/count/min/max —
+    * merge(partial) == total); this is exactly what map-side partial
+    * aggregation does, made explicit for reduce-side hot keys.
+    */
+  def saltedSumCount(df: DataFrame, key: String, value: Column,
+                     spread: Column, salts: Int): DataFrame = {
+    require(salts > 0)
+    df.withColumn("__salt", pmod(hash(spread), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("__psum")).as("sum_value"), sum(col("__pcnt")).as("n_rows"))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class SkewSpec extends SparkSpec {
+
+  test("salted join equals the plain join on a skewed key") {
+    val lineitem = Tables(spark, sfDir, "lineitem") // l_suppkey: 100 values, hot
+    val supplier = Tables(spark, sfDir, "supplier")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+
+    val plain = lineitem.join(supplier, "l_suppkey")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("l_suppkey").collect()
+    val salted = Skew.saltedJoin(lineitem, supplier, "l_suppkey",
+        spread = col("l_orderkey") * 10 + col("l_linenumber"), salts = 8)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("l_suppkey").collect()
+    assert(plain.toSeq == salted.toSeq)
+  }
+
+  test("salted aggregation equals the direct aggregation") {
+    val lineitem = Tables(spark, sfDir, "lineitem")
+    val direct = lineitem.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_value"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag").collect()
+    val salted = Skew.saltedSumCount(lineitem, "l_returnflag",
+        col("l_quantity").cast("decimal(18,4)"),
+        spread = col("l_orderkey"), salts = 16)
+      .orderBy("l_returnflag").collect()
+    assert(direct.map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSeq ==
+      salted.map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSeq)
+  }
+}
