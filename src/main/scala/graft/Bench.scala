@@ -30,12 +30,21 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
-      }
+      } finally spark.catalog.clearCache() // queries persist() reused subtrees;
+                                           // don't let dead cache skew timings
       (System.nanoTime() - t0) / 1e9
     }
 
+    // warm-up at the smallest sibling SF of the bench dir (JIT + codegen
+    // cache), falling back to the bench dir itself off the standard layout
+    val warmDir = {
+      val sibling = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
+      if (java.nio.file.Files.isDirectory(sibling) && sibling.toString != sfDir)
+        sibling.toString
+      else sfDir
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(run("/root/testdata/sf0.001", _)) // warm-up: JIT + codegen cache
+    names.foreach(run(warmDir, _))
     val results = names.map(n => n -> run(sfDir, n))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

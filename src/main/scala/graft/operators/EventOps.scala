@@ -296,7 +296,7 @@ object EventOps {
 
   val oracle: Map[String, String] = Map(
     "q15_json" ->
-      """SELECT (CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) // 10) * 10 AS k_bucket,
+      """SELECT (CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) // 10) * 10 AS k_bucket,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

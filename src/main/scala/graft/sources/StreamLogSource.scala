@@ -279,11 +279,13 @@ case class StreamLogWriterFactory(segmentDir: String) extends DataWriterFactory 
         val data = row.getUTF8String(1).toString
         require(off.length == Offset.Width, s"bad offset '$off'")
         require(last == null || off > last, s"unsorted offsets: $last then $off")
+        require(!data.contains('\n') && !data.contains('\r'),
+          "records must not contain newlines (NDJSON segment format)")
         if (first == null) first = off
         last = off
         out.write(off); out.write(data); out.write("\n")
         records += 1
-        bytes += Offset.Width + 1L + data.length
+        bytes += Offset.Width + 1L + data.getBytes(UTF_8).length
       }
 
       override def commit(): WriterCommitMessage = {

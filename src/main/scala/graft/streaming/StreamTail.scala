@@ -20,17 +20,17 @@ import graft.streamlog.{Offset, StreamLog}
 object StreamTail {
 
   /** Unbounded (offset STRING, data STRING) stream of records appended to
-    * the log — each new flushed segment becomes part of exactly one
-    * micro-batch, in offset order within the batch.
+    * the log — each record is delivered exactly once, in offset order
+    * within a batch. Backed by the DSv2 micro-batch source, whose cursor
+    * is the record offset itself: unlike a file-glob source (which keys
+    * on paths), compaction rewriting old records into a new segment file
+    * does NOT re-deliver them.
     */
-  def records(spark: SparkSession, log: StreamLog): DataFrame = {
-    spark.readStream
-      .option("maxFilesPerTrigger", 64)
-      .text(log.segmentDir.toString + "/*.seg")
-      .select(
-        substring(col("value"), 1, Offset.Width).as("offset"),
-        expr(s"substring(value, ${Offset.Width + 1})").as("data"))
-  }
+  def records(spark: SparkSession, log: StreamLog): DataFrame =
+    spark.readStream.format("streamlog")
+      .option("path", log.streamDir.getParent.toString)
+      .option("stream", log.name)
+      .load()
 
   /** Event-time view of a records stream whose JSON payloads carry
     * `ts` (epoch millis), `user_id` and `value` fields.

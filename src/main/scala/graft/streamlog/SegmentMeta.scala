@@ -41,9 +41,9 @@ object MetaJson {
 
   def version(v: Long): String =
     s"""{"type":"version","producer_version":$v}"""
-
-  def destroy(ms: Long): String =
-    s"""{"type":"destroy","destroyedMS":$ms}"""
+  // (no `destroy` builder: StreamLog.destroy deletes the whole stream dir,
+  // log included; MetaLog.replay still honors a "destroy" marker so an
+  // external writer may truncate-reset a log in place.)
 
   // -- minimal parser for the fixed shapes above (no nesting, no arrays) --
 

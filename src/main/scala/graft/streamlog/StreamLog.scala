@@ -52,6 +52,12 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
 
   load()
 
+  /** Re-replay the metadata log. REQUIRED on a live instance after an
+    * external writer (e.g. the DataSource V2 bulk load) has committed —
+    * the in-memory index/epoch are otherwise stale, and a publish() from
+    * a stale epoch could assign offsets overlapping the new segments. */
+  def refresh(): Unit = load()
+
   def producerVersion: Long = producerVersionVar
   def lastOffset: Option[String] = Option(lastOffsetVar).filter(_.nonEmpty)
   def segments: Seq[SegmentMeta] = index.segments
@@ -87,6 +93,8 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     */
   def publish(records: Seq[String], version: Option[Long] = None,
               nowMs: () => Long = () => System.currentTimeMillis()): Seq[String] = {
+    require(records.forall(r => !r.contains('\n') && !r.contains('\r')),
+      "records must not contain newlines (NDJSON segment format)")
     version.foreach { v =>
       if (v < producerVersionVar) throw FencedException(v, producerVersionVar)
       if (v > producerVersionVar) {
@@ -103,7 +111,9 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     lastOffsetVar = offsets.last
 
     val segName = s"${offsets.head}-${UUID.randomUUID()}.seg"
-    val bytes = records.map(r => 33L + r.length).sum // 32 offset + '\n' per line
+    // 32-char offset + '\n' + UTF-8 payload bytes (String.length would
+    // undercount non-ASCII and break the compaction MaxBytes bound)
+    val bytes = records.map(r => 33L + r.getBytes(UTF_8).length).sum
     Files.createDirectories(segmentDir)
     val tmp = segmentDir.resolve(s".$segName.tmp")
     val content = offsets.zip(records).map { case (o, r) => o + r }.mkString("", "\n", "\n")
@@ -211,8 +221,8 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
       .repartition(1)
       .sortWithinPartitions("value")
       .write.mode("overwrite").text(tmpDir.toString)
-    val part = Files.list(tmpDir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-")).toSeq match {
+    val part = listDir(tmpDir)
+      .filter(p => p.getFileName.toString.startsWith("part-")) match {
         case Seq(p) => p
         case ps => throw new IllegalStateException(s"expected 1 part file, got $ps")
       }
@@ -246,7 +256,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
   def purgeOrphans(): Seq[String] = {
     if (!Files.isDirectory(segmentDir)) return Seq.empty
     val referenced = index.segments.map(_.name).toSet ++ tombstones.keySet
-    val orphans = Files.list(segmentDir).iterator().asScala
+    val orphans = listDir(segmentDir)
       .map(_.getFileName.toString)
       .filter(f => !f.startsWith(".") && !referenced.contains(f))
       .toSeq.sorted
@@ -263,19 +273,43 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
 
   /** Crash recovery without the metadata log: rebuild the index by listing
     * segment files and reading their first/last records. Validates against
-    * or replaces a lost/corrupt meta.jsonl. */
+    * or replaces a lost/corrupt meta.jsonl.
+    *
+    * Compacted-away originals may still exist on disk beside their merged
+    * replacement (tombstone state is lost with the log); overlapping
+    * candidates are resolved by a widest-first sweep — the merged segment
+    * covers its originals' ranges, so originals are skipped and become
+    * orphans for the next purgeOrphans().
+    */
   def rebuildFromSegments(nowMs: () => Long = () => System.currentTimeMillis()): Unit = {
-    val metas = if (!Files.isDirectory(segmentDir)) Seq.empty else {
-      Files.list(segmentDir).iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".seg"))
-        .map { p =>
-          val lines = Files.readAllLines(p, UTF_8).asScala.filter(_.nonEmpty)
-          SegmentMeta(p.getFileName.toString,
-            lines.head.substring(0, Offset.Width),
-            lines.last.substring(0, Offset.Width),
-            nowMs(), lines.size.toLong, lines.map(_.length + 1L).sum)
-        }.toSeq.sortBy(_.firstOffset)
+    val listed = if (!Files.isDirectory(segmentDir)) Seq.empty else {
+      val stream = Files.list(segmentDir)
+      try {
+        stream.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".seg"))
+          .map { p =>
+            val lines = Files.readAllLines(p, UTF_8).asScala.filter(_.nonEmpty)
+            SegmentMeta(p.getFileName.toString,
+              lines.head.substring(0, Offset.Width),
+              lines.last.substring(0, Offset.Width),
+              nowMs(), lines.size.toLong,
+              lines.map(_.getBytes(UTF_8).length + 1L).sum)
+          }.toSeq
+      } finally stream.close()
     }
+    // widest-first sweep: sort (firstOffset asc, lastOffset desc) and keep
+    // a segment only if it starts after the last kept one ends — a merged
+    // segment sorts before (and covers) its originals, which become orphans
+    val metas = listed
+      .sortWith((a, b) =>
+        if (a.firstOffset != b.firstOffset) a.firstOffset < b.firstOffset
+        else a.lastOffset > b.lastOffset)
+      .foldLeft(List.empty[SegmentMeta]) { (kept, m) =>
+        kept match {
+          case h :: _ if m.firstOffset <= h.lastOffset => kept // covered, skip
+          case _ => m :: kept
+        }
+      }.reverse
     val keepVersion = producerVersionVar
     index = SegmentIndex.of(metas)
     tombstones = Map.empty
@@ -288,8 +322,15 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
+  }
+
+  /** Files.list with the directory handle closed (a bare stream leaks an
+    * open fd until GC — fatal for a long-lived driver doing periodic
+    * compaction/cleanup under ulimit). */
+  private def listDir(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toSeq finally st.close()
   }
 }

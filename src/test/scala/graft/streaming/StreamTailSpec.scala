@@ -41,6 +41,33 @@ class StreamTailSpec extends SparkSpec {
     log.destroy()
   }
 
+  test("tail does not re-deliver records after compaction rewrites them") {
+    val log = freshLog()
+    var t = 8000000L
+    val c: () => Long = () => { t += 1000; t }
+    val all = (1 to 3).flatMap(_ => log.publish(Seq(ev(t, 1, 1.0)), nowMs = c))
+    val ckpt = Files.createTempDirectory("graft-tail-ck").toString
+    val outDir = Files.createTempDirectory("graft-tail-out").toString
+    def drain(): Unit = {
+      val q = StreamTail.records(spark, log).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    drain()
+    assert(spark.read.parquet(outDir).count() == 3)
+    // compaction rewrites the 3 records into a NEW segment file; the
+    // offset-cursor source must not re-deliver them on the next pass
+    log.compactOnce(nowMs = c)
+    val extra = log.publish(Seq(ev(t, 2, 2.0)), nowMs = c)
+    drain()
+    val out = spark.read.parquet(outDir).select("offset")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(out == (all ++ extra), "re-delivered compacted records")
+    log.destroy()
+  }
+
   test("watermarked tumbling window aggregation over the tail") {
     val log = freshLog()
     // two 1-minute windows: [60000,120000) has 2 events, [120000,180000) has 1

@@ -23,6 +23,30 @@ class StreamLogSpec extends SparkSpec {
     () => { t += 1; t }
   }
 
+  test("rebuildFromSegments after compaction keeps the merged segment, not the leftovers") {
+    val log = freshLog()
+    val c = clock(9000000)
+    val all = (1 to 3).flatMap(_ => log.publish((1 to 4).map(i => s"""{"i":$i}"""), nowMs = c))
+    log.compactOnce(nowMs = c) // originals stay on disk as tombstoned files
+    log.rebuildFromSegments(nowMs = c) // meta lost; disk has merged + originals
+    // the widest-first sweep must keep only the merged segment: no
+    // duplicate records, full coverage, non-overlapping index
+    val got = log.consume(Offset.Beginning, 1000).map(_._1)
+    assert(got == all, s"expected ${all.size} unique records, got ${got.size}")
+    log.segments.sliding(2).foreach {
+      case Seq(a, b) => assert(a.lastOffset < b.firstOffset)
+      case _ =>
+    }
+    // leftover originals are unreferenced now -> purged as orphans
+    assert(log.purgeOrphans().nonEmpty)
+    assert(log.consume(Offset.Beginning, 1000).map(_._1) == all)
+  }
+
+  test("publish rejects records containing newlines") {
+    val log = freshLog()
+    intercept[IllegalArgumentException] { log.publish(Seq("{\"a\":\"x\ny\"}")) }
+  }
+
   test("produce assigns in-order offsets within one epoch") {
     val log = freshLog()
     val offs = log.publish((1 to 8).map(i => s"""{"value":$i}"""), nowMs = clock(1000000))
