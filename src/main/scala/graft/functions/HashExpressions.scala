@@ -61,6 +61,60 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct word n-grams of a token array, joined by single spaces,
+    * first-occurrence order — one kernel call replaces an interpreted
+    * transform lambda plus a .distinct() shuffle.
+    */
+  def wordShingles(toks: ArrayData, n: Int): ArrayData = {
+    val total = toks.numElements()
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= total - n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 60-bit SimHash of a token multiset: per-token ±count votes on each
+    * bit of hash60(token), bit set iff the vote sum is positive. Integer
+    * sums are commutative-exact, so this equals the SQL explode/groupBy
+    * form regardless of iteration order.
+    */
+  def simhash60(toks: ArrayData): Long = {
+    val counts = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < toks.numElements()) {
+      counts.merge(toks.getUTF8String(i).toString, 1L, (a, b) => a + b)
+      i += 1
+    }
+    val votes = new Array[Long](60)
+    counts.forEach { (t, cnt) =>
+      val th = hash60(t)
+      var b = 0
+      while (b < 60) {
+        votes(b) += (if (((th >> b) & 1L) == 1L) cnt else -cnt)
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   /** Min hash60 over all k-char rolling windows of `s` (q41's
     * fingerprint); Long.MaxValue signals "shorter than k" (mapped to
     * NULL by the expression).
@@ -135,9 +189,58 @@ case class RollingMinHash(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles of an ARRAY<STRING> token column. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires ARRAY<STRING>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.wordShingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash signature of an ARRAY<STRING> token column. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 requires ARRAY<STRING>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   def minhashSigs(shingles: Column, nSeeds: Int): Column =
     bridge.column(MinHashSigs(bridge.expression(shingles), nSeeds))
   def rollingMinhash(s: Column, k: Int): Column =
     bridge.column(RollingMinHash(bridge.expression(s), k))
+  def wordShingles(toks: Column, n: Int): Column =
+    bridge.column(WordShingles(bridge.expression(toks), n))
+  def simhash60(toks: Column): Column =
+    bridge.column(SimHash60(bridge.expression(toks)))
 }

@@ -19,14 +19,14 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
-  /** doc_id + distinct word-3-gram shingle per row. */
+  /** doc_id + distinct word-3-gram shingle per row. The kernel dedups
+    * per document, so (doc_id, sh) is unique WITHOUT a distinct shuffle.
+    */
   private def shingled(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-        .as("sh"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(graft.functions.HashFunctions.wordShingles(col("toks"), 3)).as("sh"))
 
   /** The shared oracle CTE producing the same distinct shingles. */
   private val ShCte =
@@ -114,9 +114,8 @@ object Dedup {
     val sigd = docs(spark, dir)
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 3)
-      .select($"doc_id", graft.functions.HashFunctions.minhashSigs(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"),
-        16).as("sigs"))
+      .select($"doc_id", graft.functions.HashFunctions.minhashSigs(
+        graft.functions.HashFunctions.wordShingles($"toks", 3), 16).as("sigs"))
     val bands = sigd.select($"doc_id",
       posexplode(array((0 until 4).map(b => concat_ws(",",
         $"sigs" (b * 4), $"sigs" (b * 4 + 1), $"sigs" (b * 4 + 2), $"sigs" (b * 4 + 3))): _*))
@@ -131,22 +130,17 @@ object Dedup {
   }
 
   /** q32: SimHash near-dup. 60-bit signature: per-token ±count votes on
-    * each hash bit (integer sums — no float anywhere), banded 4×15 so any
-    * pair at Hamming ≤ 3 shares at least one exact band (pigeonhole).
+    * each hash bit (integer sums — no float anywhere, commutative-exact,
+    * so the one-pass kernel equals the SQL explode/groupBy oracle),
+    * banded 4×15 so any pair at Hamming ≤ 3 shares at least one exact
+    * band (pigeonhole). The signature is a single codegen'd projection:
+    * no token explode, no per-bit shuffle.
     */
   def q32DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tok = docs(spark, dir)
-      .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("th", Hashing.hash60($"tok"))
-    val sig = tok
-      .select($"doc_id", $"cnt", $"th", explode(expr("sequence(0, 59)")).as("b"))
-      .groupBy($"doc_id", $"b")
-      .agg(sum(when(expr("(th >> b) & 1") === 1, $"cnt").otherwise(-$"cnt")).as("s"))
-      .groupBy($"doc_id")
-      .agg(sum(when($"s" > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("simhash"))
+    val sig = docs(spark, dir)
+      .select($"doc_id",
+        graft.functions.HashFunctions.simhash60(split($"text", " ")).as("simhash"))
     val bands = sig
       .select($"doc_id", $"simhash", explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("band_val", expr("(simhash >> (band * 15)) & 32767"))

@@ -25,6 +25,33 @@ class HashExpressionsSpec extends SparkSpec {
     assert(sigs == exp)
   }
 
+  test("word_shingles: distinct n-grams, first-occurrence order, short input") {
+    import spark.implicits._
+    val df = Seq(Seq("a", "b", "c", "a", "b", "c", "d"), Seq("x", "y")).toDF("toks")
+    val out = df.select(wordShingles($"toks", 3).as("sh")).collect()
+    assert(out(0).getSeq[String](0) == Seq("a b c", "b c a", "c a b", "b c d"))
+    assert(out(1).getSeq[String](0).isEmpty)
+  }
+
+  test("simhash60 kernel equals the explode/groupBy SQL formulation") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+      .select($"doc_id", split($"text", " ").as("toks"))
+    val kernel = df.select($"doc_id", simhash60($"toks").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sql = df.select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("th", expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
+      .select($"doc_id", $"cnt", $"th", explode(expr("sequence(0, 59)")).as("b"))
+      .groupBy($"doc_id", $"b")
+      .agg(sum(when(expr("(th >> b) & 1") === 1, $"cnt").otherwise(-$"cnt")).as("s"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"s" > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == sql)
+  }
+
   test("rolling_minhash equals min over substring hashes; NULL under k") {
     import spark.implicits._
     val df = Seq("abcdefghij", "short").toDF("s")
