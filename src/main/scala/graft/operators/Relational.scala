@@ -261,7 +261,47 @@ object Relational {
       .orderBy($"cohort", $"o_custkey")
   }
 
+  /** q16: cube — all 4 grouping sets of (flag, status) in one pass; the
+    * expansion happens before the single shuffle, NULL markers coalesced
+    * as in q10 so both engines order identically.
+    */
+  def q16Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"),
+        $"sum_qty", $"n_rows")
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** q17: correlated scalar subquery (TPC-H Q17 shape) — lineitems below
+    * 20% of their part's average quantity. Spark decorrelates this into
+    * an aggregate + join; expressed directly as such so the plan is the
+    * one a 100 TB run needs (one agg over lineitem, broadcast of the
+    * per-part averages is NOT possible at scale → shuffle join on
+    * partkey, which the decorrelated subquery would also produce).
+    */
+  def q17ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lineitem = Tables(spark, dir, "lineitem")
+    val avgQty = lineitem.groupBy($"l_partkey".as("p_key"))
+      .agg(sum(dec($"l_quantity")).as("sum_qty_p"), count(lit(1)).as("cnt_p"))
+    // qty < 0.2 * (sum/cnt) restated multiplicatively (5*qty*cnt < sum):
+    // decimal division rounds differently per engine; products are exact.
+    lineitem.join(avgQty, $"l_partkey" === $"p_key")
+      .filter(dec($"l_quantity") * $"cnt_p" * lit(5) < $"sum_qty_p")
+      .agg(
+        count(lit(1)).as("n_small"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_cube" -> (q16Cube _),
+    "q17_scalar_subquery" -> (q17ScalarSubquery _),
     "q13_pivot" -> (q13Pivot _),
     "q14_set_ops" -> (q14SetOps _),
     "q01_agg" -> (q01Agg _),
@@ -279,6 +319,25 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q16_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q17_scalar_subquery" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS p_key,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty_p,
+        |    count(*) AS cnt_p
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT count(*) AS n_small,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN pa ON l_partkey = p_key
+        |WHERE CAST(l_quantity AS DECIMAL(18,4)) * cnt_p * 5 < sum_qty_p""".stripMargin,
     "q13_pivot" ->
       """SELECT l_returnflag,
         |  coalesce(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS rev_f,
