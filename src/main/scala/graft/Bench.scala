@@ -30,8 +30,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
-      } finally spark.catalog.clearCache() // queries persist() reused subtrees;
-                                           // don't let dead cache skew timings
+      } finally {
+        graft.core.Caches.release() // queries persist() reused subtrees;
+        spark.catalog.clearCache()  // don't let dead cache skew timings
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -49,8 +51,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failures = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures are reported explicitly AND fail the process: a broken
+    // query must never shrink the headline number into a fake speedup
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures > 0) sys.exit(1)
   }
 }

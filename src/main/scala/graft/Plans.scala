@@ -13,7 +13,8 @@ object Plans {
   val Headline = Seq(
     "q01_agg", "q02_filter_project", "q03_join_broadcast", "q04_join_shuffle",
     "q05_multi_join", "q09_topk", "q21_consume_from_offset", "q28_asof_join",
-    "q31_dedup_minhash", "q34_knn_brute", "q36_knn_lsh")
+    "q31_dedup_minhash", "q33_ngram_jaccard", "q34_knn_brute", "q36_knn_lsh",
+    "q43_knn_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1,0 +1,26 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Per-query cache scope. Query builders persist reused subtrees through
+  * [[persist]]; the harness (Bench / Verify / specs) calls [[release]]
+  * after materializing each query so a long-lived session never
+  * accumulates dead cached RDDs (re-persisting the same subtree across
+  * runs otherwise logs "Block already exists" and pins executor memory).
+  */
+object Caches {
+  private val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Persist `df` (MEMORY_AND_DISK) and track it for the next release. */
+  def persist(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist()
+    live += p
+    p
+  }
+
+  /** Unpersist every frame persisted since the last release. */
+  def release(): Unit = synchronized {
+    live.foreach(_.unpersist(blocking = false))
+    live.clear()
+  }
+}

@@ -115,6 +115,46 @@ object HashKernels {
     sig
   }
 
+  /** Sorted distinct hash60 of every element of an ARRAY<STRING> — the
+    * compact set form the near-dup verify stage joins around: a 52-shingle
+    * set is 52 longs (~420 B) instead of 52 strings (~2.5 KB), and sorting
+    * here lets the pair intersection be a branchy-but-allocation-free
+    * merge instead of a per-row hash-set build.
+    */
+  def sortedHash60(xs: ArrayData): ArrayData = {
+    val n = xs.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = hash60(xs.getUTF8String(i).toString); i += 1 }
+    java.util.Arrays.sort(out)
+    // dedup in place (60-bit collisions are ~impossible but keep the
+    // array a true set so the merge-intersect count stays exact)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || out(w - 1) != out(i)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == n) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  /** |A ∩ B| of two SORTED long arrays by linear merge. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
   /** Min hash60 over all k-char rolling windows of `s` (q41's
     * fingerprint); Long.MaxValue signals "shorter than k" (mapped to
     * NULL by the expression).
@@ -234,6 +274,58 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sorted distinct hash60 set of an ARRAY<STRING>. */
+case class SortedHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sorted_hashes requires ARRAY<STRING>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.sortedHash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.sortedHash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** |A ∩ B| of two sorted ARRAY<LONG> sets (linear merge, no allocation). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count requires two ARRAY<BIGINT> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashKernels.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashFunctions {
   def minhashSigs(shingles: Column, nSeeds: Int): Column =
     bridge.column(MinHashSigs(bridge.expression(shingles), nSeeds))
@@ -243,4 +335,8 @@ object HashFunctions {
     bridge.column(WordShingles(bridge.expression(toks), n))
   def simhash60(toks: Column): Column =
     bridge.column(SimHash60(bridge.expression(toks)))
+  def sortedHashes(xs: Column): Column =
+    bridge.column(SortedHashes(bridge.expression(xs)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    bridge.column(SortedIntersectCount(bridge.expression(a), bridge.expression(b)))
 }

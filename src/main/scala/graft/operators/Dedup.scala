@@ -19,14 +19,20 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
-  /** doc_id + distinct word-3-gram shingle per row. The kernel dedups
-    * per document, so (doc_id, sh) is unique WITHOUT a distinct shuffle.
+  /** doc_id + the document's distinct word-3-gram shingle SET, twice:
+    * `shs` as strings (kernel-deduped — what the q33 inverted index
+    * explodes and the oracle replays) and `hs` as the SORTED 60-bit hash
+    * set (what the verify stage ships and intersects — ~6× smaller rows,
+    * and pair intersection is an allocation-free merge). Callers select
+    * the column(s) they need; Catalyst prunes the other kernel away.
     */
-  private def shingled(d: DataFrame): DataFrame =
+  private def docSets(d: DataFrame): DataFrame = {
+    val shs = graft.functions.HashFunctions.wordShingles(col("toks"), 3)
     d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        explode(graft.functions.HashFunctions.wordShingles(col("toks"), 3)).as("sh"))
+      .select(col("doc_id"), shs.as("shs"),
+        graft.functions.HashFunctions.sortedHashes(shs).as("hs"))
+  }
 
   /** The shared oracle CTE producing the same distinct shingles. */
   private val ShCte =
@@ -39,30 +45,45 @@ object Dedup {
       |    FROM toks)
       |)""".stripMargin
 
-  /** Exact-Jaccard verification of candidate pairs against the full
-    * shingle sets (the verify stage shared by MinHash and the inverted-
-    * index join): shared counts via an equi-join on shingle, sizes via a
-    * per-doc count, J = |∩| / (|A|+|B|-|∩|).
+  /** Exact-Jaccard verification of candidate pairs (the verify stage
+    * shared by MinHash and the inverted-index join), candidate-scoped:
+    * prune `docsets` to documents that appear in some candidate pair,
+    * then |∩| = size(array_intersect) per pair. Cost is linear in the
+    * corpus (one pruning join) plus O(|cand| · set size) — NO shingle
+    * self-join, so a shingle with document frequency df contributes df
+    * rows, never df², and an ultra-common shingle cannot blow up the
+    * plan at 100 TB. The candidate-id set is usually tiny relative to
+    * the corpus, so AQE turns the pruning join into a broadcast and the
+    * docsets scan never shuffles.
+    *
+    * Output-equivalence with the oracle tail ([[verifyOracleTail]],
+    * which keeps the shared-shingle self-join form): both compute the
+    * exact integer |A∩B| over the same distinct shingle sets (the hash
+    * set is a faithful image of the string set — 60-bit md5, within-pair
+    * collision odds ~|A|·|B|/2⁶⁰). The oracle's inner join drops
+    * candidate pairs with |∩| = 0; here the τ-filter drops them (τ > 0),
+    * so the surviving rows and their round(J, 6) values are identical.
     */
-  private def verifiedJaccard(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // shared counts from ONE self-join of the shingle table (output size
-    // Σ df·(df-1)/2), then restricted to candidates — candidates × full
-    // set re-join would expand |cand|·|avg set| rows instead. (If some
-    // shingle were ultra-common this self-join is where a df cap guards
-    // the blowup; every candidate pair shares ≥1 shingle so the inner
-    // join loses nothing.)
-    val shared = sh.as("sa")
-      .join(sh.as("sb"), col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
-      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+  private def verifiedJaccard(cand0: DataFrame, docsets: DataFrame, tau: Double): DataFrame = {
+    // the candidate subtree is traversed 3× below (twice for the id set,
+    // once for the verify join) and candidate GENERATION is the expensive
+    // part — persist the tiny (doc_a, doc_b) pair set, not the inputs
+    val cand = graft.core.Caches.persist(cand0)
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // also persisted: the pruned per-doc hash sets feed BOTH pair joins
+    val sets = graft.core.Caches.persist(
+      docsets.select(col("doc_id"), col("hs")).join(ids, "doc_id")
+        .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh")))
+    val j = col("shared") / (col("na") + col("nb") - col("shared"))
     cand
-      .join(shared, Seq("doc_a", "doc_b"))
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .filter(col("shared") / (col("na.n_sh") + col("nb.n_sh") - col("shared")) >= tau)
-      .select(col("doc_a"), col("doc_b"),
-        round(col("shared") / (col("na.n_sh") + col("nb.n_sh") - col("shared")), 6).as("jaccard"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n_sh").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("shared",
+        graft.functions.HashFunctions.sortedIntersectCount(col("ha"), col("hb")))
+      .filter(j >= tau)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -106,8 +127,6 @@ object Dedup {
     */
   def q31DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // persisted: feeds the verify joins twice
-    val sh = shingled(docs(spark, dir)).persist()
     // all 16 signatures in ONE codegen'd pass over each doc's shingle
     // array — no explode, no per-seed shuffle; the min over a multiset
     // equals the min over the set, so the un-deduped array is fine.
@@ -126,7 +145,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifiedJaccard(cand, sh, 0.5)
+    verifiedJaccard(cand, docSets(docs(spark, dir)), 0.5)
   }
 
   /** q32: SimHash near-dup. 60-bit signature: per-token ±count votes on
@@ -162,8 +181,11 @@ object Dedup {
     */
   def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // persisted: inverted index + verify stage both traverse the shingles
-    val sh = shingled(docs(spark, dir)).persist()
+    // persisted: the shingle-set arrays feed the inverted index (twice,
+    // via the self-joined exploded form) and the verify stage; released
+    // by the harness through Caches.release() after materialization.
+    val ds = graft.core.Caches.persist(docSets(docs(spark, dir)))
+    val sh = ds.select($"doc_id", explode($"shs").as("sh"))
     val rare = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2 && $"df" <= 20)
       .select($"sh")
@@ -172,7 +194,7 @@ object Dedup {
       .join(inv.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifiedJaccard(cand, sh, 0.3)
+    verifiedJaccard(cand, ds, 0.3)
   }
 
   /** q35: embedding near-dup — 16 deterministic random-hyperplane sign
@@ -185,7 +207,8 @@ object Dedup {
     import spark.implicits._
     // persisted: the signature subtree feeds the band self-join AND both
     // verify joins — without persist it would evaluate 4× per run.
-    val e = Vectors.signed(Tables(spark, dir, "embeddings")).persist()
+    // Released by the harness via Caches.release().
+    val e = graft.core.Caches.persist(Vectors.signed(Tables(spark, dir, "embeddings")))
     val bands = e
       .select($"vec_id", explode(expr("sequence(0, 1)")).as("band"), $"sig")
       .withColumn("band_val", expr("(sig >> (band * 8)) & 255"))

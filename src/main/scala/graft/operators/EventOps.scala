@@ -377,7 +377,7 @@ object EventOps {
     "q26_fencing" ->
       """WITH v AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS e_ms,
-        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS version
+        |    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS version
         |  FROM events
         |), judged AS (
         |  SELECT user_id, version,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -48,13 +48,14 @@ object Similarity {
 
   /** q36: LSH-bucketed ANN (the scale path): hyperplane signature bands
     * (shared with q35) prune the corpus to bucket-mates, then exact
-    * cosine re-ranks top-k. Rows-only gate; recall vs q34 is spec-checked
+    * cosine re-ranks top-k. Oracle-gated (the signature replays in
+    * DuckDB); recall vs q34 is additionally spec-checked
     * (SimilaritySpec). At scale the bucket join replaces the full scan —
     * cost proportional to bucket occupancy, not corpus size.
     */
   def q36KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Vectors.signed(Tables(spark, dir, "embeddings")).persist()
+    val e = graft.core.Caches.persist(Vectors.signed(Tables(spark, dir, "embeddings")))
     val bands = e
       .select($"vec_id", $"v", $"norm", explode(expr("sequence(0, 3)")).as("band"), $"sig")
       .withColumn("band_val", expr("(sig >> (band * 4)) & 15"))
@@ -91,30 +92,47 @@ object Similarity {
   /** q43: IVF ANN — the coarse-quantizer scale path. Cells are the 16
     * deterministic "centroids" (the first 16 vectors; a Lloyd refinement
     * would need order-dependent float means, which §4 forbids for gated
-    * results); every vector joins the broadcast centroid set once and
-    * keeps its argmin cell via min(struct(dist, cid)) — deterministic
-    * tie-break, no shuffle of vectors. Queries probe their 4 nearest
-    * cells and re-rank exactly. At 100 TB: the corpus is partitioned by
-    * cell once at ingest, a query touches nprobe/ncells of the data.
+    * results). The codebook is a PLAN-TIME constant: 16 rows are
+    * materialized once on the driver (the quantizer codebook — bounded,
+    * not a data-path collect) and inlined as literals, so cell
+    * assignment is a single whole-stage-codegen projection — 16 codegen
+    * dot products + argmin per row, ZERO Exchange of corpus vectors
+    * (the round-1 form cross-joined the centroids and re-grouped the
+    * whole corpus keyed by the vector array — a full shuffle that dies
+    * at 100 TB). Queries probe their 4 nearest cells (an in-row sort of
+    * 16 structs) and re-rank exactly; the only shuffle in the whole
+    * plan is the final per-query top-k window over (qid, neighbor, cos)
+    * pairs. At 100 TB: the corpus is partitioned by cell once at
+    * ingest, a query touches nprobe/ncells of the data.
+    *
+    * d2 = |v|² − 2·v·c + |c|² (monotone in true L2): every term is the
+    * same strict fold / multiply the DuckDB oracle evaluates, so the
+    * argmin and probe-cell choices replay bit-for-bit (§4).
     */
   def q43KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = vecs(spark, dir).persist()
-    val cents = e.filter($"vec_id" < 16)
-      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
-    // squared L2 via dots: |v|^2 - 2 v·c + |c|^2 (monotone in true dist)
-    val d2 = $"norm" * $"norm" - lit(2.0) * dot($"v", $"cv") + $"cnorm" * $"cnorm"
-    val assigned = e.crossJoin(broadcast(cents))
-      .select($"vec_id", $"v", $"norm", struct(d2.as("d2"), $"cid").as("dc"))
-      .groupBy($"vec_id", $"v", $"norm")
-      .agg(min($"dc").getField("cid").as("cell"))
-    val qcells = e.filter($"vec_id" < 5).crossJoin(broadcast(cents))
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"), $"cid",
-        (($"norm" * $"norm") - lit(2.0) * dot($"v", $"cv") + $"cnorm" * $"cnorm").as("d2"))
-      .withColumn("cell_rank", row_number().over(
-        Window.partitionBy($"qid").orderBy($"d2", $"cid")))
-      .filter($"cell_rank" <= 4)
-      .select($"qid", $"qv", $"qnorm", $"cid".as("cell"))
+    import graft.functions.VectorFunctions.constVec
+    val e = vecs(spark, dir)
+    val cents: Array[(Long, Array[Double], Double)] = e.filter($"vec_id" < 16)
+      .select($"vec_id".cast("long"), $"v", $"norm")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    def d2To(c: (Long, Array[Double], Double)): Column =
+      $"norm" * $"norm" - lit(2.0) * dot($"v", constVec(c._2)) + lit(c._3) * lit(c._3)
+    // argmin cell: first (= lowest cid, codebook is cid-sorted) index of
+    // the minimum d2 — identical tie-break to the oracle's ORDER BY d2, cid
+    val d2s = array(cents.map(d2To): _*)
+    val cids = array(cents.map(c => lit(c._1)): _*)
+    val assigned = e
+      .withColumn("cell", element_at(cids,
+        array_position(d2s, array_min(d2s)).cast("int")))
+      .select($"vec_id", $"v", $"norm", $"cell")
+    val qcells = e.filter($"vec_id" < 5)
+      .withColumn("probe", explode(slice(array_sort(array(cents.map(c =>
+        struct(d2To(c).as("d2"), lit(c._1).as("cid"))): _*)), 1, 4)))
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"),
+        $"probe.cid".as("cell"))
     val byQ = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"neighbor_id")
     assigned.join(broadcast(qcells), Seq("cell"))
       .filter($"vec_id" =!= $"qid")
@@ -129,7 +147,7 @@ object Similarity {
     "q34_knn_brute" -> (q34KnnBrute _),
     "q36_knn_lsh" -> (q36KnnLsh _),
     "q37_vector_stats" -> (q37VectorStats _),
-    "q43_knn_ivf" -> (q43KnnIvf _) // rows-only; recall spec-gated
+    "q43_knn_ivf" -> (q43KnnIvf _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -150,7 +168,75 @@ object Similarity {
         |)
         |SELECT qid, neighbor_id, cos_sim, knn_rank FROM ranked
         |WHERE knn_rank <= 10 ORDER BY qid, knn_rank""".stripMargin,
-    // q36_knn_lsh: rows-only (recall vs q34 is spec-gated).
+    // q36: the hyperplane signature replays exactly in DuckDB (same ±1
+    // matrix literal as q35), so the bucket join, dedup, and re-rank are
+    // all oracle-checkable; recall vs q34 additionally spec-gated.
+    "q36_knn_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+         |    list_transform(${Vectors.duckPlanesLit},
+         |      pv -> list_dot_product(embedding::DOUBLE[], pv)) AS dots
+         |  FROM embeddings
+         |), sig AS (
+         |  SELECT vec_id, v, norm,
+         |    CAST(list_sum([CASE WHEN dots[p+1] > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END FOR p IN range(16)]) AS BIGINT) AS sig
+         |  FROM e
+         |), bands AS (
+         |  SELECT vec_id, v, norm, band, (sig >> (band * 4)) & 15 AS band_val
+         |  FROM sig, range(4) r(band)
+         |), q AS (
+         |  SELECT vec_id AS qid, qv, qnorm, band, band_val FROM (
+         |    SELECT vec_id, v AS qv, norm AS qnorm, band, band_val FROM bands)
+         |  WHERE vec_id < 5
+         |), pairs AS (
+         |  SELECT DISTINCT qid, b.vec_id AS neighbor_id,
+         |    round(list_dot_product(qv, b.v) / (qnorm * b.norm), 6) AS cos_sim
+         |  FROM bands b JOIN q USING (band, band_val)
+         |  WHERE b.vec_id != qid
+         |), ranked AS (
+         |  SELECT qid, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+         |  FROM pairs
+         |)
+         |SELECT qid, neighbor_id, cos_sim, knn_rank FROM ranked
+         |WHERE knn_rank <= 10 ORDER BY qid, knn_rank""".stripMargin,
+    // q43: the codebook (first 16 vectors), cell argmin, and probe-cell
+    // choice are all deterministic folds over DOUBLE — replayed here with
+    // the identical ((|v|²) − (2·v·c)) + (|c|²) expression tree.
+    "q43_knn_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM e WHERE vec_id < 16
+        |), d2 AS (
+        |  SELECT e.vec_id, e.v, e.norm, c.cid,
+        |    e.norm * e.norm - 2.0 * list_dot_product(e.v, c.cv) + c.cnorm * c.cnorm AS d2
+        |  FROM e CROSS JOIN cents c
+        |), assigned AS (
+        |  SELECT vec_id, v, norm, cid AS cell FROM (
+        |    SELECT vec_id, v, norm, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d2) WHERE rn = 1
+        |), qcells AS (
+        |  SELECT vec_id AS qid, v AS qv, norm AS qnorm, cid AS cell FROM (
+        |    SELECT vec_id, v, norm, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d2 WHERE vec_id < 5) WHERE rn <= 4
+        |), pairs AS (
+        |  SELECT qid, a.vec_id AS neighbor_id,
+        |    round(list_dot_product(qv, a.v) / (qnorm * a.norm), 6) AS cos_sim
+        |  FROM assigned a JOIN qcells q ON a.cell = q.cell
+        |  WHERE a.vec_id != qid
+        |), ranked AS (
+        |  SELECT qid, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+        |  FROM pairs
+        |)
+        |SELECT qid, neighbor_id, cos_sim, knn_rank FROM ranked
+        |WHERE knn_rank <= 10 ORDER BY qid, knn_rank""".stripMargin,
     "q37_vector_stats" ->
       """WITH e AS (
         |  SELECT label,
