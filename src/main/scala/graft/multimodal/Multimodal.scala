@@ -36,23 +36,40 @@ object Multimodal {
       height: Int,
       duration_ms: Long)     // stubbed for image: 0
 
-  /** STUB codec — deterministic fake decode so the pipeline is testable
-    * without media libraries. A real deployment swaps `decode` for the
-    * JNI/FFmpeg call; nothing else changes.
+  /** Codec: image dimensions are decoded FOR REAL via `javax.imageio`
+    * (ships in the JDK — PNG/JPEG/GIF/BMP need no native libraries);
+    * audio/video decode remains STUBBED (no FFmpeg in this container)
+    * with deterministic fake features derived from the payload bytes,
+    * as are image payloads ImageIO cannot parse (the synthesized test
+    * media wraps text bytes). A real deployment swaps the stub branch
+    * for the JNI/FFmpeg call; nothing else changes.
     */
   object StubCodec {
+
+    /** Real decode path: Some((width, height)) iff the payload is a
+      * parseable image. ImageIO.read returns null (or throws) on
+      * undecodable bytes — both map to None, falling back to the stub.
+      */
+    def imageDims(payload: Array[Byte]): Option[(Int, Int)] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        .map(img => (img.getWidth, img.getHeight))
+      catch { case _: Exception => None }
+
     def decode(row: MediaRow): MediaFeatures = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hash = md.digest(row.payload).map("%02x".format(_)).mkString
-      // fake dimensions derived from stable content bytes
+      // fake dimensions derived from stable content bytes (stub branch)
       val h32 = java.lang.Long.parseLong(hash.substring(0, 8), 16)
+      val realDims = if (row.kind == "image") imageDims(row.payload) else None
       MediaFeatures(
         media_id = row.media_id,
         kind = row.kind,
         n_bytes = row.payload.length.toLong,
         content_hash = hash,
-        width = if (row.kind == "audio") 0 else (160 + (h32 % 8) * 160).toInt,
-        height = if (row.kind == "audio") 0 else (90 + (h32 % 8) * 90).toInt,
+        width = realDims.map(_._1).getOrElse(
+          if (row.kind == "audio") 0 else (160 + (h32 % 8) * 160).toInt),
+        height = realDims.map(_._2).getOrElse(
+          if (row.kind == "audio") 0 else (90 + (h32 % 8) * 90).toInt),
         duration_ms = if (row.kind == "image") 0L else (h32 % 600000L))
     }
   }

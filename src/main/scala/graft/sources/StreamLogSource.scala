@@ -239,18 +239,34 @@ class StreamLogBatchWrite(root: String, stream: String) extends BatchWrite {
       case _ =>
     }
     val dir = Paths.get(root, stream)
-    val st = MetaLog.replay(dir.resolve("meta.jsonl"))
-    st.index.max.foreach { m =>
-      require(m.lastOffset < segs.head.firstOffset,
-        s"bulk load overlaps existing log: last=${m.lastOffset} incoming=${segs.head.firstOffset}")
-    }
-    val now = System.currentTimeMillis()
-    val lines = segs.map(s => graft.streamlog.MetaJson.add(
-      SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes)))
     Files.createDirectories(dir)
-    Files.write(dir.resolve("meta.jsonl"),
-      lines.mkString("", "\n", "\n").getBytes(UTF_8),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    // The read-validate-append below must be atomic against OTHER bulk
+    // loads: two concurrent commits could both validate against the same
+    // meta snapshot and append overlapping ranges. An OS file lock gives
+    // cross-process exclusion (same primitive whether the "processes" are
+    // two drivers or a driver and a test JVM). publish() remains
+    // single-writer by contract (class scaladoc) and replays the log on
+    // refresh(), so load-vs-publish serialization is the caller's job —
+    // matching the reference, where one Durable Object serializes all
+    // writes to a stream.
+    val lockCh = java.nio.channels.FileChannel.open(dir.resolve(".commit.lock"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = lockCh.lock()
+      try {
+        val st = MetaLog.replay(dir.resolve("meta.jsonl"))
+        st.index.max.foreach { m =>
+          require(m.lastOffset < segs.head.firstOffset,
+            s"bulk load overlaps existing log: last=${m.lastOffset} incoming=${segs.head.firstOffset}")
+        }
+        val now = System.currentTimeMillis()
+        val lines = segs.map(s => graft.streamlog.MetaJson.add(
+          SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes)))
+        Files.write(dir.resolve("meta.jsonl"),
+          lines.mkString("", "\n", "\n").getBytes(UTF_8),
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      } finally lock.release()
+    } finally lockCh.close()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

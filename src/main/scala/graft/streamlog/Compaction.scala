@@ -34,7 +34,14 @@ object Compaction {
           records >= limits.maxRecords) {
         done = true // window full → compact what we have
       } else if (s.bytes > limits.maxBytes || s.records > limits.maxRecords) {
-        if (acc.length < 2) { // skip oversized, restart after it
+        if (acc.length < 2) {
+          // Skip oversized, restart after it. INTENTIONAL DIVERGENCE from
+          // the reference: calculateCompactWindow (segment.ts:60-144)
+          // resets only the window array here and keeps the accumulated
+          // byte/record totals, so a skip-then-accumulate sequence there
+          // can close a fresh window early against stale totals. We reset
+          // the totals with the window (the window must satisfy its own
+          // caps); CompactionSpec covers the skip-then-accumulate case.
           acc = Vector.empty; bytes = 0L; records = 0L
         } else done = true    // compact what precedes it
       } else {

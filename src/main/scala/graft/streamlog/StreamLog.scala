@@ -50,6 +50,12 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
   @volatile private var epoch: Long = 0L
   @volatile private var lastOffsetVar: String = ""
 
+  /** Flush notification monitor: publish() pokes it after a segment lands,
+    * so same-process pollers wake immediately instead of sleeping out
+    * their poll interval — the analog of the reference's post-flush
+    * consumer poke (stream_manager.ts:306-326,454-467). */
+  private val flushMonitor = new Object
+
   load()
 
   /** Re-replay the metadata log. REQUIRED on a live instance after an
@@ -124,6 +130,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
       records.size.toLong, bytes)
     index = index.add(meta)
     appendMeta(MetaJson.add(meta))
+    flushMonitor.synchronized(flushMonitor.notifyAll())
     offsets
   }
 
@@ -176,12 +183,18 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
   }
 
   /** Long-poll batch fallback: wait up to `timeoutMs` for records after
-    * `after` (streaming tail lives in graft.streaming.StreamTail). */
+    * `after` (streaming tail lives in graft.streaming.StreamTail).
+    * A same-process publish() wakes the poll immediately via the flush
+    * monitor (the reference's poke); `intervalMs` remains the re-check
+    * cadence for segments landed by EXTERNAL writers (bulk loads from
+    * another process), which can't poke this JVM. */
   def poll(after: String, limit: Int, timeoutMs: Long, intervalMs: Long = 50): Seq[(String, String)] = {
     val deadline = System.currentTimeMillis() + timeoutMs
     var res = consume(after, limit)
     while (res.isEmpty && System.currentTimeMillis() < deadline) {
-      Thread.sleep(intervalMs)
+      val remaining = deadline - System.currentTimeMillis()
+      if (remaining > 0)
+        flushMonitor.synchronized(flushMonitor.wait(math.min(intervalMs, remaining)))
       res = consume(after, limit)
     }
     res
@@ -252,16 +265,80 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
   }
 
   /** Delete storage objects referenced by neither the live index nor the
-    * tombstone set (ts:638-676). */
-  def purgeOrphans(): Seq[String] = {
+    * tombstone set (ts:638-676).
+    *
+    * Two guards keep this safe against in-flight bulk loads (whose writer
+    * tasks ATOMIC_MOVE .seg files BEFORE the driver commit appends
+    * meta.jsonl): the metadata log is re-replayed first, so segments an
+    * external writer already committed are seen as referenced; and files
+    * younger than `graceMs` are never collected, so segments moved into
+    * place but not yet committed survive until their commit lands (or
+    * until they are genuinely abandoned and age past the grace period).
+    */
+  def purgeOrphans(graceMs: Long = 300000L,
+                   nowMs: () => Long = () => System.currentTimeMillis()): Seq[String] = {
+    load() // pick up commits from external writers (e.g. DSv2 bulk load)
     if (!Files.isDirectory(segmentDir)) return Seq.empty
     val referenced = index.segments.map(_.name).toSet ++ tombstones.keySet
+    val cutoff = nowMs() - graceMs
     val orphans = listDir(segmentDir)
+      .filter { p =>
+        val f = p.getFileName.toString
+        !f.startsWith(".") && !referenced.contains(f) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff
+      }
       .map(_.getFileName.toString)
-      .filter(f => !f.startsWith(".") && !referenced.contains(f))
       .toSeq.sorted
     orphans.foreach(n => Files.deleteIfExists(segmentDir.resolve(n)))
     orphans
+  }
+
+  /** One full maintenance pass — the library-side analog of the
+    * reference's Durable-Object alarm loop (stream_manager.ts `alarm` →
+    * compactLogSegments, ts:521-609): compact until the planner returns
+    * an empty window, then age out tombstones and collect orphans. A
+    * long-lived stream stays bounded by calling this periodically; each
+    * compaction is still a distributed Spark merge.
+    */
+  def maintain(limits: Compaction.Limits = Compaction.Limits(),
+               tombstoneMaxAgeMs: Long = 86400000L,
+               orphanGraceMs: Long = 300000L,
+               nowMs: () => Long = () => System.currentTimeMillis()): StreamLog.MaintenanceReport = {
+    val merged = Iterator.continually(compactOnce(limits, nowMs))
+      .takeWhile(_.isDefined).flatten.toVector
+    val cleaned = cleanTombstones(tombstoneMaxAgeMs, nowMs)
+    val orphans = purgeOrphans(orphanGraceMs, nowMs)
+    StreamLog.MaintenanceReport(merged, cleaned, orphans)
+  }
+
+  /** One-row stream summary DataFrame — the reference's meta endpoint
+    * (stream_manager.ts handleMetaRequest) as a queryable relation:
+    * segment/record/byte totals, producer version, last offset, and
+    * tombstone count, for operators monitoring lag and compaction debt.
+    */
+  def describe(): DataFrame = {
+    import spark.implicits._
+    val segs = index.segments
+    Seq((name, segs.size.toLong, segs.map(_.records).sum, segs.map(_.bytes).sum,
+      producerVersionVar, lastOffsetVar, tombstones.size.toLong,
+      segs.headOption.map(_.firstOffset).getOrElse(""),
+      segs.lastOption.map(_.lastOffset).getOrElse("")))
+      .toDF("stream", "n_segments", "n_records", "n_bytes", "producer_version",
+        "last_offset", "n_tombstones", "first_offset", "newest_offset")
+  }
+
+  /** Per-segment detail DataFrame: every live segment plus tombstoned
+    * names awaiting cleanup (tombstoned_ms is NULL for live segments). */
+  def describeSegments(): DataFrame = {
+    import spark.implicits._
+    val live = index.segments.map(m =>
+      (m.name, m.firstOffset, m.lastOffset, m.createdMS, m.records, m.bytes,
+        Option.empty[Long]))
+    val dead = tombstones.toSeq.sorted.map { case (n, ts) =>
+      (n, "", "", 0L, 0L, 0L, Some(ts))
+    }
+    (live ++ dead).toDF("segment", "first_offset", "last_offset",
+      "created_ms", "records", "bytes", "tombstoned_ms")
   }
 
   /** Delete the stream's data + metadata; the name is immediately reusable
@@ -333,4 +410,12 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     val st = Files.list(p)
     try st.iterator().asScala.toSeq finally st.close()
   }
+}
+
+object StreamLog {
+  /** What one [[StreamLog.maintain]] pass did. */
+  final case class MaintenanceReport(
+      compacted: Seq[SegmentMeta],
+      tombstonesPurged: Seq[String],
+      orphansPurged: Seq[String])
 }

@@ -24,6 +24,26 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.filter(_.kind == "image").forall(_.duration_ms == 0L))
   }
 
+  test("image payloads decode REAL dimensions via javax.imageio") {
+    // build a genuine 2x3 PNG in memory — no fixtures, no native libs
+    val img = new java.awt.image.BufferedImage(2, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", png, png.length.toLong),
+      Multimodal.MediaRow(2L, "image", "not an image".getBytes("UTF-8"), 12L),
+      Multimodal.MediaRow(3L, "audio", png, png.length.toLong)))
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f(0).width == 2 && f(0).height == 3) // real decode
+    assert(f(1).width >= 160)                   // stub fallback, text bytes
+    assert(f(2).width == 0)                     // audio: dims not applicable
+  }
+
   test("q42 aggregates decoded features per kind") {
     val rows = Multimodal.q42MultimodalMeta(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))

@@ -70,4 +70,20 @@ class CompactionSpec extends AnyFunSuite {
     val w = Compaction.window(segs)
     assert(names(w) == Seq("s1", "s2", "s3"))
   }
+
+  test("skip-then-accumulate: totals reset with the window (intentional divergence)") {
+    // one normal, then an oversized that forces a restart, then a run of
+    // normals. The reference's calculateCompactWindow keeps the stale
+    // 4900-record total across the restart, so it would trip the record
+    // cap right after "a" and return an unusable 1-segment window (= no
+    // compaction); the repo resets totals with the window, so the
+    // post-skip window accumulates on its own budget (Compaction.scala
+    // documents the divergence).
+    val segs = Seq(
+      seg("pre", 1, records = 4900),
+      seg("big", 2, records = 5001),
+      seg("a", 3, records = 200), seg("b", 4, records = 200),
+      seg("c", 5, records = 200))
+    assert(names(Compaction.window(segs)) == Seq("a", "b", "c"))
+  }
 }

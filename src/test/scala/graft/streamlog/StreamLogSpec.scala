@@ -38,7 +38,7 @@ class StreamLogSpec extends SparkSpec {
       case _ =>
     }
     // leftover originals are unreferenced now -> purged as orphans
-    assert(log.purgeOrphans().nonEmpty)
+    assert(log.purgeOrphans(graceMs = 0).nonEmpty)
     assert(log.consume(Offset.Beginning, 1000).map(_._1) == all)
   }
 
@@ -178,15 +178,68 @@ class StreamLogSpec extends SparkSpec {
     assert(log.consume(Offset.Beginning, 10).length == 2) // merged data intact
   }
 
-  test("orphan purging removes unreferenced files only") {
+  test("orphan purging removes unreferenced files only, after the grace period") {
     val log = freshLog()
     log.publish(Seq("""{"a":1}"""))
     val orphan = log.segmentDir.resolve("9999-deadbeef.seg")
     Files.write(orphan, "junk\n".getBytes)
-    val purged = log.purgeOrphans()
+    // fresh file + default grace: protected (could be an in-flight bulk load)
+    assert(log.purgeOrphans().isEmpty)
+    assert(Files.exists(orphan))
+    val purged = log.purgeOrphans(graceMs = 0)
     assert(purged == Seq("9999-deadbeef.seg"))
     assert(!Files.exists(orphan))
     assert(log.consume(Offset.Beginning, 10).length == 1)
+  }
+
+  test("purgeOrphans refreshes metadata first: externally committed segments survive") {
+    val root = Files.createTempDirectory("graft-streamlog").toString
+    val log = new StreamLog(spark, root, "s1")
+    log.publish(Seq("""{"a":1}"""))
+    // an "external writer" (second handle, same layout) commits a segment;
+    // `log`'s in-memory index has never seen it
+    val writer = new StreamLog(spark, root, "s1")
+    writer.publish(Seq("""{"b":1}"""), nowMs = () => System.currentTimeMillis() + 10)
+    assert(log.purgeOrphans(graceMs = 0).isEmpty) // load() sees the commit
+    assert(log.consume(Offset.Beginning, 10).length == 2)
+  }
+
+  test("maintain compacts until the planner is empty, then cleans up") {
+    val log = freshLog()
+    val c = clock(9500000)
+    // 25 small segments: one compactOnce merges 10; maintain must keep
+    // going until every window is exhausted (mirrors the reference's
+    // alarm-loop merge test, tests/index.test.ts:181)
+    val all = (1 to 25).flatMap(_ => log.publish((1 to 2).map(i => s"""{"i":$i}"""), nowMs = c))
+    val report = log.maintain(
+      tombstoneMaxAgeMs = 0, orphanGraceMs = 0, nowMs = () => 9600000)
+    assert(report.compacted.size >= 3) // 25 -> 3 windows of 10/10/5 -> ...
+    assert(log.segments.length < 25)
+    assert(log.tombstoneNames.isEmpty) // tombstones aged out (maxAge 0)
+    assert(report.tombstonesPurged.nonEmpty)
+    assert(log.consume(Offset.Beginning, 1000).map(_._1) == all)
+    // steady state: a second pass finds nothing to do
+    val again = log.maintain(tombstoneMaxAgeMs = 0, orphanGraceMs = 0, nowMs = () => 9700000)
+    assert(again.compacted.isEmpty && again.tombstonesPurged.isEmpty && again.orphansPurged.isEmpty)
+  }
+
+  test("describe and describeSegments expose stream metadata as DataFrames") {
+    val log = freshLog()
+    val c = clock(9800000)
+    val offs = (1 to 3).flatMap(_ => log.publish((1 to 4).map(i => s"""{"i":$i}"""), nowMs = c))
+    log.publish(Seq.empty, version = Some(7))
+    log.compactOnce(nowMs = c)
+    val d = log.describe().collect().head
+    assert(d.getAs[String]("stream") == "s1")
+    assert(d.getAs[Long]("n_segments") == 1)
+    assert(d.getAs[Long]("n_records") == 12)
+    assert(d.getAs[Long]("producer_version") == 7)
+    assert(d.getAs[String]("last_offset") == offs.last)
+    assert(d.getAs[Long]("n_tombstones") == 3)
+    assert(d.getAs[String]("newest_offset") == offs.last)
+    val segs = log.describeSegments().collect()
+    assert(segs.count(_.isNullAt(segs.head.fieldIndex("tombstoned_ms"))) == 1)
+    assert(segs.count(!_.isNullAt(segs.head.fieldIndex("tombstoned_ms"))) == 3)
   }
 
   test("destroy resets the stream; the name is reusable with fresh offsets") {
