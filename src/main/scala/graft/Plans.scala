@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   val Headline = Seq(
     "q01_agg", "q02_filter_project", "q03_join_broadcast", "q04_join_shuffle",
-    "q05_multi_join", "q09_topk", "q21_consume_from_offset", "q28_asof_join",
+    "q05_multi_join", "q09_topk", "q19_bucketed_join",
+    "q21_consume_from_offset", "q28_asof_join",
     "q31_dedup_minhash", "q33_ngram_jaccard", "q34_knn_brute", "q36_knn_lsh",
     "q43_knn_ivf")
 

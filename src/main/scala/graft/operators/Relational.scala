@@ -119,6 +119,55 @@ object Relational {
       .orderBy($"revenue".desc, $"n_name")
   }
 
+  private def bucketTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+
+  /** One-time per (catalog, sf-dir): write orders + lineitem as 32-bucket
+    * key-sorted tables co-located on the join key. This is the ingest-time
+    * cost a 100 TB deployment pays ONCE so that every subsequent
+    * orderkey join (and orderkey aggregation) runs with no Exchange and
+    * no Sort on either side — the bucketed analog of the reference's
+    * per-stream physical ordering. Tables live under java.io.tmpdir and
+    * are keyed by a digest of the source dir, so different SFs coexist.
+    */
+  def ensureBucketedTables(spark: SparkSession, dir: String): (String, String) = synchronized {
+    val tag = bucketTag(dir)
+    val warehouse = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_buckets")
+    def ensure(src: String, key: String): String = {
+      val t = s"graft_${src}_b_$tag"
+      if (!spark.catalog.tableExists(t)) {
+        Tables(spark, dir, src).write
+          .bucketBy(32, key).sortBy(key)
+          .option("path", warehouse.resolve(t).toString)
+          .mode("overwrite").saveAsTable(t)
+      }
+      t
+    }
+    (ensure("orders", "o_orderkey"), ensure("lineitem", "l_orderkey"))
+  }
+
+  /** q19: the q04 big⋈big aggregate over the BUCKETED table copies —
+    * the co-located-join scale path. Both scans are bucketed (32 buckets)
+    * and key-sorted, so the sort-merge join needs NO Exchange and NO Sort
+    * on either input; the only shuffle left in the plan is the final
+    * 5-group aggregation. Results are identical to q04 (same oracle).
+    */
+  def q19BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (ot, lt) = ensureBucketedTables(spark, dir)
+    val orders = spark.table(ot).hint("merge")
+    val lineitem = spark.table(lt)
+    orders
+      .join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        countDistinct($"o_orderkey").as("n_orders"),
+        sum(dec($"l_extendedprice")).cast("double").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Window functions: row_number + rank + running sum per customer.
     * One shuffle on the partition key (o_custkey); ordering within the
     * partition is local. The running sum is decimal-exact so it's
@@ -315,7 +364,8 @@ object Relational {
     "q09_topk" -> (q09TopK _),
     "q10_rollup" -> (q10Rollup _),
     "q11_sort" -> (q11Sort _),
-    "q12_approx_distinct" -> (q12ApproxDistinct _)
+    "q12_approx_distinct" -> (q12ApproxDistinct _),
+    "q19_bucketed_join" -> (q19BucketedJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -373,6 +423,15 @@ object Relational {
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
     "q04_join_shuffle" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // q19 computes exactly q04's result over bucketed copies of the same
+    // data, so the oracle is identical
+    "q19_bucketed_join" ->
       """SELECT o_orderpriority,
         |  count(DISTINCT o_orderkey) AS n_orders,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -47,6 +47,22 @@ class RelationalSpec extends SparkSpec {
       s"no partial aggregation:\n$plan")
   }
 
+  test("q19: bucketed join matches q04 with no Exchange feeding the join") {
+    val bucketed = Relational.q19BucketedJoin(spark, sfDir)
+    val plain = Relational.q04JoinShuffle(spark, sfDir)
+    assert(bucketed.collect().toSeq == plain.collect().toSeq)
+    // co-location: the SMJ reads bucketed scans directly — every Exchange
+    // in the plan comes AFTER the join (aggregate/sort), never before it
+    val plan = formattedPlan(bucketed)
+    val finalPart = plan.split("== Initial Plan ==").head
+    val joinPos = finalPart.indexOf("SortMergeJoin")
+    assert(joinPos >= 0, s"expected a sort-merge join:\n$plan")
+    val joinSubtree = finalPart.substring(joinPos) // children are printed below
+    assert(!joinSubtree.contains("Exchange"),
+      s"join inputs must be co-located (no Exchange below the SMJ):\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scans must be bucketed:\n$plan")
+  }
+
   test("q12: approx distinct within 5% of exact at rsd=0.01") {
     val approx = Relational.q12ApproxDistinct(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
