@@ -68,6 +68,44 @@ class StreamTailSpec extends SparkSpec {
     log.destroy()
   }
 
+  test("kill/restart: the checkpointed cursor survives a forced stop, with a compaction while down") {
+    val log = freshLog()
+    var t = 9000000L
+    val c: () => Long = () => { t += 1000; t }
+    val ckpt = Files.createTempDirectory("graft-kill-ck").toString
+    val outDir = Files.createTempDirectory("graft-kill-out").toString
+    def start() = StreamTail.records(spark, log).writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    def committed(): Long =
+      try spark.read.parquet(outDir).count() catch { case _: Exception => 0L }
+    def awaitCount(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (committed() < n && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(committed() == n, s"expected $n committed rows, got ${committed()}")
+    }
+
+    val batch1 = log.publish(Seq(ev(t, 1, 1.0), ev(t, 2, 2.0)), nowMs = c)
+    val q1 = start()
+    awaitCount(2)
+    q1.stop() // forced kill of a RUNNING query (not a natural AvailableNow end)
+
+    // while the consumer is down: more data arrives AND compaction
+    // rewrites every already-delivered record into a new segment file
+    val batch2 = log.publish(Seq(ev(t, 1, 3.0), ev(t, 3, 4.0)), nowMs = c)
+    log.compactOnce(nowMs = c)
+
+    val q2 = start()
+    awaitCount(4)
+    q2.stop()
+    val out = spark.read.parquet(outDir).select("offset")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(out == (batch1 ++ batch2).sorted,
+      "loss or re-delivery across kill/restart + compaction")
+    log.destroy()
+  }
+
   test("watermarked tumbling window aggregation over the tail") {
     val log = freshLog()
     // two 1-minute windows: [60000,120000) has 2 events, [120000,180000) has 1
