@@ -6,16 +6,20 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, MinHashSigs, RollingMinHash}
+import graft.functions.{DotProduct, MinHashSigs, RollingMinHash, SimHash60, SortedHashes, SortedIntersectCount, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the native expressions
   * available to SQL users —
   * `spark.sql.extensions=graft.GraftExtensions` (or
   * [[GraftFunctions.register]] on an existing session) enables
   *
-  *   graft_dot(ARRAY<DOUBLE>, ARRAY<DOUBLE>) -> DOUBLE
-  *   minhash_sigs(ARRAY<STRING>, n)          -> ARRAY<BIGINT>
-  *   rolling_minhash(STRING, k)              -> BIGINT
+  *   graft_dot(ARRAY<DOUBLE>, ARRAY<DOUBLE>)       -> DOUBLE
+  *   minhash_sigs(ARRAY<STRING>, n)                -> ARRAY<BIGINT>
+  *   rolling_minhash(STRING, k)                    -> BIGINT
+  *   word_shingles(ARRAY<STRING>, n)               -> ARRAY<STRING>
+  *   simhash60(ARRAY<STRING>)                      -> BIGINT
+  *   sorted_hashes(ARRAY<STRING>)                  -> ARRAY<BIGINT>
+  *   sorted_intersect_count(ARRAY<BIGINT>, ARRAY<BIGINT>) -> INT
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -39,7 +43,19 @@ object GraftFunctions {
       (es: Seq[Expression]) => MinHashSigs(es(0), intLit(es(1), "minhash_sigs"))),
     (FunctionIdentifier("rolling_minhash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_minhash"),
-      (es: Seq[Expression]) => RollingMinHash(es(0), intLit(es(1), "rolling_minhash"))))
+      (es: Seq[Expression]) => RollingMinHash(es(0), intLit(es(1), "rolling_minhash"))),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (es: Seq[Expression]) => WordShingles(es(0), intLit(es(1), "word_shingles"))),
+    (FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (es: Seq[Expression]) => SimHash60(es(0))),
+    (FunctionIdentifier("sorted_hashes"),
+      new ExpressionInfo(classOf[SortedHashes].getName, "sorted_hashes"),
+      (es: Seq[Expression]) => SortedHashes(es(0))),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
 
   /** Imperative registration on an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -57,6 +57,42 @@ object StreamTail {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(unix_millis(col("w.start")).as("window_ms"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the twin of Dedup.q30DedupExact: keep the
+    * first record whose payload hash was not seen inside the watermark
+    * horizon. `dropDuplicatesWithinWatermark` bounds the dedup state the
+    * way q30's groupBy is bounded by the batch: entries evict once the
+    * watermark passes them, so an unbounded stream holds O(events within
+    * horizon) state, not O(all history). The hash key is 32 bytes per
+    * entry regardless of payload size — the same scale argument as q30.
+    */
+  def dedupExact(records: DataFrame, watermark: String = "2 minutes"): DataFrame =
+    records
+      .withColumn("ts",
+        timestamp_millis(get_json_object(col("data"), "$.ts").cast("long")))
+      .withColumn("content_hash", md5(col("data")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming interval join — the twin of EventOps.q29RangeJoin: pair
+    * each left event with right events for the same user whose timestamp
+    * falls in [left.ts − band, left.ts]. Both sides are watermarked and
+    * the join condition carries the event-time band, so Spark derives a
+    * state-retention bound for each side (no unbounded buffering —
+    * exactly the constraint a 100 TB stream-stream join needs).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   band: String = "1 minute",
+                   watermark: String = "2 minutes"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+      col("value").as("l_value")).withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("value").as("r_value")).withWatermark("r_ts", watermark)
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $band") &&
+        col("r_ts") <= col("l_ts"))
+  }
+
   final case class SessionEvent(user_id: Long, e_ms: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, sum_value: Double)

@@ -18,11 +18,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(2) == expFp)
   }
 
+  test("shingle/simhash/set-intersection SQL functions evaluate the kernels") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  word_shingles(array('a', 'b', 'c', 'a', 'b', 'c'), 3) AS shs,
+        |  simhash60(array('x', 'x', 'y')) AS sh,
+        |  sorted_hashes(array('p', 'q', 'p')) AS hs,
+        |  sorted_intersect_count(array(1L, 3L, 5L), array(2L, 3L, 5L, 9L)) AS n""".stripMargin)
+      .head()
+    // 6 tokens -> 4 windows, distinct + first-occurrence order keeps 3
+    assert(r.getSeq[String](0) == Seq("a b c", "b c a", "c a b"))
+    assert(r.getLong(1) != 0L) // exact value covered by Dedup oracle parity
+    assert(r.getSeq[Long](2) == Seq("p", "q").map(HashKernels.hash60).sorted)
+    assert(r.getInt(3) == 2)
+  }
+
   test("extensions class injects the same functions into a fresh session") {
     val ext = new GraftExtensions()
     val extensions = new org.apache.spark.sql.SparkSessionExtensions
     ext(extensions) // must not throw; function list is shared with register()
     assert(GraftFunctions.descriptors.map(_._1.funcName).sorted ==
-      Seq("graft_dot", "minhash_sigs", "rolling_minhash"))
+      Seq("graft_dot", "minhash_sigs", "rolling_minhash", "simhash60",
+        "sorted_hashes", "sorted_intersect_count", "word_shingles"))
   }
 }

@@ -63,6 +63,20 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), s"scans must be bucketed:\n$plan")
   }
 
+  test("bucketed tables are reused across operators: groupBy on the bucket key has no Exchange") {
+    val (_, lt) = Relational.ensureBucketedTables(spark, sfDir)
+    // a second, different operator over the SAME bucketed ingest: an
+    // aggregation keyed on the bucket key — bucketing satisfies the
+    // required hash distribution, so the plan has no Exchange at all
+    val agg = spark.table(lt).groupBy("l_orderkey")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val plan = formattedPlan(agg)
+    assert(!plan.split("== Initial Plan ==").head.contains("Exchange"),
+      s"bucket-key aggregation must not shuffle:\n$plan")
+    assert(agg.count() > 0)
+  }
+
   test("q12: approx distinct within 5% of exact at rsd=0.01") {
     val approx = Relational.q12ApproxDistinct(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

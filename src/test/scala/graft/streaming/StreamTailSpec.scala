@@ -121,6 +121,45 @@ class StreamTailSpec extends SparkSpec {
     log.destroy()
   }
 
+  test("streaming exact dedup keeps one record per payload within the watermark") {
+    val log = freshLog()
+    // 5 publishes, 2 duplicate payloads — dedup keys on md5(data)
+    log.publish(Seq(ev(60000, 1, 1.0), ev(61000, 2, 2.0), ev(60000, 1, 1.0)))
+    log.publish(Seq(ev(62000, 3, 3.0), ev(61000, 2, 2.0)))
+    val q = StreamTail.dedupExact(StreamTail.records(spark, log)).writeStream
+      .format("memory").queryName("dedup_t").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT content_hash, count(*) c FROM dedup_t GROUP BY 1")
+      .collect()
+    assert(rows.length == 3, s"expected 3 distinct payloads, got ${rows.toSeq}")
+    assert(rows.forall(_.getLong(1) == 1), "a payload was delivered twice")
+    log.destroy()
+  }
+
+  test("stream-stream interval join pairs events within the band per user") {
+    val log = freshLog()
+    // user 1: left at 120s pairs with rights at 60s(no: 60s band? see below)
+    log.publish(Seq(ev(60000, 1, 1.0), ev(100000, 1, 2.0), ev(120000, 1, 3.0),
+      ev(119000, 2, 4.0)))
+    val events = StreamTail.events(StreamTail.records(spark, log))
+    val joined = StreamTail.intervalJoin(events, events, band = "1 minute")
+    val q = joined.writeStream
+      .format("memory").queryName("ij_t").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val pairs = spark.sql("SELECT l_user, unix_millis(l_ts) l, unix_millis(r_ts) r FROM ij_t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // per user, every (l, r) with l-60000 <= r <= l (self-pairs included)
+    val evs = Seq((1L, 60000L), (1L, 100000L), (1L, 120000L), (2L, 119000L))
+    val expected = (for {
+      (ul, l) <- evs; (ur, r) <- evs
+      if ul == ur && r <= l && r >= l - 60000
+    } yield (ul, l, r)).sorted
+    assert(pairs == expected)
+    log.destroy()
+  }
+
   test("stateful sessionization closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
