@@ -130,11 +130,14 @@ object Dedup {
     // all 16 signatures in ONE codegen'd pass over each doc's shingle
     // array — no explode, no per-seed shuffle; the min over a multiset
     // equals the min over the set, so the un-deduped array is fine.
-    val sigd = docs(spark, dir)
+    // Persisted: the band self-join traverses it twice, and the kernel
+    // (16 seeded md5s per shingle) dominates — the cached form is just
+    // doc_id + 16 longs per document. Released via Caches.release().
+    val sigd = graft.core.Caches.persist(docs(spark, dir)
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", graft.functions.HashFunctions.minhashSigs(
-        graft.functions.HashFunctions.wordShingles($"toks", 3), 16).as("sigs"))
+        graft.functions.HashFunctions.wordShingles($"toks", 3), 16).as("sigs")))
     val bands = sigd.select($"doc_id",
       posexplode(array((0 until 4).map(b => concat_ws(",",
         $"sigs" (b * 4), $"sigs" (b * 4 + 1), $"sigs" (b * 4 + 2), $"sigs" (b * 4 + 3))): _*))
@@ -181,18 +184,24 @@ object Dedup {
     */
   def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // persisted: the shingle-set arrays feed the inverted index (twice,
-    // via the self-joined exploded form) and the verify stage; released
-    // by the harness through Caches.release() after materialization.
+    // persisted: the shingle-set arrays feed the inverted index and the
+    // verify stage; released via Caches.release() after materialization.
     val ds = graft.core.Caches.persist(docSets(docs(spark, dir)))
     val sh = ds.select($"doc_id", explode($"shs").as("sh"))
-    val rare = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .filter($"df" >= 2 && $"df" <= 20)
-      .select($"sh")
-    val inv = sh.join(rare, "sh")
-    val cand = inv.as("a")
-      .join(inv.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Inverted index as ONE groupBy: each rare shingle's sorted posting
+    // list generates its C(df,2) ordered pairs in-row. Output pairs are
+    // identical to the self-join formulation (all i<j combinations of
+    // the same posting sets — the oracle keeps that form), but the plan
+    // has 2 shuffles (postings groupBy + pair distinct) instead of 4
+    // (df groupBy + rare join + self-join + distinct), and the df cap
+    // bounds each row's expansion at C(20,2) = 190.
+    val cand = sh.groupBy($"sh").agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .filter(size($"ds").between(2, 20))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select($"p.doc_a", $"p.doc_b")
       .distinct()
     verifiedJaccard(cand, ds, 0.3)
   }
