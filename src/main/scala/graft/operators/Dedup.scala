@@ -26,10 +26,10 @@ object Dedup {
     * and pair intersection is an allocation-free merge). Callers select
     * the column(s) they need; Catalyst prunes the other kernel away.
     */
-  private def docSets(d: DataFrame): DataFrame = {
-    val shs = graft.functions.HashFunctions.wordShingles(col("toks"), 3)
+  private def docSets(d: DataFrame, n: Int = 3): DataFrame = {
+    val shs = graft.functions.HashFunctions.wordShingles(col("toks"), n)
     d.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
+      .filter(size(col("toks")) >= n)
       .select(col("doc_id"), shs.as("shs"),
         graft.functions.HashFunctions.sortedHashes(shs).as("hs"))
   }
@@ -106,87 +106,105 @@ object Dedup {
        |WHERE shared / (na.n_sh + nb.n_sh - shared) >= $tau
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** q30: exact dedup — content-hash groupBy, keep the smallest doc_id.
-    * One shuffle on the hash; at 100 TB this is the canonical first pass
-    * (hash is 32 bytes regardless of document size).
+  /** Exact dedup over any (doc_id, text) frame — content-hash groupBy,
+    * keep the smallest doc_id. One shuffle on the hash; at 100 TB this
+    * is the canonical first pass (32-byte key regardless of doc size).
     */
-  def q30DedupExact(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    docs(spark, dir)
-      .groupBy(md5($"text").as("content_hash"))
-      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
-      .orderBy($"keeper")
-  }
+  def exactDedup(d: DataFrame): DataFrame =
+    d.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper"))
 
-  /** q31: MinHash + LSH near-dup. 16 seeded min-hashes over word-3-gram
-    * shingles, banded 4×4; docs sharing a band bucket become candidates;
-    * candidates are verified with exact Jaccard ≥ 0.5. The only large
-    * shuffles key on (shingle) and (band, band_key) — both near-uniform.
-    * Band keys concatenate the 4 in-band seeds via one-per-seed min(CASE)
-    * aggregates, which is order-deterministic (collect_list is not).
+  /** q30 = exactDedup over `documents`. */
+  def q30DedupExact(spark: SparkSession, dir: String): DataFrame =
+    exactDedup(docs(spark, dir))
+
+  /** MinHash + LSH near-duplicate detection over any (id, text) frame:
+    * `seeds` seeded min-hashes banded `bands`×(seeds/bands); documents
+    * sharing a band bucket become candidates; candidates are verified
+    * with exact Jaccard ≥ `tau` over the word-`n`-gram sets. Output:
+    * (doc_a, doc_b, jaccard), doc_a < doc_b, ordered.
     */
-  def q31DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // all 16 signatures in ONE codegen'd pass over each doc's shingle
-    // array — no explode, no per-seed shuffle; the min over a multiset
-    // equals the min over the set, so the un-deduped array is fine.
-    // Persisted: the band self-join traverses it twice, and the kernel
-    // (16 seeded md5s per shingle) dominates — the cached form is just
-    // doc_id + 16 longs per document. Released via Caches.release().
-    val sigd = graft.core.Caches.persist(docs(spark, dir)
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", graft.functions.HashFunctions.minhashSigs(
-        graft.functions.HashFunctions.wordShingles($"toks", 3), 16).as("sigs")))
-    val bands = sigd.select($"doc_id",
-      posexplode(array((0 until 4).map(b => concat_ws(",",
-        $"sigs" (b * 4), $"sigs" (b * 4 + 1), $"sigs" (b * 4 + 2), $"sigs" (b * 4 + 3))): _*))
-        .as(Seq("band", "band_key")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+  def minhashNearDup(d: DataFrame, n: Int = 3, seeds: Int = 16,
+                     bands: Int = 4, tau: Double = 0.5): DataFrame = {
+    require(seeds % bands == 0, s"$seeds signatures must band evenly into $bands")
+    val rows = seeds / bands
+    // all `seeds` signatures in ONE codegen'd pass over each doc's
+    // shingle array — no explode, no per-seed shuffle; the min over a
+    // multiset equals the min over the set, so the un-deduped array is
+    // fine. Persisted: the band self-join traverses it twice, and the
+    // kernel (seeds seeded md5s per shingle) dominates — the cached form
+    // is just doc_id + `seeds` longs per doc. Released via Caches.release().
+    val sigd = graft.core.Caches.persist(d
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), graft.functions.HashFunctions.minhashSigs(
+        graft.functions.HashFunctions.wordShingles(col("toks"), n), seeds).as("sigs")))
+    val bandCols = (0 until bands).map(b => concat_ws(",",
+      (0 until rows).map(r => col("sigs")(b * rows + r)): _*))
+    val banded = sigd.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_key")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifiedJaccard(cand, docSets(docs(spark, dir)), 0.5)
+    verifiedJaccard(cand, docSets(d, n), tau)
   }
 
-  /** q32: SimHash near-dup. 60-bit signature: per-token ±count votes on
-    * each hash bit (integer sums — no float anywhere, commutative-exact,
-    * so the one-pass kernel equals the SQL explode/groupBy oracle),
-    * banded 4×15 so any pair at Hamming ≤ 3 shares at least one exact
-    * band (pigeonhole). The signature is a single codegen'd projection:
-    * no token explode, no per-bit shuffle.
+  /** q31 = minhashNearDup over `documents`: 16 seeds, 4×4 bands, τ=0.5. */
+  def q31DedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashNearDup(docs(spark, dir))
+
+  /** SimHash near-duplicate detection over any (id, text) frame: 60-bit
+    * signature via per-token ±count votes on each bit of hash60(token)
+    * (integer sums — no float anywhere, commutative-exact, so the
+    * one-pass kernel equals the SQL explode/groupBy oracle), computed as
+    * a single codegen'd projection: no token explode, no per-bit shuffle.
+    * The signature is banded `bands` ways so any pair at Hamming ≤
+    * maxHamming shares at least one exact band (pigeonhole; requires
+    * bands > maxHamming).
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b, ordered.
     */
-  def q32DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sig = docs(spark, dir)
-      .select($"doc_id",
-        graft.functions.HashFunctions.simhash60(split($"text", " ")).as("simhash"))
-    val bands = sig
-      .select($"doc_id", $"simhash", explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("band_val", expr("(simhash >> (band * 15)) & 32767"))
-    bands.as("a")
-      .join(bands.as("b"),
+  def simhashNearDup(d: DataFrame, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bands > maxHamming,
+      s"pigeonhole needs bands ($bands) > maxHamming ($maxHamming)")
+    val bits = 60 / bands
+    val sig = d
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.simhash60(split(col("text"), " ")).as("simhash"))
+    val banded = sig
+      .select(col("doc_id"), col("simhash"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .withColumn("band_val", expr(s"(simhash >> (band * $bits)) & ${(1L << bits) - 1}"))
+    banded.as("a")
+      .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** q33: exact n-gram Jaccard similarity join via an inverted index:
-    * candidates are pairs sharing a *rare* shingle (document frequency in
-    * [2, 20] — the df cap is what keeps the self-join sub-quadratic at
-    * scale), then verified with exact Jaccard ≥ 0.3 over the full sets.
+  /** q32 = simhashNearDup over `documents`: 4×15-bit bands, Hamming ≤ 3. */
+  def q32DedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashNearDup(docs(spark, dir))
+
+  /** Exact n-gram Jaccard similarity join over any (id, text) frame via
+    * an inverted index: candidates are pairs sharing a *rare* shingle
+    * (document frequency in [dfMin, dfMax] — the df cap keeps candidate
+    * generation sub-quadratic at scale), verified with exact Jaccard ≥
+    * `tau` over the full sets. Output: (doc_a, doc_b, jaccard), ordered.
     */
-  def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def ngramJaccardJoin(d: DataFrame, n: Int = 3, dfMin: Int = 2,
+                       dfMax: Int = 20, tau: Double = 0.3): DataFrame = {
+    import d.sparkSession.implicits._
     // persisted: the shingle-set arrays feed the inverted index and the
     // verify stage; released via Caches.release() after materialization.
-    val ds = graft.core.Caches.persist(docSets(docs(spark, dir)))
+    val ds = graft.core.Caches.persist(docSets(d, n))
     val sh = ds.select($"doc_id", explode($"shs").as("sh"))
     // Inverted index as ONE groupBy: each rare shingle's sorted posting
     // list generates its C(df,2) ordered pairs in-row. Output pairs are
@@ -196,32 +214,40 @@ object Dedup {
     // (df groupBy + rare join + self-join + distinct), and the df cap
     // bounds each row's expansion at C(20,2) = 190.
     val cand = sh.groupBy($"sh").agg(sort_array(collect_list($"doc_id")).as("ds"))
-      .filter(size($"ds").between(2, 20))
+      .filter(size($"ds").between(dfMin, dfMax))
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  transform(slice(ds, i + 2, size(ds)), y ->
           |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
       .select($"p.doc_a", $"p.doc_b")
       .distinct()
-    verifiedJaccard(cand, ds, 0.3)
+    verifiedJaccard(cand, ds, tau)
   }
 
-  /** q35: embedding near-dup — 16 deterministic random-hyperplane sign
-    * bits (±1 planes derived from md5, so both engines build the identical
-    * matrix), banded 2×8; bucket-mates are verified with exact cosine
-    * ≥ 0.4. Dot products are strict left folds over DOUBLE — bit-identical
-    * in Spark (`aggregate`) and DuckDB (`list_dot_product`).
+  /** q33 = ngramJaccardJoin over `documents`: 3-grams, df ∈ [2,20], τ=0.3. */
+  def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardJoin(docs(spark, dir))
+
+  /** Embedding near-duplicate detection over any signed-signature frame
+    * (output of [[Vectors.signed]]): the 16 deterministic
+    * random-hyperplane sign bits (±1 planes derived from md5, so both
+    * engines build the identical matrix) banded `nBands` ways;
+    * bucket-mates are verified with exact cosine ≥ `tau`. Dot products
+    * are strict left folds over DOUBLE — bit-identical in Spark
+    * (`aggregate`) and DuckDB (`list_dot_product`). Output:
+    * (vec_a, vec_b, cos_sim), vec_a < vec_b, ordered.
     */
-  def q35EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def embedNearDup(signed: DataFrame, nBands: Int = 2, tau: Double = 0.4): DataFrame = {
+    require(16 % nBands == 0, s"16 signature bits must split evenly, got $nBands bands")
+    val bits = 16 / nBands
     // persisted: the signature subtree feeds the band self-join AND both
     // verify joins — without persist it would evaluate 4× per run.
     // Released by the harness via Caches.release().
-    val e = graft.core.Caches.persist(Vectors.signed(Tables(spark, dir, "embeddings")))
+    val e = graft.core.Caches.persist(signed)
     val bands = e
-      .select($"vec_id", explode(expr("sequence(0, 1)")).as("band"), $"sig")
-      .withColumn("band_val", expr("(sig >> (band * 8)) & 255"))
-      .select($"vec_id", $"band", $"band_val")
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${nBands - 1})")).as("band"), col("sig"))
+      .withColumn("band_val", expr(s"(sig >> (band * $bits)) & ${(1 << bits) - 1}"))
+      .select(col("vec_id"), col("band"), col("band_val"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
@@ -229,14 +255,18 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
     cand
-      .join(e.select($"vec_id", $"v".as("va"), $"norm".as("na")), col("vec_a") === col("vec_id")).drop("vec_id")
-      .join(e.select($"vec_id", $"v".as("vb"), $"norm".as("nb")), col("vec_b") === col("vec_id")).drop("vec_id")
+      .join(e.select(col("vec_id"), col("v").as("va"), col("norm").as("na")), col("vec_a") === col("vec_id")).drop("vec_id")
+      .join(e.select(col("vec_id"), col("v").as("vb"), col("norm").as("nb")), col("vec_b") === col("vec_id")).drop("vec_id")
       .withColumn("cos_raw",
         graft.functions.VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos_raw") >= 0.4)
+      .filter(col("cos_raw") >= tau)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** q35 = embedNearDup over `embeddings`: 2×8-bit bands, cosine ≥ 0.4. */
+  def q35EmbedNeardup(spark: SparkSession, dir: String): DataFrame =
+    embedNearDup(Vectors.signed(Tables(spark, dir, "embeddings")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),

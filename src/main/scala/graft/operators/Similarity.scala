@@ -17,6 +17,15 @@ object Similarity {
 
   import graft.functions.VectorFunctions.{dot, l2norm}
 
+  /** Corpus preparation: any (id, ARRAY<numeric> vector) frame →
+    * `(vec_id, v DOUBLE[], norm)` with the norm as the codegen'd strict
+    * fold. Entry point for library users bringing their own embeddings.
+    */
+  def prepare(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", l2norm(col("v")))
+
   /** embeddings + double vector + norm (codegen'd fold). */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
@@ -24,52 +33,79 @@ object Similarity {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", l2norm(col("v")))
 
-  /** q34: brute-force cosine top-k — the correctness baseline every ANN
-    * variant is measured against. The query set (5 vectors) is broadcast;
-    * the corpus is scanned once, each partition ranks locally and
-    * TakeOrdered-style window+filter keeps k per query. At 100 TB the
-    * corpus side stays partition-parallel with no shuffle of vectors —
-    * only (qid, cos) pairs move.
+  /** Exact per-query top-k re-rank of (qid, neighbor_id, cos_sim) pairs:
+    * only these narrow triples ever shuffle, never vectors. */
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pairs
+      .withColumn("knn_rank", row_number().over(byQ))
+      .filter(col("knn_rank") <= k)
+      .orderBy(col("qid"), col("knn_rank"))
+  }
+
+  /** Brute-force cosine top-k of every corpus vector against a query
+    * set — the correctness baseline every ANN variant is measured
+    * against. Queries are broadcast; the corpus is scanned once,
+    * partition-parallel, with no shuffle of vectors — only (qid,
+    * neighbor, cos) triples move into the final top-k window.
+    *
+    * @param queries (qid, qv, qnorm), e.g. a filtered+renamed corpus
+    *   subset; must be small enough to broadcast (a query BATCH, not a
+    *   second corpus — for corpus×corpus use Dedup.q35's bucketed form).
     */
+  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topK(
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6).as("cos_sim")),
+      k)
+
+  /** q34 = knnBrute with the first 5 vectors as the query batch, k=10. */
   def q34KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = vecs(spark, dir)
     val q = e.filter($"vec_id" < 5)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"))
-    val byQ = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"neighbor_id")
-    e.crossJoin(broadcast(q))
-      .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id".as("neighbor_id"),
-        round(dot($"qv", $"v") / ($"qnorm" * $"norm"), 6).as("cos_sim"))
-      .withColumn("knn_rank", row_number().over(byQ))
-      .filter($"knn_rank" <= 10)
-      .orderBy($"qid", $"knn_rank")
+    knnBrute(e, q, 10)
   }
 
-  /** q36: LSH-bucketed ANN (the scale path): hyperplane signature bands
-    * (shared with q35) prune the corpus to bucket-mates, then exact
-    * cosine re-ranks top-k. Oracle-gated (the signature replays in
-    * DuckDB); recall vs q34 is additionally spec-checked
-    * (SimilaritySpec). At scale the bucket join replaces the full scan —
-    * cost proportional to bucket occupancy, not corpus size.
+  /** LSH-bucketed ANN (the scale path): the 16-bit hyperplane signature
+    * (Vectors.signed) split into `nBands` bands; corpus rows join query
+    * rows sharing any band value, then exact cosine re-ranks top-k. At
+    * scale the bucket join replaces the full scan — cost proportional
+    * to bucket occupancy, not corpus size.
+    *
+    * @param signed output of [[Vectors.signed]] (vec_id, v, norm, sig)
+    * @param isQuery predicate selecting the query rows from `signed`
+    */
+  def knnLsh(signed: DataFrame, isQuery: Column, k: Int, nBands: Int = 4): DataFrame = {
+    require(16 % nBands == 0, s"16 signature bits must split evenly, got $nBands bands")
+    val bits = 16 / nBands
+    val bands = signed
+      .select(col("vec_id"), col("v"), col("norm"),
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("band"), col("sig"))
+      .withColumn("band_val", expr(s"(sig >> (band * $bits)) & ${(1 << bits) - 1}"))
+    val q = bands.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"),
+        col("band"), col("band_val"))
+    topK(
+      bands.join(broadcast(q), Seq("band", "band_val"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6).as("cos_sim"))
+        .distinct(), // a pair can share several bands
+      k)
+  }
+
+  /** q36 = knnLsh over the embeddings table, first 5 vectors as queries,
+    * 4 bands of 4 bits, k=10. Oracle-gated (the signature replays in
+    * DuckDB); recall vs q34 additionally spec-checked (SimilaritySpec).
     */
   def q36KnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val e = graft.core.Caches.persist(Vectors.signed(Tables(spark, dir, "embeddings")))
-    val bands = e
-      .select($"vec_id", $"v", $"norm", explode(expr("sequence(0, 3)")).as("band"), $"sig")
-      .withColumn("band_val", expr("(sig >> (band * 4)) & 15"))
-    val q = bands.filter($"vec_id" < 5)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"), $"band", $"band_val")
-    val byQ = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"neighbor_id")
-    bands.join(broadcast(q), Seq("band", "band_val"))
-      .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id".as("neighbor_id"),
-        round(dot($"qv", $"v") / ($"qnorm" * $"norm"), 6).as("cos_sim"))
-      .distinct() // a pair can share several bands
-      .withColumn("knn_rank", row_number().over(byQ))
-      .filter($"knn_rank" <= 10)
-      .orderBy($"qid", $"knn_rank")
+    knnLsh(e, col("vec_id") < 5, 10)
   }
 
   /** q37: per-label vector stats. Norms are rounded to 6 decimals, then
@@ -89,8 +125,8 @@ object Similarity {
       .orderBy($"label")
   }
 
-  /** q43: IVF ANN — the coarse-quantizer scale path. Cells are the 16
-    * deterministic "centroids" (the first 16 vectors; a Lloyd refinement
+  /** IVF ANN — the coarse-quantizer scale path. Cells are the `nCells`
+    * deterministic "centroids" (the first vectors by id; a Lloyd refinement
     * would need order-dependent float means, which §4 forbids for gated
     * results). The codebook is a PLAN-TIME constant: 16 rows are
     * materialized once on the driver (the quantizer codebook — bounded,
@@ -109,39 +145,43 @@ object Similarity {
     * same strict fold / multiply the DuckDB oracle evaluates, so the
     * argmin and probe-cell choices replay bit-for-bit (§4).
     */
-  def q43KnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def knnIvf(corpus: DataFrame, isQuery: Column,
+             nCells: Int, nProbe: Int, k: Int): DataFrame = {
     import graft.functions.VectorFunctions.constVec
-    val e = vecs(spark, dir)
-    val cents: Array[(Long, Array[Double], Double)] = e.filter($"vec_id" < 16)
-      .select($"vec_id".cast("long"), $"v", $"norm")
+    val cents: Array[(Long, Array[Double], Double)] = corpus
+      .filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("long"), col("v"), col("norm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
     def d2To(c: (Long, Array[Double], Double)): Column =
-      $"norm" * $"norm" - lit(2.0) * dot($"v", constVec(c._2)) + lit(c._3) * lit(c._3)
+      col("norm") * col("norm") - lit(2.0) * dot(col("v"), constVec(c._2)) +
+        lit(c._3) * lit(c._3)
     // argmin cell: first (= lowest cid, codebook is cid-sorted) index of
     // the minimum d2 — identical tie-break to the oracle's ORDER BY d2, cid
     val d2s = array(cents.map(d2To): _*)
     val cids = array(cents.map(c => lit(c._1)): _*)
-    val assigned = e
+    val assigned = corpus
       .withColumn("cell", element_at(cids,
         array_position(d2s, array_min(d2s)).cast("int")))
-      .select($"vec_id", $"v", $"norm", $"cell")
-    val qcells = e.filter($"vec_id" < 5)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+    val qcells = corpus.filter(isQuery)
       .withColumn("probe", explode(slice(array_sort(array(cents.map(c =>
-        struct(d2To(c).as("d2"), lit(c._1).as("cid"))): _*)), 1, 4)))
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"),
-        $"probe.cid".as("cell"))
-    val byQ = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"neighbor_id")
-    assigned.join(broadcast(qcells), Seq("cell"))
-      .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id".as("neighbor_id"),
-        round(dot($"qv", $"v") / ($"qnorm" * $"norm"), 6).as("cos_sim"))
-      .withColumn("knn_rank", row_number().over(byQ))
-      .filter($"knn_rank" <= 10)
-      .orderBy($"qid", $"knn_rank")
+        struct(d2To(c).as("d2"), lit(c._1).as("cid"))): _*)), 1, nProbe)))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"),
+        col("probe.cid").as("cell"))
+    topK(
+      assigned.join(broadcast(qcells), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6).as("cos_sim")),
+      k)
   }
+
+  /** q43 = knnIvf over the embeddings table: 16-cell codebook, first 5
+    * vectors as queries, nprobe=4, k=10. */
+  def q43KnnIvf(spark: SparkSession, dir: String): DataFrame =
+    knnIvf(vecs(spark, dir), col("vec_id") < 5, nCells = 16, nProbe = 4, k = 10)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_knn_brute" -> (q34KnnBrute _),

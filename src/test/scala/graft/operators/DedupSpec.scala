@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** The dedup pack's parameterized library APIs (the oracle-gated q30-q35
+  * queries are thin instantiations — their correctness is the driver's
+  * DuckDB gate; these specs exercise NON-default parameters).
+  */
+class DedupSpec extends SparkSpec {
+
+  private def documents = Tables(spark, sfDir, "documents")
+
+  test("minhashNearDup with a looser banding finds at least the default pairs") {
+    graft.core.Caches.release()
+    val strict = Dedup.minhashNearDup(documents) // 4 bands of 4 rows
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.core.Caches.release()
+    // 8 bands of 2 rows: shorter band keys -> more candidate collisions,
+    // same tau -> the verified pair set can only grow
+    val loose = Dedup.minhashNearDup(documents, seeds = 16, bands = 8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.core.Caches.release()
+    assert(strict.subsetOf(loose), s"missing: ${strict -- loose}")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDup(documents, seeds = 16, bands = 3) // 16 % 3 != 0
+    }
+  }
+
+  test("simhashNearDup respects its hamming bound and band pigeonhole") {
+    val pairs = Dedup.simhashNearDup(documents, bands = 5, maxHamming = 4).collect()
+    assert(pairs.forall(_.getLong(2) <= 4))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(documents, bands = 3, maxHamming = 3) // pigeonhole broken
+    }
+  }
+
+  test("ngramJaccardJoin with 2-grams and lower tau is a superset of the default") {
+    graft.core.Caches.release()
+    val default3 = Dedup.ngramJaccardJoin(documents)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.core.Caches.release()
+    // same n, lower tau, wider df window: strictly weaker filters
+    val looser = Dedup.ngramJaccardJoin(documents, n = 3, dfMin = 2, dfMax = 40, tau = 0.2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.core.Caches.release()
+    assert(default3.subsetOf(looser))
+    // 2-grams at least run end-to-end with sane output bounds
+    val bi = Dedup.ngramJaccardJoin(documents, n = 2).collect()
+    assert(bi.forall(r => r.getDouble(2) >= 0.3 && r.getDouble(2) <= 1.0))
+    graft.core.Caches.release()
+  }
+
+  test("exactDedup and embedNearDup run over arbitrary conforming frames") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(tiny).collect()
+    assert(kept.length == 2 && kept.map(_.getLong(2)).sum == 3)
+    val nd = Dedup.embedNearDup(
+      Vectors.signed(Tables(spark, sfDir, "embeddings")), nBands = 4, tau = 0.2)
+    assert(nd.columns.toSeq == Seq("vec_a", "vec_b", "cos_sim"))
+    assert(nd.collect().forall(_.getDouble(2) >= 0.2))
+    graft.core.Caches.release()
+  }
+}

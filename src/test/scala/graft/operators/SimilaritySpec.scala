@@ -8,6 +8,20 @@ import graft.SparkSpec
   */
 class SimilaritySpec extends SparkSpec {
 
+  test("knnIvf probing every cell reproduces brute force exactly") {
+    import org.apache.spark.sql.functions.col
+    // nProbe == nCells means every query scans the whole corpus through
+    // the cell partitioning — result must be IDENTICAL to q34, proving
+    // the IVF plumbing loses nothing beyond the probe restriction
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val corpus = Similarity.prepare(e, "vec_id", "embedding")
+    val full = Similarity.knnIvf(corpus, col("vec_id") < 5,
+      nCells = 8, nProbe = 8, k = 10).collect().toSeq
+    val brute = Similarity.q34KnnBrute(spark, sfDir)
+      .drop("label").collect().toSeq
+    assert(full == brute)
+  }
+
   test("q36 LSH ANN: non-empty and recall@10 vs brute force >= 0.2") {
     val brute = Similarity.q34KnnBrute(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
