@@ -127,20 +127,30 @@ object EventOps {
       .orderBy($"hour_ms", $"event_type")
   }
 
-  /** q24: gap-based sessionization (30-min inactivity): lag marks session
-    * starts, a running sum numbers sessions, then a per-session rollup.
-    * One shuffle on user_id; both window passes reuse the partitioning.
+  /** Generic gap-based sessionization: append a 1-based `session_idx`
+    * per `key` — a new session starts when the gap from the previous
+    * event (by `time`, ties broken by `tieBreak`) exceeds `gapMs`. One
+    * shuffle on the key; the lag and running-sum windows reuse the same
+    * partitioning. Callers aggregate per (key, session_idx) as needed.
     */
+  def withSessionIds(df: DataFrame, key: String, time: String, gapMs: Long,
+                     tieBreak: Seq[String] = Nil): DataFrame = {
+    val byKey = Window.partitionBy(col(key))
+      .orderBy(col(time) +: tieBreak.map(col): _*)
+    df.withColumn("prev_ms", lag(col(time), 1).over(byKey))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col(time) - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("prev_ms", "new_session")
+  }
+
+  /** q24 = withSessionIds (30-min inactivity gap) + per-session rollup. */
   def q24Sessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val byUser = Window.partitionBy($"user_id").orderBy($"e_ms", $"event_id")
-    val gapMs = 1800000L
-    withOffsets(events(spark, dir))
-      .withColumn("prev_ms", lag($"e_ms", 1).over(byUser))
-      .withColumn("new_session",
-        when($"prev_ms".isNull || $"e_ms" - $"prev_ms" > gapMs, 1L).otherwise(0L))
-      .withColumn("session_idx",
-        sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withSessionIds(withOffsets(events(spark, dir)),
+      "user_id", "e_ms", gapMs = 1800000L, tieBreak = Seq("event_id"))
       .groupBy($"user_id", $"session_idx")
       .agg(
         count(lit(1)).as("n_events"),
@@ -215,23 +225,59 @@ object EventOps {
     * same millisecond order clicks before purchases ("at-or-before"),
     * then by event_id (latest click wins).
     */
+  /** Generic as-of join: for every left row, the values of the latest
+    * right row at-or-before it (per `key`, by `time`). Implemented the
+    * scalable way: one union + one shuffle on the key + a running
+    * `last(ignoreNulls)` window — never the pair expansion a
+    * join+filter+rank would cost (for n right and m left rows per key
+    * this is O(n+m), not O(n·m)).
+    *
+    * Both frames need `key` and `time` columns; `rightVals` columns must
+    * exist in `right` (they come back as `asof_<name>`), and `tieBreak`
+    * columns (also from `right`) order simultaneous right rows — the
+    * last one in that order wins. Output: every `left` column +
+    * the `asof_*` columns, left row order unspecified (caller sorts).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               rightVals: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lrowType = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
+    val l = left.select(
+      Seq(col(key).as("__k"), col(time).as("__t"), lit(1).as("__is_left"),
+        struct(leftCols.map(col): _*).as("__lrow")) ++
+        (rightVals ++ tieBreak).distinct.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right.select(
+      Seq(col(key).as("__k"), col(time).as("__t"), lit(0).as("__is_left"),
+        lit(null).cast(lrowType).as("__lrow")) ++
+        (rightVals ++ tieBreak).distinct.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t") +: col("__is_left") +: tieBreak.map(c => col(s"__r_$c")): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+      .filter(col("__is_left") === 1)
+      .select(leftCols.map(c => col(s"__lrow.$c")) ++
+        rightVals.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** q28 = asofJoin(purchases, clicks) on user_id/e_ms: for every
+    * purchase, the user's most recent click at-or-before it. Ties at the
+    * same millisecond order clicks before purchases ("at-or-before"),
+    * then by click event_id (latest wins).
+    */
   def q28AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = events(spark, dir)
     val base = ev.withColumn("e_ms", eMsOf(ev))
     val clicks = base.filter($"event_type" === "click")
-      .select($"user_id", $"e_ms", $"event_id", lit(0).as("is_left"),
+      .select($"user_id", $"e_ms", $"event_id",
         $"e_ms".as("click_ms"), $"value".as("click_value"))
     val purchases = base.filter($"event_type" === "purchase")
-      .select($"user_id", $"e_ms", $"event_id", lit(1).as("is_left"),
-        lit(null).cast("long").as("click_ms"), lit(null).cast("double").as("click_value"))
-    val w = Window.partitionBy($"user_id")
-      .orderBy($"e_ms", $"is_left", $"event_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    clicks.unionAll(purchases)
-      .withColumn("asof_click_ms", last($"click_ms", ignoreNulls = true).over(w))
-      .withColumn("asof_click_value", last($"click_value", ignoreNulls = true).over(w))
-      .filter($"is_left" === 1)
+      .select($"event_id", $"user_id", $"e_ms")
+    asofJoin(purchases, clicks, "user_id", "e_ms",
+      rightVals = Seq("click_ms", "click_value"), tieBreak = Seq("event_id"))
       .select($"event_id", $"user_id", $"e_ms".as("purchase_ms"),
         $"asof_click_ms", $"asof_click_value")
       .orderBy($"event_id")
@@ -243,6 +289,17 @@ object EventOps {
     * join never goes quadratic in the table size, only within a user's
     * events.
     */
+  /** Generic range (interval) join: pairs of `a` and `b` rows on equal
+    * keys whose `probe` time falls in [anchor, anchor + bandMs]. The
+    * equi-key keeps this a hash/sort-merge join with the time band as a
+    * residual predicate — never quadratic in table size, only within a
+    * key's rows. Column names must be disjoint across the two frames.
+    */
+  def rangeJoin(a: DataFrame, b: DataFrame, aKey: String, bKey: String,
+                anchor: String, probe: String, bandMs: Long): DataFrame =
+    a.join(b, col(aKey) === col(bKey) &&
+      col(probe) >= col(anchor) && col(probe) <= col(anchor) + bandMs)
+
   def q29RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = events(spark, dir)
@@ -251,9 +308,8 @@ object EventOps {
       .select($"user_id".as("e_user"), $"e_ms".as("err_ms"))
     val purchases = base.filter($"event_type" === "purchase")
       .select($"user_id", $"e_ms".as("buy_ms"), $"value")
-    purchases
-      .join(errors, $"user_id" === $"e_user" &&
-        $"buy_ms" >= $"err_ms" && $"buy_ms" <= $"err_ms" + 300000L)
+    rangeJoin(purchases, errors, "user_id", "e_user",
+      anchor = "err_ms", probe = "buy_ms", bandMs = 300000L)
       .groupBy($"user_id")
       .agg(
         count(lit(1)).as("n_pairs"),

@@ -168,6 +168,39 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** q44: the q05 star join with its fact⋈fact leg co-located — broadcast
+    * dims compose with bucketing: the BroadcastHashJoin with supplier
+    * preserves the lineitem scan's bucket partitioning, so the
+    * orders⋈lineitem sort-merge join that follows needs no Exchange on
+    * either side. This is the full 100 TB star shape: dims broadcast,
+    * facts co-located by ingest-time bucketing, the only shuffle is the
+    * final small aggregation. Results are identical to q05 (same oracle).
+    */
+  def q44BucketedStar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (ot, lt) = ensureBucketedTables(spark, dir)
+    val region = Tables(spark, dir, "region").filter($"r_name" === "ASIA")
+    val nation = Tables(spark, dir, "nation")
+    val customer = Tables(spark, dir, "customer")
+    val supplier = Tables(spark, dir, "supplier")
+    val orders = spark.table(ot)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .hint("merge")
+    val lineitem = spark.table(lt)
+    lineitem
+      .join(broadcast(supplier), $"l_suppkey" === $"s_suppkey")
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer.join(broadcast(
+          nation.join(broadcast(region), $"n_regionkey" === $"r_regionkey")),
+        $"c_nationkey" === $"n_nationkey")),
+        $"o_custkey" === $"c_custkey" && $"s_nationkey" === $"c_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
   /** Window functions: row_number + rank + running sum per customer.
     * One shuffle on the partition key (o_custkey); ordering within the
     * partition is local. The running sum is decimal-exact so it's
@@ -365,7 +398,8 @@ object Relational {
     "q10_rollup" -> (q10Rollup _),
     "q11_sort" -> (q11Sort _),
     "q12_approx_distinct" -> (q12ApproxDistinct _),
-    "q19_bucketed_join" -> (q19BucketedJoin _)
+    "q19_bucketed_join" -> (q19BucketedJoin _),
+    "q44_bucketed_star" -> (q44BucketedStar _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -439,6 +473,21 @@ object Relational {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q05_multi_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    // q44 computes exactly q05's result over bucketed fact copies
+    "q44_bucketed_star" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
         |FROM region

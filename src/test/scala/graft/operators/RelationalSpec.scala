@@ -63,6 +63,21 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), s"scans must be bucketed:\n$plan")
   }
 
+  test("q44: bucketed star matches q05; fact join co-located through the broadcast") {
+    val star = Relational.q44BucketedStar(spark, sfDir)
+    val plain = Relational.q05MultiJoin(spark, sfDir)
+    assert(star.collect().toSeq == plain.collect().toSeq)
+    val plan = formattedPlan(star).split("== Initial Plan ==").head
+    val joinPos = plan.indexOf("SortMergeJoin")
+    assert(joinPos >= 0, s"expected the fact-fact leg as a sort-merge join:\n$plan")
+    // bucketing must carry THROUGH the supplier broadcast join: nothing
+    // below the fact-fact SMJ may exchange (broadcast exchanges of the
+    // dims are fine — they appear as BroadcastExchange build sides)
+    val subtree = plan.substring(joinPos)
+    assert(!subtree.replace("BroadcastExchange", "").contains("Exchange"),
+      s"fact join inputs must be co-located:\n$plan")
+  }
+
   test("bucketed tables are reused across operators: groupBy on the bucket key has no Exchange") {
     val (_, lt) = Relational.ensureBucketedTables(spark, sfDir)
     // a second, different operator over the SAME bucketed ingest: an
