@@ -50,4 +50,23 @@ object Compaction {
     }
     if (acc.length < 2) Seq.empty else acc
   }
+
+  /** ALL disjoint windows of one planning pass, oldest-first: apply
+    * [[window]], drop everything up to its end, repeat. No intra-pass
+    * re-planning — a merged segment only becomes compactable input on
+    * the NEXT pass (StreamLog.maintain loops passes until none remain),
+    * which is what lets an executor merge every window of a pass in one
+    * distributed job instead of one job per window.
+    */
+  def windows(segments: Seq[SegmentMeta], limits: Limits = Limits()): Seq[Seq[SegmentMeta]] = {
+    val out = Vector.newBuilder[Seq[SegmentMeta]]
+    var rest = segments
+    var w = window(rest, limits)
+    while (w.nonEmpty) {
+      out += w
+      rest = rest.drop(rest.indexOf(w.last) + 1)
+      w = window(rest, limits)
+    }
+    out.result()
+  }
 }

@@ -293,19 +293,75 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     orphans
   }
 
+  /** Compact EVERY window of one planning pass in a single distributed
+    * Spark job: each window's files are read, tagged with a window id,
+    * repartitioned so a window is exactly one partition, sorted, and
+    * written out per-window via partitionBy — so a 10 000-segment
+    * backlog costs one job per PASS, not one job per window (sequential
+    * compactOnce jobs would pay per-job latency a thousand times over).
+    * Plan width grows with the window count of the pass; run [[maintain]]
+    * on a regular cadence and passes stay small.
+    * @return merged segment metadata, oldest-first; empty when the
+    *         planner finds nothing.
+    */
+  def compactAll(limits: Compaction.Limits = Compaction.Limits(),
+                 nowMs: () => Long = () => System.currentTimeMillis()): Seq[SegmentMeta] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val windows = Compaction.windows(index.segments, limits)
+    if (windows.isEmpty) return Seq.empty
+    if (windows.lengthCompare(1) == 0) return compactOnce(limits, nowMs).toSeq
+
+    val merged = windows.map { w =>
+      SegmentMeta(
+        name = s"${w.head.firstOffset}-${UUID.randomUUID()}.seg",
+        firstOffset = w.head.firstOffset,
+        lastOffset = w.last.lastOffset,
+        createdMS = nowMs(),
+        records = w.map(_.records).sum,
+        bytes = w.map(_.bytes).sum)
+    }
+    val tmpDir = streamDir.resolve(s".merge-${UUID.randomUUID()}")
+    windows.zipWithIndex
+      .map { case (w, i) =>
+        spark.read.text(w.map(segPath): _*).withColumn("wid", lit(i))
+      }
+      .reduce(_ unionAll _) // CombineUnions flattens to one n-ary Union
+      .repartition(windows.size, col("wid"))
+      .sortWithinPartitions("wid", "value")
+      .write.partitionBy("wid").mode("overwrite").text(tmpDir.toString)
+    merged.indices.foreach { i =>
+      val widDir = tmpDir.resolve(s"wid=$i")
+      val part = listDir(widDir).filter(_.getFileName.toString.startsWith("part-")) match {
+        case Seq(p) => p
+        case ps => throw new IllegalStateException(s"expected 1 part file for wid=$i, got $ps")
+      }
+      Files.move(part, segmentDir.resolve(merged(i).name), StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteRecursively(tmpDir)
+
+    val ts = nowMs()
+    val all = windows.flatten
+    all.foreach(m => index = index.remove(m))
+    merged.foreach(m => index = index.add(m))
+    tombstones ++= all.map(_.name -> ts)
+    appendMeta(all.map(m => MetaJson.tombstone(m.name, ts)) ++ merged.map(MetaJson.add): _*)
+    merged
+  }
+
   /** One full maintenance pass — the library-side analog of the
     * reference's Durable-Object alarm loop (stream_manager.ts `alarm` →
     * compactLogSegments, ts:521-609): compact until the planner returns
-    * an empty window, then age out tombstones and collect orphans. A
-    * long-lived stream stays bounded by calling this periodically; each
-    * compaction is still a distributed Spark merge.
+    * an empty window (all windows of a pass merge in ONE distributed
+    * job via [[compactAll]]), then age out tombstones and collect
+    * orphans. A long-lived stream stays bounded by calling this
+    * periodically.
     */
   def maintain(limits: Compaction.Limits = Compaction.Limits(),
                tombstoneMaxAgeMs: Long = 86400000L,
                orphanGraceMs: Long = 300000L,
                nowMs: () => Long = () => System.currentTimeMillis()): StreamLog.MaintenanceReport = {
-    val merged = Iterator.continually(compactOnce(limits, nowMs))
-      .takeWhile(_.isDefined).flatten.toVector
+    val merged = Iterator.continually(compactAll(limits, nowMs))
+      .takeWhile(_.nonEmpty).flatten.toVector
     val cleaned = cleanTombstones(tombstoneMaxAgeMs, nowMs)
     val orphans = purgeOrphans(orphanGraceMs, nowMs)
     StreamLog.MaintenanceReport(merged, cleaned, orphans)

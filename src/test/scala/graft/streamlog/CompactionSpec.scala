@@ -71,6 +71,18 @@ class CompactionSpec extends AnyFunSuite {
     assert(names(w) == Seq("s1", "s2", "s3"))
   }
 
+  test("windows() plans every disjoint window of a pass, oldest-first") {
+    val segs = (1 to 25).map(i => seg(s"s$i", i.toLong))
+    val ws = Compaction.windows(segs)
+    assert(ws.map(_.length) == Seq(10, 10, 5))
+    assert(names(ws.flatten) == (1 to 25).map(i => s"s$i"))
+    // oversized segments break but don't absorb windows
+    val withBig = Seq(seg("a", 1), seg("b", 2),
+      seg("huge", 3, bytes = 10000001L), seg("c", 4), seg("d", 5))
+    assert(Compaction.windows(withBig).map(names) == Seq(Seq("a", "b"), Seq("c", "d")))
+    assert(Compaction.windows(Seq(seg("only", 1))).isEmpty)
+  }
+
   test("skip-then-accumulate: totals reset with the window (intentional divergence)") {
     // one normal, then an oversized that forces a restart, then a run of
     // normals. The reference's calculateCompactWindow keeps the stale

@@ -204,6 +204,20 @@ class StreamLogSpec extends SparkSpec {
     assert(log.consume(Offset.Beginning, 10).length == 2)
   }
 
+  test("compactAll merges every window of a pass in one job, preserving content") {
+    val log = freshLog()
+    val c = clock(9400000)
+    val all = (1 to 25).flatMap(_ => log.publish((1 to 2).map(i => s"""{"i":$i}"""), nowMs = c))
+    val merged = log.compactAll(nowMs = c)
+    assert(merged.map(_.records) == Seq(20L, 20L, 10L)) // 10+10+5 segments
+    assert(log.segments.length == 3)
+    assert(log.consume(Offset.Beginning, 1000).map(_._1) == all)
+    // metadata log round-trips the batch commit
+    val reopened = new StreamLog(spark, log.streamDir.getParent.toString, log.name)
+    assert(reopened.segments.map(_.name) == log.segments.map(_.name))
+    assert(reopened.tombstoneNames.size == 25)
+  }
+
   test("maintain compacts until the planner is empty, then cleans up") {
     val log = freshLog()
     val c = clock(9500000)
