@@ -32,25 +32,37 @@ object TextOps {
   private val EnStop = Seq("the", "a", "of", "and", "to")
   private def sqlIn(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
 
-  /** q38: language ID — count marker-token hits per candidate language,
-    * argmax with (score desc, lang asc) tie-break, 'und' when no marker
-    * fires; reported as a labeled-vs-predicted confusion matrix.
+  /** Per-document language prediction as ONE projection — the library
+    * Column API: marker-occurrence score per candidate language (token
+    * multiplicity counts, same as the exploded join-and-count form),
+    * argmax with (score desc, lang asc) tie-break via a struct max,
+    * 'und' when no marker fires. Zero shuffle, zero explode — at 100 TB
+    * this runs entirely inside the scan's projection, where the round-1
+    * form paid an explode + groupBy + window shuffle over every token.
+    */
+  def langIdCol(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val langs = LangMarkers.map(_._2).distinct.sorted
+    val scored = langs.zipWithIndex.map { case (l, i) =>
+      val markers = LangMarkers.filter(_._2 == l).map(_._1)
+      // max over structs: highest score wins; ties pick the highest
+      // reversed index = the alphabetically first language
+      struct(
+        size(filter(toks, t => t.isInCollection(markers))).as("s"),
+        lit(langs.size - 1 - i).as("nr"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("s") === 0, lit("und"))
+      .otherwise(element_at(array(langs.reverse.map(lit): _*),
+        best.getField("nr") + 1))
+  }
+
+  /** q38: language ID over `documents`, reported as a labeled-vs-
+    * predicted confusion matrix; the per-doc argmax is [[langIdCol]].
     */
   def q38LangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val markers = LangMarkers.toDF("tok", "mlang")
-    val scores = docs(spark, dir)
-      .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .join(broadcast(markers), "tok")
-      .groupBy($"doc_id", $"mlang").agg(count(lit(1)).as("score"))
-    val best = scores
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"score".desc, $"mlang")))
-      .filter($"rnk" === 1)
-      .select($"doc_id", $"mlang".as("pred"))
-    docs(spark, dir).select($"doc_id", $"lang")
-      .join(best, Seq("doc_id"), "left")
-      .select($"lang", coalesce($"pred", lit("und")).as("pred_lang"))
+    docs(spark, dir)
+      .select($"lang", langIdCol(split($"text", " ")).as("pred_lang"))
       .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n_docs"))
       .orderBy($"lang", $"pred_lang")
   }

@@ -54,6 +54,30 @@ class DedupSpec extends SparkSpec {
     graft.core.Caches.release()
   }
 
+  test("pipeline: exact dedup first bounds near-dup work under heavy duplication") {
+    import spark.implicits._
+    // one document duplicated 500×: near-dup candidate generation on the
+    // raw corpus would emit C(500,2) ≈ 125k identical pairs per band (the
+    // hot-key shape salting can't fix — the pairs genuinely exist). The
+    // 100 TB discipline is exact-dedup FIRST: 32-byte-key groupBy
+    // collapses the hot document to one representative, and near-dup runs
+    // on representatives only.
+    val hot = Seq.fill(500)("the quick brown fox jumps over the lazy dog again and again")
+    val corpus = (hot ++ Seq(
+      "completely different text with many unique words here",
+      "the quick brown fox jumps over the lazy dog again and again slightly changed"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val keepers = Dedup.exactDedup(corpus)
+    assert(keepers.count() == 3) // 502 docs -> 3 distinct contents
+    val reps = corpus.join(keepers.select($"keeper".as("doc_id")), "doc_id")
+    // deterministic near-pair: hot representative (0) vs its variant (501)
+    // share every hot shingle (df=2 -> rare-indexed), J = 10/12 >= 0.3
+    val pairs = Dedup.ngramJaccardJoin(reps).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.core.Caches.release()
+    assert(pairs == Seq((0L, 501L)))
+  }
+
   test("exactDedup and embedNearDup run over arbitrary conforming frames") {
     import spark.implicits._
     val tiny = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
