@@ -103,6 +103,78 @@ object Multimodal {
     }
   }
 
+  /** A resized image row: re-encoded payload + old/new dims. */
+  final case class ResizedImage(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      orig_width: Int,
+      orig_height: Int,
+      payload: Array[Byte])
+
+  /** Image resize — REAL for decodable payloads (pure-JVM java.awt +
+    * ImageIO: decode → bilinear scale → PNG re-encode; no native libs),
+    * pass-through dims (0×0) for undecodable bytes so the pipeline
+    * never throws mid-partition. Partition-parallel: payloads never
+    * shuffle; each task streams rows through one scaler.
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image").mapPartitions { rows =>
+      rows.map { m =>
+        StubCodec.imageDims(m.payload) match {
+          case Some((ow, oh)) =>
+            val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+            val dst = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            ResizedImage(m.media_id, w, h, ow, oh, bos.toByteArray)
+          case None =>
+            ResizedImage(m.media_id, 0, 0, 0, 0, m.payload)
+        }
+      }
+    }
+  }
+
+  /** One sampled video frame: index, timestamp, and the frame payload
+    * (STUBBED — no video codec in this container: a deterministic slice
+    * of the source bytes stands in for the decoded frame; the Spark-side
+    * shape — per-row fan-out to frame rows, schema, partition
+    * parallelism — is exactly what an FFmpeg-backed codec would drive).
+    */
+  final case class SampledFrame(
+      media_id: Long,
+      frame_idx: Int,
+      ts_ms: Long,
+      frame_bytes: Array[Byte])
+
+  /** Frame sampling for video rows: one output row per `everyMs` of the
+    * (stub-decoded) duration. flatMap fan-out keeps the operator
+    * streaming — a 2-hour video emits its frames without materializing
+    * them as one array row.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L): Dataset[SampledFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video").flatMap { m =>
+      val f = StubCodec.decode(m)
+      val n = (f.duration_ms / everyMs).toInt
+      (0 until n).iterator.map { i =>
+        val ts = i * everyMs
+        // stub "decode": a deterministic window over the payload bytes
+        val start = if (m.payload.length == 0) 0 else (i * 7) % m.payload.length
+        val len = math.min(16, m.payload.length - start)
+        SampledFrame(m.media_id, i, ts,
+          java.util.Arrays.copyOfRange(m.payload, start, start + len))
+      }
+    }
+  }
+
   /** q42: per-kind feature rollup after decode — the rows-only driver
     * gate for the multimodal path (no SQL oracle: the stub codec is not
     * expressible in DuckDB).

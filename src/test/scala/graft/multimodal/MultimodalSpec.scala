@@ -44,6 +44,43 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2).width == 0)                     // audio: dims not applicable
   }
 
+  test("resizeImages really rescales decodable payloads and passes through the rest") {
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", png, png.length.toLong),
+      Multimodal.MediaRow(2L, "image", "not an image".getBytes("UTF-8"), 12L),
+      Multimodal.MediaRow(3L, "video", png, png.length.toLong))) // filtered out
+    val out = Multimodal.resizeImages(media, 4, 3).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(1L, 2L))
+    assert(out(0).orig_width == 8 && out(0).orig_height == 6)
+    assert(out(0).width == 4 && out(0).height == 3)
+    // the re-encoded payload is itself a real 4x3 image
+    assert(Multimodal.StubCodec.imageDims(out(0).payload).contains((4, 3)))
+    assert(out(1).width == 0 && out(1).payload.sameElements("not an image".getBytes("UTF-8")))
+  }
+
+  test("sampleFrames fans a video row out to one row per interval") {
+    import spark.implicits._
+    val payload = ("x" * 100).getBytes("UTF-8")
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(7L, "video", payload, 100L),
+      Multimodal.MediaRow(8L, "image", payload, 100L))) // not sampled
+    val dur = Multimodal.StubCodec.decode(
+      Multimodal.MediaRow(7L, "video", payload, 100L)).duration_ms
+    val frames = Multimodal.sampleFrames(media, everyMs = 60000L).collect()
+    assert(frames.forall(_.media_id == 7L))
+    assert(frames.length == (dur / 60000L).toInt)
+    assert(frames.map(_.frame_idx).sorted.toSeq == (0 until frames.length).toSeq)
+    assert(frames.forall(f => f.ts_ms == f.frame_idx * 60000L))
+    assert(frames.forall(_.frame_bytes.nonEmpty))
+  }
+
   test("q42 aggregates decoded features per kind") {
     val rows = Multimodal.q42MultimodalMeta(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
