@@ -15,7 +15,7 @@ object Plans {
     "q05_multi_join", "q09_topk", "q19_bucketed_join",
     "q21_consume_from_offset", "q28_asof_join",
     "q31_dedup_minhash", "q33_ngram_jaccard", "q34_knn_brute", "q36_knn_lsh",
-    "q43_knn_ivf")
+    "q43_knn_ivf", "q44_bucketed_star", "q45_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

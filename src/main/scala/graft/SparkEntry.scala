@@ -9,10 +9,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextOps.queries ++ graft.multimodal.Multimodal.queries
+      Similarity.queries ++ TextOps.queries ++ Curate.queries ++
+      graft.multimodal.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ EventOps.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ TextOps.oracle
+      Similarity.oracle ++ TextOps.oracle ++ Curate.oracle
 }

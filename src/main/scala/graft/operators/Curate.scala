@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** End-to-end training-data curation: the composed pipeline a user of
+  * the reference engine would actually run over a crawled corpus —
+  * quality-score filter → language filter → exact dedup → per-source
+  * accounting. Each stage is one of the library operators (TextOps
+  * quality/langIdCol, Dedup.exactDedup); the composition stays fully
+  * declarative, so Catalyst fuses the quality and language projections
+  * into the scan and the only shuffles are the dedup groupBy and the
+  * final per-source rollup — at 100 TB: two shuffles total, both on
+  * small keys.
+  */
+object Curate {
+
+  private val EnStop = Seq("the", "a", "of", "and", "to")
+  private def sqlIn(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Curate any (doc_id, source, text) frame: keep documents with
+    * quality ≥ `minQuality`, predicted language `keepLang`, and a
+    * first-seen content hash; report per-source doc/token/quality
+    * totals. The quality formula and language argmax are exactly
+    * q39/q38's (oracle-replayable).
+    */
+  def curate(d: DataFrame, minQuality: Double = 0.45,
+             keepLang: String = "en"): DataFrame = {
+    val scored = d
+      .select(col("doc_id"), col("source"), col("text"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr(s"CAST(size(filter(toks, t -> t IN ${sqlIn(EnStop)})) AS BIGINT)").as("n_stop"),
+        TextOps.langIdCol(col("toks")).as("pred_lang"),
+        md5(col("text")).as("content_hash"))
+      .withColumn("quality_score", round(
+        lit(0.4) * least(col("n_tokens") / lit(100.0), lit(1.0)) +
+        lit(0.4) * (col("n_stop") / col("n_tokens")) +
+        lit(0.2) * (lit(1.0) - least(
+          abs((col("len") - col("n_tokens") + lit(1L)) / col("n_tokens") - lit(5.0)) / lit(10.0),
+          lit(1.0))), 6))
+    val keepers = d.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    scored
+      .join(keepers, "doc_id")
+      .filter(col("quality_score") >= minQuality && col("pred_lang") === keepLang)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        round(sum(col("quality_score").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_quality"))
+      .orderBy(col("source"))
+  }
+
+  /** q45 = curate(`documents`) at quality ≥ 0.45, English only. */
+  def q45Curate(spark: SparkSession, dir: String): DataFrame =
+    curate(Tables(spark, dir, "documents"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_curate" -> (q45Curate _)
+  )
+
+  private val markerValues =
+    TextOps.LangMarkers.map { case (t, l) => s"('$t', '$l')" }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q45_curate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(length(text) AS BIGINT) AS len,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len([tk FOR tk IN string_split(text, ' ') IF tk IN ${sqlIn(EnStop)}]) AS BIGINT) AS n_stop
+         |  FROM documents
+         |), q AS (
+         |  SELECT *, round(0.4 * least(n_tokens / 100.0, 1.0)
+         |      + 0.4 * (n_stop / n_tokens)
+         |      + 0.2 * (1.0 - least(abs((len - n_tokens + 1) / n_tokens - 5.0) / 10.0, 1.0)), 6) AS quality_score
+         |  FROM t
+         |), markers(tok, mlang) AS (VALUES $markerValues),
+         |scores AS (
+         |  SELECT doc_id, mlang, count(*) AS score
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) tt
+         |  JOIN markers USING (tok)
+         |  GROUP BY doc_id, mlang
+         |), best AS (
+         |  SELECT doc_id, mlang AS pred FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, mlang) AS rnk
+         |    FROM scores) WHERE rnk = 1
+         |), keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+         |FROM q
+         |JOIN keep USING (doc_id)
+         |LEFT JOIN best USING (doc_id)
+         |WHERE quality_score >= 0.45 AND coalesce(pred, 'und') = 'en'
+         |GROUP BY source ORDER BY source""".stripMargin
+  )
+}
