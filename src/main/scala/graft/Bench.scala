@@ -60,7 +60,12 @@ object Bench {
       val ok = xs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0 else ok(ok.size / 2)
     }
-    val results = names.map(n => n -> median((1 to runs).map(_ => run(sfDir, n))))
+    val raw = names.map(n => n -> (1 to runs).map(_ => run(sfDir, n)))
+    val results = raw.map { case (n, xs) => n -> median(xs) }
+    // a query that failed SOME runs still reports its successful median
+    // (the headline is not shrunk), but it must be visible and fatal —
+    // an intermittent OOM is a regression, not a lucky speedup
+    val flaky = raw.count { case (_, xs) => xs.exists(_ < 0) && xs.exists(_ >= 0) }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -68,8 +73,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // failures are reported explicitly AND fail the process: a broken
     // query must never shrink the headline number into a fake speedup
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
-    if (failures > 0) sys.exit(1)
+    if (failures > 0 || flaky > 0) sys.exit(1)
   }
 }

@@ -7,20 +7,33 @@ import org.apache.spark.sql.DataFrame
   * after materializing each query so a long-lived session never
   * accumulates dead cached RDDs (re-persisting the same subtree across
   * runs otherwise logs "Block already exists" and pins executor memory).
+  *
+  * The registry is keyed by the registering THREAD: two queries built
+  * concurrently on different threads of one session do not release each
+  * other's frames. Build and release a query on the same thread (the
+  * natural shape — Bench/Verify/spec harnesses are single-threaded per
+  * query).
   */
 object Caches {
-  private val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val live = new java.util.concurrent.ConcurrentHashMap[
+    Long, scala.collection.mutable.ArrayBuffer[DataFrame]]()
 
-  /** Persist `df` (MEMORY_AND_DISK) and track it for the next release. */
-  def persist(df: DataFrame): DataFrame = synchronized {
+  private def mine: scala.collection.mutable.ArrayBuffer[DataFrame] =
+    live.computeIfAbsent(Thread.currentThread().getId,
+      _ => scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+
+  /** Persist `df` (MEMORY_AND_DISK) and track it for the next release
+    * from this thread. */
+  def persist(df: DataFrame): DataFrame = {
     val p = df.persist()
-    live += p
+    mine.synchronized(mine += p)
     p
   }
 
-  /** Unpersist every frame persisted since the last release. */
-  def release(): Unit = synchronized {
-    live.foreach(_.unpersist(blocking = false))
-    live.clear()
+  /** Unpersist every frame persisted from this thread since its last
+    * release. */
+  def release(): Unit = {
+    val frames = live.remove(Thread.currentThread().getId)
+    if (frames != null) frames.foreach(_.unpersist(blocking = false))
   }
 }

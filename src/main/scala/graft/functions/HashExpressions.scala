@@ -124,21 +124,28 @@ object HashKernels {
   def sortedHash60(xs: ArrayData): ArrayData = {
     val n = xs.numElements()
     val out = new Array[Long](n)
+    var m = 0
     var i = 0
-    while (i < n) { out(i) = hash60(xs.getUTF8String(i).toString); i += 1 }
-    java.util.Arrays.sort(out)
+    // NULL elements are skipped (SQL users can pass arrays with null
+    // slots; a set has no null member) — not just a null top-level array
+    while (i < n) {
+      if (!xs.isNullAt(i)) { out(m) = hash60(xs.getUTF8String(i).toString); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(out, 0, m)
     // dedup in place (60-bit collisions are ~impossible but keep the
     // array a true set so the merge-intersect count stays exact)
     var w = 0
     i = 0
-    while (i < n) {
+    while (i < m) {
       if (w == 0 || out(w - 1) != out(i)) { out(w) = out(i); w += 1 }
       i += 1
     }
-    new GenericArrayData(if (w == n) out else java.util.Arrays.copyOf(out, w))
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
-  /** |A ∩ B| of two SORTED long arrays by linear merge. */
+  /** |A ∩ B| of two SORTED long arrays by linear merge. NULL elements
+    * (possible from SQL-constructed arrays) never match anything. */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -146,11 +153,15 @@ object HashKernels {
     var j = 0
     var c = 0
     while (i < na && j < nb) {
-      val x = a.getLong(i)
-      val y = b.getLong(j)
-      if (x < y) i += 1
-      else if (x > y) j += 1
-      else { c += 1; i += 1; j += 1 }
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x < y) i += 1
+        else if (x > y) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
     }
     c
   }

@@ -122,9 +122,14 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "image").mapPartitions { rows =>
       rows.map { m =>
-        StubCodec.imageDims(m.payload) match {
-          case Some((ow, oh)) =>
-            val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        // single decode: parse once and branch on the result (decode is
+        // this operator's dominant cost — never parse the bytes twice)
+        val decoded =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload)))
+          catch { case _: Exception => None }
+        decoded match {
+          case Some(src) =>
+            val (ow, oh) = (src.getWidth, src.getHeight)
             val dst = new java.awt.image.BufferedImage(w, h,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
             val g = dst.createGraphics()

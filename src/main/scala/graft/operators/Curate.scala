@@ -11,9 +11,9 @@ import graft.core.Tables
   * accounting. Each stage is one of the library operators (TextOps
   * quality/langIdCol, Dedup.exactDedup); the composition stays fully
   * declarative, so Catalyst fuses the quality and language projections
-  * into the scan and the only shuffles are the dedup groupBy and the
-  * final per-source rollup — at 100 TB: two shuffles total, both on
-  * small keys.
+  * into the scan and the only shuffles are the dedup window (on the
+  * 32-byte content hash) and the final per-source rollup — at 100 TB:
+  * one corpus scan, two shuffles, both on small keys.
   */
 object Curate {
 
@@ -43,11 +43,15 @@ object Curate {
         lit(0.2) * (lit(1.0) - least(
           abs((col("len") - col("n_tokens") + lit(1L)) / col("n_tokens") - lit(5.0)) / lit(10.0),
           lit(1.0))), 6))
-    val keepers = d.groupBy(md5(col("text")).as("content_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+    // dedup via a min-over-window on the content hash already computed in
+    // `scored` — ONE scan of the corpus for the whole pipeline (a separate
+    // keeper aggregate would rescan and re-hash every document)
+    val keepRank = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash")).orderBy(col("doc_id")))
     scored
-      .join(keepers, "doc_id")
+      .withColumn("keep_rank", keepRank)
+      .filter(col("keep_rank") === 1)
       .filter(col("quality_score") >= minQuality && col("pred_lang") === keepLang)
       .groupBy(col("source"))
       .agg(

@@ -206,15 +206,23 @@ object Dedup {
     // verify stage; released via Caches.release() after materialization.
     val ds = graft.core.Caches.persist(docSets(d, n))
     val sh = ds.select($"doc_id", explode($"shs").as("sh"))
-    // Inverted index as ONE groupBy: each rare shingle's sorted posting
-    // list generates its C(df,2) ordered pairs in-row. Output pairs are
-    // identical to the self-join formulation (all i<j combinations of
-    // the same posting sets — the oracle keeps that form), but the plan
-    // has 2 shuffles (postings groupBy + pair distinct) instead of 4
-    // (df groupBy + rare join + self-join + distinct), and the df cap
-    // bounds each row's expansion at C(20,2) = 190.
-    val cand = sh.groupBy($"sh").agg(sort_array(collect_list($"doc_id")).as("ds"))
-      .filter(size($"ds").between(dfMin, dfMax))
+    // Candidate pairs in two phases, both with BOUNDED aggregation state:
+    // (1) df per shingle — a constant-size count, safe even for an
+    //     ultra-common boilerplate shingle with df in the millions
+    //     (collecting postings before the df filter would buffer that
+    //     whole posting list in one aggregate row — an OOM at 100 TB);
+    // (2) postings collected ONLY for rare shingles (state ≤ dfMax
+    //     elements per key), each emitting its C(df,2) ≤ C(dfMax,2)
+    //     ordered pairs in-row. Output pairs are identical to the
+    //     self-join formulation (all i<j combinations of the same
+    //     posting sets — the oracle keeps that form), and the join on
+    //     `sh` leaves the data hash-partitioned by `sh`, so the
+    //     collect groupBy adds no extra Exchange.
+    val rare = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df".between(dfMin, dfMax))
+      .select($"sh")
+    val cand = sh.join(rare, "sh")
+      .groupBy($"sh").agg(sort_array(collect_list($"doc_id")).as("ds"))
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  transform(slice(ds, i + 2, size(ds)), y ->

@@ -224,6 +224,14 @@ class StreamLogWriteBuilder(root: String, stream: String) extends WriteBuilder {
 case class SegmentCommit(name: String, firstOffset: String, lastOffset: String,
                          records: Long, bytes: Long) extends WriterCommitMessage
 
+object StreamLogBatchWrite {
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** One monitor per stream directory: same-JVM commit serialization
+    * (nio file locks throw rather than wait within one JVM). */
+  private[sources] def commitMonitor(dir: String): Object =
+    monitors.computeIfAbsent(dir, _ => new Object)
+}
+
 class StreamLogBatchWrite(root: String, stream: String) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -242,31 +250,35 @@ class StreamLogBatchWrite(root: String, stream: String) extends BatchWrite {
     Files.createDirectories(dir)
     // The read-validate-append below must be atomic against OTHER bulk
     // loads: two concurrent commits could both validate against the same
-    // meta snapshot and append overlapping ranges. An OS file lock gives
-    // cross-process exclusion (same primitive whether the "processes" are
-    // two drivers or a driver and a test JVM). publish() remains
-    // single-writer by contract (class scaladoc) and replays the log on
-    // refresh(), so load-vs-publish serialization is the caller's job —
-    // matching the reference, where one Durable Object serializes all
-    // writes to a stream.
-    val lockCh = java.nio.channels.FileChannel.open(dir.resolve(".commit.lock"),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val lock = lockCh.lock()
+    // meta snapshot and append overlapping ranges. Two layers of
+    // exclusion, because java.nio file locks are per-JVM (a second
+    // lock() in the SAME JVM throws OverlappingFileLockException rather
+    // than waiting): a JVM-level monitor keyed by the stream directory
+    // serializes commits within one driver, and the OS file lock
+    // serializes across processes. publish() remains single-writer by
+    // contract (class scaladoc) and replays the log on refresh(), so
+    // load-vs-publish serialization is the caller's job — matching the
+    // reference, where one Durable Object serializes all writes.
+    StreamLogBatchWrite.commitMonitor(dir.toString).synchronized {
+      val lockCh = java.nio.channels.FileChannel.open(dir.resolve(".commit.lock"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
       try {
-        val st = MetaLog.replay(dir.resolve("meta.jsonl"))
-        st.index.max.foreach { m =>
-          require(m.lastOffset < segs.head.firstOffset,
-            s"bulk load overlaps existing log: last=${m.lastOffset} incoming=${segs.head.firstOffset}")
-        }
-        val now = System.currentTimeMillis()
-        val lines = segs.map(s => graft.streamlog.MetaJson.add(
-          SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes)))
-        Files.write(dir.resolve("meta.jsonl"),
-          lines.mkString("", "\n", "\n").getBytes(UTF_8),
-          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-      } finally lock.release()
-    } finally lockCh.close()
+        val lock = lockCh.lock()
+        try {
+          val st = MetaLog.replay(dir.resolve("meta.jsonl"))
+          st.index.max.foreach { m =>
+            require(m.lastOffset < segs.head.firstOffset,
+              s"bulk load overlaps existing log: last=${m.lastOffset} incoming=${segs.head.firstOffset}")
+          }
+          val now = System.currentTimeMillis()
+          val lines = segs.map(s => graft.streamlog.MetaJson.add(
+            SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes)))
+          Files.write(dir.resolve("meta.jsonl"),
+            lines.mkString("", "\n", "\n").getBytes(UTF_8),
+            java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+        } finally lock.release()
+      } finally lockCh.close()
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

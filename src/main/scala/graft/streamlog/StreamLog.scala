@@ -193,8 +193,11 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     var res = consume(after, limit)
     while (res.isEmpty && System.currentTimeMillis() < deadline) {
       val remaining = deadline - System.currentTimeMillis()
+      // wait(0) means wait-forever: clamp to ≥ 1 ms so intervalMs = 0
+      // still honors the deadline (degrades to a near-busy poll)
+      val waitMs = math.max(1L, math.min(intervalMs, remaining))
       if (remaining > 0)
-        flushMonitor.synchronized(flushMonitor.wait(math.min(intervalMs, remaining)))
+        flushMonitor.synchronized(flushMonitor.wait(waitMs))
       res = consume(after, limit)
     }
     res
@@ -274,13 +277,15 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     * younger than `graceMs` are never collected, so segments moved into
     * place but not yet committed survive until their commit lands (or
     * until they are genuinely abandoned and age past the grace period).
+    * The grace comparison uses the REAL wall clock (file mtimes are
+    * wall-clock stamps, so an injected test clock would make every file
+    * look forever-young and orphans would never be collected).
     */
-  def purgeOrphans(graceMs: Long = 300000L,
-                   nowMs: () => Long = () => System.currentTimeMillis()): Seq[String] = {
+  def purgeOrphans(graceMs: Long = 300000L): Seq[String] = {
     load() // pick up commits from external writers (e.g. DSv2 bulk load)
     if (!Files.isDirectory(segmentDir)) return Seq.empty
     val referenced = index.segments.map(_.name).toSet ++ tombstones.keySet
-    val cutoff = nowMs() - graceMs
+    val cutoff = System.currentTimeMillis() - graceMs
     val orphans = listDir(segmentDir)
       .filter { p =>
         val f = p.getFileName.toString
@@ -363,7 +368,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     val merged = Iterator.continually(compactAll(limits, nowMs))
       .takeWhile(_.nonEmpty).flatten.toVector
     val cleaned = cleanTombstones(tombstoneMaxAgeMs, nowMs)
-    val orphans = purgeOrphans(orphanGraceMs, nowMs)
+    val orphans = purgeOrphans(orphanGraceMs)
     StreamLog.MaintenanceReport(merged, cleaned, orphans)
   }
 
