@@ -82,11 +82,40 @@ class StreamLogTable(root: String, stream: String, after: Option[String])
 }
 
 class StreamLogScanBuilder(root: String, stream: String, after: Option[String])
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   // exclusive lower bound accumulated from the option + pushed filters
   private var lowerBound: String = after.getOrElse(Offset.Beginning)
   private var pushed: Array[Filter] = Array.empty
+  private var limitHint: Option[Int] = None
+
+  /** Plain LIMIT: any n rows satisfy it, so reading a metadata-counted
+    * prefix of segments is safe. Partial push — Spark still applies the
+    * exact limit; we only avoid opening provably-unneeded segments.
+    */
+  override def pushLimit(l: Int): Boolean = {
+    limitHint = Some(l)
+    false // partial: the scan prunes, Spark enforces
+  }
+
+  /** ORDER BY offset ASC LIMIT n (the consume-with-limit shape):
+    * records are globally offset-ordered across the non-overlapping,
+    * sorted segments, so the first segments holding ≥ n
+    * guaranteed-qualifying records contain the n smallest offsets.
+    * Only ascending offset order is prunable; anything else declines.
+    */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    val ascOffset = orders.length == 1 && (orders(0).expression() match {
+      case ref: org.apache.spark.sql.connector.expressions.NamedReference =>
+        ref.fieldNames.sameElements(Array("offset")) &&
+          orders(0).direction() == SortDirection.ASCENDING
+      case _ => false
+    })
+    if (ascOffset) limitHint = Some(l)
+    ascOffset
+  }
+  override def isPartiallyPushed(): Boolean = true // Spark keeps the TopN/Limit
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def raise(bound: String): Unit =
@@ -116,22 +145,42 @@ class StreamLogScanBuilder(root: String, stream: String, after: Option[String])
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new StreamLogScan(root, stream, lowerBound)
+  override def build(): Scan = new StreamLogScan(root, stream, lowerBound, limitHint)
 }
 
-class StreamLogScan(root: String, stream: String, lowerBound: String)
+class StreamLogScan(root: String, stream: String, lowerBound: String,
+                    limitHint: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = StreamLogTable.Schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"StreamLogScan($root/$stream, after=$lowerBound)"
+    s"StreamLogScan($root/$stream, after=$lowerBound" +
+      limitHint.map(l => s", limit=$l").getOrElse("") + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = Paths.get(root, stream)
     val st = MetaLog.replay(dir.resolve("meta.jsonl"))
     // THE pruning step: only segments whose range can intersect survive
-    st.index.segmentsAfter(lowerBound)
+    val segs = st.index.segmentsAfter(lowerBound)
+    // limit/top-N pruning on metadata record counts: stop once the
+    // GUARANTEED-qualifying records (everything in segments strictly
+    // after the first intersecting one — those are entirely > the bound;
+    // the first segment counts only when unbounded) reach the limit
+    val kept = limitHint match {
+      case Some(l) =>
+        val out = Seq.newBuilder[SegmentMeta]
+        var guaranteed = 0L
+        var i = 0
+        while (i < segs.length && guaranteed < l) {
+          out += segs(i)
+          if (i > 0 || lowerBound == Offset.Beginning) guaranteed += segs(i).records
+          i += 1
+        }
+        out.result()
+      case None => segs
+    }
+    kept
       .map(m => StreamLogPartition(
         dir.resolve("segments").resolve(m.name).toString, lowerBound, ""): InputPartition)
       .toArray

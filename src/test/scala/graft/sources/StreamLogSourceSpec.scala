@@ -51,6 +51,42 @@ class StreamLogSourceSpec extends SparkSpec {
     log.destroy()
   }
 
+  test("limit and top-n push down: metadata record counts prune segments") {
+    val log = freshLog()
+    val c = clock
+    // 10 segments x 5 records
+    val all = (1 to 10).flatMap(_ => log.publish((1 to 5).map(i => s"""{"i":$i}"""), nowMs = c))
+    def df = spark.read.format("streamlog")
+      .option("path", log.streamDir.getParent.toString)
+      .option("stream", log.name).load()
+
+    // ORDER BY offset LIMIT 12: the 12 smallest offsets live in the first
+    // 3 segments (5+5+5 >= 12) — the scan must plan exactly 3 partitions
+    val topn = df.orderBy("offset").limit(12)
+    assert(topn.collect().map(_.getString(0)).toSeq == all.take(12))
+    val scan = topn.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.inputRDD.getNumPartitions == 3,
+      s"expected 3 segments planned, got ${scan.inputRDD.getNumPartitions}")
+
+    // bare LIMIT (no order): any 7 rows qualify -> 2 segments suffice
+    val lim = df.limit(7)
+    assert(lim.collect().length == 7)
+    val scanL = lim.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scanL.inputRDD.getNumPartitions == 2)
+
+    // with an offset bound, the first intersecting segment is partial and
+    // must not count toward the guarantee: limit 5 after the first record
+    // needs segments until 5 FULLY-qualifying records accumulate (seg 1
+    // partial + seg 2's five) = 2 segments
+    val bounded = df.filter(col("offset") > all.head).orderBy("offset").limit(5)
+    assert(bounded.collect().map(_.getString(0)).toSeq == all.slice(1, 6))
+    log.destroy()
+  }
+
   test("connector agrees with StreamLog.consume after compaction") {
     val log = freshLog()
     val c = clock
