@@ -120,7 +120,7 @@ object EventOps {
         $"event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        sum(dec($"value")).cast("double").as("sum_value"))
+        round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
       .select(
         unix_millis($"w.start").as("hour_ms"),
         $"event_type", $"n_events", $"sum_value")
@@ -156,7 +156,7 @@ object EventOps {
         count(lit(1)).as("n_events"),
         min($"e_ms").as("start_ms"),
         max($"e_ms").as("end_ms"),
-        sum(dec($"value")).cast("double").as("sum_value"))
+        round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
       .orderBy($"user_id", $"session_idx")
   }
 
@@ -314,7 +314,7 @@ object EventOps {
       .agg(
         count(lit(1)).as("n_pairs"),
         min($"buy_ms" - $"err_ms").as("min_delay_ms"),
-        sum(dec($"value")).cast("double").as("sum_value"))
+        round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
       .orderBy($"user_id")
   }
 
@@ -332,7 +332,7 @@ object EventOps {
       .withColumn("k_bucket", ($"k" / 10L).cast("long") * 10L)
       .groupBy($"k_bucket")
       .agg(count(lit(1)).as("n_events"),
-        sum($"v").cast("double").as("sum_value"))
+        round(sum($"v").cast("double"), 4).as("sum_value"))
       .orderBy($"k_bucket")
   }
 
@@ -354,7 +354,7 @@ object EventOps {
     "q15_json" ->
       """SELECT (CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) // 10) * 10 AS k_bucket,
         |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q28_asof_join" ->
       """WITH base AS (SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS e_ms FROM events),
@@ -378,7 +378,7 @@ object EventOps {
       """WITH base AS (SELECT user_id, event_type, value, epoch_ms(ts) AS e_ms FROM events)
         |SELECT p.user_id, count(*) AS n_pairs,
         |  min(p.e_ms - e.e_ms) AS min_delay_ms,
-        |  CAST(sum(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  round(CAST(sum(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
         |FROM (SELECT * FROM base WHERE event_type = 'purchase') p
         |JOIN (SELECT * FROM base WHERE event_type = 'error') e
         |  ON p.user_id = e.user_id AND p.e_ms >= e.e_ms AND p.e_ms <= e.e_ms + 300000
@@ -400,7 +400,7 @@ object EventOps {
     "q23_tumbling" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q24_sessionize" ->
@@ -419,7 +419,7 @@ object EventOps {
         |)
         |SELECT user_id, CAST(session_idx_raw AS BIGINT) AS session_idx, count(*) AS n_events,
         |  min(e_ms) AS start_ms, max(e_ms) AS end_ms,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
         |FROM numbered
         |GROUP BY user_id, session_idx_raw
         |ORDER BY user_id, session_idx""".stripMargin,

@@ -34,10 +34,10 @@ object Relational {
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
-        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
-          .cast("double").as("sum_disc_price"),
+        round(sum(dec($"l_quantity")).cast("double"), 4).as("sum_qty"),
+        round(sum(dec($"l_extendedprice")).cast("double"), 4).as("sum_base_price"),
+        round(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+          .cast("double"), 4).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -68,7 +68,7 @@ object Relational {
       .join(broadcast(part), $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand")
       .agg(
-        sum(dec($"l_extendedprice")).cast("double").as("revenue"),
+        round(sum(dec($"l_extendedprice")).cast("double"), 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"p_brand")
   }
@@ -87,7 +87,7 @@ object Relational {
       .groupBy($"o_orderpriority")
       .agg(
         countDistinct($"o_orderkey").as("n_orders"),
-        sum(dec($"l_extendedprice")).cast("double").as("revenue"))
+        round(sum(dec($"l_extendedprice")).cast("double"), 4).as("revenue"))
       .orderBy($"o_orderpriority")
   }
 
@@ -114,8 +114,8 @@ object Relational {
         $"c_nationkey" === $"n_nationkey")),
         $"o_custkey" === $"c_custkey" && $"s_nationkey" === $"c_nationkey")
       .groupBy($"n_name")
-      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
-        .cast("double").as("revenue"))
+      .agg(round(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+        .cast("double"), 4).as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
   }
 
@@ -164,7 +164,7 @@ object Relational {
       .groupBy($"o_orderpriority")
       .agg(
         countDistinct($"o_orderkey").as("n_orders"),
-        sum(dec($"l_extendedprice")).cast("double").as("revenue"))
+        round(sum(dec($"l_extendedprice")).cast("double"), 4).as("revenue"))
       .orderBy($"o_orderpriority")
   }
 
@@ -196,8 +196,8 @@ object Relational {
         $"c_nationkey" === $"n_nationkey")),
         $"o_custkey" === $"c_custkey" && $"s_nationkey" === $"c_nationkey")
       .groupBy($"n_name")
-      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
-        .cast("double").as("revenue"))
+      .agg(round(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+        .cast("double"), 4).as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
   }
 
@@ -215,7 +215,7 @@ object Relational {
         $"o_custkey", $"o_orderkey",
         row_number().over(byDate).as("rn"),
         rank().over(byPrice).as("price_rank"),
-        sum(dec($"o_totalprice")).over(byDate).cast("double").as("running_spend"))
+        round(sum(dec($"o_totalprice")).over(byDate).cast("double"), 4).as("running_spend"))
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
@@ -273,7 +273,7 @@ object Relational {
     Tables(spark, dir, "lineitem")
       .rollup($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        round(sum(dec($"l_quantity")).cast("double"), 4).as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
@@ -322,7 +322,7 @@ object Relational {
     Tables(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
       .pivot("l_linestatus", Seq("F", "O"))
-      .agg(sum(dec($"l_extendedprice")).cast("double"))
+      .agg(round(sum(dec($"l_extendedprice")).cast("double"), 4))
       .select($"l_returnflag",
         coalesce($"F", lit(0.0)).as("rev_f"),
         coalesce($"O", lit(0.0)).as("rev_o"))
@@ -351,7 +351,7 @@ object Relational {
     import spark.implicits._
     Tables(spark, dir, "lineitem")
       .cube($"l_returnflag", $"l_linestatus")
-      .agg(sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+      .agg(round(sum(dec($"l_quantity")).cast("double"), 4).as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
@@ -378,7 +378,7 @@ object Relational {
       .filter(dec($"l_quantity") * $"cnt_p" * lit(5) < $"sum_qty_p")
       .agg(
         count(lit(1)).as("n_small"),
-        sum(dec($"l_extendedprice")).cast("double").as("sum_price"))
+        round(sum(dec($"l_extendedprice")).cast("double"), 4).as("sum_price"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -406,7 +406,7 @@ object Relational {
     "q16_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -419,13 +419,13 @@ object Relational {
         |  FROM lineitem GROUP BY 1
         |)
         |SELECT count(*) AS n_small,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
         |FROM lineitem JOIN pa ON l_partkey = p_key
         |WHERE CAST(l_quantity AS DECIMAL(18,4)) * cnt_p * 5 < sum_qty_p""".stripMargin,
     "q13_pivot" ->
       """SELECT l_returnflag,
-        |  coalesce(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS rev_f,
-        |  coalesce(CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS rev_o
+        |  coalesce(round(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE), 4), 0.0) AS rev_f,
+        |  coalesce(round(CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE), 4), 0.0) AS rev_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q14_set_ops" ->
       """WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000.0),
@@ -436,9 +436,9 @@ object Relational {
         |ORDER BY cohort, o_custkey""".stripMargin,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -451,7 +451,7 @@ object Relational {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q03_join_broadcast" ->
       """SELECT p_brand,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
@@ -459,7 +459,7 @@ object Relational {
     "q04_join_shuffle" ->
       """SELECT o_orderpriority,
         |  count(DISTINCT o_orderkey) AS n_orders,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
@@ -468,13 +468,13 @@ object Relational {
     "q19_bucketed_join" ->
       """SELECT o_orderpriority,
         |  count(DISTINCT o_orderkey) AS n_orders,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q05_multi_join" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS revenue
         |FROM region
         |JOIN nation ON n_regionkey = r_regionkey
         |JOIN customer ON c_nationkey = n_nationkey
@@ -489,7 +489,7 @@ object Relational {
     // q44 computes exactly q05's result over bucketed fact copies
     "q44_bucketed_star" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS revenue
         |FROM region
         |JOIN nation ON n_regionkey = r_regionkey
         |JOIN customer ON c_nationkey = n_nationkey
@@ -505,7 +505,7 @@ object Relational {
       """SELECT o_custkey, o_orderkey,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
         |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE), 4) AS running_spend
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q07_distinct" ->
@@ -535,7 +535,7 @@ object Relational {
     "q10_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
