@@ -83,12 +83,37 @@ class StreamLogTable(root: String, stream: String, after: Option[String])
 
 class StreamLogScanBuilder(root: String, stream: String, after: Option[String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   // exclusive lower bound accumulated from the option + pushed filters
   private var lowerBound: String = after.getOrElse(Offset.Beginning)
   private var pushed: Array[Filter] = Array.empty
   private var limitHint: Option[Int] = None
+  private var countStar: Boolean = false
+
+  /** Ungrouped COUNT(*) with no offset bound is answered ENTIRELY from
+    * segment metadata (the record counts the compaction planner already
+    * maintains — the reference answers the same question from its meta
+    * endpoint): complete pushdown, zero files opened. Any bound, group,
+    * or other aggregate declines and scans normally.
+    */
+  private def isPlainCountStar(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    lowerBound == Offset.Beginning &&
+      agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    isPlainCountStar(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (isPlainCountStar(agg)) { countStar = true; true } else false
+  }
 
   /** Plain LIMIT: any n rows satisfy it, so reading a metadata-counted
     * prefix of segments is safe. Partial push — Spark still applies the
@@ -145,7 +170,38 @@ class StreamLogScanBuilder(root: String, stream: String, after: Option[String])
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new StreamLogScan(root, stream, lowerBound, limitHint)
+  override def build(): Scan =
+    if (countStar) new StreamLogCountScan(root, stream)
+    else new StreamLogScan(root, stream, lowerBound, limitHint)
+}
+
+/** Metadata-only COUNT(*): one partition emitting one row with the sum
+  * of every live segment's record count. No segment file is opened.
+  */
+class StreamLogCountScan(root: String, stream: String) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"StreamLogCountScan($root/$stream, metadata-only)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val st = MetaLog.replay(Paths.get(root, stream).resolve("meta.jsonl"))
+    Array(StreamLogCountPartition(st.index.segments.map(_.records).sum))
+  }
+  override def createReaderFactory(): PartitionReaderFactory = StreamLogCountReaderFactory
+}
+
+case class StreamLogCountPartition(count: Long) extends InputPartition
+
+object StreamLogCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      private val row = InternalRow(p.asInstanceOf[StreamLogCountPartition].count)
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 class StreamLogScan(root: String, stream: String, lowerBound: String,

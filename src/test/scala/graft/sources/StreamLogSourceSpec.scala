@@ -87,6 +87,29 @@ class StreamLogSourceSpec extends SparkSpec {
     log.destroy()
   }
 
+  test("count(*) is answered from segment metadata without opening files") {
+    val log = freshLog()
+    val c = clock
+    (1 to 6).foreach(_ => log.publish((1 to 4).map(i => s"""{"i":$i}"""), nowMs = c))
+    def df = spark.read.format("streamlog")
+      .option("path", log.streamDir.getParent.toString)
+      .option("stream", log.name).load()
+    val counted = df.agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)))
+    assert(counted.head().getLong(0) == 24)
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("StreamLogCountScan"),
+      s"count(*) must plan the metadata-only scan:\n$plan")
+    // a bounded count cannot use metadata (partial first segment) — it
+    // must fall back to the record scan and still be exact
+    val someOffset = log.consume(Offset.Beginning, 5).last._1
+    val bounded = df.filter(col("offset") > someOffset)
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+    assert(bounded.head().getLong(0) == 19)
+    assert(!bounded.queryExecution.executedPlan.toString.contains("StreamLogCountScan"))
+    log.destroy()
+  }
+
   test("connector agrees with StreamLog.consume after compaction") {
     val log = freshLog()
     val c = clock
