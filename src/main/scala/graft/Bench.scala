@@ -9,15 +9,23 @@ import org.apache.spark.sql.SparkSession
   * nothing collected to the driver) — `count()` would let Catalyst prune
   * work a real consumer pays for. One warm pass at sf0.001 first so JVM/
   * codegen warm-up isn't billed to the first query. Each query then runs
-  * SPARK_GRAFT_BENCH_RUNS times (default 3) at the bench SF and reports
+  * SPARK_GRAFT_BENCH_RUNS times (default 5) at the bench SF and reports
   * the per-query MEDIAN — single runs at these durations are too noisy
-  * to steer optimization (VERDICT r1 item 3).
+  * to steer optimization (VERDICT r1 item 3), and n=3 medians still let
+  * one slow outlier through often enough to fake a regression on an
+  * untouched query (VERDICT r2 item 1 bisect) — n=5 runs with every raw
+  * sample dumped to stderr makes noise visible instead of argued about.
+  *
+  * SPARK_GRAFT_BENCH_ONLY=q08_semi_anti,q10_rollup restricts the run to
+  * a comma-separated subset (bisecting; the JSON contract is unchanged).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,18 +35,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(dir: String, name: String): Double = {
+    // process CPU alongside wall time: machine contention during a bench
+    // pass inflates wall but not CPU (the BENCH_r02 q08 "regression"
+    // signature — shuffle-heavy queries 3-9x slower on the driver pass,
+    // CPU-bound kernels unchanged, nothing reproducible locally at n=5)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def run(dir: String, name: String): (Double, Double) = {
       val t0 = System.nanoTime()
+      val c0 = osBean.getProcessCpuTime
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        return (-1.0, -1.0)
       } finally {
         graft.core.Caches.release() // queries persist() reused subtrees;
         spark.catalog.clearCache()  // don't let dead cache skew timings
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
     }
 
     // warm-up at the smallest sibling SF of the bench dir (JIT + codegen
@@ -55,12 +70,22 @@ object Bench {
     graft.operators.Relational.ensureBucketedTables(spark, sfDir)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(run(warmDir, _))
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0 else ok(ok.size / 2)
     }
-    val raw = names.map(n => n -> (1 to runs).map(_ => run(sfDir, n)))
+    val rawBoth = names.map(n => n -> (1 to runs).map(_ => run(sfDir, n)))
+    val raw = rawBoth.map { case (n, xs) => n -> xs.map(_._1) }
+    // every raw sample (wall + process-CPU) to stderr: a noisy median
+    // shows up as spread here — and contention shows up as wall growing
+    // while cpu stays flat — instead of as a phantom regression in
+    // round-over-round comparisons
+    rawBoth.foreach { case (n, xs) =>
+      System.err.println(s"[bench] $n wall=[${xs.map(t => f"${t._1}%.2f").mkString(",")}]" +
+        s" cpu=[${xs.map(t => f"${t._2}%.2f").mkString(",")}]")
+    }
     val results = raw.map { case (n, xs) => n -> median(xs) }
     // a query that failed SOME runs still reports its successful median
     // (the headline is not shrunk), but it must be visible and fatal —

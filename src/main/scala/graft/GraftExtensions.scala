@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, MinHashSigs, RollingMinHash, SimHash60, SortedHashes, SortedIntersectCount, WordShingles}
+import graft.functions.{DotProduct, MinHashSigs, PostingPairs, RollingMinHash, SimHash60, SortedHashes, SortedIntersectCount, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the native expressions
   * available to SQL users —
@@ -20,6 +20,7 @@ import graft.functions.{DotProduct, MinHashSigs, RollingMinHash, SimHash60, Sort
   *   simhash60(ARRAY<STRING>)                      -> BIGINT
   *   sorted_hashes(ARRAY<STRING>)                  -> ARRAY<BIGINT>
   *   sorted_intersect_count(ARRAY<BIGINT>, ARRAY<BIGINT>) -> INT
+  *   posting_pairs(ARRAY<STRUCT>, tau)             -> ARRAY<STRUCT> (i<j pairs)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -32,6 +33,13 @@ object GraftFunctions {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal INT, got $other")
+  }
+
+  private def doubleLit(e: Expression, fn: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal DOUBLE, got $other")
   }
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -55,7 +63,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => SortedHashes(es(0))),
     (FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
-      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
+    (FunctionIdentifier("posting_pairs"),
+      new ExpressionInfo(classOf[PostingPairs].getName, "posting_pairs"),
+      (es: Seq[Expression]) => PostingPairs(es(0), doubleLit(es(1), "posting_pairs"))))
 
   /** Imperative registration on an already-built session. */
   def register(spark: SparkSession): Unit = {

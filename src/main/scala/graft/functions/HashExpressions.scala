@@ -166,6 +166,47 @@ object HashKernels {
     c
   }
 
+  /** All ordered posting-list pairs that survive the Jaccard size
+    * filter, in one call per inverted-index key: input is the sorted
+    * posting array struct<doc_id, n_sh, n_rare>, output one
+    * struct<doc_a, doc_b, na, nb, ra, rb> per i<j combination with
+    * min(na,nb) + 1e-9 ≥ τ·max(na,nb) (pairs failing that provably fail
+    * J ≥ τ, since shared ≤ min — the slack means float rounding can only
+    * KEEP a pair). Replaces a nested interpreted transform/slice lambda
+    * (~µs per emitted element) with a tight loop; posting lists are df-
+    * capped upstream so the per-call emission is bounded by C(dfMax, 2).
+    */
+  def postingPairs(ps: ArrayData, tau: Double): ArrayData = {
+    val n = ps.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val ids = new Array[Long](n)
+    val ns = new Array[Int](n)
+    val rs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = ps.getStruct(i, 3)
+      ids(i) = r.getLong(0); ns(i) = r.getInt(1); rs(i) = r.getLong(2)
+      i += 1
+    }
+    val out = new java.util.ArrayList[Any](n * (n - 1) / 2)
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val na = ns(i)
+        val nb = ns(j)
+        val mn = if (na < nb) na else nb
+        val mx = if (na < nb) nb else na
+        if (mn + 1e-9 >= tau * mx)
+          out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](ids(i), ids(j), na, nb, rs(i), rs(j))))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Min hash60 over all k-char rolling windows of `s` (q41's
     * fingerprint); Long.MaxValue signals "shorter than k" (mapped to
     * NULL by the expression).
@@ -307,6 +348,42 @@ case class SortedHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Ordered size-filter-surviving pairs of a sorted posting list
+  * ARRAY<STRUCT<doc_id BIGINT, n_sh INT, n_rare BIGINT>>.
+  */
+case class PostingPairs(child: Expression, tau: Double)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+        StructField(_, LongType, _, _),
+        StructField(_, IntegerType, _, _),
+        StructField(_, LongType, _, _))), _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      "posting_pairs requires ARRAY<STRUCT<BIGINT, INT, BIGINT>>, got " +
+        t.simpleString)
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("na", IntegerType, nullable = false),
+    StructField("nb", IntegerType, nullable = false),
+    StructField("ra", LongType, nullable = false),
+    StructField("rb", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "posting_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.postingPairs(input.asInstanceOf[ArrayData], tau)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.postingPairs($c, $tau)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** |A ∩ B| of two sorted ARRAY<LONG> sets (linear merge, no allocation). */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -350,4 +427,6 @@ object HashFunctions {
     bridge.column(SortedHashes(bridge.expression(xs)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     bridge.column(SortedIntersectCount(bridge.expression(a), bridge.expression(b)))
+  def postingPairs(ps: Column, tau: Double): Column =
+    bridge.column(PostingPairs(bridge.expression(ps), tau))
 }

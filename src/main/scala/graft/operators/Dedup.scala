@@ -19,18 +19,16 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
-  /** doc_id + the document's distinct word-3-gram shingle SET, twice:
-    * `shs` as strings (kernel-deduped — what the q33 inverted index
-    * explodes and the oracle replays) and `hs` as the SORTED 60-bit hash
-    * set (what the verify stage ships and intersects — ~6× smaller rows,
-    * and pair intersection is an allocation-free merge). Callers select
-    * the column(s) they need; Catalyst prunes the other kernel away.
+  /** doc_id + the document's distinct word-3-gram shingle set as `hs`,
+    * the SORTED 60-bit hash set (both the inverted index and the verify
+    * stage run on hashes — ~6× smaller rows than the strings the oracle
+    * replays, and pair intersection is an allocation-free merge).
     */
   private def docSets(d: DataFrame, n: Int = 3): DataFrame = {
     val shs = graft.functions.HashFunctions.wordShingles(col("toks"), n)
     d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), shs.as("shs"),
+      .select(col("doc_id"),
         graft.functions.HashFunctions.sortedHashes(shs).as("hs"))
   }
 
@@ -198,6 +196,30 @@ object Dedup {
     * (document frequency in [dfMin, dfMax] — the df cap keeps candidate
     * generation sub-quadratic at scale), verified with exact Jaccard ≥
     * `tau` over the full sets. Output: (doc_a, doc_b, jaccard), ordered.
+    *
+    * The index runs on the 60-bit shingle HASHES (`hs`), not the strings:
+    * df-counting and posting collection shuffle 8-byte longs instead of
+    * ~25-byte shingle strings. Equivalent to the oracle's string index
+    * unless two distinct corpus shingles collide in 60 bits (probability
+    * ≲ V²/2⁶¹ for vocabulary V — the same accepted-odds argument as the
+    * hash-set verify below, which has always intersected these hashes).
+    *
+    * Candidate pairs are cut with two filters that are provably output-
+    * neutral — each dropped pair FAILS J ≥ τ, so it would be dropped by
+    * the verify anyway (the oracle keeps the unfiltered form):
+    *  - size filter: shared ≤ min(na,nb), so J ≥ τ forces
+    *    min(na,nb) ≥ τ·max(na,nb);
+    *  - count filter (PPJoin-family): the per-pair count `cnt` of shared
+    *    RARE shingles is exact (each shared rare shingle contributes one
+    *    posting pair), and a shared non-rare shingle is non-rare in both
+    *    docs, so shared ≤ cnt + min(na−ra, nb−rb) where ra/rb are the
+    *    docs' rare-shingle counts. J ≥ τ ⟺ shared ≥ τ/(1+τ)·(na+nb);
+    *    pairs whose bound can't reach that are dropped before the verify
+    *    joins ever see them. (Both filters carry a 1e-9 slack so float
+    *    rounding can only keep a pair, never drop one.)
+    * On the synthetic corpus at sf0.1 this cuts 1 119 733 candidates to
+    * the 256 that pass verification — the verify joins ship 256 pairs of
+    * hash sets instead of 1.1 M.
     */
   def ngramJaccardJoin(d: DataFrame, n: Int = 3, dfMin: Int = 2,
                        dfMax: Int = 20, tau: Double = 0.3): DataFrame = {
@@ -205,30 +227,42 @@ object Dedup {
     // persisted: the shingle-set arrays feed the inverted index and the
     // verify stage; released via Caches.release() after materialization.
     val ds = graft.core.Caches.persist(docSets(d, n))
-    val sh = ds.select($"doc_id", explode($"shs").as("sh"))
+    val sh = ds.select($"doc_id", size($"hs").as("n_sh"), explode($"hs").as("h"))
     // Candidate pairs in two phases, both with BOUNDED aggregation state:
-    // (1) df per shingle — a constant-size count, safe even for an
+    // (1) df per shingle hash — a constant-size count, safe even for an
     //     ultra-common boilerplate shingle with df in the millions
     //     (collecting postings before the df filter would buffer that
     //     whole posting list in one aggregate row — an OOM at 100 TB);
     // (2) postings collected ONLY for rare shingles (state ≤ dfMax
     //     elements per key), each emitting its C(df,2) ≤ C(dfMax,2)
-    //     ordered pairs in-row. Output pairs are identical to the
-    //     self-join formulation (all i<j combinations of the same
-    //     posting sets — the oracle keeps that form), and the join on
-    //     `sh` leaves the data hash-partitioned by `sh`, so the
-    //     collect groupBy adds no extra Exchange.
-    val rare = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    //     ordered pairs in-row, and the join on `h` leaves the data
+    //     hash-partitioned by `h`, so the collect groupBy adds no extra
+    //     Exchange.
+    val rare = sh.groupBy($"h").agg(count(lit(1)).as("df"))
       .filter($"df".between(dfMin, dfMax))
-      .select($"sh")
-    val cand = sh.join(rare, "sh")
-      .groupBy($"sh").agg(sort_array(collect_list($"doc_id")).as("ds"))
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y ->
-          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
-      .select($"p.doc_a", $"p.doc_b")
-      .distinct()
+      .select($"h")
+    // persisted: the rare-pruned index (narrow long rows, ≤ dfMax ·
+    // |rare| of them) feeds the per-doc rare counts AND the postings —
+    // un-persisted it would re-run the df aggregation twice
+    val shRare = graft.core.Caches.persist(sh.join(rare, "h"))
+    // per-doc rare-shingle count: aggregates ONLY rare occurrences,
+    // then rides along in the postings
+    val nrare = shRare.groupBy($"doc_id").agg(count(lit(1)).as("n_rare"))
+    val pairs = shRare.join(nrare, "doc_id")
+      .groupBy($"h").agg(sort_array(
+        collect_list(struct($"doc_id", $"n_sh", $"n_rare"))).as("ps"))
+      // pair emission + size filter in ONE codegen kernel call per
+      // posting list (an interpreted transform/slice lambda here costs
+      // ~µs per emitted element — the kernel is the q33 hot path)
+      .select(explode(
+        graft.functions.HashFunctions.postingPairs($"ps", tau)).as("p"))
+      .select($"p.doc_a", $"p.doc_b", $"p.na", $"p.nb", $"p.ra", $"p.rb")
+    val cand = pairs
+      .groupBy($"doc_a", $"doc_b", $"na", $"nb", $"ra", $"rb")
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" + least($"na" - $"ra", $"nb" - $"rb") + lit(1e-9) >=
+        lit(tau / (1 + tau)) * ($"na" + $"nb"))
+      .select($"doc_a", $"doc_b")
     verifiedJaccard(cand, ds, tau)
   }
 

@@ -32,6 +32,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(1) != 0L) // exact value covered by Dedup oracle parity
     assert(r.getSeq[Long](2) == Seq("p", "q").map(HashKernels.hash60).sorted)
     assert(r.getInt(3) == 2)
+    // posting_pairs: i<j pairs surviving the τ size filter — of the three
+    // pairs only (1,3) has min(n)/max(n) ≥ 0.5 (10/12; 10/40 and 12/40 fail)
+    val pp = spark.sql(
+      """SELECT posting_pairs(
+        |  array(struct(1L, 10, 3L), struct(2L, 40, 5L), struct(3L, 12, 4L)),
+        |  0.5D) AS ps""".stripMargin).head()
+    val rows = pp.getSeq[org.apache.spark.sql.Row](0)
+    assert(rows.map(p => (p.getLong(0), p.getLong(1), p.getInt(2), p.getInt(3),
+      p.getLong(4), p.getLong(5))) == Seq((1L, 3L, 10, 12, 3L, 4L)))
   }
 
   test("extensions class injects the same functions into a fresh session") {
@@ -39,7 +48,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val extensions = new org.apache.spark.sql.SparkSessionExtensions
     ext(extensions) // must not throw; function list is shared with register()
     assert(GraftFunctions.descriptors.map(_._1.funcName).sorted ==
-      Seq("graft_dot", "minhash_sigs", "rolling_minhash", "simhash60",
-        "sorted_hashes", "sorted_intersect_count", "word_shingles"))
+      Seq("graft_dot", "minhash_sigs", "posting_pairs", "rolling_minhash",
+        "simhash60", "sorted_hashes", "sorted_intersect_count", "word_shingles"))
   }
 }
