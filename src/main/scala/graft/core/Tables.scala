@@ -8,4 +8,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Content fingerprint of a path: file names + sizes + mtimes, hashed.
+    * Keys ingest-time derived state (bucketed table copies, trained IVF
+    * codebooks) so regenerating the source data invalidates the derived
+    * copy instead of silently serving stale results (ADVICE r2).
+    */
+  def fingerprint(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    val entries =
+      if (!java.nio.file.Files.exists(p)) Seq(s"absent:$path")
+      else if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.map(f =>
+            s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+              s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+          .toSeq.sorted
+        finally s.close()
+      } else Seq(s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest((path +: entries).mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
 }

@@ -45,6 +45,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall@10 = $recall") // nprobe=4 of 16 cells
   }
 
+  test("ivfCentroids: Lloyd training balances cell occupancy on clustered data") {
+    import spark.implicits._
+    // 8 tight clusters of 40 vectors along distinct axes, each with real
+    // internal spread; ids round-robin so the first-16 seed picks TWO
+    // nearly coincident centroids per cluster (offsets 0 and 0.05). The
+    // untrained codebook then splits each cluster 1/39 (everything past
+    // the first member is closer to the second seed) — the degenerate-
+    // codebook shape VERDICT r2 flagged. Two deterministic Lloyd passes
+    // move each pair apart to share the cluster's spread.
+    val dim = 8
+    def vec(i: Int): Array[Double] = {
+      val cluster = i % 8
+      val v = Array.fill(dim)(0.0)
+      v(cluster) = 10.0
+      v((cluster + 1) % dim) = 0.05 * (i / 8) // member offset inside the cluster
+      v
+    }
+    val corpus = Similarity.prepare(
+      (0 until 320).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    def occ(cents: Array[(Long, Array[Double], Double)]): Seq[Long] =
+      Similarity.ivfAssign(corpus, cents)
+        .groupBy("cell").count().collect().map(_.getLong(1)).toSeq
+    val untrained = occ(Similarity.ivfCentroids(corpus, 16, trainIters = 0))
+    val trained = occ(Similarity.ivfCentroids(corpus, 16, trainIters = 2))
+    val mean = 320.0 / 16
+    assert(untrained.max >= 1.9 * mean, s"test corpus not degenerate: $untrained")
+    assert(trained.max < untrained.max,
+      s"training did not improve balance: $untrained -> $trained")
+    assert(trained.max <= 1.3 * mean,
+      s"trained occupancy still skewed: $trained")
+    // training must not lose corpus coverage: every vector still lands
+    // in exactly one cell
+    assert(trained.sum == 320 && untrained.sum == 320)
+  }
+
   test("q36 LSH candidates agree with q34 on shared pairs' cosine") {
     val brute = Similarity.q34KnnBrute(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
