@@ -8,32 +8,35 @@ import org.apache.spark.sql.DataFrame
   * accumulates dead cached RDDs (re-persisting the same subtree across
   * runs otherwise logs "Block already exists" and pins executor memory).
   *
-  * The registry is keyed by the registering THREAD: two queries built
-  * concurrently on different threads of one session do not release each
-  * other's frames. Build and release a query on the same thread (the
+  * The registry is a ThreadLocal buffer: two queries built concurrently
+  * on different threads of one session do not release each other's
+  * frames, a thread that dies without releasing lets its buffer be
+  * garbage-collected with it instead of pinning the frames in a static
+  * map forever, and JVM thread-id reuse can never hand one thread
+  * another's frames (ADVICE r2 — the previous form keyed a static map
+  * by Thread.getId). Build and release a query on the same thread (the
   * natural shape — Bench/Verify/spec harnesses are single-threaded per
   * query).
   */
 object Caches {
-  private val live = new java.util.concurrent.ConcurrentHashMap[
-    Long, scala.collection.mutable.ArrayBuffer[DataFrame]]()
-
-  private def mine: scala.collection.mutable.ArrayBuffer[DataFrame] =
-    live.computeIfAbsent(Thread.currentThread().getId,
-      _ => scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+  private val live = new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]] {
+    override def initialValue(): scala.collection.mutable.ArrayBuffer[DataFrame] =
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  }
 
   /** Persist `df` (MEMORY_AND_DISK) and track it for the next release
     * from this thread. */
   def persist(df: DataFrame): DataFrame = {
     val p = df.persist()
-    mine.synchronized(mine += p)
+    live.get() += p
     p
   }
 
   /** Unpersist every frame persisted from this thread since its last
     * release. */
   def release(): Unit = {
-    val frames = live.remove(Thread.currentThread().getId)
-    if (frames != null) frames.foreach(_.unpersist(blocking = false))
+    val frames = live.get()
+    frames.foreach(_.unpersist(blocking = false))
+    frames.clear()
   }
 }

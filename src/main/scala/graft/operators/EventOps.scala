@@ -237,29 +237,38 @@ object EventOps {
     * columns (also from `right`) order simultaneous right rows — the
     * last one in that order wins. Output: every `left` column +
     * the `asof_*` columns, left row order unspecified (caller sorts).
+    *
+    * The right values travel as ONE struct through a single
+    * `last(ignoreNulls)`, so every `asof_*` column comes from the SAME
+    * right row even when right rows hold NULLs in some value columns
+    * (per-column lasts would stitch values from different rows —
+    * ADVICE r2). A right row whose values are all NULL still wins as
+    * the latest row: "the most recent right row" is row-level
+    * semantics, not per-column.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
                rightVals: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
     val lrowType = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
+    val rrowType = right.select(struct(rightVals.map(col): _*)).schema.head.dataType
     val l = left.select(
       Seq(col(key).as("__k"), col(time).as("__t"), lit(1).as("__is_left"),
-        struct(leftCols.map(col): _*).as("__lrow")) ++
-        (rightVals ++ tieBreak).distinct.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        struct(leftCols.map(col): _*).as("__lrow"),
+        lit(null).cast(rrowType).as("__rrow")) ++
+        tieBreak.map(c => lit(null).cast(right.schema(c).dataType).as(s"__tb_$c")): _*)
     val r = right.select(
       Seq(col(key).as("__k"), col(time).as("__t"), lit(0).as("__is_left"),
-        lit(null).cast(lrowType).as("__lrow")) ++
-        (rightVals ++ tieBreak).distinct.map(c => col(c).as(s"__r_$c")): _*)
+        lit(null).cast(lrowType).as("__lrow"),
+        struct(rightVals.map(col): _*).as("__rrow")) ++
+        tieBreak.map(c => col(c).as(s"__tb_$c")): _*)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t") +: col("__is_left") +: tieBreak.map(c => col(s"__r_$c")): _*)
+      .orderBy(col("__t") +: col("__is_left") +: tieBreak.map(c => col(s"__tb_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__rrow"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
       .select(leftCols.map(c => col(s"__lrow.$c")) ++
-        rightVals.map(c => col(s"asof_$c")): _*)
+        rightVals.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
   /** q28 = asofJoin(purchases, clicks) on user_id/e_ms: for every

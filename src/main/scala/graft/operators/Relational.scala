@@ -119,9 +119,14 @@ object Relational {
       .orderBy($"revenue".desc, $"n_name")
   }
 
-  private def bucketTag(dir: String): String =
+  /** Cache tag for a bucketed copy: source PATH + CONTENT fingerprint
+    * (file sizes + mtimes), so regenerating the parquet at a path gets a
+    * fresh tag and a rebuild instead of silently serving the stale copy
+    * (ADVICE r2). */
+  private def bucketTag(dir: String, src: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      .digest(s"$dir:${graft.core.Tables.fingerprint(s"$dir/$src.parquet")}"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
 
   /** One-time per (catalog, sf-dir): write orders + lineitem as 32-bucket
     * key-sorted tables co-located on the join key. This is the ingest-time
@@ -132,11 +137,10 @@ object Relational {
     * are keyed by a digest of the source dir, so different SFs coexist.
     */
   def ensureBucketedTables(spark: SparkSession, dir: String): (String, String) = synchronized {
-    val tag = bucketTag(dir)
     val warehouse = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_buckets")
     def ensure(src: String, key: String): String = {
-      val t = s"graft_${src}_b_$tag"
+      val t = s"graft_${src}_b_${bucketTag(dir, src)}"
       if (!spark.catalog.tableExists(t)) {
         Tables(spark, dir, src).write
           .bucketBy(32, key).sortBy(key)

@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Library-API gates for the event-analytics pack (the q20-q29 queries
+  * are oracle-gated; these cover parameter/edge behavior the synthetic
+  * tables never exercise).
+  */
+class EventOpsSpec extends SparkSpec {
+
+  test("asofJoin is row-consistent when right rows hold NULL value columns") {
+    import spark.implicits._
+    // user 1 has right rows at t=1 (price=10, qty=NULL) and t=2
+    // (price=NULL, qty=7). A left row at t=3 must see BOTH values from
+    // the t=2 row — per-column running lasts would stitch price=10 from
+    // t=1 together with qty=7 from t=2 (ADVICE r2).
+    val right = Seq(
+      (1L, 1L, Option(10.0), Option.empty[Long]),
+      (1L, 2L, Option.empty[Double], Option(7L)))
+      .toDF("k", "t", "price", "qty")
+    val left = Seq((1L, 3L, "p1"), (1L, 0L, "p0")).toDF("k", "t", "pid")
+    val out = EventOps.asofJoin(left, right, "k", "t", Seq("price", "qty"))
+      .collect().map(r => r.getAs[String]("pid") ->
+        (Option(r.getAs[java.lang.Double]("asof_price")),
+          Option(r.getAs[java.lang.Long]("asof_qty")))).toMap
+    // t=3: latest right row is t=2 → price NULL, qty 7 (row semantics)
+    assert(out("p1") == (None, Some(7L)))
+    // t=0: no right row at-or-before → both NULL
+    assert(out("p0") == (None, None))
+  }
+}
