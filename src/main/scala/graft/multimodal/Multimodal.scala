@@ -37,12 +37,13 @@ object Multimodal {
       duration_ms: Long)     // stubbed for image: 0
 
   /** Codec: image dimensions are decoded FOR REAL via `javax.imageio`
-    * (ships in the JDK — PNG/JPEG/GIF/BMP need no native libraries);
-    * audio/video decode remains STUBBED (no FFmpeg in this container)
-    * with deterministic fake features derived from the payload bytes,
-    * as are image payloads ImageIO cannot parse (the synthesized test
-    * media wraps text bytes). A real deployment swaps the stub branch
-    * for the JNI/FFmpeg call; nothing else changes.
+    * (ships in the JDK — PNG/JPEG/GIF/BMP need no native libraries) and
+    * audio duration FOR REAL via `javax.sound.sampled` (also JDK-only —
+    * WAV/AIFF/AU headers); video decode remains STUBBED (no FFmpeg in
+    * this container) with deterministic fake features derived from the
+    * payload bytes, as are payloads the JDK codecs cannot parse (the
+    * synthesized test media wraps text bytes). A real deployment swaps
+    * the stub branch for the JNI/FFmpeg call; nothing else changes.
     */
   object StubCodec {
 
@@ -55,12 +56,29 @@ object Multimodal {
         .map(img => (img.getWidth, img.getHeight))
       catch { case _: Exception => None }
 
+    /** Real decode path: Some(duration_ms) iff the payload is a
+      * JDK-parseable audio container (WAV/AIFF/AU). Unknown formats and
+      * unspecified frame counts fall back to the stub.
+      */
+    def audioDurationMs(payload: Array[Byte]): Option[Long] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val frames = in.getFrameLength
+          val rate = in.getFormat.getFrameRate
+          if (frames >= 0 && rate > 0) Some(math.round(frames * 1000.0 / rate))
+          else None
+        } finally in.close()
+      } catch { case _: Exception => None }
+
     def decode(row: MediaRow): MediaFeatures = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hash = md.digest(row.payload).map("%02x".format(_)).mkString
       // fake dimensions derived from stable content bytes (stub branch)
       val h32 = java.lang.Long.parseLong(hash.substring(0, 8), 16)
       val realDims = if (row.kind == "image") imageDims(row.payload) else None
+      val realDur = if (row.kind == "audio") audioDurationMs(row.payload) else None
       MediaFeatures(
         media_id = row.media_id,
         kind = row.kind,
@@ -70,7 +88,9 @@ object Multimodal {
           if (row.kind == "audio") 0 else (160 + (h32 % 8) * 160).toInt),
         height = realDims.map(_._2).getOrElse(
           if (row.kind == "audio") 0 else (90 + (h32 % 8) * 90).toInt),
-        duration_ms = if (row.kind == "image") 0L else (h32 % 600000L))
+        duration_ms =
+          if (row.kind == "image") 0L
+          else realDur.getOrElse(h32 % 600000L))
     }
   }
 

@@ -330,11 +330,12 @@ case class SegmentCommit(name: String, firstOffset: String, lastOffset: String,
                          records: Long, bytes: Long) extends WriterCommitMessage
 
 object StreamLogBatchWrite {
-  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   /** One monitor per stream directory: same-JVM commit serialization
-    * (nio file locks throw rather than wait within one JVM). */
+    * (nio file locks throw rather than wait within one JVM). Shared
+    * with StreamLog's own metadata appends via [[graft.streamlog.StreamLocks]]
+    * so bulk loads and maintenance passes exclude each other. */
   private[sources] def commitMonitor(dir: String): Object =
-    monitors.computeIfAbsent(dir, _ => new Object)
+    graft.streamlog.StreamLocks.monitor(dir)
 }
 
 class StreamLogBatchWrite(root: String, stream: String) extends BatchWrite {

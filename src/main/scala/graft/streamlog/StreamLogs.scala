@@ -1,0 +1,50 @@
+package graft.streamlog
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fleet-level catalog over a ROOT directory of streams — the analog of
+  * the reference's path-per-stream namespace
+  * (/root/reference/src/index.ts:7 — `idFromName(pathname)` keys one
+  * Durable Object per stream path, so "the deployment" is the set of
+  * names ever addressed). Here a stream is any direct subdirectory of
+  * `root` with a metadata log or a segments directory, so an operator
+  * can watch a whole deployment without knowing its names up front.
+  */
+object StreamLogs {
+
+  /** Stream names under `root`, sorted. */
+  def list(root: String): Seq[String] = {
+    val p = Paths.get(root)
+    if (!Files.isDirectory(p)) return Seq.empty
+    val st = Files.list(p)
+    try st.iterator().asScala
+      .filter(d => Files.isDirectory(d) &&
+        (Files.exists(d.resolve("meta.jsonl")) ||
+          Files.isDirectory(d.resolve("segments"))))
+      .map(_.getFileName.toString)
+      .toSeq.sorted
+    finally st.close()
+  }
+
+  /** Open one stream of the fleet (replays its metadata log). */
+  def open(spark: SparkSession, root: String, name: String): StreamLog =
+    new StreamLog(spark, root, name)
+
+  /** One summary row per stream under `root` (the per-stream
+    * [[StreamLog.describe]] union) — fleet introspection as a relation:
+    * total segments/records/bytes, producer versions, compaction debt.
+    */
+  def describeAll(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val names = list(root)
+    if (names.isEmpty)
+      Seq.empty[(String, Long, Long, Long, Long, String, Long, String, String)]
+        .toDF("stream", "n_segments", "n_records", "n_bytes", "producer_version",
+          "last_offset", "n_tombstones", "first_offset", "newest_offset")
+    else names.map(n => open(spark, root, n).describe()).reduce(_ unionAll _)
+  }
+}

@@ -44,6 +44,29 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2).width == 0)                     // audio: dims not applicable
   }
 
+  test("audio payloads decode REAL durations via javax.sound.sampled") {
+    // build a genuine 1-second 8 kHz mono WAV in memory — JDK-only
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](8000 * 2) // 8000 frames of silence
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 8000L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio", wav, wav.length.toLong),
+      Multimodal.MediaRow(2L, "audio", "not audio".getBytes("UTF-8"), 9L),
+      Multimodal.MediaRow(3L, "image", wav, wav.length.toLong)))
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f(0).duration_ms == 1000L) // real header decode: 8000 frames @ 8kHz
+    assert(f(0).width == 0 && f(0).height == 0)
+    assert(f(1).duration_ms != 1000L) // stub fallback for unparseable bytes
+    assert(f(2).duration_ms == 0L)    // image: duration not applicable
+  }
+
   test("resizeImages really rescales decodable payloads and passes through the rest") {
     val img = new java.awt.image.BufferedImage(8, 6,
       java.awt.image.BufferedImage.TYPE_INT_RGB)

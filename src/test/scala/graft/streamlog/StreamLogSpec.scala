@@ -218,6 +218,42 @@ class StreamLogSpec extends SparkSpec {
     assert(reopened.tombstoneNames.size == 25)
   }
 
+  test("compactAll caps plan width; maintain still drains a wide backlog") {
+    val log = freshLog()
+    val c = clock(9450000)
+    // 20 two-record segments at MaxSegments=2 -> a 10-window backlog;
+    // capped at 3 windows/job, one compactAll pass must merge exactly 3
+    val all = (1 to 20).flatMap(_ => log.publish((1 to 2).map(i => s"""{"i":$i}"""), nowMs = c))
+    val limits = Compaction.Limits(maxSegments = 2)
+    val merged = log.compactAll(limits, nowMs = c, maxWindowsPerJob = 3)
+    assert(merged.size == 3)
+    assert(log.segments.length == 20 - 3) // 6 originals -> 3 merged
+    // the maintain loop re-plans after each capped pass and drains fully
+    val report = log.maintain(limits, tombstoneMaxAgeMs = Long.MaxValue,
+      orphanGraceMs = Long.MaxValue, nowMs = c)
+    assert(report.compacted.nonEmpty)
+    assert(Compaction.windows(log.segments, limits).isEmpty)
+    assert(log.consume(Offset.Beginning, 1000).map(_._1) == all)
+  }
+
+  test("purgeOrphans sweeps stale .merge-* scratch directories, sparing fresh ones") {
+    val log = freshLog()
+    val c = clock(9470000)
+    log.publish(Seq("""{"a":1}"""), nowMs = c)
+    val stale = log.streamDir.resolve(".merge-dead")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("part-00000"), "junk".getBytes)
+    // age the scratch dir past any grace period
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000))
+    val fresh = log.streamDir.resolve(".merge-inflight")
+    Files.createDirectories(fresh)
+    val purged = log.purgeOrphans(graceMs = 60000)
+    assert(purged.contains(".merge-dead"))
+    assert(!Files.exists(stale))
+    assert(Files.exists(fresh), "in-flight merge scratch must survive the grace period")
+  }
+
   test("maintain compacts until the planner is empty, then cleans up") {
     val log = freshLog()
     val c = clock(9500000)
@@ -235,6 +271,51 @@ class StreamLogSpec extends SparkSpec {
     // steady state: a second pass finds nothing to do
     val again = log.maintain(tombstoneMaxAgeMs = 0, orphanGraceMs = 0, nowMs = () => 9700000)
     assert(again.compacted.isEmpty && again.tombstonesPurged.isEmpty && again.orphansPurged.isEmpty)
+  }
+
+  test("startMaintenance compacts on an interval until closed; errors don't kill the loop") {
+    val log = freshLog()
+    val c = clock(9750000)
+    (1 to 25).foreach(_ => log.publish((1 to 2).map(i => s"""{"i":$i}"""), nowMs = c))
+    assert(log.segments.length == 25)
+    val reports = new java.util.concurrent.CopyOnWriteArrayList[StreamLog.MaintenanceReport]()
+    val handle = log.startMaintenance(intervalMs = 20,
+      tombstoneMaxAgeMs = Long.MaxValue, orphanGraceMs = Long.MaxValue,
+      onReport = reports.add(_))
+    try {
+      // wait for a COMPLETED pass (segment count alone can be observed
+      // mid-pass, before the report lands)
+      val deadline = System.currentTimeMillis() + 30000
+      while ((reports.isEmpty || log.segments.length > 3) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(log.segments.length <= 3,
+        s"maintenance never compacted: ${log.segments.length} segments")
+      assert(!reports.isEmpty)
+    } finally handle.close()
+    // after close, no further passes run
+    val after = reports.size()
+    Thread.sleep(120)
+    assert(reports.size() == after)
+    assert(log.consume(Offset.Beginning, 1000).size == 50)
+  }
+
+  test("StreamLogs catalogs every stream under a root") {
+    val root = Files.createTempDirectory("graft-fleet").toString
+    val c = clock(9770000)
+    val a = new StreamLog(spark, root, "alpha")
+    val b = new StreamLog(spark, root, "beta")
+    a.publish((1 to 3).map(i => s"""{"i":$i}"""), nowMs = c)
+    b.publish((1 to 5).map(i => s"""{"i":$i}"""), version = Some(4), nowMs = c)
+    // a non-stream directory under the root must not be listed
+    Files.createDirectories(java.nio.file.Paths.get(root, "not-a-stream"))
+    assert(StreamLogs.list(root) == Seq("alpha", "beta"))
+    val d = StreamLogs.describeAll(spark, root).collect()
+      .map(r => r.getAs[String]("stream") -> r.getAs[Long]("n_records")).toMap
+    assert(d == Map("alpha" -> 3L, "beta" -> 5L))
+    assert(StreamLogs.open(spark, root, "beta").producerVersion == 4L)
+    assert(StreamLogs.list(Files.createTempDirectory("graft-empty").toString).isEmpty)
+    assert(StreamLogs.describeAll(spark, root + "/absent").collect().isEmpty)
   }
 
   test("describe and describeSegments expose stream metadata as DataFrames") {
