@@ -92,6 +92,40 @@ class RelationalSpec extends SparkSpec {
     assert(agg.count() > 0)
   }
 
+  test("one bucketed ingest serves q19+q44; repeat ensure is a no-op; data change rebuilds") {
+    val (ot1, lt1) = Relational.ensureBucketedTables(spark, sfDir)
+    val warehouse = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_buckets")
+    def listing(t: String): Seq[(String, Long)] = {
+      val dir = warehouse.resolve(t)
+      val st = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toSeq.sorted
+      } finally st.close()
+    }
+    val before = (listing(ot1), listing(lt1))
+    // q19 and q44 both go through ensureBucketedTables — same session,
+    // same source: they must resolve to the SAME tables with no rewrite
+    Relational.q19BucketedJoin(spark, sfDir).collect()
+    Relational.q44BucketedStar(spark, sfDir).collect()
+    val (ot2, lt2) = Relational.ensureBucketedTables(spark, sfDir)
+    assert((ot2, lt2) == (ot1, lt1), "repeat ensure must reuse the ingest")
+    assert((listing(ot2), listing(lt2)) == before, "bucketed files must not be rewritten")
+    // freshness: regenerated source parquet (new mtime) must yield a NEW
+    // tag and a rebuild instead of silently serving the stale copy
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket-fresh")
+    Seq("orders", "lineitem").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sfDir, s"$t.parquet"), tmp.resolve(s"$t.parquet"))
+    }
+    val (otA, _) = Relational.ensureBucketedTables(spark, tmp.toString)
+    java.nio.file.Files.setLastModifiedTime(tmp.resolve("orders.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    val (otB, _) = Relational.ensureBucketedTables(spark, tmp.toString)
+    assert(otA != otB, "regenerated source must get a fresh bucketed copy")
+  }
+
   test("q12: approx distinct within 5% of exact at rsd=0.01") {
     val approx = Relational.q12ApproxDistinct(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
