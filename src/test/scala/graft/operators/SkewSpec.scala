@@ -22,6 +22,51 @@ class SkewSpec extends SparkSpec {
     assert(plain.toSeq == salted.toSeq)
   }
 
+  test("skew soak: salting spreads a 500x-hot verify-join key across reducers") {
+    import spark.implicits._
+    // The q31/q35 verify-join shape after a degenerate corpus slips past
+    // exact dedup: one document near-duplicated 500x makes every candidate
+    // pair carry the same doc_a — the plain shuffle join lands ALL hot
+    // rows on one reducer while 31 idle (at 100 TB that reducer runs for
+    // hours or OOMs). AQE's skew split is disabled to isolate the
+    // explicit mitigation; autoBroadcast is disabled because at real
+    // scale the sets side is corpus-sized, not broadcastable.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sets = (0L until 600L).map(i => (i, s"doc set payload $i"))
+        .toDF("doc_a", "payload")
+      val cand = ((1L to 500L).map(b => (0L, b)) ++ Seq((7L, 8L), (9L, 10L)))
+        .toDF("doc_a", "doc_b")
+      val plain = cand.join(sets, "doc_a")
+      val salted = Skew.saltedJoin(cand, sets, "doc_a",
+        spread = col("doc_b"), salts = 16)
+      // identical results
+      assert(plain.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+        salted.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+      // reducer balance: the hot key's 500 joined rows occupy ONE
+      // post-shuffle partition unsalted, and spread across the cluster
+      // salted — this spread factor is the wall-clock win at scale
+      def hotSpread(df: org.apache.spark.sql.DataFrame): Long = df
+        .filter($"doc_a" === 0L)
+        .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+        .distinct().count()
+      assert(hotSpread(plain) == 1L,
+        "unsalted hot key must concentrate on one reducer (the pathology)")
+      // 16 salt keys can reach at most min(16, shuffle partitions)
+      // reducers — demand (nearly) full spread at whatever width the
+      // session runs (4 in specs, 32 in the bench harness)
+      val width = math.min(16, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      assert(hotSpread(salted) >= math.max(2, width - 2),
+        s"salted hot key must spread across ~$width reducers, got ${hotSpread(salted)}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val lineitem = Tables(spark, sfDir, "lineitem")
     val direct = lineitem.groupBy("l_returnflag")
