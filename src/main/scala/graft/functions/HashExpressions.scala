@@ -41,19 +41,49 @@ object HashKernels {
 
   def hash60(s: String): Long = hash60(s.getBytes("UTF-8"))
 
+  /** Mersenne prime 2^61−1: modulus of the multiplicative min-hash
+    * family. */
+  val MersenneP: Long = (1L << 61) - 1
+
+  /** Fixed odd multiplier for seed `s`, derived from md5 so both engines
+    * inline the identical constant (the oracle receives these as VALUES
+    * literals). */
+  def seedMult(s: Int): Long = hash60("minhash-mult:" + s) | 1L
+
+  private val seedMults: Array[Long] = Array.tabulate(256)(seedMult)
+
+  /** (a·h) mod (2^61−1) with a full 128-bit product folded by
+    * 2^61 ≡ 1 (mod p) — exactly DuckDB's
+    * `(CAST(a AS HUGEINT) * h) % 2305843009213693951`. Both operands are
+    * < 2^61, so the product fits 122 bits and the three 61-bit chunks
+    * sum below 2^63. */
+  def mulMod61(a: Long, h: Long): Long = {
+    val hi = Math.multiplyHigh(a, h)
+    val lo = a * h
+    var r = (lo & MersenneP) + (((lo >>> 61) | (hi << 3)) & MersenneP) + (hi >>> 58)
+    if (r >= MersenneP) r -= MersenneP
+    if (r >= MersenneP) r -= MersenneP
+    r
+  }
+
   /** All `nSeeds` min-hashes of a shingle set in one pass:
-    * sig(s) = min over shingles of hash60(s + ":" + shingle).
+    * sig(s) = min over shingles of (a_s · hash60(shingle)) mod (2^61−1),
+    * the multiplicative family over one base md5 per shingle — 1 md5 +
+    * nSeeds multiply-mods instead of nSeeds md5s per shingle (the md5
+    * was >90% of the q31 kernel). The oracle replays it with HUGEINT
+    * arithmetic on the same inlined multiplier constants.
     */
   def minHashSigs(shingles: ArrayData, nSeeds: Int): ArrayData = {
+    require(nSeeds <= seedMults.length, s"at most ${seedMults.length} seeds")
     val out = Array.fill(nSeeds)(Long.MaxValue)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val sh = shingles.getUTF8String(i).toString
+      val h = hash60(shingles.getUTF8String(i).toString)
       var s = 0
       while (s < nSeeds) {
-        val h = hash60(s.toString + ":" + sh)
-        if (h < out(s)) out(s) = h
+        val v = mulMod61(seedMults(s), h)
+        if (v < out(s)) out(s) = v
         s += 1
       }
       i += 1

@@ -20,13 +20,6 @@ object Hashing {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant: independent hash family member `seed` — the MinHash
-    * permutation trick without mod-prime arithmetic (no overflow, no
-    * coordination of constants across engines).
-    */
-  def hash60Seeded(seed: Column, c: Column): Column =
-    hash60(concat(seed.cast("string"), lit(":"), c))
-
   /** The matching DuckDB SQL fragment for [[hash60]] of expression `e`. */
   def duckHash60(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"

@@ -325,9 +325,14 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
     "q31_dedup_minhash" ->
-      s"""$ShCte, mh AS (
-         |  SELECT doc_id, seed, min(${h("CAST(seed AS VARCHAR) || ':' || sh")}) AS mh
-         |  FROM sh, range(16) s(seed) GROUP BY doc_id, seed
+      s"""$ShCte, hsh AS (
+         |  SELECT doc_id, ${h("sh")} AS h FROM sh
+         |), mh AS (
+         |  SELECT doc_id, seed,
+         |    min(CAST((CAST(a AS HUGEINT) * h) % 2305843009213693951 AS BIGINT)) AS mh
+         |  FROM hsh, (VALUES ${(0 until 16).map(s =>
+               s"(${s}, ${graft.functions.HashKernels.seedMult(s)})").mkString(", ")}) seeds(seed, a)
+         |  GROUP BY doc_id, seed
          |), bands AS (
          |  SELECT doc_id, seed // 4 AS band, concat_ws(',',
          |    min(CASE WHEN seed % 4 = 0 THEN mh END), min(CASE WHEN seed % 4 = 1 THEN mh END),

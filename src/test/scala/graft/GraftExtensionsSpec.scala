@@ -12,7 +12,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |  minhash_sigs(array('aa', 'bb'), 4) AS sigs,
         |  rolling_minhash('abcdefghij', 8) AS fp""".stripMargin).head()
     assert(r.getDouble(0) == 6.0)
-    val expSigs = (0 until 4).map(s => Seq("aa", "bb").map(x => HashKernels.hash60(s"$s:$x")).min)
+    val expSigs = (0 until 4).map(s => Seq("aa", "bb")
+      .map(x => HashKernels.mulMod61(HashKernels.seedMult(s), HashKernels.hash60(x))).min)
     assert(r.getSeq[Long](1) == expSigs)
     val expFp = (0 to 2).map(i => HashKernels.hash60("abcdefghij".substring(i, i + 8))).min
     assert(r.getLong(2) == expFp)

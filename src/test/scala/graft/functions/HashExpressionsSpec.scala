@@ -16,13 +16,23 @@ class HashExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(HashKernels.hash60(r.getString(1)) == r.getLong(0)))
   }
 
-  test("minhash_sigs equals per-seed min of seeded hash60") {
+  test("minhash_sigs equals per-seed min of the multiplicative family") {
     import spark.implicits._
     val df = Seq(Seq("aa bb cc", "bb cc dd", "cc dd ee")).toDF("shs")
     val sigs = df.select(minhashSigs($"shs", 16).as("sigs")).head().getSeq[Long](0)
     val exp = (0 until 16).map(s =>
-      Seq("aa bb cc", "bb cc dd", "cc dd ee").map(sh => HashKernels.hash60(s"$s:$sh")).min)
+      Seq("aa bb cc", "bb cc dd", "cc dd ee")
+        .map(sh => HashKernels.mulMod61(HashKernels.seedMult(s), HashKernels.hash60(sh))).min)
     assert(sigs == exp)
+    // the multiply-mod fold must agree with wide-integer reference math
+    // (this is exactly what the oracle's HUGEINT expression computes)
+    val p = BigInt(2).pow(61) - 1
+    for (s <- 0 until 16; sh <- Seq("aa bb cc", "zz")) {
+      val a = HashKernels.seedMult(s)
+      val hv = HashKernels.hash60(sh)
+      assert(BigInt(HashKernels.mulMod61(a, hv)) == (BigInt(a) * BigInt(hv)) % p,
+        s"mulMod61 mismatch at seed=$s sh=$sh")
+    }
   }
 
   test("word_shingles: distinct n-grams, first-occurrence order, short input") {
