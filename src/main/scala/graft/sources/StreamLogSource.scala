@@ -52,7 +52,12 @@ class StreamLogSource extends TableProvider with DataSourceRegister {
         throw new IllegalArgumentException("streamlog: 'path' option is required")),
       Option(properties.get("stream")).getOrElse(
         throw new IllegalArgumentException("streamlog: 'stream' option is required")),
-      Option(properties.get("after")))
+      Option(properties.get("after")),
+      Option(properties.get("maxRecordsPerTrigger")).map { v =>
+        val n = v.toLong
+        require(n > 0, s"maxRecordsPerTrigger must be positive, got $n")
+        n
+      })
 }
 
 object StreamLogTable {
@@ -61,7 +66,8 @@ object StreamLogTable {
     StructField("data", StringType, nullable = false)))
 }
 
-class StreamLogTable(root: String, stream: String, after: Option[String])
+class StreamLogTable(root: String, stream: String, after: Option[String],
+                     maxRecordsPerTrigger: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"streamlog:$root/$stream"
@@ -71,7 +77,7 @@ class StreamLogTable(root: String, stream: String, after: Option[String])
       TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StreamLogScanBuilder(root, stream, after)
+    new StreamLogScanBuilder(root, stream, after, maxRecordsPerTrigger)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val fields = info.schema().fieldNames.toSeq
@@ -81,7 +87,8 @@ class StreamLogTable(root: String, stream: String, after: Option[String])
   }
 }
 
-class StreamLogScanBuilder(root: String, stream: String, after: Option[String])
+class StreamLogScanBuilder(root: String, stream: String, after: Option[String],
+                           maxRecordsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownAggregates {
@@ -172,7 +179,7 @@ class StreamLogScanBuilder(root: String, stream: String, after: Option[String])
 
   override def build(): Scan =
     if (countStar) new StreamLogCountScan(root, stream)
-    else new StreamLogScan(root, stream, lowerBound, limitHint)
+    else new StreamLogScan(root, stream, lowerBound, limitHint, maxRecordsPerTrigger)
 }
 
 /** Metadata-only COUNT(*): one partition emitting one row with the sum
@@ -205,7 +212,8 @@ object StreamLogCountReaderFactory extends PartitionReaderFactory {
 }
 
 class StreamLogScan(root: String, stream: String, lowerBound: String,
-                    limitHint: Option[Int] = None)
+                    limitHint: Option[Int] = None,
+                    maxRecordsPerTrigger: Option[Long] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = StreamLogTable.Schema
@@ -252,7 +260,7 @@ class StreamLogScan(root: String, stream: String, lowerBound: String,
     * consumer-group state the reference leaves to its callers.
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new StreamLogMicroBatch(root, stream, lowerBound)
+    new StreamLogMicroBatch(root, stream, lowerBound, maxRecordsPerTrigger)
 }
 
 /** Streaming cursor: the last-delivered 32-char offset ("-" = nothing). */
@@ -261,17 +269,65 @@ case class StreamLogOffset(last: String)
   override def json(): String = s"""{"last":"$last"}"""
 }
 
-class StreamLogMicroBatch(root: String, stream: String, startAfter: String)
-    extends MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+/** @param maxRecordsPerTrigger admission control: cap each micro-batch
+  *   at ~this many records, enforced at SEGMENT granularity from the
+  *   metadata record counts (no file is opened to plan a batch) — the
+  *   segment-based analog of the file source's maxFilesPerTrigger. A
+  *   batch takes whole segments until the cap is met, so it can overrun
+  *   by at most one segment; `Trigger.AvailableNow` catch-up composes
+  *   with it (many bounded batches instead of one unbounded replay —
+  *   at 100 TB an uncapped cold-start batch is a single giant job that
+  *   holds the checkpoint hostage until it finishes).
+  */
+class StreamLogMicroBatch(root: String, stream: String, startAfter: String,
+                          maxRecordsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit, ReadMaxRows}
 
   private def dir = Paths.get(root, stream)
+
+  // Trigger.AvailableNow contract: the horizon is FROZEN at query start
+  // (prepareForTriggerAvailableNow), then the engine drains up to it in
+  // read-limit-bounded batches and stops — records published while
+  // draining wait for the next run.
+  @volatile private var availableNowHorizon: Option[String] = None
 
   override def initialOffset(): SOffset = StreamLogOffset(startAfter)
 
   override def latestOffset(): SOffset = {
     val st = MetaLog.replay(dir.resolve("meta.jsonl"))
     StreamLogOffset(if (st.lastOffset.isEmpty) Offset.Beginning else st.lastOffset)
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHorizon = Some(latestOffset().asInstanceOf[StreamLogOffset].last)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRecordsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): SOffset = latestOffset()
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val after = start.asInstanceOf[StreamLogOffset].last
+    val st = MetaLog.replay(dir.resolve("meta.jsonl"))
+    val live = if (st.lastOffset.isEmpty) Offset.Beginning else st.lastOffset
+    val horizon = availableNowHorizon.filter(_ < live).getOrElse(live)
+    limit match {
+      case rows: ReadMaxRows =>
+        var remaining = rows.maxRows()
+        var end = after
+        val it = st.index.segmentsAfter(after).iterator
+        while (remaining > 0 && it.hasNext) {
+          val m = it.next()
+          // whole segments only (metadata-planned batches); a segment
+          // past the frozen horizon waits for the next run
+          if (m.lastOffset <= horizon) { end = m.lastOffset; remaining -= m.records }
+          else remaining = 0
+        }
+        StreamLogOffset(end)
+      case _ => StreamLogOffset(horizon)
+    }
   }
 
   override def deserializeOffset(json: String): SOffset =

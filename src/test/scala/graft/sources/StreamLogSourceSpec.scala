@@ -195,4 +195,31 @@ class StreamLogSourceSpec extends SparkSpec {
     assert(offs == (first ++ second))
     log.destroy()
   }
+
+  test("maxRecordsPerTrigger paces catch-up into bounded micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val log = freshLog()
+    val c = clock
+    val all = (1 to 6).flatMap(_ =>
+      log.publish((1 to 3).map(i => s"""{"i":$i}"""), nowMs = c))
+    val stream = spark.readStream.format("streamlog")
+      .option("path", log.streamDir.getParent.toString)
+      .option("stream", log.name)
+      .option("maxRecordsPerTrigger", "5")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("mb_paced")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // exactly-once delivery of everything, in offset order
+    val offs = spark.sql("SELECT offset FROM mb_paced ORDER BY offset")
+      .collect().map(_.getString(0)).toSeq
+    assert(offs == all)
+    // cap is enforced at segment granularity: 5 requested over 3-record
+    // segments -> 2 segments (6 records) per batch, never one giant
+    // replay batch; 18 records need >= 3 batches
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.length >= 3, s"expected paced batches, got ${batches.toSeq}")
+    assert(batches.forall(_ <= 6), s"batch overran the cap+1-segment bound: ${batches.toSeq}")
+    log.destroy()
+  }
 }
