@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   val Headline = Seq(
     "q01_agg", "q02_filter_project", "q03_join_broadcast", "q04_join_shuffle",
-    "q05_multi_join", "q09_topk", "q19_bucketed_join",
-    "q21_consume_from_offset", "q28_asof_join",
-    "q31_dedup_minhash", "q33_ngram_jaccard", "q34_knn_brute", "q36_knn_lsh",
+    "q05_multi_join", "q09_topk", "q12_approx_distinct", "q19_bucketed_join",
+    "q21_consume_from_offset", "q28_asof_join", "q30_dedup_exact",
+    "q31_dedup_minhash", "q32_dedup_simhash", "q33_ngram_jaccard",
+    "q34_knn_brute", "q35_embed_neardup", "q36_knn_lsh", "q41_fingerprint",
     "q43_knn_ivf", "q44_bucketed_star", "q45_curate")
 
   def main(args: Array[String]): Unit = {
