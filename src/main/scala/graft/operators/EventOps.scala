@@ -127,6 +127,31 @@ object EventOps {
       .orderBy($"hour_ms", $"event_type")
   }
 
+  /** q46: hopping (sliding) window aggregation — 2-hour windows sliding
+    * every hour, so each event lands in exactly two windows. Uses
+    * Spark's native `window(ts, "2 hours", "1 hour")` (the same
+    * operator Structured Streaming runs with a watermark); the window
+    * fan-out is a projection-time explode of 2 struct literals per row,
+    * then ONE shuffle on (window, type) with map-side combine — the
+    * same plan shape as the tumbling q23, ×overlap factor.
+    */
+  def q46HoppingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    ev
+      .groupBy(
+        window(tsOf(ev), "2 hours", "1 hour").as("w"),
+        $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
+      .select(
+        unix_millis($"w.start").as("w_start_ms"),
+        unix_millis($"w.end").as("w_end_ms"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy($"w_start_ms", $"event_type")
+  }
+
   /** Generic gap-based sessionization: append a 1-based `session_idx`
     * per `key` — a new session starts when the gap from the previous
     * event (by `time`, ties broken by `tieBreak`) exceeds `gapMs`. One
@@ -353,6 +378,7 @@ object EventOps {
     "q21_consume_from_offset" -> (q21ConsumeFromOffset _),
     "q22_time_travel" -> (q22TimeTravel _),
     "q23_tumbling" -> (q23Tumbling _),
+    "q46_hopping" -> (q46HoppingWindow _),
     "q24_sessionize" -> (q24Sessionize _),
     "q25_segment_stats" -> (q25SegmentStats _),
     "q26_fencing" -> (q26Fencing _),
@@ -412,6 +438,15 @@ object EventOps {
         |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q46: Spark's window(ts, 2h, 1h) assigns each event to the two
+    // epoch-aligned hops starting at floor(t/1h)*1h and one hour earlier
+    "q46_hopping" ->
+      """SELECT (epoch_ms(ts) // 3600000 - k) * 3600000 AS w_start_ms,
+        |  (epoch_ms(ts) // 3600000 - k) * 3600000 + 7200000 AS w_end_ms,
+        |  event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+        |FROM events, range(2) r(k)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
     "q24_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, value, epoch_ms(ts) AS e_ms,

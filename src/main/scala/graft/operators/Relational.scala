@@ -385,8 +385,32 @@ object Relational {
         round(sum(dec($"l_extendedprice")).cast("double"), 4).as("sum_price"))
   }
 
+  /** q47: exact percentiles (quartiles + median) per group — Spark's
+    * `percentile` interpolates at rank p·(n−1), the same continuous-
+    * quantile definition as DuckDB's `quantile_cont`. Exact percentile
+    * buffers a group's values (an ImperativeAggregate): the right tool
+    * for BOUNDED group counts like these 6; at 100 TB with
+    * high-cardinality groups switch to approx_percentile (same call
+    * shape, sketch-mergeable). Inputs are quantities (small integers —
+    * quarter-fraction interpolation is dyadic-exact in both engines) and
+    * the final round(…, 6) pins the money column's last-ulp wiggle.
+    */
+  def q47Percentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("q1_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("q3_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_cube" -> (q16Cube _),
+    "q47_percentile" -> (q47Percentile _),
     "q17_scalar_subquery" -> (q17ScalarSubquery _),
     "q13_pivot" -> (q13Pivot _),
     "q14_set_ops" -> (q14SetOps _),
@@ -407,6 +431,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q47_percentile" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS q1_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS q3_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q16_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
