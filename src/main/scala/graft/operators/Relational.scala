@@ -408,9 +408,65 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** q48: statistical aggregates (stddev, correlation) computed from
+    * EXACT decimal moment sums (n, Σx, Σx², Σy, Σy², Σxy) — one pass,
+    * map-side combinable, and partition-order independent, unlike the
+    * float Welford updates inside builtin stddev/corr (whose results
+    * depend on merge order and would hash-mismatch the oracle). The
+    * moments are cast to double only at the end, inside the same
+    * formula both engines evaluate. This is also the 100 TB shape:
+    * moment sums are tiny mergeable state per group.
+    */
+  def q48Stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // DECIMAL(19,·) operands force int128 products in DuckDB (int64
+    // DECIMAL(18) multiplication overflows there); Spark is exact either way
+    val x = $"l_quantity".cast("decimal(19,4)")
+    val y = $"l_extendedprice".cast("decimal(19,4)")
+    val moments = Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(y).as("sy"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+    val n = $"n".cast("double")
+    def d(c: Column): Column = c.cast("double")
+    val varX = (n * d($"sxx") - d($"sx") * d($"sx")) / (n * (n - lit(1)))
+    val varY = (n * d($"syy") - d($"sy") * d($"sy")) / (n * (n - lit(1)))
+    val cov = (n * d($"sxy") - d($"sx") * d($"sy")) / (n * (n - lit(1)))
+    moments
+      .select($"l_returnflag", $"n",
+        round(sqrt(varX), 6).as("sd_qty"),
+        round(sqrt(varY), 4).as("sd_price"),
+        round(cov / sqrt(varX * varY), 6).as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** q49: window-function pack two — lead/lag navigation, ntile
+    * bucketing, and an explicit-frame first_value, all over ONE shuffle
+    * on the partition key with a total deterministic order (date +
+    * orderkey tie-break, so every engine ranks identically).
+    */
+  def q49WindowNav(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables(spark, dir, "orders")
+      .select(
+        $"o_custkey", $"o_orderkey",
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"),
+        ntile(4).over(w).as("spend_quartile"),
+        first_value($"o_orderkey").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_order"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_cube" -> (q16Cube _),
     "q47_percentile" -> (q47Percentile _),
+    "q48_stats" -> (q48Stats _),
+    "q49_window_nav" -> (q49WindowNav _),
     "q17_scalar_subquery" -> (q17ScalarSubquery _),
     "q13_pivot" -> (q13Pivot _),
     "q14_set_ops" -> (q14SetOps _),
@@ -431,6 +487,36 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // q48: the identical exact-decimal moments and the identical double
+    // formula — never the builtin stddev/corr (merge-order-dependent)
+    "q48_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, n,
+        |  round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS sd_qty,
+        |  round(sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 4) AS sd_price,
+        |  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) /
+        |    sqrt(((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) *
+        |         ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))), 6) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q49_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  ntile(4) OVER w AS spend_quartile,
+        |  first_value(o_orderkey) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q47_percentile" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(quantile_cont(l_quantity, 0.25), 6) AS q1_qty,
