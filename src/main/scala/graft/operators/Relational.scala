@@ -462,11 +462,35 @@ object Relational {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** q51: unpivot (melt) — wide numeric measures to long (measure,
+    * value) rows via the native `unpivot` operator (an Expand node: the
+    * fan-out happens in the projection, no join, no union of scans —
+    * one table pass however many measures melt), then a per-measure
+    * rollup. The oracle uses the portable UNION ALL formulation; results
+    * are identical because unpivot IS that union, fused.
+    */
+  def q51Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", dec($"l_quantity").as("quantity"),
+        dec($"l_extendedprice").as("extendedprice"), dec($"l_discount").as("discount"))
+      .unpivot(Array($"l_orderkey"), Array($"quantity", $"extendedprice", $"discount"),
+        "measure", "value")
+      .groupBy($"measure")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum($"value").cast("double"), 4).as("total"),
+        round(min($"value").cast("double"), 4).as("min_value"),
+        round(max($"value").cast("double"), 4).as("max_value"))
+      .orderBy($"measure")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_cube" -> (q16Cube _),
     "q47_percentile" -> (q47Percentile _),
     "q48_stats" -> (q48Stats _),
     "q49_window_nav" -> (q49WindowNav _),
+    "q51_unpivot" -> (q51Unpivot _),
     "q17_scalar_subquery" -> (q17ScalarSubquery _),
     "q13_pivot" -> (q13Pivot _),
     "q14_set_ops" -> (q14SetOps _),
@@ -487,6 +511,21 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // q51: unpivot == the fused form of this UNION ALL; decimal sums are
+    // exact so the aggregation replays regardless of engine or order
+    "q51_unpivot" ->
+      """WITH long AS (
+        |  SELECT 'quantity' AS measure, CAST(l_quantity AS DECIMAL(18,4)) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,4)) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount', CAST(l_discount AS DECIMAL(18,4)) FROM lineitem
+        |)
+        |SELECT measure, count(*) AS n_rows,
+        |  round(CAST(sum(value) AS DOUBLE), 4) AS total,
+        |  round(CAST(min(value) AS DOUBLE), 4) AS min_value,
+        |  round(CAST(max(value) AS DOUBLE), 4) AS max_value
+        |FROM long GROUP BY 1 ORDER BY 1""".stripMargin,
     // q48: the identical exact-decimal moments and the identical double
     // formula — never the builtin stddev/corr (merge-order-dependent)
     "q48_stats" ->

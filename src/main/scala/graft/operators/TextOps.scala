@@ -130,11 +130,28 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** q50: corpus top-k terms — the canonical lateral explode + count +
+    * top-k: one generate (explode) fused into the scan stage, partial
+    * map-side counts, ONE shuffle on the token, and a
+    * TakeOrderedAndProject instead of a global sort. Ties broken by
+    * token so the top-20 is total-ordered and engine-independent.
+    */
+  def q50WordCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy($"n_occurrences".desc, $"token")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_lang_id" -> (q38LangId _),
     "q39_quality" -> (q39Quality _),
     "q40_tokens" -> (q40Tokens _),
-    "q41_fingerprint" -> (q41Fingerprint _)
+    "q41_fingerprint" -> (q41Fingerprint _),
+    "q50_wordcount" -> (q50WordCount _)
   )
 
   private val markerValues =
@@ -183,6 +200,10 @@ object TextOps {
         |  CAST(sum(re_tokens) AS BIGINT) AS sum_re_tokens,
         |  CAST(sum(bpe_est) AS BIGINT) AS sum_bpe_est
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q50_wordcount" ->
+      """SELECT tok AS token, count(*) AS n_occurrences
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 20""".stripMargin,
     "q41_fingerprint" ->
       s"""WITH n AS (
          |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm

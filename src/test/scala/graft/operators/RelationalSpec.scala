@@ -126,6 +126,16 @@ class RelationalSpec extends SparkSpec {
     assert(otA != otB, "regenerated source must get a fresh bucketed copy")
   }
 
+  test("q51: unpivot plans as one Expand over one scan, not a union of scans") {
+    val plan = formattedPlan(Relational.q51Unpivot(spark, sfDir))
+    val finalPart = plan.split("== Initial Plan ==").head
+    assert(finalPart.contains("Expand"), s"expected Expand fan-out:\n$plan")
+    // formatted mode prints each node twice (tree + detail) — one scan
+    // appears exactly twice; a 3-way union of scans would show six
+    assert("Scan parquet".r.findAllIn(finalPart).size == 2,
+      s"unpivot must melt in the projection over ONE table pass:\n$plan")
+  }
+
   test("q12: approx distinct within 5% of exact at rsd=0.01") {
     val approx = Relational.q12ApproxDistinct(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
