@@ -16,7 +16,9 @@ object Plans {
     "q21_consume_from_offset", "q28_asof_join", "q30_dedup_exact",
     "q31_dedup_minhash", "q32_dedup_simhash", "q33_ngram_jaccard",
     "q34_knn_brute", "q35_embed_neardup", "q36_knn_lsh", "q41_fingerprint",
-    "q43_knn_ivf", "q44_bucketed_star", "q45_curate")
+    "q43_knn_ivf", "q44_bucketed_star", "q45_curate", "q46_hopping",
+    "q47_percentile", "q48_stats", "q49_window_nav", "q50_wordcount",
+    "q51_unpivot")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
