@@ -485,12 +485,36 @@ object Relational {
       .orderBy($"measure")
   }
 
+  /** q52: outer join with null-extension semantics — every customer,
+    * including the orderless (LEFT OUTER against the orders fact), with
+    * their high-value order count and spend; nulls from the extension
+    * side collapse via count-of-column and coalesce. At scale this is a
+    * shuffle join on custkey (the dim side is the STREAMED side here —
+    * broadcasting the fact would be backwards); the aggregation reuses
+    * the join's partitioning.
+    */
+  def q52OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables(spark, dir, "customer")
+    val bigOrders = Tables(spark, dir, "orders")
+      .filter($"o_totalprice" > 150000.0)
+    customer
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey", $"c_mktsegment")
+      .agg(
+        count($"o_orderkey").as("n_big_orders"), // count(col): nulls drop
+        round(coalesce(sum(dec($"o_totalprice")), lit(0).cast(Dec))
+          .cast("double"), 4).as("big_spend"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_cube" -> (q16Cube _),
     "q47_percentile" -> (q47Percentile _),
     "q48_stats" -> (q48Stats _),
     "q49_window_nav" -> (q49WindowNav _),
     "q51_unpivot" -> (q51Unpivot _),
+    "q52_outer_join" -> (q52OuterJoin _),
     "q17_scalar_subquery" -> (q17ScalarSubquery _),
     "q13_pivot" -> (q13Pivot _),
     "q14_set_ops" -> (q14SetOps _),
@@ -526,6 +550,14 @@ object Relational {
         |  round(CAST(min(value) AS DOUBLE), 4) AS min_value,
         |  round(CAST(max(value) AS DOUBLE), 4) AS max_value
         |FROM long GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_outer_join" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  count(o_orderkey) AS n_big_orders,
+        |  round(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE), 4) AS big_spend
+        |FROM customer
+        |LEFT OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 150000.0) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin,
     // q48: the identical exact-decimal moments and the identical double
     // formula — never the builtin stddev/corr (merge-order-dependent)
     "q48_stats" ->

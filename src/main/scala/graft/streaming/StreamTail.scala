@@ -93,6 +93,55 @@ object StreamTail {
         col("r_ts") <= col("l_ts"))
   }
 
+  /** Append one (micro-)batch of payloads to the log through the DSv2
+    * bulk-write path — the produce direction of the tail: offsets are
+    * assigned as (next epoch, dense row index over `orderBy`), then the
+    * bulk writer range-partitions by offset, each task writes one
+    * segment, and the locked commit validates non-overlap against the
+    * live metadata. The driver never materializes records; the only
+    * narrow point is the row_number window that assigns the dense
+    * index (a micro-batch is bounded — for an UNBOUNDED batch ingest
+    * use EventOps.withOffsets' per-epoch countering instead).
+    *
+    * `payloads` needs one `data` STRING column; `orderBy` defines the
+    * record order inside the batch (and must be deterministic for
+    * replay idempotence to even be possible upstream).
+    */
+  def appendBatch(log: StreamLog, payloads: DataFrame, orderBy: Seq[String],
+                  nowMs: () => Long = () => System.currentTimeMillis()): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    log.refresh() // external commits move the epoch floor
+    val lastEpoch = log.lastOffset.map(Offset.parse(_)._1).getOrElse(0L)
+    val epoch = math.max(nowMs(), lastEpoch + 1)
+    val idx = row_number().over(
+      Window.orderBy(orderBy.map(col): _*)).cast("long") - lit(1L)
+    payloads
+      .select(Offset.serializeCol(lit(epoch), idx).as("offset"), col("data"))
+      .write.format("streamlog")
+      .option("path", log.streamDir.getParent.toString)
+      .option("stream", log.name)
+      .mode("append")
+      .save()
+    log.refresh()
+  }
+
+  /** Continuous produce INTO the log: foreachBatch + [[appendBatch]] —
+    * the write-side twin of [[records]]. Each micro-batch lands as one
+    * locked bulk commit; on crash-recovery Spark may REPLAY the last
+    * uncommitted batch, so delivery into the log is at-least-once
+    * (exactly the reference's produce semantics — a retried HTTP produce
+    * also duplicates; run the log's exact-dedup downstream if the
+    * pipeline needs effectively-once).
+    */
+  def sinkTo(source: DataFrame, log: StreamLog, checkpointDir: String,
+             orderBy: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendBatch(log, batch, orderBy)
+      }
+      .start()
+
   final case class SessionEvent(user_id: Long, e_ms: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, sum_value: Double)

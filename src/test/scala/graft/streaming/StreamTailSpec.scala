@@ -41,6 +41,34 @@ class StreamTailSpec extends SparkSpec {
     log.destroy()
   }
 
+  test("appendBatch and sinkTo produce INTO the log; publish continues after") {
+    import spark.implicits._
+    val log = freshLog()
+    // batch produce: offsets dense and ordered by the given key
+    StreamTail.appendBatch(log,
+      Seq(("b", 2L), ("a", 1L), ("c", 3L)).toDF("data", "k"),
+      orderBy = Seq("k"), nowMs = () => 8000000L)
+    val got = log.consume(graft.streamlog.Offset.Beginning, 100)
+    assert(got.map(_._2) == Seq("a", "b", "c"))
+    assert(got.map(_._1) == got.map(_._1).sorted)
+
+    // streaming produce: a MemoryStream drained through foreachBatch
+    val ms = MemoryStream[String](spark)
+    ms.addData("d", "e")
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+    val q = StreamTail.sinkTo(ms.toDF().withColumnRenamed("value", "data"),
+      log, ckpt, orderBy = Seq("data"))
+    try q.processAllAvailable() finally q.stop()
+    assert(log.consume(graft.streamlog.Offset.Beginning, 100).map(_._2) ==
+      Seq("a", "b", "c", "d", "e"))
+
+    // the stream stays appendable by the owning writer afterwards
+    val more = log.publish(Seq("f"))
+    assert(more.head > log.segments.init.last.lastOffset)
+    assert(log.consume(graft.streamlog.Offset.Beginning, 100).map(_._2).last == "f")
+    log.destroy()
+  }
+
   test("tail does not re-deliver records after compaction rewrites them") {
     val log = freshLog()
     var t = 8000000L
