@@ -56,13 +56,23 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     * consumer poke (stream_manager.ts:306-326,454-467). */
   private val flushMonitor = new Object
 
+  /** Serializes read-modify-writes of the in-memory state (index /
+    * tombstones / epoch): the reference's Durable Object serializes ALL
+    * of a stream's operations on one event loop, and
+    * [[startMaintenance]] re-creates the same hazard here — its daemon
+    * thread compacts while the owner thread publishes. Mutations hold
+    * this lock; compaction's DISTRIBUTED merge runs outside it (only
+    * the window snapshot and the final apply lock), so a publish is
+    * never blocked behind a Spark job. Reentrant (JVM monitor). */
+  private val stateLock = new Object
+
   load()
 
   /** Re-replay the metadata log. REQUIRED on a live instance after an
     * external writer (e.g. the DataSource V2 bulk load) has committed —
     * the in-memory index/epoch are otherwise stale, and a publish() from
     * a stale epoch could assign offsets overlapping the new segments. */
-  def refresh(): Unit = load()
+  def refresh(): Unit = stateLock.synchronized(load())
 
   def producerVersion: Long = producerVersionVar
   def lastOffset: Option[String] = Option(lastOffsetVar).filter(_.nonEmpty)
@@ -107,7 +117,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     * @return the offsets assigned, in record order.
     */
   def publish(records: Seq[String], version: Option[Long] = None,
-              nowMs: () => Long = () => System.currentTimeMillis()): Seq[String] = {
+              nowMs: () => Long = () => System.currentTimeMillis()): Seq[String] = stateLock.synchronized {
     require(records.forall(r => !r.contains('\n') && !r.contains('\r')),
       "records must not contain newlines (NDJSON segment format)")
     version.foreach { v =>
@@ -228,7 +238,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     * @return the merged segment's metadata, or None if nothing to compact. */
   def compactOnce(limits: Compaction.Limits = Compaction.Limits(),
                   nowMs: () => Long = () => System.currentTimeMillis()): Option[SegmentMeta] = {
-    val window = Compaction.window(index.segments, limits)
+    val window = stateLock.synchronized(Compaction.window(index.segments, limits))
     if (window.isEmpty) return None
 
     val merged = SegmentMeta(
@@ -254,18 +264,20 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     Files.move(part, segmentDir.resolve(merged.name), StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(tmpDir)
 
-    val ts = nowMs()
-    window.foreach(m => index = index.remove(m))
-    index = index.add(merged)
-    tombstones ++= window.map(_.name -> ts)
-    appendMeta(window.map(m => MetaJson.tombstone(m.name, ts)) :+ MetaJson.add(merged): _*)
+    stateLock.synchronized {
+      val ts = nowMs()
+      window.foreach(m => index = index.remove(m))
+      index = index.add(merged)
+      tombstones ++= window.map(_.name -> ts)
+      appendMeta(window.map(m => MetaJson.tombstone(m.name, ts)) :+ MetaJson.add(merged): _*)
+    }
     Some(merged)
   }
 
   /** Delete tombstoned segment files older than `maxAgeMs` (ts:590-636;
     * reference default 1 day). */
   def cleanTombstones(maxAgeMs: Long = 86400000L,
-                      nowMs: () => Long = () => System.currentTimeMillis()): Seq[String] = {
+                      nowMs: () => Long = () => System.currentTimeMillis()): Seq[String] = stateLock.synchronized {
     val cutoff = nowMs() - maxAgeMs
     val expired = tombstones.filter(_._2 <= cutoff).keys.toSeq.sorted
     expired.foreach { n =>
@@ -290,7 +302,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     * wall-clock stamps, so an injected test clock would make every file
     * look forever-young and orphans would never be collected).
     */
-  def purgeOrphans(graceMs: Long = 300000L): Seq[String] = {
+  def purgeOrphans(graceMs: Long = 300000L): Seq[String] = stateLock.synchronized {
     load() // pick up commits from external writers (e.g. DSv2 bulk load)
     // stale merge scratch: a crash between a compaction's distributed
     // write and its cleanup leaves a .merge-<uuid> directory that
@@ -341,7 +353,8 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
                  maxWindowsPerJob: Int = 64): Seq[SegmentMeta] = {
     import org.apache.spark.sql.functions.{col, lit}
     require(maxWindowsPerJob >= 1, s"maxWindowsPerJob must be >= 1, got $maxWindowsPerJob")
-    val windows = Compaction.windows(index.segments, limits).take(maxWindowsPerJob)
+    val windows = stateLock.synchronized(
+      Compaction.windows(index.segments, limits).take(maxWindowsPerJob))
     if (windows.isEmpty) return Seq.empty
     if (windows.lengthCompare(1) == 0) return compactOnce(limits, nowMs).toSeq
 
@@ -373,12 +386,14 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     }
     deleteRecursively(tmpDir)
 
-    val ts = nowMs()
-    val all = windows.flatten
-    all.foreach(m => index = index.remove(m))
-    merged.foreach(m => index = index.add(m))
-    tombstones ++= all.map(_.name -> ts)
-    appendMeta(all.map(m => MetaJson.tombstone(m.name, ts)) ++ merged.map(MetaJson.add): _*)
+    stateLock.synchronized {
+      val ts = nowMs()
+      val all = windows.flatten
+      all.foreach(m => index = index.remove(m))
+      merged.foreach(m => index = index.add(m))
+      tombstones ++= all.map(_.name -> ts)
+      appendMeta(all.map(m => MetaJson.tombstone(m.name, ts)) ++ merged.map(MetaJson.add): _*)
+    }
     merged
   }
 
@@ -474,7 +489,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
 
   /** Delete the stream's data + metadata; the name is immediately reusable
     * with fresh state (ts:722-758). */
-  def destroy(): Unit = {
+  def destroy(): Unit = stateLock.synchronized {
     if (Files.exists(streamDir)) deleteRecursively(streamDir)
     load()
   }
@@ -489,7 +504,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     * covers its originals' ranges, so originals are skipped and become
     * orphans for the next purgeOrphans().
     */
-  def rebuildFromSegments(nowMs: () => Long = () => System.currentTimeMillis()): Unit = {
+  def rebuildFromSegments(nowMs: () => Long = () => System.currentTimeMillis()): Unit = stateLock.synchronized {
     val listed = if (!Files.isDirectory(segmentDir)) Seq.empty else {
       val stream = Files.list(segmentDir)
       try {

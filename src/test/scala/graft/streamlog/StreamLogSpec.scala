@@ -300,6 +300,33 @@ class StreamLogSpec extends SparkSpec {
     assert(log.consume(Offset.Beginning, 1000).size == 50)
   }
 
+  test("concurrent publish during maintenance loses no records (state lock)") {
+    val log = freshLog()
+    val c = clock(9790000)
+    (1 to 10).foreach(_ => log.publish(Seq("""{"seed":1}"""), nowMs = c))
+    // daemon compaction churns the index while the owner keeps
+    // publishing: without the state lock the compaction apply overwrote
+    // concurrently added segments (index read-modify-write race)
+    val handle = log.startMaintenance(intervalMs = 5,
+      tombstoneMaxAgeMs = Long.MaxValue, orphanGraceMs = Long.MaxValue)
+    val published = try {
+      (1 to 60).map { i =>
+        Thread.sleep(5)
+        log.publish(Seq(s"""{"i":$i}"""), nowMs = c).head
+      }
+    } finally handle.close()
+    val got = log.consume(Offset.Beginning, 10000).map(_._1)
+    assert(got.size == got.distinct.size, "duplicated records")
+    assert(got.size == 70, s"expected 70 records, got ${got.size}")
+    val missing = published.filterNot(got.contains)
+    assert(missing.isEmpty, s"lost ${missing.size} published records: $missing")
+    log.segments.sliding(2).foreach {
+      case Seq(a, b) => assert(a.lastOffset < b.firstOffset, "overlapping index")
+      case _ =>
+    }
+    log.destroy()
+  }
+
   test("StreamLogs catalogs every stream under a root") {
     val root = Files.createTempDirectory("graft-fleet").toString
     val c = clock(9770000)
