@@ -508,6 +508,27 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
+  /** q53: approximate percentiles — the sketch twin of q47 (exactly as
+    * q12 is the sketch twin of q07): `approx_percentile` keeps a
+    * bounded, MERGEABLE quantile summary per group instead of buffering
+    * the group's values, so it survives high-cardinality groups at
+    * 100 TB where exact percentile cannot. Rows-only for the driver
+    * (the sketch isn't replayable in DuckDB); the accuracy bound vs q47
+    * is spec-gated (rank error ≤ n/accuracy).
+    */
+  def q53ApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.25, 10000)").as("q1_qty"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("med_qty"),
+        expr("approx_percentile(l_quantity, 0.75, 10000)").as("q3_qty"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("med_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_cube" -> (q16Cube _),
     "q47_percentile" -> (q47Percentile _),
@@ -515,6 +536,7 @@ object Relational {
     "q49_window_nav" -> (q49WindowNav _),
     "q51_unpivot" -> (q51Unpivot _),
     "q52_outer_join" -> (q52OuterJoin _),
+    "q53_approx_percentile" -> (q53ApproxPercentile _),
     "q17_scalar_subquery" -> (q17ScalarSubquery _),
     "q13_pivot" -> (q13Pivot _),
     "q14_set_ops" -> (q14SetOps _),

@@ -136,6 +136,23 @@ class RelationalSpec extends SparkSpec {
       s"unpivot must melt in the projection over ONE table pass:\n$plan")
   }
 
+  test("q53: approx percentile tracks the exact quartiles at accuracy=10000") {
+    // at spec scale n per group << accuracy, so the sketch's rank error
+    // (<= n/accuracy) is below one rank: the approx quartiles must sit
+    // within one neighbor value of the exact interpolated ones
+    val exact = Relational.q47Percentile(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = Relational.q53ApproxPercentile(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (q1, med, q3)) =>
+      val (a1, am, a3) = approx(k)
+      assert(math.abs(a1 - q1) <= 1.0, s"$k q1: $a1 vs $q1")
+      assert(math.abs(am - med) <= 1.0, s"$k median: $am vs $med")
+      assert(math.abs(a3 - q3) <= 1.0, s"$k q3: $a3 vs $q3")
+    }
+  }
+
   test("q12: approx distinct within 5% of exact at rsd=0.01") {
     val approx = Relational.q12ApproxDistinct(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
