@@ -254,6 +254,98 @@ object Similarity {
       k)
   }
 
+  /** Product-quantization codebooks: the vector space is split into
+    * `nSub` contiguous subspaces and each gets its own small codebook
+    * via the same deterministic decimal-rounded Lloyd refinement as
+    * [[ivfCentroids]] (seeded from the first `nCentroids` vectors'
+    * subvectors). Returns books(s)(j) = centroid j of subspace s.
+    *
+    * The compression story at 100 TB: a 64-dim float vector is 256 B;
+    * its PQ code is `nSub` small ints (8 B at 8×16) — a 32× smaller
+    * corpus to scan for candidate generation, with the full vectors
+    * only touched by the exact re-rank of the short ADC candidate list.
+    */
+  def pqTrain(corpus: DataFrame, dim: Int, nSub: Int,
+              nCentroids: Int, trainIters: Int): Array[Array[Array[Double]]] = {
+    require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subspaces")
+    val subDim = dim / nSub
+    (0 until nSub).toArray.map { s =>
+      val sub = corpus.select(col("vec_id"),
+        slice(col("v"), s * subDim + 1, subDim).as("v"))
+        .withColumn("norm", graft.functions.VectorFunctions.l2norm(col("v")))
+      ivfCentroids(sub, nCentroids, trainIters).map(_._2)
+    }
+  }
+
+  /** Encode every vector as its per-subspace nearest-centroid indices
+    * (0-based) — one whole-stage-codegen projection per subspace, zero
+    * shuffles; output (vec_id, codes ARRAY<INT>).
+    */
+  def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    import graft.functions.VectorFunctions.{constVec, dot}
+    val nSub = books.length
+    val subDim = books(0)(0).length
+    val codeCols = (0 until nSub).map { s =>
+      val sub = slice(col("v"), s * subDim + 1, subDim)
+      // d2 to centroid j up to the constant |x|²: −2·x·c + |c|²
+      val d2s = array(books(s).map(c =>
+        lit(-2.0) * dot(sub, constVec(c)) + lit(strictDot(c, c))): _*)
+      (array_position(d2s, array_min(d2s)) - lit(1)).cast("int")
+    }
+    corpus.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ ANN via asymmetric distance computation: each query precomputes
+    * its nSub×nCentroids table of exact subspace distances to every
+    * centroid (driver-side — the table is the codebook size, not data),
+    * candidates are ranked by the table-lookup sum over the CODES (the
+    * compressed corpus — the full vectors never stream through this
+    * stage), and the top `rerank` candidates per query are re-ranked
+    * exactly by cosine. Output matches the other kNN heads: (qid,
+    * neighbor_id, cos_sim, knn_rank).
+    */
+  def knnPq(corpus: DataFrame, isQuery: Column,
+            books: Array[Array[Array[Double]]],
+            k: Int, rerank: Int = 50, trained: Option[DataFrame] = None): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val nSub = books.length
+    val subDim = books(0)(0).length
+    val encoded = trained.getOrElse(pqEncode(corpus, books))
+    val queries = corpus.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+      .collect() // the query BATCH (bounded), exactly like knnBrute's broadcast side
+    def qTable(qv: Array[Double]): Array[Array[Double]] =
+      Array.tabulate(nSub) { s =>
+        val qs = java.util.Arrays.copyOfRange(qv, s * subDim, (s + 1) * subDim)
+        books(s).map { c =>
+          var d = 0.0; var i = 0
+          while (i < subDim) { val t = qs(i) - c(i); d += t * t; i += 1 }
+          d
+        }
+      }
+    val qRows = queries.map { r =>
+      (r.getLong(0), qTable(r.getSeq[Double](1).toArray))
+    }.toSeq.toDF("qid", "dtable")
+    val adc = encoded.join(broadcast(qRows))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, ${nSub - 1}), 0D, (acc, s) ->
+           |  acc + element_at(element_at(dtable, s + 1), codes[s] + 1))""".stripMargin))
+    val byAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    val cand = adc
+      .withColumn("adc_rank", row_number().over(byAdc))
+      .filter(col("adc_rank") <= rerank)
+      .select(col("qid"), col("vec_id").as("neighbor_id"))
+    topK(
+      cand
+        .join(corpus.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), "neighbor_id")
+        .join(broadcast(corpus.filter(isQuery)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))), "qid")
+        .select(col("qid"), col("neighbor_id"),
+          round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6).as("cos_sim")),
+      k)
+  }
+
   /** Trained codebooks are ingest-time state (like the bucketed table
     * copies): memoized per (source fingerprint, nCells, iters), so a
     * session trains once and every subsequent query reuses the
@@ -274,11 +366,31 @@ object Similarity {
     knnIvfWith(corpus, col("vec_id") < 5, cents, nProbe = 4, k = 10)
   }
 
+  private val pqBooks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Array[Double]]]]()
+
+  /** q54 = knnPq over the embeddings table: 8 subspaces × 16 centroids
+    * (codes are 8 small ints per vector vs 64 doubles — the compressed
+    * candidate scan), ADC top-50 re-ranked exactly, first 5 vectors as
+    * queries, k=10. Codebooks are ingest-time state, memoized like the
+    * IVF codebook. Rows-only for the driver (training + sketch are not
+    * replayable in DuckDB at this depth); recall and the
+    * rerank-everything ≡ brute-force invariant are spec-gated.
+    */
+  def q54KnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = vecs(spark, dir)
+    val key = (Tables.fingerprint(s"$dir/embeddings.parquet"), 8, 16)
+    val books = pqBooks.computeIfAbsent(key, _ =>
+      pqTrain(corpus, dim = 64, nSub = 8, nCentroids = 16, trainIters = 2))
+    knnPq(corpus, col("vec_id") < 5, books, k = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_knn_brute" -> (q34KnnBrute _),
     "q36_knn_lsh" -> (q36KnnLsh _),
     "q37_vector_stats" -> (q37VectorStats _),
-    "q43_knn_ivf" -> (q43KnnIvf _)
+    "q43_knn_ivf" -> (q43KnnIvf _),
+    "q54_knn_pq" -> (q54KnnPq _)
   )
 
   val oracle: Map[String, String] = Map(

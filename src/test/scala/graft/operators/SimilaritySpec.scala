@@ -81,6 +81,33 @@ class SimilaritySpec extends SparkSpec {
     assert(trained.sum == 320 && untrained.sum == 320)
   }
 
+  test("knnPq: codes are compact, rerank-everything reproduces brute force, recall holds") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val corpus = Similarity.prepare(e, "vec_id", "embedding")
+    val n = corpus.count().toInt
+    val books = Similarity.pqTrain(corpus, dim = 64, nSub = 8, nCentroids = 16, trainIters = 2)
+    assert(books.length == 8 && books.forall(_.forall(_.length == 8)))
+    // compressed representation: 8 codes per vector, all in [0, 16)
+    val codes = Similarity.pqEncode(corpus, books).collect()
+    assert(codes.length == n)
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+    assert(codes.forall(_.getSeq[Int](1).length == 8))
+    // re-ranking EVERY candidate removes the approximation entirely:
+    // result must equal brute force row-for-row (the knnIvf probe-all
+    // analog — proves the ADC plumbing loses nothing beyond the cut)
+    val full = Similarity.knnPq(corpus, col("vec_id") < 5, books, k = 10, rerank = n)
+      .collect().toSeq
+    val brute = Similarity.q34KnnBrute(spark, sfDir).drop("label").collect().toSeq
+    assert(full == brute)
+    // the production shape: ADC top-50 re-rank keeps useful recall
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.knnPq(corpus, col("vec_id") < 5, books, k = 10, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteSet & pq).size.toDouble / bruteSet.size
+    assert(recall >= 0.3, s"PQ recall@10 = $recall")
+  }
+
   test("q36 LSH candidates agree with q34 on shared pairs' cosine") {
     val brute = Similarity.q34KnnBrute(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
