@@ -18,7 +18,7 @@ object Plans {
     "q34_knn_brute", "q35_embed_neardup", "q36_knn_lsh", "q41_fingerprint",
     "q43_knn_ivf", "q44_bucketed_star", "q45_curate", "q46_hopping",
     "q47_percentile", "q48_stats", "q49_window_nav", "q50_wordcount",
-    "q51_unpivot")
+    "q51_unpivot", "q52_outer_join", "q54_knn_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
