@@ -57,6 +57,11 @@ class StreamLogSource extends TableProvider with DataSourceRegister {
         val n = v.toLong
         require(n > 0, s"maxRecordsPerTrigger must be positive, got $n")
         n
+      },
+      Option(properties.get("maxBytesPerTrigger")).map { v =>
+        val n = v.toLong
+        require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
+        n
       })
 }
 
@@ -67,7 +72,8 @@ object StreamLogTable {
 }
 
 class StreamLogTable(root: String, stream: String, after: Option[String],
-                     maxRecordsPerTrigger: Option[Long] = None)
+                     maxRecordsPerTrigger: Option[Long] = None,
+                     maxBytesPerTrigger: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"streamlog:$root/$stream"
@@ -77,7 +83,7 @@ class StreamLogTable(root: String, stream: String, after: Option[String],
       TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StreamLogScanBuilder(root, stream, after, maxRecordsPerTrigger)
+    new StreamLogScanBuilder(root, stream, after, maxRecordsPerTrigger, maxBytesPerTrigger)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val fields = info.schema().fieldNames.toSeq
@@ -88,7 +94,8 @@ class StreamLogTable(root: String, stream: String, after: Option[String],
 }
 
 class StreamLogScanBuilder(root: String, stream: String, after: Option[String],
-                           maxRecordsPerTrigger: Option[Long] = None)
+                           maxRecordsPerTrigger: Option[Long] = None,
+                           maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownAggregates {
@@ -179,7 +186,8 @@ class StreamLogScanBuilder(root: String, stream: String, after: Option[String],
 
   override def build(): Scan =
     if (countStar) new StreamLogCountScan(root, stream)
-    else new StreamLogScan(root, stream, lowerBound, limitHint, maxRecordsPerTrigger)
+    else new StreamLogScan(root, stream, lowerBound, limitHint,
+      maxRecordsPerTrigger, maxBytesPerTrigger)
 }
 
 /** Metadata-only COUNT(*): one partition emitting one row with the sum
@@ -213,7 +221,8 @@ object StreamLogCountReaderFactory extends PartitionReaderFactory {
 
 class StreamLogScan(root: String, stream: String, lowerBound: String,
                     limitHint: Option[Int] = None,
-                    maxRecordsPerTrigger: Option[Long] = None)
+                    maxRecordsPerTrigger: Option[Long] = None,
+                    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = StreamLogTable.Schema
@@ -260,7 +269,7 @@ class StreamLogScan(root: String, stream: String, lowerBound: String,
     * consumer-group state the reference leaves to its callers.
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new StreamLogMicroBatch(root, stream, lowerBound, maxRecordsPerTrigger)
+    new StreamLogMicroBatch(root, stream, lowerBound, maxRecordsPerTrigger, maxBytesPerTrigger)
 }
 
 /** Streaming cursor: the last-delivered 32-char offset ("-" = nothing). */
@@ -278,12 +287,17 @@ case class StreamLogOffset(last: String)
   *   with it (many bounded batches instead of one unbounded replay —
   *   at 100 TB an uncapped cold-start batch is a single giant job that
   *   holds the checkpoint hostage until it finishes).
+  * @param maxBytesPerTrigger same pacing by segment BYTE totals (also
+  *   metadata-planned) — the right cap when record sizes vary; both
+  *   caps together compose as a CompositeReadLimit (first to trip ends
+  *   the batch).
   */
 class StreamLogMicroBatch(root: String, stream: String, startAfter: String,
-                          maxRecordsPerTrigger: Option[Long] = None)
+                          maxRecordsPerTrigger: Option[Long] = None,
+                          maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit, ReadMaxRows}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => SOffset, ReadLimit, ReadMaxBytes, ReadMaxRows}
 
   private def dir = Paths.get(root, stream)
 
@@ -304,7 +318,22 @@ class StreamLogMicroBatch(root: String, stream: String, startAfter: String,
     availableNowHorizon = Some(latestOffset().asInstanceOf[StreamLogOffset].last)
 
   override def getDefaultReadLimit: ReadLimit =
-    maxRecordsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+    (maxRecordsPerTrigger.map(n => ReadLimit.maxRows(n)) ++
+      maxBytesPerTrigger.map(n => ReadLimit.maxBytes(n))).toSeq match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+
+  /** (maxRows, maxBytes) a ReadLimit implies; Long.MaxValue = unbounded. */
+  private def limitsOf(limit: ReadLimit): (Long, Long) = limit match {
+    case r: ReadMaxRows => (r.maxRows(), Long.MaxValue)
+    case b: ReadMaxBytes => (Long.MaxValue, b.maxBytes())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(limitsOf)
+        .reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
+    case _ => (Long.MaxValue, Long.MaxValue)
+  }
 
   override def reportLatestOffset(): SOffset = latestOffset()
 
@@ -313,21 +342,26 @@ class StreamLogMicroBatch(root: String, stream: String, startAfter: String,
     val st = MetaLog.replay(dir.resolve("meta.jsonl"))
     val live = if (st.lastOffset.isEmpty) Offset.Beginning else st.lastOffset
     val horizon = availableNowHorizon.filter(_ < live).getOrElse(live)
-    limit match {
-      case rows: ReadMaxRows =>
-        var remaining = rows.maxRows()
-        var end = after
-        val it = st.index.segmentsAfter(after).iterator
-        while (remaining > 0 && it.hasNext) {
-          val m = it.next()
-          // whole segments only (metadata-planned batches); a segment
-          // past the frozen horizon waits for the next run
-          if (m.lastOffset <= horizon) { end = m.lastOffset; remaining -= m.records }
-          else remaining = 0
-        }
-        StreamLogOffset(end)
-      case _ => StreamLogOffset(horizon)
+    val (maxRows, maxBytes) = limitsOf(limit)
+    if (maxRows == Long.MaxValue && maxBytes == Long.MaxValue)
+      return StreamLogOffset(horizon)
+    var remRows = maxRows
+    var remBytes = maxBytes
+    var end = after
+    val it = st.index.segmentsAfter(after).iterator
+    var go = true
+    while (go && it.hasNext) {
+      val m = it.next()
+      // whole segments only (metadata-planned batches); a segment
+      // past the frozen horizon waits for the next run
+      if (m.lastOffset <= horizon) {
+        end = m.lastOffset
+        remRows -= m.records
+        remBytes -= m.bytes
+        go = remRows > 0 && remBytes > 0
+      } else go = false
     }
+    StreamLogOffset(end)
   }
 
   override def deserializeOffset(json: String): SOffset =

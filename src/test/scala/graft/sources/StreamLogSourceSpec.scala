@@ -222,4 +222,29 @@ class StreamLogSourceSpec extends SparkSpec {
     assert(batches.forall(_ <= 6), s"batch overran the cap+1-segment bound: ${batches.toSeq}")
     log.destroy()
   }
+
+  test("maxBytesPerTrigger paces by segment byte totals") {
+    import org.apache.spark.sql.streaming.Trigger
+    val log = freshLog()
+    val c = clock
+    // 6 segments of 3 records; each record ~33+10 B -> a segment ~130 B
+    val all = (1 to 6).flatMap(_ =>
+      log.publish((1 to 3).map(i => s"""{"pad":$i}"""), nowMs = c))
+    val stream = spark.readStream.format("streamlog")
+      .option("path", log.streamDir.getParent.toString)
+      .option("stream", log.name)
+      .option("maxBytesPerTrigger", "200") // < 2 segments' bytes
+      .load()
+    val q = stream.writeStream.format("memory").queryName("mb_bytes")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT offset FROM mb_bytes ORDER BY offset")
+      .collect().map(_.getString(0)).toSeq == all)
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    // 200 B trips inside the second segment of each batch -> 6 records
+    // max per batch, so 18 records need at least 3 batches
+    assert(batches.length >= 3, s"expected byte-paced batches, got ${batches.toSeq}")
+    assert(batches.forall(_ <= 6), s"batch overran the byte cap: ${batches.toSeq}")
+    log.destroy()
+  }
 }
