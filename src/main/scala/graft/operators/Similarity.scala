@@ -366,6 +366,77 @@ object Similarity {
     knnIvfWith(corpus, col("vec_id") < 5, cents, nProbe = 4, k = 10)
   }
 
+  /** IVF+PQ — the composed scale architecture (coarse quantizer for
+    * candidate PRUNING + product quantizer for candidate COMPRESSION):
+    * the corpus is partitioned into [[ivfCentroids]] cells and stored
+    * as PQ codes; a query probes its `nProbe` nearest cells, ranks ONLY
+    * those cells' codes by ADC table lookups, and exactly re-ranks the
+    * top `rerank`. At 100 TB the scan per query touches
+    * ~nProbe/nCells of an already-32×-compressed corpus, and the full
+    * vectors stream only through the final short re-rank join.
+    * With nProbe = nCells and rerank = corpus size the result equals
+    * brute force row-for-row (both approximations removed — spec-gated).
+    */
+  def knnIvfPq(corpus: DataFrame, isQuery: Column,
+               cents: Array[(Long, Array[Double], Double)],
+               books: Array[Array[Array[Double]]],
+               nProbe: Int, k: Int, rerank: Int = 50): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val nSub = books.length
+    val subDim = books(0)(0).length
+    // ONE projection: coarse cell + PQ codes per row (no self-join)
+    val compressed = pqEncode(corpus, books)
+      .join(ivfAssign(corpus, cents).select(col("vec_id"), col("cell")), "vec_id")
+    val queries = corpus.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+      .collect()
+    def qTable(qv: Array[Double]): Array[Array[Double]] =
+      Array.tabulate(nSub) { s =>
+        val qs = java.util.Arrays.copyOfRange(qv, s * subDim, (s + 1) * subDim)
+        books(s).map { c =>
+          var d = 0.0; var i = 0
+          while (i < subDim) { val t = qs(i) - c(i); d += t * t; i += 1 }
+          d
+        }
+      }
+    // per query: its nProbe nearest cells (driver-side over the bounded
+    // codebook) + its ADC lookup table
+    val qRows = queries.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      val qnorm = r.getDouble(2)
+      val probed = cents
+        .map(c => (c._1, {
+          var d = qnorm * qnorm; var i = 0
+          val cv = c._2
+          var dot = 0.0
+          while (i < cv.length) { dot += qv(i) * cv(i); i += 1 }
+          d - 2.0 * dot + c._3 * c._3
+        }))
+        .sortBy { case (cid, d2) => (d2, cid) }
+        .take(nProbe).map(_._1)
+      val table = qTable(qv)
+      probed.map(cell => (qid, cell, table))
+    }.toSeq.toDF("qid", "cell", "dtable")
+    val byAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    val cand = compressed.join(broadcast(qRows), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, ${nSub - 1}), 0D, (acc, s) ->
+           |  acc + element_at(element_at(dtable, s + 1), codes[s] + 1))""".stripMargin))
+      .withColumn("adc_rank", row_number().over(byAdc))
+      .filter(col("adc_rank") <= rerank)
+      .select(col("qid"), col("vec_id").as("neighbor_id"))
+    topK(
+      cand
+        .join(corpus.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), "neighbor_id")
+        .join(broadcast(corpus.filter(isQuery)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))), "qid")
+        .select(col("qid"), col("neighbor_id"),
+          round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6).as("cos_sim")),
+      k)
+  }
+
   private val pqBooks =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Array[Double]]]]()
 

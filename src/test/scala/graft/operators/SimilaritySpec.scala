@@ -108,6 +108,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"PQ recall@10 = $recall")
   }
 
+  test("knnIvfPq: probe-all + rerank-all reproduces brute force; pruned+compressed recall holds") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val corpus = Similarity.prepare(e, "vec_id", "embedding")
+    val n = corpus.count().toInt
+    val cents = Similarity.ivfCentroids(corpus, nCells = 8, trainIters = 2)
+    val books = Similarity.pqTrain(corpus, dim = 64, nSub = 8, nCentroids = 16, trainIters = 2)
+    // both approximations removed -> exact brute-force result
+    val full = Similarity.knnIvfPq(corpus, col("vec_id") < 5, cents, books,
+      nProbe = 8, k = 10, rerank = n).collect().toSeq
+    val brute = Similarity.q34KnnBrute(spark, sfDir).drop("label").collect().toSeq
+    assert(full == brute)
+    // production shape: 4/8 cells probed over compressed codes, ADC
+    // top-50 re-ranked exactly — recall floor vs brute force
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.knnIvfPq(corpus, col("vec_id") < 5, cents, books,
+      nProbe = 4, k = 10, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteSet & ivfpq).size.toDouble / bruteSet.size
+    assert(recall >= 0.2, s"IVFPQ recall@10 = $recall")
+  }
+
   test("q36 LSH candidates agree with q34 on shared pairs' cosine") {
     val brute = Similarity.q34KnnBrute(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
