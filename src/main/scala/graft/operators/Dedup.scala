@@ -310,15 +310,64 @@ object Dedup {
   def q35EmbedNeardup(spark: SparkSession, dir: String): DataFrame =
     embedNearDup(Vectors.signed(Tables(spark, dir, "embeddings")))
 
+  /** Duplicate-CLUSTER extraction — the step after pair detection that
+    * a curation pipeline actually consumes: exact-duplicate edges
+    * (same content hash → star to the group minimum, linear in group
+    * size, never C(n,2)) unioned with simhash near-dup edges, collapsed
+    * to connected components ([[Graph.connectedComponents]], O(log
+    * diameter) rounds). Output: (doc_id, cluster_id, cluster_size) for
+    * every document that has at least one duplicate, cluster_id = the
+    * canonical keeper (minimum doc_id of the component), ordered.
+    */
+  def duplicateClusters(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exactEdges = d
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("src"), col("doc_id").as("dst"))
+    val simEdges = simhashNearDup(d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    Graph.connectedComponents(exactEdges.union(simEdges))
+      .select(col("v").as("doc_id"), col("component").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q55 = duplicateClusters over `documents`. */
+  def q55DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    duplicateClusters(docs(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_dedup_minhash" -> (q31DedupMinhash _),
     "q32_dedup_simhash" -> (q32DedupSimhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
-    "q35_embed_neardup" -> (q35EmbedNeardup _)
+    "q35_embed_neardup" -> (q35EmbedNeardup _),
+    "q55_dedup_clusters" -> (q55DedupClusters _)
   )
 
   private val h = Hashing.duckHash60 _
+
+  /** The q32 simhash chain (tok → bits → sig → bands) as a reusable CTE
+    * body — q32 selects pairs from it, q55 builds the cluster graph on
+    * top of it. */
+  private lazy val SimhashCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, tok, count(*) AS cnt, ${h("tok")} AS th
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY doc_id, tok
+       |), bits AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (th >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+       |  FROM tok, range(60) t(b) GROUP BY doc_id, b
+       |), sig AS (
+       |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS band_val
+       |  FROM sig, range(4) r(band)
+       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -345,26 +394,45 @@ object Dedup {
          |)
          |${verifyOracleTail("0.5")}""".stripMargin,
     "q32_dedup_simhash" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, tok, count(*) AS cnt, ${h("tok")} AS th
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-         |  GROUP BY doc_id, tok
-         |), bits AS (
-         |  SELECT doc_id, b, sum(CASE WHEN (th >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
-         |  FROM tok, range(60) t(b) GROUP BY doc_id, b
-         |), sig AS (
-         |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM bits GROUP BY doc_id
-         |), bands AS (
-         |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS band_val
-         |  FROM sig, range(4) r(band)
-         |)
+      s"""WITH $SimhashCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // q55: same exact-dup star edges + simhash pair edges as the Spark
+    // side; connectivity replayed exactly as a recursive reachability
+    // closure (edges are symmetrized, so min(reachable) = the
+    // component's minimum vertex — identical to the propagation
+    // fixpoint).
+    "q55_dedup_clusters" ->
+      s"""WITH RECURSIVE $SimhashCtes, sim_pairs AS (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), exact_pairs AS (
+         |  SELECT m AS src, doc_id AS dst FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m
+         |    FROM documents)
+         |  WHERE doc_id != m
+         |), edges AS (
+         |  SELECT src, dst FROM exact_pairs
+         |  UNION SELECT dst, src FROM exact_pairs
+         |  UNION SELECT src, dst FROM sim_pairs
+         |  UNION SELECT dst, src FROM sim_pairs
+         |), nodes AS (SELECT DISTINCT src AS v FROM edges),
+         |reach AS (
+         |  SELECT v, v AS r FROM nodes
+         |  UNION
+         |  SELECT e.src AS v, re.r FROM edges e JOIN reach re ON e.dst = re.v
+         |), cc AS (
+         |  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+         |)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM cc ORDER BY doc_id""".stripMargin,
     "q33_ngram_jaccard" ->
       s"""$ShCte, rare AS (
          |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)

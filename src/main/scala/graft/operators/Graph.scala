@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph connectivity for the dedup pipeline (SURVEY §2.4).
+  *
+  * The near-dup detectors (minhash / simhash / ngram-Jaccard /
+  * embedding LSH) all emit duplicate PAIRS; a curation pipeline needs
+  * duplicate CLUSTERS — "these 17 documents are all the same article,
+  * keep one". That is connected components over the pair graph, with
+  * the canonical representative = the minimum doc_id of the component
+  * (the same keep-the-smallest rule as [[Dedup.exactDedup]]).
+  */
+object Graph {
+
+  /** Connected components of an undirected graph given as (src, dst)
+    * edge rows: returns (v, component) for every vertex that appears in
+    * an edge, where component = the minimum vertex id reachable from v.
+    *
+    * Algorithm: min-label propagation with a pointer-jumping step —
+    * each round every vertex adopts (1) the smallest label among its
+    * neighbors, then (2) the label OF its current label ("your
+    * representative's representative"). Step (2) halves the remaining
+    * label-chain depth each round, so convergence needs O(log d) rounds
+    * for diameter d instead of the O(d) of plain neighbor propagation —
+    * a 1M-node duplicate chain (the adversarial shape for propagation)
+    * converges in ~20 rounds. Labels are monotonically non-increasing
+    * and bounded below, so the exact-decimal label sum is a fixpoint
+    * detector: unchanged sum ⟺ converged (no epsilon, no missed
+    * oscillation).
+    *
+    * Scale shape: per round, one shuffle join edges⋈labels (partitioned
+    * by vertex — min() is partial-aggregated map-side, so a hub vertex
+    * with millions of neighbors combines before the shuffle) and one
+    * self-join of the narrow (v, l) label frame. The label frame is
+    * `localCheckpoint`ed each round: lineage stays O(1) deep instead of
+    * accumulating 2·rounds joins of plan, which is what kills iterative
+    * DataFrame algorithms at scale. Edges are persisted once and reused
+    * every round.
+    */
+  def connectedComponents(edges0: DataFrame, maxIters: Int = 50): DataFrame = {
+    val half = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val edges = graft.core.Caches.persist(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("l"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("l").cast("decimal(38,0)"))).head.getDecimal(0)
+    // Superseded checkpointed label frames are reclaimed by the
+    // ContextCleaner once unreferenced (Dataset.unpersist is a no-op on
+    // a localCheckpoint-backed frame — its cache is RDD-level, not
+    // CacheManager-level), so the loop just drops the old reference.
+    var prev = labelSum(labels)
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      // (1) neighbor-min pass
+      val nbrMin = edges
+        .join(labels.select(col("v").as("dst"), col("l").as("nl")), "dst")
+        .groupBy(col("src")).agg(min(col("nl")).as("nl"))
+        .withColumnRenamed("src", "v")
+      val stepped = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .localCheckpoint(true)
+      // (2) pointer jump: adopt the label of your label (labels are
+      // always vertex ids, so the parent lookup always resolves)
+      val parents = stepped.select(col("v").as("pv"), col("l").as("pl"))
+      labels = stepped.join(parents, col("l") === col("pv"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("pl"), col("l"))).as("l"))
+        .localCheckpoint(true)
+      val cur = labelSum(labels)
+      done = cur.compareTo(prev) == 0
+      prev = cur
+      it += 1
+    }
+    labels.select(col("v"), col("l").as("component"))
+  }
+}

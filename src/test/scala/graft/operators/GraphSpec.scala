@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Connected components ([[Graph.connectedComponents]]) — the cluster
+  * collapse behind q55_dedup_clusters.
+  */
+class GraphSpec extends SparkSpec {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    try Graph.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally graft.core.Caches.release()
+  }
+
+  test("chain, clique, isolated pair, and a bridge all collapse to the min id") {
+    val edges = Seq[(Long, Long)](
+      // chain 1-2-3-4-5
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      // clique on 10,11,12
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      // isolated pair (order reversed on purpose)
+      (21L, 20L),
+      // bridge merging the chain and the clique
+      (5L, 10L))
+    val labels = cc(edges)
+    assert(labels.keySet === Set(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L, 21L))
+    Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L).foreach(v => assert(labels(v) === 1L, s"v=$v"))
+    assert(labels(20L) === 20L && labels(21L) === 20L)
+  }
+
+  test("a 200-vertex path converges (pointer jumping, not O(diameter) rounds)") {
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    val labels = cc(edges)
+    assert(labels.size === 200)
+    assert(labels.values.forall(_ == 0L))
+  }
+
+  test("duplicate edges, self-loops, and reversed duplicates are harmless") {
+    val labels = cc(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("duplicateClusters on sf0.001 documents matches a brute-force closure") {
+    val d = graft.core.Tables(spark, sfDir, "documents")
+    val out = try Dedup.duplicateClusters(d).collect()
+    finally graft.core.Caches.release()
+    // brute-force reference: same edge sets, driver-side union-find
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val exact = d.select(md5(col("text")).as("h"), col("doc_id"))
+      .withColumn("m", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m"), col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sim = try Dedup.simhashNearDup(d).select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    finally graft.core.Caches.release()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (exact ++ sim).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(v => v -> find(v)).toMap
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap === expect)
+    // cluster_size is consistent with the label multiset
+    val sizes = expect.values.toSeq.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    out.foreach(r => assert(r.getLong(2) === sizes(r.getLong(1))))
+  }
+}
