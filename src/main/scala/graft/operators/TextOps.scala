@@ -146,12 +146,94 @@ object TextOps {
       .limit(20)
   }
 
+  /** TF-IDF top terms per document over any (doc_id, text) frame:
+    * tf = in-doc term count, df = number of docs containing the term,
+    * idf = ln(N/df), top `k` terms per doc by (tfidf desc, term asc).
+    *
+    * Shape at scale: tf is ONE shuffle on (doc_id, term) with map-side
+    * partial counts; df reuses the tf frame (persisted — it feeds both
+    * the df aggregation and the scoring join) with a second shuffle on
+    * term; the per-doc top-k is a window on doc_id. ln crosses the
+    * oracle boundary safely: JVM Math.log and DuckDB ln agree on all
+    * but ~0.2% of the reachable idf inputs, and those differ by 1 ulp —
+    * round(…, 6) collapses them (boundary-hit odds ~1e-10, the same
+    * accepted class as cosine rank stability, SURVEY §4).
+    */
+  def tfidfTopTerms(d: DataFrame, k: Int = 3): DataFrame = {
+    val n = d.count() // bounded driver scalar (corpus row count)
+    val tf = graft.core.Caches.persist(
+      d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("term_rank", row_number().over(byDoc))
+      .filter(col("term_rank") <= k)
+      .select(col("doc_id"), col("term_rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("term_rank"))
+  }
+
+  /** q56 = tfidfTopTerms over `documents`, k=3. */
+  def q56Tfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(docs(spark, dir))
+
+  /** BM25 ranked retrieval over any (doc_id, text) frame: score every
+    * document against `queryTerms` with Robertson/Sparck-Jones BM25
+    * (k1=1.2, b=0.75, plus-one idf), return the top `topK` docs.
+    *
+    * Per-term contributions are rounded to 6 decimals and summed as
+    * exact DECIMAL — partition-order-independent (float sum order would
+    * otherwise depend on shuffle arrival; SURVEY §4) and replayed
+    * exactly by the oracle. Only rows whose token matches a query term
+    * survive past the explode, so the groupBy state is |queryTerms|
+    * rows per doc, and the only corpus-wide aggregates are the bounded
+    * (N, avgdl) scalars.
+    */
+  def bm25(d: DataFrame, queryTerms: Seq[String],
+           topK: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val stats = toks
+      .agg(count(lit(1)).as("n"), sum(size(col("toks")).cast("long")).as("s")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val tf = graft.core.Caches.persist(toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // expression shapes mirror the oracle token-for-token (IEEE parity)
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contr = round(
+      idf * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / lit(avgdl)))), 6)
+    tf.join(dfreq, "term")
+      .withColumn("contr", contr)
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("contr").cast("decimal(18,6)")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** The fixed q57 query — three common corpus terms. */
+  val Bm25Query: Seq[String] = Seq("data", "spark", "query")
+
+  /** q57 = bm25 over `documents` for [[Bm25Query]], top 20. */
+  def q57Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25(docs(spark, dir), Bm25Query)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_lang_id" -> (q38LangId _),
     "q39_quality" -> (q39Quality _),
     "q40_tokens" -> (q40Tokens _),
     "q41_fingerprint" -> (q41Fingerprint _),
-    "q50_wordcount" -> (q50WordCount _)
+    "q50_wordcount" -> (q50WordCount _),
+    "q56_tfidf" -> (q56Tfidf _),
+    "q57_bm25" -> (q57Bm25 _)
   )
 
   private val markerValues =
@@ -212,6 +294,48 @@ object TextOps {
          |SELECT doc_id,
          |  list_min([${Hashing.duckHash60("substr(norm, i + 1, 8)")} FOR i IN range(length(norm) - 7)]) AS fingerprint,
          |  CAST(length(norm) - 7 AS BIGINT) AS n_grams
-         |FROM n WHERE length(norm) >= 8 ORDER BY doc_id""".stripMargin
+         |FROM n WHERE length(norm) >= 8 ORDER BY doc_id""".stripMargin,
+    "q56_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2
+        |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df,
+        |    round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) DESC, term) AS term_rank
+        |  FROM tf JOIN dfreq USING (term), n
+        |)
+        |SELECT doc_id, term_rank, term, tf, df, tfidf FROM ranked
+        |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "q57_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH stats AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         |    unnest(string_split(text, ' ')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM tok
+         |  WHERE term IN ${sqlIn(Bm25Query)} GROUP BY 1, 2, 3
+         |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT doc_id, dl, round(
+         |    ln(1.0 + (CAST(s.n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+         |    (tf * CAST(${k1 + 1} AS DOUBLE)) /
+         |    (tf + CAST($k1 AS DOUBLE) * (CAST(${1 - b} AS DOUBLE) + CAST($b AS DOUBLE) * (dl / s.avgdl))), 6) AS contr
+         |  FROM tf JOIN dfreq USING (term), stats s
+         |)
+         |SELECT doc_id, dl, count(*) AS n_terms,
+         |  round(CAST(sum(CAST(contr AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+         |FROM scored GROUP BY doc_id, dl
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    }
   )
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Text-relevance operators (q56 tf-idf, q57 BM25) — behavior on a
+  * hand-computable corpus; full-value parity is the oracle gate's job.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  private def tinyCorpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry durian")
+    ).toDF("doc_id", "text")
+  }
+
+  test("tfidfTopTerms ranks the doc-specific term above corpus-wide terms") {
+    val out = try TextOps.tfidfTopTerms(tinyCorpus, k = 2).collect()
+    finally graft.core.Caches.release()
+    val top = out.filter(_.getLong(0) == 1L).minBy(_.getInt(1))
+    // doc 1: apple tf=2 df=1 → tfidf = 2·ln(3) ≈ 2.197 beats banana (df=2)
+    assert(top.getString(2) === "apple")
+    assert(math.abs(top.getDouble(5) - 2 * math.log(3.0)) < 1e-6)
+    // every doc gets at most k ranked terms, ranks are 1..k
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to rows.length))
+    }
+  }
+
+  test("bm25 scores only matching docs and ranks higher-tf docs first") {
+    val out = try TextOps.bm25(tinyCorpus, Seq("cherry"), topK = 10).collect()
+    finally graft.core.Caches.release()
+    // docs 2 and 3 contain 'cherry'; doc 1 does not
+    assert(out.map(_.getLong(0)).toSet === Set(2L, 3L))
+    val byDoc = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // doc 3 has tf=3 (vs 1) and its length penalty doesn't invert the order
+    assert(byDoc(3L) > byDoc(2L))
+    assert(out.forall(_.getLong(2) == 1L)) // n_terms = 1 matched query term
+  }
+
+  test("bm25 is deterministic across runs (decimal-exact contribution sum)") {
+    val d = graft.core.Tables(spark, sfDir, "documents")
+    def run() = try TextOps.bm25(d, TextOps.Bm25Query).collect().toSeq
+    finally graft.core.Caches.release()
+    assert(run() === run())
+  }
+}
