@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.functions.Hashing
+
+/** Deterministic sampling for training-data curation (SURVEY §2.6).
+  *
+  * Both samplers key on the md5-based 60-bit hash of a row key
+  * ([[Hashing.hash60]]) instead of an RNG: the sample is a pure
+  * function of the data — reproducible across runs, engines (the
+  * DuckDB oracle replays it), cluster sizes, and partitionings, and it
+  * composes (the same doc is in or out of the sample no matter which
+  * pipeline asks). That is the property a 100 TB curation pipeline
+  * needs from a holdout split — `rand()` gives none of it.
+  */
+object Sampling {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Rate-based sample: keep rows whose hash bucket (of `key`, rendered
+    * as a string) falls below `keep` of `buckets` — an expected
+    * keep/buckets fraction, exact membership per row. A pure
+    * projection + filter: zero shuffle at any scale, and the filter
+    * sits on top of the scan so column pruning still applies.
+    */
+  def hashSample(d: DataFrame, key: Column, keep: Int, buckets: Int = 1000): DataFrame =
+    d.withColumn("bucket", Hashing.hash60(key.cast("string")) % buckets)
+      .filter(col("bucket") < keep)
+
+  /** Exact-size stratified sample: the `n` rows of each stratum with
+    * the smallest key hashes (ties broken by the key itself — a total
+    * order, so the sample is unique). One shuffle on the stratum
+    * column. For a hugely skewed stratum at 100 TB, pre-thin with
+    * [[hashSample]] at a rate that safely over-covers `n` and window
+    * only the survivors — the window then sorts thousands of rows, not
+    * billions.
+    */
+  def stratifiedSample(d: DataFrame, stratum: Column, key: Column, n: Int): DataFrame = {
+    val skey = Hashing.hash60(key.cast("string"))
+    val w = Window.partitionBy(stratum).orderBy(col("skey"), key)
+    d.withColumn("skey", skey)
+      .withColumn("samp_rank", row_number().over(w))
+      .filter(col("samp_rank") <= n)
+  }
+
+  /** q58: 10 documents per source, hash-stratified. */
+  def q58SampleStratified(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(docs(spark, dir), col("source"), col("doc_id"), 10)
+      .select(col("source"), col("samp_rank"), col("doc_id"), col("skey"))
+      .orderBy(col("source"), col("samp_rank"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_sample_stratified" -> (q58SampleStratified _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q58_sample_stratified" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id,
+         |    ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} AS skey
+         |  FROM documents
+         |), ranked AS (
+         |  SELECT source, doc_id, skey,
+         |    row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) AS samp_rank
+         |  FROM h
+         |)
+         |SELECT source, samp_rank, doc_id, skey FROM ranked
+         |WHERE samp_rank <= 10 ORDER BY source, samp_rank""".stripMargin
+  )
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Deterministic hash sampling (q58) — rate behavior, stability, and
+  * composition; value parity is the oracle gate's job.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val d = graft.core.Tables(spark, sfDir, "documents")
+
+  test("hashSample hits the expected rate and is repartition-invariant") {
+    val n = d.count()
+    val kept = Sampling.hashSample(d, col("doc_id"), keep = 100)
+    val k = kept.count()
+    // 10% ±5pp on 500 docs (binomial 3σ ≈ 4pp)
+    assert(math.abs(k.toDouble / n - 0.1) < 0.05, s"rate ${k.toDouble / n}")
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val reshuffled = Sampling.hashSample(d.repartition(13), col("doc_id"), keep = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === reshuffled)
+  }
+
+  test("hashSample composes: a 5% sample is a subset of the 10% sample") {
+    val s10 = Sampling.hashSample(d, col("doc_id"), 100).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s5 = Sampling.hashSample(d, col("doc_id"), 50).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s5.subsetOf(s10))
+  }
+
+  test("stratifiedSample returns exactly n per stratum with ranks 1..n") {
+    val out = Sampling.stratifiedSample(d, col("source"), col("doc_id"), 5)
+      .select("source", "samp_rank").collect()
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to 5), s"stratum $src")
+    }
+  }
+
+  test("stratifiedSample is the n smallest hashes of each stratum") {
+    val all = d.select(col("source"),
+      graft.functions.Hashing.hash60(col("doc_id").cast("string")).as("h")).collect()
+    val expect = all.groupBy(_.getString(0)).map { case (s, rows) =>
+      s -> rows.map(_.getLong(1)).sorted.take(5).toSeq
+    }
+    val got = Sampling.stratifiedSample(d, col("source"), col("doc_id"), 5)
+      .select("source", "skey").orderBy("source", "samp_rank").collect()
+      .groupBy(_.getString(0)).map { case (s, rows) => s -> rows.map(_.getLong(1)).toSeq }
+    assert(got === expect)
+  }
+}
