@@ -361,9 +361,8 @@ object Similarity {
     * nprobe=4, k=10. */
   def q43KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val corpus = vecs(spark, dir)
-    val key = (Tables.fingerprint(s"$dir/embeddings.parquet"), 16, 2)
-    val cents = codebooks.computeIfAbsent(key, _ => ivfCentroids(corpus, 16, 2))
-    knnIvfWith(corpus, col("vec_id") < 5, cents, nProbe = 4, k = 10)
+    knnIvfWith(corpus, col("vec_id") < 5,
+      trainedCodebook(spark, dir, corpus), nProbe = 4, k = 10)
   }
 
   /** IVF+PQ — the composed scale architecture (coarse quantizer for
@@ -440,6 +439,45 @@ object Similarity {
   private val pqBooks =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Array[Double]]]]()
 
+  /** The memoized 16-cell/2-iteration codebook for `dir`'s embeddings
+    * table — trained once per content fingerprint, shared by q43/q59.
+    */
+  private def trainedCodebook(spark: SparkSession, dir: String,
+                              corpus: DataFrame): Array[(Long, Array[Double], Double)] = {
+    val key = (Tables.fingerprint(s"$dir/embeddings.parquet"), 16, 2)
+    codebooks.computeIfAbsent(key, _ => ivfCentroids(corpus, 16, 2))
+  }
+
+  /** q59: k-means cluster profile of the embedding corpus — the trained
+    * 16-cell codebook ([[ivfCentroids]], same memoized instance q43
+    * probes) materialized as per-cluster statistics: occupancy, decimal-
+    * exact mean norm, representative (minimum) vector id, and the
+    * dominant label with its count. Clustering-as-analytics: the
+    * assignment is one codegen projection over the corpus, then two
+    * bounded aggregations (16 cells; 16×|labels| label cells) — no
+    * vector ever shuffles, so the query costs one scan at any corpus
+    * size.
+    */
+  def q59ClusterSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = vecs(spark, dir)
+    val cents = trainedCodebook(spark, dir, corpus)
+    val assigned = graft.core.Caches.persist(
+      ivfAssign(corpus, cents)
+        .select($"cell", $"vec_id", $"label", round($"norm", 6).as("norm_r")))
+    val stats = assigned.groupBy($"cell").agg(
+      count(lit(1)).as("n_vecs"),
+      round(sum($"norm_r".cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+        .as("avg_norm"),
+      min($"vec_id").as("min_vec_id"))
+    val byCell = Window.partitionBy($"cell").orderBy($"n_lab".desc, $"label")
+    val topLab = assigned.groupBy($"cell", $"label").agg(count(lit(1)).as("n_lab"))
+      .withColumn("r", row_number().over(byCell))
+      .filter($"r" === 1)
+      .select($"cell", $"label".as("top_label"), $"n_lab".as("top_label_n"))
+    stats.join(topLab, "cell").orderBy($"cell")
+  }
+
   /** q54 = knnPq over the embeddings table: 8 subspaces × 16 centroids
     * (codes are 8 small ints per vector vs 64 doubles — the compressed
     * candidate scan), ADC top-50 re-ranked exactly, first 5 vectors as
@@ -461,8 +499,65 @@ object Similarity {
     "q36_knn_lsh" -> (q36KnnLsh _),
     "q37_vector_stats" -> (q37VectorStats _),
     "q43_knn_ivf" -> (q43KnnIvf _),
-    "q54_knn_pq" -> (q54KnnPq _)
+    "q54_knn_pq" -> (q54KnnPq _),
+    "q59_cluster_summary" -> (q59ClusterSummary _)
   )
+
+  /** The trained-16-cell-codebook CTE chain (e → c0 → two unrolled
+    * Lloyd iterations → cents → d2 → assigned) shared by the q43 and
+    * q59 oracles. `assigned` carries (vec_id, v, norm, label, cell).
+    */
+  private lazy val IvfAssignedCtes: String =
+    """e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings
+      |), c0 AS (
+      |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM e WHERE vec_id < 16
+      |), a1 AS (
+      |  SELECT vec_id, v, cid AS cell FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        e.norm * e.norm - 2.0 * list_dot_product(e.v, c.cv) + c.cnorm * c.cnorm,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c0 c) WHERE rn = 1
+      |), m1 AS (
+      |  SELECT cell, p,
+      |    round(CAST(sum(CAST(v[p + 1] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
+      |  FROM a1, range(64) r(p) GROUP BY cell, p
+      |), l1 AS (
+      |  SELECT cell AS cid, list(m ORDER BY p) AS cv FROM m1 GROUP BY cell
+      |), c1 AS (
+      |  SELECT c0.cid, COALESCE(l1.cv, c0.cv) AS cv,
+      |    sqrt(list_dot_product(COALESCE(l1.cv, c0.cv), COALESCE(l1.cv, c0.cv))) AS cnorm
+      |  FROM c0 LEFT JOIN l1 ON l1.cid = c0.cid
+      |), a2 AS (
+      |  SELECT vec_id, v, cid AS cell FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        e.norm * e.norm - 2.0 * list_dot_product(e.v, c.cv) + c.cnorm * c.cnorm,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c1 c) WHERE rn = 1
+      |), m2 AS (
+      |  SELECT cell, p,
+      |    round(CAST(sum(CAST(v[p + 1] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
+      |  FROM a2, range(64) r(p) GROUP BY cell, p
+      |), l2 AS (
+      |  SELECT cell AS cid, list(m ORDER BY p) AS cv FROM m2 GROUP BY cell
+      |), cents AS (
+      |  SELECT c1.cid, COALESCE(l2.cv, c1.cv) AS cv,
+      |    sqrt(list_dot_product(COALESCE(l2.cv, c1.cv), COALESCE(l2.cv, c1.cv))) AS cnorm
+      |  FROM c1 LEFT JOIN l2 ON l2.cid = c1.cid
+      |), d2 AS (
+      |  SELECT e.vec_id, e.v, e.norm, e.label, c.cid,
+      |    e.norm * e.norm - 2.0 * list_dot_product(e.v, c.cv) + c.cnorm * c.cnorm AS d2
+      |  FROM e CROSS JOIN cents c
+      |), assigned AS (
+      |  SELECT vec_id, v, norm, label, cid AS cell FROM (
+      |    SELECT vec_id, v, norm, label, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d2) WHERE rn = 1
+      |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q34_knn_brute" ->
@@ -522,56 +617,7 @@ object Similarity {
     // expression tree and the identical round(decimal-sum/count, 6)
     // means, so the trained centroids match Spark's bit-for-bit.
     "q43_knn_ivf" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-        |  FROM embeddings
-        |), c0 AS (
-        |  SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM e WHERE vec_id < 16
-        |), a1 AS (
-        |  SELECT vec_id, v, cid AS cell FROM (
-        |    SELECT e.vec_id, e.v, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        e.norm * e.norm - 2.0 * list_dot_product(e.v, c.cv) + c.cnorm * c.cnorm,
-        |        c.cid) AS rn
-        |    FROM e CROSS JOIN c0 c) WHERE rn = 1
-        |), m1 AS (
-        |  SELECT cell, p,
-        |    round(CAST(sum(CAST(v[p + 1] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
-        |  FROM a1, range(64) r(p) GROUP BY cell, p
-        |), l1 AS (
-        |  SELECT cell AS cid, list(m ORDER BY p) AS cv FROM m1 GROUP BY cell
-        |), c1 AS (
-        |  SELECT c0.cid, COALESCE(l1.cv, c0.cv) AS cv,
-        |    sqrt(list_dot_product(COALESCE(l1.cv, c0.cv), COALESCE(l1.cv, c0.cv))) AS cnorm
-        |  FROM c0 LEFT JOIN l1 ON l1.cid = c0.cid
-        |), a2 AS (
-        |  SELECT vec_id, v, cid AS cell FROM (
-        |    SELECT e.vec_id, e.v, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        e.norm * e.norm - 2.0 * list_dot_product(e.v, c.cv) + c.cnorm * c.cnorm,
-        |        c.cid) AS rn
-        |    FROM e CROSS JOIN c1 c) WHERE rn = 1
-        |), m2 AS (
-        |  SELECT cell, p,
-        |    round(CAST(sum(CAST(v[p + 1] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
-        |  FROM a2, range(64) r(p) GROUP BY cell, p
-        |), l2 AS (
-        |  SELECT cell AS cid, list(m ORDER BY p) AS cv FROM m2 GROUP BY cell
-        |), cents AS (
-        |  SELECT c1.cid, COALESCE(l2.cv, c1.cv) AS cv,
-        |    sqrt(list_dot_product(COALESCE(l2.cv, c1.cv), COALESCE(l2.cv, c1.cv))) AS cnorm
-        |  FROM c1 LEFT JOIN l2 ON l2.cid = c1.cid
-        |), d2 AS (
-        |  SELECT e.vec_id, e.v, e.norm, c.cid,
-        |    e.norm * e.norm - 2.0 * list_dot_product(e.v, c.cv) + c.cnorm * c.cnorm AS d2
-        |  FROM e CROSS JOIN cents c
-        |), assigned AS (
-        |  SELECT vec_id, v, norm, cid AS cell FROM (
-        |    SELECT vec_id, v, norm, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |    FROM d2) WHERE rn = 1
-        |), qcells AS (
+      s"""WITH $IvfAssignedCtes, qcells AS (
         |  SELECT vec_id AS qid, v AS qv, norm AS qnorm, cid AS cell FROM (
         |    SELECT vec_id, v, norm, cid,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
@@ -588,6 +634,24 @@ object Similarity {
         |)
         |SELECT qid, neighbor_id, cos_sim, knn_rank FROM ranked
         |WHERE knn_rank <= 10 ORDER BY qid, knn_rank""".stripMargin,
+    // q59: same trained codebook + assignment as q43, aggregated to the
+    // per-cluster profile instead of probed.
+    "q59_cluster_summary" ->
+      s"""WITH $IvfAssignedCtes, stats AS (
+         |  SELECT cell, count(*) AS n_vecs,
+         |    round(CAST(sum(CAST(round(norm, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_norm,
+         |    min(vec_id) AS min_vec_id
+         |  FROM assigned GROUP BY cell
+         |), lab AS (
+         |  SELECT cell, label, count(*) AS n_lab FROM assigned GROUP BY cell, label
+         |), toplab AS (
+         |  SELECT cell, label AS top_label, n_lab AS top_label_n FROM (
+         |    SELECT cell, label, n_lab,
+         |      row_number() OVER (PARTITION BY cell ORDER BY n_lab DESC, label) AS r
+         |    FROM lab) WHERE r = 1
+         |)
+         |SELECT s.cell, s.n_vecs, s.avg_norm, s.min_vec_id, t.top_label, t.top_label_n
+         |FROM stats s JOIN toplab t ON s.cell = t.cell ORDER BY s.cell""".stripMargin,
     "q37_vector_stats" ->
       """WITH e AS (
         |  SELECT label,

@@ -22,6 +22,17 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("q59 cluster summary: occupancy sums to corpus, dominant label is the argmax") {
+    val out = try Similarity.q59ClusterSummary(spark, sfDir).collect()
+    finally graft.core.Caches.release()
+    val n = graft.core.Tables(spark, sfDir, "embeddings").count()
+    assert(out.map(_.getLong(1)).sum === n)
+    out.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(1)) // top-label count ≤ cell size
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+
   test("q36 LSH ANN: non-empty and recall@10 vs brute force >= 0.2") {
     val brute = Similarity.q34KnnBrute(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
