@@ -339,13 +339,66 @@ object Dedup {
   def q55DedupClusters(spark: SparkSession, dir: String): DataFrame =
     duplicateClusters(docs(spark, dir))
 
+  /** Benchmark-contamination detection — the decontamination primitive
+    * of a training pipeline: for every (benchmark doc, corpus doc) pair
+    * sharing at least one word-`n`-gram shingle, the exact CONTAINMENT
+    * |A∩B| / |B| of the benchmark doc's distinct shingle set B in the
+    * corpus doc's set A (asymmetric, unlike the Jaccard dedup family —
+    * a benchmark question quoted inside a long document has low Jaccard
+    * but containment ≈ 1, which is exactly the leak being hunted).
+    *
+    * Scale shape: the benchmark side is small by nature (a test suite),
+    * so its exploded shingle index broadcasts; the corpus streams
+    * through one broadcast hash join on the 60-bit shingle hash and one
+    * (bench_doc, corpus_doc) groupBy with map-side partial counts — the
+    * corpus is scanned once, never self-joined, and nothing corpus-
+    * sized shuffles.
+    */
+  def contaminationCheck(corpus: DataFrame, bench: DataFrame,
+                         n: Int = 3, tau: Double = 0.0): DataFrame = {
+    val cs = docSets(corpus, n)
+      .select(col("doc_id").as("corpus_doc"), explode(col("hs")).as("h"))
+    val bsh = docSets(bench, n)
+      .select(col("doc_id").as("bench_doc"), size(col("hs")).as("nb"),
+        explode(col("hs")).as("h"))
+    cs.join(broadcast(bsh), "h")
+      .groupBy(col("bench_doc"), col("corpus_doc"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") / col("nb") >= tau)
+      .select(col("bench_doc"), col("corpus_doc"), col("shared"), col("nb"),
+        round(col("shared") / col("nb"), 6).as("containment"))
+  }
+
+  /** q60: contamination report over `documents` with benchmark =
+    * doc_id ≡ 7 (mod 100): per benchmark doc, the number of overlapping
+    * corpus docs and the single most-contaminating one (containment
+    * desc, corpus_doc asc tie-break).
+    */
+  def q60Contamination(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val pairs = contaminationCheck(
+      d.filter(col("doc_id") % 100 =!= 7), d.filter(col("doc_id") % 100 === 7))
+    val byBench = Window.partitionBy(col("bench_doc"))
+      .orderBy(col("containment").desc, col("corpus_doc"))
+    pairs
+      .withColumn("r", row_number().over(byBench))
+      .withColumn("n_overlapping", count(lit(1)).over(Window.partitionBy(col("bench_doc"))))
+      .filter(col("r") === 1)
+      .select(col("bench_doc"), col("nb"), col("n_overlapping"),
+        col("corpus_doc").as("top_corpus_doc"), col("shared").as("top_shared"),
+        col("containment").as("top_containment"))
+      .orderBy(col("bench_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_dedup_minhash" -> (q31DedupMinhash _),
     "q32_dedup_simhash" -> (q32DedupSimhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q35_embed_neardup" -> (q35EmbedNeardup _),
-    "q55_dedup_clusters" -> (q55DedupClusters _)
+    "q55_dedup_clusters" -> (q55DedupClusters _),
+    "q60_contamination" -> (q60Contamination _)
   )
 
   private val h = Hashing.duckHash60 _
@@ -443,6 +496,26 @@ object Dedup {
          |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |)
          |${verifyOracleTail("0.3")}""".stripMargin,
+    "q60_contamination" ->
+      s"""$ShCte, bench AS (SELECT * FROM sh WHERE doc_id % 100 = 7),
+         |corp AS (SELECT * FROM sh WHERE doc_id % 100 != 7),
+         |nb AS (SELECT doc_id, count(*) AS nb FROM bench GROUP BY doc_id),
+         |shared AS (
+         |  SELECT b.doc_id AS bench_doc, c.doc_id AS corpus_doc, count(*) AS shared
+         |  FROM bench b JOIN corp c ON b.sh = c.sh GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT bench_doc, corpus_doc, shared, nb.nb,
+         |    round(shared / nb.nb, 6) AS containment
+         |  FROM shared JOIN nb ON nb.doc_id = bench_doc
+         |), ranked AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY bench_doc ORDER BY containment DESC, corpus_doc) AS r,
+         |    count(*) OVER (PARTITION BY bench_doc) AS n_overlapping
+         |  FROM pairs
+         |)
+         |SELECT bench_doc, nb, n_overlapping, corpus_doc AS top_corpus_doc,
+         |  shared AS top_shared, containment AS top_containment
+         |FROM ranked WHERE r = 1 ORDER BY bench_doc""".stripMargin,
     "q35_embed_neardup" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -78,6 +78,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Seq((0L, 501L)))
   }
 
+  test("contaminationCheck: a quoted benchmark doc is found with containment 1.0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bench = Seq((1007L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // quotes the whole benchmark doc inside a longer document
+      (1L, "intro words then alpha beta gamma delta epsilon and a long tail of filler"),
+      // shares a single 3-gram
+      (2L, "alpha beta gamma unrelated continuation of text"),
+      // no overlap
+      (3L, "completely different content with no shared trigrams at all")
+    ).toDF("doc_id", "text")
+    val out = try Dedup.contaminationCheck(corpus, bench).collect()
+    finally graft.core.Caches.release()
+    val byCorpus = out.map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(byCorpus(1L) === 1.0)       // 3 of 3 benchmark shingles contained
+    assert(byCorpus(2L) < 0.5)         // 1 of 3
+    assert(!byCorpus.contains(3L))     // zero overlap → no row
+    // tau thresholding keeps only the real leak
+    val flagged = try Dedup.contaminationCheck(corpus, bench, tau = 0.5).collect()
+    finally graft.core.Caches.release()
+    assert(flagged.map(_.getLong(1)).toSeq === Seq(1L))
+  }
+
   test("exactDedup and embedNearDup run over arbitrary conforming frames") {
     import spark.implicits._
     val tiny = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
