@@ -226,6 +226,39 @@ object TextOps {
   def q57Bm25(spark: SparkSession, dir: String): DataFrame =
     bm25(docs(spark, dir), Bm25Query)
 
+  /** Repetition / boilerplate scoring over any (doc_id, text) frame:
+    * token multiplicity statistics per document — total and distinct
+    * token counts, repetition ratio 1 − distinct/total (0 = all tokens
+    * unique, → 1 = one token repeated), and the most-repeated token
+    * with its count (ties → alphabetically first). High-repetition docs
+    * are generated/boilerplate text a curation pass drops.
+    *
+    * One shuffle on (doc_id, token) with map-side partial counts, then
+    * a per-doc aggregation where the "most repeated token" is a
+    * combinable struct-min (min over (−count, token)) rather than a
+    * window — no second sort-shuffle, so the shape holds at corpus
+    * scale. Every metric is integer-derived; the ratio is one exact
+    * long/long division (oracle-exact, SURVEY §4).
+    */
+  def repetitionScore(d: DataFrame): DataFrame = {
+    val perTok = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    perTok.groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        min(struct((-col("cnt")).as("nc"), col("tok").as("t"))).as("m"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_tokens"), 6).as("repetition_ratio"),
+        col("m.t").as("top_tok"), (-col("m.nc")).as("top_tok_n"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q61 = repetitionScore over `documents`. */
+  def q61Repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionScore(docs(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_lang_id" -> (q38LangId _),
     "q39_quality" -> (q39Quality _),
@@ -233,7 +266,8 @@ object TextOps {
     "q41_fingerprint" -> (q41Fingerprint _),
     "q50_wordcount" -> (q50WordCount _),
     "q56_tfidf" -> (q56Tfidf _),
-    "q57_bm25" -> (q57Bm25 _)
+    "q57_bm25" -> (q57Bm25 _),
+    "q61_repetition" -> (q61Repetition _)
   )
 
   private val markerValues =
@@ -295,6 +329,25 @@ object TextOps {
          |  list_min([${Hashing.duckHash60("substr(norm, i + 1, 8)")} FOR i IN range(length(norm) - 7)]) AS fingerprint,
          |  CAST(length(norm) - 7 AS BIGINT) AS n_grams
          |FROM n WHERE length(norm) >= 8 ORDER BY doc_id""".stripMargin,
+    "q61_repetition" ->
+      """WITH pt AS (
+        |  SELECT doc_id, tok, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_distinct
+        |  FROM pt GROUP BY doc_id
+        |), top AS (
+        |  SELECT doc_id, tok AS top_tok, cnt AS top_tok_n FROM (
+        |    SELECT doc_id, tok, cnt,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS r
+        |    FROM pt) WHERE r = 1
+        |)
+        |SELECT a.doc_id, a.n_tokens, a.n_distinct,
+        |  round(1.0 - a.n_distinct / a.n_tokens, 6) AS repetition_ratio,
+        |  t.top_tok, t.top_tok_n
+        |FROM agg a JOIN top t ON a.doc_id = t.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     "q56_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(*) AS tf

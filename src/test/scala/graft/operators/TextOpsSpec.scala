@@ -40,6 +40,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) == 1L)) // n_terms = 1 matched query term
   }
 
+  test("repetitionScore: ratio and top token are the hand-computed values") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a"),          // 4 tokens, 1 distinct → ratio 0.75, top a×4
+      (2L, "x y z"),            // all unique → ratio 0
+      (3L, "b a b a b")         // top is b×3; tie-break not needed
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionScore(d).collect()
+    val m = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4), r.getLong(5))).toMap
+    assert(m(1L) === ((4L, 1L, 0.75, "a", 4L)))
+    assert(m(2L) === ((3L, 3L, 0.0, "x", 1L)))
+    assert(m(3L) === ((5L, 2L, 0.6, "b", 3L)))
+  }
+
   test("bm25 is deterministic across runs (decimal-exact contribution sum)") {
     val d = graft.core.Tables(spark, sfDir, "documents")
     def run() = try TextOps.bm25(d, TextOps.Bm25Query).collect().toSeq
