@@ -295,6 +295,18 @@ object Similarity {
     corpus.select(col("vec_id"), array(codeCols: _*).as("codes"))
   }
 
+  /** The ADC table-lookup sum Σ_s dtable[s][codes[s]] as an UNROLLED
+    * left-associative sum of `nSub` element_at lookups — whole-stage
+    * codegen (a lambda `aggregate` HOF here is interpreted, ~µs per
+    * element on the hot candidate stream), and the same fold order as
+    * both the driver's qTable loop and the oracle's explicit d0+d1+…
+    * sum, so ADC values cross the oracle boundary bit-identically.
+    */
+  private def adcSum(nSub: Int): Column =
+    (0 until nSub).map(s =>
+      element_at(element_at(col("dtable"), s + 1), col("codes")(s) + 1))
+      .reduceLeft(_ + _)
+
   /** PQ ANN via asymmetric distance computation: each query precomputes
     * its nSub×nCentroids table of exact subspace distances to every
     * centroid (driver-side — the table is the codebook size, not data),
@@ -328,9 +340,7 @@ object Similarity {
     }.toSeq.toDF("qid", "dtable")
     val adc = encoded.join(broadcast(qRows))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("adc", expr(
-        s"""aggregate(sequence(0, ${nSub - 1}), 0D, (acc, s) ->
-           |  acc + element_at(element_at(dtable, s + 1), codes[s] + 1))""".stripMargin))
+      .withColumn("adc", adcSum(nSub))
     val byAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
     val cand = adc
       .withColumn("adc_rank", row_number().over(byAdc))
@@ -420,9 +430,7 @@ object Similarity {
     val byAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
     val cand = compressed.join(broadcast(qRows), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("adc", expr(
-        s"""aggregate(sequence(0, ${nSub - 1}), 0D, (acc, s) ->
-           |  acc + element_at(element_at(dtable, s + 1), codes[s] + 1))""".stripMargin))
+      .withColumn("adc", adcSum(nSub))
       .withColumn("adc_rank", row_number().over(byAdc))
       .filter(col("adc_rank") <= rerank)
       .select(col("qid"), col("vec_id").as("neighbor_id"))
@@ -559,7 +567,120 @@ object Similarity {
       |    FROM d2) WHERE rn = 1
       |)""".stripMargin
 
+  /** The q54 oracle, generated: for each of the `nSub` subspaces, the
+    * same trained-codebook CTE chain as q43 (seed = first `nCells`
+    * subvectors, two Lloyd iterations with decimal-exact rounded means,
+    * empty cells COALESCE to the previous centroid) over the v[a:b]
+    * slice, then per-subspace codes (argmin of −2·x·c + |c|², tie →
+    * lowest code, exactly [[pqEncode]]'s first-match array_position),
+    * per-query ADC tables as list_dot_product of the (q−c) diff with
+    * itself (the same strict index-order fold as the driver's qTable
+    * loop), the ADC candidate ranking as an explicit left-associative
+    * d0+d1+…+d7 sum (bit-identical to [[adcSum]]), and the exact
+    * cosine re-rank tail shared with q34. ~90 generated CTEs — heavy
+    * but mechanical; DuckDB evaluates it in seconds at sf0.01.
+    */
+  private def pqOracleSql(nSub: Int = 8, subDim: Int = 8, nCells: Int = 16,
+                          nQ: Int = 5, rerank: Int = 50, k: Int = 10): String = {
+    def lloyd(s: Int): String = {
+      val a = s * subDim + 1
+      val b = (s + 1) * subDim
+      s"""es$s AS MATERIALIZED (
+         |  SELECT vec_id, v[$a:$b] AS sv,
+         |    sqrt(list_dot_product(v[$a:$b], v[$a:$b])) AS snorm
+         |  FROM e
+         |), c0_$s AS MATERIALIZED (
+         |  SELECT vec_id AS cid, sv AS cv, snorm AS cnorm FROM es$s WHERE vec_id < $nCells
+         |), a1_$s AS MATERIALIZED (
+         |  SELECT vec_id, sv, cid AS cell FROM (
+         |    SELECT es.vec_id, es.sv, c.cid,
+         |      row_number() OVER (PARTITION BY es.vec_id ORDER BY
+         |        es.snorm * es.snorm - 2.0 * list_dot_product(es.sv, c.cv) + c.cnorm * c.cnorm,
+         |        c.cid) AS rn
+         |    FROM es$s es CROSS JOIN c0_$s c) WHERE rn = 1
+         |), m1_$s AS MATERIALIZED (
+         |  SELECT cell, p,
+         |    round(CAST(sum(CAST(sv[p + 1] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
+         |  FROM a1_$s, range($subDim) r(p) GROUP BY cell, p
+         |), l1_$s AS MATERIALIZED (SELECT cell AS cid, list(m ORDER BY p) AS cv FROM m1_$s GROUP BY cell),
+         |c1_$s AS MATERIALIZED (
+         |  SELECT c0.cid, COALESCE(l1.cv, c0.cv) AS cv,
+         |    sqrt(list_dot_product(COALESCE(l1.cv, c0.cv), COALESCE(l1.cv, c0.cv))) AS cnorm
+         |  FROM c0_$s c0 LEFT JOIN l1_$s l1 ON l1.cid = c0.cid
+         |), a2_$s AS MATERIALIZED (
+         |  SELECT vec_id, sv, cid AS cell FROM (
+         |    SELECT es.vec_id, es.sv, c.cid,
+         |      row_number() OVER (PARTITION BY es.vec_id ORDER BY
+         |        es.snorm * es.snorm - 2.0 * list_dot_product(es.sv, c.cv) + c.cnorm * c.cnorm,
+         |        c.cid) AS rn
+         |    FROM es$s es CROSS JOIN c1_$s c) WHERE rn = 1
+         |), m2_$s AS MATERIALIZED (
+         |  SELECT cell, p,
+         |    round(CAST(sum(CAST(sv[p + 1] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
+         |  FROM a2_$s, range($subDim) r(p) GROUP BY cell, p
+         |), l2_$s AS MATERIALIZED (SELECT cell AS cid, list(m ORDER BY p) AS cv FROM m2_$s GROUP BY cell),
+         |cents_$s AS MATERIALIZED (
+         |  SELECT c1.cid, COALESCE(l2.cv, c1.cv) AS cv
+         |  FROM c1_$s c1 LEFT JOIN l2_$s l2 ON l2.cid = c1.cid
+         |), code_$s AS MATERIALIZED (
+         |  SELECT vec_id, cid AS code FROM (
+         |    SELECT es.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY es.vec_id ORDER BY
+         |        -2.0 * list_dot_product(es.sv, c.cv) + list_dot_product(c.cv, c.cv),
+         |        c.cid) AS rn
+         |    FROM es$s es CROSS JOIN cents_$s c) WHERE rn = 1
+         |), dt_$s AS MATERIALIZED (
+         |  SELECT q.vec_id AS qid, c.cid AS code,
+         |    list_dot_product([q.sv[i+1] - c.cv[i+1] FOR i IN range($subDim)],
+         |                     [q.sv[i+1] - c.cv[i+1] FOR i IN range($subDim)]) AS d
+         |  FROM es$s q CROSS JOIN cents_$s c WHERE q.vec_id < $nQ
+         |)""".stripMargin
+    }
+    val codeJoins = (1 until nSub)
+      .map(s => s"JOIN code_$s c$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until nSub).map(s => s"c$s.code AS k$s").mkString(", ")
+    val dtJoins = (0 until nSub).map(s =>
+      s"JOIN dt_$s ON dt_$s.qid = q.qid AND dt_$s.code = cd.k$s").mkString("\n  ")
+    val adcExpr = (0 until nSub).map(s => s"dt_$s.d").mkString(" + ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings
+       |), ${(0 until nSub).map(lloyd).mkString(", ")},
+       |codesj AS MATERIALIZED (
+       |  SELECT c0.vec_id, $codeCols
+       |  FROM code_0 c0 $codeJoins
+       |), q AS MATERIALIZED (SELECT vec_id AS qid FROM e WHERE vec_id < $nQ),
+       |adc AS MATERIALIZED (
+       |  SELECT q.qid, cd.vec_id, $adcExpr AS adc
+       |  FROM q CROSS JOIN codesj cd
+       |  $dtJoins
+       |  WHERE cd.vec_id != q.qid
+       |), cand AS MATERIALIZED (
+       |  SELECT qid, vec_id AS neighbor_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS adc_rank
+       |    FROM adc) WHERE adc_rank <= $rerank
+       |), pairs AS MATERIALIZED (
+       |  SELECT c.qid, c.neighbor_id,
+       |    round(list_dot_product(qe.v, ne.v) / (qe.norm * ne.norm), 6) AS cos_sim
+       |  FROM cand c
+       |  JOIN e qe ON qe.vec_id = c.qid
+       |  JOIN e ne ON ne.vec_id = c.neighbor_id
+       |), ranked AS MATERIALIZED (
+       |  SELECT qid, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+       |  FROM pairs
+       |)
+       |SELECT qid, neighbor_id, cos_sim, knn_rank FROM ranked
+       |WHERE knn_rank <= $k ORDER BY qid, knn_rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // q54: the full PQ pipeline — per-subspace trained codebooks,
+    // encoding, ADC ranking, exact re-rank — replayed in DuckDB (every
+    // stage is the same deterministic fold both engines evaluate).
+    "q54_knn_pq" -> pqOracleSql(),
     "q34_knn_brute" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
