@@ -54,8 +54,60 @@ object Sampling {
       .select(col("source"), col("samp_rank"), col("doc_id"), col("skey"))
       .orderBy(col("source"), col("samp_rank"))
 
+  /** Train/validation/test split assignment: the hash bucket of `key`
+    * maps each row to a named split by fixed thresholds (default
+    * 90/5/5). The same hash-determinism argument as [[hashSample]] —
+    * a document's split is a property of the document, so re-running
+    * the pipeline, adding data, or changing cluster width never moves
+    * a doc across the train/test boundary (the leak a random split
+    * invites). Pure projection, zero shuffle.
+    */
+  def splitAssign(d: DataFrame, key: Column, buckets: Int = 1000,
+                  trainUpto: Int = 900, valUpto: Int = 950): DataFrame = {
+    val b = Hashing.hash60(key.cast("string")) % buckets
+    d.withColumn("split",
+      when(b < trainUpto, "train").when(b < valUpto, "val").otherwise("test"))
+  }
+
+  /** q62: per-(source, split) document and token counts — the split
+    * manifest a training job consumes. One shuffle (the final rollup).
+    */
+  def q62SplitManifest(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(docs(spark, dir), col("doc_id"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy(col("source"), col("split"))
+
+  /** Length-outlier trimming report (q63): classify every document
+    * against the corpus-global [p05, p95] token-count band — the
+    * "drop the truncated fragments and the concatenation monsters"
+    * curation pass. The two exact percentiles are a bounded driver
+    * scalar (rounded to 6 decimals so the boundary compare is oracle-
+    * exact); classification is then a pure projection and the rollup
+    * one shuffle. At 100 TB swap the exact percentile for the q53
+    * mergeable sketch — the report shape is unchanged.
+    */
+  def q63LengthTrim(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val Seq(lo, hi) = t
+      .agg(round(expr("percentile(n_tokens, 0.05)"), 6).as("lo"),
+        round(expr("percentile(n_tokens, 0.95)"), 6).as("hi"))
+      .head().toSeq.map(_.asInstanceOf[Double])
+    t.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("n_tokens") < lo, 1L).otherwise(0L)).as("n_short"),
+      sum(when(col("n_tokens") > hi, 1L).otherwise(0L)).as("n_long"),
+      sum(when(col("n_tokens").between(lo, hi), col("n_tokens")).otherwise(0L))
+        .as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q58_sample_stratified" -> (q58SampleStratified _)
+    "q58_sample_stratified" -> (q58SampleStratified _),
+    "q62_split_manifest" -> (q62SplitManifest _),
+    "q63_length_trim" -> (q63LengthTrim _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -70,6 +122,31 @@ object Sampling {
          |  FROM h
          |)
          |SELECT source, samp_rank, doc_id, skey FROM ranked
-         |WHERE samp_rank <= 10 ORDER BY source, samp_rank""".stripMargin
+         |WHERE samp_rank <= 10 ORDER BY source, samp_rank""".stripMargin,
+    "q62_split_manifest" ->
+      s"""WITH s AS (
+         |  SELECT source, text,
+         |    CASE WHEN ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'train'
+         |         WHEN ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} % 1000 < 950 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |)
+         |SELECT source, split, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "q63_length_trim" ->
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), b AS (
+        |  SELECT round(quantile_cont(n_tokens, 0.05), 6) AS lo,
+        |         round(quantile_cont(n_tokens, 0.95), 6) AS hi
+        |  FROM t
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_tokens < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(sum(CASE WHEN n_tokens > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+        |  CAST(sum(CASE WHEN n_tokens >= lo AND n_tokens <= hi THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM t, b GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -30,6 +30,21 @@ class SamplingSpec extends SparkSpec {
     assert(s5.subsetOf(s10))
   }
 
+  test("splitAssign partitions every doc into exactly one split at ~90/5/5") {
+    import org.apache.spark.sql.functions._
+    val out = Sampling.splitAssign(d, col("doc_id"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = d.count()
+    assert(out.values.sum === n)
+    assert(out("train").toDouble / n > 0.8)
+    assert(out.keySet.subsetOf(Set("train", "val", "test")))
+    // stability: a doc's split never changes across runs / partitionings
+    val a = Sampling.splitAssign(d, col("doc_id")).select("doc_id", "split").collect().toSet
+    val b = Sampling.splitAssign(d.repartition(7), col("doc_id")).select("doc_id", "split").collect().toSet
+    assert(a === b)
+  }
+
   test("stratifiedSample returns exactly n per stratum with ranks 1..n") {
     val out = Sampling.stratifiedSample(d, col("source"), col("doc_id"), 5)
       .select("source", "samp_rank").collect()
