@@ -18,7 +18,10 @@ object Plans {
     "q34_knn_brute", "q35_embed_neardup", "q36_knn_lsh", "q41_fingerprint",
     "q43_knn_ivf", "q44_bucketed_star", "q45_curate", "q46_hopping",
     "q47_percentile", "q48_stats", "q49_window_nav", "q50_wordcount",
-    "q51_unpivot", "q52_outer_join", "q54_knn_pq")
+    "q51_unpivot", "q52_outer_join", "q54_knn_pq", "q55_dedup_clusters",
+    "q56_tfidf", "q57_bm25", "q58_sample_stratified", "q59_cluster_summary",
+    "q60_contamination", "q61_repetition", "q62_split_manifest",
+    "q63_length_trim")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
