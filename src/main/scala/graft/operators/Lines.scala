@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Caches, Tables}
+
+/** Line-level boilerplate removal (SURVEY.md §2.6) — the C4/RefinedWeb
+  * curation primitive: a line (nav menu, cookie banner, footer) that
+  * repeats across ≥ minDf distinct documents is boilerplate; strip it
+  * from every document and reassemble the text in original line order.
+  *
+  * Shape at scale: one positional explode fused into the scan, ONE
+  * shuffle on the line value for the document-frequency count, then a
+  * BROADCAST anti-join back onto the exploded lines — the boilerplate
+  * set is bounded above by total-line-occurrences / minDf (each flagged
+  * value needs ≥ minDf supporting docs), so for any useful threshold it
+  * is millions of times smaller than the corpus and always fits a
+  * broadcast. Reassembly is a per-document sort of that document's own
+  * lines (array_sort over collect_list — state bounded by document
+  * size, never by corpus size). The corpus text itself is never
+  * shuffled twice: only (line-value, df) pairs and the per-doc line
+  * structs move.
+  *
+  * The reference engine has no text curation surface; this extends the
+  * training-data pack (SURVEY §2.6) the same way tfidf/bm25 do.
+  */
+object Lines {
+
+  /** `d`'s text exploded to (doc_id, pos, line) on `\n`. */
+  private def explodeLines(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+
+  /** Line values appearing in ≥ minDf distinct documents: (line, df). */
+  def boilerplateLines(lines: DataFrame, minDf: Long): DataFrame =
+    lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+
+  /** Strip boilerplate lines from any (doc_id, text) frame. Output:
+    * (doc_id, n_lines, n_kept, cleaned) — `cleaned` preserves the
+    * original relative order of surviving lines; a fully-boilerplate
+    * document survives as an empty string (curation drops it with a
+    * trivial filter, but the row is kept so accounting is lossless).
+    */
+  def stripBoilerplate(d: DataFrame, minDf: Long): DataFrame = {
+    val lines = Caches.persist(explodeLines(d))
+    val boiler = boilerplateLines(lines, minDf).select(col("line"))
+    val rebuilt = lines
+      .join(broadcast(boiler), Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("cleaned"))
+    d.select(col("doc_id"), size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q64: the testdata documents are single-line, so the gated query
+    * derives a deterministic line structure first — a newline after
+    * every second token (regex replace, identical in Java and RE2
+    * non-overlapping left-to-right semantics) — then strips lines
+    * repeating across ≥ 5% of the corpus. The threshold is relative so
+    * the query is meaningful at every sf (absolute thresholds go
+    * degenerate 10× up or down).
+    */
+  def q64LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val lined = docs.select(col("doc_id"),
+      regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n").as("text"))
+    val minDf = math.ceil(0.05 * docs.count()).toLong // bounded driver scalar
+    stripBoilerplate(lined, minDf)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_line_dedup" -> (q64LineDedup _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q64_line_dedup" ->
+      """WITH lined AS (
+        |  SELECT doc_id, regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g') AS text
+        |  FROM documents
+        |), ls AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS arr FROM lined
+        |), lines AS (
+        |  SELECT doc_id, unnest(arr) AS line, unnest(range(len(arr))) AS pos FROM ls
+        |), boiler AS (
+        |  SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+        |  WHERE df >= (SELECT ceil(0.05 * count(*)) FROM documents)
+        |), kept AS (
+        |  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+        |), rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT l.doc_id, CAST(len(l.arr) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(r.cleaned, '') AS cleaned
+        |FROM ls l LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

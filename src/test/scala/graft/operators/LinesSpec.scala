@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Line-level boilerplate removal (q64) — semantics on a corpus with
+  * known boilerplate; value parity on real data is the oracle gate's job.
+  */
+class LinesSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "COOKIE NOTICE\nalpha beta\nfooter links"),
+      (2L, "COOKIE NOTICE\ngamma delta\nfooter links"),
+      (3L, "COOKIE NOTICE\nalpha beta\nunique line three"),
+      (4L, "COOKIE NOTICE\nfooter links")
+    ).toDF("doc_id", "text")
+  }
+
+  test("stripBoilerplate removes only lines at/above the df threshold, keeps order") {
+    val out = Lines.stripBoilerplate(corpus, minDf = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // df: COOKIE NOTICE=4, footer links=3, alpha beta=2, others=1
+    assert(out(1L) === ((3L, 1L, "alpha beta")))
+    assert(out(2L) === ((3L, 1L, "gamma delta")))
+    assert(out(3L) === ((3L, 2L, "alpha beta\nunique line three")))
+    // doc 4 is pure boilerplate: survives as an accounted empty row
+    assert(out(4L) === ((2L, 0L, "")))
+  }
+
+  test("kept lines preserve original relative order after interior removal") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "keep one\nBOILER\nkeep two\nBOILER\nkeep three"),
+      (2L, "BOILER\nx")).toDF("doc_id", "text")
+    val out = Lines.stripBoilerplate(d, minDf = 2)
+      .filter($"doc_id" === 1L).head()
+    assert(out.getString(3) === "keep one\nkeep two\nkeep three")
+    assert(out.getLong(2) === 3L)
+  }
+
+  test("boilerplate side of the anti-join broadcasts") {
+    val plan = Lines.stripBoilerplate(corpus, minDf = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join:\n$plan")
+  }
+
+  test("q64 on real data removes something but not everything") {
+    val out = Lines.q64LineDedup(spark, sfDir)
+    val agg = out.agg(sum("n_lines"), sum("n_kept")).head()
+    val (total, kept) = (agg.getLong(0), agg.getLong(1))
+    assert(kept < total, "threshold should strip some repeated lines")
+    assert(kept > 0, "threshold should not strip the whole corpus")
+    graft.core.Caches.release()
+  }
+}
