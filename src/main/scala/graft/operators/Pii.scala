@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** PII detection + redaction (SURVEY §2.6) — the scrub pass every
+  * compliant training-data pipeline runs before anything else sees the
+  * text: find emails / phone numbers / IPv4 addresses, count them per
+  * document (the audit trail), and mask them in place.
+  *
+  * Shape at scale: a pure projection — three regex counts and three
+  * regex replaces per row, all codegen'd builtins, zero shuffle at any
+  * corpus size; the scan's column pruning is untouched. The patterns
+  * are ASCII-anchored and backreference-free so they evaluate
+  * identically under Java regex (Spark) and RE2 (the DuckDB oracle);
+  * leftmost-first matching agrees for these shapes.
+  *
+  * The reference engine has no scrubbing surface; this extends the
+  * training-data pack the way tfidf/bm25 do.
+  */
+object Pii {
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Adds (n_emails, n_phones, n_ips, redacted) to `d`. Counts are
+    * measured on the original text; redaction replaces emails first so
+    * phone/IP patterns never match digits that belonged to an address.
+    */
+  def redactPii(d: DataFrame, text: Column): DataFrame = {
+    val cnt = (re: String) => size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+    d.withColumn("n_emails", cnt(EmailRe))
+      .withColumn("n_phones", cnt(PhoneRe))
+      .withColumn("n_ips", cnt(IpRe))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          IpRe, "[IP]"))
+  }
+
+  /** q67: the testdata corpus is PII-free by construction, so the gated
+    * query PLANTS deterministic contact strings first — email on every
+    * 3rd doc (a second one on every 9th), phone on every 5th, IP on
+    * every 7th, all derived from doc_id so both engines synthesize the
+    * identical corpus — then audits + redacts. Real payload, real
+    * regexes; only the fixtures are synthetic.
+    */
+  def q67PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val s = (c: Column) => c.cast("string")
+    val planted = Tables(spark, dir, "documents").select(id, concat(
+      col("text"),
+      when(id % 3 === 0, concat(lit(" contact user"), s(id),
+        lit("@mail"), s(id % 10), lit(".example.com"))).otherwise(lit("")),
+      when(id % 9 === 0, concat(lit(" cc admin"), s(id), lit("@corp.net")))
+        .otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" call +1-555-"),
+        lpad(s(id % 10000), 4, "0"))).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" from 10."), s(id % 256),
+        lit(".0."), s(id % 250))).otherwise(lit(""))).as("text"))
+    redactPii(planted, col("text"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        col("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_pii_redact" -> (q67PiiRedact _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q67_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0 THEN ' cc admin' || CAST(doc_id AS VARCHAR)
+        |      || '@corp.net' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+\d{1,2}-\d{3}-\d{4}', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+        |FROM planted ORDER BY doc_id""".stripMargin
+  )
+}

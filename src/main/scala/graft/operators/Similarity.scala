@@ -486,6 +486,54 @@ object Similarity {
     stats.join(topLab, "cell").orderBy($"cell")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the embedding space with the trained k-means codebook, then within
+    * each cluster drop every vector that has a LOWER-id clustermate with
+    * cosine ≥ `tau` (keep-the-first — deterministic, no RNG). Output is
+    * a per-vector manifest: (vec_id, cell, kept, keeper_id, n_near),
+    * keeper_id = the smallest qualifying clustermate (−1 when kept) —
+    * lossless accounting like q64's.
+    *
+    * Scale shape: assignment is the q43 codegen projection (zero
+    * shuffle); the pair search is scoped WITHIN cells — the whole point
+    * of SemDeDup is that the quadratic is per-cluster, so cost is
+    * Σ n_c², not N². The nCells knob controls that quadratic: at 100 TB
+    * train thousands of cells (cells of ~10⁴ vectors), and for a fat
+    * cell compose with the q35 hyperplane-LSH candidate cut inside the
+    * cell. Cross-cluster near-dups are missed BY DESIGN (the published
+    * algorithm's recall trade).
+    *
+    * @param assigned (cell, vec_id, v, norm) — [[ivfAssign]] output
+    */
+  def semDedup(assigned: DataFrame, tau: Double): DataFrame = {
+    val a = assigned.select(col("cell"), col("vec_id").as("aid"),
+      col("v").as("av"), col("norm").as("anorm"))
+    val dups = a.join(assigned, Seq("cell"))
+      .filter(col("aid") < col("vec_id") &&
+        round(dot(col("av"), col("v")) / (col("anorm") * col("norm")), 6) >= tau)
+      .groupBy(col("vec_id"))
+      .agg(min(col("aid")).as("keeper_id"), count(lit(1)).as("n_near"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("keeper_id").isNull.as("kept"),
+        coalesce(col("keeper_id"), lit(-1L)).as("keeper_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q65 = semDedup over the embeddings table at τ = 0.4 (the q35
+    * near-dup threshold), on the same memoized 16-cell codebook as
+    * q43/q59.
+    */
+  def q65SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = vecs(spark, dir)
+    val cents = trainedCodebook(spark, dir, corpus)
+    val assigned = graft.core.Caches.persist(
+      ivfAssign(corpus, cents).select(col("cell"), col("vec_id"), col("v"), col("norm")))
+    semDedup(assigned, tau = 0.4)
+  }
+
   /** q54 = knnPq over the embeddings table: 8 subspaces × 16 centroids
     * (codes are 8 small ints per vector vs 64 doubles — the compressed
     * candidate scan), ADC top-50 re-ranked exactly, first 5 vectors as
@@ -508,7 +556,8 @@ object Similarity {
     "q37_vector_stats" -> (q37VectorStats _),
     "q43_knn_ivf" -> (q43KnnIvf _),
     "q54_knn_pq" -> (q54KnnPq _),
-    "q59_cluster_summary" -> (q59ClusterSummary _)
+    "q59_cluster_summary" -> (q59ClusterSummary _),
+    "q65_semdedup" -> (q65SemDedup _)
   )
 
   /** The trained-16-cell-codebook CTE chain (e → c0 → two unrolled
@@ -773,6 +822,20 @@ object Similarity {
          |)
          |SELECT s.cell, s.n_vecs, s.avg_norm, s.min_vec_id, t.top_label, t.top_label_n
          |FROM stats s JOIN toplab t ON s.cell = t.cell ORDER BY s.cell""".stripMargin,
+    // q65: same trained codebook + assignment as q43/q59, then the
+    // within-cell keep-the-first pair search replayed literally.
+    "q65_semdedup" ->
+      s"""WITH $IvfAssignedCtes, dups AS (
+         |  SELECT b.vec_id, min(a.vec_id) AS keeper_id, count(*) AS n_near
+         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.4
+         |  GROUP BY b.vec_id
+         |)
+         |SELECT s.vec_id, s.cell, d.keeper_id IS NULL AS kept,
+         |  coalesce(d.keeper_id, CAST(-1 AS BIGINT)) AS keeper_id,
+         |  coalesce(d.n_near, CAST(0 AS BIGINT)) AS n_near
+         |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+         |ORDER BY s.vec_id""".stripMargin,
     "q37_vector_stats" ->
       """WITH e AS (
         |  SELECT label,

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Blocked fuzzy entity matching (q66). */
+class FuzzySpec extends SparkSpec {
+
+  test("fuzzyMatch pairs within-block near spellings with row mass, skips cross-block") {
+    import spark.implicits._
+    val d = Seq(
+      "acme corp", "acme corp", "acme corp", // canonical, 3 rows
+      "acme corp.",                          // near-dup, 1 row
+      "acme company",                        // too far (dist 6 from corp)
+      "apex corp"                            // different block — never compared
+    ).toDF("name")
+    val out = Fuzzy.fuzzyMatch(d, col("name"), v => split(v, " ").getItem(0), maxDist = 2)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "acme corp" && r.getString(1) === "acme corp.")
+    assert(r.getInt(2) === 1 && r.getLong(3) === 3L && r.getLong(4) === 1L)
+  }
+
+  test("pair join broadcasts the vocabulary side (no pair-join shuffle)") {
+    import spark.implicits._
+    val d = Seq("a b", "a c").toDF("name")
+    val plan = Fuzzy.fuzzyMatch(d, col("name"), v => split(v, " ").getItem(0), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast pair join:\n$plan")
+  }
+
+  test("q66 on real data finds the ring/rod-style block pairs") {
+    val out = Fuzzy.q66FuzzyMatch(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getInt(2) <= 3))
+    // every pair shares its leading token (the block)
+    assert(out.forall(r => r.getString(0).split(" ")(0) == r.getString(1).split(" ")(0)))
+  }
+}

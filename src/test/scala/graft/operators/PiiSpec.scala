@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** PII detection + redaction (q67). */
+class PiiSpec extends SparkSpec {
+
+  test("redactPii counts and masks emails, phones, and IPs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "write bob.smith+x@corp.example.org or call +1-555-0199 now"),
+      (2L, "server at 192.168.0.17 and 10.0.0.1 no contact"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = Pii.redactPii(d, col("text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") === 1L)
+    assert(out(1L).getAs[Long]("n_phones") === 1L)
+    assert(out(1L).getAs[Long]("n_ips") === 0L)
+    assert(out(1L).getAs[String]("redacted") === "write [EMAIL] or call [PHONE] now")
+    assert(out(2L).getAs[Long]("n_ips") === 2L)
+    assert(out(2L).getAs[String]("redacted") === "server at [IP] and [IP] no contact")
+    assert(out(3L).getAs[String]("redacted") === "nothing sensitive here")
+  }
+
+  test("version-like dotted numbers with too-large octet count don't match as IPs") {
+    import spark.implicits._
+    val d = Seq((1L, "release 1.2.3 and 1.2.3.4 and 1.2.3.4.5")).toDF("doc_id", "text")
+    val r = Pii.redactPii(d, col("text")).head()
+    // 1.2.3 has 3 octets (no match); 1.2.3.4 matches; 1.2.3.4.5's prefix matches
+    assert(r.getAs[Long]("n_ips") === 2L)
+  }
+
+  test("redaction is a pure projection: no Exchange in the plan") {
+    import graft.core.Tables
+    val plan = Pii.redactPii(Tables(spark, sfDir, "documents"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free projection:\n$plan")
+  }
+
+  test("q67 on real data: planted densities come back out") {
+    val agg = Pii.q67PiiRedact(spark, sfDir)
+      .agg(sum("n_emails"), sum("n_phones"), sum("n_ips"), count(lit(1))).head()
+    val (e, p, i, n) = (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    // every 3rd doc has one email, every 9th a second; every 5th a phone; every 7th an IP
+    assert(e >= n / 4 && e <= n / 2, s"email density off: $e of $n")
+    assert(p >= n / 6 && p <= n / 4, s"phone density off: $p of $n")
+    assert(i >= n / 8 && i <= n / 6, s"ip density off: $i of $n")
+  }
+}

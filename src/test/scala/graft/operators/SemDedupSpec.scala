@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** SemDeDup semantic dedup (q65) — semantics on hand-assigned cells;
+  * trained-codebook value parity is the oracle gate's job.
+  */
+class SemDedupSpec extends SparkSpec {
+
+  private def assigned = {
+    import spark.implicits._
+    // (cell, vec_id, v): 1∥2 identical in cell 0; 3 orthogonal in cell 0;
+    // 4 identical to 1 but in cell 1 (cross-cluster miss by design);
+    // 5 near-dup of BOTH 1 and 2 → keeper must be the min id (1).
+    Seq(
+      (0L, 1L, Seq(1.0, 0.0)), (0L, 2L, Seq(1.0, 0.0)),
+      (0L, 3L, Seq(0.0, 1.0)), (1L, 4L, Seq(1.0, 0.0)),
+      (0L, 5L, Seq(0.9, 0.1))
+    ).toDF("cell", "vec_id", "v")
+      .withColumn("norm", graft.functions.VectorFunctions.l2norm(col("v")))
+  }
+
+  test("semDedup keeps the first of each in-cell near group, never crosses cells") {
+    val out = Similarity.semDedup(assigned, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((true, -1L, 0L)))   // first of the group: kept
+    assert(out(2L) === ((false, 1L, 1L)))   // dup of 1
+    assert(out(3L) === ((true, -1L, 0L)))   // orthogonal: kept
+    assert(out(4L) === ((true, -1L, 0L)))   // identical to 1 but other cell: kept
+    assert(out(5L) === ((false, 1L, 2L)))   // near both 1 and 2; keeper = min id
+  }
+
+  test("tau = 1.01 keeps everything (no pair reaches the threshold)") {
+    val out = Similarity.semDedup(assigned, tau = 1.01).collect()
+    assert(out.forall(_.getBoolean(2)))
+  }
+
+  test("q65 manifest covers the whole corpus exactly once") {
+    val out = Similarity.q65SemDedup(spark, sfDir)
+    val n = out.count()
+    assert(n === out.select("vec_id").distinct().count())
+    // dropped rows always point at a lower keeper id
+    assert(out.filter(!col("kept") && (col("keeper_id") >= col("vec_id"))).count() === 0L)
+    graft.core.Caches.release()
+  }
+}
