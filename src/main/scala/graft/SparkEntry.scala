@@ -11,11 +11,13 @@ object SparkEntry {
     Relational.queries ++ EventOps.queries ++ Dedup.queries ++
       Similarity.queries ++ TextOps.queries ++ Curate.queries ++
       Sampling.queries ++ Lines.queries ++ Fuzzy.queries ++ Pii.queries ++
+      NgramLm.queries ++
       graft.multimodal.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ EventOps.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextOps.oracle ++ Curate.oracle ++
-      Sampling.oracle ++ Lines.oracle ++ Fuzzy.oracle ++ Pii.oracle
+      Sampling.oracle ++ Lines.oracle ++ Fuzzy.oracle ++ Pii.oracle ++
+      NgramLm.oracle
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Caches, Tables}
+
+/** N-gram language-model quality scoring (SURVEY §2.6) — the KenLM-
+  * style filter of CCNet/RefinedWeb: train a bigram model ON the corpus
+  * itself, then score each document by its mean token log-likelihood.
+  * Documents whose word sequences are improbable under the corpus's own
+  * statistics (mojibake, shuffled text, boilerplate soup) score low and
+  * get culled; no external model needed.
+  *
+  * Model: add-one-smoothed bigram conditional,
+  * P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), scored as the per-doc mean
+  * of ln P over the doc's bigrams.
+  *
+  * Shape at scale: bigrams are derived IN-ROW (zip_with of two array
+  * slices — no posexplode+window, no shuffle to form pairs). The model
+  * tables are bounded by VOCABULARY (V unigrams, ≤V² observed bigrams),
+  * not corpus size — two count shuffles produce them and both sides
+  * broadcast back onto the token stream. The only corpus-sized shuffle
+  * is the final per-doc rollup. Determinism: each ln term is rounded to
+  * 6 decimals then summed as exact DECIMAL (partition-order
+  * independent, the q57 BM25 discipline), so the score replays exactly
+  * in the oracle.
+  */
+object NgramLm {
+
+  /** (doc_id, w1, w2) bigram stream derived in-row from `d`'s text. */
+  private def bigrams(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(expr(
+      """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+        |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+        |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Score every (doc_id, text) row by mean bigram log-likelihood under
+    * the corpus's own add-one-smoothed bigram model. Output: (doc_id,
+    * n_bigrams, avg_logp) — avg_logp = 0 for docs with < 2 tokens
+    * (no evidence, no penalty).
+    */
+  def bigramScore(d: DataFrame): DataFrame = {
+    val bg = Caches.persist(bigrams(d))
+    val uni = d.select(explode(split(col("text"), " ")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = Caches.persist(uni)
+    val v = vocab.count() // the model's |V| — bounded by vocabulary
+    val bi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val logp = round(
+      log((col("c2") + lit(1)).cast("double") / (col("c1") + lit(v)).cast("double")), 6)
+    val scored = bg
+      .join(broadcast(bi), Seq("w1", "w2"))
+      .join(broadcast(vocab), Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(logp.cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("avg_logp"))
+    d.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logp"), lit(0.0)).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q68 = bigramScore over the documents table. */
+  def q68LmScore(spark: SparkSession, dir: String): DataFrame =
+    bigramScore(Tables(spark, dir, "documents"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_lm_score" -> (q68LmScore _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q68_lm_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(arr) AS w, unnest(range(len(arr))) AS pos FROM d
+        |), bg AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, w AS w1,
+        |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM tok) WHERE w2 IS NOT NULL
+        |), uni AS (
+        |  SELECT w AS w1, count(*) AS c1 FROM tok GROUP BY w
+        |), v AS (
+        |  SELECT count(*) AS v FROM uni
+        |), bi AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+        |), scored AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    round(CAST(sum(CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_logp
+        |  FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(s.avg_logp, 0.0) AS avg_logp
+        |FROM d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+  )
+}

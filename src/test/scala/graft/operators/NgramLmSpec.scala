@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Bigram LM quality scoring (q68). */
+class NgramLmSpec extends SparkSpec {
+
+  test("bigramScore: hand-checked model on a 3-doc corpus") {
+    import spark.implicits._
+    // corpus: "a b", "a b", "a c" → V=3; c1: a=3,b=2,c=1
+    // bigrams: (a,b)×2, (a,c)×1 → P(b|a)=(2+1)/(3+3)=.5, P(c|a)=(1+1)/6=1/3
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = NgramLm.bigramScore(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val lnHalf = BigDecimal(math.log(0.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lnThird = BigDecimal(math.log(1.0 / 3)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === ((1L, lnHalf)))
+    assert(out(2L) === ((1L, lnHalf)))
+    assert(out(3L) === ((1L, lnThird)))
+    graft.core.Caches.release()
+  }
+
+  test("single-token and empty docs score 0 with 0 bigrams") {
+    import spark.implicits._
+    val d = Seq((1L, "lonely"), (2L, "a b")).toDF("doc_id", "text")
+    val out = NgramLm.bigramScore(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((0L, 0.0)))
+    assert(out(2L)._1 === 1L)
+    graft.core.Caches.release()
+  }
+
+  test("improbable word salad scores below natural repetition") {
+    import spark.implicits._
+    // 9 docs of a common pattern + 1 doc pairing words never paired elsewhere
+    val common = (1L to 9L).map(i => (i, "the cat sat on the mat"))
+    val salad = Seq((10L, "mat the on sat cat the"))
+    val d = (common ++ salad).toDF("doc_id", "text")
+    val out = NgramLm.bigramScore(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) < out(1L), s"salad ${out(10L)} should score below natural ${out(1L)}")
+    graft.core.Caches.release()
+  }
+
+  test("model joins broadcast; corpus text never shuffles to form bigrams") {
+    val plan = NgramLm.q68LmScore(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast model joins:\n$plan")
+    // no Window operator anywhere — bigrams are derived in-row
+    assert(!plan.contains("Window"), s"expected windowless bigram derivation:\n$plan")
+  }
+}
