@@ -20,6 +20,15 @@ object Curate {
   private val EnStop = Seq("the", "a", "of", "and", "to")
   private def sqlIn(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** The q39 quality formula over (len, n_tokens, n_stop) columns —
+    * shared by [[curate]] and [[curateFull]]. */
+  private def qualityCol = round(
+    lit(0.4) * least(col("n_tokens") / lit(100.0), lit(1.0)) +
+    lit(0.4) * (col("n_stop") / col("n_tokens")) +
+    lit(0.2) * (lit(1.0) - least(
+      abs((col("len") - col("n_tokens") + lit(1L)) / col("n_tokens") - lit(5.0)) / lit(10.0),
+      lit(1.0))), 6)
+
   /** Curate any (doc_id, source, text) frame: keep documents with
     * quality ≥ `minQuality`, predicted language `keepLang`, and a
     * first-seen content hash; report per-source doc/token/quality
@@ -37,12 +46,7 @@ object Curate {
         expr(s"CAST(size(filter(toks, t -> t IN ${sqlIn(EnStop)})) AS BIGINT)").as("n_stop"),
         TextOps.langIdCol(col("toks")).as("pred_lang"),
         md5(col("text")).as("content_hash"))
-      .withColumn("quality_score", round(
-        lit(0.4) * least(col("n_tokens") / lit(100.0), lit(1.0)) +
-        lit(0.4) * (col("n_stop") / col("n_tokens")) +
-        lit(0.2) * (lit(1.0) - least(
-          abs((col("len") - col("n_tokens") + lit(1L)) / col("n_tokens") - lit(5.0)) / lit(10.0),
-          lit(1.0))), 6))
+      .withColumn("quality_score", qualityCol)
     // dedup via a min-over-window on the content hash already computed in
     // `scored` — ONE scan of the corpus for the whole pipeline (a separate
     // keeper aggregate would rescan and re-hash every document)
@@ -66,8 +70,72 @@ object Curate {
   def q45Curate(spark: SparkSession, dir: String): DataFrame =
     curate(Tables(spark, dir, "documents"))
 
+  /** Full curation with first-failing-rule accounting: every round-4
+    * signal fused into one audit — exact-dup (first-seen hash), language
+    * ID, quality score, repetition ratio, bigram-LM likelihood, and PII
+    * presence — and every document charged to the FIRST rule that drops
+    * it (rule order = the pipeline order a real curation run applies:
+    * dedup before model scoring, scrub last). Output is the per-source
+    * keep/drop ledger a 100 TB curation job reports.
+    *
+    * Shape at scale: lang/quality/repetition/PII are all IN-ROW
+    * projections fused into one corpus scan (repetition via
+    * array_distinct, not q61's token shuffle — the doc is already in
+    * the row). The LM score is the one model-driven signal: its
+    * vocabulary-bounded count tables broadcast back onto a second scan
+    * (training needs corpus stats before scoring — two passes is the
+    * floor for any self-trained model). Shuffles: the dup window on the
+    * 32-byte hash, the per-doc LM rollup, the doc_id join of the two
+    * per-doc frames, and the final per-source rollup — all on narrow
+    * keys, none corpus-quadratic.
+    */
+  def curateFull(d: DataFrame, minQuality: Double = 0.45, keepLang: String = "en",
+                 maxRep: Double = 0.6, minLm: Double = -3.43): DataFrame = {
+    val base = d
+      .select(col("doc_id"), col("source"), col("text"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr(s"CAST(size(filter(toks, t -> t IN ${sqlIn(EnStop)})) AS BIGINT)").as("n_stop"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        TextOps.langIdCol(col("toks")).as("pred_lang"),
+        md5(col("text")).as("content_hash"),
+        Pii.piiCount(Pii.plantFixtures(col("text"), col("doc_id"))).as("n_pii"))
+      .withColumn("quality_score", qualityCol)
+      .withColumn("rep_ratio", round(lit(1.0) - col("n_distinct") / col("n_tokens"), 6))
+    val keepRank = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash")).orderBy(col("doc_id")))
+    val lm = NgramLm.bigramScore(d).select(col("doc_id"), col("avg_logp"))
+    val flagged = base
+      .withColumn("keep_rank", keepRank)
+      .join(lm, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("keep_rank") =!= 1, "dup")
+          .when(col("pred_lang") =!= keepLang, "lang")
+          .when(col("quality_score") < minQuality, "quality")
+          .when(col("rep_ratio") > maxRep, "repetition")
+          .when(coalesce(col("avg_logp"), lit(0.0)) < minLm, "lm")
+          .when(col("n_pii") > 0, "pii")
+          .otherwise("kept"))
+    def n(v: String) =
+      sum(when(col("verdict") === v, 1L).otherwise(0L)).as(s"n_$v")
+    flagged.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"), n("kept"), n("dup"), n("lang"),
+      n("quality"), n("repetition"), n("lm"), n("pii"),
+      sum(when(col("verdict") === "kept", col("n_tokens")).otherwise(0L))
+        .as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** q69 = curateFull(`documents`) — PII fixtures planted as in q67. */
+  def q69CurateFull(spark: SparkSession, dir: String): DataFrame =
+    curateFull(Tables(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q45_curate" -> (q45Curate _)
+    "q45_curate" -> (q45Curate _),
+    "q69_curate_full" -> (q69CurateFull _)
   )
 
   private val markerValues =

@@ -62,12 +62,11 @@ object NgramLm {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("avg_logp"), lit(0.0)).as("avg_logp"))
-      .orderBy(col("doc_id"))
   }
 
   /** q68 = bigramScore over the documents table. */
   def q68LmScore(spark: SparkSession, dir: String): DataFrame =
-    bigramScore(Tables(spark, dir, "documents"))
+    bigramScore(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_lm_score" -> (q68LmScore _)

@@ -43,18 +43,23 @@ object Pii {
           IpRe, "[IP]"))
   }
 
-  /** q67: the testdata corpus is PII-free by construction, so the gated
-    * query PLANTS deterministic contact strings first — email on every
-    * 3rd doc (a second one on every 9th), phone on every 5th, IP on
-    * every 7th, all derived from doc_id so both engines synthesize the
-    * identical corpus — then audits + redacts. Real payload, real
-    * regexes; only the fixtures are synthetic.
+  /** n_emails + n_phones + n_ips of `text` as one column — the "any
+    * PII at all?" audit count a composed pipeline gates on.
     */
-  def q67PiiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
+  def piiCount(text: Column): Column =
+    Seq(EmailRe, PhoneRe, IpRe).map(re =>
+      size(regexp_extract_all(text, lit(re), lit(0))).cast("long")).reduce(_ + _)
+
+  /** The testdata corpus is PII-free by construction, so the gated
+    * queries PLANT deterministic contact strings — email on every 3rd
+    * doc (a second one on every 9th), phone on every 5th, IP on every
+    * 7th, all derived from `id` so both engines synthesize the
+    * identical corpus. Real payload, real regexes; only the fixtures
+    * are synthetic.
+    */
+  def plantFixtures(text: Column, id: Column): Column = {
     val s = (c: Column) => c.cast("string")
-    val planted = Tables(spark, dir, "documents").select(id, concat(
-      col("text"),
+    concat(text,
       when(id % 3 === 0, concat(lit(" contact user"), s(id),
         lit("@mail"), s(id % 10), lit(".example.com"))).otherwise(lit("")),
       when(id % 9 === 0, concat(lit(" cc admin"), s(id), lit("@corp.net")))
@@ -62,7 +67,34 @@ object Pii {
       when(id % 5 === 0, concat(lit(" call +1-555-"),
         lpad(s(id % 10000), 4, "0"))).otherwise(lit("")),
       when(id % 7 === 0, concat(lit(" from 10."), s(id % 256),
-        lit(".0."), s(id % 250))).otherwise(lit(""))).as("text"))
+        lit(".0."), s(id % 250))).otherwise(lit("")))
+  }
+
+  /** The [[plantFixtures]] expression in DuckDB SQL, over (`text`, `id`)
+    * SQL fragments — shared by the q67 and q69 oracles.
+    */
+  def plantedSql(text: String, id: String): String =
+    s"""$text ||
+       |    CASE WHEN $id % 3 = 0 THEN ' contact user' || CAST($id AS VARCHAR)
+       |      || '@mail' || CAST($id % 10 AS VARCHAR) || '.example.com' ELSE '' END ||
+       |    CASE WHEN $id % 9 = 0 THEN ' cc admin' || CAST($id AS VARCHAR)
+       |      || '@corp.net' ELSE '' END ||
+       |    CASE WHEN $id % 5 = 0 THEN ' call +1-555-'
+       |      || lpad(CAST($id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+       |    CASE WHEN $id % 7 = 0 THEN ' from 10.' || CAST($id % 256 AS VARCHAR)
+       |      || '.0.' || CAST($id % 250 AS VARCHAR) ELSE '' END""".stripMargin
+
+  /** The three redaction patterns as DuckDB `len(regexp_extract_all(…))`
+    * count fragments over a `t` column — shared by the oracles. */
+  val CountsSql: String =
+    """CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) +
+      |    CAST(len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) +
+      |    CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)""".stripMargin
+
+  /** q67: plant → audit → redact (see [[plantFixtures]]). */
+  def q67PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir, "documents").select(col("doc_id"),
+      plantFixtures(col("text"), col("doc_id")).as("text"))
     redactPii(planted, col("text"))
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
         col("redacted"))
@@ -75,16 +107,8 @@ object Pii {
 
   val oracle: Map[String, String] = Map(
     "q67_pii_redact" ->
-      """WITH planted AS (
-        |  SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
-        |      || '@mail' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' ELSE '' END ||
-        |    CASE WHEN doc_id % 9 = 0 THEN ' cc admin' || CAST(doc_id AS VARCHAR)
-        |      || '@corp.net' ELSE '' END ||
-        |    CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-'
-        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
-        |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
-        |      || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END AS t
+      s"""WITH planted AS (
+        |  SELECT doc_id, ${plantedSql("text", "doc_id")} AS t
         |  FROM documents
         |)
         |SELECT doc_id,
