@@ -82,7 +82,8 @@ object Pii {
        |    CASE WHEN $id % 5 = 0 THEN ' call +1-555-'
        |      || lpad(CAST($id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
        |    CASE WHEN $id % 7 = 0 THEN ' from 10.' || CAST($id % 256 AS VARCHAR)
-       |      || '.0.' || CAST($id % 250 AS VARCHAR) ELSE '' END""".stripMargin
+       |      || '.0.' || CAST($id % 250 AS VARCHAR) ELSE '' END"""
+      .stripMargin.replaceAll("\\s*\n\\s*", " ")
 
   /** The three redaction patterns as DuckDB `len(regexp_extract_all(…))`
     * count fragments over a `t` column — shared by the oracles. */
@@ -107,7 +108,7 @@ object Pii {
 
   val oracle: Map[String, String] = Map(
     "q67_pii_redact" ->
-      s"""WITH planted AS (
+      raw"""WITH planted AS (
         |  SELECT doc_id, ${plantedSql("text", "doc_id")} AS t
         |  FROM documents
         |)
