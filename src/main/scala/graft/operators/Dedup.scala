@@ -126,22 +126,14 @@ object Dedup {
   def minhashNearDup(d: DataFrame, n: Int = 3, seeds: Int = 16,
                      bands: Int = 4, tau: Double = 0.5): DataFrame = {
     require(seeds % bands == 0, s"$seeds signatures must band evenly into $bands")
-    val rows = seeds / bands
     // all `seeds` signatures in ONE codegen'd pass over each doc's
     // shingle array — no explode, no per-seed shuffle; the min over a
     // multiset equals the min over the set, so the un-deduped array is
-    // fine. Persisted: the band self-join traverses it twice, and the
-    // kernel (seeds seeded md5s per shingle) dominates — the cached form
-    // is just doc_id + `seeds` longs per doc. Released via Caches.release().
-    val sigd = graft.core.Caches.persist(d
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), graft.functions.HashFunctions.minhashSigs(
-        graft.functions.HashFunctions.wordShingles(col("toks"), n), seeds).as("sigs")))
-    val bandCols = (0 until bands).map(b => concat_ws(",",
-      (0 until rows).map(r => col("sigs")(b * rows + r)): _*))
-    val banded = sigd.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "band_key")))
+    // fine. Sigs persisted: the band self-join traverses them twice, and
+    // the kernel (seeds seeded md5s per shingle) dominates — the cached
+    // form is just doc_id + `seeds` longs per doc. Released via
+    // Caches.release().
+    val banded = bandIndex(d, n, seeds, bands, persistSigs = true)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -391,6 +383,74 @@ object Dedup {
       .orderBy(col("bench_doc"))
   }
 
+  /** The shared MinHash band index of [[minhashNearDup]] and
+    * [[incrementalNearDup]]: per doc, `bands` rows of (band,
+    * band_key) where band_key joins `seeds/bands` signature values.
+    * All signatures come from ONE codegen'd pass over the shingle
+    * array; `persistSigs` caches the narrow (doc_id, sigs) form when
+    * the caller traverses the index more than once (the self-join).
+    */
+  private def bandIndex(d: DataFrame, n: Int, seeds: Int, bands: Int,
+                        persistSigs: Boolean): DataFrame = {
+    val rows = seeds / bands
+    val sigd0 = d
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), graft.functions.HashFunctions.minhashSigs(
+        graft.functions.HashFunctions.wordShingles(col("toks"), n), seeds).as("sigs"))
+    val sigd = if (persistSigs) graft.core.Caches.persist(sigd0) else sigd0
+    val bandCols = (0 until bands).map(b => concat_ws(",",
+      (0 until rows).map(r => col("sigs")(b * rows + r)): _*))
+    sigd.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_key")))
+  }
+
+  /** Incremental near-duplicate admission — the daily-ingest shape of a
+    * 100 TB pipeline: dedup a NEW batch against the EXISTING corpus
+    * without re-deduping the corpus against itself. MinHash signatures
+    * are banded exactly as [[minhashNearDup]]; candidates come from a
+    * corpus-bands ⋈ broadcast(batch-bands) join — the batch is by
+    * definition the small side (a day's increment), so its band index
+    * broadcasts and the corpus index streams through ONCE with no
+    * self-join and no corpus-sized shuffle. Survivors are verified with
+    * exact Jaccard ≥ `tau` over the word-`n`-gram sets.
+    *
+    * Output: one row PER BATCH DOC — verified corpus-match count, the
+    * canonical (minimum-id) match, best Jaccard, and the 0/1 `novel`
+    * verdict the admission gate consumes. Ordered by doc_id.
+    *
+    * In production the corpus band index is computed once at ingest and
+    * persisted (it is exactly [[bandIndex]]'s output); here it derives
+    * in-query so the oracle can replay the decision from raw tables.
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame, n: Int = 3,
+                         seeds: Int = 16, bands: Int = 4, tau: Double = 0.5): DataFrame = {
+    require(seeds % bands == 0, s"$seeds signatures must band evenly into $bands")
+    val cand = bandIndex(corpus, n, seeds, bands, persistSigs = false).as("c")
+      .join(broadcast(bandIndex(batch, n, seeds, bands, persistSigs = false)).as("b"),
+        col("c.band") === col("b.band") && col("c.band_key") === col("b.band_key"))
+      .select(col("b.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+    val verified = verifiedJaccard(cand, docSets(corpus.unionByName(batch), n), tau)
+    batch.select(col("doc_id"))
+      .join(verified.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("doc_b")).as("n_matches"),
+        min(col("doc_b")).as("best_match"),
+        max(col("jaccard")).as("best_jaccard"))
+      .withColumn("novel", (col("n_matches") === 0).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q70 = incrementalNearDup with corpus = doc_id ≢ 0 (mod 5), batch =
+    * doc_id ≡ 0 (mod 5) — a deterministic 80/20 split both engines
+    * derive identically. */
+  def q70IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    incrementalNearDup(d.filter(col("doc_id") % 5 =!= 0),
+      d.filter(col("doc_id") % 5 === 0))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_dedup_minhash" -> (q31DedupMinhash _),
@@ -398,7 +458,8 @@ object Dedup {
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q35_embed_neardup" -> (q35EmbedNeardup _),
     "q55_dedup_clusters" -> (q55DedupClusters _),
-    "q60_contamination" -> (q60Contamination _)
+    "q60_contamination" -> (q60Contamination _),
+    "q70_incremental_dedup" -> (q70IncrementalDedup _)
   )
 
   private val h = Hashing.duckHash60 _
@@ -446,6 +507,45 @@ object Dedup {
          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |)
          |${verifyOracleTail("0.5")}""".stripMargin,
+    "q70_incremental_dedup" ->
+      s"""$ShCte, hsh AS (
+         |  SELECT doc_id, ${h("sh")} AS h FROM sh
+         |), mh AS (
+         |  SELECT doc_id, seed,
+         |    min(CAST((CAST(a AS HUGEINT) * h) % 2305843009213693951 AS BIGINT)) AS mh
+         |  FROM hsh, (VALUES ${(0 until 16).map(s =>
+               s"(${s}, ${graft.functions.HashKernels.seedMult(s)})").mkString(", ")}) seeds(seed, a)
+         |  GROUP BY doc_id, seed
+         |), bands AS (
+         |  SELECT doc_id, seed // 4 AS band, concat_ws(',',
+         |    min(CASE WHEN seed % 4 = 0 THEN mh END), min(CASE WHEN seed % 4 = 1 THEN mh END),
+         |    min(CASE WHEN seed % 4 = 2 THEN mh END), min(CASE WHEN seed % 4 = 3 THEN mh END)) AS band_key
+         |  FROM mh GROUP BY doc_id, band
+         |), cand AS (
+         |  SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM bands b JOIN bands c ON b.band = c.band AND b.band_key = c.band_key
+         |  WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+         |), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shared_pairs AS (
+         |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh sa JOIN sh sb ON sa.sh = sb.sh
+         |  WHERE sa.doc_id % 5 = 0 AND sb.doc_id % 5 <> 0
+         |  GROUP BY 1, 2
+         |), ver AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(s.shared / (na.n_sh + nb.n_sh - s.shared), 6) AS jaccard
+         |  FROM cand c
+         |  JOIN shared_pairs s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+         |  JOIN sizes na ON na.doc_id = c.doc_a
+         |  JOIN sizes nb ON nb.doc_id = c.doc_b
+         |  WHERE s.shared / (na.n_sh + nb.n_sh - s.shared) >= 0.5
+         |)
+         |SELECT d.doc_id, count(v.doc_b) AS n_matches, min(v.doc_b) AS best_match,
+         |  max(v.jaccard) AS best_jaccard,
+         |  CAST(count(v.doc_b) = 0 AS BIGINT) AS novel
+         |FROM documents d LEFT JOIN ver v ON v.doc_a = d.doc_id
+         |WHERE d.doc_id % 5 = 0
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q32_dedup_simhash" ->
       s"""WITH $SimhashCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -102,6 +102,31 @@ class DedupSpec extends SparkSpec {
     assert(flagged.map(_.getLong(1)).toSeq === Seq(1L))
   }
 
+  test("incrementalNearDup: batch dedups against the corpus, never against itself") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different corpus text about spark shuffle partitions")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog today"), // dup of 1
+      (10L, "nothing here resembles anything stored in the index"), // novel
+      (11L, "nothing here resembles anything stored in the index")  // dup of 10, but 10 is BATCH
+    ).toDF("doc_id", "text")
+    val out = try Dedup.incrementalNearDup(corpus, batch).collect()
+    finally graft.core.Caches.release()
+    assert(out.map(_.getLong(0)).toSeq == Seq(5L, 10L, 11L)) // one row per batch doc, ordered
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(5L).getLong(1) >= 1 && byId(5L).getLong(2) == 1L &&
+      byId(5L).getDouble(3) == 1.0 && byId(5L).getLong(4) == 0L)
+    // 10 and 11 are identical to each other but match nothing in the
+    // corpus: both stay novel — intra-batch dedup is exactDedup's job
+    Seq(10L, 11L).foreach { id =>
+      assert(byId(id).getLong(1) == 0L && byId(id).isNullAt(2) &&
+        byId(id).isNullAt(3) && byId(id).getLong(4) == 1L)
+    }
+  }
+
   test("exactDedup and embedNearDup run over arbitrary conforming frames") {
     import spark.implicits._
     val tiny = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
