@@ -104,10 +104,60 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Training-sequence packing: lay every document's tokens end-to-end
+    * in a deterministic hash-shuffled order and chop the stream into
+    * fixed `budget`-token training sequences (the pack-and-split
+    * discipline — zero padding waste; a document may straddle a bin
+    * boundary, reported as [bin_first, bin_last]).
+    *
+    * The global token offset is a distributed prefix scan done in two
+    * declarative levels so the corpus NEVER collapses to one partition
+    * (the trap of `sum OVER (ORDER BY …)` with no PARTITION BY):
+    * (1) each doc buckets by the top 8 bits of its 60-bit shuffle hash
+    * (pure projection); (2) per-bucket token totals — a 256-row frame —
+    * get a single-partition cumulative window to become bucket offsets
+    * (bounded work regardless of corpus size) and broadcast back;
+    * (3) the within-bucket running sum is a window PARTITIONed BY
+    * bucket, parallel across buckets at any scale. Because the bucket
+    * is a PREFIX of the order key, ordering by (bucket, h, doc_id)
+    * equals ordering by (h, doc_id) — the two-level scan is equal to
+    * the one-window global scan the oracle computes.
+    *
+    * `d` must carry `doc_id` and `n_tokens`. Output: (doc_id, n_tokens,
+    * tok_start, bin_first, bin_last, offset_in_bin), ordered by doc_id.
+    */
+  def packSequences(d: DataFrame, budget: Int = 2048): DataFrame = {
+    val withH = d
+      .withColumn("h", Hashing.hash60(col("doc_id").cast("string")))
+      .withColumn("bucket", shiftright(col("h"), 52))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withH.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("boff", coalesce(sum(col("btok")).over(wB), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    withH.join(broadcast(offsets), "bucket")
+      .withColumn("tok_start",
+        col("boff") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        expr(s"tok_start DIV $budget").as("bin_first"),
+        expr(s"(tok_start + n_tokens - 1) DIV $budget").as("bin_last"),
+        (col("tok_start") % budget).as("offset_in_bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q71 = packSequences over `documents` (whitespace tokens, 2048-token
+    * training sequences). */
+  def q71PackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(docs(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_sample_stratified" -> (q58SampleStratified _),
     "q62_split_manifest" -> (q62SplitManifest _),
-    "q63_length_trim" -> (q63LengthTrim _)
+    "q63_length_trim" -> (q63LengthTrim _),
+    "q71_pack_sequences" -> (q71PackSequences _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -147,6 +197,22 @@ object Sampling {
         |  CAST(sum(CASE WHEN n_tokens < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
         |  CAST(sum(CASE WHEN n_tokens > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
         |  CAST(sum(CASE WHEN n_tokens >= lo AND n_tokens <= hi THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
-        |FROM t, b GROUP BY source ORDER BY source""".stripMargin
+        |FROM t, b GROUP BY source ORDER BY source""".stripMargin,
+    "q71_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents
+         |), runs AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS tok_start
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, tok_start,
+         |  tok_start // 2048 AS bin_first,
+         |  (tok_start + n_tokens - 1) // 2048 AS bin_last,
+         |  tok_start % 2048 AS offset_in_bin
+         |FROM runs ORDER BY doc_id""".stripMargin
   )
 }

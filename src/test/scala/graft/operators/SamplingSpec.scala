@@ -64,4 +64,30 @@ class SamplingSpec extends SparkSpec {
       .groupBy(_.getString(0)).map { case (s, rows) => s -> rows.map(_.getLong(1)).toSeq }
     assert(got === expect)
   }
+
+  test("packSequences: two-level prefix scan equals the global scan, bins are tight") {
+    val budget = 64
+    val toks = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val out = Sampling.packSequences(toks, budget).collect()
+    // naive single-window global scan as the reference
+    val expect = toks
+      .withColumn("h", graft.functions.Hashing.hash60(col("doc_id").cast("string")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, _, h) => (h, id) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n, _)) => (id, n, cum + n) }
+      .drop(1).map { case (id, n, cum) => id -> (cum - n) }.toMap
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val (id, n, start) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(start == expect(id), s"doc $id")
+      assert(r.getLong(3) == start / budget &&
+        r.getLong(4) == (start + n - 1) / budget &&
+        r.getLong(5) == start % budget)
+    }
+    // the token stream is gap-free: offsets tile [0, total)
+    val total = out.map(_.getLong(1)).sum
+    assert(out.map(_.getLong(2)).min == 0L &&
+      out.map(r => r.getLong(2) + r.getLong(1)).max == total)
+  }
 }
