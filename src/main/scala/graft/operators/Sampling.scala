@@ -104,6 +104,50 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Data-mixture construction: given per-source target weights
+    * (w > 1 upsamples by repetition, w < 1 downsamples, w = 0 drops),
+    * assign every document a deterministic repeat count
+    * `floor(w) + [hash-bucket < frac(w)·1000]` — the standard
+    * fractional-epoch discipline (a 2.5-weighted source repeats every
+    * doc twice and a hash-chosen half a third time). Hash-keyed like
+    * [[hashSample]]: the mix is a pure function of the data, stable
+    * under reruns, engine, and cluster width.
+    *
+    * Scale shape: the weight table is a handful of rows — broadcast
+    * join — and the repeat assignment is a projection; the only shuffle
+    * anywhere is whatever the consumer does next (the q72 rollup).
+    * Emitting the repeated instances themselves is
+    * `explode(sequence(1, n_repeats))` downstream — deliberately not
+    * done here so the manifest stays doc-sized.
+    */
+  def mixtureSample(d: DataFrame, source: Column, key: Column,
+                    weights: Map[String, Double], default: Double = 1.0): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF("mix_source", "w")
+    val b = Hashing.hash60(key.cast("string")) % 1000
+    d.join(broadcast(wdf), source === col("mix_source"), "left")
+      .drop("mix_source")
+      .withColumn("w", coalesce(col("w"), lit(default)))
+      .withColumn("n_repeats", (floor(col("w")).cast("long") +
+        when(b < (col("w") - floor(col("w"))) * 1000, 1L).otherwise(0L)))
+  }
+
+  /** The q72 mixture: upsample src0 3×, src1 2.5×, thin src2/src3,
+    * drop src4, keep the rest at 1×. */
+  val Q72Weights: Map[String, Double] = Map(
+    "src0" -> 3.0, "src1" -> 2.5, "src2" -> 0.25, "src3" -> 0.5, "src4" -> 0.0)
+
+  /** q72: the mixture manifest — per source, incoming docs, surviving
+    * docs, and emitted training instances (Σ repeats). */
+  def q72MixtureManifest(spark: SparkSession, dir: String): DataFrame =
+    mixtureSample(docs(spark, dir), col("source"), col("doc_id"), Q72Weights)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_repeats") > 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_repeats")).as("n_instances"))
+      .orderBy(col("source"))
+
   /** Training-sequence packing: lay every document's tokens end-to-end
     * in a deterministic hash-shuffled order and chop the stream into
     * fixed `budget`-token training sequences (the pack-and-split
@@ -157,7 +201,8 @@ object Sampling {
     "q58_sample_stratified" -> (q58SampleStratified _),
     "q62_split_manifest" -> (q62SplitManifest _),
     "q63_length_trim" -> (q63LengthTrim _),
-    "q71_pack_sequences" -> (q71PackSequences _)
+    "q71_pack_sequences" -> (q71PackSequences _),
+    "q72_mixture_manifest" -> (q72MixtureManifest _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -213,6 +258,21 @@ object Sampling {
          |  tok_start // 2048 AS bin_first,
          |  (tok_start + n_tokens - 1) // 2048 AS bin_last,
          |  tok_start % 2048 AS offset_in_bin
-         |FROM runs ORDER BY doc_id""".stripMargin
+         |FROM runs ORDER BY doc_id""".stripMargin,
+    "q72_mixture_manifest" ->
+      s"""WITH w(mix_source, w) AS (VALUES ${Q72Weights.toSeq.sorted
+            .map { case (s, v) => s"('$s', CAST($v AS DOUBLE))" }.mkString(", ")}),
+         |r AS (
+         |  SELECT d.source,
+         |    CAST(floor(coalesce(w.w, 1.0)) AS BIGINT) +
+         |      CASE WHEN ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} % 1000
+         |        < (coalesce(w.w, 1.0) - floor(coalesce(w.w, 1.0))) * 1000
+         |      THEN 1 ELSE 0 END AS n_repeats
+         |  FROM documents d LEFT JOIN w ON d.source = w.mix_source
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_repeats > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(n_repeats) AS BIGINT) AS n_instances
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
   )
 }

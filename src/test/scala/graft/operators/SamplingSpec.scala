@@ -65,6 +65,23 @@ class SamplingSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("mixtureSample: repeat counts bracket the weight and w=0 drops") {
+    val out = Sampling.mixtureSample(d, col("source"), col("doc_id"),
+      Sampling.Q72Weights).select("source", "n_repeats").collect()
+    val bySrc = out.groupBy(_.getString(0)).map { case (s, rows) =>
+      s -> rows.map(_.getLong(1)) }
+    bySrc("src0").foreach(r => assert(r == 3L))    // integer weight: exact
+    assert(bySrc("src1").forall(r => r == 2L || r == 3L)) // 2.5: two or three
+    assert(bySrc("src1").distinct.length == 2)
+    assert(bySrc("src4").forall(_ == 0L))          // dropped source
+    assert(bySrc("src7").forall(_ == 1L))          // default weight 1.0
+    // deterministic: same docs picked on a re-run
+    val again = Sampling.mixtureSample(d, col("source"), col("doc_id"),
+      Sampling.Q72Weights).select("source", "n_repeats").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).sorted
+      .sameElements(again.map(r => (r.getString(0), r.getLong(1))).sorted))
+  }
+
   test("packSequences: two-level prefix scan equals the global scan, bins are tight") {
     val budget = 64
     val toks = d.select(col("doc_id"),
