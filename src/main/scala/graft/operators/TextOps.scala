@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -259,6 +259,53 @@ object TextOps {
   def q61Repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionScore(docs(spark, dir))
 
+  /** Text normalization (q73) — the cleanup projection a crawl corpus
+    * goes through before anything tokenizes it: strip C0/DEL control
+    * characters (tab/newline survive as whitespace), fold typographic
+    * quotes/dashes/ellipsis to ASCII, collapse whitespace runs, trim.
+    * Pure projection — zero shuffle at any scale, column pruning
+    * intact; every step is a codegen'd regexp_replace evaluated
+    * identically by Java regex and RE2 (ASCII-anchored classes, no
+    * backreferences).
+    */
+  val ControlRe = "[\\u0001-\\u0008\\u000B\\u000C\\u000E-\\u001F\\u007F]"
+  val WsRe = "\\s+"
+
+  def normalizeText(text: Column): Column = {
+    val controlled = regexp_replace(text, ControlRe, "")
+    val quoted = translate(controlled,
+      "“”‘’–—", "\"\"''--")
+    val ellipsed = regexp_replace(quoted, "…", "...")
+    trim(regexp_replace(ellipsed, WsRe, " "))
+  }
+
+  /** The q73 fixture pass: the synthetic corpus is clean ASCII, so the
+    * gated query PLANTS deterministic mess — control characters on every
+    * 3rd doc, typographic punctuation on every 4th, whitespace runs on
+    * every 5th — all derived from doc_id so both engines synthesize the
+    * identical dirty corpus (the q67 PII-planting pattern).
+    */
+  def plantMess(text: Column, id: Column): Column =
+    concat(
+      when(id % 3 === 0, lit("\u0007\u001B ")).otherwise(lit("")),
+      text,
+      when(id % 4 === 0,
+        lit(" “quoted” ‘aside’ — dash…")).otherwise(lit("")),
+      when(id % 5 === 0, lit("  trailing\t\tspaces   here  ")).otherwise(lit("")))
+
+  /** q73: plant → normalize → report (doc_id, chars before/after, the
+    * normalized text). */
+  def q73Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(col("doc_id"),
+      plantMess(col("text"), col("doc_id")).as("raw"))
+    planted
+      .select(col("doc_id"), length(col("raw")).cast("long").as("n_raw"),
+        normalizeText(col("raw")).as("norm_text"))
+      .withColumn("n_norm", length(col("norm_text")).cast("long"))
+      .select(col("doc_id"), col("n_raw"), col("n_norm"), col("norm_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_lang_id" -> (q38LangId _),
     "q39_quality" -> (q39Quality _),
@@ -267,7 +314,8 @@ object TextOps {
     "q50_wordcount" -> (q50WordCount _),
     "q56_tfidf" -> (q56Tfidf _),
     "q57_bm25" -> (q57Bm25 _),
-    "q61_repetition" -> (q61Repetition _)
+    "q61_repetition" -> (q61Repetition _),
+    "q73_normalize" -> (q73Normalize _)
   )
 
   private val markerValues =
@@ -389,6 +437,31 @@ object TextOps {
          |  round(CAST(sum(CAST(contr AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
          |FROM scored GROUP BY doc_id, dl
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "q73_normalize" -> {
+      // RE2 spells the control class \xNN where the Spark side says
+      // \uNNNN — identical character sets either way
+      val controlRe = """[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]"""
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN chr(7) || chr(27) || ' ' ELSE '' END
+         |    || text
+         |    || CASE WHEN doc_id % 4 = 0 THEN ' “quoted” ‘aside’ — dash…' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN '  trailing' || chr(9) || chr(9) || 'spaces   here  ' ELSE '' END AS raw
+         |  FROM documents
+         |), norm AS (
+         |  SELECT doc_id, raw,
+         |    trim(regexp_replace(
+         |      regexp_replace(
+         |        translate(regexp_replace(raw, '$controlRe', '', 'g'),
+         |          '“”‘’–—', '""''''--'),
+         |        '…', '...', 'g'),
+         |      '\\s+', ' ', 'g')) AS norm_text
+         |  FROM planted
+         |)
+         |SELECT doc_id, CAST(len(raw) AS BIGINT) AS n_raw,
+         |  CAST(len(norm_text) AS BIGINT) AS n_norm, norm_text
+         |FROM norm ORDER BY doc_id""".stripMargin
     }
   )
 }

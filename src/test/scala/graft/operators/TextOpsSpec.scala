@@ -61,4 +61,24 @@ class TextOpsSpec extends SparkSpec {
     finally graft.core.Caches.release()
     assert(run() === run())
   }
+
+  test("normalizeText strips controls, folds typography, collapses whitespace") {
+    import spark.implicits._
+    val dirty = Seq(
+      "\u0007bell\u001B ringing",                  // controls vanish, word survives
+      "  already   spaced\t\tout  ",               // runs collapse, ends trim
+      "“q” ‘a’ – — x…", // typography folds
+      "clean text stays put",
+      "tab\tand\nnewline survive as spaces").toDF("t")
+    val out = dirty.select(TextOps.normalizeText($"t").as("n")).collect().map(_.getString(0))
+    assert(out(0) == "bell ringing")
+    assert(out(1) == "already spaced out")
+    assert(out(2) == "\"q\" 'a' - - x...")
+    assert(out(3) == "clean text stays put")
+    assert(out(4) == "tab and newline survive as spaces")
+    // idempotent: normalizing normalized text changes nothing
+    val once = dirty.select(TextOps.normalizeText($"t").as("n"))
+    val twice = once.select(TextOps.normalizeText($"n").as("n")).collect().map(_.getString(0))
+    assert(twice.sameElements(out))
+  }
 }
