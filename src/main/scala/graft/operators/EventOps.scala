@@ -370,6 +370,72 @@ object EventOps {
       .orderBy($"k_bucket")
   }
 
+  /** Ordered funnel analysis over any event frame: a user is at stage
+    * `i` when they performed `steps(0)…steps(i)` with STRICTLY
+    * increasing timestamps (each stage's clock starts at the previous
+    * stage's first completion — the standard ordered-funnel semantics;
+    * re-orderings don't count). Stage frames are built left-to-right:
+    * each is a (user, first-completion-time) aggregate joined against
+    * only the NEXT step's events, so work shrinks monotonically down
+    * the funnel and every shuffle is keyed on the user — the natural
+    * 100 TB partitioning for behavioral data. The report is a
+    * bounded |steps|-row frame with per-stage user counts and
+    * step-over-step conversion.
+    */
+  def funnel(ev: DataFrame, steps: Seq[String]): DataFrame = {
+    import ev.sparkSession.implicits._
+    require(steps.nonEmpty)
+    val base = ev.withColumn("e_ms", eMsOf(ev))
+      .select($"user_id", $"event_type", $"e_ms")
+    val first = base.filter($"event_type" === steps.head)
+      .groupBy($"user_id").agg(min($"e_ms").as("t"))
+    val stageFrames = steps.tail.scanLeft(first) { (prev, step) =>
+      base.filter($"event_type" === step)
+        .join(prev.select($"user_id", $"t".as("t_prev")), "user_id")
+        .filter($"e_ms" > $"t_prev")
+        .groupBy($"user_id").agg(min($"e_ms").as("t"))
+    }
+    val counts = stageFrames.zip(steps).zipWithIndex.map { case ((f, step), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage"), lit(step).as("step"), $"n_users")
+    }.reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"stage")
+    counts
+      .withColumn("conv_from_prev",
+        round($"n_users" / lag($"n_users", 1).over(w), 6))
+      .orderBy($"stage")
+  }
+
+  /** q76 = the view → click → purchase funnel over `events`. */
+  def q76Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(events(spark, dir), Seq("view", "click", "purchase"))
+
+  /** Cohort retention over any event frame: users cohort by their first
+    * active day; each (cohort_day, day_offset) cell counts the cohort's
+    * users active `day_offset` days later. Two shuffles — the per-user
+    * first-day aggregate and the final cell rollup; the user⋈cohort
+    * join is keyed on user_id like every behavioral query, and the
+    * output is bounded by days², not data size.
+    */
+  def retention(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val base = ev.withColumn("e_ms", eMsOf(ev))
+      .select($"user_id", timestamp_millis($"e_ms").cast("date").as("day"))
+    val cohorts = base.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    base.distinct()
+      .join(cohorts, "user_id")
+      .withColumn("day_offset", datediff($"day", $"cohort_day").cast("long"))
+      // ISO string, not DATE: logical-date columns round-trip through
+      // parquet/pandas as different physical types per engine (§4)
+      .groupBy($"cohort_day".cast("string").as("cohort_day"), $"day_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  /** q77 = daily cohort retention over `events`. */
+  def q77Retention(spark: SparkSession, dir: String): DataFrame =
+    retention(events(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_json" -> (q15Json _),
     "q28_asof_join" -> (q28AsofJoin _),
@@ -382,7 +448,9 @@ object EventOps {
     "q24_sessionize" -> (q24Sessionize _),
     "q25_segment_stats" -> (q25SegmentStats _),
     "q26_fencing" -> (q26Fencing _),
-    "q27_kway_merge" -> (q27KwayMerge _)
+    "q27_kway_merge" -> (q27KwayMerge _),
+    "q76_funnel" -> (q76Funnel _),
+    "q77_retention" -> (q77Retention _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -493,6 +561,32 @@ object EventOps {
     "q27_kway_merge" ->
       s"""$EvCte
          |SELECT "offset", event_id, event_type FROM ev
-         |ORDER BY "offset" LIMIT 1000""".stripMargin
+         |ORDER BY "offset" LIMIT 1000""".stripMargin,
+    "q76_funnel" ->
+      """WITH base AS (SELECT user_id, event_type, epoch_ms(ts) AS e_ms FROM events),
+        |s1 AS (SELECT user_id, min(e_ms) AS t FROM base
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT b.user_id, min(b.e_ms) AS t FROM base b
+        |       JOIN s1 ON b.user_id = s1.user_id
+        |       WHERE b.event_type = 'click' AND b.e_ms > s1.t GROUP BY b.user_id),
+        |s3 AS (SELECT b.user_id, min(b.e_ms) AS t FROM base b
+        |       JOIN s2 ON b.user_id = s2.user_id
+        |       WHERE b.event_type = 'purchase' AND b.e_ms > s2.t GROUP BY b.user_id),
+        |counts AS (
+        |  SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        |)
+        |SELECT CAST(stage AS BIGINT) AS stage, step, n_users,
+        |  round(n_users / lag(n_users) OVER (ORDER BY stage), 6) AS conv_from_prev
+        |FROM counts ORDER BY stage""".stripMargin,
+    "q77_retention" ->
+      """WITH base AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM base GROUP BY user_id)
+        |SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, b.day) AS BIGINT) AS day_offset,
+        |  count(DISTINCT b.user_id) AS n_active
+        |FROM base b JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -28,4 +28,41 @@ class EventOpsSpec extends SparkSpec {
     // t=0: no right row at-or-before → both NULL
     assert(out("p0") == (None, None))
   }
+
+  test("funnel enforces strict step ordering per user") {
+    import spark.implicits._
+    // ms-epoch longs (eMsOf treats LongType ts as nanos → use ns here)
+    def ns(ms: Long) = ms * 1000000L
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ns(10)), (1L, "click", ns(20)), (1L, "purchase", ns(30)),
+      // user 2: clicked BEFORE first view → stalls at stage 1
+      (2L, "click", ns(5)), (2L, "view", ns(10)),
+      // user 3: view+click ordered, purchase before click → stage 2
+      (3L, "purchase", ns(8)), (3L, "view", ns(10)), (3L, "click", ns(15)),
+      // user 4: never viewed → not in the funnel at all
+      (4L, "click", ns(1)), (4L, "purchase", ns(2))
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventOps.funnel(ev, Seq("view", "click", "purchase")).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L)))
+    assert(out(0).isNullAt(3)) // no conversion into the first stage
+    assert(out(1).getDouble(3) == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    assert(out(2).getDouble(3) == 0.5)
+  }
+
+  test("retention: the day-0 cell equals the cohort size") {
+    val ev = graft.core.Tables(spark, sfDir, "events")
+    val out = EventOps.retention(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cohortSizes = EventOps.retention(ev)
+      .groupBy("cohort_day").count().collect() // rows per cohort ≥ 1
+    // every cohort has a day-0 cell and no cell exceeds it
+    val byCohort = out.groupBy(_._1._1)
+    byCohort.foreach { case (day, cells) =>
+      val d0 = out((day, 0L))
+      assert(cells.forall { case ((_, _), n) => n <= d0 }, s"cohort $day")
+    }
+    assert(cohortSizes.nonEmpty)
+  }
 }
