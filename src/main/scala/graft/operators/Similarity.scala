@@ -550,8 +550,48 @@ object Similarity {
     knnPq(corpus, col("vec_id") < 5, books, k = 10)
   }
 
+  /** kNN-classifier evaluation — the label-quality probe run over a
+    * labeled embedding table (is the embedding space coherent? are
+    * labels noisy?): every query vector's k nearest corpus neighbors
+    * vote on a label (majority; ties to the smallest label); the
+    * prediction is scored against the query's own label and rolled up
+    * per true label. The kNN core is [[knnBrute]] — only (qid,
+    * neighbor, cos) triples shuffle; the vote and scoring add two
+    * bounded aggregations keyed on qid. At scale swap knnBrute for
+    * [[knnLsh]]/[[knnIvfWith]] — the vote tail is identical.
+    */
+  def knnLabelAccuracy(corpus: DataFrame, isQuery: Column, k: Int = 5): DataFrame = {
+    val labels = corpus.select(col("vec_id").as("neighbor_id"),
+      col("label").as("nlabel"))
+    val q = corpus.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val byVotes = Window.partitionBy(col("qid"))
+      .orderBy(col("cnt").desc, col("nlabel"))
+    val pred = knnBrute(corpus, q.select(col("qid"), col("qv"), col("qnorm")), k)
+      .join(labels, "neighbor_id")
+      .groupBy(col("qid"), col("nlabel")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(byVotes))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nlabel").as("pred_label"))
+    q.select(col("qid"), col("qlabel"))
+      .join(pred, "qid")
+      .groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred_label") === col("qlabel"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", round(col("n_correct") / col("n_queries"), 6))
+      .orderBy(col("label"))
+  }
+
+  /** q74 = knnLabelAccuracy, every 10th vector held out as a query,
+    * k=5. */
+  def q74KnnAccuracy(spark: SparkSession, dir: String): DataFrame =
+    knnLabelAccuracy(graft.core.Caches.persist(vecs(spark, dir)),
+      col("vec_id") % 10 === 0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_knn_brute" -> (q34KnnBrute _),
+    "q74_knn_accuracy" -> (q74KnnAccuracy _),
     "q36_knn_lsh" -> (q36KnnLsh _),
     "q37_vector_stats" -> (q37VectorStats _),
     "q43_knn_ivf" -> (q43KnnIvf _),
@@ -747,6 +787,35 @@ object Similarity {
         |)
         |SELECT qid, neighbor_id, cos_sim, knn_rank FROM ranked
         |WHERE knn_rank <= 10 ORDER BY qid, knn_rank""".stripMargin,
+    "q74_knn_accuracy" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS qid, label AS qlabel, v AS qv, norm AS qnorm
+        |  FROM e WHERE vec_id % 10 = 0
+        |), pairs AS (
+        |  SELECT qid, e.vec_id AS neighbor_id, e.label AS nlabel,
+        |    round(list_dot_product(qv, v) / (qnorm * norm), 6) AS cos_sim
+        |  FROM e, q WHERE e.vec_id != qid
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+        |  FROM pairs
+        |), votes AS (
+        |  SELECT qid, nlabel, count(*) AS cnt FROM ranked
+        |  WHERE knn_rank <= 5 GROUP BY qid, nlabel
+        |), pred AS (
+        |  SELECT qid, nlabel AS pred_label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, nlabel) AS rn
+        |    FROM votes)
+        |  WHERE rn = 1
+        |)
+        |SELECT q.qlabel AS label, count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN p.pred_label = q.qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  round(sum(CASE WHEN p.pred_label = q.qlabel THEN 1 ELSE 0 END) / count(*), 6) AS accuracy
+        |FROM q JOIN pred p USING (qid)
+        |GROUP BY q.qlabel ORDER BY label""".stripMargin,
     // q36: the hyperplane signature replays exactly in DuckDB (same ±1
     // matrix literal as q35), so the bucket join, dedup, and re-rank are
     // all oracle-checkable; recall vs q34 additionally spec-gated.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, expr, sqrt}
 
 /** Gates for the non-oracle similarity ops: q36 (LSH ANN) is rows-only in
   * the driver, so its quality bound lives here — recall@10 against the
@@ -149,5 +150,26 @@ class SimilaritySpec extends SparkSpec {
     val shared = brute.keySet & lsh.keySet
     assert(shared.nonEmpty)
     shared.foreach { k => assert(brute(k) == lsh(k), s"cosine mismatch at $k") }
+  }
+
+  test("knnLabelAccuracy: separable clusters score 1.0; noisy label is caught") {
+    import spark.implicits._
+    val corpus = Seq(
+      // cluster along x → label 0 (vec 0 is the held-out query)
+      (0L, 0, Seq(1.0, 0.0)), (1L, 0, Seq(0.99, 0.05)), (2L, 0, Seq(0.98, 0.02)),
+      // cluster along y → label 1 (vec 10 held out)... except 12 is
+      // mislabeled into cluster 0's region
+      (10L, 1, Seq(0.0, 1.0)), (11L, 1, Seq(0.05, 0.99)), (13L, 1, Seq(0.02, 0.97)),
+      // mislabeled query: sits in cluster 0, labeled 2 → always wrong
+      (20L, 2, Seq(0.97, 0.01))
+    ).toDF("vec_id", "label", "v")
+      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+    val out = try Similarity.knnLabelAccuracy(corpus, col("vec_id") % 10 === 0, k = 2)
+      .collect() finally graft.core.Caches.release()
+    val byLabel = out.map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byLabel(0) === ((1L, 1L, 1.0)))  // query 0 votes: {1,2} → 0. correct
+    assert(byLabel(1) === ((1L, 1L, 1.0)))  // query 10 votes: {11,13} → 1. correct
+    assert(byLabel(2) === ((1L, 0L, 0.0)))  // mislabeled query never matches
   }
 }
