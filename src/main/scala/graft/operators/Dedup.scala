@@ -383,6 +383,21 @@ object Dedup {
       .orderBy(col("bench_doc"))
   }
 
+  /** q75: PageRank over the simhash near-dup graph ([[q32DedupSimhash]]
+    * pairs symmetrized) — ranks each duplicated document by how central
+    * it is in its duplication neighborhood (the canonical-hub signal a
+    * keep-the-best curation policy wants, where min-doc_id is
+    * arbitrary). 10 fixed iterations, damping 0.85; see
+    * [[Graph.pageRank]] for the determinism discipline.
+    */
+  def q75PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashNearDup(docs(spark, dir))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    Graph.pageRank(pairs)
+      .select(col("v").as("doc_id"), col("degree"), col("pagerank"))
+      .orderBy(col("pagerank").desc, col("doc_id"))
+  }
+
   /** The shared MinHash band index of [[minhashNearDup]] and
     * [[incrementalNearDup]]: per doc, `bands` rows of (band,
     * band_key) where band_key joins `seeds/bands` signature values.
@@ -459,7 +474,8 @@ object Dedup {
     "q35_embed_neardup" -> (q35EmbedNeardup _),
     "q55_dedup_clusters" -> (q55DedupClusters _),
     "q60_contamination" -> (q60Contamination _),
-    "q70_incremental_dedup" -> (q70IncrementalDedup _)
+    "q70_incremental_dedup" -> (q70IncrementalDedup _),
+    "q75_pagerank" -> (q75PageRank _)
   )
 
   private val h = Hashing.duckHash60 _
@@ -482,6 +498,26 @@ object Dedup {
        |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS band_val
        |  FROM sig, range(4) r(band)
        |)""".stripMargin
+
+  /** The q75 oracle's unrolled PageRank iterations: r{i} from r{i-1},
+    * MATERIALIZED (DuckDB would otherwise inline the chain
+    * combinatorially — the q54 Lloyd-CTE lesson). Arithmetic matches
+    * [[Graph.pageRank]] op-for-op: 12-decimal rounded contributions,
+    * exact DECIMAL(38,12) sums, `(1.0 - 0.85)` spelled as the
+    * subtraction (≠ the literal 0.15 in IEEE doubles).
+    */
+  private def prIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT vt.v, round((1.0 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0.0), 12) AS r
+         |  FROM verts vt CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT ed.t AS v,
+         |      CAST(sum(CAST(round(pr.r / ed.outdeg, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s
+         |    FROM ed JOIN r${i - 1} pr ON ed.s = pr.v
+         |    GROUP BY ed.t) c ON c.v = vt.v
+         |)""".stripMargin
+    }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -507,6 +543,24 @@ object Dedup {
          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |)
          |${verifyOracleTail("0.5")}""".stripMargin,
+    "q75_pagerank" ->
+      s"""WITH $SimhashCtes, pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), ed0 AS (
+         |  SELECT doc_a AS s, doc_b AS t FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), deg AS (SELECT s, count(*) AS outdeg FROM ed0 GROUP BY s),
+         |ed AS MATERIALIZED (SELECT ed0.s, ed0.t, deg.outdeg FROM ed0 JOIN deg USING (s)),
+         |verts AS (SELECT s AS v FROM deg),
+         |nn AS (SELECT count(*) AS n FROM verts),
+         |r0 AS (SELECT v, round(1.0 / nn.n, 12) AS r FROM verts CROSS JOIN nn),
+         |${prIterCtes(10)}
+         |SELECT r10.v AS doc_id, deg.outdeg AS degree, r10.r AS pagerank
+         |FROM r10 JOIN deg ON deg.s = r10.v
+         |ORDER BY pagerank DESC, doc_id""".stripMargin,
     "q70_incremental_dedup" ->
       s"""$ShCte, hsh AS (
          |  SELECT doc_id, ${h("sh")} AS h FROM sh

@@ -79,4 +79,52 @@ object Graph {
     }
     labels.select(col("v"), col("l").as("component"))
   }
+
+  /** Fixed-iteration PageRank over an undirected (src, dst) edge frame
+    * — the "which duplicate is the canonical hub" / influence score on
+    * the dedup graph. Returns (v, degree, pagerank) for every vertex
+    * appearing in an edge.
+    *
+    * Determinism (SURVEY §4): per-edge contributions are rounded to 12
+    * decimals and summed as exact DECIMAL(38,12) — partition-order
+    * independent — and each new rank is re-rounded to 12 decimals, so
+    * every iteration's rank vector is bit-identical across engines and
+    * cluster widths; the DuckDB oracle replays the same `iters`
+    * iterations as unrolled MATERIALIZED CTEs. Symmetrized edges mean
+    * degree ≥ 1 — no dangling-mass term.
+    *
+    * Scale shape: per iteration ONE shuffle (contributions grouped by
+    * destination, map-side partial decimal sums tame hub vertices) plus
+    * a broadcast-able join of the narrow rank frame back to vertices;
+    * the degree-annotated edge frame is persisted once; rank frames are
+    * `localCheckpoint`ed so lineage stays O(1) deep (same discipline as
+    * [[connectedComponents]]).
+    */
+  def pageRank(edges0: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val half = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = graft.core.Caches.persist(edges.join(deg, "src"))
+    val verts = graft.core.Caches.persist(deg.select(col("src").as("v"), col("outdeg")))
+    val n = verts.count() // bounded driver scalar: vertex count
+    var ranks = verts.select(col("v"), round(lit(1.0 / n), 12).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(ranks.select(col("v").as("src"), col("r")), "src")
+        .select(col("dst"),
+          round(col("r") / col("outdeg"), 12).cast("decimal(38,12)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).cast("double").as("s"))
+      ranks = verts.select(col("v"))
+        .join(contribs.withColumnRenamed("dst", "v"), Seq("v"), "left")
+        .select(col("v"),
+          round(lit((1 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.join(verts, "v")
+      .select(col("v"), col("outdeg").cast("long").as("degree"),
+        col("r").as("pagerank"))
+  }
 }

@@ -71,4 +71,20 @@ class GraphSpec extends SparkSpec {
     val sizes = expect.values.toSeq.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
     out.foreach(r => assert(r.getLong(2) === sizes(r.getLong(1))))
   }
+
+  test("pageRank: mass conserves, hubs outrank leaves, reruns are bit-identical") {
+    import spark.implicits._
+    // star (1 center, 3 leaves) + disconnected pair
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L)).toDF("src", "dst")
+    def run() = try Graph.pageRank(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) finally graft.core.Caches.release()
+    val out = run()
+    val ranks = out.map(x => x._1 -> x._3).toMap
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-6)  // Σr = 1 up to rounding
+    assert(ranks(1L) > ranks(2L))                     // hub beats leaf
+    assert(Seq(2L, 3L, 4L).map(ranks).distinct.size == 1) // symmetric leaves tie
+    assert(ranks(10L) == ranks(11L))
+    assert(out.find(_._1 == 1L).get._2 == 3L)         // degree column
+    assert(run().sameElements(out))                   // deterministic
+  }
 }
