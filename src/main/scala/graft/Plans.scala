@@ -21,7 +21,10 @@ object Plans {
     "q51_unpivot", "q52_outer_join", "q54_knn_pq", "q55_dedup_clusters",
     "q56_tfidf", "q57_bm25", "q58_sample_stratified", "q59_cluster_summary",
     "q60_contamination", "q61_repetition", "q62_split_manifest",
-    "q63_length_trim")
+    "q63_length_trim", "q64_line_dedup", "q65_semdedup", "q66_fuzzy_match",
+    "q67_pii_redact", "q68_lm_score", "q69_curate_full",
+    "q70_incremental_dedup", "q71_pack_sequences", "q72_mixture_manifest",
+    "q73_normalize", "q74_knn_accuracy", "q76_funnel", "q77_retention")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
