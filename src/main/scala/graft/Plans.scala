@@ -25,6 +25,10 @@ object Plans {
     "q67_pii_redact", "q68_lm_score", "q69_curate_full",
     "q70_incremental_dedup", "q71_pack_sequences", "q72_mixture_manifest",
     "q73_normalize", "q74_knn_accuracy", "q76_funnel", "q77_retention")
+  // q75_pagerank is deliberately absent: Graph.pageRank executes eagerly
+  // at build time (verts.count + periodic localCheckpoints), so its
+  // "plan" is just a join of pre-materialized checkpoint RDDs — nothing
+  // to audit here; the per-iteration shape is documented in Graph.scala.
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -437,6 +437,13 @@ object Dedup {
     * In production the corpus band index is computed once at ingest and
     * persisted (it is exactly [[bandIndex]]'s output); here it derives
     * in-query so the oracle can replay the decision from raw tables.
+    *
+    * PRECONDITION: corpus and batch doc_ids must be DISJOINT (a batch
+    * is new data by definition). An overlapping id would appear twice
+    * in the unioned shingle-set frame and fan out the verification
+    * joins, inflating n_matches/jaccard — not checked here because the
+    * check would cost a full anti-join pass per call; callers ingesting
+    * from the same id space should namespace batch ids.
     */
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame, n: Int = 3,
                          seeds: Int = 16, bands: Int = 4, tau: Double = 0.5): DataFrame = {
@@ -503,13 +510,17 @@ object Dedup {
     * MATERIALIZED (DuckDB would otherwise inline the chain
     * combinatorially — the q54 Lloyd-CTE lesson). Arithmetic matches
     * [[Graph.pageRank]] op-for-op: 12-decimal rounded contributions,
-    * exact DECIMAL(38,12) sums, `(1.0 - 0.85)` spelled as the
-    * subtraction (≠ the literal 0.15 in IEEE doubles).
+    * exact DECIMAL(38,12) sums, and the teleport numerator spelled as
+    * `CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)` — bare `1.0 - 0.85`
+    * would be exact DECIMAL subtraction in DuckDB (0.15, → the double
+    * nearest 0.15), while Scala's `1 - damping` is the IEEE double
+    * subtraction (one ulp higher); the casts force DuckDB onto the
+    * same IEEE operation.
     */
   private def prIterCtes(iters: Int): String =
     (1 to iters).map { i =>
       s"""r$i AS MATERIALIZED (
-         |  SELECT vt.v, round((1.0 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0.0), 12) AS r
+         |  SELECT vt.v, round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n + 0.85 * coalesce(c.s, 0.0), 12) AS r
          |  FROM verts vt CROSS JOIN nn
          |  LEFT JOIN (
          |    SELECT ed.t AS v,

@@ -15,11 +15,12 @@ import graft.core.Tables
   * vocabulary (bounded by the domain, typically millions of times
   * smaller), and the pair join is blocked (equi-key on a cheap
   * canonical block such as the first token) so candidate pairs are
-  * per-block quadratic in VOCABULARY, never in rows. The vocabulary
-  * side is broadcast: no shuffle of the pair join at all; the only
-  * shuffle in the whole operator is the initial distinct-count.
-  * Levenshtein itself is a codegen'd Spark builtin on both sides of
-  * the comparison.
+  * per-block quadratic in VOCABULARY, never in rows. The pair join is
+  * a plain equi-join on the block key — it shuffles vocabulary-sized
+  * data (never row-sized), and AQE broadcasts the build side when the
+  * vocabulary is actually small; no hint forces a billion-value entity
+  * domain onto the driver. Levenshtein itself is a codegen'd Spark
+  * builtin on both sides of the comparison.
   *
   * The reference engine has no entity-matching surface; this extends
   * the training-data pack the way tfidf/bm25 do.
@@ -40,7 +41,7 @@ object Fuzzy {
       .withColumn("blk", blockOf(col("value")))
     val a = vocab.select(col("blk"), col("value").as("value_a"), col("n_rows").as("n_rows_a"))
     val b = vocab.select(col("blk"), col("value").as("value_b"), col("n_rows").as("n_rows_b"))
-    a.join(broadcast(b), Seq("blk"))
+    a.join(b, Seq("blk"))
       .filter(col("value_a") < col("value_b") &&
         levenshtein(col("value_a"), col("value_b")) <= maxDist)
       .select(col("value_a"), col("value_b"),

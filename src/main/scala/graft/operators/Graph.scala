@@ -97,9 +97,26 @@ object Graph {
     * destination, map-side partial decimal sums tame hub vertices) plus
     * a broadcast-able join of the narrow rank frame back to vertices;
     * the degree-annotated edge frame is persisted once; rank frames are
-    * `localCheckpoint`ed so lineage stays O(1) deep (same discipline as
-    * [[connectedComponents]]).
+    * `localCheckpoint`ed every CheckpointEvery iterations (not every
+    * iteration — a checkpoint materializes a full job, and a plan 2–3
+    * joins deep optimizes fine, so the cadence trades bounded lineage
+    * growth for ~3× fewer materialization barriers; same discipline as
+    * [[connectedComponents]] but that loop needs per-round results for
+    * its fixpoint test, this one does not).
+    *
+    * NOTE this method executes EAGERLY — `verts.count()` plus the
+    * periodic checkpoints run real Spark jobs during DataFrame
+    * construction, so "build" time here IS execution time (unlike the
+    * lazy builders in `queries`). Superseded checkpointed rank blocks
+    * are RDD-level caches invisible to [[graft.core.Caches]]; the loop
+    * drops their references and the ContextCleaner reclaims them once
+    * GC'd (Dataset.unpersist is a no-op on localCheckpoint-backed
+    * frames).
     */
+  /** Checkpoint cadence for [[pageRank]]: lineage grows ≤ 2·this many
+    * joins deep between materialization barriers. */
+  private val CheckpointEvery = 3
+
   def pageRank(edges0: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val half = edges0.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
@@ -111,17 +128,18 @@ object Graph {
     val n = verts.count() // bounded driver scalar: vertex count
     var ranks = verts.select(col("v"), round(lit(1.0 / n), 12).as("r"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = edgesDeg
         .join(ranks.select(col("v").as("src"), col("r")), "src")
         .select(col("dst"),
           round(col("r") / col("outdeg"), 12).cast("decimal(38,12)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).cast("double").as("s"))
-      ranks = verts.select(col("v"))
+      val next = verts.select(col("v"))
         .join(contribs.withColumnRenamed("dst", "v"), Seq("v"), "left")
         .select(col("v"),
           round(lit((1 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("r"))
-        .localCheckpoint(true)
+      ranks = if (i % CheckpointEvery == 0 || i == iters) next.localCheckpoint(true)
+              else next
     }
     ranks.join(verts, "v")
       .select(col("v"), col("outdeg").cast("long").as("degree"),

@@ -18,10 +18,15 @@ import graft.core.{Caches, Tables}
   *
   * Shape at scale: bigrams are derived IN-ROW (zip_with of two array
   * slices — no posexplode+window, no shuffle to form pairs). The model
-  * tables are bounded by VOCABULARY (V unigrams, ≤V² observed bigrams),
-  * not corpus size — two count shuffles produce them and both sides
-  * broadcast back onto the token stream. The only corpus-sized shuffle
-  * is the final per-doc rollup. Determinism: each ln term is rounded to
+  * tables are bounded by VOCABULARY (V unigrams, observed bigrams), not
+  * corpus size — but "observed bigrams" on web text still grows into
+  * the billions at 100 TB, past any broadcast threshold, so the model
+  * joins carry NO broadcast hint: AQE broadcasts them when their
+  * runtime size is actually small and falls back to a shuffle join on
+  * (w1,w2)/(w1) when it is not (the standard KenLM-scale mitigation —
+  * min-count pruning of the model — would change scores, so it is left
+  * to callers). The corpus-sized shuffles are the bigram-stream join
+  * keys and the final per-doc rollup. Determinism: each ln term is rounded to
   * 6 decimals then summed as exact DECIMAL (partition-order
   * independent, the q57 BM25 discipline), so the score replays exactly
   * in the oracle.
@@ -51,8 +56,8 @@ object NgramLm {
     val logp = round(
       log((col("c2") + lit(1)).cast("double") / (col("c1") + lit(v)).cast("double")), 6)
     val scored = bg
-      .join(broadcast(bi), Seq("w1", "w2"))
-      .join(broadcast(vocab), Seq("w1"))
+      .join(bi, Seq("w1", "w2"))
+      .join(vocab, Seq("w1"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(logp.cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)

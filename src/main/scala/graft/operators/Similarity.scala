@@ -385,11 +385,20 @@ object Similarity {
     * vectors stream only through the final short re-rank join.
     * With nProbe = nCells and rerank = corpus size the result equals
     * brute force row-for-row (both approximations removed — spec-gated).
+    *
+    * BOUND: the query set is collected to the DRIVER (each query needs
+    * its own per-subspace ADC lookup table, built driver-side and
+    * broadcast) — this models the probe-serving pattern of a FEW
+    * queries against a huge corpus, and `maxQueries` (default 10 000)
+    * fails fast if a corpus-sized frame is passed by mistake; for
+    * corpus×corpus batch jobs use [[knnLsh]] / [[knnIvfWith]], whose
+    * query side stays distributed.
     */
   def knnIvfPq(corpus: DataFrame, isQuery: Column,
                cents: Array[(Long, Array[Double], Double)],
                books: Array[Array[Array[Double]]],
-               nProbe: Int, k: Int, rerank: Int = 50): DataFrame = {
+               nProbe: Int, k: Int, rerank: Int = 50,
+               maxQueries: Int = 10000): DataFrame = {
     import corpus.sparkSession.implicits._
     val nSub = books.length
     val subDim = books(0)(0).length
@@ -398,7 +407,11 @@ object Similarity {
       .join(ivfAssign(corpus, cents).select(col("vec_id"), col("cell")), "vec_id")
     val queries = corpus.filter(isQuery)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+      .limit(maxQueries + 1)
       .collect()
+    require(queries.length <= maxQueries,
+      s"knnIvfPq collects queries to the driver for ADC table construction; " +
+        s"got > $maxQueries — use knnLsh/knnIvfWith for batch query sets")
     def qTable(qv: Array[Double]): Array[Array[Double]] =
       Array.tabulate(nSub) { s =>
         val qs = java.util.Arrays.copyOfRange(qv, s * subDim, (s + 1) * subDim)
