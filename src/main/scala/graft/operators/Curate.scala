@@ -174,6 +174,80 @@ object Curate {
          |JOIN keep USING (doc_id)
          |LEFT JOIN best USING (doc_id)
          |WHERE quality_score >= 0.45 AND coalesce(pred, 'und') = 'en'
-         |GROUP BY source ORDER BY source""".stripMargin
+         |GROUP BY source ORDER BY source""".stripMargin,
+    // q69 = the six component oracles (q30 dup / q38 lang / q39 quality /
+    // q61 repetition / q68 LM / q67 PII) stitched into one first-failing-
+    // rule ledger. Heavy CTEs carry MATERIALIZED (the q54 lesson: DuckDB
+    // inlines deep CTE chains combinatorially).
+    "q69_curate_full" ->
+      raw"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, source, text, string_split(text, ' ') AS arr FROM documents
+         |), base AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CAST(length(text) AS BIGINT) AS len,
+         |    CAST(len(arr) AS BIGINT) AS n_tokens,
+         |    CAST(len([tk FOR tk IN arr IF tk IN ${sqlIn(EnStop)}]) AS BIGINT) AS n_stop,
+         |    CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS keep_rank
+         |  FROM d
+         |), pii AS MATERIALIZED (
+         |  SELECT doc_id, ${Pii.CountsSql} AS n_pii
+         |  FROM (SELECT doc_id, ${Pii.plantedSql("text", "doc_id")} AS t FROM documents)
+         |), markers(tok, mlang) AS (VALUES $markerValues),
+         |scores AS (
+         |  SELECT doc_id, mlang, count(*) AS score
+         |  FROM (SELECT doc_id, unnest(arr) AS tok FROM d) tt
+         |  JOIN markers USING (tok)
+         |  GROUP BY doc_id, mlang
+         |), best AS MATERIALIZED (
+         |  SELECT doc_id, mlang AS pred FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, mlang) AS rnk
+         |    FROM scores) WHERE rnk = 1
+         |), tok AS MATERIALIZED (
+         |  SELECT doc_id, unnest(arr) AS w, unnest(range(len(arr))) AS pos FROM d
+         |), bg AS MATERIALIZED (
+         |  SELECT doc_id, w1, w2 FROM (
+         |    SELECT doc_id, w AS w1,
+         |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |    FROM tok) WHERE w2 IS NOT NULL
+         |), uni AS MATERIALIZED (
+         |  SELECT w AS w1, count(*) AS c1 FROM tok GROUP BY w
+         |), v AS (
+         |  SELECT count(*) AS v FROM uni
+         |), bi AS MATERIALIZED (
+         |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+         |), lmscored AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    round(CAST(sum(CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_logp
+         |  FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+         |  GROUP BY doc_id
+         |), flagged AS (
+         |  SELECT b.source, b.n_tokens,
+         |    CASE WHEN b.keep_rank <> 1 THEN 'dup'
+         |      WHEN coalesce(best.pred, 'und') <> 'en' THEN 'lang'
+         |      WHEN round(0.4 * least(b.n_tokens / 100.0, 1.0)
+         |        + 0.4 * (b.n_stop / b.n_tokens)
+         |        + 0.2 * (1.0 - least(abs((b.len - b.n_tokens + 1) / b.n_tokens - 5.0) / 10.0, 1.0)), 6) < 0.45
+         |        THEN 'quality'
+         |      WHEN round(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) > 0.6 THEN 'repetition'
+         |      WHEN coalesce(lmscored.avg_logp, 0.0) < -3.43 THEN 'lm'
+         |      WHEN pii.n_pii > 0 THEN 'pii'
+         |      ELSE 'kept' END AS verdict
+         |  FROM base b
+         |  LEFT JOIN best USING (doc_id)
+         |  LEFT JOIN lmscored USING (doc_id)
+         |  JOIN pii USING (doc_id)
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN verdict = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN verdict = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+         |  CAST(sum(CASE WHEN verdict = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN verdict = 'repetition' THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
+         |  CAST(sum(CASE WHEN verdict = 'lm' THEN 1 ELSE 0 END) AS BIGINT) AS n_lm,
+         |  CAST(sum(CASE WHEN verdict = 'pii' THEN 1 ELSE 0 END) AS BIGINT) AS n_pii,
+         |  CAST(sum(CASE WHEN verdict = 'kept' THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM flagged GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -80,6 +80,10 @@ object Graph {
     labels.select(col("v"), col("l").as("component"))
   }
 
+  /** Checkpoint cadence for [[pageRank]]: lineage grows ≤ 2·this many
+    * joins deep between materialization barriers. */
+  private val CheckpointEvery = 3
+
   /** Fixed-iteration PageRank over an undirected (src, dst) edge frame
     * — the "which duplicate is the canonical hub" / influence score on
     * the dedup graph. Returns (v, degree, pagerank) for every vertex
@@ -113,10 +117,6 @@ object Graph {
     * GC'd (Dataset.unpersist is a no-op on localCheckpoint-backed
     * frames).
     */
-  /** Checkpoint cadence for [[pageRank]]: lineage grows ≤ 2·this many
-    * joins deep between materialization barriers. */
-  private val CheckpointEvery = 3
-
   def pageRank(edges0: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val half = edges0.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))

@@ -25,7 +25,12 @@ import graft.core.{Caches, Tables}
   * runtime size is actually small and falls back to a shuffle join on
   * (w1,w2)/(w1) when it is not (the standard KenLM-scale mitigation —
   * min-count pruning of the model — would change scores, so it is left
-  * to callers). The corpus-sized shuffles are the bigram-stream join
+  * to callers). That fallback is a SORT-MERGE join — the session never
+  * sets `spark.sql.join.preferSortMergeJoin=false` — so AQE's
+  * OptimizeSkewedJoin applies to the Zipf-hot stopword keys of the
+  * (w1)-only vocab join; if a profile still shows stragglers there,
+  * salt the vocab join (replicate the ≤ a-few-hundred hottest w1 rows
+  * k ways), which changes no scores. The corpus-sized shuffles are the bigram-stream join
   * keys and the final per-doc rollup. Determinism: each ln term is rounded to
   * 6 decimals then summed as exact DECIMAL (partition-order
   * independent, the q57 BM25 discipline), so the score replays exactly
