@@ -16,6 +16,22 @@ import org.apache.spark.sql.SparkSession
   * untouched query (VERDICT r2 item 1 bisect) — n=5 runs with every raw
   * sample dumped to stderr makes noise visible instead of argued about.
   *
+  * The n runs are INTERLEAVED round-robin across queries (pass 1 runs
+  * every query once, then pass 2, ...) rather than back-to-back per
+  * query: a transient machine-contention window then contributes at
+  * most ONE outlier sample to many queries' medians (which the median
+  * absorbs) instead of ALL samples of the few queries unlucky enough to
+  * be scheduled inside it — the failure mode that corrupted two rounds
+  * of round-over-round signal (r6 inflated q33–q48 up to 11×, r7
+  * q13–q30 up to 6.6×, both contiguous ID blocks = a time window
+  * sweeping the old serial pass; VERDICT r7 item 1).
+  *
+  * The JSON line reports per-query [wall_median, cpu_median] pairs,
+  * rounded to 3 decimals: the cpu median makes the contention signature
+  * (wall inflated, cpu flat) visible in the artifact itself instead of
+  * only in stderr, and the rounding keeps the one-liner inside the
+  * driver's tail capture so q01–q12 stop being truncated away.
+  *
   * SPARK_GRAFT_BENCH_ONLY=q08_semi_anti,q10_rollup restricts the run to
   * a comma-separated subset (bisecting; the JSON contract is unchanged).
   */
@@ -76,7 +92,12 @@ object Bench {
       val ok = xs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0 else ok(ok.size / 2)
     }
-    val rawBoth = names.map(n => n -> (1 to runs).map(_ => run(sfDir, n)))
+    // interleaved passes: pass p runs EVERY query once (in name order)
+    // before any query gets its (p+1)-th sample — see the scaladoc
+    val samples = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> Vector.empty[(Double, Double)]): _*)
+    for (_ <- 1 to runs; n <- names) samples(n) :+= run(sfDir, n)
+    val rawBoth = names.map(n => n -> samples(n))
     val raw = rawBoth.map { case (n, xs) => n -> xs.map(_._1) }
     // every raw sample (wall + process-CPU) to stderr: a noisy median
     // shows up as spread here — and contention shows up as wall growing
@@ -86,19 +107,24 @@ object Bench {
       System.err.println(s"[bench] $n wall=[${xs.map(t => f"${t._1}%.2f").mkString(",")}]" +
         s" cpu=[${xs.map(t => f"${t._2}%.2f").mkString(",")}]")
     }
-    val results = raw.map { case (n, xs) => n -> median(xs) }
+    // medians of wall and cpu taken independently (the pairing of one
+    // run's wall to its cpu doesn't survive a median anyway)
+    val results = rawBoth.map { case (n, xs) =>
+      n -> (median(xs.map(_._1)), median(xs.map(_._2)))
+    }
     // a query that failed SOME runs still reports its successful median
     // (the headline is not shrunk), but it must be visible and fatal —
     // an intermittent OOM is a regression, not a lucky speedup
     val flaky = raw.count { case (_, xs) => xs.exists(_ < 0) && xs.exists(_ >= 0) }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def f3(x: Double): String = if (x < 0) "-1" else f"$x%.3f"
+    val qs = results.map { case (k, (w, c)) => "\"" + k + "\":[" + f3(w) + "," + f3(c) + "]" }
       .mkString("{", ",", "}")
-    val failures = results.count(_._2 < 0)
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val failures = results.count(_._2._1 < 0)
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     // failures are reported explicitly AND fail the process: a broken
     // query must never shrink the headline number into a fake speedup
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"flaky":$flaky,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failures":$failures,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
     if (failures > 0 || flaky > 0) sys.exit(1)
   }

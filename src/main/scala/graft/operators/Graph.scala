@@ -14,6 +14,27 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Run an iterative loop with shuffle parallelism sized to its data:
+    * one shuffle partition per ~1M vertices, clamped to the session
+    * default. At cluster scale the clamp keeps full parallelism; on a
+    * small graph the loop stops paying near-empty shuffle tasks per
+    * iteration (a 26-vertex graph under the session's 32 partitions
+    * otherwise schedules ~100 empty tasks per iteration — pure
+    * scheduler overhead multiplied by every round). The session conf
+    * is restored in `finally`; this is safe because both callers
+    * execute their loops EAGERLY inside `body` (checkpoint barriers,
+    * documented on each), so no lazy plan escapes with the narrowed
+    * setting — the frames they RETURN are checkpoint-backed and any
+    * downstream shuffle plans at the caller's parallelism.
+    */
+  private def withLoopParallelism[T](df: DataFrame, n: Long)(body: => T): T = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(prev.toLong, n / 1000000L + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Connected components of an undirected graph given as (src, dst)
     * edge rows: returns (v, component) for every vertex that appears in
     * an edge, where component = the minimum vertex id reachable from v.
@@ -33,11 +54,17 @@ object Graph {
     * Scale shape: per round, one shuffle join edges⋈labels (partitioned
     * by vertex — min() is partial-aggregated map-side, so a hub vertex
     * with millions of neighbors combines before the shuffle) and one
-    * self-join of the narrow (v, l) label frame. The label frame is
-    * `localCheckpoint`ed each round: lineage stays O(1) deep instead of
-    * accumulating 2·rounds joins of plan, which is what kills iterative
-    * DataFrame algorithms at scale. Edges are persisted once and reused
-    * every round.
+    * self-join of the narrow (v, l) label frame. The round's final
+    * label frame is `localCheckpoint`ed: lineage stays O(1) deep
+    * instead of accumulating 2·rounds joins of plan, which is what
+    * kills iterative DataFrame algorithms at scale. The intermediate
+    * post-neighbor-min frame is only `persist`ed — it is consumed
+    * exactly twice inside the same round (as both sides of the pointer
+    * jump), all within the one job the round-end checkpoint runs, so a
+    * second eager materialization job per round would be pure overhead
+    * (VERDICT r7 item 2: the double checkpoint was ~1 s of q55's
+    * 3.6–3.8 s bench floor). Edges are persisted once and reused every
+    * round.
     */
   def connectedComponents(edges0: DataFrame, maxIters: Int = 50): DataFrame = {
     val half = edges0.select(col("src").cast("long").as("src"),
@@ -57,25 +84,28 @@ object Graph {
     var prev = labelSum(labels)
     var it = 0
     var done = false
-    while (!done && it < maxIters) {
-      // (1) neighbor-min pass
-      val nbrMin = edges
-        .join(labels.select(col("v").as("dst"), col("l").as("nl")), "dst")
-        .groupBy(col("src")).agg(min(col("nl")).as("nl"))
-        .withColumnRenamed("src", "v")
-      val stepped = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-        .localCheckpoint(true)
-      // (2) pointer jump: adopt the label of your label (labels are
-      // always vertex ids, so the parent lookup always resolves)
-      val parents = stepped.select(col("v").as("pv"), col("l").as("pl"))
-      labels = stepped.join(parents, col("l") === col("pv"), "left")
-        .select(col("v"), least(col("l"), coalesce(col("pl"), col("l"))).as("l"))
-        .localCheckpoint(true)
-      val cur = labelSum(labels)
-      done = cur.compareTo(prev) == 0
-      prev = cur
-      it += 1
+    withLoopParallelism(labels, labels.count()) {
+      while (!done && it < maxIters) {
+        // (1) neighbor-min pass
+        val nbrMin = edges
+          .join(labels.select(col("v").as("dst"), col("l").as("nl")), "dst")
+          .groupBy(col("src")).agg(min(col("nl")).as("nl"))
+          .withColumnRenamed("src", "v")
+        val stepped = labels.join(nbrMin, Seq("v"), "left")
+          .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+          .persist() // read twice below, both inside the checkpoint's job
+        // (2) pointer jump: adopt the label of your label (labels are
+        // always vertex ids, so the parent lookup always resolves)
+        val parents = stepped.select(col("v").as("pv"), col("l").as("pl"))
+        labels = stepped.join(parents, col("l") === col("pv"), "left")
+          .select(col("v"), least(col("l"), coalesce(col("pl"), col("l"))).as("l"))
+          .localCheckpoint(true)
+        stepped.unpersist(false) // labels is materialized; cache is dead
+        val cur = labelSum(labels)
+        done = cur.compareTo(prev) == 0
+        prev = cur
+        it += 1
+      }
     }
     labels.select(col("v"), col("l").as("component"))
   }
@@ -84,10 +114,11 @@ object Graph {
     * joins deep between materialization barriers. */
   private val CheckpointEvery = 3
 
-  /** Fixed-iteration PageRank over an undirected (src, dst) edge frame
-    * — the "which duplicate is the canonical hub" / influence score on
-    * the dedup graph. Returns (v, degree, pagerank) for every vertex
-    * appearing in an edge.
+  /** PageRank over an undirected (src, dst) edge frame — the "which
+    * duplicate is the canonical hub" / influence score on the dedup
+    * graph. Returns (v, degree, pagerank) for every vertex appearing in
+    * an edge. Runs at most `iters` iterations, stopping early at a
+    * DECIMAL-EXACT fixpoint (see below).
     *
     * Determinism (SURVEY §4): per-edge contributions are rounded to 12
     * decimals and summed as exact DECIMAL(38,12) — partition-order
@@ -97,16 +128,33 @@ object Graph {
     * iterations as unrolled MATERIALIZED CTEs. Symmetrized edges mean
     * degree ≥ 1 — no dangling-mass term.
     *
+    * Early exit (VERDICT r7 item 3): at each checkpoint boundary the
+    * update carries the previous rank alongside the new one, and the
+    * loop stops when `r == r_prev` for EVERY vertex. Ranks are
+    * 12-decimal rounded, so that equality is exact — it means
+    * f(ranks) = ranks, hence every later iteration returns the same
+    * vector and stopping PROVABLY equals running all `iters` (the
+    * fixed-iteration oracle needs no change; GraphSpec asserts the
+    * equivalence both on a graph that converges and one that doesn't).
+    * Regular components — all degrees equal, e.g. the disjoint
+    * near-dup pairs and cliques the dedup detectors emit — have the
+    * uniform vector as their exact fixpoint, so they exit after ONE
+    * iteration instead of ten; hub-and-spoke graphs never hit an exact
+    * fixpoint and still run the full fixed count.
+    *
     * Scale shape: per iteration ONE shuffle (contributions grouped by
     * destination, map-side partial decimal sums tame hub vertices) plus
-    * a broadcast-able join of the narrow rank frame back to vertices;
+    * a broadcast-able join of the narrow rank frame back to vertices
+    * (the rank frame doubles as the vertex list — one row per vertex);
     * the degree-annotated edge frame is persisted once; rank frames are
-    * `localCheckpoint`ed every CheckpointEvery iterations (not every
-    * iteration — a checkpoint materializes a full job, and a plan 2–3
-    * joins deep optimizes fine, so the cadence trades bounded lineage
-    * growth for ~3× fewer materialization barriers; same discipline as
-    * [[connectedComponents]] but that loop needs per-round results for
-    * its fixpoint test, this one does not).
+    * `localCheckpoint`ed every CheckpointEvery iterations plus at
+    * i = 1 (not every iteration — a checkpoint materializes a full
+    * job, and a plan 2–3 joins deep optimizes fine, so the cadence
+    * trades bounded lineage growth for ~3× fewer materialization
+    * barriers; the extra i = 1 boundary is what lets already-converged
+    * graphs exit after one iteration). The fixpoint test itself is a
+    * narrow scan of the just-checkpointed frame — no extra join, no
+    * extra shuffle.
     *
     * NOTE this method executes EAGERLY — `verts.count()` plus the
     * periodic checkpoints run real Spark jobs during DataFrame
@@ -117,29 +165,56 @@ object Graph {
     * GC'd (Dataset.unpersist is a no-op on localCheckpoint-backed
     * frames).
     */
-  def pageRank(edges0: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+  /** Iterations the most recent [[pageRank]] call actually ran — spec
+    * observability for the early exit (driver-side, like the loop). */
+  @volatile private[graft] var lastIters: Int = 0
+
+  def pageRank(edges0: DataFrame, iters: Int = 10, damping: Double = 0.85,
+               earlyExit: Boolean = true): DataFrame = {
     val half = edges0.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    // persist the symmetrized edge set FIRST: deg, edgesDeg and verts
+    // all branch off it, and without this cache each branch re-executes
+    // the caller's whole upstream pair-detection plan (q75's simhash
+    // corpus scan ran three times — once for verts, once per join input
+    // of edgesDeg)
+    val edges = graft.core.Caches.persist(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edgesDeg = graft.core.Caches.persist(edges.join(deg, "src"))
     val verts = graft.core.Caches.persist(deg.select(col("src").as("v"), col("outdeg")))
     val n = verts.count() // bounded driver scalar: vertex count
-    var ranks = verts.select(col("v"), round(lit(1.0 / n), 12).as("r"))
-      .localCheckpoint(true)
-    for (i <- 1 to iters) {
-      val contribs = edgesDeg
-        .join(ranks.select(col("v").as("src"), col("r")), "src")
-        .select(col("dst"),
-          round(col("r") / col("outdeg"), 12).cast("decimal(38,12)").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).cast("double").as("s"))
-      val next = verts.select(col("v"))
-        .join(contribs.withColumnRenamed("dst", "v"), Seq("v"), "left")
-        .select(col("v"),
-          round(lit((1 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("r"))
-      ranks = if (i % CheckpointEvery == 0 || i == iters) next.localCheckpoint(true)
-              else next
+    lastIters = 0
+    var ranks: DataFrame = null
+    withLoopParallelism(verts, n) {
+      ranks = verts.select(col("v"), round(lit(1.0 / n), 12).as("r"))
+        .localCheckpoint(true)
+      var converged = false
+      var i = 1
+      while (!converged && i <= iters) {
+        val contribs = edgesDeg
+          .join(ranks.select(col("v").as("src"), col("r")), "src")
+          .select(col("dst"),
+            round(col("r") / col("outdeg"), 12).cast("decimal(38,12)").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).cast("double").as("s"))
+        // ranks has exactly one row per vertex, so it replaces `verts` as
+        // the join base for free and carries r_prev into the fixpoint test
+        val next = ranks.select(col("v"), col("r").as("r_prev"))
+          .join(contribs.withColumnRenamed("dst", "v"), Seq("v"), "left")
+          .select(col("v"),
+            round(lit((1 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("r"),
+            col("r_prev"))
+        if (i == 1 || i % CheckpointEvery == 0 || i == iters) {
+          val checked = next.localCheckpoint(true)
+          converged = earlyExit && checked.filter(col("r") =!= col("r_prev")).isEmpty
+          ranks = checked.select(col("v"), col("r"))
+        } else {
+          ranks = next.select(col("v"), col("r"))
+        }
+        lastIters = i
+        i += 1
+      }
     }
     ranks.join(verts, "v")
       .select(col("v"), col("outdeg").cast("long").as("degree"),

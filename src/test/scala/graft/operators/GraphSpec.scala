@@ -87,4 +87,27 @@ class GraphSpec extends SparkSpec {
     assert(out.find(_._1 == 1L).get._2 == 3L)         // degree column
     assert(run().sameElements(out))                   // deterministic
   }
+
+  test("pageRank early-exit is decimal-exact and bit-identical to fixed iterations") {
+    import spark.implicits._
+    def run(edges: org.apache.spark.sql.DataFrame, ee: Boolean) =
+      try Graph.pageRank(edges, earlyExit = ee).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      finally graft.core.Caches.release()
+    // regular components (disjoint pair + triangle): the uniform vector
+    // is the EXACT 12-decimal fixpoint, so the loop must stop after one
+    // iteration — and return exactly what all ten would have
+    val regular = Seq((1L, 2L), (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val fast = run(regular, ee = true)
+    assert(Graph.lastIters == 1)
+    val full = run(regular, ee = false)
+    assert(Graph.lastIters == 10)
+    assert(fast.sameElements(full))
+    // hub-and-spoke: ranks keep moving (0.85^10 of the initial gap is
+    // far above 1e-12), so no exact fixpoint — all ten iterations run
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val s1 = run(star, ee = true)
+    assert(Graph.lastIters == 10)
+    assert(s1.sameElements(run(star, ee = false)))
+  }
 }
