@@ -9,12 +9,17 @@ import graft.core.Tables
   * opaque BINARY payloads + typed metadata, with the decode /
   * feature-extract stage as a per-partition batch operator.
   *
-  * The media codecs themselves are STUBBED (this container has no
-  * image/audio libraries): [[StubCodec.decode]] derives deterministic
-  * fake features from the payload bytes. Everything Spark-side is real —
-  * the schema, the binary encoding, the partition-parallel batch shape
-  * (one codec context per partition, amortized across rows, exactly how
-  * a JNI/FFmpeg decoder would be driven), and the downstream relational
+  * All three modalities now have a REAL pure-JVM decode path —
+  * javax.imageio for image dimensions/resize, javax.sound.sampled for
+  * audio duration, and [[Y4m]] (an own YUV4MPEG2 container parser) for
+  * video frame count / timestamps / luma-plane frames. Payloads none of
+  * those parsers accept (e.g. compressed codecs, which would need
+  * FFmpeg-class native libraries this container doesn't have) fall back
+  * to a deterministic stub that derives fake features from the payload
+  * bytes. Everything Spark-side is real either way — the schema, the
+  * binary encoding, the partition-parallel batch shape (one codec
+  * context per partition, amortized across rows, exactly how a
+  * JNI/FFmpeg decoder would be driven), and the downstream relational
   * ops over extracted features.
   */
 object Multimodal {
@@ -37,13 +42,16 @@ object Multimodal {
       duration_ms: Long)     // stubbed for image: 0
 
   /** Codec: image dimensions are decoded FOR REAL via `javax.imageio`
-    * (ships in the JDK — PNG/JPEG/GIF/BMP need no native libraries) and
+    * (ships in the JDK — PNG/JPEG/GIF/BMP need no native libraries),
     * audio duration FOR REAL via `javax.sound.sampled` (also JDK-only —
-    * WAV/AIFF/AU headers); video decode remains STUBBED (no FFmpeg in
-    * this container) with deterministic fake features derived from the
-    * payload bytes, as are payloads the JDK codecs cannot parse (the
-    * synthesized test media wraps text bytes). A real deployment swaps
-    * the stub branch for the JNI/FFmpeg call; nothing else changes.
+    * WAV/AIFF/AU headers), and video geometry/duration FOR REAL via
+    * [[Y4m]] (an own pure-JVM YUV4MPEG2 container parser — frame count
+    * × frame rate from actually walking the FRAME markers). Payloads
+    * none of those parsers accept (compressed video/image codecs would
+    * need native libraries this container doesn't have; the synthesized
+    * test media wraps text bytes) fall back to deterministic fake
+    * features derived from the payload bytes. A real deployment adds
+    * the JNI/FFmpeg call alongside; nothing else changes.
     */
   object StubCodec {
 
@@ -79,18 +87,19 @@ object Multimodal {
       val h32 = java.lang.Long.parseLong(hash.substring(0, 8), 16)
       val realDims = if (row.kind == "image") imageDims(row.payload) else None
       val realDur = if (row.kind == "audio") audioDurationMs(row.payload) else None
+      val realVid = if (row.kind == "video") Y4m.parse(row.payload) else None
       MediaFeatures(
         media_id = row.media_id,
         kind = row.kind,
         n_bytes = row.payload.length.toLong,
         content_hash = hash,
-        width = realDims.map(_._1).getOrElse(
+        width = realVid.map(_.width).orElse(realDims.map(_._1)).getOrElse(
           if (row.kind == "audio") 0 else (160 + (h32 % 8) * 160).toInt),
-        height = realDims.map(_._2).getOrElse(
+        height = realVid.map(_.height).orElse(realDims.map(_._2)).getOrElse(
           if (row.kind == "audio") 0 else (90 + (h32 % 8) * 90).toInt),
         duration_ms =
           if (row.kind == "image") 0L
-          else realDur.getOrElse(h32 % 600000L))
+          else realVid.map(_.durationMs).orElse(realDur).getOrElse(h32 % 600000L))
     }
   }
 
@@ -167,11 +176,13 @@ object Multimodal {
     }
   }
 
-  /** One sampled video frame: index, timestamp, and the frame payload
-    * (STUBBED — no video codec in this container: a deterministic slice
-    * of the source bytes stands in for the decoded frame; the Spark-side
-    * shape — per-row fan-out to frame rows, schema, partition
-    * parallelism — is exactly what an FFmpeg-backed codec would drive).
+  /** One sampled video frame: the container frame index, its sample
+    * timestamp, and the frame payload. For [[Y4m]]-parseable videos the
+    * payload is a REAL decode — the selected frame's luma plane as a
+    * grayscale PNG; for payloads no pure-JVM parser accepts, a
+    * deterministic slice of the source bytes stands in (declared stub)
+    * while the Spark-side shape — per-row fan-out to frame rows,
+    * schema, partition parallelism — is identical.
     */
   final case class SampledFrame(
       media_id: Long,
@@ -179,23 +190,35 @@ object Multimodal {
       ts_ms: Long,
       frame_bytes: Array[Byte])
 
-  /** Frame sampling for video rows: one output row per `everyMs` of the
-    * (stub-decoded) duration. flatMap fan-out keeps the operator
-    * streaming — a 2-hour video emits its frames without materializing
-    * them as one array row.
+  /** Frame sampling for video rows: one output row per `everyMs` of
+    * the decoded duration, carrying the frame on screen at that tick
+    * (Y4M path: real frame index and pixels; fallback path: tick index
+    * and stub bytes). flatMap fan-out keeps the operator streaming — a
+    * 2-hour video emits its frames without materializing them as one
+    * array row.
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L): Dataset[SampledFrame] = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").flatMap { m =>
-      val f = StubCodec.decode(m)
-      val n = (f.duration_ms / everyMs).toInt
-      (0 until n).iterator.map { i =>
-        val ts = i * everyMs
-        // stub "decode": a deterministic window over the payload bytes
-        val start = if (m.payload.length == 0) 0 else (i * 7) % m.payload.length
-        val len = math.min(16, m.payload.length - start)
-        SampledFrame(m.media_id, i, ts,
-          java.util.Arrays.copyOfRange(m.payload, start, start + len))
+      Y4m.parse(m.payload) match {
+        case Some(v) =>
+          val n = (v.durationMs / everyMs).toInt
+          (0 until n).iterator.map { i =>
+            val ts = i * everyMs
+            val idx = v.frameAt(ts)
+            SampledFrame(m.media_id, idx, ts, Y4m.lumaPng(m.payload, v, idx))
+          }
+        case None =>
+          val f = StubCodec.decode(m)
+          val n = (f.duration_ms / everyMs).toInt
+          (0 until n).iterator.map { i =>
+            val ts = i * everyMs
+            // stub "decode": a deterministic window over the payload bytes
+            val start = if (m.payload.length == 0) 0 else (i * 7) % m.payload.length
+            val len = math.min(16, m.payload.length - start)
+            SampledFrame(m.media_id, i, ts,
+              java.util.Arrays.copyOfRange(m.payload, start, start + len))
+          }
       }
     }
   }

@@ -1,0 +1,114 @@
+package graft.multimodal
+
+/** Pure-JVM parser for the YUV4MPEG2 (`.y4m`) video container — the
+  * uncompressed interchange format used by video toolchains (ffmpeg,
+  * x264, mjpegtools all read/write it). Format (public spec, shipped as
+  * y4m docs with mjpegtools): one ASCII stream-header line
+  * `YUV4MPEG2 W<w> H<h> F<num>:<den> [I..] [A..] [C<colorspace>] ...\n`,
+  * then per frame an ASCII `FRAME[ params]\n` marker followed by raw
+  * planar YUV at the header's geometry (4:2:0 → w·h + 2·(w/2)·(h/2)
+  * bytes, 4:2:2 → 2·w·h, 4:4:4 → 3·w·h, mono → w·h).
+  *
+  * This makes video frame sampling REAL the same way javax.imageio /
+  * javax.sound.sampled did for image dims / audio duration (no FFmpeg
+  * or native codecs exist in this container, so compressed formats stay
+  * out of scope): frame count, frame timestamps, and the decoded luma
+  * plane all come from actually parsing the payload. Strictly
+  * validating — any malformed header, unknown colorspace, or truncated
+  * frame yields None and the caller falls back to the declared stub.
+  */
+object Y4m {
+
+  /** A parsed stream: geometry, frame rate, and the byte offset of each
+    * frame's plane data within the payload. */
+  final case class Stream(
+      width: Int, height: Int,
+      fpsNum: Int, fpsDen: Int,
+      colorspace: String,
+      frameOffsets: Array[Int],
+      frameSize: Int) {
+    def frames: Int = frameOffsets.length
+    def durationMs: Long =
+      if (fpsNum <= 0) 0L else math.round(frames * 1000.0 * fpsDen / fpsNum)
+    /** Timestamp of frame `idx` (display time, ms). */
+    def tsMs(idx: Int): Long = math.round(idx * 1000.0 * fpsDen / fpsNum)
+    /** The frame on screen at `tsMs` (last frame whose start ≤ ts),
+      * clamped to the final frame. */
+    def frameAt(tsMs: Long): Int =
+      math.min(frames - 1L, tsMs * fpsNum / (1000L * fpsDen)).toInt
+  }
+
+  private val Magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+  private val FrameMagic = "FRAME".getBytes("US-ASCII")
+
+  private def startsWith(bytes: Array[Byte], prefix: Array[Byte], at: Int): Boolean =
+    at + prefix.length <= bytes.length &&
+      prefix.indices.forall(i => bytes(at + i) == prefix(i))
+
+  private def lineEnd(bytes: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < bytes.length && bytes(i) != '\n'.toByte) i += 1
+    if (i < bytes.length) i else -1
+  }
+
+  /** Some(stream) iff `bytes` is a complete, well-formed Y4M payload
+    * with at least one frame. */
+  def parse(bytes: Array[Byte]): Option[Stream] =
+    try parseStrict(bytes) catch { case _: Exception => None }
+
+  private def parseStrict(bytes: Array[Byte]): Option[Stream] = {
+    if (!startsWith(bytes, Magic, 0)) return None
+    val nl = lineEnd(bytes, 0)
+    if (nl < 0) return None
+    val header = new String(bytes, 0, nl, "US-ASCII")
+    var w = -1; var h = -1; var fn = -1; var fd = -1; var cs = "420jpeg"
+    header.split(' ').drop(1).foreach { p =>
+      if (p.nonEmpty) p.head match {
+        case 'W' => w = p.tail.toInt
+        case 'H' => h = p.tail.toInt
+        case 'F' =>
+          val Array(a, b) = p.tail.split(':'); fn = a.toInt; fd = b.toInt
+        case 'C' => cs = p.tail
+        case _   => () // I/A/X params don't change geometry
+      }
+    }
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+    val ySize = w * h
+    val frameSize = cs match {
+      case c if c.startsWith("420")  => ySize + 2 * ((w / 2) * (h / 2))
+      case c if c.startsWith("422")  => ySize + 2 * ((w / 2) * h)
+      case c if c.startsWith("444")  => 3 * ySize
+      case c if c.startsWith("mono") => ySize
+      case _                         => return None
+    }
+    val offs = Array.newBuilder[Int]
+    var pos = nl + 1
+    while (pos < bytes.length) {
+      if (!startsWith(bytes, FrameMagic, pos)) return None
+      val fnl = lineEnd(bytes, pos)
+      if (fnl < 0) return None
+      val dataStart = fnl + 1
+      if (dataStart + frameSize > bytes.length) return None // truncated
+      offs += dataStart
+      pos = dataStart + frameSize
+    }
+    val arr = offs.result()
+    if (arr.isEmpty) None
+    else Some(Stream(w, h, fn, fd, cs, arr, frameSize))
+  }
+
+  /** Decode frame `idx`'s luma (Y) plane to a grayscale PNG — a real
+    * pixel decode, pure JVM (the chroma planes are parsed past but not
+    * color-converted; luma is what downstream perceptual features —
+    * dedup hashes, quality scores, thumbnails — consume first). */
+  def lumaPng(bytes: Array[Byte], s: Stream, idx: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      s.width, s.height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, s.width, s.height,
+      java.util.Arrays.copyOfRange(bytes,
+        s.frameOffsets(idx), s.frameOffsets(idx) + s.width * s.height))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+}

@@ -88,6 +88,59 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).width == 0 && out(1).payload.sameElements("not an image".getBytes("UTF-8")))
   }
 
+  /** A genuine 4x2 C420 YUV4MPEG2 stream at `fps` fps with `frames`
+    * frames, frame i's luma plane filled with value 10·i. */
+  private def makeY4m(frames: Int, fps: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W4 H2 F$fps:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    (0 until frames).foreach { i =>
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      bos.write(Array.fill[Byte](4 * 2)((10 * i).toByte)) // Y plane
+      bos.write(Array.fill[Byte](2 * (2 * 1))(64.toByte)) // U + V planes
+    }
+    bos.toByteArray
+  }
+
+  test("video payloads decode REAL geometry and duration via the Y4M parser") {
+    val y4m = makeY4m(frames = 50, fps = 25) // 50 frames @ 25fps = 2000 ms
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", y4m, y4m.length.toLong),
+      Multimodal.MediaRow(2L, "video", "not video".getBytes("UTF-8"), 9L),
+      Multimodal.MediaRow(3L, "image", y4m, y4m.length.toLong)))
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f(0).width == 4 && f(0).height == 2)   // real header decode
+    assert(f(0).duration_ms == 2000L)             // real frame walk
+    assert(f(1).width >= 160)                     // stub fallback
+    assert(f(2).duration_ms == 0L)                // image: no duration
+    // malformed variants must fall back, not crash or misparse
+    assert(Y4m.parse(y4m.dropRight(1)).isEmpty)           // truncated frame
+    assert(Y4m.parse("YUV4MPEG2 W4 H2\n".getBytes).isEmpty) // no F, no frames
+    assert(Y4m.parse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("sampleFrames decodes REAL Y4M frames: timestamps, indices, and pixels") {
+    val y4m = makeY4m(frames = 10, fps = 2) // 5000 ms, one frame per 500 ms
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(9L, "video", y4m, y4m.length.toLong)))
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
+      .collect().sortBy(_.ts_ms)
+    assert(frames.length == 5) // 5000 ms / 1000 ms
+    assert(frames.map(_.ts_ms).toSeq == Seq(0L, 1000L, 2000L, 3000L, 4000L))
+    // frame on screen at t=1000ms with 2fps is container frame 2
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6, 8))
+    // the emitted bytes are a REAL decode: a grayscale PNG of the luma
+    // plane, whose pixel value is the 10·i fill pattern of the fixture
+    frames.foreach { fr =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fr.frame_bytes))
+      assert(img.getWidth == 4 && img.getHeight == 2)
+      // raw raster sample (getRGB would gamma-map gray → sRGB)
+      assert(img.getRaster.getSample(0, 0, 0) == 10 * fr.frame_idx)
+    }
+  }
+
   test("sampleFrames fans a video row out to one row per interval") {
     import spark.implicits._
     val payload = ("x" * 100).getBytes("UTF-8")
