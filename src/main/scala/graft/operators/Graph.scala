@@ -114,6 +114,10 @@ object Graph {
     * joins deep between materialization barriers. */
   private val CheckpointEvery = 3
 
+  /** Iterations the most recent [[pageRank]] call actually ran — spec
+    * observability for the early exit (driver-side, like the loop). */
+  @volatile private[graft] var lastIters: Int = 0
+
   /** PageRank over an undirected (src, dst) edge frame — the "which
     * duplicate is the canonical hub" / influence score on the dedup
     * graph. Returns (v, degree, pagerank) for every vertex appearing in
@@ -165,10 +169,6 @@ object Graph {
     * GC'd (Dataset.unpersist is a no-op on localCheckpoint-backed
     * frames).
     */
-  /** Iterations the most recent [[pageRank]] call actually ran — spec
-    * observability for the early exit (driver-side, like the loop). */
-  @volatile private[graft] var lastIters: Int = 0
-
   def pageRank(edges0: DataFrame, iters: Int = 10, damping: Double = 0.85,
                earlyExit: Boolean = true): DataFrame = {
     val half = edges0.select(col("src").cast("long").as("src"),
