@@ -23,6 +23,10 @@ object Caches {
     override def initialValue(): scala.collection.mutable.ArrayBuffer[DataFrame] =
       scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   }
+  private val liveRdds = new ThreadLocal[scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]] {
+    override def initialValue(): scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]] =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+  }
 
   /** Persist `df` (MEMORY_AND_DISK) and track it for the next release
     * from this thread. */
@@ -32,11 +36,29 @@ object Caches {
     p
   }
 
+  /** Persist `rdd` (MEMORY_AND_DISK) and track it for the next release
+    * from this thread — the RDD-level twin of [[persist]], for the
+    * iterative graph kernels that live below the Dataset API. */
+  def persistRdd[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {
+    val p = rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveRdds.get() += p
+    p
+  }
+
+  /** Track an already-persisted RDD for the next release from this
+    * thread (used for a loop's final frame, persisted in-loop but
+    * consumed by the caller). */
+  def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    liveRdds.get() += rdd
+
   /** Unpersist every frame persisted from this thread since its last
     * release. */
   def release(): Unit = {
     val frames = live.get()
     frames.foreach(_.unpersist(blocking = false))
     frames.clear()
+    val rdds = liveRdds.get()
+    rdds.foreach(_.unpersist(blocking = false))
+    rdds.clear()
   }
 }

@@ -110,4 +110,76 @@ class GraphSpec extends SparkSpec {
     assert(Graph.lastIters == 10)
     assert(s1.sameElements(run(star, ee = false)))
   }
+
+  test("round12/dec12 kernels are bit-identical to the Spark SQL expressions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // magnitudes spanning the pagerank domain (ranks, contributions,
+    // smoothing terms) plus adversarial rounding positions
+    val rnd = new scala.util.Random(20260813L)
+    val xs = Seq.fill(20000)(rnd.nextDouble() * math.pow(10.0, rnd.nextInt(13) - 12)) ++
+      Seq(0.0, 1.0, 0.5e-12, 1.5e-12, 2.5e-12, 1.0 / 3.0, 0.1234567890125, 0.9999999999995)
+    val viaSql = xs.toDF("x").select(round(col("x"), 12).as("r")).collect().map(_.getDouble(0))
+    xs.zip(viaSql).foreach { case (x, s) =>
+      assert(java.lang.Double.doubleToRawLongBits(Graph.round12(x)) ==
+             java.lang.Double.doubleToRawLongBits(s), s"round12($x)")
+    }
+    // the full contribution pipeline: round → cast decimal(38,12) →
+    // exact sum → cast double, vs the BigDecimal kernel
+    val grouped = xs.grouped(40).toSeq
+    val viaSqlSum = grouped.zipWithIndex
+      .flatMap { case (g, i) => g.map(x => (i, x)) }.toDF("g", "x")
+      .groupBy(col("g"))
+      .agg(sum(round(col("x"), 12).cast("decimal(38,12)")).cast("double").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    grouped.zipWithIndex.foreach { case (g, i) =>
+      val kernel = g.map(x => Graph.dec12(Graph.round12(x)))
+        .reduce(_.add(_)).doubleValue()
+      assert(java.lang.Double.doubleToRawLongBits(kernel) ==
+             java.lang.Double.doubleToRawLongBits(viaSqlSum(i)), s"group $i")
+    }
+  }
+
+  test("RDD cores match the DataFrame reference implementations (differential)") {
+    import spark.implicits._
+    // a messy random graph: chains, merges, self-loops, duplicates
+    val rnd = new scala.util.Random(42)
+    val randomEdges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val shapes = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 10L), (10L, 11L), (11L, 12L), (20L, 21L)),
+      randomEdges)
+    shapes.foreach { edges =>
+      val df = edges.toDF("src", "dst")
+      val cc = try Graph.connectedComponents(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      finally graft.core.Caches.release()
+      val ccRef = try Graph.connectedComponentsSql(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      finally graft.core.Caches.release()
+      assert(cc == ccRef)
+      val pr = try Graph.pageRank(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+      finally graft.core.Caches.release()
+      val prRef = try Graph.pageRankSql(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+      finally graft.core.Caches.release()
+      // bit-identical ranks, not approximately equal
+      assert(pr == prRef)
+    }
+    // and on the real near-dup graph of the sf0.001 documents table
+    val d = graft.core.Tables(spark, sfDir, "documents")
+    val pairs = try Dedup.simhashNearDup(d)
+      .select(org.apache.spark.sql.functions.col("doc_a").as("src"),
+        org.apache.spark.sql.functions.col("doc_b").as("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    finally graft.core.Caches.release()
+    val pdf = pairs.toDF("src", "dst")
+    val pr = try Graph.pageRank(pdf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    finally graft.core.Caches.release()
+    val prRef = try Graph.pageRankSql(pdf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    finally graft.core.Caches.release()
+    assert(pr == prRef)
+  }
 }
