@@ -26,9 +26,54 @@ object Plans {
     "q70_incremental_dedup", "q71_pack_sequences", "q72_mixture_manifest",
     "q73_normalize", "q74_knn_accuracy", "q76_funnel", "q77_retention")
   // q75_pagerank is deliberately absent: Graph.pageRank executes eagerly
-  // at build time (verts.count + periodic localCheckpoints), so its
-  // "plan" is just a join of pre-materialized checkpoint RDDs — nothing
-  // to audit here; the per-iteration shape is documented in Graph.scala.
+  // at build time (the co-partitioned RDD iteration materializes before
+  // a plan exists), so its "plan" is just a scan of the result RDD —
+  // nothing to audit here; the per-iteration shape is documented in
+  // Graph.scala and differentially tested in GraphSpec.
+
+  /** Hand-written audit notes emitted verbatim after the named query's
+    * generated plan — scale findings that a single-SF plan dump can't
+    * show. Living here (not in the .md) so regeneration preserves them. */
+  val Notes: Map[String, String] = Map(
+    "q55_dedup_clusters" -> """### q55 audit note: the connected-components core is below this plan (r8)
+
+The plan above only shows the cluster-size window and ordering over the
+component labels: as of r8 the min-label-propagation loop itself runs
+EAGERLY on co-partitioned pair RDDs (Graph.scala object scaladoc — one
+message shuffle per round with map-side combine, narrow joins
+otherwise), so like q75 there is no Catalyst plan to audit for the
+iteration. Its scale shape is asserted structurally instead:
+GraphSpec's differential suite proves the RDD core equal to the
+retained DataFrame reference implementation on random graphs and the
+real near-dup graph, and the numeric kernels are property-tested
+bit-for-bit against the SQL expressions they replicate.
+""",
+    "q68_lm_score" -> """### q68 at-scale join shape: the w1 vocab join under Zipf skew (r8)
+
+The plan above broadcasts the model tables because they are tiny at
+sf0.01; the scale question (r6 ADVICE / r7 VERDICT item 5) was what the
+w1-only vocab join becomes when the model is past any broadcast
+threshold at 100 TB — AQE's `OptimizeSkewedJoin` only splits skewed
+partitions of SORT-MERGE joins, and w1 is Zipf-hot (stopwords).
+Verified r8 at sf0.1 with `spark.sql.autoBroadcastJoinThreshold=-1` and
+`spark.sql.adaptive.autoBroadcastJoinThreshold=-1` (the honest stand-in
+for model-too-big; there is no sf1 dataset in the container): every
+model join, including the w1-only vocab join, resolves to SMJ —
+
+```
+SortMergeJoin [doc_id], [doc_id], LeftOuter
++- ...
+   SortMergeJoin [w1], [w1], Inner          <- vocab join: SMJ, skew-splittable
+   :- SortMergeJoin [w1, w2], [w1, w2], Inner   <- bigram-model join
+```
+
+— and the session never sets `spark.sql.join.preferSortMergeJoin=false`,
+so the AQE skew mitigation documented in NgramLm.scala's scaladoc
+applies as written. No salting needed until a real-cluster profile
+shows stragglers that AQE's split threshold misses; the salting recipe
+(replicate the few hundred hottest w1 vocab rows k ways — score-neutral)
+stays documented in the scaladoc as the escalation path.
+""")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -52,6 +97,8 @@ object Plans {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $name\n\n```\n$plan```\n")
+      Notes.get(name).foreach(n => sb.append(s"\n$n"))
+      graft.core.Caches.release()
     }
     Files.writeString(Paths.get(outFile), sb.toString)
     println(s"wrote $outFile")
