@@ -141,6 +141,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Y4M parser handles 422/444/mono geometries and odd header params") {
+    def stream(cs: String, planeBytes: Int, frames: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W4 H2 F30:1 It A0:0 C$cs Xsome=ext\n".getBytes("US-ASCII"))
+      (0 until frames).foreach { i =>
+        bos.write("FRAME Iparams\n".getBytes("US-ASCII")) // frame-level params are legal
+        bos.write(Array.fill[Byte](planeBytes)(i.toByte))
+      }
+      bos.toByteArray
+    }
+    // plane sizes at W4 H2: Y = 8; 422 chroma = 2*(2*2)=8; 444 = 2*8; mono = 0
+    val cases = Seq(("422", 8 + 8), ("444", 8 + 16), ("mono", 8))
+    cases.foreach { case (cs, fb) =>
+      val s = Y4m.parse(stream(cs, fb, 3))
+      assert(s.isDefined, cs)
+      assert(s.get.frames == 3 && s.get.width == 4 && s.get.height == 2, cs)
+      assert(s.get.durationMs == 100L, cs) // 3 frames @ 30 fps
+      // luma decode works regardless of chroma layout (Y plane first)
+      val png = Y4m.lumaPng(stream(cs, fb, 3), s.get, 2)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getRaster.getSample(3, 1, 0) == 2, cs)
+    }
+    // wrong frame size for the declared colorspace = truncated = reject
+    assert(Y4m.parse(stream("444", 8 + 8, 3)).isEmpty)
+    // unknown colorspace = reject
+    assert(Y4m.parse(stream("410", 8, 3)).isEmpty)
+  }
+
   test("sampleFrames fans a video row out to one row per interval") {
     import spark.implicits._
     val payload = ("x" * 100).getBytes("UTF-8")
