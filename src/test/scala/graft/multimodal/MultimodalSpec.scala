@@ -169,6 +169,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Y4m.parse(stream("410", 8, 3)).isEmpty)
   }
 
+  test("Y4M parser survives fuzzing: random and corrupted inputs parse to None or valid streams") {
+    val rnd = new scala.util.Random(0xf00d)
+    // pure random bytes: must never throw
+    (1 to 200).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(b)
+      Y4m.parse(b) // no exception is the assertion
+    }
+    // mutations of a valid stream: truncate anywhere, flip bytes anywhere
+    val good = makeY4m(frames = 5, fps = 10)
+    (1 to 200).foreach { _ =>
+      val cut = good.take(rnd.nextInt(good.length + 1))
+      Y4m.parse(cut).foreach { s =>
+        // a parse that still succeeds must describe data actually present
+        assert(s.frames >= 1)
+        assert(s.frameOffsets.last + s.frameSize <= cut.length)
+      }
+      val flipped = good.clone()
+      flipped(rnd.nextInt(flipped.length)) = rnd.nextInt(256).toByte
+      Y4m.parse(flipped).foreach { s =>
+        assert(s.frames >= 1)
+        assert(s.frameOffsets.last + s.frameSize <= flipped.length)
+        assert(s.width > 0 && s.height > 0 && s.fpsNum > 0 && s.fpsDen > 0)
+      }
+    }
+  }
+
   test("sampleFrames fans a video row out to one row per interval") {
     import spark.implicits._
     val payload = ("x" * 100).getBytes("UTF-8")
