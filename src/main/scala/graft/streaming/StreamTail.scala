@@ -93,6 +93,24 @@ object StreamTail {
         col("r_ts") <= col("l_ts"))
   }
 
+  /** Stream-static enrichment — the event tail joined with a STATIC
+    * dimension frame (user metadata, source registry, allow/deny lists)
+    * on `key`. Spark re-plans the static side each micro-batch, so the
+    * dim may be a table that changes between batches (each batch sees
+    * its current snapshot). With `broadcastDim` (the default, for the
+    * usual small-dim case) the stream side never shuffles — events stay
+    * in their source partitioning and the join is map-side, which is
+    * the only shape that holds when the stream is 100 TB/day and the
+    * dim is megabytes; set it false for a dim too large to broadcast
+    * (falls back to a shuffle join, both sides keyed). Left join: an
+    * event with no dim row passes through with nulls rather than being
+    * silently dropped. No state, no watermark — the static side is
+    * complete by definition, so nothing buffers.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id",
+             broadcastDim: Boolean = true): DataFrame =
+    events.join(if (broadcastDim) broadcast(dim) else dim, Seq(key), "left")
+
   /** Append one (micro-)batch of payloads to the log through the DSv2
     * bulk-write path — the produce direction of the tail: offsets are
     * assigned as (next epoch, dense row index over `orderBy`), then the

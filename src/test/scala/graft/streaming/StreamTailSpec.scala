@@ -41,6 +41,25 @@ class StreamTailSpec extends SparkSpec {
     log.destroy()
   }
 
+  test("enrich joins the tail with a static dimension per micro-batch") {
+    import spark.implicits._
+    val log = freshLog()
+    log.publish(Seq(ev(60000, 1, 1.0), ev(61000, 2, 2.0), ev(62000, 9, 9.0)))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = StreamTail.enrich(StreamTail.events(StreamTail.records(spark, log)), dim)
+      .select($"user_id", $"value", $"tier")
+      .writeStream.format("memory").queryName("enrich_t").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT user_id, value, tier FROM enrich_t ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+    assert(rows.toSeq == Seq(
+      (1L, 1.0, Some("gold")),
+      (2L, 2.0, Some("silver")),
+      (9L, 9.0, None))) // unmatched events pass through with nulls
+    log.destroy()
+  }
+
   test("appendBatch and sinkTo produce INTO the log; publish continues after") {
     import spark.implicits._
     val log = freshLog()
