@@ -142,12 +142,16 @@ class GraphSpec extends SparkSpec {
 
   test("RDD cores match the DataFrame reference implementations (differential)") {
     import spark.implicits._
-    // a messy random graph: chains, merges, self-loops, duplicates
+    // messy random graphs: chains, merges, self-loops, duplicates; a
+    // sparse one (many components, long chains — exercises the pointer
+    // jump) and a dense one (few components — exercises hub messaging)
     val rnd = new scala.util.Random(42)
-    val randomEdges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val sparse = Seq.fill(80)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+    val dense = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val chain = (0L until 64L).map(i => (i, i + 1)) // diameter 64: O(log d) rounds
     val shapes = Seq(
       Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 10L), (10L, 11L), (11L, 12L), (20L, 21L)),
-      randomEdges)
+      sparse, dense, chain)
     shapes.foreach { edges =>
       val df = edges.toDF("src", "dst")
       val cc = try Graph.connectedComponents(df).collect()
