@@ -103,9 +103,13 @@ object Bench {
     // shows up as spread here — and contention shows up as wall growing
     // while cpu stays flat — instead of as a phantom regression in
     // round-over-round comparisons
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would corrupt the JSON artifact
+    def fmt(x: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(x))
     rawBoth.foreach { case (n, xs) =>
-      System.err.println(s"[bench] $n wall=[${xs.map(t => f"${t._1}%.2f").mkString(",")}]" +
-        s" cpu=[${xs.map(t => f"${t._2}%.2f").mkString(",")}]")
+      System.err.println(s"[bench] $n wall=[${xs.map(t => fmt(t._1, 2)).mkString(",")}]" +
+        s" cpu=[${xs.map(t => fmt(t._2, 2)).mkString(",")}]")
     }
     // medians of wall and cpu taken independently (the pairing of one
     // run's wall to its cpu doesn't survive a median anyway)
@@ -117,7 +121,7 @@ object Bench {
     // an intermittent OOM is a regression, not a lucky speedup
     val flaky = raw.count { case (_, xs) => xs.exists(_ < 0) && xs.exists(_ >= 0) }
 
-    def f3(x: Double): String = if (x < 0) "-1" else f"$x%.3f"
+    def f3(x: Double): String = if (x < 0) "-1" else fmt(x, 3)
     val qs = results.map { case (k, (w, c)) => "\"" + k + "\":[" + f3(w) + "," + f3(c) + "]" }
       .mkString("{", ",", "}")
     val failures = results.count(_._2._1 < 0)

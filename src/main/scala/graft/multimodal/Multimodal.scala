@@ -200,23 +200,25 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L): Dataset[SampledFrame] = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").flatMap { m =>
+      // tick counts stay Long end-to-end (a .toInt of duration/everyMs
+      // would wrap header-controlled durations negative and silently
+      // emit nothing); the fan-out itself is a lazy iterator, so even a
+      // pathological duration streams rather than materializes
       Y4m.parse(m.payload) match {
         case Some(v) =>
-          val n = (v.durationMs / everyMs).toInt
-          (0 until n).iterator.map { i =>
+          (0L until v.durationMs / everyMs).iterator.map { i =>
             val ts = i * everyMs
             val idx = v.frameAt(ts)
             SampledFrame(m.media_id, idx, ts, Y4m.lumaPng(m.payload, v, idx))
           }
         case None =>
           val f = StubCodec.decode(m)
-          val n = (f.duration_ms / everyMs).toInt
-          (0 until n).iterator.map { i =>
+          (0L until f.duration_ms / everyMs).iterator.map { i =>
             val ts = i * everyMs
             // stub "decode": a deterministic window over the payload bytes
-            val start = if (m.payload.length == 0) 0 else (i * 7) % m.payload.length
+            val start = if (m.payload.length == 0) 0 else ((i * 7) % m.payload.length).toInt
             val len = math.min(16, m.payload.length - start)
-            SampledFrame(m.media_id, i, ts,
+            SampledFrame(m.media_id, i.toInt, ts,
               java.util.Arrays.copyOfRange(m.payload, start, start + len))
           }
       }

@@ -72,8 +72,14 @@ object Y4m {
         case _   => () // I/A/X params don't change geometry
       }
     }
-    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
-    val ySize = w * h
+    // bounds before any size arithmetic: dimensions past any real video
+    // (16384 = 16K, above 8K) or absurd frame rates are rejected rather
+    // than allowed to overflow Int math into a "valid" zero/negative
+    // frame size (a 65536x65536 header would wrap w*h to 0 and walk the
+    // whole payload as frames of nothing)
+    if (w <= 0 || h <= 0 || w > 16384 || h > 16384) return None
+    if (fn <= 0 || fd <= 0 || fn > 1000000 || fd > 1000000) return None
+    val ySize = w * h // bounded: ≤ 2^28
     val frameSize = cs match {
       case c if c.startsWith("420")  => ySize + 2 * ((w / 2) * (h / 2))
       case c if c.startsWith("422")  => ySize + 2 * ((w / 2) * h)
@@ -85,6 +91,10 @@ object Y4m {
     var pos = nl + 1
     while (pos < bytes.length) {
       if (!startsWith(bytes, FrameMagic, pos)) return None
+      // the marker line is "FRAME" then either newline or space-led params
+      if (pos + FrameMagic.length < bytes.length &&
+          bytes(pos + FrameMagic.length) != '\n'.toByte &&
+          bytes(pos + FrameMagic.length) != ' '.toByte) return None
       val fnl = lineEnd(bytes, pos)
       if (fnl < 0) return None
       val dataStart = fnl + 1

@@ -39,6 +39,18 @@ import graft.core.Caches
   * the replication is property-tested against the real expressions, and
   * both algorithms are differentially tested against their retained
   * DataFrame reference implementations on every spec run).
+  *
+  * Skew note: hash-partitioning edges by source vertex concentrates a
+  * hub's whole adjacency list in one partition (GraphX has the same
+  * property). Message VOLUME is already tamed — the per-iteration
+  * reduceByKey combines map-side, so a hub receives one partial per
+  * partition, not one row per neighbor — but if a single vertex's edge
+  * list itself outgrows [[EdgesPerPartition]]-sized partitions, salt
+  * the edge partitioner (split the hot src k ways and replicate its
+  * rank/degree row k ways; contributions are additive and min is
+  * idempotent, so results are unchanged). Not wired in by default: the
+  * near-dup graphs this library builds bound degree by construction
+  * (band buckets and posting lists are df-capped upstream).
   */
 object Graph {
 
@@ -81,10 +93,17 @@ object Graph {
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.max(1, math.min(sessionParts.toLong, m / EdgesPerPartition + 1).toInt)
     val part = new HashPartitioner(parts)
+    // ONE shuffle: partition by src, then dedup per partition — rows
+    // with equal src co-locate, so per-partition (src, dst) dedup IS
+    // global dedup (a distinct() before partitionBy would shuffle the
+    // edge set twice, once by pair and once by key)
     val edges = Caches.persistRdd(
       half.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
-        .distinct(parts)
-        .partitionBy(part))
+        .partitionBy(part)
+        .mapPartitions(it => {
+          val seen = new java.util.HashSet[(Long, Long)]()
+          it.filter(seen.add)
+        }, preservesPartitioning = true))
     edges.count() // materialize before dropping the upstream cache
     half.unpersist(blocking = false)
     (edges, part)
@@ -196,7 +215,10 @@ object Graph {
       .select(col("v"), col("v").as("l"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("l").cast("decimal(38,0)"))).head.getDecimal(0)
+      // sum over zero rows is SQL NULL — normalize so the empty graph
+      // converges (compareTo on null would NPE) like the RDD core does
+      Option(df.agg(sum(col("l").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prev = labelSum(labels)
     var it = 0
     var done = false

@@ -167,6 +167,13 @@ class MultimodalSpec extends SparkSpec {
     assert(Y4m.parse(stream("444", 8 + 8, 3)).isEmpty)
     // unknown colorspace = reject
     assert(Y4m.parse(stream("410", 8, 3)).isEmpty)
+    // adversarial geometry: 65536x65536 would wrap w*h to 0 in Int math
+    // and validate a zero-byte "frame" — must be rejected at the bound
+    assert(Y4m.parse("YUV4MPEG2 W65536 H65536 F1:1 Cmono\nFRAME\n".getBytes("US-ASCII")).isEmpty)
+    assert(Y4m.parse("YUV4MPEG2 W4 H2 F1:2000000000 C420jpeg\nFRAME\n............".getBytes("US-ASCII")).isEmpty)
+    // marker line must be FRAME then newline or space-led params
+    val junk = ("YUV4MPEG2 W4 H2 F30:1 Cmono\nFRAMEjunk\n" + "x" * 8).getBytes("US-ASCII")
+    assert(Y4m.parse(junk).isEmpty)
   }
 
   test("Y4M parser survives fuzzing: random and corrupted inputs parse to None or valid streams") {

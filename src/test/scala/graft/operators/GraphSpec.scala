@@ -149,9 +149,10 @@ class GraphSpec extends SparkSpec {
     val sparse = Seq.fill(80)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
     val dense = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
     val chain = (0L until 64L).map(i => (i, i + 1)) // diameter 64: O(log d) rounds
+    val empty = Seq.empty[(Long, Long)] // zero edges: both impls must return zero rows
     val shapes = Seq(
       Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 10L), (10L, 11L), (11L, 12L), (20L, 21L)),
-      sparse, dense, chain)
+      sparse, dense, chain, empty)
     shapes.foreach { edges =>
       val df = edges.toDF("src", "dst")
       val cc = try Graph.connectedComponents(df).collect()
