@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output is piped through sbt's logger by default, which
+// prefixes every stdout line with "[info] " — that prefix (not only the
+// tail truncation) broke the driver's JSON parse of the Bench one-liner
+// in every round ("parsed": null even in r4, where the complete line fit
+// the capture). StdoutOutput makes the forked JVM inherit the parent's
+// streams, so the JSON line lands on stdout raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,11 +26,17 @@ import org.apache.spark.sql.SparkSession
   * q13–q30 up to 6.6×, both contiguous ID blocks = a time window
   * sweeping the old serial pass; VERDICT r7 item 1).
   *
-  * The JSON line reports per-query [wall_median, cpu_median] pairs,
-  * rounded to 3 decimals: the cpu median makes the contention signature
-  * (wall inflated, cpu flat) visible in the artifact itself instead of
-  * only in stderr, and the rounding keeps the one-liner inside the
-  * driver's tail capture so q01–q12 stop being truncated away.
+  * The JSON line reports per-query wall-second medians at 2 decimals —
+  * SCALARS, not [wall,cpu] pairs. The r8 pair format made the line
+  * ~3.3 KB and the driver's 2000-char tail capture (2 KB minus sbt's
+  * 72-char trailing "[success]" line = a 1928-char budget) cut q01–q18
+  * from the artifact. Wall-only at 2 decimals is 1780 chars for 76
+  * queries (~23 chars/entry), leaving ~150 chars of headroom; each new
+  * query costs its name length + 8, so the budget holds to ~80 queries.
+  * The cpu medians are NOT lost: they go to stderr next to the raw
+  * samples (the contention signature — wall inflated, cpu flat — is
+  * diagnosed from the driver's stderr log or a local rerun, not from
+  * the artifact, which must above all be COMPLETE).
   *
   * SPARK_GRAFT_BENCH_ONLY=q08_semi_anti,q10_rollup restricts the run to
   * a comma-separated subset (bisecting; the JSON contract is unchanged).
@@ -121,14 +127,19 @@ object Bench {
     // an intermittent OOM is a regression, not a lucky speedup
     val flaky = raw.count { case (_, xs) => xs.exists(_ < 0) && xs.exists(_ >= 0) }
 
-    def f3(x: Double): String = if (x < 0) "-1" else fmt(x, 3)
-    val qs = results.map { case (k, (w, c)) => "\"" + k + "\":[" + f3(w) + "," + f3(c) + "]" }
+    def f2(x: Double): String = if (x < 0) "-1" else fmt(x, 2)
+    // medians (wall + cpu) to stderr: the per-query cpu signal lives
+    // here so the stdout artifact stays inside the tail-capture budget
+    results.foreach { case (n, (w, c)) =>
+      System.err.println(s"[bench] $n median wall=${f2(w)} cpu=${f2(c)}")
+    }
+    val qs = results.map { case (k, (w, _)) => "\"" + k + "\":" + f2(w) }
       .mkString("{", ",", "}")
     val failures = results.count(_._2._1 < 0)
     val total = results.map(_._2._1).filter(_ >= 0).sum
     // failures are reported explicitly AND fail the process: a broken
     // query must never shrink the headline number into a fake speedup
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failures":$failures,"flaky":$flaky,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failures":$failures,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
     if (failures > 0 || flaky > 0) sys.exit(1)
   }

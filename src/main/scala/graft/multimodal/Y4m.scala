@@ -98,7 +98,9 @@ object Y4m {
       val fnl = lineEnd(bytes, pos)
       if (fnl < 0) return None
       val dataStart = fnl + 1
-      if (dataStart + frameSize > bytes.length) return None // truncated
+      // Long math: dataStart ~2^31 + frameSize ~2^30 can wrap Int
+      // negative and accept an offset past the end of a >1.3 GB payload
+      if (dataStart.toLong + frameSize > bytes.length) return None // truncated
       offs += dataStart
       pos = dataStart + frameSize
     }
