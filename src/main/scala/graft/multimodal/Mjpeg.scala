@@ -1,0 +1,269 @@
+package graft.multimodal
+
+/** Pure-JVM parser for Motion-JPEG video — the one COMPRESSED video
+  * family decodable without native codecs, because every frame is an
+  * ordinary baseline/progressive JPEG that `javax.imageio` already
+  * decodes (the same JDK-only move that made image dims, audio
+  * duration, and Y4M frames real). Two public container shapes:
+  *
+  *  - '''raw MJPEG''': frames concatenated back-to-back, each a
+  *    complete JPEG (`FFD8 … FFD9`). The stream carries no timing, so
+  *    [[RawFps]] (25 fps, the conventional assumption ffmpeg makes for
+  *    untimed video) is declared as the frame rate.
+  *  - '''MJPEG-in-AVI''': the RIFF `AVI ` container (public spec:
+  *    Microsoft "AVI RIFF File Reference") — `LIST hdrl` holding
+  *    `avih` + per-stream `LIST strl` (`strh`/`strf`), then `LIST
+  *    movi` holding the `##dc`/`##db` frame chunks. Real timing comes
+  *    from `strh.dwRate/dwScale` (fallback: `avih.dwMicroSecPerFrame`).
+  *
+  * Strictly validating, like [[Y4m]]: a malformed JPEG marker walk,
+  * an out-of-bounds RIFF chunk, a non-MJPG video stream, or frames
+  * that change geometry mid-stream all yield None, and the caller
+  * falls back to the declared stub. All size/offset arithmetic on
+  * header-controlled values is done in Long before bounds checks
+  * (RIFF sizes are u32; a crafted size must not wrap Int and pass).
+  *
+  * The frame boundary scan is a real JPEG segment walk, not a naive
+  * `FFD9` search: entropy-coded data is skipped with byte-stuffing
+  * (`FF00`) and restart-marker (`FFD0–FFD7`) awareness, and frame
+  * dimensions come from the SOF segment — so the parser cannot be
+  * fooled by marker-like bytes inside scan data, and geometry is read
+  * from the pixels' own header rather than trusted from the container.
+  */
+object Mjpeg {
+
+  /** Raw MJPEG streams carry no timing; 25 fps is the conventional
+    * assumption (ffmpeg's default for untimed video input). */
+  val RawFps = 25
+
+  /** A parsed stream: geometry, frame rate, and each frame's byte
+    * range within the payload (MJPEG frames vary in size, unlike Y4M's
+    * fixed planes, so offsets carry lengths). Same query surface as
+    * [[Y4m.Stream]] so callers treat the two uniformly. */
+  final case class Stream(
+      width: Int, height: Int,
+      fpsNum: Int, fpsDen: Int,
+      container: String, // "raw" | "avi"
+      frameOffsets: Array[Int],
+      frameLengths: Array[Int]) {
+    def frames: Int = frameOffsets.length
+    def durationMs: Long =
+      if (fpsNum <= 0) 0L else math.round(frames * 1000.0 * fpsDen / fpsNum)
+    /** Timestamp of frame `idx` (display time, ms). */
+    def tsMs(idx: Int): Long = math.round(idx * 1000.0 * fpsDen / fpsNum)
+    /** The frame on screen at `tsMs` (last frame whose start ≤ ts),
+      * clamped to the final frame. */
+    def frameAt(tsMs: Long): Int =
+      math.min(frames - 1L, tsMs * fpsNum / (1000L * fpsDen)).toInt
+    /** Frame `idx` as its own standalone JPEG payload — already an
+      * encoded image `ImageIO` decodes directly, so no re-encode is
+      * needed (or wanted: transcoding every sampled frame to PNG would
+      * burn CPU at corpus scale for zero information). */
+    def frameBytes(bytes: Array[Byte], idx: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(bytes,
+        frameOffsets(idx), frameOffsets(idx) + frameLengths(idx))
+  }
+
+  /** Some(stream) iff `bytes` is a complete, well-formed raw-MJPEG or
+    * AVI-MJPG payload with at least one frame. */
+  def parse(bytes: Array[Byte]): Option[Stream] =
+    try {
+      if (fourcc(bytes, 0) == "RIFF") parseAvi(bytes)
+      else if (bytes.length >= 2 &&
+        (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) parseRaw(bytes)
+      else None
+    } catch { case _: Exception => None }
+
+  // ---- shared primitives -------------------------------------------------
+
+  private def fourcc(b: Array[Byte], at: Int): String =
+    if (at >= 0 && at + 4 <= b.length) new String(b, at, 4, "US-ASCII") else ""
+
+  /** u32 little-endian read widened to Long — RIFF sizes are unsigned
+    * and must never be compared in Int space. Caller checks bounds. */
+  private def u32(b: Array[Byte], at: Int): Long =
+    (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+      ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+
+  private def u16be(b: Array[Byte], at: Int): Int =
+    ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
+
+  /** Walks one complete JPEG starting at `start`: Some((endExclusive,
+    * width, height)) iff the marker structure is well-formed from SOI
+    * through EOI with an SOF giving positive dimensions. */
+  private[multimodal] def jpegWalk(b: Array[Byte], start: Int): Option[(Int, Int, Int)] = {
+    if (start < 0 || start + 2 > b.length ||
+      (b(start) & 0xff) != 0xff || (b(start + 1) & 0xff) != 0xd8) return None
+    var pos = start + 2
+    var w = -1; var h = -1
+    while (true) {
+      if (pos + 2 > b.length || (b(pos) & 0xff) != 0xff) return None
+      while (pos + 2 <= b.length && (b(pos + 1) & 0xff) == 0xff) pos += 1 // fill bytes
+      if (pos + 2 > b.length) return None
+      val m = b(pos + 1) & 0xff
+      if (m == 0xd9) { // EOI — dims must have come from an SOF by now
+        return if (w > 0 && h > 0) Some((pos + 2, w, h)) else None
+      } else if (m == 0xd8 || m == 0x00) return None // nested SOI / stray stuffing
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2 // TEM / RSTn: standalone
+      else {
+        if (pos + 4 > b.length) return None
+        val seglen = u16be(b, pos + 2)
+        if (seglen < 2 || pos + 2 + seglen > b.length) return None
+        // SOF0–SOF15 except DHT(C4)/JPG(C8)/DAC(CC): [len prec h h w w]
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (seglen < 7) return None
+          h = u16be(b, pos + 5); w = u16be(b, pos + 7)
+          if (w <= 0 || h <= 0) return None
+        }
+        val next = pos + 2 + seglen
+        if (m == 0xda) { // SOS: skip entropy-coded data to the next real marker
+          pos = next
+          var done = false
+          while (!done) {
+            if (pos + 2 > b.length) return None
+            if ((b(pos) & 0xff) != 0xff) pos += 1
+            else {
+              val n = b(pos + 1) & 0xff
+              if (n == 0x00 || (n >= 0xd0 && n <= 0xd7)) pos += 2 // stuffed FF / RSTn
+              else done = true // outer loop re-reads the marker at pos
+            }
+          }
+        } else pos = next
+      }
+    }
+    None // unreachable
+  }
+
+  // ---- raw concatenated-JPEG stream --------------------------------------
+
+  private def parseRaw(b: Array[Byte]): Option[Stream] = {
+    val offs = Array.newBuilder[Int]
+    val lens = Array.newBuilder[Int]
+    var w = -1; var h = -1
+    var pos = 0
+    while (pos < b.length) {
+      jpegWalk(b, pos) match {
+        case Some((end, fw, fh)) =>
+          if (w < 0) { w = fw; h = fh }
+          // MJPEG frames share one geometry; a mid-stream change means
+          // this is not a video but unrelated concatenated images
+          else if (fw != w || fh != h) return None
+          offs += pos
+          lens += end - pos
+          pos = end
+        case None => return None // trailing junk / truncated frame: reject all
+      }
+    }
+    val arr = offs.result()
+    if (arr.isEmpty || w <= 0 || w > 16384 || h > 16384) None
+    else Some(Stream(w, h, RawFps, 1, "raw", arr, lens.result()))
+  }
+
+  // ---- AVI RIFF container -------------------------------------------------
+
+  private def parseAvi(b: Array[Byte]): Option[Stream] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+    val riffSize = u32(b, 4)
+    if (8L + riffSize > b.length) return None
+    val limit = (8L + riffSize).toInt
+
+    var bad = false
+    var usPerFrame = 0L              // avih.dwMicroSecPerFrame (fps fallback)
+    var scale = 0L; var rate = 0L    // strh.dwScale/dwRate of the vids stream
+    var strfW = -1L; var strfH = -1L // strf BITMAPINFOHEADER dims
+    var streamIdx = 0                // strl lists in declaration order
+    var vidsIdx = -1                 // which stream number carries MJPG video
+    var firstW = -1; var firstH = -1 // SOF dims of the first decoded frame
+    val offs = Array.newBuilder[Int]
+    val lens = Array.newBuilder[Int]
+
+    // one pass over a [from,to) chunk run; sizes validated in Long
+    // before any Int narrowing so a crafted dwSize cannot wrap past `to`
+    def chunks(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var pos = from
+      while (pos < to && !bad) {
+        if (pos + 8 > to) bad = true
+        else {
+          val size = u32(b, pos + 4)
+          val ds = pos + 8
+          if (ds + size > to) bad = true
+          else {
+            f(fourcc(b, pos), ds, size.toInt)
+            pos = ds + size.toInt + (size.toInt & 1) // chunks pad to even
+          }
+        }
+      }
+    }
+
+    def handleStrl(from: Int, to: Int): Unit = {
+      var isVids = false; var isMjpgHandler = false; var isMjpgFormat = false
+      var sScale = 0L; var sRate = 0L; var sW = -1L; var sH = -1L
+      chunks(from, to) { (id, ds, size) =>
+        if (id == "strh" && size >= 28) {
+          isVids = fourcc(b, ds) == "vids"
+          val handler = fourcc(b, ds + 4)
+          isMjpgHandler = handler.equalsIgnoreCase("MJPG") || handler == "dmb1"
+          sScale = u32(b, ds + 20); sRate = u32(b, ds + 24)
+        } else if (id == "strf" && size >= 20) {
+          // BITMAPINFOHEADER: biWidth(+4) biHeight(+8) biCompression(+16)
+          sW = u32(b, ds + 4); sH = u32(b, ds + 8)
+          isMjpgFormat = fourcc(b, ds + 16).equalsIgnoreCase("MJPG")
+        }
+      }
+      if (isVids) {
+        if (vidsIdx >= 0) bad = true // two video streams: out of scope
+        else if (isMjpgHandler || isMjpgFormat) {
+          vidsIdx = streamIdx; scale = sScale; rate = sRate; strfW = sW; strfH = sH
+        } else bad = true // a non-MJPG video stream needs a real codec: reject
+      }
+      streamIdx += 1
+    }
+
+    def handleMovi(from: Int, to: Int): Unit = chunks(from, to) { (id, ds, size) =>
+      if (id == "LIST" && fourcc(b, ds) == "rec ") handleMovi(ds + 4, ds + size)
+      else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))) {
+        val streamNo = (id(0) - '0') * 10 + (id(1) - '0')
+        if (streamNo == vidsIdx) {
+          jpegWalk(b, ds) match {
+            // chunks may pad past EOI; the JPEG itself must fit inside
+            case Some((end, fw, fh)) if end <= ds + size =>
+              if (firstW < 0) { firstW = fw; firstH = fh }
+              else if (fw != firstW || fh != firstH) bad = true
+              offs += ds
+              lens += end - ds
+            case _ => bad = true
+          }
+        }
+      }
+    }
+
+    chunks(12, limit) { (id, ds, size) =>
+      if (id == "LIST") fourcc(b, ds) match {
+        case "hdrl" => chunks(ds + 4, ds + size) { (id2, ds2, size2) =>
+          if (id2 == "avih" && size2 >= 40) {
+            usPerFrame = u32(b, ds2) // dims live in strf; avih's are advisory
+          } else if (id2 == "LIST" && fourcc(b, ds2) == "strl")
+            handleStrl(ds2 + 4, ds2 + size2)
+        }
+        case "movi" => handleMovi(ds + 4, ds + size)
+        case _      => () // INFO etc.
+      } // idx1 / JUNK / other top-level chunks are skippable by design
+    }
+
+    val offsets = offs.result()
+    if (bad || vidsIdx < 0 || offsets.isEmpty) return None
+    // the container's declared dims must agree with the pixels' own SOF
+    // header (when strf carried them) — a mismatch means a broken writer
+    if (firstW <= 0 || firstH <= 0 || firstW > 16384 || firstH > 16384) return None
+    if (strfW > 0 && strfW != firstW) return None
+    if (strfH > 0 && strfH != firstH) return None
+    val (fn, fd) =
+      if (rate > 0 && scale > 0 && rate <= 10000000L && scale <= 10000000L)
+        (rate.toInt, scale.toInt)
+      else if (usPerFrame > 0 && usPerFrame <= 10000000L)
+        (1000000, usPerFrame.toInt)
+      else return None
+    Some(Stream(firstW, firstH, fn, fd, "avi", offsets, lens.result()))
+  }
+}

@@ -11,8 +11,10 @@ import graft.core.Tables
   *
   * All three modalities now have a REAL pure-JVM decode path —
   * javax.imageio for image dimensions/resize, javax.sound.sampled for
-  * audio duration, and [[Y4m]] (an own YUV4MPEG2 container parser) for
-  * video frame count / timestamps / luma-plane frames. Payloads none of
+  * audio duration, and [[Y4m]] (an own YUV4MPEG2 container parser) plus
+  * [[Mjpeg]] (an own Motion-JPEG / AVI-RIFF parser — the one compressed
+  * video family decodable without native codecs) for video frame count
+  * / timestamps / frame extraction. Payloads none of
   * those parsers accept (e.g. compressed codecs, which would need
   * FFmpeg-class native libraries this container doesn't have) fall back
   * to a deterministic stub that derives fake features from the payload
@@ -87,19 +89,26 @@ object Multimodal {
       val h32 = java.lang.Long.parseLong(hash.substring(0, 8), 16)
       val realDims = if (row.kind == "image") imageDims(row.payload) else None
       val realDur = if (row.kind == "audio") audioDurationMs(row.payload) else None
+      // video decode order: Y4M (uncompressed interchange), then MJPEG
+      // (raw or AVI — the one compressed family decodable pure-JVM)
       val realVid = if (row.kind == "video") Y4m.parse(row.payload) else None
+      val realMjpeg =
+        if (row.kind == "video" && realVid.isEmpty) Mjpeg.parse(row.payload) else None
       MediaFeatures(
         media_id = row.media_id,
         kind = row.kind,
         n_bytes = row.payload.length.toLong,
         content_hash = hash,
-        width = realVid.map(_.width).orElse(realDims.map(_._1)).getOrElse(
-          if (row.kind == "audio") 0 else (160 + (h32 % 8) * 160).toInt),
-        height = realVid.map(_.height).orElse(realDims.map(_._2)).getOrElse(
-          if (row.kind == "audio") 0 else (90 + (h32 % 8) * 90).toInt),
+        width = realVid.map(_.width).orElse(realMjpeg.map(_.width))
+          .orElse(realDims.map(_._1)).getOrElse(
+            if (row.kind == "audio") 0 else (160 + (h32 % 8) * 160).toInt),
+        height = realVid.map(_.height).orElse(realMjpeg.map(_.height))
+          .orElse(realDims.map(_._2)).getOrElse(
+            if (row.kind == "audio") 0 else (90 + (h32 % 8) * 90).toInt),
         duration_ms =
           if (row.kind == "image") 0L
-          else realVid.map(_.durationMs).orElse(realDur).getOrElse(h32 % 600000L))
+          else realVid.map(_.durationMs).orElse(realMjpeg.map(_.durationMs))
+            .orElse(realDur).getOrElse(h32 % 600000L))
     }
   }
 
@@ -179,10 +188,16 @@ object Multimodal {
   /** One sampled video frame: the container frame index, its sample
     * timestamp, and the frame payload. For [[Y4m]]-parseable videos the
     * payload is a REAL decode — the selected frame's luma plane as a
-    * grayscale PNG; for payloads no pure-JVM parser accepts, a
-    * deterministic slice of the source bytes stands in (declared stub)
-    * while the Spark-side shape — per-row fan-out to frame rows,
-    * schema, partition parallelism — is identical.
+    * grayscale PNG; for [[Mjpeg]]-parseable videos (raw MJPEG or
+    * MJPEG-in-AVI) it is the selected frame's own JPEG bytes — already
+    * an encoded image `ImageIO` decodes directly, extracted by a real
+    * marker walk (transcoding every frame to PNG would burn CPU at
+    * corpus scale for zero information). For payloads no pure-JVM
+    * parser accepts, a deterministic slice of the source bytes stands
+    * in (declared stub) while the Spark-side shape — per-row fan-out
+    * to frame rows, schema, partition parallelism — is identical.
+    * Either real path yields `frame_bytes` that are themselves a
+    * decodable image payload.
     */
   final case class SampledFrame(
       media_id: Long,
@@ -211,16 +226,24 @@ object Multimodal {
             val idx = v.frameAt(ts)
             SampledFrame(m.media_id, idx, ts, Y4m.lumaPng(m.payload, v, idx))
           }
-        case None =>
-          val f = StubCodec.decode(m)
-          (0L until f.duration_ms / everyMs).iterator.map { i =>
-            val ts = i * everyMs
-            // stub "decode": a deterministic window over the payload bytes
-            val start = if (m.payload.length == 0) 0 else ((i * 7) % m.payload.length).toInt
-            val len = math.min(16, m.payload.length - start)
-            SampledFrame(m.media_id, i.toInt, ts,
-              java.util.Arrays.copyOfRange(m.payload, start, start + len))
-          }
+        case None => Mjpeg.parse(m.payload) match {
+          case Some(v) =>
+            (0L until v.durationMs / everyMs).iterator.map { i =>
+              val ts = i * everyMs
+              val idx = v.frameAt(ts)
+              SampledFrame(m.media_id, idx, ts, v.frameBytes(m.payload, idx))
+            }
+          case None =>
+            val f = StubCodec.decode(m)
+            (0L until f.duration_ms / everyMs).iterator.map { i =>
+              val ts = i * everyMs
+              // stub "decode": a deterministic window over the payload bytes
+              val start = if (m.payload.length == 0) 0 else ((i * 7) % m.payload.length).toInt
+              val len = math.min(16, m.payload.length - start)
+              SampledFrame(m.media_id, i.toInt, ts,
+                java.util.Arrays.copyOfRange(m.payload, start, start + len))
+            }
+        }
       }
     }
   }

@@ -219,6 +219,167 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame_bytes.nonEmpty))
   }
 
+  /** A genuine `w`x`h` solid-gray JPEG via ImageIO (baseline JFIF). */
+  private def jpegFrame(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(gray, gray, gray))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data ++
+      (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+
+  private def riffList(typ: String, children: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("US-ASCII") ++ children)
+
+  /** A genuine MJPG AVI assembled per the public RIFF spec: hdrl
+    * (avih + one vids strl with dwScale/dwRate timing) then movi with
+    * one 00dc chunk per JPEG frame. */
+  private def makeAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+      scale: Int, rate: Int): Array[Byte] = {
+    val avih = le32(1000000L * scale / rate) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte)
+    val strh = "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+      le32(0) ++ Array.fill(4)(0.toByte) ++ le32(0) ++ // flags, prio+lang, initial
+      le32(scale.toLong) ++ le32(rate.toLong) ++ le32(0) ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(0xffffffffL) ++ le32(0) ++
+      Array.fill(8)(0.toByte) // rcFrame
+    val strf = le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++
+      Array[Byte](1, 0, 24, 0) ++ "MJPG".getBytes("US-ASCII") ++
+      le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = riffList("hdrl", riffChunk("avih", avih) ++
+      riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val movi = riffList("movi",
+      frames.map(f => riffChunk("00dc", f)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  test("raw MJPEG payloads decode REAL geometry, frames, and pixels") {
+    val frames = Seq(jpegFrame(8, 6, 30), jpegFrame(8, 6, 120), jpegFrame(8, 6, 220))
+    val raw = frames.reduce(_ ++ _)
+    val s = Mjpeg.parse(raw).get
+    assert(s.container == "raw" && s.frames == 3)
+    assert(s.width == 8 && s.height == 6)       // from the SOF marker walk
+    assert(s.fpsNum == Mjpeg.RawFps && s.fpsDen == 1)
+    assert(s.durationMs == 120L)                // 3 frames @ 25 fps
+    // each extracted frame is itself a decodable JPEG with the fixture's
+    // fill level (solid gray survives JPEG within a small tolerance)
+    Seq(30, 120, 220).zipWithIndex.foreach { case (gray, i) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(s.frameBytes(raw, i)))
+      assert(img.getWidth == 8 && img.getHeight == 6)
+      assert(math.abs(img.getRaster.getSample(4, 3, 0) - gray) <= 8, s"frame $i")
+    }
+    // extractFeatures reaches the same real decode through the Dataset path
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", raw, raw.length.toLong)))
+    val f = Multimodal.extractFeatures(media).collect()
+    assert(f(0).width == 8 && f(0).height == 6 && f(0).duration_ms == 120L)
+  }
+
+  test("AVI-MJPG payloads decode REAL timing and sampleFrames emits real JPEG frames") {
+    val grays = Seq(20, 90, 160, 230)
+    val avi = makeAvi(grays.map(jpegFrame(8, 6, _)), 8, 6, scale = 1, rate = 2)
+    val s = Mjpeg.parse(avi).get
+    assert(s.container == "avi" && s.frames == 4)
+    assert(s.fpsNum == 2 && s.fpsDen == 1)      // from strh dwRate/dwScale
+    assert(s.durationMs == 2000L)               // 4 frames @ 2 fps
+    assert(s.frameAt(999L) == 1 && s.frameAt(1000L) == 2)
+
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(5L, "video", avi, avi.length.toLong)))
+    val out = Multimodal.sampleFrames(media, everyMs = 500L).collect().sortBy(_.ts_ms)
+    assert(out.map(_.ts_ms).toSeq == Seq(0L, 500L, 1000L, 1500L))
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3)) // 2 fps, one per 500 ms
+    out.zip(grays).foreach { case (fr, gray) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fr.frame_bytes))
+      assert(img.getWidth == 8 && img.getHeight == 6)
+      assert(math.abs(img.getRaster.getSample(4, 3, 0) - gray) <= 8)
+    }
+    // q42's feature rollup sees the real AVI geometry too
+    val f = Multimodal.extractFeatures(media).collect()
+    assert(f(0).width == 8 && f(0).duration_ms == 2000L)
+  }
+
+  test("MJPEG parser is strict: malformed containers fall back, never misparse") {
+    val good = jpegFrame(8, 6, 100)
+    // a single JPEG is a legal 1-frame raw stream
+    assert(Mjpeg.parse(good).exists(_.frames == 1))
+    // trailing junk after a frame rejects the whole payload
+    assert(Mjpeg.parse(good ++ "junk".getBytes("US-ASCII")).isEmpty)
+    // mid-stream geometry change = unrelated images, not a video
+    assert(Mjpeg.parse(good ++ jpegFrame(4, 4, 100)).isEmpty)
+    // truncated final frame
+    assert(Mjpeg.parse((good ++ good).dropRight(1)).isEmpty)
+    assert(Mjpeg.parse("not video at all".getBytes("US-ASCII")).isEmpty)
+    assert(Mjpeg.parse(Array.emptyByteArray).isEmpty)
+
+    val avi = makeAvi(Seq(good, good), 8, 6, 1, 2)
+    // RIFF size that overruns the payload
+    assert(Mjpeg.parse(avi.dropRight(1)).isEmpty)
+    // a vids stream whose handler/format is not MJPG needs a real codec
+    val h264 = {
+      val b = avi.clone()
+      val i = indexOfSlice(b, "MJPG".getBytes("US-ASCII"))
+      Array.copy("H264".getBytes("US-ASCII"), 0, b, i, 4)
+      val j = indexOfSlice(b, "MJPG".getBytes("US-ASCII")) // strf biCompression
+      Array.copy("H264".getBytes("US-ASCII"), 0, b, j, 4)
+      b
+    }
+    assert(Mjpeg.parse(h264).isEmpty)
+    // strf dims that contradict the frames' own SOF headers
+    val lying = makeAvi(Seq(good, good), 16, 12, 1, 2)
+    assert(Mjpeg.parse(lying).isEmpty)
+  }
+
+  private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int =
+    hay.indices.find(i => i + needle.length <= hay.length &&
+      needle.indices.forall(k => hay(i + k) == needle(k))).get
+
+  test("MJPEG parser survives fuzzing: random and corrupted inputs parse to None or valid streams") {
+    val rnd = new scala.util.Random(0xbeef)
+    (1 to 200).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(b)
+      Mjpeg.parse(b) // no exception is the assertion
+    }
+    val fixtures = Seq(
+      Seq(jpegFrame(8, 6, 40), jpegFrame(8, 6, 200)).reduce(_ ++ _),
+      makeAvi(Seq(jpegFrame(8, 6, 40), jpegFrame(8, 6, 200)), 8, 6, 1, 5))
+    fixtures.foreach { good =>
+      (1 to 200).foreach { _ =>
+        val cut = good.take(rnd.nextInt(good.length + 1))
+        Mjpeg.parse(cut).foreach { s =>
+          assert(s.frames >= 1)
+          assert(s.frameOffsets.last.toLong + s.frameLengths.last <= cut.length)
+        }
+        val flipped = good.clone()
+        flipped(rnd.nextInt(flipped.length)) = rnd.nextInt(256).toByte
+        Mjpeg.parse(flipped).foreach { s =>
+          assert(s.frames >= 1)
+          assert(s.frameOffsets.last.toLong + s.frameLengths.last <= flipped.length)
+          assert(s.width > 0 && s.height > 0 && s.fpsNum > 0 && s.fpsDen > 0)
+        }
+      }
+    }
+  }
+
   test("q42 aggregates decoded features per kind") {
     val rows = Multimodal.q42MultimodalMeta(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
