@@ -45,12 +45,26 @@ import graft.core.Caches
   * property). Message VOLUME is already tamed — the per-iteration
   * reduceByKey combines map-side, so a hub receives one partial per
   * partition, not one row per neighbor — but if a single vertex's edge
-  * list itself outgrows [[EdgesPerPartition]]-sized partitions, salt
-  * the edge partitioner (split the hot src k ways and replicate its
-  * rank/degree row k ways; contributions are additive and min is
-  * idempotent, so results are unchanged). Not wired in by default: the
-  * near-dup graphs this library builds bound degree by construction
-  * (band buckets and posting lists are df-capped upstream).
+  * list itself outgrows [[EdgesPerPartition]]-sized partitions, pass
+  * `saltHubs = k` to [[connectedComponents]] / [[pageRank]]: vertices
+  * whose degree exceeds half a partition's target width get their
+  * edges spread over k salt lanes keyed `(v, hash(dst) % k)`, and
+  * their label/rank rows are replicated to every lane each round
+  * (contributions are additive and min is idempotent, so results are
+  * IDENTICAL — GraphSpec asserts bit-equality on a hub graph through
+  * both paths). The salted loop pays one extra replication shuffle per
+  * round, so it is opt-in; the default plain path is right for the
+  * near-dup graphs this library builds itself, which bound degree by
+  * construction (band buckets and posting lists are df-capped
+  * upstream).
+  *
+  * Thread-safety note: [[withLoopParallelism]] (used only by the SQL
+  * reference implementations) narrows the session-global
+  * `spark.sql.shuffle.partitions` for the duration of a loop, and
+  * [[lastIters]] is one shared observability field — neither is safe
+  * under concurrent queries on one SparkSession. The gated-query and
+  * RDD-core paths touch neither; only the retained SQL oracles and
+  * specs do, and they run single-threaded.
   */
 object Graph {
 
@@ -91,7 +105,10 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val m = half.count()
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = math.max(1, math.min(sessionParts.toLong, m / EdgesPerPartition + 1).toInt)
+    // sized from 2m: the partitioned RDD holds the SYMMETRIZED edge set
+    // (~2 rows per input pair), and the per-partition dedup HashSet must
+    // hold a whole partition's boxed tuples at once
+    val parts = math.max(1, math.min(sessionParts.toLong, 2 * m / EdgesPerPartition + 1).toInt)
     val part = new HashPartitioner(parts)
     // ONE shuffle: partition by src, then dedup per partition — rows
     // with equal src co-locate, so per-partition (src, dst) dedup IS
@@ -109,12 +126,102 @@ object Graph {
     (edges, part)
   }
 
+  /** Partitioner for the salted loops. Plain Long vertex keys hash
+    * exactly as HashPartitioner would; `(v, salt)` lane keys land
+    * `salt` partitions away from v's home, so a hot vertex's k lanes
+    * occupy k DISTINCT partitions whenever k ≤ numPartitions — a plain
+    * HashPartitioner on tuples can pigeonhole several lanes into one
+    * partition and silently re-concentrate the hub it was meant to
+    * split. */
+  private[operators] final class SaltedPartitioner(val parts: Int)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = parts
+    private def mod(h: Int): Int = { val m = h % parts; if (m < 0) m + parts else m }
+    override def getPartition(key: Any): Int = key match {
+      case (v: Long, salt: Int) => mod(java.lang.Long.hashCode(v) + salt)
+      case v: Long              => mod(java.lang.Long.hashCode(v))
+      case other                => mod(if (other == null) 0 else other.hashCode)
+    }
+    override def equals(o: Any): Boolean = o match {
+      case s: SaltedPartitioner => s.parts == parts
+      case _                    => false
+    }
+    override def hashCode: Int = parts
+  }
+
+  /** Hub-salted edge prep for the `saltHubs > 1` paths (the object
+    * scaladoc's recipe, wired). A vertex is "hot" when its symmetrized
+    * degree exceeds half a partition's target width; since total degree
+    * is ~4m, at most ~4·parts vertices can exceed that, so the
+    * collected hot set is bounded by cluster width, not data size (the
+    * degree estimate runs pre-dedup, which can only over-count — i.e.
+    * salt a borderline vertex that didn't strictly need it, never miss
+    * a real hub). Hot vertices' edges are keyed `(v, hash(dst) % k)`
+    * so no partition holds more than ~1/k of a hub's adjacency list;
+    * cold vertices ride lane 0. Per-partition dedup stays global
+    * because a duplicate (s, d) always lands in the same lane (salt is
+    * a function of d). Returns the salted edges, the exact post-dedup
+    * plain-keyed degree frame (also the loops' vertex frame), the
+    * shared partitioner, and the broadcast hot set. */
+  private[operators] def saltedPrep(edges0: DataFrame, k: Int):
+      (RDD[((Long, Int), Long)], RDD[(Long, Long)], SaltedPartitioner,
+       org.apache.spark.broadcast.Broadcast[java.util.HashSet[Long]]) = {
+    val spark = edges0.sparkSession
+    val half = edges0
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = half.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(k,
+      math.min(sessionParts.toLong, 2 * m / EdgesPerPartition + 1).toInt)
+    val part = new SaltedPartitioner(parts)
+    val sym = half.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+    val threshold = math.max(1L, (2 * m / parts) / 2)
+    val hotSet = new java.util.HashSet[Long]()
+    sym.mapValues(_ => 1L).reduceByKey(part, _ + _)
+      .filter(_._2 > threshold).keys.collect().foreach(hotSet.add)
+    val hot = spark.sparkContext.broadcast(hotSet)
+    val edges = Caches.persistRdd(
+      sym.map { case (s, d) =>
+        val salt =
+          if (hot.value.contains(s)) (java.lang.Long.hashCode(d) % k + k) % k else 0
+        ((s, salt), d)
+      }.partitionBy(part)
+        .mapPartitions(it => {
+          val seen = new java.util.HashSet[(Long, Int, Long)]()
+          it.filter { case ((s, salt), d) => seen.add((s, salt, d)) }
+        }, preservesPartitioning = true))
+    edges.count() // materialize before dropping the upstream cache
+    half.unpersist(blocking = false)
+    // exact post-dedup degrees, plain-keyed: the loops' vertex frame
+    val deg = Caches.persistRdd(
+      edges.map { case ((s, _), _) => (s, 1L) }.reduceByKey(part, _ + _))
+    (edges, deg, part, hot)
+  }
+
+  /** Replicate a plain-keyed per-vertex frame onto the salt lanes its
+    * co-partitioned join partner uses: hot vertices fan out to all k
+    * lanes, cold ones ride lane 0. One shuffle (the salted loops' per-
+    * round replication cost); volume is |frame| + (k-1)·|hot|. */
+  private def saltView[V: scala.reflect.ClassTag](
+      rdd: RDD[(Long, V)], k: Int, part: SaltedPartitioner,
+      hot: org.apache.spark.broadcast.Broadcast[java.util.HashSet[Long]]):
+      RDD[((Long, Int), V)] =
+    rdd.flatMap { case (v, x) =>
+      if (hot.value.contains(v)) (0 until k).iterator.map(s => ((v, s), x))
+      else Iterator.single(((v, 0), x))
+    }.partitionBy(part)
+
   /** Run an iterative DataFrame loop with shuffle parallelism sized to
     * its data: one shuffle partition per ~1M vertices, clamped to the
     * session default (used by the retained SQL reference
     * implementations). The session conf is restored in `finally`; safe
     * because the loops execute eagerly inside `body`, so no lazy plan
-    * escapes with the narrowed setting. */
+    * escapes with the narrowed setting. NOT safe under concurrent
+    * queries on the same session (it mutates the session-global conf) —
+    * only the single-threaded SQL reference impls and specs use it; see
+    * the object scaladoc. */
   private def withLoopParallelism[T](df: DataFrame, n: Long)(body: => T): T = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -149,8 +256,15 @@ object Graph {
     * probe) materializes that round's persisted labels; superseded
     * persists are dropped eagerly, the final one is released by the
     * caller via [[Caches]].
+    *
+    * `saltHubs > 1` switches to the hub-salted loop (identical results,
+    * one extra replication shuffle per round) — use it when the input
+    * is an arbitrary user graph whose max degree can rival a partition,
+    * e.g. a follower graph; see the object scaladoc.
     */
-  def connectedComponents(edges0: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(edges0: DataFrame, maxIters: Int = 50,
+                          saltHubs: Int = 1): DataFrame = {
+    if (saltHubs > 1) return connectedComponentsSalted(edges0, maxIters, saltHubs)
     val spark = edges0.sparkSession
     val (edges, part) = symmetrizedEdges(edges0)
     // vertex set = edge keys (symmetric edges: every vertex is a src);
@@ -200,6 +314,57 @@ object Graph {
       StructType(Seq(StructField("v", LongType), StructField("component", LongType))))
   }
 
+  /** The hub-salted [[connectedComponents]] core: same min-label +
+    * pointer-jump rounds, same exact label-sum fixpoint, but the
+    * edges⋈labels join runs on salt lanes — the label frame is
+    * replicated onto each hot vertex's k lanes every round (min is
+    * idempotent, so a lane seeing the same label twice changes
+    * nothing), and everything downstream of the message reduce is the
+    * plain-keyed loop unchanged. */
+  private def connectedComponentsSalted(edges0: DataFrame, maxIters: Int,
+                                        k: Int): DataFrame = {
+    val spark = edges0.sparkSession
+    val (edges, deg, part, hot) = saltedPrep(edges0, k)
+    // vertex set = the exact degree frame's keys (already plain-keyed
+    // and partitioned; a per-partition scan of salted edges would emit
+    // a hot vertex once per lane)
+    var labels: RDD[(Long, Long)] = Caches.persistRdd(
+      deg.mapPartitions(_.map { case (v, _) => (v, v) },
+        preservesPartitioning = true))
+    def labelSum(rdd: RDD[(Long, Long)]): BigInt =
+      rdd.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
+    var prev = labelSum(labels)
+    var prevPersist: RDD[_] = labels
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      // replication shuffle + narrow lane join, then the message reduce
+      val nbrMin = edges.join(saltView(labels, k, part, hot), part)
+        .map { case (_, (d, ls)) => (d, ls) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      val stepped = labels.leftOuterJoin(nbrMin, part)
+        .mapValues { case (l, nl) => math.min(l, nl.getOrElse(l)) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val jumped = stepped.map { case (v, l) => (l, v) }
+        .leftOuterJoin(stepped, part)
+        .map { case (l, (v, pl)) => (v, math.min(l, pl.getOrElse(l))) }
+        .partitionBy(part)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      labels = jumped
+      val cur = labelSum(labels)
+      stepped.unpersist(blocking = false)
+      prevPersist.unpersist(blocking = false)
+      prevPersist = labels
+      done = cur == prev
+      prev = cur
+      it += 1
+    }
+    Caches.trackRdd(labels)
+    spark.createDataFrame(
+      labels.map { case (v, l) => Row(v, l) },
+      StructType(Seq(StructField("v", LongType), StructField("component", LongType))))
+  }
+
   /** DataFrame reference implementation of [[connectedComponents]] —
     * same algorithm, declared with joins/windows and localCheckpoint
     * lineage barriers. Retained as the differential-testing oracle for
@@ -217,7 +382,7 @@ object Graph {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       // sum over zero rows is SQL NULL — normalize so the empty graph
       // converges (compareTo on null would NPE) like the RDD core does
-      Option(df.agg(sum(col("l").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
     var prev = labelSum(labels)
     var it = 0
@@ -295,9 +460,14 @@ object Graph {
     * vertex count, and probe actions run real Spark jobs during
     * construction, so "build" time here IS execution time (unlike the
     * lazy builders in `queries`).
+    *
+    * `saltHubs > 1` switches to the hub-salted loop (bit-identical
+    * ranks — decimal sums are associative — at the cost of one
+    * replication shuffle per iteration); see the object scaladoc.
     */
   def pageRank(edges0: DataFrame, iters: Int = 10, damping: Double = 0.85,
-               earlyExit: Boolean = true): DataFrame = {
+               earlyExit: Boolean = true, saltHubs: Int = 1): DataFrame = {
+    if (saltHubs > 1) return pageRankSalted(edges0, iters, damping, earlyExit, saltHubs)
     val spark = edges0.sparkSession
     val (edges, part) = symmetrizedEdges(edges0)
     // (v, outdeg): narrow — edges are already partitioned by src
@@ -326,6 +496,56 @@ object Graph {
       if (i == 1 || i % CheckpointEvery == 0 || i == iters) {
         next.persist(StorageLevel.MEMORY_AND_DISK)
         val changed = next.values.filter(t => t._1 != t._2).count() // materializes
+        converged = earlyExit && changed == 0
+        if (prevPersist != null) prevPersist.unpersist(blocking = false)
+        prevPersist = next
+        ranks = next.mapValues(_._1)
+      } else {
+        ranks = next.mapValues(_._1)
+      }
+      lastIters = i
+      i += 1
+    }
+    if (prevPersist != null) Caches.trackRdd(prevPersist)
+    spark.createDataFrame(
+      ranks.join(deg, part).map { case (v, (r, dg)) => Row(v, dg, r) },
+      outSchema)
+  }
+
+  /** The hub-salted [[pageRank]] core: same exact-decimal contribution
+    * sums, probes, and early exit, but the contribution join runs on
+    * salt lanes — the (degree, rank) frame is replicated onto each hot
+    * vertex's k lanes every iteration (each lane contributes only its
+    * own edges' shares, and decimal sums are associative, so the
+    * per-destination totals are bit-identical to the plain loop's). */
+  private def pageRankSalted(edges0: DataFrame, iters: Int, damping: Double,
+                             earlyExit: Boolean, k: Int): DataFrame = {
+    val spark = edges0.sparkSession
+    val (edges, deg, part, hot) = saltedPrep(edges0, k)
+    val n = deg.count()
+    val outSchema = StructType(Seq(StructField("v", LongType),
+      StructField("degree", LongType), StructField("pagerank", DoubleType)))
+    if (n == 0)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    val r0 = round12(1.0 / n)
+    val base = (1 - damping) / n
+    var ranks: RDD[(Long, Double)] = deg.mapValues(_ => r0)
+    lastIters = 0
+    var prevPersist: RDD[_] = null
+    var converged = false
+    var i = 1
+    while (!converged && i <= iters) {
+      val rankDeg = deg.join(ranks, part) // narrow plain-keyed lookup
+      val contribs = edges.join(saltView(rankDeg, k, part, hot), part)
+        .map { case (_, (d, (dg, r))) => (d, dec12(round12(r / dg))) }
+      val sums = contribs.reduceByKey(part, _.add(_)) // exact, map-side combined
+      val next = ranks.leftOuterJoin(sums, part)
+        .mapValues { case (rPrev, s) =>
+          (round12(base + damping * s.map(_.doubleValue).getOrElse(0.0)), rPrev)
+        }
+      if (i == 1 || i % CheckpointEvery == 0 || i == iters) {
+        next.persist(StorageLevel.MEMORY_AND_DISK)
+        val changed = next.values.filter(t => t._1 != t._2).count()
         converged = earlyExit && changed == 0
         if (prevPersist != null) prevPersist.unpersist(blocking = false)
         prevPersist = next

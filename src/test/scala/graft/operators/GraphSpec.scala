@@ -187,4 +187,51 @@ class GraphSpec extends SparkSpec {
     finally graft.core.Caches.release()
     assert(pr == prRef)
   }
+
+  test("hub salting splits a 1e5-degree hub's partition and keeps results identical") {
+    import spark.implicits._
+    val hubDeg = 100000
+    // one hub (vertex 0) with 1e5 spokes, plus a messy off-hub tail so
+    // the salted loop also exercises cold vertices and a second component
+    val rnd = new scala.util.Random(7)
+    val hub = (1 to hubDeg).map(i => (0L, i.toLong))
+    val tail = Seq.fill(500)((200000L + rnd.nextInt(300), 200000L + rnd.nextInt(300)))
+    val df = (hub ++ tail).toDF("src", "dst")
+    val k = 8
+
+    // partition-width: the hub is detected hot and its adjacency list is
+    // spread over the salt lanes instead of sitting in one partition
+    val (salted, deg, _, hot) = Graph.saltedPrep(df, k)
+    try {
+      assert(hot.value.size == 1 && hot.value.contains(0L))
+      assert(deg.lookup(0L) == Seq(hubDeg.toLong))
+      val widths = salted.mapPartitions(it => Iterator.single(it.size)).collect()
+      // unsalted, one partition would hold all 1e5 hub-keyed rows; salted,
+      // no partition may hold more than a small multiple of total/parts
+      assert(widths.max < hubDeg * 3 / 10,
+        s"max partition width ${widths.max} — hub adjacency list not split")
+      assert(widths.count(_ > 0) >= k / 2) // really spread, not 2 fat lanes
+    } finally graft.core.Caches.release()
+
+    // results through the salted path are IDENTICAL to the plain path:
+    // labels bit-equal (min is idempotent across replicated lanes) ...
+    def ccRun(salt: Int) = try Graph.connectedComponents(df, saltHubs = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    finally graft.core.Caches.release()
+    assert(ccRun(k) == ccRun(1))
+    // ... and ranks bit-equal (decimal-exact sums are associative, so
+    // lane-partial contributions total to the same decimal)
+    def prRun(salt: Int) = try Graph.pageRank(df, saltHubs = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    finally graft.core.Caches.release()
+    assert(prRun(k) == prRun(1))
+
+    // a graph with NO hot vertices through the salted path still matches
+    // (everything rides lane 0; threshold boundary exercised)
+    val cold = Seq.fill(80)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)).toDF("src", "dst")
+    def ccCold(salt: Int) = try Graph.connectedComponents(cold, saltHubs = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    finally graft.core.Caches.release()
+    assert(ccCold(k) == ccCold(1))
+  }
 }
