@@ -47,4 +47,93 @@ object StreamLogs {
           "last_offset", "n_tombstones", "first_offset", "newest_offset")
     else names.map(n => open(spark, root, n).describe()).reduce(_ unionAll _)
   }
+
+  /** Fleet-wide self-scheduled maintenance — ONE coordinator daemon for
+    * every stream under `root`, the deployment-scale analog of the
+    * reference's one-alarm-per-Durable-Object (stream_manager.ts:384-399
+    * arms a separate alarm per stream, so a 1000-stream deployment is
+    * 1000 alarms firing at independent instants). Here one thread sweeps
+    * the fleet every `intervalMs`, STAGGERING the per-stream passes
+    * evenly across the sweep (`intervalMs / fleetSize` apart), so
+    * compaction I/O and Spark merge jobs never burst at one instant the
+    * way naive per-stream timers with a common phase would. Streams
+    * created after the daemon starts are discovered on the next sweep
+    * ([[list]] re-runs each sweep); a stream whose directory disappears
+    * (destroyed) falls out of the cache. A failing pass reports to
+    * `onError` with its stream name and the sweep continues — one sick
+    * stream must not stall the other 999.
+    *
+    * Handles are CACHED and shared: [[FleetMaintenance.open]] returns
+    * the same [[StreamLog]] instance the daemon maintains, so the
+    * per-stream state lock serializes the owner's publishes against a
+    * concurrent compaction apply — the same single-writer contract as
+    * [[StreamLog.startMaintenance]], extended fleet-wide: run the fleet
+    * daemon in the process that owns publish() for these streams, and
+    * obtain publisher handles from [[FleetMaintenance.open]].
+    */
+  def startMaintenance(spark: SparkSession, root: String, intervalMs: Long,
+      limits: Compaction.Limits = Compaction.Limits(),
+      tombstoneMaxAgeMs: Long = 86400000L,
+      orphanGraceMs: Long = 300000L,
+      onReport: (String, StreamLog.MaintenanceReport) => Unit = (_, _) => (),
+      onError: (String, Throwable) => Unit = (_, e) => e.printStackTrace())
+      : FleetMaintenance = {
+    require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
+    new FleetMaintenance(spark, root, intervalMs, limits,
+      tombstoneMaxAgeMs, orphanGraceMs, onReport, onError)
+  }
+
+  /** Handle for a running [[startMaintenance]] fleet daemon: the shared
+    * stream cache plus the stop switch. */
+  final class FleetMaintenance private[streamlog] (
+      spark: SparkSession, root: String, intervalMs: Long,
+      limits: Compaction.Limits, tombstoneMaxAgeMs: Long, orphanGraceMs: Long,
+      onReport: (String, StreamLog.MaintenanceReport) => Unit,
+      onError: (String, Throwable) => Unit) extends AutoCloseable {
+
+    private val streams =
+      new java.util.concurrent.ConcurrentHashMap[String, StreamLog]()
+    private val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private val stopMonitor = new Object
+
+    /** The daemon's own handle for `name` — publishers MUST use this
+      * (not a second instance, whose in-memory index would go stale
+      * under the daemon's compactions). */
+    def open(name: String): StreamLog =
+      streams.computeIfAbsent(name, n => new StreamLog(spark, root, n))
+
+    private def pause(ms: Long): Unit =
+      stopMonitor.synchronized {
+        if (!stop.get()) stopMonitor.wait(math.max(1L, ms))
+      }
+
+    private val sweeper = new Thread(() => {
+      while (!stop.get()) {
+        val names = list(root)
+        if (names.isEmpty) pause(intervalMs)
+        else {
+          val step = intervalMs / names.size // the stagger between streams
+          names.foreach { n =>
+            pause(step)
+            if (!stop.get()) {
+              try {
+                val log = open(n)
+                if (Files.isDirectory(log.streamDir))
+                  onReport(n, log.maintain(limits, tombstoneMaxAgeMs, orphanGraceMs))
+                else streams.remove(n) // destroyed since listing
+              } catch { case e: Throwable => onError(n, e) }
+            }
+          }
+        }
+      }
+    }, "graft-fleet-maintain")
+    sweeper.setDaemon(true)
+    sweeper.start()
+
+    override def close(): Unit = {
+      stop.set(true)
+      stopMonitor.synchronized(stopMonitor.notifyAll())
+      sweeper.join(10000)
+    }
+  }
 }

@@ -345,6 +345,56 @@ class StreamLogSpec extends SparkSpec {
     assert(StreamLogs.describeAll(spark, root + "/absent").collect().isEmpty)
   }
 
+  test("fleet maintenance sweeps every stream under one root, staggered, under publishes") {
+    val root = Files.createTempDirectory("graft-fleet-maint").toString
+    val reports = new java.util.concurrent.CopyOnWriteArrayList[(String, StreamLog.MaintenanceReport)]()
+    val errors = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val fleet = StreamLogs.startMaintenance(spark, root, intervalMs = 60,
+      tombstoneMaxAgeMs = Long.MaxValue, orphanGraceMs = Long.MaxValue,
+      onReport = (n, r) => reports.add((n, r)),
+      onError = (n, _) => errors.add(n))
+    try {
+      val names = Seq("a", "b", "c")
+      // publisher handles come from the fleet (shared instances, so the
+      // per-stream state lock covers publish-vs-compaction)
+      val logs = names.map(fleet.open)
+      val c = clock(9900000)
+      // 25 tiny segments per stream, interleaved round-robin while the
+      // daemon sweeps: three streams compact concurrently under publishes
+      (1 to 25).foreach { _ =>
+        logs.foreach(_.publish((1 to 2).map(i => s"""{"i":$i}"""), nowMs = c))
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+          !(logs.forall(_.segments.length <= 3) &&
+            names.forall(n => reports.toArray.exists(_.asInstanceOf[(String, _)]._1 == n))))
+        Thread.sleep(25)
+      import scala.jdk.CollectionConverters._
+      names.zip(logs).foreach { case (n, l) =>
+        assert(l.segments.length <= 3, s"stream $n never compacted: ${l.segments.length}")
+        assert(reports.asScala.exists(_._1 == n), s"no maintenance report for $n")
+        // no records lost or duplicated under concurrent compaction
+        val got = l.consume(Offset.Beginning, 1000).map(_._1)
+        assert(got.size == 50 && got.distinct.size == 50, s"stream $n: ${got.size} records")
+      }
+      // a stream created AFTER the daemon started is discovered on a
+      // later sweep (the reference arms an alarm per new DO; the fleet
+      // daemon re-lists the root)
+      val late = fleet.open("late")
+      (1 to 25).foreach(_ => late.publish((1 to 2).map(i => s"""{"i":$i}"""), nowMs = c))
+      val d2 = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < d2 && late.segments.length > 3)
+        Thread.sleep(25)
+      assert(late.segments.length <= 3, "late stream never picked up")
+      assert(late.consume(Offset.Beginning, 1000).size == 50)
+      assert(errors.isEmpty, s"maintenance errors on: $errors")
+    } finally fleet.close()
+    // after close, no further passes run anywhere in the fleet
+    val after = reports.size()
+    Thread.sleep(200)
+    assert(reports.size() == after)
+  }
+
   test("describe and describeSegments expose stream metadata as DataFrames") {
     val log = freshLog()
     val c = clock(9800000)
