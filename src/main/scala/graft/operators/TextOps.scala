@@ -306,6 +306,50 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-window document chunking — the complement of sequence
+    * packing (q71 packs SHORT docs into budgets; this splits LONG docs
+    * into model-sized windows instead of dropping them like q63's
+    * outlier trim): each doc becomes ceil-many chunks of `maxTokens`
+    * whitespace tokens, consecutive chunks sharing `overlap` tokens so
+    * no training span loses its left context. Chunk boundaries are pure
+    * integer arithmetic on the token count — engine-independent, no
+    * floating point — and the whole operator is scan → explode →
+    * slice: ZERO shuffles at any scale, one output row per chunk
+    * streamed out of the generate (a 1M-token doc fans out lazily, the
+    * token array is never copied per chunk until its slice).
+    *
+    * Scale note: the per-row state is one doc's token array — bounded
+    * by the corpus' max doc size exactly like every other per-doc text
+    * op here; the explode keeps Spark's generate outer loop streaming,
+    * so partition memory does not multiply by chunks-per-doc.
+    */
+  def chunkDocuments(d: DataFrame, maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got maxTokens=$maxTokens overlap=$overlap")
+    val stride = maxTokens - overlap
+    // integer-exact chunk count: 1 + ceil((n - max) / stride) for long
+    // docs via (n - max + stride - 1) div stride — both engines compute
+    // this in integer space (a double ceil() could straddle an FP ulp)
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= maxTokens, lit(1L))
+          .otherwise(expr(s"1L + ((n_tokens - $maxTokens + ${stride - 1}) div $stride)")))
+      .select(col("doc_id"), col("n_chunks"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunks"),
+        slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(maxTokens)).as("chunk_toks"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunks"),
+        size(col("chunk_toks")).cast("long").as("chunk_tokens"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"))
+  }
+
+  /** q78: chunk the corpus into 64-token windows overlapping by 16. */
+  def q78Chunk(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(docs(spark, dir), maxTokens = 64, overlap = 16)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_lang_id" -> (q38LangId _),
     "q39_quality" -> (q39Quality _),
@@ -315,7 +359,8 @@ object TextOps {
     "q56_tfidf" -> (q56Tfidf _),
     "q57_bm25" -> (q57Bm25 _),
     "q61_repetition" -> (q61Repetition _),
-    "q73_normalize" -> (q73Normalize _)
+    "q73_normalize" -> (q73Normalize _),
+    "q78_chunk" -> (q78Chunk _)
   )
 
   private val markerValues =
@@ -462,6 +507,32 @@ object TextOps {
          |SELECT doc_id, CAST(len(raw) AS BIGINT) AS n_raw,
          |  CAST(len(norm_text) AS BIGINT) AS n_norm, norm_text
          |FROM norm ORDER BY doc_id""".stripMargin
-    }
+    },
+    "q78_chunk" ->
+      // 64-token windows, stride 48 (overlap 16); chunk count in exact
+      // integer arithmetic (// = DuckDB integer division), list slicing
+      // 1-based inclusive like Spark's slice()
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN n_tokens <= 64 THEN 1
+        |         ELSE 1 + (n_tokens - 64 + 47) // 48 END AS n_chunks
+        |  FROM t
+        |), e AS (
+        |  -- duckdb 1.0 rejects lateral column params to the table
+        |  -- function; the scalar list form + unnest is equivalent
+        |  SELECT doc_id, toks, n_chunks,
+        |    unnest(generate_series(0, n_chunks - 1)) AS i
+        |  FROM c
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(len(toks[(i*48 + 1):(i*48 + 64)]) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(toks[(i*48 + 1):(i*48 + 64)], ' ') AS chunk_text
+        |FROM e
+        |ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

@@ -81,4 +81,47 @@ class TextOpsSpec extends SparkSpec {
     val twice = once.select(TextOps.normalizeText($"n").as("n")).collect().map(_.getString(0))
     assert(twice.sameElements(out))
   }
+
+  test("chunkDocuments: boundaries, overlap, and lossless reconstruction") {
+    import spark.implicits._
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"t$i").mkString(" "))
+    // 64 exactly → 1 chunk; 65 → 2; 112 → 2 (stride 48 reaches the end);
+    // 113 → 3; 1 token → 1 chunk; boundary arithmetic is the operator
+    val df = Seq(doc(1, 64), doc(2, 65), doc(3, 112), doc(4, 113), doc(5, 1))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(df, maxTokens = 64, overlap = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).length == 1 && byDoc(2L).length == 2 &&
+      byDoc(3L).length == 2 && byDoc(4L).length == 3 && byDoc(5L).length == 1)
+    out.foreach { case (id, idx, nChunks, nToks, _) =>
+      assert(nChunks == byDoc(id).length) // declared count matches fan-out
+      assert(nToks <= 64 && nToks >= 1)
+      assert(idx < nChunks)
+    }
+    // every non-final chunk is exactly maxTokens; finals carry the tail
+    byDoc.foreach { case (_, chunks) =>
+      chunks.dropRight(1).foreach(c => assert(c._4 == 64))
+    }
+    assert(byDoc(2L).last._4 == 17) // tokens 49..65
+    // consecutive chunks share exactly `overlap` tokens...
+    byDoc(4L).sliding(2).foreach {
+      case Array(a, b) =>
+        val at = a._5.split(" "); val bt = b._5.split(" ")
+        assert(at.takeRight(16).sameElements(bt.take(16)))
+      case _ =>
+    }
+    // ...so dropping each later chunk's first `overlap` tokens
+    // reconstructs the document losslessly
+    byDoc.foreach { case (id, chunks) =>
+      val rebuilt = (chunks.head._5.split(" ") ++
+        chunks.tail.flatMap(_._5.split(" ").drop(16))).mkString(" ")
+      assert(rebuilt == df.filter($"doc_id" === id).head().getString(1), s"doc $id")
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocuments(df, maxTokens = 16, overlap = 16)
+    }
+  }
 }
