@@ -133,9 +133,54 @@ object Curate {
   def q69CurateFull(spark: SparkSession, dir: String): DataFrame =
     curateFull(Tables(spark, dir, "documents"))
 
+  /** Corpus snapshot diff — the change-data view between two crawls of
+    * the same corpus: per key, `added` (new snapshot only), `removed`
+    * (old only), `changed` (both, different content hash), or
+    * `unchanged`. This is how an incremental pipeline decides what to
+    * re-curate/re-embed after a refresh, without re-processing the
+    * unchanged 99 %.
+    *
+    * Scale shape: content hashes are computed IN the scan projection,
+    * so only (key, 32-char hash) pairs ever shuffle — the full-outer
+    * join on the unique key moves ~40 bytes/doc however wide the
+    * documents are, and unique keys mean no join skew by construction.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCol: String = "doc_id",
+                   contentCol: String = "text"): DataFrame = {
+    val o = oldSnap.select(col(keyCol).as(keyCol),
+      md5(col(contentCol).cast("binary")).as("old_hash"))
+    val n = newSnap.select(col(keyCol).as(keyCol),
+      md5(col(contentCol).cast("binary")).as("new_hash"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_hash"), col("new_hash"))
+  }
+
+  /** q79: diff `documents` against a deterministically mutated second
+    * snapshot — every 11th doc removed, every 7th edited, every 13th
+    * re-added as a new id — so both engines synthesize the identical
+    * "new crawl" (the q67/q73 planted-fixture pattern). */
+  def q79SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val newSnap = d.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" [new]")).as("text")))
+    snapshotDiff(d, newSnap).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_curate" -> (q45Curate _),
-    "q69_curate_full" -> (q69CurateFull _)
+    "q69_curate_full" -> (q69CurateFull _),
+    "q79_snapshot_diff" -> (q79SnapshotDiff _)
   )
 
   private val markerValues =
@@ -248,6 +293,25 @@ object Curate {
          |  CAST(sum(CASE WHEN verdict = 'lm' THEN 1 ELSE 0 END) AS BIGINT) AS n_lm,
          |  CAST(sum(CASE WHEN verdict = 'pii' THEN 1 ELSE 0 END) AS BIGINT) AS n_pii,
          |  CAST(sum(CASE WHEN verdict = 'kept' THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
-         |FROM flagged GROUP BY source ORDER BY source""".stripMargin
+         |FROM flagged GROUP BY source ORDER BY source""".stripMargin,
+    "q79_snapshot_diff" ->
+      """WITH oldd AS (
+        |  SELECT doc_id, md5(text) AS old_hash FROM documents
+        |), newd AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END) AS new_hash
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text || ' [new]') AS new_hash
+        |  FROM documents WHERE doc_id % 13 = 0
+        |)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.old_hash <> n.new_hash THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  o.old_hash, n.new_hash
+        |FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

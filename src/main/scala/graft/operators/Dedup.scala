@@ -310,8 +310,15 @@ object Dedup {
     * diameter) rounds). Output: (doc_id, cluster_id, cluster_size) for
     * every document that has at least one duplicate, cluster_id = the
     * canonical keeper (minimum doc_id of the component), ordered.
+    *
+    * `saltHubs` passes through to [[Graph.connectedComponents]]: the
+    * library's own edge construction bounds degree (the exact-dup star
+    * is linear and simhash buckets are df-capped), but a caller feeding
+    * a corpus where one document duplicates millions of others — a
+    * boilerplate page, an empty string — gets an exact-dup star with
+    * that hub; salting keeps any single partition from holding it all.
     */
-  def duplicateClusters(d: DataFrame): DataFrame = {
+  def duplicateClusters(d: DataFrame, saltHubs: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val exactEdges = d
       .select(md5(col("text")).as("h"), col("doc_id"))
@@ -320,7 +327,7 @@ object Dedup {
       .select(col("m").as("src"), col("doc_id").as("dst"))
     val simEdges = simhashNearDup(d)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    Graph.connectedComponents(exactEdges.union(simEdges))
+    Graph.connectedComponents(exactEdges.union(simEdges), saltHubs = saltHubs)
       .select(col("v").as("doc_id"), col("component").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Corpus lifecycle operators in Curate — the composed pipeline itself
+  * is oracle-gated (q45/q69); these specs cover the snapshot diff's
+  * status semantics on a hand-built pair of crawls.
+  */
+class CurateSpec extends SparkSpec {
+
+  test("snapshotDiff classifies added/removed/changed/unchanged per key") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "same text"),
+      (2L, "will change"),
+      (3L, "will vanish")
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "same text"),
+      (2L, "has changed"),
+      (4L, "brand new")
+    ).toDF("doc_id", "text")
+    val out = Curate.snapshotDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+    assert(out(1L)._1 == "unchanged" && out(1L)._2 == out(1L)._3)
+    assert(out(2L)._1 == "changed" && out(2L)._2 != out(2L)._3)
+    assert(out(3L)._1 == "removed" && out(3L)._3 == null)
+    assert(out(4L)._1 == "added" && out(4L)._2 == null)
+    assert(out.size == 4)
+    // unchanged hashes really are the content hash (md5 hex, stable)
+    assert(out(1L)._2.length == 32)
+    // custom key/content columns work the same way
+    val renamed = Curate.snapshotDiff(
+      old.toDF("k", "body"), neu.toDF("k", "body"), keyCol = "k", contentCol = "body")
+    assert(renamed.collect().length == 4)
+  }
+
+  test("duplicateClusters salted path returns the plain path's clusters") {
+    val d = graft.core.Tables(spark, sfDir, "documents")
+    def run(salt: Int) = try Dedup.duplicateClusters(d, saltHubs = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    finally graft.core.Caches.release()
+    assert(run(4) == run(1))
+  }
+}
