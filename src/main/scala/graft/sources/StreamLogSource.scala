@@ -104,30 +104,47 @@ class StreamLogScanBuilder(root: String, stream: String, after: Option[String],
   private var lowerBound: String = after.getOrElse(Offset.Beginning)
   private var pushed: Array[Filter] = Array.empty
   private var limitHint: Option[Int] = None
-  private var countStar: Boolean = false
+  private var metaAggs: Option[Seq[MetaAgg]] = None
 
-  /** Ungrouped COUNT(*) with no offset bound is answered ENTIRELY from
+  /** Ungrouped COUNT(*) / MIN(offset) / MAX(offset) — in any
+    * combination — with no offset bound are answered ENTIRELY from
     * segment metadata (the record counts the compaction planner already
-    * maintains — the reference answers the same question from its meta
-    * endpoint): complete pushdown, zero files opened. Any bound, group,
-    * or other aggregate declines and scans normally.
+    * maintains, plus the sorted non-overlapping index's first segment's
+    * firstOffset and last segment's lastOffset — the reference answers
+    * the same questions from its meta endpoint): complete pushdown,
+    * zero files opened. Any bound, group, or other aggregate declines
+    * and scans normally.
     */
-  private def isPlainCountStar(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    lowerBound == Offset.Beginning &&
-      agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  private def metaAggsOf(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Seq[MetaAgg]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def isOffset(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("offset"))
+        case _                 => false
+      }
+    if (lowerBound != Offset.Beginning || agg.groupByExpressions().nonEmpty ||
+        agg.aggregateExpressions().isEmpty) return None
+    val specs = agg.aggregateExpressions().map {
+      case _: CountStar                       => MetaAgg.Count
+      case m: Min if isOffset(m.column())     => MetaAgg.MinOffset
+      case m: Max if isOffset(m.column())     => MetaAgg.MaxOffset
+      case _                                  => return None
+    }
+    Some(specs.toSeq)
+  }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    isPlainCountStar(agg)
+    metaAggsOf(agg).isDefined
 
   override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (isPlainCountStar(agg)) { countStar = true; true } else false
-  }
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    metaAggsOf(agg) match {
+      case some @ Some(_) => metaAggs = some; true
+      case None           => false
+    }
 
   /** Plain LIMIT: any n rows satisfy it, so reading a metadata-counted
     * prefix of segments is safe. Partial push — Spark still applies the
@@ -185,34 +202,68 @@ class StreamLogScanBuilder(root: String, stream: String, after: Option[String],
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    if (countStar) new StreamLogCountScan(root, stream)
-    else new StreamLogScan(root, stream, lowerBound, limitHint,
-      maxRecordsPerTrigger, maxBytesPerTrigger)
+    metaAggs match {
+      case Some(specs) => new StreamLogCountScan(root, stream, specs)
+      case None => new StreamLogScan(root, stream, lowerBound, limitHint,
+        maxRecordsPerTrigger, maxBytesPerTrigger)
+    }
 }
 
-/** Metadata-only COUNT(*): one partition emitting one row with the sum
-  * of every live segment's record count. No segment file is opened.
+/** Which metadata-answerable aggregate a pushed column is. */
+sealed trait MetaAgg
+object MetaAgg {
+  case object Count extends MetaAgg     // Σ segment record counts
+  case object MinOffset extends MetaAgg // first segment's firstOffset
+  case object MaxOffset extends MetaAgg // last segment's lastOffset
+}
+
+/** Metadata-only COUNT(*) / MIN(offset) / MAX(offset): one partition
+  * emitting one row computed from the segment index — counts from the
+  * per-segment record counts, offset extrema from the sorted
+  * non-overlapping index's end segments (first.firstOffset is the
+  * smallest record offset, last.lastOffset the largest, both
+  * inclusive). No segment file is opened. An empty stream yields 0 for
+  * COUNT and SQL NULL for MIN/MAX, matching the aggregate semantics of
+  * a real scan.
   */
-class StreamLogCountScan(root: String, stream: String) extends Scan with Batch {
+class StreamLogCountScan(root: String, stream: String,
+                         specs: Seq[MetaAgg] = Seq(MetaAgg.Count))
+    extends Scan with Batch {
   override def readSchema(): StructType =
-    StructType(Seq(StructField("count", org.apache.spark.sql.types.LongType, nullable = false)))
+    StructType(specs.zipWithIndex.map {
+      case (MetaAgg.Count, i) =>
+        StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
+      case (_, i) =>
+        StructField(s"agg_$i", org.apache.spark.sql.types.StringType, nullable = true)
+    })
   override def toBatch: Batch = this
-  override def description(): String = s"StreamLogCountScan($root/$stream, metadata-only)"
+  override def description(): String =
+    s"StreamLogCountScan($root/$stream, metadata-only ${specs.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val st = MetaLog.replay(Paths.get(root, stream).resolve("meta.jsonl"))
-    Array(StreamLogCountPartition(st.index.segments.map(_.records).sum))
+    val segs = st.index.segments
+    val values: Array[Any] = specs.map {
+      case MetaAgg.Count     => segs.map(_.records).sum: Any
+      case MetaAgg.MinOffset => segs.headOption.map(_.firstOffset).orNull
+      case MetaAgg.MaxOffset => segs.lastOption.map(_.lastOffset).orNull
+    }.toArray
+    Array(StreamLogCountPartition(values))
   }
   override def createReaderFactory(): PartitionReaderFactory = StreamLogCountReaderFactory
 }
 
-case class StreamLogCountPartition(count: Long) extends InputPartition
+case class StreamLogCountPartition(values: Array[Any]) extends InputPartition
 
 object StreamLogCountReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var emitted = false
-      private val row = InternalRow(p.asInstanceOf[StreamLogCountPartition].count)
+      private val row = InternalRow.fromSeq(
+        p.asInstanceOf[StreamLogCountPartition].values.toSeq.map {
+          case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case other     => other
+        })
       override def next(): Boolean = if (emitted) false else { emitted = true; true }
       override def get(): InternalRow = row
       override def close(): Unit = ()

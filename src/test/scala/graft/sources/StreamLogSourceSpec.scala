@@ -110,6 +110,48 @@ class StreamLogSourceSpec extends SparkSpec {
     log.destroy()
   }
 
+  test("min/max(offset) and mixed aggregates are answered from segment metadata") {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val log = freshLog()
+    val c = clock
+    val offs = (1 to 6).flatMap(_ =>
+      log.publish((1 to 4).map(i => s"""{"i":$i}"""), nowMs = c))
+    def df = spark.read.format("streamlog")
+      .option("path", log.streamDir.getParent.toString)
+      .option("stream", log.name).load()
+    // the consume-lag shape: count + both extrema in ONE metadata row
+    val stats = df.agg(count(lit(1)), min(col("offset")), max(col("offset")))
+    val row = stats.head()
+    assert(row.getLong(0) == 24)
+    assert(row.getString(1) == offs.head)
+    assert(row.getString(2) == offs.last)
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(plan.contains("StreamLogCountScan"),
+      s"min/max(offset) must plan the metadata-only scan:\n$plan")
+    // still exact after compaction rewrites the index (metadata moves
+    // with the merged segment)
+    log.compactOnce(nowMs = c)
+    val again = df.agg(min(col("offset")), max(col("offset"))).head()
+    assert(again.getString(0) == offs.head && again.getString(1) == offs.last)
+    // min/max over the record payload cannot come from metadata: fall back
+    val other = df.agg(max(col("data")))
+    assert(!other.queryExecution.executedPlan.toString.contains("StreamLogCountScan"))
+    // an offset bound declines the pushdown (partial first segment)
+    val bounded = df.filter(col("offset") > offs.head).agg(min(col("offset")))
+    assert(!bounded.queryExecution.executedPlan.toString.contains("StreamLogCountScan"))
+    assert(bounded.head().getString(0) == offs(1))
+    log.destroy()
+
+    // empty stream: COUNT = 0, MIN/MAX = NULL, exactly like a real scan
+    val empty = freshLog()
+    def edf = spark.read.format("streamlog")
+      .option("path", empty.streamDir.getParent.toString)
+      .option("stream", empty.name).load()
+    val erow = edf.agg(count(lit(1)), min(col("offset")), max(col("offset"))).head()
+    assert(erow.getLong(0) == 0L && erow.isNullAt(1) && erow.isNullAt(2))
+    empty.destroy()
+  }
+
   test("connector agrees with StreamLog.consume after compaction") {
     val log = freshLog()
     val c = clock
