@@ -390,6 +390,42 @@ object Dedup {
       .orderBy(col("bench_doc"))
   }
 
+  /** Decontamination REMOVAL — the step after [[contaminationCheck]]
+    * that a pipeline actually ships: drop every corpus document whose
+    * containment of any benchmark document reaches `tau`, return the
+    * cleaned corpus with its original schema. The flagged id set is the
+    * only extra state — containment pairs collapse to distinct corpus
+    * ids before the anti-join — so the corpus streams ONCE against the
+    * broadcast benchmark index exactly as the detector does; the
+    * corpus text never self-joins or re-shuffles.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+                    n: Int = 3, tau: Double = 0.2): DataFrame = {
+    val flagged = contaminationCheck(corpus, bench, n, tau)
+      .select(col("corpus_doc").as("doc_id")).distinct()
+    corpus.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  /** q80: decontamination accounting over `documents` with the q60
+    * benchmark split (doc_id ≡ 7 mod 100) at τ = 0.2 — per source, how
+    * many corpus docs the removal kept vs dropped (the aggregate gate
+    * hashes tighter than 490 full-text rows; the cleaned-corpus frame
+    * itself is [[decontaminate]], spec-asserted).
+    */
+  def q80Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val corpus = d.filter(col("doc_id") % 100 =!= 7)
+    val bench = d.filter(col("doc_id") % 100 === 7)
+    val flagged = contaminationCheck(corpus, bench, n = 3, tau = 0.2)
+      .select(col("corpus_doc").as("doc_id"), lit(1L).as("flag")).distinct()
+    corpus.join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flag").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("flag").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** q75: PageRank over the simhash near-dup graph ([[q32DedupSimhash]]
     * pairs symmetrized) — ranks each duplicated document by how central
     * it is in its duplication neighborhood (the canonical-hub signal a
@@ -489,7 +525,8 @@ object Dedup {
     "q55_dedup_clusters" -> (q55DedupClusters _),
     "q60_contamination" -> (q60Contamination _),
     "q70_incremental_dedup" -> (q70IncrementalDedup _),
-    "q75_pagerank" -> (q75PageRank _)
+    "q75_pagerank" -> (q75PageRank _),
+    "q80_decontaminate" -> (q80Decontaminate _)
   )
 
   private val h = Hashing.duckHash60 _
@@ -688,6 +725,24 @@ object Dedup {
          |SELECT bench_doc, nb, n_overlapping, corpus_doc AS top_corpus_doc,
          |  shared AS top_shared, containment AS top_containment
          |FROM ranked WHERE r = 1 ORDER BY bench_doc""".stripMargin,
+    "q80_decontaminate" ->
+      s"""$ShCte, bench AS (SELECT * FROM sh WHERE doc_id % 100 = 7),
+         |corp AS (SELECT * FROM sh WHERE doc_id % 100 != 7),
+         |nb AS (SELECT doc_id, count(*) AS nb FROM bench GROUP BY doc_id),
+         |shared AS (
+         |  SELECT b.doc_id AS bench_doc, c.doc_id AS corpus_doc, count(*) AS shared
+         |  FROM bench b JOIN corp c ON b.sh = c.sh GROUP BY 1, 2
+         |), flagged AS (
+         |  SELECT DISTINCT corpus_doc
+         |  FROM shared JOIN nb ON nb.doc_id = bench_doc
+         |  WHERE shared / nb.nb >= 0.2
+         |)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN f.corpus_doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(CASE WHEN f.corpus_doc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.corpus_doc
+         |WHERE d.doc_id % 100 != 7
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q35_embed_neardup" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,

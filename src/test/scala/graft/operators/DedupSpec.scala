@@ -100,6 +100,16 @@ class DedupSpec extends SparkSpec {
     val flagged = try Dedup.contaminationCheck(corpus, bench, tau = 0.5).collect()
     finally graft.core.Caches.release()
     assert(flagged.map(_.getLong(1)).toSeq === Seq(1L))
+    // decontaminate ships the removal: the leak is dropped, everything
+    // else survives with the corpus' original schema intact
+    val cleaned = try Dedup.decontaminate(corpus, bench, tau = 0.5).collect()
+    finally graft.core.Caches.release()
+    assert(cleaned.map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    assert(cleaned.head.schema.fieldNames.toSeq === Seq("doc_id", "text"))
+    // tau = 0 removes any overlap at all; the no-overlap doc survives
+    val strict = try Dedup.decontaminate(corpus, bench, tau = 1e-9).collect()
+    finally graft.core.Caches.release()
+    assert(strict.map(_.getLong(0)).toSeq === Seq(3L))
   }
 
   test("incrementalNearDup: batch dedups against the corpus, never against itself") {
