@@ -109,7 +109,12 @@ object StreamLogs {
 
     private val sweeper = new Thread(() => {
       while (!stop.get()) {
-        val names = list(root)
+        // a listing failure (root unreadable for a beat) must not kill
+        // the fleet daemon — report it like a stream failure and retry
+        // next interval
+        val names =
+          try list(root)
+          catch { case e: Throwable => onError("<root>", e); Seq.empty }
         if (names.isEmpty) pause(intervalMs)
         else {
           val step = intervalMs / names.size // the stagger between streams
