@@ -32,7 +32,9 @@ import org.apache.spark.sql.SparkSession
   * 72-char trailing "[success]" line = a 1928-char budget) cut q01–q18
   * from the artifact. Wall-only at 2 decimals is 1780 chars for 76
   * queries (~23 chars/entry), leaving ~150 chars of headroom; each new
-  * query costs its name length + 8, so the budget holds to ~80 queries.
+  * query costs its name length + 8, and trailing zeros are stripped
+  * from the map values ("0.50" → "0.5"), so the budget holds to ~83
+  * queries (79 queries measure 1842 chars).
   * The cpu medians are NOT lost: they go to stderr next to the raw
   * samples (the contention signature — wall inflated, cpu flat — is
   * diagnosed from the driver's stderr log or a local rerun, not from
@@ -128,12 +130,19 @@ object Bench {
     val flaky = raw.count { case (_, xs) => xs.exists(_ < 0) && xs.exists(_ >= 0) }
 
     def f2(x: Double): String = if (x < 0) "-1" else fmt(x, 2)
+    // trailing zeros stripped for the stdout map only ("0.50" -> "0.5",
+    // "2.00" -> "2"): still valid JSON numbers, ~40-60 chars of budget
+    // back across 79 queries — headroom for future inventory growth
+    def f2c(x: Double): String = {
+      val s = f2(x)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
     // medians (wall + cpu) to stderr: the per-query cpu signal lives
     // here so the stdout artifact stays inside the tail-capture budget
     results.foreach { case (n, (w, c)) =>
       System.err.println(s"[bench] $n median wall=${f2(w)} cpu=${f2(c)}")
     }
-    val qs = results.map { case (k, (w, _)) => "\"" + k + "\":" + f2(w) }
+    val qs = results.map { case (k, (w, _)) => "\"" + k + "\":" + f2c(w) }
       .mkString("{", ",", "}")
     val failures = results.count(_._2._1 < 0)
     val total = results.map(_._2._1).filter(_ >= 0).sum
