@@ -352,6 +352,29 @@ class MultimodalSpec extends SparkSpec {
     hay.indices.find(i => i + needle.length <= hay.length &&
       needle.indices.forall(k => hay(i + k) == needle(k))).get
 
+  test("jpegWalk agrees with ImageIO on every generated JPEG (differential property)") {
+    // the frame-boundary walker must consume EXACTLY the bytes ImageIO
+    // wrote and read the same dimensions the codec decodes — for varied
+    // geometry and content (gradients compress into multi-segment scans
+    // with stuffed 0xFF bytes, exercising the entropy skip)
+    val rnd = new scala.util.Random(0x1dea)
+    (1 to 60).foreach { i =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, rnd.nextInt(0x1000000))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val b = bos.toByteArray
+      assert(Mjpeg.jpegWalk(b, 0).contains((b.length, w, h)), s"case $i ${w}x$h")
+      // and at a nonzero start offset (the mid-stream case)
+      val shifted = Array.fill[Byte](7)(0x42) ++ b
+      assert(Mjpeg.jpegWalk(shifted, 7).contains((7 + b.length, w, h)), s"case $i shifted")
+    }
+  }
+
   test("MJPEG parser survives fuzzing: random and corrupted inputs parse to None or valid streams") {
     val rnd = new scala.util.Random(0xbeef)
     (1 to 200).foreach { _ =>
