@@ -387,6 +387,15 @@ class StreamLogSpec extends SparkSpec {
         Thread.sleep(25)
       assert(late.segments.length <= 3, "late stream never picked up")
       assert(late.consume(Offset.Beginning, 1000).size == 50)
+      // destroying a stream mid-fleet must not disturb the others: it
+      // drops out of the listing and the daemon keeps sweeping
+      logs.head.destroy()
+      val before = reports.size()
+      val d3 = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < d3 && reports.size() == before)
+        Thread.sleep(25) // at least one more full sweep completes
+      assert(reports.size() > before, "daemon stalled after a destroy")
+      assert(logs(1).consume(Offset.Beginning, 1000).size == 50)
       assert(errors.isEmpty, s"maintenance errors on: $errors")
     } finally fleet.close()
     // after close, no further passes run anywhere in the fleet
