@@ -205,8 +205,11 @@ object Mjpeg {
           isMjpgHandler = handler.equalsIgnoreCase("MJPG") || handler == "dmb1"
           sScale = u32(b, ds + 20); sRate = u32(b, ds + 24)
         } else if (id == "strf" && size >= 20) {
-          // BITMAPINFOHEADER: biWidth(+4) biHeight(+8) biCompression(+16)
-          sW = u32(b, ds + 4); sH = u32(b, ds + 8)
+          // BITMAPINFOHEADER: biWidth(+4) biHeight(+8) biCompression(+16).
+          // Both are SIGNED i32 — a negative biHeight is the legal
+          // top-down row-order flag, so compare magnitudes, not bits
+          sW = math.abs(u32(b, ds + 4).toInt.toLong)
+          sH = math.abs(u32(b, ds + 8).toInt.toLong)
           isMjpgFormat = fourcc(b, ds + 16).equalsIgnoreCase("MJPG")
         }
       }
@@ -224,7 +227,11 @@ object Mjpeg {
       else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
         (id.endsWith("dc") || id.endsWith("db"))) {
         val streamNo = (id(0) - '0') * 10 + (id(1) - '0')
-        if (streamNo == vidsIdx) {
+        // zero-size video chunks are the standard AVI encoding for
+        // DROPPED frames — skip them rather than reject the file (the
+        // stream's timing shifts by the dropped slots; the alternative,
+        // repeating the previous frame, would fabricate pixel data)
+        if (streamNo == vidsIdx && size > 0) {
           jpegWalk(b, ds) match {
             // chunks may pad past EOI; the JPEG itself must fit inside
             case Some((end, fw, fh)) if end <= ds + size =>

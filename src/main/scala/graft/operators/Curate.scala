@@ -148,15 +148,19 @@ object Curate {
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keyCol: String = "doc_id",
                    contentCol: String = "text"): DataFrame = {
+    // presence is tracked by explicit flags, NOT by hash nullness: a row
+    // whose content is SQL NULL hashes to NULL but is still PRESENT (the
+    // oracle's o.doc_id IS NULL test has the same semantics), and the
+    // changed-vs-unchanged comparison is null-safe for the same reason
     val o = oldSnap.select(col(keyCol).as(keyCol),
-      md5(col(contentCol).cast("binary")).as("old_hash"))
+      md5(col(contentCol).cast("binary")).as("old_hash"), lit(1).as("old_present"))
     val n = newSnap.select(col(keyCol).as(keyCol),
-      md5(col(contentCol).cast("binary")).as("new_hash"))
+      md5(col(contentCol).cast("binary")).as("new_hash"), lit(1).as("new_present"))
     o.join(n, Seq(keyCol), "full_outer")
       .select(col(keyCol),
-        when(col("old_hash").isNull, "added")
-          .when(col("new_hash").isNull, "removed")
-          .when(col("old_hash") =!= col("new_hash"), "changed")
+        when(col("old_present").isNull, "added")
+          .when(col("new_present").isNull, "removed")
+          .when(!(col("old_hash") <=> col("new_hash")), "changed")
           .otherwise("unchanged").as("status"),
         col("old_hash"), col("new_hash"))
   }

@@ -399,12 +399,16 @@ object Dedup {
     * broadcast benchmark index exactly as the detector does; the
     * corpus text never self-joins or re-shuffles.
     */
-  def decontaminate(corpus: DataFrame, bench: DataFrame,
-                    n: Int = 3, tau: Double = 0.2): DataFrame = {
-    val flagged = contaminationCheck(corpus, bench, n, tau)
+  /** The distinct flagged-id set shared by [[decontaminate]] and the
+    * q80 accounting query — ONE definition of "contaminated at τ". */
+  private def contaminatedIds(corpus: DataFrame, bench: DataFrame,
+                              n: Int, tau: Double): DataFrame =
+    contaminationCheck(corpus, bench, n, tau)
       .select(col("corpus_doc").as("doc_id")).distinct()
-    corpus.join(flagged, Seq("doc_id"), "left_anti")
-  }
+
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+                    n: Int = 3, tau: Double = 0.2): DataFrame =
+    corpus.join(contaminatedIds(corpus, bench, n, tau), Seq("doc_id"), "left_anti")
 
   /** q80: decontamination accounting over `documents` with the q60
     * benchmark split (doc_id ≡ 7 mod 100) at τ = 0.2 — per source, how
@@ -416,8 +420,8 @@ object Dedup {
     val d = docs(spark, dir)
     val corpus = d.filter(col("doc_id") % 100 =!= 7)
     val bench = d.filter(col("doc_id") % 100 === 7)
-    val flagged = contaminationCheck(corpus, bench, n = 3, tau = 0.2)
-      .select(col("corpus_doc").as("doc_id"), lit(1L).as("flag")).distinct()
+    val flagged = contaminatedIds(corpus, bench, n = 3, tau = 0.2)
+      .withColumn("flag", lit(1L))
     corpus.join(flagged, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

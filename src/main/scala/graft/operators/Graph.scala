@@ -52,11 +52,20 @@ import graft.core.Caches
   * their label/rank rows are replicated to every lane each round
   * (contributions are additive and min is idempotent, so results are
   * IDENTICAL — GraphSpec asserts bit-equality on a hub graph through
-  * both paths). The salted loop pays one extra replication shuffle per
-  * round, so it is opt-in; the default plain path is right for the
-  * near-dup graphs this library builds itself, which bound degree by
-  * construction (band buckets and posting lists are df-capped
-  * upstream).
+  * both paths). The salted CC loop also short-circuits the pointer
+  * jump for HOT LABELS (a giant component's label key is the second
+  * skew axis; see the inline note) via a bounded broadcast. The salted
+  * loop pays one extra replication shuffle per round, so it is opt-in;
+  * the default plain path is right for the near-dup graphs this
+  * library builds itself, which bound degree by construction (band
+  * buckets and posting lists are df-capped upstream). The salted cores
+  * deliberately DUPLICATE the plain loop bodies rather than
+  * parameterize them: the plain path is the gated-query hot path on
+  * primitive Long keys, and folding both shapes into one generic loop
+  * would tax it with tuple-key boxing and dead branches — the
+  * RDD≡SQL differential specs plus the salted≡plain spec pin all four
+  * loops to one semantics, which is the maintenance guarantee that
+  * matters.
   *
   * Thread-safety note: [[withLoopParallelism]] (used only by the SQL
   * reference implementations) narrows the session-global
@@ -165,7 +174,7 @@ object Graph {
     * shared partitioner, and the broadcast hot set. */
   private[operators] def saltedPrep(edges0: DataFrame, k: Int):
       (RDD[((Long, Int), Long)], RDD[(Long, Long)], SaltedPartitioner,
-       org.apache.spark.broadcast.Broadcast[java.util.HashSet[Long]]) = {
+       org.apache.spark.broadcast.Broadcast[java.util.HashSet[Long]], Long) = {
     val spark = edges0.sparkSession
     val half = edges0
       .select(col("src").cast("long"), col("dst").cast("long"))
@@ -197,7 +206,7 @@ object Graph {
     // exact post-dedup degrees, plain-keyed: the loops' vertex frame
     val deg = Caches.persistRdd(
       edges.map { case ((s, _), _) => (s, 1L) }.reduceByKey(part, _ + _))
-    (edges, deg, part, hot)
+    (edges, deg, part, hot, threshold)
   }
 
   /** Replicate a plain-keyed per-vertex frame onto the salt lanes its
@@ -324,7 +333,7 @@ object Graph {
   private def connectedComponentsSalted(edges0: DataFrame, maxIters: Int,
                                         k: Int): DataFrame = {
     val spark = edges0.sparkSession
-    val (edges, deg, part, hot) = saltedPrep(edges0, k)
+    val (edges, deg, part, hot, threshold) = saltedPrep(edges0, k)
     // vertex set = the exact degree frame's keys (already plain-keyed
     // and partitioned; a per-partition scan of salted edges would emit
     // a hot vertex once per lane)
@@ -345,10 +354,39 @@ object Graph {
       val stepped = labels.leftOuterJoin(nbrMin, part)
         .mapValues { case (l, nl) => math.min(l, nl.getOrElse(l)) }
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val jumped = stepped.map { case (v, l) => (l, v) }
-        .leftOuterJoin(stepped, part)
-        .map { case (l, (v, pl)) => (v, math.min(l, pl.getOrElse(l))) }
-        .partitionBy(part)
+      // pointer jump with a hot-LABEL short-circuit: keying the lookup
+      // by label concentrates a giant component's every member row in
+      // the one partition owning its label — the second skew axis after
+      // hub degree (a million-member duplicate cluster is exactly the
+      // workload this opt-in path serves). Labels held by more than
+      // `threshold` vertices — at most ~4·parts of them can exist —
+      // resolve map-side through a broadcast of their (one-row-each)
+      // parent entries instead; cold labels keep the co-partitioned
+      // join. Same result either way: stepped always contains the key
+      // (labels are vertex ids), so the broadcast lookup returns
+      // exactly what the join would have.
+      val hotLabels = stepped.map { case (_, l) => (l, 1L) }
+        .reduceByKey(part, _ + _).filter(_._2 > threshold).keys.collect()
+      val jumped = (if (hotLabels.isEmpty) {
+        stepped.map { case (v, l) => (l, v) }
+          .leftOuterJoin(stepped, part)
+          .map { case (l, (v, pl)) => (v, math.min(l, pl.getOrElse(l))) }
+      } else {
+        val hotSet = new java.util.HashSet[Long]()
+        hotLabels.foreach(hotSet.add)
+        val parents = new java.util.HashMap[Long, Long]()
+        stepped.filter { case (v, _) => hotSet.contains(v) }
+          .collect().foreach { case (v, l) => parents.put(v, l) }
+        val hotSetB = spark.sparkContext.broadcast(hotSet)
+        val parentsB = spark.sparkContext.broadcast(parents)
+        val cold = stepped.filter { case (_, l) => !hotSetB.value.contains(l) }
+          .map { case (v, l) => (l, v) }
+          .leftOuterJoin(stepped, part)
+          .map { case (l, (v, pl)) => (v, math.min(l, pl.getOrElse(l))) }
+        val hotJump = stepped.filter { case (_, l) => hotSetB.value.contains(l) }
+          .map { case (v, l) => (v, math.min(l, parentsB.value.getOrDefault(l, l))) }
+        cold.union(hotJump)
+      }).partitionBy(part)
         .persist(StorageLevel.MEMORY_AND_DISK)
       labels = jumped
       val cur = labelSum(labels)
@@ -521,7 +559,7 @@ object Graph {
   private def pageRankSalted(edges0: DataFrame, iters: Int, damping: Double,
                              earlyExit: Boolean, k: Int): DataFrame = {
     val spark = edges0.sparkSession
-    val (edges, deg, part, hot) = saltedPrep(edges0, k)
+    val (edges, deg, part, hot, _) = saltedPrep(edges0, k)
     val n = deg.count()
     val outSchema = StructType(Seq(StructField("v", LongType),
       StructField("degree", LongType), StructField("pagerank", DoubleType)))

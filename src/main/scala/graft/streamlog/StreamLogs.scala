@@ -93,6 +93,10 @@ object StreamLogs {
 
     private val streams =
       new java.util.concurrent.ConcurrentHashMap[String, StreamLog]()
+    // names whose directory a sweep has actually seen — eviction
+    // candidates once that directory disappears
+    private val seenOnDisk =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     private val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     private val stopMonitor = new Object
 
@@ -123,12 +127,22 @@ object StreamLogs {
             if (!stop.get()) {
               try {
                 val log = open(n)
-                if (Files.isDirectory(log.streamDir))
+                if (Files.isDirectory(log.streamDir)) {
+                  seenOnDisk.add(n)
                   onReport(n, log.maintain(limits, tombstoneMaxAgeMs, orphanGraceMs))
-                else streams.remove(n) // destroyed since listing
+                } else streams.remove(n) // destroyed since listing
               } catch { case e: Throwable => onError(n, e) }
             }
           }
+          // evict handles for streams destroyed BETWEEN sweeps (never
+          // listed again, so the in-loop branch can't reach them) — a
+          // create-use-destroy churn of fresh names must not grow the
+          // cache forever. Only names a sweep has SEEN on disk are
+          // candidates, so a handle opened ahead of its first publish
+          // is never evicted out from under its caller.
+          streams.keySet.removeIf(n =>
+            seenOnDisk.contains(n) && !Files.isDirectory(Paths.get(root, n)) &&
+              { seenOnDisk.remove(n); true })
         }
       }
     }, "graft-fleet-maintain")

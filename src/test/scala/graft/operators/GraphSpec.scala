@@ -201,9 +201,10 @@ class GraphSpec extends SparkSpec {
 
     // partition-width: the hub is detected hot and its adjacency list is
     // spread over the salt lanes instead of sitting in one partition
-    val (salted, deg, _, hot) = Graph.saltedPrep(df, k)
+    val (salted, deg, _, hot, threshold) = Graph.saltedPrep(df, k)
     try {
       assert(hot.value.size == 1 && hot.value.contains(0L))
+      assert(threshold > 0 && threshold < hubDeg) // the hub is over it
       assert(deg.lookup(0L) == Seq(hubDeg.toLong))
       val widths = salted.mapPartitions(it => Iterator.single(it.size)).collect()
       // unsalted, one partition would hold all 1e5 hub-keyed rows; salted,
