@@ -247,7 +247,7 @@ class MultimodalSpec extends SparkSpec {
     * (avih + one vids strl with dwScale/dwRate timing) then movi with
     * one 00dc chunk per JPEG frame. */
   private def makeAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
-      scale: Int, rate: Int): Array[Byte] = {
+      scale: Int, rate: Int, strfH: Option[Long] = None): Array[Byte] = {
     val avih = le32(1000000L * scale / rate) ++ le32(0) ++ le32(0) ++ le32(0) ++
       le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
       le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte)
@@ -256,7 +256,7 @@ class MultimodalSpec extends SparkSpec {
       le32(scale.toLong) ++ le32(rate.toLong) ++ le32(0) ++
       le32(frames.length.toLong) ++ le32(0) ++ le32(0xffffffffL) ++ le32(0) ++
       Array.fill(8)(0.toByte) // rcFrame
-    val strf = le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++
+    val strf = le32(40) ++ le32(w.toLong) ++ le32(strfH.getOrElse(h.toLong)) ++
       Array[Byte](1, 0, 24, 0) ++ "MJPG".getBytes("US-ASCII") ++
       le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
     val hdrl = riffList("hdrl", riffChunk("avih", avih) ++
@@ -351,6 +351,29 @@ class MultimodalSpec extends SparkSpec {
   private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int =
     hay.indices.find(i => i + needle.length <= hay.length &&
       needle.indices.forall(k => hay(i + k) == needle(k))).get
+
+  test("AVI dropped frames (zero-size chunks) and top-down biHeight parse correctly") {
+    // a capture tool records a dropped frame as a 0-byte 00dc chunk —
+    // the slot is skipped, the file is NOT rejected
+    val dropped = makeAvi(
+      Seq(jpegFrame(8, 6, 50), Array.emptyByteArray, jpegFrame(8, 6, 180)),
+      8, 6, scale = 1, rate = 5)
+    val s = Mjpeg.parse(dropped).get
+    assert(s.frames == 2)
+    Seq(50, 180).zipWithIndex.foreach { case (gray, i) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(s.frameBytes(dropped, i)))
+      assert(math.abs(img.getRaster.getSample(4, 3, 0) - gray) <= 8)
+    }
+    // biHeight is signed; -6 (top-down row order) must still match the
+    // frames' 8x6 SOF headers instead of reading as a huge unsigned
+    val topDown = makeAvi(Seq(jpegFrame(8, 6, 90)), 8, 6, 1, 5,
+      strfH = Some(-6L & 0xFFFFFFFFL))
+    assert(Mjpeg.parse(topDown).exists(v => v.width == 8 && v.height == 6))
+    // a genuinely wrong strf height still rejects
+    assert(Mjpeg.parse(makeAvi(Seq(jpegFrame(8, 6, 90)), 8, 6, 1, 5,
+      strfH = Some(12L))).isEmpty)
+  }
 
   test("jpegWalk agrees with ImageIO on every generated JPEG (differential property)") {
     // the frame-boundary walker must consume EXACTLY the bytes ImageIO
