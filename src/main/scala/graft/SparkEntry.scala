@@ -11,7 +11,7 @@ object SparkEntry {
     Relational.queries ++ EventOps.queries ++ Dedup.queries ++
       Similarity.queries ++ TextOps.queries ++ Curate.queries ++
       Sampling.queries ++ Lines.queries ++ Fuzzy.queries ++ Pii.queries ++
-      NgramLm.queries ++
+      NgramLm.queries ++ Bpe.queries ++
       graft.multimodal.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Byte-pair-encoding tokenizer (SURVEY §2.6) — the real merge-learning
+  * algorithm (Sennrich et al. 2016, the public BPE everyone's tokenizer
+  * descends from), not the whitespace/regex token ESTIMATE of q40.
+  *
+  * == Scale shape ==
+  *
+  * Training state is bounded BY DESIGN, the way production tokenizer
+  * trainers bound theirs (they train on a sample/cap because merge
+  * learning is inherently sequential): ONE distributed word-count
+  * shuffle reduces the corpus to its distinct-word frequency table,
+  * which is capped to the `vocabCap` most frequent words (deterministic
+  * tie-break) and collected — the only driver-side state, explicitly
+  * sized (vocabCap × avg word length), covering all but the Zipf tail
+  * of the corpus mass. Merge learning then runs the classic in-memory
+  * loop over that bounded dict: count adjacent symbol pairs weighted by
+  * word frequency, merge the most frequent pair (ties broken
+  * lexicographically, so training is deterministic for a given corpus
+  * regardless of partitioning), repeat `numMerges` times.
+  *
+  * Encoding is fully distributed and ZERO-shuffle: the merge table
+  * broadcasts (numMerges rows), and each partition streams its
+  * documents through a memoized word → tokens map — Zipf means the memo
+  * hits almost always; it is size-capped so a pathological partition
+  * cannot hoard memory. Applying merges to a word is the standard
+  * greedy loop: repeatedly fuse the LOWEST-RANK (earliest-learned)
+  * adjacent pair, leftmost first on ties, until none applies —
+  * determinism again independent of partitioning.
+  *
+  * No DuckDB oracle exists for BPE (merge application is an iterative
+  * algorithm, not a SQL expression), so the gated query q81 is declared
+  * rows-only like q12/q42/q53; correctness is spec-gated on
+  * hand-computed merges, token/concatenation round-trips, and
+  * partitioning-independence.
+  */
+object Bpe {
+
+  /** A trained tokenizer: the ordered merge list. */
+  final case class Model(merges: Array[(String, String)]) extends Serializable {
+    /** pair → rank (earlier merge = lower rank = applied first). Values
+      * are boxed Integers ON PURPOSE: a scala-Int-valued java.util map
+      * unboxes the absent-key null to 0, which would silently give
+      * every unlearned pair the highest priority. */
+    @transient lazy val ranks: java.util.HashMap[(String, String), Integer] = {
+      val m = new java.util.HashMap[(String, String), Integer]()
+      merges.zipWithIndex.foreach { case (p, i) => m.put(p, Int.box(i)) }
+      m
+    }
+
+    /** Tokenize one word: start from characters, repeatedly merge the
+      * lowest-rank adjacent pair (leftmost on ties) until no learned
+      * pair remains. Token concatenation always reproduces the word. */
+    def encodeWord(word: String): Array[String] = {
+      var syms = word.map(_.toString).toArray
+      var done = syms.length < 2
+      while (!done) {
+        var best = -1
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = ranks.get((syms(i), syms(i + 1)))
+          if (r != null && r.intValue < bestRank) { bestRank = r.intValue; best = i }
+          i += 1
+        }
+        if (best < 0) done = true
+        else {
+          val merged = new Array[String](syms.length - 1)
+          System.arraycopy(syms, 0, merged, 0, best)
+          merged(best) = syms(best) + syms(best + 1)
+          System.arraycopy(syms, best + 2, merged, best + 1, syms.length - best - 2)
+          syms = merged
+          done = syms.length < 2
+        }
+      }
+      syms
+    }
+  }
+
+  /** Learn `numMerges` merges from the corpus' capped word-frequency
+    * table (see the object scaladoc for the scale argument). */
+  def train(d: DataFrame, textCol: String = "text",
+            numMerges: Int = 200, vocabCap: Int = 100000): Model = {
+    // the one distributed pass: corpus → distinct-word frequencies,
+    // capped deterministically (freq desc, word asc)
+    val vocab: Array[(String, Long)] = d
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val merges = Array.newBuilder[(String, String)]
+    var learned = 0
+    var exhausted = false
+    while (learned < numMerges && !exhausted) {
+      // adjacent-pair counts weighted by word frequency (overlapping
+      // occurrences each count, as in the reference algorithm)
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), f, Long.box(_) + Long.box(_))
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // max count, ties broken lexicographically: deterministic
+        var best: (String, String) = null
+        var bestCount = -1L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val p = e.getKey
+          val c = e.getValue
+          if (c > bestCount || (c == bestCount &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            best = p; bestCount = c
+          }
+        }
+        merges += best
+        learned += 1
+        words = words.map { case (syms, f) => (applyMerge(syms, best), f) }
+      }
+    }
+    Model(merges.result())
+  }
+
+  /** One left-to-right non-overlapping merge pass (training-side). */
+  private def applyMerge(syms: Array[String], p: (String, String)): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == p._1 && syms(i + 1) == p._2) {
+        out += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Per-partition memo bound: Zipf keeps real memos tiny; the cap just
+    * keeps an adversarial all-distinct-words partition from hoarding. */
+  private val MemoCap = 1 << 20
+
+  /** Tokenize every document: (id, keepCols…, tokens, n_tokens). The
+    * model broadcasts; encoding is a zero-shuffle partition-parallel
+    * projection with a per-partition word memo. */
+  def encode(d: DataFrame, model: Model, textCol: String = "text",
+             idCol: String = "doc_id", keepCols: Seq[String] = Nil): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model)
+    val in = d.select((Seq(col(idCol).cast("long"), col(textCol).cast("string")) ++
+      keepCols.map(c => col(c).cast("string"))): _*)
+    val encoded = in.map { row =>
+      (row.getLong(0), row.getString(1), (2 until row.length).map(row.getString))
+    }.mapPartitions { it =>
+      val m = b.value
+      val memo = new java.util.HashMap[String, Array[String]]()
+      it.map { case (id, text, keeps) =>
+        val toks = text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+          var t = memo.get(w)
+          if (t == null) {
+            t = m.encodeWord(w)
+            if (memo.size < MemoCap) memo.put(w, t)
+          }
+          t
+        }.toArray
+        (id, keeps, toks, toks.length.toLong)
+      }
+    }
+    encoded.toDF(idCol, "keeps", "tokens", "n_tokens")
+      .select((Seq(col(idCol)) ++
+        keepCols.zipWithIndex.map { case (c, i) => col("keeps")(i).as(c) } ++
+        Seq(col("tokens"), col("n_tokens"))): _*)
+  }
+
+  /** q81: train on `documents` (50 merges over the capped vocab), encode
+    * the corpus, report per-source token accounting plus the model's
+    * compression ratio signal. Rows-only gate (no SQL oracle for BPE —
+    * declared, like q12/q42/q53); the algorithm itself is spec-gated.
+    */
+  def q81Bpe(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val model = train(d, numMerges = 50, vocabCap = 50000)
+    encode(d, model, keepCols = Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_bpe" -> (q81Bpe _)
+  )
+}

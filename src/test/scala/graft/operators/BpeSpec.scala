@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** BPE tokenizer — hand-computed merge learning, greedy-rank encoding,
+  * round-trips, and partitioning-independence (no SQL oracle exists for
+  * an iterative merge algorithm, so this spec IS the correctness gate).
+  */
+class BpeSpec extends SparkSpec {
+
+  test("train learns the hand-computed merges in order") {
+    import spark.implicits._
+    // word freqs: "aa" x1, "aab" x2, "ab" x1.
+    // pair counts round 1: (a,a) = 1+2 = 3, (a,b) = 2+1 = 3 — tie,
+    // lexicographic break picks (a,a).
+    // round 2: words are [aa] [aa,b]x2 [a,b]: (aa,b) = 2, (a,b) = 1 →
+    // (aa,b). round 3: only (a,b) = 1 remains.
+    val d = Seq("aa aab", "aab ab").toDF("text")
+    val m = Bpe.train(d, numMerges = 3, vocabCap = 100)
+    assert(m.merges.toSeq == Seq(("a", "a"), ("aa", "b"), ("a", "b")))
+    // merge supply exhausts gracefully below numMerges
+    val m2 = Bpe.train(d, numMerges = 50, vocabCap = 100)
+    assert(m2.merges.length < 50 && m2.merges.take(3).toSeq == m.merges.toSeq)
+  }
+
+  test("encodeWord applies lowest-rank-first, leftmost-on-ties, and round-trips") {
+    val m = Bpe.Model(Array(("a", "a"), ("aa", "b")))
+    // "aaab": (a,a) rank 0 merges leftmost → [aa, a, b]; neither (aa,a)
+    // nor (a,b) is learned → done
+    assert(m.encodeWord("aaab").toSeq == Seq("aa", "a", "b"))
+    // "aab" reaches the rank-1 merge through the rank-0 one
+    assert(m.encodeWord("aab").toSeq == Seq("aab"))
+    assert(m.encodeWord("ba").toSeq == Seq("b", "a"))
+    assert(m.encodeWord("a").toSeq == Seq("a"))
+    assert(m.encodeWord("").toSeq == Seq())
+    // concatenating tokens always reproduces the word
+    val rnd = new scala.util.Random(0xb9e)
+    (1 to 200).foreach { _ =>
+      val w = (1 to 1 + rnd.nextInt(12)).map(_ => "ab".charAt(rnd.nextInt(2))).mkString
+      assert(m.encodeWord(w).mkString == w, w)
+    }
+  }
+
+  test("encode is partitioning-independent and reduces token counts as merges grow") {
+    import spark.implicits._
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    val model = Bpe.train(docs, numMerges = 30, vocabCap = 10000)
+    def run(parts: Int) = Bpe.encode(docs.repartition(parts), model)
+      .select($"doc_id", $"n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val a = run(2)
+    assert(a == run(7)) // partitioning must not change tokenization
+    // more merges can only shorten (or keep) every document
+    val model2 = Bpe.train(docs, numMerges = 60, vocabCap = 10000)
+    val b = Bpe.encode(docs, model2).select($"doc_id", $"n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { case (id, n) => assert(b(id) <= n, s"doc $id grew") }
+    // and the trained model beats character-level tokenization
+    val chars = docs.select(length(regexp_replace($"text", "\\s+", "")).cast("long"))
+      .as[Long].collect().sum
+    assert(a.map(_._2).sum < chars)
+  }
+
+  test("q81 aggregates per-source token accounting deterministically") {
+    val out1 = Bpe.q81Bpe(spark, sfDir).collect()
+    val out2 = Bpe.q81Bpe(spark, sfDir).collect()
+    assert(out1.nonEmpty)
+    assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+    out1.foreach(r => assert(r.getLong(2) >= r.getLong(3))) // total >= max
+  }
+
+  private def length(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.length(c)
+  private def regexp_replace(c: org.apache.spark.sql.Column, p: String, r: String) =
+    org.apache.spark.sql.functions.regexp_replace(c, p, r)
+}
