@@ -31,6 +31,10 @@ object Plans {
   // a plan exists), so its "plan" is just a scan of the result RDD —
   // nothing to audit here; the per-iteration shape is documented in
   // Graph.scala and differentially tested in GraphSpec.
+  // q81_bpe is absent for the same reason: Bpe.train runs its word-count
+  // job and driver-side merge loop eagerly, so the remaining plan is the
+  // encode projection + rollup; the scale argument lives in Bpe.scala's
+  // scaladoc and BpeSpec.
 
   /** Hand-written audit notes emitted verbatim after the named query's
     * generated plan — scale findings that a single-SF plan dump can't
