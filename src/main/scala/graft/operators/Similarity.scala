@@ -318,14 +318,19 @@ object Similarity {
     */
   def knnPq(corpus: DataFrame, isQuery: Column,
             books: Array[Array[Array[Double]]],
-            k: Int, rerank: Int = 50, trained: Option[DataFrame] = None): DataFrame = {
+            k: Int, rerank: Int = 50, trained: Option[DataFrame] = None,
+            maxQueries: Int = 10000): DataFrame = {
     import corpus.sparkSession.implicits._
     val nSub = books.length
     val subDim = books(0)(0).length
     val encoded = trained.getOrElse(pqEncode(corpus, books))
     val queries = corpus.filter(isQuery)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
-      .collect() // the query BATCH (bounded), exactly like knnBrute's broadcast side
+      .limit(maxQueries + 1)
+      .collect() // the query BATCH, enforced bounded — same guard as knnIvfPq
+    require(queries.length <= maxQueries,
+      s"knnPq collects queries to the driver for ADC table construction; " +
+        s"got > $maxQueries — use knnLsh/knnIvfWith for batch query sets")
     def qTable(qv: Array[Double]): Array[Array[Double]] =
       Array.tabulate(nSub) { s =>
         val qs = java.util.Arrays.copyOfRange(qv, s * subDim, (s + 1) * subDim)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{count, explode, lit, split}
 
 /** BPE tokenizer — hand-computed merge learning, greedy-rank encoding,
   * round-trips, and partitioning-independence (no SQL oracle exists for
@@ -21,6 +22,48 @@ class BpeSpec extends SparkSpec {
     // merge supply exhausts gracefully below numMerges
     val m2 = Bpe.train(d, numMerges = 50, vocabCap = 100)
     assert(m2.merges.length < 50 && m2.merges.take(3).toSeq == m.merges.toSeq)
+  }
+
+  test("incremental merge learning is bit-identical to the naive recount loop") {
+    import spark.implicits._
+    // the hand-computed fixture, with overlap (aaa) and self-pair cases
+    val fixtures = Seq(
+      Array(("aa", 1L), ("aab", 2L), ("ab", 1L)),
+      Array(("aaaa", 3L), ("aaa", 2L), ("banana", 5L), ("bandana", 1L)),
+      Array(("x", 7L)), // single-char words: immediate exhaustion
+      Array.empty[(String, Long)])
+    fixtures.foreach { vocab =>
+      (0 to 25 by 5).foreach { n =>
+        assert(Bpe.learnMerges(vocab, n).toSeq ==
+          Bpe.learnMergesNaive(vocab, n).toSeq, s"vocab=${vocab.toSeq} n=$n")
+      }
+    }
+    // and on real corpus vocab (the q81 shape), deep into exhaustion
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val vocab = docs
+      .select(explode(split($"text", "\\s+")).as("w"))
+      .filter(org.apache.spark.sql.functions.length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .orderBy($"f".desc, $"w").limit(2000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(Bpe.learnMerges(vocab, 300).toSeq ==
+      Bpe.learnMergesNaive(vocab, 300).toSeq)
+  }
+
+  test("encode tolerates NULL text (zero tokens) and NULL doc_id (passes through)") {
+    import spark.implicits._
+    val d = Seq(
+      (java.lang.Long.valueOf(1L), "aa ab"),
+      (java.lang.Long.valueOf(2L), null: String),
+      (null.asInstanceOf[java.lang.Long], "aa")
+    ).toDF("doc_id", "text")
+    val m = Bpe.Model(Array(("a", "a")))
+    val out = Bpe.encode(d, m).collect()
+    assert(out.length == 3)
+    val byId = out.map(r => (if (r.isNullAt(0)) null else r.getLong(0)) -> r.getLong(2)).toMap
+    assert(byId(1L) == 3L)       // "aa" -> [aa]; "ab" -> [a, b]
+    assert(byId(2L) == 0L)       // null text tokenizes to nothing
+    assert(byId(null) == 1L)     // null id row still encodes its text
   }
 
   test("encodeWord applies lowest-rank-first, leftmost-on-ties, and round-trips") {

@@ -120,6 +120,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"PQ recall@10 = $recall")
   }
 
+  test("knnPq and knnIvfPq refuse a corpus-sized query batch (maxQueries guard)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val corpus = Similarity.prepare(e, "vec_id", "embedding")
+    val books = Similarity.pqTrain(corpus, dim = 64, nSub = 8, nCentroids = 16, trainIters = 2)
+    val cents = Similarity.ivfCentroids(corpus, nCells = 8, trainIters = 2)
+    // a non-selective predicate would collect the whole corpus to the
+    // driver for ADC table construction — both heads must fail fast
+    val pqErr = intercept[IllegalArgumentException] {
+      Similarity.knnPq(corpus, lit(true), books, k = 10, maxQueries = 3)
+    }
+    assert(pqErr.getMessage.contains("knnPq collects queries"))
+    val ivfPqErr = intercept[IllegalArgumentException] {
+      Similarity.knnIvfPq(corpus, lit(true), cents, books,
+        nProbe = 4, k = 10, maxQueries = 3)
+    }
+    assert(ivfPqErr.getMessage.contains("knnIvfPq collects queries"))
+    // a bounded batch inside the cap still runs
+    assert(Similarity.knnPq(corpus, col("vec_id") < 3, books, k = 5,
+      maxQueries = 3).count() > 0)
+  }
+
   test("knnIvfPq: probe-all + rerank-all reproduces brute force; pruned+compressed recall holds") {
     import org.apache.spark.sql.functions.col
     val e = graft.core.Tables(spark, sfDir, "embeddings")
