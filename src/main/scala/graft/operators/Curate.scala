@@ -312,7 +312,7 @@ object Curate {
         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'
-        |       WHEN o.old_hash <> n.new_hash THEN 'changed'
+        |       WHEN o.old_hash IS DISTINCT FROM n.new_hash THEN 'changed'
         |       ELSE 'unchanged' END AS status,
         |  o.old_hash, n.new_hash
         |FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id

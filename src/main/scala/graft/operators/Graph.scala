@@ -346,6 +346,7 @@ object Graph {
     var prevPersist: RDD[_] = labels
     var it = 0
     var done = false
+    var hotLabels: Array[Long] = Array.empty
     while (!done && it < maxIters) {
       // replication shuffle + narrow lane join, then the message reduce
       val nbrMin = edges.join(saltView(labels, k, part, hot), part)
@@ -364,9 +365,15 @@ object Graph {
       // parent entries instead; cold labels keep the co-partitioned
       // join. Same result either way: stepped always contains the key
       // (labels are vertex ids), so the broadcast lookup returns
-      // exactly what the join would have.
-      val hotLabels = stepped.map { case (_, l) => (l, 1L) }
-        .reduceByKey(part, _ + _).filter(_._2 > threshold).keys.collect()
+      // exactly what the join would have. The PROBE (a count-and-collect
+      // job) runs only every [[CheckpointEvery]] rounds — hot/cold only
+      // routes between two result-identical paths, so a stale
+      // classification costs at most a few slower rounds, never a wrong
+      // answer, and a hot-free graph pays the probe 1/3 as often.
+      if (it % CheckpointEvery == 0) {
+        hotLabels = stepped.map { case (_, l) => (l, 1L) }
+          .reduceByKey(part, _ + _).filter(_._2 > threshold).keys.collect()
+      }
       val jumped = (if (hotLabels.isEmpty) {
         stepped.map { case (v, l) => (l, v) }
           .leftOuterJoin(stepped, part)

@@ -54,9 +54,14 @@ object StreamLogs {
     * arms a separate alarm per stream, so a 1000-stream deployment is
     * 1000 alarms firing at independent instants). Here one thread sweeps
     * the fleet every `intervalMs`, STAGGERING the per-stream passes
-    * evenly across the sweep (`intervalMs / fleetSize` apart), so
-    * compaction I/O and Spark merge jobs never burst at one instant the
-    * way naive per-stream timers with a common phase would. Streams
+    * evenly across the sweep against absolute deadlines (stream i fires
+    * at (i+1)/fleetSize of the interval from sweep start, with each
+    * pass's wall time deducted from the next pause — so the cadence
+    * does not drift with maintenance cost, and `intervalMs` is exact
+    * until the fleet's total maintenance work exceeds it, at which
+    * point sweeps run back-to-back and it degrades to a lower bound),
+    * so compaction I/O and Spark merge jobs never burst at one instant
+    * the way naive per-stream timers with a common phase would. Streams
     * created after the daemon starts are discovered on the next sweep
     * ([[list]] re-runs each sweep); a stream whose directory disappears
     * (destroyed) falls out of the cache. A failing pass reports to
@@ -121,9 +126,17 @@ object StreamLogs {
           catch { case e: Throwable => onError("<root>", e); Seq.empty }
         if (names.isEmpty) pause(intervalMs)
         else {
-          val step = intervalMs / names.size // the stagger between streams
-          names.foreach { n =>
-            pause(step)
+          // deadline-based stagger: stream i is scheduled at
+          // (i+1)/n of the interval FROM SWEEP START, and each pause is
+          // deadline − now, so maintain() wall time is deducted rather
+          // than added — the sweep period stays ~intervalMs as long as
+          // the total maintenance work fits in it (when it doesn't,
+          // sweeps run back-to-back and intervalMs is a lower bound)
+          val sweepStart = System.nanoTime()
+          names.zipWithIndex.foreach { case (n, i) =>
+            val deadlineMs = ((i + 1).toLong * intervalMs) / names.size
+            val elapsedMs = (System.nanoTime() - sweepStart) / 1000000L
+            if (deadlineMs > elapsedMs) pause(deadlineMs - elapsedMs)
             if (!stop.get()) {
               try {
                 val log = open(n)
