@@ -111,6 +111,22 @@ object StreamLogs {
     def open(name: String): StreamLog =
       streams.computeIfAbsent(name, n => new StreamLog(spark, root, n))
 
+    /** Number of cached stream handles (fleet introspection; the churn
+      * spec bounds this against the live stream count). */
+    def cachedHandles: Int = streams.size()
+
+    /** Explicitly drop `name`'s cached handle. The sweep already evicts
+      * handles whose directory it has SEEN disappear; this covers the
+      * one case it cannot — an owner that creates, uses, and destroys a
+      * stream FASTER than a sweep can observe it (such a name is never
+      * listed, so the seen-on-disk eviction can't reach it). Call after
+      * [[StreamLog.destroy]] when churning short-lived streams; a later
+      * [[open]] of the same name builds a fresh handle. */
+    def release(name: String): Unit = {
+      streams.remove(name)
+      seenOnDisk.remove(name)
+    }
+
     private def pause(ms: Long): Unit =
       stopMonitor.synchronized {
         if (!stop.get()) stopMonitor.wait(math.max(1L, ms))

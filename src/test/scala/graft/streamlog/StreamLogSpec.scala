@@ -404,6 +404,78 @@ class StreamLogSpec extends SparkSpec {
     assert(reports.size() == after)
   }
 
+  test("fleet maintenance at width: 50 streams with mid-sweep churn — no handle leak, no stall") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft-fleet-width").toString
+    val reports = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val errors = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val fleet = StreamLogs.startMaintenance(spark, root, intervalMs = 400,
+      tombstoneMaxAgeMs = Long.MaxValue, orphanGraceMs = Long.MaxValue,
+      onReport = (n, _) => reports.add(n),
+      onError = (n, _) => errors.add(n))
+    try {
+      val c = clock(9990000)
+      // the reference's deployment story is ~1000 independent DOs; 50
+      // here keeps the spec fast while still 16x the 3-stream case
+      val names = (0 until 50).map(i => f"w$i%02d")
+      val logs = names.map(fleet.open)
+      logs.foreach(_.publish(Seq("""{"i":1}"""), nowMs = c))
+      // full-fleet coverage: every one of the 50 reported, wall-bounded
+      val t0 = System.currentTimeMillis()
+      val d1 = t0 + 60000
+      while (System.currentTimeMillis() < d1 &&
+          !names.forall(n => reports.contains(n)))
+        Thread.sleep(20)
+      val coverage = System.currentTimeMillis() - t0
+      assert(names.forall(n => reports.contains(n)),
+        s"only ${reports.asScala.toSet.size}/50 streams swept in 60s")
+      info(s"full 50-stream sweep coverage in ${coverage} ms (intervalMs=400)")
+      // churn: fresh names created, published, destroyed once SEEN by a
+      // sweep (the seen-on-disk eviction path), while the fleet keeps
+      // sweeping the 50
+      (0 until 12).foreach { i =>
+        val cn = s"churn$i"
+        val h = fleet.open(cn)
+        h.publish(Seq("""{"c":1}"""), nowMs = c)
+        val d = System.currentTimeMillis() + 30000
+        while (System.currentTimeMillis() < d && !reports.contains(cn))
+          Thread.sleep(20)
+        assert(reports.contains(cn), s"$cn never swept")
+        h.destroy()
+      }
+      // destroyed-and-seen handles are evicted on later sweeps: the
+      // cache settles back to the 50 live streams
+      val d2 = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < d2 && fleet.cachedHandles > 50)
+        Thread.sleep(20)
+      assert(fleet.cachedHandles <= 50,
+        s"handle leak: ${fleet.cachedHandles} cached for 50 live streams")
+      // sub-sweep churn (create-use-destroy faster than a sweep can
+      // list it): the seen-on-disk eviction can't reach these — the
+      // owner releases explicitly and the cache stays bounded
+      (0 until 10).foreach { i =>
+        val fn = s"fast$i"
+        val h = fleet.open(fn)
+        h.publish(Seq("""{"f":1}"""), nowMs = c)
+        h.destroy()
+        fleet.release(fn)
+      }
+      assert(fleet.cachedHandles <= 50,
+        s"sub-sweep churn leaked: ${fleet.cachedHandles} cached")
+      // no cross-stream stall: the persistent fleet keeps reporting
+      // after all the churn
+      val before = reports.size()
+      val d3 = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < d3 && reports.size() == before)
+        Thread.sleep(20)
+      assert(reports.size() > before, "fleet stalled after churn")
+      // failure isolation: none of the 50 persistent streams errored
+      // (a churned name racing its own destroy is tolerated)
+      val persistentErrors = errors.asScala.filter(names.contains)
+      assert(persistentErrors.isEmpty, s"errors on: $persistentErrors")
+    } finally fleet.close()
+  }
+
   test("describe and describeSegments expose stream metadata as DataFrames") {
     val log = freshLog()
     val c = clock(9800000)
