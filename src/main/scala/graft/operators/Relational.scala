@@ -397,15 +397,49 @@ object Relational {
     */
   def q47Percentile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "lineitem")
-      .groupBy($"l_returnflag", $"l_linestatus")
-      .agg(
-        round(expr("percentile(l_quantity, 0.25)"), 6).as("q1_qty"),
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
-        round(expr("percentile(l_quantity, 0.75)"), 6).as("q3_qty"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med_price"),
-        count(lit(1)).as("n_rows"))
+    val p = exactPercentiles(Tables(spark, dir, "lineitem"),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(("q1_qty", "l_quantity", 0.25), ("med_qty", "l_quantity", 0.5),
+        ("q3_qty", "l_quantity", 0.75), ("med_price", "l_extendedprice", 0.5)))
+    p.select($"l_returnflag", $"l_linestatus",
+        round($"q1_qty", 6).as("q1_qty"), round($"med_qty", 6).as("med_qty"),
+        round($"q3_qty", 6).as("q3_qty"), round($"med_price", 6).as("med_price"),
+        $"n_rows")
       .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Grouped percentiles with the q47→q53 swap enforced as CODE, not
+    * prose (Similarity.knnIvfPq's guard pattern applied to the one remaining
+    * "correct at sf0.1, dies at 100×" boundary): exact `percentile`
+    * buffers every group value in an ImperativeAggregate, so a PROBE
+    * pass first measures the largest group (a map-side-combinable
+    * count — one cheap scan, vs an OOM mid-job at 100 TB without it).
+    * Groups within `maxGroupRows` run exact; beyond it the call REFUSES
+    * by default, or — with `autoSwap` — routes the same specs through
+    * `approx_percentile`'s bounded mergeable sketch (the q53 shape).
+    *
+    * @param specs (outputColumn, valueColumn, percentile) triples
+    */
+  def exactPercentiles(d: DataFrame, groupCols: Seq[String],
+                       specs: Seq[(String, String, Double)],
+                       maxGroupRows: Long = 10000000L,
+                       autoSwap: Boolean = false,
+                       approxAccuracy: Int = 10000): DataFrame = {
+    require(specs.nonEmpty && groupCols.nonEmpty)
+    val maxRow = d.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).collect().head
+    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    require(maxN <= maxGroupRows || autoSwap,
+      s"exactPercentiles buffers whole groups (largest: $maxN rows > " +
+        s"$maxGroupRows): pass autoSwap = true to use the mergeable " +
+        s"approx_percentile sketch, or raise maxGroupRows deliberately")
+    val exact = maxN <= maxGroupRows
+    val aggs = specs.map { case (nm, vc, p) =>
+      (if (exact) expr(s"percentile($vc, $p)")
+       else expr(s"approx_percentile($vc, $p, $approxAccuracy)").cast("double"))
+        .as(nm)
+    } :+ count(lit(1)).as("n_rows")
+    d.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** q48: statistical aggregates (stddev, correlation) computed from

@@ -153,6 +153,34 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("exactPercentiles guard: refuses oversized groups, autoSwap routes to the sketch") {
+    import spark.implicits._
+    val d = (1 to 100).map(i => ("big", i.toDouble)).toDF("g", "x")
+      .union(Seq(("small", 1.0), ("small", 2.0)).toDF("g", "x"))
+    val specs = Seq(("p50", "x", 0.5))
+    // largest group (100 rows) over the bound -> refusal names the swap
+    val err = intercept[IllegalArgumentException] {
+      Relational.exactPercentiles(d, Seq("g"), specs, maxGroupRows = 10)
+    }
+    assert(err.getMessage.contains("autoSwap"))
+    // autoSwap: same call shape answers via the mergeable sketch; at
+    // n << accuracy the sketch is rank-exact (quantile definitions
+    // differ: approx returns a data value, exact interpolates — both
+    // medians here sit within one neighbor value)
+    val swapped = Relational.exactPercentiles(d, Seq("g"), specs,
+      maxGroupRows = 10, autoSwap = true).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(swapped("big") - 50.5) <= 1.0)
+    // within the bound: exact interpolated percentile, schema unchanged
+    val exact = Relational.exactPercentiles(d, Seq("g"), specs,
+      maxGroupRows = 1000).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact("big") == 50.5 && exact("small") == 1.5)
+    // empty input: probe sees no groups, exact path, zero rows
+    assert(Relational.exactPercentiles(d.filter($"g" === "absent"), Seq("g"), specs)
+      .collect().isEmpty)
+  }
+
   test("q12: approx distinct within 5% of exact at rsd=0.01") {
     val approx = Relational.q12ApproxDistinct(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
