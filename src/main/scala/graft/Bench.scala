@@ -44,6 +44,34 @@ import org.apache.spark.sql.SparkSession
   * a comma-separated subset (bisecting; the JSON contract is unchanged).
   */
 object Bench {
+  /** The driver's tail capture is 2000 chars minus sbt's ~72-char
+    * trailing "[success]" line. A longer stdout line silently loses its
+    * HEAD (q01 onward) — the failure mode that blanked `parsed` for
+    * eight rounds — so the budget is enforced, not documented:
+    * [[renderLine]] callers and BenchSpec both check against it. */
+  private[graft] val TailBudget = 1928
+
+  /** Assemble the one-line JSON artifact. Pure (testable): BenchSpec
+    * renders the REAL query registry through this and fails the build
+    * the moment inventory growth would overflow [[TailBudget]] — before
+    * a driver round finds out the hard way. */
+  private[graft] def renderLine(wallMedians: Seq[(String, Double)],
+                                failures: Int, flaky: Int, sfDir: String): String = {
+    def fmt(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+    def f2(x: Double): String = if (x < 0) "-1" else fmt(x)
+    // trailing zeros stripped ("0.50" -> "0.5", "2.00" -> "2"): still
+    // valid JSON numbers, ~40-60 chars of budget back across 80 queries
+    def f2c(x: Double): String = {
+      val s = f2(x)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
+    val qs = wallMedians.map { case (k, w) => "\"" + k + "\":" + f2c(w) }
+      .mkString("{", ",", "}")
+    val total = wallMedians.map(_._2).filter(_ >= 0).sum
+    s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failures":$failures,"flaky":$flaky,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -130,26 +158,26 @@ object Bench {
     val flaky = raw.count { case (_, xs) => xs.exists(_ < 0) && xs.exists(_ >= 0) }
 
     def f2(x: Double): String = if (x < 0) "-1" else fmt(x, 2)
-    // trailing zeros stripped for the stdout map only ("0.50" -> "0.5",
-    // "2.00" -> "2"): still valid JSON numbers, ~40-60 chars of budget
-    // back across 79 queries — headroom for future inventory growth
-    def f2c(x: Double): String = {
-      val s = f2(x)
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
-    }
     // medians (wall + cpu) to stderr: the per-query cpu signal lives
     // here so the stdout artifact stays inside the tail-capture budget
     results.foreach { case (n, (w, c)) =>
       System.err.println(s"[bench] $n median wall=${f2(w)} cpu=${f2(c)}")
     }
-    val qs = results.map { case (k, (w, _)) => "\"" + k + "\":" + f2c(w) }
-      .mkString("{", ",", "}")
     val failures = results.count(_._2._1 < 0)
-    val total = results.map(_._2._1).filter(_ >= 0).sum
     // failures are reported explicitly AND fail the process: a broken
     // query must never shrink the headline number into a fake speedup
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failures":$failures,"flaky":$flaky,"sf":"$sfDir"}""")
+    val line = renderLine(results.map { case (n, (w, _)) => n -> w },
+      failures, flaky, sfDir)
+    println(line)
+    // the artifact must be COMPLETE above all: an over-budget line
+    // would silently lose its head to the tail capture, so it fails
+    // the run loudly instead (the line is still printed for forensics)
+    val overBudget = line.length > TailBudget
+    if (overBudget)
+      System.err.println(s"[bench] FATAL: stdout line ${line.length} chars " +
+        s"exceeds the $TailBudget-char tail-capture budget — the driver " +
+        "would truncate it; trim query names or the format")
     spark.stop()
-    if (failures > 0 || flaky > 0) sys.exit(1)
+    if (failures > 0 || flaky > 0 || overBudget) sys.exit(1)
   }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's tail-budget regression guard: the driver
+  * captures only the LAST ~2000 chars of stdout, so an over-long JSON
+  * line loses its head (q01 onward) — exactly the failure that blanked
+  * the driver's `parsed` field for eight rounds. [[Bench.renderLine]]
+  * is pure, so this spec renders the REAL query registry through it and
+  * fails the BUILD the moment inventory growth would overflow the
+  * budget, before any driver round runs.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("the real query registry renders inside the tail-capture budget") {
+    // worst realistic per-query width: "9.99" (4 chars, nothing to
+    // strip) — no gated query has ever exceeded a 3.33 s median, so a
+    // sub-10 s envelope holds 3x headroom per entry; a pathological run
+    // beyond it is caught by the runtime budget check in Bench.main
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val line = Bench.renderLine(names.map(_ -> 9.99), failures = 0,
+      flaky = 0, sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= Bench.TailBudget,
+      s"bench line would be ${line.length} chars for ${names.size} queries " +
+        s"(budget ${Bench.TailBudget}): the driver tail-capture would " +
+        "truncate it — trim names or move fields to stderr")
+    info(s"${names.size} queries render at ${line.length}/${Bench.TailBudget} chars")
+  }
+
+  test("an oversized registry is caught (negative case)") {
+    val bloated = (1 to 200).map(i => f"q$i%03d_some_operator_name" -> 1.25)
+    assert(Bench.renderLine(bloated, 0, 0, "/x").length > Bench.TailBudget)
+  }
+
+  test("renderLine emits parseable JSON with stripped-zero numbers") {
+    val line = Bench.renderLine(
+      Seq("q1" -> 0.5, "q2" -> 2.0, "q3" -> -1.0, "q4" -> 1.23),
+      failures = 1, flaky = 0, sfDir = "/d")
+    // strict shape: the two map renderings the driver depends on
+    assert(line.contains("\"q1\":0.5") && line.contains("\"q2\":2") &&
+      line.contains("\"q3\":-1") && line.contains("\"q4\":1.23"))
+    assert(line.contains("\"failures\":1") && line.contains("\"value\":3.73"))
+    assert(line.startsWith("{") && line.endsWith("}") && !line.contains("\n"))
+  }
+}
