@@ -78,6 +78,19 @@ applies as written. No salting needed until a real-cluster profile
 shows stragglers that AQE's split threshold misses; the salting recipe
 (replicate the few hundred hottest w1 vocab rows k ways — score-neutral)
 stays documented in the scaladoc as the escalation path.
+""",
+    "q47_percentile" -> """### q47 audit note: the group-size guard probe runs before this plan (r10)
+
+As of r10, q47 routes through `Relational.exactPercentiles`, which runs
+one EAGER probe pass (max rows-per-group, a map-side-combinable count —
+not visible in the plan above, exactly like q43/q54's eager codebook
+training) before the value-buffering exact `percentile` aggregate is
+allowed to build. Within `maxGroupRows` (default 1e7) the plan is the
+one shown; beyond it the call refuses or — with `autoSwap` — becomes
+q53's bounded mergeable `approx_percentile` sketch. This closes the
+"correct at sf0.1, dies at 100×" boundary the r9 verdict flagged: the
+swap guidance is now enforced in code, and the probe's cost (one cheap
+aggregation scan) replaces an unbounded OOM risk mid-job.
 """)
 
   def main(args: Array[String]): Unit = {
