@@ -563,7 +563,52 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Column profiling — the "analyze this corpus before training" step
+    * every data pipeline runs first: per (group, column), row/null/
+    * exact-distinct counts, lexicographic min/max of the string form,
+    * and the numeric mean where the column parses as a number. ONE scan:
+    * the columns melt through an `explode(array(struct…))` projection
+    * (the q51 unpivot shape — no union of per-column scans), then a
+    * single grouped aggregation. `countDistinct` is the exact-count
+    * choice so the oracle can replay it; at 100 TB swap it for
+    * `approx_count_distinct` (same call shape, mergeable sketch, the
+    * q07→q12 twin) — the rest of the aggregate is map-side-combinable
+    * partial state either way. min/max compare the STRING form (so one
+    * schema serves every column type); numeric ranges live in avg_num
+    * and the dedicated stats operators (q48).
+    */
+  def profileColumns(d: DataFrame, groupCols: Seq[String],
+                     cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val melted = d.select((groupCols.map(col) :+
+      explode(array(cols.map(c =>
+        struct(lit(c).as("colname"), col(c).cast("string").as("v"),
+          // ANSI-safe: try_cast nulls unparseable numerics (DuckDB
+          // TRY_CAST's twin) where a plain cast would throw
+          expr(s"try_cast(`$c` as double)").as("num"))): _*)).as("p")): _*)
+      .select((groupCols.map(col) :+ col("p.colname").as("colname") :+
+        col("p.v").as("v") :+ col("p.num").as("num")): _*)
+    val keys = groupCols :+ "colname"
+    melted.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        round(avg(col("num")), 6).as("avg_num"))
+      .orderBy(keys.map(col): _*)
+  }
+
+  /** q82: profile the documents table per source over all its columns.
+    * Integer-valued means (doc_id, n_chars sums < 2^53) are dyadic-
+    * exact in both engines; round(…,6) pins them anyway. */
+  def q82Profile(spark: SparkSession, dir: String): DataFrame =
+    profileColumns(Tables(spark, dir, "documents"), Seq("source"),
+      Seq("doc_id", "lang", "n_chars", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_profile" -> (q82Profile _),
     "q16_cube" -> (q16Cube _),
     "q47_percentile" -> (q47Percentile _),
     "q48_stats" -> (q48Stats _),
@@ -591,6 +636,28 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // q82: the melt is a UNION ALL per column in SQL; TRY_CAST mirrors
+    // Spark's null-on-unparseable double cast
+    "q82_profile" ->
+      """WITH m AS (
+        |  SELECT source, 'doc_id' AS colname, CAST(doc_id AS VARCHAR) AS v,
+        |    TRY_CAST(CAST(doc_id AS VARCHAR) AS DOUBLE) AS num FROM documents
+        |  UNION ALL
+        |  SELECT source, 'lang', CAST(lang AS VARCHAR),
+        |    TRY_CAST(CAST(lang AS VARCHAR) AS DOUBLE) FROM documents
+        |  UNION ALL
+        |  SELECT source, 'n_chars', CAST(n_chars AS VARCHAR),
+        |    TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) FROM documents
+        |  UNION ALL
+        |  SELECT source, 'text', CAST(text AS VARCHAR),
+        |    TRY_CAST(CAST(text AS VARCHAR) AS DOUBLE) FROM documents
+        |)
+        |SELECT source, colname, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        |  min(v) AS min_v, max(v) AS max_v,
+        |  round(avg(num), 6) AS avg_num
+        |FROM m GROUP BY source, colname ORDER BY source, colname""".stripMargin,
     // q51: unpivot == the fused form of this UNION ALL; decimal sums are
     // exact so the aggregation replays regardless of engine or order
     "q51_unpivot" ->

@@ -181,6 +181,43 @@ class RelationalSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("q82 profileColumns: one-scan melt, null/distinct/avg semantics") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", java.lang.Long.valueOf(10L), "x"),
+      ("a", java.lang.Long.valueOf(20L), null: String),
+      ("a", null.asInstanceOf[java.lang.Long], "x"),
+      ("b", java.lang.Long.valueOf(5L), "y")
+    ).toDF("g", "n", "s")
+    val p = Relational.profileColumns(d, Seq("g"), Seq("n", "s")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.getString(5)), if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+      .toMap
+    // group a, numeric col: 3 rows, 1 null, 2 distinct, mean of (10,20)
+    assert(p(("a", "n")) == ((3L, 1L, 2L, Some("10"), Some(15.0))))
+    // group a, string col: distinct counts values not nulls; no numeric mean
+    assert(p(("a", "s")) == ((3L, 1L, 1L, Some("x"), None)))
+    assert(p(("b", "n")) == ((1L, 0L, 1L, Some("5"), Some(5.0))))
+    // the melt must be ONE pass over the table (q51's unpivot rule):
+    // a union of per-column scans would read it once per column
+    val plan = Relational.q82Profile(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // FormattedMode prints each node in the tree AND the detail list,
+    // so one physical scan appears exactly twice (the q51 convention)
+    assert("Scan parquet".r.findAllIn(plan).size == 2,
+      s"profile must melt in the projection over ONE table pass:\n$plan")
+    // gated query sanity: every (source, column) cell, n_rows constant
+    // across columns of the same source
+    val out = Relational.q82Profile(spark, sfDir).collect()
+    val bySource = out.groupBy(_.getString(0))
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length == 4, s"$src: ${rows.length} columns profiled")
+      assert(rows.map(_.getLong(2)).distinct.length == 1,
+        s"$src: n_rows differs across columns of one table")
+    }
+  }
+
   test("q12: approx distinct within 5% of exact at rsd=0.01") {
     val approx = Relational.q12ApproxDistinct(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
