@@ -607,8 +607,49 @@ object Relational {
     profileColumns(Tables(spark, dir, "documents"), Seq("source"),
       Seq("doc_id", "lang", "n_chars", "text"))
 
+  /** Equi-width histogram of an integer column per group — the length-
+    * distribution report every corpus profile ships next to
+    * [[profileColumns]]'s scalars. Two passes, both cheap: a global
+    * min/max probe (map-side-combinable, the exactPercentiles probe
+    * shape), then one grouped count over the bucket expression. The
+    * bucket is INTEGER arithmetic — `(v − min) · nBins ÷ (max − min + 1)`
+    * in BIGINT — so bucketing is bit-identical across engines (no
+    * float-boundary disagreements, unlike width_bucket's double
+    * bounds). Empty buckets are absent (sparse output; at 100 TB a
+    * dense 0-filled frame would be a group×bins cross join for no
+    * analytical gain). */
+  def histogram(d: DataFrame, groupCols: Seq[String], valueCol: String,
+                nBins: Int): DataFrame = {
+    require(nBins > 0)
+    val mm = d.agg(min(col(valueCol)).cast("long").as("lo"),
+      max(col(valueCol)).cast("long").as("hi")).collect().head
+    // all-null / empty input: lo=hi=0 and the isNotNull filter below
+    // yields zero rows with the normal schema
+    val (lo, hi) = if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
+    val span = hi - lo + 1 // +1: the max value lands in the LAST bucket
+    // DIV = integer division (Column./ would be double); numerator is
+    // always >= 0 (lo is the global min), so trunc == floor here and
+    // Spark DIV agrees with DuckDB //
+    val bucket = expr(
+      s"CAST((CAST(`$valueCol` AS BIGINT) - ${lo}L) * ${nBins}L DIV ${span}L AS BIGINT)")
+      .as("bucket")
+    val keys = groupCols.map(col) :+ col("bucket")
+    d.filter(col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+ col(valueCol) :+ bucket): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).cast("long").as("bucket_min"),
+        max(col(valueCol)).cast("long").as("bucket_max"))
+      .orderBy(keys: _*)
+  }
+
+  /** q83: 16-bin length histogram of documents per source. */
+  def q83Histogram(spark: SparkSession, dir: String): DataFrame =
+    histogram(Tables(spark, dir, "documents"), Seq("source"), "n_chars", 16)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_profile" -> (q82Profile _),
+    "q83_hist" -> (q83Histogram _),
     "q16_cube" -> (q16Cube _),
     "q47_percentile" -> (q47Percentile _),
     "q48_stats" -> (q48Stats _),
@@ -658,6 +699,21 @@ object Relational {
         |  min(v) AS min_v, max(v) AS max_v,
         |  round(avg(num), 6) AS avg_num
         |FROM m GROUP BY source, colname ORDER BY source, colname""".stripMargin,
+    // q83: // is DuckDB integer division = Spark DIV (numerator >= 0)
+    "q83_hist" ->
+      """WITH mm AS (
+        |  SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+        |         CAST(max(n_chars) AS BIGINT) AS hi
+        |  FROM documents
+        |), b AS (
+        |  SELECT source, n_chars,
+        |    ((CAST(n_chars AS BIGINT) - lo) * 16) // (hi - lo + 1) AS bucket
+        |  FROM documents, mm WHERE n_chars IS NOT NULL
+        |)
+        |SELECT source, CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(min(n_chars) AS BIGINT) AS bucket_min,
+        |  CAST(max(n_chars) AS BIGINT) AS bucket_max
+        |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
     // q51: unpivot == the fused form of this UNION ALL; decimal sums are
     // exact so the aggregation replays regardless of engine or order
     "q51_unpivot" ->

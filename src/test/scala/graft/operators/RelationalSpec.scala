@@ -218,6 +218,35 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q83 histogram: hand-computed buckets, max in last bin, nulls and empties safe") {
+    import spark.implicits._
+    // lo=0, hi=9, span=10, 5 bins of width 2: v -> v*5/10 = v/2
+    val d = Seq(("a", 0L), ("a", 1L), ("a", 9L), ("b", 4L), ("b", 5L))
+      .toDF("g", "v")
+    val h = Relational.histogram(d, Seq("g"), "v", nBins = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(h(("a", 0L)) == ((2L, 0L, 1L)))   // 0,1 -> bucket 0
+    assert(h(("a", 4L)) == ((1L, 9L, 9L)))   // the MAX lands in the last bin
+    assert(h(("b", 2L)) == ((2L, 4L, 5L))) // 4 -> 20/10=2, 5 -> 25/10=2
+    assert(h.keySet.forall { case (_, b) => b >= 0 && b < 5 })
+    // nulls are excluded from buckets but don't break the probe
+    val dn = Seq(("a", java.lang.Long.valueOf(3L)), ("a", null.asInstanceOf[java.lang.Long]))
+      .toDF("g", "v")
+    val hn = Relational.histogram(dn, Seq("g"), "v", 4).collect()
+    assert(hn.map(_.getLong(2)).sum == 1L)
+    // empty and all-null inputs: zero rows, schema intact
+    assert(Relational.histogram(d.filter($"v" < 0), Seq("g"), "v", 4).collect().isEmpty)
+    val allNull = Seq(("a", null.asInstanceOf[java.lang.Long])).toDF("g", "v")
+    assert(Relational.histogram(allNull, Seq("g"), "v", 4).collect().isEmpty)
+    // bucket counts reconstruct the corpus: q83 over the real table
+    val out = Relational.q83Histogram(spark, sfDir).collect()
+    val total = graft.core.Tables(spark, sfDir, "documents")
+      .filter($"n_chars".isNotNull).count()
+    assert(out.map(_.getLong(2)).sum == total)
+    assert(out.forall(r => r.getLong(3) <= r.getLong(4)))
+  }
+
   test("q12: approx distinct within 5% of exact at rsd=0.01") {
     val approx = Relational.q12ApproxDistinct(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
