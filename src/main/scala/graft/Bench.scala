@@ -55,11 +55,19 @@ object Bench {
     * renders the REAL query registry through this and fails the build
     * the moment inventory growth would overflow [[TailBudget]] — before
     * a driver round finds out the hard way. */
+  /** 2-decimal fixed format; Locale.ROOT because the f-interpolator
+    * uses the JVM default locale, and a comma-decimal locale would
+    * corrupt the JSON artifact. The ONE formatting helper for both the
+    * stdout line and main's stderr medians — two copies would
+    * desynchronize the artifact from its diagnostics. */
+  private[graft] def fmt2(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+
+  /** fmt2 with the bench's failed-run sentinel. */
+  private[graft] def f2(x: Double): String = if (x < 0) "-1" else fmt2(x)
+
   private[graft] def renderLine(wallMedians: Seq[(String, Double)],
                                 failures: Int, flaky: Int, sfDir: String): String = {
-    def fmt(x: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
-    def f2(x: Double): String = if (x < 0) "-1" else fmt(x)
     // trailing zeros stripped ("0.50" -> "0.5", "2.00" -> "2"): still
     // valid JSON numbers, ~40-60 chars of budget back across 80 queries
     def f2c(x: Double): String = {
@@ -139,13 +147,9 @@ object Bench {
     // shows up as spread here — and contention shows up as wall growing
     // while cpu stays flat — instead of as a phantom regression in
     // round-over-round comparisons
-    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
-    // comma-decimal locale would corrupt the JSON artifact
-    def fmt(x: Double, decimals: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(x))
     rawBoth.foreach { case (n, xs) =>
-      System.err.println(s"[bench] $n wall=[${xs.map(t => fmt(t._1, 2)).mkString(",")}]" +
-        s" cpu=[${xs.map(t => fmt(t._2, 2)).mkString(",")}]")
+      System.err.println(s"[bench] $n wall=[${xs.map(t => fmt2(t._1)).mkString(",")}]" +
+        s" cpu=[${xs.map(t => fmt2(t._2)).mkString(",")}]")
     }
     // medians of wall and cpu taken independently (the pairing of one
     // run's wall to its cpu doesn't survive a median anyway)
@@ -157,7 +161,6 @@ object Bench {
     // an intermittent OOM is a regression, not a lucky speedup
     val flaky = raw.count { case (_, xs) => xs.exists(_ < 0) && xs.exists(_ >= 0) }
 
-    def f2(x: Double): String = if (x < 0) "-1" else fmt(x, 2)
     // medians (wall + cpu) to stderr: the per-query cpu signal lives
     // here so the stdout artifact stays inside the tail-capture budget
     results.foreach { case (n, (w, c)) =>

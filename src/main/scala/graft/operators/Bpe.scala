@@ -135,6 +135,12 @@ object Bpe {
     */
   private[graft] def learnMerges(vocab: Array[(String, Long)],
                                  numMerges: Int): Array[(String, String)] = {
+    // zero/negative frequencies are senseless (a pair occurring 0 times
+    // must never win a merge) and the two loops would disagree on them:
+    // the delta update drops zero counts while the naive recount's
+    // bestCount = -1 floor would still select one. train() can't
+    // produce them (groupBy-count >= 1); refuse them at the API edge.
+    require(vocab.forall(_._2 > 0), "word frequencies must be positive")
     val words: Array[Array[String]] = vocab.map(_._1.map(_.toString).toArray)
     val freqs: Array[Long] = vocab.map(_._2)
     val counts = new java.util.HashMap[(String, String), java.lang.Long]()

@@ -435,8 +435,8 @@ object Relational {
         s"approx_percentile sketch, or raise maxGroupRows deliberately")
     val exact = maxN <= maxGroupRows
     val aggs = specs.map { case (nm, vc, p) =>
-      (if (exact) expr(s"percentile($vc, $p)")
-       else expr(s"approx_percentile($vc, $p, $approxAccuracy)").cast("double"))
+      (if (exact) expr(s"percentile(`$vc`, $p)")
+       else expr(s"approx_percentile(`$vc`, $p, $approxAccuracy)").cast("double"))
         .as(nm)
     } :+ count(lit(1)).as("n_rows")
     d.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -621,12 +621,33 @@ object Relational {
   def histogram(d: DataFrame, groupCols: Seq[String], valueCol: String,
                 nBins: Int): DataFrame = {
     require(nBins > 0)
+    // integral values only: a string column's lexicographic min/max
+    // would mis-bound the range ("10" < "9") and break the
+    // numerator >= 0 invariant the trunc-is-floor argument needs
+    val vType = d.schema(valueCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(vType),
+      s"histogram buckets integral columns; `$valueCol` is $vType — " +
+        "bucket floats/decimals by pre-scaling to a long")
     val mm = d.agg(min(col(valueCol)).cast("long").as("lo"),
       max(col(valueCol)).cast("long").as("hi")).collect().head
     // all-null / empty input: lo=hi=0 and the isNotNull filter below
     // yields zero rows with the normal schema
     val (lo, hi) = if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
-    val span = hi - lo + 1 // +1: the max value lands in the LAST bucket
+    // +1: the max value lands in the LAST bucket. Exact arithmetic: a
+    // range wide enough to overflow (v−lo)·nBins would yield garbage
+    // buckets in Spark while DuckDB raises — refuse it symmetrically
+    val span =
+      try Math.addExact(Math.subtractExact(hi, lo), 1L)
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(
+          s"histogram range [$lo, $hi] too wide for exact bucketing")
+      }
+    require(span <= Long.MaxValue / nBins,
+      s"histogram range [$lo, $hi] × $nBins bins overflows the exact " +
+        "bucket arithmetic — rescale the column or reduce the range")
     // DIV = integer division (Column./ would be double); numerator is
     // always >= 0 (lo is the global min), so trunc == floor here and
     // Spark DIV agrees with DuckDB //

@@ -55,8 +55,9 @@ object StreamLogs {
     * 1000 alarms firing at independent instants). Here one thread sweeps
     * the fleet every `intervalMs`, STAGGERING the per-stream passes
     * evenly across the sweep against absolute deadlines (stream i fires
-    * at (i+1)/fleetSize of the interval from sweep start, with each
-    * pass's wall time deducted from the next pause — so the cadence
+    * at i/fleetSize of the interval from sweep start — listing and
+    * maintenance wall time are deducted from the pauses, and an
+    * end-of-sweep pause absorbs the last stream's pass — so the cadence
     * does not drift with maintenance cost, and `intervalMs` is exact
     * until the fleet's total maintenance work exceeds it, at which
     * point sweeps run back-to-back and it degrades to a lower bound),
@@ -134,6 +135,10 @@ object StreamLogs {
 
     private val sweeper = new Thread(() => {
       while (!stop.get()) {
+        // the sweep clock starts BEFORE the listing: listing time is
+        // sweep work like everything else, deducted from the pauses
+        val sweepStart = System.nanoTime()
+        def elapsedMs = (System.nanoTime() - sweepStart) / 1000000L
         // a listing failure (root unreadable for a beat) must not kill
         // the fleet daemon — report it like a stream failure and retry
         // next interval
@@ -142,16 +147,16 @@ object StreamLogs {
           catch { case e: Throwable => onError("<root>", e); Seq.empty }
         if (names.isEmpty) pause(intervalMs)
         else {
-          // deadline-based stagger: stream i is scheduled at
-          // (i+1)/n of the interval FROM SWEEP START, and each pause is
-          // deadline − now, so maintain() wall time is deducted rather
-          // than added — the sweep period stays ~intervalMs as long as
-          // the total maintenance work fits in it (when it doesn't,
-          // sweeps run back-to-back and intervalMs is a lower bound)
-          val sweepStart = System.nanoTime()
+          // deadline-based stagger: stream i is scheduled at i/n of
+          // the interval FROM SWEEP START (stream 0 immediately), and
+          // each pause is deadline − now, so maintain()/listing wall
+          // time is deducted rather than added; the end-of-sweep pause
+          // below absorbs the LAST stream's maintain too, so the sweep
+          // period is exactly intervalMs until the fleet's total
+          // maintenance work exceeds it (then sweeps run back-to-back
+          // and intervalMs degrades to a lower bound)
           names.zipWithIndex.foreach { case (n, i) =>
-            val deadlineMs = ((i + 1).toLong * intervalMs) / names.size
-            val elapsedMs = (System.nanoTime() - sweepStart) / 1000000L
+            val deadlineMs = (i.toLong * intervalMs) / names.size
             if (deadlineMs > elapsedMs) pause(deadlineMs - elapsedMs)
             if (!stop.get()) {
               try {
@@ -159,7 +164,13 @@ object StreamLogs {
                 if (Files.isDirectory(log.streamDir)) {
                   seenOnDisk.add(n)
                   onReport(n, log.maintain(limits, tombstoneMaxAgeMs, orphanGraceMs))
-                } else streams.remove(n) // destroyed since listing
+                } else { // destroyed since listing: drop BOTH maps — a
+                  // handle evicted here never reaches the post-loop
+                  // sweep, so leaving seenOnDisk behind would grow it
+                  // one entry per churned name forever
+                  streams.remove(n)
+                  seenOnDisk.remove(n)
+                }
               } catch { case e: Throwable => onError(n, e) }
             }
           }
@@ -172,6 +183,10 @@ object StreamLogs {
           streams.keySet.removeIf(n =>
             seenOnDisk.contains(n) && !Files.isDirectory(Paths.get(root, n)) &&
               { seenOnDisk.remove(n); true })
+          // wait out the interval's remainder so the NEXT sweep starts
+          // exactly intervalMs after this one did
+          val rem = intervalMs - elapsedMs
+          if (rem > 0) pause(rem)
         }
       }
     }, "graft-fleet-maintain")

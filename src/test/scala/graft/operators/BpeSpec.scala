@@ -38,6 +38,12 @@ class BpeSpec extends SparkSpec {
           Bpe.learnMergesNaive(vocab, n).toSeq, s"vocab=${vocab.toSeq} n=$n")
       }
     }
+    // zero frequencies refuse at the API edge (the two loops would
+    // disagree on them: delta update drops zero counts, the naive
+    // bestCount=-1 floor would still select one)
+    intercept[IllegalArgumentException] {
+      Bpe.learnMerges(Array(("ab", 0L)), 1)
+    }
     // and on real corpus vocab (the q81 shape), deep into exhaustion
     val docs = graft.core.Tables(spark, sfDir, "documents")
     val vocab = docs
@@ -48,6 +54,26 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(Bpe.learnMerges(vocab, 300).toSeq ==
       Bpe.learnMergesNaive(vocab, 300).toSeq)
+  }
+
+  test("incremental merge learning survives randomized vocabularies (seeded property)") {
+    // adversarial shapes the fixtures can't cover: tiny alphabets force
+    // heavy pair collisions, self-pairs, and deep merge chains; repeated
+    // draws force frequency ties resolved purely lexicographically
+    val rnd = new scala.util.Random(0xb9e2)
+    (1 to 30).foreach { trial =>
+      val alpha = 2 + rnd.nextInt(3) // 2-4 letters
+      val nWords = 1 + rnd.nextInt(40)
+      val vocab = (0 until nWords).map { _ =>
+        val len = 1 + rnd.nextInt(10)
+        val w = (0 until len).map(_ => ('a' + rnd.nextInt(alpha)).toChar).mkString
+        (w, (1 + rnd.nextInt(5)).toLong)
+      }.groupBy(_._1).map { case (w, ws) => (w, ws.map(_._2).sum) }.toArray
+      val n = rnd.nextInt(60) // including 0 and past-exhaustion counts
+      val inc = Bpe.learnMerges(vocab, n).toSeq
+      val naive = Bpe.learnMergesNaive(vocab, n).toSeq
+      assert(inc == naive, s"trial $trial diverged: vocab=${vocab.toSeq} n=$n")
+    }
   }
 
   test("encode tolerates NULL text (zero tokens) and NULL doc_id (passes through)") {

@@ -235,6 +235,18 @@ class RelationalSpec extends SparkSpec {
       .toDF("g", "v")
     val hn = Relational.histogram(dn, Seq("g"), "v", 4).collect()
     assert(hn.map(_.getLong(2)).sum == 1L)
+    // non-integral columns refuse: lexicographic min/max would
+    // mis-bound the range and break the trunc-is-floor invariant
+    val typeErr = intercept[IllegalArgumentException] {
+      Relational.histogram(d.select($"g", $"v".cast("string").as("v")),
+        Seq("g"), "v", 4)
+    }
+    assert(typeErr.getMessage.contains("integral"))
+    // a range wide enough to overflow the exact bucket product refuses
+    val wide = Seq(("a", Long.MinValue + 1), ("a", Long.MaxValue)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Relational.histogram(wide, Seq("g"), "v", 4)
+    }
     // empty and all-null inputs: zero rows, schema intact
     assert(Relational.histogram(d.filter($"v" < 0), Seq("g"), "v", 4).collect().isEmpty)
     val allNull = Seq(("a", null.asInstanceOf[java.lang.Long])).toDF("g", "v")

@@ -460,6 +460,12 @@ class StreamLogSpec extends SparkSpec {
         h.destroy()
         fleet.release(fn)
       }
+      // deadline-wait, not an instant assert: a sweep whose listing
+      // caught a fast stream mid-life re-opens a handle until its own
+      // destroyed-since-listing branch drops it again
+      val d4 = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < d4 && fleet.cachedHandles > 50)
+        Thread.sleep(20)
       assert(fleet.cachedHandles <= 50,
         s"sub-sweep churn leaked: ${fleet.cachedHandles} cached")
       // no cross-stream stall: the persistent fleet keeps reporting
