@@ -145,6 +145,57 @@ object Curate {
     * join on the unique key moves ~40 bytes/doc however wide the
     * documents are, and unique keys mean no join skew by construction.
     */
+  /** Write a corpus out as SIZE-TARGETED parquet — the ship step after
+    * curation, where naive writes produce either the small-files
+    * problem (one file per shuffle partition × partitionBy value) or
+    * unsplittable giants. File count = logical-bytes estimate ÷
+    * `targetMB`, clamped to [1, maxFiles]; `maxRecordsPerFile` rides
+    * along as the belt-and-braces cap. The estimate is MEASURED — one
+    * aggregation pass summing octet lengths of string/binary columns
+    * (+8 per other field); Catalyst's free plan-stats `sizeInBytes`
+    * was rejected because it ignores expression output (a
+    * `repeat(text, 60)` projection keeps the source's stats) and would
+    * silently ship unsplittable giants for derived frames. Measured
+    * logical bytes still OVERESTIMATE parquet's encoded size
+    * (snappy+encoding typically shrinks 2-5×), so real files land
+    * UNDER target, never over — the safe side. Callers who already
+    * know the size (a re-ship of measured data) pass `estimatedBytes`
+    * and skip the pass. Returns the file count written. `partitionCols`
+    * become hive-style directory partitions; rows are repartitioned BY
+    * those columns so each output directory is written by as few tasks
+    * as possible (no tiny-file fan-out per task × partition).
+    */
+  def writeCorpus(d: DataFrame, path: String, targetMB: Int = 256,
+                  partitionCols: Seq[String] = Nil,
+                  maxFiles: Int = 100000,
+                  maxRecordsPerFile: Long = 5000000L,
+                  estimatedBytes: Option[Long] = None): Int = {
+    require(targetMB > 0 && maxFiles > 0)
+    val bytes = BigInt(estimatedBytes.getOrElse {
+      val rowSize = d.schema.fields.map { f =>
+        f.dataType match {
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.BinaryType =>
+            coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
+          case _ => lit(8L)
+        }
+      }.reduce(_ + _)
+      val r = d.agg(sum(rowSize)).collect().head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    })
+    val target = BigInt(targetMB) * 1024 * 1024
+    val nFiles = ((bytes + target - 1) / target).max(1).min(maxFiles).toInt
+    val repartitioned =
+      if (partitionCols.isEmpty) d.repartition(nFiles)
+      else d.repartition(nFiles, partitionCols.map(col): _*)
+    repartitioned.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+    nFiles
+  }
+
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keyCol: String = "doc_id",
                    contentCol: String = "text"): DataFrame = {

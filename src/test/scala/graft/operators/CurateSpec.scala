@@ -36,6 +36,51 @@ class CurateSpec extends SparkSpec {
     assert(renamed.collect().length == 4)
   }
 
+  test("writeCorpus: size-targeted file count, partition dirs, lossless round-trip") {
+    import java.nio.file.{Files => JFiles}
+    val d = graft.core.Tables(spark, sfDir, "documents")
+    val base = JFiles.createTempDirectory("graft-write").toString
+    // the raw table's plan-stats are ~65 KB at this SF — pad the text
+    // so the in-memory estimate crosses the 1 MB target several times
+    val padded = d.withColumn("pad",
+      org.apache.spark.sql.functions.expr("repeat(text, 60)"))
+    val nSmall = Curate.writeCorpus(padded, s"$base/small", targetMB = 1)
+    assert(nSmall > 1, s"padded corpus should split, got $nSmall file(s)")
+    val nOne = Curate.writeCorpus(d, s"$base/one", targetMB = 100000)
+    assert(nOne == 1)
+    def parquetFiles(p: String): Seq[java.nio.file.Path] = {
+      val s = JFiles.walk(java.nio.file.Paths.get(p))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      } finally s.close()
+    }
+    assert(parquetFiles(s"$base/one").size == 1)
+    // file count matches the returned estimate (each repartition slice
+    // is under maxRecordsPerFile, so one file per partition)
+    assert(parquetFiles(s"$base/small").size == nSmall)
+    // the estimate is an in-memory OVERESTIMATE: written bytes per file
+    // land UNDER target (the safe side for splittability)
+    parquetFiles(s"$base/small").foreach { f =>
+      assert(JFiles.size(f) <= 1024L * 1024, s"$f over 1 MB target")
+    }
+    // round-trip is lossless
+    val n = d.count()
+    assert(spark.read.parquet(s"$base/small").count() == n)
+    assert(spark.read.parquet(s"$base/one").count() == n)
+    // hive-style partition columns become directories, rows intact
+    Curate.writeCorpus(d, s"$base/bysrc", targetMB = 1,
+      partitionCols = Seq("source"))
+    val back = spark.read.parquet(s"$base/bysrc")
+    assert(back.count() == n)
+    assert(back.select("source").distinct().count() ==
+      d.select("source").distinct().count())
+    // maxFiles clamps a pathological estimate
+    assert(nSmall > 2) // precondition: the clamp below actually bites
+    assert(Curate.writeCorpus(padded, s"$base/clamped", targetMB = 1,
+      maxFiles = 2) == 2)
+  }
+
   test("duplicateClusters salted path returns the plain path's clusters") {
     val d = graft.core.Tables(spark, sfDir, "documents")
     def run(salt: Int) = try Dedup.duplicateClusters(d, saltHubs = salt)
