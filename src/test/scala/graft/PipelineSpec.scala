@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curate, Dedup, Sampling, TextOps}
+
+/** End-to-end pipeline composition: the operators are parameterized
+  * library functions, and a real training-data pipeline CHAINS them —
+  * this spec proves the chain holds together on real frames, not just
+  * that each link passes its own gate. Flow: corpus → exact dedup →
+  * token-window chunking → sequence packing → size-targeted ship →
+  * lossless read-back, with conservation laws asserted at each joint.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("corpus -> dedup -> chunk -> pack -> write -> read back, conservation at every joint") {
+    import spark.implicits._
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+
+    // 1) exact dedup: keep the smallest doc_id per content hash
+    val keepers = Dedup.exactDedup(docs).select($"keeper".as("doc_id"))
+    val kept = docs.join(keepers, "doc_id")
+    val distinctHashes = docs.select(md5($"text")).distinct().count()
+    assert(kept.count() == distinctHashes, "dedup must keep one doc per distinct content")
+    assert(kept.select(md5($"text")).distinct().count() == distinctHashes)
+
+    // 2) chunking: 32-token windows, 8-token overlap
+    val maxTokens = 32
+    val overlap = 8
+    val chunks = TextOps.chunkDocuments(kept, maxTokens, overlap)
+      .persist()
+    try {
+      // conservation: overlapping windows recount `overlap` tokens per
+      // joint, so sum(chunk_tokens) = n_tokens + overlap * (n_chunks-1)
+      val byDoc = chunks.groupBy($"doc_id")
+        .agg(sum($"chunk_tokens").as("s"), max($"n_chunks").as("c"),
+          count(lit(1)).as("rows"))
+      val docToks = kept.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n"))
+      val joined = byDoc.join(docToks, "doc_id").collect()
+      assert(joined.nonEmpty)
+      joined.foreach { r =>
+        val (s, c, rows, n) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(rows == c, s"doc ${r.getLong(0)}: emitted $rows of $c chunks")
+        assert(s == n + overlap * (c - 1),
+          s"doc ${r.getLong(0)}: token conservation broke ($s vs $n + overlap*(${c}-1))")
+      }
+      // the first chunk is a literal prefix of its document
+      val firstChunk = chunks.filter($"chunk_idx" === 0)
+        .join(kept.select($"doc_id", $"text"), "doc_id")
+        .select($"chunk_text", $"text").collect()
+      firstChunk.foreach(r => assert(r.getString(1).startsWith(r.getString(0))))
+
+      // 3) packing: chunks become training sequences under a 512 budget;
+      // the prefix scan must be GAPLESS — every token lands exactly once
+      val chunkRows = chunks.select(
+        ($"doc_id" * 10000 + $"chunk_idx").as("doc_id"),
+        $"chunk_tokens".as("n_tokens"))
+      val packed = Sampling.packSequences(chunkRows, budget = 512)
+      val packRows = packed.orderBy($"tok_start").collect()
+      var expectedStart = 0L
+      packRows.foreach { r =>
+        val (start, n) = (r.getLong(2), r.getLong(1))
+        assert(start == expectedStart,
+          s"packing gap: tok_start $start, expected $expectedStart")
+        assert(r.getLong(5) < 512 && r.getLong(5) == start % 512) // offset_in_bin
+        expectedStart = start + n
+      }
+      assert(expectedStart ==
+        chunkRows.agg(sum($"n_tokens")).collect().head.getLong(0))
+
+      // 4) ship + read back: size-targeted write is lossless and keeps
+      // hive partition dirs usable for downstream pruning
+      val base = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+      val shipped = chunks
+        .join(kept.select($"doc_id", $"source"), "doc_id")
+      Curate.writeCorpus(shipped, s"$base/chunks", targetMB = 1,
+        partitionCols = Seq("source"))
+      val back = spark.read.parquet(s"$base/chunks")
+      assert(back.count() == chunks.count())
+      // partition pruning works on the shipped layout: one source reads
+      // strictly fewer rows, and the counts add up
+      val sources = back.select($"source").distinct().as[String].collect()
+      assert(sources.length > 1)
+      val perSource = sources.map(s =>
+        back.filter($"source" === s).count()).sum
+      assert(perSource == back.count())
+    } finally chunks.unpersist()
+  }
+}
