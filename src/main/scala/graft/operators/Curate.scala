@@ -165,29 +165,56 @@ object Curate {
     * those columns so each output directory is written by as few tasks
     * as possible (no tiny-file fan-out per task × partition).
     */
+  /** Per-field logical-byte estimate for [[writeCorpus]]: octet lengths
+    * for strings/binary (the columns that dominate a text corpus),
+    * element-counted widths for arrays of numerics (embeddings) and
+    * strings (token lists), a flat 8 for fixed-width scalars and
+    * anything deeper (document the bias: nested structs under-estimate,
+    * which errs toward FEWER, larger files — still under the parquet
+    * overestimate slack in practice). */
+  private def fieldBytes(
+      f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case StringType | BinaryType =>
+        coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
+      case ArrayType(et, _) if et.isInstanceOf[NumericType] =>
+        coalesce(size(col(f.name)).cast("long"), lit(0L)) * 8L
+      case ArrayType(StringType, _) =>
+        coalesce(expr(
+          s"aggregate(`${f.name}`, 0L, (a, x) -> a + coalesce(octet_length(x), 0L))"),
+          lit(0L))
+      case _ => lit(8L)
+    }
+  }
+
   def writeCorpus(d: DataFrame, path: String, targetMB: Int = 256,
                   partitionCols: Seq[String] = Nil,
                   maxFiles: Int = 100000,
                   maxRecordsPerFile: Long = 5000000L,
-                  estimatedBytes: Option[Long] = None): Int = {
-    require(targetMB > 0 && maxFiles > 0)
+                  estimatedBytes: Option[Long] = None,
+                  slicesPerDir: Int = 1): Int = {
+    require(targetMB > 0 && maxFiles > 0 && slicesPerDir > 0)
     val bytes = BigInt(estimatedBytes.getOrElse {
-      val rowSize = d.schema.fields.map { f =>
-        f.dataType match {
-          case org.apache.spark.sql.types.StringType |
-               org.apache.spark.sql.types.BinaryType =>
-            coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
-          case _ => lit(8L)
-        }
-      }.reduce(_ + _)
-      val r = d.agg(sum(rowSize)).collect().head
+      val r = d.agg(sum(d.schema.fields.map(fieldBytes).reduce(_ + _)))
+        .collect().head
       if (r.isNullAt(0)) 0L else r.getLong(0)
     })
     val target = BigInt(targetMB) * 1024 * 1024
     val nFiles = ((bytes + target - 1) / target).max(1).min(maxFiles).toInt
+    // skew: repartitioning BY partitionCols alone writes each hive dir
+    // from one task — a dominant partition value becomes one serial
+    // writer. slicesPerDir > 1 salts the shuffle key with a
+    // deterministic content hash mod k, spreading a hot dir over k
+    // writers (k × more files in that dir, the explicit trade)
+    val shuffleKeys =
+      if (partitionCols.isEmpty) Nil
+      else if (slicesPerDir == 1) partitionCols.map(col)
+      else partitionCols.map(col) :+
+        pmod(hash(d.columns.map(col): _*), lit(slicesPerDir))
     val repartitioned =
-      if (partitionCols.isEmpty) d.repartition(nFiles)
-      else d.repartition(nFiles, partitionCols.map(col): _*)
+      if (shuffleKeys.isEmpty) d.repartition(nFiles)
+      else d.repartition(nFiles, shuffleKeys: _*)
     repartitioned.write
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)

@@ -79,6 +79,25 @@ class CurateSpec extends SparkSpec {
     assert(nSmall > 2) // precondition: the clamp below actually bites
     assert(Curate.writeCorpus(padded, s"$base/clamped", targetMB = 1,
       maxFiles = 2) == 2)
+    // array columns are measured, not flat-8: an embeddings frame
+    // (64 doubles/row) must estimate >= 512 bytes/row and split
+    val emb = graft.core.Tables(spark, sfDir, "embeddings")
+    val embRows = emb.count()
+    val nEmb = Curate.writeCorpus(emb, s"$base/emb",
+      targetMB = 1, estimatedBytes = None)
+    assert(nEmb >= (embRows * 512 / (1024 * 1024)).toInt.max(1))
+    assert(spark.read.parquet(s"$base/emb").count() == embRows)
+    // slicesPerDir spreads a hot partition dir over several writers:
+    // more files in the dominant dir, same rows back (needs nFiles > 1
+    // or the single shuffle partition makes the salt moot — use the
+    // padded frame so the estimate splits)
+    Curate.writeCorpus(padded, s"$base/sliced", targetMB = 1,
+      partitionCols = Seq("source"), slicesPerDir = 3)
+    val slicedBack = spark.read.parquet(s"$base/sliced")
+    assert(slicedBack.count() == n)
+    val hotDir = parquetFiles(s"$base/sliced")
+      .groupBy(_.getParent.toString).map(_._2.size).max
+    assert(hotDir > 1, "slicesPerDir=3 should write a dir from >1 slice")
   }
 
   test("duplicateClusters salted path returns the plain path's clusters") {
