@@ -23,7 +23,7 @@ object Similarity {
     */
   def prepare(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("vec_id"),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      expr(s"transform(`$vecCol`, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", l2norm(col("v")))
 
   /** embeddings + double vector + norm (codegen'd fold). */

@@ -259,6 +259,28 @@ class RelationalSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(3) <= r.getLong(4)))
   }
 
+  test("histogram matches a driver-computed reference on randomized inputs (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x837)
+    (1 to 8).foreach { trial =>
+      val nBins = 1 + rnd.nextInt(12)
+      val rows = (0 until 50 + rnd.nextInt(200)).map { _ =>
+        (s"g${rnd.nextInt(3)}", (rnd.nextInt(2000) - 1000).toLong)
+      }
+      val got = Relational.histogram(rows.toDF("g", "v"), Seq("g"), "v", nBins)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      // reference: same integer arithmetic, computed in plain Scala
+      val lo = rows.map(_._2).min
+      val span = rows.map(_._2).max - lo + 1
+      val ref = rows.groupBy { case (g, v) => (g, (v - lo) * nBins / span) }
+        .map { case (k, vs) =>
+          k -> ((vs.size.toLong, vs.map(_._2).min, vs.map(_._2).max)) }
+      assert(got == ref, s"trial $trial (nBins=$nBins) diverged")
+    }
+  }
+
   test("q12: approx distinct within 5% of exact at rsd=0.01") {
     val approx = Relational.q12ApproxDistinct(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
