@@ -1,0 +1,113 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Raw-corpus ingestion (SURVEY §2 sources surface): schema-enforced
+  * JSONL / CSV readers that SPLIT instead of crash — every malformed
+  * line is quarantined byte-for-byte next to the clean frame, because
+  * at crawl scale "0.001% of lines are garbage" is a certainty and a
+  * FAILFAST abort after six hours is the worst possible answer, while
+  * silent DROPMALFORMED destroys the evidence a curation ledger needs.
+  *
+  * Mechanics: Spark's PERMISSIVE parse routes each malformed line's
+  * raw text into `columnNameOfCorruptRecord`; the split then filters
+  * that column null/non-null. Spark disallows filtering on ONLY the
+  * corrupt column straight off a file scan (the parser would prune
+  * every other field and never detect corruption), so the split either
+  * PERSISTS the parsed frame (`cache = true`, one read, right at
+  * interactive scale) or re-reads the files per side (`cache = false`,
+  * two scans, constant memory — the 100 TB batch shape where caching
+  * a corpus is not an option).
+  */
+object Ingest {
+
+  /** The quarantine column name; kept internal to the split. */
+  private val Corrupt = "_graft_corrupt"
+
+  final case class SplitCorpus(good: DataFrame, quarantined: DataFrame,
+                               private val backing: Option[DataFrame]) {
+    /** Unpersist the backing cache (cache = true reads) once both
+      * sides are consumed; no-op for the two-scan shape. */
+    def release(): Unit = backing.foreach(_.unpersist())
+  }
+
+  /** Split a PERMISSIVE-parsed frame. The CACHED shape filters the
+    * datasource read directly (one scan, pinned). The TWO-SCAN shape
+    * cannot: Spark refuses any query off a raw file scan whose
+    * post-pruning column set is only the corrupt column — which
+    * includes the innocuous-looking `good.count()` (count prunes every
+    * data column, leaving a corrupt-only filter). So cache = false
+    * derives BOTH sides from a TEXT read + `from_json`/`from_csv`
+    * expression parse: the raw line is a real column, the corrupt
+    * field comes from an expression rather than the reader, and no
+    * restriction applies — same Jackson/Univocity parser, same
+    * options, two scans, constant memory. */
+  private def split(parsed: DataFrame, cache: Boolean,
+                    textSides: => (DataFrame, DataFrame)): SplitCorpus = {
+    if (cache) {
+      val p = parsed.persist()
+      SplitCorpus(
+        good = p.filter(col(Corrupt).isNull).drop(Corrupt),
+        quarantined = p.filter(col(Corrupt).isNotNull)
+          .select(col(Corrupt).as("raw")),
+        backing = Some(p))
+    } else {
+      val (good, bad) = textSides
+      SplitCorpus(good, bad, backing = None)
+    }
+  }
+
+  /** (good, quarantined) via text read + expression parse. Blank lines
+    * are skipped to match the datasource readers, which never emit
+    * them. */
+  private def textSides(spark: SparkSession, path: String, schema: StructType,
+                        parser: org.apache.spark.sql.Column => org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .withColumn("p", parser(col("value")))
+    (parsed.filter(col(s"p.$Corrupt").isNull)
+       .select(schema.fieldNames.map(f => col(s"p.`$f`")): _*),
+     parsed.filter(col(s"p.$Corrupt").isNotNull)
+       .select(col("value").as("raw")))
+  }
+
+  /** Read a JSONL corpus against an ENFORCED schema: lines that fail to
+    * parse — bad JSON or values that violate the schema's types — land
+    * in `quarantined.raw` verbatim; everything else arrives typed. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                cache: Boolean = true): SplitCorpus = {
+    require(!schema.fieldNames.contains(Corrupt))
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
+    split(
+      spark.read.schema(schema.add(Corrupt, StringType)).options(opts).json(path),
+      cache,
+      textSides(spark, path, schema,
+        v => from_json(v, schema.add(Corrupt, StringType), opts.asJava)))
+  }
+
+  /** CSV twin of [[readJsonl]] (header-less; pass the schema). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              delimiter: String = ",", header: Boolean = false,
+              cache: Boolean = true): SplitCorpus = {
+    require(!schema.fieldNames.contains(Corrupt))
+    require(!header || cache,
+      "header = true needs cache = true: the two-scan quarantine's text " +
+        "re-read cannot distinguish the header line from data")
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt,
+      "sep" -> delimiter, "header" -> header.toString)
+    split(
+      spark.read.schema(schema.add(Corrupt, StringType)).options(opts).csv(path),
+      cache,
+      textSides(spark, path, schema,
+        v => from_csv(v, schema.add(Corrupt, StringType), opts - "header")))
+  }
+
+  /** Ingest accounting — the (kept, quarantined) counts a curation
+    * ledger records for the raw-read stage. */
+  def accounting(s: SplitCorpus): (Long, Long) =
+    (s.good.count(), s.quarantined.count())
+}

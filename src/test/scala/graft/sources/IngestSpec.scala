@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Corrupt-line quarantine ingestion: every raw line ends up on exactly
+  * one side — typed in `good` or byte-for-byte in `quarantined` — in
+  * both the cached (one-read) and two-scan shapes.
+  */
+class IngestSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  private def fixture(lines: Seq[String], suffix: String): String = {
+    val dir = Files.createTempDirectory("graft-ingest")
+    Files.write(dir.resolve(s"part-0.$suffix"),
+      lines.mkString("\n").getBytes(UTF_8))
+    dir.toString
+  }
+
+  test("JSONL: malformed and schema-violating lines quarantine verbatim, both cache shapes") {
+    val goodLines = Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+      """{"doc_id": 2, "text": "bonjour", "lang": "fr"}""",
+      """{"doc_id": 3, "text": null, "lang": "en"}""") // null field is VALID
+    val badLines = Seq(
+      """{"doc_id": 4, "text": "truncated...""", // broken JSON
+      """not json at all""",
+      """{"doc_id": "not-a-number", "text": "type violation", "lang": "en"}""")
+    val path = fixture(
+      new scala.util.Random(7).shuffle(goodLines ++ badLines), "jsonl")
+    Seq(true, false).foreach { cache =>
+      val s = Ingest.readJsonl(spark, path, schema, cache = cache)
+      val (nGood, nBad) = Ingest.accounting(s)
+      assert(nGood == 3 && nBad == 3, s"cache=$cache: $nGood/$nBad")
+      // typed side parses fully
+      val ids = s.good.select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+      // quarantine preserves the raw bytes exactly
+      val raw = s.quarantined.collect().map(_.getString(0)).toSet
+      assert(badLines.toSet.subsetOf(raw), s"cache=$cache lost raw lines")
+      s.release()
+    }
+  }
+
+  test("CSV: bad column counts and type violations quarantine; good rows parse typed") {
+    val lines = Seq(
+      "1,hello world,en",
+      "2,bonjour,fr",
+      "oops-not-a-long,text,en", // type violation
+      "3,ok,en")
+    val path = fixture(lines, "csv")
+    val s = Ingest.readCsv(spark, path, schema)
+    val (nGood, nBad) = Ingest.accounting(s)
+    assert(nGood == 3 && nBad == 1)
+    assert(s.quarantined.collect().map(_.getString(0)).toSet ==
+      Set("oops-not-a-long,text,en"))
+    assert(s.good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    s.release()
+  }
+
+  test("a reserved-name schema collision is refused, not silently shadowed") {
+    val clash = StructType(Seq(StructField("_graft_corrupt", StringType)))
+    intercept[IllegalArgumentException] {
+      Ingest.readJsonl(spark, "/nonexistent", clash)
+    }
+  }
+}
