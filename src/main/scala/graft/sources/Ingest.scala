@@ -61,12 +61,12 @@ object Ingest {
     }
   }
 
-  /** (good, quarantined) via text read + expression parse. Blank lines
-    * are skipped to match the datasource readers, which never emit
-    * them. */
-  private def textSides(spark: SparkSession, path: String, schema: StructType,
-                        parser: org.apache.spark.sql.Column => org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
-    val parsed = spark.read.text(path)
+  /** (good, quarantined) from a frame of raw `value` lines — batch OR
+    * streaming — via expression parse. Blank lines are skipped to
+    * match the datasource readers, which never emit them. */
+  private def sidesFromLines(lines: DataFrame, schema: StructType,
+                             parser: org.apache.spark.sql.Column => org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+    val parsed = lines
       .filter(length(trim(col("value"))) > 0)
       .withColumn("p", parser(col("value")))
     (parsed.filter(col(s"p.$Corrupt").isNull)
@@ -75,9 +75,34 @@ object Ingest {
        .select(col("value").as("raw")))
   }
 
+  private def textSides(spark: SparkSession, path: String, schema: StructType,
+                        parser: org.apache.spark.sql.Column => org.apache.spark.sql.Column): (DataFrame, DataFrame) =
+    sidesFromLines(spark.read.text(path), schema, parser)
+
+  /** STREAMING twin of [[readJsonl]]: tail a landing directory of JSONL
+    * files and split each micro-batch into typed rows + quarantine —
+    * the continuous-ingest front door (crawl shards land, good rows
+    * flow to the pipeline, bad lines flow to the evidence sink). The
+    * expression-parse shape is the only one possible here (a streaming
+    * frame cannot persist), and both returned frames are streaming:
+    * start a sink on each (or one `foreachBatch` fanning out both). */
+  def readJsonlStream(spark: SparkSession, path: String,
+                      schema: StructType): SplitCorpus = {
+    require(!schema.fieldNames.contains(Corrupt))
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
+    val (good, bad) = sidesFromLines(
+      spark.readStream.text(path), schema,
+      v => from_json(v, schema.add(Corrupt, StringType), opts.asJava))
+    SplitCorpus(good, bad, backing = None)
+  }
+
   /** Read a JSONL corpus against an ENFORCED schema: lines that fail to
     * parse — bad JSON or values that violate the schema's types — land
-    * in `quarantined.raw` verbatim; everything else arrives typed. */
+    * in `quarantined.raw` verbatim; everything else arrives typed.
+    * Compressed inputs (.gz etc.) work through both shapes via Spark's
+    * codec inference — but note gzip is NOT splittable: one .gz file is
+    * one task, so crawl dumps must arrive as MANY files (they do — WET
+    * shards) for either shape to parallelize. */
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
                 cache: Boolean = true): SplitCorpus = {
     require(!schema.fieldNames.contains(Corrupt))

@@ -67,6 +67,44 @@ class IngestSpec extends SparkSpec {
     s.release()
   }
 
+  test("gzip JSONL (the crawl-dump shape) splits identically through both cache shapes") {
+    val lines = Seq(
+      """{"doc_id": 1, "text": "compressed hello", "lang": "en"}""",
+      """broken {json""",
+      """{"doc_id": 2, "text": "more", "lang": "de"}""")
+    val dir = Files.createTempDirectory("graft-ingest-gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(dir.resolve("part-0.jsonl.gz")))
+    try out.write(lines.mkString("\n").getBytes(UTF_8)) finally out.close()
+    Seq(true, false).foreach { cache =>
+      val s = Ingest.readJsonl(spark, dir.toString, schema, cache = cache)
+      val (nGood, nBad) = Ingest.accounting(s)
+      assert(nGood == 2 && nBad == 1, s"cache=$cache: $nGood/$nBad")
+      assert(s.quarantined.collect().map(_.getString(0)).toSeq == Seq("broken {json"))
+      s.release()
+    }
+  }
+
+  test("streaming ingest: both sides of the split run as micro-batch queries") {
+    import org.apache.spark.sql.streaming.Trigger
+    val lines = Seq(
+      """{"doc_id": 10, "text": "stream me", "lang": "en"}""",
+      """garbage line""",
+      """{"doc_id": 11, "text": "and me", "lang": "fr"}""")
+    val path = fixture(lines, "jsonl")
+    val s = Ingest.readJsonlStream(spark, path, schema)
+    assert(s.good.isStreaming && s.quarantined.isStreaming)
+    val g = s.good.writeStream.format("memory").queryName("ingest_good")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val b = s.quarantined.writeStream.format("memory").queryName("ingest_bad")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    g.awaitTermination(30000); b.awaitTermination(30000)
+    val good = spark.table("ingest_good").collect()
+    assert(good.map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L))
+    assert(spark.table("ingest_bad").collect().map(_.getString(0)).toSeq ==
+      Seq("garbage line"))
+  }
+
   test("a reserved-name schema collision is refused, not silently shadowed") {
     val clash = StructType(Seq(StructField("_graft_corrupt", StringType)))
     intercept[IllegalArgumentException] {
