@@ -86,6 +86,32 @@ object Bpe {
     }
   }
 
+  /** Persist a trained model as one merge per line, tab-separated —
+    * train once on the big cluster, ship the (numMerges-line) artifact
+    * to every encode job. Symbols never contain whitespace (training
+    * words come from a `\s+` split), so TSV is unambiguous. */
+  def save(model: Model, path: String): Unit = {
+    val sb = new StringBuilder
+    model.merges.foreach { case (a, b) => sb.append(a).append('\t').append(b).append('\n') }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a [[save]]d model; merge ORDER is the model, so lines load
+    * in file order. */
+  def load(path: String): Model = {
+    import scala.jdk.CollectionConverters._
+    val merges = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        require(i > 0 && i < l.length - 1, s"malformed merge line: '$l'")
+        (l.substring(0, i), l.substring(i + 1))
+      }.toArray
+    Model(merges)
+  }
+
   /** Learn `numMerges` merges from the corpus' capped word-frequency
     * table (see the object scaladoc for the scale argument). */
   def train(d: DataFrame, textCol: String = "text",

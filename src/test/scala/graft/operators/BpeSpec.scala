@@ -131,6 +131,28 @@ class BpeSpec extends SparkSpec {
     assert(a.map(_._2).sum < chars)
   }
 
+  test("model save/load round-trips: same merges, same tokenization") {
+    import spark.implicits._
+    val docs = graft.core.Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+    val trained = Bpe.train(docs, numMerges = 30, vocabCap = 10000)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe")
+      .resolve("model.tsv").toString
+    Bpe.save(trained, path)
+    val loaded = Bpe.load(path)
+    assert(loaded.merges.toSeq == trained.merges.toSeq)
+    // the shipped artifact tokenizes identically to the fresh model
+    val a = Bpe.encode(docs, trained).select($"doc_id", $"n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Bpe.encode(docs, loaded).select($"doc_id", $"n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // malformed lines refuse rather than silently truncate the model
+    val badPath = java.nio.file.Files.createTempDirectory("graft-bpe")
+      .resolve("bad.tsv")
+    java.nio.file.Files.writeString(badPath, "a\tb\nno-tab-here\n")
+    intercept[IllegalArgumentException] { Bpe.load(badPath.toString) }
+  }
+
   test("q81 aggregates per-source token accounting deterministically") {
     val out1 = Bpe.q81Bpe(spark, sfDir).collect()
     val out2 = Bpe.q81Bpe(spark, sfDir).collect()
