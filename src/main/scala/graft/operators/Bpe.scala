@@ -91,6 +91,14 @@ object Bpe {
     * to every encode job. Symbols never contain whitespace (training
     * words come from a `\s+` split), so TSV is unambiguous. */
   def save(model: Model, path: String): Unit = {
+    // a tab/newline inside a symbol would round-trip to a DIFFERENT
+    // model (load splits at the first tab) — refuse loudly instead.
+    // train() can't produce such symbols (words come from a \s+ split),
+    // but Model is a public constructor.
+    model.merges.foreach { case (a, b) =>
+      require(!(a + b).exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+        s"merge symbols must not contain tab/newline: ('$a', '$b')")
+    }
     val sb = new StringBuilder
     model.merges.foreach { case (a, b) => sb.append(a).append('\t').append(b).append('\n') }
     java.nio.file.Files.write(java.nio.file.Paths.get(path),

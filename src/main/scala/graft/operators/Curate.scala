@@ -133,6 +133,111 @@ object Curate {
   def q69CurateFull(spark: SparkSession, dir: String): DataFrame =
     curateFull(Tables(spark, dir, "documents"))
 
+  /** Per-field logical-byte estimate for [[writeCorpus]]: octet lengths
+    * for strings/binary (the columns that dominate a text corpus),
+    * element-counted widths for arrays of numerics (embeddings) and
+    * strings (token lists), a flat 8 for fixed-width scalars and
+    * anything deeper (the bias: nested structs under-estimate, which
+    * errs toward FEWER, larger files — still under the parquet
+    * overestimate slack in practice). Names are backquoted: a column
+    * literally named "meta.lang" must not resolve as nested access. */
+  private def fieldBytes(
+      f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val c = col(s"`${f.name}`")
+    f.dataType match {
+      case StringType | BinaryType =>
+        coalesce(octet_length(c).cast("long"), lit(0L))
+      case ArrayType(et, _) if et.isInstanceOf[NumericType] =>
+        coalesce(size(c).cast("long"), lit(0L)) * 8L
+      case ArrayType(StringType, _) =>
+        coalesce(expr(
+          s"aggregate(`${f.name}`, 0L, (a, x) -> a + coalesce(octet_length(x), 0L))"),
+          lit(0L))
+      case _ => lit(8L)
+    }
+  }
+
+  /** Write a corpus out as SIZE-TARGETED parquet — the ship step after
+    * curation, where naive writes produce either the small-files
+    * problem (one file per shuffle partition × partitionBy value) or
+    * unsplittable giants. Target file count = logical-bytes estimate ÷
+    * `targetMB`, clamped to [1, maxFiles]; `maxRecordsPerFile` rides
+    * along as the belt-and-braces cap; returns the computed target
+    * (actual files can be fewer when partitions come up empty). The
+    * estimate is MEASURED — one aggregation pass over [[fieldBytes]];
+    * Catalyst's free plan-stats `sizeInBytes` was rejected because it
+    * ignores expression output (a `repeat(text, 60)` projection keeps
+    * the source's stats) and would silently ship unsplittable giants
+    * for derived frames. Measured logical bytes still OVERESTIMATE
+    * parquet's encoded size (snappy+encoding typically shrinks 2-5×),
+    * so real files land UNDER target, never over — the safe side.
+    * Callers who already know the size pass `estimatedBytes` and skip
+    * the pass.
+    *
+    * `partitionCols` become hive-style directory partitions — and the
+    * shuffle key is partitionCols PLUS a deterministic content-hash
+    * salt mod `slicesPerDir`, because hashing the partition columns
+    * alone lands everything in ≤ distinct-values shuffle partitions
+    * and the size target goes inert (3 sources → 3 serial writers of
+    * unsplittable giants, the exact failure this function exists to
+    * prevent). `slicesPerDir = 0` (default) derives the salt width
+    * from the target itself — ceil(nFiles / distinct partition
+    * values), counted in the same estimate pass — so each directory
+    * gets enough writers to hold the size target; pass it explicitly
+    * to trade file count against writer parallelism by hand.
+    */
+  def writeCorpus(d: DataFrame, path: String, targetMB: Int = 256,
+                  partitionCols: Seq[String] = Nil,
+                  maxFiles: Int = 100000,
+                  maxRecordsPerFile: Long = 5000000L,
+                  estimatedBytes: Option[Long] = None,
+                  slicesPerDir: Int = 0): Int = {
+    require(targetMB > 0 && maxFiles > 0 && slicesPerDir >= 0)
+    val needDirCount = partitionCols.nonEmpty && slicesPerDir == 0
+    val dirCountCol =
+      if (needDirCount)
+        Seq(countDistinct(struct(partitionCols.map(c => col(s"`$c`")): _*)).as("d"))
+      else Nil
+    // one pass serves both numbers (bytes + distinct dirs); when the
+    // caller supplied the bytes, only the dir count (if needed) runs
+    val (bytes, nDirs) = {
+      val aggs =
+        (if (estimatedBytes.isEmpty)
+           Seq(sum(d.schema.fields.map(fieldBytes).reduce(_ + _)).as("b"))
+         else Nil) ++ dirCountCol
+      if (aggs.isEmpty) (BigInt(estimatedBytes.get), 1L)
+      else {
+        val r = d.agg(aggs.head, aggs.tail: _*).collect().head
+        val b = estimatedBytes.map(BigInt(_)).getOrElse(
+          if (r.isNullAt(0)) BigInt(0) else BigInt(r.getLong(0)))
+        val dIdx = if (estimatedBytes.isEmpty && needDirCount) 1
+                   else if (needDirCount) 0 else -1
+        (b, if (dIdx >= 0) math.max(1L, r.getLong(dIdx)) else 1L)
+      }
+    }
+    val target = BigInt(targetMB) * 1024 * 1024
+    val nFiles = ((bytes + target - 1) / target).max(1).min(maxFiles).toInt
+    val slices =
+      if (partitionCols.isEmpty) 1
+      else if (slicesPerDir > 0) slicesPerDir
+      else ((nFiles + nDirs - 1) / nDirs).toInt.max(1)
+    val shuffleKeys =
+      if (partitionCols.isEmpty) Nil
+      else if (slices == 1) partitionCols.map(c => col(s"`$c`"))
+      else partitionCols.map(c => col(s"`$c`")) :+
+        pmod(hash(d.columns.map(c => col(s"`$c`")): _*), lit(slices))
+    val repartitioned =
+      if (shuffleKeys.isEmpty) d.repartition(nFiles)
+      else d.repartition(nFiles, shuffleKeys: _*)
+    repartitioned.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+    nFiles
+  }
+
   /** Corpus snapshot diff — the change-data view between two crawls of
     * the same corpus: per key, `added` (new snapshot only), `removed`
     * (old only), `changed` (both, different content hash), or
@@ -145,84 +250,6 @@ object Curate {
     * join on the unique key moves ~40 bytes/doc however wide the
     * documents are, and unique keys mean no join skew by construction.
     */
-  /** Write a corpus out as SIZE-TARGETED parquet — the ship step after
-    * curation, where naive writes produce either the small-files
-    * problem (one file per shuffle partition × partitionBy value) or
-    * unsplittable giants. File count = logical-bytes estimate ÷
-    * `targetMB`, clamped to [1, maxFiles]; `maxRecordsPerFile` rides
-    * along as the belt-and-braces cap. The estimate is MEASURED — one
-    * aggregation pass summing octet lengths of string/binary columns
-    * (+8 per other field); Catalyst's free plan-stats `sizeInBytes`
-    * was rejected because it ignores expression output (a
-    * `repeat(text, 60)` projection keeps the source's stats) and would
-    * silently ship unsplittable giants for derived frames. Measured
-    * logical bytes still OVERESTIMATE parquet's encoded size
-    * (snappy+encoding typically shrinks 2-5×), so real files land
-    * UNDER target, never over — the safe side. Callers who already
-    * know the size (a re-ship of measured data) pass `estimatedBytes`
-    * and skip the pass. Returns the file count written. `partitionCols`
-    * become hive-style directory partitions; rows are repartitioned BY
-    * those columns so each output directory is written by as few tasks
-    * as possible (no tiny-file fan-out per task × partition).
-    */
-  /** Per-field logical-byte estimate for [[writeCorpus]]: octet lengths
-    * for strings/binary (the columns that dominate a text corpus),
-    * element-counted widths for arrays of numerics (embeddings) and
-    * strings (token lists), a flat 8 for fixed-width scalars and
-    * anything deeper (document the bias: nested structs under-estimate,
-    * which errs toward FEWER, larger files — still under the parquet
-    * overestimate slack in practice). */
-  private def fieldBytes(
-      f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.types._
-    f.dataType match {
-      case StringType | BinaryType =>
-        coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
-      case ArrayType(et, _) if et.isInstanceOf[NumericType] =>
-        coalesce(size(col(f.name)).cast("long"), lit(0L)) * 8L
-      case ArrayType(StringType, _) =>
-        coalesce(expr(
-          s"aggregate(`${f.name}`, 0L, (a, x) -> a + coalesce(octet_length(x), 0L))"),
-          lit(0L))
-      case _ => lit(8L)
-    }
-  }
-
-  def writeCorpus(d: DataFrame, path: String, targetMB: Int = 256,
-                  partitionCols: Seq[String] = Nil,
-                  maxFiles: Int = 100000,
-                  maxRecordsPerFile: Long = 5000000L,
-                  estimatedBytes: Option[Long] = None,
-                  slicesPerDir: Int = 1): Int = {
-    require(targetMB > 0 && maxFiles > 0 && slicesPerDir > 0)
-    val bytes = BigInt(estimatedBytes.getOrElse {
-      val r = d.agg(sum(d.schema.fields.map(fieldBytes).reduce(_ + _)))
-        .collect().head
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    })
-    val target = BigInt(targetMB) * 1024 * 1024
-    val nFiles = ((bytes + target - 1) / target).max(1).min(maxFiles).toInt
-    // skew: repartitioning BY partitionCols alone writes each hive dir
-    // from one task — a dominant partition value becomes one serial
-    // writer. slicesPerDir > 1 salts the shuffle key with a
-    // deterministic content hash mod k, spreading a hot dir over k
-    // writers (k × more files in that dir, the explicit trade)
-    val shuffleKeys =
-      if (partitionCols.isEmpty) Nil
-      else if (slicesPerDir == 1) partitionCols.map(col)
-      else partitionCols.map(col) :+
-        pmod(hash(d.columns.map(col): _*), lit(slicesPerDir))
-    val repartitioned =
-      if (shuffleKeys.isEmpty) d.repartition(nFiles)
-      else d.repartition(nFiles, shuffleKeys: _*)
-    repartitioned.write
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(partitionCols: _*)
-      .mode("overwrite")
-      .parquet(path)
-    nFiles
-  }
-
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keyCol: String = "doc_id",
                    contentCol: String = "text"): DataFrame = {

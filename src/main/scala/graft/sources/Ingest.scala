@@ -46,7 +46,7 @@ object Ingest {
     * field comes from an expression rather than the reader, and no
     * restriction applies — same Jackson/Univocity parser, same
     * options, two scans, constant memory. */
-  private def split(parsed: DataFrame, cache: Boolean,
+  private def split(parsed: => DataFrame, cache: Boolean,
                     textSides: => (DataFrame, DataFrame)): SplitCorpus = {
     if (cache) {
       val p = parsed.persist()
@@ -132,7 +132,12 @@ object Ingest {
   }
 
   /** Ingest accounting — the (kept, quarantined) counts a curation
-    * ledger records for the raw-read stage. */
-  def accounting(s: SplitCorpus): (Long, Long) =
+    * ledger records for the raw-read stage. Batch frames only: a
+    * streaming split counts per micro-batch in its own sink. */
+  def accounting(s: SplitCorpus): (Long, Long) = {
+    require(!s.good.isStreaming,
+      "accounting() counts batch frames; a readJsonlStream split is " +
+        "counted per micro-batch in its sink (foreachBatch)")
     (s.good.count(), s.quarantined.count())
+  }
 }

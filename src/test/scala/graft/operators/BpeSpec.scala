@@ -151,6 +151,10 @@ class BpeSpec extends SparkSpec {
       .resolve("bad.tsv")
     java.nio.file.Files.writeString(badPath, "a\tb\nno-tab-here\n")
     intercept[IllegalArgumentException] { Bpe.load(badPath.toString) }
+    // and save refuses symbols that would corrupt the TSV round-trip
+    intercept[IllegalArgumentException] {
+      Bpe.save(Bpe.Model(Array(("a\tb", "c"))), path + ".bad")
+    }
   }
 
   test("q81 aggregates per-source token accounting deterministically") {

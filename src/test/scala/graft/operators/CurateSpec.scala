@@ -79,13 +79,17 @@ class CurateSpec extends SparkSpec {
     assert(nSmall > 2) // precondition: the clamp below actually bites
     assert(Curate.writeCorpus(padded, s"$base/clamped", targetMB = 1,
       maxFiles = 2) == 2)
-    // array columns are measured, not flat-8: an embeddings frame
-    // (64 doubles/row) must estimate >= 512 bytes/row and split
-    val emb = graft.core.Tables(spark, sfDir, "embeddings")
+    // array columns are measured, not flat-8: seven 64-double array
+    // columns estimate ~3.6 KB/row (320 rows -> >1 MB -> must split),
+    // where the flat-8 fallback would see ~64 B/row and write ONE file
+    val emb0 = graft.core.Tables(spark, sfDir, "embeddings")
+    val emb = (1 to 6).foldLeft(emb0)((f, i) =>
+      f.withColumn(s"v$i", org.apache.spark.sql.functions.col("embedding")))
     val embRows = emb.count()
     val nEmb = Curate.writeCorpus(emb, s"$base/emb",
       targetMB = 1, estimatedBytes = None)
-    assert(nEmb >= (embRows * 512 / (1024 * 1024)).toInt.max(1))
+    assert(nEmb >= 2, s"array bytes unmeasured: $nEmb file(s) for " +
+      s"$embRows rows x 7 x 64 doubles")
     assert(spark.read.parquet(s"$base/emb").count() == embRows)
     // slicesPerDir spreads a hot partition dir over several writers:
     // more files in the dominant dir, same rows back (needs nFiles > 1
@@ -98,6 +102,20 @@ class CurateSpec extends SparkSpec {
     val hotDir = parquetFiles(s"$base/sliced")
       .groupBy(_.getParent.toString).map(_._2.size).max
     assert(hotDir > 1, "slicesPerDir=3 should write a dir from >1 slice")
+    // auto mode (slicesPerDir = 0, the default) derives slices from the
+    // target: few distinct dirs with a multi-file target must still get
+    // multiple writers per dir — partitioning alone would collapse the
+    // shuffle to n_distinct partitions and the size target would go inert
+    val two = padded.withColumn("half",
+      (org.apache.spark.sql.functions.col("doc_id") % 2).cast("string"))
+    val nAuto = Curate.writeCorpus(two, s"$base/auto", targetMB = 1,
+      partitionCols = Seq("half"))
+    assert(nAuto > 2)
+    val autoHot = parquetFiles(s"$base/auto")
+      .groupBy(_.getParent.toString).map(_._2.size).max
+    assert(autoHot > 1,
+      s"auto slices inert: 2 dirs, target $nAuto files, but a dir got 1 file")
+    assert(spark.read.parquet(s"$base/auto").count() == n)
   }
 
   test("duplicateClusters salted path returns the plain path's clusters") {

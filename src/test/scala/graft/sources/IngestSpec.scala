@@ -103,6 +103,9 @@ class IngestSpec extends SparkSpec {
     assert(good.map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L))
     assert(spark.table("ingest_bad").collect().map(_.getString(0)).toSeq ==
       Seq("garbage line"))
+    // batch-only accounting fails comprehensibly on a streaming split
+    val err = intercept[IllegalArgumentException] { Ingest.accounting(s) }
+    assert(err.getMessage.contains("micro-batch"))
   }
 
   test("a reserved-name schema collision is refused, not silently shadowed") {
