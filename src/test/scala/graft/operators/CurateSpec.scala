@@ -116,6 +116,12 @@ class CurateSpec extends SparkSpec {
     assert(autoHot > 1,
       s"auto slices inert: 2 dirs, target $nAuto files, but a dir got 1 file")
     assert(spark.read.parquet(s"$base/auto").count() == n)
+    // caller-supplied bytes + auto slices: only the dir count runs,
+    // and the branch indexes the single-agg row correctly
+    val nPre = Curate.writeCorpus(two, s"$base/pre", targetMB = 1,
+      partitionCols = Seq("half"), estimatedBytes = Some(4L * 1024 * 1024))
+    assert(nPre == 4)
+    assert(spark.read.parquet(s"$base/pre").count() == n)
   }
 
   test("duplicateClusters salted path returns the plain path's clusters") {
