@@ -26,7 +26,7 @@ object Plans {
     "q70_incremental_dedup", "q71_pack_sequences", "q72_mixture_manifest",
     "q73_normalize", "q74_knn_accuracy", "q76_funnel", "q77_retention",
     "q78_chunk", "q79_snapshot_diff", "q80_decontaminate", "q82_profile",
-    "q83_hist")
+    "q83_hist", "q84_dup_spans")
   // q75_pagerank is deliberately absent: Graph.pageRank executes eagerly
   // at build time (the co-partitioned RDD iteration materializes before
   // a plan exists), so its "plan" is just a scan of the result RDD —

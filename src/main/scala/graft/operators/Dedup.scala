@@ -430,6 +430,115 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Maximal cross-document duplicated token spans — the "dedup the
+    * repeated passages, not just the documents" pass (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"),
+    * re-expressed relationally: hash every `n`-token window
+    * (md5-60-bit, oracle-replayable), keep windows appearing in ≥
+    * `minDocs` DISTINCT documents, and merge each document's
+    * overlapping-or-adjacent duplicated windows into maximal spans via
+    * window-function island detection. Returns (doc_id, s, e) token
+    * intervals, 0-based inclusive.
+    *
+    * Scale shape: the dominant shuffle is the groupBy on the 60-bit
+    * window hash — identical to the shingle ops above; the window
+    * STRING never crosses a shuffle (hashed in the scan projection, so
+    * shuffle rows are three longs). The distinct-doc count is
+    * two-phase partial-aggregated (bounded state even for a
+    * boilerplate window in millions of docs), and the island merge
+    * shuffles once on doc_id with a per-document sort of that
+    * document's own duplicated windows only. The gram frame is
+    * persisted because it feeds both the frequency count and the
+    * span join — 24-byte rows, spill-safe.
+    */
+  private def mergedDupSpans(d: DataFrame, n: Int, minDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"window must span at least 2 tokens, got $n")
+    require(minDocs >= 2, s"minDocs < 2 would flag every window, got $minDocs")
+    val grams = graft.core.Caches.persist(
+      d.select(col("doc_id"), split(col("text"), " ").as("a"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"""CASE WHEN size(a) >= $n
+               |  THEN transform(sequence(0, size(a) - $n),
+               |                 i -> array_join(slice(a, i + 1, $n), ' '))
+               |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+            .as(Seq("start", "gram")))
+        .select(col("doc_id"), col("start").cast("long").as("start"),
+          Hashing.hash60(col("gram")).as("gh")))
+    val dup = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("gh"))
+    // every duplicated window as a token interval; equal-length windows
+    // sorted by start make the classic running-max island scan exact
+    val spans = grams.join(dup, "gh")
+      .select(col("doc_id"), col("start"), (col("start") + (n - 1)).as("e"))
+    val byStart = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    spans
+      .withColumn("prev_e", max(col("e")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      // adjacent windows (start = prev end + 1) merge too: islands are
+      // exactly the maximal runs of duplicated token positions
+      .withColumn("ni", when(col("prev_e").isNull ||
+        col("start") > col("prev_e") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("s"), max(col("e")).as("e"))
+  }
+
+  /** Per-document duplicated-span report: (doc_id, n_toks, n_spans,
+    * dup_tokens, dup_frac) for every input document (zero-span docs
+    * included — the report is the corpus-health dashboard, so absent
+    * rows would read as "not measured"). `n` = 6 suits the short
+    * synthetic docs; real corpora use 50-token windows (the Lee et al.
+    * default) — the shape is n-independent.
+    */
+  def dupSpans(d: DataFrame, n: Int = 6, minDocs: Int = 2): DataFrame = {
+    val base = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val stats = mergedDupSpans(d, n, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+    base.join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac", round(col("dup_tokens") / col("n_toks"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The removal twin a pipeline ships: cut every merged duplicated
+    * span out of the text (tokens re-joined on single spaces), keep
+    * untouched documents' text byte-identical. Schema = input +
+    * `clean_text`. Per-doc span lists are collected bounded (≤
+    * n_toks/2 intervals by construction — adjacent spans merged).
+    */
+  def stripDupSpans(d: DataFrame, n: Int = 6, minDocs: Int = 2): DataFrame = {
+    val spansArr = mergedDupSpans(d, n, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    d.join(spansArr, Seq("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("spans").isNull, col("text")).otherwise(expr(
+          """array_join(
+            |  filter(
+            |    transform(split(text, ' '),
+            |      (t, i) -> IF(exists(spans, sp -> i >= sp.s AND i <= sp.e),
+            |                   CAST(NULL AS STRING), t)),
+            |    x -> x IS NOT NULL),
+            |  ' ')""".stripMargin)))
+      .drop("spans")
+  }
+
+  /** q84: duplicated-substring span report over `documents` — 6-token
+    * windows shared by ≥ 2 distinct documents, merged to maximal
+    * spans (at sf0.01: 47 of 500 docs carry a duplicated passage). */
+  def q84DupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpans(docs(spark, dir))
+
   /** q75: PageRank over the simhash near-dup graph ([[q32DedupSimhash]]
     * pairs symmetrized) — ranks each duplicated document by how central
     * it is in its duplication neighborhood (the canonical-hub signal a
@@ -530,7 +639,8 @@ object Dedup {
     "q60_contamination" -> (q60Contamination _),
     "q70_incremental_dedup" -> (q70IncrementalDedup _),
     "q75_pagerank" -> (q75PageRank _),
-    "q80_decontaminate" -> (q80Decontaminate _)
+    "q80_decontaminate" -> (q80Decontaminate _),
+    "q84_dup_spans" -> (q84DupSpans _)
   )
 
   private val h = Hashing.duckHash60 _
@@ -772,6 +882,46 @@ object Dedup {
          |JOIN sig ea ON ea.vec_id = vec_a
          |JOIN sig eb ON eb.vec_id = vec_b
          |WHERE list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm) >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // q84 twin of [[dupSpans]] n=6 minDocs=2: same md5-60-bit window
+    // hash, same HAVING on distinct docs, same running-max island merge
+    // (coalesce(-2) makes the first row always open an island; adjacent
+    // windows — start = prev end + 1 — merge, matching the Spark `ni`)
+    "q84_dup_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+         |), base AS (
+         |  SELECT doc_id, CAST(len(a) AS BIGINT) AS n_toks, a FROM toks
+         |), grams AS (
+         |  SELECT doc_id, unnest([{'start': CAST(i AS BIGINT),
+         |      'gh': ${h("array_to_string(a[i+1:i+6], ' ')")}}
+         |    FOR i IN range(len(a) - 5)], recursive := true)
+         |  FROM base
+         |), dup AS (
+         |  SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+         |), spans AS (
+         |  SELECT g.doc_id, g.start, g.start + 5 AS e FROM grams g JOIN dup USING (gh)
+         |), isl AS (
+         |  SELECT doc_id, start, e,
+         |    CASE WHEN start > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+         |    THEN 1 ELSE 0 END AS ni
+         |  FROM spans
+         |), isl2 AS (
+         |  SELECT doc_id, start, e,
+         |    sum(ni) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM isl
+         |), merged AS (
+         |  SELECT doc_id, island, min(start) AS s, max(e) AS e FROM isl2 GROUP BY doc_id, island
+         |), stats AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+         |  FROM merged GROUP BY doc_id
+         |)
+         |SELECT b.doc_id, b.n_toks,
+         |  coalesce(n_spans, 0) AS n_spans,
+         |  coalesce(dup_tokens, 0) AS dup_tokens,
+         |  round(coalesce(dup_tokens, 0) / b.n_toks, 6) AS dup_frac
+         |FROM base b LEFT JOIN stats USING (doc_id) ORDER BY b.doc_id""".stripMargin
   )
 }

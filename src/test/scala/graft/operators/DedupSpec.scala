@@ -149,4 +149,79 @@ class DedupSpec extends SparkSpec {
     assert(nd.collect().forall(_.getDouble(2) >= 0.2))
     graft.core.Caches.release()
   }
+
+  // Shared fixture for the duplicated-substring pass: every filler token
+  // is unique so ONLY the named runs (S.., O.., X.., Y.., r..) can form
+  // cross-document duplicated windows.
+  private def spanCorpus = {
+    import spark.implicits._
+    Seq(
+      1L -> "a1 a2 S1 S2 S3 S4 a3",          // S-run mid-doc
+      2L -> "b0 S1 S2 S3 S4 b1",             // S-run again (2nd doc)
+      3L -> "S1 S2 S3 S4 c1 c2 c3 O1 O2 O3", // S-run AND O-run: two spans
+      4L -> "d1 O1 O2 O3",                   // O-run (2nd doc)
+      5L -> "X1 X2 X3 Y1 Y2 Y3",             // X-run and Y-run ADJACENT
+      6L -> "f1 X1 X2 X3",                   // X-run (2nd doc)
+      7L -> "Y1 Y2 Y3 g1",                   // Y-run (2nd doc)
+      8L -> "r1 r2 r3 z9 r1 r2 r3",          // within-doc repeat ONLY
+      9L -> "t1 t2"                          // shorter than the window
+    ).toDF("doc_id", "text")
+  }
+
+  test("dupSpans: overlapping windows merge, adjacent islands merge, within-doc repeats don't count") {
+    val out = try Dedup.dupSpans(spanCorpus, n = 3, minDocs = 2).collect()
+    finally graft.core.Caches.release()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 9L)) // every doc reported, ordered
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(byId(1L) == ((7L, 1L, 4L, 0.571429))) // two overlapping windows -> one 4-token span
+    assert(byId(2L) == ((6L, 1L, 4L, 0.666667)))
+    assert(byId(3L) == ((10L, 2L, 7L, 0.7)))     // two separated spans stay separate
+    assert(byId(4L) == ((4L, 1L, 3L, 0.75)))
+    // X-span [0,2] and Y-span [3,5] touch without overlapping: the
+    // adjacency rule merges them into one 6-token island
+    assert(byId(5L) == ((6L, 1L, 6L, 1.0)))
+    assert(byId(6L) == ((4L, 1L, 3L, 0.75)))
+    assert(byId(7L) == ((4L, 1L, 3L, 0.75)))
+    // the r-run repeats twice in doc 8 alone: minDocs counts DISTINCT
+    // documents, so a self-repeat is q61's business, not a dup span
+    assert(byId(8L) == ((7L, 0L, 0L, 0.0)))
+    assert(byId(9L) == ((2L, 0L, 0L, 0.0)))      // sub-window doc still reported
+    intercept[IllegalArgumentException](Dedup.dupSpans(spanCorpus, n = 1))
+    intercept[IllegalArgumentException](Dedup.dupSpans(spanCorpus, minDocs = 1))
+  }
+
+  test("dupSpans: raising minDocs keeps only the windows shared widely enough") {
+    // S-run windows live in docs 1,2,3; every other run in exactly 2
+    val out = try Dedup.dupSpans(spanCorpus, n = 3, minDocs = 3).collect()
+    finally graft.core.Caches.release()
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(byId(1L) == ((1L, 4L)) && byId(2L) == ((1L, 4L)) && byId(3L) == ((1L, 4L)))
+    assert(Seq(4L, 5L, 6L, 7L, 8L, 9L).forall(id => byId(id) == ((0L, 0L))))
+  }
+
+  test("stripDupSpans: cuts exactly the merged spans, untouched text passes through verbatim") {
+    val clean = try Dedup.stripDupSpans(spanCorpus, n = 3, minDocs = 2)
+      .select("doc_id", "text", "clean_text").collect()
+    finally graft.core.Caches.release()
+    val byId = clean.map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byId(1L)._2 == "a1 a2 a3")
+    assert(byId(2L)._2 == "b0 b1")
+    assert(byId(3L)._2 == "c1 c2 c3")
+    assert(byId(4L)._2 == "d1")
+    assert(byId(5L)._2 == "") // the whole doc was a duplicated island
+    assert(byId(6L)._2 == "f1" && byId(7L)._2 == "g1")
+    // span-free docs keep their ORIGINAL text object, not a re-join
+    Seq(8L, 9L).foreach(id => assert(byId(id)._2 == byId(id)._1))
+    // token conservation at every cut joint: kept = n_toks - dup_tokens
+    val stats = try Dedup.dupSpans(spanCorpus, n = 3, minDocs = 2).collect()
+    finally graft.core.Caches.release()
+    stats.foreach { r =>
+      val kept = byId(r.getLong(0))._2 match {
+        case "" => 0; case t => t.split(" ").length
+      }
+      assert(kept == r.getLong(1) - r.getLong(3),
+        s"doc ${r.getLong(0)}: kept $kept != ${r.getLong(1)} - ${r.getLong(3)}")
+    }
+  }
 }
