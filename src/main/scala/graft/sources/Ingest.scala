@@ -96,6 +96,20 @@ object Ingest {
     SplitCorpus(good, bad, backing = None)
   }
 
+  /** STREAMING twin of [[readCsv]] — header-less only, like the
+    * two-scan batch shape and for the same reason: a text tail cannot
+    * tell a header line from data. */
+  def readCsvStream(spark: SparkSession, path: String, schema: StructType,
+                    delimiter: String = ","): SplitCorpus = {
+    require(!schema.fieldNames.contains(Corrupt))
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt,
+      "sep" -> delimiter)
+    val (good, bad) = sidesFromLines(
+      spark.readStream.text(path), schema,
+      v => from_csv(v, schema.add(Corrupt, StringType), opts))
+    SplitCorpus(good, bad, backing = None)
+  }
+
   /** Read a JSONL corpus against an ENFORCED schema: lines that fail to
     * parse — bad JSON or values that violate the schema's types — land
     * in `quarantined.raw` verbatim; everything else arrives typed.

@@ -108,6 +108,26 @@ class IngestSpec extends SparkSpec {
     assert(err.getMessage.contains("micro-batch"))
   }
 
+  test("streaming CSV ingest splits like its batch twin") {
+    import org.apache.spark.sql.streaming.Trigger
+    val lines = Seq(
+      "20|stream me|en",
+      "not enough fields",
+      "21|and me|fr")
+    val path = fixture(lines, "csv")
+    val s = Ingest.readCsvStream(spark, path, schema, delimiter = "|")
+    assert(s.good.isStreaming && s.quarantined.isStreaming)
+    val g = s.good.writeStream.format("memory").queryName("csv_stream_good")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val b = s.quarantined.writeStream.format("memory").queryName("csv_stream_bad")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    g.awaitTermination(30000); b.awaitTermination(30000)
+    assert(spark.table("csv_stream_good").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(20L, 21L))
+    assert(spark.table("csv_stream_bad").collect()
+      .map(_.getString(0)).toSeq == Seq("not enough fields"))
+  }
+
   test("a reserved-name schema collision is refused, not silently shadowed") {
     val clash = StructType(Seq(StructField("_graft_corrupt", StringType)))
     intercept[IllegalArgumentException] {
