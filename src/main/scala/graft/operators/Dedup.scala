@@ -517,20 +517,27 @@ object Dedup {
     * n_toks/2 intervals by construction — adjacent spans merged).
     */
   def stripDupSpans(d: DataFrame, n: Int = 6, minDocs: Int = 2): DataFrame = {
+    // the join-side column is internal; refuse inputs that collide with
+    // it or with the output column (the Ingest reserved-name pattern —
+    // a silent clobber would violate the "input + clean_text" contract)
+    val SpansCol = "_graft_spans"
+    require(!d.columns.contains(SpansCol), s"input already has a $SpansCol column")
+    require(!d.columns.contains("clean_text"),
+      "input already has a clean_text column; rename it before stripping")
     val spansArr = mergedDupSpans(d, n, minDocs)
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as(SpansCol))
     d.join(spansArr, Seq("doc_id"), "left")
       .withColumn("clean_text",
-        when(col("spans").isNull, col("text")).otherwise(expr(
-          """array_join(
-            |  filter(
-            |    transform(split(text, ' '),
-            |      (t, i) -> IF(exists(spans, sp -> i >= sp.s AND i <= sp.e),
-            |                   CAST(NULL AS STRING), t)),
-            |    x -> x IS NOT NULL),
-            |  ' ')""".stripMargin)))
-      .drop("spans")
+        when(col(SpansCol).isNull, col("text")).otherwise(expr(
+          s"""array_join(
+             |  filter(
+             |    transform(split(text, ' '),
+             |      (t, i) -> IF(exists($SpansCol, sp -> i >= sp.s AND i <= sp.e),
+             |                   CAST(NULL AS STRING), t)),
+             |    x -> x IS NOT NULL),
+             |  ' ')""".stripMargin)))
+      .drop(SpansCol)
   }
 
   /** q84: duplicated-substring span report over `documents` — 6-token

@@ -79,6 +79,21 @@ object Ingest {
                         parser: org.apache.spark.sql.Column => org.apache.spark.sql.Column): (DataFrame, DataFrame) =
     sidesFromLines(spark.read.text(path), schema, parser)
 
+  // ONE definition of the PERMISSIVE options and the expression parsers,
+  // shared by batch datasource reads, two-scan text reads, and the
+  // streaming twins — so a later option tweak (quote/escape/nullValue)
+  // cannot make a batch backfill and the continuous tail of the same
+  // landing directory split differently.
+  private def jsonOpts: Map[String, String] =
+    Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
+  private def csvOpts(delimiter: String, header: Boolean): Map[String, String] =
+    jsonOpts + ("sep" -> delimiter) + ("header" -> header.toString)
+  private def jsonParser(schema: StructType): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    v => from_json(v, schema.add(Corrupt, StringType), jsonOpts.asJava)
+  private def csvParser(schema: StructType, delimiter: String): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    v => from_csv(v, schema.add(Corrupt, StringType),
+      csvOpts(delimiter, header = false) - "header")
+
   /** STREAMING twin of [[readJsonl]]: tail a landing directory of JSONL
     * files and split each micro-batch into typed rows + quarantine —
     * the continuous-ingest front door (crawl shards land, good rows
@@ -89,10 +104,8 @@ object Ingest {
   def readJsonlStream(spark: SparkSession, path: String,
                       schema: StructType): SplitCorpus = {
     require(!schema.fieldNames.contains(Corrupt))
-    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
     val (good, bad) = sidesFromLines(
-      spark.readStream.text(path), schema,
-      v => from_json(v, schema.add(Corrupt, StringType), opts.asJava))
+      spark.readStream.text(path), schema, jsonParser(schema))
     SplitCorpus(good, bad, backing = None)
   }
 
@@ -102,11 +115,8 @@ object Ingest {
   def readCsvStream(spark: SparkSession, path: String, schema: StructType,
                     delimiter: String = ","): SplitCorpus = {
     require(!schema.fieldNames.contains(Corrupt))
-    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt,
-      "sep" -> delimiter)
     val (good, bad) = sidesFromLines(
-      spark.readStream.text(path), schema,
-      v => from_csv(v, schema.add(Corrupt, StringType), opts))
+      spark.readStream.text(path), schema, csvParser(schema, delimiter))
     SplitCorpus(good, bad, backing = None)
   }
 
@@ -120,12 +130,10 @@ object Ingest {
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
                 cache: Boolean = true): SplitCorpus = {
     require(!schema.fieldNames.contains(Corrupt))
-    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
     split(
-      spark.read.schema(schema.add(Corrupt, StringType)).options(opts).json(path),
+      spark.read.schema(schema.add(Corrupt, StringType)).options(jsonOpts).json(path),
       cache,
-      textSides(spark, path, schema,
-        v => from_json(v, schema.add(Corrupt, StringType), opts.asJava)))
+      textSides(spark, path, schema, jsonParser(schema)))
   }
 
   /** CSV twin of [[readJsonl]] (header-less; pass the schema). */
@@ -136,13 +144,11 @@ object Ingest {
     require(!header || cache,
       "header = true needs cache = true: the two-scan quarantine's text " +
         "re-read cannot distinguish the header line from data")
-    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt,
-      "sep" -> delimiter, "header" -> header.toString)
     split(
-      spark.read.schema(schema.add(Corrupt, StringType)).options(opts).csv(path),
+      spark.read.schema(schema.add(Corrupt, StringType))
+        .options(csvOpts(delimiter, header)).csv(path),
       cache,
-      textSides(spark, path, schema,
-        v => from_csv(v, schema.add(Corrupt, StringType), opts - "header")))
+      textSides(spark, path, schema, csvParser(schema, delimiter)))
   }
 
   /** Ingest accounting — the (kept, quarantined) counts a curation

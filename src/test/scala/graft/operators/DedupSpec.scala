@@ -223,5 +223,10 @@ class DedupSpec extends SparkSpec {
       assert(kept == r.getLong(1) - r.getLong(3),
         s"doc ${r.getLong(0)}: kept $kept != ${r.getLong(1)} - ${r.getLong(3)}")
     }
+    // output/internal column collisions are refused, not clobbered
+    intercept[IllegalArgumentException](
+      Dedup.stripDupSpans(spanCorpus.withColumn("clean_text", lit("x"))))
+    intercept[IllegalArgumentException](
+      Dedup.stripDupSpans(spanCorpus.withColumn("_graft_spans", lit(1))))
   }
 }

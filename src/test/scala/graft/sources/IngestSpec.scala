@@ -98,7 +98,11 @@ class IngestSpec extends SparkSpec {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     val b = s.quarantined.writeStream.format("memory").queryName("ingest_bad")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    g.awaitTermination(30000); b.awaitTermination(30000)
+    try {
+      // awaitTermination returns FALSE on timeout — assert it, or a slow
+      // run reads a half-filled memory table and fails misleadingly
+      assert(g.awaitTermination(60000) && b.awaitTermination(60000))
+    } finally { g.stop(); b.stop() }
     val good = spark.table("ingest_good").collect()
     assert(good.map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L))
     assert(spark.table("ingest_bad").collect().map(_.getString(0)).toSeq ==
@@ -121,7 +125,9 @@ class IngestSpec extends SparkSpec {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     val b = s.quarantined.writeStream.format("memory").queryName("csv_stream_bad")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    g.awaitTermination(30000); b.awaitTermination(30000)
+    try {
+      assert(g.awaitTermination(60000) && b.awaitTermination(60000))
+    } finally { g.stop(); b.stop() }
     assert(spark.table("csv_stream_good").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(20L, 21L))
     assert(spark.table("csv_stream_bad").collect()
