@@ -197,6 +197,71 @@ object Sampling {
     packSequences(docs(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens")))
 
+  /** Token-budget corpus selection — the data-constrained-training
+    * step: rank documents by `score` (desc, doc_id tiebreak) and keep
+    * the maximal PREFIX whose cumulative `n_tokens` fits `budget`.
+    * Prefix-greedy, not knapsack: a later smaller doc is never pulled
+    * forward past a too-big higher-scored one — that keeps the
+    * selection a pure function of (score order, budget), so two
+    * pipelines selecting at different budgets get nested corpora.
+    *
+    * Scale shape: NO global sort of the corpus. The cumulative sum is
+    * the [[packSequences]] two-level prefix scan keyed by a coarse
+    * score bin (bin boundaries respect score order, so (bin, score
+    * desc, doc_id) ordering equals (score desc, doc_id) ordering):
+    * one probe aggregation for the score range, per-bin token totals
+    * (≤ `bins` rows) cumulated on a single partition and broadcast
+    * back, then a window PARTITIONed BY bin — parallel across bins at
+    * any corpus width. Differentially spec'd against the retained
+    * single-window [[selectByBudgetNaive]].
+    *
+    * `d` must carry `doc_id`, `score` (non-null numeric), `n_tokens`.
+    * Output: (doc_id, score, n_tokens, tok_end) for selected docs,
+    * tok_end = cumulative tokens through this doc, ordered by rank.
+    */
+  def selectByBudget(d: DataFrame, budget: Long, bins: Int = 512): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(bins >= 1 && bins <= 65536, s"bins out of range: $bins")
+    val base = d.select(col("doc_id"), col("score").cast("double").as("score"),
+      col("n_tokens").cast("long").as("n_tokens"))
+    val mm = base.agg(min(col("score")), max(col("score"))).head
+    if (mm.isNullAt(0)) // empty input: nothing to select
+      return base.withColumn("tok_end", lit(0L)).limit(0)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    // bin 0 = highest scores; floor is monotone so s1 > s2 ⇒ bin(s1) ≤
+    // bin(s2) and equal scores share a bin — the prefix property the
+    // two-level scan needs
+    val binCol = if (hi == lo) lit(0)
+      else least(lit(bins - 1),
+        floor((lit(hi) - col("score")) / lit(hi - lo) * bins)).cast("int")
+    val withB = base.withColumn("bin", binCol)
+    val wB = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(col("bin")).agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("boff", coalesce(sum(col("btok")).over(wB), lit(0L)))
+      .select(col("bin"), col("boff"))
+    val wIn = Window.partitionBy(col("bin"))
+      .orderBy(col("score").desc, col("doc_id"))
+    withB.join(broadcast(offsets), "bin")
+      .withColumn("tok_end", col("boff") + sum(col("n_tokens")).over(wIn))
+      .filter(col("tok_end") <= budget)
+      .select(col("doc_id"), col("score"), col("n_tokens"), col("tok_end"))
+      .orderBy(col("tok_end"))
+  }
+
+  /** The textbook one-window form of [[selectByBudget]] — collapses the
+    * corpus to a single partition (`sum OVER (ORDER BY …)` with no
+    * PARTITION BY), so it is the differential-spec oracle, never the
+    * shipped path. */
+  private[operators] def selectByBudgetNaive(d: DataFrame, budget: Long): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    d.select(col("doc_id"), col("score").cast("double").as("score"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("tok_end", sum(col("n_tokens")).over(w))
+      .filter(col("tok_end") <= budget)
+      .orderBy(col("tok_end"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_sample_stratified" -> (q58SampleStratified _),
     "q62_split_manifest" -> (q62SplitManifest _),

@@ -107,4 +107,41 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).min == 0L &&
       out.map(r => r.getLong(2) + r.getLong(1)).max == total)
   }
+
+  test("selectByBudget: two-level scan equals the global window at several budgets and bin widths") {
+    // real corpus, a real quality-ish score with heavy ties (length
+    // deciles) to stress the tiebreak and the equal-scores-share-a-bin
+    // prefix property
+    val scored = d.select(col("doc_id"),
+      (size(split(col("text"), " ")) % 10).cast("double").as("score"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val totalTokens = scored.agg(sum("n_tokens")).head.getLong(0)
+    for (budget <- Seq(0L, 1000L, totalTokens / 3, totalTokens, totalTokens * 2);
+         bins <- Seq(1, 7, 512)) {
+      val fast = Sampling.selectByBudget(scored, budget, bins).collect()
+        .map(r => (r.getLong(0), r.getLong(3)))
+      val naive = Sampling.selectByBudgetNaive(scored, budget).collect()
+        .map(r => (r.getLong(0), r.getLong(3)))
+      assert(fast.toSeq == naive.toSeq, s"budget=$budget bins=$bins")
+    }
+    // greedy contract: the selection fits, and the next-ranked doc
+    // would overflow (checked via the naive full ranking)
+    val budget = totalTokens / 3
+    val sel = Sampling.selectByBudget(scored, budget).collect()
+    assert(sel.map(_.getLong(2)).sum <= budget)
+    val fullRank = Sampling.selectByBudgetNaive(scored, Long.MaxValue).collect()
+    val nextDoc = fullRank(sel.length)
+    assert(sel.map(_.getLong(2)).sum + nextDoc.getLong(2) > budget)
+    // nesting: a smaller budget's corpus is a prefix of a larger one's
+    val small = Sampling.selectByBudget(scored, budget / 2).collect().map(_.getLong(0))
+    assert(sel.map(_.getLong(0)).startsWith(small))
+    // degenerate inputs: empty frame and all-equal scores
+    assert(Sampling.selectByBudget(scored.limit(0), 100L).collect().isEmpty)
+    val flat = Sampling.selectByBudget(
+      scored.withColumn("score", lit(1.0)), budget).collect()
+    val flatNaive = Sampling.selectByBudgetNaive(
+      scored.withColumn("score", lit(1.0)), budget).collect()
+    assert(flat.map(_.getLong(0)).toSeq == flatNaive.map(_.getLong(0)).toSeq)
+    intercept[IllegalArgumentException](Sampling.selectByBudget(scored, -1L))
+  }
 }
