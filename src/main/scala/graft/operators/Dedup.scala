@@ -514,7 +514,17 @@ object Dedup {
     * span out of the text (tokens re-joined on single spaces), keep
     * untouched documents' text byte-identical. Schema = input +
     * `clean_text`. Per-doc span lists are collected bounded (≤
-    * n_toks/2 intervals by construction — adjacent spans merged).
+    * (n_toks+1)/2 intervals by construction — adjacent spans merged,
+    * so spans are separated by ≥ 1 kept token).
+    *
+    * Scale boundary (documented, not hit here): the cut is a per-token
+    * `exists` over the doc's sorted span list — O(n_toks × n_spans)
+    * per document with no shuffle. Fine for real span counts (a
+    * handful per doc); a pathological fully-alternating 100k-token doc
+    * approaches n²/2 comparisons. If such docs exist, the linear
+    * alternative is explode-spans-to-positions → anti-join → re-join
+    * tokens — two extra shuffles, no quadratic term; q61's repetition
+    * score is the cheap pre-filter that finds such docs first.
     */
   def stripDupSpans(d: DataFrame, n: Int = 6, minDocs: Int = 2): DataFrame = {
     // the join-side column is internal; refuse inputs that collide with

@@ -88,4 +88,63 @@ class PipelineSpec extends SparkSpec {
       assert(perSource == back.count())
     } finally chunks.unpersist()
   }
+
+  test("corpus -> strip dup spans -> score -> select under budget -> pack: the curation front half") {
+    import spark.implicits._
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+
+    // 1) passage-level dedup on the REAL corpus: the strip must agree
+    // with the report doc-by-doc (DedupSpec proves it on a fixture;
+    // the chain needs it to hold on real data too)
+    val report = Dedup.dupSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    graft.core.Caches.release()
+    val stripped = Dedup.stripDupSpans(docs).persist()
+    try {
+      val cleanToks = stripped.select($"doc_id",
+        when(length($"clean_text") === 0, 0)
+          .otherwise(size(split($"clean_text", " "))).cast("long").as("k"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.core.Caches.release()
+      assert(report.nonEmpty && report.exists(_._2._2 > 0),
+        "corpus should carry at least one duplicated passage")
+      report.foreach { case (id, (nToks, dupToks)) =>
+        assert(cleanToks(id) == nToks - dupToks,
+          s"doc $id: strip kept ${cleanToks(id)}, report says ${nToks - dupToks}")
+      }
+
+      // 2) score the CLEAN text (distinct-token ratio — a real quality
+      // signal with ties) and count its tokens
+      val scored = stripped.filter(length($"clean_text") > 0)
+        .select($"doc_id",
+          (size(array_distinct(split($"clean_text", " "))).cast("double") /
+            size(split($"clean_text", " "))).as("score"),
+          size(split($"clean_text", " ")).cast("long").as("n_tokens"))
+      val total = scored.agg(sum($"n_tokens")).head.getLong(0)
+
+      // 3) select the best docs under half the clean-token budget
+      val budget = total / 2
+      val sel = Sampling.selectByBudget(scored, budget).persist()
+      val selRows = sel.collect()
+      assert(selRows.nonEmpty && selRows.map(_.getLong(2)).sum <= budget)
+      // prefix property on the chain: no unselected doc outscores a
+      // selected one (equality allowed — ties straddle the cut)
+      val selIds = selRows.map(_.getLong(0)).toSet
+      val maxUnsel = scored.filter(!$"doc_id".isInCollection(selIds))
+        .agg(max($"score")).head.getDouble(0)
+      assert(selRows.map(_.getDouble(1)).min >= maxUnsel)
+
+      // 4) the selection packs gaplessly into training sequences
+      val packed = Sampling.packSequences(
+        sel.select($"doc_id", $"n_tokens"), budget = 512)
+        .orderBy($"tok_start").collect()
+      var expected = 0L
+      packed.foreach { r =>
+        assert(r.getLong(2) == expected); expected = r.getLong(2) + r.getLong(1)
+      }
+      assert(expected == selRows.map(_.getLong(2)).sum)
+      sel.unpersist()
+    } finally stripped.unpersist()
+  }
 }
