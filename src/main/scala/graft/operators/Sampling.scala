@@ -224,9 +224,25 @@ object Sampling {
     require(bins >= 1 && bins <= 65536, s"bins out of range: $bins")
     val base = d.select(col("doc_id"), col("score").cast("double").as("score"),
       col("n_tokens").cast("long").as("n_tokens"))
-    val mm = base.agg(min(col("score")), max(col("score"))).head
-    if (mm.isNullAt(0)) // empty input: nothing to select
+    // the range probe already scans once — piggyback validity counts on
+    // it: a NaN score would otherwise be SILENTLY dropped here (NaN bin
+    // casts to null, the bin join misses) yet selected FIRST by the
+    // naive window (Spark sorts NaN greatest), and a null/negative
+    // token count corrupts the cumulative sum without erroring
+    val mm = base.agg(min(col("score")), max(col("score")),
+      sum(when(isnan(col("score")) || col("score").isNull ||
+        col("score") === Double.PositiveInfinity ||
+        col("score") === Double.NegativeInfinity, 1L).otherwise(0L)),
+      sum(when(col("n_tokens").isNull || col("n_tokens") < 0, 1L)
+        .otherwise(0L))).head
+    if (mm.isNullAt(2)) // empty input (sum over zero rows is SQL NULL)
       return base.withColumn("tok_end", lit(0L)).limit(0)
+    require(mm.getLong(2) == 0,
+      s"${mm.getLong(2)} rows carry a NULL/NaN/Infinite score — selection " +
+        "order would be engine-dependent; filter or impute them first")
+    require(mm.getLong(3) == 0,
+      s"${mm.getLong(3)} rows carry a NULL or negative n_tokens — the " +
+        "cumulative budget scan would silently corrupt; fix the counts first")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     // bin 0 = highest scores; floor is monotone so s1 > s2 ⇒ bin(s1) ≤
     // bin(s2) and equal scores share a bin — the prefix property the

@@ -143,5 +143,12 @@ class SamplingSpec extends SparkSpec {
       scored.withColumn("score", lit(1.0)), budget).collect()
     assert(flat.map(_.getLong(0)).toSeq == flatNaive.map(_.getLong(0)).toSeq)
     intercept[IllegalArgumentException](Sampling.selectByBudget(scored, -1L))
+    // invalid rows are refused, never silently dropped or mis-ranked
+    intercept[IllegalArgumentException](Sampling.selectByBudget(
+      scored.withColumn("score",
+        when(col("doc_id") === 0, lit(Double.NaN)).otherwise(col("score"))), 100L))
+    intercept[IllegalArgumentException](Sampling.selectByBudget(
+      scored.withColumn("n_tokens",
+        when(col("doc_id") === 0, lit(null)).otherwise(col("n_tokens"))), 100L))
   }
 }
