@@ -171,24 +171,44 @@ object Sampling {
     * tok_start, bin_first, bin_last, offset_in_bin), ordered by doc_id.
     */
   def packSequences(d: DataFrame, budget: Int = 2048): DataFrame = {
-    val withH = d
-      .withColumn("h", Hashing.hash60(col("doc_id").cast("string")))
-      .withColumn("bucket", shiftright(col("h"), 52))
-    val wB = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withH.groupBy(col("bucket"))
-      .agg(sum(col("n_tokens")).as("btok"))
-      .withColumn("boff", coalesce(sum(col("btok")).over(wB), lit(0L)))
-      .select(col("bucket"), col("boff"))
-    val wIn = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
-    withH.join(broadcast(offsets), "bucket")
-      .withColumn("tok_start",
-        col("boff") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
+    val withH = d.withColumn("h", Hashing.hash60(col("doc_id").cast("string")))
+    twoLevelCumSum(withH, shiftright(col("h"), 52),
+      Seq(col("h"), col("doc_id")), col("n_tokens"))
+      .withColumn("tok_start", col("_graft_cum") - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("tok_start"),
         expr(s"tok_start DIV $budget").as("bin_first"),
         expr(s"(tok_start + n_tokens - 1) DIV $budget").as("bin_last"),
         (col("tok_start") % budget).as("offset_in_bin"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The two-level distributed prefix scan shared by [[packSequences]]
+    * and [[selectByBudget]] — the trickiest construct in this module,
+    * defined ONCE: (1) rows are grouped by `bucket`, which the caller
+    * guarantees is a monotone prefix of `order` (so ordering by
+    * (bucket, order…) equals ordering by (order…) alone); (2) per-bucket
+    * `value` totals — one row per bucket — get a single-partition
+    * cumulative window to become bucket offsets (bounded work at any
+    * corpus width) and broadcast back; (3) the within-bucket running
+    * sum is a window PARTITIONed BY bucket, parallel across buckets.
+    * Adds `_graft_cum` = the INCLUSIVE running sum of `value` in the
+    * global (order…) order; the corpus never collapses to one
+    * partition (the `sum OVER (ORDER BY …)`-with-no-PARTITION-BY trap).
+    */
+  private def twoLevelCumSum(d: DataFrame, bucket: Column,
+                             order: Seq[Column], value: Column): DataFrame = {
+    val withB = d.withColumn("_graft_bucket", bucket)
+    val wB = Window.orderBy(col("_graft_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(col("_graft_bucket"))
+      .agg(sum(value).as("_graft_btok"))
+      .withColumn("_graft_boff",
+        coalesce(sum(col("_graft_btok")).over(wB), lit(0L)))
+      .select(col("_graft_bucket"), col("_graft_boff"))
+    val wIn = Window.partitionBy(col("_graft_bucket")).orderBy(order: _*)
+    withB.join(broadcast(offsets), "_graft_bucket")
+      .withColumn("_graft_cum", col("_graft_boff") + sum(value).over(wIn))
+      .drop("_graft_bucket", "_graft_boff")
   }
 
   /** q71 = packSequences over `documents` (whitespace tokens, 2048-token
@@ -205,64 +225,61 @@ object Sampling {
     * selection a pure function of (score order, budget), so two
     * pipelines selecting at different budgets get nested corpora.
     *
-    * Scale shape: NO global sort of the corpus. The cumulative sum is
-    * the [[packSequences]] two-level prefix scan keyed by a coarse
-    * score bin (bin boundaries respect score order, so (bin, score
-    * desc, doc_id) ordering equals (score desc, doc_id) ordering):
-    * one probe aggregation for the score range, per-bin token totals
-    * (≤ `bins` rows) cumulated on a single partition and broadcast
-    * back, then a window PARTITIONed BY bin — parallel across bins at
-    * any corpus width. Differentially spec'd against the retained
-    * single-window [[selectByBudgetNaive]].
+    * Scale shape: NO global sort-merge of the corpus. The frame is
+    * `repartitionByRange`d on the FULL rank key (score desc, doc_id) —
+    * Spark's sampled range partitioner equalizes row counts per
+    * partition even under heavy score ties or outlier skew, because
+    * the doc_id component splits tied scores across partitions — and
+    * the cumulative sum is then the [[twoLevelCumSum]] prefix scan
+    * keyed by the partition id (a monotone prefix of the rank key by
+    * construction of range partitioning). The only single-partition
+    * work is the per-partition offsets frame (one row per shuffle
+    * partition). Selection membership is a pure function of the total
+    * order, so results don't depend on where the sampled boundaries
+    * land. Differentially spec'd against the retained single-window
+    * [[selectByBudgetNaive]].
     *
     * `d` must carry `doc_id`, `score` (non-null numeric), `n_tokens`.
     * Output: (doc_id, score, n_tokens, tok_end) for selected docs,
     * tok_end = cumulative tokens through this doc, ordered by rank.
+    * `parts` > 0 overrides the range-partition count (default: the
+    * session's shuffle parallelism).
     */
-  def selectByBudget(d: DataFrame, budget: Long, bins: Int = 512): DataFrame = {
+  def selectByBudget(d: DataFrame, budget: Long, parts: Int = 0): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
-    require(bins >= 1 && bins <= 65536, s"bins out of range: $bins")
+    require(parts >= 0, s"parts must be >= 0 (0 = session default), got $parts")
     val base = d.select(col("doc_id"), col("score").cast("double").as("score"),
       col("n_tokens").cast("long").as("n_tokens"))
-    // the range probe already scans once — piggyback validity counts on
-    // it: a NaN score would otherwise be SILENTLY dropped here (NaN bin
-    // casts to null, the bin join misses) yet selected FIRST by the
-    // naive window (Spark sorts NaN greatest), and a null/negative
-    // token count corrupts the cumulative sum without erroring
-    val mm = base.agg(min(col("score")), max(col("score")),
+    // one validity probe before the shuffle: a NaN/Infinite/NULL score
+    // makes the rank order engine-dependent (Spark sorts NaN greatest —
+    // a garbage doc would be selected FIRST), and a null/negative token
+    // count corrupts the cumulative sum without erroring
+    val mm = base.agg(
       sum(when(isnan(col("score")) || col("score").isNull ||
         col("score") === Double.PositiveInfinity ||
         col("score") === Double.NegativeInfinity, 1L).otherwise(0L)),
       sum(when(col("n_tokens").isNull || col("n_tokens") < 0, 1L)
         .otherwise(0L))).head
-    if (mm.isNullAt(2)) // empty input (sum over zero rows is SQL NULL)
+    if (mm.isNullAt(0)) // empty input (sum over zero rows is SQL NULL)
       return base.withColumn("tok_end", lit(0L)).limit(0)
-    require(mm.getLong(2) == 0,
-      s"${mm.getLong(2)} rows carry a NULL/NaN/Infinite score — selection " +
+    require(mm.getLong(0) == 0,
+      s"${mm.getLong(0)} rows carry a NULL/NaN/Infinite score — selection " +
         "order would be engine-dependent; filter or impute them first")
-    require(mm.getLong(3) == 0,
-      s"${mm.getLong(3)} rows carry a NULL or negative n_tokens — the " +
+    require(mm.getLong(1) == 0,
+      s"${mm.getLong(1)} rows carry a NULL or negative n_tokens — the " +
         "cumulative budget scan would silently corrupt; fix the counts first")
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-    // bin 0 = highest scores; floor is monotone so s1 > s2 ⇒ bin(s1) ≤
-    // bin(s2) and equal scores share a bin — the prefix property the
-    // two-level scan needs
-    val binCol = if (hi == lo) lit(0)
-      else least(lit(bins - 1),
-        floor((lit(hi) - col("score")) / lit(hi - lo) * bins)).cast("int")
-    val withB = base.withColumn("bin", binCol)
-    val wB = Window.orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withB.groupBy(col("bin")).agg(sum(col("n_tokens")).as("btok"))
-      .withColumn("boff", coalesce(sum(col("btok")).over(wB), lit(0L)))
-      .select(col("bin"), col("boff"))
-    val wIn = Window.partitionBy(col("bin"))
+    val rankKey = Seq(col("score").desc, col("doc_id"))
+    // persisted: the ranged frame feeds both levels of the scan — and
+    // pinning it guarantees both traversals see identical sampled
+    // partition boundaries. Released by the harness via Caches.release().
+    val ranged = graft.core.Caches.persist(
+      if (parts > 0) base.repartitionByRange(parts, rankKey: _*)
+      else base.repartitionByRange(rankKey: _*))
+    twoLevelCumSum(ranged, spark_partition_id(), rankKey, col("n_tokens"))
+      .filter(col("_graft_cum") <= budget)
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        col("_graft_cum").as("tok_end"))
       .orderBy(col("score").desc, col("doc_id"))
-    withB.join(broadcast(offsets), "bin")
-      .withColumn("tok_end", col("boff") + sum(col("n_tokens")).over(wIn))
-      .filter(col("tok_end") <= budget)
-      .select(col("doc_id"), col("score"), col("n_tokens"), col("tok_end"))
-      .orderBy(col("tok_end"))
   }
 
   /** The textbook one-window form of [[selectByBudget]] — collapses the
@@ -275,7 +292,7 @@ object Sampling {
         col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("tok_end", sum(col("n_tokens")).over(w))
       .filter(col("tok_end") <= budget)
-      .orderBy(col("tok_end"))
+      .orderBy(col("score").desc, col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -126,25 +126,29 @@ class PipelineSpec extends SparkSpec {
       // 3) select the best docs under half the clean-token budget
       val budget = total / 2
       val sel = Sampling.selectByBudget(scored, budget).persist()
-      val selRows = sel.collect()
-      assert(selRows.nonEmpty && selRows.map(_.getLong(2)).sum <= budget)
-      // prefix property on the chain: no unselected doc outscores a
-      // selected one (equality allowed — ties straddle the cut)
-      val selIds = selRows.map(_.getLong(0)).toSet
-      val maxUnsel = scored.filter(!$"doc_id".isInCollection(selIds))
-        .agg(max($"score")).head.getDouble(0)
-      assert(selRows.map(_.getDouble(1)).min >= maxUnsel)
+      try {
+        val selRows = sel.collect()
+        assert(selRows.nonEmpty && selRows.map(_.getLong(2)).sum <= budget)
+        // prefix property on the chain: no unselected doc outscores a
+        // selected one (equality allowed — ties straddle the cut)
+        val selIds = selRows.map(_.getLong(0)).toSet
+        val maxUnsel = scored.filter(!$"doc_id".isInCollection(selIds))
+          .agg(max($"score")).head.getDouble(0)
+        assert(selRows.map(_.getDouble(1)).min >= maxUnsel)
 
-      // 4) the selection packs gaplessly into training sequences
-      val packed = Sampling.packSequences(
-        sel.select($"doc_id", $"n_tokens"), budget = 512)
-        .orderBy($"tok_start").collect()
-      var expected = 0L
-      packed.foreach { r =>
-        assert(r.getLong(2) == expected); expected = r.getLong(2) + r.getLong(1)
-      }
-      assert(expected == selRows.map(_.getLong(2)).sum)
-      sel.unpersist()
-    } finally stripped.unpersist()
+        // 4) the selection packs gaplessly into training sequences
+        val packed = Sampling.packSequences(
+          sel.select($"doc_id", $"n_tokens"), budget = 512)
+          .orderBy($"tok_start").collect()
+        var expected = 0L
+        packed.foreach { r =>
+          assert(r.getLong(2) == expected); expected = r.getLong(2) + r.getLong(1)
+        }
+        assert(expected == selRows.map(_.getLong(2)).sum)
+      } finally sel.unpersist()
+    } finally {
+      stripped.unpersist()
+      graft.core.Caches.release()
+    }
   }
 }

@@ -108,47 +108,53 @@ class SamplingSpec extends SparkSpec {
       out.map(r => r.getLong(2) + r.getLong(1)).max == total)
   }
 
-  test("selectByBudget: two-level scan equals the global window at several budgets and bin widths") {
+  test("selectByBudget: two-level scan equals the global window at several budgets and partition counts") {
     // real corpus, a real quality-ish score with heavy ties (length
-    // deciles) to stress the tiebreak and the equal-scores-share-a-bin
-    // prefix property
+    // deciles) to stress the doc_id tiebreak through the range
+    // partitioner — ties MUST split across partitions without
+    // reordering
     val scored = d.select(col("doc_id"),
       (size(split(col("text"), " ")) % 10).cast("double").as("score"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val totalTokens = scored.agg(sum("n_tokens")).head.getLong(0)
     for (budget <- Seq(0L, 1000L, totalTokens / 3, totalTokens, totalTokens * 2);
-         bins <- Seq(1, 7, 512)) {
-      val fast = Sampling.selectByBudget(scored, budget, bins).collect()
+         parts <- Seq(1, 7, 512)) {
+      val fast = Sampling.selectByBudget(scored, budget, parts).collect()
         .map(r => (r.getLong(0), r.getLong(3)))
+      graft.core.Caches.release()
       val naive = Sampling.selectByBudgetNaive(scored, budget).collect()
         .map(r => (r.getLong(0), r.getLong(3)))
-      assert(fast.toSeq == naive.toSeq, s"budget=$budget bins=$bins")
+      assert(fast.toSeq == naive.toSeq, s"budget=$budget parts=$parts")
     }
-    // greedy contract: the selection fits, and the next-ranked doc
-    // would overflow (checked via the naive full ranking)
-    val budget = totalTokens / 3
-    val sel = Sampling.selectByBudget(scored, budget).collect()
-    assert(sel.map(_.getLong(2)).sum <= budget)
-    val fullRank = Sampling.selectByBudgetNaive(scored, Long.MaxValue).collect()
-    val nextDoc = fullRank(sel.length)
-    assert(sel.map(_.getLong(2)).sum + nextDoc.getLong(2) > budget)
-    // nesting: a smaller budget's corpus is a prefix of a larger one's
-    val small = Sampling.selectByBudget(scored, budget / 2).collect().map(_.getLong(0))
-    assert(sel.map(_.getLong(0)).startsWith(small))
-    // degenerate inputs: empty frame and all-equal scores
-    assert(Sampling.selectByBudget(scored.limit(0), 100L).collect().isEmpty)
-    val flat = Sampling.selectByBudget(
-      scored.withColumn("score", lit(1.0)), budget).collect()
-    val flatNaive = Sampling.selectByBudgetNaive(
-      scored.withColumn("score", lit(1.0)), budget).collect()
-    assert(flat.map(_.getLong(0)).toSeq == flatNaive.map(_.getLong(0)).toSeq)
-    intercept[IllegalArgumentException](Sampling.selectByBudget(scored, -1L))
-    // invalid rows are refused, never silently dropped or mis-ranked
-    intercept[IllegalArgumentException](Sampling.selectByBudget(
-      scored.withColumn("score",
-        when(col("doc_id") === 0, lit(Double.NaN)).otherwise(col("score"))), 100L))
-    intercept[IllegalArgumentException](Sampling.selectByBudget(
-      scored.withColumn("n_tokens",
-        when(col("doc_id") === 0, lit(null)).otherwise(col("n_tokens"))), 100L))
+    try {
+      // greedy contract: the selection fits, and the next-ranked doc
+      // would overflow (checked via the naive full ranking)
+      val budget = totalTokens / 3
+      val sel = Sampling.selectByBudget(scored, budget).collect()
+      assert(sel.map(_.getLong(2)).sum <= budget)
+      val fullRank = Sampling.selectByBudgetNaive(scored, Long.MaxValue).collect()
+      val nextDoc = fullRank(sel.length)
+      assert(sel.map(_.getLong(2)).sum + nextDoc.getLong(2) > budget)
+      // nesting: a smaller budget's corpus is a prefix of a larger one's
+      val small = Sampling.selectByBudget(scored, budget / 2).collect().map(_.getLong(0))
+      assert(sel.map(_.getLong(0)).startsWith(small))
+      // degenerate inputs: empty frame and ALL-equal scores (every row
+      // in one range-key equivalence class — the doc_id component must
+      // still spread and order them)
+      assert(Sampling.selectByBudget(scored.limit(0), 100L).collect().isEmpty)
+      val flat = Sampling.selectByBudget(
+        scored.withColumn("score", lit(1.0)), budget).collect()
+      val flatNaive = Sampling.selectByBudgetNaive(
+        scored.withColumn("score", lit(1.0)), budget).collect()
+      assert(flat.map(_.getLong(0)).toSeq == flatNaive.map(_.getLong(0)).toSeq)
+      intercept[IllegalArgumentException](Sampling.selectByBudget(scored, -1L))
+      // invalid rows are refused, never silently dropped or mis-ranked
+      intercept[IllegalArgumentException](Sampling.selectByBudget(
+        scored.withColumn("score",
+          when(col("doc_id") === 0, lit(Double.NaN)).otherwise(col("score"))), 100L))
+      intercept[IllegalArgumentException](Sampling.selectByBudget(
+        scored.withColumn("n_tokens",
+          when(col("doc_id") === 0, lit(null)).otherwise(col("n_tokens"))), 100L))
+    } finally graft.core.Caches.release()
   }
 }
