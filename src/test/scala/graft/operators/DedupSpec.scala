@@ -229,4 +229,24 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.stripDupSpans(spanCorpus.withColumn("_graft_spans", lit(1))))
   }
+
+  test("dupSpans under 500x duplication stays linear — every copy reported, no pair blowup") {
+    import spark.implicits._
+    // the q31/q33 skew discipline fixture: pair-based near-dup ops need
+    // exact-dedup-first because a 500-copy doc means C(500,2) pairs;
+    // dupSpans is occurrence-linear BY SHAPE (df count + per-doc span
+    // merge — no pair emission anywhere), so the hot doc costs 500
+    // rows, not 125k, and needs no pre-pass
+    val hotText = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (Seq.fill(500)(hotText) :+
+      "entirely unrelated filler words that never repeat anywhere")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = try Dedup.dupSpans(corpus, n = 3, minDocs = 2).collect()
+    finally graft.core.Caches.release()
+    assert(out.length == 501) // one report row per doc — linear output
+    val hot = out.filter(_.getLong(0) < 500)
+    assert(hot.forall(r => r.getLong(2) == 1L && r.getDouble(4) == 1.0),
+      "every copy is one fully-duplicated span")
+    assert(out.find(_.getLong(0) == 500L).get.getLong(2) == 0L)
+  }
 }
