@@ -451,41 +451,51 @@ object Dedup {
     * persisted because it feeds both the frequency count and the
     * span join — 24-byte rows, spill-safe.
     */
-  private def mergedDupSpans(d: DataFrame, n: Int, minDocs: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (doc_id, start, gh) for every `n`-token window of every document —
+    * hashed IN the projection so only three longs leave the scan. */
+  private def gramsOf(d: DataFrame, n: Int): DataFrame = {
     require(n >= 2, s"window must span at least 2 tokens, got $n")
-    require(minDocs >= 2, s"minDocs < 2 would flag every window, got $minDocs")
-    val grams = graft.core.Caches.persist(
-      d.select(col("doc_id"), split(col("text"), " ").as("a"))
-        .select(col("doc_id"),
-          posexplode(expr(
-            s"""CASE WHEN size(a) >= $n
-               |  THEN transform(sequence(0, size(a) - $n),
-               |                 i -> array_join(slice(a, i + 1, $n), ' '))
-               |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
-            .as(Seq("start", "gram")))
-        .select(col("doc_id"), col("start").cast("long").as("start"),
-          Hashing.hash60(col("gram")).as("gh")))
-    val dup = grams.groupBy(col("gh"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= minDocs)
-      .select(col("gh"))
-    // every duplicated window as a token interval; equal-length windows
-    // sorted by start make the classic running-max island scan exact
-    val spans = grams.join(dup, "gh")
-      .select(col("doc_id"), col("start"), (col("start") + (n - 1)).as("e"))
+    d.select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""CASE WHEN size(a) >= $n
+             |  THEN transform(sequence(0, size(a) - $n),
+             |                 i -> array_join(slice(a, i + 1, $n), ' '))
+             |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+          .as(Seq("start", "gram")))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        Hashing.hash60(col("gram")).as("gh"))
+  }
+
+  /** Merge flagged equal-length windows (doc_id, start, e) into maximal
+    * (doc_id, s, e) token intervals: the classic running-max island
+    * scan — one shuffle on doc_id, a per-document sort of that
+    * document's own flagged windows only. */
+  private def mergeIslands(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byStart = Window.partitionBy(col("doc_id")).orderBy(col("start"))
     spans
       .withColumn("prev_e", max(col("e")).over(
         byStart.rowsBetween(Window.unboundedPreceding, -1)))
       // adjacent windows (start = prev end + 1) merge too: islands are
-      // exactly the maximal runs of duplicated token positions
+      // exactly the maximal runs of flagged token positions
       .withColumn("ni", when(col("prev_e").isNull ||
         col("start") > col("prev_e") + 1, 1L).otherwise(0L))
       .withColumn("island", sum(col("ni")).over(
         byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("start")).as("s"), max(col("e")).as("e"))
+  }
+
+  private def mergedDupSpans(d: DataFrame, n: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would flag every window, got $minDocs")
+    val grams = graft.core.Caches.persist(gramsOf(d, n))
+    val dup = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("gh"))
+    mergeIslands(grams.join(dup, "gh")
+      .select(col("doc_id"), col("start"), (col("start") + (n - 1)).as("e")))
   }
 
   /** Per-document duplicated-span report: (doc_id, n_toks, n_spans,
@@ -495,18 +505,24 @@ object Dedup {
     * synthetic docs; real corpora use 50-token windows (the Lee et al.
     * default) — the shape is n-independent.
     */
-  def dupSpans(d: DataFrame, n: Int = 6, minDocs: Int = 2): DataFrame = {
+  def dupSpans(d: DataFrame, n: Int = 6, minDocs: Int = 2): DataFrame =
+    spanReport(d, mergedDupSpans(d, n, minDocs), "dup_tokens", "dup_frac")
+
+  /** Per-document span accounting over ALL docs (zero-span docs
+    * included — absent rows would read as "not measured") — the shared
+    * report under [[dupSpans]] and [[contaminatedSpans]]. */
+  private def spanReport(d: DataFrame, merged: DataFrame,
+                         tokName: String, fracName: String): DataFrame = {
     val base = d.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_toks"))
-    val stats = mergedDupSpans(d, n, minDocs)
-      .groupBy(col("doc_id"))
+    val stats = merged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(col("e") - col("s") + 1).as("dup_tokens"))
+        sum(col("e") - col("s") + 1).as(tokName))
     base.join(stats, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
-      .withColumn("dup_frac", round(col("dup_tokens") / col("n_toks"), 6))
+        coalesce(col(tokName), lit(0L)).as(tokName))
+      .withColumn(fracName, round(col(tokName) / col("n_toks"), 6))
       .orderBy(col("doc_id"))
   }
 
@@ -526,7 +542,13 @@ object Dedup {
     * tokens — two extra shuffles, no quadratic term; q61's repetition
     * score is the cheap pre-filter that finds such docs first.
     */
-  def stripDupSpans(d: DataFrame, n: Int = 6, minDocs: Int = 2): DataFrame = {
+  def stripDupSpans(d: DataFrame, n: Int = 6, minDocs: Int = 2): DataFrame =
+    stripSpans(d, mergedDupSpans(d, n, minDocs))
+
+  /** Cut merged (doc_id, s, e) token intervals out of `d`'s text —
+    * the shared surgery under [[stripDupSpans]] and
+    * [[stripContaminatedSpans]]. */
+  private def stripSpans(d: DataFrame, merged: DataFrame): DataFrame = {
     // the join-side column is internal; refuse inputs that collide with
     // it or with the output column (the Ingest reserved-name pattern —
     // a silent clobber would violate the "input + clean_text" contract)
@@ -534,7 +556,7 @@ object Dedup {
     require(!d.columns.contains(SpansCol), s"input already has a $SpansCol column")
     require(!d.columns.contains("clean_text"),
       "input already has a clean_text column; rename it before stripping")
-    val spansArr = mergedDupSpans(d, n, minDocs)
+    val spansArr = merged
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as(SpansCol))
     d.join(spansArr, Seq("doc_id"), "left")
@@ -549,6 +571,41 @@ object Dedup {
              |  ' ')""".stripMargin)))
       .drop(SpansCol)
   }
+
+  /** Corpus token intervals that literally quote the benchmark: every
+    * corpus `n`-token window whose hash appears among the benchmark's
+    * windows, merged to maximal spans. The benchmark window-hash set is
+    * benchmark-sized (distinct hashes only) and broadcasts — the corpus
+    * streams ONCE against it, exactly the [[contaminationCheck]] scale
+    * shape, and no df-count shuffle is needed (membership, not
+    * frequency), so this is cheaper than [[dupSpans]] at any width.
+    */
+  private def mergedContamSpans(corpus: DataFrame, bench: DataFrame,
+                                n: Int): DataFrame = {
+    val benchWins = gramsOf(bench, n).select(col("gh")).distinct()
+    mergeIslands(gramsOf(corpus, n).join(broadcast(benchWins), "gh")
+      .select(col("doc_id"), col("start"), (col("start") + (n - 1)).as("e")))
+  }
+
+  /** SPAN-level decontamination — the surgical twin of [[decontaminate]]
+    * (which drops whole documents): cut only the token spans that
+    * literally quote a benchmark document, keep the rest of the text.
+    * The right tool when a long document embeds one benchmark item; the
+    * doc-level q80 form remains the right tool when containment is so
+    * high the remainder is worthless. Schema = corpus + `clean_text`.
+    * Windows shorter than `n` tokens in the benchmark are invisible —
+    * pick `n` at or below the shortest quote worth scrubbing.
+    */
+  def stripContaminatedSpans(corpus: DataFrame, bench: DataFrame,
+                             n: Int = 6): DataFrame =
+    stripSpans(corpus, mergedContamSpans(corpus, bench, n))
+
+  /** Per-document report twin of [[stripContaminatedSpans]]: (doc_id,
+    * n_toks, n_spans, contam_tokens, contam_frac) for every corpus doc. */
+  def contaminatedSpans(corpus: DataFrame, bench: DataFrame,
+                        n: Int = 6): DataFrame =
+    spanReport(corpus, mergedContamSpans(corpus, bench, n),
+      "contam_tokens", "contam_frac")
 
   /** q84: duplicated-substring span report over `documents` — 6-token
     * windows shared by ≥ 2 distinct documents, merged to maximal

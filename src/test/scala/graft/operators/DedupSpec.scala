@@ -230,6 +230,44 @@ class DedupSpec extends SparkSpec {
       Dedup.stripDupSpans(spanCorpus.withColumn("_graft_spans", lit(1))))
   }
 
+  test("span-level decontamination cuts exactly the benchmark quote, keeps the document") {
+    import spark.implicits._
+    val bench = Seq(
+      100L -> "benchmark question alpha beta gamma delta answer epsilon",
+      101L -> "tiny")                          // sub-window bench doc: invisible
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> ("a long and genuinely useful document that happens to quote " +
+        "benchmark question alpha beta gamma delta answer epsilon " +
+        "before continuing with original material worth keeping"),
+      2L -> "nothing here overlaps any benchmark item at all",
+      3L -> "benchmark question alpha beta gamma delta answer epsilon") // pure quote
+      .toDF("doc_id", "text")
+    val report = try Dedup.contaminatedSpans(corpus, bench, n = 4).collect()
+    finally graft.core.Caches.release()
+    val byId = report.map(r => r.getLong(0) ->
+      (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(byId(1L)._1 == 1L && byId(1L)._2 == 8L) // one 8-token span
+    assert(byId(2L) == ((0L, 0L, 0.0)))
+    assert(byId(3L) == ((1L, 8L, 1.0)))            // fully contaminated
+    val clean = try Dedup.stripContaminatedSpans(corpus, bench, n = 4)
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    finally graft.core.Caches.release()
+    // the quote is gone, everything around it survives verbatim
+    assert(clean(1L) == "a long and genuinely useful document that happens " +
+      "to quote before continuing with original material worth keeping")
+    assert(clean(2L) == "nothing here overlaps any benchmark item at all")
+    assert(clean(3L) == "")
+    // contrast with doc-level decontamination: q80's form DROPS doc 1
+    // outright at the same evidence, the span form saves its original
+    // material — both corpus docs 1 and 3 are flagged there
+    val dropped = try Dedup.decontaminate(corpus, bench, n = 4, tau = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    finally graft.core.Caches.release()
+    assert(dropped == Set(2L))
+  }
+
   test("dupSpans under 500x duplication stays linear — every copy reported, no pair blowup") {
     import spark.implicits._
     // the q31/q33 skew discipline fixture: pair-based near-dup ops need
