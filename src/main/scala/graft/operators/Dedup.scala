@@ -430,27 +430,6 @@ object Dedup {
       .orderBy(col("source"))
   }
 
-  /** Maximal cross-document duplicated token spans — the "dedup the
-    * repeated passages, not just the documents" pass (Lee et al. 2021,
-    * "Deduplicating Training Data Makes Language Models Better"),
-    * re-expressed relationally: hash every `n`-token window
-    * (md5-60-bit, oracle-replayable), keep windows appearing in ≥
-    * `minDocs` DISTINCT documents, and merge each document's
-    * overlapping-or-adjacent duplicated windows into maximal spans via
-    * window-function island detection. Returns (doc_id, s, e) token
-    * intervals, 0-based inclusive.
-    *
-    * Scale shape: the dominant shuffle is the groupBy on the 60-bit
-    * window hash — identical to the shingle ops above; the window
-    * STRING never crosses a shuffle (hashed in the scan projection, so
-    * shuffle rows are three longs). The distinct-doc count is
-    * two-phase partial-aggregated (bounded state even for a
-    * boilerplate window in millions of docs), and the island merge
-    * shuffles once on doc_id with a per-document sort of that
-    * document's own duplicated windows only. The gram frame is
-    * persisted because it feeds both the frequency count and the
-    * span join — 24-byte rows, spill-safe.
-    */
   /** (doc_id, start, gh) for every `n`-token window of every document —
     * hashed IN the projection so only three longs leave the scan. */
   private def gramsOf(d: DataFrame, n: Int): DataFrame = {
@@ -487,6 +466,24 @@ object Dedup {
       .agg(min(col("start")).as("s"), max(col("e")).as("e"))
   }
 
+  /** Maximal cross-document duplicated token spans — the "dedup the
+    * repeated passages, not just the documents" pass (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"),
+    * re-expressed relationally: hash every `n`-token window
+    * ([[gramsOf]] — md5-60-bit, oracle-replayable), keep windows
+    * appearing in ≥ `minDocs` DISTINCT documents, and merge each
+    * document's overlapping-or-adjacent duplicated windows into
+    * maximal spans ([[mergeIslands]]). Returns (doc_id, s, e) token
+    * intervals, 0-based inclusive.
+    *
+    * Scale shape: the dominant shuffle is the groupBy on the 60-bit
+    * window hash — identical to the shingle ops above; the window
+    * string never crosses a shuffle. The distinct-doc count is
+    * two-phase partial-aggregated (bounded state even for a
+    * boilerplate window in millions of docs). The gram frame is
+    * persisted because it feeds both the frequency count and the
+    * span join — 24-byte rows, spill-safe.
+    */
   private def mergedDupSpans(d: DataFrame, n: Int, minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"minDocs < 2 would flag every window, got $minDocs")
     val grams = graft.core.Caches.persist(gramsOf(d, n))
@@ -593,8 +590,16 @@ object Dedup {
     * The right tool when a long document embeds one benchmark item; the
     * doc-level q80 form remains the right tool when containment is so
     * high the remainder is worthless. Schema = corpus + `clean_text`.
-    * Windows shorter than `n` tokens in the benchmark are invisible —
-    * pick `n` at or below the shortest quote worth scrubbing.
+    *
+    * DELIBERATE default asymmetry with [[decontaminate]] (n = 3): the
+    * doc-level form scores a containment RATIO, which tolerates
+    * incidental shingle hits, while this form cuts text on EVERY
+    * single window match — 3-token evidence would over-delete common
+    * phrases. The cost of the longer default: a benchmark quote
+    * shorter than `n` tokens is invisible here even though the ratio
+    * test may flag its document — when scrubbing a benchmark with
+    * short items, pass `n` at or below the shortest quote worth
+    * scrubbing, and run the q60 report afterward as the audit.
     */
   def stripContaminatedSpans(corpus: DataFrame, bench: DataFrame,
                              n: Int = 6): DataFrame =

@@ -259,13 +259,14 @@ class DedupSpec extends SparkSpec {
       "to quote before continuing with original material worth keeping")
     assert(clean(2L) == "nothing here overlaps any benchmark item at all")
     assert(clean(3L) == "")
-    // contrast with doc-level decontamination: q80's form DROPS doc 1
-    // outright at the same evidence, the span form saves its original
-    // material — both corpus docs 1 and 3 are flagged there
-    val dropped = try Dedup.decontaminate(corpus, bench, n = 4, tau = 0.2)
+    // contrast with doc-level decontamination on the same evidence:
+    // decontaminate returns the KEPT corpus — docs 1 and 3 are both
+    // dropped outright, where the span form saved doc 1's original
+    // material
+    val kept = try Dedup.decontaminate(corpus, bench, n = 4, tau = 0.2)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     finally graft.core.Caches.release()
-    assert(dropped == Set(2L))
+    assert(kept == Set(2L))
   }
 
   test("dupSpans under 500x duplication stays linear — every copy reported, no pair blowup") {
