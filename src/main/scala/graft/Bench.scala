@@ -51,10 +51,6 @@ object Bench {
     * [[renderLine]] callers and BenchSpec both check against it. */
   private[graft] val TailBudget = 1928
 
-  /** Assemble the one-line JSON artifact. Pure (testable): BenchSpec
-    * renders the REAL query registry through this and fails the build
-    * the moment inventory growth would overflow [[TailBudget]] — before
-    * a driver round finds out the hard way. */
   /** 2-decimal fixed format; Locale.ROOT because the f-interpolator
     * uses the JVM default locale, and a comma-decimal locale would
     * corrupt the JSON artifact. The ONE formatting helper for both the
@@ -66,6 +62,10 @@ object Bench {
   /** fmt2 with the bench's failed-run sentinel. */
   private[graft] def f2(x: Double): String = if (x < 0) "-1" else fmt2(x)
 
+  /** Assemble the one-line JSON artifact. Pure (testable): BenchSpec
+    * renders the REAL query registry through this and fails the build
+    * the moment inventory growth would overflow [[TailBudget]] — before
+    * a driver round finds out the hard way. */
   private[graft] def renderLine(wallMedians: Seq[(String, Double)],
                                 failures: Int, flaky: Int, sfDir: String): String = {
     // trailing zeros stripped ("0.50" -> "0.5", "2.00" -> "2"): still

@@ -222,11 +222,22 @@ object Curate {
       if (partitionCols.isEmpty) 1
       else if (slicesPerDir > 0) slicesPerDir
       else ((nFiles + nDirs - 1) / nDirs).toInt.max(1)
+    // the salt hashes only hash-able columns: Spark's hash() throws at
+    // plan time on MapType anywhere in a column's type tree (a map-typed
+    // metadata column is a plausible corpus shape), and those columns
+    // add nothing a deterministic salt needs
+    def mapFree(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => mapFree(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => mapFree(a.elementType)
+      case _ => true
+    }
+    val saltCols = d.schema.fields.filter(f => mapFree(f.dataType)).map(f => col(s"`${f.name}`"))
     val shuffleKeys =
       if (partitionCols.isEmpty) Nil
       else if (slices == 1) partitionCols.map(c => col(s"`$c`"))
       else partitionCols.map(c => col(s"`$c`")) :+
-        pmod(hash(d.columns.map(c => col(s"`$c`")): _*), lit(slices))
+        pmod(hash(saltCols.toSeq: _*), lit(slices))
     val repartitioned =
       if (shuffleKeys.isEmpty) d.repartition(nFiles)
       else d.repartition(nFiles, shuffleKeys: _*)

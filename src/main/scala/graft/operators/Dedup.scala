@@ -505,11 +505,28 @@ object Dedup {
   def dupSpans(d: DataFrame, n: Int = 6, minDocs: Int = 2): DataFrame =
     spanReport(d, mergedDupSpans(d, n, minDocs), "dup_tokens", "dup_frac")
 
+  /** The merged (doc_id, s, e) duplicated-span intervals themselves —
+    * public so a pipeline that wants BOTH the report and the strip can
+    * compute the expensive part once: persist this frame (it is small
+    * — merged intervals only) and feed it to [[spanReport]] and
+    * [[stripSpans]], instead of paying the gram scan and df-count
+    * shuffle twice through the [[dupSpans]]/[[stripDupSpans]]
+    * conveniences. */
+  def dupSpanIntervals(d: DataFrame, n: Int = 6, minDocs: Int = 2): DataFrame =
+    mergedDupSpans(d, n, minDocs)
+
+  /** [[dupSpanIntervals]]' twin for benchmark contamination. */
+  def contamSpanIntervals(corpus: DataFrame, bench: DataFrame,
+                          n: Int = 6): DataFrame =
+    mergedContamSpans(corpus, bench, n)
+
   /** Per-document span accounting over ALL docs (zero-span docs
     * included — absent rows would read as "not measured") — the shared
-    * report under [[dupSpans]] and [[contaminatedSpans]]. */
-  private def spanReport(d: DataFrame, merged: DataFrame,
-                         tokName: String, fracName: String): DataFrame = {
+    * report under [[dupSpans]] and [[contaminatedSpans]]; public so a
+    * precomputed [[dupSpanIntervals]]/[[contamSpanIntervals]] frame
+    * can be reported AND stripped without recomputing the scan. */
+  def spanReport(d: DataFrame, merged: DataFrame,
+                 tokName: String, fracName: String): DataFrame = {
     val base = d.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_toks"))
     val stats = merged.groupBy(col("doc_id"))
@@ -544,8 +561,9 @@ object Dedup {
 
   /** Cut merged (doc_id, s, e) token intervals out of `d`'s text —
     * the shared surgery under [[stripDupSpans]] and
-    * [[stripContaminatedSpans]]. */
-  private def stripSpans(d: DataFrame, merged: DataFrame): DataFrame = {
+    * [[stripContaminatedSpans]]; public for the same precomputed-spans
+    * reuse as [[spanReport]]. */
+  def stripSpans(d: DataFrame, merged: DataFrame): DataFrame = {
     // the join-side column is internal; refuse inputs that collide with
     // it or with the output column (the Ingest reserved-name pattern —
     // a silent clobber would violate the "input + clean_text" contract)

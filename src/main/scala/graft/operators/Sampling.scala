@@ -167,8 +167,10 @@ object Sampling {
     * equals ordering by (h, doc_id) — the two-level scan is equal to
     * the one-window global scan the oracle computes.
     *
-    * `d` must carry `doc_id` and `n_tokens`. Output: (doc_id, n_tokens,
-    * tok_start, bin_first, bin_last, offset_in_bin), ordered by doc_id.
+    * `d` must carry UNIQUE `doc_id` (ties on the (h, doc_id) order key
+    * would make offsets positional-arbitrary — see [[twoLevelCumSum]])
+    * and `n_tokens`. Output: (doc_id, n_tokens, tok_start, bin_first,
+    * bin_last, offset_in_bin), ordered by doc_id.
     */
   def packSequences(d: DataFrame, budget: Int = 2048): DataFrame = {
     val withH = d.withColumn("h", Hashing.hash60(col("doc_id").cast("string")))
@@ -194,6 +196,14 @@ object Sampling {
     * Adds `_graft_cum` = the INCLUSIVE running sum of `value` in the
     * global (order…) order; the corpus never collapses to one
     * partition (the `sum OVER (ORDER BY …)`-with-no-PARTITION-BY trap).
+    *
+    * CONTRACT: `order` must be a total order with no tied rows (both
+    * callers close it with the unique doc_id). Ties would be ranked
+    * positionally here but as equals by a single RANGE-frame window,
+    * and a range-partitioned bucket may split tied peers — callers
+    * must enforce or document uniqueness ([[selectByBudget]] refuses
+    * duplicates in its probe; [[packSequences]] documents the
+    * unique-doc_id requirement).
     */
   private def twoLevelCumSum(d: DataFrame, bucket: Column,
                              order: Seq[Column], value: Column): DataFrame = {
@@ -259,7 +269,8 @@ object Sampling {
         col("score") === Double.PositiveInfinity ||
         col("score") === Double.NegativeInfinity, 1L).otherwise(0L)),
       sum(when(col("n_tokens").isNull || col("n_tokens") < 0, 1L)
-        .otherwise(0L))).head
+        .otherwise(0L)),
+      count(lit(1)), countDistinct(col("doc_id"))).head
     if (mm.isNullAt(0)) // empty input (sum over zero rows is SQL NULL)
       return base.withColumn("tok_end", lit(0L)).limit(0)
     require(mm.getLong(0) == 0,
@@ -268,6 +279,15 @@ object Sampling {
     require(mm.getLong(1) == 0,
       s"${mm.getLong(1)} rows carry a NULL or negative n_tokens — the " +
         "cumulative budget scan would silently corrupt; fix the counts first")
+    // doc_id must be UNIQUE: rows tied on the whole (score, doc_id) rank
+    // key have no defined order, and the range partitioner may split
+    // such peers across partitions — the two-level scan would then rank
+    // them positionally while a single RANGE-frame window ranks them as
+    // equals, a silent selection divergence. Refused, not risked.
+    require(mm.getLong(2) == mm.getLong(3),
+      s"doc_id is not unique (${mm.getLong(2)} rows, ${mm.getLong(3)} " +
+        "distinct ids) — the rank order over duplicates is undefined; " +
+        "dedup or re-key the frame first")
     val rankKey = Seq(col("score").desc, col("doc_id"))
     // persisted: the ranged frame feeds both levels of the scan — and
     // pinning it guarantees both traversals see identical sampled

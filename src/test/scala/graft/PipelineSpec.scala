@@ -96,11 +96,16 @@ class PipelineSpec extends SparkSpec {
 
     // 1) passage-level dedup on the REAL corpus: the strip must agree
     // with the report doc-by-doc (DedupSpec proves it on a fixture;
-    // the chain needs it to hold on real data too)
-    val report = Dedup.dupSpans(docs).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // the chain needs it to hold on real data too). The span intervals
+    // are computed ONCE and shared — the report+strip flow should not
+    // pay the gram scan twice
+    val spans = Dedup.dupSpanIntervals(docs).persist()
+    val report = Dedup.spanReport(docs, spans, "dup_tokens", "dup_frac")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
     graft.core.Caches.release()
-    val stripped = Dedup.stripDupSpans(docs).persist()
+    // spans stays pinned until `stripped` materializes below — an early
+    // unpersist would make the strip recompute the whole span chain
+    val stripped = Dedup.stripSpans(docs, spans).persist()
     try {
       val cleanToks = stripped.select($"doc_id",
         when(length($"clean_text") === 0, 0)
@@ -148,6 +153,7 @@ class PipelineSpec extends SparkSpec {
       } finally sel.unpersist()
     } finally {
       stripped.unpersist()
+      spans.unpersist()
       graft.core.Caches.release()
     }
   }

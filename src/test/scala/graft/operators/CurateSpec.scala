@@ -122,6 +122,20 @@ class CurateSpec extends SparkSpec {
       partitionCols = Seq("half"), estimatedBytes = Some(4L * 1024 * 1024))
     assert(nPre == 4)
     assert(spark.read.parquet(s"$base/pre").count() == n)
+    // a map-typed metadata column must not break the slice salt (hash()
+    // throws on MapType anywhere in a column's type tree — the salt
+    // skips such columns); same rows back, salt still spreads
+    val withMeta = two.withColumn("meta",
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("k"),
+        org.apache.spark.sql.functions.col("doc_id").cast("string")))
+    val nMeta = Curate.writeCorpus(withMeta, s"$base/meta", targetMB = 1,
+      partitionCols = Seq("half"), slicesPerDir = 3)
+    assert(nMeta > 1)
+    assert(spark.read.parquet(s"$base/meta").count() == n)
+    val metaHot = parquetFiles(s"$base/meta")
+      .groupBy(_.getParent.toString).map(_._2.size).max
+    assert(metaHot > 1, "map-typed column defeated the slice salt")
   }
 
   test("duplicateClusters salted path returns the plain path's clusters") {

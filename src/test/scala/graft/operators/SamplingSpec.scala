@@ -155,6 +155,11 @@ class SamplingSpec extends SparkSpec {
       intercept[IllegalArgumentException](Sampling.selectByBudget(
         scored.withColumn("n_tokens",
           when(col("doc_id") === 0, lit(null)).otherwise(col("n_tokens"))), 100L))
+      // duplicate doc_id = tied rank keys: the range partitioner may
+      // split peers across partitions and rank them positionally where
+      // a single window ranks them as equals — refused, not risked
+      intercept[IllegalArgumentException](Sampling.selectByBudget(
+        scored.unionByName(scored.limit(1)), 100L))
     } finally graft.core.Caches.release()
   }
 }
