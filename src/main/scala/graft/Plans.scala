@@ -80,17 +80,19 @@ shows stragglers that AQE's split threshold misses; the salting recipe
 (replicate the few hundred hottest w1 vocab rows k ways — score-neutral)
 stays documented in the scaladoc as the escalation path.
 """,
-    "q84_dup_spans" -> """### q84 audit note: the gram-frame persist is a deployment knob (r10)
+    "q84_dup_spans" -> """### q84 audit note: the gram-frame persist is an API knob (r10, knob r11)
 
 The InMemoryRelation above is the (doc_id, start, gh) gram frame —
 MEMORY_AND_DISK at ~24 B/token — persisted because it feeds BOTH the
 window-frequency count and the span join. At 100 TB that cache spills
 multi-TB to executor scratch disk; the alternative is to NOT persist
 and let the span join recompute the scan+explode+md5 projection (one
-extra pass over the corpus, zero cache footprint). Both are one-line
-switches and bit-identical (the chain is deterministic either way):
-the persist wins at interactive scale and wherever aggregate cluster
-disk absorbs the spill, the recompute wins when scratch disk is the
+extra pass over the corpus, zero cache footprint). Since r11 that
+choice is the `persistGrams: Boolean = true` parameter on
+dupSpans/dupSpanIntervals/stripDupSpans, spec'd bit-identical both
+ways (the chain is deterministic either way): the persist (default)
+wins at interactive scale and wherever aggregate cluster disk absorbs
+the spill; `persistGrams = false` wins when scratch disk is the
 binding constraint. The shuffle story is unaffected — either way only
 three-long rows reach the gh exchange, and the span-level
 decontamination twin (contamSpanIntervals) needs NO persist at all:

@@ -480,13 +480,22 @@ object Dedup {
     * window hash — identical to the shingle ops above; the window
     * string never crosses a shuffle. The distinct-doc count is
     * two-phase partial-aggregated (bounded state even for a
-    * boilerplate window in millions of docs). The gram frame is
-    * persisted because it feeds both the frequency count and the
-    * span join — 24-byte rows, spill-safe.
+    * boilerplate window in millions of docs).
+    *
+    * `persistGrams` is the one deployment knob: the gram frame feeds
+    * both the frequency count and the span join, so `true` (default)
+    * caches it (24-byte rows, MEMORY_AND_DISK, spill-safe — right for
+    * bench-scale and for clusters with cache headroom), while `false`
+    * recomputes it — one extra pass over the corpus text, zero cache
+    * footprint — the right trade at 100 TB where the gram frame is
+    * itself multi-TB and would evict hotter state. Bit-identical
+    * output either way (spec-gated).
     */
-  private def mergedDupSpans(d: DataFrame, n: Int, minDocs: Int): DataFrame = {
+  private def mergedDupSpans(d: DataFrame, n: Int, minDocs: Int,
+                             persistGrams: Boolean): DataFrame = {
     require(minDocs >= 2, s"minDocs < 2 would flag every window, got $minDocs")
-    val grams = graft.core.Caches.persist(gramsOf(d, n))
+    val grams0 = gramsOf(d, n)
+    val grams = if (persistGrams) graft.core.Caches.persist(grams0) else grams0
     val dup = grams.groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= minDocs)
@@ -502,8 +511,10 @@ object Dedup {
     * synthetic docs; real corpora use 50-token windows (the Lee et al.
     * default) — the shape is n-independent.
     */
-  def dupSpans(d: DataFrame, n: Int = 6, minDocs: Int = 2): DataFrame =
-    spanReport(d, mergedDupSpans(d, n, minDocs), "dup_tokens", "dup_frac")
+  def dupSpans(d: DataFrame, n: Int = 6, minDocs: Int = 2,
+               persistGrams: Boolean = true): DataFrame =
+    spanReport(d, mergedDupSpans(d, n, minDocs, persistGrams),
+      "dup_tokens", "dup_frac")
 
   /** The merged (doc_id, s, e) duplicated-span intervals themselves —
     * public so a pipeline that wants BOTH the report and the strip can
@@ -512,8 +523,9 @@ object Dedup {
     * [[stripSpans]], instead of paying the gram scan and df-count
     * shuffle twice through the [[dupSpans]]/[[stripDupSpans]]
     * conveniences. */
-  def dupSpanIntervals(d: DataFrame, n: Int = 6, minDocs: Int = 2): DataFrame =
-    mergedDupSpans(d, n, minDocs)
+  def dupSpanIntervals(d: DataFrame, n: Int = 6, minDocs: Int = 2,
+                       persistGrams: Boolean = true): DataFrame =
+    mergedDupSpans(d, n, minDocs, persistGrams)
 
   /** [[dupSpanIntervals]]' twin for benchmark contamination. */
   def contamSpanIntervals(corpus: DataFrame, bench: DataFrame,
@@ -527,8 +539,13 @@ object Dedup {
     * can be reported AND stripped without recomputing the scan. */
   def spanReport(d: DataFrame, merged: DataFrame,
                  tokName: String, fracName: String): DataFrame = {
+    // null text carries no spans (gramsOf drops it in the scan), so it
+    // must read as n_toks = 0 / frac 0.0 here — the raw size(split(…))
+    // would yield -1 (or null under ANSI) and a negative/null fraction,
+    // silently corrupting the corpus-health dashboard
     val base = d.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_toks"))
+      when(col("text").isNull, lit(0L))
+        .otherwise(size(split(col("text"), " ")).cast("long")).as("n_toks"))
     val stats = merged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as(tokName))
@@ -536,7 +553,8 @@ object Dedup {
       .select(col("doc_id"), col("n_toks"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col(tokName), lit(0L)).as(tokName))
-      .withColumn(fracName, round(col(tokName) / col("n_toks"), 6))
+      .withColumn(fracName, when(col("n_toks") === 0L, lit(0.0))
+        .otherwise(round(col(tokName) / col("n_toks"), 6)))
       .orderBy(col("doc_id"))
   }
 
@@ -546,45 +564,99 @@ object Dedup {
     * `clean_text`. Per-doc span lists are collected bounded (≤
     * (n_toks+1)/2 intervals by construction — adjacent spans merged,
     * so spans are separated by ≥ 1 kept token).
-    *
-    * Scale boundary (documented, not hit here): the cut is a per-token
-    * `exists` over the doc's sorted span list — O(n_toks × n_spans)
-    * per document with no shuffle. Fine for real span counts (a
-    * handful per doc); a pathological fully-alternating 100k-token doc
-    * approaches n²/2 comparisons. If such docs exist, the linear
-    * alternative is explode-spans-to-positions → anti-join → re-join
-    * tokens — two extra shuffles, no quadratic term; q61's repetition
-    * score is the cheap pre-filter that finds such docs first.
     */
-  def stripDupSpans(d: DataFrame, n: Int = 6, minDocs: Int = 2): DataFrame =
-    stripSpans(d, mergedDupSpans(d, n, minDocs))
+  def stripDupSpans(d: DataFrame, n: Int = 6, minDocs: Int = 2,
+                    persistGrams: Boolean = true): DataFrame =
+    stripSpans(d, mergedDupSpans(d, n, minDocs, persistGrams),
+      premerged = true)
 
   /** Cut merged (doc_id, s, e) token intervals out of `d`'s text —
     * the shared surgery under [[stripDupSpans]] and
     * [[stripContaminatedSpans]]; public for the same precomputed-spans
-    * reuse as [[spanReport]]. */
-  def stripSpans(d: DataFrame, merged: DataFrame): DataFrame = {
-    // the join-side column is internal; refuse inputs that collide with
-    // it or with the output column (the Ingest reserved-name pattern —
-    // a silent clobber would violate the "input + clean_text" contract)
-    val SpansCol = "_graft_spans"
-    require(!d.columns.contains(SpansCol), s"input already has a $SpansCol column")
-    require(!d.columns.contains("clean_text"),
-      "input already has a clean_text column; rename it before stripping")
+    * reuse as [[spanReport]].
+    *
+    * The cut is LINEAR per document and stays inside the one corpus
+    * scan: instead of testing every token against the span list (the
+    * retained [[stripSpansExists]] oracle — O(n_toks × n_spans), a
+    * straggler-killer on a pathological alternating doc), the sorted
+    * span list's COMPLEMENT — the kept gaps `[0, s₁−1], [e₁+1, s₂−1],
+    * …, [e_k+1, n−1]` — is computed inline and each gap `slice`s the
+    * token array once: O(n_toks + n_spans) per doc, zero extra
+    * shuffles. This supersedes the explode-positions → anti-join →
+    * re-join alternative (same asymptotics, but that one pays two
+    * corpus-wide shuffles and a re-sort).
+    *
+    * The gap complement is only correct over SORTED NON-CONTAINED
+    * intervals, so unless `premerged` promises [[mergeIslands]]-shape
+    * input (the internal callers), arbitrary public spans are
+    * normalized through the same island merge first — one extra
+    * window+groupBy on the INTERVALS frame (small), never on the
+    * corpus. Null-text docs carry no spans ([[gramsOf]] drops them in
+    * the scan) and pass through with `clean_text` = null.
+    */
+  def stripSpans(d: DataFrame, merged: DataFrame,
+                 premerged: Boolean = false): DataFrame = {
+    val (spansCol, toksCol) = requireStripSafe(d)
+    val norm =
+      if (premerged) merged
+      else mergeIslands(merged.select(col("doc_id"),
+        col("s").as("start"), col("e")))
+    val spansArr = norm
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as(spansCol))
+    d.join(spansArr, Seq("doc_id"), "left")
+      .withColumn(toksCol, split(col("text"), " "))
+      .withColumn("clean_text",
+        when(col(spansCol).isNull, col("text")).otherwise(expr(
+          s"""array_join(
+             |  flatten(zip_with(
+             |    concat(array(0L), transform($spansCol, sp -> sp.e + 1L)),
+             |    concat(transform($spansCol, sp -> sp.s - 1L),
+             |           array(CAST(size($toksCol) - 1 AS BIGINT))),
+             |    (gs, ge) -> IF(ge >= gs,
+             |                   slice($toksCol, CAST(gs + 1 AS INT),
+             |                         CAST(ge - gs + 1 AS INT)),
+             |                   CAST(array() AS ARRAY<STRING>)))),
+             |  ' ')""".stripMargin)))
+      .drop(spansCol, toksCol)
+  }
+
+  /** The retained naive cut — per-token `exists` over the span list,
+    * O(n_toks × n_spans) per doc. Kept ONLY as the differential oracle
+    * for [[stripSpans]]' gap-slice path (the [[graft.operators.Bpe]]
+    * naive-trainer pattern); handles unsorted/overlapping spans by
+    * construction, which is what makes it the right oracle for the
+    * normalization contract too. Never ship this path. */
+  private[graft] def stripSpansExists(d: DataFrame, merged: DataFrame): DataFrame = {
+    val (spansCol, _) = requireStripSafe(d)
     val spansArr = merged
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as(SpansCol))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as(spansCol))
     d.join(spansArr, Seq("doc_id"), "left")
       .withColumn("clean_text",
-        when(col(SpansCol).isNull, col("text")).otherwise(expr(
+        when(col(spansCol).isNull, col("text")).otherwise(expr(
           s"""array_join(
              |  filter(
              |    transform(split(text, ' '),
-             |      (t, i) -> IF(exists($SpansCol, sp -> i >= sp.s AND i <= sp.e),
+             |      (t, i) -> IF(exists($spansCol, sp -> i >= sp.s AND i <= sp.e),
              |                   CAST(NULL AS STRING), t)),
              |    x -> x IS NOT NULL),
              |  ' ')""".stripMargin)))
-      .drop(SpansCol)
+      .drop(spansCol)
+  }
+
+  /** Shared refusal gate for the strip twins: the join-side and token
+    * columns are internal; refuse inputs that collide with them or with
+    * the output column (the Ingest reserved-name pattern — a silent
+    * clobber would violate the "input + clean_text" contract). */
+  private def requireStripSafe(d: DataFrame): (String, String) = {
+    val SpansCol = "_graft_spans"
+    val ToksCol = "_graft_toks"
+    require(!d.columns.contains(SpansCol), s"input already has a $SpansCol column")
+    require(!d.columns.contains(ToksCol), s"input already has a $ToksCol column")
+    require(!d.columns.contains("clean_text"),
+      "input already has a clean_text column; rename it before stripping")
+    (SpansCol, ToksCol)
   }
 
   /** Corpus token intervals that literally quote the benchmark: every
@@ -621,7 +693,8 @@ object Dedup {
     */
   def stripContaminatedSpans(corpus: DataFrame, bench: DataFrame,
                              n: Int = 6): DataFrame =
-    stripSpans(corpus, mergedContamSpans(corpus, bench, n))
+    stripSpans(corpus, mergedContamSpans(corpus, bench, n),
+      premerged = true)
 
   /** Per-document report twin of [[stripContaminatedSpans]]: (doc_id,
     * n_toks, n_spans, contam_tokens, contam_frac) for every corpus doc. */

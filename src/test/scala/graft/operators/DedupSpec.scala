@@ -269,6 +269,87 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("stripSpans: linear gap-slice cut is byte-identical to the exists oracle") {
+    import spark.implicits._
+    // real corpus: the same merged intervals through both cut paths
+    val intervals = try Dedup.dupSpanIntervals(spanCorpus, n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    finally graft.core.Caches.release()
+    val merged = intervals.toDF("doc_id", "s", "e")
+    def cleanMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "clean_text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleanMap(Dedup.stripSpans(spanCorpus, merged)) ==
+      cleanMap(Dedup.stripSpansExists(spanCorpus, merged)))
+
+    // pathological fully-alternating doc — the case that made the
+    // per-token exists path quadratic (n²/2 comparisons): every even
+    // position is its own span, so n_spans ≈ n_toks/2. The gap-slice
+    // path pays O(n_toks + n_spans); both must agree byte-for-byte.
+    val nToks = 2001
+    val doc = Seq((1L, (0 until nToks).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val altSpans = (0 until nToks by 2).map(i => (1L, i.toLong, i.toLong))
+      .toDF("doc_id", "s", "e")
+    val fast = Dedup.stripSpans(doc, altSpans).select("clean_text").head.getString(0)
+    assert(fast == Dedup.stripSpansExists(doc, altSpans)
+      .select("clean_text").head.getString(0))
+    assert(fast == (1 until nToks by 2).map(i => s"t$i").mkString(" "))
+
+    // arbitrary public spans — unsorted, overlapping, contained,
+    // adjacent — are normalized through the island merge before the
+    // gap complement (which is only correct over sorted non-contained
+    // intervals); the exists oracle needs no normalization, so
+    // agreement here gates the normalization contract itself
+    val messy = Seq((1L, 10L, 14L), (1L, 4L, 9L), (1L, 6L, 8L), (1L, 20L, 20L))
+      .toDF("doc_id", "s", "e")
+    val doc2 = Seq((1L, (0 until 25).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.stripSpans(doc2, messy).select("clean_text").head.getString(0)
+    assert(got == Dedup.stripSpansExists(doc2, messy)
+      .select("clean_text").head.getString(0))
+    assert(got == ((0 to 3) ++ (15 to 19) ++ (21 to 24))
+      .map(i => s"w$i").mkString(" "))
+  }
+
+  test("dupSpans and stripDupSpans tolerate null text") {
+    import spark.implicits._
+    val withNull = spanCorpus.union(
+      Seq((10L, Option.empty[String])).toDF("doc_id", "text"))
+    // the report reads null as an empty doc — n_toks 0, frac 0.0 —
+    // never the raw size(split(null)) = -1 / null
+    val rep = try Dedup.dupSpans(withNull, n = 3, minDocs = 2).collect()
+    finally graft.core.Caches.release()
+    val r10 = rep.find(_.getLong(0) == 10L).get
+    assert((r10.getLong(1), r10.getLong(2), r10.getLong(3), r10.getDouble(4))
+      == ((0L, 0L, 0L, 0.0)))
+    // the strip passes a null doc through untouched (clean_text null);
+    // real docs still cut as before
+    val clean = try Dedup.stripDupSpans(withNull, n = 3, minDocs = 2)
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    finally graft.core.Caches.release()
+    assert(clean(10L) == null && clean(1L) == "a1 a2 a3")
+  }
+
+  test("persistGrams = false is bit-identical to the persisted default") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val cached = try rows(Dedup.dupSpans(spanCorpus, n = 3, minDocs = 2))
+    finally graft.core.Caches.release()
+    // no Caches.release needed: the uncached path registers nothing
+    assert(rows(Dedup.dupSpans(spanCorpus, n = 3, minDocs = 2,
+      persistGrams = false)) == cached)
+    def texts(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "clean_text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val strippedCached = try texts(Dedup.stripDupSpans(spanCorpus, n = 3, minDocs = 2))
+    finally graft.core.Caches.release()
+    assert(texts(Dedup.stripDupSpans(spanCorpus, n = 3, minDocs = 2,
+      persistGrams = false)) == strippedCached)
+  }
+
   test("dupSpans under 500x duplication stays linear — every copy reported, no pair blowup") {
     import spark.implicits._
     // the q31/q33 skew discipline fixture: pair-based near-dup ops need
