@@ -236,8 +236,20 @@ object Curate {
     val shuffleKeys =
       if (partitionCols.isEmpty) Nil
       else if (slices == 1) partitionCols.map(c => col(s"`$c`"))
-      else partitionCols.map(c => col(s"`$c`")) :+
-        pmod(hash(saltCols.toSeq: _*), lit(slices))
+      else {
+        // saltCols empty ⟹ EVERY column's type tree has a MapType —
+        // including the partition columns, which parquet partitionBy
+        // (and repartition itself) would reject downstream anyway.
+        // Refuse here with an intelligible message instead of letting
+        // the zero-arg hash() throw a generic AnalysisException at
+        // plan time
+        require(saltCols.nonEmpty,
+          "writeCorpus: no hashable column to salt directory slices with — " +
+            "every column's type tree contains a MapType; drop or re-encode " +
+            "the map-typed columns (e.g. to_json) before writing")
+        partitionCols.map(c => col(s"`$c`")) :+
+          pmod(hash(saltCols.toSeq: _*), lit(slices))
+      }
     val repartitioned =
       if (shuffleKeys.isEmpty) d.repartition(nFiles)
       else d.repartition(nFiles, shuffleKeys: _*)

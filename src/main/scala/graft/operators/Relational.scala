@@ -569,16 +569,21 @@ object Relational {
     * and the numeric mean where the column parses as a number. ONE scan:
     * the columns melt through an `explode(array(struct…))` projection
     * (the q51 unpivot shape — no union of per-column scans), then a
-    * single grouped aggregation. `countDistinct` is the exact-count
-    * choice so the oracle can replay it; at 100 TB swap it for
-    * `approx_count_distinct` (same call shape, mergeable sketch, the
-    * q07→q12 twin) — the rest of the aggregate is map-side-combinable
-    * partial state either way. min/max compare the STRING form (so one
-    * schema serves every column type); numeric ranges live in avg_num
-    * and the dedicated stats operators (q48).
+    * single grouped aggregation. `exactDistinct` is the scale knob
+    * (the q47 autoSwap pattern — a parameter, not a comment): `true`
+    * (default) counts distinct exactly so the oracle can replay it
+    * (q82's hash gate); `false` swaps in `approx_count_distinct`
+    * (rsd 0.01 — the q07→q12 twin), whose mergeable HLL sketch keeps
+    * per-group state bounded when a 100 TB column's distinct set
+    * would not fit an exact-count hash table. The rest of the
+    * aggregate is map-side-combinable partial state either way.
+    * min/max compare the STRING form (so one schema serves every
+    * column type); numeric ranges live in avg_num and the dedicated
+    * stats operators (q48).
     */
   def profileColumns(d: DataFrame, groupCols: Seq[String],
-                     cols: Seq[String]): DataFrame = {
+                     cols: Seq[String],
+                     exactDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty)
     val melted = d.select((groupCols.map(col) :+
       explode(array(cols.map(c =>
@@ -593,7 +598,8 @@ object Relational {
       .agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col("v")).as("n_distinct"),
+        (if (exactDistinct) countDistinct(col("v"))
+         else approx_count_distinct(col("v"), 0.01)).as("n_distinct"),
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"),
         round(avg(col("num")), 6).as("avg_num"))

@@ -136,6 +136,18 @@ class CurateSpec extends SparkSpec {
     val metaHot = parquetFiles(s"$base/meta")
       .groupBy(_.getParent.toString).map(_._2.size).max
     assert(metaHot > 1, "map-typed column defeated the slice salt")
+    // degenerate twin: when EVERY column's type tree has a MapType
+    // there is nothing to salt with — refuse with an intelligible
+    // message, not hash()'s zero-arg AnalysisException at plan time
+    val allMaps = withMeta.select(
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("h"),
+        org.apache.spark.sql.functions.col("half").cast("string")).as("half"),
+      org.apache.spark.sql.functions.col("meta"))
+    val err = intercept[IllegalArgumentException](
+      Curate.writeCorpus(allMaps, s"$base/allmaps", targetMB = 1,
+        partitionCols = Seq("half"), slicesPerDir = 3))
+    assert(err.getMessage.contains("no hashable column"))
   }
 
   test("duplicateClusters salted path returns the plain path's clusters") {

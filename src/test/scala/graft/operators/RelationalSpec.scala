@@ -199,6 +199,17 @@ class RelationalSpec extends SparkSpec {
     // group a, string col: distinct counts values not nulls; no numeric mean
     assert(p(("a", "s")) == ((3L, 1L, 1L, Some("x"), None)))
     assert(p(("b", "n")) == ((1L, 0L, 1L, Some("5"), Some(5.0))))
+    // the scale knob: exactDistinct = false swaps the exact count for
+    // the mergeable HLL sketch (bounded per-group state at 100 TB).
+    // Same schema, same melt; at these cardinalities the sketch is
+    // exact, so the whole profile must match the exact path cell-level
+    val pa = Relational.profileColumns(d, Seq("g"), Seq("n", "s"),
+      exactDistinct = false).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.getString(5)), if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+      .toMap
+    assert(pa == p)
     // the melt must be ONE pass over the table (q51's unpivot rule):
     // a union of per-column scans would read it once per column
     val plan = Relational.q82Profile(spark, sfDir)
