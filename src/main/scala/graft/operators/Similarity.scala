@@ -15,7 +15,7 @@ import graft.core.Tables
   */
 object Similarity {
 
-  import graft.functions.VectorFunctions.{dot, l2norm}
+  import graft.functions.VectorFunctions.{dot, l2norm, constVec}
 
   /** Corpus preparation: any (id, ARRAY<numeric> vector) frame →
     * `(vec_id, v DOUBLE[], norm)` with the norm as the codegen'd strict
@@ -516,17 +516,54 @@ object Similarity {
     * shuffle); the pair search is scoped WITHIN cells — the whole point
     * of SemDeDup is that the quadratic is per-cluster, so cost is
     * Σ n_c², not N². The nCells knob controls that quadratic: at 100 TB
-    * train thousands of cells (cells of ~10⁴ vectors), and for a fat
-    * cell compose with the q35 hyperplane-LSH candidate cut inside the
-    * cell. Cross-cluster near-dups are missed BY DESIGN (the published
-    * algorithm's recall trade).
+    * train thousands of cells (cells of ~10⁴ vectors). Cross-cluster
+    * near-dups are missed BY DESIGN (the published algorithm's recall
+    * trade).
+    *
+    * Degenerate-cell guard (the q47 probe pattern): under the shuffle
+    * join each cell's pair search is one task's nested loop, so ONE
+    * fat cell (poorly trained codebook, all vectors near one centroid)
+    * is an n²/2 straggler — not distributed work. A map-side-
+    * combinable probe measures the fattest cell first; past
+    * `maxCellRows` the call REFUSES by default, or — with `autoSplit`
+    * — sub-buckets fat cells by ceil(log₂(maxN / maxCellRows))
+    * deterministic hyperplane sign bits (the q35/q36 planes), scoping
+    * pairs to (cell, sub-bucket). The split is the in-cell LSH
+    * composition the published recall trade already accepts: it can
+    * only MISS pairs (cross-sub-bucket near-dups), never invent them,
+    * so `kept` grows monotonically under splitting (spec-gated).
     *
     * @param assigned (cell, vec_id, v, norm) — [[ivfAssign]] output
     */
-  def semDedup(assigned: DataFrame, tau: Double): DataFrame = {
-    val a = assigned.select(col("cell"), col("vec_id").as("aid"),
+  def semDedup(assigned: DataFrame, tau: Double,
+               maxCellRows: Long = 100000L,
+               autoSplit: Boolean = false): DataFrame = {
+    require(maxCellRows > 0)
+    val maxRow = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect().head
+    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    require(maxN <= maxCellRows || autoSplit,
+      s"semDedup's pair search is quadratic per cell (fattest cell: $maxN " +
+        s"rows > $maxCellRows): train more cells, pass autoSplit = true to " +
+        "sub-bucket fat cells by hyperplane LSH bits (cross-sub-bucket " +
+        "near-dups are then missed), or raise maxCellRows deliberately")
+    val splits = (maxN + maxCellRows - 1) / maxCellRows
+    val bits = math.min(Vectors.NPlanes,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, splits - 1)))
+    // planes are Dims-wide; truncate BOTH sides to min(size(v), Dims)
+    // so a shorter/longer vector projects on the leading dims instead
+    // of null-ing the fold (zip_with pads with null)
+    val nd = least(size(col("v")), lit(Vectors.Dims))
+    val sub: Column =
+      if (bits == 0) lit(0L)
+      else (0 until bits).map(p =>
+        when(dot(slice(col("v"), lit(1), nd),
+          slice(constVec(Vectors.signs(p).map(_.toDouble)), lit(1), nd)) > 0d,
+          lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+    val keyed = assigned.withColumn("_sub", sub)
+    val a = keyed.select(col("cell"), col("_sub"), col("vec_id").as("aid"),
       col("v").as("av"), col("norm").as("anorm"))
-    val dups = a.join(assigned, Seq("cell"))
+    val dups = a.join(keyed, Seq("cell", "_sub"))
       .filter(col("aid") < col("vec_id") &&
         round(dot(col("av"), col("v")) / (col("anorm") * col("norm")), 6) >= tau)
       .groupBy(col("vec_id"))

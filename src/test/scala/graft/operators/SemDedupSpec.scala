@@ -36,6 +36,30 @@ class SemDedupSpec extends SparkSpec {
     assert(out.forall(_.getBoolean(2)))
   }
 
+  test("degenerate fat cell: the probe refuses; autoSplit only ever misses pairs") {
+    // every vector in ONE cell — the poorly-trained-codebook degenerate
+    // that turns the per-cell pair search into a single-task n²/2 loop
+    val one = Similarity.prepare(
+        graft.core.Tables(spark, sfDir, "embeddings"), "vec_id", "embedding")
+      .withColumn("cell", lit(0L))
+      .select(col("cell"), col("vec_id"), col("v"), col("norm"))
+    val err = intercept[IllegalArgumentException](
+      Similarity.semDedup(one, tau = 0.4, maxCellRows = 10))
+    assert(err.getMessage.contains("quadratic per cell"))
+    def manifest(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(4)))).toMap
+    val plain = manifest(Similarity.semDedup(one, tau = 0.4))
+    val split = manifest(Similarity.semDedup(one, tau = 0.4,
+      maxCellRows = 10, autoSplit = true))
+    // same manifest domain; sub-bucketing scopes the pair search, so it
+    // can only MISS near-pairs (cross-sub-bucket), never invent them:
+    // kept grows monotonically and every n_near can only shrink
+    assert(split.keySet == plain.keySet)
+    assert(plain.collect { case (id, (true, _)) => id }.toSet
+      .subsetOf(split.collect { case (id, (true, _)) => id }.toSet))
+    assert(split.forall { case (id, (_, nNear)) => nNear <= plain(id)._2 })
+  }
+
   test("q65 manifest covers the whole corpus exactly once") {
     val out = Similarity.q65SemDedup(spark, sfDir)
     val n = out.count()
