@@ -167,38 +167,45 @@ object Mjpeg {
     if (8L + riffSize > b.length) return None
     val limit = (8L + riffSize).toInt
 
-    var bad = false
+    var bad = false                  // FATAL: header/structure damage
     var usPerFrame = 0L              // avih.dwMicroSecPerFrame (fps fallback)
     var scale = 0L; var rate = 0L    // strh.dwScale/dwRate of the vids stream
     var strfW = -1L; var strfH = -1L // strf BITMAPINFOHEADER dims
     var streamIdx = 0                // strl lists in declaration order
     var vidsIdx = -1                 // which stream number carries MJPG video
     var firstW = -1; var firstH = -1 // SOF dims of the first decoded frame
-    val offs = Array.newBuilder[Int]
-    val lens = Array.newBuilder[Int]
+    var offs = Array.newBuilder[Int]
+    var lens = Array.newBuilder[Int]
+    var moviPos = -1                 // 'movi' fourcc position (idx1 offset base)
+    var moviOk = true                // NON-fatal: damaged movi falls back to idx1
+    var idxDs = -1; var idxSize = 0  // legacy idx1 chunk data range
 
     // one pass over a [from,to) chunk run; sizes validated in Long
-    // before any Int narrowing so a crafted dwSize cannot wrap past `to`
-    def chunks(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+    // before any Int narrowing so a crafted dwSize cannot wrap past
+    // `to`. Returns false on structural failure — the CALLER decides
+    // severity: header damage is fatal, movi damage falls to idx1
+    def chunks(from: Int, to: Int)(f: (String, Int, Int) => Boolean): Boolean = {
       var pos = from
-      while (pos < to && !bad) {
-        if (pos + 8 > to) bad = true
+      var ok = true
+      while (pos < to && ok) {
+        if (pos + 8 > to) ok = false
         else {
           val size = u32(b, pos + 4)
           val ds = pos + 8
-          if (ds + size > to) bad = true
+          if (ds + size > to) ok = false
           else {
-            f(fourcc(b, pos), ds, size.toInt)
+            ok = f(fourcc(b, pos), ds, size.toInt)
             pos = ds + size.toInt + (size.toInt & 1) // chunks pad to even
           }
         }
       }
+      ok
     }
 
     def handleStrl(from: Int, to: Int): Unit = {
       var isVids = false; var isMjpgHandler = false; var isMjpgFormat = false
       var sScale = 0L; var sRate = 0L; var sW = -1L; var sH = -1L
-      chunks(from, to) { (id, ds, size) =>
+      if (!chunks(from, to) { (id, ds, size) =>
         if (id == "strh" && size >= 28) {
           isVids = fourcc(b, ds) == "vids"
           val handler = fourcc(b, ds + 4)
@@ -212,7 +219,8 @@ object Mjpeg {
           sH = math.abs(u32(b, ds + 8).toInt.toLong)
           isMjpgFormat = fourcc(b, ds + 16).equalsIgnoreCase("MJPG")
         }
-      }
+        true
+      }) bad = true
       if (isVids) {
         if (vidsIdx >= 0) bad = true // two video streams: out of scope
         else if (isMjpgHandler || isMjpgFormat) {
@@ -222,44 +230,96 @@ object Mjpeg {
       streamIdx += 1
     }
 
-    def handleMovi(from: Int, to: Int): Unit = chunks(from, to) { (id, ds, size) =>
-      if (id == "LIST" && fourcc(b, ds) == "rec ") handleMovi(ds + 4, ds + size)
-      else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
-        (id.endsWith("dc") || id.endsWith("db"))) {
-        val streamNo = (id(0) - '0') * 10 + (id(1) - '0')
-        // zero-size video chunks are the standard AVI encoding for
-        // DROPPED frames — skip them rather than reject the file (the
-        // stream's timing shifts by the dropped slots; the alternative,
-        // repeating the previous frame, would fabricate pixel data)
-        if (streamNo == vidsIdx && size > 0) {
-          jpegWalk(b, ds) match {
-            // chunks may pad past EOI; the JPEG itself must fit inside
-            case Some((end, fw, fh)) if end <= ds + size =>
-              if (firstW < 0) { firstW = fw; firstH = fh }
-              else if (fw != firstW || fh != firstH) bad = true
-              offs += ds
-              lens += end - ds
-            case _ => bad = true
-          }
-        }
+    def isVidsChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db")) &&
+        (id(0) - '0') * 10 + (id(1) - '0') == vidsIdx
+
+    // shared by the inline movi walk and the idx1 rebuild: false on a
+    // malformed frame or a mid-stream geometry change
+    def addFrame(ds: Int, size: Int): Boolean =
+      jpegWalk(b, ds) match {
+        // chunks may pad past EOI; the JPEG itself must fit inside
+        case Some((end, fw, fh)) if end <= ds + size =>
+          if (firstW < 0) { firstW = fw; firstH = fh }
+          else if (fw != firstW || fh != firstH) return false
+          offs += ds
+          lens += end - ds
+          true
+        case _ => false
       }
+
+    def handleMovi(from: Int, to: Int): Boolean = chunks(from, to) { (id, ds, size) =>
+      if (id == "LIST" && fourcc(b, ds) == "rec ") handleMovi(ds + 4, ds + size)
+      // zero-size video chunks are the standard AVI encoding for
+      // DROPPED frames — skip them rather than reject the file (the
+      // stream's timing shifts by the dropped slots; the alternative,
+      // repeating the previous frame, would fabricate pixel data)
+      else if (isVidsChunk(id) && size > 0) addFrame(ds, size)
+      else true
     }
 
-    chunks(12, limit) { (id, ds, size) =>
+    if (!chunks(12, limit) { (id, ds, size) =>
       if (id == "LIST") fourcc(b, ds) match {
-        case "hdrl" => chunks(ds + 4, ds + size) { (id2, ds2, size2) =>
-          if (id2 == "avih" && size2 >= 40) {
-            usPerFrame = u32(b, ds2) // dims live in strf; avih's are advisory
-          } else if (id2 == "LIST" && fourcc(b, ds2) == "strl")
-            handleStrl(ds2 + 4, ds2 + size2)
-        }
-        case "movi" => handleMovi(ds + 4, ds + size)
-        case _      => () // INFO etc.
-      } // idx1 / JUNK / other top-level chunks are skippable by design
-    }
+        case "hdrl" =>
+          if (!chunks(ds + 4, ds + size) { (id2, ds2, size2) =>
+            if (id2 == "avih" && size2 >= 40) {
+              usPerFrame = u32(b, ds2) // dims live in strf; avih's are advisory
+            } else if (id2 == "LIST" && fourcc(b, ds2) == "strl")
+              handleStrl(ds2 + 4, ds2 + size2)
+            true
+          }) bad = true
+        case "movi" =>
+          if (moviPos < 0) moviPos = ds
+          if (!handleMovi(ds + 4, ds + size)) moviOk = false
+        case _ => () // INFO etc.
+      } else if (id == "idx1") { idxDs = ds; idxSize = size }
+      !bad // JUNK / other top-level chunks are skippable by design
+    }) bad = true
+    if (bad || vidsIdx < 0) return None
 
-    val offsets = offs.result()
-    if (bad || vidsIdx < 0 || offsets.isEmpty) return None
+    var offsets = offs.result()
+    var lengths = lens.result()
+    // idx1 fallback: real-world AVIs exist whose frame chunks are only
+    // reachable through the legacy index — the sequential movi walk
+    // breaks on inter-chunk garbage, or the movi run carries nothing it
+    // can discover. Each 16-byte idx1 entry is (ckid, dwFlags,
+    // dwChunkOffset, dwChunkSize); rebuild the frame list from the
+    // entries instead, under the same JPEG-walk + one-geometry rules
+    if ((!moviOk || offsets.isEmpty) && idxDs >= 0) {
+      offs = Array.newBuilder[Int]; lens = Array.newBuilder[Int]
+      firstW = -1; firstH = -1
+      var idxOk = true
+      var off = idxDs
+      val idxEnd = idxDs + idxSize
+      while (off + 16 <= idxEnd && idxOk) {
+        val ckid = fourcc(b, off)
+        if (isVidsChunk(ckid)) {
+          val entOff = u32(b, off + 8)
+          // dwChunkOffset is conventionally relative to the 'movi'
+          // fourcc; some writers emit absolute file offsets. Resolve
+          // per entry by requiring the chunk header at the candidate
+          // position to carry the entry's own ckid
+          Seq(moviPos.toLong + entOff, entOff)
+            .find(p => p >= 0 && p + 8 <= limit &&
+              fourcc(b, p.toInt) == ckid) match {
+            case Some(pL) =>
+              val p = pL.toInt
+              val csize = u32(b, p + 4)
+              if (p + 8 + csize > limit) idxOk = false
+              else if (csize > 0 && !addFrame(p + 8, csize.toInt)) idxOk = false
+              // csize == 0: dropped frame — skipped, like the inline walk
+            case None => idxOk = false
+          }
+        } // non-vids entries ('rec ' lists, audio, 7Fxx padding): skip
+        off += 16
+      }
+      if (!idxOk) return None
+      offsets = offs.result()
+      lengths = lens.result()
+    } else if (!moviOk) return None // damaged movi and no index to recover by
+
+    if (offsets.isEmpty) return None
     // the container's declared dims must agree with the pixels' own SOF
     // header (when strf carried them) — a mismatch means a broken writer
     if (firstW <= 0 || firstH <= 0 || firstW > 16384 || firstH > 16384) return None
@@ -271,6 +331,6 @@ object Mjpeg {
       else if (usPerFrame > 0 && usPerFrame <= 10000000L)
         (1000000, usPerFrame.toInt)
       else return None
-    Some(Stream(firstW, firstH, fn, fd, "avi", offsets, lens.result()))
+    Some(Stream(firstW, firstH, fn, fd, "avi", offsets, lengths))
   }
 }

@@ -243,27 +243,66 @@ class MultimodalSpec extends SparkSpec {
   private def riffList(typ: String, children: Array[Byte]): Array[Byte] =
     riffChunk("LIST", typ.getBytes("US-ASCII") ++ children)
 
+  private def hdrlFor(nFrames: Int, w: Int, h: Int,
+      scale: Int, rate: Int, strfH: Option[Long]): Array[Byte] = {
+    val avih = le32(1000000L * scale / rate) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(nFrames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte)
+    val strh = "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+      le32(0) ++ Array.fill(4)(0.toByte) ++ le32(0) ++ // flags, prio+lang, initial
+      le32(scale.toLong) ++ le32(rate.toLong) ++ le32(0) ++
+      le32(nFrames.toLong) ++ le32(0) ++ le32(0xffffffffL) ++ le32(0) ++
+      Array.fill(8)(0.toByte) // rcFrame
+    val strf = le32(40) ++ le32(w.toLong) ++ le32(strfH.getOrElse(h.toLong)) ++
+      Array[Byte](1, 0, 24, 0) ++ "MJPG".getBytes("US-ASCII") ++
+      le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    riffList("hdrl", riffChunk("avih", avih) ++
+      riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+  }
+
   /** A genuine MJPG AVI assembled per the public RIFF spec: hdrl
     * (avih + one vids strl with dwScale/dwRate timing) then movi with
     * one 00dc chunk per JPEG frame. */
   private def makeAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
       scale: Int, rate: Int, strfH: Option[Long] = None): Array[Byte] = {
-    val avih = le32(1000000L * scale / rate) ++ le32(0) ++ le32(0) ++ le32(0) ++
-      le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
-      le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte)
-    val strh = "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
-      le32(0) ++ Array.fill(4)(0.toByte) ++ le32(0) ++ // flags, prio+lang, initial
-      le32(scale.toLong) ++ le32(rate.toLong) ++ le32(0) ++
-      le32(frames.length.toLong) ++ le32(0) ++ le32(0xffffffffL) ++ le32(0) ++
-      Array.fill(8)(0.toByte) // rcFrame
-    val strf = le32(40) ++ le32(w.toLong) ++ le32(strfH.getOrElse(h.toLong)) ++
-      Array[Byte](1, 0, 24, 0) ++ "MJPG".getBytes("US-ASCII") ++
-      le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
-    val hdrl = riffList("hdrl", riffChunk("avih", avih) ++
-      riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val hdrl = hdrlFor(frames.length, w, h, scale, rate, strfH)
     val movi = riffList("movi",
       frames.map(f => riffChunk("00dc", f)).reduce(_ ++ _))
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  /** An MJPG AVI carrying a legacy idx1 index. With `junk`, undecodable
+    * bytes sit between the movi frame chunks so the sequential walk
+    * cannot chain them — the file is only readable through the index
+    * (the real-world shape idx1 exists for). `absolute` switches the
+    * index offsets from the conventional movi-relative form to the
+    * absolute-file-offset form some writers emit. */
+  private def makeIdxAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+      scale: Int, rate: Int, junk: Boolean, absolute: Boolean,
+      withIdx: Boolean = true): Array[Byte] = {
+    val hdrl = hdrlFor(frames.length, w, h, scale, rate, None)
+    // 8 garbage bytes whose "size" field overruns the list: breaks the
+    // sequential chunk chain without being parseable as anything
+    val garbage = "ZZZZ".getBytes("US-ASCII") ++ le32(0x7ffffff0L)
+    val childB = Array.newBuilder[Byte]
+    val relOffsets = Array.newBuilder[Int]
+    var acc = 4 // first chunk sits right after the 'movi' fourcc
+    frames.zipWithIndex.foreach { case (f, i) =>
+      if (i > 0 && junk) { childB ++= garbage; acc += garbage.length }
+      relOffsets += acc
+      val c = riffChunk("00dc", f)
+      childB ++= c; acc += c.length
+    }
+    val movi = riffList("movi", childB.result())
+    val moviFourccPos = 12 + hdrl.length + 8
+    val entries = frames.zip(relOffsets.result()).map { case (f, r) =>
+      "00dc".getBytes("US-ASCII") ++ le32(0x10L) ++ // AVIIF_KEYFRAME
+        le32(if (absolute) (moviFourccPos + r).toLong else r.toLong) ++
+        le32(f.length.toLong)
+    }.reduce(_ ++ _)
+    val idx1 = if (withIdx) riffChunk("idx1", entries) else Array.empty[Byte]
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ idx1
     "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
   }
 
@@ -373,6 +412,50 @@ class MultimodalSpec extends SparkSpec {
     // a genuinely wrong strf height still rejects
     assert(Mjpeg.parse(makeAvi(Seq(jpegFrame(8, 6, 90)), 8, 6, 1, 5,
       strfH = Some(12L))).isEmpty)
+  }
+
+  test("AVI idx1 index recovers frames the sequential movi walk cannot") {
+    val fs = Seq(jpegFrame(8, 6, 40), jpegFrame(8, 6, 150), jpegFrame(8, 6, 230))
+    val inline = makeAvi(fs, 8, 6, scale = 1, rate = 2)
+    val sInline = Mjpeg.parse(inline).get
+    // movi-relative offsets (the spec'd convention), inter-chunk junk:
+    // only the index can chain the frames — and the parsed stream must
+    // equal the inline twin's, frame bytes included
+    val idxRel = makeIdxAvi(fs, 8, 6, 1, 2, junk = true, absolute = false)
+    val sRel = Mjpeg.parse(idxRel).get
+    assert(sRel.container == "avi" && sRel.frames == sInline.frames)
+    assert(sRel.width == 8 && sRel.height == 6 &&
+      sRel.fpsNum == sInline.fpsNum && sRel.fpsDen == sInline.fpsDen)
+    fs.indices.foreach(i => assert(java.util.Arrays.equals(
+      sRel.frameBytes(idxRel, i), sInline.frameBytes(inline, i)), s"frame $i"))
+    // absolute-file-offset index variant parses to the same stream
+    val idxAbs = makeIdxAvi(fs, 8, 6, 1, 2, junk = true, absolute = true)
+    val sAbs = Mjpeg.parse(idxAbs).get
+    fs.indices.foreach(i => assert(java.util.Arrays.equals(
+      sAbs.frameBytes(idxAbs, i), sInline.frameBytes(inline, i))))
+    // a healthy movi with an index present still parses (inline path
+    // wins; the index is never required when the walk succeeds)
+    assert(Mjpeg.parse(makeIdxAvi(fs, 8, 6, 1, 2, junk = false,
+      absolute = false)).exists(_.frames == 3))
+    // damaged movi with NO index stays rejected — the fallback must
+    // not loosen the strict-parse contract
+    assert(Mjpeg.parse(makeIdxAvi(fs, 8, 6, 1, 2, junk = true,
+      absolute = false, withIdx = false)).isEmpty)
+    // fuzz: single-byte corruptions anywhere in the idx1-dependent file
+    // must yield None or a smaller-but-consistent stream — never throw,
+    // never a frame that fails its own JPEG walk
+    val rnd = new scala.util.Random(0xa51)
+    (1 to 200).foreach { k =>
+      val m = idxRel.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Mjpeg.parse(m).foreach { s =>
+        assert(s.frames >= 1 && s.frames <= 3, s"case $k")
+        (0 until s.frames).foreach { i =>
+          val fb = s.frameBytes(m, i)
+          assert(Mjpeg.jpegWalk(fb, 0).exists(_._1 == fb.length), s"case $k frame $i")
+        }
+      }
+    }
   }
 
   test("jpegWalk agrees with ImageIO on every generated JPEG (differential property)") {
