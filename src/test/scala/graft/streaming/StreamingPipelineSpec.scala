@@ -76,4 +76,59 @@ class StreamingPipelineSpec extends SparkSpec {
         Set("half a record {", "also broken"))
     } finally { q.stop(); qb.stop() }
   }
+
+  test("streaming span decontamination: shards -> quarantine -> span-scrub -> log") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-scrub-landing")
+    val root = Files.createTempDirectory("graft-scrub-log").toString
+    val ckpt = Files.createTempDirectory("graft-scrub-ckpt").toString
+    def shard(name: String, lines: Seq[String]): Unit = {
+      val tmp = Files.createTempFile("graft-shard", ".tmp")
+      Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
+      Files.move(tmp, landing.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // the static benchmark the continuous path scrubs against — the
+    // batch span-decontamination operator composed into foreachBatch
+    // (its window+groupBy internals are batch-only, which is exactly
+    // what foreachBatch exists for)
+    val bench = Seq(
+      (100L, "benchmark question alpha beta gamma delta answer epsilon"))
+      .toDF("doc_id", "text")
+    shard("s1.jsonl", Seq(
+      """{"doc_id": 1, "text": "keep this prose benchmark question alpha beta gamma delta answer epsilon and this too", "lang": "en"}""",
+      """{"doc_id": 2, "text": "no overlap at all here", "lang": "en"}""",
+      """broken line"""))
+    val split = Ingest.readJsonlStream(spark, landing.toString, schema)
+    val log = new StreamLog(spark, root, "scrubbed")
+    val q = split.good.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val scrubbed = graft.operators.Dedup.stripContaminatedSpans(
+          batch.select(col("doc_id"), col("text")), bench, n = 4)
+        StreamTail.appendBatch(log,
+          scrubbed.select(col("doc_id"),
+            to_json(struct(col("doc_id"), col("clean_text").as("text")))
+              .as("data")),
+          orderBy = Seq("doc_id"))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val first = log.consume(Offset.Beginning, 100)
+      // the benchmark quote is surgically gone; clean docs verbatim
+      assert(first.map(_._2).toSeq == Seq(
+        """{"doc_id":1,"text":"keep this prose and this too"}""",
+        """{"doc_id":2,"text":"no overlap at all here"}"""))
+      // a late shard that IS the benchmark scrubs to empty text and
+      // still lands at a monotonic offset
+      shard("s2.jsonl", Seq(
+        """{"doc_id": 3, "text": "benchmark question alpha beta gamma delta answer epsilon", "lang": "en"}"""))
+      q.processAllAvailable()
+      val all = log.consume(Offset.Beginning, 100)
+      assert(all.size == 3)
+      assert(all.map(_._1) == all.map(_._1).sorted, "offsets not monotonic")
+      assert(all.last._2 == """{"doc_id":3,"text":""}""")
+    } finally q.stop()
+  }
 }
