@@ -69,6 +69,68 @@ object Sampling {
       when(b < trainUpto, "train").when(b < valUpto, "val").otherwise("test"))
   }
 
+  /** Cross-split near-duplicate leakage audit — the check a per-doc
+    * hash split ([[splitAssign]] keyed on doc_id) needs before anyone
+    * trusts an eval number: a near-dup pair straddling train/test means
+    * the model has effectively seen the test doc. `pairs` is ANY
+    * near-dup evidence frame with (doc_a, doc_b) columns — MinHash,
+    * SimHash, embedding, or exact — so the audit composes with
+    * whichever dedup family the pipeline already ran. Output: one row
+    * per unordered split pair with leakage, (split_lo, split_hi,
+    * n_pairs, n_docs_lo, n_docs_hi), ordered.
+    *
+    * Scale shape: the expensive part is the caller's pair evidence
+    * (already banded/bucketed); here each side joins (doc_id, split) —
+    * fixed-width rows on unique keys, no skew — and the rollup is a
+    * handful of split-pair rows with distinct-doc counts two-phase
+    * partial-aggregated.
+    */
+  def splitLeakage(assigned: DataFrame, pairs: DataFrame): DataFrame = {
+    val a = assigned.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+    val b = assigned.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+    val crossed = pairs.select(col("doc_a"), col("doc_b"))
+      .join(a, "doc_a").join(b, "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+    // normalize the unordered split pair so train→test and test→train
+    // accumulate into ONE report row
+    crossed.select(
+        least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"),
+        when(col("split_a") <= col("split_b"), col("doc_a"))
+          .otherwise(col("doc_b")).as("d_lo"),
+        when(col("split_a") <= col("split_b"), col("doc_b"))
+          .otherwise(col("doc_a")).as("d_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("d_lo")).as("n_docs_lo"),
+        countDistinct(col("d_hi")).as("n_docs_hi"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
+  /** Leakage-FREE split assignment: key the hash split on the near-dup
+    * CLUSTER instead of the document, so every member of a duplicate
+    * cluster lands in the same split by construction — the standard fix
+    * for the contamination [[splitLeakage]] measures (a near-dup pair
+    * is always intra-cluster, hence intra-split). `clusters` is a
+    * (doc_id, cluster_id) frame (Dedup.duplicateClusters' shape);
+    * singleton docs absent from it key on their own doc_id. Same
+    * output contract as [[splitAssign]]: input + `split`.
+    *
+    * Scale shape: one join on unique doc_id (fixed-width), then the
+    * same zero-shuffle hash projection as [[splitAssign]]. Cluster ids
+    * are min-doc_ids, so the key space stays doc-keyed and the 90/5/5
+    * proportions hold over clusters (≈ docs when dup rate is low).
+    */
+  def splitAssignByCluster(d: DataFrame, clusters: DataFrame,
+                           buckets: Int = 1000, trainUpto: Int = 900,
+                           valUpto: Int = 950): DataFrame = {
+    val withKey = d.join(
+        clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("_split_key", coalesce(col("cluster_id"), col("doc_id")))
+    splitAssign(withKey, col("_split_key"), buckets, trainUpto, valUpto)
+      .drop("cluster_id", "_split_key")
+  }
+
   /** q62: per-(source, split) document and token counts — the split
     * manifest a training job consumes. One shuffle (the final rollup).
     */

@@ -45,6 +45,50 @@ class SamplingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("splitLeakage finds cross-split near-dup pairs; cluster-keyed split has none") {
+    import spark.implicits._
+    // 40 exact-dup pairs (i, i+1000) plus 20 unique docs: enough pairs
+    // that a per-doc hash split deterministically strands some across
+    // the train/test boundary
+    val corpus = ((0L until 40L).flatMap(i => Seq(
+      (i, s"duplicated passage number $i shared by both copies verbatim"),
+      (i + 1000L, s"duplicated passage number $i shared by both copies verbatim"))) ++
+      (100L until 120L).map(i => (i, s"unique document $i with its own words")))
+      .toDF("doc_id", "text")
+    val pairs = try Dedup.minhashNearDup(corpus)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    finally graft.core.Caches.release()
+    assert(pairs.length >= 40, s"fixture sanity: ${pairs.length} dup pairs")
+    val pairsDf = pairs.toSeq.toDF("doc_a", "doc_b")
+
+    // naive per-doc split: the audit must agree with a driver-side
+    // recount of crossing pairs (differential), and find at least one
+    val naive = Sampling.splitAssign(corpus, col("doc_id"))
+    val naiveMap = naive.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expectCross = pairs.count { case (x, y) => naiveMap(x) != naiveMap(y) }
+    assert(expectCross > 0, "fixture sanity: the naive split must leak here")
+    val report = Sampling.splitLeakage(naive, pairsDf).collect()
+    assert(report.map(_.getLong(2)).sum == expectCross)
+    // normalized: each unordered split pair appears once, lo < hi
+    val keys = report.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length && keys.forall(p => p._1 < p._2))
+
+    // cluster-keyed split: every near-dup pair is intra-cluster, so
+    // the same audit is EMPTY by construction — and the output keeps
+    // the splitAssign contract (every doc in exactly one split)
+    val clusters = Dedup.duplicateClusters(corpus)
+    val byCluster = Sampling.splitAssignByCluster(corpus, clusters)
+    assert(Sampling.splitLeakage(byCluster, pairsDf).isEmpty)
+    assert(byCluster.count() == corpus.count())
+    assert(byCluster.columns.toSeq == Seq("doc_id", "text", "split"))
+    // dup twins really co-locate
+    val cm = byCluster.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 40L).foreach(i => assert(cm(i) == cm(i + 1000L), s"pair $i split"))
+  }
+
   test("stratifiedSample returns exactly n per stratum with ranks 1..n") {
     val out = Sampling.stratifiedSample(d, col("source"), col("doc_id"), 5)
       .select("source", "samp_rank").collect()
