@@ -261,6 +261,68 @@ object Curate {
     nFiles
   }
 
+  /** Shipping manifest for a written corpus — the integrity/
+    * reproducibility record a consumer checks before (and after)
+    * downloading 100 TB: one row per data file with its byte size, row
+    * count, and a content fingerprint. The fingerprint is the exact
+    * DECIMAL sum of each row's 60-bit hash over its canonical JSON
+    * form — commutative, so it is independent of row order WITHIN a
+    * file, and the corpus-level fingerprint (the sum over files) is
+    * independent of the file LAYOUT entirely: re-shipping the same
+    * rows at a different targetMB / slicing / partitioning yields a
+    * different manifest but the identical global fingerprint
+    * (spec-gated). Unlike an XOR fold, the sum also distinguishes
+    * duplicated rows.
+    *
+    * Scale shape: one scan of the shipped corpus; only (file, hash)
+    * rows reach the per-file aggregation, partial-aggregated map-side.
+    * The filesystem listing is driver-side but bounded by writeCorpus's
+    * own maxFiles contract.
+    */
+  def corpusManifest(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    // manifest rows key on the path RELATIVE to the corpus root: a
+    // partitioned write reuses the same part-file NAME across its
+    // partition directories (the name embeds the job UUID, not a
+    // per-file one), and the listing's path spelling ("file:/…")
+    // differs from input_file_name's URI form ("file:///…") — the
+    // scheme-free relative path is the one spelling both sides share
+    val rootPath = fs.makeQualified(p).toUri.getPath
+    val sizes = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(f => { val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") })
+      .map(f => f.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+        -> f.getLen).toSeq
+    require(sizes.map(_._1).distinct.length == sizes.length,
+      s"duplicate data-file paths under $path — not a single shipped corpus")
+    val rows = spark.read.parquet(path)
+    // columns sorted by NAME: a partitioned write moves its partition
+    // columns to the end of the read-back schema, and the fingerprint
+    // must not depend on that relocation
+    val fp = graft.functions.Hashing.hash60(
+      to_json(struct(rows.columns.sorted.toIndexedSeq.map(c => col(s"`$c`")): _*)))
+    val perFile = rows
+      .withColumn("_file", expr(
+        // strip "scheme:" + optional "//authority", then the root dir —
+        // leaving the same relative spelling the listing produced
+        s"substring(regexp_replace(input_file_name(), " +
+          s"'^[a-z][a-z0-9+.-]*:(//[^/]*)?', ''), ${rootPath.length + 2})"))
+      .withColumn("_fp", fp.cast("decimal(20,0)"))
+      .groupBy(col("_file").as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_fp")).cast("decimal(38,0)").as("fingerprint"))
+    val sizeDf = {
+      import spark.implicits._
+      sizes.toDF("file", "bytes")
+    }
+    perFile.join(broadcast(sizeDf), Seq("file"), "left")
+      .select(col("file"), col("bytes"), col("n_rows"), col("fingerprint"))
+      .orderBy(col("file"))
+  }
+
   /** Corpus snapshot diff — the change-data view between two crawls of
     * the same corpus: per key, `added` (new snapshot only), `removed`
     * (old only), `changed` (both, different content hash), or

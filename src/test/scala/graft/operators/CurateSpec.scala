@@ -150,6 +150,43 @@ class CurateSpec extends SparkSpec {
     assert(err.getMessage.contains("no hashable column"))
   }
 
+  test("corpusManifest: per-file accounting; global fingerprint is layout-invariant") {
+    import java.nio.file.{Files => JFiles}
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val d = graft.core.Tables(spark, sfDir, "documents")
+    val base = JFiles.createTempDirectory("graft-manifest").toString
+    val padded = d.withColumn("pad",
+      org.apache.spark.sql.functions.expr("repeat(text, 60)"))
+      .withColumn("half", (col("doc_id") % 2).cast("long"))
+    // three layouts of the SAME rows: many small files, one big file,
+    // and partitioned directories
+    Curate.writeCorpus(padded, s"$base/small", targetMB = 1)
+    Curate.writeCorpus(padded, s"$base/one", targetMB = 100000)
+    Curate.writeCorpus(padded, s"$base/bydir", targetMB = 1,
+      partitionCols = Seq("half"))
+    def manifest(p: String) = Curate.corpusManifest(spark, p).collect()
+    val small = manifest(s"$base/small")
+    val one = manifest(s"$base/one")
+    val bydir = manifest(s"$base/bydir")
+    assert(small.length > 1 && one.length == 1)
+    // every file accounted: bytes from the filesystem, rows from the scan
+    assert(small.forall(r => r.getLong(1) > 0L && r.getLong(2) > 0L))
+    val n = padded.count()
+    def totRows(m: Array[org.apache.spark.sql.Row]) = m.map(_.getLong(2)).sum
+    assert(totRows(small) == n && totRows(one) == n && totRows(bydir) == n)
+    // the corpus-level fingerprint ignores file layout AND the
+    // partition-column relocation a partitioned write performs
+    def totFp(m: Array[org.apache.spark.sql.Row]) =
+      m.map(r => BigDecimal(r.getDecimal(3))).sum
+    assert(totFp(small) == totFp(one))
+    assert(totFp(bydir) == totFp(one))
+    // content sensitivity: one changed row moves the global fingerprint
+    Curate.writeCorpus(padded.withColumn("pad",
+        when(col("doc_id") === 0L, lit("tampered")).otherwise(col("pad"))),
+      s"$base/tampered", targetMB = 100000)
+    assert(totFp(manifest(s"$base/tampered")) != totFp(one))
+  }
+
   test("duplicateClusters salted path returns the plain path's clusters") {
     val d = graft.core.Tables(spark, sfDir, "documents")
     def run(salt: Int) = try Dedup.duplicateClusters(d, saltHubs = salt)
