@@ -111,6 +111,21 @@ q53's bounded mergeable `approx_percentile` sketch. This closes the
 "correct at sf0.1, dies at 100×" boundary the r9 verdict flagged: the
 swap guidance is now enforced in code, and the probe's cost (one cheap
 aggregation scan) replaces an unbounded OOM risk mid-job.
+""",
+    "q65_semdedup" -> """### q65 audit note: the fat-cell guard probe runs before this plan (r11)
+
+`Similarity.semDedup` now runs the same eager probe shape as q47: one
+map-side-combinable max-cell-size count over the (already persisted)
+assignment frame before the within-cell pair join is allowed to build.
+Within `maxCellRows` (default 1e5) the plan is the one shown; beyond
+it the call refuses, or — with `autoSplit` — sub-buckets fat cells by
+deterministic hyperplane sign bits (pairs then scope to (cell,
+sub-bucket); splitting can only miss pairs, never invent them). The
+probe costs ~0.2-0.3 s at sf0.1 (one extra job over the cached
+assignments — it shows in the bench as a small q65 riser vs r10);
+what it buys is the same trade q47 made: a single degenerate cell
+would otherwise turn this plan's per-cell nested loop into an n²/2
+single-task straggler at corpus scale.
 """)
 
   def main(args: Array[String]): Unit = {
