@@ -346,21 +346,28 @@ object Dedup {
     * a benchmark question quoted inside a long document has low Jaccard
     * but containment ≈ 1, which is exactly the leak being hunted).
     *
-    * Scale shape: the benchmark side is small by nature (a test suite),
-    * so its exploded shingle index broadcasts; the corpus streams
-    * through one broadcast hash join on the 60-bit shingle hash and one
-    * (bench_doc, corpus_doc) groupBy with map-side partial counts — the
-    * corpus is scanned once, never self-joined, and nothing corpus-
-    * sized shuffles.
+    * Scale shape: a benchmark side that is small by nature (a test
+    * suite) broadcasts its exploded shingle index — the default — and
+    * the corpus streams through one broadcast hash join on the 60-bit
+    * shingle hash and one (bench_doc, corpus_doc) groupBy with
+    * map-side partial counts: the corpus is scanned once, never
+    * self-joined, and nothing corpus-sized shuffles. `broadcastBench =
+    * false` is for CORPUS-vs-CORPUS contamination (checking this
+    * crawl against last year's 100 TB crawl), where the "benchmark"
+    * side cannot live on every executor: the same join shuffles both
+    * sides by the shingle hash instead — fixed-width rows, two
+    * exchanges, still no self-join. Identical output either way
+    * (spec-gated differentially).
     */
   def contaminationCheck(corpus: DataFrame, bench: DataFrame,
-                         n: Int = 3, tau: Double = 0.0): DataFrame = {
+                         n: Int = 3, tau: Double = 0.0,
+                         broadcastBench: Boolean = true): DataFrame = {
     val cs = docSets(corpus, n)
       .select(col("doc_id").as("corpus_doc"), explode(col("hs")).as("h"))
     val bsh = docSets(bench, n)
       .select(col("doc_id").as("bench_doc"), size(col("hs")).as("nb"),
         explode(col("hs")).as("h"))
-    cs.join(broadcast(bsh), "h")
+    cs.join(if (broadcastBench) broadcast(bsh) else bsh, "h")
       .groupBy(col("bench_doc"), col("corpus_doc"), col("nb"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") / col("nb") >= tau)
@@ -402,13 +409,16 @@ object Dedup {
   /** The distinct flagged-id set shared by [[decontaminate]] and the
     * q80 accounting query — ONE definition of "contaminated at τ". */
   private def contaminatedIds(corpus: DataFrame, bench: DataFrame,
-                              n: Int, tau: Double): DataFrame =
-    contaminationCheck(corpus, bench, n, tau)
+                              n: Int, tau: Double,
+                              broadcastBench: Boolean = true): DataFrame =
+    contaminationCheck(corpus, bench, n, tau, broadcastBench)
       .select(col("corpus_doc").as("doc_id")).distinct()
 
   def decontaminate(corpus: DataFrame, bench: DataFrame,
-                    n: Int = 3, tau: Double = 0.2): DataFrame =
-    corpus.join(contaminatedIds(corpus, bench, n, tau), Seq("doc_id"), "left_anti")
+                    n: Int = 3, tau: Double = 0.2,
+                    broadcastBench: Boolean = true): DataFrame =
+    corpus.join(contaminatedIds(corpus, bench, n, tau, broadcastBench),
+      Seq("doc_id"), "left_anti")
 
   /** q80: decontamination accounting over `documents` with the q60
     * benchmark split (doc_id ≡ 7 mod 100) at τ = 0.2 — per source, how
@@ -529,8 +539,9 @@ object Dedup {
 
   /** [[dupSpanIntervals]]' twin for benchmark contamination. */
   def contamSpanIntervals(corpus: DataFrame, bench: DataFrame,
-                          n: Int = 6): DataFrame =
-    mergedContamSpans(corpus, bench, n)
+                          n: Int = 6,
+                          broadcastBench: Boolean = true): DataFrame =
+    mergedContamSpans(corpus, bench, n, broadcastBench)
 
   /** Per-document span accounting over ALL docs (zero-span docs
     * included — absent rows would read as "not measured") — the shared
@@ -666,11 +677,17 @@ object Dedup {
     * streams ONCE against it, exactly the [[contaminationCheck]] scale
     * shape, and no df-count shuffle is needed (membership, not
     * frequency), so this is cheaper than [[dupSpans]] at any width.
+    * `broadcastBench = false` is the corpus-vs-corpus form (see
+    * [[contaminationCheck]]): the membership join shuffles both sides
+    * by the window hash instead of broadcasting — for when the quoted
+    * side is another multi-TB corpus, not a test suite.
     */
   private def mergedContamSpans(corpus: DataFrame, bench: DataFrame,
-                                n: Int): DataFrame = {
+                                n: Int,
+                                broadcastBench: Boolean = true): DataFrame = {
     val benchWins = gramsOf(bench, n).select(col("gh")).distinct()
-    mergeIslands(gramsOf(corpus, n).join(broadcast(benchWins), "gh")
+    mergeIslands(gramsOf(corpus, n)
+      .join(if (broadcastBench) broadcast(benchWins) else benchWins, "gh")
       .select(col("doc_id"), col("start"), (col("start") + (n - 1)).as("e")))
   }
 
@@ -692,15 +709,17 @@ object Dedup {
     * scrubbing, and run the q60 report afterward as the audit.
     */
   def stripContaminatedSpans(corpus: DataFrame, bench: DataFrame,
-                             n: Int = 6): DataFrame =
-    stripSpans(corpus, mergedContamSpans(corpus, bench, n),
+                             n: Int = 6,
+                             broadcastBench: Boolean = true): DataFrame =
+    stripSpans(corpus, mergedContamSpans(corpus, bench, n, broadcastBench),
       premerged = true)
 
   /** Per-document report twin of [[stripContaminatedSpans]]: (doc_id,
     * n_toks, n_spans, contam_tokens, contam_frac) for every corpus doc. */
   def contaminatedSpans(corpus: DataFrame, bench: DataFrame,
-                        n: Int = 6): DataFrame =
-    spanReport(corpus, mergedContamSpans(corpus, bench, n),
+                        n: Int = 6,
+                        broadcastBench: Boolean = true): DataFrame =
+    spanReport(corpus, mergedContamSpans(corpus, bench, n, broadcastBench),
       "contam_tokens", "contam_frac")
 
   /** q84: duplicated-substring span report over `documents` — 6-token

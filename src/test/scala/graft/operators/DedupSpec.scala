@@ -269,6 +269,39 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("broadcastBench = false: shuffle-join contamination path is value-identical") {
+    import spark.implicits._
+    val d = graft.core.Tables(spark, sfDir, "documents")
+    val corpus = d.filter(col("doc_id") % 100 =!= 7)
+    val bench = d.filter(col("doc_id") % 100 === 7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    // corpus-vs-corpus decontamination can't ship the quoted side to
+    // every executor — the knob must swap the join strategy without
+    // moving a single value, on all four public heads
+    assert(rows(Dedup.contaminationCheck(corpus, bench, tau = 0.2)) ==
+      rows(Dedup.contaminationCheck(corpus, bench, tau = 0.2, broadcastBench = false)))
+    assert(rows(Dedup.decontaminate(corpus, bench)) ==
+      rows(Dedup.decontaminate(corpus, bench, broadcastBench = false)))
+    assert(rows(Dedup.contaminatedSpans(corpus, bench)) ==
+      rows(Dedup.contaminatedSpans(corpus, bench, broadcastBench = false)))
+    assert(rows(Dedup.stripContaminatedSpans(corpus, bench)) ==
+      rows(Dedup.stripContaminatedSpans(corpus, bench, broadcastBench = false)))
+    // plan shape: with stats-based auto-broadcast off (the 100 TB
+    // reality for a corpus-sized "benchmark"), the hint still
+    // broadcasts and the knob's false path genuinely shuffles
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(plan(Dedup.contaminationCheck(corpus, bench))
+        .contains("BroadcastHashJoin"))
+      assert(!plan(Dedup.contaminationCheck(corpus, bench, broadcastBench = false))
+        .contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("stripSpans: linear gap-slice cut is byte-identical to the exists oracle") {
     import spark.implicits._
     // real corpus: the same merged intervals through both cut paths
