@@ -131,4 +131,65 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(all.last._2 == """{"doc_id":3,"text":""}""")
     } finally q.stop()
   }
+
+  test("streaming dedup admission: only novel docs enter the log, admitted set grows") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-admit-landing")
+    val root = Files.createTempDirectory("graft-admit-log").toString
+    val ckpt = Files.createTempDirectory("graft-admit-ckpt").toString
+    def shard(name: String, lines: Seq[String]): Unit = {
+      val tmp = Files.createTempFile("graft-shard", ".tmp")
+      Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
+      Files.move(tmp, landing.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // the admitted set seeds from the static corpus and GROWS with each
+    // accepted batch — in production this is a persisted corpus table
+    // (or the log itself re-parsed); the spec keeps it as a driver-side
+    // frame rebuilt from collected novel rows, which is exactly the
+    // bounded per-batch state incrementalNearDup's broadcast side needs
+    var admitted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different seed document about distributed systems"))
+      .toDF("doc_id", "text")
+    val log = new StreamLog(spark, root, "admitted")
+    val split = Ingest.readJsonlStream(spark, landing.toString, schema)
+    shard("s1.jsonl", Seq(
+      """{"doc_id": 10, "text": "the quick brown fox jumps over the lazy dog today", "lang": "en"}""",
+      """{"doc_id": 11, "text": "a genuinely novel document with words unseen before", "lang": "en"}"""))
+    val q = split.good.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.select(col("doc_id"), col("text"))
+        val novelIds = graft.operators.Dedup.incrementalNearDup(admitted, b)
+          .filter(col("novel") === 1L).select(col("doc_id"))
+        val novel = b.join(novelIds, "doc_id")
+        val rows = novel.collect().map(r => (r.getLong(0), r.getString(1)))
+        if (rows.nonEmpty) {
+          StreamTail.appendBatch(log,
+            novel.select(col("doc_id"),
+              to_json(struct(col("doc_id"), col("text"))).as("data")),
+            orderBy = Seq("doc_id"))
+          admitted = admitted.unionByName(rows.toSeq.toDF("doc_id", "text"))
+        }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val first = log.consume(Offset.Beginning, 100)
+      assert(first.map(_._2).toSeq == Seq(
+        """{"doc_id":11,"text":"a genuinely novel document with words unseen before"}"""))
+      // doc 12 duplicates doc 11 — an ADMITTED doc, not a static-seed
+      // doc — so dropping it proves the admitted set really grew;
+      // doc 13 is novel and lands
+      shard("s2.jsonl", Seq(
+        """{"doc_id": 12, "text": "a genuinely novel document with words unseen before", "lang": "en"}""",
+        """{"doc_id": 13, "text": "another fresh passage nothing has ever matched anywhere", "lang": "en"}"""))
+      q.processAllAvailable()
+      val all = log.consume(Offset.Beginning, 100)
+      assert(all.map(_._2).toSeq == Seq(
+        """{"doc_id":11,"text":"a genuinely novel document with words unseen before"}""",
+        """{"doc_id":13,"text":"another fresh passage nothing has ever matched anywhere"}"""))
+    } finally q.stop()
+  }
 }
