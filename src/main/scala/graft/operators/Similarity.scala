@@ -295,6 +295,45 @@ object Similarity {
     corpus.select(col("vec_id"), array(codeCols: _*).as("codes"))
   }
 
+  /** PQ codebook quality report — the monitoring half of the PQ
+    * lifecycle: per subspace, the mean squared reconstruction error of
+    * encoding the corpus with `books` (each vector's sub-slice vs its
+    * nearest centroid — the quantity [[pqTrain]]'s Lloyd iterations
+    * minimize). This is how a pipeline decides a codebook has DRIFTED:
+    * train on last month's corpus, measure on this month's — a rising
+    * mse (overall, or concentrated in one subspace) says retrain
+    * before recall quietly degrades. Output: (subspace, n_vecs, mse),
+    * one row per subspace; the full-vector reconstruction MSE is the
+    * column sum.
+    *
+    * Scale shape: the per-subspace argmin reuses [[pqEncode]]'s
+    * codegen'd −2·x·c + |c|² projection (plus the |x|² term the argmin
+    * can skip but the ERROR needs), so the corpus is scanned once with
+    * zero shuffles before a bounded nSub-row aggregation. Per-row
+    * errors round to 6 decimals and sum as exact DECIMAL — the q37
+    * discipline — so the report is partition-order independent.
+    */
+  def pqDistortion(corpus: DataFrame,
+                   books: Array[Array[Array[Double]]]): DataFrame = {
+    val nSub = books.length
+    val subDim = books(0)(0).length
+    val dCols = (0 until nSub).map { s =>
+      val sub = slice(col("v"), s * subDim + 1, subDim)
+      val d2s = array(books(s).map(c =>
+        lit(-2.0) * dot(sub, constVec(c.toIndexedSeq)) + lit(strictDot(c, c))): _*)
+      // true squared error: the argmin's partial distance + |x_sub|²
+      // (clamped at 0 — float cancellation can leave a −1e-16 residue
+      // on an exact centroid hit, and an "error" must not be negative)
+      round(greatest(array_min(d2s) + dot(sub, sub), lit(0.0)), 6)
+    }
+    corpus.select(posexplode(array(dCols: _*)).as(Seq("subspace", "d2")))
+      .groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("d2").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("mse"))
+      .orderBy(col("subspace"))
+  }
+
   /** The ADC table-lookup sum Σ_s dtable[s][codes[s]] as an UNROLLED
     * left-associative sum of `nSub` element_at lookups — whole-stage
     * codegen (a lambda `aggregate` HOF here is interpreted, ~µs per

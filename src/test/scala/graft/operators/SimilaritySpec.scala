@@ -120,6 +120,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"PQ recall@10 = $recall")
   }
 
+  test("pqDistortion: hand-computed errors, perfect codebook scores zero, more centroids never hurt") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 2-dim vectors, 2 subspaces of 1 dim, hand-sized books:
+    // v=(0.1, 2.3): sub0 → nearest 0.0, err 0.01; sub1 → nearest 2.0, err 0.09
+    // v=(0.9, 0.4): sub0 → nearest 1.0, err 0.01; sub1 → nearest 0.0, err 0.16
+    val tiny = Seq((1L, Seq(0.1, 2.3)), (2L, Seq(0.9, 0.4))).toDF("vec_id", "v")
+    val books = Array(
+      Array(Array(0.0), Array(1.0)),
+      Array(Array(0.0), Array(2.0)))
+    val rep = Similarity.pqDistortion(tiny, books).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rep(0) == ((2L, 0.01)))            // (0.01 + 0.01) / 2
+    assert(rep(1) == ((2L, 0.125)))           // (0.09 + 0.16) / 2
+    // a codebook containing every sub-value reconstructs exactly
+    val perfect = Array(
+      Array(Array(0.1), Array(0.9)),
+      Array(Array(2.3), Array(0.4)))
+    assert(Similarity.pqDistortion(tiny, perfect).collect()
+      .forall(_.getDouble(2) == 0.0))
+    // real corpus: richer codebooks reconstruct no worse overall —
+    // the drift signal this report exists to surface is the converse
+    val corpus = Similarity.prepare(
+      graft.core.Tables(spark, sfDir, "embeddings"), "vec_id", "embedding")
+    def total(nc: Int) = Similarity.pqDistortion(corpus,
+      Similarity.pqTrain(corpus, dim = 64, nSub = 8, nCentroids = nc,
+        trainIters = 2)).collect().map(_.getDouble(2)).sum
+    assert(total(16) <= total(2))
+    // every subspace row present, n_vecs = corpus size
+    val full = Similarity.pqDistortion(corpus,
+      Similarity.pqTrain(corpus, dim = 64, nSub = 8, nCentroids = 4,
+        trainIters = 2)).collect()
+    assert(full.map(_.getInt(0)).toSeq == (0 until 8))
+    assert(full.forall(_.getLong(1) == corpus.count()))
+  }
+
   test("knnPq and knnIvfPq refuse a corpus-sized query batch (maxQueries guard)") {
     import org.apache.spark.sql.functions.{col, lit}
     val e = graft.core.Tables(spark, sfDir, "embeddings")
