@@ -365,6 +365,60 @@ object Bpe {
         Seq(col("tokens"), col("n_tokens"))): _*)
   }
 
+  /** Tokenizer-fit (fertility) report: per group, how many BPE pieces
+    * the model spends per whitespace word (`fertility` = pieces/words)
+    * and what fraction of words encode to a SINGLE piece (`single_frac`
+    * — the vocabulary hit rate). This is the standard tokenizer-
+    * mismatch probe: a source whose fertility is far above the
+    * corpus's norm (wrong language, code, OCR noise) is paying its
+    * token budget for fragments, and the right response — retrain the
+    * tokenizer or reweight the mix — happens BEFORE training, which is
+    * why the report belongs in the pipeline.
+    *
+    * Scale shape: [[encode]]'s broadcast-model memoized partition scan
+    * (zero shuffles) emitting three counters per doc, then one bounded
+    * per-group rollup. Null/empty text counts zero words.
+    */
+  def fertility(d: DataFrame, model: Model, groupCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model)
+    d.select(col(groupCol).cast("string"), col(textCol).cast("string"))
+      .map(r => (if (r.isNullAt(0)) "" else r.getString(0),
+        if (r.isNullAt(1)) "" else r.getString(1)))
+      .mapPartitions { it =>
+        val m = b.value
+        val memo = new java.util.HashMap[String, Int]()
+        it.map { case (g, text) =>
+          var words = 0L; var pieces = 0L; var singles = 0L
+          text.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+            // getOrDefault, not get: a j.u.HashMap[String, Int] unboxes
+            // an absent key's null to 0, which would read as "0 pieces"
+            var np = memo.getOrDefault(w, -1)
+            if (np < 0) {
+              np = m.encodeWord(w).length
+              if (memo.size < MemoCap) memo.put(w, np)
+            }
+            words += 1; pieces += np; if (np == 1) singles += 1
+          }
+          (g, words, pieces, singles)
+        }
+      }
+      .toDF("grp", "n_words", "n_pieces", "n_single")
+      .groupBy(col("grp").as(groupCol))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_single")).as("n_single"))
+      .withColumn("fertility", when(col("n_words") === 0L, lit(0.0))
+        .otherwise(round(col("n_pieces") / col("n_words"), 6)))
+      .withColumn("single_frac", when(col("n_words") === 0L, lit(0.0))
+        .otherwise(round(col("n_single") / col("n_words"), 6)))
+      .select(col(groupCol), col("n_words"), col("n_pieces"),
+        col("fertility"), col("single_frac"))
+      .orderBy(col(groupCol))
+  }
+
   /** q81: train on `documents` (50 merges over the capped vocab), encode
     * the corpus, report per-source token accounting plus the model's
     * compression ratio signal. Rows-only gate (no SQL oracle for BPE —

@@ -338,6 +338,36 @@ object Dedup {
   def q55DedupClusters(spark: SparkSession, dir: String): DataFrame =
     duplicateClusters(docs(spark, dir))
 
+  /** Keep-the-BEST dedup policy: one survivor per duplicate cluster,
+    * chosen by `score` (desc; doc_id asc tie-break — deterministic, no
+    * RNG) instead of the arbitrary min-id the cluster representative
+    * carries. This is the policy gap between "dedup" and "curation": a
+    * boilerplate-laden crawl copy and a clean editorial copy are the
+    * same cluster, and a pipeline wants the clean one kept. `clusters`
+    * is a (doc_id, cluster_id) frame ([[duplicateClusters]]' shape);
+    * docs absent from it are singletons and always survive. Returns
+    * `d`'s rows (original schema) restricted to the survivors.
+    *
+    * Scale shape: one join on unique doc_id, then one row_number
+    * window partitioned by the cluster key — the shuffle is keyed by
+    * cluster, and the per-key state is the cluster's own rows (the
+    * same bound as the CC computation that produced them; a pathology
+    * there is a pathology here).
+    */
+  def keepBest(d: DataFrame, clusters: DataFrame, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!d.columns.contains("_graft_ck") && !d.columns.contains("_graft_r"),
+      "input already carries a _graft_ck/_graft_r column")
+    val keyed = d
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("_graft_ck", coalesce(col("cluster_id"), col("doc_id")))
+    val w = Window.partitionBy(col("_graft_ck"))
+      .orderBy(score.desc, col("doc_id"))
+    keyed.withColumn("_graft_r", row_number().over(w))
+      .filter(col("_graft_r") === 1)
+      .drop("_graft_ck", "_graft_r", "cluster_id")
+  }
+
   /** Benchmark-contamination detection — the decontamination primitive
     * of a training pipeline: for every (benchmark doc, corpus doc) pair
     * sharing at least one word-`n`-gram shingle, the exact CONTAINMENT
@@ -512,6 +542,41 @@ object Dedup {
       .select(col("gh"))
     mergeIslands(grams.join(dup, "gh")
       .select(col("doc_id"), col("start"), (col("start") + (n - 1)).as("e")))
+  }
+
+  /** Cross-SOURCE duplication matrix — corpus forensics one level above
+    * [[dupSpans]]: for every pair of sources, how many distinct
+    * `n`-token windows they share. This is how a pipeline finds that
+    * two crawls mirror each other (merge or drop one), that a "clean"
+    * source embeds a noisy one's boilerplate, or where q84's duplicated
+    * passages actually COME from. Output: (src_a, src_b,
+    * shared_windows), src_a < src_b, ordered.
+    *
+    * Scale shape: the scan is [[gramsOf]] keyed by source instead of
+    * doc (same three-longs-per-window projection — the window string
+    * never shuffles), distinct-ed per (source, window). Per window
+    * hash the state is the DISTINCT SOURCE SET — bounded by the
+    * source count, not the corpus (a boilerplate window in a billion
+    * docs is still one set entry per source) — and the pair explosion
+    * is bounded by sources², a report-sized frame at any corpus width.
+    */
+  def sourceOverlap(d: DataFrame, n: Int = 6): DataFrame = {
+    // gramsOf keys on a column NAMED doc_id and passes it through
+    // untyped — aliasing source onto it reuses the one window-scan
+    // definition instead of cloning it
+    val sg = gramsOf(d.select(col("source").as("doc_id"), col("text")), n)
+      .select(col("doc_id").as("src"), col("gh")).distinct()
+    sg.groupBy(col("gh"))
+      .agg(array_sort(collect_set(col("src"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)),
+          |            y -> struct(x AS src_a, y AS src_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .orderBy(col("src_a"), col("src_b"))
   }
 
   /** Per-document duplicated-span report: (doc_id, n_toks, n_spans,

@@ -92,6 +92,33 @@ class BpeSpec extends SparkSpec {
     assert(byId(null) == 1L)     // null id row still encodes its text
   }
 
+  test("fertility reports hand-computed pieces-per-word and single-piece rates") {
+    import spark.implicits._
+    val m = Bpe.Model(Array(("a", "b")))
+    val d = Seq(
+      ("g1", "ab ab abc"),  // ab→[ab]=1, ab→1, abc→[ab,c]=2: 3 words, 4 pieces, 2 singles
+      ("g2", "xy"),         // xy→[x,y]=2: 1 word, 2 pieces, 0 singles
+      ("g3", null: String)) // null text: zero words, rates 0.0 not NaN
+      .toDF("source", "text")
+    val out = Bpe.fertility(d, m).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("g1") == ((3L, 4L, 1.333333, 0.666667)))
+    assert(out("g2") == ((1L, 2L, 2.0, 0.0)))
+    assert(out("g3") == ((0L, 0L, 0.0, 0.0)))
+    // real model on the real corpus: every source covered; more merges
+    // never RAISE fertility (a superset vocabulary can only merge more)
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val m10 = Bpe.train(docs, numMerges = 10, vocabCap = 50000)
+    val m60 = Bpe.train(docs, numMerges = 60, vocabCap = 50000)
+    def bypc(model: Bpe.Model) = Bpe.fertility(docs, model).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val f10 = bypc(m10); val f60 = bypc(m60)
+    assert(f10.keySet == docs.select("source").distinct()
+      .collect().map(_.getString(0)).toSet)
+    assert(f60.forall { case (s, f) => f <= f10(s) })
+  }
+
   test("encodeWord applies lowest-rank-first, leftmost-on-ties, and round-trips") {
     val m = Bpe.Model(Array(("a", "a"), ("aa", "b")))
     // "aaab": (a,a) rank 0 merges leftmost → [aa, a, b]; neither (aa,a)

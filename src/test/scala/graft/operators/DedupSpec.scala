@@ -269,6 +269,60 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("keepBest keeps the top-scoring doc per cluster, singletons always survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "copy one", 0.2), (2L, "copy one", 0.9), (3L, "copy one", 0.9),
+      (4L, "other dup", 0.5), (5L, "other dup", 0.1),
+      (6L, "a singleton", 0.0))
+      .toDF("doc_id", "text", "quality")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.keepBest(corpus, clusters, col("quality"))
+      .collect().map(_.getLong(0)).toSet
+    // cluster 1: 2 and 3 tie at 0.9 — doc_id asc breaks it; NOT the
+    // min-id representative (1, the worst copy)
+    assert(kept == Set(2L, 4L, 6L))
+    // schema preserved, no helper columns leak
+    assert(Dedup.keepBest(corpus, clusters, col("quality")).columns.toSeq ==
+      Seq("doc_id", "text", "quality"))
+    // composes with the real cluster computation: one survivor per
+    // cluster, all singletons, total = clusters + singletons
+    val d = graft.core.Tables(spark, sfDir, "documents")
+    val real = Dedup.duplicateClusters(d)
+    val nClusters = real.select("cluster_id").distinct().count()
+    val nSingle = d.count() - real.count()
+    assert(Dedup.keepBest(d, real,
+      org.apache.spark.sql.functions.length(col("text"))).count()
+      == nClusters + nSingle)
+    intercept[IllegalArgumentException](Dedup.keepBest(
+      corpus.withColumn("_graft_ck", lit(1)), clusters, col("quality")))
+  }
+
+  test("sourceOverlap counts distinct shared windows per source pair") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "s1", "alpha beta gamma delta x1"),       // s1: windows incl. A=alpha beta gamma
+      (2L, "s1", "alpha beta gamma x2"),             // A again (distinct-ness check)
+      (3L, "s2", "alpha beta gamma y1 y2"),          // s2 shares A with s1
+      (4L, "s2", "beta gamma delta y3"),             // B=beta gamma delta also in doc 1
+      (5L, "s3", "entirely different words here"))   // s3 shares nothing
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(corpus, n = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // s1∩s2 = {A, B}: A appears in TWO s1 docs but counts once
+    assert(out == Map(("s1", "s2") -> 2L))
+    // a three-source window emits all three pairs
+    val tri = Seq(
+      (1L, "sa", "shared tri gram tail-a"),
+      (2L, "sb", "shared tri gram tail-b"),
+      (3L, "sc", "shared tri gram tail-c"))
+      .toDF("doc_id", "source", "text")
+    val triOut = Dedup.sourceOverlap(tri, n = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(triOut == Map(("sa", "sb") -> 1L, ("sa", "sc") -> 1L, ("sb", "sc") -> 1L))
+  }
+
   test("broadcastBench = false: shuffle-join contamination path is value-identical") {
     import spark.implicits._
     val d = graft.core.Tables(spark, sfDir, "documents")
