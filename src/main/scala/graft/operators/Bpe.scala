@@ -384,9 +384,10 @@ object Bpe {
     val spark = d.sparkSession
     import spark.implicits._
     val b = spark.sparkContext.broadcast(model)
+    // null groups stay null (merging them with "" would misattribute
+    // the dashboard); getString returns null safely through the tuple
     d.select(col(groupCol).cast("string"), col(textCol).cast("string"))
-      .map(r => (if (r.isNullAt(0)) "" else r.getString(0),
-        if (r.isNullAt(1)) "" else r.getString(1)))
+      .map(r => (r.getString(0), if (r.isNullAt(1)) "" else r.getString(1)))
       .mapPartitions { it =>
         val m = b.value
         val memo = new java.util.HashMap[String, Int]()

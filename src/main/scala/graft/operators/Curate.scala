@@ -318,8 +318,15 @@ object Curate {
       import spark.implicits._
       sizes.toDF("file", "bytes")
     }
-    perFile.join(broadcast(sizeDf), Seq("file"), "left")
-      .select(col("file"), col("bytes"), col("n_rows"), col("fingerprint"))
+    // join FROM the listing side: a zero-row data file (an empty
+    // repartition slice) has no scan rows, and an integrity manifest
+    // that silently omits a file on disk defeats its purpose — it
+    // reports n_rows 0 / fingerprint 0 instead
+    broadcast(sizeDf).join(perFile, Seq("file"), "left")
+      .select(col("file"), col("bytes"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("fingerprint"),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("fingerprint"))
       .orderBy(col("file"))
   }
 

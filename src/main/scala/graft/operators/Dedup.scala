@@ -358,6 +358,11 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(!d.columns.contains("_graft_ck") && !d.columns.contains("_graft_r"),
       "input already carries a _graft_ck/_graft_r column")
+    // the cluster join would silently shadow (and the final drop would
+    // swallow) an input column of the same name — refuse, like Ingest's
+    // reserved names
+    require(!d.columns.contains("cluster_id"),
+      "input already has a cluster_id column; rename it before keepBest")
     val keyed = d
       .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
       .withColumn("_graft_ck", coalesce(col("cluster_id"), col("doc_id")))

@@ -124,6 +124,10 @@ object Sampling {
   def splitAssignByCluster(d: DataFrame, clusters: DataFrame,
                            buckets: Int = 1000, trainUpto: Int = 900,
                            valUpto: Int = 950): DataFrame = {
+    // the cluster join would silently shadow (and the final drop would
+    // swallow) same-named input columns — refuse instead
+    require(!d.columns.contains("cluster_id") && !d.columns.contains("_split_key"),
+      "input already has a cluster_id/_split_key column; rename it first")
     val withKey = d.join(
         clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
       .withColumn("_split_key", coalesce(col("cluster_id"), col("doc_id")))

@@ -315,6 +315,8 @@ object Similarity {
     */
   def pqDistortion(corpus: DataFrame,
                    books: Array[Array[Array[Double]]]): DataFrame = {
+    require(books.nonEmpty && books.forall(_.nonEmpty),
+      "empty codebook: every subspace needs at least one centroid")
     val nSub = books.length
     val subDim = books(0)(0).length
     val dCols = (0 until nSub).map { s =>
@@ -578,6 +580,8 @@ object Similarity {
                maxCellRows: Long = 100000L,
                autoSplit: Boolean = false): DataFrame = {
     require(maxCellRows > 0)
+    require(!assigned.columns.contains("_sub"),
+      "input already has a _sub column; rename it before semDedup")
     val maxRow = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).collect().head
     val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
