@@ -54,6 +54,95 @@ object Sampling {
       .select(col("source"), col("samp_rank"), col("doc_id"), col("skey"))
       .orderBy(col("source"), col("samp_rank"))
 
+  /** Per-group document cap — "at most `cap` docs per domain/source",
+    * the frequency-cap curation pass that stops one mirror-heavy domain
+    * from dominating a training mix. Survivors are the `cap` rows of
+    * each over-cap group with the SMALLEST key hashes (ties broken by
+    * the key itself) — the same deterministic-random discipline as
+    * [[stratifiedSample]]: membership is a pure function of the data,
+    * stable across runs, engines, and partitionings. `key` must be
+    * unique within a group (the usual doc_id); groups at or under the
+    * cap pass through untouched. Original schema preserved; null
+    * groups are capped as their own group, not dropped.
+    *
+    * Scale shape — the reason this is not one `row_number()` window:
+    * a per-group window sorts EVERY group in a single task, so one
+    * billion-row domain is one straggler. Instead: (1) per-group
+    * counts join back (fixed-width rows; AQE splits the skewed join);
+    * (2) rows of groups ≤ cap pass through with NO sort; (3) over-cap
+    * groups are pre-thinned to their smallest-hash slice, sized
+    * `overCover`×cap by the uniform 60-bit hash — a pure filter. If
+    * ≥ cap rows survive the thin, the slice PROVABLY contains the true
+    * top-cap (every excluded row hashes above the slice bound, which
+    * at least cap survivors sit below), so the window sorts only
+    * ~overCover·cap rows per group; (4) a recount catches the
+    * binomial-tail groups the thin under-covered (real at small caps:
+    * P(Binom(10⁶, 8/10⁶) < 1) ≈ e⁻⁸) and routes ONLY them through the
+    * exact windowed fallback. Every path yields the identical answer —
+    * differentially spec'd against the one-window [[capPerGroupNaive]]
+    * with `overCover` forced low so the fallback genuinely fires.
+    */
+  def capPerGroup(d: DataFrame, group: Column, key: Column, cap: Int,
+                  overCover: Double = 8.0): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    require(overCover > 0, s"overCover must be positive, got $overCover")
+    val reserved = Seq("_cap_g", "_cap_h", "_cap_n", "_cap_rank")
+    reserved.foreach(r => require(!d.columns.contains(r),
+      s"input already has a $r column; rename it first"))
+    val outCols = d.columns.toSeq.map(col)
+    val keyed = graft.core.Caches.persist(d
+      .withColumn("_cap_g", group)
+      .withColumn("_cap_h", Hashing.hash60(key.cast("string"))))
+    val counts = keyed.groupBy(col("_cap_g").as("_cap_gc"))
+      .agg(count(lit(1)).as("_cap_n"))
+    // null-safe join: a null group is a group, not a dropped row
+    val joined = keyed.join(counts, col("_cap_g") <=> col("_cap_gc"))
+      .drop("_cap_gc")
+    val under = joined.filter(col("_cap_n") <= cap)
+    val over = joined.filter(col("_cap_n") > cap)
+    // deterministic pre-thin: the smallest-hash slice expected to hold
+    // overCover×cap rows. 2^60 is exact in a Double; the cast rounds
+    // the bound by < 1 ulp, which only shifts the slice marginally —
+    // correctness never depends on where the bound lands, only on the
+    // recount below.
+    val bound = (least(lit(1.0), lit(overCover * cap) / col("_cap_n")) *
+      lit(math.pow(2, 60))).cast("long")
+    val thinned = over.filter(col("_cap_h") < bound)
+    val thinCounts = thinned.groupBy(col("_cap_g").as("_cap_gt"))
+      .agg(count(lit(1)).as("_cap_m"))
+    // provable groups: ≥ cap survivors ⇒ the slice contains the true
+    // top-cap. Everything else (including zero-survivor groups absent
+    // from thinCounts) replays unthinned.
+    val okGroups = thinCounts.filter(col("_cap_m") >= cap).select(col("_cap_gt"))
+    val underGroups = counts.filter(col("_cap_n") > cap)
+      .join(thinCounts, col("_cap_gc") <=> col("_cap_gt"), "left")
+      .filter(col("_cap_m").isNull || col("_cap_m") < cap)
+      .select(col("_cap_gc").as("_cap_gt"))
+    val w = Window.partitionBy(col("_cap_g")).orderBy(col("_cap_h"), key)
+    def topCap(rows: DataFrame): DataFrame = rows
+      .withColumn("_cap_rank", row_number().over(w))
+      .filter(col("_cap_rank") <= cap)
+    val fromThin = topCap(
+      thinned.join(okGroups, col("_cap_g") <=> col("_cap_gt"), "left_semi"))
+    val fromFallback = topCap(
+      over.join(underGroups, col("_cap_g") <=> col("_cap_gt"), "left_semi"))
+    under.select(outCols: _*)
+      .unionByName(fromThin.select(outCols: _*))
+      .unionByName(fromFallback.select(outCols: _*))
+  }
+
+  /** The textbook one-window form of [[capPerGroup]] — every group
+    * sorts in one task, so it is the differential-spec oracle, never
+    * the shipped path. */
+  private[operators] def capPerGroupNaive(d: DataFrame, group: Column,
+                                          key: Column, cap: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(
+      Hashing.hash60(key.cast("string")), key)
+    d.withColumn("_cap_rank", row_number().over(w))
+      .filter(col("_cap_rank") <= cap)
+      .drop("_cap_rank")
+  }
+
   /** Train/validation/test split assignment: the hash bucket of `key`
     * maps each row to a named split by fixed thresholds (default
     * 90/5/5). The same hash-determinism argument as [[hashSample]] —
@@ -379,6 +468,69 @@ object Sampling {
       .withColumn("tok_end", sum(col("n_tokens")).over(w))
       .filter(col("tok_end") <= budget)
       .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Per-source score calibration — the step between scoring and
+    * [[selectByBudget]]: raw quality scores from different scorers /
+    * sources live on different scales (a bigram-LM logprob vs a
+    * punctuation ratio), so ranking them together silently favors
+    * whichever source's scorer runs hot. This replaces each score with
+    * its within-source ECDF, `score_pct` = P(score' ≤ score | source)
+    * ∈ (0, 1] — rank-preserving inside a source, comparable across
+    * sources (every source's calibrated scores are uniform on its own
+    * distribution), and invariant under any strictly monotone
+    * transform of the raw score. Ties share one pct (the ECDF is a
+    * function of the VALUE, not the row). NaN/null scores are refused
+    * (their order is engine lore, not data); a null source calibrates
+    * as its own group.
+    *
+    * Scale shape — the reason this is not `cume_dist() OVER
+    * (PARTITION BY source)`: that window sorts every source in a
+    * single task. Instead (1) rows collapse to DISTINCT
+    * (source, score) with counts — ties merge here, for free; (2) the
+    * distinct frame range-partitions on the full (source, score) key
+    * (a fat source SPLITS across partitions) and the global cumulative
+    * count comes from the [[twoLevelCumSum]] prefix scan; (3) the
+    * per-source cumulative is the global one minus the source's start
+    * offset, itself a two-level scan over the one-row-per-source
+    * totals frame — bounded work at every level, no single-partition
+    * anything; (4) pcts join back on (source, score). Differentially
+    * spec'd against the one-window `cume_dist` oracle, bit-identical.
+    */
+  def calibrateScores(d: DataFrame, source: Column, score: Column): DataFrame = {
+    val reserved = Seq("_cal_s", "_cal_v", "_cal_c", "_cal_n", "_cal_off",
+      "_cal_sj", "_cal_vj", "score_pct")
+    reserved.foreach(r => require(!d.columns.contains(r),
+      s"input already has a $r column; rename it first"))
+    val outCols = d.columns.toSeq.map(col) :+ col("score_pct")
+    val base = d.withColumn("_cal_s", source)
+      .withColumn("_cal_v", score.cast("double"))
+    val bad = base.agg(sum(when(isnan(col("_cal_v")) || col("_cal_v").isNull,
+      1L).otherwise(0L))).head
+    if (!bad.isNullAt(0)) require(bad.getLong(0) == 0,
+      s"${bad.getLong(0)} rows carry a NULL/NaN score — their rank is " +
+        "engine-dependent; filter or impute them first")
+    val dist = base.groupBy(col("_cal_s"), col("_cal_v"))
+      .agg(count(lit(1)).as("_cal_c"))
+    val ranged = graft.core.Caches.persist(
+      dist.repartitionByRange(col("_cal_s"), col("_cal_v")))
+    val glob = twoLevelCumSum(ranged, spark_partition_id(),
+      Seq(col("_cal_s"), col("_cal_v")), col("_cal_c"))
+    // source start offsets: exclusive prefix of per-source totals —
+    // itself two-leveled so a many-source corpus (domains) never
+    // funnels through one task
+    val totals = dist.groupBy(col("_cal_s")).agg(sum(col("_cal_c")).as("_cal_n"))
+    val offs = twoLevelCumSum(
+        totals.repartitionByRange(col("_cal_s")),
+        spark_partition_id(), Seq(col("_cal_s")), col("_cal_n"))
+      .select(col("_cal_s").as("_cal_sj"), col("_cal_n"),
+        (col("_graft_cum") - col("_cal_n")).as("_cal_off"))
+    val pcts = glob.join(offs, col("_cal_s") <=> col("_cal_sj"))
+      .select(col("_cal_s").as("_cal_sj"), col("_cal_v").as("_cal_vj"),
+        ((col("_graft_cum") - col("_cal_off")) / col("_cal_n")).as("score_pct"))
+    base.join(pcts,
+        col("_cal_s") <=> col("_cal_sj") && col("_cal_v") === col("_cal_vj"))
+      .select(outCols: _*)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

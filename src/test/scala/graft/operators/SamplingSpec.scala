@@ -206,4 +206,115 @@ class SamplingSpec extends SparkSpec {
         scored.unionByName(scored.limit(1)), 100L))
     } finally graft.core.Caches.release()
   }
+
+  /** Driver-side replay of Hashing.hash60 for fixture-sanity checks. */
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("capPerGroup: thin and fallback paths both equal the one-window oracle") {
+    import spark.implicits._
+    // groups: tiny (3 rows, under cap), exact (cap rows), fat (200
+    // rows), and a null-group slab (40 rows); cap = 5
+    val rows =
+      (0L until 3L).map(i => (Option("tiny"), i)) ++
+      (10L until 15L).map(i => (Option("exact"), i)) ++
+      (100L until 300L).map(i => (Option("fat"), i)) ++
+      (1000L until 1040L).map(i => (Option.empty[String], i))
+    val d = rows.toDF("grp", "doc_id")
+    val cap = 5
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(Option[String], Long)] =
+      df.collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    try {
+      val naive = asSet(Sampling.capPerGroupNaive(d, col("grp"), col("doc_id"), cap))
+      val fast = Sampling.capPerGroup(d, col("grp"), col("doc_id"), cap)
+      assert(fast.columns.toSeq === d.columns.toSeq) // schema preserved
+      assert(asSet(fast) === naive)
+
+      // fixture sanity — the default overCover must genuinely exercise
+      // the PROVABLE thin path on the fat group (≥ cap survivors under
+      // the slice bound, replayed driver-side), and the starved
+      // overCover below must genuinely under-cover so the exact
+      // fallback fires; both paths land on the same answer
+      val bound8 = (math.min(1.0, 8.0 * cap / 200.0) * math.pow(2, 60)).toLong
+      val surv8 = (100L until 300L).count(i => h60(i.toString) < bound8)
+      assert(surv8 >= cap, s"thin path not exercised: $surv8 survivors")
+      val bound0 = (math.min(1.0, 0.001 * cap / 200.0) * math.pow(2, 60)).toLong
+      assert((100L until 300L).count(i => h60(i.toString) < bound0) < cap,
+        "fallback path not exercised")
+      val viaFallback = Sampling.capPerGroup(d, col("grp"), col("doc_id"), cap,
+        overCover = 0.001)
+      assert(asSet(viaFallback) === naive)
+
+      // membership: under-cap groups untouched, over-cap groups at
+      // exactly cap — including the NULL group (capped, not dropped)
+      val byGroup = fast.collect()
+        .groupBy(r => Option(r.getString(0))).map { case (g, rs) => g -> rs.length }
+      assert(byGroup === Map(Option("tiny") -> 3, Option("exact") -> cap,
+        Option("fat") -> cap, None -> cap))
+      // survivors of the fat group are exactly the cap smallest hashes
+      val expectFat = (100L until 300L).sortBy(i => (h60(i.toString), i)).take(cap).toSet
+      val gotFat = asSet(fast).collect { case (Some("fat"), id) => id }
+      assert(gotFat === expectFat)
+
+      // determinism: membership survives a repartition
+      assert(asSet(Sampling.capPerGroup(d.repartition(7), col("grp"),
+        col("doc_id"), cap)) === naive)
+
+      // contract refusals: reserved helper names and a degenerate cap
+      intercept[IllegalArgumentException](Sampling.capPerGroup(
+        d.withColumn("_cap_h", lit(1)), col("grp"), col("doc_id"), cap))
+      intercept[IllegalArgumentException](
+        Sampling.capPerGroup(d, col("grp"), col("doc_id"), 0))
+    } finally graft.core.Caches.release()
+  }
+
+  test("calibrateScores equals the one-window cume_dist oracle, bit-identical") {
+    import org.apache.spark.sql.expressions.Window
+    // real corpus, real ties: n_chars repeats within a source
+    val scored = d.select(col("doc_id"), col("source"), col("n_chars"))
+    try {
+      val got = Sampling.calibrateScores(scored, col("source"), col("n_chars"))
+        .select("doc_id", "score_pct").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      val naive = scored.withColumn("pct", cume_dist().over(w))
+        .select("doc_id", "pct").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.size == naive.size)
+      // bit-identical: both sides divide the same exact long counts
+      assert(got.forall { case (id, p) => p == naive(id) })
+
+      // invariant under a strictly monotone transform of the raw score
+      val transformed = Sampling.calibrateScores(
+          scored, col("source"), col("n_chars") * 2 + 1)
+        .select("doc_id", "score_pct").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(transformed === got)
+    } finally graft.core.Caches.release()
+  }
+
+  test("calibrateScores: ties share one pct, null source is a group, NaN refused") {
+    import spark.implicits._
+    val f = Seq(
+      (1L, Option("a"), 5.0), (2L, Option("a"), 5.0), (3L, Option("a"), 9.0),
+      (4L, Option.empty[String], 1.0), (5L, Option.empty[String], 2.0))
+      .toDF("doc_id", "src", "s")
+    try {
+      val out = Sampling.calibrateScores(f, col("src"), col("s"))
+        .select("doc_id", "score_pct").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // source a: two tied rows at 5.0 → both 2/3; max of each source = 1.0
+      assert(out(1L) == 2.0 / 3 && out(2L) == 2.0 / 3 && out(3L) == 1.0)
+      // null source calibrates as its own group, rows not dropped
+      assert(out(4L) == 0.5 && out(5L) == 1.0)
+      intercept[IllegalArgumentException](Sampling.calibrateScores(
+        f.withColumn("s", when(col("doc_id") === 1, lit(Double.NaN))
+          .otherwise(col("s"))), col("src"), col("s")))
+      intercept[IllegalArgumentException](Sampling.calibrateScores(
+        f.withColumn("score_pct", lit(1)), col("src"), col("s")))
+    } finally graft.core.Caches.release()
+  }
 }
