@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Hashing-trick logistic quality classifier (SURVEY §2.8) — the
+  * "train a quality filter on a small labeled set, score the whole
+  * corpus" step of a production data pipeline (the fastText-classifier
+  * role in the published curation recipes), built entirely from
+  * declarative Spark.
+  *
+  * Model: logistic regression over hashed bag-of-words presence
+  * features — each distinct token hashes to one of `dim` buckets
+  * ([[Hashing.hash60]] mod dim, so featurization is deterministic
+  * across runs, engines, and partitionings; collisions are the usual
+  * hashing-trick accuracy trade). Training is full-batch gradient
+  * descent where the per-epoch gradient is computed AS A QUERY:
+  *
+  *   - the margin w·x + b is `aggregate()` over the feature array
+  *     against the current weights, carried as ONE plan literal
+  *     (a `typedlit` array — a single Literal node shipped in the
+  *     task binary, ~8·dim bytes; the `dim ≤ 2^20` guard keeps that
+  *     and the driver-side update bounded);
+  *   - per-feature gradient contributions explode to (feature,
+  *     residual) rows and one groupBy(feature) sums them — the ONLY
+  *     shuffle per epoch, keyed on ≤ dim+2 values with map-side
+  *     partial aggregation (two sentinel keys carry the bias gradient
+  *     and the log-loss through the same shuffle, so an epoch is
+  *     exactly one pass + one dim-bounded rollup);
+  *   - residuals and loss terms round to 9 decimals and sum as
+  *     DECIMAL (the q37 discipline), so the gradient — and therefore
+  *     the whole training trajectory — is partition-order independent
+  *     and bit-identical across cluster widths.
+  *
+  * Scoring ([[score]]) is a pure projection: featurize, fold the
+  * weight literal, sigmoid — zero shuffles, zero joins, codegen'd
+  * end-to-end, exactly what a 100 TB corpus pass needs.
+  *
+  * The reference has no model-training surface; this extends the
+  * pipeline family (BPE trainer, bigram LM, k-means codebooks) that a
+  * training-data engine needs around the reference's query core.
+  */
+object Classifier {
+
+  /** A trained model: `weights(f)` for hashed feature f, plus bias.
+    * `losses(e)` is the mean log-loss after epoch e — monotone
+    * decreasing on any corpus the learning rate suits (spec-gated).
+    */
+  case class QualityModel(dim: Int, bias: Double, weights: Array[Double],
+                          losses: Array[Double])
+
+  /** Hashed presence features of whitespace-tokenized `text`: distinct
+    * `hash60(token) mod dim` indices, empty tokens dropped, null text
+    * = no features (the doc still trains/scores through the bias).
+    */
+  def featurize(text: Column, dim: Int): Column =
+    array_distinct(transform(
+      filter(split(coalesce(text, lit("")), " "), t => length(t) > 0),
+      t => (Hashing.hash60(t) % dim).cast("int")))
+
+  // sentinel feature ids: the bias gradient and the loss ride the one
+  // per-epoch shuffle next to the real features
+  private val BiasKey = -1
+  private val LossKey = -2
+
+  /** Train on `d`'s `text` against a 0/1 `label` column. Labels must
+    * be exactly 0 or 1 and non-null (refused otherwise — a silently
+    * clamped label is a corrupted gradient). Returns bit-identical
+    * weights for the same data regardless of partitioning.
+    */
+  def train(d: DataFrame, label: Column, dim: Int = 1 << 15,
+            epochs: Int = 30, lr: Double = 2.0, l2: Double = 1e-6): QualityModel = {
+    require(dim > 0 && dim <= (1 << 20),
+      s"dim must be in [1, 2^20] (weights are a plan literal and a " +
+        s"driver-side array), got $dim")
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    require(lr > 0, s"lr must be positive, got $lr")
+    require(l2 >= 0, s"l2 must be non-negative, got $l2")
+    val feats = graft.core.Caches.persist(d.select(
+      label.cast("double").as("_y"), featurize(col("text"), dim).as("_f")))
+    val probe = feats.agg(
+      sum(when(col("_y").isNull || (col("_y") =!= 0.0 && col("_y") =!= 1.0),
+        1L).otherwise(0L)), count(lit(1))).head
+    val n = probe.getLong(1)
+    require(n > 0, "cannot train on an empty corpus")
+    require(probe.getLong(0) == 0,
+      s"${probe.getLong(0)} rows carry a label that is not exactly 0 or " +
+        "1 — fix the labels rather than train on a corrupted gradient")
+    val w = Array.fill(dim)(0.0)
+    var b = 0.0
+    val losses = Array.fill(epochs)(0.0)
+    for (e <- 0 until epochs) {
+      val wl = typedlit(w.toSeq)
+      val m = aggregate(col("_f"), lit(b),
+        (acc, f) => acc + element_at(wl, f + 1))
+      // per-key value: residual σ(m)−y for real features and the bias
+      // sentinel; the numerically stable log-loss
+      // max(m,0) − y·m + log1p(exp(−|m|)) for the loss sentinel
+      val keyed = feats
+        .withColumn("_m", m)
+        .select(col("_y"), col("_m"),
+          explode(concat(col("_f"),
+            array(lit(BiasKey), lit(LossKey)))).as("_k"))
+        .select(col("_k"),
+          round(when(col("_k") === LossKey,
+              greatest(col("_m"), lit(0.0)) - col("_y") * col("_m") +
+                log1p(exp(-abs(col("_m")))))
+            .otherwise(lit(1.0) / (lit(1.0) + exp(-col("_m"))) - col("_y")),
+            9).cast("decimal(28,9)").as("_v"))
+      val sums = keyed.groupBy(col("_k")).agg(sum(col("_v")).as("_s"))
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+      losses(e) = sums(LossKey) / n
+      b -= lr * (sums.getOrElse(BiasKey, 0.0) / n)
+      var f = 0
+      while (f < dim) {
+        val g = sums.getOrElse(f, 0.0) / n + l2 * w(f)
+        w(f) -= lr * g
+        f += 1
+      }
+    }
+    QualityModel(dim, b, w, losses)
+  }
+
+  /** Score `text` with a trained model: adds `out` = σ(w·x + b) ∈
+    * (0, 1). A pure projection — zero shuffles at any corpus size.
+    */
+  def score(d: DataFrame, model: QualityModel, text: Column,
+            out: String = "quality_prob"): DataFrame = {
+    require(!d.columns.contains(out),
+      s"input already has a $out column; pick another output name")
+    val wl = typedlit(model.weights.toSeq)
+    val m = aggregate(featurize(text, model.dim), lit(model.bias),
+      (acc, f) => acc + element_at(wl, f + 1))
+    d.withColumn(out, lit(1.0) / (lit(1.0) + exp(-m)))
+  }
+}

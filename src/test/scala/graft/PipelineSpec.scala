@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Dedup, Sampling, TextOps}
+import graft.operators.{Classifier, Curate, Dedup, Sampling, TextOps}
 
 /** End-to-end pipeline composition: the operators are parameterized
   * library functions, and a real training-data pipeline CHAINS them —
@@ -156,5 +156,73 @@ class PipelineSpec extends SparkSpec {
       spans.unpersist()
       graft.core.Caches.release()
     }
+  }
+
+  test("labeled seed -> train classifier -> score corpus -> calibrate -> domain cap -> select: the model-scored mix") {
+    import spark.implicits._
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+    try {
+      // 1) train the quality filter on a small labeled seed set — the
+      // fastText-classifier discipline: the labeled data is tiny, the
+      // corpus pass is the scale problem
+      val seed = ((0 until 40).map(i =>
+        (s"the quiet library catalog holds carefully curated essays shelf$i", 1.0)) ++
+        (0 until 40).map(i =>
+          (s"click buy cheap pills winner jackpot casino bonus offer$i", 0.0)))
+        .toDF("text", "label")
+      val model = Classifier.train(seed, $"label", dim = 1 << 12, epochs = 15)
+      assert(model.losses.last < model.losses.head, "training must improve")
+
+      // 2) score the REAL corpus — a zero-shuffle projection
+      val scored = Classifier.score(docs, model, $"text")
+        .select($"doc_id", $"source", $"text", $"quality_prob")
+      assert(scored.agg(min($"quality_prob"), max($"quality_prob")).head() match {
+        case r => r.getDouble(0) > 0.0 && r.getDouble(1) < 1.0
+      })
+
+      // 3) calibrate per source: within a source the calibrated rank
+      // must equal the raw-probability rank (ECDF is rank-preserving),
+      // and every source tops out at pct 1.0
+      val cal = Sampling.calibrateScores(scored, $"source", $"quality_prob")
+      val calRows = cal.select($"doc_id", $"source", $"quality_prob", $"score_pct",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+        .collect()
+      val bySrc = calRows.groupBy(_.getString(1))
+      bySrc.foreach { case (src, rows) =>
+        assert(rows.map(_.getDouble(3)).max == 1.0, s"source $src max pct")
+        rows.sortBy(_.getDouble(2)).sliding(2).foreach { p =>
+          if (p.length == 2)
+            assert(p(0).getDouble(3) <= p(1).getDouble(3),
+              s"source $src: calibration broke the score order")
+        }
+      }
+
+      // 4) cap every source at 30 docs — the capped frame is a subset
+      // with per-source counts min(n, 30)
+      val cap = 30
+      val capped = Sampling.capPerGroup(
+        cal.withColumn("n_tokens", size(split($"text", " ")).cast("long")),
+        $"source", $"doc_id", cap)
+      val cappedRows = capped.select($"doc_id", $"source").collect()
+      val origCounts = bySrc.map { case (s, rs) => s -> rs.length }
+      cappedRows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+        assert(rs.length == math.min(origCounts(src), cap), s"source $src cap")
+      }
+      val calIds = calRows.map(_.getLong(0)).toSet
+      assert(cappedRows.map(_.getLong(0)).forall(calIds.contains))
+
+      // 5) select the best calibrated docs under a third of the capped
+      // token budget; the prefix property holds on score_pct
+      val pool = capped.select($"doc_id", $"score_pct".as("score"), $"n_tokens")
+      val total = pool.agg(sum($"n_tokens")).head().getLong(0)
+      val sel = Sampling.selectByBudget(pool, total / 3).collect()
+      assert(sel.nonEmpty && sel.map(_.getLong(2)).sum <= total / 3)
+      val selIds = sel.map(_.getLong(0)).toSet
+      val maxUnsel = pool.filter(!$"doc_id".isInCollection(selIds))
+        .agg(max($"score")).head().getDouble(0)
+      assert(sel.map(_.getDouble(1)).min >= maxUnsel,
+        "a skipped doc outranks a selected one")
+    } finally graft.core.Caches.release()
   }
 }

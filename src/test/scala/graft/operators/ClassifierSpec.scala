@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Hashing-trick logistic quality classifier — learning behavior,
+  * bit-determinism, a driver-side gradient replay, and the
+  * zero-shuffle scoring plan.
+  */
+class ClassifierSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Driver-side replay of Hashing.hash60 for the gradient oracle. */
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private def separable = {
+    val good = (0 until 40).map(i =>
+      (s"the quiet library catalog holds carefully curated essays shelf$i", 1.0))
+    val spam = (0 until 40).map(i =>
+      (s"click buy cheap pills winner jackpot casino bonus offer$i", 0.0))
+    (good ++ spam).toDF("text", "label")
+  }
+
+  test("learns a separable corpus: loss decreases, scores separate") {
+    val d = separable
+    try {
+      val m = Classifier.train(d, col("label"), dim = 1 << 12, epochs = 25)
+      // full-batch GD at a sane lr: the loss never rises
+      assert(m.losses.sliding(2).forall(p => p(1) < p(0) + 1e-12),
+        s"loss not monotone: ${m.losses.toSeq}")
+      assert(m.losses.last < 0.2, s"did not converge: ${m.losses.last}")
+      val scored = Classifier.score(d, m, col("text")).collect()
+        .map(r => r.getDouble(1) -> r.getDouble(2))
+      assert(scored.collect { case (1.0, p) => p }.forall(_ > 0.8))
+      assert(scored.collect { case (0.0, p) => p }.forall(_ < 0.2))
+    } finally graft.core.Caches.release()
+  }
+
+  test("training is bit-deterministic across partitionings") {
+    val d = separable
+    try {
+      val m1 = Classifier.train(d, col("label"), dim = 1 << 10, epochs = 6)
+      val m2 = Classifier.train(d.repartition(13), col("label"),
+        dim = 1 << 10, epochs = 6)
+      assert(m1.bias == m2.bias)
+      assert(m1.weights.sameElements(m2.weights))
+      assert(m1.losses.sameElements(m2.losses))
+    } finally graft.core.Caches.release()
+  }
+
+  test("one epoch matches a driver-side gradient replay") {
+    val dim = 16
+    val lr = 0.7
+    val docs = Seq(("alpha beta gamma", 1.0), ("delta beta", 0.0),
+      ("alpha alpha epsilon", 1.0), ("zeta", 0.0))
+    val d = docs.toDF("text", "label")
+    try {
+      val m = Classifier.train(d, col("label"), dim = dim, epochs = 1,
+        lr = lr, l2 = 0.0)
+      // first epoch from w=0, b=0: every margin is 0, p = 0.5,
+      // residual = 0.5 − y; grad_f = Σ_{docs ∋ f} resid / n
+      val feats = docs.map { case (t, y) =>
+        (t.split(" ").filter(_.nonEmpty).map(w => (h60(w) % dim).toInt).distinct, y)
+      }
+      val n = docs.length
+      val expW = Array.fill(dim)(0.0)
+      var expB = 0.0
+      feats.foreach { case (fs, y) =>
+        val r = 0.5 - y
+        expB -= lr * r / n * 1.0
+        fs.foreach(f => expW(f) -= lr * r / n)
+      }
+      // the shipped path rounds residuals to 9 decimals before the
+      // DECIMAL sum — agreement to 1e-8 is the rounding envelope
+      assert(math.abs(m.bias - expB) < 1e-8, s"bias ${m.bias} vs $expB")
+      (0 until dim).foreach(f =>
+        assert(math.abs(m.weights(f) - expW(f)) < 1e-8,
+          s"w($f): ${m.weights(f)} vs ${expW(f)}"))
+    } finally graft.core.Caches.release()
+  }
+
+  test("contracts: label domain enforced, null text tolerated, name collisions refused") {
+    val d = separable
+    try {
+      intercept[IllegalArgumentException](Classifier.train(
+        d.withColumn("label", lit(0.5)), col("label"), dim = 64, epochs = 1))
+      intercept[IllegalArgumentException](Classifier.train(
+        d.limit(0), col("label"), dim = 64, epochs = 1))
+      intercept[IllegalArgumentException](Classifier.train(
+        d, col("label"), dim = 0, epochs = 1))
+      // a null-text doc trains through the bias and scores σ(b)
+      val withNull = d.unionByName(Seq((null: String, 1.0)).toDF("text", "label"))
+      val m = Classifier.train(withNull, col("label"), dim = 256, epochs = 2)
+      val p = Classifier.score(Seq(Tuple1(null: String)).toDF("text"), m,
+        col("text")).select("quality_prob").head().getDouble(0)
+      assert(p == 1.0 / (1.0 + math.exp(-m.bias)))
+      intercept[IllegalArgumentException](Classifier.score(
+        d.withColumn("quality_prob", lit(1)), m, col("text")))
+    } finally graft.core.Caches.release()
+  }
+
+  test("scoring is a zero-shuffle projection over the real corpus") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    try {
+      val m = Classifier.train(separable, col("label"), dim = 1 << 10, epochs = 2)
+      val scored = Classifier.score(docs, m, col("text"))
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"scoring shuffles:\n$plan")
+      val ps = scored.select("quality_prob").collect().map(_.getDouble(0))
+      assert(ps.nonEmpty && ps.forall(p => p > 0.0 && p < 1.0))
+    } finally graft.core.Caches.release()
+  }
+}

@@ -160,7 +160,7 @@ class SamplingSpec extends SparkSpec {
     val scored = d.select(col("doc_id"),
       (size(split(col("text"), " ")) % 10).cast("double").as("score"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val totalTokens = scored.agg(sum("n_tokens")).head.getLong(0)
+    val totalTokens = scored.agg(sum("n_tokens")).head().getLong(0)
     for (budget <- Seq(0L, 1000L, totalTokens / 3, totalTokens, totalTokens * 2);
          parts <- Seq(1, 7, 512)) {
       val fast = Sampling.selectByBudget(scored, budget, parts).collect()
