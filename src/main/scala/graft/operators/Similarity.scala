@@ -336,6 +336,117 @@ object Similarity {
       .orderBy(col("subspace"))
   }
 
+  /** Persist a trained IVF codebook — train ONCE on the big cluster,
+    * ship the nCells-line artifact to every query/ingest job (the
+    * [[graft.operators.Bpe.save]] discipline; at 100 TB nobody retrains
+    * a quantizer inside a query). One centroid per line:
+    * `cid TAB norm TAB v1,v2,…` with doubles rendered by
+    * `Double.toString` — the shortest representation that parses back
+    * to the IDENTICAL bits, so a save/load round-trip is exact (the
+    * norm is serialized rather than recomputed because seed norms come
+    * from the corpus column, not from [[ivfCentroids]]' own sqrt —
+    * re-deriving could flip a ulp and move a cell boundary).
+    * Non-finite components are refused on BOTH ends: a NaN centroid
+    * silently poisons every assignment it touches.
+    */
+  def saveIvf(cents: Array[(Long, Array[Double], Double)], path: String): Unit = {
+    require(cents.nonEmpty, "refusing to save an empty codebook")
+    cents.foreach { case (cid, v, n) =>
+      require(v.nonEmpty && v.forall(java.lang.Double.isFinite) &&
+        java.lang.Double.isFinite(n),
+        s"centroid $cid carries a non-finite component")
+    }
+    require(cents.map(_._2.length).distinct.length == 1,
+      "centroids disagree on dimensionality")
+    val sb = new StringBuilder
+    cents.foreach { case (cid, v, n) =>
+      sb.append(cid).append('\t').append(n).append('\t')
+        .append(v.mkString(",")).append('\n')
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a [[saveIvf]]d codebook; malformed lines, dimension
+    * disagreements, and non-finite values refuse rather than train a
+    * query on a corrupted quantizer. */
+  def loadIvf(path: String): Array[(Long, Array[Double], Double)] = {
+    import scala.jdk.CollectionConverters._
+    val cents = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty).map { l =>
+        val parts = l.split("\t", -1)
+        require(parts.length == 3, s"malformed centroid line: '$l'")
+        val v = parts(2).split(",", -1).map { s =>
+          val d = java.lang.Double.parseDouble(s)
+          require(java.lang.Double.isFinite(d), s"non-finite component in '$l'")
+          d
+        }
+        val norm = java.lang.Double.parseDouble(parts(1))
+        require(java.lang.Double.isFinite(norm), s"non-finite norm in '$l'")
+        (parts(0).toLong, v, norm)
+      }.toArray
+    require(cents.nonEmpty, s"$path holds no centroids")
+    require(cents.map(_._2.length).distinct.length == 1,
+      s"$path centroids disagree on dimensionality")
+    cents
+  }
+
+  /** Persist a trained PQ codebook ([[pqTrain]]'s shape) — one line per
+    * (subspace, centroid): `s TAB j TAB v1,v2,…`, same exact-round-trip
+    * and refusal rules as [[saveIvf]]. */
+  def savePq(books: Array[Array[Array[Double]]], path: String): Unit = {
+    require(books.nonEmpty && books.forall(_.nonEmpty),
+      "refusing to save an empty codebook")
+    require(books.map(_.length).distinct.length == 1,
+      "subspaces disagree on centroid count")
+    require(books.flatMap(_.map(_.length)).distinct.length == 1,
+      "centroids disagree on sub-dimensionality")
+    val sb = new StringBuilder
+    books.zipWithIndex.foreach { case (cs, s) =>
+      cs.zipWithIndex.foreach { case (c, j) =>
+        require(c.nonEmpty && c.forall(java.lang.Double.isFinite),
+          s"subspace $s centroid $j carries a non-finite component")
+        sb.append(s).append('\t').append(j).append('\t')
+          .append(c.mkString(",")).append('\n')
+      }
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a [[savePq]]d codebook; refuses gaps (a missing (s, j) line
+    * would silently renumber centroids and scramble every stored code). */
+  def loadPq(path: String): Array[Array[Array[Double]]] = {
+    import scala.jdk.CollectionConverters._
+    val rows = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty).map { l =>
+        val parts = l.split("\t", -1)
+        require(parts.length == 3, s"malformed codebook line: '$l'")
+        val v = parts(2).split(",", -1).map { s =>
+          val d = java.lang.Double.parseDouble(s)
+          require(java.lang.Double.isFinite(d), s"non-finite component in '$l'")
+          d
+        }
+        (parts(0).toInt, parts(1).toInt, v)
+      }.toArray
+    require(rows.nonEmpty, s"$path holds no centroids")
+    val nSub = rows.map(_._1).max + 1
+    val nCent = rows.map(_._2).max + 1
+    require(rows.length == nSub * nCent &&
+      rows.map(r => (r._1, r._2)).distinct.length == rows.length,
+      s"$path is not a dense (subspace, centroid) grid — a gap or " +
+        "duplicate would renumber centroids and scramble stored codes")
+    require(rows.map(_._3.length).distinct.length == 1,
+      s"$path centroids disagree on sub-dimensionality")
+    val books = Array.ofDim[Array[Double]](nSub, nCent)
+    rows.foreach { case (s, j, v) => books(s)(j) = v }
+    books.map(_.toArray)
+  }
+
   /** The ADC table-lookup sum Σ_s dtable[s][codes[s]] as an UNROLLED
     * left-associative sum of `nSub` element_at lookups — whole-stage
     * codegen (a lambda `aggregate` HOF here is interpreted, ~µs per

@@ -230,4 +230,61 @@ class SimilaritySpec extends SparkSpec {
     assert(byLabel(1) === ((1L, 1L, 1.0)))  // query 10 votes: {11,13} → 1. correct
     assert(byLabel(2) === ((1L, 0L, 0.0)))  // mislabeled query never matches
   }
+
+  test("codebook save/load: bit-exact round trip, downstream-identical, corruption refused") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val corpus = Similarity.prepare(e, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-codebooks")
+
+    // IVF: the loaded codebook is the trained one, bit for bit, and
+    // assigns every vector to the same cell
+    val cents = Similarity.ivfCentroids(corpus, nCells = 8, trainIters = 2)
+    val ivfPath = dir.resolve("ivf.tsv").toString
+    Similarity.saveIvf(cents, ivfPath)
+    val cents2 = Similarity.loadIvf(ivfPath)
+    assert(cents2.length == cents.length)
+    cents.zip(cents2).foreach { case ((a, v, n), (a2, v2, n2)) =>
+      assert(a == a2 && n == n2 && v.sameElements(v2))
+    }
+    val assigned = Similarity.ivfAssign(corpus, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val assigned2 = Similarity.ivfAssign(corpus, cents2)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned === assigned2)
+
+    // PQ: bit-exact books, identical codes for the whole corpus
+    val books = Similarity.pqTrain(corpus, dim = 64, nSub = 8,
+      nCentroids = 8, trainIters = 1)
+    val pqPath = dir.resolve("pq.tsv").toString
+    Similarity.savePq(books, pqPath)
+    val books2 = Similarity.loadPq(pqPath)
+    assert(books2.length == books.length)
+    books.zip(books2).foreach { case (cs, cs2) =>
+      assert(cs.length == cs2.length)
+      cs.zip(cs2).foreach { case (c, c2) => assert(c.sameElements(c2)) }
+    }
+    val codes = Similarity.pqEncode(corpus, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val codes2 = Similarity.pqEncode(corpus, books2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes === codes2)
+
+    // corruption refused, not loaded: truncated line, a gap in the
+    // (subspace, centroid) grid, a non-finite component, empty books
+    val bad1 = dir.resolve("bad1.tsv")
+    java.nio.file.Files.write(bad1, "0\t1.0\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](Similarity.loadIvf(bad1.toString))
+    val gap = dir.resolve("gap.tsv")
+    java.nio.file.Files.write(gap,
+      "0\t0\t1.0,2.0\n0\t2\t3.0,4.0\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](Similarity.loadPq(gap.toString))
+    val nan = dir.resolve("nan.tsv")
+    java.nio.file.Files.write(nan, "0\tNaN\t1.0,2.0\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](Similarity.loadIvf(nan.toString))
+    intercept[IllegalArgumentException](Similarity.saveIvf(Array.empty, ivfPath))
+    intercept[IllegalArgumentException](Similarity.saveIvf(
+      Array((0L, Array(1.0, Double.NaN), 1.0)), ivfPath))
+  }
 }
