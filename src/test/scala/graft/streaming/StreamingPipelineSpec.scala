@@ -192,4 +192,57 @@ class StreamingPipelineSpec extends SparkSpec {
         """{"doc_id":13,"text":"another fresh passage nothing has ever matched anywhere"}"""))
     } finally q.stop()
   }
+
+  test("streaming quality gate: the trained classifier scores in-flight, low-quality docs never land") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-gate-landing")
+    val root = Files.createTempDirectory("graft-gate-log").toString
+    val ckpt = Files.createTempDirectory("graft-gate-ckpt").toString
+    def shard(name: String, lines: Seq[String]): Unit = {
+      val tmp = Files.createTempFile("graft-shard", ".tmp")
+      Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
+      Files.move(tmp, landing.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // train the gate on the batch side (the labeled seed is small; the
+    // stream is the scale problem)
+    val seed = ((0 until 40).map(i =>
+      (s"the quiet library catalog holds carefully curated essays shelf$i", 1.0)) ++
+      (0 until 40).map(i =>
+        (s"click buy cheap pills winner jackpot casino bonus offer$i", 0.0)))
+      .toDF("text", "label")
+    val model = try graft.operators.Classifier.train(
+        seed, col("label"), dim = 1 << 12, epochs = 15)
+      finally graft.core.Caches.release()
+
+    val split = Ingest.readJsonlStream(spark, landing.toString, schema)
+    // scoring is a pure projection, so it runs INSIDE the streaming
+    // plan — no foreachBatch, no state store: the model rides along as
+    // a plan literal, exactly like it would over a 100 TB batch scan
+    val gated = graft.operators.Classifier.score(split.good, model, col("text"))
+      .filter(col("quality_prob") >= 0.5)
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("text"))).as("data"))
+    val log = new StreamLog(spark, root, "quality-gated")
+    shard("s1.jsonl", Seq(
+      """{"doc_id": 1, "text": "the quiet library catalog holds carefully curated essays", "lang": "en"}""",
+      """{"doc_id": 2, "text": "click buy cheap pills winner jackpot casino bonus", "lang": "en"}"""))
+    val q = StreamTail.sinkTo(gated, log, ckpt, orderBy = Seq("doc_id"))
+    try {
+      q.processAllAvailable()
+      val first = log.consume(Offset.Beginning, 100)
+      assert(first.map(_._2).toSeq == Seq(
+        """{"doc_id":1,"text":"the quiet library catalog holds carefully curated essays"}"""))
+      // a late shard flows through the same gate without restart
+      shard("s2.jsonl", Seq(
+        """{"doc_id": 3, "text": "winner casino jackpot pills cheap click buy bonus", "lang": "en"}""",
+        """{"doc_id": 4, "text": "carefully curated library essays the catalog holds", "lang": "en"}"""))
+      q.processAllAvailable()
+      val all = log.consume(Offset.Beginning, 100)
+      assert(all.map(_._2).toSeq == Seq(
+        """{"doc_id":1,"text":"the quiet library catalog holds carefully curated essays"}""",
+        """{"doc_id":4,"text":"carefully curated library essays the catalog holds"}"""))
+      assert(all.map(_._1) == all.map(_._1).sorted, "offsets not monotonic")
+    } finally q.stop()
+  }
 }
