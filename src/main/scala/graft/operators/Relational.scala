@@ -581,11 +581,18 @@ object Relational {
     * column type); numeric ranges live in avg_num and the dedicated
     * stats operators (q48).
     */
-  def profileColumns(d: DataFrame, groupCols: Seq[String],
-                     cols: Seq[String],
-                     exactDistinct: Boolean = true): DataFrame = {
-    require(cols.nonEmpty)
-    val melted = d.select((groupCols.map(col) :+
+  /** The one-scan column melt shared by [[profileColumns]] and
+    * [[topValues]]: every profiled column becomes (colname, string
+    * form, try_cast numeric) rows through a single
+    * `explode(array(struct…))` projection — the q51 unpivot shape, no
+    * union of per-column scans. */
+  private def meltCols(d: DataFrame, groupCols: Seq[String],
+                       cols: Seq[String]): DataFrame = {
+    // a group column named like a melt output would silently shadow it
+    val clash = groupCols.toSet.intersect(Set("colname", "v", "num"))
+    require(clash.isEmpty,
+      s"group columns collide with melt outputs: ${clash.mkString(", ")} — rename first")
+    d.select((groupCols.map(col) :+
       explode(array(cols.map(c =>
         struct(lit(c).as("colname"), col(c).cast("string").as("v"),
           // ANSI-safe: try_cast nulls unparseable numerics (DuckDB
@@ -593,6 +600,13 @@ object Relational {
           expr(s"try_cast(`$c` as double)").as("num"))): _*)).as("p")): _*)
       .select((groupCols.map(col) :+ col("p.colname").as("colname") :+
         col("p.v").as("v") :+ col("p.num").as("num")): _*)
+  }
+
+  def profileColumns(d: DataFrame, groupCols: Seq[String],
+                     cols: Seq[String],
+                     exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty)
+    val melted = meltCols(d, groupCols, cols)
     val keys = groupCols :+ "colname"
     melted.groupBy(keys.map(col): _*)
       .agg(
@@ -604,6 +618,66 @@ object Relational {
         max(col("v")).as("max_v"),
         round(avg(col("num")), 6).as("avg_num"))
       .orderBy(keys.map(col): _*)
+  }
+
+  /** Frequent-values report — [[profileColumns]]' companion: per
+    * (group, column), the `k` most frequent non-null values with their
+    * counts (nulls are already counted by the profile's n_null). Ties
+    * break by the value ascending, so the report is a pure function of
+    * the data.
+    *
+    * Scale shape — the reason this is not one `row_number()` window
+    * over the counts: a window PARTITIONed BY (group, column) sorts
+    * every distinct value of that column in ONE task, and a
+    * high-cardinality column (an id) makes that task corpus-sized.
+    * Instead the complete counts frame takes LOCAL top-k per (cell,
+    * shuffle partition) — the window key includes
+    * `spark_partition_id()`, so each sort is ~distinct/parts rows —
+    * and the global top-k then ranks only the ≤ cells·parts·k
+    * candidates (the global top-k is a subset of the union of local
+    * top-ks because counts are already complete). Differentially
+    * spec'd against the one-window oracle, including a fat
+    * high-cardinality column.
+    */
+  def topValues(d: DataFrame, groupCols: Seq[String], cols: Seq[String],
+                k: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "topValues needs at least one column")
+    require(k > 0, s"k must be positive, got $k")
+    val clash = groupCols.toSet.intersect(Set("_tv_p", "_tv_lr", "rank", "n"))
+    require(clash.isEmpty,
+      s"group columns collide with topValues outputs: ${clash.mkString(", ")} — rename first")
+    import org.apache.spark.sql.expressions.Window
+    val keys = (groupCols :+ "colname").map(col)
+    val counts = meltCols(d, groupCols, cols)
+      .filter(col("v").isNotNull)
+      .groupBy(keys :+ col("v"): _*).agg(count(lit(1)).as("n"))
+      .withColumn("_tv_p", spark_partition_id())
+    val wLocal = Window.partitionBy(keys :+ col("_tv_p"): _*)
+      .orderBy(col("n").desc, col("v"))
+    val wGlobal = Window.partitionBy(keys: _*)
+      .orderBy(col("n").desc, col("v"))
+    counts
+      .withColumn("_tv_lr", row_number().over(wLocal))
+      .filter(col("_tv_lr") <= k)
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= k)
+      .select(keys ++ Seq(col("rank"), col("v"), col("n")): _*)
+      .orderBy(keys :+ col("rank"): _*)
+  }
+
+  /** The textbook one-window form of [[topValues]] — the differential
+    * oracle, never the shipped path. */
+  private[operators] def topValuesNaive(d: DataFrame, groupCols: Seq[String],
+                                        cols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = (groupCols :+ "colname").map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("n").desc, col("v"))
+    meltCols(d, groupCols, cols).filter(col("v").isNotNull)
+      .groupBy(keys :+ col("v"): _*).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(keys ++ Seq(col("rank"), col("v"), col("n")): _*)
+      .orderBy(keys :+ col("rank"): _*)
   }
 
   /** q82: profile the documents table per source over all its columns.

@@ -86,7 +86,8 @@ object Sampling {
                   overCover: Double = 8.0): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
     require(overCover > 0, s"overCover must be positive, got $overCover")
-    val reserved = Seq("_cap_g", "_cap_h", "_cap_n", "_cap_rank")
+    val reserved = Seq("_cap_g", "_cap_h", "_cap_n", "_cap_rank",
+      "_cap_gc", "_cap_gt", "_cap_m")
     reserved.foreach(r => require(!d.columns.contains(r),
       s"input already has a $r column; rename it first"))
     val outCols = d.columns.toSeq.map(col)

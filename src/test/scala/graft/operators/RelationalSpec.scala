@@ -303,4 +303,31 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(as - supps).toDouble / supps < 0.05, s"$flag supps: $as vs $supps")
     }
   }
+
+  test("topValues: two-level top-k equals the one-window oracle, incl. a fat id column") {
+    import spark.implicits._
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // real corpus, grouped and ungrouped; doc_id is the
+    // high-cardinality column the two-level pass exists for (every
+    // value count is 1, so rank falls entirely to the value tiebreak)
+    val cols = Seq("lang", "doc_id", "n_chars")
+    assert(asRows(Relational.topValues(docs, Seq("source"), cols, 5)) ==
+      asRows(Relational.topValuesNaive(docs, Seq("source"), cols, 5)))
+    assert(asRows(Relational.topValues(docs, Nil, cols, 7)) ==
+      asRows(Relational.topValuesNaive(docs, Nil, cols, 7)))
+    // partitioning must not change the report (the local pass keys on
+    // spark_partition_id, but the union always holds the true top-k)
+    assert(asRows(Relational.topValues(docs.repartition(13), Nil, cols, 7)) ==
+      asRows(Relational.topValues(docs, Nil, cols, 7)))
+    // hand fixture: counts, value-asc tie-break, nulls excluded
+    val f = Seq(("x", "b"), ("x", "b"), ("x", "a"), ("x", "c"),
+      ("x", null: String)).toDF("g", "s")
+    val top = Relational.topValues(f, Seq("g"), Seq("s"), 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3), r.getLong(4)))
+    assert(top.toSeq == Seq(("x", "s", 1, "b", 2L), ("x", "s", 2, "a", 1L)))
+    intercept[IllegalArgumentException](Relational.topValues(f, Nil, Nil, 2))
+    intercept[IllegalArgumentException](Relational.topValues(f, Nil, Seq("s"), 0))
+  }
 }
