@@ -144,6 +144,81 @@ object Sampling {
       .drop("_cap_rank")
   }
 
+  /** Token-budget variant of [[capPerGroup]] — "at most `budget`
+    * TOKENS per domain", the published-recipe form of the domain cap
+    * (a domain's share of the mix is its token mass, not its doc
+    * count: one domain of million-token concatenations can dominate a
+    * mix its doc count says is tiny). Per group, keep the maximal
+    * PREFIX of the deterministic hash order whose cumulative `tokens`
+    * fits `budget` — prefix-greedy like [[selectByBudget]], so caps at
+    * different budgets yield nested survivors, and membership is a
+    * pure function of the data. `key` must be unique within a group;
+    * null groups are capped as their own group.
+    *
+    * Scale shape: the per-group running sum is NOT a per-group window
+    * (one mega-domain = one task). The frame range-partitions on the
+    * full (group, hash, key) order key, the GLOBAL running sum comes
+    * from the shared [[twoLevelCumSum]] scan, and the per-group sum is
+    * the global one minus the group's start offset — itself a
+    * two-level scan over the one-row-per-group totals frame (the
+    * [[calibrateScores]] construction). Null/negative token counts and
+    * duplicate keys are refused by a probe, mirroring
+    * [[selectByBudget]].
+    */
+  def capTokensPerGroup(d: DataFrame, group: Column, key: Column,
+                        tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    // the scan threads the WHOLE input row through twoLevelCumSum, so
+    // its helper names are reserved here too (selectByBudget projects
+    // first and calibrateScores scans a derived frame — neither is
+    // exposed)
+    val reserved = Seq("_ctg_g", "_ctg_h", "_ctg_n", "_ctg_t", "_ctg_off",
+      "_ctg_gj", "_graft_bucket", "_graft_boff", "_graft_cum")
+    reserved.foreach(r => require(!d.columns.contains(r),
+      s"input already has a $r column; rename it first"))
+    val outCols = d.columns.toSeq.map(col)
+    val base = d.withColumn("_ctg_g", group)
+      .withColumn("_ctg_h", Hashing.hash60(key.cast("string")))
+      .withColumn("_ctg_n", tokens.cast("long"))
+    val probe = base.agg(
+      sum(when(col("_ctg_n").isNull || col("_ctg_n") < 0, 1L).otherwise(0L)),
+      count(lit(1)), countDistinct(struct(col("_ctg_g"), key))).head
+    if (probe.isNullAt(0)) return d.limit(0)
+    require(probe.getLong(0) == 0,
+      s"${probe.getLong(0)} rows carry a NULL or negative token count — " +
+        "the cumulative budget scan would silently corrupt; fix the counts first")
+    require(probe.getLong(1) == probe.getLong(2),
+      s"(group, key) is not unique (${probe.getLong(1)} rows, " +
+        s"${probe.getLong(2)} distinct) — the hash order over duplicates " +
+        "is undefined; dedup or re-key the frame first")
+    val rankKey = Seq(col("_ctg_g"), col("_ctg_h"), key)
+    val ranged = graft.core.Caches.persist(
+      base.repartitionByRange(rankKey: _*))
+    val glob = twoLevelCumSum(ranged, spark_partition_id(), rankKey,
+      col("_ctg_n"))
+    val offs = twoLevelCumSum(
+        base.groupBy(col("_ctg_g")).agg(sum(col("_ctg_n")).as("_ctg_t"))
+          .repartitionByRange(col("_ctg_g")),
+        spark_partition_id(), Seq(col("_ctg_g")), col("_ctg_t"))
+      .select(col("_ctg_g").as("_ctg_gj"),
+        (col("_graft_cum") - col("_ctg_t")).as("_ctg_off"))
+    glob.join(offs, col("_ctg_g") <=> col("_ctg_gj"))
+      .filter(col("_graft_cum") - col("_ctg_off") <= budget)
+      .select(outCols: _*)
+  }
+
+  /** The textbook one-window form of [[capTokensPerGroup]] — the
+    * differential oracle, never the shipped path. */
+  private[operators] def capTokensPerGroupNaive(d: DataFrame, group: Column,
+                                                key: Column, tokens: Column,
+                                                budget: Long): DataFrame = {
+    val w = Window.partitionBy(group)
+      .orderBy(Hashing.hash60(key.cast("string")), key)
+    d.withColumn("_ctg_cum", sum(tokens.cast("long")).over(w))
+      .filter(col("_ctg_cum") <= budget)
+      .drop("_ctg_cum")
+  }
+
   /** Train/validation/test split assignment: the hash bucket of `key`
     * maps each row to a named split by fixed thresholds (default
     * 90/5/5). The same hash-determinism argument as [[hashSample]] —

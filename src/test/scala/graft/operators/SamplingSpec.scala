@@ -271,6 +271,54 @@ class SamplingSpec extends SparkSpec {
     } finally graft.core.Caches.release()
   }
 
+  test("capTokensPerGroup: per-group budget scan equals the one-window oracle") {
+    import spark.implicits._
+    val toks = d.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      // several budgets on the real corpus, incl. 0 (nothing fits) and
+      // a budget past every group total (everything passes untouched)
+      val total = toks.agg(sum(col("n_toks"))).head().getLong(0)
+      for (budget <- Seq(0L, 500L, 5000L, total)) {
+        val fast = asSet(Sampling.capTokensPerGroup(
+          toks, col("source"), col("doc_id"), col("n_toks"), budget))
+        val naive = asSet(Sampling.capTokensPerGroupNaive(
+          toks, col("source"), col("doc_id"), col("n_toks"), budget))
+        assert(fast === naive, s"budget $budget")
+        graft.core.Caches.release()
+      }
+      assert(asSet(Sampling.capTokensPerGroup(toks, col("source"),
+        col("doc_id"), col("n_toks"), total)) == asSet(toks))
+      // nesting: a smaller budget's survivors are a subset of a larger's
+      val s1 = asSet(Sampling.capTokensPerGroup(
+        toks, col("source"), col("doc_id"), col("n_toks"), 2000L))
+      val s2 = asSet(Sampling.capTokensPerGroup(
+        toks, col("source"), col("doc_id"), col("n_toks"), 8000L))
+      assert(s1.subsetOf(s2))
+      // membership survives a repartition; schema preserved
+      val capped = Sampling.capTokensPerGroup(
+        toks.repartition(11), col("source"), col("doc_id"), col("n_toks"), 5000L)
+      assert(capped.columns.toSeq === toks.columns.toSeq)
+      assert(asSet(capped) === asSet(Sampling.capTokensPerGroup(
+        toks, col("source"), col("doc_id"), col("n_toks"), 5000L)))
+      // null group is a group; per-group budget holds group by group
+      val f = Seq((Option("a"), 1L, 10L), (Option("a"), 2L, 10L),
+        (Option("a"), 3L, 10L), (Option.empty[String], 4L, 7L),
+        (Option.empty[String], 5L, 7L)).toDF("g", "doc_id", "n")
+      val got = Sampling.capTokensPerGroup(f, col("g"), col("doc_id"),
+        col("n"), 14L).collect().map(r => Option(r.getString(0)) -> r.getLong(1))
+      assert(got.count(_._1 == Option("a")) == 1 && got.count(_._1.isEmpty) == 2)
+      // refusals: negative tokens, duplicate keys
+      intercept[IllegalArgumentException](Sampling.capTokensPerGroup(
+        f.withColumn("n", when(col("doc_id") === 1, -5L).otherwise(col("n"))),
+        col("g"), col("doc_id"), col("n"), 14L))
+      intercept[IllegalArgumentException](Sampling.capTokensPerGroup(
+        f.unionByName(f.limit(1)), col("g"), col("doc_id"), col("n"), 14L))
+    } finally graft.core.Caches.release()
+  }
+
   test("calibrateScores equals the one-window cume_dist oracle, bit-identical") {
     import org.apache.spark.sql.expressions.Window
     // real corpus, real ties: n_chars repeats within a source
