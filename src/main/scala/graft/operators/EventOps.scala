@@ -436,6 +436,73 @@ object EventOps {
   def q77Retention(spark: SparkSession, dir: String): DataFrame =
     retention(events(spark, dir))
 
+  /** Event-rate anomaly report — the ops-monitoring pass over the
+    * event log: count events per (event_type, tumbling `windowSec`
+    * window) with Spark's native `window()` (q23's plan — one
+    * map-side-combinable shuffle, and the same operator Structured
+    * Streaming runs), fit each type's window-count distribution, and
+    * flag windows whose |z| clears `zThresh`. `dense = true`
+    * additionally materializes the SILENT windows (zero events)
+    * between a type's first and last active window — a service that
+    * stops logging is an anomaly the sparse report cannot see, but a
+    * type whose every observed window is identical (std 0) flags
+    * nothing either way.
+    *
+    * Determinism & scale: the moments are exact integer/DECIMAL sums
+    * (n, Σc, Σc² — Σc² as DECIMAL so a 3-billion-event window cannot
+    * overflow a long square), so mean/std/z are partition-order
+    * independent; per-type state is three numbers, the stats frame is
+    * bounded by the type count, and the dense fill explodes
+    * `sequence(first, last)` per type — bounded by wall-clock span ÷
+    * windowSec, a time-range property independent of corpus size.
+    * Output: flagged rows (event_type, window_start_ms, n_events,
+    * mean_events, std_events, z), ordered.
+    */
+  def rateAnomalies(events: DataFrame, ts: Column, typ: Column,
+                    windowSec: Long, zThresh: Double = 3.0,
+                    dense: Boolean = false): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    require(zThresh > 0, s"zThresh must be positive, got $zThresh")
+    val stepMs = windowSec * 1000L
+    val counts0 = events
+      .groupBy(typ.as("event_type"), window(ts, s"$windowSec seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      // epoch-aligned windows (Spark's default): the index form makes
+      // the dense fill and the output arithmetic exact. The cast keeps
+      // TIMESTAMP_NTZ sources working (session TZ semantics — UTC here).
+      .select(col("event_type"),
+        (unix_millis(col("w.start").cast("timestamp")) / stepMs)
+          .cast("long").as("w"),
+        col("n_events"))
+    val counts = if (!dense) counts0 else {
+      val spans = counts0.groupBy(col("event_type"))
+        .agg(min(col("w")).as("w_lo"), max(col("w")).as("w_hi"))
+      spans.select(col("event_type"),
+          explode(sequence(col("w_lo"), col("w_hi"))).as("w"))
+        .join(counts0, Seq("event_type", "w"), "left")
+        .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+    }
+    val stats = counts.groupBy(col("event_type").as("_ra_t")).agg(
+        count(lit(1)).as("n_w"), sum(col("n_events")).as("s1"),
+        sum(col("n_events").cast("decimal(19,0)") *
+          col("n_events").cast("decimal(19,0)")).as("s2"))
+      .select(col("_ra_t"),
+        (col("s1").cast("double") / col("n_w")).as("mean_events"),
+        sqrt(greatest(lit(0.0),
+          col("s2").cast("double") / col("n_w") -
+            pow(col("s1").cast("double") / col("n_w"), 2))).as("std_events"))
+    counts.join(stats, col("event_type") <=> col("_ra_t"))
+      .withColumn("z", when(col("std_events") > 0,
+        (col("n_events").cast("double") - col("mean_events")) /
+          col("std_events")).otherwise(lit(0.0)))
+      .filter(abs(col("z")) >= zThresh)
+      .select(col("event_type"), (col("w") * stepMs).as("window_start_ms"),
+        col("n_events"), round(col("mean_events"), 6).as("mean_events"),
+        round(col("std_events"), 6).as("std_events"),
+        round(col("z"), 6).as("z"))
+      .orderBy(col("event_type"), col("window_start_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_json" -> (q15Json _),
     "q28_asof_join" -> (q28AsofJoin _),

@@ -680,6 +680,48 @@ object Relational {
       .orderBy(keys :+ col("rank"): _*)
   }
 
+  /** Profile drift report — [[profileColumns]] run on two corpus
+    * snapshots, diffed: the "did this crawl quietly change shape"
+    * monitor that catches a column going null-heavy, a source
+    * vanishing, or a mean shifting BEFORE a training run pays for it
+    * (the distribution-level sibling of `Curate.snapshotDiff`'s
+    * row-level view). Join keys are inferred as every non-metric
+    * column of the profile schema (the group columns + colname), so
+    * it works for any grouping; null group values join null-safely.
+    * Output per cell: the keys, `status` ∈ added / removed / changed /
+    * unchanged, and old/new pairs for rows, null fraction, distinct
+    * count, and numeric mean (null on the missing side). Both inputs
+    * are already bounded reports (groups × columns rows), so the full
+    * outer join is trivially cheap at any corpus scale — the heavy
+    * lifting happened in the profiles.
+    */
+  def profileDrift(oldProf: DataFrame, newProf: DataFrame): DataFrame = {
+    val metrics = Seq("n_rows", "n_null", "n_distinct", "min_v", "max_v", "avg_num")
+    val keys = oldProf.columns.filterNot(metrics.contains).toSeq
+    require(keys.nonEmpty, "profile frames carry no key columns")
+    require(oldProf.columns.toSeq == newProf.columns.toSeq,
+      s"profile schemas disagree: ${oldProf.columns.toSeq} vs ${newProf.columns.toSeq}")
+    metrics.foreach(m => require(oldProf.columns.contains(m),
+      s"not a profileColumns frame: missing $m"))
+    def side(df: DataFrame, tag: String): DataFrame =
+      metrics.foldLeft(df)((d, m) => d.withColumnRenamed(m, s"${m}_$tag"))
+        .withColumn(s"_pd_$tag", lit(1))
+    val o = side(oldProf, "old")
+    val n = side(newProf, "new")
+    val joined = o.join(n, keys.map(k => o(k) <=> n(k)).reduce(_ && _), "full_outer")
+    val sameMetrics = metrics.map(m =>
+      col(s"${m}_old") <=> col(s"${m}_new")).reduce(_ && _)
+    val keyCols = keys.map(k => coalesce(o(k), n(k)).as(k))
+    val metricCols = metrics.flatMap(m =>
+      Seq(col(s"${m}_old"), col(s"${m}_new")))
+    joined.select(keyCols ++ Seq(
+        when(col("_pd_old").isNull, "added")
+          .when(col("_pd_new").isNull, "removed")
+          .when(sameMetrics, "unchanged")
+          .otherwise("changed").as("status")) ++ metricCols: _*)
+      .orderBy(keys.map(col): _*)
+  }
+
   /** q82: profile the documents table per source over all its columns.
     * Integer-valued means (doc_id, n_chars sums < 2^53) are dyadic-
     * exact in both engines; round(…,6) pins them anyway. */

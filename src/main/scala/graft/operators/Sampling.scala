@@ -94,6 +94,16 @@ object Sampling {
     val keyed = graft.core.Caches.persist(d
       .withColumn("_cap_g", group)
       .withColumn("_cap_h", Hashing.hash60(key.cast("string"))))
+    // (group, key) must be unique — duplicate keys have no defined
+    // position in the (hash, key) rank order, so WHICH duplicate
+    // survives would be partition luck (the capTokensPerGroup /
+    // selectByBudget contract, enforced the same way)
+    val uprobe = keyed.agg(count(lit(1)),
+      countDistinct(struct(col("_cap_g"), key))).head
+    require(uprobe.getLong(0) == uprobe.getLong(1),
+      s"(group, key) is not unique (${uprobe.getLong(0)} rows, " +
+        s"${uprobe.getLong(1)} distinct) — the rank order over " +
+        "duplicates is undefined; dedup or re-key the frame first")
     val counts = keyed.groupBy(col("_cap_g").as("_cap_gc"))
       .agg(count(lit(1)).as("_cap_n"))
     // null-safe join: a null group is a group, not a dropped row

@@ -65,4 +65,51 @@ class EventOpsSpec extends SparkSpec {
     }
     assert(cohortSizes.nonEmpty)
   }
+
+  test("rateAnomalies: planted spike flagged exactly; dense mode sees the silent gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val stepSec = 600L
+    // type a: 30 windows of 10 events, window 7 spikes to 100.
+    // type b: 31 windows of 10 events with window 15 entirely SILENT —
+    // invisible to the sparse report (its observed windows are all
+    // identical, std 0), caught only by the dense fill.
+    def ev(t: String, w: Long, n: Int): Seq[(String, java.sql.Timestamp)] =
+      (0 until n).map(i =>
+        (t, new java.sql.Timestamp((w * stepSec + i) * 1000L)))
+    val rows =
+      (0L until 30L).flatMap(w => ev("a", w, if (w == 7) 100 else 10)) ++
+      (0L until 31L).filter(_ != 15).flatMap(w => ev("b", w, 10))
+    val d = rows.toDF("event_type", "ts")
+
+    val sparse = EventOps.rateAnomalies(d, col("ts"), col("event_type"),
+      stepSec).collect()
+    // only the spike: z = (100 − mean)/std with mean = 390/30 = 13,
+    // std = sqrt(Σc²/30 − 13²) = sqrt((29·100 + 10000)/30 − 169)
+    val meanA = 390.0 / 30
+    val stdA = math.sqrt((29 * 100 + 10000) / 30.0 - meanA * meanA)
+    val zSpike = (100 - meanA) / stdA
+    assert(sparse.map(r => (r.getString(0), r.getLong(1) / (stepSec * 1000))).toSeq
+      == Seq(("a", 7L)))
+    assert(math.abs(sparse.head.getDouble(5) - zSpike) < 1e-5)
+    assert(sparse.head.getLong(2) == 100L)
+
+    val dense = EventOps.rateAnomalies(d, col("ts"), col("event_type"),
+      stepSec, dense = true).collect()
+      .map(r => (r.getString(0), r.getLong(1) / (stepSec * 1000), r.getLong(2)))
+    // dense adds b's silent window: 31 windows, 30×10 + 1×0 →
+    // mean = 300/31, std = sqrt(3000/31 − mean²), z(0) ≈ −5.48
+    assert(dense.toSeq == Seq(("a", 7L, 100L), ("b", 15L, 0L)))
+
+    // real events smoke: hourly windows run clean, z finite
+    val real = EventOps.rateAnomalies(
+      graft.core.Tables(spark, sfDir, "events"),
+      col("ts"), col("event_type"), 3600L, zThresh = 0.5).collect()
+    real.foreach(r => assert(!r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
+
+    intercept[IllegalArgumentException](EventOps.rateAnomalies(
+      d, col("ts"), col("event_type"), 0L))
+    intercept[IllegalArgumentException](EventOps.rateAnomalies(
+      d, col("ts"), col("event_type"), 60L, zThresh = 0.0))
+  }
 }

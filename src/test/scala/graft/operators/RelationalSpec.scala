@@ -330,4 +330,32 @@ class RelationalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Relational.topValues(f, Nil, Nil, 2))
     intercept[IllegalArgumentException](Relational.topValues(f, Nil, Seq("s"), 0))
   }
+
+  test("profileDrift: added/removed/changed/unchanged cells on mutated snapshots") {
+    import spark.implicits._
+    val v1 = Seq(("a", Option(10L), "x"), ("a", Option(20L), "y"),
+      ("b", Option(5L), "z")).toDF("g", "n", "s")
+    val v2 = Seq(("a", Option.empty[Long], "x"), ("a", Option(20L), "y"),
+      ("b", Option(5L), "z"), ("c", Option(1L), "w")).toDF("g", "n", "s")
+    val p1 = Relational.profileColumns(v1, Seq("g"), Seq("n", "s"))
+    val p2 = Relational.profileColumns(v2, Seq("g"), Seq("n", "s"))
+    val drift = Relational.profileDrift(p1, p2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(drift == Map(
+      ("a", "n") -> "changed",   // a null crept into a:n
+      ("a", "s") -> "unchanged",
+      ("b", "n") -> "unchanged", ("b", "s") -> "unchanged",
+      ("c", "n") -> "added", ("c", "s") -> "added"))
+    // the reverse direction reports the removal
+    val back = Relational.profileDrift(p2, p1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(back(("c", "n")) == "removed" && back(("c", "s")) == "removed")
+    // old/new metric pairs ride along: the changed cell shows the null
+    val cell = Relational.profileDrift(p1, p2)
+      .filter($"g" === "a" && $"colname" === "n").head()
+    assert(cell.getLong(3) == 2L && cell.getLong(4) == 2L)   // n_rows old/new
+    assert(cell.getLong(5) == 0L && cell.getLong(6) == 1L)   // n_null old/new
+    intercept[IllegalArgumentException](
+      Relational.profileDrift(p1, p2.drop("avg_num")))
+  }
 }

@@ -263,11 +263,14 @@ class SamplingSpec extends SparkSpec {
       assert(asSet(Sampling.capPerGroup(d.repartition(7), col("grp"),
         col("doc_id"), cap)) === naive)
 
-      // contract refusals: reserved helper names and a degenerate cap
+      // contract refusals: reserved helper names, a degenerate cap,
+      // and duplicate (group, key) rows (undefined rank order)
       intercept[IllegalArgumentException](Sampling.capPerGroup(
         d.withColumn("_cap_h", lit(1)), col("grp"), col("doc_id"), cap))
       intercept[IllegalArgumentException](
         Sampling.capPerGroup(d, col("grp"), col("doc_id"), 0))
+      intercept[IllegalArgumentException](Sampling.capPerGroup(
+        d.unionByName(d.limit(1)), col("grp"), col("doc_id"), cap))
     } finally graft.core.Caches.release()
   }
 
