@@ -206,8 +206,10 @@ object Sampling {
       base.repartitionByRange(rankKey: _*))
     val glob = twoLevelCumSum(ranged, spark_partition_id(), rankKey,
       col("_ctg_n"))
+    // totals derive from the PERSISTED ranged frame, not the raw
+    // input — one corpus scan serves both levels of the machinery
     val offs = twoLevelCumSum(
-        base.groupBy(col("_ctg_g")).agg(sum(col("_ctg_n")).as("_ctg_t"))
+        ranged.groupBy(col("_ctg_g")).agg(sum(col("_ctg_n")).as("_ctg_t"))
           .repartitionByRange(col("_ctg_g")),
         spark_partition_id(), Seq(col("_ctg_g")), col("_ctg_t"))
       .select(col("_ctg_g").as("_ctg_gj"),
@@ -604,8 +606,9 @@ object Sampling {
       Seq(col("_cal_s"), col("_cal_v")), col("_cal_c"))
     // source start offsets: exclusive prefix of per-source totals —
     // itself two-leveled so a many-source corpus (domains) never
-    // funnels through one task
-    val totals = dist.groupBy(col("_cal_s")).agg(sum(col("_cal_c")).as("_cal_n"))
+    // funnels through one task; totals derive from the PERSISTED
+    // ranged frame so the distinct-collapse shuffle runs once
+    val totals = ranged.groupBy(col("_cal_s")).agg(sum(col("_cal_c")).as("_cal_n"))
     val offs = twoLevelCumSum(
         totals.repartitionByRange(col("_cal_s")),
         spark_partition_id(), Seq(col("_cal_s")), col("_cal_n"))
