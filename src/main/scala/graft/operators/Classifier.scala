@@ -130,9 +130,69 @@ object Classifier {
             out: String = "quality_prob"): DataFrame = {
     require(!d.columns.contains(out),
       s"input already has a $out column; pick another output name")
+    require(model.weights.length == model.dim,
+      s"inconsistent model: dim ${model.dim} but ${model.weights.length} weights")
     val wl = typedlit(model.weights.toSeq)
     val m = aggregate(featurize(text, model.dim), lit(model.bias),
       (acc, f) => acc + element_at(wl, f + 1))
     d.withColumn(out, lit(1.0) / (lit(1.0) + exp(-m)))
+  }
+
+  /** Persist a trained model — the [[graft.operators.Bpe.save]] /
+    * `Similarity.saveIvf` discipline: train once on the labeled set,
+    * ship the artifact to every scoring job. Header line
+    * `graft-qlr TAB dim TAB bias`, then one `f TAB w` line per
+    * NONZERO weight (untouched buckets are exactly 0.0, so the sparse
+    * form round-trips bit-identically — doubles render via
+    * `Double.toString`, the shortest exact representation). The loss
+    * curve is a training-time diagnostic, not scoring state, and is
+    * not persisted. Non-finite values refuse on both ends.
+    */
+  def save(model: QualityModel, path: String): Unit = {
+    require(model.weights.length == model.dim,
+      s"inconsistent model: dim ${model.dim} but ${model.weights.length} weights")
+    require(java.lang.Double.isFinite(model.bias) &&
+      model.weights.forall(java.lang.Double.isFinite),
+      "model carries a non-finite weight")
+    val sb = new StringBuilder
+    sb.append("graft-qlr\t").append(model.dim).append('\t')
+      .append(model.bias).append('\n')
+    model.weights.zipWithIndex.foreach { case (v, f) =>
+      if (v != 0.0) sb.append(f).append('\t').append(v).append('\n')
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a [[save]]d model; malformed headers, out-of-range or
+    * duplicate feature ids, and non-finite values refuse rather than
+    * score a corpus with a corrupted filter. */
+  def load(path: String): QualityModel = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty).toSeq
+    require(lines.nonEmpty, s"$path is empty")
+    val h = lines.head.split("\t", -1)
+    require(h.length == 3 && h(0) == "graft-qlr", s"not a model file: $path")
+    val dim = h(1).toInt
+    require(dim > 0 && dim <= (1 << 20), s"implausible dim $dim in $path")
+    val bias = java.lang.Double.parseDouble(h(2))
+    require(java.lang.Double.isFinite(bias), s"non-finite bias in $path")
+    val w = Array.fill(dim)(0.0)
+    val seen = scala.collection.mutable.BitSet.empty
+    lines.tail.foreach { l =>
+      val p = l.split("\t", -1)
+      require(p.length == 2, s"malformed weight line: '$l'")
+      val f = p(0).toInt
+      require(f >= 0 && f < dim, s"feature id $f out of range in $path")
+      require(!seen(f), s"duplicate feature id $f in $path")
+      seen += f
+      val v = java.lang.Double.parseDouble(p(1))
+      require(java.lang.Double.isFinite(v), s"non-finite weight in '$l'")
+      w(f) = v
+    }
+    QualityModel(dim, bias, w, Array.empty)
   }
 }

@@ -464,7 +464,9 @@ object EventOps {
     require(windowSec > 0, s"windowSec must be positive, got $windowSec")
     require(zThresh > 0, s"zThresh must be positive, got $zThresh")
     val stepMs = windowSec * 1000L
-    val counts0 = events
+    // pinned: the counts frame feeds both the stats fit and the flag
+    // join (and, dense, the span probe) — one count shuffle, not three
+    val counts0 = graft.core.Caches.persist(events
       .groupBy(typ.as("event_type"), window(ts, s"$windowSec seconds").as("w"))
       .agg(count(lit(1)).as("n_events"))
       // epoch-aligned windows (Spark's default): the index form makes
@@ -473,7 +475,7 @@ object EventOps {
       .select(col("event_type"),
         (unix_millis(col("w.start").cast("timestamp")) / stepMs)
           .cast("long").as("w"),
-        col("n_events"))
+        col("n_events")))
     val counts = if (!dense) counts0 else {
       val spans = counts0.groupBy(col("event_type"))
         .agg(min(col("w")).as("w_lo"), max(col("w")).as("w_hi"))

@@ -104,6 +104,40 @@ class ClassifierSpec extends SparkSpec {
     } finally graft.core.Caches.release()
   }
 
+  test("model save/load: bit-exact round trip, identical scores, corruption refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qlr")
+    val path = dir.resolve("model.tsv").toString
+    try {
+      val m = Classifier.train(separable, col("label"), dim = 1 << 10, epochs = 5)
+      Classifier.save(m, path)
+      val m2 = Classifier.load(path)
+      assert(m2.dim == m.dim && m2.bias == m.bias)
+      assert(m2.weights.sameElements(m.weights))
+      val d = separable
+      val a = Classifier.score(d, m, col("text"))
+        .select("quality_prob").collect().map(_.getDouble(0)).toSeq
+      val b = Classifier.score(d, m2, col("text"))
+        .select("quality_prob").collect().map(_.getDouble(0)).toSeq
+      assert(a == b)
+      // corruption refused: bad header, out-of-range id, duplicate id,
+      // non-finite weight, inconsistent hand-built model
+      def put(name: String, s: String) = {
+        val p = dir.resolve(name)
+        java.nio.file.Files.write(p, s.getBytes("UTF-8")); p.toString
+      }
+      intercept[IllegalArgumentException](Classifier.load(
+        put("h.tsv", "not-a-model\t8\t0.0\n")))
+      intercept[IllegalArgumentException](Classifier.load(
+        put("r.tsv", "graft-qlr\t8\t0.0\n9\t1.0\n")))
+      intercept[IllegalArgumentException](Classifier.load(
+        put("d.tsv", "graft-qlr\t8\t0.0\n3\t1.0\n3\t2.0\n")))
+      intercept[IllegalArgumentException](Classifier.load(
+        put("n.tsv", "graft-qlr\t8\tNaN\n")))
+      intercept[IllegalArgumentException](Classifier.save(
+        Classifier.QualityModel(8, 0.0, Array(1.0), Array.empty), path))
+    } finally graft.core.Caches.release()
+  }
+
   test("scoring is a zero-shuffle projection over the real corpus") {
     val docs = graft.core.Tables(spark, sfDir, "documents")
     try {
