@@ -47,18 +47,33 @@ object Classifier {
   /** A trained model: `weights(f)` for hashed feature f, plus bias.
     * `losses(e)` is the mean log-loss after epoch e — monotone
     * decreasing on any corpus the learning rate suits (spec-gated).
+    * `bigrams` records the featurization the model was trained with —
+    * scoring always replays it (a model scored with the wrong feature
+    * space is silent garbage, so the flag lives IN the model).
     */
   case class QualityModel(dim: Int, bias: Double, weights: Array[Double],
-                          losses: Array[Double])
+                          losses: Array[Double], bigrams: Boolean = false)
 
   /** Hashed presence features of whitespace-tokenized `text`: distinct
     * `hash60(token) mod dim` indices, empty tokens dropped, null text
     * = no features (the doc still trains/scores through the bias).
+    * `bigrams = true` adds hashed adjacent-pair features (the fastText
+    * word-n-gram default) — word ORDER becomes signal, so "click here
+    * free" and "free here click" stop being the same document. Pairs
+    * join on a single space, unambiguous because tokens come from a
+    * space split.
     */
-  def featurize(text: Column, dim: Int): Column =
-    array_distinct(transform(
-      filter(split(coalesce(text, lit("")), " "), t => length(t) > 0),
-      t => (Hashing.hash60(t) % dim).cast("int")))
+  def featurize(text: Column, dim: Int, bigrams: Boolean = false): Column = {
+    val toks = filter(split(coalesce(text, lit("")), " "), t => length(t) > 0)
+    val uni = transform(toks, t => (Hashing.hash60(t) % dim).cast("int"))
+    val feats = if (!bigrams) uni else {
+      val len = greatest(size(toks) - 1, lit(0))
+      concat(uni, zip_with(
+        slice(toks, lit(1), len), slice(toks, lit(2), len),
+        (a, b) => (Hashing.hash60(concat_ws(" ", a, b)) % dim).cast("int")))
+    }
+    array_distinct(feats)
+  }
 
   // sentinel feature ids: the bias gradient and the loss ride the one
   // per-epoch shuffle next to the real features
@@ -71,7 +86,8 @@ object Classifier {
     * weights for the same data regardless of partitioning.
     */
   def train(d: DataFrame, label: Column, dim: Int = 1 << 15,
-            epochs: Int = 30, lr: Double = 2.0, l2: Double = 1e-6): QualityModel = {
+            epochs: Int = 30, lr: Double = 2.0, l2: Double = 1e-6,
+            bigrams: Boolean = false): QualityModel = {
     require(dim > 0 && dim <= (1 << 20),
       s"dim must be in [1, 2^20] (weights are a plan literal and a " +
         s"driver-side array), got $dim")
@@ -79,10 +95,11 @@ object Classifier {
     require(lr > 0, s"lr must be positive, got $lr")
     require(l2 >= 0, s"l2 must be non-negative, got $l2")
     val feats = graft.core.Caches.persist(d.select(
-      label.cast("double").as("_y"), featurize(col("text"), dim).as("_f")))
+      label.cast("double").as("_y"),
+      featurize(col("text"), dim, bigrams).as("_f")))
     val probe = feats.agg(
       sum(when(col("_y").isNull || (col("_y") =!= 0.0 && col("_y") =!= 1.0),
-        1L).otherwise(0L)), count(lit(1))).head
+        1L).otherwise(0L)), count(lit(1))).head()
     val n = probe.getLong(1)
     require(n > 0, "cannot train on an empty corpus")
     require(probe.getLong(0) == 0,
@@ -120,7 +137,7 @@ object Classifier {
         f += 1
       }
     }
-    QualityModel(dim, b, w, losses)
+    QualityModel(dim, b, w, losses, bigrams)
   }
 
   /** Score `text` with a trained model: adds `out` = σ(w·x + b) ∈
@@ -133,8 +150,8 @@ object Classifier {
     require(model.weights.length == model.dim,
       s"inconsistent model: dim ${model.dim} but ${model.weights.length} weights")
     val wl = typedlit(model.weights.toSeq)
-    val m = aggregate(featurize(text, model.dim), lit(model.bias),
-      (acc, f) => acc + element_at(wl, f + 1))
+    val m = aggregate(featurize(text, model.dim, model.bigrams),
+      lit(model.bias), (acc, f) => acc + element_at(wl, f + 1))
     d.withColumn(out, lit(1.0) / (lit(1.0) + exp(-m)))
   }
 
@@ -156,7 +173,8 @@ object Classifier {
       "model carries a non-finite weight")
     val sb = new StringBuilder
     sb.append("graft-qlr\t").append(model.dim).append('\t')
-      .append(model.bias).append('\n')
+      .append(model.bias).append('\t')
+      .append(if (model.bigrams) "bi" else "uni").append('\n')
     model.weights.zipWithIndex.foreach { case (v, f) =>
       if (v != 0.0) sb.append(f).append('\t').append(v).append('\n')
     }
@@ -175,11 +193,12 @@ object Classifier {
       .asScala.filter(_.nonEmpty).toSeq
     require(lines.nonEmpty, s"$path is empty")
     val h = lines.head.split("\t", -1)
-    require(h.length == 3 && h(0) == "graft-qlr", s"not a model file: $path")
+    require(h.length == 4 && h(0) == "graft-qlr", s"not a model file: $path")
     val dim = h(1).toInt
     require(dim > 0 && dim <= (1 << 20), s"implausible dim $dim in $path")
     val bias = java.lang.Double.parseDouble(h(2))
     require(java.lang.Double.isFinite(bias), s"non-finite bias in $path")
+    require(h(3) == "uni" || h(3) == "bi", s"unknown feature space '${h(3)}' in $path")
     val w = Array.fill(dim)(0.0)
     val seen = scala.collection.mutable.BitSet.empty
     lines.tail.foreach { l =>
@@ -193,6 +212,6 @@ object Classifier {
       require(java.lang.Double.isFinite(v), s"non-finite weight in '$l'")
       w(f) = v
     }
-    QualityModel(dim, bias, w, Array.empty)
+    QualityModel(dim, bias, w, Array.empty, h(3) == "bi")
   }
 }

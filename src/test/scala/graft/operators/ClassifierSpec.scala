@@ -126,15 +126,46 @@ class ClassifierSpec extends SparkSpec {
         java.nio.file.Files.write(p, s.getBytes("UTF-8")); p.toString
       }
       intercept[IllegalArgumentException](Classifier.load(
-        put("h.tsv", "not-a-model\t8\t0.0\n")))
+        put("h.tsv", "not-a-model\t8\t0.0\tuni\n")))
       intercept[IllegalArgumentException](Classifier.load(
-        put("r.tsv", "graft-qlr\t8\t0.0\n9\t1.0\n")))
+        put("r.tsv", "graft-qlr\t8\t0.0\tuni\n9\t1.0\n")))
       intercept[IllegalArgumentException](Classifier.load(
-        put("d.tsv", "graft-qlr\t8\t0.0\n3\t1.0\n3\t2.0\n")))
+        put("d.tsv", "graft-qlr\t8\t0.0\tuni\n3\t1.0\n3\t2.0\n")))
       intercept[IllegalArgumentException](Classifier.load(
-        put("n.tsv", "graft-qlr\t8\tNaN\n")))
+        put("n.tsv", "graft-qlr\t8\tNaN\tuni\n")))
+      intercept[IllegalArgumentException](Classifier.load(
+        put("f.tsv", "graft-qlr\t8\t0.0\tquad\n")))
       intercept[IllegalArgumentException](Classifier.save(
         Classifier.QualityModel(8, 0.0, Array(1.0), Array.empty), path))
+    } finally graft.core.Caches.release()
+  }
+
+  test("bigram features separate a word-order corpus that unigrams cannot") {
+    // both classes carry the IDENTICAL unigram set {alpha, beta} — a
+    // presence model has literally nothing to learn (gradient cancels,
+    // loss pinned at ln 2); the adjacent-pair features differ
+    val d = ((0 until 30).map(_ => ("alpha beta", 1.0)) ++
+      (0 until 30).map(_ => ("beta alpha", 0.0))).toDF("text", "label")
+    try {
+      val uni = Classifier.train(d, col("label"), dim = 256, epochs = 15)
+      assert(uni.losses.last > 0.69, s"unigrams should be stuck: ${uni.losses.last}")
+      val bi = Classifier.train(d, col("label"), dim = 256, epochs = 15,
+        bigrams = true)
+      assert(bi.losses.last < 0.2, s"bigrams should separate: ${bi.losses.last}")
+      val scored = Classifier.score(d, bi, col("text")).collect()
+        .map(r => r.getDouble(1) -> r.getDouble(2))
+      assert(scored.collect { case (1.0, p) => p }.forall(_ > 0.8))
+      assert(scored.collect { case (0.0, p) => p }.forall(_ < 0.2))
+      // the feature space rides in the artifact: a loaded model scores
+      // identically, not silently through the wrong featurization
+      val path = java.nio.file.Files.createTempDirectory("graft-bi")
+        .resolve("m.tsv").toString
+      Classifier.save(bi, path)
+      val loaded = Classifier.load(path)
+      assert(loaded.bigrams)
+      val again = Classifier.score(d, loaded, col("text")).collect()
+        .map(r => r.getDouble(1) -> r.getDouble(2))
+      assert(again.toSeq == scored.toSeq)
     } finally graft.core.Caches.release()
   }
 
