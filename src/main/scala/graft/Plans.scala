@@ -126,6 +126,35 @@ assignments — it shows in the bench as a small q65 riser vs r10);
 what it buys is the same trade q47 made: a single degenerate cell
 would otherwise turn this plan's per-cell nested loop into an n²/2
 single-task straggler at corpus scale.
+""",
+    "q82_profile" -> """### q82 audit note: the r11 profiling companions share this melt (r11)
+
+The one-scan `explode(array(struct…))` melt this plan shows is now a
+single definition (`meltCols`) feeding two more spec-gated operators:
+`Relational.topValues` (frequent values — complete counts take LOCAL
+top-k per (cell, shuffle partition) before a global rank over the
+bounded candidates, so an id-like column never sorts corpus-sized in
+one window task; differentially spec'd against the one-window oracle
+including the fat doc_id column) and `Relational.profileDrift`
+(profile-vs-profile cell diff — both inputs are bounded reports, so
+the full outer join is trivial at any corpus width). Neither adds a
+gated query: the bench registry is capped at 83 and the new surface
+is spec-gated by the SURVEY §10/§11 replacement policy.
+""",
+    "q58_sample_stratified" -> """### q58 audit note: the r11 cap/calibration family avoids per-group windows (r11)
+
+The window this plan shows is per-stratum top-n over SMALL n — fine.
+The r11 additions around it deliberately avoid the same shape where
+the per-group row count is unbounded: `capPerGroup` pre-thins over-cap
+groups to their smallest-hash slice (provably containing the true
+top-cap when ≥ cap rows survive; a recount routes binomial-tail
+groups through the exact windowed fallback), `capTokensPerGroup` and
+`calibrateScores` ride the shared `twoLevelCumSum` prefix scan with
+per-group start offsets (range-partitioned on the full order key, so
+a mega-domain SPLITS across partitions instead of sorting in one
+task), and all three refuse NULL/duplicate keys by eager probes.
+Each is differentially spec'd against its one-window oracle; none
+adds a gated query (bench registry capped at 83).
 """)
 
   def main(args: Array[String]): Unit = {
