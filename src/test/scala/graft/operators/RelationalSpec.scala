@@ -329,6 +329,17 @@ class RelationalSpec extends SparkSpec {
     assert(top.toSeq == Seq(("x", "s", 1, "b", 2L), ("x", "s", 2, "a", 1L)))
     intercept[IllegalArgumentException](Relational.topValues(f, Nil, Nil, 2))
     intercept[IllegalArgumentException](Relational.topValues(f, Nil, Seq("s"), 0))
+    // randomized differential (seeded): skewed value distributions and
+    // count ties across several k — the boundary shapes a fixed
+    // fixture can miss
+    val rnd = new scala.util.Random(7)
+    val rand = (0 until 400).map { _ =>
+      (s"g${rnd.nextInt(3)}", s"v${math.sqrt(rnd.nextInt(400)).toInt}")
+    }.toDF("g", "s")
+    for (k <- Seq(1, 4, 50)) {
+      assert(asRows(Relational.topValues(rand, Seq("g"), Seq("s"), k)) ==
+        asRows(Relational.topValuesNaive(rand, Seq("g"), Seq("s"), k)), s"k=$k")
+    }
   }
 
   test("profileDrift: added/removed/changed/unchanged cells on mutated snapshots") {

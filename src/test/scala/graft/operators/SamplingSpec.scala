@@ -322,6 +322,41 @@ class SamplingSpec extends SparkSpec {
     } finally graft.core.Caches.release()
   }
 
+  test("cap family: randomized differential vs the one-window oracles (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // 300 rows, Zipf-ish group sizes, random token counts — the shapes
+    // fixed fixtures can miss (many groups straddling the cap, token
+    // sums landing exactly on budgets)
+    val rows = (0L until 300L).map { i =>
+      val g = s"g${(math.sqrt(rnd.nextInt(100)).toInt)}" // skewed: few big groups
+      (g, i, 1L + rnd.nextInt(20).toLong)
+    }
+    val f = rows.toDF("g", "doc_id", "n")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      for (cap <- Seq(1, 3, 10)) {
+        assert(ids(Sampling.capPerGroup(f, col("g"), col("doc_id"), cap)) ===
+          ids(Sampling.capPerGroupNaive(f, col("g"), col("doc_id"), cap)),
+          s"cap $cap")
+        // a starved overCover forces the fallback on every fat group
+        assert(ids(Sampling.capPerGroup(f, col("g"), col("doc_id"), cap,
+          overCover = 1e-6)) ===
+          ids(Sampling.capPerGroupNaive(f, col("g"), col("doc_id"), cap)),
+          s"cap $cap fallback")
+        graft.core.Caches.release()
+      }
+      for (budget <- Seq(5L, 37L, 200L)) {
+        assert(ids(Sampling.capTokensPerGroup(f, col("g"), col("doc_id"),
+          col("n"), budget)) ===
+          ids(Sampling.capTokensPerGroupNaive(f, col("g"), col("doc_id"),
+            col("n"), budget)), s"budget $budget")
+        graft.core.Caches.release()
+      }
+    } finally graft.core.Caches.release()
+  }
+
   test("calibrateScores equals the one-window cume_dist oracle, bit-identical") {
     import org.apache.spark.sql.expressions.Window
     // real corpus, real ties: n_chars repeats within a source
