@@ -62,6 +62,41 @@ object Similarity {
           round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6).as("cos_sim")),
       k)
 
+  /** Hard-negative mining — contrastive-training data prep: for each
+    * query vector, the `k` most-similar corpus vectors carrying a
+    * DIFFERENT label — the "close but wrong" examples a
+    * contrastive/retrieval trainer needs (easy random negatives teach
+    * nothing). Filter-then-top-k, NOT top-k-then-filter: a query whose
+    * true neighbors share its label still gets k negatives, ranked by
+    * how dangerously close they are. Null labels count as a label
+    * (null-vs-non-null IS a mismatch; null-vs-null is not).
+    *
+    * Same scale shape as [[knnBrute]]: the query batch broadcasts, the
+    * labeled corpus scans once with zero vector shuffles, and only
+    * narrow (qid, neighbor, labels, cos) rows enter the per-query
+    * top-k window. At corpus×corpus width, mine per batch through
+    * [[knnIvfWith]]'s cell pruning — this same label filter composes
+    * on its candidate frame. `corpus` = [[prepare]] output + `label`.
+    * Output: (qid, q_label, neighbor_id, neg_label, cos_sim,
+    * knn_rank).
+    */
+  def hardNegatives(corpus: DataFrame, isQuery: Column, k: Int = 10): DataFrame = {
+    require(corpus.columns.contains("label"),
+      "hardNegatives needs a label column on the prepared corpus")
+    require(k > 0, s"k must be positive, got $k")
+    val q = corpus.filter(isQuery).select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("norm").as("qnorm"), col("label").as("q_label"))
+    topK(
+      corpus.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid") &&
+          !(col("label") <=> col("q_label")))
+        .select(col("qid"), col("q_label"), col("vec_id").as("neighbor_id"),
+          col("label").as("neg_label"),
+          round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6)
+            .as("cos_sim")),
+      k)
+  }
+
   /** q34 = knnBrute with the first 5 vectors as the query batch, k=10. */
   def q34KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -231,6 +231,49 @@ class SimilaritySpec extends SparkSpec {
     assert(byLabel(2) === ((1L, 0L, 0.0)))  // mislabeled query never matches
   }
 
+  test("hardNegatives: filter-then-top-k equals a driver replay; labels never match") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val corpus = Similarity.prepare(e, "vec_id", "embedding")
+      .join(e.select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label")), "vec_id")
+    val k = 7
+    val out = Similarity.hardNegatives(corpus,
+      org.apache.spark.sql.functions.col("vec_id") < 5, k).collect()
+    assert(out.nonEmpty)
+    // no negative shares its query's label, ranks are 1..k per query
+    out.foreach(r => assert(r.getInt(1) != r.getInt(3),
+      s"query ${r.getLong(0)} got a same-label 'negative'"))
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(5)).sorted.sameElements(1 to rows.length), s"q$qid ranks")
+      assert(rows.length == k, s"q$qid should find k negatives in this corpus")
+    }
+    // driver replay: filter different-label FIRST, then top-k by
+    // (cos desc, id) with the same strict fold and HALF_UP rounding
+    val all = e.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dotN(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val norms = all.map { case (id, _, v) => id -> math.sqrt(dotN(v, v)) }.toMap
+    val expect = all.filter(_._1 < 5).flatMap { case (qid, ql, qv) =>
+      all.filter { case (nid, nl, _) => nid != qid && nl != ql }
+        .map { case (nid, _, nv) =>
+          val cos = BigDecimal(dotN(qv, nv) / (norms(qid) * norms(nid)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (qid, nid, cos)
+        }
+        .sortBy { case (_, nid, cos) => (-cos, nid) }.take(k)
+        .zipWithIndex.map { case ((q, nid, _), i) => (q, i + 1) -> nid }
+    }.toMap
+    out.foreach { r =>
+      assert(expect((r.getLong(0), r.getInt(5))) == r.getLong(2),
+        s"q${r.getLong(0)} rank ${r.getInt(5)}")
+    }
+  }
+
   test("codebook save/load: bit-exact round trip, downstream-identical, corruption refused") {
     val e = graft.core.Tables(spark, sfDir, "embeddings")
     val corpus = Similarity.prepare(e, "vec_id", "embedding")
