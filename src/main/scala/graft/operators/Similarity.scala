@@ -53,14 +53,39 @@ object Similarity {
     * @param queries (qid, qv, qnorm), e.g. a filtered+renamed corpus
     *   subset; must be small enough to broadcast (a query BATCH, not a
     *   second corpus — for corpus×corpus use Dedup.q35's bucketed form).
+    * @param maxQueries enforced batch bound: the query frame is
+    *   broadcast (materialized on the driver), so a corpus-sized frame
+    *   here is a driver OOM, not a slow query. The probe counts at most
+    *   `maxQueries + 1` rows (LIMIT pushes into the scan) and refuses
+    *   past the bound — the guard-as-code twin of [[knnIvfPq]]'s
+    *   collect bound.
     */
-  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int,
+               maxQueries: Int = 10000): DataFrame = {
+    probeQueryBound(queries, maxQueries, "knnBrute")
     topK(
       corpus.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("neighbor_id"),
           round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6).as("cos_sim")),
       k)
+  }
+
+  /** Count-probe a query batch before it is broadcast: scans at most
+    * `bound + 1` rows (the LIMIT stops the scan early) and refuses an
+    * oversized batch with a pointer at the distributed alternatives.
+    * The broadcast itself gives no such refusal — it materializes the
+    * frame on the driver first and OOMs there.
+    */
+  private def probeQueryBound(q: DataFrame, bound: Int, op: String): Unit = {
+    require(bound > 0, s"$op: maxQueries must be positive, got $bound")
+    val probed = q.limit(bound + 1).count()
+    require(probed <= bound,
+      s"$op broadcasts the query batch; got > $bound query rows — " +
+        "this is a FEW-queries-vs-corpus operator. For corpus×corpus " +
+        "mining use knnLsh/knnIvfWith (distributed query side), or raise " +
+        "maxQueries if the batch genuinely fits in driver memory")
+  }
 
   /** Hard-negative mining — contrastive-training data prep: for each
     * query vector, the `k` most-similar corpus vectors carrying a
@@ -78,14 +103,18 @@ object Similarity {
     * [[knnIvfWith]]'s cell pruning — this same label filter composes
     * on its candidate frame. `corpus` = [[prepare]] output + `label`.
     * Output: (qid, q_label, neighbor_id, neg_label, cos_sim,
-    * knn_rank).
+    * knn_rank). `maxQueries` bounds the broadcast batch the same way as
+    * [[knnBrute]] — a broad `isQuery` ("all docs from source X") gets a
+    * refusal, not a driver OOM.
     */
-  def hardNegatives(corpus: DataFrame, isQuery: Column, k: Int = 10): DataFrame = {
+  def hardNegatives(corpus: DataFrame, isQuery: Column, k: Int = 10,
+                    maxQueries: Int = 10000): DataFrame = {
     require(corpus.columns.contains("label"),
       "hardNegatives needs a label column on the prepared corpus")
     require(k > 0, s"k must be positive, got $k")
     val q = corpus.filter(isQuery).select(col("vec_id").as("qid"),
       col("v").as("qv"), col("norm").as("qnorm"), col("label").as("q_label"))
+    probeQueryBound(q, maxQueries, "hardNegatives")
     topK(
       corpus.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid") &&

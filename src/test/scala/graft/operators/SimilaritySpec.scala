@@ -274,6 +274,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnBrute/hardNegatives refuse an oversized query batch before broadcasting it") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val corpus = Similarity.prepare(e, "vec_id", "embedding")
+    val labeled = corpus.join(e.select(col("vec_id"), col("label")), "vec_id")
+
+    // a "query batch" that is the whole corpus — the mistake the guard
+    // exists for (e.g. isQuery = lit(true) from a broad source filter)
+    val all = corpus.select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("norm").as("qnorm"))
+    val eBrute = intercept[IllegalArgumentException] {
+      Similarity.knnBrute(corpus, all, k = 5, maxQueries = 100)
+    }
+    assert(eBrute.getMessage.contains("knnIvfWith"),
+      "refusal must point at the distributed alternative")
+    val eNeg = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(labeled, org.apache.spark.sql.functions.lit(true),
+        k = 5, maxQueries = 100)
+    }
+    assert(eNeg.getMessage.contains("hardNegatives"))
+
+    // at the bound exactly: allowed (the probe is > bound, not >= bound)
+    val five = corpus.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("norm").as("qnorm"))
+    assert(Similarity.knnBrute(corpus, five, k = 3, maxQueries = 5).count() > 0)
+  }
+
   test("codebook save/load: bit-exact round trip, downstream-identical, corruption refused") {
     val e = graft.core.Tables(spark, sfDir, "embeddings")
     val corpus = Similarity.prepare(e, "vec_id", "embedding")
