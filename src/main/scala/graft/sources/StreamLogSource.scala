@@ -89,7 +89,10 @@ class StreamLogTable(root: String, stream: String, after: Option[String],
     val fields = info.schema().fieldNames.toSeq
     require(fields == Seq("offset", "data"),
       s"streamlog writes require (offset STRING, data STRING), got $fields")
-    new StreamLogWriteBuilder(root, stream)
+    // optional fencing token from StreamLog.claimWriter(); 0 = unfenced
+    // legacy writer, refused once any writer has claimed the stream
+    val writerEpoch = Option(info.options.get("writerEpoch")).map(_.toLong).getOrElse(0L)
+    new StreamLogWriteBuilder(root, stream, writerEpoch)
   }
 }
 
@@ -457,13 +460,14 @@ private object MetaJsonOffset {
   * commit (no metadata is written; files are orphans the next
   * purgeOrphans() collects after recovery).
   */
-class StreamLogWriteBuilder(root: String, stream: String) extends WriteBuilder {
+class StreamLogWriteBuilder(root: String, stream: String,
+                            writerEpoch: Long = 0L) extends WriteBuilder {
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     private val sort: SortOrder =
       Expressions.sort(Expressions.column("offset"), SortDirection.ASCENDING)
     override def requiredDistribution(): Distribution = Distributions.ordered(Array(sort))
     override def requiredOrdering(): Array[SortOrder] = Array(sort)
-    override def toBatch: BatchWrite = new StreamLogBatchWrite(root, stream)
+    override def toBatch: BatchWrite = new StreamLogBatchWrite(root, stream, writerEpoch)
   }
 }
 
@@ -479,7 +483,8 @@ object StreamLogBatchWrite {
     graft.streamlog.StreamLocks.monitor(dir)
 }
 
-class StreamLogBatchWrite(root: String, stream: String) extends BatchWrite {
+class StreamLogBatchWrite(root: String, stream: String,
+                          writerEpoch: Long = 0L) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     StreamLogWriterFactory(Paths.get(root, stream, "segments").toString)
@@ -513,6 +518,12 @@ class StreamLogBatchWrite(root: String, stream: String) extends BatchWrite {
         val lock = lockCh.lock()
         try {
           val st = MetaLog.replay(dir.resolve("meta.jsonl"))
+          // commit-layer fencing: a claimWriter() newer than this load's
+          // token refuses the commit (segments already moved into place
+          // become orphans the next purgeOrphans() collects) — see
+          // StreamLog.claimWriter
+          if (st.writerEpoch > writerEpoch)
+            throw graft.streamlog.WriterFencedException(writerEpoch, st.writerEpoch)
           st.index.max.foreach { m =>
             require(m.lastOffset < segs.head.firstOffset,
               s"bulk load overlaps existing log: last=${m.lastOffset} incoming=${segs.head.firstOffset}")

@@ -41,6 +41,14 @@ object MetaJson {
 
   def version(v: Long): String =
     s"""{"type":"version","producer_version":$v}"""
+
+  /** Writer-epoch fencing token (SURVEY §2.1 #21): the reference's
+    * producer-version fencing (stream_manager.ts:240-267) applied at the
+    * METADATA-COMMIT layer, so stale-writer exclusion lives in the log
+    * itself rather than in a POSIX advisory lock that object storage
+    * doesn't provide. */
+  def writer(epoch: Long): String =
+    s"""{"type":"writer","writer_epoch":$epoch}"""
   // (no `destroy` builder: StreamLog.destroy deletes the whole stream dir,
   // log included; MetaLog.replay still honors a "destroy" marker so an
   // external writer may truncate-reset a log in place.)
@@ -89,13 +97,15 @@ object MetaLog {
       tombstones: Map[String, Long],
       producerVersion: Long,
       lastOffset: String,
-      epoch: Long)
+      epoch: Long,
+      writerEpoch: Long = 0L)
 
   def replay(metaPath: java.nio.file.Path): State = {
     import scala.jdk.CollectionConverters._
     var index = SegmentIndex.empty
     var tombstones = Map.empty[String, Long]
     var version = 0L
+    var writerEpoch = 0L
     if (java.nio.file.Files.exists(metaPath)) {
       java.nio.file.Files.readAllLines(metaPath, java.nio.charset.StandardCharsets.UTF_8)
         .asScala.foreach { line =>
@@ -110,8 +120,10 @@ object MetaLog {
                 tombstones += s("name") -> n("tombstonedMS")
               case "purge" => tombstones -= s("name")
               case "version" => version = n("producer_version")
+              case "writer" => writerEpoch = n("writer_epoch")
               case "destroy" =>
                 index = SegmentIndex.empty; tombstones = Map.empty; version = 0L
+                writerEpoch = 0L
               case _ => // unknown entry type: ignore (forward compatibility)
             }
           }
@@ -119,6 +131,28 @@ object MetaLog {
     }
     State(index, tombstones, version,
       index.max.map(_.lastOffset).getOrElse(""),
-      index.max.map(m => Offset.parse(m.lastOffset)._1).getOrElse(0L))
+      index.max.map(m => Offset.parse(m.lastOffset)._1).getOrElse(0L),
+      writerEpoch)
+  }
+
+  /** The log's current writer epoch alone — the pre-commit fencing read.
+    * Scans only writer/destroy lines (the parse is skipped for segment
+    * adds, which dominate the log), so the check a fenced commit performs
+    * is one sequential read of a small metadata file, an operation every
+    * storage backend (POSIX, S3/R2 GET) supports — unlike advisory locks.
+    */
+  def writerEpoch(metaPath: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    var e = 0L
+    if (java.nio.file.Files.exists(metaPath)) {
+      java.nio.file.Files.readAllLines(metaPath, java.nio.charset.StandardCharsets.UTF_8)
+        .asScala.foreach { line =>
+          if (line.contains("\"writer_epoch\"")) {
+            val (_, n) = MetaJson.parseLine(line)
+            n.get("writer_epoch").foreach(e = _)
+          } else if (line.contains("\"destroy\"")) e = 0L
+        }
+    }
+    e
   }
 }

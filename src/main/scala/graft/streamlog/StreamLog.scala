@@ -15,6 +15,18 @@ final case class FencedException(provided: Long, current: Long)
     extends RuntimeException(
       s"Producer version too old: provided=$provided current=$current")
 
+/** Commit-layer fencing rejection: this handle's writer epoch has been
+  * superseded by a newer [[StreamLog.claimWriter]] in the metadata log,
+  * so its metadata commit (publish / compaction apply / purge / bulk
+  * load) is refused. The reference gets single-writer for free from the
+  * Durable Object runtime; on shared storage without advisory locks
+  * (S3/R2) this token in the log itself is the exclusion mechanism. */
+final case class WriterFencedException(provided: Long, current: Long)
+    extends RuntimeException(
+      s"Writer epoch superseded: this handle holds epoch $provided but the " +
+        s"metadata log records epoch $current — a newer writer has claimed " +
+        "the stream; re-claim with claimWriter() only if that writer is known dead")
+
 /** A durable, bottomless stream log over a directory of immutable NDJSON
   * segments — the reference's Durable-Object-per-stream engine re-expressed
   * for Spark (see SURVEY.md §2.1 for the file:line map into
@@ -49,6 +61,8 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
   @volatile private var producerVersionVar: Long = 0L
   @volatile private var epoch: Long = 0L
   @volatile private var lastOffsetVar: String = ""
+  @volatile private var writerEpochVar: Long = 0L  // log's recorded epoch
+  @volatile private var myWriterEpoch: Long = 0L   // this handle's claim (0 = unclaimed)
 
   /** Flush notification monitor: publish() pokes it after a segment lands,
     * so same-process pollers wake immediately instead of sleeping out
@@ -78,6 +92,34 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
   def lastOffset: Option[String] = Option(lastOffsetVar).filter(_.nonEmpty)
   def segments: Seq[SegmentMeta] = index.segments
   def tombstoneNames: Set[String] = tombstones.keySet
+  /** The log's recorded writer epoch as of the last load/claim (0 = no
+    * writer has ever claimed — fencing dormant, every handle may write). */
+  def writerEpoch: Long = writerEpochVar
+  /** This handle's claimed epoch (0 = unclaimed). */
+  def claimedWriterEpoch: Long = myWriterEpoch
+
+  /** Claim single-writership of this stream: bump the writer epoch in
+    * the metadata log past whatever is recorded on DISK (not the cached
+    * state — two racing claimants serialize on the commit lock and get
+    * distinct, ordered epochs). Every later metadata commit from a
+    * handle holding an OLDER epoch — publish flush, compaction apply,
+    * tombstone purge, crash rebuild, DSv2 bulk commit — re-reads the
+    * log's epoch inside the lock and throws [[WriterFencedException]].
+    * This is the reference's producer fencing (stream_manager.ts:240-267)
+    * moved to the commit layer, where it survives storage that has no
+    * advisory locks. Returns the claimed epoch (pass to DSv2 writes as
+    * the `writerEpoch` option). */
+  def claimWriter(): Long = stateLock.synchronized {
+    StreamLocks.withLock(streamDir) {
+      val disk = MetaLog.writerEpoch(metaPath)
+      val next = math.max(disk, myWriterEpoch) + 1
+      Files.write(metaPath, (MetaJson.writer(next) + "\n").getBytes(UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      myWriterEpoch = next
+      writerEpochVar = next
+      next
+    }
+  }
 
   /** Replay the metadata log — crash-safe cold start
     * (stream_manager.ts:138-179,503-511). */
@@ -87,6 +129,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     producerVersionVar = st.producerVersion
     lastOffsetVar = st.lastOffset
     epoch = st.epoch
+    writerEpochVar = st.writerEpoch
   }
 
   /** Every metadata append holds the stream's JVM monitor + OS file lock
@@ -97,9 +140,20 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     * itself remains single-writer per stream by contract (class
     * scaladoc) — the lock makes the METADATA log safe against the one
     * concurrent writer the design does allow, the bulk loader.
+    *
+    * FENCING: inside the lock, the log's writer epoch is re-read from
+    * DISK; if a newer [[claimWriter]] has superseded this handle the
+    * append throws [[WriterFencedException]] instead of committing —
+    * the check-on-apply half of the fencing-token protocol (a stale
+    * writer's distributed work may complete, but its COMMIT cannot
+    * land). While no writer has ever claimed (epoch 0 on disk and
+    * here), the check is vacuous and the legacy single-writer-by-
+    * contract behavior is unchanged.
     */
   private def appendMeta(lines: String*): Unit =
     StreamLocks.withLock(streamDir) {
+      val disk = MetaLog.writerEpoch(metaPath)
+      if (disk > myWriterEpoch) throw WriterFencedException(myWriterEpoch, disk)
       Files.write(metaPath, (lines.mkString("", "\n", "\n")).getBytes(UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }

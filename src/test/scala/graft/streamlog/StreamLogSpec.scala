@@ -139,6 +139,84 @@ class StreamLogSpec extends SparkSpec {
     intercept[FencedException] { log.publish(Seq("""{"v":5}"""), version = Some(8)) }
   }
 
+  test("writer-epoch fencing: a stale handle's commits refuse after a newer claim") {
+    val root = Files.createTempDirectory("graft-streamlog").toString
+    val a = new StreamLog(spark, root, "s1")
+    val c = clock(7000000)
+    a.publish(Seq("""{"w":0}"""), nowMs = c) // unfenced era: epoch 0 everywhere
+
+    val ea = a.claimWriter()
+    assert(ea == 1 && a.claimedWriterEpoch == 1)
+    a.publish(Seq("""{"w":1}"""), nowMs = c) // current writer commits fine
+
+    // a second handle (second driver in the 100 TB story) supersedes A
+    val b = new StreamLog(spark, root, "s1")
+    val eb = b.claimWriter()
+    assert(eb == 2)
+
+    // A's publish flush now refuses at the commit layer...
+    val f1 = intercept[WriterFencedException] { a.publish(Seq("""{"w":2}"""), nowMs = c) }
+    assert(f1.provided == 1 && f1.current == 2)
+    // ...and so does A's maintenance apply: give A enough segments that
+    // the planner has a window, then watch the APPLY refuse (the
+    // distributed merge may run; the metadata commit cannot land)
+    b.publish((1 to 4).map(i => s"""{"b":$i}"""), nowMs = c)
+    b.publish((1 to 4).map(i => s"""{"b2":$i}"""), nowMs = c)
+    a.refresh() // A sees B's segments but NOT writership (claim ≠ load)
+    assert(a.writerEpoch == 2 && a.claimedWriterEpoch == 1)
+    intercept[WriterFencedException] { a.compactOnce(nowMs = c) }
+
+    // B (the live writer) is unaffected, loses nothing, and can compact
+    val before = b.consume(Offset.Beginning, 1000)
+    assert(b.compactOnce(nowMs = c).isDefined)
+    assert(b.consume(Offset.Beginning, 1000) == before)
+
+    // A re-claims (operator decided B is dead) and works again; B fenced
+    assert(a.claimWriter() == 3)
+    a.refresh()
+    a.publish(Seq("""{"w":3}"""), nowMs = c)
+    intercept[WriterFencedException] { b.publish(Seq("""{"x":1}"""), nowMs = c) }
+
+    // an unclaimed third handle is fenced too (epoch 0 < 3): once a
+    // stream is under claimed management, contract-only writers refuse
+    val u = new StreamLog(spark, root, "s1")
+    intercept[WriterFencedException] { u.publish(Seq("""{"u":1}"""), nowMs = c) }
+  }
+
+  test("writer-epoch fencing: DSv2 bulk commit refuses a stale token, accepts the live one") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-streamlog").toString
+    val log = new StreamLog(spark, root, "s1")
+    log.publish((1 to 3).map(i => s"""{"seed":$i}"""), nowMs = clock(4000000))
+    val e1 = log.claimWriter()
+
+    def bulk(epochOpt: Option[Long], base: Long): Unit = {
+      import spark.implicits._
+      val df = (0 until 5).map(i =>
+        (Offset.serialize(base, i.toLong), s"""{"bulk":$i}""")).toDF("offset", "data")
+      val w = df.write.format("graft.sources.StreamLogSource")
+        .option("path", root).option("stream", "s1").mode("append")
+      epochOpt.fold(w)(e => w.option("writerEpoch", e.toString)).save()
+    }
+
+    // live token commits; records land
+    bulk(Some(e1), base = 5000000)
+    log.refresh()
+    assert(log.consume(Offset.Beginning, 100).count(_._2.contains("bulk")) == 5)
+
+    // stale token (and the no-token legacy writer) refuse
+    new StreamLog(spark, root, "s1").claimWriter() // someone newer
+    val f = intercept[Exception] { bulk(Some(e1), base = 6000000) }
+    assert(exceptionChain(f).exists(_.isInstanceOf[WriterFencedException]))
+    val f2 = intercept[Exception] { bulk(None, base = 7000000) }
+    assert(exceptionChain(f2).exists(_.isInstanceOf[WriterFencedException]))
+    log.refresh()
+    assert(log.consume(Offset.Beginning, 100).count(_._2.contains("bulk")) == 5)
+  }
+
+  private def exceptionChain(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
   test("compaction merges a window into one segment preserving order + completeness") {
     val log = freshLog()
     val c = clock(5000000)
