@@ -462,11 +462,13 @@ object EventOps {
                     windowSec: Long, zThresh: Double = 3.0,
                     dense: Boolean = false): DataFrame = {
     require(windowSec > 0, s"windowSec must be positive, got $windowSec")
-    require(zThresh > 0, s"zThresh must be positive, got $zThresh")
     val stepMs = windowSec * 1000L
-    // pinned: the counts frame feeds both the stats fit and the flag
-    // join (and, dense, the span probe) — one count shuffle, not three
-    val counts0 = graft.core.Caches.persist(events
+    // null timestamps are dropped UP FRONT (ADVICE r11): previously a
+    // null ts formed a null window group that entered the SPARSE stats
+    // while the dense min/max silently ignored it — the two modes fit
+    // different distributions on the same input. An event with no time
+    // cannot belong to any rate window in either mode.
+    val counts0 = events.filter(ts.isNotNull)
       .groupBy(typ.as("event_type"), window(ts, s"$windowSec seconds").as("w"))
       .agg(count(lit(1)).as("n_events"))
       // epoch-aligned windows (Spark's default): the index form makes
@@ -475,7 +477,40 @@ object EventOps {
       .select(col("event_type"),
         (unix_millis(col("w.start").cast("timestamp")) / stepMs)
           .cast("long").as("w"),
-        col("n_events")))
+        col("n_events"))
+    rateAnomaliesCore(counts0, stepMs, zThresh, dense)
+  }
+
+  /** Streaming composition entry for [[rateAnomalies]]: fit + flag over
+    * an ALREADY-COUNTED `(event_type, window_start_ms, n_events)` frame
+    * — exactly what a watermarked Structured Streaming windowed count
+    * (StreamTail.windowedAgg's plan, keyed by type) emits into its sink.
+    * The split mirrors how rate monitoring deploys at 100 TB: the count
+    * aggregation runs INSIDE the stream (per-window state bounded by the
+    * watermark, finalized windows appended to a counts table), while the
+    * distribution fit + z-flagging — which by definition needs the
+    * window HISTORY, not just live state — runs over the accumulated
+    * counts table per evaluation tick. Same moments, same output schema
+    * as the batch form (spec'd equal on identical inputs).
+    */
+  def rateAnomaliesFromCounts(counts: DataFrame, windowSec: Long,
+                              zThresh: Double = 3.0,
+                              dense: Boolean = false): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    val stepMs = windowSec * 1000L
+    val idx = counts.select(col("event_type"),
+      (col("window_start_ms").cast("long") / stepMs).cast("long").as("w"),
+      col("n_events").cast("long").as("n_events"))
+    rateAnomaliesCore(idx, stepMs, zThresh, dense)
+  }
+
+  /** Shared fit+flag core over index-form counts (event_type, w, n_events). */
+  private def rateAnomaliesCore(counts1: DataFrame, stepMs: Long,
+                                zThresh: Double, dense: Boolean): DataFrame = {
+    require(zThresh > 0, s"zThresh must be positive, got $zThresh")
+    // pinned: the counts frame feeds both the stats fit and the flag
+    // join (and, dense, the span probe) — one count shuffle, not three
+    val counts0 = graft.core.Caches.persist(counts1)
     val counts = if (!dense) counts0 else {
       val spans = counts0.groupBy(col("event_type"))
         .agg(min(col("w")).as("w_lo"), max(col("w")).as("w_hi"))

@@ -111,5 +111,28 @@ class EventOpsSpec extends SparkSpec {
       d, col("ts"), col("event_type"), 0L))
     intercept[IllegalArgumentException](EventOps.rateAnomalies(
       d, col("ts"), col("event_type"), 60L, zThresh = 0.0))
+
+    // null timestamps are dropped up front (ADVICE r11): sparse and
+    // dense fit the SAME distribution with and without null-ts rows
+    val withNulls = d.union(Seq(("a", null: java.sql.Timestamp),
+      ("b", null: java.sql.Timestamp)).toDF("event_type", "ts"))
+    assert(EventOps.rateAnomalies(withNulls, col("ts"), col("event_type"),
+      stepSec).collect().toSeq == sparse.toSeq)
+    assert(EventOps.rateAnomalies(withNulls, col("ts"), col("event_type"),
+      stepSec, dense = true).collect()
+      .map(r => (r.getString(0), r.getLong(1) / (stepSec * 1000), r.getLong(2)))
+      .toSeq == dense.toSeq)
+
+    // rateAnomaliesFromCounts over pre-counted windows ≡ the batch form
+    // (the streaming deployment split: count in-stream, fit over the sink)
+    val preCounted = rows.groupBy(r => (r._1, r._2.getTime / (stepSec * 1000)))
+      .map { case ((t, w), es) => (t, w * stepSec * 1000, es.size.toLong) }.toSeq
+      .toDF("event_type", "window_start_ms", "n_events")
+    assert(EventOps.rateAnomaliesFromCounts(preCounted, stepSec).collect().toSeq
+      == sparse.toSeq)
+    assert(EventOps.rateAnomaliesFromCounts(preCounted, stepSec, dense = true)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1) / (stepSec * 1000), r.getLong(2)))
+      .toSeq == dense.toSeq)
   }
 }

@@ -168,6 +168,61 @@ class StreamTailSpec extends SparkSpec {
     log.destroy()
   }
 
+  test("rateAnomalies composes over a streaming windowed count: spike planted in batch 1 flags once batches 1-3 accumulate") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.EventOps
+    val log = freshLog()
+    val stepSec = 600L
+    def tev(t: String, w: Long, i: Long): String =
+      s"""{"t":"$t","ts":${(w * stepSec + i) * 1000L}}"""
+    // the in-stream half: watermarked per-(type, window) count — the
+    // exact aggregation rateAnomalies' scaladoc claims is
+    // streaming-compatible. Append mode = finalized windows only, the
+    // "counts table" of the deployment split.
+    val counts = StreamTail.records(spark, log).select(
+        get_json_object(col("data"), "$.t").as("event_type"),
+        timestamp_millis(get_json_object(col("data"), "$.ts").cast("long")).as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("event_type"), window(col("ts"), s"$stepSec seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), unix_millis(col("w.start")).as("window_start_ms"),
+        col("n_events"))
+    val q = counts.writeStream.format("memory").queryName("ra_counts")
+      .outputMode("append").start()
+    try {
+      // 30 windows of type a, 10 events each — except window 7 (inside
+      // micro-batch 1) spikes to 100. Three publishes = three
+      // micro-batches; a far-future sentinel closes a's last windows.
+      log.publish((0L until 10L).flatMap(w =>
+        (0L until (if (w == 7) 100L else 10L)).map(i => tev("a", w, i))))
+      q.processAllAvailable()
+      log.publish((10L until 20L).flatMap(w => (0L until 10L).map(i => tev("a", w, i))))
+      q.processAllAvailable()
+      log.publish((20L until 30L).flatMap(w => (0L until 10L).map(i => tev("a", w, i)))
+        :+ tev("zz", 1000L, 0L))
+      q.processAllAvailable()
+
+      val sink = spark.table("ra_counts").filter(col("event_type") === "a")
+      assert(sink.count() == 30, "all 30 finalized windows must have accumulated")
+      // the fit-over-history half, over the accumulated counts table
+      val flagged = try EventOps.rateAnomaliesFromCounts(sink, stepSec).collect()
+      finally graft.core.Caches.release()
+      assert(flagged.map(r => (r.getString(0), r.getLong(1) / (stepSec * 1000L),
+        r.getLong(2))).toSeq == Seq(("a", 7L, 100L)))
+      // and it equals the BATCH operator over the same raw events
+      val raw = (0L until 30L).flatMap(w =>
+        (0L until (if (w == 7) 100L else 10L)).map(i =>
+          ("a", new java.sql.Timestamp((w * stepSec + i) * 1000L))))
+      import spark.implicits._
+      val batch = try EventOps.rateAnomalies(raw.toDF("event_type", "ts"),
+        col("ts"), col("event_type"), stepSec).collect()
+      finally graft.core.Caches.release()
+      assert(flagged.toSeq == batch.toSeq,
+        "streaming-composed and batch rateAnomalies must agree row-for-row")
+    } finally q.stop()
+    log.destroy()
+  }
+
   test("streaming exact dedup keeps one record per payload within the watermark") {
     val log = freshLog()
     // 5 publishes, 2 duplicate payloads — dedup keys on md5(data)
