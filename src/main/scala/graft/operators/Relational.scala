@@ -695,7 +695,9 @@ object Relational {
     * outer join is trivially cheap at any corpus scale — the heavy
     * lifting happened in the profiles.
     */
-  def profileDrift(oldProf: DataFrame, newProf: DataFrame): DataFrame = {
+  def profileDrift(oldProf: DataFrame, newProf: DataFrame,
+                   relTol: Double = 0.0): DataFrame = {
+    require(relTol >= 0.0, s"relTol must be >= 0, got $relTol")
     val metrics = Seq("n_rows", "n_null", "n_distinct", "min_v", "max_v", "avg_num")
     val keys = oldProf.columns.filterNot(metrics.contains).toSeq
     require(keys.nonEmpty, "profile frames carry no key columns")
@@ -703,15 +705,35 @@ object Relational {
       s"profile schemas disagree: ${oldProf.columns.toSeq} vs ${newProf.columns.toSeq}")
     metrics.foreach(m => require(oldProf.columns.contains(m),
       s"not a profileColumns frame: missing $m"))
+    // EVERY column of the new side is renamed before the join (keys
+    // included), so the join condition references no cross-frame
+    // attributes — profileDrift(p, p) and drift between frames sharing
+    // lineage resolve fine where o(k) <=> n(k) hit Spark's ambiguous-
+    // self-join resolution (ADVICE r11)
     def side(df: DataFrame, tag: String): DataFrame =
       metrics.foldLeft(df)((d, m) => d.withColumnRenamed(m, s"${m}_$tag"))
         .withColumn(s"_pd_$tag", lit(1))
     val o = side(oldProf, "old")
-    val n = side(newProf, "new")
-    val joined = o.join(n, keys.map(k => o(k) <=> n(k)).reduce(_ && _), "full_outer")
-    val sameMetrics = metrics.map(m =>
-      col(s"${m}_old") <=> col(s"${m}_new")).reduce(_ && _)
-    val keyCols = keys.map(k => coalesce(o(k), n(k)).as(k))
+    val n = keys.foldLeft(side(newProf, "new"))((d, k) =>
+      d.withColumnRenamed(k, s"_pd_k_$k"))
+    val joined = o.join(n,
+      keys.map(k => col(k) <=> col(s"_pd_k_$k")).reduce(_ && _), "full_outer")
+    // relTol separates drift from noise on the numeric metrics (two
+    // honest re-crawls differing by one doc otherwise flag nearly every
+    // cell): |new−old| ≤ relTol·max(|old|,|new|) reads unchanged.
+    // min_v/max_v are typeless strings and stay exact — a range-bound
+    // shift is a real schema-level event, not sampling noise.
+    val tolerant = Set("n_rows", "n_null", "n_distinct", "avg_num")
+    def same(m: String): Column = {
+      val (ov, nv) = (col(s"${m}_old"), col(s"${m}_new"))
+      val exact = ov <=> nv
+      if (relTol == 0.0 || !tolerant(m)) exact
+      else exact || (ov.isNotNull && nv.isNotNull &&
+        abs(nv.cast("double") - ov.cast("double")) <=
+          lit(relTol) * greatest(abs(ov.cast("double")), abs(nv.cast("double"))))
+    }
+    val sameMetrics = metrics.map(same).reduce(_ && _)
+    val keyCols = keys.map(k => coalesce(col(k), col(s"_pd_k_$k")).as(k))
     val metricCols = metrics.flatMap(m =>
       Seq(col(s"${m}_old"), col(s"${m}_new")))
     joined.select(keyCols ++ Seq(

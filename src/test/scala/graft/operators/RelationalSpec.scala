@@ -368,5 +368,48 @@ class RelationalSpec extends SparkSpec {
     assert(cell.getLong(5) == 0L && cell.getLong(6) == 1L)   // n_null old/new
     intercept[IllegalArgumentException](
       Relational.profileDrift(p1, p2.drop("avg_num")))
+
+    // shared-lineage inputs (the same frame twice / one derived from the
+    // other) must resolve, not trip ambiguous-self-join (ADVICE r11)
+    val self = Relational.profileDrift(p1, p1).collect()
+    assert(self.nonEmpty && self.forall(_.getString(2) == "unchanged"))
+    assert(Relational.profileDrift(p1, p1.filter($"g" =!= "b")).collect()
+      .filter(_.getString(0) == "b").forall(_.getString(2) == "removed"))
+  }
+
+  test("profileDrift relTol: sub-tolerance numeric wobble reads unchanged, real shift still flags") {
+    import spark.implicits._
+    // re-crawl noise: one doc of 1000 dropped, mean moves 100.0 → 100.2
+    val v1 = (1 to 1000).map(i => ("a", 100L + (if (i <= 500) -1L else 1L)))
+      .toDF("g", "n")
+    val v2 = (1 to 999).map(i => ("a", 100L + (if (i <= 499) -1L else 1L)))
+      .toDF("g", "n")
+    val p1 = Relational.profileColumns(v1, Seq("g"), Seq("n"))
+    val p2 = Relational.profileColumns(v2, Seq("g"), Seq("n"))
+    // exact mode: n_rows 1000→999 flags the cell changed
+    assert(Relational.profileDrift(p1, p2).head().getString(2) == "changed")
+    // 1% tolerance: n_rows (0.1%), n_distinct (0%), avg_num (~0.1%)
+    // all inside — unchanged
+    assert(Relational.profileDrift(p1, p2, relTol = 0.01)
+      .head().getString(2) == "unchanged")
+    // a real shift still flags THROUGH the tolerance: half the rows
+    // vanish (same values, so min/max/distinct are identical — only the
+    // 50% n_rows drop breaches the 1% band)
+    val v3 = (1 to 500).map(i => ("a", 100L + (if (i % 2 == 0) -1L else 1L)))
+      .toDF("g", "n")
+    val p3 = Relational.profileColumns(v3, Seq("g"), Seq("n"))
+    assert(Relational.profileDrift(p1, p3, relTol = 0.01)
+      .head().getString(2) == "changed")
+    // min_v/max_v stay EXACT under tolerance: one value of 1000 nudged
+    // so the (string-typed, lexicographic) min bound moves "101" →
+    // "100" → changed even at 50% relTol, though every numeric metric
+    // is inside it
+    val v4 = v1.as[(String, Long)].collect().toSeq
+      .patch(999, Seq(("a", 100L)), 1).toDF("g", "n")
+    val p4 = Relational.profileColumns(v4, Seq("g"), Seq("n"))
+    assert(Relational.profileDrift(p1, p4, relTol = 0.5)
+      .head().getString(2) == "changed")
+    intercept[IllegalArgumentException](
+      Relational.profileDrift(p1, p2, relTol = -0.1))
   }
 }
