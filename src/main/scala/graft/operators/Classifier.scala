@@ -158,7 +158,10 @@ object Classifier {
   /** Persist a trained model — the [[graft.operators.Bpe.save]] /
     * `Similarity.saveIvf` discipline: train once on the labeled set,
     * ship the artifact to every scoring job. Header line
-    * `graft-qlr TAB dim TAB bias`, then one `f TAB w` line per
+    * `graft-qlr TAB dim TAB bias TAB featureSpace` (featureSpace is
+    * `uni` or `bi` — the bigram flag is model state: scoring with the
+    * wrong feature space silently mis-hashes, so load() requires the
+    * field), then one `f TAB w` line per
     * NONZERO weight (untouched buckets are exactly 0.0, so the sparse
     * form round-trips bit-identically — doubles render via
     * `Double.toString`, the shortest exact representation). The loss
