@@ -240,21 +240,31 @@ object Similarity {
     * Scale: each iteration is one corpus pass (an argmin projection +
     * one groupBy of nCells·dim decimal sums — bounded aggregation
     * state), and the per-iteration collect is the nCells×dim codebook,
-    * never data. At 100 TB train on a deterministic sample instead
-    * (`vec_id % m = 0` replays in the oracle) and reuse the codebook
-    * across queries.
+    * never data. At 100 TB train on a deterministic sample instead:
+    * `sampleMod = m` trains on the `vec_id % m = 0` slice (1/m of the
+    * corpus per Lloyd pass — centroid QUALITY needs a representative
+    * sample, not every vector; `vec_id % m = 0` replays in the oracle
+    * where a random sample would not) and reuse the codebook across
+    * queries. The default 1 is bit-identical to the pre-knob trainer.
     */
   def ivfCentroids(corpus: DataFrame, nCells: Int,
-                   trainIters: Int): Array[(Long, Array[Double], Double)] = {
-    var cents: Array[(Long, Array[Double], Double)] = corpus
-      .filter(col("vec_id") < nCells)
+                   trainIters: Int,
+                   sampleMod: Int = 1): Array[(Long, Array[Double], Double)] = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val train = if (sampleMod == 1) corpus
+      else corpus.filter(col("vec_id") % sampleMod === 0)
+    // seed with the sample's first nCells vectors by id (sampleMod = 1
+    // keeps the original `vec_id < nCells` literal pushdown form)
+    val seedFrame = if (sampleMod == 1) train.filter(col("vec_id") < nCells)
+      else train.orderBy(col("vec_id")).limit(nCells)
+    var cents: Array[(Long, Array[Double], Double)] = seedFrame
       .select(col("vec_id").cast("long"), col("v"), col("norm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
     var it = 0
     while (it < trainIters) {
-      val means: Map[Long, Array[Double]] = corpus
+      val means: Map[Long, Array[Double]] = train
         .withColumn("cell", assignCell(cents))
         .select(col("cell"), posexplode(col("v")).as(Seq("p", "x")))
         .groupBy(col("cell"), col("p"))
@@ -330,14 +340,17 @@ object Similarity {
     * only touched by the exact re-rank of the short ADC candidate list.
     */
   def pqTrain(corpus: DataFrame, dim: Int, nSub: Int,
-              nCentroids: Int, trainIters: Int): Array[Array[Array[Double]]] = {
+              nCentroids: Int, trainIters: Int,
+              sampleMod: Int = 1): Array[Array[Array[Double]]] = {
     require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subspaces")
     val subDim = dim / nSub
     (0 until nSub).toArray.map { s =>
       val sub = corpus.select(col("vec_id"),
         slice(col("v"), s * subDim + 1, subDim).as("v"))
         .withColumn("norm", graft.functions.VectorFunctions.l2norm(col("v")))
-      ivfCentroids(sub, nCentroids, trainIters).map(_._2)
+      // the 100 TB knob rides through to the shared Lloyd trainer:
+      // each subspace trains on the same vec_id % sampleMod slice
+      ivfCentroids(sub, nCentroids, trainIters, sampleMod).map(_._2)
     }
   }
 
@@ -578,13 +591,14 @@ object Similarity {
   }
 
   /** Trained codebooks are ingest-time state (like the bucketed table
-    * copies): memoized per (source fingerprint, nCells, iters), so a
+    * copies): memoized per (source fingerprint, nCells, iters,
+    * sampleMod), so a
     * session trains once and every subsequent query reuses the
     * constants — and regenerated source data invalidates the entry
     * (content fingerprint, not path).
     */
   private val codebooks =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[(Long, Array[Double], Double)]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), Array[(Long, Array[Double], Double)]]()
 
   /** q43 = knnIvf over the embeddings table: 16-cell codebook trained
     * with 2 Lloyd iterations (memoized — training is the ingest-time
@@ -679,14 +693,14 @@ object Similarity {
   }
 
   private val pqBooks =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Array[Double]]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), Array[Array[Array[Double]]]]()
 
   /** The memoized 16-cell/2-iteration codebook for `dir`'s embeddings
     * table — trained once per content fingerprint, shared by q43/q59.
     */
   private def trainedCodebook(spark: SparkSession, dir: String,
                               corpus: DataFrame): Array[(Long, Array[Double], Double)] = {
-    val key = (Tables.fingerprint(s"$dir/embeddings.parquet"), 16, 2)
+    val key = (Tables.fingerprint(s"$dir/embeddings.parquet"), 16, 2, 1)
     codebooks.computeIfAbsent(key, _ => ivfCentroids(corpus, 16, 2))
   }
 
@@ -817,7 +831,7 @@ object Similarity {
     */
   def q54KnnPq(spark: SparkSession, dir: String): DataFrame = {
     val corpus = vecs(spark, dir)
-    val key = (Tables.fingerprint(s"$dir/embeddings.parquet"), 8, 16)
+    val key = (Tables.fingerprint(s"$dir/embeddings.parquet"), 8, 16, 1)
     val books = pqBooks.computeIfAbsent(key, _ =>
       pqTrain(corpus, dim = 64, nSub = 8, nCentroids = 16, trainIters = 2))
     knnPq(corpus, col("vec_id") < 5, books, k = 10)

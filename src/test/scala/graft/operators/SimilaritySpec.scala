@@ -274,6 +274,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sampleMod: quantizers train deterministically on the vec_id % m slice; downstream ops run against the sampled codebook") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val corpus = Similarity.prepare(e, "vec_id", "embedding")
+
+    // deterministic: two sampled trainings are bit-identical
+    val s1 = Similarity.ivfCentroids(corpus, nCells = 8, trainIters = 2, sampleMod = 4)
+    val s2 = Similarity.ivfCentroids(corpus, nCells = 8, trainIters = 2, sampleMod = 4)
+    assert(s1.length == 8)
+    s1.zip(s2).foreach { case ((a, v, n), (a2, v2, n2)) =>
+      assert(a == a2 && n == n2 && v.sameElements(v2))
+    }
+    // ...and genuinely trained on the slice: differs from the full run
+    val full = Similarity.ivfCentroids(corpus, nCells = 8, trainIters = 2)
+    assert(!s1.zip(full).forall { case ((_, v, _), (_, v2, _)) => v.sameElements(v2) },
+      "sampled codebook should differ from the full-data codebook")
+    // default 1 is bit-identical to the pre-knob trainer path
+    val one = Similarity.ivfCentroids(corpus, nCells = 8, trainIters = 2, sampleMod = 1)
+    full.zip(one).foreach { case ((a, v, n), (a2, v2, n2)) =>
+      assert(a == a2 && n == n2 && v.sameElements(v2))
+    }
+
+    // downstream: the WHOLE corpus assigns against the sampled codebook
+    // (training sampled; serving never is), occupancy covers all rows,
+    // and the ANN query runs
+    val assigned = Similarity.ivfAssign(corpus, s1)
+    assert(assigned.count() == corpus.count())
+    val cells = s1.map(_._1).toSet
+    assigned.select("cell").distinct().collect()
+      .foreach(r => assert(cells.contains(r.getLong(0))))
+    assert(Similarity.knnIvfWith(corpus, col("vec_id") < 3, s1,
+      nProbe = 4, k = 5).count() > 0)
+
+    // PQ: sampled per-subspace books share the shape, encode the full
+    // corpus with in-range codes, and score a finite distortion
+    val books = Similarity.pqTrain(corpus, dim = 64, nSub = 8,
+      nCentroids = 16, trainIters = 2, sampleMod = 4)
+    val booksFull = Similarity.pqTrain(corpus, dim = 64, nSub = 8,
+      nCentroids = 16, trainIters = 2)
+    assert(books.length == 8 && books.forall(_.length == 16))
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq !=
+      booksFull.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = Similarity.pqEncode(corpus, books).collect()
+    assert(codes.length == corpus.count())
+    codes.foreach(r => r.getSeq[Int](1).foreach(c => assert(c >= 0 && c < 16)))
+    Similarity.pqDistortion(corpus, books).collect()
+      .foreach(r => assert(r.getDouble(2) >= 0.0))
+
+    intercept[IllegalArgumentException](
+      Similarity.ivfCentroids(corpus, 8, 2, sampleMod = 0))
+  }
+
   test("knnBrute/hardNegatives refuse an oversized query batch before broadcasting it") {
     val e = graft.core.Tables(spark, sfDir, "embeddings")
     val corpus = Similarity.prepare(e, "vec_id", "embedding")
