@@ -155,6 +155,59 @@ object Classifier {
     d.withColumn(out, lit(1.0) / (lit(1.0) + exp(-m)))
   }
 
+  /** Held-out evaluation report — the train→EVALUATE→score gate every
+    * published curation recipe runs before spending a corpus-scale
+    * scoring pass on a model: confusion counts and threshold metrics
+    * on a labeled held-out frame.
+    *
+    * One corpus scan: the zero-shuffle [[score]] projection feeds a
+    * single global aggregation (six counters — bounded state at any
+    * scale); the ratio metrics derive from that one collected row.
+    * Labels validate exactly like [[train]] (0/1, non-null) in the
+    * same pass. Output (1 row): n, tp, fp, tn, fn, accuracy,
+    * precision, recall, f1 — a ratio whose denominator is zero is
+    * NULL, not a fake 0.0 (no predicted positives → null precision;
+    * no actual positives → null recall; P = R = 0 → null f1).
+    */
+  def evaluate(d: DataFrame, model: QualityModel, text: Column,
+               label: Column, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    val spark = d.sparkSession
+    import spark.implicits._
+    val prep = d.select(label.cast("double").as("_y"),
+      text.cast("string").as("_t"))
+    val pos = col("_eval_prob") >= threshold
+    val r = score(prep, model, col("_t"), "_eval_prob").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("_y").isNull ||
+        (col("_y") =!= 0.0 && col("_y") =!= 1.0), 1L).otherwise(0L)).as("bad"),
+      sum(when(col("_y") === 1.0 && pos, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("_y") === 0.0 && pos, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("_y") === 0.0 && !pos, 1L).otherwise(0L)).as("tn"),
+      sum(when(col("_y") === 1.0 && !pos, 1L).otherwise(0L)).as("fn")).head()
+    val n = r.getLong(0)
+    require(n > 0, "cannot evaluate on an empty frame")
+    require(r.getLong(1) == 0,
+      s"${r.getLong(1)} rows carry a label that is not exactly 0 or 1 — " +
+        "fix the held-out labels rather than report metrics over garbage")
+    val (tp, fp, tn, fn) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    def ratio(num: Long, den: Long): Option[Double] =
+      if (den == 0L) None
+      else Some(BigDecimal(num.toDouble / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val precision = ratio(tp, tp + fp)
+    val recall = ratio(tp, tp + fn)
+    val f1 = (precision, recall) match {
+      case (Some(p), Some(q)) if p + q > 0 =>
+        Some(BigDecimal(2 * p * q / (p + q))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      case _ => None
+    }
+    Seq((n, tp, fp, tn, fn, ratio(tp + tn, n).get, precision, recall, f1))
+      .toDF("n", "tp", "fp", "tn", "fn", "accuracy", "precision", "recall", "f1")
+  }
+
   /** Persist a trained model — the [[graft.operators.Bpe.save]] /
     * `Similarity.saveIvf` discipline: train once on the labeled set,
     * ship the artifact to every scoring job. Header line

@@ -174,6 +174,16 @@ class PipelineSpec extends SparkSpec {
       val model = Classifier.train(seed, $"label", dim = 1 << 12, epochs = 15)
       assert(model.losses.last < model.losses.head, "training must improve")
 
+      // 1b) evaluate on a held-out slice BEFORE spending the corpus
+      // pass — the gate between train and score
+      val heldOut = Seq(
+        ("the quiet library catalog holds carefully curated essays shelf77", 1.0),
+        ("click buy cheap pills winner jackpot casino bonus offer77", 0.0))
+        .toDF("text", "label")
+      val evalRow = Classifier.evaluate(heldOut, model, $"text", $"label").head()
+      assert(evalRow.getDouble(5) == 1.0,
+        s"held-out evaluation must pass before the corpus pass: $evalRow")
+
       // 2) score the REAL corpus — a zero-shuffle projection
       val scored = Classifier.score(docs, model, $"text")
         .select($"doc_id", $"source", $"text", $"quality_prob")

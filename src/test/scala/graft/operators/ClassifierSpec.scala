@@ -104,6 +104,75 @@ class ClassifierSpec extends SparkSpec {
     } finally graft.core.Caches.release()
   }
 
+  test("evaluate: hand-computed confusion counts; null ratios when undefined; labels validated") {
+    // a model built BY HAND so every prediction is known a priori: one
+    // weight on the bucket "good" hashes to, bias −2 → a doc containing
+    // "good" scores σ(2) ≈ 0.88, anything else σ(−2) ≈ 0.12
+    val dim = 64
+    def bucket(tok: String): Int = spark.range(1)
+      .select(explode(Classifier.featurize(lit(tok), dim)).as("f"))
+      .head().getInt(0)
+    val goodBucket = bucket("good")
+    // negative-doc tokens must provably NOT collide with the weighted
+    // bucket (dim = 64 makes collisions real — the first draft learned
+    // this the hard way), picked deterministically from candidates
+    val clean = Seq("junk", "noise", "filler", "plain", "basic", "bland")
+      .filter(bucket(_) != goodBucket).take(3)
+    assert(clean.length == 3, "candidate pool exhausted by collisions")
+    val w = Array.fill(dim)(0.0); w(goodBucket) = 4.0
+    val m = Classifier.QualityModel(dim, -2.0, w, Array.empty)
+
+    // 3 true positives, 1 false positive, 2 true negatives, 1 false
+    // negative — by construction, not by training
+    val held = Seq(
+      ("good essay", 1.0), ("good prose", 1.0), ("good one", 1.0), // tp
+      ("good spam", 0.0),                                          // fp
+      (clean(0), 0.0), (clean(1), 0.0),                            // tn
+      (clean(2), 1.0)                                              // fn
+    ).toDF("text", "label")
+    val r = try Classifier.evaluate(held, m, col("text"), col("label")).head()
+    finally graft.core.Caches.release()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((7L, 3L, 1L, 2L, 1L)))
+    assert(r.getDouble(5) == BigDecimal(5.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) // accuracy
+    assert(r.getDouble(6) == 0.75)     // precision 3/4
+    assert(r.getDouble(7) == 0.75)     // recall 3/4
+    assert(r.getDouble(8) == 0.75)     // f1 = 2PR/(P+R) with P = R
+
+    // no predicted positives (threshold above every score): precision
+    // and f1 are NULL, recall is a real 0.0
+    val hi = try Classifier.evaluate(held, m, col("text"), col("label"),
+      threshold = 0.9).head() finally graft.core.Caches.release()
+    assert(hi.getLong(1) == 0L && hi.getLong(2) == 0L)
+    assert(hi.isNullAt(6) && hi.isNullAt(8))
+    assert(hi.getDouble(7) == 0.0)
+    // no actual positives: recall is NULL
+    val negOnly = try Classifier.evaluate(
+      Seq((clean(0), 0.0), (clean(1), 0.0)).toDF("text", "label"),
+      m, col("text"), col("label")).head() finally graft.core.Caches.release()
+    assert(negOnly.isNullAt(7) && negOnly.isNullAt(8))
+
+    intercept[IllegalArgumentException](Classifier.evaluate(
+      Seq(("a", 0.5)).toDF("text", "label"), m, col("text"), col("label")))
+    intercept[IllegalArgumentException](Classifier.evaluate(
+      held, m, col("text"), col("label"), threshold = 1.0))
+
+    // and the real loop: a TRAINED model evaluated on held-out docs
+    // from the same separable distribution scores near-perfectly
+    val trained = try Classifier.train(separable, col("label"),
+      dim = 1 << 12, epochs = 25) finally graft.core.Caches.release()
+    val heldOut = Seq(
+      ("the quiet library catalog holds carefully curated essays shelf99", 1.0),
+      ("quiet curated essays catalog", 1.0),
+      ("click buy cheap pills winner jackpot casino bonus offer99", 0.0),
+      ("cheap casino pills", 0.0)).toDF("text", "label")
+    val tr = try Classifier.evaluate(heldOut, trained, col("text"), col("label"))
+      .head() finally graft.core.Caches.release()
+    assert(tr.getDouble(5) == 1.0 && tr.getDouble(8) == 1.0,
+      s"separable held-out set should evaluate perfectly, got $tr")
+  }
+
   test("model save/load: bit-exact round trip, identical scores, corruption refused") {
     val dir = java.nio.file.Files.createTempDirectory("graft-qlr")
     val path = dir.resolve("model.tsv").toString
