@@ -2,6 +2,8 @@ package graft.streamlog
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 
 /** Mirrors the reference's worker tests (/root/reference/tests/index.test.ts):
@@ -216,6 +218,66 @@ class StreamLogSpec extends SparkSpec {
 
   private def exceptionChain(t: Throwable): Seq[Throwable] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
+  test("two-coordinator soak: a superseded fleet daemon only hits fences; the live one maintains; zero records lost") {
+    val root = Files.createTempDirectory("graft-fleet2").toString
+    val names = (1 to 5).map(i => s"s$i")
+    val errorsA = new java.util.concurrent.ConcurrentLinkedQueue[(String, Throwable)]()
+    val compactedB = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    // coordinator A: claims writership of the fleet, publishes the
+    // first era (3 segments per stream), maintains on a fast interval
+    val fleetA = StreamLogs.startMaintenance(spark, root, intervalMs = 100,
+      onError = (n, e) => errorsA.add((n, e)))
+    val expected = scala.collection.mutable.Map[String, Seq[String]]()
+    try {
+      names.foreach { n =>
+        val h = fleetA.open(n)
+        h.claimWriter()
+        expected(n) = (1 to 3).flatMap(b =>
+          h.publish((1 to 3).map(i => s"""{"era":"a","b":$b,"i":$i}""")))
+      }
+
+      // coordinator B: a second driver takes over the same root —
+      // newer epoch per stream, publishes era 2
+      val fleetB = StreamLogs.startMaintenance(spark, root, intervalMs = 100,
+        onReport = (n, r) => if (r.compacted.nonEmpty) compactedB.add(n))
+      try {
+        names.foreach { n =>
+          val h = fleetB.open(n)
+          assert(h.claimWriter() >= 2)
+          expected(n) = expected(n) ++ (1 to 2).flatMap(b =>
+            h.publish((1 to 3).map(i => s"""{"era":"b","b":$b,"i":$i}""")))
+        }
+
+        // wait until A has hit writer fences and B has compacted
+        val deadline = System.currentTimeMillis() + 30000
+        def fencedA = errorsA.asScala.exists(_._2.isInstanceOf[WriterFencedException])
+        while ((!fencedA || compactedB.isEmpty) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+        assert(fencedA,
+          s"superseded coordinator never fenced; errors=${errorsA.asScala.map(_._2.getClass.getSimpleName).toSeq}")
+        assert(compactedB.asScala.nonEmpty, "live coordinator never compacted")
+        // A's failures are ONLY fences — not corruption, not crashes
+        errorsA.asScala.foreach { case (n, e) =>
+          assert(e.isInstanceOf[WriterFencedException], s"$n threw $e")
+        }
+        // A's own publish handle is fenced too
+        intercept[WriterFencedException] {
+          fleetA.open(names.head).publish(Seq("""{"era":"a-late"}"""))
+        }
+      } finally fleetB.close()
+    } finally fleetA.close()
+
+    // zero lost records: every era-a and era-b record is readable, in
+    // offset order, from fresh handles after both daemons stop
+    names.foreach { n =>
+      val fresh = new StreamLog(spark, root, n)
+      val got = fresh.consume(Offset.Beginning, 1000)
+      assert(got.map(_._1) == expected(n),
+        s"$n: expected ${expected(n).size} records, got ${got.size}")
+    }
+  }
 
   test("compaction merges a window into one segment preserving order + completeness") {
     val log = freshLog()
