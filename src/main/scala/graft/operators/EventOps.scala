@@ -481,6 +481,15 @@ object EventOps {
     rateAnomaliesCore(counts0, stepMs, zThresh, dense)
   }
 
+  /** q85: [[rateAnomalies]] over the events table — hourly tumbling
+    * windows per event type, |z| >= 1.5 (r12; this slot replaced
+    * q40's regex token estimate, subsumed by q81's real BPE — the
+    * bench-registry swap policy exercised, SURVEY §2.6). */
+  def q85RateAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    rateAnomalies(ev, tsOf(ev), col("event_type"), 3600L, zThresh = 1.5)
+  }
+
   /** Streaming composition entry for [[rateAnomalies]]: fit + flag over
     * an ALREADY-COUNTED `(event_type, window_start_ms, n_events)` frame
     * — exactly what a watermarked Structured Streaming windowed count
@@ -554,7 +563,8 @@ object EventOps {
     "q26_fencing" -> (q26Fencing _),
     "q27_kway_merge" -> (q27KwayMerge _),
     "q76_funnel" -> (q76Funnel _),
-    "q77_retention" -> (q77Retention _)
+    "q77_retention" -> (q77Retention _),
+    "q85_rate_z" -> (q85RateAnomalies _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -691,6 +701,33 @@ object EventOps {
         |  CAST(date_diff('day', c.cohort_day, b.day) AS BIGINT) AS day_offset,
         |  count(DISTINCT b.user_id) AS n_active
         |FROM base b JOIN cohorts c USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // mirrors rateAnomalies exactly: epoch-aligned hourly index, exact
+    // integer moment sums cast to double in the same order, the flag
+    // filter on the UNROUNDED z, rounds only in the final projection
+    "q85_rate_z" ->
+      """WITH counts AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS w, count(*) AS n_events
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type,
+        |    CAST(sum(n_events) AS DOUBLE) / count(*) AS mean_events,
+        |    sqrt(greatest(0.0,
+        |      CAST(sum(n_events * n_events) AS DOUBLE) / count(*)
+        |        - pow(CAST(sum(n_events) AS DOUBLE) / count(*), 2))) AS std_events
+        |  FROM counts GROUP BY 1
+        |), z AS (
+        |  SELECT c.event_type, c.w, c.n_events, s.mean_events, s.std_events,
+        |    CASE WHEN s.std_events > 0
+        |      THEN (CAST(c.n_events AS DOUBLE) - s.mean_events) / s.std_events
+        |      ELSE 0.0 END AS zv
+        |  FROM counts c JOIN stats s USING (event_type)
+        |)
+        |SELECT event_type, w * 3600000 AS window_start_ms, n_events,
+        |  round(mean_events, 6) AS mean_events,
+        |  round(std_events, 6) AS std_events,
+        |  round(zv, 6) AS z
+        |FROM z WHERE abs(zv) >= 1.5
+        |ORDER BY event_type, window_start_ms""".stripMargin
   )
 }

@@ -91,25 +91,31 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  /** q40: token counting per source — whitespace tokens, regex
+  /** Token counting per source — whitespace tokens, regex
     * word/punctuation tokens (a BPE-ish upper estimate), and the
-    * chars/4 BPE heuristic.
+    * chars/4 BPE heuristic. Held the q40 bench slot through r11;
+    * retired from the gated registry in r12 (the real BPE tokenizer,
+    * q81, subsumes the estimate — bench-slot swap policy, SURVEY
+    * §2.6) in favor of q85_rate_z. Spec-gated against a hand-counted
+    * fixture since.
     */
-  def q40Tokens(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    docs(spark, dir)
-      .select($"source",
-        size(split($"text", " ")).cast("long").as("ws_tokens"),
+  def q40Tokens(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(docs(spark, dir))
+
+  /** The token-count estimates over any (source, text, n_chars) frame —
+    * one scan, one bounded per-source aggregation. */
+  def tokenCounts(d: DataFrame): DataFrame =
+    d.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         expr("""CAST(size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)) AS BIGINT)""").as("re_tokens"),
-        ceil($"n_chars" / lit(4.0)).cast("long").as("bpe_est"))
-      .groupBy($"source")
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("bpe_est"))
+      .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum($"ws_tokens").as("sum_ws_tokens"),
-        sum($"re_tokens").as("sum_re_tokens"),
-        sum($"bpe_est").as("sum_bpe_est"))
-      .orderBy($"source")
-  }
+        sum(col("ws_tokens")).as("sum_ws_tokens"),
+        sum(col("re_tokens")).as("sum_re_tokens"),
+        sum(col("bpe_est")).as("sum_bpe_est"))
+      .orderBy(col("source"))
 
   /** q41: document fingerprinting — min-hash over all 8-char rolling
     * windows of the whitespace-normalized text (winnowing's degenerate
@@ -353,7 +359,6 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_lang_id" -> (q38LangId _),
     "q39_quality" -> (q39Quality _),
-    "q40_tokens" -> (q40Tokens _),
     "q41_fingerprint" -> (q41Fingerprint _),
     "q50_wordcount" -> (q50WordCount _),
     "q56_tfidf" -> (q56Tfidf _),
@@ -396,19 +401,6 @@ object TextOps {
          |      + 0.4 * (n_stop / n_tokens)
          |      + 0.2 * (1.0 - least(abs((len - n_tokens + 1) / n_tokens - 5.0) / 10.0, 1.0)), 6) AS quality_score
          |FROM t ORDER BY doc_id""".stripMargin,
-    "q40_tokens" ->
-      """WITH t AS (
-        |  SELECT source,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-        |    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS re_tokens,
-        |    CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est
-        |  FROM documents
-        |)
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(ws_tokens) AS BIGINT) AS sum_ws_tokens,
-        |  CAST(sum(re_tokens) AS BIGINT) AS sum_re_tokens,
-        |  CAST(sum(bpe_est) AS BIGINT) AS sum_bpe_est
-        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q50_wordcount" ->
       """SELECT tok AS token, count(*) AS n_occurrences
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

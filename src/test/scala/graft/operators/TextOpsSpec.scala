@@ -16,6 +16,23 @@ class TextOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
   }
 
+  test("tokenCounts: hand-computed per-source estimates (spec gate for the retired q40 bench slot)") {
+    import spark.implicits._
+    val d = Seq(
+      // ws = 3 ("one, two three"), re = 4 (one , two three), chars 14 → ⌈14/4⌉ = 4
+      ("a", "one, two three", 14L),
+      // ws = 2, re = 2, chars 9 → ⌈9/4⌉ = 3
+      ("a", "four five", 9L),
+      // ws = 1, re = 3 (don ' t), chars 5 → ⌈5/4⌉ = 2
+      ("b", "don't", 5L)
+    ).toDF("source", "text", "n_chars")
+    val out = TextOps.tokenCounts(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("a", 2L, 5L, 6L, 7L), ("b", 1L, 1L, 3L, 2L)))
+    // q40Tokens (the retired slot) still runs over the real table
+    assert(TextOps.q40Tokens(spark, sfDir).count() > 0)
+  }
+
   test("tfidfTopTerms ranks the doc-specific term above corpus-wide terms") {
     val out = try TextOps.tfidfTopTerms(tinyCorpus, k = 2).collect()
     finally graft.core.Caches.release()
