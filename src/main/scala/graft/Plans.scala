@@ -26,7 +26,7 @@ object Plans {
     "q70_incremental_dedup", "q71_pack_sequences", "q72_mixture_manifest",
     "q73_normalize", "q74_knn_accuracy", "q76_funnel", "q77_retention",
     "q78_chunk", "q79_snapshot_diff", "q80_decontaminate", "q82_profile",
-    "q83_hist", "q84_dup_spans")
+    "q83_hist", "q84_dup_spans", "q85_rate_z")
   // q75_pagerank is deliberately absent: Graph.pageRank executes eagerly
   // at build time (the co-partitioned RDD iteration materializes before
   // a plan exists), so its "plan" is just a scan of the result RDD —
@@ -98,6 +98,22 @@ three-long rows reach the gh exchange, and the span-level
 decontamination twin (contamSpanIntervals) needs NO persist at all:
 its corpus grams are traversed once against the broadcast benchmark
 hash set.
+""",
+    "q85_rate_z" -> """### q85 audit note: one count shuffle, stats broadcast back (r12)
+
+The InMemoryRelation is the persisted (event_type, window, n_events)
+counts frame — bounded by active windows (wall-span ÷ windowSec ×
+types), NOT corpus size — feeding both the moment fit and the flag
+join so the count exchange runs once. The stats side aggregates to one
+row per event type and comes back as a BroadcastHashJoin (BuildRight):
+no second corpus-sized shuffle exists in the plan, and the only
+exchange after the counts is the bounded per-type stats rollup plus
+the output sort. At 100 TB the same operator deploys split: the
+windowed count runs INSIDE a watermarked stream (bounded state,
+finalized windows appended to a counts table) and
+rateAnomaliesFromCounts fits over the accumulated table —
+StreamTailSpec drives that composition end-to-end and pins it
+row-for-row to this batch plan.
 """,
     "q47_percentile" -> """### q47 audit note: the group-size guard probe runs before this plan (r10)
 
