@@ -309,22 +309,82 @@ object Similarity {
     knnIvfWith(corpus, isQuery, ivfCentroids(corpus, nCells, trainIters), nProbe, k)
 
   /** [[knnIvf]] with a caller-supplied codebook (train once at ingest,
-    * probe many times). */
+    * probe many times).
+    *
+    * `broadcastQueries` picks the join strategy for the (query × probe)
+    * frame: `true` (default) broadcasts it — right for a bounded query
+    * batch against a huge corpus (zero shuffle of corpus vectors);
+    * `false` leaves BOTH sides distributed and lets the cell-key join
+    * shuffle — the corpus×corpus shape the [[knnBrute]]/
+    * [[hardNegatives]] refusals point here for, where the query side IS
+    * a corpus and broadcasting it would be the same driver OOM the
+    * guards exist to prevent. Results are identical either way
+    * (spec-gated); only the physical join moves.
+    */
   def knnIvfWith(corpus: DataFrame, isQuery: Column,
                  cents: Array[(Long, Array[Double], Double)],
-                 nProbe: Int, k: Int): DataFrame = {
+                 nProbe: Int, k: Int,
+                 broadcastQueries: Boolean = true): DataFrame = {
     val assigned = ivfAssign(corpus, cents)
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
-    val qcells = corpus.filter(isQuery)
-      .withColumn("probe", explode(slice(array_sort(array(cents.map(c =>
-        struct(d2To(c).as("d2"), lit(c._1).as("cid"))): _*)), 1, nProbe)))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"),
-        col("probe.cid").as("cell"))
+    val qcells = queryProbes(corpus, isQuery, cents, nProbe)
+    val qside = if (broadcastQueries) broadcast(qcells) else qcells
     topK(
-      assigned.join(broadcast(qcells), Seq("cell"))
+      assigned.join(qside, Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("neighbor_id"),
           round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6).as("cos_sim")),
+      k)
+  }
+
+  /** (qid, qv, qnorm, cell) — each query row exploded to its `nProbe`
+    * nearest cells by an IN-ROW sort of the nCells (d2, cid) structs:
+    * a pure codegen projection, no shuffle, shared by the probe-serving
+    * and batch-mining paths. */
+  private def queryProbes(corpus: DataFrame, isQuery: Column,
+                          cents: Array[(Long, Array[Double], Double)],
+                          nProbe: Int,
+                          extraCols: Seq[Column] = Nil): DataFrame =
+    corpus.filter(isQuery)
+      .withColumn("probe", explode(slice(array_sort(array(cents.map(c =>
+        struct(d2To(c).as("d2"), lit(c._1).as("cid"))): _*)), 1, nProbe)))
+      .select(Seq(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("probe.cid").as("cell")) ++ extraCols: _*)
+
+  /** Hard-negative mining at corpus×corpus width — the distributed
+    * composition the [[hardNegatives]] refusal points at, as code: the
+    * SAME filter-then-top-k semantics (different-label only, null-safe
+    * label compare) over [[knnIvfWith]]'s cell-pruned candidate frame
+    * instead of a broadcast cross join. Every query probes its `nProbe`
+    * nearest cells; candidates join on the cell key with both sides
+    * distributed (`broadcastQueries = false` — mining EVERY doc's
+    * negatives means the query side is the corpus), so nothing
+    * corpus-sized ever lands on the driver and the shuffle moves only
+    * cell-keyed rows. With `nProbe = nCells` the cell pruning is
+    * removed and the result equals [[hardNegatives]] row-for-row
+    * (spec-gated); at scale nProbe/nCells bounds each query's scanned
+    * fraction. Output schema matches [[hardNegatives]].
+    */
+  def hardNegativesIvf(corpus: DataFrame, isQuery: Column,
+                       cents: Array[(Long, Array[Double], Double)],
+                       nProbe: Int, k: Int = 10,
+                       broadcastQueries: Boolean = false): DataFrame = {
+    require(corpus.columns.contains("label"),
+      "hardNegativesIvf needs a label column on the prepared corpus")
+    require(k > 0, s"k must be positive, got $k")
+    val assigned = ivfAssign(corpus, cents)
+      .select(col("vec_id"), col("v"), col("norm"), col("label"), col("cell"))
+    val qcells = queryProbes(corpus, isQuery, cents, nProbe,
+      extraCols = Seq(col("label").as("q_label")))
+    val qside = if (broadcastQueries) broadcast(qcells) else qcells
+    topK(
+      assigned.join(qside, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid") &&
+          !(col("label") <=> col("q_label")))
+        .select(col("qid"), col("q_label"), col("vec_id").as("neighbor_id"),
+          col("label").as("neg_label"),
+          round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6)
+            .as("cos_sim")),
       k)
   }
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.{col, expr, sqrt}
+import org.apache.spark.sql.functions.{col, expr, lit, sqrt}
 
 /** Gates for the non-oracle similarity ops: q36 (LSH ANN) is rows-only in
   * the driver, so its quality bound lives here — recall@10 against the
@@ -323,6 +323,47 @@ class SimilaritySpec extends SparkSpec {
 
     intercept[IllegalArgumentException](
       Similarity.ivfCentroids(corpus, 8, 2, sampleMod = 0))
+  }
+
+  test("hardNegativesIvf: probe-all equals hardNegatives; distributed query side mines the WHOLE corpus without a broadcast") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val corpus = Similarity.prepare(e, "vec_id", "embedding")
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+    val cents = Similarity.ivfCentroids(corpus, nCells = 8, trainIters = 2)
+
+    // probe-all removes the cell pruning: row-for-row equal to the
+    // broadcast cross-join form (same rounding, same tie-breaks)
+    val ivf = Similarity.hardNegativesIvf(corpus, col("vec_id") < 5, cents,
+      nProbe = 8, k = 7).collect().toSeq
+    val flat = Similarity.hardNegatives(corpus, col("vec_id") < 5, k = 7)
+      .collect().toSeq
+    assert(ivf == flat, "probe-all IVF mining must equal the brute form")
+
+    // corpus×corpus: EVERY doc mines its negatives — the exact input
+    // the hardNegatives guard refuses — with both join sides
+    // distributed. No refusal, no broadcast of a corpus-sized frame.
+    val all = Similarity.hardNegativesIvf(corpus, lit(true), cents,
+      nProbe = 2, k = 3).collect()
+    assert(all.nonEmpty)
+    assert(all.map(_.getLong(0)).distinct.length > 100,
+      "corpus-wide mining should produce negatives for many queries")
+    all.foreach { r =>
+      assert(r.getInt(1) != r.getInt(3), "a same-label 'negative' leaked")
+      assert(r.getLong(0) != r.getLong(2))
+    }
+    // the distributed plan must NOT broadcast the query side
+    val plan = Similarity.hardNegativesIvf(corpus, lit(true), cents,
+      nProbe = 2, k = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"corpus-wide mining should shuffle-join on cell, got:\n${plan.take(2000)}")
+
+    // knnIvfWith: broadcast and distributed query sides agree exactly
+    val b = Similarity.knnIvfWith(corpus, col("vec_id") < 5, cents,
+      nProbe = 4, k = 10).collect().toSeq
+    val d = Similarity.knnIvfWith(corpus, col("vec_id") < 5, cents,
+      nProbe = 4, k = 10, broadcastQueries = false).collect().toSeq
+    assert(b == d, "join strategy must not change results")
   }
 
   test("knnBrute/hardNegatives refuse an oversized query batch before broadcasting it") {
