@@ -208,6 +208,70 @@ object Classifier {
       .toDF("n", "tp", "fp", "tn", "fn", "accuracy", "precision", "recall", "f1")
   }
 
+  /** [[evaluate]] at MANY thresholds in one corpus scan — the PR curve
+    * that picks the curation cutoff (the "quality_prob >= τ" a
+    * [[score]]d corpus is filtered by is a precision/volume trade; this
+    * report is how τ gets chosen). Each scored row explodes to one
+    * (threshold, counters) contribution and a single groupBy(threshold)
+    * sums them — the row inflation is ×|thresholds| inside the
+    * codegen'd map stage with map-side partial aggregation, so the
+    * shuffle carries |thresholds| keys of six counters regardless of
+    * corpus size. Per-threshold metrics are defined exactly as in
+    * [[evaluate]] (differentially spec'd equal), one output row per
+    * threshold, ascending.
+    */
+  def evaluateSweep(d: DataFrame, model: QualityModel, text: Column,
+                    label: Column,
+                    thresholds: Seq[Double] = (1 to 19).map(_ / 20.0))
+      : DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds.forall(t => t > 0.0 && t < 1.0),
+      s"thresholds must be in (0, 1), got $thresholds")
+    require(thresholds.distinct.length == thresholds.length,
+      s"duplicate thresholds: $thresholds")
+    val spark = d.sparkSession
+    import spark.implicits._
+    val prep = d.select(label.cast("double").as("_y"),
+      text.cast("string").as("_t"))
+    val pos = col("_eval_prob") >= col("_th")
+    val agg = score(prep, model, col("_t"), "_eval_prob")
+      .select(col("_y"), col("_eval_prob"),
+        explode(typedlit(thresholds.sorted)).as("_th"))
+      .groupBy(col("_th")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("_y").isNull ||
+          (col("_y") =!= 0.0 && col("_y") =!= 1.0), 1L).otherwise(0L)).as("bad"),
+        sum(when(col("_y") === 1.0 && pos, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("_y") === 0.0 && pos, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("_y") === 0.0 && !pos, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("_y") === 1.0 && !pos, 1L).otherwise(0L)).as("fn"))
+      .collect()  // bounded: one row per threshold
+    require(agg.nonEmpty && agg.head.getLong(1) > 0, "cannot evaluate on an empty frame")
+    require(agg.forall(_.getLong(2) == 0L),
+      s"${agg.map(_.getLong(2)).max} rows carry a label that is not " +
+        "exactly 0 or 1 — fix the held-out labels first")
+    def ratio(num: Long, den: Long): Option[Double] =
+      if (den == 0L) None
+      else Some(BigDecimal(num.toDouble / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    agg.map { r =>
+      val th = r.getDouble(0)
+      val n = r.getLong(1)
+      val (tp, fp, tn, fn) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      val p = ratio(tp, tp + fp); val q = ratio(tp, tp + fn)
+      val f1 = (p, q) match {
+        case (Some(a), Some(b)) if a + b > 0 =>
+          Some(BigDecimal(2 * a * b / (a + b))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        case _ => None
+      }
+      (th, n, tp, fp, tn, fn, ratio(tp + tn, n), p, q, f1)
+    }.toSeq
+      .toDF("threshold", "n", "tp", "fp", "tn", "fn", "accuracy",
+        "precision", "recall", "f1")
+      .orderBy(col("threshold"))
+  }
+
   /** Persist a trained model — the [[graft.operators.Bpe.save]] /
     * `Similarity.saveIvf` discipline: train once on the labeled set,
     * ship the artifact to every scoring job. Header line

@@ -173,6 +173,40 @@ class ClassifierSpec extends SparkSpec {
       s"separable held-out set should evaluate perfectly, got $tr")
   }
 
+  test("evaluateSweep: each row equals evaluate at that threshold; recall never rises with the cutoff") {
+    val d = separable
+    val model = try Classifier.train(d, col("label"), dim = 1 << 12, epochs = 15)
+    finally graft.core.Caches.release()
+    val ths = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+    val sweep = try Classifier.evaluateSweep(d, model, col("text"), col("label"), ths)
+      .collect() finally graft.core.Caches.release()
+    assert(sweep.map(_.getDouble(0)).toSeq == ths)
+    sweep.foreach { row =>
+      val one = try Classifier.evaluate(d, model, col("text"), col("label"),
+        threshold = row.getDouble(0)).head() finally graft.core.Caches.release()
+      // n, tp, fp, tn, fn and every derived metric agree field-for-field
+      assert((1 to 4).forall(i => row.getLong(i) == one.getLong(i - 1)),
+        s"counts disagree at ${row.getDouble(0)}: $row vs $one")
+      assert(row.getLong(5) == one.getLong(4))
+      (6 to 9).foreach { i =>
+        assert(row.isNullAt(i) == one.isNullAt(i - 1) &&
+          (row.isNullAt(i) || row.getDouble(i) == one.getDouble(i - 1)),
+          s"metric $i disagrees at ${row.getDouble(0)}")
+      }
+    }
+    // raising the cutoff can only shrink the predicted-positive set
+    sweep.map(_.getLong(2)).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, "tp rose with the threshold")
+      case _ =>
+    }
+    intercept[IllegalArgumentException](
+      Classifier.evaluateSweep(d, model, col("text"), col("label"), Seq.empty))
+    intercept[IllegalArgumentException](
+      Classifier.evaluateSweep(d, model, col("text"), col("label"), Seq(0.5, 0.5)))
+    intercept[IllegalArgumentException](
+      Classifier.evaluateSweep(d, model, col("text"), col("label"), Seq(1.5)))
+  }
+
   test("model save/load: bit-exact round trip, identical scores, corruption refused") {
     val dir = java.nio.file.Files.createTempDirectory("graft-qlr")
     val path = dir.resolve("model.tsv").toString
