@@ -272,6 +272,95 @@ object Classifier {
       .orderBy(col("threshold"))
   }
 
+  /** [[evaluate]] per group — the per-domain report card: a quality
+    * filter that scores 0.95 F1 on web text and 0.4 on code is a
+    * per-source disaster the pooled numbers hide, and domain-skewed
+    * filtering is exactly how curation silently biases a mixture.
+    * One scan + one groupBy(group) of the six counters (map-side
+    * partial agg; state bounded by the group count), metrics derived
+    * DECLARATIVELY per group — groups stream through, nothing
+    * per-group lands on the driver, so `group` can be high-cardinality.
+    * Same metric definitions and NULL conventions as [[evaluate]]
+    * (differentially spec'd per group); labels validate in one cheap
+    * probe over the shared cached scored frame. Output: one row per
+    * group (group_key, n, tp, fp, tn, fn, accuracy, precision,
+    * recall, f1), ordered by group.
+    */
+  def evaluateBy(d: DataFrame, model: QualityModel, text: Column,
+                 label: Column, group: Column,
+                 threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    val prep = d.select(group.as("group_key"), label.cast("double").as("_y"),
+      text.cast("string").as("_t"))
+    val scored = graft.core.Caches.persist(
+      score(prep, model, col("_t"), "_eval_prob"))
+    val bad = scored.agg(sum(when(col("_y").isNull ||
+      (col("_y") =!= 0.0 && col("_y") =!= 1.0), 1L).otherwise(0L)),
+      count(lit(1))).head()
+    require(bad.getLong(1) > 0, "cannot evaluate on an empty frame")
+    require(bad.getLong(0) == 0,
+      s"${bad.getLong(0)} rows carry a label that is not exactly 0 or 1 — " +
+        "fix the held-out labels rather than report metrics over garbage")
+    val pos = col("_eval_prob") >= threshold
+    val counts = scored.groupBy(col("group_key")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("_y") === 1.0 && pos, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("_y") === 0.0 && pos, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("_y") === 0.0 && !pos, 1L).otherwise(0L)).as("tn"),
+      sum(when(col("_y") === 1.0 && !pos, 1L).otherwise(0L)).as("fn"))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den, 6))
+    val p = ratio(col("tp"), col("tp") + col("fp"))
+    val r = ratio(col("tp"), col("tp") + col("fn"))
+    counts.select(col("group_key"), col("n"), col("tp"), col("fp"),
+        col("tn"), col("fn"),
+        ratio(col("tp") + col("tn"), col("n")).as("accuracy"),
+        p.as("precision"), r.as("recall"),
+        when(p.isNotNull && r.isNotNull && p + r > 0,
+          round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
+      .orderBy(col("group_key"))
+  }
+
+  /** Calibration reliability report — "when the model says 0.8, is it
+    * right 80% of the time?": scored rows bucket into `nBins` equal
+    * probability bins; per bin, the mean predicted probability vs the
+    * observed positive fraction. The gap column is the per-bin
+    * calibration error (reliability-diagram data; weight by n/total
+    * for ECE). An uncalibrated filter makes `quality_prob >= t` mean
+    * different things in different corpora — this report says whether
+    * t is trustworthy or needs [[graft.operators.Sampling.calibrateScores]].
+    *
+    * One scan, one groupBy of ≤ nBins keys. Determinism: per-row probs
+    * round to 9 decimals and sum as DECIMAL (the q37 discipline), so
+    * mean_prob is partition-order independent. Empty bins are absent
+    * (sparse). Labels validate like [[evaluate]].
+    */
+  def reliability(d: DataFrame, model: QualityModel, text: Column,
+                  label: Column, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val prep = d.select(label.cast("double").as("_y"),
+      text.cast("string").as("_t"))
+    val scored = graft.core.Caches.persist(
+      score(prep, model, col("_t"), "_eval_prob"))
+    val bad = scored.agg(sum(when(col("_y").isNull ||
+      (col("_y") =!= 0.0 && col("_y") =!= 1.0), 1L).otherwise(0L)),
+      count(lit(1))).head()
+    require(bad.getLong(1) > 0, "cannot evaluate on an empty frame")
+    require(bad.getLong(0) == 0,
+      s"${bad.getLong(0)} rows carry a label that is not exactly 0 or 1")
+    // σ ∈ (0,1) strictly, but least() keeps a future prob=1.0 in-range
+    val bin = least(floor(col("_eval_prob") * nBins).cast("int"), lit(nBins - 1))
+    scored.groupBy(bin.as("bin")).agg(
+        count(lit(1)).as("n"),
+        round(sum(round(col("_eval_prob"), 9).cast("decimal(28,9)"))
+          .cast("double") / count(lit(1)), 6).as("mean_prob"),
+        round(sum(col("_y").cast("decimal(28,9)")).cast("double") /
+          count(lit(1)), 6).as("frac_pos"))
+      .withColumn("gap", round(col("frac_pos") - col("mean_prob"), 6))
+      .orderBy(col("bin"))
+  }
+
   /** Persist a trained model — the [[graft.operators.Bpe.save]] /
     * `Similarity.saveIvf` discipline: train once on the labeled set,
     * ship the artifact to every scoring job. Header line

@@ -207,6 +207,85 @@ class ClassifierSpec extends SparkSpec {
       Classifier.evaluateSweep(d, model, col("text"), col("label"), Seq(1.5)))
   }
 
+  test("evaluateBy: each group's row equals evaluate on that group's slice") {
+    import spark.implicits._
+    // two domains with opposite difficulty for the same hand-built model
+    val dim = 64
+    def bucket(tok: String): Int = spark.range(1)
+      .select(explode(Classifier.featurize(lit(tok), dim)).as("f"))
+      .head().getInt(0)
+    val gb = bucket("good")
+    val clean = Seq("junk", "noise", "filler", "plain", "basic", "bland")
+      .filter(bucket(_) != gb).take(2)
+    val w = Array.fill(dim)(0.0); w(gb) = 4.0
+    val m = Classifier.QualityModel(dim, -2.0, w, Array.empty)
+    val held = Seq(
+      ("web", "good essay", 1.0), ("web", "good prose", 1.0),
+      ("web", clean(0), 0.0),
+      ("code", "good spam", 0.0), ("code", clean(1), 1.0))
+      .toDF("source", "text", "label")
+    val by = try Classifier.evaluateBy(held, m, col("text"), col("label"),
+      col("source")).collect() finally graft.core.Caches.release()
+    assert(by.map(_.getString(0)).toSeq == Seq("code", "web"))
+    by.foreach { row =>
+      val slice = held.filter($"source" === row.getString(0))
+      val one = try Classifier.evaluate(slice, m, col("text"), col("label"))
+        .head() finally graft.core.Caches.release()
+      assert((1 to 5).forall(i => row.getLong(i) == one.getLong(i - 1)),
+        s"${row.getString(0)} counts: $row vs $one")
+      (6 to 9).foreach { i =>
+        assert(row.isNullAt(i) == one.isNullAt(i - 1) &&
+          (row.isNullAt(i) || row.getDouble(i) == one.getDouble(i - 1)),
+          s"${row.getString(0)} metric $i: $row vs $one")
+      }
+    }
+    // web: tp=2 tn=1 perfect; code: fp=1 fn=1 everything wrong —
+    // the per-domain disaster the pooled report hides
+    val webRow = by.find(_.getString(0) == "web").get
+    val codeRow = by.find(_.getString(0) == "code").get
+    assert(webRow.getDouble(6) == 1.0 && codeRow.getDouble(6) == 0.0)
+    intercept[IllegalArgumentException](Classifier.evaluateBy(
+      Seq(("a", "x", 2.0)).toDF("source", "text", "label"),
+      m, col("text"), col("label"), col("source")))
+  }
+
+  test("reliability: hand-computed bins, a perfectly sharp model has zero gap in its bins") {
+    import spark.implicits._
+    val dim = 64
+    def bucket(tok: String): Int = spark.range(1)
+      .select(explode(Classifier.featurize(lit(tok), dim)).as("f"))
+      .head().getInt(0)
+    val gb = bucket("good")
+    val clean = Seq("junk", "noise", "filler", "plain", "basic", "bland")
+      .filter(bucket(_) != gb).take(1)
+    val w = Array.fill(dim)(0.0); w(gb) = 4.0
+    val m = Classifier.QualityModel(dim, -2.0, w, Array.empty)
+    // probs are exactly σ(2) ≈ 0.880797 (bin 8) and σ(-2) ≈ 0.119203
+    // (bin 1) at nBins = 10
+    val sig2 = 1.0 / (1.0 + math.exp(-2.0))
+    val held = Seq(
+      ("good one", 1.0), ("good two", 1.0), ("good bad", 0.0), // bin 8: frac 2/3
+      (clean(0), 0.0))                                          // bin 1: frac 0
+      .toDF("text", "label")
+    val rep = try Classifier.reliability(held, m, col("text"), col("label"))
+      .collect() finally graft.core.Caches.release()
+    assert(rep.map(_.getInt(0)).toSeq == Seq(1, 8))
+    val bin8 = rep.find(_.getInt(0) == 8).get
+    assert(bin8.getLong(1) == 3L)
+    assert(math.abs(bin8.getDouble(2) - sig2) < 1e-5)
+    assert(bin8.getDouble(3) == 0.666667)
+    assert(bin8.getDouble(4) == BigDecimal(0.666667 - bin8.getDouble(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val bin1 = rep.find(_.getInt(0) == 1).get
+    assert(bin1.getLong(1) == 1L && bin1.getDouble(3) == 0.0)
+    // determinism across partitionings (decimal-summed mean_prob)
+    val rep2 = try Classifier.reliability(held.repartition(7), m,
+      col("text"), col("label")).collect() finally graft.core.Caches.release()
+    assert(rep.map(_.toSeq).toSeq == rep2.map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException](
+      Classifier.reliability(held, m, col("text"), col("label"), nBins = 0))
+  }
+
   test("model save/load: bit-exact round trip, identical scores, corruption refused") {
     val dir = java.nio.file.Files.createTempDirectory("graft-qlr")
     val path = dir.resolve("model.tsv").toString
