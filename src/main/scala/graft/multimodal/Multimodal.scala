@@ -141,6 +141,92 @@ object Multimodal {
     }
   }
 
+  /** Per-payload audio signal stats ([[audioStats]]): `decoded = false`
+    * rows carry zeros (non-audio kinds, unparseable bytes, non-PCM
+    * encodings) — the pipeline never throws mid-partition. */
+  final case class AudioStats(
+      media_id: Long,
+      decoded: Boolean,
+      sample_rate: Double,
+      n_frames: Long,
+      duration_ms: Long,
+      rms: Double,
+      peak: Double,
+      clip_frac: Double)
+
+  /** REAL audio feature extraction (pure JVM — javax.sound PCM parse,
+    * no native codecs): per audio payload, the signal stats a training
+    * pipeline filters on — RMS level (silence detection), peak
+    * amplitude, and the fraction of samples at/over `clipThreshold` of
+    * full scale (clipping detection) — plus rate/frames/duration from
+    * the header. Handles PCM_SIGNED 8- and 16-bit, any channel count,
+    * both endiannesses; anything else (or any parse failure) degrades
+    * to `decoded = false` zeros rather than an exception.
+    *
+    * Scale shape: [[extractFeatures]]' — mapPartitions over the media
+    * rows, payloads never shuffle, every row's stats are a pure
+    * function of its bytes (deterministic at any parallelism). Values
+    * round to 6 decimals; samples normalize by 2^(bits-1) so full
+    * scale is 1.0.
+    */
+  def audioStats(media: Dataset[MediaRow],
+                 clipThreshold: Double = 0.999): Dataset[AudioStats] = {
+    require(clipThreshold > 0.0 && clipThreshold <= 1.0,
+      s"clipThreshold must be in (0, 1], got $clipThreshold")
+    import media.sparkSession.implicits._
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val none = AudioStats(r.media_id, decoded = false, 0.0, 0L, 0L, 0.0, 0.0, 0.0)
+        if (r.kind != "audio") none
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val fmt = in.getFormat
+            val bits = fmt.getSampleSizeInBits
+            val ch = fmt.getChannels
+            if (fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              (bits != 8 && bits != 16) || ch <= 0 || fmt.getFrameRate <= 0) none
+            else {
+              val bytes = in.readAllBytes()
+              val bytesPerSample = bits / 8
+              val nSamples = bytes.length / bytesPerSample
+              if (nSamples == 0) none
+              else {
+                val full = (1 << (bits - 1)).toDouble // 128 or 32768
+                val big = fmt.isBigEndian
+                var i = 0; var sumSq = 0.0; var peak = 0.0; var clipped = 0L
+                while (i < nSamples) {
+                  val off = i * bytesPerSample
+                  val v =
+                    if (bits == 8) bytes(off).toDouble
+                    else {
+                      val (lo, hi) = if (big) (off + 1, off) else (off, off + 1)
+                      ((bytes(hi) << 8) | (bytes(lo) & 0xff)).toDouble
+                    }
+                  val a = math.abs(v) / full
+                  sumSq += (v / full) * (v / full)
+                  if (a > peak) peak = a
+                  if (a >= clipThreshold) clipped += 1
+                  i += 1
+                }
+                val frames = nSamples.toLong / ch
+                AudioStats(r.media_id, decoded = true,
+                  fmt.getFrameRate.toDouble, frames,
+                  math.round(frames * 1000.0 / fmt.getFrameRate),
+                  round6(math.sqrt(sumSq / nSamples)), round6(peak),
+                  round6(clipped.toDouble / nSamples))
+              }
+            }
+          } finally in.close()
+        } catch { case _: Exception => none }
+      }
+    }
+  }
+
   /** A resized image row: re-encoded payload + old/new dims. */
   final case class ResizedImage(
       media_id: Long,

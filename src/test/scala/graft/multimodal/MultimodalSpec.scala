@@ -67,6 +67,56 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2).duration_ms == 0L)    // image: duration not applicable
   }
 
+  test("audioStats: real PCM signal stats — sine RMS, clipped square, graceful non-audio") {
+    def wavOf(samples: Array[Short], rate: Float = 8000f): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(i * 2) = (s & 0xff).toByte          // little-endian
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 1 s of a 440 Hz sine at half scale: RMS ≈ 0.5/√2, peak ≈ 0.5, no clip
+    val sine = wavOf(Array.tabulate(8000)(i =>
+      math.round(0.5 * 32767 * math.sin(2 * math.Pi * 440 * i / 8000)).toShort))
+    // a full-scale square wave: every sample clips
+    val square = wavOf(Array.tabulate(800)(i => if (i % 2 == 0) 32767 else -32768).map(_.toShort))
+    val silence = wavOf(Array.fill(400)(0.toShort))
+
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio", sine, sine.length.toLong),
+      Multimodal.MediaRow(2L, "audio", square, square.length.toLong),
+      Multimodal.MediaRow(3L, "audio", silence, silence.length.toLong),
+      Multimodal.MediaRow(4L, "audio", "not audio".getBytes("UTF-8"), 9L),
+      Multimodal.MediaRow(5L, "image", sine, sine.length.toLong)))
+    val s = Multimodal.audioStats(media).collect().sortBy(_.media_id)
+
+    assert(s(0).decoded && s(0).sample_rate == 8000.0 && s(0).n_frames == 8000L
+      && s(0).duration_ms == 1000L)
+    assert(math.abs(s(0).rms - 0.5 / math.sqrt(2.0)) < 0.005, s"sine rms ${s(0).rms}")
+    assert(math.abs(s(0).peak - 0.5) < 0.005 && s(0).clip_frac == 0.0)
+
+    assert(s(1).decoded && s(1).clip_frac == 1.0, s"square clip ${s(1).clip_frac}")
+    assert(s(1).peak >= 0.999 && s(1).rms >= 0.999)
+
+    assert(s(2).decoded && s(2).rms == 0.0 && s(2).peak == 0.0) // silence
+
+    assert(!s(3).decoded && !s(4).decoded) // garbage bytes; wrong kind
+
+    // determinism across partitionings: pure per-row function
+    val s2 = Multimodal.audioStats(media.repartition(5)).collect().sortBy(_.media_id)
+    assert(s.toSeq == s2.toSeq)
+
+    intercept[IllegalArgumentException](Multimodal.audioStats(media, clipThreshold = 0.0))
+  }
+
   test("resizeImages really rescales decodable payloads and passes through the rest") {
     val img = new java.awt.image.BufferedImage(8, 6,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
