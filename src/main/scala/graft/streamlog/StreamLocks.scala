@@ -6,6 +6,14 @@ package graft.streamlog
   * SAME JVM throws OverlappingFileLockException rather than waiting —
   * so same-JVM writers serialize on this monitor first, then take the
   * OS file lock (`<stream>/.commit.lock`) for cross-process exclusion.
+  *
+  * DEPLOYMENT BOUNDARY: the file lock is the shared-POSIX-filesystem
+  * fast path only. Object storage (S3/R2) has no advisory locks — there
+  * the correctness backstop is the writer-epoch fencing token IN the
+  * metadata log itself ([[StreamLog.claimWriter]] / appendMeta's
+  * check-on-apply, r12): a stale writer's commit re-reads the log's
+  * epoch and refuses, which needs only read + atomic append of the
+  * small metadata log.
   */
 object StreamLocks {
   private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()

@@ -193,6 +193,18 @@ object StreamLogs {
     sweeper.setDaemon(true)
     sweeper.start()
 
+    /** Claim single-writership of EVERY stream currently under the
+      * root — the one-call driver takeover: a coordinator assuming a
+      * fleet (the old driver died, or a deploy moves ownership) claims
+      * each stream through ITS cached handles, so this daemon's
+      * maintenance passes commit while the superseded coordinator's
+      * handles fence ([[StreamLog.claimWriter]] semantics per stream;
+      * the two-coordinator soak spec drives exactly this). Streams
+      * created after the call are NOT claimed — claim at open, or call
+      * again. Returns name → claimed epoch. */
+    def claimWriters(): Map[String, Long] =
+      list(root).map(n => n -> open(n).claimWriter()).toMap
+
     override def close(): Unit = {
       stop.set(true)
       stopMonitor.synchronized(stopMonitor.notifyAll())

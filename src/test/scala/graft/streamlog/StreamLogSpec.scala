@@ -219,6 +219,27 @@ class StreamLogSpec extends SparkSpec {
   private def exceptionChain(t: Throwable): Seq[Throwable] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
 
+  test("concurrent claimWriter race: distinct ordered epochs, exactly one live winner") {
+    val root = Files.createTempDirectory("graft-claimrace").toString
+    val n = 16
+    val handles = (1 to n).map(_ => new StreamLog(spark, root, "s1"))
+    val epochs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = handles.map { h =>
+      new Thread(() => { epochs.add(h.claimWriter()) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    val got = epochs.asScala.toSeq.sorted
+    // the commit lock serializes claims: epochs are exactly 1..n with
+    // no duplicates and no gaps, regardless of interleaving
+    assert(got == (1L to n.toLong), s"epochs: $got")
+    // exactly one handle survives as the live writer (the one that
+    // claimed last); every other claim is superseded
+    val live = handles.filter(h => try { h.publish(Seq("""{"ok":1}""")); true }
+      catch { case _: WriterFencedException => false })
+    assert(live.size == 1, s"${live.size} handles think they are live")
+    assert(live.head.claimedWriterEpoch == n.toLong)
+  }
+
   test("two-coordinator soak: a superseded fleet daemon only hits fences; the live one maintains; zero records lost") {
     val root = Files.createTempDirectory("graft-fleet2").toString
     val names = (1 to 5).map(i => s"s$i")
@@ -243,9 +264,10 @@ class StreamLogSpec extends SparkSpec {
       val fleetB = StreamLogs.startMaintenance(spark, root, intervalMs = 100,
         onReport = (n, r) => if (r.compacted.nonEmpty) compactedB.add(n))
       try {
+        val epochsB = fleetB.claimWriters() // one-call driver takeover
+        assert(epochsB.keySet == names.toSet && epochsB.values.forall(_ >= 2))
         names.foreach { n =>
           val h = fleetB.open(n)
-          assert(h.claimWriter() >= 2)
           expected(n) = expected(n) ++ (1 to 2).flatMap(b =>
             h.publish((1 to 3).map(i => s"""{"era":"b","b":$b,"i":$i}""")))
         }
