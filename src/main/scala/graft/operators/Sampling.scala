@@ -376,6 +376,44 @@ object Sampling {
         when(b < (col("w") - floor(col("w"))) * 1000, 1L).otherwise(0L)))
   }
 
+  /** α-temperature mixture weights — the published multilingual /
+    * multi-source sampling rule (mC4, XLM-R): sampling probability
+    * p_i ∝ n_i^α over per-source sizes n_i. α = 1 is proportional
+    * (every source keeps its natural share), α → 0 flattens toward
+    * uniform (low-resource sources upsample, the head downsamples),
+    * α > 1 sharpens into the head. Returns the per-source weight map
+    * [[mixtureSample]] realizes by fractional repetition, scaled so
+    * the EXPECTED total size hits `totalBudget`:
+    * w_i = p_i · totalBudget / n_i (so Σ n_i·w_i = totalBudget).
+    *
+    * `counts` is one already-aggregated (source, n) frame — bounded by
+    * the source count, the only thing collected. Weights round to 6
+    * decimals (pure driver arithmetic, deterministic). Sizes may be
+    * docs or tokens; budget and weights follow whichever unit `counts`
+    * carries.
+    */
+  def temperatureWeights(counts: DataFrame, alpha: Double,
+                         totalBudget: Long): Map[String, Double] = {
+    require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    val rows = counts.collect().map { r =>
+      val src = r.getString(0)
+      val n = r.getLong(1)
+      require(n > 0, s"source '$src' has non-positive size $n")
+      src -> n
+    }
+    require(rows.nonEmpty, "counts frame is empty")
+    require(rows.map(_._1).distinct.length == rows.length,
+      "duplicate source in counts frame — aggregate first")
+    val pows = rows.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
+    val z = pows.map(_._2).sum
+    val ns = rows.toMap
+    pows.map { case (s, p) =>
+      s -> BigDecimal((p / z) * totalBudget / ns(s))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
   /** The q72 mixture: upsample src0 3×, src1 2.5×, thin src2/src3,
     * drop src4, keep the rest at 1×. */
   val Q72Weights: Map[String, Double] = Map(

@@ -126,6 +126,48 @@ class SamplingSpec extends SparkSpec {
       .sameElements(again.map(r => (r.getString(0), r.getLong(1))).sorted))
   }
 
+  test("temperatureWeights: hand-computed alpha rule; budget holds in expectation through mixtureSample") {
+    import spark.implicits._
+    val counts = Seq(("big", 900L), ("small", 100L)).toDF("source", "n")
+    def bd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    // α = 1: proportional — every source gets the same repeat factor
+    val w1 = Sampling.temperatureWeights(counts, alpha = 1.0, totalBudget = 2000)
+    assert(w1 == Map("big" -> 2.0, "small" -> 2.0))
+    // α = 0: uniform sampling — half the budget each, so the small
+    // source upsamples 9× harder than the big one
+    val w0 = Sampling.temperatureWeights(counts, alpha = 0.0, totalBudget = 2000)
+    assert(w0 == Map("big" -> bd(1000.0 / 900), "small" -> 10.0))
+    // α = 0.5: p_big = 30/40, p_small = 10/40
+    val wh = Sampling.temperatureWeights(counts, alpha = 0.5, totalBudget = 2000)
+    assert(wh == Map("big" -> bd(0.75 * 2000 / 900), "small" -> bd(0.25 * 2000 / 100)))
+    // Σ n_i · w_i = budget at every α
+    Seq(w1, w0, wh).foreach { w =>
+      assert(math.abs(w("big") * 900 + w("small") * 100 - 2000) < 0.01)
+    }
+
+    // through mixtureSample on real docs: emitted instances track the
+    // budget (exact up to the fractional hash-bucket rounding)
+    val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val nSources = sizes.count()
+    val budget = 2500L
+    val w = Sampling.temperatureWeights(sizes, alpha = 0.3, totalBudget = budget)
+    assert(w.keySet.size == nSources)
+    val emitted = Sampling.mixtureSample(d, col("source"), col("doc_id"), w)
+      .agg(sum(col("n_repeats"))).head().getLong(0)
+    assert(math.abs(emitted - budget) <= budget / 10,
+      s"emitted $emitted vs budget $budget")
+
+    intercept[IllegalArgumentException](
+      Sampling.temperatureWeights(counts, alpha = -0.1, totalBudget = 100))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureWeights(counts, alpha = 0.5, totalBudget = 0))
+    intercept[IllegalArgumentException](Sampling.temperatureWeights(
+      Seq(("x", 0L)).toDF("source", "n"), 0.5, 100))
+    intercept[IllegalArgumentException](Sampling.temperatureWeights(
+      Seq(("x", 1L), ("x", 2L)).toDF("source", "n"), 0.5, 100))
+  }
+
   test("packSequences: two-level prefix scan equals the global scan, bins are tight") {
     val budget = 64
     val toks = d.select(col("doc_id"),
