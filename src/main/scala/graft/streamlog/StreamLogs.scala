@@ -99,6 +99,14 @@ object StreamLogs {
 
     private val streams =
       new java.util.concurrent.ConcurrentHashMap[String, StreamLog]()
+    // streams whose maintenance hit a WriterFencedException, recorded
+    // with the handle's claimed epoch AT FENCE TIME: a fenced stream is
+    // skipped — its merges would keep completing distributed work and
+    // then refusing at apply, one wasted Spark job per sweep — until
+    // the handle re-claims (claimedWriterEpoch moves past the recorded
+    // one) or is released
+    private val fencedAt =
+      new java.util.concurrent.ConcurrentHashMap[String, Long]()
     // names whose directory a sweep has actually seen — eviction
     // candidates once that directory disappears
     private val seenOnDisk =
@@ -126,6 +134,15 @@ object StreamLogs {
     def release(name: String): Unit = {
       streams.remove(name)
       seenOnDisk.remove(name)
+      fencedAt.remove(name)
+    }
+
+    /** Streams this daemon has stopped maintaining because a newer
+      * writer fenced them (cleared by claimWriter on the handle, or
+      * [[release]]). */
+    def fencedStreams: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      fencedAt.keySet.asScala.toSet
     }
 
     private def pause(ms: Long): Unit =
@@ -161,7 +178,13 @@ object StreamLogs {
             if (!stop.get()) {
               try {
                 val log = open(n)
-                if (Files.isDirectory(log.streamDir)) {
+                // fence backoff: skip until the handle re-claims past
+                // the epoch it held when it was fenced
+                val fEpoch = fencedAt.get(n)
+                if (fencedAt.containsKey(n) &&
+                    log.claimedWriterEpoch <= fEpoch) ()
+                else if (Files.isDirectory(log.streamDir)) {
+                  fencedAt.remove(n)
                   seenOnDisk.add(n)
                   onReport(n, log.maintain(limits, tombstoneMaxAgeMs, orphanGraceMs))
                 } else { // destroyed since listing: drop BOTH maps — a
@@ -171,7 +194,12 @@ object StreamLogs {
                   streams.remove(n)
                   seenOnDisk.remove(n)
                 }
-              } catch { case e: Throwable => onError(n, e) }
+              } catch {
+                case e: WriterFencedException =>
+                  fencedAt.put(n, e.provided)
+                  onError(n, e)
+                case e: Throwable => onError(n, e)
+              }
             }
           }
           // evict handles for streams destroyed BETWEEN sweeps (never

@@ -240,6 +240,48 @@ class StreamLogSpec extends SparkSpec {
     assert(live.head.claimedWriterEpoch == n.toLong)
   }
 
+  test("fence backoff: a superseded daemon stops burning merge jobs; re-claim resumes maintenance") {
+    val root = Files.createTempDirectory("graft-fencebackoff").toString
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reports = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fleet = StreamLogs.startMaintenance(spark, root, intervalMs = 100,
+      onReport = (_, _) => reports.incrementAndGet(),
+      onError = (_, e) => { assert(e.isInstanceOf[WriterFencedException]); errors.incrementAndGet() })
+    try {
+      val a = fleet.open("s1")
+      a.claimWriter()
+      val c = clock(8000000)
+      // a newer writer supersedes A and leaves compactable segments
+      val b = new StreamLog(spark, root, "s1")
+      b.claimWriter()
+      (1 to 3).foreach(k => b.publish((1 to 4).map(i => s"""{"b":$k,"i":$i}"""), nowMs = c))
+      a.refresh() // A sees the segments; its claim stays stale
+
+      val deadline = System.currentTimeMillis() + 30000
+      while (fleet.fencedStreams.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(fleet.fencedStreams == Set("s1"), "daemon never recorded the fence")
+      assert(errors.get() >= 1)
+
+      // backoff: once fenced, no further attempts → the error count
+      // freezes (one grace interval for any in-flight pass)
+      Thread.sleep(200)
+      val frozen = errors.get()
+      Thread.sleep(600) // ~6 sweep intervals
+      assert(errors.get() == frozen,
+        s"daemon kept attempting while fenced: $frozen -> ${errors.get()}")
+
+      // re-claim through the DAEMON'S handle: backoff clears, passes run
+      a.claimWriter()
+      val before = reports.get()
+      val d2 = System.currentTimeMillis() + 30000
+      while ((fleet.fencedStreams.nonEmpty || reports.get() == before) &&
+        System.currentTimeMillis() < d2) Thread.sleep(50)
+      assert(fleet.fencedStreams.isEmpty, "re-claim did not clear the backoff")
+      assert(reports.get() > before, "maintenance did not resume after re-claim")
+    } finally fleet.close()
+  }
+
   test("two-coordinator soak: a superseded fleet daemon only hits fences; the live one maintains; zero records lost") {
     val root = Files.createTempDirectory("graft-fleet2").toString
     val names = (1 to 5).map(i => s"s$i")
