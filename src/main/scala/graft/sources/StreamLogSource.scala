@@ -13,6 +13,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, S
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -80,19 +81,23 @@ class StreamLogTable(root: String, stream: String, after: Option[String],
   override def schema(): StructType = StreamLogTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StreamLogScanBuilder(root, stream, after, maxRecordsPerTrigger, maxBytesPerTrigger)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val fields = info.schema().fieldNames.toSeq
-    require(fields == Seq("offset", "data"),
-      s"streamlog writes require (offset STRING, data STRING), got $fields")
+    // batch bulk load brings its own offsets (offset, data); the
+    // STREAMING sink takes bare payloads (data) and assigns offsets
+    // itself — the reference's publish-at-flush semantics
+    require(fields == Seq("offset", "data") || fields == Seq("data"),
+      s"streamlog writes require (offset STRING, data STRING) for batch " +
+        s"or (data STRING) for streaming, got $fields")
     // optional fencing token from StreamLog.claimWriter(); 0 = unfenced
     // legacy writer, refused once any writer has claimed the stream
     val writerEpoch = Option(info.options.get("writerEpoch")).map(_.toLong).getOrElse(0L)
-    new StreamLogWriteBuilder(root, stream, writerEpoch)
+    new StreamLogWriteBuilder(root, stream, writerEpoch, fields, info.queryId())
   }
 }
 
@@ -461,18 +466,171 @@ private object MetaJsonOffset {
   * purgeOrphans() collects after recovery).
   */
 class StreamLogWriteBuilder(root: String, stream: String,
-                            writerEpoch: Long = 0L) extends WriteBuilder {
+                            writerEpoch: Long = 0L,
+                            fields: Seq[String] = Seq("offset", "data"),
+                            queryId: String = "") extends WriteBuilder {
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     private val sort: SortOrder =
       Expressions.sort(Expressions.column("offset"), SortDirection.ASCENDING)
-    override def requiredDistribution(): Distribution = Distributions.ordered(Array(sort))
-    override def requiredOrdering(): Array[SortOrder] = Array(sort)
-    override def toBatch: BatchWrite = new StreamLogBatchWrite(root, stream, writerEpoch)
+    // batch rows carry offsets → globally range-sorted so segments never
+    // overlap; streaming rows don't have one yet (the sink assigns) —
+    // partition-disjoint counters make any distribution safe
+    override def requiredDistribution(): Distribution =
+      if (fields == Seq("data")) Distributions.unspecified()
+      else Distributions.ordered(Array(sort))
+    override def requiredOrdering(): Array[SortOrder] =
+      if (fields == Seq("data")) Array.empty else Array(sort)
+    override def toBatch: BatchWrite = {
+      require(fields == Seq("offset", "data"),
+        "batch streamlog writes require (offset STRING, data STRING)")
+      new StreamLogBatchWrite(root, stream, writerEpoch)
+    }
+    override def toStreaming: StreamingWrite = {
+      require(fields == Seq("data"),
+        "the streamlog streaming sink takes (data STRING) — offsets are " +
+          "assigned by the sink at commit granularity, like publish()")
+      new StreamLogStreamingWrite(root, stream, writerEpoch, queryId)
+    }
   }
 }
 
 case class SegmentCommit(name: String, firstOffset: String, lastOffset: String,
                          records: Long, bytes: Long) extends WriterCommitMessage
+
+/** Structured Streaming sink for the stream log — exactly-once,
+  * offset-assigning, fenced: the native `writeStream.format("streamlog")`
+  * path that retires foreachBatch from the produce side.
+  *
+  *   - OFFSETS: rows arrive as bare `data`; offset epoch = `base +
+  *     epochId` where `base` is read once per query start strictly above
+  *     everything already in the log (monotone across micro-batches;
+  *     a restarted query re-reads the log and starts above its own
+  *     earlier commits). The counter is `partitionId · 10^10 + rowIdx` —
+  *     partition-disjoint ranges inside an epoch, so tasks never
+  *     coordinate and segments never overlap.
+  *   - EXACTLY-ONCE: the commit appends a `sink_epoch` marker next to
+  *     the segment adds in ONE locked write; a replayed epoch (driver
+  *     died between sink commit and checkpoint write) finds
+  *     `epochId <= maxSinkEpoch(queryId)` and commits NOTHING — the
+  *     retry's re-written .seg files are left unreferenced for
+  *     purgeOrphans, exactly like an aborted bulk load.
+  *   - FENCED: same writer-epoch check as every other metadata commit
+  *     ([[graft.streamlog.StreamLog.claimWriter]]).
+  */
+class StreamLogStreamingWrite(root: String, stream: String,
+                              writerEpoch: Long, queryId: String)
+    extends StreamingWrite {
+
+  private val dir = Paths.get(root, stream)
+
+  // per-query epoch base: above the wall clock AND everything in the log
+  private val base: Long = {
+    val st = MetaLog.replay(dir.resolve("meta.jsonl"))
+    math.max(System.currentTimeMillis(), st.epoch + 1)
+  }
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    StreamLogStreamingWriterFactory(dir.resolve("segments").toString, base)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val segs = messages.collect { case s: SegmentCommit if s.records > 0 => s }
+      .sortBy(_.firstOffset)
+    if (segs.isEmpty) return
+    segs.sliding(2).foreach {
+      case Array(a, b) => require(a.lastOffset < b.firstOffset,
+        s"overlapping segments in streaming epoch $epochId: ${a.name} / ${b.name}")
+      case _ =>
+    }
+    Files.createDirectories(dir)
+    StreamLogBatchWrite.commitMonitor(dir.toString).synchronized {
+      val lockCh = java.nio.channels.FileChannel.open(dir.resolve(".commit.lock"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = lockCh.lock()
+        try {
+          val metaPath = dir.resolve("meta.jsonl")
+          val st = MetaLog.replay(metaPath)
+          if (st.writerEpoch > writerEpoch)
+            throw graft.streamlog.WriterFencedException(writerEpoch, st.writerEpoch)
+          // idempotent replay: epochs commit in order within a query,
+          // so one high-water mark per query id decides
+          if (MetaLog.maxSinkEpoch(metaPath, queryId) >= epochId) return
+          st.index.max.foreach { m =>
+            require(m.lastOffset < segs.head.firstOffset,
+              s"streaming epoch $epochId overlaps the log: " +
+                s"last=${m.lastOffset} incoming=${segs.head.firstOffset}")
+          }
+          val now = System.currentTimeMillis()
+          val lines = segs.map(s => graft.streamlog.MetaJson.add(
+            SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes))) :+
+            graft.streamlog.MetaJson.sinkEpoch(queryId, epochId)
+          Files.write(metaPath,
+            lines.mkString("", "\n", "\n").getBytes(UTF_8),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        } finally lock.release()
+      } finally lockCh.close()
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case s: SegmentCommit if s.name.nonEmpty =>
+        Files.deleteIfExists(Paths.get(root, stream, "segments", s.name))
+      case _ =>
+    }
+}
+
+case class StreamLogStreamingWriterFactory(segmentDir: String, base: Long)
+    extends StreamingDataWriterFactory {
+  /** 10^10 rows per partition per epoch; 10^6 partitions fit the
+    * 16-digit counter field. */
+  private val PartitionStride = 10000000000L
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var first: String = _
+      private var last: String = _
+      private var records = 0L
+      private var bytes = 0L
+      private val epoch = base + epochId
+      private val tmp = Paths.get(segmentDir, s".s-$partitionId-$taskId-$epochId.tmp")
+      private lazy val out = {
+        Files.createDirectories(Paths.get(segmentDir))
+        Files.newBufferedWriter(tmp, UTF_8)
+      }
+
+      override def write(row: InternalRow): Unit = {
+        val data = row.getUTF8String(0).toString
+        require(!data.contains('\n') && !data.contains('\r'),
+          "records must not contain newlines (NDJSON segment format)")
+        require(records < PartitionStride,
+          s"partition $partitionId exceeded $PartitionStride rows in one epoch")
+        val off = Offset.serialize(epoch, partitionId * PartitionStride + records)
+        if (first == null) first = off
+        last = off
+        out.write(off); out.write(data); out.write("\n")
+        records += 1
+        bytes += Offset.Width + 1L + data.getBytes(UTF_8).length
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (records == 0) return SegmentCommit("", "", "", 0L, 0L)
+        out.close()
+        val name = s"$first-${java.util.UUID.randomUUID()}.seg"
+        Files.move(tmp, Paths.get(segmentDir, name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        SegmentCommit(name, first, last, records, bytes)
+      }
+
+      override def abort(): Unit = {
+        try out.close() catch { case _: Throwable => () }
+        Files.deleteIfExists(tmp)
+      }
+      override def close(): Unit = ()
+    }
+}
 
 object StreamLogBatchWrite {
   /** One monitor per stream directory: same-JVM commit serialization

@@ -151,6 +151,13 @@ object StreamTail {
     * also duplicates; run the log's exact-dedup downstream if the
     * pipeline needs effectively-once).
     */
+  /** foreachBatch produce-into-the-log with CALLER-CHOSEN record order
+    * (`orderBy` decides offset order inside each batch — use when the
+    * stream's semantic order differs from arrival order). When arrival
+    * order is fine, prefer the NATIVE sink — `df.select(col("data"))
+    * .writeStream.format("streamlog")` — which assigns partition-
+    * disjoint offsets with exactly-once epoch commits and writer
+    * fencing (StreamLogStreamingWrite), no foreachBatch. */
   def sinkTo(source: DataFrame, log: StreamLog, checkpointDir: String,
              orderBy: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
     source.writeStream

@@ -42,6 +42,15 @@ object MetaJson {
   def version(v: Long): String =
     s"""{"type":"version","producer_version":$v}"""
 
+  /** Streaming-sink epoch high-water mark (r12): the exactly-once
+    * marker the DSv2 streaming sink appends atomically WITH an epoch's
+    * segment adds — a replayed epoch (driver died between sink commit
+    * and checkpoint write) sees its id at/below the mark and commits
+    * nothing. One marker per micro-batch; epochs commit in order per
+    * query, so only the max matters. */
+  def sinkEpoch(queryId: String, epochId: Long): String =
+    s"""{"type":"sink_epoch","qid":"${esc(queryId)}","epoch_id":$epochId}"""
+
   /** Writer-epoch fencing token (SURVEY §2.1 #21): the reference's
     * producer-version fencing (stream_manager.ts:240-267) applied at the
     * METADATA-COMMIT layer, so stale-writer exclusion lives in the log
@@ -133,6 +142,25 @@ object MetaLog {
       index.max.map(_.lastOffset).getOrElse(""),
       index.max.map(m => Offset.parse(m.lastOffset)._1).getOrElse(0L),
       writerEpoch)
+  }
+
+  /** The streaming sink's committed-epoch high-water mark for one query
+    * id (−1 = none) — the idempotent-replay read, same shape as
+    * [[writerEpoch]]: scans only sink_epoch/destroy lines. */
+  def maxSinkEpoch(metaPath: java.nio.file.Path, queryId: String): Long = {
+    import scala.jdk.CollectionConverters._
+    var e = -1L
+    if (java.nio.file.Files.exists(metaPath)) {
+      java.nio.file.Files.readAllLines(metaPath, java.nio.charset.StandardCharsets.UTF_8)
+        .asScala.foreach { line =>
+          if (line.contains("\"sink_epoch\"")) {
+            val (s, n) = MetaJson.parseLine(line)
+            if (s.get("qid").contains(queryId))
+              n.get("epoch_id").foreach(v => e = math.max(e, v))
+          } else if (line.contains("\"destroy\"")) e = -1L
+        }
+    }
+    e
   }
 
   /** The log's current writer epoch alone — the pre-commit fencing read.

@@ -200,6 +200,88 @@ class StreamLogSourceSpec extends SparkSpec {
     log2.destroy()
   }
 
+  test("streaming sink: assigns monotone offsets across micro-batches; restart from checkpoint adds no duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val log = freshLog()
+    val root = log.streamDir.getParent.toString
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+
+    val mem = MemoryStream[String](spark)
+    def start() = mem.toDF().select($"value".as("data"))
+      .writeStream.format("streamlog")
+      .option("path", root).option("stream", log.name)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q = start()
+    try {
+      mem.addData((1 to 5).map(i => s"""{"a":$i}"""): _*)
+      q.processAllAvailable()
+      mem.addData((6 to 9).map(i => s"""{"a":$i}"""): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // forced stop + restart with the SAME checkpoint: already-committed
+    // epochs must not re-land
+    val q2 = start()
+    try {
+      mem.addData("""{"a":10}""")
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    log.refresh()
+    val got = log.consume(Offset.Beginning, 1000)
+    assert(got.map(_._2).sorted == (1 to 10).map(i => s"""{"a":$i}""").sorted,
+      s"expected 10 unique records, got ${got.size}")
+    // offsets strictly monotone, epochs advance across micro-batches
+    assert(got.map(_._1) == got.map(_._1).sorted && got.map(_._1).distinct.size == 10)
+    assert(got.map(o => Offset.parse(o._1)._1).distinct.size >= 2,
+      "micro-batches should land in distinct offset epochs")
+    // publish() continues above the sink's offsets
+    assert(log.publish(Seq("""{"tail":1}""")).head > got.last._1)
+    log.destroy()
+  }
+
+  test("streaming sink commit is idempotent per epoch and fenced") {
+    import spark.implicits._
+    val log = freshLog()
+    val root = log.streamDir.getParent.toString
+
+    // replayed epoch: same epochId committed twice registers once
+    val w = new StreamLogStreamingWrite(root, log.name, writerEpoch = 0L, queryId = "q-test")
+    Files.createDirectories(log.segmentDir)
+    def seg(first: Long, n: Int): SegmentCommit = {
+      val offs = (0 until n).map(i => Offset.serialize(first, i.toLong))
+      val name = s"${offs.head}-${java.util.UUID.randomUUID()}.seg"
+      Files.write(log.segmentDir.resolve(name),
+        offs.map(o => s"""$o{"x":1}""").mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      SegmentCommit(name, offs.head, offs.last, n.toLong, n * 40L)
+    }
+    w.commit(0L, Array(seg(9000000, 3)))
+    w.commit(0L, Array(seg(9000001, 3))) // replay of epoch 0: must be a no-op
+    log.refresh()
+    assert(log.segments.map(_.records).sum == 3, "replayed epoch re-committed")
+    w.commit(1L, Array(seg(9000002, 2))) // next epoch lands
+    log.refresh()
+    assert(log.segments.map(_.records).sum == 5)
+
+    // fencing: a newer writer claim refuses the streaming commit
+    new graft.streamlog.StreamLog(spark, root, log.name).claimWriter()
+    intercept[graft.streamlog.WriterFencedException] {
+      w.commit(2L, Array(seg(9000003, 1)))
+    }
+    // and a live token passes
+    val live = new graft.streamlog.StreamLog(spark, root, log.name)
+    val e = live.claimWriter()
+    val w2 = new StreamLogStreamingWrite(root, log.name, writerEpoch = e, queryId = "q-test2")
+    w2.commit(0L, Array(seg(9000004, 1)))
+    log.refresh()
+    assert(log.segments.map(_.records).sum == 6)
+    log.destroy()
+  }
+
   test("bulk write refuses overlap with the existing log") {
     val log = freshLog()
     val root = log.streamDir.getParent.toString
