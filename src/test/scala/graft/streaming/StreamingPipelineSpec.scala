@@ -245,4 +245,79 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(all.map(_._1) == all.map(_._1).sorted, "offsets not monotonic")
     } finally q.stop()
   }
+
+  test("quality gate through the NATIVE sink: ingest -> score in-flight -> fenced exactly-once commits, restart-safe") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-ngate-landing")
+    val root = Files.createTempDirectory("graft-ngate-log").toString
+    val ckpt = Files.createTempDirectory("graft-ngate-ckpt").toString
+    def shard(name: String, lines: Seq[String]): Unit = {
+      val tmp = Files.createTempFile("graft-shard", ".tmp")
+      Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
+      Files.move(tmp, landing.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val seed = ((0 until 40).map(i =>
+      (s"the quiet library catalog holds carefully curated essays shelf$i", 1.0)) ++
+      (0 until 40).map(i =>
+        (s"click buy cheap pills winner jackpot casino bonus offer$i", 0.0)))
+      .toDF("text", "label")
+    val model = try graft.operators.Classifier.train(
+        seed, col("label"), dim = 1 << 12, epochs = 15)
+      finally graft.core.Caches.release()
+
+    val log = new StreamLog(spark, root, "native-gated")
+    val token = log.claimWriter() // the pipeline owns this stream
+
+    def start() = {
+      val split = Ingest.readJsonlStream(spark, landing.toString, schema)
+      graft.operators.Classifier.score(split.good, model, col("text"))
+        .filter(col("quality_prob") >= 0.5)
+        .select(to_json(struct(col("doc_id"), col("text"))).as("data"))
+        .writeStream.format("streamlog")
+        .option("path", root).option("stream", log.name)
+        .option("writerEpoch", token.toString)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
+    shard("s1.jsonl", Seq(
+      """{"doc_id": 1, "text": "the quiet library catalog holds carefully curated essays", "lang": "en"}""",
+      """{"doc_id": 2, "text": "click buy cheap pills winner jackpot casino bonus", "lang": "en"}"""))
+    val q = start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // restart from the checkpoint: the committed epoch must not re-land,
+    // and a late shard flows through the same gate
+    shard("s2.jsonl", Seq(
+      """{"doc_id": 3, "text": "winner casino jackpot pills cheap click buy bonus", "lang": "en"}""",
+      """{"doc_id": 4, "text": "carefully curated library essays the catalog holds", "lang": "en"}"""))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    log.refresh()
+    val all = log.consume(Offset.Beginning, 100)
+    assert(all.map(_._2).sorted == Seq(
+      """{"doc_id":1,"text":"the quiet library catalog holds carefully curated essays"}""",
+      """{"doc_id":4,"text":"carefully curated library essays the catalog holds"}""").sorted,
+      s"gate or exactly-once broke: ${all.map(_._2)}")
+    assert(all.map(_._1) == all.map(_._1).sorted && all.map(_._1).distinct.size == 2)
+
+    // the fence holds against the pipeline too: a takeover claim makes
+    // the NEXT micro-batch commit refuse (the stream surfaces it)
+    new StreamLog(spark, root, log.name).claimWriter()
+    shard("s3.jsonl", Seq(
+      """{"doc_id": 5, "text": "the quiet library catalog holds carefully curated essays again", "lang": "en"}"""))
+    val q3 = start()
+    val failed = try {
+      q3.processAllAvailable(); false
+    } catch { case _: Exception => true } finally q3.stop()
+    assert(failed, "superseded streaming sink should fail its commit")
+    log.refresh()
+    assert(log.consume(Offset.Beginning, 100).size == 2, "fenced epoch landed")
+  }
 }
