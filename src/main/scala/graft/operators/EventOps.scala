@@ -481,6 +481,34 @@ object EventOps {
     rateAnomaliesCore(counts0, stepMs, zThresh, dense)
   }
 
+  /** Windowed heavy hitters — "trending" analytics over the event
+    * stream: per tumbling `windowSec` window, the `k` most frequent
+    * values of `term` with counts (ties break by the value ascending —
+    * a pure function of the data). Pure composition: the epoch-aligned
+    * window index is projected as a GROUP column and
+    * [[graft.operators.Relational.topValues]] does the rest, which
+    * means the scale discipline comes free — complete counts in one
+    * map-side-combinable shuffle, every sort bounded by local
+    * (window, partition) top-k, never a corpus-sized window task even
+    * when `term` is high-cardinality. Null timestamps and null terms
+    * drop ([[rateAnomalies]]' rule: no time → no window; topValues
+    * counts non-null values).
+    * Output: (window_start_ms, term, n, rank), k rows per window.
+    */
+  def topTermsPerWindow(events: DataFrame, ts: Column, term: Column,
+                        windowSec: Long, k: Int = 10): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    val stepMs = windowSec * 1000L
+    val indexed = events.filter(ts.isNotNull)
+      .select((unix_millis(window(ts, s"$windowSec seconds")
+          .getField("start").cast("timestamp")) / stepMs).cast("long").as("w"),
+        term.cast("string").as("term"))
+    graft.operators.Relational.topValues(indexed, Seq("w"), Seq("term"), k)
+      .select((col("w") * stepMs).as("window_start_ms"),
+        col("v").as("term"), col("n"), col("rank"))
+      .orderBy(col("window_start_ms"), col("rank"))
+  }
+
   /** q85: [[rateAnomalies]] over the events table — hourly tumbling
     * windows per event type, |z| >= 1.5 (r12; this slot replaced
     * q40's regex token estimate, subsumed by q81's real BPE — the

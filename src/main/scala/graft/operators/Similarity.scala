@@ -388,6 +388,31 @@ object Similarity {
       k)
   }
 
+  /** ANN quality monitor — recall@k of an approximate kNN result
+    * against the exact baseline, per query: |approx ∩ exact| / |exact|.
+    * The production sibling of the spec-level recall gates: run the
+    * brute-force baseline on a sampled query batch next to the served
+    * IVF/PQ/LSH index and watch recall drift the way [[pqDistortion]]
+    * watches reconstruction error. Both inputs are (qid, neighbor_id,
+    * …) frames ([[knnBrute]]/[[knnLsh]]/[[knnIvf]]/[[knnPq]] shapes);
+    * only narrow pairs join — k rows per query per side. Queries the
+    * approximate side missed entirely still report (recall 0), the
+    * failure mode a naive inner join silently hides.
+    * Output: (qid, n_exact, n_hit, recall), ordered.
+    */
+  def annRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("qid"), col("neighbor_id"))
+      .withColumn("_ar_hit", lit(1L))
+    exact.select(col("qid"), col("neighbor_id"))
+      .join(a, Seq("qid", "neighbor_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_ar_hit"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+      .orderBy(col("qid"))
+  }
+
   /** Product-quantization codebooks: the vector space is split into
     * `nSub` contiguous subspaces and each gets its own small codebook
     * via the same deterministic decimal-rounded Lloyd refinement as

@@ -66,6 +66,45 @@ class EventOpsSpec extends SparkSpec {
     assert(cohortSizes.nonEmpty)
   }
 
+  test("topTermsPerWindow: hand-computed trending terms per window; nulls drop; ranks dense") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val stepSec = 60L
+    def at(w: Long, i: Long) = new java.sql.Timestamp((w * stepSec + i) * 1000L)
+    val rows: Seq[(java.sql.Timestamp, String)] =
+      // window 0: a×3, b×2, c×1; window 1: c×2, a×1; null ts and null
+      // term must not appear anywhere
+      Seq.tabulate(3)(i => (at(0, i.toLong), "a")) ++
+      Seq.tabulate(2)(i => (at(0, 10L + i), "b")) ++ Seq((at(0, 20), "c")) ++
+      Seq((at(1, 0), "c"), (at(1, 1), "c"), (at(1, 2), "a")) ++
+      Seq((null: java.sql.Timestamp, "zzz"), (at(0, 30), null: String))
+    val d = rows.toDF("ts", "term")
+    val top2 = EventOps.topTermsPerWindow(d, col("ts"), col("term"),
+      stepSec, k = 2).collect()
+      .map(r => (r.getLong(0) / (stepSec * 1000), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(top2.toSeq == Seq(
+      (0L, "a", 3L, 1), (0L, "b", 2L, 2),
+      (1L, "c", 2L, 1), (1L, "a", 1L, 2)))
+    // tie-break: equal counts order by term ascending
+    val tied = EventOps.topTermsPerWindow(
+      Seq((at(0, 0), "x"), (at(0, 1), "y")).toDF("ts", "term"),
+      col("ts"), col("term"), stepSec, k = 2).collect()
+    assert(tied.map(r => (r.getString(1), r.getInt(3))).toSeq ==
+      Seq(("x", 1), ("y", 2)))
+    // real events smoke: k rows max per window, counts descending in rank
+    val real = EventOps.topTermsPerWindow(
+      graft.core.Tables(spark, sfDir, "events"),
+      col("ts"), col("event_type"), 3600L, k = 3).collect()
+    assert(real.nonEmpty)
+    real.groupBy(_.getLong(0)).foreach { case (_, ws) =>
+      assert(ws.length <= 3)
+      assert(ws.sortBy(_.getInt(3)).map(_.getLong(2)).toSeq
+        .sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    intercept[IllegalArgumentException](EventOps.topTermsPerWindow(
+      d, col("ts"), col("term"), 0L))
+  }
+
   test("rateAnomalies: planted spike flagged exactly; dense mode sees the silent gap") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

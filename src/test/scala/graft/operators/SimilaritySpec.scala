@@ -34,6 +34,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annRecall: per-query overlap matches a driver replay; identity is 1.0; a missed query reports 0") {
+    val brute = Similarity.q34KnnBrute(spark, sfDir).drop("label")
+    val lsh = Similarity.q36KnnLsh(spark, sfDir)
+    val rep = Similarity.annRecall(lsh, brute).collect()
+    // driver replay per qid
+    val b = brute.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val a = lsh.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(rep.map(_.getLong(0)).toSet == b.keySet, "every baseline query reports")
+    rep.foreach { r =>
+      val (qid, nE, nH) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expect = b(qid) & a.getOrElse(qid, Set.empty)
+      assert(nE == b(qid).size && nH == expect.size, s"q$qid")
+      assert(r.getDouble(3) == BigDecimal(expect.size.toDouble / b(qid).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // exact-vs-itself is perfect; an approx frame missing a query
+    // entirely still reports that query at recall 0
+    assert(Similarity.annRecall(brute, brute).collect().forall(_.getDouble(3) == 1.0))
+    val dropped = Similarity.annRecall(lsh.filter(col("qid") =!= 0L), brute)
+      .collect().find(_.getLong(0) == 0L).get
+    assert(dropped.getLong(2) == 0L && dropped.getDouble(3) == 0.0)
+  }
+
   test("q36 LSH ANN: non-empty and recall@10 vs brute force >= 0.2") {
     val brute = Similarity.q34KnnBrute(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
