@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** DSIR-style importance resampling (SURVEY §2.8) — the published
+  * "select raw web data that LOOKS LIKE the target corpus" recipe
+  * (Xie et al. 2023, "Data Selection for Language Models via
+  * Importance Resampling"): fit hashed bag-of-n-grams unigram models
+  * over a small high-quality TARGET corpus and the RAW pool, weight
+  * every raw document by its log-likelihood ratio under the two
+  * models, and draw the training subset by Gumbel top-k — sampling
+  * without replacement with probability proportional to the
+  * importance weights.
+  *
+  * Scale shape:
+  *   - [[fit]] reduces each corpus to ONE explode → groupBy(feature)
+  *     shuffle keyed on ≤ `dim` values with map-side partial
+  *     aggregation (the Classifier gradient shuffle's shape); the
+  *     collect and the model are dim-bounded (`dim ≤ 2^20`, the same
+  *     plan-literal/driver-array guard as [[Classifier]]). At 100 TB
+  *     the raw-side distribution is fitted on a deterministic
+  *     [[Sampling.hashSample]] slice — the paper itself estimates it
+  *     from a sample, and here that is composition (pass the slice),
+  *     not configuration.
+  *   - [[score]] is a pure zero-shuffle projection: featurize + fold
+  *     the log-ratio array literal — the corpus-scale pass, codegen'd
+  *     end-to-end, deterministic at any parallelism (the fold runs
+  *     over each document's own token array in document order).
+  *   - [[resample]] realizes Gumbel top-k with HASH-derived uniforms
+  *     (membership is a pure function of the data — re-runs, appends
+  *     elsewhere, and cluster width cannot move the sample) and takes
+  *     the top n on [[Sampling.selectByBudget]]'s range-partitioned
+  *     two-level prefix scan — never a corpus-sized single-task sort.
+  *
+  * The reference has no curation surface; this completes the
+  * published-recipe selection family around [[Classifier]] (model-
+  * based quality selection) with the model-free distributional one.
+  */
+object Dsir {
+
+  /** A fitted importance model: `logRatio(b)` = log p_target(b) −
+    * log p_raw(b) for hashed n-gram bucket b, under add-`smoothing`
+    * categorical models (no zero probabilities, so every weight is
+    * finite). `bigrams` records the featurization — scoring always
+    * replays it, for the same reason [[Classifier.QualityModel]]
+    * carries its flag: a model scored in the wrong feature space is
+    * silent garbage. */
+  case class DsirModel(dim: Int, logRatio: Array[Double],
+                       smoothing: Double, bigrams: Boolean)
+
+  /** Hashed n-gram OCCURRENCES of whitespace-tokenized `text` —
+    * counts, not presence ([[Classifier.featurize]] dedups because
+    * presence is the fastText feature; DSIR's importance weight is a
+    * product over every token occurrence, so a word used ten times
+    * weighs ten times). Unigrams always; `bigrams = true` appends
+    * hashed adjacent-pair grams (the paper's default feature space).
+    * Empty tokens drop; null text = no grams (weight 0 — neutral). */
+  def hashedGrams(text: Column, dim: Int, bigrams: Boolean = true): Column = {
+    val toks = filter(split(coalesce(text, lit("")), " "), t => length(t) > 0)
+    val uni = transform(toks, t => (Hashing.hash60(t) % dim).cast("int"))
+    if (!bigrams) uni
+    else {
+      val len = greatest(size(toks) - 1, lit(0))
+      concat(uni, zip_with(
+        slice(toks, lit(1), len), slice(toks, lit(2), len),
+        (a, b) => (Hashing.hash60(concat_ws(" ", a, b)) % dim).cast("int")))
+    }
+  }
+
+  /** One corpus → dim-bounded bucket counts: explode the gram arrays,
+    * ONE groupBy(feature) count (map-side combinable), collect ≤ dim
+    * rows. */
+  private def bucketCounts(corpus: DataFrame, text: Column, dim: Int,
+                           bigrams: Boolean): Array[Long] = {
+    val out = Array.fill(dim)(0L)
+    corpus.select(explode(hashedGrams(text, dim, bigrams)).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("n"))
+      .collect()
+      .foreach(r => out(r.getInt(0)) = r.getLong(1))
+    out
+  }
+
+  /** Fit the importance model: hashed-n-gram counts of `target` and
+    * `raw`, add-`smoothing` normalized, log-ratioed per bucket. Both
+    * corpora must produce at least one gram (an empty target makes
+    * every weight meaningless, not zero). */
+  def fit(target: DataFrame, raw: DataFrame, text: Column = col("text"),
+          dim: Int = 1 << 16, smoothing: Double = 1.0,
+          bigrams: Boolean = true): DsirModel = {
+    require(dim > 0 && dim <= (1 << 20),
+      s"dim must be in [1, 2^20] (the log-ratio array is a plan literal " +
+        s"and a driver-side array), got $dim")
+    require(smoothing > 0,
+      s"smoothing must be positive (zero reintroduces -Infinity weights " +
+        s"for unseen buckets), got $smoothing")
+    val ct = bucketCounts(target, text, dim, bigrams)
+    val cr = bucketCounts(raw, text, dim, bigrams)
+    var nt = 0L; var nr = 0L
+    ct.foreach(nt += _); cr.foreach(nr += _)
+    require(nt > 0, "target corpus produced no n-grams — nothing to match")
+    require(nr > 0, "raw corpus produced no n-grams — nothing to weight")
+    val zt = math.log(nt + smoothing * dim)
+    val zr = math.log(nr + smoothing * dim)
+    val ratio = Array.tabulate(dim) { b =>
+      (math.log(ct(b) + smoothing) - zt) - (math.log(cr(b) + smoothing) - zr)
+    }
+    DsirModel(dim, ratio, smoothing, bigrams)
+  }
+
+  /** Append `log_weight` = Σ_grams logRatio(bucket) — the document's
+    * log importance weight. Zero shuffles: featurize + one array fold
+    * against the log-ratio literal (~8·dim bytes in the task binary,
+    * bounded by the fit-time guard). */
+  def score(d: DataFrame, model: DsirModel, text: Column = col("text")): DataFrame = {
+    require(!d.columns.contains("log_weight"),
+      "input already has a log_weight column — rename it first")
+    val lr = typedlit(model.logRatio.toSeq)
+    d.withColumn("log_weight",
+      aggregate(hashedGrams(text, model.dim, model.bigrams), lit(0.0),
+        (acc, f) => acc + element_at(lr, f + 1)))
+  }
+
+  /** Draw `n` documents without replacement with probability ∝
+    * exp(log_weight) — Gumbel top-k: rank by g = log_weight −
+    * ln(−ln u) with u a (0,1) uniform derived from the top 53 bits of
+    * `hash60(key)` (exactly representable in a Double, so u can never
+    * round to the 0.0/1.0 endpoints where the double-log blows up to
+    * ±Infinity). `key` must be unique and non-null — a duplicate or
+    * null key has no defined uniform, so WHICH copy survives would be
+    * partition luck (refused, the [[Sampling.selectByBudget]]
+    * contract). Returns the selected original rows plus `log_weight`,
+    * ordered by the Gumbel rank. */
+  def resample(d: DataFrame, model: DsirModel, n: Long,
+               key: Column = col("doc_id"),
+               text: Column = col("text")): DataFrame = {
+    require(n >= 0, s"n must be non-negative, got $n")
+    val clash = d.columns.toSet.intersect(Set("_dsir_key", "_dsir_g", "_dsir_sel"))
+    require(clash.isEmpty,
+      s"input columns collide with resample internals: ${clash.mkString(", ")}")
+    // cheap targeted probe: a null key would surface as an opaque
+    // "NULL score" refusal three operators deep — say what's wrong here
+    require(d.filter(key.isNull).limit(1).count() == 0,
+      "null sampling keys — a null key has no deterministic uniform; " +
+        "filter or fill them first")
+    val scored = graft.core.Caches.persist(
+      score(d, model, text).withColumn("_dsir_key", key))
+    // u = ((h >> 7) + 0.5) / 2^53: 53-bit mantissa-exact arithmetic,
+    // strictly inside (0, 1)
+    val u = (shiftright(Hashing.hash60(col("_dsir_key").cast("string")), 7)
+      .cast("double") + 0.5) / lit(9007199254740992.0)
+    val g = col("log_weight") - log(-log(u))
+    val sel = Sampling.selectByBudget(
+      scored.select(col("_dsir_key").as("doc_id"), g.as("score"),
+        lit(1L).as("n_tokens")), n)
+    scored
+      .join(sel.select(col("doc_id").as("_dsir_sel"), col("score").as("_dsir_g")),
+        col("_dsir_key") === col("_dsir_sel"), "inner")
+      .orderBy(col("_dsir_g").desc, col("_dsir_key"))
+      .drop("_dsir_key", "_dsir_sel", "_dsir_g")
+  }
+}

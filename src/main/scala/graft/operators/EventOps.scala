@@ -509,6 +509,41 @@ object EventOps {
       .orderBy(col("window_start_ms"), col("rank"))
   }
 
+  /** Streaming composition entry for [[topTermsPerWindow]]: rank over
+    * an ALREADY-COUNTED `(window_start_ms, term, n)` frame — exactly
+    * what a watermarked streaming windowed count keyed by term appends
+    * to its counts table (the [[rateAnomaliesFromCounts]] deployment
+    * split: the count aggregation runs INSIDE the stream with
+    * watermark-bounded state, the rank — which needs each window's
+    * complete term counts — runs over the accumulated table per tick).
+    * One (window, term) may arrive as several appended shards
+    * (restarts, update-mode re-emits), so the rank RE-SUMS per key
+    * first — counts must be complete before any local top-k, the
+    * invariant the two-level bounded-sort subset argument rests on.
+    * Null terms/windows drop; same output schema and tie-break as the
+    * batch form (spec'd equal on the same events).
+    */
+  def topTermsFromCounts(counts: DataFrame, k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val complete = counts
+      .filter(col("term").isNotNull && col("window_start_ms").isNotNull)
+      .groupBy(col("window_start_ms").cast("long").as("window_start_ms"),
+        col("term").cast("string").as("term"))
+      .agg(sum(col("n").cast("long")).as("n"))
+      .withColumn("_tt_p", spark_partition_id())
+    val wLocal = Window.partitionBy(col("window_start_ms"), col("_tt_p"))
+      .orderBy(col("n").desc, col("term"))
+    val wGlobal = Window.partitionBy(col("window_start_ms"))
+      .orderBy(col("n").desc, col("term"))
+    complete.withColumn("_tt_lr", row_number().over(wLocal))
+      .filter(col("_tt_lr") <= k)
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= k)
+      .select(col("window_start_ms"), col("term"), col("n"), col("rank"))
+      .orderBy(col("window_start_ms"), col("rank"))
+  }
+
   /** q85: [[rateAnomalies]] over the events table — hourly tumbling
     * windows per event type, |z| >= 1.5 (r12; this slot replaced
     * q40's regex token estimate, subsumed by q81's real BPE — the

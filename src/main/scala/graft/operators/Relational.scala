@@ -680,6 +680,103 @@ object Relational {
       .orderBy(keys :+ col("rank"): _*)
   }
 
+  /** Heavy hitters with EXACT counts under bounded shuffle state — the
+    * 100 TB swap for [[topValues]] when even the complete-counts
+    * shuffle is the problem: topValues' first shuffle is keyed by the
+    * DISTINCT values, and a billion-distinct column (urls, user ids)
+    * makes that shuffle and its map-side hash state corpus-shaped.
+    * This pass reports every value whose share of its (group, column)
+    * cell is ≥ `minShare`, with exact counts, in two scans and ONE
+    * bounded shuffle:
+    *
+    *   1. Build a count-min sketch PER CELL declaratively
+    *      (Cormode–Muthukrishnan: `depth` salted hash rows of `width`
+    *      buckets; the update is explode-to-(d, bucket) → one groupBy
+    *      keyed on ≤ cells·depth·width values — the state bound holds
+    *      REGARDLESS of distinct cardinality), and collect it (guarded
+    *      — the sketch, not the data, is what crosses to the driver).
+    *   2. Filter the corpus against the sketch as a plan literal: a
+    *      value survives iff EVERY one of its depth bucket counts ≥
+    *      ceil(minShare · n_cell) — min-over-depth as a zero-fan-out
+    *      projection predicate, no explode, no join. CMS never
+    *      undercounts, so every true heavy hitter survives
+    *      (completeness is deterministic, not probabilistic); only
+    *      survivors — expected ~1/minShare + collision strays per cell
+    *      — enter the exact recount, whose shuffle is keyed on that
+    *      bounded candidate set. The recount prunes the strays, so the
+    *      output is EXACTLY the true heavy hitters with exact counts.
+    *
+    * Everything is deterministic: the sketch is elementwise integer
+    * sums (merge-order independent, unlike a Misra-Gries summary whose
+    * surviving candidates depend on merge order), membership is a pure
+    * function of the data, and reruns/partitionings cannot move a
+    * count. Output: (group…, colname, rank, v, n, share), ranked per
+    * cell by (n desc, v asc).
+    */
+  def heavyHitters(d: DataFrame, groupCols: Seq[String], cols: Seq[String],
+                   minShare: Double = 0.001, width: Int = 4096,
+                   depth: Int = 4): DataFrame = {
+    require(cols.nonEmpty, "heavyHitters needs at least one column")
+    require(minShare > 0 && minShare <= 1,
+      s"minShare must be in (0, 1], got $minShare")
+    require(width >= 2 && depth >= 1, s"need width >= 2, depth >= 1")
+    import graft.functions.Hashing
+    val keys = (groupCols :+ "colname").map(col)
+    // the cell key as one string: null-safe (explicit sentinel — a null
+    // group is a group) and collision-safe for the driver map
+    def cellKey(c: Seq[Column]): Column =
+      concat_ws("\u0001", c.map(k => coalesce(k.cast("string"), lit("\u0000"))): _*)
+    val melted = graft.core.Caches.persist(
+      meltCols(d, groupCols, cols).filter(col("v").isNotNull)
+        .withColumn("_hh_cell", cellKey(keys)))
+    def bucket(di: Int): Column =
+      (Hashing.hash60(concat(lit(s"$di|"), col("v"))) % width).cast("int")
+    // pass 1: the sketch — one shuffle keyed on <= cells·depth·width
+    val cmsRows = melted
+      .select(col("_hh_cell"), explode(array((0 until depth).map(di =>
+        struct(lit(di).as("d"), bucket(di).as("b"))): _*)).as("p"))
+      .groupBy(col("_hh_cell"), col("p.d").as("d"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    require(cmsRows.length <= (1 << 22),
+      s"sketch grew past ${1 << 22} rows (${cmsRows.length}) — too many " +
+        "(group, column) cells for these width/depth settings; coarsen the grouping")
+    val cms = scala.collection.mutable.Map.empty[String, Array[Long]]
+    cmsRows.foreach { r =>
+      val a = cms.getOrElseUpdate(r.getString(0), Array.fill(depth * width)(0L))
+      a(r.getInt(1) * width + r.getInt(2)) = r.getLong(3)
+    }
+    // n_cell = the d=0 row of the sketch summed; threshold = ceil(share·n)
+    val nCell: Map[String, Long] =
+      cms.map { case (cell, a) => cell -> a.slice(0, width).sum }.toMap
+    val thr: Map[String, Long] = nCell.map { case (cell, n) =>
+      cell -> math.max(1L, math.ceil(minShare * n).toLong)
+    }
+    if (cms.isEmpty)
+      return melted.select(keys :+ lit(1).as("rank") :+ col("v") :+
+        lit(0L).as("n") :+ lit(0.0).as("share"): _*).limit(0)
+    val cmsLit = typedlit(cms.map { case (k, v) => k -> v.toSeq }.toMap)
+    val thrLit = typedlit(thr)
+    // pass 2: zero-fan-out sketch probe, then the EXACT recount over
+    // the surviving (bounded) candidate set
+    val pass = (0 until depth).map(di =>
+      element_at(element_at(cmsLit, col("_hh_cell")),
+        bucket(di) + di * width + 1) >= element_at(thrLit, col("_hh_cell")))
+      .reduce(_ && _)
+    val nCellLit = typedlit(nCell)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_hh_cell")).orderBy(col("n").desc, col("v"))
+    melted.filter(pass)
+      .groupBy(keys :+ col("_hh_cell") :+ col("v"): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= element_at(thrLit, col("_hh_cell")))
+      .withColumn("share",
+        round(col("n") / element_at(nCellLit, col("_hh_cell")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .select(keys ++ Seq(col("rank"), col("v"), col("n"), col("share")): _*)
+      .orderBy(keys :+ col("rank"): _*)
+  }
+
   /** Profile drift report — [[profileColumns]] run on two corpus
     * snapshots, diffed: the "did this crawl quietly change shape"
     * monitor that catches a column going null-heavy, a source

@@ -356,6 +356,80 @@ object TextOps {
     chunkDocuments(docs(spark, dir), maxTokens = 64, overlap = 16)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** The Gopher quality rules (Rae et al. 2021, Appendix A1.1) as one
+    * zero-shuffle projection — the PUBLISHED heuristic rule set every
+    * large-scale curation recipe starts from (Gopher itself, then
+    * RedPajama / Dolma / FineWeb reuse it nearly verbatim), beside
+    * q39's continuous score: each document gets a boolean per rule, a
+    * combined `gopher_pass`, and `first_fail` — the FIRST violated
+    * rule in published order (the `Curate.curateFull` accounting
+    * pattern: "what share of the corpus does each rule cost" needs
+    * attribution, not just a verdict).
+    *
+    * Rules, with the paper's thresholds as defaults:
+    *   1. `words_ok`      — word count ∈ [minWords, maxWords] (50, 100 000)
+    *   2. `word_len_ok`   — mean word length ∈ [3, 10]
+    *   3. `symbols_ok`    — (# + ellipsis) to word ratio ≤ 0.1
+    *   4. `bullets_ok`    — ≤ 90 % of lines start with a bullet
+    *   5. `ellipsis_ok`   — ≤ 30 % of lines end with an ellipsis
+    *   6. `alpha_ok`      — ≥ 80 % of words contain a letter
+    *   7. `stopwords_ok`  — ≥ 2 distinct required stop words present
+    *
+    * Scale shape: pure per-row projection over (text) — no explode to
+    * word rows, no join, no shuffle; every count is an `aggregate`/
+    * `filter` fold over the row's own token/line arrays, so the pass
+    * composes into any scan (the streaming ingest gate included) and
+    * the plan stays one WholeStageCodegen span. Null text fails rule
+    * 1 (zero words) — refusing it would make the gate unusable on the
+    * raw crawls it exists for. Ratios are divisions of exact integers
+    * (the q39 discipline) — cross-engine deterministic.
+    */
+  def gopherRules(d: DataFrame, text: Column = col("text"),
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    val outCols = Set("words_ok", "word_len_ok", "symbols_ok", "bullets_ok",
+      "ellipsis_ok", "alpha_ok", "stopwords_ok", "gopher_pass", "first_fail")
+    val clash = d.columns.toSet.intersect(outCols)
+    require(clash.isEmpty,
+      s"input columns collide with rule outputs: ${clash.mkString(", ")} — rename first")
+    val t = coalesce(text, lit(""))
+    val toks = filter(split(t, "\\s+"), w => length(w) > 0)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => length(l) > 0)
+    val nW = size(toks).cast("long")
+    val nL = size(lines).cast("long")
+    val charSum = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+    // symbols: '#' occurrences plus ellipses ('…' or a '...' run —
+    // regexp_count('\\.{3}') counts each non-overlapping run once)
+    val nSym = (regexp_count(t, lit("#")) + regexp_count(t, lit("…")) +
+      regexp_count(t, lit("\\.{3}"))).cast("long")
+    val nBullet = size(filter(lines, l =>
+      l.rlike("^[-*•‣▪]"))).cast("long")
+    val nEllip = size(filter(lines, l => l.rlike("(\\.{3}|…)$"))).cast("long")
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val reqStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStopDistinct = size(array_intersect(
+      transform(toks, w => lower(w)),
+      typedlit(reqStop))).cast("long")
+    // rule columns in published order; ratio rules compare n·den ≤/≥
+    // k·num in integer space — no float boundary to disagree on
+    val rules = Seq(
+      "words_ok" -> (nW >= minWords && nW <= maxWords),
+      "word_len_ok" -> (nW > 0 && charSum >= nW * 3L && charSum <= nW * 10L),
+      "symbols_ok" -> (nW > 0 && nSym * 10L <= nW),
+      "bullets_ok" -> (nL === 0L || nBullet * 10L <= nL * 9L),
+      "ellipsis_ok" -> (nL === 0L || nEllip * 10L <= nL * 3L),
+      "alpha_ok" -> (nW > 0 && nAlpha * 5L >= nW * 4L),
+      "stopwords_ok" -> (nStopDistinct >= 2L))
+    val withRules = rules.foldLeft(d)((acc, r) => acc.withColumn(r._1, r._2))
+    val firstFail = rules.reverse.foldLeft(lit(null).cast("string")) {
+      case (tail, (name, _)) => when(!col(name), lit(name)).otherwise(tail)
+    }
+    withRules
+      .withColumn("gopher_pass", rules.map(r => col(r._1)).reduce(_ && _))
+      .withColumn("first_fail", firstFail)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_lang_id" -> (q38LangId _),
     "q39_quality" -> (q39Quality _),

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** DSIR importance resampling — fit/score replayed driver-side
+  * bit-for-bit, Gumbel top-k membership replayed from the hash
+  * uniforms, determinism, and the target-affinity property.
+  */
+class DsirSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Driver-side replay of Hashing.hash60. */
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** Driver-side replay of Dsir.hashedGrams (unigrams + bigrams). */
+  private def grams(text: String, dim: Int, bigrams: Boolean): Seq[Int] = {
+    val toks = Option(text).getOrElse("").split(" ").filter(_.nonEmpty).toSeq
+    val uni = toks.map(t => (h60(t) % dim).toInt)
+    if (!bigrams) uni
+    else uni ++ toks.zip(toks.drop(1)).map { case (a, b) => (h60(s"$a $b") % dim).toInt }
+  }
+
+  private def fitReplay(target: Seq[String], raw: Seq[String], dim: Int,
+                        s: Double, bigrams: Boolean): Array[Double] = {
+    val ct = Array.fill(dim)(0L)
+    target.foreach(t => grams(t, dim, bigrams).foreach(ct(_) += 1))
+    val cr = Array.fill(dim)(0L)
+    raw.foreach(t => grams(t, dim, bigrams).foreach(cr(_) += 1))
+    val zt = math.log(ct.sum + s * dim)
+    val zr = math.log(cr.sum + s * dim)
+    Array.tabulate(dim)(b =>
+      (math.log(ct(b) + s) - zt) - (math.log(cr(b) + s) - zr))
+  }
+
+  private val targetTexts = Seq(
+    "the careful essay considers the evidence",
+    "a measured essay weighs the argument")
+  private val rawTexts = Seq(
+    "click now cheap deal",
+    "the careful essay considers the evidence",
+    "pills casino jackpot now",
+    "weighs the argument with evidence")
+
+  test("fit matches the driver-side model bit-for-bit (uni and bigram spaces)") {
+    val target = targetTexts.toDF("text")
+    val raw = rawTexts.toDF("text")
+    for (bg <- Seq(false, true)) {
+      val m = Dsir.fit(target, raw, dim = 64, smoothing = 0.5, bigrams = bg)
+      val exp = fitReplay(targetTexts, rawTexts, 64, 0.5, bg)
+      assert(m.logRatio.toSeq === exp.toSeq, s"bigrams=$bg")
+    }
+  }
+
+  test("score is the exact fold of the log-ratio over each doc's grams; null text = 0") {
+    val target = targetTexts.toDF("text")
+    val raw = rawTexts.toDF("text")
+    val m = Dsir.fit(target, raw, dim = 64, smoothing = 0.5)
+    val docs = (rawTexts :+ null).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dsir.score(docs, m).select("doc_id", "log_weight")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (rawTexts :+ null).zipWithIndex.foreach { case (t, i) =>
+      // same left-fold order as the Spark aggregate: doc-order grams
+      val exp = grams(t, 64, bigrams = true).foldLeft(0.0)((a, b) => a + m.logRatio(b))
+      assert(got(i.toLong) === exp, s"doc $i")
+    }
+    assert(got(rawTexts.size.toLong) === 0.0) // null text is neutral
+  }
+
+  test("target-like docs outweigh off-target docs") {
+    val target = targetTexts.toDF("text")
+    val raw = rawTexts.toDF("text")
+    val m = Dsir.fit(target, raw, dim = 1 << 12)
+    val got = Dsir.score(rawTexts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("doc_id", "text"), m)
+      .collect().map(r => r.getAs[String]("text") -> r.getAs[Double]("log_weight")).toMap
+    // the verbatim target twin and the target-vocabulary doc beat both spam docs
+    val spamMax = math.max(got("click now cheap deal"), got("pills casino jackpot now"))
+    assert(got("the careful essay considers the evidence") > spamMax)
+    assert(got("weighs the argument with evidence") > spamMax)
+  }
+
+  test("resample = Gumbel top-k replayed from the hash uniforms; repartition-invariant") {
+    val target = targetTexts.toDF("text")
+    // a pool big enough that the top-8 is a real selection
+    val pool = (0 until 60).map { i =>
+      val t = if (i % 3 == 0) s"the careful essay considers the evidence run$i"
+              else s"click cheap pills casino deal now run$i"
+      (i.toLong, t)
+    }
+    val poolDf = pool.toDF("doc_id", "text")
+    val m = Dsir.fit(target, poolDf, dim = 1 << 12)
+    val out = Dsir.resample(poolDf, m, n = 8)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "log_weight"))
+    val gotIds = out.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(gotIds.size === 8)
+    assert(gotIds.distinct.size === 8)
+
+    // driver replay: score each doc, derive the same 53-bit uniform,
+    // gumbel-perturb, take the top 8 by (g desc, key asc)
+    val lw = Dsir.score(poolDf, m).select("doc_id", "log_weight")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expIds = pool.map { case (id, _) =>
+      val u = ((h60(id.toString) >> 7) + 0.5) / 9007199254740992.0
+      (id, lw(id) - math.log(-math.log(u)))
+    }.sortBy { case (id, g) => (-g, id) }.take(8).map(_._1)
+    assert(gotIds === expIds)
+
+    val reshuffled = Dsir.resample(poolDf.repartition(13), m, n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(reshuffled === gotIds)
+  }
+
+  test("real-corpus smoke: resample from documents toward one source") {
+    val d = graft.core.Tables(spark, sfDir, "documents")
+    val target = d.filter(col("source") === "src0").limit(20).select("text")
+    val m = Dsir.fit(target, d, dim = 1 << 14)
+    val out = Dsir.resample(d, m, n = 50, key = col("doc_id"))
+    assert(out.count() === 50)
+    // weights are finite everywhere
+    val bad = Dsir.score(d, m)
+      .filter(isnan(col("log_weight")) || col("log_weight").isNull).count()
+    assert(bad === 0L)
+  }
+
+  test("refusals: dim bound, non-positive smoothing, empty corpora, null keys, collisions") {
+    val t = targetTexts.toDF("text")
+    val r = rawTexts.toDF("text")
+    intercept[IllegalArgumentException](Dsir.fit(t, r, dim = (1 << 20) + 1))
+    intercept[IllegalArgumentException](Dsir.fit(t, r, smoothing = 0.0))
+    intercept[IllegalArgumentException](
+      Dsir.fit(Seq.empty[String].toDF("text"), r))
+    intercept[IllegalArgumentException](
+      Dsir.fit(Seq(null.asInstanceOf[String]).toDF("text"), r))
+    val m = Dsir.fit(t, r, dim = 64)
+    val withNullKey = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Dsir.resample(withNullKey, m, 1))
+    val dupKeys = Seq((1L, "a"), (1L, "b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Dsir.resample(dupKeys, m, 1))
+    val clash = Seq((1L, "a", 0.0)).toDF("doc_id", "text", "log_weight")
+    intercept[IllegalArgumentException](Dsir.score(clash, m))
+  }
+}

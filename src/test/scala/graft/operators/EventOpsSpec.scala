@@ -105,6 +105,24 @@ class EventOpsSpec extends SparkSpec {
       d, col("ts"), col("term"), 0L))
   }
 
+  test("topTermsFromCounts re-sums sharded counts before ranking; nulls drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // window 0 arrives as TWO shards per term (a restart / re-emit): a
+    // rank over the raw rows would see a=2 twice and b=3 once and call
+    // b the winner — the re-sum must see a=4 > b=3 first
+    def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val shards = Seq[(java.lang.Long, String, java.lang.Long)](
+      (L(0), "a", L(2)), (L(0), "a", L(2)), (L(0), "b", L(3)),
+      (L(60000), "b", L(1)),
+      (null, "x", L(9)), (L(0), null, L(9)))
+      .toDF("window_start_ms", "term", "n")
+    val got = EventOps.topTermsFromCounts(shards, k = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == Seq((0L, "a", 4L, 1), (60000L, "b", 1L, 1)))
+    intercept[IllegalArgumentException](EventOps.topTermsFromCounts(shards, k = 0))
+  }
+
   test("rateAnomalies: planted spike flagged exactly; dense mode sees the silent gap") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

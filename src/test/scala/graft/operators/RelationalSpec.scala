@@ -412,4 +412,55 @@ class RelationalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Relational.profileDrift(p1, p2, relTol = -0.1))
   }
+
+  test("heavyHitters: exactly the true >=minShare values, exact counts, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 1000 rows: a=500, b=300, c=150, 50 singletons; threshold at 10% = 100
+    val vals = Seq.fill(500)("a") ++ Seq.fill(300)("b") ++ Seq.fill(150)("c") ++
+      (0 until 50).map(i => s"u$i")
+    val d = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    def run(df: org.apache.spark.sql.DataFrame) = try {
+      Relational.heavyHitters(df, Nil, Seq("v"), minShare = 0.1, width = 64, depth = 3)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+    } finally graft.core.Caches.release()
+    val got = run(d)
+    assert(got == Seq(("v", 1, "a", 500L, 0.5), ("v", 2, "b", 300L, 0.3),
+      ("v", 3, "c", 150L, 0.15)))
+    assert(run(d.repartition(13)) == got, "membership and counts are a pure function of the data")
+    // tiny width forces collisions: strays may pass the sketch probe but
+    // the exact recount prunes them — output unchanged
+    assert(run(d) == got)
+    val tiny = try {
+      Relational.heavyHitters(d, Nil, Seq("v"), minShare = 0.1, width = 2, depth = 1)
+        .collect().map(r => (r.getString(2), r.getLong(3))).toSeq
+    } finally graft.core.Caches.release()
+    assert(tiny == Seq(("a", 500L), ("b", 300L), ("c", 150L)))
+    // grouped: per-cell thresholds — g1 keeps x at 9/10, g2 keeps x at exactly 50/100
+    val g = (Seq.fill(9)(("g1", "x")) :+ (("g1", "y"))) ++
+      Seq.fill(50)(("g2", "x")) ++ (0 until 50).map(i => ("g2", s"s$i"))
+    val gout = try {
+      Relational.heavyHitters(g.toDF("g", "v"), Seq("g"), Seq("v"), minShare = 0.5,
+          width = 64, depth = 3)
+        .collect().map(r => (r.getString(0), r.getString(3), r.getLong(4))).toSeq
+    } finally graft.core.Caches.release()
+    assert(gout == Seq(("g1", "x", 9L), ("g2", "x", 50L)))
+    // differential vs the exact counts on the real corpus
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val n = docs.count()
+    val thr = math.max(1L, math.ceil(0.02 * n).toLong)
+    val exact = docs.groupBy(col("source")).count()
+      .filter(col("count") >= thr)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val hh = try {
+      Relational.heavyHitters(docs, Nil, Seq("source"), minShare = 0.02)
+        .collect().map(r => (r.getString(2), r.getLong(3))).toSet
+    } finally graft.core.Caches.release()
+    assert(hh == exact)
+    intercept[IllegalArgumentException](
+      Relational.heavyHitters(d, Nil, Seq("v"), minShare = 0.0))
+    intercept[IllegalArgumentException](
+      Relational.heavyHitters(d, Nil, Nil))
+  }
 }

@@ -141,4 +141,53 @@ class TextOpsSpec extends SparkSpec {
       TextOps.chunkDocuments(df, maxTokens = 16, overlap = 16)
     }
   }
+
+  test("gopherRules: each planted violation fails exactly its rule; clean doc passes; zero-shuffle plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 60 clean words with >= 2 required stop words, mean length ~4
+    val clean = Seq.fill(6)("the quick brown fox jumps over that lazy dog with calm grace here")
+      .mkString(" ").split(" ").take(60).mkString(" ")
+    val tooShort = "the small doc with few words here"
+    val shortWords = Seq.fill(60)("ab").mkString(" ")
+    val symbols = clean + " " + Seq.fill(10)("#").mkString(" ")
+    val bullets = Seq.fill(10)("- the quick brown fox jumps of and that have with").mkString("\n")
+    val ellipsis = (Seq.fill(6)("the quick brown fox jumps over that lazy dog with") ++
+      Seq.fill(4)("the quick brown fox jumps over that lazy dog with trailing...")).mkString("\n")
+    val numeric = (clean.split(" ").take(40) ++ Seq.fill(20)("12345")).mkString(" ")
+    val noStop = Seq.fill(12)("quick brown fox jumps fast") .mkString(" ")
+    val rows = Seq(
+      (0L, clean), (1L, tooShort), (2L, shortWords), (3L, symbols),
+      (4L, bullets), (5L, ellipsis), (6L, numeric), (7L, noStop),
+      (8L, null.asInstanceOf[String]))
+    val out = TextOps.gopherRules(rows.toDF("doc_id", "text"))
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    def ff(id: Long): String =
+      if (byId(id).isNullAt(byId(id).fieldIndex("first_fail"))) null
+      else byId(id).getString(byId(id).fieldIndex("first_fail"))
+    assert(byId(0L).getBoolean(byId(0L).fieldIndex("gopher_pass")), "clean doc must pass")
+    assert(ff(0L) == null)
+    assert(ff(1L) == "words_ok")
+    assert(ff(2L) == "word_len_ok")
+    assert(ff(3L) == "symbols_ok")
+    assert(ff(4L) == "bullets_ok")
+    assert(ff(5L) == "ellipsis_ok")
+    assert(ff(6L) == "alpha_ok")
+    assert(ff(7L) == "stopwords_ok")
+    assert(ff(8L) == "words_ok", "null text has zero words")
+    // violations are attributed narrowly: the symbols doc still passes
+    // the neighboring ratio rules
+    val sym = byId(3L)
+    assert(sym.getBoolean(sym.fieldIndex("alpha_ok")))
+    assert(sym.getBoolean(sym.fieldIndex("words_ok")))
+    // zero-shuffle contract on the real corpus: no Exchange anywhere
+    val real = TextOps.gopherRules(graft.core.Tables(spark, sfDir, "documents"))
+    assert(!real.queryExecution.executedPlan.toString.contains("Exchange"),
+      "gopherRules must stay a pure projection")
+    assert(real.count() == 500)
+    intercept[IllegalArgumentException](
+      TextOps.gopherRules(rows.toDF("doc_id", "text"), minWords = 0))
+    intercept[IllegalArgumentException](
+      TextOps.gopherRules(out)) // output-name collision refused
+  }
 }

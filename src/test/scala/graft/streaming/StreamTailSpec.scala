@@ -223,6 +223,62 @@ class StreamTailSpec extends SparkSpec {
     log.destroy()
   }
 
+  test("topTerms composes over a streaming windowed term count across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.EventOps
+    val log = freshLog()
+    val stepSec = 600L
+    def tev(term: String, w: Long, i: Long): String =
+      s"""{"term":"$term","ts":${(w * stepSec + i) * 1000L}}"""
+    // in-stream half: watermarked per-(window, term) count, append mode
+    val counts = StreamTail.records(spark, log).select(
+        get_json_object(col("data"), "$.term").as("term"),
+        timestamp_millis(get_json_object(col("data"), "$.ts").cast("long")).as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), s"$stepSec seconds").as("w"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("term"), col("n"))
+    val q = counts.writeStream.format("memory").queryName("tt_counts")
+      .outputMode("append").start()
+    try {
+      // window 0: x dominates; window 1: y dominates — with window 1's
+      // events split ACROSS two micro-batches so its counts only
+      // complete in the accumulated table, never in one batch
+      log.publish((0L until 5L).map(i => tev("x", 0, i)) ++
+        (0L until 2L).map(i => tev("y", 0, i)) ++
+        (0L until 3L).map(i => tev("y", 1, i)))
+      q.processAllAvailable()
+      log.publish((3L until 7L).map(i => tev("y", 1, i)) ++
+        (0L until 2L).map(i => tev("x", 1, i + 100)) :+ tev("zz", 1000L, 0L))
+      q.processAllAvailable()
+      log.publish(Seq(tev("zz", 2000L, 0L))) // close window 1's count
+      q.processAllAvailable()
+
+      val sink = spark.table("tt_counts").filter(col("term") =!= "zz")
+      val got = EventOps.topTermsFromCounts(sink, k = 2).collect()
+        .map(r => (r.getLong(0) / (stepSec * 1000L), r.getString(1),
+          r.getLong(2), r.getInt(3))).toSeq
+      assert(got == Seq((0L, "x", 5L, 1), (0L, "y", 2L, 2),
+        (1L, "y", 7L, 1), (1L, "x", 2L, 2)))
+      // and it equals the BATCH operator over the same raw events
+      val raw = Seq.tabulate(5)(i => ("x", 0L, i.toLong)) ++
+        Seq.tabulate(2)(i => ("y", 0L, i.toLong)) ++
+        Seq.tabulate(7)(i => ("y", 1L, i.toLong)) ++
+        Seq(("x", 1L, 100L), ("x", 1L, 101L))
+      import spark.implicits._
+      val batch = EventOps.topTermsPerWindow(
+        raw.map { case (t, w, i) =>
+          (t, new java.sql.Timestamp((w * stepSec + i) * 1000L))
+        }.toDF("term", "ts"), col("ts"), col("term"), stepSec, k = 2)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+      val gotMs = got.map { case (w, t, n, rk) => (w * stepSec * 1000L, t, n, rk) }
+      assert(gotMs == batch,
+        "streaming-composed and batch topTerms must agree row-for-row")
+    } finally q.stop()
+    log.destroy()
+  }
+
   test("streaming exact dedup keeps one record per payload within the watermark") {
     val log = freshLog()
     // 5 publishes, 2 duplicate payloads — dedup keys on md5(data)
