@@ -235,4 +235,46 @@ class PipelineSpec extends SparkSpec {
         "a skipped doc outranks a selected one")
     } finally graft.core.Caches.release()
   }
+
+  test("gopher gate -> DSIR fit -> importance resample: the distribution-matched mix") {
+    import spark.implicits._
+    import graft.operators.Dsir
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    try {
+      // 1) rule-gate the raw corpus (thresholds scaled to the synthetic
+      // docs' size). The full gate correctly REJECTS this corpus: the
+      // synthetic docs are keyword salad, and the stop-word rule exists
+      // precisely to catch non-prose — assert that attribution, then
+      // compose the six structural rule columns as the pool gate (the
+      // per-rule booleans are the API exactly so callers can do this)
+      val gated = TextOps.gopherRules(docs, minWords = 5)
+      val dropped = gated.filter(!$"gopher_pass")
+      assert(dropped.filter($"first_fail".isNull).count() == 0,
+        "every dropped doc must name its first failing rule")
+      val fails = dropped.groupBy($"first_fail").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(fails.keySet == Set("stopwords_ok"),
+        s"keyword-salad synthetics should fail exactly the prose rule: $fails")
+      val pool = gated.filter($"words_ok" && $"word_len_ok" && $"symbols_ok" &&
+          $"bullets_ok" && $"ellipsis_ok" && $"alpha_ok")
+        .select($"doc_id", $"text", $"source")
+      assert(pool.count() > 100, "the structural gate must leave a real pool")
+
+      // 2) fit the importance model toward one source as the target
+      val target = pool.filter($"source" === "src0").select($"text")
+      val m = Dsir.fit(target, pool, dim = 1 << 14)
+
+      // 3) resample 40 docs without replacement proportional to the
+      // importance weights; the draw favors target-like documents
+      val picked = Dsir.resample(pool, m, n = 40)
+      assert(picked.count() == 40)
+      val pickedMean = picked.agg(avg($"log_weight")).head().getDouble(0)
+      val poolMean = Dsir.score(pool, m).agg(avg($"log_weight")).head().getDouble(0)
+      assert(pickedMean > poolMean,
+        s"resampling must pull the mix toward the target ($pickedMean <= $poolMean)")
+      // selected docs all came through the gate
+      val poolIds = pool.select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(picked.select($"doc_id").collect().map(_.getLong(0)).forall(poolIds.contains))
+    } finally graft.core.Caches.release()
+  }
 }

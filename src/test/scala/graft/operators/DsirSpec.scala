@@ -96,6 +96,7 @@ class DsirSpec extends SparkSpec {
     }
     val poolDf = pool.toDF("doc_id", "text")
     val m = Dsir.fit(target, poolDf, dim = 1 << 12)
+    try {
     val out = Dsir.resample(poolDf, m, n = 8)
     assert(out.columns.toSeq === Seq("doc_id", "text", "log_weight"))
     val gotIds = out.select("doc_id").collect().map(_.getLong(0)).toSeq
@@ -115,18 +116,21 @@ class DsirSpec extends SparkSpec {
     val reshuffled = Dsir.resample(poolDf.repartition(13), m, n = 8)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(reshuffled === gotIds)
+    } finally graft.core.Caches.release()
   }
 
   test("real-corpus smoke: resample from documents toward one source") {
     val d = graft.core.Tables(spark, sfDir, "documents")
     val target = d.filter(col("source") === "src0").limit(20).select("text")
     val m = Dsir.fit(target, d, dim = 1 << 14)
-    val out = Dsir.resample(d, m, n = 50, key = col("doc_id"))
-    assert(out.count() === 50)
-    // weights are finite everywhere
-    val bad = Dsir.score(d, m)
-      .filter(isnan(col("log_weight")) || col("log_weight").isNull).count()
-    assert(bad === 0L)
+    try {
+      val out = Dsir.resample(d, m, n = 50, key = col("doc_id"))
+      assert(out.count() === 50)
+      // weights are finite everywhere
+      val bad = Dsir.score(d, m)
+        .filter(isnan(col("log_weight")) || col("log_weight").isNull).count()
+      assert(bad === 0L)
+    } finally graft.core.Caches.release()
   }
 
   test("refusals: dim bound, non-positive smoothing, empty corpora, null keys, collisions") {
@@ -143,7 +147,8 @@ class DsirSpec extends SparkSpec {
       (null.asInstanceOf[java.lang.Long], "b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Dsir.resample(withNullKey, m, 1))
     val dupKeys = Seq((1L, "a"), (1L, "b")).toDF("doc_id", "text")
-    intercept[IllegalArgumentException](Dsir.resample(dupKeys, m, 1))
+    try intercept[IllegalArgumentException](Dsir.resample(dupKeys, m, 1))
+    finally graft.core.Caches.release()
     val clash = Seq((1L, "a", 0.0)).toDF("doc_id", "text", "log_weight")
     intercept[IllegalArgumentException](Dsir.score(clash, m))
   }
