@@ -1,0 +1,358 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer (SURVEY §2.6) — the OTHER published subword
+  * algorithm: Kudo 2018 ("Subword Regularization: Improving Neural
+  * Network Translation Models with Multiple Subword Candidates"), the
+  * unigram language model behind SentencePiece (Kudo & Richardson
+  * 2018). Where BPE GROWS a vocabulary bottom-up by merging, the
+  * unigram model SHRINKS one top-down: seed a large candidate piece
+  * inventory, fit piece probabilities by EM over all segmentations of
+  * every training word (forward–backward on the segmentation lattice),
+  * prune the least-useful pieces, repeat until the target size, and
+  * tokenize by Viterbi — the max-probability segmentation.
+  *
+  * == Scale shape (the [[Bpe]] discipline) ==
+  *
+  * Training state is bounded BY DESIGN: the one distributed pass is the
+  * same word-count shuffle as [[Bpe.train]] — corpus → distinct-word
+  * frequency table, capped to the `vocabCap` most frequent words
+  * (deterministic tie-break) and collected. Seeding, EM, and pruning
+  * then run in-memory over that bounded dict (candidate substrings of
+  * the capped vocab — the standard reimplementation of the paper's
+  * suffix-array seeding; words above 64 chars are dropped from
+  * TRAINING, the length cap production trainers also apply, since a
+  * single unbroken 10 kB token is noise that would quadratically
+  * inflate the lattice). EM is deterministic: words iterate in the
+  * capped table's fixed order, so every double accumulates in the same
+  * sequence on every run and cluster width cannot move a probability.
+  * Pruning keeps the pieces with the highest expected counts (the
+  * common public simplification of the paper's likelihood-loss rank)
+  * and ALWAYS keeps single characters, so every training word stays
+  * segmentable.
+  *
+  * Encoding is fully distributed and ZERO-shuffle ([[Bpe.encode]]'s
+  * shape): the (piece → log-probability) table broadcasts, each
+  * partition streams documents through a memoized word → pieces
+  * Viterbi, and token concatenation reproduces the word exactly.
+  * Characters never seen at training time segment as single-char
+  * pieces at a large negative score — encode never throws on new text.
+  *
+  * Like BPE (q81), not SQL-expressible — correctness is spec-gated:
+  * hand-computed Viterbi, EM-likelihood monotonicity (the textbook EM
+  * guarantee, observable because `losses` records each pass), driver
+  * replay of the distributed encode, round-trips, and
+  * partitioning-independence.
+  */
+object Unigram {
+
+  private val MemoCap = 1 << 16
+  private val MaxTrainWordLen = 64
+  /** Score for a single character outside the vocabulary — worse than
+    * any trained piece, so known pieces always win, but finite, so any
+    * word still segments. */
+  private val UnkScore = -100.0
+
+  /** A trained tokenizer: (piece, log-probability) rows plus the
+    * negative log-likelihood after each EM pass (monotone
+    * non-increasing within a constant-vocabulary phase — spec-gated).
+    */
+  final case class Model(pieces: Array[(String, Double)],
+                         losses: Array[Double] = Array.empty) extends Serializable {
+    require(pieces.nonEmpty, "a unigram model needs at least one piece")
+    @transient lazy val logp: java.util.HashMap[String, java.lang.Double] = {
+      val m = new java.util.HashMap[String, java.lang.Double]()
+      pieces.foreach { case (p, lp) => m.put(p, java.lang.Double.valueOf(lp)) }
+      m
+    }
+    @transient lazy val maxLen: Int = pieces.iterator.map(_._1.length).max
+
+    /** Viterbi-tokenize one word: the maximum-log-probability
+      * segmentation. Candidate final pieces are tried shortest first
+      * with a STRICT improvement rule, so equal-score splits
+      * deterministically prefer the shorter final piece — tokenization
+      * is a pure function of (word, model) at any parallelism. */
+    def encodeWord(word: String): Array[String] = {
+      val n = word.length
+      if (n == 0) return Array.empty
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val from = new Array[Int](n + 1)
+      best(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        var L = 1
+        val maxL = math.min(maxLen, i)
+        while (L <= maxL) {
+          val piece = word.substring(i - L, i)
+          val lp = logp.get(piece)
+          val sc = if (lp != null) lp.doubleValue
+                   else if (L == 1) UnkScore
+                   else Double.NegativeInfinity
+          if (sc != Double.NegativeInfinity && best(i - L) + sc > best(i)) {
+            best(i) = best(i - L) + sc
+            from(i) = L
+          }
+          L += 1
+        }
+        i += 1
+      }
+      // unreachable only if best(0) never propagated — impossible, the
+      // L == 1 UNK fallback always offers a finite step
+      var out = List.empty[String]
+      var pos = n
+      while (pos > 0) {
+        out = word.substring(pos - from(pos), pos) :: out
+        pos -= from(pos)
+      }
+      out.toArray
+    }
+  }
+
+  /** Persist a model as `piece \t logprob` per line. Doubles render via
+    * `Double.toString` — the shortest form that parses back
+    * bit-identically (the [[Similarity.saveIvf]] rule). Pieces never
+    * contain whitespace (training words come from a `\s+` split), and
+    * save refuses hand-built models that do. */
+  def save(model: Model, path: String): Unit = {
+    model.pieces.foreach { case (p, lp) =>
+      require(p.nonEmpty && !p.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+        s"piece must be non-empty and tab/newline-free: '$p'")
+      require(!lp.isNaN && !lp.isInfinite, s"non-finite log-probability for '$p'")
+    }
+    val sb = new StringBuilder
+    model.pieces.foreach { case (p, lp) =>
+      sb.append(p).append('\t').append(lp.toString).append('\n')
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a [[save]]d model (losses are a training record, not part of
+    * the artifact). Malformed lines and non-finite values refuse — a
+    * silently skipped line would be a DIFFERENT tokenizer. */
+  def load(path: String): Model = {
+    import scala.jdk.CollectionConverters._
+    val pieces = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        require(i > 0 && i < l.length - 1, s"malformed piece line: '$l'")
+        val lp = java.lang.Double.parseDouble(l.substring(i + 1))
+        require(!lp.isNaN && !lp.isInfinite, s"non-finite log-probability: '$l'")
+        (l.substring(0, i), lp)
+      }.toArray
+    Model(pieces)
+  }
+
+  /** Train on the corpus: ONE distributed word-count shuffle, then
+    * in-memory seeding + EM + pruning over the capped frequency table
+    * (see the object scaladoc). */
+  def train(d: DataFrame, textCol: String = "text", vocabSize: Int = 4000,
+            seedSize: Int = 20000, maxPieceLen: Int = 8, emIters: Int = 2,
+            shrinkFactor: Double = 0.8, vocabCap: Int = 100000): Model = {
+    val vocab: Array[(String, Long)] = d
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= MaxTrainWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainFromVocab(vocab, vocabSize, seedSize, maxPieceLen, emIters, shrinkFactor)
+  }
+
+  private def logsumexp(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else {
+      val m = math.max(a, b)
+      m + math.log(math.exp(a - m) + math.exp(b - m))
+    }
+
+  /** One EM pass: expected piece counts (E, forward–backward over each
+    * word's segmentation lattice in log space) and the corpus negative
+    * log-likelihood under the CURRENT probabilities. */
+  private def emPass(vocab: Array[(String, Long)],
+                     logp: java.util.HashMap[String, java.lang.Double],
+                     maxLen: Int): (scala.collection.mutable.HashMap[String, Double], Double) = {
+    // scala map, not java: j.u.HashMap[String, Double].get would unbox
+    // an absent key's null to 0.0 silently (the Bpe.ranks footgun)
+    val expected = scala.collection.mutable.HashMap.empty[String, Double]
+    var ll = 0.0
+    vocab.foreach { case (w, f) =>
+      val n = w.length
+      val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+      val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+      alpha(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        var L = 1
+        val maxL = math.min(maxLen, i)
+        while (L <= maxL) {
+          val lp = logp.get(w.substring(i - L, i))
+          if (lp != null && alpha(i - L) != Double.NegativeInfinity)
+            alpha(i) = logsumexp(alpha(i), alpha(i - L) + lp.doubleValue)
+          L += 1
+        }
+        i += 1
+      }
+      if (alpha(n) != Double.NegativeInfinity) {
+        beta(n) = 0.0
+        var j = n - 1
+        while (j >= 0) {
+          var L = 1
+          val maxL = math.min(maxLen, n - j)
+          while (L <= maxL) {
+            val lp = logp.get(w.substring(j, j + L))
+            if (lp != null && beta(j + L) != Double.NegativeInfinity)
+              beta(j) = logsumexp(beta(j), lp.doubleValue + beta(j + L))
+            L += 1
+          }
+          j -= 1
+        }
+        var s = 0
+        while (s < n) {
+          var L = 1
+          val maxL = math.min(maxLen, n - s)
+          while (L <= maxL) {
+            val piece = w.substring(s, s + L)
+            val lp = logp.get(piece)
+            if (lp != null && alpha(s) != Double.NegativeInfinity &&
+                beta(s + L) != Double.NegativeInfinity) {
+              val e = math.exp(alpha(s) + lp.doubleValue + beta(s + L) - alpha(n)) * f
+              expected(piece) = expected.getOrElse(piece, 0.0) + e
+            }
+            L += 1
+          }
+          s += 1
+        }
+        ll += f * alpha(n)
+      }
+    }
+    (expected, -ll)
+  }
+
+  /** Seeding + EM + pruning over an in-memory word-frequency table
+    * (spec entry — [[train]] is the one-shuffle wrapper). */
+  private[graft] def trainFromVocab(vocab: Array[(String, Long)], vocabSize: Int,
+                                    seedSize: Int, maxPieceLen: Int,
+                                    emIters: Int,
+                                    shrinkFactor: Double): Model = {
+    require(vocab.nonEmpty, "cannot train a tokenizer on an empty corpus")
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    require(seedSize >= vocabSize,
+      s"seedSize ($seedSize) must be >= vocabSize ($vocabSize) — the model shrinks, it never grows")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(emIters >= 1, s"emIters must be >= 1, got $emIters")
+    require(shrinkFactor > 0 && shrinkFactor < 1,
+      s"shrinkFactor must be in (0, 1), got $shrinkFactor")
+    // seed: every substring of every (length-capped) vocab word up to
+    // maxPieceLen, frequency-weighted — the standard stand-in for the
+    // paper's suffix-array seeding; single chars ride along and are
+    // never pruned, so segmentability is invariant
+    val seedCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    vocab.foreach { case (w, f) =>
+      var s = 0
+      while (s < w.length) {
+        var L = 1
+        val maxL = math.min(maxPieceLen, w.length - s)
+        while (L <= maxL) {
+          val p = w.substring(s, s + L)
+          seedCounts(p) = seedCounts.getOrElse(p, 0L) + f
+          L += 1
+        }
+        s += 1
+      }
+    }
+    val allSeeds = seedCounts.iterator
+      .map { case (p, c) => (p, c.toDouble) }.toArray
+    val (chars, multi) = allSeeds.partition(_._1.length == 1)
+    // singles are never pruned (segmentability), so a target below the
+    // character inventory could never be reached — refuse, don't spin
+    require(vocabSize > chars.length,
+      s"vocabSize ($vocabSize) must exceed the corpus' single-character " +
+        s"inventory (${chars.length}) — single chars are never pruned")
+    val kept = chars ++ multi
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, seedSize - chars.length))
+    // initial probabilities proportional to seed counts
+    var current: Array[(String, Double)] = {
+      val total = kept.map(_._2).sum
+      kept.map { case (p, c) => (p, math.log(c / total)) }
+        .sortBy(_._1)
+    }
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+
+    def runEm(): Unit = {
+      var it = 0
+      while (it < emIters) {
+        val lp = new java.util.HashMap[String, java.lang.Double]()
+        current.foreach { case (p, l) => lp.put(p, java.lang.Double.valueOf(l)) }
+        val maxLen = current.iterator.map(_._1.length).max
+        val (expected, nll) = emPass(vocab, lp, maxLen)
+        losses += nll
+        val total = current.iterator
+          .map { case (p, _) => expected.getOrElse(p, 0.0) }.sum
+        current = current.map { case (p, _) =>
+          // a piece can only reach 0 by numeric underflow (every seed
+          // occurs in some word) — floor it rather than log(0)
+          val e = math.max(expected.getOrElse(p, 0.0), Double.MinPositiveValue)
+          (p, math.log(e / total))
+        }
+        it += 1
+      }
+    }
+
+    runEm()
+    while (current.length > vocabSize) {
+      // prune by expected usage (exp(logp) is the normalized expected
+      // count after the M-step): keep the most-used pieces, singles
+      // always survive
+      val target = math.max(vocabSize,
+        math.ceil(current.length * shrinkFactor).toInt)
+      val (cs, ms) = current.partition(_._1.length == 1)
+      current = (cs ++ ms.sortBy { case (p, l) => (-l, p) }
+        .take(math.max(0, target - cs.length))).sortBy(_._1)
+      runEm()
+    }
+    Model(current, losses.toArray)
+  }
+
+  /** Tokenize every document — (id, keepCols…, pieces, n_pieces); the
+    * model broadcasts and encoding is a zero-shuffle partition-parallel
+    * projection with a per-partition Viterbi memo ([[Bpe.encode]]'s
+    * shape; null text → zero pieces, null id passes through). */
+  def encode(d: DataFrame, model: Model, textCol: String = "text",
+             idCol: String = "doc_id", keepCols: Seq[String] = Nil): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model)
+    val in = d.select((Seq(col(idCol).cast("long"), col(textCol).cast("string")) ++
+      keepCols.map(c => col(c).cast("string"))): _*)
+    val encoded = in.map { row =>
+      val id: Option[Long] = if (row.isNullAt(0)) None else Some(row.getLong(0))
+      val text = if (row.isNullAt(1)) "" else row.getString(1)
+      (id, text, (2 until row.length).map(row.getString))
+    }.mapPartitions { it =>
+      val m = b.value
+      val memo = new java.util.HashMap[String, Array[String]]()
+      it.map { case (id, text, keeps) =>
+        val toks = text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+          var t = memo.get(w)
+          if (t == null) {
+            t = m.encodeWord(w)
+            if (memo.size < MemoCap) memo.put(w, t)
+          }
+          t
+        }.toArray
+        (id, keeps, toks, toks.length.toLong)
+      }
+    }
+    encoded.toDF(idCol, "keeps", "pieces", "n_pieces")
+      .select((Seq(col(idCol)) ++
+        keepCols.zipWithIndex.map { case (c, i) => col("keeps")(i).as(c) } ++
+        Seq(col("pieces"), col("n_pieces"))): _*)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Unigram-LM tokenizer — hand-computed Viterbi, EM-likelihood
+  * monotonicity, pruning invariants, driver-replay of the distributed
+  * encode, artifact round-trips.
+  */
+class UnigramSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("Viterbi picks the max-probability segmentation; ties prefer the shorter final piece; UNK chars pass") {
+    val m = Unigram.Model(Array(
+      "a" -> math.log(0.3), "b" -> math.log(0.3), "c" -> math.log(0.05),
+      "ab" -> math.log(0.3), "abc" -> math.log(0.05)))
+    // [ab] = 0.3 beats [a,b] = 0.09
+    assert(m.encodeWord("ab").toSeq == Seq("ab"))
+    // [abc] = 0.05 beats [ab,c] = 0.015 and [a,b,c] = 0.0045
+    assert(m.encodeWord("abc").toSeq == Seq("abc"))
+    // exact tie: [a,a] = 0.25 == [aa] = 0.25 -> shorter final piece wins
+    val tied = Unigram.Model(Array("a" -> math.log(0.5), "aa" -> math.log(0.25)))
+    assert(tied.encodeWord("aa").toSeq == Seq("a", "a"))
+    // unknown char segments as its own piece, round-trip intact
+    assert(m.encodeWord("azb").toSeq == Seq("a", "z", "b"))
+    assert(m.encodeWord("").isEmpty)
+    // round trip on a longer mixed word
+    assert(m.encodeWord("abcabz").mkString == "abcabz")
+  }
+
+  test("EM training: likelihood monotone, probabilities normalized, frequent pieces win") {
+    val vocab = Array(("abab", 10L), ("ab", 5L), ("ba", 1L))
+    val m = Unigram.trainFromVocab(vocab, vocabSize = 50, seedSize = 50,
+      maxPieceLen = 4, emIters = 6, shrinkFactor = 0.8)
+    // the textbook EM guarantee, observable through the loss record
+    m.losses.sliding(2).foreach { p =>
+      if (p.length == 2)
+        assert(p(1) <= p(0) + 1e-9, s"EM likelihood regressed: ${m.losses.toSeq}")
+    }
+    val probs = m.pieces.toMap
+    // normalized after the final M-step
+    assert(math.abs(m.pieces.map { case (_, lp) => math.exp(lp) }.sum - 1.0) < 1e-9)
+    // "ab" occurs 25 frequency-weighted times, "ba" 11 - EM must rank them
+    assert(probs("ab") > probs("ba"))
+    // singles always present
+    assert(probs.contains("a") && probs.contains("b"))
+    // every training word round-trips
+    vocab.foreach { case (w, _) => assert(m.encodeWord(w).mkString == w) }
+  }
+
+  test("pruning reaches the target size, keeps singles, and keeps every word segmentable") {
+    val vocab = Array(("abcd", 8L), ("bcda", 6L), ("cdab", 4L), ("dabc", 2L))
+    val m = Unigram.trainFromVocab(vocab, vocabSize = 7, seedSize = 60,
+      maxPieceLen = 4, emIters = 2, shrinkFactor = 0.5)
+    assert(m.pieces.length <= 7, s"vocab ${m.pieces.length}")
+    val ps = m.pieces.map(_._1).toSet
+    assert(Set("a", "b", "c", "d").subsetOf(ps), "singles must survive pruning")
+    vocab.foreach { case (w, _) => assert(m.encodeWord(w).mkString == w) }
+    // a vocabSize below the character inventory refuses instead of spinning
+    intercept[IllegalArgumentException](
+      Unigram.trainFromVocab(vocab, vocabSize = 3, seedSize = 60,
+        maxPieceLen = 4, emIters = 1, shrinkFactor = 0.5))
+  }
+
+  test("distributed encode = driver Viterbi per word; repartition-invariant; null text = 0 pieces") {
+    val corpus = Seq(
+      (0L, "the quick brown fox", "s1"),
+      (1L, "the the the quick", "s1"),
+      (2L, null.asInstanceOf[String], "s2"),
+      (3L, "brown fox brown fox quick", "s2"))
+      .toDF("doc_id", "text", "source")
+    val m = Unigram.train(corpus, vocabSize = 60, seedSize = 200,
+      maxPieceLen = 5, emIters = 3)
+    val got = Unigram.encode(corpus, m, keepCols = Seq("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[String](2), r.getLong(3))).sortBy(_._1)
+    got.foreach { case (id, _, pieces, n) =>
+      assert(pieces.length.toLong == n)
+      val text = corpus.filter($"doc_id" === id).head().getString(1)
+      val exp = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+        .flatMap(m.encodeWord).toSeq
+      assert(pieces == exp, s"doc $id")
+    }
+    assert(got.find(_._1 == 2L).get._4 == 0L, "null text encodes to zero pieces")
+    val reshuffled = Unigram.encode(corpus.repartition(7), m, keepCols = Seq("source"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](2))).sortBy(_._1).toSeq
+    assert(reshuffled == got.map(r => (r._1, r._3)).toSeq)
+  }
+
+  test("save/load round-trips bit-exactly; corruption and non-finite values refuse") {
+    val vocab = Array(("hello", 5L), ("world", 3L))
+    val m = Unigram.trainFromVocab(vocab, vocabSize = 40, seedSize = 80,
+      maxPieceLen = 4, emIters = 2, shrinkFactor = 0.8)
+    val p = java.nio.file.Files.createTempFile("unigram", ".tsv").toString
+    Unigram.save(m, p)
+    val back = Unigram.load(p)
+    assert(back.pieces.toSeq == m.pieces.toSeq, "artifact must round-trip bit-identically")
+    assert(back.encodeWord("helloworld").toSeq == m.encodeWord("helloworld").toSeq)
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      "goodpiece\t-1.5\nbadline\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](Unigram.load(p))
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      "x\tNaN\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](Unigram.load(p))
+    intercept[IllegalArgumentException](
+      Unigram.save(Unigram.Model(Array("a\tb" -> -1.0)), p))
+    intercept[IllegalArgumentException](
+      Unigram.save(Unigram.Model(Array("a" -> Double.NaN)), p))
+  }
+
+  test("real-corpus smoke: bounded vocab, pieces cover every word") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val m = Unigram.train(docs, vocabSize = 300, seedSize = 1000,
+      maxPieceLen = 6, emIters = 2)
+    assert(m.pieces.length <= 300)
+    val enc = Unigram.encode(docs, m)
+    val totals = enc.agg(sum($"n_pieces")).head().getLong(0)
+    val words = docs.select(explode(split($"text", "\\s+")).as("w"))
+      .filter(length($"w") > 0).count()
+    assert(totals >= words, "every word costs at least one piece")
+  }
+}
