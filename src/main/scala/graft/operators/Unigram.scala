@@ -108,6 +108,105 @@ object Unigram {
       }
       out.toArray
     }
+
+    /** Subword-regularization sampling — the paper's headline feature:
+      * draw a segmentation with probability ∝ P(seg)^`alpha` (α → ∞
+      * recovers Viterbi, α → 0 approaches uniform over segmentations)
+      * by forward-filtering / backward-sampling over the same lattice.
+      * The randomness is `seed`-derived (a splitmix64 chain), so a
+      * sample is a PURE FUNCTION of (word, model, alpha, seed) —
+      * re-runs and cluster width cannot move a single draw, and an
+      * epoch of augmentation re-samples by changing the seed, exactly
+      * how the dedup/sampling family derives its uniforms from hashes.
+      * Token concatenation always reproduces the word. */
+    def encodeWordSampled(word: String, alpha: Double, seed: Long): Array[String] = {
+      require(alpha > 0, s"alpha must be positive, got $alpha")
+      val n = word.length
+      if (n == 0) return Array.empty
+      // forward: alpha-lattice marginals with piece scores scaled by α
+      val fwd = Array.fill(n + 1)(Double.NegativeInfinity)
+      fwd(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        var L = 1
+        val maxL = math.min(maxLen, i)
+        while (L <= maxL) {
+          val piece = word.substring(i - L, i)
+          val lp0 = logp.get(piece)
+          val sc = if (lp0 != null) lp0.doubleValue
+                   else if (L == 1) UnkScore
+                   else Double.NegativeInfinity
+          if (sc != Double.NegativeInfinity && fwd(i - L) != Double.NegativeInfinity) {
+            val cand = fwd(i - L) + alpha * sc
+            fwd(i) = if (fwd(i) == Double.NegativeInfinity) cand
+                     else {
+                       val m = math.max(fwd(i), cand)
+                       m + math.log(math.exp(fwd(i) - m) + math.exp(cand - m))
+                     }
+          }
+          L += 1
+        }
+        i += 1
+      }
+      // backward: at each boundary choose the final piece with prob
+      // proportional to its share of the forward mass
+      var state = seed
+      def nextUniform(): Double = {
+        // splitmix64 (public domain PRNG), top 53 bits -> (0, 1)
+        state += 0x9E3779B97F4A7C15L
+        var z = state
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        ((z >>> 11) + 0.5) / 9007199254740992.0
+      }
+      var out = List.empty[String]
+      var pos = n
+      while (pos > 0) {
+        val maxL = math.min(maxLen, pos)
+        val cands = new Array[Double](maxL + 1)
+        var total = Double.NegativeInfinity
+        var L = 1
+        while (L <= maxL) {
+          val piece = word.substring(pos - L, pos)
+          val lp0 = logp.get(piece)
+          val sc = if (lp0 != null) lp0.doubleValue
+                   else if (L == 1) UnkScore
+                   else Double.NegativeInfinity
+          cands(L) = if (sc != Double.NegativeInfinity &&
+                         fwd(pos - L) != Double.NegativeInfinity)
+            fwd(pos - L) + alpha * sc else Double.NegativeInfinity
+          if (cands(L) != Double.NegativeInfinity)
+            total = if (total == Double.NegativeInfinity) cands(L)
+                    else {
+                      val m = math.max(total, cands(L))
+                      m + math.log(math.exp(total - m) + math.exp(cands(L) - m))
+                    }
+          L += 1
+        }
+        val u = nextUniform()
+        var acc = 0.0
+        var chosen = -1
+        L = 1
+        while (L <= maxL && chosen < 0) {
+          if (cands(L) != Double.NegativeInfinity) {
+            acc += math.exp(cands(L) - total)
+            if (u <= acc) chosen = L
+          }
+          L += 1
+        }
+        if (chosen < 0) { // fp residue: the last viable candidate takes it
+          L = maxL
+          while (L >= 1 && chosen < 0) {
+            if (cands(L) != Double.NegativeInfinity) chosen = L
+            L -= 1
+          }
+        }
+        out = word.substring(pos - chosen, pos) :: out
+        pos -= chosen
+      }
+      out.toArray
+    }
   }
 
   /** Persist a model as `piece \t logprob` per line. Doubles render via
@@ -354,5 +453,88 @@ object Unigram {
       .select((Seq(col(idCol)) ++
         keepCols.zipWithIndex.map { case (c, i) => col("keeps")(i).as(c) } ++
         Seq(col("pieces"), col("n_pieces"))): _*)
+  }
+
+  /** Sampled-segmentation encode — corpus-scale subword
+    * regularization: every word occurrence draws its segmentation ∝
+    * P(seg)^`alpha` with a seed derived from (doc id, word position,
+    * `salt`), so one epoch of augmentation is DETERMINISTIC and the
+    * next epoch is a salt change, never an RNG state (membership-
+    * by-hash, the sampling family's rule). No memo — two occurrences
+    * of one word sample independently by design. Zero shuffles. */
+  def encodeSampled(d: DataFrame, model: Model, alpha: Double = 0.2,
+                    salt: Long = 0L, textCol: String = "text",
+                    idCol: String = "doc_id",
+                    keepCols: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val spark = d.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model)
+    val in = d.select((Seq(col(idCol).cast("long"), col(textCol).cast("string")) ++
+      keepCols.map(c => col(c).cast("string"))): _*)
+    val encoded = in.map { row =>
+      val id: Option[Long] = if (row.isNullAt(0)) None else Some(row.getLong(0))
+      val text = if (row.isNullAt(1)) "" else row.getString(1)
+      (id, text, (2 until row.length).map(row.getString))
+    }.mapPartitions { it =>
+      val m = b.value
+      it.map { case (id, text, keeps) =>
+        var wordIdx = 0L
+        val idPart = id.getOrElse(0L)
+        val toks = text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+          val seed = (idPart * 0x100000001B3L) ^
+            (wordIdx * 0x9E3779B97F4A7C15L) ^ salt
+          wordIdx += 1
+          m.encodeWordSampled(w, alpha, seed)
+        }.toArray
+        (id, keeps, toks, toks.length.toLong)
+      }
+    }
+    encoded.toDF(idCol, "keeps", "pieces", "n_pieces")
+      .select((Seq(col(idCol)) ++
+        keepCols.zipWithIndex.map { case (c, i) => col("keeps")(i).as(c) } ++
+        Seq(col("pieces"), col("n_pieces"))): _*)
+  }
+
+  /** Tokenizer-fit report for a unigram model — [[Bpe.fertility]]'s
+    * probe (pieces per word, single-piece rate per group) so the two
+    * tokenizer lineages are comparable on the same corpus with the
+    * same dashboard. Same zero-shuffle scale shape. */
+  def fertility(d: DataFrame, model: Model, groupCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model)
+    d.select(col(groupCol).cast("string"), col(textCol).cast("string"))
+      .map(r => (r.getString(0), if (r.isNullAt(1)) "" else r.getString(1)))
+      .mapPartitions { it =>
+        val m = b.value
+        val memo = new java.util.HashMap[String, Int]()
+        it.map { case (g, text) =>
+          var words = 0L; var pieces = 0L; var singles = 0L
+          text.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+            // getOrDefault, not get: absent-key null would unbox to 0
+            var np = memo.getOrDefault(w, -1)
+            if (np < 0) {
+              np = m.encodeWord(w).length
+              if (memo.size < MemoCap) memo.put(w, np)
+            }
+            words += 1; pieces += np; if (np == 1) singles += 1
+          }
+          (g, words, pieces, singles)
+        }
+      }
+      .toDF("grp", "n_words", "n_pieces", "n_single")
+      .groupBy(col("grp").as(groupCol))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_single")).as("n_single"))
+      .withColumn("fertility", when(col("n_words") === 0L, lit(0.0))
+        .otherwise(round(col("n_pieces") / col("n_words"), 6)))
+      .withColumn("single_frac", when(col("n_words") === 0L, lit(0.0))
+        .otherwise(round(col("n_single") / col("n_words"), 6)))
+      .select(col(groupCol), col("n_words"), col("n_pieces"),
+        col("fertility"), col("single_frac"))
+      .orderBy(col(groupCol))
   }
 }

@@ -109,6 +109,54 @@ class UnigramSpec extends SparkSpec {
       Unigram.save(Unigram.Model(Array("a" -> Double.NaN)), p))
   }
 
+  test("sampled segmentation: seed-deterministic, distribution matches P(seg)^alpha, alpha->inf = Viterbi") {
+    // p(a) = 0.6, p(aa) = 0.2: "aa" segments [a,a] w.p. 0.36/0.56 and
+    // [aa] w.p. 0.2/0.56 at alpha = 1 — hand-computable
+    val m = Unigram.Model(Array("a" -> math.log(0.6), "aa" -> math.log(0.2)))
+    val draws = (0 until 2000).map(s => m.encodeWordSampled("aa", 1.0, s.toLong))
+    draws.foreach(d => assert(d.mkString == "aa", "round trip under sampling"))
+    val fracAa = draws.count(_.length == 1).toDouble / draws.size
+    val expectAa = 0.2 / 0.56
+    assert(math.abs(fracAa - expectAa) < 0.05,
+      s"sampled share $fracAa vs expected $expectAa")
+    // same seed = same draw, bit for bit
+    assert(m.encodeWordSampled("aa", 1.0, 42L).toSeq ==
+      m.encodeWordSampled("aa", 1.0, 42L).toSeq)
+    // sharp alpha recovers Viterbi on every seed
+    (0 until 50).foreach { s =>
+      assert(m.encodeWordSampled("aa", 50.0, s.toLong).toSeq ==
+        m.encodeWord("aa").toSeq)
+    }
+    intercept[IllegalArgumentException](m.encodeWordSampled("aa", 0.0, 1L))
+
+    // corpus-level: repartition-invariant (seeds derive from doc id +
+    // word position + salt, never from partition layout), salt moves
+    // the draws
+    import spark.implicits._
+    val corpus = Seq.tabulate(30)(i => (i.toLong, "aa aa aa aa")).toDF("doc_id", "text")
+    val e1 = Unigram.encodeSampled(corpus, m, alpha = 1.0, salt = 1L)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1).toSeq
+    val e2 = Unigram.encodeSampled(corpus.repartition(7), m, alpha = 1.0, salt = 1L)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1).toSeq
+    assert(e1 == e2, "a sample is a pure function of (doc, position, salt)")
+    val e3 = Unigram.encodeSampled(corpus, m, alpha = 1.0, salt = 2L)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1).toSeq
+    assert(e1 != e3, "a new salt must draw a new epoch")
+  }
+
+  test("fertility: unigram report matches hand counts and the Bpe dashboard shape") {
+    import spark.implicits._
+    val m = Unigram.Model(Array(
+      "a" -> math.log(0.2), "b" -> math.log(0.2), "ab" -> math.log(0.55)))
+    // "ab" -> 1 piece; "aab" -> [a, ab] 2 pieces; "b" -> 1 piece
+    val d = Seq(("s1", "ab aab"), ("s1", "b"), ("s2", null.asInstanceOf[String]))
+      .toDF("source", "text")
+    val rows = Unigram.fertility(d, m).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(rows == Seq(("s1", 3L, 4L, 1.333333, 0.666667), ("s2", 0L, 0L, 0.0, 0.0)))
+  }
+
   test("real-corpus smoke: bounded vocab, pieces cover every word") {
     val docs = graft.core.Tables(spark, sfDir, "documents")
     val m = Unigram.train(docs, vocabSize = 300, seedSize = 1000,
