@@ -147,6 +147,52 @@ object Dedup {
   def q31DedupMinhash(spark: SparkSession, dir: String): DataFrame =
     minhashNearDup(docs(spark, dir))
 
+  /** LSH banding planner — the textbook s-curve analysis (Leskovec,
+    * Rajaraman & Ullman, "Mining of Massive Datasets" ch. 3.4) that
+    * answers the question every [[minhashNearDup]] caller faces BEFORE
+    * burning a corpus pass: how should `totalHashes` signatures band for
+    * a Jaccard threshold `tau`? For b bands of r rows the probability a
+    * pair at similarity s becomes a candidate is P(s) = 1 − (1 − s^r)^b;
+    * per (b, r) divisor pair the report emits that curve's value at tau,
+    * the (1/b)^(1/r) threshold estimate, the false-negative rate at
+    * tau + `delta` (a true near-dup the bands would MISS) and the
+    * false-positive rate at tau − `delta` (a below-threshold pair the
+    * verify join must pay to reject), and marks the minimum-total-error
+    * choice `chosen` (ties break toward recall — smaller fn — then fewer
+    * bands). Pure closed-form driver math over the divisors of
+    * `totalHashes` (never touches data — the planner costs microseconds,
+    * the corpus pass it tunes costs hours at 100 TB); `StrictMath.pow`
+    * keeps every cell bit-reproducible across JVMs. Exact-Jaccard
+    * verification downstream means a mis-planned banding costs recall or
+    * candidate volume, never correctness — this report is how the caller
+    * spends that tradeoff deliberately.
+    */
+  def lshPlan(spark: SparkSession, totalHashes: Int = 16, tau: Double = 0.5,
+              delta: Double = 0.05): DataFrame = {
+    require(totalHashes >= 1 && totalHashes <= 65536,
+      s"need 1 <= totalHashes <= 65536, got $totalHashes")
+    require(tau - delta > 0.0 && tau + delta < 1.0 && delta > 0.0,
+      s"need 0 < tau-delta < tau+delta < 1, got tau=$tau delta=$delta")
+    def p(s: Double, b: Int, r: Int): Double =
+      1.0 - StrictMath.pow(1.0 - StrictMath.pow(s, r.toDouble), b.toDouble)
+    val plans = (1 to totalHashes).filter(totalHashes % _ == 0).map { b =>
+      val r = totalHashes / b
+      val fn = 1.0 - p(tau + delta, b, r)
+      val fp = p(tau - delta, b, r)
+      (b, r, StrictMath.pow(1.0 / b, 1.0 / r.toDouble), p(tau, b, r),
+        fn, fp, fn + fp)
+    }
+    val bestErr = plans.map(_._7).min
+    val chosenB = plans.filter(_._7 == bestErr)
+      .sortBy(t => (t._5, t._1)).head._1
+    import spark.implicits._
+    plans.map { case (b, r, th, pt, fn, fp, e) =>
+      (b, r, th, pt, fn, fp, e, b == chosenB)
+    }.toDF("bands", "band_rows", "threshold_est", "p_at_tau",
+      "fn_above", "fp_below", "err", "chosen")
+      .orderBy(col("bands"))
+  }
+
   /** SimHash near-duplicate detection over any (id, text) frame: 60-bit
     * signature via per-token ±count votes on each bit of hash60(token)
     * (integer sums — no float anywhere, commutative-exact, so the

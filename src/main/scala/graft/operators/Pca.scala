@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Principal component analysis for embedding columns — the published
+  * dimensionality-reduction step FAISS ships as `PCAMatrix` (and OPQ
+  * approximates) in front of every large ANN index: train a k-component
+  * rotation on a sample, project the corpus, and hand the narrower
+  * vectors to IVF/PQ ([[Similarity.ivfCentroids]] /
+  * [[Similarity.pqTrain]]) — d=64 → k=16 cuts every downstream dot
+  * product and codebook 4×.
+  *
+  * Train shape (the [[Similarity.ivfCentroids]] discipline):
+  *   - ONE validation aggregate (dim bounds + row count), then ONE
+  *     corpus pass computing all first and second moments: each row
+  *     flattens to dim + dim·(dim+1)/2 DECIMAL(28,12)-rounded terms
+  *     (posexplode → groupBy(pos) with map-side partial aggregation), so
+  *     the shuffle carries at most `dim + dim·(dim+1)/2` keys per
+  *     partition REGARDLESS of corpus size — bounded aggregation state,
+  *     never vectors.
+  *   - Exact decimal sums are commutative → the covariance matrix, and
+  *     therefore the whole model, is bit-identical under any
+  *     repartitioning (SURVEY §4; spec-asserted).
+  *   - The driver eigensolves the dim×dim covariance with cyclic Jacobi
+  *     rotations (plain IEEE +,*,/ and correctly-rounded sqrt — no
+  *     platform-varying transcendentals), sorts eigenpairs by eigenvalue
+  *     descending with index-order tie-break, and sign-fixes each
+  *     component so its largest-magnitude entry is positive — a pure
+  *     function of the data.
+  *   - `sampleMod = m` trains on the deterministic `vec_id % m = 0`
+  *     slice (the [[Similarity.ivfCentroids]] 100 TB knob: a rotation
+  *     needs a representative sample, not every vector).
+  *
+  * Score shape: [[project]] is a ZERO-shuffle projection — k strict-fold
+  * dot products against plan-literal components (dot(v − μ, c) folded as
+  * dot(v, c) − dot(μ, c), the constant precomputed) — composing into any
+  * scan, streaming included, with no Exchange (spec-asserted).
+  */
+object Pca {
+
+  import graft.functions.VectorFunctions.{dot, constVec}
+
+  /** Largest trainable input dimensionality: 256 dims → 33 152 moment
+    * keys in the shuffle and a 256×256 driver eigensolve — both trivial;
+    * past that the one-pass moment fan-out (dim²/2 terms per row) stops
+    * being the right algorithm and a randomized sketch should replace
+    * it, so the trainer refuses rather than degrade quietly.
+    */
+  val MaxDim = 256
+
+  /** Trained rotation. `components(c)` is the c-th principal axis
+    * (unit-norm, descending `eigenvalues`); `trace` is the total input
+    * variance (sum over ALL dims, not just the kept k), so
+    * `explainedRatio` is honest even for k << dim.
+    */
+  final case class PcaModel(mean: Array[Double],
+                            components: Array[Array[Double]],
+                            eigenvalues: Array[Double],
+                            trace: Double,
+                            nRows: Long) {
+    def dim: Int = mean.length
+    def k: Int = components.length
+    def explainedRatio: Array[Double] = eigenvalues.map(_ / trace)
+  }
+
+  private def strictDot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Train a k-component PCA on a prepared `(vec_id, v DOUBLE[])` frame
+    * (the [[Similarity.prepare]] shape). Population covariance
+    * (divide-by-n): the model describes THIS corpus, not an estimator of
+    * a hypothetical larger one.
+    */
+  def train(corpus: DataFrame, k: Int, sampleMod: Int = 1): PcaModel = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val tr = if (sampleMod == 1) corpus
+      else corpus.filter(col("vec_id") % sampleMod === 0)
+    // one cheap validation aggregate: ragged input or an over-wide dim
+    // refuses BEFORE the moment pass spends a corpus scan
+    val probe = tr.agg(min(size(col("v"))).as("lo"), max(size(col("v"))).as("hi"),
+      count(lit(1)).as("n")).head()
+    val n = probe.getLong(2)
+    require(n >= 2, s"need at least 2 training vectors, got $n")
+    val dim = probe.getInt(0)
+    require(dim == probe.getInt(1),
+      s"ragged vectors: size(v) spans [${probe.getInt(0)}, ${probe.getInt(1)}]")
+    require(dim >= 1 && dim <= MaxDim,
+      s"dim $dim outside [1, $MaxDim] — reduce with a sketch first")
+    require(k <= dim, s"k=$k exceeds dim=$dim")
+    // positions 0..dim-1: first moments; dim..: upper-triangle second
+    // moments in (i,j) row-major order — one flatten expression, exact
+    // decimal sums, bounded shuffle keys
+    val momentsExpr = expr(
+      s"""flatten(array(
+         |  transform(sequence(0, ${dim - 1}), i ->
+         |    CAST(element_at(v, i + 1) AS DECIMAL(28,12))),
+         |  flatten(transform(sequence(0, ${dim - 1}), i ->
+         |    transform(sequence(i, ${dim - 1}), j ->
+         |      CAST(element_at(v, i + 1) * element_at(v, j + 1)
+         |        AS DECIMAL(28,12)))))))""".stripMargin)
+    val sums = tr.select(posexplode(momentsExpr).as(Seq("pos", "m")))
+      .groupBy(col("pos")).agg(sum(col("m")).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue())
+      .toMap
+    val mean = Array.tabulate(dim)(i => sums(i) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var pos = dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = sums(pos) / n - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        pos += 1
+        j += 1
+      }
+      i += 1
+    }
+    val trace = (0 until dim).map(d => cov(d)(d)).sum
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    // sort by eigenvalue desc, original-index tie-break; keep top k
+    val order = (0 until dim).sortBy(c => (-eigVals(c), c)).take(k)
+    val comps = order.map { c =>
+      val v = Array.tabulate(dim)(r => eigVecs(r)(c))
+      // sign fix: largest-|entry| positive (first index on ties)
+      val m = v.indices.maxBy(idx => (math.abs(v(idx)), -idx))
+      if (v(m) < 0.0) v.map(x => -x) else v
+    }.toArray
+    PcaModel(mean, comps, order.map(eigVals).toArray, trace, n)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector matrix with eigenvectors as COLUMNS).
+    * Rotation math uses only IEEE-exact ops and sqrt — deterministic.
+    */
+  private def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = Array.tabulate(n, n)((i, j) => a0(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (sweep < 100 && off > 1e-14 * (1.0 + math.abs(trace(a)))) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0.0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var r = 0
+            while (r < n) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < n) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              r += 1
+            }
+            r = 0
+            while (r < n) {
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  private def trace(a: Array[Array[Double]]): Double =
+    a.indices.map(i => a(i)(i)).sum
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += math.abs(a(i)(j)); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  /** Project a prepared frame onto the model's components: appends
+    * `outCol` = ARRAY<DOUBLE> of length k. Pure plan-literal projection
+    * — zero shuffle, composes into any scan.
+    */
+  def project(d: DataFrame, model: PcaModel, outCol: String = "pc"): DataFrame = {
+    require(!d.columns.contains(outCol),
+      s"output column `$outCol` already exists — rename first")
+    val pcs = array(model.components.map { comp =>
+      dot(col("v"), constVec(comp.toSeq)) - lit(strictDot(model.mean, comp))
+    }: _*)
+    d.withColumn(outCol, pcs)
+  }
+
+  /** The scree report as a small DataFrame: one row per kept component
+    * with its eigenvalue, explained-variance ratio (vs the FULL trace)
+    * and the cumulative ratio — the "how many components do I actually
+    * need" dashboard. Driver-pure over the bounded model.
+    */
+  def varianceReport(spark: org.apache.spark.sql.SparkSession,
+                     model: PcaModel): DataFrame = {
+    import spark.implicits._
+    val ratios = model.explainedRatio
+    val cum = ratios.scanLeft(0.0)(_ + _).drop(1)
+    model.eigenvalues.zipWithIndex.map { case (ev, c) =>
+      (c, ev, ratios(c), cum(c))
+    }.toSeq.toDF("component", "eigenvalue", "explained_ratio", "cumulative_ratio")
+  }
+}

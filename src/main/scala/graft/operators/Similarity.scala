@@ -675,6 +675,148 @@ object Similarity {
       k)
   }
 
+  /** Scalar quantization bounds — FAISS's `ScalarQuantizer` QT_8bit
+    * sibling to [[pqTrain]]: per-dimension (min, max) over the corpus
+    * (or the `vec_id % sampleMod = 0` slice — bounds from a sample are
+    * the standard 100 TB train shape; out-of-range values CLAMP at
+    * encode, they never corrupt). One pass, posexplode → groupBy(pos)
+    * with map-side partial min/max — `dim` shuffle keys regardless of
+    * corpus size, and min/max are exact (no float summation), so the
+    * bounds are bit-identical under any repartitioning. Refuses ragged
+    * or non-finite input — a NaN bound silently poisons every code.
+    */
+  def sqBounds(corpus: DataFrame, sampleMod: Int = 1): Array[(Double, Double)] = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val tr = if (sampleMod == 1) corpus
+      else corpus.filter(col("vec_id") % sampleMod === 0)
+    val probe = tr.agg(min(size(col("v"))), max(size(col("v"))),
+      count(lit(1))).head()
+    require(probe.getLong(2) >= 1, "sqBounds needs at least one vector")
+    require(probe.getInt(0) == probe.getInt(1),
+      s"ragged vectors: size(v) spans [${probe.getInt(0)}, ${probe.getInt(1)}]")
+    val bounds = tr.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+      .map { case (p, lo, hi) =>
+        require(java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi),
+          s"dimension $p carries a non-finite value — clean the corpus first")
+        (lo, hi)
+      }
+    bounds
+  }
+
+  /** Encode to 8-bit codes against [[sqBounds]]: code = round((x − lo) ·
+    * 255/(hi − lo)) clamped to [0, 255] — 1 byte per dimension, an 8×
+    * scan-width cut vs DOUBLE, with reconstruction error ≤ step/2 per
+    * dimension (spec-asserted). A degenerate dimension (hi = lo) encodes
+    * to 0 and decodes to its constant. Pure zero-shuffle plan-literal
+    * projection (two zip_with folds over the row's own array); HALF_UP
+    * rounding so codes replay deterministically anywhere.
+    */
+  def sqEncode(corpus: DataFrame, bounds: Array[(Double, Double)],
+               outCol: String = "codes"): DataFrame = {
+    require(bounds.nonEmpty, "empty bounds")
+    require(!corpus.columns.contains(outCol),
+      s"output column `$outCol` already exists — rename first")
+    val mins = bounds.map(_._1)
+    val inv = bounds.map { case (lo, hi) => if (hi > lo) 255.0 / (hi - lo) else 0.0 }
+    val codes = zip_with(
+      zip_with(col("v"), constVec(mins.toSeq), (x, m) => x - m),
+      constVec(inv.toSeq),
+      (x, s) => least(lit(255.0), greatest(lit(0.0), round(x * s, 0))).cast("int"))
+    corpus.withColumn(outCol, codes)
+  }
+
+  /** Decode column: code → lo + code · (hi − lo)/255, the exact inverse
+    * grid of [[sqEncode]]'s rounding. */
+  def sqDecode(codes: Column, bounds: Array[(Double, Double)]): Column = {
+    val mins = bounds.map(_._1)
+    val step = bounds.map { case (lo, hi) => (hi - lo) / 255.0 }
+    zip_with(
+      zip_with(codes, constVec(step.toSeq), (c, s) => c * s),
+      constVec(mins.toSeq), (x, m) => x + m)
+  }
+
+  /** SQ8 ANN: rank candidates by cosine against the DECODED 1-byte
+    * codes (the compressed corpus is what streams — full vectors never
+    * enter the candidate stage), keep the top `rerank` per query, then
+    * re-rank those exactly. Output matches the other kNN heads: (qid,
+    * neighbor_id, cos_sim, knn_rank). Same bounded-broadcast guard as
+    * [[knnBrute]]/[[knnPq]]; pass `encoded` to reuse a stored
+    * [[sqEncode]] frame (the 100 TB shape — codes are index-time state).
+    */
+  def knnSq(corpus: DataFrame, isQuery: Column,
+            bounds: Array[(Double, Double)], k: Int, rerank: Int = 50,
+            encoded: Option[DataFrame] = None,
+            maxQueries: Int = 10000): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
+    val q = corpus.filter(isQuery).select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("norm").as("qnorm"))
+    probeQueryBound(q, maxQueries, "knnSq")
+    val enc = encoded.getOrElse(sqEncode(corpus.select(col("vec_id"), col("v")), bounds))
+    val dec = enc.select(col("vec_id"), sqDecode(col("codes"), bounds).as("dv"))
+      .withColumn("dnorm", l2norm(col("dv")))
+    val byApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    val cand = dec.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("approx_cos",
+        dot(col("qv"), col("dv")) / (col("qnorm") * col("dnorm")))
+      .withColumn("approx_rank", row_number().over(byApprox))
+      .filter(col("approx_rank") <= rerank)
+      .select(col("qid"), col("vec_id").as("neighbor_id"))
+    topK(
+      cand
+        .join(corpus.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")),
+          "neighbor_id")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("neighbor_id"),
+          round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6)
+            .as("cos_sim")),
+      k)
+  }
+
+  /** Persist [[sqBounds]] — one line per dimension: `pos TAB lo TAB hi`,
+    * `Double.toString` exact round-trip, the [[saveIvf]] refusal rules. */
+  def saveSq(bounds: Array[(Double, Double)], path: String): Unit = {
+    require(bounds.nonEmpty, "refusing to save empty bounds")
+    bounds.zipWithIndex.foreach { case ((lo, hi), p) =>
+      require(java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi) &&
+        lo <= hi, s"dimension $p bounds [$lo, $hi] are not finite-ordered")
+    }
+    val sb = new StringBuilder
+    bounds.zipWithIndex.foreach { case ((lo, hi), p) =>
+      sb.append(p).append('\t').append(lo).append('\t').append(hi).append('\n')
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load [[saveSq]]d bounds; refuses gaps, disorder, and non-finite
+    * values — a shifted position renumbers every dimension. */
+  def loadSq(path: String): Array[(Double, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val rows = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty).map { l =>
+        val parts = l.split("\t", -1)
+        require(parts.length == 3, s"malformed bounds line: '$l'")
+        val lo = java.lang.Double.parseDouble(parts(1))
+        val hi = java.lang.Double.parseDouble(parts(2))
+        require(java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi) &&
+          lo <= hi, s"bounds in '$l' are not finite-ordered")
+        (parts(0).toInt, lo, hi)
+      }.toArray
+    require(rows.nonEmpty, s"$path holds no bounds")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"$path is not a dense 0..dim-1 position list")
+    rows.map(r => (r._2, r._3))
+  }
+
   /** Trained codebooks are ingest-time state (like the bucketed table
     * copies): memoized per (source fingerprint, nCells, iters,
     * sampleMod), so a

@@ -430,6 +430,87 @@ object TextOps {
       .withColumn("first_fail", firstFail)
   }
 
+  /** The C4 cleaning heuristics (Raffel et al. 2020, §2.2 — the
+    * "Colossal Clean Crawled Corpus" recipe behind T5, reused by Pile-CC
+    * and mC4) as one zero-shuffle projection — the OTHER published rule
+    * set beside [[gopherRules]]: where Gopher VETOES whole documents, C4
+    * first REWRITES them line by line and then vetoes what remains, so
+    * the operator emits both the cleaned text and the verdict.
+    *
+    * Line filter (a line survives into `c4_text` iff ALL hold, the
+    * paper's retention tests):
+    *   - ends in a terminal punctuation mark (`. ! ? "` or `”`),
+    *   - has at least `minLineWords` words (paper: 5),
+    *   - does not contain the word "javascript" (case-insensitive).
+    * Document rules on what survived, with `first_fail` attribution in
+    * published order (the [[gopherRules]] accounting pattern):
+    *   1. `sentences_ok`    — ≥ `minSentences` sentences in the CLEANED
+    *                          text (paper: 3; sentences counted by
+    *                          terminal-punctuation occurrences),
+    *   2. `no_lorem`        — raw text has no "lorem ipsum" placeholder,
+    *   3. `no_brace`        — raw text has no `{` (the paper's
+    *                          code-page proxy),
+    *   4. `no_blockwords`   — raw text contains no `blocklist` phrase
+    *                          (the paper consults an external list the
+    *                          operator cannot ship — callers pass their
+    *                          own, lowercase; empty list = rule passes).
+    *
+    * Scale shape: the [[gopherRules]] discipline — pure per-row
+    * projection, every count a `filter`/`transform` fold over the row's
+    * own line array, no explode, no join, no shuffle; composes into any
+    * scan including the streaming ingest gate, and the cleaned
+    * `c4_text` feeds the downstream tokenizer/dedup stages directly.
+    * Null text cleans to empty and fails rule 1 (the gate exists for
+    * raw crawls). Counts are exact integers — cross-engine
+    * deterministic.
+    */
+  def c4Rules(d: DataFrame, text: Column = col("text"),
+              minLineWords: Int = 5, minSentences: Int = 3,
+              blocklist: Seq[String] = Nil): DataFrame = {
+    require(minLineWords >= 1, s"need minLineWords >= 1, got $minLineWords")
+    require(minSentences >= 1, s"need minSentences >= 1, got $minSentences")
+    require(blocklist.forall(w => w.nonEmpty && w == w.toLowerCase),
+      "blocklist entries must be non-empty and lowercase — matching is " +
+        "case-insensitive via lower(text)")
+    val outCols = Set("c4_text", "lines_kept", "lines_dropped",
+      "sentences_ok", "no_lorem", "no_brace", "no_blockwords",
+      "c4_pass", "first_fail")
+    val clash = d.columns.toSet.intersect(outCols)
+    require(clash.isEmpty,
+      s"input columns collide with rule outputs: ${clash.mkString(", ")} — rename first")
+    val t = coalesce(text, lit(""))
+    val lowerAll = lower(t)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"”]$") &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val keptText = array_join(kept, "\n")
+    val nKept = size(kept).cast("long")
+    val nDropped = (size(lines) - size(kept)).cast("long")
+    val nSent = regexp_count(keptText, lit("[.!?]")).cast("long")
+    val blockHit =
+      if (blocklist.isEmpty) lit(false)
+      else blocklist.map(w => lowerAll.contains(w)).reduce(_ || _)
+    val rules = Seq(
+      "sentences_ok" -> (nSent >= minSentences.toLong),
+      "no_lorem" -> !lowerAll.contains("lorem ipsum"),
+      "no_brace" -> !t.contains("{"),
+      "no_blockwords" -> !blockHit)
+    val base = d
+      .withColumn("c4_text", keptText)
+      .withColumn("lines_kept", nKept)
+      .withColumn("lines_dropped", nDropped)
+    val withRules = rules.foldLeft(base)((acc, r) => acc.withColumn(r._1, r._2))
+    val firstFail = rules.reverse.foldLeft(lit(null).cast("string")) {
+      case (tail, (name, _)) => when(!col(name), lit(name)).otherwise(tail)
+    }
+    withRules
+      .withColumn("c4_pass", rules.map(r => col(r._1)).reduce(_ && _))
+      .withColumn("first_fail", firstFail)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_lang_id" -> (q38LangId _),
     "q39_quality" -> (q39Quality _),

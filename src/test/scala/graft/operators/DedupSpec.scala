@@ -456,4 +456,37 @@ class DedupSpec extends SparkSpec {
       "every copy is one fully-duplicated span")
     assert(out.find(_.getLong(0) == 500L).get.getLong(2) == 0L)
   }
+
+  test("lshPlan: hand-computed s-curve table; the optimum at 16/0.5 IS q31's 4x4 banding") {
+    val out = Dedup.lshPlan(spark, totalHashes = 16, tau = 0.5, delta = 0.05)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7)))
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)))
+    // hand-computed: P(s) = 1-(1-s^r)^b at s = tau, tau±delta
+    def close(a: Double, b: Double) = math.abs(a - b) <= 1e-12
+    val b4 = out.find(_._1 == 4).get
+    assert(close(b4._3, 0.7071067811865476), "threshold_est = (1/4)^(1/4)")
+    assert(close(b4._4, 0.2275238037109375), "P(0.5) for 4x4")
+    assert(close(b4._5, 0.6812206049962801), "miss rate at 0.55")
+    assert(close(b4._6, 0.1542089073754258), "candidate rate at 0.45")
+    val b8 = out.find(_._1 == 8).get
+    assert(close(b8._5, 0.05602136616840103) && close(b8._6, 0.8363765544027957))
+    // degenerate bandings catch (almost) nothing / everything
+    assert(out.find(_._1 == 1).get._4 < 1e-4, "1x16 all-rows AND is near-zero at tau")
+    assert(out.find(_._1 == 16).get._4 > 0.9999, "16x1 single-row OR fires on anything")
+    // exactly one chosen row, and it is q31's shipped default
+    assert(out.count(_._8) == 1)
+    assert(out.find(_._8).get._1 == 4 && out.find(_._8).get._2 == 4)
+    assert(out.filter(!_._8).forall(_._7 >= out.find(_._8).get._7))
+    // more hashes at the same threshold sharpen the curve: the chosen
+    // plan's total error at 64 hashes beats the best at 16
+    val out64 = Dedup.lshPlan(spark, totalHashes = 64).collect()
+    val best64 = out64.find(_.getBoolean(7)).get.getDouble(6)
+    assert(best64 < out.find(_._8).get._7)
+    intercept[IllegalArgumentException](Dedup.lshPlan(spark, totalHashes = 0))
+    intercept[IllegalArgumentException](Dedup.lshPlan(spark, tau = 0.03))
+    intercept[IllegalArgumentException](Dedup.lshPlan(spark, tau = 0.97))
+  }
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** PCA trainer/projector: hand-computed eigenstructure on an exactly
+  * constructed 2-D fixture, orthonormality + variance accounting on the
+  * real embeddings, bit-level repartition invariance, zero-shuffle
+  * projection plan, and the refusal surface.
+  */
+class PcaSpec extends SparkSpec {
+
+  // points a·u + b·w for u=(0.6, 0.8), w=(-0.8, 0.6) (orthonormal):
+  // population covariance has eigenpairs exactly (2.5 → u, 0.15625 → w)
+  private val ab = Seq(
+    (2.0, 0.5), (-2.0, 0.5), (2.0, -0.5), (-2.0, -0.5),
+    (1.0, 0.25), (-1.0, 0.25), (1.0, -0.25), (-1.0, -0.25))
+
+  private def fixture(shift: (Double, Double) = (0.0, 0.0)) = {
+    import spark.implicits._
+    ab.zipWithIndex.map { case ((a, b), i) =>
+      (i.toLong, Seq(0.6 * a - 0.8 * b + shift._1, 0.8 * a + 0.6 * b + shift._2))
+    }.toDF("vec_id", "v")
+  }
+
+  private def realVecs = Similarity.prepare(
+    graft.core.Tables(spark, sfDir, "embeddings"), "vec_id", "embedding")
+
+  test("train: hand-computed eigenpairs, sign fix, mean shift, projection coordinates") {
+    val m = Pca.train(fixture(), k = 2)
+    assert(m.nRows == 8 && m.dim == 2 && m.k == 2)
+    def close(x: Double, y: Double, tol: Double = 1e-9) = math.abs(x - y) <= tol
+    assert(close(m.mean(0), 0.0) && close(m.mean(1), 0.0))
+    assert(close(m.eigenvalues(0), 2.5), s"top eigenvalue ${m.eigenvalues(0)}")
+    assert(close(m.eigenvalues(1), 0.15625))
+    assert(close(m.trace, 2.65625))
+    // sign fix: u's largest-|entry| (0.8) positive; w flips to (0.8, -0.6)
+    assert(close(m.components(0)(0), 0.6) && close(m.components(0)(1), 0.8))
+    assert(close(m.components(1)(0), 0.8) && close(m.components(1)(1), -0.6))
+    assert(close(m.explainedRatio(0), 2.5 / 2.65625))
+    // a pure translation changes only the mean
+    val shifted = Pca.train(fixture((10.0, 20.0)), k = 2)
+    assert(close(shifted.mean(0), 10.0) && close(shifted.mean(1), 20.0))
+    assert(close(shifted.eigenvalues(0), 2.5) && close(shifted.eigenvalues(1), 0.15625))
+    // projection recovers the (a, -b) coordinates row by row
+    val pcs = Pca.project(fixture(), m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    ab.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(close(pcs(i.toLong)(0), a) && close(pcs(i.toLong)(1), -b), s"row $i")
+    }
+  }
+
+  test("train on real embeddings: orthonormal components, variance accounting, invariance, zero-shuffle projection") {
+    val vecs = realVecs
+    val m = Pca.train(vecs, k = 8)
+    assert(m.dim == 64 && m.nRows == vecs.count())
+    // descending non-negative spectrum, honest ratios vs the full trace
+    assert(m.eigenvalues.forall(_ >= -1e-12))
+    assert(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(m.explainedRatio.sum <= 1.0 + 1e-12)
+    // components are orthonormal
+    for (i <- 0 until 8; j <- i until 8) {
+      val d = m.components(i).zip(m.components(j)).map(p => p._1 * p._2).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) <= 1e-8, s"C$i . C$j = $d")
+    }
+    // bit-identical under repartitioning (exact decimal moment sums)
+    val m2 = Pca.train(vecs.repartition(7), k = 8)
+    assert(m.mean.sameElements(m2.mean))
+    assert(m.eigenvalues.sameElements(m2.eigenvalues))
+    assert(m.components.zip(m2.components).forall(p => p._1.sameElements(p._2)))
+    // the projected corpus realizes the promised variance per component
+    val proj = Pca.project(vecs, m)
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"),
+      "project must stay a pure projection")
+    val rows = proj.select("pc").collect().map(_.getSeq[Double](0))
+    val n = rows.length.toDouble
+    for (c <- 0 until 8) {
+      val xs = rows.map(_(c))
+      val mu = xs.sum / n
+      val v = xs.map(x => (x - mu) * (x - mu)).sum / n
+      assert(math.abs(v - m.eigenvalues(c)) <= 1e-6 * (1.0 + m.eigenvalues(c)),
+        s"component $c variance $v vs eigenvalue ${m.eigenvalues(c)}")
+      assert(math.abs(mu) <= 1e-9, s"projected mean of component $c is $mu")
+    }
+    // sampleMod trains on the slice: deterministic, orthonormal, != full
+    val ms = Pca.train(vecs, k = 8, sampleMod = 3)
+    val ms2 = Pca.train(vecs.repartition(5), k = 8, sampleMod = 3)
+    assert(ms.components.zip(ms2.components).forall(p => p._1.sameElements(p._2)))
+    assert(ms.nRows < m.nRows)
+    assert(!ms.eigenvalues.sameElements(m.eigenvalues))
+    // scree report: one row per component, cumulative is the running sum
+    val rep = Pca.varianceReport(spark, m).collect()
+    assert(rep.length == 8)
+    assert(math.abs(rep.last.getDouble(3) - m.explainedRatio.sum) <= 1e-12)
+  }
+
+  test("refusals: bad k, ragged vectors, over-wide dim, too few rows, output collision") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](Pca.train(fixture(), k = 0))
+    intercept[IllegalArgumentException](Pca.train(fixture(), k = 3))
+    intercept[IllegalArgumentException](Pca.train(fixture().limit(1), k = 1))
+    val ragged = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(1.0, 2.0, 3.0)))
+      .toDF("vec_id", "v")
+    intercept[IllegalArgumentException](Pca.train(ragged, k = 1))
+    val wide = Seq((0L, (0 until 257).map(_.toDouble)),
+      (1L, (0 until 257).map(i => (i * 2).toDouble))).toDF("vec_id", "v")
+    intercept[IllegalArgumentException](Pca.train(wide, k = 1))
+    val m = Pca.train(fixture(), k = 1)
+    intercept[IllegalArgumentException](
+      Pca.project(fixture().withColumnRenamed("v", "x")
+        .withColumn("v", org.apache.spark.sql.functions.col("x"))
+        .withColumn("pc", org.apache.spark.sql.functions.lit(1)), m))
+  }
+}

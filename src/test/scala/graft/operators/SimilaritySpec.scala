@@ -473,4 +473,76 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.saveIvf(
       Array((0L, Array(1.0, Double.NaN), 1.0)), ivfPath))
   }
+
+  test("SQ8: hand-computed codes, step/2 error bound, invariant bounds, recall, round trip") {
+    import spark.implicits._
+    // hand fixture: dim0 spans [0, 2] (step 2/255), dim1 is degenerate
+    val hand = Seq((0L, Seq(0.0, 7.0)), (1L, Seq(1.0, 7.0)), (2L, Seq(2.0, 7.0)))
+      .toDF("vec_id", "v")
+    val hb = Similarity.sqBounds(hand)
+    assert(hb.toSeq == Seq((0.0, 2.0), (7.0, 7.0)))
+    val hc = Similarity.sqEncode(hand, hb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    // round(1.0 · 255/2) = round(127.5) → HALF_UP → 128; degenerate dim → 0
+    assert(hc(0L) == Seq(0, 0) && hc(1L) == Seq(128, 0) && hc(2L) == Seq(255, 0))
+    val hd = Similarity.sqEncode(hand, hb)
+    val decoded = hd.select(col("vec_id"),
+      Similarity.sqDecode(col("codes"), hb).as("dv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(decoded(2L)(0) == 2.0 && decoded(2L)(1) == 7.0, "grid endpoints decode exactly")
+    assert(math.abs(decoded(1L)(0) - 1.0) <= (2.0 / 255.0) / 2 + 1e-12)
+
+    // real corpus: bounds are repartition-invariant, every dimension's
+    // reconstruction error stays within half a quantization step
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val corpus = Similarity.prepare(e, "vec_id", "embedding")
+    val b = Similarity.sqBounds(corpus)
+    val b2 = Similarity.sqBounds(corpus.repartition(7))
+    assert(b.toSeq == b2.toSeq)
+    assert(b.length == 64)
+    val enc = Similarity.sqEncode(corpus, b)
+    assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"),
+      "sqEncode must stay a pure projection")
+    val err = enc.select(col("v"), Similarity.sqDecode(col("codes"), b).as("dv"))
+      .select(expr("aggregate(zip_with(v, dv, (x, y) -> abs(x - y)), 0D, (a, x) -> greatest(a, x))").as("e"))
+      .agg(org.apache.spark.sql.functions.max(col("e"))).head().getDouble(0)
+    val maxHalfStep = b.map { case (lo, hi) => (hi - lo) / 255.0 / 2.0 }.max
+    assert(err <= maxHalfStep * (1 + 1e-9), s"reconstruction error $err > step/2 $maxHalfStep")
+
+    // 8-bit candidates + exact re-rank: recall@10 vs brute force is
+    // near-perfect (SQ8 is the gentlest quantizer), and rerank-all
+    // removes the approximation entirely
+    val brute = Similarity.q34KnnBrute(spark, sfDir).drop("label").collect().toSeq
+    val n = corpus.count().toInt
+    val all = Similarity.knnSq(corpus, col("vec_id") < 5, b, k = 10, rerank = n)
+      .collect().toSeq
+    assert(all == brute, "rerank-everything must equal brute force row-for-row")
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.knnSq(corpus, col("vec_id") < 5, b, k = 10, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteSet & sq).size.toDouble / bruteSet.size
+    assert(recall >= 0.9, s"SQ8 recall@10 = $recall")
+
+    // sampleMod bounds still cover most mass and stay deterministic
+    val bs = Similarity.sqBounds(corpus, sampleMod = 3)
+    assert(bs.sameElements(Similarity.sqBounds(corpus.repartition(5), sampleMod = 3)))
+
+    // persistence: bit-exact round trip; corruption refused
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-sq")
+    val sqPath = dir2.resolve("sq.tsv").toString
+    Similarity.saveSq(b, sqPath)
+    assert(Similarity.loadSq(sqPath).toSeq == b.toSeq)
+    val gap2 = dir2.resolve("gap.tsv")
+    java.nio.file.Files.write(gap2, "0\t0.0\t1.0\n2\t0.0\t1.0\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](Similarity.loadSq(gap2.toString))
+    val bad2 = dir2.resolve("bad.tsv")
+    java.nio.file.Files.write(bad2, "0\t2.0\t1.0\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](Similarity.loadSq(bad2.toString))
+    intercept[IllegalArgumentException](
+      Similarity.saveSq(Array((Double.NaN, 1.0)), sqPath))
+    intercept[IllegalArgumentException](
+      Similarity.knnSq(corpus, lit(true), b, k = 10, maxQueries = 20))
+    intercept[IllegalArgumentException](
+      Similarity.sqBounds(Seq((0L, Seq(1.0)), (1L, Seq(1.0, 2.0))).toDF("vec_id", "v")))
+  }
 }

@@ -190,4 +190,67 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextOps.gopherRules(out)) // output-name collision refused
   }
+
+  test("c4Rules: line filter rewrites, doc rules veto with narrow attribution; zero-shuffle plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cleanLine = "the quick brown fox jumps high."
+    val clean = Seq.fill(3)(cleanLine).mkString("\n")
+    val mixed = Seq(
+      cleanLine,                                       // kept
+      "short line here now.",                          // 4 words → dropped
+      "this line has no terminal punctuation at all",  // no terminal → dropped
+      "please enable JavaScript to continue now.",     // javascript → dropped
+      "and that is what she said.”"                    // closing quote → kept
+    ).mkString("\n")
+    val fewSent = Seq.fill(2)(cleanLine).mkString("\n")
+    val lorem = clean + "\nLorem Ipsum dolor sit amet placeholder"
+    val brace = clean + "\nfunction f() { return 1; }"
+    val blockable = clean + "\nthis page mentions BadWord somewhere"
+    val rows = Seq(
+      (0L, clean), (1L, mixed), (2L, fewSent), (3L, lorem),
+      (4L, brace), (5L, blockable), (6L, null.asInstanceOf[String]))
+    val out = TextOps.c4Rules(rows.toDF("doc_id", "text"),
+      blocklist = Seq("badword"))
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    def s(id: Long, c: String) = byId(id).getString(byId(id).fieldIndex(c))
+    def l(id: Long, c: String) = byId(id).getLong(byId(id).fieldIndex(c))
+    def b(id: Long, c: String) = byId(id).getBoolean(byId(id).fieldIndex(c))
+    def ff(id: Long): String = {
+      val i = byId(id).fieldIndex("first_fail")
+      if (byId(id).isNullAt(i)) null else byId(id).getString(i)
+    }
+    assert(b(0L, "c4_pass") && ff(0L) == null)
+    assert(s(0L, "c4_text") == clean, "clean doc rewrites to itself")
+    // the mixed doc keeps exactly the two compliant lines, in order
+    assert(s(1L, "c4_text") == cleanLine + "\nand that is what she said.”")
+    assert(l(1L, "lines_kept") == 2L && l(1L, "lines_dropped") == 3L)
+    // ...and with only 2 sentences left, fails the page-level gate
+    assert(ff(1L) == "sentences_ok")
+    assert(ff(2L) == "sentences_ok")
+    assert(ff(3L) == "no_lorem", "case-insensitive lorem ipsum match")
+    assert(b(3L, "sentences_ok"), "3 clean sentences survive — narrow attribution")
+    assert(ff(4L) == "no_brace")
+    assert(b(4L, "sentences_ok"))
+    assert(ff(5L) == "no_blockwords", "blocklist match is case-insensitive")
+    assert(s(6L, "c4_text") == "" && l(6L, "lines_kept") == 0L)
+    assert(ff(6L) == "sentences_ok", "null text cleans to empty")
+    // an empty blocklist passes the blockable doc (rule vacuously true)
+    val noList = TextOps.c4Rules(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(noList(5L).getBoolean(noList(5L).fieldIndex("c4_pass")))
+    // zero-shuffle contract on the real corpus: no Exchange anywhere
+    val real = TextOps.c4Rules(graft.core.Tables(spark, sfDir, "documents"))
+    assert(!real.queryExecution.executedPlan.toString.contains("Exchange"),
+      "c4Rules must stay a pure projection")
+    assert(real.count() == 500)
+    intercept[IllegalArgumentException](
+      TextOps.c4Rules(rows.toDF("doc_id", "text"), minLineWords = 0))
+    intercept[IllegalArgumentException](
+      TextOps.c4Rules(rows.toDF("doc_id", "text"), minSentences = 0))
+    intercept[IllegalArgumentException](
+      TextOps.c4Rules(rows.toDF("doc_id", "text"), blocklist = Seq("BadWord")))
+    intercept[IllegalArgumentException](
+      TextOps.c4Rules(out)) // output-name collision refused
+  }
 }
