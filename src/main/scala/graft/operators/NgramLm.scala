@@ -78,6 +78,87 @@ object NgramLm {
   def q68LmScore(spark: SparkSession, dir: String): DataFrame =
     bigramScore(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
 
+  /** Interpolated Kneser–Ney bigram model (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form — the smoothing KenLM ships and
+    * CCNet's perplexity filter therefore runs) over the corpus's own
+    * bigrams, as a reusable probability table:
+    *
+    *   P(w2|w1)  = (c(w1,w2) − D)/c(w1) + λ(w1) · P_cont(w2)
+    *   λ(w1)     = D · N1+(w1,·) / c(w1)
+    *   P_cont(w2) = N1+(·,w2) / N1+(·,·)
+    *
+    * with `D` the absolute discount — estimated from bigram
+    * counts-of-counts as n1/(n1 + 2·n2) (Ney, Essen & Kneser 1994)
+    * when not supplied. Unlike add-one ([[bigramScore]]), mass moved
+    * off observed bigrams is routed to how PROMISCUOUS a continuation
+    * is (in how many distinct contexts it appears), not how frequent —
+    * the published fix for "Francisco is frequent but only follows
+    * San". Output: (w1, w2, c2, c1, p_cont, lambda_w1, p_kn) for every
+    * OBSERVED bigram — λ and P_cont expose the backoff mass so unseen
+    * probabilities λ(w1)·P_cont(w2) are computable from the table
+    * (the spec proves Σ_w2 P(w2|w1) = 1 with them).
+    *
+    * Shape at scale: the [[bigramScore]] discipline — everything is
+    * bounded by VOCABULARY, not corpus: one corpus-pass bigram count,
+    * then per-w1 / per-w2 aggregations OF THE COUNT TABLE, joined back
+    * without broadcast hints (AQE decides). The three driver scalars
+    * (n1, n2, bigram-type count) come from one bounded aggregate.
+    * Probability cells are pure per-row arithmetic over exact integer
+    * counts and the driver's D — deterministic at any parallelism.
+    */
+  def kneserNeyProbs(d: DataFrame, discount: Option[Double] = None): DataFrame = {
+    val bi = Caches.persist(
+      bigrams(d).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
+    val cc = bi.agg(
+      sum(when(col("c2") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c2") === 2, 1L).otherwise(0L)).as("n2"),
+      count(lit(1)).as("n_types")).head()
+    val nTypes = cc.getLong(2)
+    require(nTypes > 0, "no bigrams in the corpus — nothing to model")
+    val dEst = discount.getOrElse {
+      val (n1, n2) = (cc.getLong(0), cc.getLong(1))
+      require(n1 > 0,
+        "counts-of-counts degenerate (no singleton bigrams) — pass an explicit discount")
+      n1.toDouble / (n1 + 2.0 * n2)
+    }
+    require(dEst > 0.0 && dEst < 1.0, s"discount must be in (0,1), got $dEst")
+    val w1Stats = bi.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p_w1"))
+    val w2Stats = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1p_w2"))
+    bi.join(w1Stats, Seq("w1"))
+      .join(w2Stats, Seq("w2"))
+      .select(col("w1"), col("w2"), col("c2"), col("c1"),
+        (col("n1p_w2").cast("double") / lit(nTypes.toDouble)).as("p_cont"),
+        (lit(dEst) * col("n1p_w1").cast("double") / col("c1").cast("double"))
+          .as("lambda_w1"))
+      .withColumn("p_kn",
+        (col("c2").cast("double") - lit(dEst)) / col("c1").cast("double") +
+          col("lambda_w1") * col("p_cont"))
+  }
+
+  /** Score every (doc_id, text) row by mean Kneser–Ney bigram
+    * log-likelihood (the [[bigramScore]] head with the better model):
+    * (doc_id, n_bigrams, avg_logp), 0 for docs with < 2 tokens. Same
+    * determinism discipline: each ln rounds to 6 decimals, sums as
+    * exact DECIMAL.
+    */
+  def kneserNeyScore(d: DataFrame, discount: Option[Double] = None): DataFrame = {
+    val probs = kneserNeyProbs(d, discount)
+      .select(col("w1"), col("w2"), col("p_kn"))
+    val logp = round(log(col("p_kn")), 6)
+    val scored = bigrams(d)
+      .join(probs, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(logp.cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("avg_logp"))
+    d.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logp"), lit(0.0)).as("avg_logp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_lm_score" -> (q68LmScore _)
   )

@@ -49,4 +49,67 @@ class NgramLmSpec extends SparkSpec {
     // no Window operator anywhere — bigrams are derived in-row
     assert(!plan.contains("Window"), s"expected windowless bigram derivation:\n$plan")
   }
+
+  test("kneserNey: hand-computed probabilities, estimated discount, unit mass per context, doc scores") {
+    import spark.implicits._
+    // doc1 "a b a b", doc2 "a c" → bi counts (a,b):2 (b,a):1 (a,c):1;
+    // counts-of-counts n1=2 n2=1 → D = 2/(2+2) = 0.5; N1+(·,·) = 3;
+    // every continuation appears in exactly 1 context → P_cont = 1/3
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val probs = try NgramLm.kneserNeyProbs(d).collect()
+    finally graft.core.Caches.release()
+    val byPair = probs.map { r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    }.toMap
+    def close(x: Double, y: Double) = math.abs(x - y) <= 1e-12
+    assert(byPair.size == 3)
+    val ab = byPair(("a", "b"))
+    assert(ab._1 == 2L && ab._2 == 3L && close(ab._3, 1.0 / 3) &&
+      close(ab._4, 0.5 * 2 / 3) && close(ab._5, 0.6111111111111112))
+    assert(close(byPair(("b", "a"))._5, 0.6666666666666666))
+    assert(close(byPair(("a", "c"))._5, 0.2777777777777778))
+    // KN is properly normalized: Σ_w2 P(w2|w1) = 1, the unseen tail
+    // carried by λ(w1)·P_cont(w2) straight off the exposed columns
+    val contOf = Map("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3)
+    for (w1 <- Seq("a", "b")) {
+      val seen = byPair.filter(_._1._1 == w1)
+      val lam = seen.head._2._4
+      val unseenMass = contOf.keys.toSeq.filter(w2 => !byPair.contains((w1, w2)))
+        .map(contOf).sum * lam
+      val total = seen.values.map(_._5).sum + unseenMass
+      assert(close(total, 1.0), s"context $w1 sums to $total")
+    }
+    // doc scores: 6dp-rounded lns, decimal mean (hand-computed)
+    val scores = try NgramLm.kneserNeyScore(d).collect()
+    finally graft.core.Caches.release()
+    val byDoc = scores.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byDoc(1L) == ((3L, -0.463472)) && byDoc(2L) == ((1L, -1.280934)))
+    // an explicit discount overrides the estimate deterministically
+    val d03 = try NgramLm.kneserNeyProbs(d, Some(0.3)).collect()
+    finally graft.core.Caches.release()
+    val ab03 = d03.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    assert(close(ab03.getDouble(6), (2.0 - 0.3) / 3 + 0.3 * 2 / 3 * (1.0 / 3)))
+    // short docs score 0 with 0 bigrams; refusals
+    val short = try NgramLm.kneserNeyScore(
+      Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")).collect()
+    finally graft.core.Caches.release()
+    assert(short.find(_.getLong(0) == 3L).get.getLong(1) == 0L)
+    intercept[IllegalArgumentException] {
+      try NgramLm.kneserNeyProbs(d, Some(1.5)).collect()
+      finally graft.core.Caches.release()
+    }
+  }
+
+  test("kneserNey on the real corpus: deterministic across repartition, salad scores below natural text") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val a = try NgramLm.kneserNeyScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    finally graft.core.Caches.release()
+    val b = try NgramLm.kneserNeyScore(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    finally graft.core.Caches.release()
+    assert(a == b, "KN scores must be partition-invariant")
+    assert(a.nonEmpty && a.values.forall(v => v._1 == 0L || v._2 < 0.0))
+  }
 }
