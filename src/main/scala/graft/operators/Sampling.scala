@@ -487,19 +487,35 @@ object Sampling {
     * unique-doc_id requirement).
     */
   private def twoLevelCumSum(d: DataFrame, bucket: Column,
-                             order: Seq[Column], value: Column): DataFrame = {
+                             order: Seq[Column], value: Column): DataFrame =
+    twoLevelCumSums(d, bucket, order, Seq("_graft_cum" -> value))
+
+  /** Multi-value form of the two-level prefix scan: each (outName →
+    * value) pair gets its own inclusive running sum in the same single
+    * bucket-offsets round trip — one groupBy, one bounded offsets
+    * broadcast, one within-bucket window, however many sums ride it.
+    * Same no-tied-rows contract as above.
+    */
+  private[operators] def twoLevelCumSums(d: DataFrame, bucket: Column,
+                                         order: Seq[Column],
+                                         values: Seq[(String, Column)]): DataFrame = {
     val withB = d.withColumn("_graft_bucket", bucket)
     val wB = Window.orderBy(col("_graft_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withB.groupBy(col("_graft_bucket"))
-      .agg(sum(value).as("_graft_btok"))
-      .withColumn("_graft_boff",
-        coalesce(sum(col("_graft_btok")).over(wB), lit(0L)))
-      .select(col("_graft_bucket"), col("_graft_boff"))
+    val aggs = values.zipWithIndex.map { case ((_, v), i) =>
+      sum(v).as(s"_graft_btok$i") }
+    val withTotals = withB.groupBy(col("_graft_bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+    val offsets = values.indices.foldLeft(withTotals) { (acc, i) =>
+      acc.withColumn(s"_graft_boff$i",
+        coalesce(sum(col(s"_graft_btok$i")).over(wB), lit(0L)))
+    }.select(col("_graft_bucket") +:
+      values.indices.map(i => col(s"_graft_boff$i")): _*)
     val wIn = Window.partitionBy(col("_graft_bucket")).orderBy(order: _*)
-    withB.join(broadcast(offsets), "_graft_bucket")
-      .withColumn("_graft_cum", col("_graft_boff") + sum(value).over(wIn))
-      .drop("_graft_bucket", "_graft_boff")
+    val joined = withB.join(broadcast(offsets), "_graft_bucket")
+    values.zipWithIndex.foldLeft(joined) { case (acc, ((name, v), i)) =>
+      acc.withColumn(name, col(s"_graft_boff$i") + sum(v).over(wIn))
+    }.drop("_graft_bucket" +: values.indices.map(i => s"_graft_boff$i"): _*)
   }
 
   /** q71 = packSequences over `documents` (whitespace tokens, 2048-token

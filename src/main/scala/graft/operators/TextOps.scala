@@ -511,6 +511,143 @@ object TextOps {
       .withColumn("first_fail", firstFail)
   }
 
+  /** Top-`k` term ranks for the Zipf fit: (rank, term, cnt), rank 1 =
+    * most frequent, ties broken by term (a total order — the same rank
+    * table on any engine). One term-count shuffle (vocabulary keys,
+    * map-side combine) then Spark's sort+LIMIT — physically
+    * TakeOrderedAndProject: a per-partition top-k merge of k rows per
+    * partition, never a global sort of the vocabulary.
+    */
+  def zipfRanks(d: DataFrame, text: Column = col("text"),
+                k: Int = 1000): DataFrame = {
+    require(k >= 2, s"need k >= 2 ranks to fit anything, got $k")
+    val counts = d
+      .select(explode(filter(split(coalesce(text, lit("")), " "),
+        w => length(w) > 0)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))))
+      .select(col("rank"), col("term"), col("cnt"))
+  }
+
+  /** Zipf's-law fit over the top-`k` term ranks — the corpus-health
+    * monitor the published curation pipelines eyeball (natural text has
+    * log-log slope ≈ −1; boilerplate soup flattens it, near-duplicate
+    * floods steepen it): ordinary least squares of ln(count) on
+    * ln(rank), emitted as one row (n_terms, slope, intercept, r2).
+    * Fitting on the top-k ranks is the standard practice (the tail is
+    * where Zipf breaks by construction); the rank table is bounded (≤
+    * k rows), so the regression is driver math over a collected report,
+    * never data — StrictMath.log for bit-reproducibility.
+    */
+  def zipfFit(d: DataFrame, text: Column = col("text"),
+              k: Int = 1000): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val pts = zipfRanks(d, text, k).collect()
+      .map(r => (StrictMath.log(r.getInt(0).toDouble),
+        StrictMath.log(r.getLong(2).toDouble)))
+    require(pts.length >= 2, s"only ${pts.length} distinct terms — nothing to fit")
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    val ssTot = syy - sy * sy / n
+    val ssRes = pts.map { case (x, y) =>
+      val e = y - (intercept + slope * x); e * e }.sum
+    val r2 = if (ssTot > 0.0) 1.0 - ssRes / ssTot else 1.0
+    Seq((pts.length, slope, intercept, r2))
+      .toDF("n_terms", "slope", "intercept", "r2")
+  }
+
+  /** Vocabulary-growth curve (the Heaps'-law input): one row per doc in
+    * doc_id order with the running token total and the running count of
+    * DISTINCT types seen so far — "is this crawl still teaching the
+    * tokenizer new words, or has vocabulary growth gone flat" made
+    * visible. A type is charged to the FIRST doc (by doc_id) that
+    * contains it.
+    *
+    * Scale shape: token counts are in-row folds; the first-occurrence
+    * map is ONE shuffle keyed on the vocabulary (min(doc_id) per term,
+    * map-side combine); new-type counts join back onto the per-doc
+    * frame (doc-bounded); both running sums ride ONE
+    * [[Sampling.twoLevelCumSums]] prefix scan over the
+    * range-partitioned doc_id order — the corpus never collapses to a
+    * single-partition window. Output: (doc_id, n_tokens, new_types,
+    * cum_tokens, cum_types). doc_id must be unique (the prefix-scan
+    * contract); refused otherwise.
+    */
+  def vocabGrowth(d: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = filter(split(coalesce(text, lit("")), " "), w => length(w) > 0)
+    val base = d.select(col("doc_id"), toks.as("toks"))
+    val probe = base.agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+    require(probe.getLong(0) == probe.getLong(1),
+      s"doc_id is not unique (${probe.getLong(0)} rows, ${probe.getLong(1)} " +
+        "distinct) — the growth order would be undefined")
+    val firstSeen = base
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("new_types"))
+    val perDoc = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(firstSeen.withColumnRenamed("first_doc", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    val ranged = perDoc.repartitionByRange(col("doc_id"))
+    Sampling.twoLevelCumSums(ranged, spark_partition_id(), Seq(col("doc_id")),
+      Seq("cum_tokens" -> col("n_tokens"), "cum_types" -> col("new_types")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heaps'-law fit V(n) = K·n^β over the [[vocabGrowth]] curve: OLS of
+    * ln(cum_types) on ln(cum_tokens) across the per-doc checkpoints
+    * (rows with zero tokens-so-far are excluded — ln is undefined
+    * there, and an empty prefix says nothing about growth). Natural
+    * corpora sit at β ≈ 0.5–0.8; β collapsing toward 0 mid-crawl means
+    * the source stopped contributing new vocabulary. Determinism: each
+    * ln rounds to 6 decimals and the five regression moments are exact
+    * DECIMAL sums (partition-order independent); the final algebra is
+    * driver math over those five scalars. Output: one row (n_points,
+    * beta, ln_k, r2).
+    */
+  def heapsFit(d: DataFrame, text: Column = col("text")): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val curve = vocabGrowth(d, text)
+      .filter(col("cum_tokens") > 0 && col("cum_types") > 0)
+      .select(round(log(col("cum_tokens").cast("double")), 6).as("x"),
+        round(log(col("cum_types").cast("double")), 6).as("y"))
+    val mRow = curve.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(28,12)")).as("sx"),
+      sum(col("y").cast("decimal(28,12)")).as("sy"),
+      sum(round(col("x") * col("x"), 6).cast("decimal(28,12)")).as("sxx"),
+      sum(round(col("x") * col("y"), 6).cast("decimal(28,12)")).as("sxy"),
+      sum(round(col("y") * col("y"), 6).cast("decimal(28,12)")).as("syy"))
+      .head()
+    val nPts = mRow.getLong(0)
+    require(nPts >= 2, s"only $nPts usable growth points — nothing to fit")
+    val n = nPts.toDouble
+    val sx = mRow.getDecimal(1).doubleValue()
+    val sy = mRow.getDecimal(2).doubleValue()
+    val sxx = mRow.getDecimal(3).doubleValue()
+    val sxy = mRow.getDecimal(4).doubleValue()
+    val syy = mRow.getDecimal(5).doubleValue()
+    val denom = n * sxx - sx * sx
+    val beta = if (denom != 0.0) (n * sxy - sx * sy) / denom else 0.0
+    val lnK = (sy - beta * sx) / n
+    val ssTot = syy - sy * sy / n
+    val ssRes = syy - 2.0 * (lnK * sy + beta * sxy) +
+      n * lnK * lnK + 2.0 * lnK * beta * sx + beta * beta * sxx
+    val r2 = if (ssTot > 0.0) 1.0 - ssRes / ssTot else 1.0
+    Seq((nPts, beta, lnK, r2)).toDF("n_points", "beta", "ln_k", "r2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_lang_id" -> (q38LangId _),
     "q39_quality" -> (q39Quality _),

@@ -253,4 +253,69 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextOps.c4Rules(out)) // output-name collision refused
   }
+
+  test("zipfRanks/zipfFit: exact ranks with term tie-break; a perfect 1/rank corpus fits slope -1, r2 = 1") {
+    import spark.implicits._
+    // counts = 12/rank: a:12 b:6 c:4 d:3 → ln c = ln 12 − ln r exactly
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(3)("d")
+    val d = words.grouped(5).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val ranks = TextOps.zipfRanks(d, k = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(ranks.toSeq == Seq((1, "a", 12L), (2, "b", 6L), (3, "c", 4L), (4, "d", 3L)))
+    val fit = TextOps.zipfFit(d, k = 10).head()
+    assert(fit.getInt(0) == 4)
+    assert(math.abs(fit.getDouble(1) - (-1.0)) <= 1e-12, s"slope ${fit.getDouble(1)}")
+    assert(math.abs(fit.getDouble(2) - StrictMath.log(12.0)) <= 1e-12)
+    assert(math.abs(fit.getDouble(3) - 1.0) <= 1e-12)
+    // k truncates the rank table; ties break by term so ranks are total
+    val tied = Seq((0L, "x y"), (1L, "y x")).toDF("doc_id", "text")
+    val tr = TextOps.zipfRanks(tied, k = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(tr.toSeq == Seq((1, "x"), (2, "y")))
+    intercept[IllegalArgumentException](TextOps.zipfRanks(d, k = 1))
+    intercept[IllegalArgumentException](
+      TextOps.zipfFit(Seq((0L, "solo")).toDF("doc_id", "text")))
+    // real corpus: slope is negative by construction (counts descend in
+    // rank); r2 stays a valid ratio — the synthetic testdata's flat
+    // frequency profile (r2 ≈ 0.06) is exactly the non-Zipfian shape
+    // this monitor exists to flag, so the value itself is not asserted
+    val real = TextOps.zipfFit(graft.core.Tables(spark, sfDir, "documents"),
+      k = 200).head()
+    assert(real.getDouble(1) < 0.0)
+    assert(real.getDouble(3) >= 0.0 && real.getDouble(3) <= 1.0)
+  }
+
+  test("vocabGrowth/heapsFit: hand-computed curve, first-doc type charging, invariance, fit values") {
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, "a c"), (3L, "b c d")).toDF("doc_id", "text")
+    val curve = TextOps.vocabGrowth(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(curve.toSeq == Seq(
+      (1L, 2L, 2L, 2L, 2L), (2L, 2L, 1L, 4L, 3L), (3L, 3L, 1L, 7L, 4L)))
+    // repartitioning does not move a single checkpoint
+    val curve2 = TextOps.vocabGrowth(d.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(curve.toSeq == curve2.toSeq)
+    // empty/null docs contribute zero tokens and zero types but keep their row
+    val withEmpty = TextOps.vocabGrowth(
+      Seq((1L, "a b"), (2L, null.asInstanceOf[String]), (3L, "c")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(withEmpty.toSeq == Seq((1L, 2L, 2L), (2L, 2L, 2L), (3L, 3L, 3L)))
+    // fit: 6dp-rounded ln moments, decimal sums (hand-computed)
+    val fit = TextOps.heapsFit(d).head()
+    assert(fit.getLong(0) == 3L)
+    assert(math.abs(fit.getDouble(1) - 0.5545342235891043) <= 1e-9, s"beta ${fit.getDouble(1)}")
+    assert(math.abs(fit.getDouble(2) - 0.3152860361804583) <= 1e-9)
+    assert(math.abs(fit.getDouble(3) - 0.9986790445756702) <= 1e-6)
+    // duplicate doc_id refused (growth order undefined)
+    intercept[IllegalArgumentException](
+      TextOps.vocabGrowth(Seq((1L, "a"), (1L, "b")).toDF("doc_id", "text")).collect())
+    // real corpus: sublinear growth in a sane band, curve is monotone
+    val real = TextOps.heapsFit(graft.core.Tables(spark, sfDir, "documents")).head()
+    assert(real.getDouble(1) > 0.0 && real.getDouble(1) < 1.0,
+      s"real-beta ${real.getDouble(1)}")
+  }
 }
