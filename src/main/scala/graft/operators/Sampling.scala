@@ -676,6 +676,43 @@ object Sampling {
       .select(outCols: _*)
   }
 
+  /** CCNet-style quality bucketing (Wenzek et al. 2020 §4.3 — the
+    * published head/middle/tail split every perplexity-filtered corpus
+    * recipe since reuses): assign each document a bucket by its
+    * WITHIN-SOURCE score quantile, so "head" means "good for its own
+    * source's distribution" — the paper's reason for per-language
+    * thresholds, generalized to any grouping. Rides
+    * [[calibrateScores]]' distributed ECDF (no per-source window
+    * sort); `cuts` are quantile boundaries in (0, 1) (CCNet's
+    * thirds by default), `labels` names the |cuts|+1 buckets.
+    * `lowerIsBetter = true` matches perplexity (low = head); flip it
+    * for scores where high is good — implemented by calibrating the
+    * NEGATED score, so ties still share one bucket. Output: input +
+    * `score_pct` (the oriented within-source quantile: low = head) +
+    * `ppl_bucket`.
+    */
+  def perplexityBuckets(d: DataFrame, source: Column, score: Column,
+                        cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+                        labels: Seq[String] = Seq("head", "middle", "tail"),
+                        lowerIsBetter: Boolean = true): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(c => c > 0.0 && c < 1.0) &&
+      cuts.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      s"cuts must be strictly increasing within (0,1), got $cuts")
+    require(labels.length == cuts.length + 1,
+      s"${cuts.length} cuts need ${cuts.length + 1} labels, got ${labels.length}")
+    require(labels.distinct.length == labels.length && labels.forall(_.nonEmpty),
+      "bucket labels must be distinct and non-empty")
+    require(!d.columns.contains("ppl_bucket"),
+      "input already has a ppl_bucket column; rename it first")
+    val oriented = if (lowerIsBetter) score else -score
+    val cal = calibrateScores(d, source, oriented)
+    val bucket = cuts.zip(labels.init).reverse.foldLeft(lit(labels.last)) {
+      case (tail, (c, lab)) =>
+        when(col("score_pct") <= c, lit(lab)).otherwise(tail)
+    }
+    cal.withColumn("ppl_bucket", bucket)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_sample_stratified" -> (q58SampleStratified _),
     "q62_split_manifest" -> (q62SplitManifest _),

@@ -94,6 +94,40 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(rep.last.getDouble(3) - m.explainedRatio.sum) <= 1e-12)
   }
 
+  test("PCA -> PQ composition: the FAISS PCAMatrix front end feeds the quantizer in the reduced space") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions.l2norm
+    // 64 -> 16 dims (4x narrower codebooks and dot products), then the
+    // standard PQ index is trained and queried entirely in PCA space
+    val vecs = realVecs
+    val m = Pca.train(vecs, k = 16)
+    val reduced = Pca.project(vecs, m)
+      .select(col("vec_id"), col("pc").as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val books = Similarity.pqTrain(reduced, dim = 16, nSub = 4,
+      nCentroids = 8, trainIters = 1)
+    assert(books.length == 4 && books.forall(_.forall(_.length == 4)))
+    val n = reduced.count().toInt
+    // rerank-all in the reduced space equals reduced-space brute force —
+    // the composition loses nothing beyond the projection itself
+    val full = Similarity.knnPq(reduced, col("vec_id") < 5, books, k = 10,
+      rerank = n).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.knnBrute(reduced,
+      reduced.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
+        col("v").as("qv"), col("norm").as("qnorm")), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+    // and the reduced-space neighbors still recover most full-space
+    // neighbors — 16 of 64 dims carrying the bulk of the variance
+    val fullSpace = Similarity.knnBrute(vecs,
+      vecs.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
+        col("v").as("qv"), col("norm").as("qnorm")), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (fullSpace & brute).size.toDouble / fullSpace.size
+    assert(recall >= 0.3, s"PCA-space recall@10 = $recall " +
+      s"(explained ${m.explainedRatio.sum})")
+  }
+
   test("refusals: bad k, ragged vectors, over-wide dim, too few rows, output collision") {
     import spark.implicits._
     intercept[IllegalArgumentException](Pca.train(fixture(), k = 0))

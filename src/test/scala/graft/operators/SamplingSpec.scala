@@ -445,4 +445,46 @@ class SamplingSpec extends SparkSpec {
         f.withColumn("score_pct", lit(1)), col("src"), col("s")))
     } finally graft.core.Caches.release()
   }
+
+  test("perplexityBuckets: per-source thirds land head/middle/tail, orientation flips, refusals") {
+    import spark.implicits._
+    // source A: perplexities 1..6 → head {1,2}, middle {3,4}, tail {5,6};
+    // source B runs on a 10x scale — per-source calibration still
+    // buckets it evenly (the CCNet point)
+    val f = (Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "a", 4.0), (5L, "a", 5.0), (6L, "a", 6.0),
+      (7L, "b", 10.0), (8L, "b", 20.0), (9L, "b", 30.0)))
+      .toDF("doc_id", "src", "ppl")
+    try {
+      val out = Sampling.perplexityBuckets(f, col("src"), col("ppl"))
+        .select("doc_id", "ppl_bucket").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out(1L) == "head" && out(2L) == "head")
+      assert(out(3L) == "middle" && out(4L) == "middle")
+      assert(out(5L) == "tail" && out(6L) == "tail")
+      assert(out(7L) == "head" && out(8L) == "middle" && out(9L) == "tail")
+      // a higher-is-better score flips the orientation, same buckets
+      val hi = Sampling.perplexityBuckets(f, col("src"), col("ppl"),
+        lowerIsBetter = false).select("doc_id", "ppl_bucket").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(hi(1L) == "tail" && hi(6L) == "head" && hi(4L) == "middle")
+      // custom cuts/labels; tied scores share a bucket
+      val two = Sampling.perplexityBuckets(f, col("src"), col("ppl"),
+        cuts = Seq(0.5), labels = Seq("keep", "drop"))
+        .select("doc_id", "ppl_bucket").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(two(3L) == "keep" && two(4L) == "drop")
+      val tied = Sampling.perplexityBuckets(
+        Seq((1L, "a", 7.0), (2L, "a", 7.0)).toDF("doc_id", "src", "ppl"),
+        col("src"), col("ppl")).select("ppl_bucket").collect()
+        .map(_.getString(0)).distinct
+      assert(tied.toSeq == Seq("tail"), "ties share one ECDF value, one bucket")
+      intercept[IllegalArgumentException](Sampling.perplexityBuckets(
+        f, col("src"), col("ppl"), cuts = Seq(0.5, 0.4)))
+      intercept[IllegalArgumentException](Sampling.perplexityBuckets(
+        f, col("src"), col("ppl"), labels = Seq("a", "b")))
+      intercept[IllegalArgumentException](Sampling.perplexityBuckets(
+        f.withColumn("ppl_bucket", lit("x")), col("src"), col("ppl")))
+    } finally graft.core.Caches.release()
+  }
 }
