@@ -227,6 +227,97 @@ object Multimodal {
     }
   }
 
+  /** Real pixel statistics per image payload ([[imageStats]]). */
+  final case class ImageStats(
+      media_id: Long,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      luma_mean: Double,
+      luma_std: Double,
+      dark_frac: Double,    // share of pixels with luma < darkThreshold
+      bright_frac: Double)  // share of pixels with luma >= brightThreshold
+
+  /** Image-signal feature extraction — the visual sibling of
+    * [[audioStats]] and the filter stage a multimodal curation pipeline
+    * runs before captioning/embedding spend: per image the REAL decoded
+    * dimensions, per-channel means, luma mean/std (Rec.601 weights —
+    * 0.299 R + 0.587 G + 0.114 B, the published broadcast luma), and
+    * the dark/bright pixel fractions that catch all-black thumbnails,
+    * blown-out scans, and single-color placeholders (luma_std ≈ 0)
+    * before they waste a GPU. Same contract as [[audioStats]]: one row
+    * per input row, `decoded = false` (all-zero stats) for non-image
+    * kinds and payloads `ImageIO` rejects; decode ONCE per payload; a
+    * pure per-row mapPartitions — no shuffle, composes into any scan,
+    * deterministic at any parallelism (fixed row-major pixel walk).
+    */
+  def imageStats(media: Dataset[MediaRow],
+                 darkThreshold: Int = 16,
+                 brightThreshold: Int = 240): Dataset[ImageStats] = {
+    require(darkThreshold >= 0 && brightThreshold <= 256 &&
+      darkThreshold < brightThreshold,
+      s"need 0 <= darkThreshold < brightThreshold <= 256, " +
+        s"got [$darkThreshold, $brightThreshold]")
+    import media.sparkSession.implicits._
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val none = ImageStats(m.media_id, decoded = false, 0, 0,
+          0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        if (m.kind != "image") none
+        else {
+          val decoded =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.payload)))
+            catch { case _: Exception => None }
+          decoded match {
+            case Some(img) if img.getWidth > 0 && img.getHeight > 0 =>
+              val w = img.getWidth; val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              val n = px.length
+              def lumaOf(p: Int): Double =
+                0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+                  0.114 * (p & 0xff)
+              var i = 0
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var sy = 0.0
+              var dark = 0L; var bright = 0L
+              while (i < n) {
+                val p = px(i)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                val y = lumaOf(p)
+                sy += y
+                if (y < darkThreshold) dark += 1
+                if (y >= brightThreshold) bright += 1
+                i += 1
+              }
+              val yMean = sy / n
+              // two-pass variance: exactly zero on constant images, where
+              // the one-pass E[y²] − E[y]² form leaves float residue
+              var sdd = 0.0
+              i = 0
+              while (i < n) {
+                val dv = lumaOf(px(i)) - yMean
+                sdd += dv * dv
+                i += 1
+              }
+              val yVar = sdd / n
+              ImageStats(m.media_id, decoded = true, w, h,
+                round6(sr.toDouble / n), round6(sg.toDouble / n),
+                round6(sb.toDouble / n), round6(yMean),
+                round6(math.sqrt(yVar)),
+                round6(dark.toDouble / n), round6(bright.toDouble / n))
+            case _ => none
+          }
+        }
+      }
+    }
+  }
+
   /** A resized image row: re-encoded payload + old/new dims. */
   final case class ResizedImage(
       media_id: Long,

@@ -117,6 +117,50 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.audioStats(media, clipThreshold = 0.0))
   }
 
+  test("imageStats: real pixel stats — solid colors, checkerboard contrast, graceful non-image") {
+    def pngOf(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val red = pngOf(4, 4, (_, _) => 0xff0000)
+    val black = pngOf(4, 4, (_, _) => 0x000000)
+    val white = pngOf(4, 4, (_, _) => 0xffffff)
+    val checker = pngOf(2, 2, (x, y) => if ((x + y) % 2 == 0) 0x000000 else 0xffffff)
+
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", red, red.length.toLong),
+      Multimodal.MediaRow(2L, "image", black, black.length.toLong),
+      Multimodal.MediaRow(3L, "image", white, white.length.toLong),
+      Multimodal.MediaRow(4L, "image", checker, checker.length.toLong),
+      Multimodal.MediaRow(5L, "image", "not an image".getBytes("UTF-8"), 12L),
+      Multimodal.MediaRow(6L, "audio", red, red.length.toLong)))
+    val s = Multimodal.imageStats(media).collect().sortBy(_.media_id)
+
+    // solid red: Rec.601 luma = 0.299·255 = 76.245 exactly, zero spread
+    assert(s(0).decoded && s(0).width == 4 && s(0).height == 4)
+    assert(s(0).mean_r == 255.0 && s(0).mean_g == 0.0 && s(0).mean_b == 0.0)
+    assert(s(0).luma_mean == 76.245 && s(0).luma_std == 0.0)
+    assert(s(0).dark_frac == 0.0 && s(0).bright_frac == 0.0)
+    // black: all dark; white: all bright
+    assert(s(1).luma_mean == 0.0 && s(1).dark_frac == 1.0 && s(1).bright_frac == 0.0)
+    assert(s(2).luma_mean == 255.0 && s(2).bright_frac == 1.0 && s(2).dark_frac == 0.0)
+    // checkerboard: mean 127.5, std 127.5 (max contrast), half dark half bright
+    assert(s(3).mean_r == 127.5 && s(3).luma_mean == 127.5 && s(3).luma_std == 127.5)
+    assert(s(3).dark_frac == 0.5 && s(3).bright_frac == 0.5)
+    // garbage bytes and wrong kind: one row each, decoded = false
+    assert(!s(4).decoded && !s(5).decoded)
+    // pure per-row function: identical at any parallelism
+    val s2 = Multimodal.imageStats(media.repartition(5)).collect().sortBy(_.media_id)
+    assert(s.toSeq == s2.toSeq)
+    intercept[IllegalArgumentException](
+      Multimodal.imageStats(media, darkThreshold = 200, brightThreshold = 100))
+  }
+
   test("resizeImages really rescales decodable payloads and passes through the rest") {
     val img = new java.awt.image.BufferedImage(8, 6,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
