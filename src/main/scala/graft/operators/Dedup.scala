@@ -866,8 +866,8 @@ object Dedup {
     * array; `persistSigs` caches the narrow (doc_id, sigs) form when
     * the caller traverses the index more than once (the self-join).
     */
-  private def bandIndex(d: DataFrame, n: Int, seeds: Int, bands: Int,
-                        persistSigs: Boolean): DataFrame = {
+  private[graft] def bandIndex(d: DataFrame, n: Int, seeds: Int, bands: Int,
+                               persistSigs: Boolean): DataFrame = {
     val rows = seeds / bands
     val sigd0 = d
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

@@ -167,6 +167,89 @@ object StreamTail {
       }
       .start()
 
+  /** One streaming near-dup band probe: `owner` is the doc that first
+    * claimed this band bucket (owner == doc_id ⇔ this doc claimed it). */
+  final case class BandHit(doc_id: Long, band: Int, owner: Long)
+
+  /** Streaming near-duplicate candidate detection — the CONTINUOUS twin
+    * of [[graft.operators.Dedup.incrementalNearDup]]: each arriving
+    * (doc_id, text) row derives its MinHash band keys IN-ROW (the exact
+    * [[graft.operators.Dedup.minhashNearDup]] index — same shingles,
+    * seeds, banding), and a `flatMapGroupsWithState` keyed by (band,
+    * band_key) remembers each bucket's FIRST owner: every probe emits a
+    * [[BandHit]] whose `owner` is that first doc, so a doc sharing any
+    * bucket with an earlier doc is an LSH candidate against it — the
+    * admission signal a continuous ingest gate needs, without
+    * re-scanning the corpus per batch. Exact-Jaccard verification of
+    * flagged pairs stays a batch job over the flagged ids (same split
+    * as the rateAnomaliesFromCounts deployment seam: cheap signal
+    * in-stream, exact math offline).
+    *
+    * Determinism: within a micro-batch, bucket claimants process in
+    * doc_id order, so the owner is a pure function of (batch contents,
+    * state) — re-running a batch re-derives identical hits (checkpoint
+    * replay safe). State per bucket is ONE long regardless of how many
+    * docs hit it — the dedup index compresses to first-owner, the
+    * smallest state any near-dup memory can carry; `ttlMs > 0` adds a
+    * processing-time horizon after which an idle bucket forgets its
+    * owner (the [[dedupExact]] watermark-bounding story for state that
+    * would otherwise grow with the distinct-bucket count). Docs shorter
+    * than `n` tokens emit no band rows (no n-gram evidence — same as
+    * the batch index). Per-doc verdicts roll up per micro-batch via
+    * [[nearDupVerdict]] in the sink.
+    */
+  def nearDupCandidates(docs: DataFrame, n: Int = 3, seeds: Int = 16,
+                        bands: Int = 4, ttlMs: Long = 0L): Dataset[BandHit] = {
+    require(seeds % bands == 0, s"$seeds signatures must band evenly into $bands")
+    require(ttlMs >= 0L, s"ttlMs must be >= 0, got $ttlMs")
+    import docs.sparkSession.implicits._
+    val idx = graft.operators.Dedup
+      .bandIndex(docs, n, seeds, bands, persistSigs = false)
+      .select(col("doc_id").cast("long"), col("band").cast("int"), col("band_key"))
+      .as[(Long, Int, String)]
+    val timeoutConf =
+      if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    idx.groupByKey { case (_, band, key) => s"$band|$key" }
+      .flatMapGroupsWithState[Long, BandHit](OutputMode.Append(), timeoutConf) {
+        case (_, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_._1)
+            var owner = state.getOption
+            val out = sorted.map { case (id, band, _) =>
+              owner match {
+                case None =>
+                  owner = Some(id)
+                  BandHit(id, band, id)
+                case Some(o) =>
+                  BandHit(id, band, o)
+              }
+            }
+            owner.foreach { o =>
+              state.update(o)
+              if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Per-doc rollup of a micro-batch's [[BandHit]]s (run it in the
+    * sink — foreachBatch or over the memory table): (doc_id, n_bands,
+    * dup_candidate, dup_of) where dup_of is the smallest earlier owner
+    * any band matched (null for novel docs). A doc owning every one of
+    * its buckets is novel; any foreign owner makes it an LSH candidate
+    * pair to verify.
+    */
+  def nearDupVerdict(hits: DataFrame): DataFrame =
+    hits.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bands"),
+      max(col("owner") =!= col("doc_id")).as("dup_candidate"),
+      min(when(col("owner") =!= col("doc_id"), col("owner"))).as("dup_of"))
+
   final case class SessionEvent(user_id: Long, e_ms: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, sum_value: Double)

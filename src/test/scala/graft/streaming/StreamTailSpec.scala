@@ -318,6 +318,60 @@ class StreamTailSpec extends SparkSpec {
     log.destroy()
   }
 
+  test("streaming near-dup: band buckets remember their first owner across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog today"
+    val textB = "completely different words appear in this other document here now"
+    val input = MemoryStream[(Long, String)]
+    val hits = StreamTail.nearDupCandidates(
+      input.toDS().toDF("doc_id", "text"), n = 3, seeds = 16, bands = 4)
+    val q = hits.writeStream
+      .format("memory").queryName("neardup_t").outputMode("append").start()
+    try {
+      // batch 1: two identical docs — 1 claims every bucket, 2 matches it
+      input.addData((1L, textA), (2L, textA))
+      q.processAllAvailable()
+      // batch 2: another copy of A (state remembers 1) + a novel doc
+      input.addData((3L, textA), (4L, textB))
+      q.processAllAvailable()
+      // batch 3: a copy of B — matches 4 across the batch boundary
+      input.addData((5L, textB))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT doc_id, band, owner FROM neardup_t").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      // every doc probes all 4 bands exactly once
+      assert(all.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap ==
+        (1L to 5L).map(_ -> Seq(0, 1, 2, 3)).toMap)
+      // identical text ⇒ identical signatures ⇒ every band resolves to
+      // the bucket's first owner, including across micro-batches
+      assert(all.filter(_._1 == 1L).forall(_._3 == 1L))
+      assert(all.filter(_._1 == 2L).forall(_._3 == 1L))
+      assert(all.filter(_._1 == 3L).forall(_._3 == 1L))
+      assert(all.filter(_._1 == 4L).forall(_._3 == 4L))
+      assert(all.filter(_._1 == 5L).forall(_._3 == 4L))
+      // the sink-side rollup: novel docs own themselves, copies point home
+      val verdict = StreamTail.nearDupVerdict(
+        spark.sql("SELECT doc_id, band, owner FROM neardup_t"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      assert(verdict(1L) == ((4L, false, -1L)) && verdict(4L) == ((4L, false, -1L)))
+      assert(verdict(2L) == ((4L, true, 1L)) && verdict(3L) == ((4L, true, 1L)))
+      assert(verdict(5L) == ((4L, true, 4L)))
+    } finally q.stop()
+    // a doc shorter than n tokens emits no band rows (no n-gram evidence)
+    val short = MemoryStream[(Long, String)]
+    val q2 = StreamTail.nearDupCandidates(short.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_short").outputMode("append").start()
+    try {
+      short.addData((9L, "too short"))
+      q2.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM neardup_short").head().getLong(0) == 0L)
+    } finally q2.stop()
+    intercept[IllegalArgumentException](
+      StreamTail.nearDupCandidates(short.toDS().toDF("doc_id", "text"), seeds = 10, bands = 4))
+  }
+
   test("stateful sessionization closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
