@@ -32,6 +32,41 @@ object Sampling {
     d.withColumn("bucket", Hashing.hash60(key.cast("string")) % buckets)
       .filter(col("bucket") < keep)
 
+  /** Deterministic global training shuffle — the "shuffle once per
+    * epoch, reproducibly" step every pre-training run takes before
+    * sequence packing: rows re-order by the 60-bit hash of (key, salt)
+    * with the key itself as tie-break (a total order), so the
+    * permutation is a pure function of (data, salt) — identical on any
+    * cluster at any partitioning, and `salt` is the EPOCH knob (the
+    * sampling family's membership-by-hash rule: next epoch = next salt,
+    * never RNG state). `shuffle_pos` = the exact 1..n global position,
+    * riding the shared two-level prefix scan over the range-partitioned
+    * hash order — no single-partition window, and the output is already
+    * range-partitioned in shuffle order so a downstream writer streams
+    * the permutation without another sort. `key` must be unique
+    * (refused otherwise — tied rows would have no defined position).
+    */
+  def shuffleDeterministic(d: DataFrame, key: Column, salt: Long = 0L,
+                           parts: Int = 0): DataFrame = {
+    require(parts >= 0, s"parts must be >= 0 (0 = session default), got $parts")
+    val reserved = Seq("_shuf_h", "shuffle_pos")
+    reserved.foreach(r => require(!d.columns.contains(r),
+      s"input already has a $r column; rename it first"))
+    val base = d.withColumn("_shuf_h",
+      Hashing.hash60(concat(key.cast("string"), lit("|"), lit(salt))))
+    val probe = base.agg(count(lit(1)), countDistinct(key)).head()
+    require(probe.getLong(0) == probe.getLong(1),
+      s"shuffle key is not unique (${probe.getLong(0)} rows, " +
+        s"${probe.getLong(1)} distinct) — tied rows have no defined position")
+    val orderCols = Seq(col("_shuf_h"), key)
+    val ranged = graft.core.Caches.persist(
+      if (parts > 0) base.repartitionByRange(parts, orderCols: _*)
+      else base.repartitionByRange(orderCols: _*))
+    twoLevelCumSums(ranged, spark_partition_id(), orderCols,
+      Seq("shuffle_pos" -> lit(1L)))
+      .drop("_shuf_h")
+  }
+
   /** Exact-size stratified sample: the `n` rows of each stratum with
     * the smallest key hashes (ties broken by the key itself — a total
     * order, so the sample is unique). One shuffle on the stratum

@@ -446,6 +446,41 @@ class SamplingSpec extends SparkSpec {
     } finally graft.core.Caches.release()
   }
 
+  test("shuffleDeterministic: an exact hash-ordered permutation, salt moves the epoch, invariant") {
+    import spark.implicits._
+    val d = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    try {
+      val out = Sampling.shuffleDeterministic(d, col("doc_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // a permutation: every doc appears once, positions are exactly 1..n
+      assert(out.keySet == (0L until 40L).toSet)
+      assert(out.values.toSeq.sorted == (1L to 40L).toSeq)
+      // the order IS the (hash60(key|salt), key) order — replayed through
+      // an independent projection of the same engine hash
+      val expected = d.select(col("doc_id"),
+        graft.functions.Hashing.hash60(
+          concat(col("doc_id").cast("string"), lit("|"), lit(0L))).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(p => (p._2, p._1)).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      assert(out == expected)
+      // pure function of (data, salt): any input partitioning, any scan
+      // parallelism, same permutation
+      val out2 = Sampling.shuffleDeterministic(d.repartition(7), col("doc_id"),
+        parts = 3).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(out == out2)
+      // the next epoch is a salt change, not RNG state
+      val epoch1 = Sampling.shuffleDeterministic(d, col("doc_id"), salt = 1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(epoch1 != out)
+      assert(epoch1.values.toSeq.sorted == (1L to 40L).toSeq)
+      intercept[IllegalArgumentException](Sampling.shuffleDeterministic(
+        d.withColumn("shuffle_pos", lit(1)), col("doc_id")))
+      intercept[IllegalArgumentException](Sampling.shuffleDeterministic(
+        d.withColumn("doc_id", lit(7L)), col("doc_id")))
+    } finally graft.core.Caches.release()
+  }
+
   test("perplexityBuckets: per-source thirds land head/middle/tail, orientation flips, refusals") {
     import spark.implicits._
     // source A: perplexities 1..6 → head {1,2}, middle {3,4}, tail {5,6};
