@@ -656,4 +656,100 @@ object Graph {
       .select(col("v"), col("outdeg").cast("long").as("degree"),
         col("r").as("pagerank"))
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan,
+    * Albert & Kumara 2007) — the third graph view the dedup pipeline
+    * wants beside [[connectedComponents]] (which MERGES everything a
+    * bridge touches) and [[pageRank]] (which ranks within a
+    * neighborhood): LPA finds the densely-connected groups, so two
+    * mirror clusters joined by one coincidental near-dup pair stay two
+    * communities where CC would weld them into one.
+    *
+    * Determinism: the paper's asynchronous random-order updates are
+    * replaced by synchronous rounds with a total-order rule — every
+    * vertex simultaneously adopts its neighbors' MOST FREQUENT current
+    * label, ties broken by the smallest label — so round t+1 is a pure
+    * function of round t and the result is a pure function of (edges,
+    * iters). Synchronous LPA can oscillate on bipartite structures
+    * (the known price of determinism), so the loop runs EXACTLY
+    * `iters` rounds and returns that snapshot — spec'd deterministic,
+    * not "converged".
+    *
+    * Scale shape = the [[connectedComponents]] loop: edges symmetrized
+    * and hash-partitioned once; per round, one narrow edges⋈labels
+    * join, one (v, label)-keyed count reduce (map-side combined — a
+    * hub receives one partial per partition), one v-keyed argmax
+    * reduce, one narrow realignment join. Isolated vertices (none, by
+    * construction — every vertex has an edge) and vertices whose
+    * neighbors send nothing keep their label. Differentially tested
+    * against the retained DataFrame twin [[labelPropagationSql]].
+    */
+  def labelPropagation(edges0: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges0.sparkSession
+    val (edges, part) = symmetrizedEdges(edges0)
+    var labels: RDD[(Long, Long)] = Caches.persistRdd(
+      edges.mapPartitions(it => {
+        val seen = new java.util.HashSet[Long]()
+        it.flatMap { case (s, _) =>
+          if (seen.add(s)) Iterator.single((s, s)) else Iterator.empty
+        }
+      }, preservesPartitioning = true))
+    var prevPersist: RDD[_] = labels
+    var it = 0
+    while (it < iters) {
+      val counts = edges.join(labels, part) // narrow: both sides part-keyed
+        .map { case (_, (d, ls)) => ((d, ls), 1L) }
+        .reduceByKey(part, _ + _) // message shuffle, map-side combined
+      val best = counts
+        .map { case ((v, l), c) => (v, (c, l)) }
+        .reduceByKey(part, (a, b) =>
+          if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
+      val next = labels.leftOuterJoin(best, part) // narrow realignment
+        .mapValues { case (l, nb) => nb.map(_._2).getOrElse(l) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize this round, then drop the superseded one
+      prevPersist.unpersist(blocking = false)
+      prevPersist = next
+      labels = next
+      it += 1
+    }
+    Caches.trackRdd(labels)
+    spark.createDataFrame(
+      labels.map { case (v, l) => Row(v, l) },
+      StructType(Seq(StructField("v", LongType), StructField("label", LongType))))
+  }
+
+  /** The one-loop DataFrame twin of [[labelPropagation]] — the
+    * differential oracle, never the shipped path (per-round plan
+    * re-analysis; see the object scaladoc). Same synchronous
+    * most-frequent/min-tie rule, argmax realized as max-count filter +
+    * min-label (no struct-ordering tricks, so it is obviously the same
+    * rule). */
+  private[graft] def labelPropagationSql(edges0: DataFrame, iters: Int = 5): DataFrame = {
+    val half = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val edges = Caches.persist(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labels = Caches.persist(
+      edges.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("label")))
+    var it = 0
+    while (it < iters) {
+      val msgs = edges
+        .join(labels.select(col("v").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      val mx = msgs.groupBy(col("dst")).agg(max(col("cnt")).as("mc"))
+      val best = msgs.join(mx, "dst").filter(col("cnt") === col("mc"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+      val next = Caches.persist(
+        labels.join(best.withColumnRenamed("dst", "v"), Seq("v"), "left")
+          .select(col("v"), coalesce(col("nl"), col("label")).as("label")))
+      next.count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
 }

@@ -235,4 +235,46 @@ class GraphSpec extends SparkSpec {
     finally graft.core.Caches.release()
     assert(ccCold(k) == ccCold(1))
   }
+
+  test("labelPropagation: bridged triangles stay two communities where CC welds one; RDD = SQL") {
+    import spark.implicits._
+    // two triangles joined by one bridge (3-4): the near-dup shape where
+    // a single coincidental pair must NOT merge two mirror clusters
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    def lpa(iters: Int) = try Graph.labelPropagation(tri, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally graft.core.Caches.release()
+    // hand-traced synchronous rounds settle at {1,2,3}→1, {4,5,6}→3
+    val settled = lpa(4)
+    assert(settled == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $settled")
+    assert(lpa(6) == settled, "already stable — more rounds change nothing")
+    // CC on the same edges gives ONE component — the contrast LPA exists for
+    val cc = try Graph.connectedComponents(tri).collect()
+      .map(r => r.getLong(1)).distinct.toSeq
+    finally graft.core.Caches.release()
+    assert(cc == Seq(1L))
+    // synchronous determinism on an oscillating star: exact snapshot at
+    // each fixed round count, pure function of (edges, iters)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    def starAt(iters: Int) = try Graph.labelPropagation(star, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally graft.core.Caches.release()
+    assert(starAt(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(starAt(2) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    assert(starAt(2) == starAt(2), "fixed-round snapshot is reproducible")
+    // differential: RDD loop == DataFrame twin on a seeded random graph
+    val rnd2 = new scala.util.Random(11)
+    val g = Seq.fill(120)((rnd2.nextInt(40).toLong, rnd2.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).toDF("src", "dst")
+    val rddOut = try Graph.labelPropagation(g, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally graft.core.Caches.release()
+    val sqlOut = try Graph.labelPropagationSql(g, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally graft.core.Caches.release()
+    assert(rddOut == sqlOut)
+    intercept[IllegalArgumentException](Graph.labelPropagation(tri, iters = 0))
+  }
 }
