@@ -126,6 +126,49 @@ object Similarity {
       k)
   }
 
+  /** Batch-hard triplet mining (Schroff et al. 2015's FaceNet rule, the
+    * published recipe contrastive/metric training defaults to): for
+    * each anchor, the HARDEST POSITIVE (least-similar vector sharing
+    * its label — the in-class straggler the margin must still cover)
+    * and the HARDEST NEGATIVE (most-similar vector with a different
+    * label — [[hardNegatives]]' top row), plus `margin` = pos_cos −
+    * neg_cos; a negative margin marks a VIOLATING triplet, the only
+    * kind a triplet loss learns from. One corpus scan against the
+    * guarded broadcast anchor batch; per anchor the reduction is a
+    * single conditional min/max aggregation (no window), with
+    * struct-ordered tie-breaks (smaller id) so the mined triplet is a
+    * pure function of the data. Anchors whose label has no other
+    * member (no positive) or that match every label (no negative)
+    * emit null on that side rather than vanishing — the accounting a
+    * dataset builder needs. Null labels follow [[hardNegatives]]:
+    * null-vs-null is a match, null-vs-value is not.
+    */
+  def miningTriplets(corpus: DataFrame, isQuery: Column,
+                     maxQueries: Int = 10000): DataFrame = {
+    require(corpus.columns.contains("label"),
+      "miningTriplets needs a label column on the prepared corpus")
+    val q = corpus.filter(isQuery).select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("norm").as("qnorm"), col("label").as("q_label"))
+    probeQueryBound(q, maxQueries, "miningTriplets")
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("q_label"), col("vec_id"), col("label"),
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6)
+          .as("cos_sim"))
+    val sameLabel = col("label") <=> col("q_label")
+    scored.groupBy(col("qid"), col("q_label"))
+      .agg(
+        min(when(sameLabel,
+          struct(col("cos_sim").as("c"), col("vec_id").as("id")))).as("p"),
+        max(when(!sameLabel,
+          struct(col("cos_sim").as("c"), (-col("vec_id")).as("nid")))).as("n"))
+      .select(col("qid"), col("q_label"),
+        col("p.id").as("pos_id"), col("p.c").as("pos_cos"),
+        (-col("n.nid")).as("neg_id"), col("n.c").as("neg_cos"))
+      .withColumn("margin", col("pos_cos") - col("neg_cos"))
+      .orderBy(col("qid"))
+  }
+
   /** q34 = knnBrute with the first 5 vectors as the query batch, k=10. */
   def q34KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -474,6 +474,53 @@ class SimilaritySpec extends SparkSpec {
       Array((0L, Array(1.0, Double.NaN), 1.0)), ivfPath))
   }
 
+  test("miningTriplets: batch-hard positives/negatives, null sides, tie-breaks, = hardNegatives top-1") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.l2norm
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0), Option("a")),
+      (2L, Seq(0.8, 0.6), Option("a")),
+      (3L, Seq(0.0, 1.0), Option("a")),
+      (4L, Seq(0.6, 0.8), Option("b")),
+      (5L, Seq(1.0, 0.0), Option.empty[String]),
+      (6L, Seq(1.0, 0.0), Option("b")))
+      .toDF("vec_id", "v", "label")
+      .withColumn("norm", l2norm(col("v")))
+    val out = Similarity.miningTriplets(corpus, lit(true)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String): Option[Any] = {
+      val r = out(id); val i = r.fieldIndex(c)
+      if (r.isNullAt(i)) None else Some(r.get(i))
+    }
+    // anchor 1 (label a): hardest positive = 3 (cos 0 — the in-class
+    // straggler), hardest negative ties 5/6 at cos 1.0 → min id 5;
+    // margin 0 − 1 = −1: a violating triplet
+    assert(f(1L, "pos_id") == Some(3L) && f(1L, "pos_cos") == Some(0.0))
+    assert(f(1L, "neg_id") == Some(5L) && f(1L, "neg_cos") == Some(1.0))
+    assert(f(1L, "margin") == Some(-1.0))
+    // anchor 4 (label b): positive exists (6, cos 0.6); hardest negative
+    // is 2 at 0.96
+    assert(f(4L, "pos_id") == Some(6L) && f(4L, "pos_cos") == Some(0.6))
+    assert(f(4L, "neg_id") == Some(2L) && f(4L, "neg_cos") == Some(0.96))
+    // anchor 5 (null label): no other null-labeled vector → pos side null,
+    // margin null; negatives tie 1/6 at 1.0 → min id 1
+    assert(f(5L, "pos_id") == None && f(5L, "margin") == None)
+    assert(f(5L, "neg_id") == Some(1L))
+    // the negative side IS hardNegatives' top row wherever one exists
+    val hn = Similarity.hardNegatives(corpus, lit(true), k = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(4))).toMap
+    out.keys.foreach { id =>
+      (f(id, "neg_id"), f(id, "neg_cos")) match {
+        case (Some(n), Some(c)) => assert(hn(id) == ((n, c)), s"anchor $id")
+        case _ => assert(!hn.contains(id))
+      }
+    }
+    intercept[IllegalArgumentException](
+      Similarity.miningTriplets(corpus, lit(true), maxQueries = 2))
+    intercept[IllegalArgumentException](
+      Similarity.miningTriplets(corpus.drop("label"), lit(true)))
+  }
+
   test("SQ8: hand-computed codes, step/2 error bound, invariant bounds, recall, round trip") {
     import spark.implicits._
     // hand fixture: dim0 spans [0, 2] (step 2/255), dim1 is degenerate
