@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deflate-compressed size of a string — the kernel behind the
+  * compressibility quality signal (RedPajama-Data-v2's
+  * `rps_doc_frac_chars_dupe_*` family measures repetition by n-gram;
+  * the deflate ratio is the one-number alternative the Gopher-era
+  * pipelines log): highly repetitive or templated text compresses far
+  * below natural language.
+  *
+  * Determinism: java.util.zip.Deflater at a FIXED level with the
+  * default strategy is a pure function of the input bytes for a given
+  * zlib build. The JDK bundles its own zlib, so outputs are stable
+  * across the JVMs this engine supports; the operator is spec-gated
+  * (relative assertions), not oracle-hashed, precisely because the
+  * byte count is a library artifact rather than portable math.
+  */
+object CompressionKernels {
+
+  /** Compressed byte length of `s`'s UTF-8 at deflate level 6 (zlib
+    * default — the level every production pipeline logs at). */
+  def deflateLen(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}
+
+/** Deflate-compressed UTF-8 byte length of a STRING column. */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"deflate_len requires STRING, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "deflate_len"
+
+  override def nullSafeEval(input: Any): Any =
+    CompressionKernels.deflateLen(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CompressionKernels.deflateLen($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CompressionFunctions {
+  def deflateLen(s: Column): Column =
+    bridge.column(DeflateLen(bridge.expression(s)))
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** A built Bloom filter: `mBits` bits (power of two) in `mBits/64`
+  * longs, `k` probe positions per key. Immutable value object — build
+  * on the cluster, probe as a plan literal, persist as a TSV artifact
+  * (the codebook lifecycle, SURVEY §2.5, applied to membership).
+  */
+final case class BloomFilter(mBits: Int, k: Int, words: Array[Long]) {
+  require(words.length == mBits / 64,
+    s"filter of $mBits bits needs ${mBits / 64} words, got ${words.length}")
+}
+
+/** Sizing report for a planned filter: `impliedFp` is the classical
+  * (1 − e^{−kn/m})^k estimate at the planned geometry. */
+final case class BloomPlan(mBits: Int, k: Int, impliedFp: Double)
+
+/** Occupancy report of a built filter: `fillFrac` = set bits / m,
+  * `impliedFp` = fillFrac^k (the probability k independent probes all
+  * land on set bits), `estKeys` = the standard −(m/k)·ln(1 − fill)
+  * distinct-key estimate. */
+final case class BloomStats(fillFrac: Double, impliedFp: Double,
+                            estKeys: Double)
+
+/** Bloom-filter membership (SURVEY §2.4) — the compact "definitely not
+  * present" index the Dolma pipeline (Soldaini et al. 2024) runs its
+  * paragraph-level dedup and decontamination through: a benchmark or
+  * seen-set of ANY size compresses to a fixed bit array with NO false
+  * negatives, so the corpus-side probe is a zero-shuffle projection
+  * and only the (rare) positive hits pay for exact verification.
+  *
+  * Shape at scale:
+  *  - `build` is ONE declarative aggregation: each key derives its k
+  *    bit positions in-row (Kirsch–Mitzenmacher double hashing over
+  *    [[Hashing.hash60]]), positions group by 64-bit WORD index and
+  *    bit-OR — the shuffle is keyed on ≤ mBits/64 words regardless of
+  *    key cardinality, and bit-OR is associative/commutative so the
+  *    filter is bit-identical under any partitioning. Only the built
+  *    words array (≤ 2 MiB at the guard) crosses to the driver; the
+  *    keys never do.
+  *  - `mightContain` embeds the words array ONCE as a plan literal and
+  *    unrolls the k bit tests into a codegen-friendly conjunction —
+  *    no shuffle, no join, no UDF. False positives happen at the
+  *    planned rate; false negatives never do, which is the direction
+  *    that matters when the probe PRUNES an exact verification join
+  *    (a FP costs one wasted verify row, never a wrong answer).
+  *  - `mBits` is capped at 2^24 (2 MiB of longs) because the probe is
+  *    a plan literal; a set too big for that geometry at an acceptable
+  *    FP rate should use the exact broadcast-index path
+  *    ([[Dedup.contaminationCheck]]'s shape) instead — the guard
+  *    refuses rather than silently degrading the FP rate.
+  *
+  * The reference engine has no membership surface; this extends the
+  * dedup pack the way the count-min sketch extends profiling (§2.2).
+  */
+object Bloom {
+
+  /** Plan-literal bound: 2^24 bits = 262 144 longs ≈ 2 MiB. */
+  val MaxBits: Int = 1 << 24
+
+  private def isPow2(x: Int): Boolean = x >= 1 && (x & (x - 1)) == 0
+
+  /** Classical sizing: m = ⌈−n·ln p ∕ ln²2⌉ rounded UP to a power of
+    * two (so probe positions reduce by mask, exact under 64-bit
+    * wraparound), k = round(m/n · ln 2) clamped to [1, 30]. StrictMath
+    * throughout — the plan is bit-reproducible across JVMs. */
+  def plan(nKeys: Long, fpRate: Double): BloomPlan = {
+    require(nKeys > 0, s"nKeys must be positive, got $nKeys")
+    require(fpRate > 0 && fpRate < 1, s"fpRate must be in (0,1), got $fpRate")
+    val ln2 = StrictMath.log(2.0)
+    val mIdeal = StrictMath.ceil(-nKeys * StrictMath.log(fpRate) / (ln2 * ln2))
+    require(mIdeal <= MaxBits,
+      s"planned filter needs ${mIdeal.toLong} bits > $MaxBits — too big for " +
+        "a plan-literal probe; use the exact broadcast-index path instead")
+    var m = 64
+    while (m < mIdeal) m <<= 1
+    val k = math.min(30, math.max(1,
+      StrictMath.round(m.toDouble / nKeys * ln2).toInt))
+    val fp = StrictMath.pow(
+      1.0 - StrictMath.exp(-k.toDouble * nKeys / m), k.toDouble)
+    BloomPlan(m, k, fp)
+  }
+
+  /** The two base hashes of the double-hashing scheme, PRE-reduced mod
+    * m (a mask — m is a power of two), so every downstream h1 + i·h2
+    * stays under 2^30 and never trips ANSI overflow. `h2` is forced
+    * odd BEFORE the mask (odd mod a power of two stays odd) so it is
+    * coprime with the modulus — every key's k probe positions are
+    * distinct mod m until k wraps the cycle. */
+  private def baseHashes(key: Column, mBits: Int): (Column, Column) = {
+    val s = key.cast("string")
+    val mask = lit((mBits - 1).toLong)
+    (Hashing.hash60(s).bitwiseAND(mask),
+      Hashing.hash60(concat(lit("g-bloom|"), s)).bitwiseOR(lit(1L))
+        .bitwiseAND(mask))
+  }
+
+  private def positionCol(h1: Column, h2: Column, i: Int, mBits: Int): Column =
+    (h1 + lit(i.toLong) * h2).bitwiseAND(lit((mBits - 1).toLong))
+
+  /** Build a filter over the non-null values of `key`. One shuffle,
+    * keyed on ≤ mBits/64 word indices; repartition-invariant. */
+  def build(d: DataFrame, key: Column, mBits: Int, k: Int): BloomFilter = {
+    require(isPow2(mBits) && mBits >= 64 && mBits <= MaxBits,
+      s"mBits must be a power of two in [64, $MaxBits], got $mBits")
+    require(k >= 1 && k <= 30, s"k must be in [1, 30], got $k")
+    val (h1, h2) = baseHashes(key, mBits)
+    val positions = d.filter(key.isNotNull)
+      .select(explode(array((0 until k).map(i =>
+        positionCol(h1, h2, i, mBits)): _*)).as("_bpos"))
+    val setWords = positions
+      .select(shiftright(col("_bpos"), 6).cast("int").as("_bword"),
+        call_function("shiftleft", lit(1L),
+          col("_bpos").bitwiseAND(lit(63L)).cast("int")).as("_bmask"))
+      .groupBy(col("_bword"))
+      .agg(expr("bit_or(_bmask)").as("_bbits"))
+      .collect() // bounded: ≤ mBits/64 ≤ 262144 rows, guarded above
+    val words = new Array[Long](mBits / 64)
+    setWords.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    BloomFilter(mBits, k, words)
+  }
+
+  /** Membership predicate: true iff all k probe bits are set. A null
+    * key reads false (it was never inserted — [[build]] skips nulls).
+    * Zero-shuffle plan-literal projection; the words array is bound
+    * once and shared by the unrolled tests. */
+  def mightContain(bf: BloomFilter, key: Column): Column = {
+    val arr = typedlit(bf.words)
+    val (h1, h2) = baseHashes(key, bf.mBits)
+    val tests = (0 until bf.k).map { i =>
+      val pos = positionCol(h1, h2, i, bf.mBits)
+      element_at(arr, (shiftright(pos, 6) + lit(1L)).cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pos.bitwiseAND(lit(63L)).cast("int"))) =!= lit(0L)
+    }
+    coalesce(tests.reduce(_ && _), lit(false))
+  }
+
+  /** Occupancy report — the "is this filter still healthy" monitor: a
+    * fill fraction drifting toward 1 means the planned capacity is
+    * exceeded and the FP rate (= fill^k) with it. Driver math over the
+    * words the filter already holds; no cluster work. */
+  def stats(bf: BloomFilter): BloomStats = {
+    val set = bf.words.map(java.lang.Long.bitCount).map(_.toLong).sum
+    val fill = set.toDouble / bf.mBits
+    val est =
+      if (fill >= 1.0) Double.PositiveInfinity
+      else -(bf.mBits.toDouble / bf.k) * StrictMath.log1p(-fill)
+    BloomStats(fill, StrictMath.pow(fill, bf.k.toDouble), est)
+  }
+
+  /** Persist: header `graft-bloom TAB mBits TAB k`, then the words as
+    * one comma-joined line — the [[Similarity.saveIvf]] artifact
+    * discipline applied to membership. */
+  def save(bf: BloomFilter, path: String): Unit = {
+    val sb = new StringBuilder
+    sb.append("graft-bloom\t").append(bf.mBits).append('\t').append(bf.k)
+      .append('\n').append(bf.words.mkString(",")).append('\n')
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a [[save]]d filter; malformed headers, word-count
+    * disagreements, and out-of-range geometry refuse rather than serve
+    * membership from a corrupted index. */
+  def load(path: String): BloomFilter = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty)
+    require(lines.length == 2, s"$path is not a graft-bloom artifact")
+    val hdr = lines.head.split("\t", -1)
+    require(hdr.length == 3 && hdr(0) == "graft-bloom",
+      s"$path carries a malformed header '${lines.head}'")
+    val m = hdr(1).toInt
+    val k = hdr(2).toInt
+    require(isPow2(m) && m >= 64 && m <= MaxBits,
+      s"$path declares invalid mBits $m")
+    require(k >= 1 && k <= 30, s"$path declares invalid k $k")
+    val words = lines(1).split(",", -1).map(java.lang.Long.parseLong)
+    require(words.length == m / 64,
+      s"$path holds ${words.length} words, header implies ${m / 64}")
+    BloomFilter(m, k, words)
+  }
+}

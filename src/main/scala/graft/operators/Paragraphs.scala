@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Paragraph-level dedup + decontamination (SURVEY §2.4) — the Dolma
+  * recipe (Soldaini et al. 2024 §4.2): between q30's whole-document
+  * hash dedup and q84's token-window spans sits the granularity web
+  * pipelines actually ship — the PARAGRAPH (blank-line blocks), coarse
+  * enough that one shared hash means a real duplicated block, fine
+  * enough to strip a quoted boilerplate block without dropping the
+  * document.
+  *
+  * Shape at scale:
+  *  - Paragraphs explode positionally IN the scan; only (doc_id, idx,
+  *    hash60) narrow rows enter the ownership shuffle — the paragraph
+  *    text itself moves exactly ONCE, in the doc_id-partitioned
+  *    reassembly join (both join sides pre-partition on doc_id, which
+  *    satisfies the (doc_id, idx) join AND the downstream groupBy, so
+  *    Spark inserts no further exchange).
+  *  - Ownership is a two-phase min-struct aggregation keyed on the
+  *    paragraph hash — bounded per-key state however often a block
+  *    repeats; "first occurrence" = min (doc_id, idx), a total order,
+  *    so the survivor set is a pure function of the data.
+  *  - Decontamination probes a [[Bloom]] filter built over the
+  *    benchmark's paragraphs FIRST (zero-shuffle, no false negatives),
+  *    so only the rare flagged candidates pay for the exact
+  *    verification join — a false positive costs one verify row,
+  *    never a wrong strip (spec'd ≡ the exact path row-for-row).
+  *
+  * Reassembly canonicalizes: paragraphs are trimmed, empty blocks
+  * drop, and surviving blocks re-join with a single blank line.
+  */
+object Paragraphs {
+
+  /** (doc_id, idx, par): trimmed non-empty blank-line blocks of
+    * `text`, positionally indexed AFTER empty-block removal so idx is
+    * the dense canonical order. */
+  private[graft] def explodeParagraphs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      posexplode(filter(transform(split(col("text"), "\\n{2,}"),
+        p => trim(p)), p => length(p) > 0)).as(Seq("idx", "par")))
+
+  /** Shared reassembly: `verdict` is a narrow (doc_id, idx, strip)
+    * frame; paragraphs with strip=true drop, the rest re-join in idx
+    * order. Output: (doc_id, n_pars, n_dropped, cleaned) for EVERY
+    * input doc — a paragraph-free doc reads (0, 0, ""). */
+  private def rebuild(d: DataFrame, pars: DataFrame,
+                      verdict: DataFrame): DataFrame = {
+    val rebuilt = pars.repartition(col("doc_id"))
+      .join(verdict.repartition(col("doc_id")), Seq("doc_id", "idx"), "left")
+      .withColumn("_strip", coalesce(col("strip"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pars"),
+        sum(when(col("_strip"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("_strip"), struct(col("idx"), col("par"))))),
+            x => x.getField("par")), "\n\n").as("cleaned"))
+    d.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pars"), lit(0L)).as("n_pars"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide paragraph dedup: every occurrence of a paragraph
+    * beyond its first — within OR across documents, Dolma's rule —
+    * is stripped once the paragraph repeats ≥ `minCount` times in
+    * total. Paragraphs shorter than `minChars` characters are exempt
+    * (strip "Yes." from a million dialogs and the corpus stops being
+    * language). Output: (doc_id, n_pars, n_dropped, cleaned). */
+  def paragraphDedup(d: DataFrame, minCount: Long = 2,
+                     minChars: Int = 1): DataFrame = {
+    require(minCount >= 2, s"minCount < 2 would strip every paragraph, got $minCount")
+    require(minChars >= 0, s"minChars must be non-negative, got $minChars")
+    val pars = graft.core.Caches.persist(explodeParagraphs(d))
+    val eligible = pars.filter(length(col("par")) >= minChars)
+      .select(col("doc_id"), col("idx"), Hashing.hash60(col("par")).as("h"))
+    val owners = eligible
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("own"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("h"), col("own.doc_id").as("own_doc"),
+        col("own.idx").as("own_idx"))
+    val verdict = eligible.join(owners, Seq("h"), "left")
+      .select(col("doc_id"), col("idx"),
+        (col("own_doc").isNotNull &&
+          !(col("doc_id") === col("own_doc") &&
+            col("idx") === col("own_idx"))).as("strip"))
+    rebuild(d, pars, verdict)
+  }
+
+  /** Paragraph-level decontamination: strip from the corpus every
+    * paragraph that literally appears in `bench` (trimmed-block
+    * equality), keeping the rest of each document — the Bloom-gated
+    * twin of [[Dedup.stripContaminatedSpans]] at Dolma's granularity.
+    * `useBloom = false` runs the same exact verification without the
+    * probe (the differential oracle; identical output, spec-gated).
+    * Output: (doc_id, n_pars, n_dropped, cleaned). */
+  def paragraphDecon(corpus: DataFrame, bench: DataFrame,
+                     mBits: Int = 1 << 20, k: Int = 7,
+                     minChars: Int = 1,
+                     useBloom: Boolean = true): DataFrame = {
+    require(minChars >= 0, s"minChars must be non-negative, got $minChars")
+    val bpars = explodeParagraphs(bench).filter(length(col("par")) >= minChars)
+    val benchHashes = bpars.select(Hashing.hash60(col("par")).as("h")).distinct()
+    val pars = graft.core.Caches.persist(explodeParagraphs(corpus))
+    val candidates0 = pars.filter(length(col("par")) >= minChars)
+    val candidates =
+      if (useBloom) {
+        val bf = Bloom.build(bpars, col("par"), mBits, k)
+        candidates0.filter(Bloom.mightContain(bf, col("par")))
+      } else candidates0
+    val verdict = candidates
+      .select(col("doc_id"), col("idx"), Hashing.hash60(col("par")).as("h"))
+      .join(broadcast(benchHashes), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("idx"), lit(true).as("strip"))
+    rebuild(corpus, pars, verdict)
+  }
+}

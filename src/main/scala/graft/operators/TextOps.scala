@@ -648,6 +648,93 @@ object TextOps {
     Seq((nPts, beta, lnK, r2)).toDF("n_points", "beta", "ln_k", "r2")
   }
 
+  /** Smoothed unigram distributions of two corpora on their UNION
+    * vocabulary: (term, ca, cb, pa, pb) with Lidstone-`alpha`
+    * smoothing, p = (c + α) / (N + α·|V|) — so a term absent from one
+    * side still carries finite mass and every log ratio is defined.
+    * One vocabulary-keyed count shuffle per corpus, a vocab-sized full
+    * outer join, and the three totals (N_a, N_b, |V|) ride back in as
+    * a broadcast single-row frame — nothing corpus-sized after the
+    * scans, nothing on the driver. */
+  private def termDists(a: DataFrame, b: DataFrame, text: Column,
+                        alpha: Double): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive (unsmoothed zero-count " +
+      s"terms make KL undefined), got $alpha")
+    def counts(d: DataFrame, cName: String): DataFrame = d
+      .select(explode(filter(split(coalesce(text, lit("")), " "),
+        w => length(w) > 0)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as(cName))
+    val joined = counts(a, "ca").join(counts(b, "cb"), Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = joined.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("term"), col("ca"), col("cb"),
+        ((col("ca") + lit(alpha)) / (col("na") + lit(alpha) * col("v"))).as("pa"),
+        ((col("cb") + lit(alpha)) / (col("nb") + lit(alpha) * col("v"))).as("pb"))
+  }
+
+  /** Term-distribution divergence between two corpora — the "did this
+    * crawl change language" monitor beside [[Relational.profileDrift]]
+    * (which watches column shapes, not content): KL(A‖B), KL(B‖A) and
+    * the bounded symmetric Jensen–Shannon divergence over smoothed
+    * unigram distributions. Identical corpora read exactly 0 (equal
+    * counts give log-ratio 0 before any float accumulates); disjoint
+    * corpora approach ln 2 in JS. One row:
+    * (vocab_union, n_tokens_a, n_tokens_b, kl_ab, kl_ba, js).
+    */
+  def termDivergence(a: DataFrame, b: DataFrame, text: Column = col("text"),
+                     alpha: Double = 0.5): DataFrame = {
+    val d = termDists(a, b, text, alpha)
+    val m = (col("pa") + col("pb")) / lit(2.0)
+    d.agg(count(lit(1)).as("vocab_union"),
+        sum(col("ca")).as("n_tokens_a"), sum(col("cb")).as("n_tokens_b"),
+        round(sum(col("pa") * log(col("pa") / col("pb"))), 6).as("kl_ab"),
+        round(sum(col("pb") * log(col("pb") / col("pa"))), 6).as("kl_ba"),
+        round(sum(col("pa") * log(col("pa") / m) / lit(2.0) +
+          col("pb") * log(col("pb") / m) / lit(2.0)), 6).as("js"))
+  }
+
+  /** The per-term attribution behind [[termDivergence]]: which terms
+    * moved — the top `k` by the symmetric shift score
+    * (p_a − p_b)·ln(p_a/p_b) (≥ 0, large iff a term's mass genuinely
+    * moved between the corpora), term-asc tie-break. Top-k is
+    * TakeOrderedAndProject over the vocab-bounded distribution frame —
+    * no global sort. Output: (term, ca, cb, pa, pb, shift_score). */
+  def termShift(a: DataFrame, b: DataFrame, text: Column = col("text"),
+                k: Int = 50, alpha: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    termDists(a, b, text, alpha)
+      .select(col("term"), col("ca"), col("cb"),
+        round(col("pa"), 9).as("pa"), round(col("pb"), 9).as("pb"),
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9)
+          .as("shift_score"))
+      .orderBy(col("shift_score").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Compressibility quality signal — the one-number repetition probe
+    * production pipelines log beside [[repetitionScore]]'s exact token
+    * ratios: deflate the document and compare bytes. Templated or
+    * looped text compresses far below natural language (ratio → 0),
+    * random noise refuses to compress (ratio → 1+). A pure zero-shuffle
+    * projection over a codegen'd native expression (no UDF); `ratio`
+    * rounds at 6dp on exact integer byte counts. Null/empty text rides
+    * through with nulls so accounting stays lossless. Spec-gated, not
+    * oracle-hashed — the byte count is a zlib artifact, not portable
+    * math (see [[graft.functions.CompressionKernels]]).
+    * Output: (doc_id, utf8_bytes, deflate_bytes, compress_ratio).
+    */
+  def compressionSignal(d: DataFrame, text: Column = col("text")): DataFrame =
+    d.select(col("doc_id"),
+      octet_length(text).cast("long").as("utf8_bytes"),
+      when(octet_length(text) > 0,
+        graft.functions.CompressionFunctions.deflateLen(text))
+        .as("deflate_bytes"))
+      .withColumn("compress_ratio",
+        round(col("deflate_bytes") / col("utf8_bytes"), 6))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_lang_id" -> (q38LangId _),
     "q39_quality" -> (q39Quality _),

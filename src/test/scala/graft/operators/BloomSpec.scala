@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bloom-filter membership ([[Bloom]]) — build determinism, the
+  * no-false-negative guarantee, FP sanity, the zero-shuffle probe
+  * plan, persistence round trips, and refusals. */
+class BloomSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("plan: pinned geometry and implied FP at the classic design points") {
+    val p1 = Bloom.plan(1000L, 0.01)
+    assert(p1.mBits === 16384) // ideal 9586 bits rounds up to the next pow2
+    assert(p1.k === 11)        // round(16384/1000 * ln 2)
+    assert(p1.impliedFp < 0.01 && p1.impliedFp > 0.0)
+    val p2 = Bloom.plan(100000L, 0.001)
+    assert(p2.mBits === 2097152 && p2.k === 15)
+    // too-big plans refuse instead of silently degrading
+    val e = intercept[IllegalArgumentException](Bloom.plan(100000000L, 0.001))
+    assert(e.getMessage.contains("plan-literal"))
+    intercept[IllegalArgumentException](Bloom.plan(0L, 0.01))
+    intercept[IllegalArgumentException](Bloom.plan(10L, 1.5))
+  }
+
+  test("no false negatives; FP rate near plan; nulls skipped and probe-false") {
+    val keys = (0 until 500).map(i => s"key-$i")
+    val d = (keys.map(Option(_)) :+ None).toDF("k")
+    val plan = Bloom.plan(500L, 0.01)
+    val bf = Bloom.build(d, col("k"), plan.mBits, plan.k)
+    // every inserted key probes true — corpus-wide, not sampled
+    val present = d.filter(col("k").isNotNull)
+      .filter(!Bloom.mightContain(bf, col("k"))).count()
+    assert(present === 0L, "a Bloom filter must never report false negatives")
+    // fresh keys: FP fraction within 5x of the filter's own implied rate
+    val fresh = (0 until 2000).map(i => s"other-$i").toDF("k")
+    val fp = fresh.filter(Bloom.mightContain(bf, col("k"))).count()
+    val implied = Bloom.stats(bf).impliedFp
+    assert(fp.toDouble / 2000 <= math.max(0.005, 5 * implied),
+      s"fp=$fp implied=$implied")
+    // null key probes false, not null
+    val nulls = Seq[Option[String]](None).toDF("k")
+    assert(nulls.select(Bloom.mightContain(bf, col("k"))).collect()
+      .head.getBoolean(0) === false)
+  }
+
+  test("build is bit-identical under repartitioning and key duplication") {
+    val d = (0 until 300).map(i => s"k-${i % 100}").toDF("k") // dups on purpose
+    val a = Bloom.build(d, col("k"), 4096, 5)
+    val b = Bloom.build(d.repartition(13), col("k"), 4096, 5)
+    val c = Bloom.build(d.repartition(1), col("k"), 4096, 5)
+    assert(a.words.toSeq === b.words.toSeq)
+    assert(a.words.toSeq === c.words.toSeq)
+    // duplicated keys change nothing: the distinct set defines the filter
+    val dd = (0 until 100).map(i => s"k-$i").toDF("k")
+    assert(Bloom.build(dd, col("k"), 4096, 5).words.toSeq === a.words.toSeq)
+  }
+
+  test("probe is a zero-shuffle projection") {
+    val d = (0 until 100).map(i => s"k-$i").toDF("k")
+    val bf = Bloom.build(d, col("k"), 1024, 4)
+    val probed = d.filter(Bloom.mightContain(bf, col("k")))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"probe plan shuffles:\n$plan")
+  }
+
+  test("stats: fill fraction and distinct estimate track the inserted set") {
+    val d = (0 until 1000).map(i => s"k-$i").toDF("k")
+    val plan = Bloom.plan(1000L, 0.01)
+    val bf = Bloom.build(d, col("k"), plan.mBits, plan.k)
+    val st = Bloom.stats(bf)
+    assert(st.fillFrac > 0.0 && st.fillFrac < 1.0)
+    assert(math.abs(st.estKeys - 1000.0) / 1000.0 < 0.15,
+      s"estKeys=${st.estKeys}")
+    assert(st.impliedFp === StrictMath.pow(st.fillFrac, plan.k.toDouble))
+  }
+
+  test("save/load round-trips bit-exact; corruption refuses") {
+    val d = (0 until 200).map(i => s"k-$i").toDF("k")
+    val bf = Bloom.build(d, col("k"), 2048, 6)
+    val path = java.nio.file.Files.createTempFile("bloom", ".tsv").toString
+    Bloom.save(bf, path)
+    val back = Bloom.load(path)
+    assert(back.mBits === bf.mBits && back.k === bf.k)
+    assert(back.words.toSeq === bf.words.toSeq)
+    // refusals: bad header, word-count mismatch, bad geometry
+    def write(s: String): String = {
+      val p = java.nio.file.Files.createTempFile("bloom-bad", ".tsv")
+      java.nio.file.Files.write(p, s.getBytes("UTF-8")); p.toString
+    }
+    intercept[IllegalArgumentException](Bloom.load(write("nonsense\n1,2\n")))
+    intercept[IllegalArgumentException](
+      Bloom.load(write("graft-bloom\t2048\t6\n1,2,3\n")))
+    intercept[IllegalArgumentException](
+      Bloom.load(write("graft-bloom\t1000\t6\n" + Seq.fill(15)(0L).mkString(",") + "\n")))
+    intercept[IllegalArgumentException](
+      Bloom.load(write("graft-bloom\t2048\t0\n" + Seq.fill(32)(0L).mkString(",") + "\n")))
+  }
+
+  test("build refuses bad geometry") {
+    val d = Seq("a").toDF("k")
+    intercept[IllegalArgumentException](Bloom.build(d, col("k"), 1000, 4))
+    intercept[IllegalArgumentException](Bloom.build(d, col("k"), 32, 4))
+    intercept[IllegalArgumentException](Bloom.build(d, col("k"), 1024, 0))
+    intercept[IllegalArgumentException](Bloom.build(d, col("k"), 1024, 31))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Paragraph-level dedup + decontamination ([[Paragraphs]]). */
+class ParagraphsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def release(): Unit = graft.core.Caches.release()
+
+  test("paragraphDedup: first occurrence survives, within- and cross-doc repeats strip") {
+    val d = Seq(
+      (1L, "Alpha block\n\nShared block\n\nGamma block"),
+      (2L, "Shared block\n\nDelta block"),
+      (3L, "Shared block\n\nShared block\n\nEpsilon block")).toDF("doc_id", "text")
+    val out = try Paragraphs.paragraphDedup(d).collect() finally release()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // owner of "Shared block" is (doc 1, idx 1): doc 1 keeps everything
+    assert(byId(1L) === ((3L, 0L, "Alpha block\n\nShared block\n\nGamma block")))
+    assert(byId(2L) === ((2L, 1L, "Delta block")))
+    // doc 3 loses BOTH copies (neither is the first occurrence)
+    assert(byId(3L) === ((3L, 2L, "Epsilon block")))
+  }
+
+  test("paragraphDedup: minCount and minChars exempt below-threshold repeats") {
+    val d = Seq(
+      (1L, "Twice seen\n\nB"),
+      (2L, "Twice seen\n\nB")).toDF("doc_id", "text")
+    // minCount=3: two copies are not enough to strip anything
+    val none = try Paragraphs.paragraphDedup(d, minCount = 3).collect()
+    finally release()
+    assert(none.forall(_.getLong(2) === 0L))
+    // minChars=2: the 1-char paragraph "B" is exempt, "Twice seen" strips
+    val out = try Paragraphs.paragraphDedup(d, minChars = 2).collect()
+    finally release()
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(byId(1L) === ((0L, "Twice seen\n\nB")))
+    assert(byId(2L) === ((1L, "B")))
+  }
+
+  test("canonicalization: trim, multi-blank-line split, empty blocks drop; empty docs survive") {
+    val d = Seq(
+      (1L, "  A  \n\n\n\nB\n\n   \n\nC"),
+      (2L, "   "),
+      (3L, "")).toDF("doc_id", "text")
+    val out = try Paragraphs.paragraphDedup(d).collect() finally release()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getString(3))).toMap
+    assert(byId(1L) === ((3L, "A\n\nB\n\nC")))
+    assert(byId(2L) === ((0L, "")))
+    assert(byId(3L) === ((0L, "")))
+  }
+
+  test("paragraphDedup: strip accounting conserves (n_pars = kept + dropped)") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+      // synthesize paragraph structure: break each doc every 5 tokens
+      .select(col("doc_id"),
+        regexp_replace(col("text"),
+          "(\\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n\n").as("text"))
+    val out = try Paragraphs.paragraphDedup(docs).collect() finally release()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val kept = r.getString(3).split("\n\n").count(_.nonEmpty)
+      assert(r.getLong(1) - r.getLong(2) === kept.toLong,
+        s"doc ${r.getLong(0)}: n_pars=${r.getLong(1)} dropped=${r.getLong(2)} kept=$kept")
+    }
+    assert(out.map(_.getLong(2)).sum > 0L,
+      "the 5-token paragraphing of a corpus with exact dups must strip something")
+  }
+
+  test("paragraphDecon: bench paragraphs strip; bloom path ≡ exact path row-for-row") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"),
+          "(\\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n\n").as("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+    val bench = docs.filter(col("doc_id") % 10 === 3)
+    val fast = try Paragraphs.paragraphDecon(corpus, bench).collect()
+    finally release()
+    val exact = try
+      Paragraphs.paragraphDecon(corpus, bench, useBloom = false).collect()
+    finally release()
+    assert(fast.map(_.toString).toSeq === exact.map(_.toString).toSeq,
+      "a Bloom false positive must never change the result (exact verify)")
+    assert(fast.map(_.getLong(2)).sum > 0L,
+      "benchmark paragraphs present in the corpus must strip")
+    // a corpus doc sharing no paragraph with the bench is untouched
+    val untouchedOk = fast.forall(r => r.getLong(2) <= r.getLong(1))
+    assert(untouchedOk)
+  }
+
+  test("paragraphDecon: hand fixture — only quoted blocks strip, order preserved") {
+    val corpus = Seq(
+      (1L, "Own words here\n\nLeaked benchmark question\n\nMore own words"),
+      (2L, "Nothing leaked at all")).toDF("doc_id", "text")
+    val bench = Seq((100L, "Leaked benchmark question\n\nUnseen other item"))
+      .toDF("doc_id", "text")
+    val out = try Paragraphs.paragraphDecon(corpus, bench).collect()
+    finally release()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(byId(1L) === ((3L, 1L, "Own words here\n\nMore own words")))
+    assert(byId(2L) === ((1L, 0L, "Nothing leaked at all")))
+  }
+
+  test("refusals: degenerate minCount / minChars") {
+    val d = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Paragraphs.paragraphDedup(d, minCount = 1))
+    intercept[IllegalArgumentException](Paragraphs.paragraphDedup(d, minChars = -1))
+    intercept[IllegalArgumentException](
+      Paragraphs.paragraphDecon(d, d, minChars = -1))
+  }
+}

@@ -318,4 +318,78 @@ class TextOpsSpec extends SparkSpec {
     assert(real.getDouble(1) > 0.0 && real.getDouble(1) < 1.0,
       s"real-beta ${real.getDouble(1)}")
   }
+
+  test("termDivergence: hand-computed KL/JS, zero on identical corpora, near ln2 when disjoint") {
+    import spark.implicits._
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((1L, "x y y")).toDF("doc_id", "text")
+    // alpha=1, V=2, Na=Nb=3: pa = (.6, .4), pb = (.4, .6)
+    val r = TextOps.termDivergence(a, b, alpha = 1.0).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 3L && r.getLong(2) === 3L)
+    val expKl = 0.2 * StrictMath.log(1.5) // 0.6 ln 1.5 + 0.4 ln(2/3)
+    assert(math.abs(r.getDouble(3) - expKl) <= 1e-6, s"kl_ab ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - expKl) <= 1e-6, s"kl_ba ${r.getDouble(4)}")
+    val m = Seq(0.5, 0.5)
+    val expJs = 0.5 * (0.6 * StrictMath.log(0.6 / 0.5) + 0.4 * StrictMath.log(0.4 / 0.5)) +
+      0.5 * (0.4 * StrictMath.log(0.4 / 0.5) + 0.6 * StrictMath.log(0.6 / 0.5))
+    assert(math.abs(r.getDouble(5) - expJs) <= 1e-6, s"js ${r.getDouble(5)} vs $expJs (m=$m)")
+    // identical corpora: every divergence is exactly zero
+    val same = TextOps.termDivergence(a, a).head()
+    assert(same.getDouble(3) === 0.0 && same.getDouble(4) === 0.0 &&
+      same.getDouble(5) === 0.0)
+    // disjoint vocabularies: JS approaches its ln 2 bound
+    val c = Seq((1L, "p q r s t u v w")).toDF("doc_id", "text")
+    val dj = TextOps.termDivergence(a, c, alpha = 0.01).head()
+    assert(dj.getDouble(5) > 0.5 && dj.getDouble(5) <= StrictMath.log(2.0) + 1e-9,
+      s"disjoint js ${dj.getDouble(5)}")
+    // unsmoothed refusal
+    intercept[IllegalArgumentException](TextOps.termDivergence(a, b, alpha = 0.0))
+  }
+
+  test("termShift: the planted shifted term ranks first; repartition-invariant") {
+    import spark.implicits._
+    val base = (1 to 50).map(i => (i.toLong, "common words shared by both"))
+    val a = (base :+ (99L, "drifted drifted drifted drifted drifted")).toDF("doc_id", "text")
+    val b = base.toDF("doc_id", "text")
+    val top = TextOps.termShift(a, b, k = 3).collect()
+    assert(top.head.getString(0) === "drifted")
+    assert(top.head.getDouble(5) > top(1).getDouble(5))
+    // pure function of the data: rounded rows identical under repartition
+    val top2 = TextOps.termShift(a.repartition(7), b.repartition(3), k = 3).collect()
+    assert(top.map(_.toString).toSeq === top2.map(_.toString).toSeq)
+    // shift score is symmetric in direction: swapping sides keeps the leader
+    val swapped = TextOps.termShift(b, a, k = 1).collect()
+    assert(swapped.head.getString(0) === "drifted")
+    intercept[IllegalArgumentException](TextOps.termShift(a, b, k = 0))
+  }
+
+  test("compressionSignal: repetition compresses, noise doesn't, plan is shuffle-free") {
+    import spark.implicits._
+    val rep = ("lorem ipsum " * 200).trim
+    // deterministic pseudo-noise: hex of chained hashes (no RNG)
+    val noise = (0 until 100).map(i =>
+      Integer.toHexString(("noise" + i).hashCode)).mkString(" ")
+    val d = Seq((1L, rep), (2L, noise), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.compressionSignal(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // exact utf8 accounting
+    assert(out(1L).getLong(1) === rep.getBytes("UTF-8").length.toLong)
+    // repetitive text compresses hard; noise stays comparatively incompressible
+    val repRatio = out(1L).getDouble(3)
+    val noiseRatio = out(2L).getDouble(3)
+    assert(repRatio < 0.05, s"repetitive ratio $repRatio")
+    assert(noiseRatio > 0.15 && noiseRatio > 5 * repRatio,
+      s"noise ratio $noiseRatio vs repetitive $repRatio")
+    // empty and null text keep their rows with null signal
+    assert(out(3L).isNullAt(2) && out(3L).isNullAt(3))
+    assert(out(4L).isNullAt(2) && out(4L).isNullAt(3))
+    // deterministic within the run, zero-shuffle plan
+    val again = TextOps.compressionSignal(d.repartition(5)).collect()
+      .filter(r => r.getLong(0) < 3L)
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again === Map(1L -> repRatio, 2L -> noiseRatio))
+    val plan = TextOps.compressionSignal(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signal plan shuffles:\n$plan")
+  }
 }
