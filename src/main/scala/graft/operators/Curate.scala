@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -279,6 +279,96 @@ object Curate {
     * The filesystem listing is driver-side but bounded by writeCorpus's
     * own maxFiles contract.
     */
+  /** Morton interleave of the low `bits` bits of a cell id: bit i of
+    * `x` lands at position i·stride + offset. All arithmetic stays
+    * under 2^62 (guarded by [[zorderWrite]]), so ANSI mode never
+    * overflows. Static unroll — a `bits`-term shift-add chain inside
+    * whole-stage codegen. */
+  private def interleaveBits(x: Column, bits: Int, stride: Int,
+                             offset: Int): Column =
+    (0 until bits).map(i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), i * stride + offset))
+      .reduce(_ + _)
+
+  /** Equi-width cell of `v` over 2^bits cells spanning [lo, hi] —
+    * q83's integer-DIV histogram bucket, reused as the space-filling-
+    * curve coordinate. Values outside the probed bounds clamp to the
+    * edge cells; nulls sort to cell 0 (nulls-first). A degenerate
+    * dimension (lo = hi) collapses to one cell and contributes nothing
+    * to the curve. */
+  private def cellOf(v: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val cells = 1L << bits
+    if (!(hi > lo)) lit(0L)
+    else least(greatest(
+      floor((coalesce(v.cast("double"), lit(lo)) - lit(lo)) /
+        lit(hi - lo) * lit(cells.toDouble)).cast("long"),
+      lit(0L)), lit(cells - 1L))
+  }
+
+  /** Z-order clustered corpus layout (SURVEY §2.8) — Delta/Iceberg's
+    * `OPTIMIZE ZORDER BY` re-expressed: rows sort along a Morton
+    * space-filling curve over 2-3 cluster columns, so every written
+    * file's per-column min/max footer stats form a TIGHT bounding box
+    * in ALL cluster dimensions at once — a range predicate on ANY of
+    * them prunes files at planning time, where a single-column sort
+    * gives skipping on that column only (spec'd: the z layout skips
+    * files for a narrow range on EACH dimension; the sorted layout
+    * only on its sort key).
+    *
+    * Shape at scale: one bounded min/max probe per cluster column,
+    * then the z value is a pure codegen projection (bucket DIV + a
+    * static shift-add interleave; no UDF) and the layout is ONE
+    * range-partitioned shuffle + in-partition sort — the same cost as
+    * any global sort, amortized over every future scan that prunes.
+    * Skew: equi-width cells inherit the data's skew (a hot cell lands
+    * in one range slice, which is exactly where a hot VALUE would land
+    * under any clustering); range partitioning on z still balances ROW
+    * counts per file regardless.
+    */
+  def zorderWrite(d: DataFrame, path: String, clusterCols: Seq[String],
+                  bits: Int = 16, nFiles: Int = 32,
+                  maxRecordsPerFile: Long = 5000000L): Unit = {
+    require(clusterCols.size >= 2 && clusterCols.size <= 3,
+      s"z-ordering needs 2-3 cluster columns (1 is a plain sort), got ${clusterCols.size}")
+    require(bits >= 1 && bits * clusterCols.size <= 62,
+      s"bits·cols must fit a long: got ${bits} x ${clusterCols.size}")
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    val n = clusterCols.size
+    val boundExprs = clusterCols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val boundsRow = d.agg(boundExprs.head, boundExprs.tail: _*).head()
+    val z = clusterCols.zipWithIndex.map { case (c, i) =>
+      val lo = if (boundsRow.isNullAt(2 * i)) 0.0 else boundsRow.getDouble(2 * i)
+      val hi = if (boundsRow.isNullAt(2 * i + 1)) 0.0 else boundsRow.getDouble(2 * i + 1)
+      interleaveBits(cellOf(col(c), lo, hi, bits), bits, n, i)
+    }.reduce(_ + _)
+    d.withColumn("_zorder", z)
+      .repartitionByRange(nFiles, col("_zorder"))
+      .sortWithinPartitions(col("_zorder"))
+      .drop("_zorder")
+      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(path)
+  }
+
+  /** Per-file bounding boxes of a written corpus over `cols` — the
+    * layout-quality report behind [[zorderWrite]] (and the monitor for
+    * any clustered layout): one scan emitting only (file, min, max)
+    * per column, grouped map-side. A planner prunes a file for a range
+    * predicate exactly when the predicate misses the file's box, so
+    * `boxes.filter(!(lo_c <= x && x <= hi_c))`-style counts ARE the
+    * skip rate. Output: (file, <c>_min, <c>_max …), file-ordered. */
+  def fileBoxes(spark: SparkSession, path: String,
+                cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fileBoxes needs at least one column")
+    val boxExprs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"${c}_min"),
+      max(col(c).cast("double")).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(boxExprs.head, boxExprs.tail: _*)
+      .orderBy(col("file"))
+  }
+
   def corpusManifest(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

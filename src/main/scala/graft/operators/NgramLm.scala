@@ -159,6 +159,51 @@ object NgramLm {
         coalesce(col("avg_logp"), lit(0.0)).as("avg_logp"))
   }
 
+  /** PMI collocation mining (Church & Hanks 1990; the phrase-detection
+    * pass of Mikolov et al. 2013 runs this shape before merging
+    * "new_york" into one token): per adjacent bigram seen ≥ `minCount`
+    * times, pointwise mutual information ln(c₁₂·N ∕ c₁·c₂) and its
+    * normalized form npmi = pmi ∕ −ln(c₁₂/N) ∈ [−1, 1] (1 = the pair
+    * only ever occurs together — the score the phrase threshold is
+    * applied to, because raw PMI overweights rare pairs).
+    *
+    * Shape at scale: bigrams derive in-row ([[bigrams]]' zip_with, no
+    * shuffle-to-pair), counts are two vocabulary-keyed shuffles with
+    * map-side combine, the unigram table joins back twice on narrow
+    * (word, count) rows, and N rides in as a broadcast single-row
+    * total. Counts multiply as doubles (c₁₂·N overflows a long at
+    * trillion-token scale — ANSI would refuse; the 6dp-rounded log
+    * doesn't see the difference). Top-k by npmi desc (w1, w2
+    * tie-break) is TakeOrderedAndProject — no global sort. A pair
+    * occupying the whole corpus (c₁₂ = N) reads npmi = 1 by its limit.
+    * Output: (w1, w2, c12, c1, c2, pmi, npmi).
+    */
+  def collocations(d: DataFrame, minCount: Long = 5, k: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be positive, got $minCount")
+    require(k >= 1, s"k must be positive, got $k")
+    val uniC = d.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val uni = Caches.persist(uniC)
+    val totals = uni.agg(sum(col("c")).as("n_tokens"))
+    val biC = bigrams(d)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val joined = biC
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+    val pmiRaw = log(col("c12").cast("double") * col("n_tokens").cast("double") /
+      (col("c1").cast("double") * col("c2").cast("double")))
+    val npmiRaw = when(col("c12") === col("n_tokens"), lit(1.0))
+      .otherwise(pmiRaw / -log(col("c12").cast("double") /
+        col("n_tokens").cast("double")))
+    joined
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(pmiRaw, 6).as("pmi"), round(npmiRaw, 6).as("npmi"))
+      .orderBy(col("npmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_lm_score" -> (q68LmScore _)
   )

@@ -187,6 +187,55 @@ class CurateSpec extends SparkSpec {
     assert(totFp(manifest(s"$base/tampered")) != totFp(one))
   }
 
+  test("zorderWrite: every cluster dimension skips files; a plain sort only skips its own key") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.core.Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val nFiles = 8
+    Curate.zorderWrite(orders, s"$base/z", Seq("o_custkey", "o_totalprice"),
+      bits = 8, nFiles = nFiles)
+    // reference layout: global sort on custkey only
+    orders.repartitionByRange(nFiles, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .write.mode("overwrite").parquet(s"$base/sorted")
+
+    // completeness: the clustered copy is the same corpus
+    assert(spark.read.parquet(s"$base/z").count() === orders.count())
+    val keys = spark.read.parquet(s"$base/z").agg(sum(col("o_orderkey"))).head.getLong(0)
+    assert(keys === orders.agg(sum(col("o_orderkey"))).head.getLong(0))
+
+    def boxes(p: String) =
+      Curate.fileBoxes(spark, p, Seq("o_custkey", "o_totalprice")).collect()
+    val zb = boxes(s"$base/z"); val sb = boxes(s"$base/sorted")
+    assert(zb.length === nFiles && sb.length === nFiles)
+    // a narrow range on each dimension: bottom ~10% of its global span
+    val g = orders.agg(min("o_custkey"), max("o_custkey"),
+      min("o_totalprice"), max("o_totalprice")).head
+    val ckLo = g.getLong(0).toDouble
+    val ckHi = ckLo + 0.1 * (g.getLong(1) - g.getLong(0))
+    val tpLo = g.getDouble(2)
+    val tpHi = tpLo + 0.1 * (g.getDouble(3) - g.getDouble(2))
+    def hits(bs: Array[org.apache.spark.sql.Row], c: Int, lo: Double, hi: Double) =
+      bs.count(r => r.getDouble(2 * c + 1) <= hi && r.getDouble(2 * c + 2) >= lo)
+    // custkey range: both layouts skip
+    assert(hits(zb, 0, ckLo, ckHi) < nFiles, "z layout must skip on dim 1")
+    assert(hits(sb, 0, ckLo, ckHi) < nFiles, "sorted layout skips its own key")
+    // totalprice range: ONLY the z layout skips — every sorted file
+    // spans the full price range
+    assert(hits(sb, 1, tpLo, tpHi) === nFiles,
+      "a custkey sort gives no price clustering (the reason z-order exists)")
+    assert(hits(zb, 1, tpLo, tpHi) < nFiles,
+      s"z layout must skip on dim 2: ${hits(zb, 1, tpLo, tpHi)}/$nFiles files hit")
+    // refusals
+    intercept[IllegalArgumentException](
+      Curate.zorderWrite(orders, s"$base/bad", Seq("o_custkey")))
+    intercept[IllegalArgumentException](
+      Curate.zorderWrite(orders, s"$base/bad", Seq("o_custkey", "o_totalprice"), bits = 32))
+    intercept[IllegalArgumentException](
+      Curate.zorderWrite(orders, s"$base/bad", Seq("o_custkey", "o_totalprice"), nFiles = 0))
+  }
+
   test("duplicateClusters salted path returns the plain path's clusters") {
     val d = graft.core.Tables(spark, sfDir, "documents")
     def run(salt: Int) = try Dedup.duplicateClusters(d, saltHubs = salt)

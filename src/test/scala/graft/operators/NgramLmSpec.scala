@@ -112,4 +112,50 @@ class NgramLmSpec extends SparkSpec {
     assert(a == b, "KN scores must be partition-invariant")
     assert(a.nonEmpty && a.values.forall(v => v._1 == 0L || v._2 < 0.0))
   }
+
+  test("collocations: hand-computed PMI/NPMI, npmi ranks the true phrase first") {
+    import spark.implicits._
+    val d = ((1 to 10).map(i => (i.toLong, "new york")) ++
+      (11 to 15).map(i => (i.toLong, "the cat")) ++
+      (16 to 20).map(i => (i.toLong, "the dog")) ++
+      (21 to 30).map(i => (i.toLong, "cat naps"))).toDF("doc_id", "text")
+    // N=60; (new,york): 10/10/10 → pmi=ln6, npmi=1 exactly;
+    // (cat,naps): 10/15/10 → ln4, ln4/ln6; (the,dog): 5/10/5 → ln6, ln6/ln12;
+    // (the,cat): 5/10/15 → ln2, ln2/ln12
+    val out = try NgramLm.collocations(d, minCount = 1, k = 10).collect()
+    finally graft.core.Caches.release()
+    val rows = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    def ln(x: Double) = StrictMath.log(x)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(("new", "york")) === ((10L, 10L, 10L, r6(ln(6)), 1.0)))
+    assert(rows(("cat", "naps")) === ((10L, 15L, 10L, r6(ln(4)), r6(ln(4) / ln(6)))))
+    assert(rows(("the", "dog")) === ((5L, 10L, 5L, r6(ln(6)), r6(ln(6) / ln(12)))))
+    assert(rows(("the", "cat")) === ((5L, 10L, 15L, r6(ln(2)), r6(ln(2) / ln(12)))))
+    // ordering: npmi desc puts the perfect phrase first
+    assert((out.head.getString(0), out.head.getString(1)) === (("new", "york")))
+    // minCount filters the c12=5 pairs
+    val filtered = try NgramLm.collocations(d, minCount = 6, k = 10).collect()
+    finally graft.core.Caches.release()
+    assert(filtered.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("new", "york"), ("cat", "naps")))
+    // degenerate whole-corpus pair reads npmi = 1 by its limit
+    val one = try NgramLm.collocations(Seq((1L, "a b")).toDF("doc_id", "text"),
+      minCount = 1, k = 5).collect() finally graft.core.Caches.release()
+    assert(one.head.getDouble(6) === 1.0)
+    intercept[IllegalArgumentException](NgramLm.collocations(d, minCount = 0))
+    intercept[IllegalArgumentException](NgramLm.collocations(d, k = 0))
+  }
+
+  test("collocations on the real corpus: deterministic, bounded, counts consistent") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val a = try NgramLm.collocations(docs, minCount = 3, k = 20).collect()
+    finally graft.core.Caches.release()
+    val b = try NgramLm.collocations(docs.repartition(7), minCount = 3, k = 20)
+      .collect() finally graft.core.Caches.release()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    assert(a.nonEmpty && a.length <= 20)
+    assert(a.forall(r => r.getLong(2) <= math.min(r.getLong(3), r.getLong(4))))
+    assert(a.forall(r => r.getDouble(6) <= 1.0 + 1e-9))
+  }
 }
