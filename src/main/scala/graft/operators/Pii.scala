@@ -102,6 +102,52 @@ object Pii {
       .orderBy(col("doc_id"))
   }
 
+  /** Credential patterns for [[secretScan]] — the detect-secrets /
+    * gitleaks shapes the published code-corpus pipelines (The Stack,
+    * StarCoder) scrub before training: provider-prefixed access keys,
+    * PEM private-key headers, and the two high-entropy shapes (long
+    * bare hex, long base64 runs) that catch tokens no prefix list
+    * knows. ASCII-anchored, backreference-free (Java ≡ RE2), and
+    * deliberately conservative on length (a 32-hex run is a digest or
+    * a secret; an 8-hex run is a color). */
+  val AwsKeyRe = "\\bAKIA[0-9A-Z]{16}\\b"
+  val PemKeyRe = "-----BEGIN [A-Z ]*PRIVATE KEY-----"
+  val HexSecretRe = "\\b[0-9a-f]{32,}\\b"
+  val B64SecretRe = "\\b[A-Za-z0-9+/]{40,}={0,2}"
+
+  /** Secret/credential scan + redaction — [[redactPii]]'s sibling for
+    * the code-corpus scrub pass: adds per-class counts and a
+    * `secrets_redacted` text with every match masked. Same shape at
+    * scale as redactPii: a pure zero-shuffle codegen'd projection, no
+    * UDF. Redaction order is most- to least-specific (PEM, AWS, hex,
+    * base64) so a specific match is never half-eaten by a generic
+    * pattern; counts are measured on the original text — a ≥ 40-char
+    * bare hex run satisfies both high-entropy shapes and counts in
+    * both (the audit counts pattern hits, not disjoint spans); the
+    * redaction masks it once, as hex. */
+  def secretScan(d: DataFrame, text: Column): DataFrame = {
+    val cnt = (re: String) =>
+      size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+    d.withColumn("n_aws_keys", cnt(AwsKeyRe))
+      .withColumn("n_pem_keys", cnt(PemKeyRe))
+      .withColumn("n_hex_secrets", cnt(HexSecretRe))
+      .withColumn("n_b64_secrets", cnt(B64SecretRe))
+      .withColumn("secrets_redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text, PemKeyRe, "[PEM_KEY]"),
+              AwsKeyRe, "[AWS_KEY]"),
+            HexSecretRe, "[HEX_SECRET]"),
+          B64SecretRe, "[B64_SECRET]"))
+  }
+
+  /** Total secret hits of `text` as one column — the gate a composed
+    * pipeline filters on, [[piiCount]]'s sibling. */
+  def secretCount(text: Column): Column =
+    Seq(AwsKeyRe, PemKeyRe, HexSecretRe, B64SecretRe).map(re =>
+      size(regexp_extract_all(text, lit(re), lit(0))).cast("long")).reduce(_ + _)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pii_redact" -> (q67PiiRedact _)
   )

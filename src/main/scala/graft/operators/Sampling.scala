@@ -748,6 +748,55 @@ object Sampling {
     cal.withColumn("ppl_bucket", bucket)
   }
 
+  /** Curriculum ordering — the training-order policy between
+    * [[perplexityBuckets]] (which bands) and [[shuffleDeterministic]]
+    * (which shuffles): rows ordered best-band-first in `bands` global
+    * quality bands, with the deterministic hash shuffle WITHIN each
+    * band — the published easy-to-hard curriculum (Bengio et al. 2009,
+    * as data-curation practice: clean text first, the tail last)
+    * without giving up per-band randomization or reproducibility.
+    *
+    * Bands come from the GLOBAL score ECDF ([[calibrateScores]] with a
+    * constant source — the distributed two-level scan, no
+    * single-partition window), band = ⌈pct·bands⌉ ∈ 1..bands with band
+    * 1 the best scores (`lowerIsBetter` flips orientation, the
+    * [[perplexityBuckets]] knob); ties share a band by VALUE. Within a
+    * band the order is hash60(key | salt) with the key tie-break —
+    * `salt` re-deals every epoch without moving any row's band.
+    * `curriculum_pos` = the exact 1..n global position via the shared
+    * two-level prefix scan, and the output arrives range-partitioned
+    * in curriculum order, so a writer streams it without another sort.
+    * `key` must be unique (refused — tied rows have no position).
+    * Output: input + (band, curriculum_pos).
+    */
+  def curriculumOrder(d: DataFrame, key: Column, score: Column,
+                      bands: Int = 4, lowerIsBetter: Boolean = false,
+                      salt: Long = 0L, parts: Int = 0): DataFrame = {
+    require(bands >= 2, s"bands < 2 is just a shuffle, got $bands")
+    require(parts >= 0, s"parts must be >= 0 (0 = session default), got $parts")
+    val reserved = Seq("band", "curriculum_pos", "_cur_h")
+    reserved.foreach(r => require(!d.columns.contains(r),
+      s"input already has a $r column; rename it first"))
+    val probe = d.agg(count(lit(1)), countDistinct(key)).head()
+    require(probe.getLong(0) == probe.getLong(1),
+      s"curriculum key is not unique (${probe.getLong(0)} rows, " +
+        s"${probe.getLong(1)} distinct) — tied rows have no defined position")
+    val oriented = if (lowerIsBetter) score else -score
+    val banded = calibrateScores(d, lit("_global"), oriented)
+      .withColumn("band",
+        least(ceil(col("score_pct") * bands).cast("int"), lit(bands)))
+      .drop("score_pct")
+      .withColumn("_cur_h",
+        Hashing.hash60(concat(key.cast("string"), lit("|"), lit(salt))))
+    val orderCols = Seq(col("band"), col("_cur_h"), key)
+    val ranged = graft.core.Caches.persist(
+      if (parts > 0) banded.repartitionByRange(parts, orderCols: _*)
+      else banded.repartitionByRange(orderCols: _*))
+    twoLevelCumSums(ranged, spark_partition_id(), orderCols,
+      Seq("curriculum_pos" -> lit(1L)))
+      .drop("_cur_h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_sample_stratified" -> (q58SampleStratified _),
     "q62_split_manifest" -> (q62SplitManifest _),

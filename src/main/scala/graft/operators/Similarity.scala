@@ -541,6 +541,104 @@ object Similarity {
       .orderBy(col("subspace"))
   }
 
+  /** Per-dim moment frame for [[embeddingDrift]]: (pos, sx, sxx) with
+    * exact DECIMAL(28,12) sums — ≤ dim shuffle keys regardless of
+    * corpus size, bit-identical under repartitioning (the
+    * [[graft.operators.Pca.train]] moment discipline, first/second
+    * diagonal moments only). */
+  private def dimMoments(d: DataFrame): DataFrame =
+    d.select(posexplode(expr(
+      """transform(sequence(0, size(v) - 1), i -> struct(
+        |  CAST(element_at(v, i + 1) AS DECIMAL(28,12)) AS x,
+        |  CAST(element_at(v, i + 1) * element_at(v, i + 1)
+        |    AS DECIMAL(28,12)) AS xx))""".stripMargin)).as(Seq("pos", "m")))
+      .groupBy(col("pos"))
+      .agg(sum(col("m.x")).as("sx"), sum(col("m.xx")).as("sxx"))
+
+  private def driftProbe(d: DataFrame, tag: String): (Long, Int) = {
+    val p = d.agg(min(size(col("v"))), max(size(col("v"))),
+      count(lit(1))).head()
+    require(p.getLong(2) > 0, s"$tag corpus is empty")
+    require(p.getInt(0) == p.getInt(1),
+      s"$tag corpus is ragged: size(v) spans [${p.getInt(0)}, ${p.getInt(1)}]")
+    require(p.getInt(0) >= 1 && p.getInt(0) <= 4096,
+      s"$tag dim ${p.getInt(0)} outside [1, 4096]")
+    (p.getLong(2), p.getInt(0))
+  }
+
+  /** Embedding-space drift monitor — the vector-column sibling of
+    * [[Relational.profileDrift]] (column shapes) and
+    * [[graft.operators.TextOps.termDivergence]] (token content): did
+    * this month's embedding distribution move against the reference
+    * corpus the downstream index/codebook was trained on? Per
+    * dimension: both means, both population variances, the raw mean
+    * shift, and the variance-normalized `std_shift` =
+    * |Δmean| ∕ √((var_a + var_b)/2) — the per-dim effect size; a
+    * pooled-zero-variance dimension reads null (no scale to normalize
+    * by), its raw shift still visible. Sitting BEFORE the ANN
+    * lifecycle monitors, this is the cheap first alarm: a centroid
+    * that moved predicts [[pqDistortion]] rising and
+    * [[annRecall]] sagging before either pays a scan of the index.
+    *
+    * Shape at scale: one pass per corpus computing per-dim first and
+    * second moments as exact decimal sums (≤ dim shuffle keys, so the
+    * report is bit-identical under any partitioning), then a
+    * dim-bounded join — vectors never shuffle, nothing corpus-sized
+    * leaves the scans. Both inputs are [[prepare]]-shaped (a `v`
+    * DOUBLE[] column); dims must agree. Output: (pos, mean_a, mean_b,
+    * var_a, var_b, mean_shift, std_shift), pos-ordered.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    val (na, dimA) = driftProbe(a, "reference")
+    val (nb, dimB) = driftProbe(b, "candidate")
+    require(dimA == dimB, s"dimension mismatch: reference $dimA vs candidate $dimB")
+    val ma = dimMoments(a)
+      .select(col("pos"),
+        (col("sx") / lit(na)).cast("double").as("mean_a"),
+        ((col("sxx") / lit(na)).cast("double") -
+          (col("sx") / lit(na)).cast("double") *
+          (col("sx") / lit(na)).cast("double")).as("var_a"))
+    val mb = dimMoments(b)
+      .select(col("pos"),
+        (col("sx") / lit(nb)).cast("double").as("mean_b"),
+        ((col("sxx") / lit(nb)).cast("double") -
+          (col("sx") / lit(nb)).cast("double") *
+          (col("sx") / lit(nb)).cast("double")).as("var_b"))
+    val pooled = (col("var_a") + col("var_b")) / lit(2.0)
+    ma.join(mb, Seq("pos"))
+      .select(col("pos"),
+        round(col("mean_a"), 6).as("mean_a"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round(greatest(col("var_a"), lit(0.0)), 6).as("var_a"),
+        round(greatest(col("var_b"), lit(0.0)), 6).as("var_b"),
+        round(abs(col("mean_a") - col("mean_b")), 6).as("mean_shift"),
+        when(pooled > 0.0,
+          round(abs(col("mean_a") - col("mean_b")) / sqrt(pooled), 6))
+          .as("std_shift"))
+      .orderBy(col("pos"))
+  }
+
+  /** One-row rollup of [[embeddingDrift]]: corpus sizes, the cosine
+    * between the two centroids (null if either is the zero vector),
+    * the L2 norm of the mean shift, and the worst per-dim effect size
+    * — the numbers a dashboard thresholds on. Aggregates the
+    * dim-bounded drift frame; nothing new touches the corpora. */
+  def embeddingDriftSummary(a: DataFrame, b: DataFrame): DataFrame = {
+    val (na, _) = driftProbe(a, "reference")
+    val (nb, _) = driftProbe(b, "candidate")
+    val d = embeddingDrift(a, b)
+    val dotAb = sum(col("mean_a") * col("mean_b"))
+    val nA = sqrt(sum(col("mean_a") * col("mean_a")))
+    val nB = sqrt(sum(col("mean_b") * col("mean_b")))
+    d.agg(count(lit(1)).as("n_dims"),
+      lit(na).as("n_ref"), lit(nb).as("n_cand"),
+      when(nA > 0.0 && nB > 0.0, round(dotAb / (nA * nB), 6))
+        .as("centroid_cos"),
+      round(sqrt(sum(col("mean_shift") * col("mean_shift"))), 6)
+        .as("shift_l2"),
+      max(col("std_shift")).as("max_std_shift"))
+  }
+
   /** Persist a trained IVF codebook — train ONCE on the big cluster,
     * ship the nCells-line artifact to every query/ingest job (the
     * [[graft.operators.Bpe.save]] discipline; at 100 TB nobody retrains

@@ -481,6 +481,58 @@ class SamplingSpec extends SparkSpec {
     } finally graft.core.Caches.release()
   }
 
+  test("curriculumOrder: band-major order, best band first, salt re-deals within bands only") {
+    import spark.implicits._
+    // 40 docs, score = doc_id: higher is better by default, so the top
+    // quarter (30..39) must be band 1 and occupy positions 1..10
+    val d = (0L until 40L).map(i => (i, i.toDouble, s"doc $i"))
+      .toDF("doc_id", "score", "text")
+    try {
+      val out = Sampling.curriculumOrder(d, col("doc_id"), col("score"),
+        bands = 4).collect()
+        .map(r => (r.getLong(0), r.getAs[Int]("band"),
+          r.getAs[Long]("curriculum_pos")))
+      assert(out.map(_._3).sorted.toSeq === (1L to 40L).toSeq)
+      val byBand = out.groupBy(_._2)
+      // exact quartile membership: ECDF bands on distinct scores
+      assert(byBand(1).map(_._1).toSet === (30L until 40L).toSet)
+      assert(byBand(4).map(_._1).toSet === (0L until 10L).toSet)
+      // band-major: every band-1 position precedes every band-2 position
+      val maxPos = byBand.view.mapValues(_.map(_._3).max).toMap
+      val minPos = byBand.view.mapValues(_.map(_._3).min).toMap
+      (1 to 3).foreach(b => assert(maxPos(b) < minPos(b + 1),
+        s"band $b spills past band ${b + 1}"))
+      // within band 1 the order is the deterministic hash order
+      val band1 = out.filter(_._2 == 1).sortBy(_._3).map(_._1).toSeq
+      val replay = (30L until 40L).map(id => id ->
+        d.sparkSession.range(1).select(graft.functions.Hashing.hash60(
+          concat(lit(id.toString), lit("|"), lit(0L)))).head.getLong(0))
+        .sortBy(p => (p._2, p._1)).map(_._1)
+      assert(band1 === replay)
+      // salt re-deals inside bands but never moves a row's band
+      val salted = Sampling.curriculumOrder(d.repartition(7), col("doc_id"),
+        col("score"), bands = 4, salt = 9L, parts = 3).collect()
+        .map(r => (r.getLong(0), r.getAs[Int]("band"),
+          r.getAs[Long]("curriculum_pos")))
+      assert(salted.map(t => t._1 -> t._2).toMap ===
+        out.map(t => t._1 -> t._2).toMap)
+      assert(salted.map(t => t._1 -> t._3).toMap !==
+        out.map(t => t._1 -> t._3).toMap)
+      // lowerIsBetter flips which scores lead
+      val flipped = Sampling.curriculumOrder(d, col("doc_id"), col("score"),
+        bands = 4, lowerIsBetter = true).collect()
+        .map(r => (r.getLong(0), r.getAs[Int]("band")))
+      assert(flipped.filter(_._2 == 1).map(_._1).toSet === (0L until 10L).toSet)
+      // refusals: duplicate key, degenerate bands, reserved column
+      intercept[IllegalArgumentException](Sampling.curriculumOrder(
+        d.withColumn("doc_id", lit(1L)), col("doc_id"), col("score")))
+      intercept[IllegalArgumentException](Sampling.curriculumOrder(
+        d, col("doc_id"), col("score"), bands = 1))
+      intercept[IllegalArgumentException](Sampling.curriculumOrder(
+        d.withColumn("band", lit(1)), col("doc_id"), col("score")))
+    } finally graft.core.Caches.release()
+  }
+
   test("perplexityBuckets: per-source thirds land head/middle/tail, orientation flips, refusals") {
     import spark.implicits._
     // source A: perplexities 1..6 → head {1,2}, middle {3,4}, tail {5,6};

@@ -592,4 +592,56 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.sqBounds(Seq((0L, Seq(1.0)), (1L, Seq(1.0, 2.0))).toDF("vec_id", "v")))
   }
+
+  test("embeddingDrift: hand-computed shifts, exact-zero identity, summary rollup") {
+    import spark.implicits._
+    val a = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(2.0, 0.0)), (3L, Seq(4.0, 0.0)))
+      .toDF("vec_id", "v")
+    val b = Seq((1L, Seq(3.0, 1.0)), (2L, Seq(5.0, 1.0)), (3L, Seq(7.0, 1.0)))
+      .toDF("vec_id", "v")
+    // means (2,0) vs (5,1); var dim0 = 8/3 both sides; dim1 = 0 both
+    val d = Similarity.embeddingDrift(a, b).collect()
+    assert(d.length === 2)
+    val d0 = d(0); val d1 = d(1)
+    assert(d0.getDouble(1) === 2.0 && d0.getDouble(2) === 5.0)
+    assert(d0.getDouble(3) === 2.666667 && d0.getDouble(4) === 2.666667)
+    assert(d0.getDouble(5) === 3.0)
+    assert(math.abs(d0.getDouble(6) - 3.0 / math.sqrt(8.0 / 3.0)) <= 1e-5,
+      s"std_shift ${d0.getDouble(6)}")
+    // zero-pooled-variance dim: raw shift visible, std_shift null
+    assert(d1.getDouble(5) === 1.0 && d1.isNullAt(6))
+    // summary: centroid cosine and L2 shift are the hand values
+    val s = Similarity.embeddingDriftSummary(a, b).head()
+    assert(s.getLong(0) === 2L && s.getLong(1) === 3L && s.getLong(2) === 3L)
+    assert(math.abs(s.getDouble(3) - 10.0 / (2.0 * math.sqrt(26.0))) <= 1e-5)
+    assert(math.abs(s.getDouble(4) - math.sqrt(10.0)) <= 1e-5)
+    // identity: zero drift, cosine 1
+    val same = Similarity.embeddingDrift(a, a).collect()
+    assert(same.forall(r => r.getDouble(5) === 0.0))
+    assert(Similarity.embeddingDriftSummary(a, a).head().getDouble(3) === 1.0)
+    // bit-identical under repartitioning (decimal moment sums)
+    val d2 = Similarity.embeddingDrift(a.repartition(5), b.repartition(3)).collect()
+    assert(d.map(_.toString).toSeq === d2.map(_.toString).toSeq)
+    // refusals: ragged input, dimension mismatch, empty side
+    intercept[IllegalArgumentException](Similarity.embeddingDrift(
+      Seq((1L, Seq(1.0)), (2L, Seq(1.0, 2.0))).toDF("vec_id", "v"), b))
+    intercept[IllegalArgumentException](Similarity.embeddingDrift(
+      a, Seq((1L, Seq(1.0))).toDF("vec_id", "v")))
+    intercept[IllegalArgumentException](Similarity.embeddingDrift(
+      a.filter(lit(false)), b))
+  }
+
+  test("embeddingDrift on the real embeddings: self-drift zero, shifted copy detected") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val corpus = Similarity.prepare(e, "vec_id", "embedding")
+    val shifted = corpus.withColumn("v",
+      expr("transform(v, x -> x + CAST(0.5 AS DOUBLE))"))
+    val s = Similarity.embeddingDriftSummary(corpus, shifted).head()
+    // every dimension moved by exactly 0.5
+    assert(math.abs(s.getDouble(4) -
+      0.5 * math.sqrt(s.getLong(0).toDouble)) <= 1e-4,
+      s"shift_l2 ${s.getDouble(4)} for ${s.getLong(0)} dims")
+    val self = Similarity.embeddingDriftSummary(corpus, corpus).head()
+    assert(self.getDouble(4) === 0.0)
+  }
 }
