@@ -500,6 +500,69 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Packing accounting for a [[packSequences]] layout — the numbers
+    * that pick `budget`: contiguous stream packing wastes no tokens
+    * (every bin but the tail is full by construction), so the cost
+    * dial is document SPLITTING — a doc crossing a bin boundary
+    * becomes a truncated training example on each side. One bounded
+    * aggregation over the (already narrow) packing frame: docs, bins,
+    * split docs and the split fraction, total boundary crossings
+    * (a doc spanning 3 bins crosses twice), and the tail bin's fill.
+    * Output: one row (n_docs, total_tokens, n_bins, n_split_docs,
+    * split_frac, n_crossings, tail_fill). */
+  def packingReport(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    packed.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      (max(col("bin_last")) + 1).as("n_bins"),
+      sum(when(col("bin_last") > col("bin_first"), 1L).otherwise(0L))
+        .as("n_split_docs"),
+      round(sum(when(col("bin_last") > col("bin_first"), 1L).otherwise(0L)) /
+        count(lit(1)), 6).as("split_frac"),
+      sum(col("bin_last") - col("bin_first")).as("n_crossings"))
+      .withColumn("tail_fill", round(
+        when(col("total_tokens") % budget === 0, lit(1.0))
+          .otherwise((col("total_tokens") % budget) / lit(budget.toDouble)), 6))
+  }
+
+  /** Ensemble quality fusion — the "average the rankings, not the raw
+    * numbers" step a multi-signal curation recipe needs before
+    * [[selectByBudget]]: each signal is replaced by its GLOBAL ECDF
+    * ([[calibrateScores]] with a constant source — rank-preserving,
+    * scale-free, invariant under any strictly monotone transform of
+    * the raw signal) and the fused score is the weighted mean of the
+    * calibrated quantiles — so a signal measured in log-probs and one
+    * measured in ratios contribute equally unless weighted otherwise,
+    * and no signal's scale can silently dominate. Negate a
+    * lower-is-better signal at the call site (the ECDF is monotone).
+    * One distributed two-level scan per signal, nothing
+    * single-partition. Output: input + `fused_score` ∈ (0, 1].
+    */
+  def rankFuse(d: DataFrame, scores: Seq[Column],
+               weights: Seq[Double] = Nil): DataFrame = {
+    require(scores.nonEmpty, "rankFuse needs at least one score signal")
+    require(weights.isEmpty || weights.length == scores.length,
+      s"${scores.length} signals need ${scores.length} weights, got ${weights.length}")
+    require(weights.forall(_ > 0.0), s"weights must be positive, got $weights")
+    require(!d.columns.contains("fused_score"),
+      "input already has a fused_score column; rename it first")
+    val w = if (weights.isEmpty) Seq.fill(scores.length)(1.0) else weights
+    val wSum = w.sum
+    val pctCols = scores.indices.map(i => s"_fuse_$i")
+    pctCols.foreach(c => require(!d.columns.contains(c),
+      s"input already has a $c column; rename it first"))
+    val calibrated = scores.zipWithIndex.foldLeft(d) { case (cur, (s, i)) =>
+      calibrateScores(cur, lit("_global"), s)
+        .withColumnRenamed("score_pct", s"_fuse_$i")
+    }
+    calibrated
+      .withColumn("fused_score", round(
+        pctCols.zip(w).map { case (c, wi) => col(c) * lit(wi / wSum) }
+          .reduce(_ + _), 6))
+      .drop(pctCols: _*)
+  }
+
   /** The two-level distributed prefix scan shared by [[packSequences]]
     * and [[selectByBudget]] — the trickiest construct in this module,
     * defined ONCE: (1) rows are grouped by `bucket`, which the caller

@@ -735,6 +735,30 @@ object TextOps {
       .withColumn("compress_ratio",
         round(col("deflate_bytes") / col("utf8_bytes"), 6))
 
+  /** Encoding-health signal — the mojibake/damage probe a crawl
+    * pipeline runs before any text model sees the bytes (ftfy's
+    * detection half as corpus accounting): per doc the replacement-
+    * character fraction (U+FFFD = a decoder already gave up), the
+    * control-character fraction (binary-in-text, terminal noise), and
+    * the non-ASCII fraction (legitimate for most languages — read it
+    * against the doc's language, not alone; an "en" doc at 40%
+    * non-ASCII is mojibake, a "ja" doc is just Japanese). A pure
+    * zero-shuffle projection of regex counts over exact char lengths;
+    * null/empty text keeps its row with null fractions. Output:
+    * (doc_id, n_chars, repl_frac, ctrl_frac, nonascii_frac).
+    */
+  def encodingSignal(d: DataFrame, text: Column = col("text")): DataFrame = {
+    val n = length(text).cast("long")
+    val cnt = (re: String) =>
+      size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+    val frac = (c: Column) =>
+      when(n > 0, round(c / n.cast("double"), 6))
+    d.select(col("doc_id"), n.as("n_chars"),
+      frac(cnt("�")).as("repl_frac"),
+      frac(cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")).as("ctrl_frac"),
+      frac(cnt("[^\\x00-\\x7F]")).as("nonascii_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_lang_id" -> (q38LangId _),
     "q39_quality" -> (q39Quality _),

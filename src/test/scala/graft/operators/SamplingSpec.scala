@@ -506,7 +506,7 @@ class SamplingSpec extends SparkSpec {
       val band1 = out.filter(_._2 == 1).sortBy(_._3).map(_._1).toSeq
       val replay = (30L until 40L).map(id => id ->
         d.sparkSession.range(1).select(graft.functions.Hashing.hash60(
-          concat(lit(id.toString), lit("|"), lit(0L)))).head.getLong(0))
+          concat(lit(id.toString), lit("|"), lit(0L)))).head().getLong(0))
         .sortBy(p => (p._2, p._1)).map(_._1)
       assert(band1 === replay)
       // salt re-deals inside bands but never moves a row's band
@@ -530,6 +530,66 @@ class SamplingSpec extends SparkSpec {
         d, col("doc_id"), col("score"), bands = 1))
       intercept[IllegalArgumentException](Sampling.curriculumOrder(
         d.withColumn("band", lit(1)), col("doc_id"), col("score")))
+    } finally graft.core.Caches.release()
+  }
+
+  test("packingReport: split accounting and tail fill on a hand-packed layout") {
+    import spark.implicits._
+    // budget 10; docs sized 6,6,6,7 pack to stream offsets 0,6,12,18 in
+    // SOME hash order — sizes are equal-ish so exact split counts depend
+    // on order; use distinct sizes and replay the hash order instead
+    val d = Seq((1L, 4L), (2L, 10L), (3L, 3L), (4L, 8L)).toDF("doc_id", "n_tokens")
+    try {
+      val packed = Sampling.packSequences(d, budget = 10)
+      val rep = Sampling.packingReport(packed, budget = 10).head()
+      assert(rep.getAs[Long]("n_docs") === 4L)
+      assert(rep.getAs[Long]("total_tokens") === 25L)
+      assert(rep.getAs[Long]("n_bins") === 3L)
+      // replay: crossings = per-doc (bin_last - bin_first) from the frame
+      val rows = packed.collect().map(r =>
+        (r.getLong(0), r.getAs[Long]("bin_first"), r.getAs[Long]("bin_last")))
+      val expSplit = rows.count(t => t._3 > t._2).toLong
+      val expCross = rows.map(t => t._3 - t._2).sum
+      assert(rep.getAs[Long]("n_split_docs") === expSplit)
+      assert(rep.getAs[Long]("n_crossings") === expCross)
+      assert(rep.getAs[Double]("split_frac") === expSplit / 4.0)
+      assert(rep.getAs[Double]("tail_fill") === 0.5) // 25 % 10 = 5 of 10
+      // an exactly-full stream reads tail_fill 1.0
+      val full = Sampling.packSequences(
+        Seq((1L, 10L), (2L, 10L)).toDF("doc_id", "n_tokens"), budget = 10)
+      assert(Sampling.packingReport(full, budget = 10).head()
+        .getAs[Double]("tail_fill") === 1.0)
+      intercept[IllegalArgumentException](Sampling.packingReport(packed, 0))
+    } finally graft.core.Caches.release()
+  }
+
+  test("rankFuse: scale-free fusion, monotone-transform invariant, weights shift the blend") {
+    import spark.implicits._
+    // signal A ranks 1<2<3<4; signal B ranks 4<3<2<1 on a wild scale
+    val d = Seq(
+      (1L, 1.0, 1e9), (2L, 2.0, 1e6), (3L, 3.0, 1e3), (4L, 4.0, 1.0))
+      .toDF("doc_id", "sa", "sb")
+    try {
+      val out = Sampling.rankFuse(d, Seq(col("sa"), col("sb"))).collect()
+        .map(r => r.getLong(0) -> r.getAs[Double]("fused_score")).toMap
+      // ECDFs: sa pcts = .25 .5 .75 1; sb pcts = 1 .75 .5 .25 → all fuse to .625
+      assert(out.values.forall(_ === 0.625), s"$out")
+      // a monotone transform of a signal changes nothing
+      val out2 = Sampling.rankFuse(d.withColumn("sa", exp(col("sa"))),
+        Seq(col("sa"), col("sb"))).collect()
+        .map(r => r.getLong(0) -> r.getAs[Double]("fused_score")).toMap
+      assert(out2 === out)
+      // weights: all weight on sa reproduces sa's ECDF
+      val wOut = Sampling.rankFuse(d, Seq(col("sa"), col("sb")),
+        weights = Seq(1.0, 1e-9)).collect()
+        .map(r => r.getLong(0) -> r.getAs[Double]("fused_score")).toMap
+      assert(wOut(4L) > wOut(3L) && wOut(3L) > wOut(2L) && wOut(2L) > wOut(1L))
+      // refusals
+      intercept[IllegalArgumentException](Sampling.rankFuse(d, Nil))
+      intercept[IllegalArgumentException](
+        Sampling.rankFuse(d, Seq(col("sa")), weights = Seq(1.0, 2.0)))
+      intercept[IllegalArgumentException](
+        Sampling.rankFuse(d.withColumn("fused_score", lit(1.0)), Seq(col("sa"))))
     } finally graft.core.Caches.release()
   }
 

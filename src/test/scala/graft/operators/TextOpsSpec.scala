@@ -363,6 +363,37 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextOps.termShift(a, b, k = 0))
   }
 
+  test("encodingSignal: planted mojibake/control/non-ascii fractions are exact; zero-shuffle") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "caf\ufffd bad"),          // 1 replacement char of 8 chars
+      (2L, "ab\u0001cdefg\u0007hi"), // 2 control chars of 11
+      (3L, "na\u00efve r\u00e9sum\u00e9"), // 3 non-ascii of 12
+      (4L, "plain ascii text"),
+      (5L, ""), (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.encodingSignal(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 8L)
+    assert(out(1L).getDouble(2) === 0.125)
+    assert(out(2L).getDouble(3) === BigDecimal(2.0 / 11)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(3L).getDouble(4) === 0.25)
+    // the replacement char is itself non-ascii; a clean doc is all zeros
+    assert(out(1L).getDouble(4) > 0.0)
+    assert(out(4L).getDouble(2) === 0.0 && out(4L).getDouble(3) === 0.0 &&
+      out(4L).getDouble(4) === 0.0)
+    // empty and null text keep rows with null fractions
+    assert(out(5L).isNullAt(2) && out(6L).isNullAt(2))
+    val plan = TextOps.encodingSignal(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signal plan shuffles:\n$plan")
+    // the synthetic corpus is ascii-clean
+    val real = TextOps.encodingSignal(graft.core.Tables(spark, sfDir, "documents"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("repl_frac")),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("ctrl_frac"))).head()
+    assert(real.getDouble(0) === 0.0 && real.getDouble(1) === 0.0)
+  }
+
   test("compressionSignal: repetition compresses, noise doesn't, plan is shuffle-free") {
     import spark.implicits._
     val rep = ("lorem ipsum " * 200).trim
