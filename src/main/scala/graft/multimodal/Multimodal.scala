@@ -318,6 +318,128 @@ object Multimodal {
     }
   }
 
+  /** A perceptual hash row: 64-bit DCT pHash, or decoded=false. */
+  final case class ImagePhash(media_id: Long, decoded: Boolean, phash: Long)
+
+  /** The classic DCT perceptual hash (pHash): grayscale-resize to
+    * 32×32 (the same awt bilinear path as [[resizeImages]]), 2-D
+    * DCT-II, keep the 8×8 low-frequency block, threshold each
+    * coefficient against the block's median → 64 bits. StrictMath
+    * cosine tables and a fixed row-major walk — a pure function of the
+    * payload bytes at any parallelism. */
+  private def phashOf(img: java.awt.image.BufferedImage): Long = {
+    val N = 32
+    val scaled = new java.awt.image.BufferedImage(N, N,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, N, N, null)
+    g.dispose()
+    val px = scaled.getRGB(0, 0, N, N, null, 0, N)
+    val gray = new Array[Double](N * N)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      gray(i) = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+        0.114 * (p & 0xff)
+      i += 1
+    }
+    // cos table: cosT(u)(x) = cos((2x+1)·u·π / 2N) for u < 8
+    val cosT = Array.tabulate(8, N)((u, x) =>
+      StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * N)))
+    val coefs = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < N) {
+          var y = 0
+          val cu = cosT(u)(x)
+          while (y < N) {
+            s += gray(x * N + y) * cu * cosT(v)(y)
+            y += 1
+          }
+          x += 1
+        }
+        coefs(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = coefs.sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (coefs(i) > median) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Perceptual image hashing — the image-side MinHash: two payloads
+    * with the same pHash (or within a few bits) are the same PICTURE
+    * under re-encoding, resizing, or mild noise, where the byte-level
+    * content hash (q30's rule) sees three different files. Same
+    * contract as [[imageStats]]: one row per input, `decoded = false`
+    * for non-image kinds and rejects, pure per-row mapPartitions —
+    * payloads never shuffle. */
+  def imagePhash(media: Dataset[MediaRow]): Dataset[ImagePhash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        if (m.kind != "image") ImagePhash(m.media_id, decoded = false, 0L)
+        else {
+          val decoded =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.payload)))
+            catch { case _: Exception => None }
+          decoded match {
+            case Some(img) if img.getWidth > 0 && img.getHeight > 0 =>
+              ImagePhash(m.media_id, decoded = true, phashOf(img))
+            case _ => ImagePhash(m.media_id, decoded = false, 0L)
+          }
+        }
+      }
+    }
+  }
+
+  /** Image near-duplicate pairs — [[Dedup]]'s LSH discipline applied
+    * to the visual channel: pHashes band into 4×16 bits, candidates
+    * share at least one band, and the exact Hamming distance verifies.
+    * The pigeonhole guarantee is EXACT for `maxHamming ≤ 3` (4 bands
+    * cannot all differ when only 3 bits do), which is why the bound is
+    * enforced rather than documented — past 3 the banding silently
+    * loses recall and a bigger-radius search needs more bands, not a
+    * bigger threshold. Only (media_id, 16-bit band value) rows enter
+    * the candidate shuffle; payloads stay in their scan. Output:
+    * (media_a, media_b, hamming), id-ordered pairs. */
+  def imageNearDup(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding is exact only to Hamming 3, got $maxHamming — " +
+        "raise the band count, not the threshold")
+    val ph = imagePhash(media).filter(_.decoded).toDF()
+      .select(col("media_id"), col("phash"))
+    val bands = ph.select(col("media_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bv")))
+    val cand = bands.select(col("band"), col("bv"),
+        col("media_id").as("media_a"), col("phash").as("ph_a"))
+      .join(bands.select(col("band"), col("bv"),
+        col("media_id").as("media_b"), col("phash").as("ph_b")),
+        Seq("band", "bv"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        expr("bit_count(ph_a ^ ph_b)").as("hamming"))
+      .distinct()
+    cand.filter(col("hamming") <= maxHamming)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** A resized image row: re-encoded payload + old/new dims. */
   final case class ResizedImage(
       media_id: Long,

@@ -639,6 +639,56 @@ object Similarity {
       max(col("std_shift")).as("max_std_shift"))
   }
 
+  /** Prototypicality report — Sorscher et al. 2022 ("Beyond neural
+    * scaling laws: beating power law scaling via data pruning"): a
+    * vector's distance to its assigned k-means centroid measures how
+    * PROTOTYPICAL (easy, redundant) the example is; with abundant data
+    * the recipe prunes the most prototypical examples and keeps the
+    * hard tail. Per vector: its cell, the exact squared distance to
+    * its own centroid, and `proto_pct` — the WITHIN-CELL ECDF of
+    * closeness (1.0 = the cell's most prototypical vector), computed by
+    * [[graft.operators.Sampling.calibrateScores]]' distributed
+    * two-level scan with the cell as the group, so pruning at a
+    * fraction is per-cluster balanced exactly as the paper keeps
+    * per-class balance — and no cell is ever sorted in one task.
+    * Assignment is the shared zero-Exchange argmin projection;
+    * nothing corpus-sized leaves the scan. Input is [[prepare]]-shaped.
+    * Output: (vec_id, cell, d2, proto_pct), id-ordered.
+    */
+  def prototypicality(corpus: DataFrame,
+                      cents: Array[(Long, Array[Double], Double)]): DataFrame = {
+    require(cents.nonEmpty, "empty codebook")
+    val d2s = array(cents.map(d2To): _*)
+    val scored = corpus
+      .withColumn("cell", assignCell(cents))
+      .withColumn("d2", round(greatest(array_min(d2s), lit(0.0)), 6))
+      .select(col("vec_id"), col("cell"), col("d2"))
+    Sampling.calibrateScores(scored, col("cell"), -col("d2"))
+      .select(col("vec_id"), col("cell"), col("d2"),
+        round(col("score_pct"), 6).as("proto_pct"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The pruning half: keep `keepFrac` of each cell — the HARD tail
+    * (far from the centroid; the paper's abundant-data choice) by
+    * default, or the easy prototypes (`keepHard = false`, the
+    * scarce-data choice). Membership is the per-cell ECDF threshold,
+    * so the kept set is a pure function of the data and every cell
+    * keeps ~the same fraction. Returns the corpus rows that survive.
+    */
+  def pruneByPrototypicality(corpus: DataFrame,
+                             cents: Array[(Long, Array[Double], Double)],
+                             keepFrac: Double,
+                             keepHard: Boolean = true): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val p = prototypicality(corpus, cents)
+    val keep =
+      if (keepHard) col("proto_pct") <= keepFrac
+      else col("proto_pct") > lit(1.0) - keepFrac
+    corpus.join(p.filter(keep).select(col("vec_id")), Seq("vec_id"), "left_semi")
+  }
+
   /** Persist a trained IVF codebook — train ONCE on the big cluster,
     * ship the nCells-line artifact to every query/ingest job (the
     * [[graft.operators.Bpe.save]] discipline; at 100 TB nobody retrains

@@ -609,4 +609,57 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum ==
       Multimodal.mediaFromDocuments(spark, sfDir).count())
   }
+
+  test("imagePhash/imageNearDup: re-encodes collide, perturbations stay close, distinct images stay far") {
+    def pngOf(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // a spread-spectrum "photo-like" fixture: a linear ramp would park
+    // most DCT coefficients AT the median, where any nudge flips bits
+    def tex(x: Int, y: Int): Int = {
+      val v = (128 + 60 * StrictMath.sin(x * 0.31) * StrictMath.cos(y * 0.23) +
+        50 * StrictMath.sin((x + y) * 0.11)).toInt.max(0).min(255)
+      (v << 16) | (v << 8) | v
+    }
+    val gradient = pngOf(64, 64, tex)
+    // the same picture with one pixel blacked out
+    val nudged = pngOf(64, 64, (x, y) =>
+      if (x == 10 && y == 10) 0x000000 else tex(x, y))
+    val checker = pngOf(64, 64, (x, y) => if ((x / 8 + y / 8) % 2 == 0) 0x000000 else 0xffffff)
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", gradient, gradient.length.toLong),
+      Multimodal.MediaRow(2L, "image", gradient, gradient.length.toLong), // byte-dup
+      Multimodal.MediaRow(3L, "image", nudged, nudged.length.toLong),
+      Multimodal.MediaRow(4L, "image", checker, checker.length.toLong),
+      Multimodal.MediaRow(5L, "image", "garbage".getBytes("UTF-8"), 7L),
+      Multimodal.MediaRow(6L, "audio", gradient, gradient.length.toLong)))
+    val ph = Multimodal.imagePhash(media).collect().map(p => p.media_id -> p).toMap
+    // identical bytes → identical hash; non-images and rejects decode=false
+    assert(ph(1L).decoded && ph(2L).decoded && ph(1L).phash === ph(2L).phash)
+    assert(!ph(5L).decoded && !ph(6L).decoded)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // one nudged pixel barely moves the DCT signature
+    assert(ham(ph(1L).phash, ph(3L).phash) <= 3,
+      s"nudged hamming ${ham(ph(1L).phash, ph(3L).phash)}")
+    // a structurally different image is far away
+    assert(ham(ph(1L).phash, ph(4L).phash) > 10,
+      s"checker hamming ${ham(ph(1L).phash, ph(4L).phash)}")
+    // determinism at any parallelism
+    val ph2 = Multimodal.imagePhash(media.repartition(5)).collect()
+      .map(p => p.media_id -> p.phash).toMap
+    assert(ph.view.filterKeys(_ <= 4L).mapValues(_.phash).toMap ===
+      ph2.view.filterKeys(_ <= 4L).toMap)
+    // near-dup pairs: the dup and the nudge, never the checkerboard
+    val pairs = Multimodal.imageNearDup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.filter(p => p._2 === 2L).head._3 === 0)
+    intercept[IllegalArgumentException](Multimodal.imageNearDup(media, maxHamming = 4))
+  }
 }

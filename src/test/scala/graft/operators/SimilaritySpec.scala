@@ -631,6 +631,61 @@ class SimilaritySpec extends SparkSpec {
       a.filter(lit(false)), b))
   }
 
+  test("prototypicality: hand-computed per-cell ECDF, pruning keeps the declared tail") {
+    import spark.implicits._
+    val corpus = Similarity.prepare(Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(2.0, 0.0)),
+      (4L, Seq(10.0, 0.0)), (5L, Seq(8.0, 0.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val cents = Array((0L, Array(0.0, 0.0), 0.0), (1L, Array(10.0, 0.0), 10.0))
+    try {
+      val p = Similarity.prototypicality(corpus, cents).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      // cell 0 distances 0,1,4 → closeness ECDF 1, 2/3, 1/3; cell 1: 0,4 → 1, 1/2
+      assert(p(1L) === ((0L, 0.0, 1.0)))
+      assert(p(2L) === ((0L, 1.0, 0.666667)))
+      assert(p(3L) === ((0L, 4.0, 0.333333)))
+      assert(p(4L) === ((1L, 0.0, 1.0)))
+      assert(p(5L) === ((1L, 4.0, 0.5))) // |8-10|^2 = 4
+      // keep the hard half per cell
+      val hard = Similarity.pruneByPrototypicality(corpus, cents, 0.5)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(hard === Set(3L, 5L))
+      // keep the easy half instead
+      val easy = Similarity.pruneByPrototypicality(corpus, cents, 0.5,
+        keepHard = false).select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(easy === Set(1L, 2L, 4L))
+      // pure function of the data
+      val p2 = Similarity.prototypicality(corpus.repartition(5), cents).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(p === p2)
+      intercept[IllegalArgumentException](
+        Similarity.pruneByPrototypicality(corpus, cents, 0.0))
+      intercept[IllegalArgumentException](
+        Similarity.prototypicality(corpus, Array.empty))
+    } finally graft.core.Caches.release()
+  }
+
+  test("prototypicality on the real embeddings: per-cell fractions hold, trained codebook") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val corpus = Similarity.prepare(e, "vec_id", "embedding")
+    try {
+      val cents = Similarity.ivfCentroids(corpus, nCells = 8, trainIters = 2)
+      val kept = Similarity.pruneByPrototypicality(corpus, cents, 0.5)
+      val total = corpus.count()
+      val k = kept.count()
+      // per-cell ECDF keeps ~half overall (ties and small cells wobble)
+      assert(k >= total * 35 / 100 && k <= total * 65 / 100,
+        s"kept $k of $total")
+      // survivors are exactly the low-pct rows of the report
+      val rep = Similarity.prototypicality(corpus, cents)
+      val expect = rep.filter(org.apache.spark.sql.functions.col("proto_pct") <= 0.5)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got === expect)
+    } finally graft.core.Caches.release()
+  }
+
   test("embeddingDrift on the real embeddings: self-drift zero, shifted copy detected") {
     val e = graft.core.Tables(spark, sfDir, "embeddings")
     val corpus = Similarity.prepare(e, "vec_id", "embedding")
