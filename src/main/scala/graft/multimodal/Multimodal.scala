@@ -417,28 +417,113 @@ object Multimodal {
     * bigger threshold. Only (media_id, 16-bit band value) rows enter
     * the candidate shuffle; payloads stay in their scan. Output:
     * (media_a, media_b, hamming), id-ordered pairs. */
-  def imageNearDup(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+  def imageNearDup(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(imagePhash(media).filter(_.decoded).toDF()
+      .select(col("media_id"), col("phash").as("h")), maxHamming)
+
+  /** Shared 64-bit Hamming LSH: 4×16-bit bands, candidates share a
+    * band, exact popcount verify. Pigeonhole-exact for maxHamming ≤ 3
+    * (enforced). Input: (media_id, h); output (media_a, media_b,
+    * hamming), id-ordered pairs. */
+  private def bandedHammingPairs(ph: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16 banding is exact only to Hamming 3, got $maxHamming — " +
         "raise the band count, not the threshold")
-    val ph = imagePhash(media).filter(_.decoded).toDF()
-      .select(col("media_id"), col("phash"))
-    val bands = ph.select(col("media_id"), col("phash"),
+    val bands = ph.select(col("media_id"), col("h"),
       posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "bv")))
-    val cand = bands.select(col("band"), col("bv"),
-        col("media_id").as("media_a"), col("phash").as("ph_a"))
+    bands.select(col("band"), col("bv"),
+        col("media_id").as("media_a"), col("h").as("ph_a"))
       .join(bands.select(col("band"), col("bv"),
-        col("media_id").as("media_b"), col("phash").as("ph_b")),
+        col("media_id").as("media_b"), col("h").as("ph_b")),
         Seq("band", "bv"))
       .filter(col("media_a") < col("media_b"))
       .select(col("media_a"), col("media_b"),
         expr("bit_count(ph_a ^ ph_b)").as("hamming"))
       .distinct()
-    cand.filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming)
       .orderBy(col("media_a"), col("media_b"))
   }
+
+  /** An audio fingerprint row: 64-bit energy-envelope hash. */
+  final case class AudioFp(media_id: Long, decoded: Boolean, fp: Long)
+
+  /** Energy-envelope audio fingerprint — [[imagePhash]]'s acoustic
+    * sibling (the shape Chromaprint coarsens from spectral to): the
+    * PCM stream splits into 64 equal time windows, each window's RMS
+    * energy thresholds against the MEDIAN window energy → 64 bits.
+    * GAIN-INVARIANT by construction (scaling every sample scales every
+    * window RMS and their median equally — spec'd: a half-volume copy
+    * fingerprints identically), deterministic fixed-stride walk, same
+    * decode envelope as [[audioStats]] (PCM 8/16-bit; reject = decoded
+    * false). Not time-shift invariant — this is the dedup primitive
+    * for re-encoded/re-leveled copies, not a retrieval matcher. */
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    val W = 64
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val none = AudioFp(r.media_id, decoded = false, 0L)
+        if (r.kind != "audio") none
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val fmt = in.getFormat
+            val bits = fmt.getSampleSizeInBits
+            if (fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              (bits != 8 && bits != 16) || fmt.getChannels <= 0) none
+            else {
+              val bytes = in.readAllBytes()
+              val bps = bits / 8
+              val n = bytes.length / bps
+              if (n < W) none // shorter than one sample per window
+              else {
+                val big = fmt.isBigEndian
+                def sampleAt(i: Int): Double = {
+                  val off = i * bps
+                  if (bits == 8) bytes(off).toDouble
+                  else {
+                    val (lo, hi) = if (big) (off + 1, off) else (off, off + 1)
+                    ((bytes(hi) << 8) | (bytes(lo) & 0xff)).toDouble
+                  }
+                }
+                val energy = new Array[Double](W)
+                var w = 0
+                while (w < W) {
+                  val from = (n.toLong * w / W).toInt
+                  val until = (n.toLong * (w + 1) / W).toInt
+                  var s = 0.0
+                  var i = from
+                  while (i < until) { val v = sampleAt(i); s += v * v; i += 1 }
+                  energy(w) = s / math.max(1, until - from)
+                  w += 1
+                }
+                val sorted = energy.sorted
+                val median = (sorted(W / 2 - 1) + sorted(W / 2)) / 2.0
+                var fp = 0L
+                var b = 0
+                while (b < W) {
+                  if (energy(b) > median) fp |= (1L << b)
+                  b += 1
+                }
+                AudioFp(r.media_id, decoded = true, fp)
+              }
+            }
+          } finally in.close()
+        } catch { case _: Exception => none }
+      }
+    }
+  }
+
+  /** Audio near-duplicate pairs — the [[imageNearDup]] banding over
+    * [[audioFingerprint]]: finds re-encoded / re-leveled copies of the
+    * same recording. Same enforced Hamming-3 pigeonhole bound. */
+  def audioNearDup(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(audioFingerprint(media).filter(_.decoded).toDF()
+      .select(col("media_id"), col("fp").as("h")), maxHamming)
 
   /** A resized image row: re-encoded payload + old/new dims. */
   final case class ResizedImage(

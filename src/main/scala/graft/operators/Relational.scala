@@ -859,6 +859,46 @@ object Relational {
     * bounds). Empty buckets are absent (sparse output; at 100 TB a
     * dense 0-filled frame would be a group×bins cross join for no
     * analytical gain). */
+  /** Robust outlier flagging by median absolute deviation — the
+    * statistics-text robust sibling of the q63 percentile band: with
+    * the standard 1.4826 consistency constant, `k` reads like "k
+    * sigmas" but neither the center nor the scale can be dragged by
+    * the outliers being hunted (a mean/stddev rule moves its own
+    * goalposts). Flags rows where |v − median| > k·1.4826·MAD. Two
+    * exact percentile aggregates (median, then median of absolute
+    * deviations) — bounded driver scalars, the q63 discipline; at
+    * 100 TB swap `percentile` for the q53 mergeable sketch exactly as
+    * q63's scaladoc prescribes. A degenerate distribution (MAD = 0:
+    * over half the values identical) flags every value ≠ median —
+    * the textbook rule, and the honest one (those rows really are
+    * outliers of a constant distribution). Null values are never
+    * flagged (no evidence), and ride through untouched. Output: input
+    * + (med, mad, is_outlier).
+    */
+  def madOutliers(d: DataFrame, value: Column, k: Double = 3.0): DataFrame = {
+    require(k > 0.0, s"k must be positive, got $k")
+    Seq("med", "mad", "is_outlier", "_mad_v").foreach(r =>
+      require(!d.columns.contains(r),
+        s"input already has a $r column; rename it first"))
+    val base = graft.core.Caches.persist(
+      d.withColumn("_mad_v", value.cast("double")))
+    val medRow = base.agg(expr("percentile(_mad_v, 0.5)")).head()
+    require(!medRow.isNullAt(0), "no non-null values to fit a median on")
+    val med = medRow.getDouble(0)
+    val mad = base
+      .agg(expr(s"percentile(abs(_mad_v - $med), 0.5)")).head().getDouble(0)
+    val scale = 1.4826 * mad
+    base
+      .withColumn("med", lit(med))
+      .withColumn("mad", lit(mad))
+      .withColumn("is_outlier",
+        when(col("_mad_v").isNull, lit(false))
+          .otherwise(
+            if (mad == 0.0) col("_mad_v") =!= med
+            else abs(col("_mad_v") - lit(med)) > lit(k * scale)))
+      .drop("_mad_v")
+  }
+
   def histogram(d: DataFrame, groupCols: Seq[String], valueCol: String,
                 nBins: Int): DataFrame = {
     require(nBins > 0)

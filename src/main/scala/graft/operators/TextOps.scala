@@ -56,6 +56,43 @@ object TextOps {
         best.getField("nr") + 1))
   }
 
+  /** Language ID with CONFIDENCE — the filter question is rarely
+    * "which language" alone but "how sure, and is this document
+    * mixed": the q38 marker scores re-emitted with the runner-up, so
+    * a pipeline can route low-margin docs to a heavier classifier and
+    * flag code-switched pages (a real category web crawls are full of)
+    * instead of mislabeling them. `mixed` = the second language scores
+    * at least half the winner. Same shape as [[langIdCol]]: the whole
+    * per-language score array sorts IN-ROW (a ≤5-struct array_sort) —
+    * zero shuffle, zero explode, composes into any scan. Output:
+    * (doc_id, pred_lang, score, second_lang, second_score, margin,
+    * mixed).
+    */
+  def langConfidence(d: DataFrame, text: Column = col("text")): DataFrame = {
+    val langs = LangMarkers.map(_._2).distinct.sorted
+    val toks = split(coalesce(text, lit("")), " ")
+    val scored = langs.zipWithIndex.map { case (l, i) =>
+      val markers = LangMarkers.filter(_._2 == l).map(_._1)
+      struct(
+        size(filter(toks, t => t.isInCollection(markers))).as("s"),
+        lit(langs.size - 1 - i).as("nr"))
+    }
+    val sorted = array_sort(array(scored: _*)) // ascending by (score, nr)
+    val top = element_at(sorted, langs.size)
+    val second = element_at(sorted, langs.size - 1)
+    def nameOf(c: Column): Column =
+      element_at(array(langs.reverse.map(lit): _*), c.getField("nr") + 1)
+    d.select(col("doc_id"),
+      when(top.getField("s") === 0, lit("und")).otherwise(nameOf(top))
+        .as("pred_lang"),
+      top.getField("s").cast("long").as("score"),
+      when(second.getField("s") > 0, nameOf(second)).as("second_lang"),
+      second.getField("s").cast("long").as("second_score"),
+      (top.getField("s") - second.getField("s")).cast("long").as("margin"),
+      (top.getField("s") > 0 &&
+        second.getField("s") * 2 >= top.getField("s")).as("mixed"))
+  }
+
   /** q38: language ID over `documents`, reported as a labeled-vs-
     * predicted confusion matrix; the per-doc argmax is [[langIdCol]].
     */

@@ -662,4 +662,59 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.filter(p => p._2 === 2L).head._3 === 0)
     intercept[IllegalArgumentException](Multimodal.imageNearDup(media, maxHamming = 4))
   }
+
+  test("audioFingerprint/audioNearDup: gain-invariant, envelope-sensitive, short/garbage rejected") {
+    def wavOf(samples: Array[Short], rate: Float = 8000f): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // a "melody": loud and quiet halves alternating every 500 frames
+    def melody(gain: Double): Array[Short] = Array.tabulate(8000) { i =>
+      val env = if ((i / 500) % 2 == 0) 1.0 else 0.1
+      math.round(gain * env * 20000 *
+        math.sin(2 * math.Pi * 440 * i / 8000)).toShort
+    }
+    val loud = wavOf(melody(1.0))
+    val half = wavOf(melody(0.5)) // same envelope at half volume
+    val other = wavOf(Array.tabulate(8000) { i => // different envelope period
+      val env = if ((i / 125) % 2 == 0) 1.0 else 0.1
+      math.round(20000 * env * math.sin(2 * math.Pi * 440 * i / 8000)).toShort
+    })
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio", loud, loud.length.toLong),
+      Multimodal.MediaRow(2L, "audio", half, half.length.toLong),
+      Multimodal.MediaRow(3L, "audio", other, other.length.toLong),
+      Multimodal.MediaRow(4L, "audio", "junk".getBytes("UTF-8"), 4L),
+      Multimodal.MediaRow(5L, "image", loud, loud.length.toLong),
+      Multimodal.MediaRow(6L, "audio",
+        wavOf(Array.fill(32)(100.toShort)), 100L))) // < 64 samples
+    val fp = Multimodal.audioFingerprint(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(fp(1L).decoded && fp(2L).decoded && fp(3L).decoded)
+    // gain invariance: half-volume copy fingerprints IDENTICALLY
+    assert(fp(1L).fp === fp(2L).fp, "fingerprint must be gain-invariant")
+    // a different energy envelope lands far away
+    assert(java.lang.Long.bitCount(fp(1L).fp ^ fp(3L).fp) > 3,
+      s"envelopes too close: ${java.lang.Long.bitCount(fp(1L).fp ^ fp(3L).fp)}")
+    assert(!fp(4L).decoded && !fp(5L).decoded && !fp(6L).decoded)
+    // determinism + pairs
+    val fp2 = Multimodal.audioFingerprint(media.repartition(4)).collect()
+      .map(f => f.media_id -> f.fp).toMap
+    assert(fp.view.mapValues(_.fp).toMap === fp2)
+    val pairs = Multimodal.audioNearDup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 === 0)
+  }
 }

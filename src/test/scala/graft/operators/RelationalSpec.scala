@@ -463,4 +463,42 @@ class RelationalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Relational.heavyHitters(d, Nil, Nil))
   }
+
+  test("madOutliers: robust to the outliers themselves; degenerate and null handling") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 9 inliers around 10, one huge outlier that would wreck mean/stddev:
+    // median = 10, MAD = 1 → threshold 3·1.4826 = 4.4478
+    val d = (Seq(8.0, 9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0, 1000.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    try {
+      val out = Relational.madOutliers(d, col("v")).collect()
+        .map(r => r.getDouble(1) -> r.getBoolean(4)).toMap
+      assert(out(1000.0) === true)
+      assert(out.filter(_._1 < 100).values.forall(_ === false),
+        "no inlier may be flagged — the robust point of MAD")
+      val row = Relational.madOutliers(d, col("v")).head()
+      assert(row.getDouble(2) === 10.0 && row.getDouble(3) === 1.0) // med, mad
+      // a mean/stddev z-score at the same k would MISS lesser outliers
+      // dragged under by the 1000; MAD flags 100 easily
+      val withMid = d.union(Seq((10L, 100.0)).toDF("id", "v"))
+      val mid = Relational.madOutliers(withMid, col("v")).collect()
+        .map(r => r.getDouble(1) -> r.getBoolean(4)).toMap
+      assert(mid(100.0) === true && mid(1000.0) === true)
+      // degenerate: over half identical → MAD 0 → any deviation flags
+      val cst = (Seq(5.0, 5.0, 5.0, 5.0, 6.0)).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val cOut = Relational.madOutliers(cst, col("v")).collect()
+        .map(r => r.getDouble(1) -> r.getBoolean(4)).toMap
+      assert(cOut(6.0) === true && cOut(5.0) === false)
+      // nulls ride through unflagged
+      val withNull = Relational.madOutliers(
+        Seq((1L, Some(10.0)), (2L, None), (3L, Some(10.0))).toDF("id", "v"),
+        col("v")).collect().map(r => r.isNullAt(1) -> r.getBoolean(4))
+      assert(withNull.filter(_._1).forall(!_._2))
+      intercept[IllegalArgumentException](Relational.madOutliers(d, col("v"), k = 0.0))
+      intercept[IllegalArgumentException](Relational.madOutliers(
+        Seq((1L, Option.empty[Double])).toDF("id", "v"), col("v")))
+    } finally graft.core.Caches.release()
+  }
 }

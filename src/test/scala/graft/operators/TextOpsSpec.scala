@@ -394,6 +394,35 @@ class TextOpsSpec extends SparkSpec {
     assert(real.getDouble(0) === 0.0 && real.getDouble(1) === 0.0)
   }
 
+  test("langConfidence: margins, runner-up, code-switch flag, und; agrees with langIdCol") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "the cat and dog of house"),   // en 3, others 0
+      (2L, "der hund die katze und the and"), // de 3, en 2 → mixed
+      (3L, "xyzzy frobnicate"),           // no markers → und
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.langConfidence(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "en" && out(1L).getLong(2) === 3L)
+    assert(out(1L).isNullAt(3) && out(1L).getLong(5) === 3L &&
+      !out(1L).getBoolean(6))
+    assert(out(2L).getString(1) === "de" && out(2L).getLong(2) === 3L)
+    assert(out(2L).getString(3) === "en" && out(2L).getLong(4) === 2L)
+    assert(out(2L).getLong(5) === 1L && out(2L).getBoolean(6), "code-switched doc must flag mixed")
+    assert(out(3L).getString(1) === "und" && out(3L).getLong(2) === 0L &&
+      !out(3L).getBoolean(6))
+    assert(out(4L).getString(1) === "und")
+    // the winner always agrees with the production argmax
+    val both = d.filter(col("text").isNotNull).select(col("doc_id"),
+      TextOps.langIdCol(org.apache.spark.sql.functions.split(col("text"), " "))
+        .as("a"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    both.foreach { case (id, lang) => assert(out(id).getString(1) === lang) }
+    // zero-shuffle
+    val plan = TextOps.langConfidence(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"plan shuffles:\n$plan")
+  }
+
   test("compressionSignal: repetition compresses, noise doesn't, plan is shuffle-free") {
     import spark.implicits._
     val rep = ("lorem ipsum " * 200).trim
