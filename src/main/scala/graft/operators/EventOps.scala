@@ -612,6 +612,47 @@ object EventOps {
       .orderBy(col("event_type"), col("window_start_ms"))
   }
 
+  /** Event-time lateness report — the measurement a watermark choice
+    * should come from instead of folklore: per event type, how far
+    * behind the running event-time high-water mark do records actually
+    * arrive (arrival order = `order`, the ingest offset)? A record is
+    * LATE when an already-arrived record of its type carries a later
+    * event time; its lateness is the gap to that high-water mark —
+    * exactly the delay `withWatermark` must tolerate to not drop it.
+    * Output per type: totals, late count/fraction, max and mean
+    * lateness (exact decimal mean — partition-order independent), and
+    * `suggested_watermark_ms` = the max (the smallest watermark that
+    * would have admitted every record of the sample; 0 for an in-order
+    * type). Null event times drop up front (the [[rateAnomalies]]
+    * rule). The running max is a per-type ordered window — the q24
+    * sessionization shape; a single type dominating the log sorts in
+    * one task, the same caveat, and the same mitigation (report over a
+    * [[graft.operators.Sampling.hashSample]] of a monster log — order
+    * statistics of lateness survive sampling).
+    */
+  def latenessReport(events: DataFrame, typ: Column = col("event_type"),
+                     ts: Column = col("ts"),
+                     order: Column = col("event_id")): DataFrame = {
+    val base = events.filter(ts.isNotNull)
+      .select(typ.as("_lr_t"), ts.cast("timestamp").as("_lr_ts"),
+        order.as("_lr_o"))
+    val w = Window.partitionBy(col("_lr_t")).orderBy(col("_lr_o"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lateMs = when(col("_lr_ts") < max(col("_lr_ts")).over(w),
+      unix_millis(max(col("_lr_ts")).over(w)) - unix_millis(col("_lr_ts")))
+    base.withColumn("_lr_late", lateMs)
+      .groupBy(col("_lr_t").as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("_lr_late")).as("n_late"),
+        round(count(col("_lr_late")) / count(lit(1)), 6).as("late_frac"),
+        max(col("_lr_late")).as("max_late_ms"),
+        when(count(col("_lr_late")) > 0,
+          round(sum(col("_lr_late").cast("decimal(28,6)")).cast("double") /
+            count(col("_lr_late")), 6)).as("avg_late_ms"),
+        coalesce(max(col("_lr_late")), lit(0L)).as("suggested_watermark_ms"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_json" -> (q15Json _),
     "q28_asof_join" -> (q28AsofJoin _),

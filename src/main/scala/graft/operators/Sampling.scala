@@ -563,6 +563,49 @@ object Sampling {
       .drop(pctCols: _*)
   }
 
+  /** Per-group sequence packing — [[packSequences]] with independent
+    * token streams per group: a real run never packs train docs into
+    * the same context windows as test docs (or English into the same
+    * bins as code), so the bin space restarts at 0 INSIDE each (split,
+    * source, …) group. Same deterministic hash order within a group,
+    * same two-level prefix scan — the global cumsum runs in
+    * group-major order (the bucket is (group, hash-prefix), still a
+    * monotone prefix of the order, so a FAT group spans many buckets
+    * and never sorts in one task) and per-group starts subtract out
+    * via the [[calibrateScores]] offsets discipline (itself
+    * two-leveled — a many-group corpus never funnels through one
+    * window). doc_id must be unique (the prefix-scan contract).
+    * Output: (group, doc_id, n_tokens, tok_start, bin_first,
+    * bin_last, offset_in_bin) with bins counted within the group.
+    */
+  def packSequencesBy(d: DataFrame, group: Column,
+                      budget: Int = 2048): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    Seq("_pk_g", "_pk_gj", "h").foreach(r => require(!d.columns.contains(r),
+      s"input already has a $r column; rename it first"))
+    val withH = d.withColumn("_pk_g", group)
+      .withColumn("h", Hashing.hash60(col("doc_id").cast("string")))
+    val cum = twoLevelCumSum(withH,
+      struct(col("_pk_g"), shiftright(col("h"), 52)),
+      Seq(col("_pk_g"), col("h"), col("doc_id")), col("n_tokens"))
+    val totals = withH.groupBy(col("_pk_g")).agg(sum(col("n_tokens")).as("_pk_tot"))
+    val offs = twoLevelCumSum(
+        totals.repartitionByRange(col("_pk_g")),
+        spark_partition_id(), Seq(col("_pk_g")), col("_pk_tot"))
+      .select(col("_pk_g").as("_pk_gj"),
+        (col("_graft_cum") - col("_pk_tot")).as("_pk_off"))
+    cum.drop("_graft_bucket")
+      .join(offs, col("_pk_g") <=> col("_pk_gj"))
+      .withColumn("tok_start",
+        col("_graft_cum") - col("_pk_off") - col("n_tokens"))
+      .select(col("_pk_g").as("group"), col("doc_id"), col("n_tokens"),
+        col("tok_start"),
+        expr(s"tok_start DIV $budget").as("bin_first"),
+        expr(s"(tok_start + n_tokens - 1) DIV $budget").as("bin_last"),
+        (col("tok_start") % budget).as("offset_in_bin"))
+      .orderBy(col("group"), col("doc_id"))
+  }
+
   /** The two-level distributed prefix scan shared by [[packSequences]]
     * and [[selectByBudget]] — the trickiest construct in this module,
     * defined ONCE: (1) rows are grouped by `bucket`, which the caller

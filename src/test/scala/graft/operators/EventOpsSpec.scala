@@ -192,4 +192,35 @@ class EventOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1) / (stepSec * 1000), r.getLong(2)))
       .toSeq == dense.toSeq)
   }
+
+  test("latenessReport: hand-traced high-water gaps, in-order type reads zero, null ts drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // type A arrival order 1..5 with event times 10,20,15,30,5 (seconds):
+    // late are #3 (gap 5 s) and #5 (gap 25 s)
+    val rows = Seq(
+      ("A", 10L, 1L), ("A", 20L, 2L), ("A", 15L, 3L), ("A", 30L, 4L), ("A", 5L, 5L),
+      ("B", 1L, 1L), ("B", 2L, 2L), ("B", 3L, 3L))
+      .map { case (t, s, o) => (t, s * 1000, o) }
+      .toDF("event_type", "ms", "event_id")
+      .select(col("event_type"), timestamp_millis(col("ms")).as("ts"), col("event_id"))
+    val withNull = rows.union(Seq(("A", null.asInstanceOf[java.sql.Timestamp], 9L))
+      .toDF("event_type", "ts", "event_id"))
+    val out = EventOps.latenessReport(withNull).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getLong(1) === 5L && a.getLong(2) === 2L)  // null ts dropped
+    assert(a.getDouble(3) === 0.4)
+    assert(a.getLong(4) === 25000L)
+    assert(a.getDouble(5) === 15000.0)                  // (5000 + 25000)/2
+    assert(a.getLong(6) === 25000L)
+    val b = out("B")
+    assert(b.getLong(2) === 0L && b.isNullAt(4) && b.isNullAt(5) &&
+      b.getLong(6) === 0L)
+    // real events: deterministic, fractions sane
+    val ev = graft.core.Tables(spark, sfDir, "events")
+    val r1 = EventOps.latenessReport(ev).collect().map(_.toString).toSeq
+    val r2 = EventOps.latenessReport(ev.repartition(7)).collect().map(_.toString).toSeq
+    assert(r1 === r2 && r1.nonEmpty)
+  }
 }

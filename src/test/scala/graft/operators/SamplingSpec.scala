@@ -481,6 +481,38 @@ class SamplingSpec extends SparkSpec {
     } finally graft.core.Caches.release()
   }
 
+  test("packSequencesBy: per group identical to a solo packSequences run; bins never cross groups") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, 3L + (i % 7), if (i % 3 == 0) "test" else "train"))
+      .toDF("doc_id", "n_tokens", "split")
+    try {
+      val by = Sampling.packSequencesBy(docs, col("split"), budget = 16).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+      // differential: each group's packing ≡ packSequences run alone
+      Seq("train", "test").foreach { g =>
+        val solo = Sampling.packSequences(
+          docs.filter(col("split") === g).drop("split"), budget = 16)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5)))
+          .sortBy(_._1)
+        val grouped = by.filter(_._1 == g)
+          .map(t => (t._2, t._3, t._4, t._5, t._6, t._7)).sortBy(_._1)
+        assert(grouped.toSeq === solo.toSeq, s"group $g diverges from solo packing")
+      }
+      // every group's stream starts at token 0 (bins never leak across)
+      Seq("train", "test").foreach { g =>
+        assert(by.filter(_._1 == g).map(_._4).min === 0L, s"$g stream must start at 0")
+      }
+      intercept[IllegalArgumentException](
+        Sampling.packSequencesBy(docs, col("split"), budget = 0))
+      intercept[IllegalArgumentException](Sampling.packSequencesBy(
+        docs.withColumn("h", lit(1L)), col("split")))
+    } finally graft.core.Caches.release()
+  }
+
   test("curriculumOrder: band-major order, best band first, salt re-deals within bands only") {
     import spark.implicits._
     // 40 docs, score = doc_id: higher is better by default, so the top
