@@ -865,28 +865,42 @@ object Relational {
     * sigmas" but neither the center nor the scale can be dragged by
     * the outliers being hunted (a mean/stddev rule moves its own
     * goalposts). Flags rows where |v − median| > k·1.4826·MAD. Two
-    * exact percentile aggregates (median, then median of absolute
-    * deviations) — bounded driver scalars, the q63 discipline; at
-    * 100 TB swap `percentile` for the q53 mergeable sketch exactly as
-    * q63's scaladoc prescribes. A degenerate distribution (MAD = 0:
+    * percentile aggregates (median, then median of absolute
+    * deviations) producing bounded driver scalars — and the q47 guard
+    * ENFORCED: the exact `percentile` buffers every value in one
+    * aggregation buffer, so past `maxRows` the call refuses unless
+    * `autoSwap = true` swaps in the mergeable `approx_percentile`
+    * sketch (the q53 machinery). A degenerate distribution (MAD = 0:
     * over half the values identical) flags every value ≠ median —
     * the textbook rule, and the honest one (those rows really are
     * outliers of a constant distribution). Null values are never
     * flagged (no evidence), and ride through untouched. Output: input
     * + (med, mad, is_outlier).
     */
-  def madOutliers(d: DataFrame, value: Column, k: Double = 3.0): DataFrame = {
+  def madOutliers(d: DataFrame, value: Column, k: Double = 3.0,
+                  maxRows: Long = 10000000L, autoSwap: Boolean = false,
+                  approxAccuracy: Int = 10000): DataFrame = {
     require(k > 0.0, s"k must be positive, got $k")
     Seq("med", "mad", "is_outlier", "_mad_v").foreach(r =>
       require(!d.columns.contains(r),
         s"input already has a $r column; rename it first"))
     val base = graft.core.Caches.persist(
       d.withColumn("_mad_v", value.cast("double")))
-    val medRow = base.agg(expr("percentile(_mad_v, 0.5)")).head()
+    // the q47 guard, enforced not prose: exact percentile buffers every
+    // value in ONE aggregation buffer — refuse (or sketch-swap) past
+    // the bound instead of OOMing mid-job
+    val n = base.count()
+    require(n <= maxRows || autoSwap,
+      s"madOutliers buffers all $n values for the exact median (> " +
+        s"$maxRows): pass autoSwap = true to use the mergeable " +
+        "approx_percentile sketch, or raise maxRows deliberately")
+    val pct = (e: String) =>
+      if (n <= maxRows) expr(s"percentile($e, 0.5)")
+      else expr(s"approx_percentile($e, 0.5, $approxAccuracy)").cast("double")
+    val medRow = base.agg(pct("_mad_v")).head()
     require(!medRow.isNullAt(0), "no non-null values to fit a median on")
     val med = medRow.getDouble(0)
-    val mad = base
-      .agg(expr(s"percentile(abs(_mad_v - $med), 0.5)")).head().getDouble(0)
+    val mad = base.agg(pct(s"abs(_mad_v - $med)")).head().getDouble(0)
     val scale = 1.4826 * mad
     base
       .withColumn("med", lit(med))

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus URL analysis (SURVEY §2.6) — the per-domain accounting
+  * every published web pipeline (C4, RefinedWeb, FineWeb) runs before
+  * capping or blocklisting: parse each URL declaratively into scheme /
+  * host / registered domain / path, plus the normalized dedup key
+  * RefinedWeb-style URL dedup groups on. A pure zero-shuffle
+  * projection of regex extracts and array ops — no UDF, composes into
+  * the scan, and the registered domain then feeds
+  * [[Sampling.capPerGroup]] ("at most k docs per domain") or
+  * [[Relational.heavyHitters]] ("which mirrors dominate this crawl").
+  *
+  * Registered-domain extraction uses a HEURISTIC public-suffix rule —
+  * the common two-level country suffixes are built in (`co.uk`,
+  * `com.au`, …) and anything else registers at the last two labels;
+  * the full Mozilla PSL is a data file a deployment can swap in, but
+  * the heuristic is deterministic, offline, and right for the
+  * overwhelming mass of web URLs. IPv4 hosts register as themselves.
+  */
+object Urls {
+
+  /** Country-code second-level suffixes that register one label deeper. */
+  val TwoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
+    "com.mx", "co.in", "net.in", "org.in", "co.kr", "or.kr",
+    "com.tw", "com.sg", "com.hk", "co.za", "co.nz", "org.nz",
+    "com.ar", "com.tr", "com.ua")
+
+  /** Adds (scheme, host, registered_domain, path, url_norm) to `d`.
+    * Unparseable URLs (no `scheme://host`) read null across the new
+    * columns; hosts lowercase; the userinfo and port never leak into
+    * `host`; `url_norm` = host + path with any trailing slash dropped
+    * (query/fragment excluded) — the dedup key. */
+  def parseUrls(d: DataFrame, url: Column): DataFrame = {
+    val scheme0 = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
+    val ok = host0 =!= ""
+    val host = when(ok, host0)
+    val path0 = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val regDomain =
+      when(host.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$"), host)
+        .when(n <= 2, host)
+        .when(lastTwo.isInCollection(TwoLevelSuffixes) && n >= 3,
+          concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+            element_at(labels, -1)))
+        .otherwise(lastTwo)
+    d.withColumn("scheme", when(ok, scheme0))
+      .withColumn("host", host)
+      // the when-guard matters: concat_ws never returns null, so an
+      // unparseable URL would otherwise register as the empty domain
+      .withColumn("registered_domain", when(ok, regDomain))
+      .withColumn("path", when(ok, path0))
+      .withColumn("url_norm",
+        when(ok, concat(host, regexp_replace(path0, "/$", ""))))
+  }
+
+  /** Per-registered-domain rollup: docs, distinct hosts, distinct
+    * normalized URLs — the "which domains dominate this crawl" report
+    * (one vocabulary-keyed shuffle; swap in [[Relational.heavyHitters]]
+    * when even the distinct-domain key set is the problem). */
+  def domainRollup(d: DataFrame, url: Column): DataFrame =
+    parseUrls(d, url)
+      .filter(col("registered_domain").isNotNull)
+      .groupBy(col("registered_domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        countDistinct(col("url_norm")).as("n_urls"))
+      .orderBy(col("n_docs").desc, col("registered_domain"))
+}

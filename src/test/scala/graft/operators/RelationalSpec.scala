@@ -499,6 +499,16 @@ class RelationalSpec extends SparkSpec {
       intercept[IllegalArgumentException](Relational.madOutliers(d, col("v"), k = 0.0))
       intercept[IllegalArgumentException](Relational.madOutliers(
         Seq((1L, Option.empty[Double])).toDF("id", "v"), col("v")))
+      // the q47 guard, enforced: past maxRows refuse — or sketch-swap,
+      // which on this fixture flags the same outlier
+      val e = intercept[IllegalArgumentException](
+        Relational.madOutliers(d, col("v"), maxRows = 5))
+      assert(e.getMessage.contains("autoSwap"))
+      val swapped = Relational.madOutliers(d, col("v"), maxRows = 5,
+        autoSwap = true).collect()
+        .map(r => r.getDouble(1) -> r.getBoolean(4)).toMap
+      assert(swapped(1000.0) === true)
+      assert(swapped.filter(_._1 < 100).values.forall(_ === false))
     } finally graft.core.Caches.release()
   }
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** URL parsing + domain accounting ([[Urls]]). */
+class UrlsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("parseUrls: hand fixtures — suffix rule, ports, userinfo, IPs, junk") {
+    val d = Seq(
+      (1L, "https://news.example.co.uk/path/a?q=1#frag"),
+      (2L, "http://EXAMPLE.com"),
+      (3L, "https://sub.a.example.com:8080/x/"),
+      (4L, "ftp://user:pw@files.example.org/f.txt"),
+      (5L, "http://192.168.0.1/admin"),
+      (6L, "not a url at all"),
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "url")
+    val out = Urls.parseUrls(d, col("url")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def tup(id: Long) = {
+      val r = out(id)
+      (r.getString(2), r.getString(3), r.getString(4), r.getString(5), r.getString(6))
+    }
+    assert(tup(1L) === (("https", "news.example.co.uk", "example.co.uk",
+      "/path/a", "news.example.co.uk/path/a")))
+    assert(tup(2L) === (("http", "example.com", "example.com", "",
+      "example.com")))
+    assert(tup(3L) === (("https", "sub.a.example.com", "example.com", "/x/",
+      "sub.a.example.com/x")))
+    assert(tup(4L) === (("ftp", "files.example.org", "example.org", "/f.txt",
+      "files.example.org/f.txt")))
+    assert(tup(5L) === (("http", "192.168.0.1", "192.168.0.1", "/admin",
+      "192.168.0.1/admin")))
+    // junk and null read null across the board
+    Seq(6L, 7L).foreach { id =>
+      (2 to 6).foreach(i => assert(out(id).isNullAt(i), s"doc $id col $i"))
+    }
+    // zero-shuffle projection
+    val plan = Urls.parseUrls(d, col("url")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"parse plan shuffles:\n$plan")
+  }
+
+  test("domainRollup: mirrors collapse to one registered domain; composes with capPerGroup") {
+    val d = Seq(
+      (1L, "https://a.mirror.net/p1"), (2L, "https://b.mirror.net/p1"),
+      (3L, "https://b.mirror.net/p2"), (4L, "https://solo.org/x"),
+      (5L, "nonsense")).toDF("doc_id", "url")
+    val roll = Urls.domainRollup(d, col("url")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(roll.toSeq === Seq(("mirror.net", 3L, 2L, 3L), ("solo.org", 1L, 1L, 1L)))
+    // the curation composition: at most 1 doc per registered domain
+    val capped = try Sampling.capPerGroup(
+      Urls.parseUrls(d, col("url")).filter(col("registered_domain").isNotNull),
+      col("registered_domain"), col("doc_id"), cap = 1)
+    .select("doc_id").collect().map(_.getLong(0)).toSet
+    finally graft.core.Caches.release()
+    assert(capped.size === 2 && capped.contains(4L))
+  }
+}

@@ -391,4 +391,33 @@ class StreamTailSpec extends SparkSpec {
     assert(closed.toSeq == Seq(StreamTail.SessionOut(1, 1000, 1500, 2, 3.0)))
     q.stop()
   }
+
+  test("Bloom probe composes into a streaming ingest filter (zero-state decontamination)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // benchmark set built BATCH-side, probed IN-STREAM: mightContain is
+    // a plan-literal projection, so the streaming filter carries no
+    // state and the exact semantics come from the no-false-negative
+    // guarantee — a flagged doc is verified downstream, a clean doc
+    // passes without ever joining anything
+    implicit val sqlCtx = spark.sqlContext
+    val bench = (0 until 50).map(i => s"benchmark item number $i").toDF("k")
+    val bf = graft.operators.Bloom.build(bench, col("k"), 1 << 14, 7)
+    val input = MemoryStream[(Long, String)]
+    val cleaned = input.toDS().toDF("doc_id", "text")
+      .filter(!graft.operators.Bloom.mightContain(bf, col("text")))
+    val q = cleaned.writeStream
+      .format("memory").queryName("bloom_t").outputMode("append").start()
+    try {
+      input.addData((1L, "benchmark item number 7"), (2L, "ordinary doc one"))
+      q.processAllAvailable()
+      input.addData((3L, "benchmark item number 49"), (4L, "ordinary doc two"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM bloom_t").collect()
+        .map(_.getLong(0)).toSet
+      // no false negatives: every leaked benchmark doc is gone
+      assert(!kept.contains(1L) && !kept.contains(3L))
+      assert(kept.contains(2L) && kept.contains(4L))
+    } finally q.stop()
+  }
 }
