@@ -913,6 +913,79 @@ object Relational {
       .drop("_mad_v")
   }
 
+  /** Winsorization — [[madOutliers]]' transform twin: instead of
+    * FLAGGING tail values, CLIP them to the [loPct, hiPct] percentile
+    * band (the robust-statistics standard for "keep the row, tame the
+    * value" — a numeric feature column where dropping rows would bias
+    * the mix but a 10^9 outlier would dominate any mean). Same
+    * enforced buffer guard as madOutliers/q47: exact percentiles
+    * refuse past `maxRows` unless `autoSwap` takes the mergeable
+    * sketch. Nulls pass through null. Output: input +
+    * (lo_bound, hi_bound, winsorized).
+    */
+  def winsorize(d: DataFrame, value: Column,
+                loPct: Double = 0.05, hiPct: Double = 0.95,
+                maxRows: Long = 10000000L, autoSwap: Boolean = false,
+                approxAccuracy: Int = 10000): DataFrame = {
+    require(loPct >= 0.0 && hiPct <= 1.0 && loPct < hiPct,
+      s"need 0 <= loPct < hiPct <= 1, got [$loPct, $hiPct]")
+    Seq("lo_bound", "hi_bound", "winsorized", "_win_v").foreach(r =>
+      require(!d.columns.contains(r),
+        s"input already has a $r column; rename it first"))
+    val base = graft.core.Caches.persist(
+      d.withColumn("_win_v", value.cast("double")))
+    val n = base.count()
+    require(n <= maxRows || autoSwap,
+      s"winsorize buffers all $n values for exact percentiles (> " +
+        s"$maxRows): pass autoSwap = true to use the mergeable " +
+        "approx_percentile sketch, or raise maxRows deliberately")
+    val pct = (p: Double) =>
+      if (n <= maxRows) expr(s"percentile(_win_v, $p)")
+      else expr(s"approx_percentile(_win_v, $p, $approxAccuracy)").cast("double")
+    val bRow = base.agg(round(pct(loPct), 6), round(pct(hiPct), 6)).head()
+    require(!bRow.isNullAt(0), "no non-null values to fit bounds on")
+    val (lo, hi) = (bRow.getDouble(0), bRow.getDouble(1))
+    base.withColumn("lo_bound", lit(lo))
+      .withColumn("hi_bound", lit(hi))
+      // greatest/least SKIP nulls, so guard explicitly: a null value
+      // must stay null, not collapse to the lower bound
+      .withColumn("winsorized", when(col("_win_v").isNotNull,
+        least(greatest(col("_win_v"), lit(lo)), lit(hi))))
+      .drop("_win_v")
+  }
+
+  /** Key-skew diagnosis — the report a shuffle-tuning decision
+    * (salting, AQE skew thresholds, [[graft.operators.Dedup]]'s
+    * `saltHubs`) should come from: per key column, the distinct-key
+    * count, the max single-key share, the normalized entropy of the
+    * key distribution (1 = uniform, → 0 = one key owns everything),
+    * and the top key. One count shuffle keyed on the distinct keys;
+    * the per-key aggregate reduces to a handful of scalars
+    * (max/entropy are one more bounded pass over (key, n) rows —
+    * nothing row-sized leaves the first shuffle). For a
+    * billion-distinct key column swap the share probe to
+    * [[heavyHitters]] — this report's shuffle is the distinct key
+    * set, stated so the caller chooses deliberately. Output: one row
+    * (n_rows, n_keys, max_share, top_key, entropy_norm).
+    */
+  def skewReport(d: DataFrame, key: Column): DataFrame = {
+    val counts = d.groupBy(key.cast("string").as("_sk_k"))
+      .agg(count(lit(1)).as("_sk_n"))
+    val totals = counts.agg(sum(col("_sk_n")).as("_sk_tot"),
+      count(lit(1)).as("_sk_keys"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("_sk_p", col("_sk_n").cast("double") / col("_sk_tot"))
+      .agg(first(col("_sk_tot")).as("n_rows"),
+        first(col("_sk_keys")).as("n_keys"),
+        round(max(col("_sk_n")).cast("double") / first(col("_sk_tot")), 6)
+          .as("max_share"),
+        max(struct(col("_sk_n"), col("_sk_k"))).getField("_sk_k").as("top_key"),
+        round(when(first(col("_sk_keys")) > 1,
+          -sum(col("_sk_p") * log(col("_sk_p"))) /
+            log(first(col("_sk_keys")).cast("double")))
+          .otherwise(lit(0.0)), 6).as("entropy_norm"))
+  }
+
   def histogram(d: DataFrame, groupCols: Seq[String], valueCol: String,
                 nBins: Int): DataFrame = {
     require(nBins > 0)

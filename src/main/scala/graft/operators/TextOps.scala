@@ -796,6 +796,44 @@ object TextOps {
       frac(cnt("[^\\x00-\\x7F]")).as("nonascii_frac"))
   }
 
+  /** HTML → text extraction — the step BEFORE every web-corpus rule
+    * in this module (Gopher/C4 rules score TEXT; a crawl delivers
+    * markup): drop script/style/comment blocks wholesale (their
+    * content is not language), convert the block-level boundaries a
+    * reader perceives (`p`, `div`, `br`, `li`, headings, `tr`) to
+    * newlines so paragraph structure survives for
+    * [[graft.operators.Paragraphs]], strip every remaining tag,
+    * unescape the six entities that dominate real pages, and collapse
+    * the whitespace wreckage (3+ newlines → the blank-line paragraph
+    * break, runs of spaces → one). A pure zero-shuffle chain of
+    * codegen'd regexp_replace — no parser, which is the honest trade:
+    * a real DOM extractor (trafilatura-class) also scores text
+    * density; this is the deterministic 95% that feeds the density
+    * scoring this module already does ([[gopherRules]],
+    * [[c4Rules]], [[Lines]]). Idempotent on already-plain text.
+    * Output: input + html_text.
+    */
+  def stripHtml(d: DataFrame, html: Column): DataFrame = {
+    require(!d.columns.contains("html_text"),
+      "input already has an html_text column; rename it first")
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val blocksToNl = regexp_replace(noComments,
+      "(?i)<(?:/?(?:p|div|li|tr|h[1-6]|ul|ol|table|blockquote)|br\\s*/?)[^>]*>", "\n")
+    val noTags = regexp_replace(blocksToNl, "<[^>]+>", " ")
+    val unescaped = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&" // amp LAST
+    ).foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    val collapsed = regexp_replace(
+      regexp_replace(
+        regexp_replace(unescaped, "[ \\t]+", " "),
+        " ?\\n ?", "\n"),
+      "\\n{3,}", "\n\n")
+    d.withColumn("html_text", trim(collapsed))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_lang_id" -> (q38LangId _),
     "q39_quality" -> (q39Quality _),

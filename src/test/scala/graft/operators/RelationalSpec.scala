@@ -511,4 +511,57 @@ class RelationalSpec extends SparkSpec {
       assert(swapped.filter(_._1 < 100).values.forall(_ === false))
     } finally graft.core.Caches.release()
   }
+
+  test("winsorize: tails clip to the exact band, interior untouched, guard enforced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // values 1..20: p05 = 1.95, p95 = 19.05 (continuous-quantile)
+    val d = (1 to 20).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    try {
+      val out = Relational.winsorize(d, col("v")).collect()
+        .map(r => r.getDouble(1) -> r.getDouble(4)).toMap
+      assert(out(1.0) === 1.95 && out(20.0) === 19.05)
+      (2 to 19).foreach(i => assert(out(i.toDouble) === i.toDouble))
+      val row = Relational.winsorize(d, col("v")).head()
+      assert(row.getDouble(2) === 1.95 && row.getDouble(3) === 19.05)
+      // nulls pass through null
+      val wn = Relational.winsorize(
+        Seq((1L, Some(5.0)), (2L, None)).toDF("id", "v"), col("v")).collect()
+      assert(wn.find(_.getLong(0) == 2L).get.isNullAt(4))
+      // the shared guard
+      val e = intercept[IllegalArgumentException](
+        Relational.winsorize(d, col("v"), maxRows = 5))
+      assert(e.getMessage.contains("autoSwap"))
+      assert(Relational.winsorize(d, col("v"), maxRows = 5, autoSwap = true)
+        .collect().nonEmpty)
+      intercept[IllegalArgumentException](
+        Relational.winsorize(d, col("v"), loPct = 0.9, hiPct = 0.1))
+    } finally graft.core.Caches.release()
+  }
+
+  test("skewReport: hand-computed shares and entropy; uniform reads 1, constant reads 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 6 of a, 2 of b: max_share 0.75, H = -(.75 ln .75 + .25 ln .25), norm by ln 2
+    val d = (Seq.fill(6)("a") ++ Seq.fill(2)("b")).toDF("k")
+    val r = Relational.skewReport(d, col("k")).head()
+    assert(r.getLong(0) === 8L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.75 && r.getString(3) === "a")
+    val expH = -(0.75 * StrictMath.log(0.75) + 0.25 * StrictMath.log(0.25)) /
+      StrictMath.log(2.0)
+    assert(math.abs(r.getDouble(4) - expH) <= 1e-6, s"entropy ${r.getDouble(4)}")
+    // uniform distribution: entropy_norm = 1 exactly
+    val u = (1 to 4).map(_.toString).toDF("k")
+    assert(Relational.skewReport(u, col("k")).head().getDouble(4) === 1.0)
+    // a single key: degenerate entropy defined as 0
+    val c = Seq.fill(5)("only").toDF("k")
+    val cr = Relational.skewReport(c, col("k")).head()
+    assert(cr.getDouble(4) === 0.0 && cr.getDouble(2) === 1.0)
+    // real corpus sanity: deterministic, bounded
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val s1 = Relational.skewReport(docs, col("source")).head()
+    assert(s1.getDouble(4) >= 0.0 && s1.getDouble(4) <= 1.0)
+    assert(Relational.skewReport(docs.repartition(7), col("source")).head()
+      .toString === s1.toString)
+  }
 }

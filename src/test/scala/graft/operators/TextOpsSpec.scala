@@ -394,6 +394,37 @@ class TextOpsSpec extends SparkSpec {
     assert(real.getDouble(0) === 0.0 && real.getDouble(1) === 0.0)
   }
 
+  test("stripHtml: scripts/styles/comments vanish, blocks become paragraphs, entities unescape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val page =
+      """<html><head><title>T</title><style>.x { color: red }</style>
+        |<script type="text/javascript">var x = "<p>not text</p>";</script></head>
+        |<body><!-- nav below --><div class="nav">Home &amp; About</div>
+        |<h1>The &quot;Story&quot;</h1>
+        |<p>First paragraph with a <a href="/x">link</a> inside.</p>
+        |<p>Second&nbsp;paragraph &lt;tagged&gt;.</p></body></html>""".stripMargin
+    val d = Seq((1L, page), (2L, "already plain text"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "html")
+    val out = TextOps.stripHtml(d, col("html")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val text = out(1L)
+    // script/style/comment content is GONE, including the embedded fake tag
+    assert(!text.contains("color") && !text.contains("var x") &&
+      !text.contains("not text") && !text.contains("nav below"))
+    // entities unescaped; block structure preserved as line breaks
+    assert(text.contains("Home & About"))
+    assert(text.contains("The \"Story\""))
+    assert(text.contains("First paragraph with a link inside."))
+    assert(text.contains("Second paragraph <tagged>."))
+    assert(text.split("\n").count(_.nonEmpty) >= 4, s"blocks collapsed:\n$text")
+    // idempotent on plain text; null-safe
+    assert(out(2L) === "already plain text")
+    assert(out(3L) === null)
+    val plan = TextOps.stripHtml(d, col("html")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"stripHtml plan shuffles:\n$plan")
+  }
+
   test("langConfidence: margins, runner-up, code-switch flag, und; agrees with langIdCol") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
