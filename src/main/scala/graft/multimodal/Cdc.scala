@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashKernels
+import graft.multimodal.Multimodal.MediaRow
+
+/** Content-defined chunking over binary payloads (SURVEY §2.7) — the
+  * storage-industry dedup primitive (Gear/FastCDC lineage: Xia et al.,
+  * FAST'16) the media half of a corpus needs where the text half has
+  * q84's token windows: chunk boundaries are chosen by the CONTENT (a
+  * rolling hash hitting a mask), so inserting one byte shifts every
+  * fixed-block boundary but leaves almost all content-defined chunks
+  * intact — two builds of the same asset, a re-muxed video, or a
+  * re-padded archive still share most of their chunks, which a
+  * fixed-block scheme would miss entirely (spec'd: a one-byte prepend
+  * keeps the majority of chunks shared).
+  *
+  * Shape at scale: chunking is a pure per-row mapPartitions walk
+  * (payloads never shuffle); only narrow (media_id, idx, offset, size,
+  * chunk_hash) rows leave the scan, and the dedup report is one
+  * shuffle keyed on distinct chunk hashes with bounded per-key state.
+  * The gear table derives from [[HashKernels.hash60]] of the byte value —
+  * deterministic across JVMs, no RNG.
+  */
+object Cdc {
+
+  /** One content-defined chunk of one payload. */
+  final case class ChunkRow(media_id: Long, idx: Int, offset: Long,
+                            size: Int, chunk_hash: Long)
+
+  private lazy val gear: Array[Long] =
+    Array.tabulate(256)(b => graft.functions.HashKernels.hash60(s"g-cdc-gear:" + b))
+
+  /** Chunk every payload: boundaries where the gear rolling hash has
+    * `avgBits` trailing zero bits (expected chunk ≈ 2^avgBits bytes),
+    * never before `minSize`, forced at `maxSize`. The final tail chunk
+    * carries whatever remains. */
+  def cdcChunks(media: Dataset[MediaRow], minSize: Int = 256,
+                avgBits: Int = 10, maxSize: Int = 8192): Dataset[ChunkRow] = {
+    require(minSize >= 16, s"minSize must be >= 16, got $minSize")
+    require(avgBits >= 4 && avgBits <= 28, s"avgBits must be in [4, 28], got $avgBits")
+    require(maxSize > minSize, s"need maxSize > minSize, got [$minSize, $maxSize]")
+    import media.sparkSession.implicits._
+    val mask = (1L << avgBits) - 1
+    media.flatMap { m =>
+      val bytes = m.payload
+      if (bytes == null || bytes.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[ChunkRow]
+        var start = 0
+        var i = 0
+        var h = 0L
+        var idx = 0
+        while (i < bytes.length) {
+          h = (h << 1) + gear(bytes(i) & 0xff)
+          i += 1
+          val len = i - start
+          if ((len >= minSize && (h & mask) == 0L) || len >= maxSize ||
+            i == bytes.length) {
+            out += ChunkRow(m.media_id, idx, start.toLong, len,
+              graft.functions.HashKernels.hash60(java.util.Arrays.copyOfRange(bytes, start, i)))
+            idx += 1
+            start = i
+            h = 0L
+          }
+        }
+        out.iterator
+      }
+    }
+  }
+
+  /** The storage-savings rollup over a [[cdcChunks]] frame: total
+    * bytes, bytes after chunk-level dedup (each distinct chunk hash
+    * charged once at its size — sizes agree per hash by construction),
+    * the dedup ratio, and how many chunks are shared by ≥ 2 payloads.
+    * One shuffle keyed on distinct chunk hashes. */
+  def chunkDedupReport(chunks: Dataset[ChunkRow]): DataFrame =
+    chunks.toDF()
+      .groupBy(col("chunk_hash"))
+      .agg(first(col("size")).as("size"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("media_id")).as("n_payloads"))
+      .agg(sum(col("size") * col("n_copies")).as("total_bytes"),
+        sum(col("size")).as("unique_bytes"),
+        round(sum(col("size")) / sum(col("size") * col("n_copies")), 6)
+          .as("dedup_ratio"),
+        sum(when(col("n_payloads") >= 2, 1L).otherwise(0L))
+          .as("n_shared_chunks"))
+}

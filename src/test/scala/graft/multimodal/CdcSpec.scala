@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Content-defined chunking ([[Cdc]]) — boundary properties, the
+  * insertion-shift robustness that justifies CDC over fixed blocks,
+  * and the dedup rollup. */
+class CdcSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // deterministic pseudo-random payload: chained hash60 bytes
+  private def blob(seed: String, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val h = graft.functions.HashKernels.hash60(s"$seed:${i / 7}")
+      out(i) = ((h >> ((i % 7) * 8)) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def rows(ps: (Long, Array[Byte])*) =
+    spark.createDataset(ps.map { case (id, b) =>
+      Multimodal.MediaRow(id, "blob", b, b.length.toLong) })
+
+  test("chunks partition the payload within size bounds; deterministic at any parallelism") {
+    val p = blob("base", 40000)
+    val chunks = Cdc.cdcChunks(rows((1L, p)), minSize = 64,
+      avgBits = 8, maxSize = 2048).collect().sortBy(_.idx)
+    assert(chunks.nonEmpty)
+    // exact partition: contiguous offsets, sizes sum to the payload
+    assert(chunks.head.offset === 0L)
+    chunks.sliding(2).foreach {
+      case Array(a, b) => assert(a.offset + a.size === b.offset)
+      case _ =>
+    }
+    assert(chunks.map(_.size.toLong).sum === p.length.toLong)
+    // every chunk except the tail respects [minSize, maxSize]
+    chunks.dropRight(1).foreach(c =>
+      assert(c.size >= 64 && c.size <= 2048, s"chunk ${c.idx} size ${c.size}"))
+    assert(chunks.last.size <= 2048)
+    // content addressing: same payload under a different id chunks identically
+    val again = Cdc.cdcChunks(rows((2L, p)).repartition(3), minSize = 64,
+      avgBits = 8, maxSize = 2048).collect().sortBy(_.idx)
+    assert(again.map(c => (c.idx, c.offset, c.size, c.chunk_hash)).toSeq ===
+      chunks.map(c => (c.idx, c.offset, c.size, c.chunk_hash)).toSeq)
+  }
+
+  test("insertion robustness: a one-byte prepend keeps most chunks shared (the CDC point)") {
+    val p = blob("base", 40000)
+    val shifted = (Array(0x55.toByte) ++ p)
+    val chunks = Cdc.cdcChunks(rows((1L, p), (2L, shifted)), minSize = 64,
+      avgBits = 8, maxSize = 2048).collect()
+    val h1 = chunks.filter(_.media_id == 1L).map(_.chunk_hash).toSet
+    val h2 = chunks.filter(_.media_id == 2L).map(_.chunk_hash).toSet
+    val shared = (h1 & h2).size.toDouble / h1.size
+    assert(shared >= 0.7, s"only ${(shared * 100).toInt}% of chunks survive a 1-byte shift")
+    // fixed-size blocking at the same granularity shares NOTHING after
+    // a shift — the comparison that justifies the rolling hash
+    val fixed1 = p.grouped(256).map(_.toSeq).toSet
+    val fixed2 = shifted.grouped(256).map(_.toSeq).toSet
+    assert((fixed1 & fixed2).isEmpty)
+  }
+
+  test("chunkDedupReport: duplicated payloads halve unique bytes; empty payloads vanish") {
+    val a = blob("a", 20000)
+    val b = blob("b", 20000)
+    val chunks = Cdc.cdcChunks(rows((1L, a), (2L, a), (3L, b),
+      (4L, Array.empty[Byte])), minSize = 64, avgBits = 8, maxSize = 2048)
+    assert(chunks.filter(_.media_id == 4L).isEmpty)
+    val r = Cdc.chunkDedupReport(chunks).head()
+    assert(r.getLong(0) === 60000L)
+    // payload a stored once, not twice (± hash-collision noise: none here)
+    assert(r.getLong(1) === 40000L)
+    assert(r.getDouble(2) === BigDecimal(40000.0 / 60000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getLong(3) > 0L)
+    intercept[IllegalArgumentException](
+      Cdc.cdcChunks(rows((1L, a)), minSize = 8))
+    intercept[IllegalArgumentException](
+      Cdc.cdcChunks(rows((1L, a)), minSize = 256, maxSize = 128))
+  }
+}
