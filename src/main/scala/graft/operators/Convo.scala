@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Conversation (SFT) data preparation (SURVEY §2.8) — the assembly
+  * step between a turns table and a fine-tuning run: render each
+  * conversation into one training document with role headers, and emit
+  * the LOSS-MASK spans — the token ranges of assistant content, the
+  * only tokens a supervised fine-tune computes loss on (user/system
+  * text is conditioning, not target; training on it teaches the model
+  * to imitate users). Every published SFT recipe does exactly this
+  * render+mask pass; here it is declarative and deterministic.
+  *
+  * Token accounting uses the module's whitespace convention (non-empty
+  * `\s+` splits) so spans are exact over the rendered text — a real
+  * deployment re-derives spans for its subword tokenizer by the same
+  * offsets discipline ([[Bpe.encode]] preserves word boundaries, so
+  * word spans lift to piece spans by prefix sums of per-word piece
+  * counts).
+  *
+  * Shape at scale: per-turn rendering and token counts are in-row
+  * projections; the running token offset is a window PARTITIONed BY
+  * conversation (bounded by conversation length, the q24 per-key
+  * shape); reassembly is one groupBy with per-conversation state
+  * bounded by conversation size (the [[Lines]] discipline). Nothing
+  * corpus-sized ever sorts in one task.
+  */
+object Convo {
+
+  val Roles: Seq[String] = Seq("system", "user", "assistant")
+
+  /** Render conversations and emit loss spans. Input: (conv_id,
+    * turn_idx, role, content). Each turn renders as
+    * `<|role|>\n{content}\n`; the role header is one whitespace token
+    * and is ALWAYS masked (a loss on the header teaches format, which
+    * the mask's complement already provides via conditioning). With
+    * `maskNonAssistant = true` (the SFT default) spans cover assistant
+    * content only; `false` covers every turn's content (the
+    * continued-pretraining form). Output: (conv_id, n_turns, text,
+    * n_tokens, loss_spans ARRAY<STRUCT<s, e>>) — spans are [s, e)
+    * token indices into the rendered text's whitespace tokens,
+    * turn-ordered. Refuses unknown roles, duplicate (conv_id,
+    * turn_idx), and null content (an empty turn is "", not null).
+    */
+  def render(d: DataFrame, maskNonAssistant: Boolean = true): DataFrame = {
+    val probe = d.agg(
+      sum(when(!col("role").isInCollection(Roles), 1L).otherwise(0L)),
+      count(lit(1)),
+      countDistinct(col("conv_id"), col("turn_idx")),
+      sum(when(col("content").isNull, 1L).otherwise(0L))).head()
+    require(probe.isNullAt(0) || probe.getLong(0) == 0,
+      s"${probe.getLong(0)} turns carry a role outside ${Roles.mkString("/")}")
+    require(probe.getLong(1) == probe.getLong(2),
+      s"duplicate (conv_id, turn_idx): ${probe.getLong(1)} rows, " +
+        s"${probe.getLong(2)} distinct keys — turn order is ill-defined")
+    require(probe.isNullAt(3) || probe.getLong(3) == 0,
+      s"${probe.getLong(3)} turns carry null content; use '' for an empty turn")
+    val contentToks =
+      size(filter(split(col("content"), "\\s+"), t => length(t) > 0))
+    val turns = d
+      .withColumn("_cv_rendered",
+        concat(lit("<|"), col("role"), lit("|>\n"), col("content"), lit("\n")))
+      .withColumn("_cv_ctoks", contentToks.cast("long"))
+      .withColumn("_cv_ttoks", col("_cv_ctoks") + 1L) // + the role header
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offset = coalesce(sum(col("_cv_ttoks")).over(w), lit(0L))
+    val inLoss =
+      if (maskNonAssistant) col("role") === "assistant" else lit(true)
+    val spanned = turns
+      .withColumn("_cv_off", offset)
+      .withColumn("_cv_span",
+        when(inLoss && col("_cv_ctoks") > 0,
+          struct((col("_cv_off") + 1L).as("s"),
+            (col("_cv_off") + 1L + col("_cv_ctoks")).as("e"))))
+    spanned.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(
+          transform(array_sort(collect_list(
+            struct(col("turn_idx"), col("_cv_rendered")))),
+            x => x.getField("_cv_rendered")), "").as("text"),
+        sum(col("_cv_ttoks")).as("n_tokens"),
+        transform(array_sort(collect_list(
+          when(col("_cv_span").isNotNull,
+            struct(col("turn_idx"), col("_cv_span").as("sp"))))),
+          x => x.getField("sp")).as("loss_spans"))
+      .orderBy(col("conv_id"))
+  }
+
+  /** The mask accounting a run reports: per conversation, loss tokens
+    * vs total and the loss fraction — near-zero means the data is
+    * mostly conditioning (long documents with one-line answers) and a
+    * run pays full attention cost for thin supervision. */
+  def lossAccounting(rendered: DataFrame): DataFrame =
+    rendered.select(col("conv_id"), col("n_turns"), col("n_tokens"),
+      coalesce(aggregate(col("loss_spans"), lit(0L),
+        (acc, sp) => acc + (sp.getField("e") - sp.getField("s"))), lit(0L))
+        .as("loss_tokens"))
+      .withColumn("loss_frac",
+        round(col("loss_tokens") / col("n_tokens"), 6))
+      .orderBy(col("conv_id"))
+}

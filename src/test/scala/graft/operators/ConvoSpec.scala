@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SFT conversation rendering + loss masks ([[Convo]]). */
+class ConvoSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val turns = Seq(
+    (1L, 0, "system", "Be helpful"),
+    (1L, 1, "user", "What is two plus two"),
+    (1L, 2, "assistant", "Four"),
+    (1L, 3, "user", "And doubled"),
+    (1L, 4, "assistant", "Eight of course"),
+    (2L, 0, "user", "Only a question"),
+    (2L, 1, "assistant", "")).toDF("conv_id", "turn_idx", "role", "content")
+
+  test("render: exact text, exact loss spans selecting assistant words only") {
+    val out = Convo.render(turns).collect().map(r => r.getLong(0) -> r).toMap
+    val c1 = out(1L)
+    assert(c1.getLong(1) === 5L)
+    val text = c1.getString(2)
+    assert(text ===
+      "<|system|>\nBe helpful\n<|user|>\nWhat is two plus two\n<|assistant|>\n" +
+        "Four\n<|user|>\nAnd doubled\n<|assistant|>\nEight of course\n")
+    // token walk: headers count 1 each, contents 2,5,1,2,3 → total 18
+    assert(c1.getLong(3) === 18L)
+    val spans = c1.getSeq[org.apache.spark.sql.Row](4)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // assistant contents: "Four" at [10,11), "Eight of course" at [15,18)
+    assert(spans === Seq((10L, 11L), (15L, 18L)))
+    // the spans really select the assistant words
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    assert(spans.flatMap { case (s, e) => toks.slice(s.toInt, e.toInt) } ===
+      Seq("Four", "Eight", "of", "course"))
+    // an empty assistant turn contributes no span but keeps its header token
+    val c2 = out(2L)
+    assert(c2.getLong(3) === 5L)
+    assert(c2.getSeq[org.apache.spark.sql.Row](4).isEmpty)
+  }
+
+  test("maskNonAssistant=false covers every non-empty content; accounting adds up") {
+    val all = Convo.render(turns, maskNonAssistant = false).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val spans1 = all(1L).getSeq[org.apache.spark.sql.Row](4)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(spans1 === Seq((1L, 3L), (4L, 9L), (10L, 11L), (12L, 14L), (15L, 18L)))
+    val acc = Convo.lossAccounting(Convo.render(turns)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(acc(1L) === ((4L, BigDecimal(4.0 / 18)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(acc(2L) === ((0L, 0.0)))
+    // determinism at any partitioning
+    val a = Convo.render(turns).collect().map(_.toString).toSeq
+    val b = Convo.render(turns.repartition(5)).collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
+  test("refusals: bad role, duplicate turn key, null content") {
+    intercept[IllegalArgumentException](Convo.render(
+      Seq((1L, 0, "narrator", "x")).toDF("conv_id", "turn_idx", "role", "content")))
+    intercept[IllegalArgumentException](Convo.render(
+      Seq((1L, 0, "user", "x"), (1L, 0, "user", "y"))
+        .toDF("conv_id", "turn_idx", "role", "content")))
+    intercept[IllegalArgumentException](Convo.render(
+      Seq((1L, 0, "user", null.asInstanceOf[String]))
+        .toDF("conv_id", "turn_idx", "role", "content")))
+  }
+}
