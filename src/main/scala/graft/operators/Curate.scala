@@ -279,6 +279,78 @@ object Curate {
     * The filesystem listing is driver-side but bounded by writeCorpus's
     * own maxFiles contract.
     */
+  /** Corpus datasheet — "Datasheets for Datasets" (Gebru et al. 2021)
+    * as a one-call report: the narrow (section, metric, value) frame a
+    * release ships beside the parquet. Sections: `size` (docs, tokens,
+    * chars, avg doc tokens), `dedup` (exact-dup fraction — the cheap
+    * preview before a full q30 pass), `sources` and `languages` (top-k
+    * shares; predicted language, so the sheet is honest about content
+    * rather than trusting labels), `quality` and `length` (p05/p50/p95
+    * of the q39 score and the token count — percentiles under the
+    * q47/q53 guard: exact refuses past `maxRows` unless `autoSwap`
+    * takes the mergeable sketch).
+    *
+    * Shape at scale: ONE enriched corpus scan feeds every number — a
+    * handful of bounded aggregates and two top-k's; only scalars and
+    * ≤ topK rows ever reach the driver, and the assembled sheet is a
+    * few dozen rows. Deterministic ordering (section, metric).
+    */
+  def datasheet(d: DataFrame, topK: Int = 5,
+                maxRows: Long = 10000000L,
+                autoSwap: Boolean = false): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val spark = d.sparkSession
+    import spark.implicits._
+    val scored = graft.core.Caches.persist(d
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr(s"CAST(size(filter(split(text, ' '), t -> t IN ${sqlIn(EnStop)})) AS BIGINT)")
+          .as("n_stop"),
+        TextOps.langIdCol(split(col("text"), " ")).as("pred_lang"),
+        md5(col("text")).as("content_hash"))
+      .withColumn("quality_score", qualityCol))
+    val n = scored.count()
+    require(n > 0, "refusing to datasheet an empty corpus")
+    require(n <= maxRows || autoSwap,
+      s"datasheet percentiles buffer all $n values (> $maxRows): pass " +
+        "autoSwap = true for the mergeable sketch, or raise maxRows")
+    val pct = (c: String, p: Double) =>
+      if (n <= maxRows) expr(s"percentile($c, $p)")
+      else expr(s"approx_percentile($c, $p, 10000)").cast("double")
+    val agg = scored.agg(
+      sum(col("n_tokens")).as("toks"), sum(col("len")).as("chars"),
+      countDistinct(col("content_hash")).as("distinct_hashes"),
+      round(pct("quality_score", 0.05), 6), round(pct("quality_score", 0.5), 6),
+      round(pct("quality_score", 0.95), 6),
+      round(pct("n_tokens", 0.05), 6), round(pct("n_tokens", 0.5), 6),
+      round(pct("n_tokens", 0.95), 6)).head()
+    def share(groupCol: String, section: String): Seq[(String, String, Double)] =
+      scored.groupBy(col(groupCol)).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col(groupCol)).limit(topK).collect()
+        .map(r => (section,
+          Option(r.get(0)).map(_.toString).getOrElse("(null)"),
+          BigDecimal(r.getLong(1).toDouble / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq
+    val rows: Seq[(String, String, Double)] = Seq(
+      ("size", "n_docs", n.toDouble),
+      ("size", "n_tokens", agg.getLong(0).toDouble),
+      ("size", "n_chars", agg.getLong(1).toDouble),
+      ("size", "avg_doc_tokens", BigDecimal(agg.getLong(0).toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("dedup", "exact_dup_frac",
+        BigDecimal((n - agg.getLong(2)).toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("quality", "p05", agg.getDouble(3)),
+      ("quality", "p50", agg.getDouble(4)),
+      ("quality", "p95", agg.getDouble(5)),
+      ("length", "tokens_p05", agg.getDouble(6)),
+      ("length", "tokens_p50", agg.getDouble(7)),
+      ("length", "tokens_p95", agg.getDouble(8))) ++
+      share("source", "sources") ++ share("pred_lang", "languages")
+    rows.toDF("section", "metric", "value").orderBy(col("section"), col("metric"))
+  }
+
   /** Morton interleave of the low `bits` bits of a cell id: bit i of
     * `x` lands at position i·stride + offset. All arithmetic stays
     * under 2^62 (guarded by [[zorderWrite]]), so ANSI mode never

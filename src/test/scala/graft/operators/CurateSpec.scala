@@ -236,6 +236,41 @@ class CurateSpec extends SparkSpec {
       Curate.zorderWrite(orders, s"$base/bad", Seq("o_custkey", "o_totalprice"), nFiles = 0))
   }
 
+  test("datasheet: hand-computed sections on a fixture; real corpus sanity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "web", "the cat sat"),
+      (2L, "web", "the cat sat"), // exact dup
+      (3L, "web", "der hund und die katze hier"),
+      (4L, "books", "a tale of two cities and more")).toDF("doc_id", "source", "text")
+    val sheet = try Curate.datasheet(d, topK = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    finally graft.core.Caches.release()
+    assert(sheet(("size", "n_docs")) === 4.0)
+    assert(sheet(("size", "n_tokens")) === 3 + 3 + 6 + 7.0)
+    assert(sheet(("dedup", "exact_dup_frac")) === 0.25)
+    assert(sheet(("sources", "web")) === 0.75)
+    assert(sheet(("sources", "books")) === 0.25)
+    // language mix is over PREDICTED language
+    assert(sheet(("languages", "en")) === 0.75)
+    assert(sheet(("languages", "de")) === 0.25)
+    assert(sheet.contains(("quality", "p50")) && sheet.contains(("length", "tokens_p95")))
+    // guard: tiny maxRows refuses, autoSwap runs
+    val e = intercept[IllegalArgumentException](
+      Curate.datasheet(d, maxRows = 2))
+    assert(e.getMessage.contains("autoSwap"))
+    assert(Curate.datasheet(d, maxRows = 2, autoSwap = true).count() > 0)
+    graft.core.Caches.release()
+    // real corpus: deterministic, shares bounded
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val a = try Curate.datasheet(docs).collect().map(_.toString).toSeq
+    finally graft.core.Caches.release()
+    val b = try Curate.datasheet(docs.repartition(7)).collect().map(_.toString).toSeq
+    finally graft.core.Caches.release()
+    assert(a === b && a.nonEmpty)
+  }
+
   test("duplicateClusters salted path returns the plain path's clusters") {
     val d = graft.core.Tables(spark, sfDir, "documents")
     def run(salt: Int) = try Dedup.duplicateClusters(d, saltHubs = salt)
