@@ -16,10 +16,15 @@ import graft.functions.Hashing
   * Shape at scale:
   *  - Paragraphs explode positionally IN the scan; only (doc_id, idx,
   *    hash60) narrow rows enter the ownership shuffle — the paragraph
-  *    text itself moves exactly ONCE, in the doc_id-partitioned
-  *    reassembly join (both join sides pre-partition on doc_id, which
-  *    satisfies the (doc_id, idx) join AND the downstream groupBy, so
-  *    Spark inserts no further exchange).
+  *    text itself moves exactly ONCE through the dedup machinery, in
+  *    the doc_id-partitioned reassembly join (both join sides
+  *    pre-partition on doc_id, which satisfies the (doc_id, idx) join
+  *    AND the downstream groupBy, so Spark inserts no further
+  *    exchange there — plan-audited: the only other exchanges are the
+  *    narrow hash shuffle, narrow verdict rows, and broadcasts). The
+  *    final `orderBy(doc_id)` is PRESENTATION, one more range move of
+  *    the rebuilt docs — at 100 TB write the unordered frame and let
+  *    the writer's own partitioning decide.
   *  - Ownership is a two-phase min-struct aggregation keyed on the
   *    paragraph hash — bounded per-key state however often a block
   *    repeats; "first occurrence" = min (doc_id, idx), a total order,
