@@ -537,4 +537,66 @@ object Unigram {
         col("fertility"), col("single_frac"))
       .orderBy(col(groupCol))
   }
+
+  /** Character-coverage report — SentencePiece's `character_coverage`
+    * metric measured on a corpus instead of assumed at train time: per
+    * group, the fraction of emitted pieces that were UNK single-char
+    * fallbacks (a character the vocabulary never saw — Viterbi still
+    * segments, at [[Model.encodeWord]]'s penalty score), and the
+    * fraction of WORDS touched by at least one such character. A
+    * vocabulary trained on English web text scoring a CJK or emoji-
+    * heavy source shows up here before the fertility number even
+    * moves — the earliest tokenizer-mismatch alarm. Same zero-shuffle
+    * mapPartitions shape and memo as [[fertility]]. Output: (group,
+    * n_words, n_pieces, n_unk_pieces, unk_piece_frac,
+    * words_with_unk_frac).
+    */
+  def coverage(d: DataFrame, model: Model, groupCol: String = "source",
+               textCol: String = "text"): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model)
+    d.select(col(groupCol).cast("string"), col(textCol).cast("string"))
+      .map(r => (r.getString(0), if (r.isNullAt(1)) "" else r.getString(1)))
+      .mapPartitions { it =>
+        val m = b.value
+        // memo: word -> (pieces, unkPieces) packed in one long
+        val memo = new java.util.HashMap[String, Long]()
+        it.map { case (g, text) =>
+          var words = 0L; var pieces = 0L; var unkP = 0L; var unkW = 0L
+          text.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+            var packed = memo.getOrDefault(w, -1L)
+            if (packed < 0) {
+              val ps = m.encodeWord(w)
+              var u = 0
+              var i = 0
+              while (i < ps.length) {
+                if (m.logp.get(ps(i)) == null) u += 1
+                i += 1
+              }
+              packed = (ps.length.toLong << 20) | u.toLong
+              if (memo.size < MemoCap) memo.put(w, packed)
+            }
+            val np = packed >> 20
+            val nu = packed & ((1L << 20) - 1)
+            words += 1; pieces += np; unkP += nu
+            if (nu > 0) unkW += 1
+          }
+          (g, words, pieces, unkP, unkW)
+        }
+      }
+      .toDF("grp", "n_words", "n_pieces", "n_unk", "n_unk_words")
+      .groupBy(col("grp").as(groupCol))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_unk")).as("n_unk_pieces"),
+        sum(col("n_unk_words")).as("n_unk_words"))
+      .withColumn("unk_piece_frac", when(col("n_pieces") === 0L, lit(0.0))
+        .otherwise(round(col("n_unk_pieces") / col("n_pieces"), 6)))
+      .withColumn("words_with_unk_frac", when(col("n_words") === 0L, lit(0.0))
+        .otherwise(round(col("n_unk_words") / col("n_words"), 6)))
+      .select(col(groupCol), col("n_words"), col("n_pieces"),
+        col("n_unk_pieces"), col("unk_piece_frac"), col("words_with_unk_frac"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -168,4 +168,31 @@ class UnigramSpec extends SparkSpec {
       .filter(length($"w") > 0).count()
     assert(totals >= words, "every word costs at least one piece")
   }
+
+  test("coverage: in-vocab text reads zero UNK, alien script lights up, per-source split") {
+    import spark.implicits._
+    val corpus = Seq.fill(30)((1L, "en", "the cat sat on the mat with a hat"))
+      .zipWithIndex.map { case ((_, s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val m = Unigram.train(corpus, vocabSize = 80, seedSize = 200,
+      maxPieceLen = 6, emIters = 2)
+    // the training text itself: every char seen, zero UNK anywhere
+    val self = Unigram.coverage(corpus, m).collect()
+    assert(self.length === 1)
+    assert(self.head.getLong(3) === 0L && self.head.getDouble(4) === 0.0)
+    // an alien-script source against the same model: UNK fires per char
+    val mixed = corpus.limit(5).union(
+      Seq((100L, "zh", "猫坐在垫子上"), (101L, "zh", "这是中文文本"))
+        .toDF("doc_id", "source", "text"))
+    val cov = Unigram.coverage(mixed, m).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(cov("en").getDouble(4) === 0.0)
+    assert(cov("zh").getDouble(4) === 1.0,
+      "every CJK piece must be an UNK single char for this vocab")
+    assert(cov("zh").getDouble(5) === 1.0)
+    // determinism across partitionings
+    val again = Unigram.coverage(mixed.repartition(5), m).collect()
+      .map(_.toString).toSeq
+    assert(again === Unigram.coverage(mixed, m).collect().map(_.toString).toSeq)
+  }
 }
