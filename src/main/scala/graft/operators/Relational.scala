@@ -913,6 +913,54 @@ object Relational {
       .drop("_mad_v")
   }
 
+  /** Feature standardization — the (x − center) ∕ scale projection a
+    * numeric feature needs before it meets a distance, a regression,
+    * or [[graft.operators.Classifier]]: classic mode uses the exact
+    * decimal moment sums (the q48 discipline — μ and σ are
+    * partition-order independent, unlike float Welford), robust mode
+    * uses median and 1.4826·MAD (the [[madOutliers]] machinery and its
+    * enforced buffer guard) so one 10^9 outlier cannot crush every
+    * other value toward zero. A zero-scale distribution (constant
+    * values) refuses — silently emitting zeros would hide a dead
+    * feature. Nulls stay null. Output: input + (center, scale,
+    * standardized).
+    */
+  def standardize(d: DataFrame, value: Column, robust: Boolean = false,
+                  maxRows: Long = 10000000L,
+                  autoSwap: Boolean = false): DataFrame = {
+    Seq("center", "scale", "standardized", "_std_v").foreach(r =>
+      require(!d.columns.contains(r),
+        s"input already has a $r column; rename it first"))
+    val base = graft.core.Caches.persist(
+      d.withColumn("_std_v", value.cast("double")))
+    val (center, scale) =
+      if (robust) {
+        val m = madOutliers(base.select(col("_std_v")), col("_std_v"),
+          maxRows = maxRows, autoSwap = autoSwap).head()
+        (m.getDouble(1), 1.4826 * m.getDouble(2))
+      } else {
+        val mRow = base.agg(count(col("_std_v")),
+          sum(col("_std_v").cast("decimal(28,12)")),
+          sum((col("_std_v") * col("_std_v")).cast("decimal(28,12)"))).head()
+        val n = mRow.getLong(0)
+        require(n > 0, "no non-null values to standardize")
+        val sx = mRow.getDecimal(1).doubleValue()
+        val sxx = mRow.getDecimal(2).doubleValue()
+        val mu = sx / n
+        (mu, math.sqrt(math.max(0.0, sxx / n - mu * mu)))
+      }
+    require(scale > 0.0,
+      s"zero ${if (robust) "MAD" else "variance"} — a constant feature " +
+        "cannot standardize; drop it instead")
+    base.withColumn("center", lit(BigDecimal(center)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .withColumn("scale", lit(BigDecimal(scale)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .withColumn("standardized",
+        round((col("_std_v") - lit(center)) / lit(scale), 6))
+      .drop("_std_v")
+  }
+
   /** Winsorization — [[madOutliers]]' transform twin: instead of
     * FLAGGING tail values, CLIP them to the [loPct, hiPct] percentile
     * band (the robust-statistics standard for "keep the row, tame the

@@ -539,6 +539,40 @@ class RelationalSpec extends SparkSpec {
     } finally graft.core.Caches.release()
   }
 
+  test("standardize: exact classic moments, robust mode shrugs off the outlier, refusals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // values 2,4,4,4,5,5,7,9: mean 5, population stddev 2 (the textbook set)
+    val d = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    try {
+      val out = Relational.standardize(d, col("v")).collect()
+        .map(r => r.getDouble(1) -> r).toMap
+      assert(out(2.0).getDouble(2) === 5.0 && out(2.0).getDouble(3) === 2.0)
+      assert(out(2.0).getDouble(4) === -1.5 && out(9.0).getDouble(4) === 2.0)
+      // classic mode: one huge outlier inflates sigma and crushes the rest
+      val poisoned = d.union(Seq((99L, 1000.0)).toDF("id", "v"))
+      val classic = Relational.standardize(poisoned, col("v")).collect()
+        .map(r => r.getDouble(1) -> r.getDouble(4)).toMap
+      assert(math.abs(classic(9.0)) < 0.5, "sigma inflation must crush inliers")
+      // robust mode: inliers keep meaningful z's, the outlier is huge
+      val robust = Relational.standardize(poisoned, col("v"), robust = true)
+        .collect().map(r => r.getDouble(1) -> r.getDouble(4)).toMap
+      assert(math.abs(robust(9.0)) > 1.0 && math.abs(robust(1000.0)) > 100.0)
+      // nulls stay null; constant feature refuses; reruns deterministic
+      val wn = Relational.standardize(
+        Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0))).toDF("id", "v"),
+        col("v")).collect()
+      assert(wn.find(_.getLong(0) == 2L).get.isNullAt(4))
+      intercept[IllegalArgumentException](Relational.standardize(
+        Seq.fill(5)((1L, 7.0)).toDF("id", "v"), col("v")))
+      val a = Relational.standardize(d, col("v")).collect().map(_.toString).toSeq
+      val b = Relational.standardize(d.repartition(5), col("v")).collect()
+        .map(_.toString).toSeq
+      assert(a.sorted === b.sorted)
+    } finally graft.core.Caches.release()
+  }
+
   test("skewReport: hand-computed shares and entropy; uniform reads 1, constant reads 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
