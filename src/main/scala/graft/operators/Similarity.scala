@@ -639,6 +639,76 @@ object Similarity {
       max(col("std_shift")).as("max_std_shift"))
   }
 
+  /** Ranking-quality evaluation — the IR metrics ([[annRecall]]
+    * measures index fidelity; these measure whether the RANKING is any
+    * good against labeled relevance): per query, nDCG@k with the
+    * standard (2^rel − 1)∕log₂(rank+1) gain over graded judgments,
+    * reciprocal rank of the first relevant hit, precision@k and
+    * recall@k. `results` is any kNN/BM25-shaped frame (qid,
+    * neighbor_id, score); `qrels` is (qid, doc_id, rel ≥ 0). Ranks
+    * derive from (score desc, neighbor_id) — the family's total-order
+    * tie-break — in a per-query window (bounded by k·queries rows);
+    * ideal DCG sorts each query's judgments, bounded by judgments per
+    * query. A query with no positive judgment reads null nDCG and zero
+    * RR/recall (reported, not dropped — the silent-miss rule
+    * [[annRecall]] follows). Output: (qid, n_rel, ndcg, rr,
+    * precision_at_k, recall_at_k), qid-ordered; macro-average with
+    * [[rankingSummary]].
+    */
+  def rankingMetrics(results: DataFrame, qrels: DataFrame,
+                     k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val scoreCol = results.columns.last
+    val ranked = results
+      .withColumn("_rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col(scoreCol).desc, col("neighbor_id"))))
+      .filter(col("_rk") <= k)
+      .select(col("qid"), col("neighbor_id"), col("_rk"))
+    val judged = ranked.join(
+      qrels.select(col("qid"), col("doc_id").as("neighbor_id"),
+        col("rel").cast("double").as("_rel")),
+      Seq("qid", "neighbor_id"), "left")
+      .withColumn("_rel", coalesce(col("_rel"), lit(0.0)))
+    val perQ = judged.groupBy(col("qid"))
+      .agg(
+        sum((pow(lit(2.0), col("_rel")) - 1.0) /
+          log(2.0, col("_rk") + 1)).as("_dcg"),
+        min(when(col("_rel") > 0, col("_rk"))).as("_first"),
+        sum(when(col("_rel") > 0, 1L).otherwise(0L)).as("_hits"))
+    val idealW = Window.partitionBy(col("qid"))
+      .orderBy(col("_rel").desc, col("doc_id"))
+    val ideal = qrels
+      .select(col("qid"), col("doc_id"), col("rel").cast("double").as("_rel"))
+      .withColumn("_ir", row_number().over(idealW))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("_ir") <= k,
+          (pow(lit(2.0), col("_rel")) - 1.0) / log(2.0, col("_ir") + 1))
+          .otherwise(lit(0.0))).as("_idcg"),
+        sum(when(col("_rel") > 0, 1L).otherwise(0L)).as("n_rel"))
+    ideal.join(perQ, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        when(col("_idcg") > 0,
+          round(coalesce(col("_dcg"), lit(0.0)) / col("_idcg"), 6)).as("ndcg"),
+        round(coalesce(lit(1.0) / col("_first"), lit(0.0)), 6).as("rr"),
+        round(coalesce(col("_hits"), lit(0L)) / lit(k.toDouble), 6)
+          .as("precision_at_k"),
+        when(col("n_rel") > 0,
+          round(coalesce(col("_hits"), lit(0L)) / col("n_rel"), 6))
+          .otherwise(lit(0.0)).as("recall_at_k"))
+      .orderBy(col("qid"))
+  }
+
+  /** Macro-averaged rollup of [[rankingMetrics]] (each query weighs
+    * equally — the IR convention; null-nDCG queries are excluded from
+    * the nDCG mean but counted). One bounded aggregation. */
+  def rankingSummary(metrics: DataFrame): DataFrame =
+    metrics.agg(count(lit(1)).as("n_queries"),
+      round(avg(col("ndcg")), 6).as("mean_ndcg"),
+      round(avg(col("rr")), 6).as("mrr"),
+      round(avg(col("precision_at_k")), 6).as("mean_precision"),
+      round(avg(col("recall_at_k")), 6).as("mean_recall"))
+
   /** Prototypicality report — Sorscher et al. 2022 ("Beyond neural
     * scaling laws: beating power law scaling via data pruning"): a
     * vector's distance to its assigned k-means centroid measures how

@@ -631,6 +631,42 @@ class SimilaritySpec extends SparkSpec {
       a.filter(lit(false)), b))
   }
 
+  test("rankingMetrics: hand-computed nDCG/MRR/P/R; no-relevant query reports, macro rollup") {
+    import spark.implicits._
+    // q1: ranked docs 10(rel2), 20(rel0), 30(rel1); judged also 40(rel1) unretrieved
+    // q2: ranked 50(rel0), 60(rel0); one relevant doc 70 never retrieved
+    val results = Seq(
+      (1L, 10L, 0.9), (1L, 20L, 0.8), (1L, 30L, 0.7),
+      (2L, 50L, 0.9), (2L, 60L, 0.8)).toDF("qid", "neighbor_id", "cos_sim")
+    val qrels = Seq(
+      (1L, 10L, 2.0), (1L, 30L, 1.0), (1L, 40L, 1.0),
+      (2L, 70L, 1.0)).toDF("qid", "doc_id", "rel")
+    val m = Similarity.rankingMetrics(results, qrels, k = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def lg2(x: Double) = StrictMath.log(x) / StrictMath.log(2.0)
+    // DCG(q1) = 3/log2(2) + 0 + 1/log2(4); IDCG = 3/log2(2) + 1/log2(3) + 1/log2(4)
+    val dcg = 3.0 / lg2(2) + 1.0 / lg2(4)
+    val idcg = 3.0 / lg2(2) + 1.0 / lg2(3) + 1.0 / lg2(4)
+    val q1 = m(1L)
+    assert(q1.getLong(1) === 3L)
+    assert(math.abs(q1.getDouble(2) - dcg / idcg) <= 1e-6, s"ndcg ${q1.getDouble(2)}")
+    assert(q1.getDouble(3) === 1.0) // first relevant at rank 1
+    assert(q1.getDouble(4) === r6(2.0 / 3)) // 2 relevant of k=3
+    assert(q1.getDouble(5) === r6(2.0 / 3)) // 2 of 3 relevant retrieved
+    // q2: relevant exists but never retrieved
+    val q2 = m(2L)
+    assert(q2.getLong(1) === 1L)
+    assert(q2.getDouble(2) === 0.0 && q2.getDouble(3) === 0.0 &&
+      q2.getDouble(5) === 0.0)
+    // macro rollup averages per query
+    val s = Similarity.rankingSummary(Similarity.rankingMetrics(results, qrels, 3)).head()
+    assert(s.getLong(0) === 2L)
+    assert(math.abs(s.getDouble(1) - (dcg / idcg + 0.0) / 2) <= 1e-6)
+    assert(s.getDouble(2) === 0.5)
+    intercept[IllegalArgumentException](Similarity.rankingMetrics(results, qrels, 0))
+  }
+
   test("prototypicality: hand-computed per-cell ECDF, pruning keeps the declared tail") {
     import spark.implicits._
     val corpus = Similarity.prepare(Seq(
