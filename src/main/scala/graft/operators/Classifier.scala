@@ -361,6 +361,50 @@ object Classifier {
       .orderBy(col("bin"))
   }
 
+  /** Confident-learning label audit — Northcutt et al. 2021's
+    * (cleanlab's) core move, simplified to the binary case: estimate a
+    * PER-CLASS confidence threshold (the mean predicted probability
+    * among examples labeled with that class — the paper's t_j), then
+    * flag every example the model places confidently in the OTHER
+    * class: labeled 0 but p ≥ t₁, or labeled 1 but p ≤ t₀. Those are
+    * the likely mislabels a curation team reviews before the label
+    * set trains anything bigger. IMPORTANT CAVEAT (stated, not
+    * hidden): scoring with a model trained on the same rows
+    * understates noise (the model memorized the bad labels) — pass a
+    * model trained on a DISJOINT fold, the paper's cross-validated
+    * setup, which [[train]]'s determinism makes a two-line caller
+    * split. Two passes: one bounded per-class mean aggregate, then a
+    * zero-shuffle flag projection. Output: input + (quality_prob,
+    * suspect, suggested_label — null when not suspect).
+    */
+  def suspectLabels(d: DataFrame, model: QualityModel, text: Column,
+                    label: Column): DataFrame = {
+    Seq("quality_prob", "suspect", "suggested_label").foreach(r =>
+      require(!d.columns.contains(r),
+        s"input already has a $r column; rename it first"))
+    val scored = graft.core.Caches.persist(
+      score(d.withColumn("_cl_y", label.cast("double")), model, text))
+    val bad = scored.agg(sum(when(col("_cl_y").isNull ||
+      (col("_cl_y") =!= 0.0 && col("_cl_y") =!= 1.0), 1L).otherwise(0L)),
+      count(lit(1))).head()
+    require(bad.getLong(1) > 0, "cannot audit an empty frame")
+    require(bad.getLong(0) == 0,
+      s"${bad.getLong(0)} rows carry a label that is not exactly 0 or 1")
+    val t = scored.groupBy(col("_cl_y"))
+      .agg(avg(col("quality_prob")).as("_t")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    require(t.contains(0.0) && t.contains(1.0),
+      "the audit needs BOTH classes present (per-class thresholds)")
+    val (t0, t1) = (t(0.0), t(1.0))
+    val suspect0 = col("_cl_y") === 0.0 && col("quality_prob") >= t1
+    val suspect1 = col("_cl_y") === 1.0 && col("quality_prob") <= t0
+    scored
+      .withColumn("suspect", suspect0 || suspect1)
+      .withColumn("suggested_label",
+        when(suspect0, 1.0).when(suspect1, 0.0))
+      .drop("_cl_y")
+  }
+
   /** Persist a trained model — the [[graft.operators.Bpe.save]] /
     * `Similarity.saveIvf` discipline: train once on the labeled set,
     * ship the artifact to every scoring job. Header line

@@ -351,6 +351,49 @@ class ClassifierSpec extends SparkSpec {
     } finally graft.core.Caches.release()
   }
 
+  test("suspectLabels: planted flips are caught, clean labels pass, refusals") {
+    // train on the clean separable corpus, audit a copy with 4 flipped
+    // labels — the cross-fold setup the scaladoc prescribes
+    val clean = separable
+    try {
+      val m = Classifier.train(clean, col("label"), dim = 1 << 12, epochs = 25)
+      import spark.implicits._
+      val audit = clean.withColumn("id", monotonically_increasing_id())
+        .withColumn("label",
+          when(col("text").endsWith("shelf0") || col("text").endsWith("shelf1") ||
+            col("text").endsWith("offer0") || col("text").endsWith("offer1"),
+            lit(1.0) - col("label")).otherwise(col("label")))
+      val out = Classifier.suspectLabels(audit, m, col("text"), col("label"))
+        .collect()
+      val flipped = out.filter(r => {
+        val t = r.getString(0)
+        t.endsWith("shelf0") || t.endsWith("shelf1") ||
+          t.endsWith("offer0") || t.endsWith("offer1")
+      })
+      assert(flipped.length === 4)
+      assert(flipped.forall(_.getAs[Boolean]("suspect")),
+        "every planted flip must be flagged")
+      // the suggestion is the original (true) label
+      flipped.foreach { r =>
+        val trueLabel = if (r.getString(0).contains("shelf")) 1.0 else 0.0
+        assert(r.getAs[Double]("suggested_label") === trueLabel)
+      }
+      // clean rows: almost all pass (the threshold is a mean, so a few
+      // borderline rows may flag — but never the majority)
+      val cleanRows = out.filterNot(r => flipped.contains(r))
+      val falseFlags = cleanRows.count(_.getAs[Boolean]("suspect"))
+      assert(falseFlags <= cleanRows.length / 10,
+        s"$falseFlags of ${cleanRows.length} clean rows flagged")
+      assert(cleanRows.filterNot(_.getAs[Boolean]("suspect"))
+        .forall(_.isNullAt(out.head.fieldIndex("suggested_label"))))
+      // refusals: one-class audit, non-binary labels
+      intercept[IllegalArgumentException](Classifier.suspectLabels(
+        clean.filter(col("label") === 1.0), m, col("text"), col("label")))
+      intercept[IllegalArgumentException](Classifier.suspectLabels(
+        clean.withColumn("label", lit(0.5)), m, col("text"), col("label")))
+    } finally graft.core.Caches.release()
+  }
+
   test("scoring is a zero-shuffle projection over the real corpus") {
     val docs = graft.core.Tables(spark, sfDir, "documents")
     try {
