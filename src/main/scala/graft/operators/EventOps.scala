@@ -612,6 +612,32 @@ object EventOps {
       .orderBy(col("event_type"), col("window_start_ms"))
   }
 
+  /** Exponentially time-decayed counts — the recency-weighted leaderboard
+    * behind "what's trending NOW" (a plain window count weights an event
+    * from six hours ago equally; decay halves an event's vote every
+    * `halfLifeMs`): per key, Σ 2^(−(asOf − t)/halfLife) over its events,
+    * beside the raw count. `asOfMs` is an explicit argument — the
+    * operator is a pure function of (data, asOf), replayable and
+    * oracle-friendly, never wall-clock. Events after `asOf` are excluded
+    * (they haven't happened yet from the query's vantage), null
+    * timestamps drop (the [[rateAnomalies]] rule). One map-side-combined
+    * shuffle on the key; per-event weights round to 9 decimals and sum
+    * as exact DECIMAL (the q37 discipline — partition-order
+    * independent). Output: (key, n_events, decayed_count), decayed desc.
+    */
+  def decayedCounts(events: DataFrame, key: Column, ts: Column,
+                    halfLifeMs: Long, asOfMs: Long): DataFrame = {
+    require(halfLifeMs > 0, s"halfLifeMs must be positive, got $halfLifeMs")
+    val t = unix_millis(ts.cast("timestamp"))
+    val age = lit(asOfMs) - t
+    val w = round(pow(lit(2.0), -age.cast("double") / lit(halfLifeMs.toDouble)), 9)
+    events.filter(ts.isNotNull && t <= asOfMs)
+      .groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(w.cast("decimal(28,9)")).cast("double"), 6).as("decayed_count"))
+      .orderBy(col("decayed_count").desc, col("key"))
+  }
+
   /** Event-time lateness report — the measurement a watermark choice
     * should come from instead of folklore: per event type, how far
     * behind the running event-time high-water mark do records actually

@@ -281,6 +281,34 @@ object Sampling {
       when(b < trainUpto, "train").when(b < valUpto, "val").otherwise("test"))
   }
 
+  /** Temporal split — the [[splitAssign]] twin for TIME-STRUCTURED
+    * data, where a hash split leaks the future into training (a model
+    * evaluated on events contemporaneous with its training data reads
+    * optimistically — the forecasting/recsys evaluation rule): strictly
+    * before `trainUntilMs` → train, before `valUntilMs` → val, at or
+    * after → test. Explicit millisecond cuts, never wall-clock, so the
+    * split is a pure function of (data, cuts) like every membership
+    * decision in this module; null timestamps refuse (a row with no
+    * time cannot be placed on a timeline — silently defaulting it
+    * into train is exactly the leak this operator exists to prevent).
+    * A zero-shuffle projection.
+    */
+  def splitByTime(d: DataFrame, ts: Column, trainUntilMs: Long,
+                  valUntilMs: Long): DataFrame = {
+    require(trainUntilMs < valUntilMs,
+      s"need trainUntilMs < valUntilMs, got $trainUntilMs >= $valUntilMs")
+    require(!d.columns.contains("split"),
+      "input already has a split column; rename it first")
+    val nulls = d.filter(ts.isNull).limit(1).count()
+    require(nulls == 0,
+      "null timestamps cannot be placed on a timeline; filter or impute first")
+    val t = unix_millis(ts.cast("timestamp"))
+    d.withColumn("split",
+      when(t < trainUntilMs, "train")
+        .when(t < valUntilMs, "val")
+        .otherwise("test"))
+  }
+
   /** Cross-split near-duplicate leakage audit — the check a per-doc
     * hash split ([[splitAssign]] keyed on doc_id) needs before anyone
     * trusts an eval number: a near-dup pair straddling train/test means

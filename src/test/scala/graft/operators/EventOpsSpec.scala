@@ -193,6 +193,34 @@ class EventOpsSpec extends SparkSpec {
       .toSeq == dense.toSeq)
   }
 
+  test("decayedCounts: hand-computed half-life weights, future events excluded, recency wins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val asOf = 100000L
+    val rows = Seq(
+      // key A: events exactly 0, 1, 2 half-lives old → 1 + 0.5 + 0.25
+      ("A", 100000L), ("A", 90000L), ("A", 80000L),
+      // key B: four events 3 half-lives old → 4 * 0.125 = 0.5
+      ("B", 70000L), ("B", 70000L), ("B", 70000L), ("B", 70000L),
+      // a future event and a null must not count
+      ("A", 150000L))
+      .toDF("k", "ms")
+      .select(col("k"), timestamp_millis(col("ms")).as("ts"))
+      .union(Seq(("A", null.asInstanceOf[java.sql.Timestamp])).toDF("k", "ts"))
+    val out = EventOps.decayedCounts(rows, col("k"), col("ts"),
+      halfLifeMs = 10000L, asOfMs = asOf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("A", 3L, 1.75), ("B", 4L, 0.5)))
+    // recency beats volume: B has more events, A ranks first
+    assert(out.head._1 === "A")
+    // determinism under repartition
+    val again = EventOps.decayedCounts(rows.repartition(5), col("k"), col("ts"),
+      10000L, asOf).collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(again.toSeq === out.map(t => (t._1, t._3)).toSeq)
+    intercept[IllegalArgumentException](
+      EventOps.decayedCounts(rows, col("k"), col("ts"), 0L, asOf))
+  }
+
   test("latenessReport: hand-traced high-water gaps, in-order type reads zero, null ts drop") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

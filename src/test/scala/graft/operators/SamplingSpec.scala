@@ -481,6 +481,34 @@ class SamplingSpec extends SparkSpec {
     } finally graft.core.Caches.release()
   }
 
+  test("splitByTime: cuts respected on the real events table; null ts refuses") {
+    import spark.implicits._
+    val ev = graft.core.Tables(spark, sfDir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val Seq(lo, hi) = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts")))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val cut1 = lo + (hi - lo) * 8 / 10
+    val cut2 = lo + (hi - lo) * 9 / 10
+    val out = Sampling.splitByTime(ev, $"ts", cut1, cut2)
+    // every event in exactly one split; ordering law holds per row
+    assert(out.count() === ev.count())
+    val viol = out.filter(
+      ($"split" === "train" && unix_millis($"ts") >= cut1) ||
+      ($"split" === "val" && (unix_millis($"ts") < cut1 || unix_millis($"ts") >= cut2)) ||
+      ($"split" === "test" && unix_millis($"ts") < cut2)).count()
+    assert(viol === 0L)
+    // the temporal property a hash split cannot give: max(train ts) < min(test ts)
+    val maxTrain = out.filter($"split" === "train").agg(max(unix_millis($"ts"))).head().getLong(0)
+    val minTest = out.filter($"split" === "test").agg(min(unix_millis($"ts"))).head().getLong(0)
+    assert(maxTrain < minTest)
+    intercept[IllegalArgumentException](Sampling.splitByTime(ev, $"ts", cut2, cut1))
+    val withNull = ev.select($"event_id",
+      when($"event_id" % 100 === 0, null.asInstanceOf[java.sql.Timestamp])
+        .otherwise($"ts").as("ts"))
+    intercept[IllegalArgumentException](
+      Sampling.splitByTime(withNull, $"ts", cut1, cut2))
+  }
+
   test("packSequencesBy: per group identical to a solo packSequences run; bins never cross groups") {
     import spark.implicits._
     val docs = (0L until 60L).map(i =>
