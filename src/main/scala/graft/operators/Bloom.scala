@@ -140,6 +140,24 @@ object Bloom {
     coalesce(tests.reduce(_ && _), lit(false))
   }
 
+  /** Union of two filters with the SAME geometry — word-wise OR, so
+    * `mightContain(merge(a, b), k)` holds iff it holds on `a` or `b`:
+    * the shard-parallel build story (chunk a giant key set, build per
+    * shard — [[build]]'s shuffle is already bounded, but artifact
+    * pipelines merge per-day filters the same way they merge
+    * codebooks) and the incremental-update story (yesterday's filter ∪
+    * today's delta). Geometry mismatch refuses — ORing different
+    * moduli is silent garbage. */
+  def merge(a: BloomFilter, b: BloomFilter): BloomFilter = {
+    require(a.mBits == b.mBits && a.k == b.k,
+      s"geometry mismatch: (${a.mBits}, ${a.k}) vs (${b.mBits}, ${b.k}) — " +
+        "filters only merge over the identical (mBits, k)")
+    val words = new Array[Long](a.words.length)
+    var i = 0
+    while (i < words.length) { words(i) = a.words(i) | b.words(i); i += 1 }
+    BloomFilter(a.mBits, a.k, words)
+  }
+
   /** Occupancy report — the "is this filter still healthy" monitor: a
     * fill fraction drifting toward 1 means the planned capacity is
     * exceeded and the FP rate (= fill^k) with it. Driver math over the

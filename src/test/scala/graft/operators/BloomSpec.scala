@@ -99,6 +99,24 @@ class BloomSpec extends SparkSpec {
       Bloom.load(write("graft-bloom\t2048\t0\n" + Seq.fill(32)(0L).mkString(",") + "\n")))
   }
 
+  test("merge: sharded builds union to the monolithic filter; geometry mismatch refuses") {
+    val all = (0 until 400).map(i => s"key-$i")
+    val d = all.toDF("k")
+    val whole = Bloom.build(d, col("k"), 8192, 6)
+    // build per shard, merge — bit-identical to the one-shot build
+    val shards = all.grouped(100).map(g =>
+      Bloom.build(g.toDF("k"), col("k"), 8192, 6)).toSeq
+    val merged = shards.reduce(Bloom.merge)
+    assert(merged.words.toSeq === whole.words.toSeq)
+    // membership distributes over the union
+    val present = d.filter(!Bloom.mightContain(merged, col("k"))).count()
+    assert(present === 0L)
+    intercept[IllegalArgumentException](
+      Bloom.merge(whole, Bloom.build(d, col("k"), 4096, 6)))
+    intercept[IllegalArgumentException](
+      Bloom.merge(whole, Bloom.build(d, col("k"), 8192, 5)))
+  }
+
   test("build refuses bad geometry") {
     val d = Seq("a").toDF("k")
     intercept[IllegalArgumentException](Bloom.build(d, col("k"), 1000, 4))
