@@ -64,6 +64,26 @@ class CdcSpec extends SparkSpec {
     assert((fixed1 & fixed2).isEmpty)
   }
 
+  test("boundary locality: a mid-payload edit only disturbs nearby chunks") {
+    // the property that makes CDC incremental: a one-byte change can
+    // only move boundaries between the previous cut before the edit
+    // and at most maxSize past it — every chunk fully before or after
+    // that neighborhood is byte-identical
+    val p = blob("base", 60000)
+    val edited = p.clone(); edited(30000) = (edited(30000) ^ 0x7f).toByte
+    val a = Cdc.cdcChunks(rows((1L, p)), minSize = 64, avgBits = 8,
+      maxSize = 2048).collect()
+    val b = Cdc.cdcChunks(rows((1L, edited)), minSize = 64, avgBits = 8,
+      maxSize = 2048).collect()
+    def outside(c: Cdc.ChunkRow) =
+      c.offset + c.size < 30000 - 2048 || c.offset > 30000 + 2 * 2048
+    val aOut = a.filter(outside).map(c => (c.offset, c.size, c.chunk_hash)).toSet
+    val bOut = b.filter(outside).map(c => (c.offset, c.size, c.chunk_hash)).toSet
+    assert(aOut === bOut, "chunks far from the edit must be untouched")
+    // and the disturbed neighborhood really differs (the edit is seen)
+    assert(a.map(_.chunk_hash).toSet !== b.map(_.chunk_hash).toSet)
+  }
+
   test("chunkDedupReport: duplicated payloads halve unique bytes; empty payloads vanish") {
     val a = blob("a", 20000)
     val b = blob("b", 20000)

@@ -663,6 +663,34 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.imageNearDup(media, maxHamming = 4))
   }
 
+  test("imagePhash: the same picture at 2x resolution hashes within a few bits (resize claim)") {
+    def pngOf(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // the same continuous texture sampled at two resolutions — what a
+    // thumbnail vs original pair looks like to the hash
+    def tex(scale: Double)(x: Int, y: Int): Int = {
+      val v = (128 + 60 * StrictMath.sin(x * scale * 0.31) *
+        StrictMath.cos(y * scale * 0.23) +
+        50 * StrictMath.sin((x + y) * scale * 0.11)).toInt.max(0).min(255)
+      (v << 16) | (v << 8) | v
+    }
+    val small = pngOf(64, 64, tex(1.0))
+    val large = pngOf(128, 128, tex(0.5)) // same picture, twice the pixels
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", small, small.length.toLong),
+      Multimodal.MediaRow(2L, "image", large, large.length.toLong)))
+    val ph = Multimodal.imagePhash(media).collect().map(p => p.media_id -> p.phash).toMap
+    val ham = java.lang.Long.bitCount(ph(1L) ^ ph(2L))
+    assert(ham <= 6, s"resized copy drifted $ham bits")
+  }
+
   test("audioFingerprint/audioNearDup: gain-invariant, envelope-sensitive, short/garbage rejected") {
     def wavOf(samples: Array[Short], rate: Float = 8000f): Array[Byte] = {
       val pcm = new Array[Byte](samples.length * 2)

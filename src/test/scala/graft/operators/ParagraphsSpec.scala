@@ -107,6 +107,24 @@ class ParagraphsSpec extends SparkSpec {
     assert(byId(2L) === ((1L, 0L, "Nothing leaked at all")))
   }
 
+  test("500x duplication soak: ownership state stays bounded, output exact") {
+    // one paragraph repeated 500 times across docs: the ownership
+    // aggregation keys on the HASH (bounded per-key state), never on
+    // pairs — the structure that lets this run at any duplication
+    // factor, unlike an LSH pair join which would emit 500^2/2 rows
+    val docs = (1L to 500L).map(i =>
+      (i, s"unique opener number $i\n\nthe mass duplicated block\n\nunique closer $i"))
+      .toDF("doc_id", "text")
+    val out = try Paragraphs.paragraphDedup(docs).collect() finally release()
+    assert(out.length === 500)
+    // exactly one survivor of the duplicated block — doc 1, the min key
+    val survivors = out.filter(_.getString(3).contains("mass duplicated"))
+    assert(survivors.map(_.getLong(0)).toSeq === Seq(1L))
+    // every other doc lost exactly that one paragraph
+    assert(out.filter(_.getLong(0) != 1L).forall(r =>
+      r.getLong(1) === 3L && r.getLong(2) === 1L))
+  }
+
   test("refusals: degenerate minCount / minChars") {
     val d = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Paragraphs.paragraphDedup(d, minCount = 1))
