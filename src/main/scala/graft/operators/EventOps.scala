@@ -612,6 +612,37 @@ object EventOps {
       .orderBy(col("event_type"), col("window_start_ms"))
   }
 
+  /** First-order transition matrix over event types — the Markov view
+    * of user behavior (what follows what): per user, consecutive
+    * event-type pairs in event order; globally, counts and row-
+    * normalized probabilities per (from, to). The per-user ordering
+    * window is bounded by that user's history (the q24 sessionization
+    * shape) and the output is vocabulary² at most — tiny however big
+    * the log. Probabilities divide exact counts and round at 6dp;
+    * `order` breaks timestamp ties deterministically. Output:
+    * (from_type, to_type, n, p), row-major ordered.
+    */
+  def transitionMatrix(events: DataFrame, user: Column = col("user_id"),
+                       typ: Column = col("event_type"),
+                       ts: Column = col("ts"),
+                       order: Column = col("event_id")): DataFrame = {
+    val w = Window.partitionBy(col("_tm_u")).orderBy(col("_tm_ts"), col("_tm_o"))
+    val pairs = events.filter(ts.isNotNull)
+      .select(user.as("_tm_u"), typ.as("_tm_t"),
+        ts.cast("timestamp").as("_tm_ts"), order.as("_tm_o"))
+      .withColumn("_tm_next", lead(col("_tm_t"), 1).over(w))
+      .filter(col("_tm_next").isNotNull)
+    val counts = pairs.groupBy(col("_tm_t").as("from_type"),
+        col("_tm_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("_tm_tot"))
+    counts.join(rowTotals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("_tm_tot"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Exponentially time-decayed counts — the recency-weighted leaderboard
     * behind "what's trending NOW" (a plain window count weights an event
     * from six hours ago equally; decay halves an event's vote every

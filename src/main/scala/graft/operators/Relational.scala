@@ -913,6 +913,59 @@ object Relational {
       .drop("_mad_v")
   }
 
+  /** Exact correlation matrix — q48's pairwise Pearson generalized to
+    * every pair of `cols` in ONE pass: all first and second (cross)
+    * moments accumulate as DECIMAL(28,12) sums in a single aggregate
+    * (≤ k + k·(k+1)/2 values — bounded state, partition-order
+    * independent, the [[graft.operators.Pca]] discipline without the
+    * eigensolve), then the driver normalizes the k×k covariance to
+    * correlations. `k ≤ 16` enforced — past that the profile question
+    * is dimensionality reduction, which [[graft.operators.Pca]]
+    * already answers. Null-free rows only (a row missing any column
+    * drops — listwise deletion, the textbook default, stated);
+    * zero-variance columns read null correlations rather than NaN.
+    * Output: (col_a, col_b, corr) for a < b, name-ordered.
+    */
+  def corrMatrix(d: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.length >= 2, s"need >= 2 columns, got ${cols.length}")
+    require(cols.length <= 16,
+      s"${cols.length} columns is a reduction problem, not a profile — use Pca")
+    require(cols.distinct.length == cols.length, "duplicate column names")
+    val k = cols.length
+    val spark = d.sparkSession
+    import spark.implicits._
+    val vs = cols.map(c => col(s"`$c`").cast("double"))
+    val complete = d.filter(vs.map(_.isNotNull).reduce(_ && _))
+    val moments: Seq[Column] =
+      Seq(count(lit(1)).as("_n")) ++
+        vs.zipWithIndex.map { case (v, i) =>
+          sum(v.cast("decimal(28,12)")).as(s"_s$i") } ++
+        (for (i <- 0 until k; j <- i until k) yield
+          sum((vs(i) * vs(j)).cast("decimal(28,12)")).as(s"_p${i}_$j"))
+    val row = complete.agg(moments.head, moments.tail: _*).head()
+    val n = row.getLong(0)
+    require(n >= 2, s"need >= 2 complete rows, got $n")
+    val s = Array.tabulate(k)(i => row.getDecimal(1 + i).doubleValue())
+    val p = Array.ofDim[Double](k, k)
+    var idx = 1 + k
+    for (i <- 0 until k; j <- i until k) {
+      p(i)(j) = row.getDecimal(idx).doubleValue(); p(j)(i) = p(i)(j); idx += 1
+    }
+    def cov(i: Int, j: Int): Double = p(i)(j) / n - (s(i) / n) * (s(j) / n)
+    val out = for {
+      i <- 0 until k; j <- i + 1 until k
+    } yield {
+      val denom = StrictMath.sqrt(math.max(0.0, cov(i, i))) *
+        StrictMath.sqrt(math.max(0.0, cov(j, j)))
+      val corr =
+        if (denom > 0.0) Some(BigDecimal(cov(i, j) / denom)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+      (cols(i), cols(j), corr)
+    }
+    out.toDF("col_a", "col_b", "corr").orderBy(col("col_a"), col("col_b"))
+  }
+
   /** Feature standardization — the (x − center) ∕ scale projection a
     * numeric feature needs before it meets a distance, a regression,
     * or [[graft.operators.Classifier]]: classic mode uses the exact

@@ -193,6 +193,39 @@ class EventOpsSpec extends SparkSpec {
       .toSeq == dense.toSeq)
   }
 
+  test("transitionMatrix: hand-traced per-user pairs, row-stochastic, ties broken by order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: a -> b -> a -> c ; user 2: b -> b ; transitions:
+    // (a,b)=1, (b,a)=1, (a,c)=1, (b,b)=1
+    val rows = Seq(
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "a", 30L, 3L), (1L, "c", 40L, 4L),
+      (2L, "b", 10L, 5L), (2L, "b", 10L, 6L)) // tied ts: order column decides
+      .toDF("user_id", "event_type", "ms", "event_id")
+      .select($"user_id", $"event_type",
+        timestamp_millis($"ms" * 1000).as("ts"), $"event_id")
+    val out = EventOps.transitionMatrix(rows).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "c") -> ((1L, 0.5)),
+      ("b", "a") -> ((1L, 0.5)), ("b", "b") -> ((1L, 0.5))))
+    // rows are stochastic: per from_type the probabilities sum to 1
+    out.groupBy(_._1._1).foreach { case (f, m) =>
+      assert(math.abs(m.values.map(_._2).sum - 1.0) <= 1e-9, s"row $f")
+    }
+    // real events: deterministic, row-stochastic, vocab-bounded
+    val ev = graft.core.Tables(spark, sfDir, "events")
+    val a = EventOps.transitionMatrix(ev).collect()
+    assert(a.nonEmpty)
+    val types = ev.select("event_type").distinct().count()
+    assert(a.length <= types * types)
+    a.groupBy(_.getString(0)).foreach { case (f, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) <= 1e-4, s"row $f")
+    }
+    val b = EventOps.transitionMatrix(ev.repartition(7)).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+  }
+
   test("decayedCounts: hand-computed half-life weights, future events excluded, recency wins") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -573,6 +573,39 @@ class RelationalSpec extends SparkSpec {
     } finally graft.core.Caches.release()
   }
 
+  test("corrMatrix: exact pairwise correlations in one pass; listwise deletion; degenerate null") {
+    import spark.implicits._
+    // y = 2x exactly (corr 1), z = -x (corr -1 with x), w constant
+    val d = (1 to 10).map(i => (i.toLong, i.toDouble, 2.0 * i, -i.toDouble, 7.0))
+      .toDF("id", "x", "y", "z", "w")
+    val m = Relational.corrMatrix(d, Seq("x", "y", "z", "w")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(m(("x", "y")) === Some(1.0))
+    assert(m(("x", "z")) === Some(-1.0))
+    assert(m(("y", "z")) === Some(-1.0))
+    // a constant column has no defined correlation — null, not NaN
+    assert(m(("x", "w")) === None && m(("y", "w")) === None)
+    // listwise deletion: a row with one null drops everywhere
+    val m2 = Relational.corrMatrix(
+      d.union(d.limit(1).select($"id", $"x",
+        org.apache.spark.sql.functions.lit(null).cast("double").as("y"),
+        $"z", $"w")),
+      Seq("x", "y")).head()
+    assert(m2.getDouble(2) === 1.0)
+    // vs the builtin on the same frame: agreement to rounding
+    val builtin = d.agg(org.apache.spark.sql.functions.corr($"x", $"y")).head().getDouble(0)
+    assert(math.abs(builtin - 1.0) <= 1e-12)
+    // determinism + refusals
+    assert(Relational.corrMatrix(d.repartition(7), Seq("x", "y", "z"))
+      .collect().map(_.toString).toSeq ===
+      Relational.corrMatrix(d, Seq("x", "y", "z")).collect().map(_.toString).toSeq)
+    intercept[IllegalArgumentException](Relational.corrMatrix(d, Seq("x")))
+    intercept[IllegalArgumentException](Relational.corrMatrix(d, Seq("x", "x")))
+    intercept[IllegalArgumentException](
+      Relational.corrMatrix(d, (1 to 17).map(_ => "x").toSeq))
+  }
+
   test("skewReport: hand-computed shares and entropy; uniform reads 1, constant reads 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
