@@ -596,6 +596,51 @@ object Multimodal {
     * 2-hour video emits its frames without materializing them as one
     * array row.
     */
+  /** A detected scene cut: frame index, display time, mean |Δluma|. */
+  final case class SceneCut(media_id: Long, frame_idx: Int, ts_ms: Long,
+                            luma_diff: Double)
+
+  /** Scene-cut detection over decodable video — the shot-boundary pass
+    * a video-curation pipeline runs before captioning per SHOT instead
+    * of per fixed interval (a 2-minute static shot needs one caption,
+    * not 120): a cut is a frame whose mean absolute luma difference
+    * from its predecessor reaches `threshold` (0-255 scale) — the
+    * classic pixel-wise frame-differencing baseline, REAL over the Y4M
+    * parser's frame offsets (the luma plane is read in place; nothing
+    * re-encodes). Gradual ramps stay below any sane threshold while a
+    * hard cut saturates it (spec'd with both). Same contract as
+    * [[sampleFrames]]: non-video kinds and unparseable payloads emit
+    * nothing; pure per-row flatMap, payloads never shuffle. */
+  def sceneCuts(media: Dataset[MediaRow],
+                threshold: Double = 30.0): Dataset[SceneCut] = {
+    require(threshold > 0.0 && threshold <= 255.0,
+      s"threshold must be in (0, 255], got $threshold")
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video").flatMap { m =>
+      Y4m.parse(m.payload) match {
+        case Some(v) if v.frames >= 2 =>
+          val n = v.width * v.height
+          (1 until v.frames).iterator.flatMap { idx =>
+            val a = v.frameOffsets(idx - 1)
+            val b = v.frameOffsets(idx)
+            var s = 0L
+            var i = 0
+            while (i < n) {
+              s += math.abs((m.payload(b + i) & 0xff) - (m.payload(a + i) & 0xff))
+              i += 1
+            }
+            val diff = s.toDouble / n
+            if (diff >= threshold)
+              Iterator.single(SceneCut(m.media_id, idx, v.tsMs(idx),
+                BigDecimal(diff).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble))
+            else Iterator.empty
+          }
+        case _ => Iterator.empty
+      }
+    }
+  }
+
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L): Dataset[SampledFrame] = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").flatMap { m =>

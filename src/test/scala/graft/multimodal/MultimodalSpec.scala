@@ -663,6 +663,38 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.imageNearDup(media, maxHamming = 4))
   }
 
+  test("sceneCuts: a hard cut fires at its exact frame; a gradual ramp stays silent") {
+    // two-scene stream: frames 0-9 at luma 40, frames 10-19 at luma 200
+    def twoScene(fps: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W4 H2 F$fps:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+      (0 until 20).foreach { i =>
+        bos.write("FRAME\n".getBytes("US-ASCII"))
+        bos.write(Array.fill[Byte](8)(if (i < 10) 40.toByte else 200.toByte))
+        bos.write(Array.fill[Byte](4)(64.toByte))
+      }
+      bos.toByteArray
+    }
+    val cut = twoScene(fps = 25)
+    val ramp = makeY4m(frames = 20, fps = 25) // luma 10·i: Δ = 10 per frame
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", cut, cut.length.toLong),
+      Multimodal.MediaRow(2L, "video", ramp, ramp.length.toLong),
+      Multimodal.MediaRow(3L, "video", "junk".getBytes("UTF-8"), 4L),
+      Multimodal.MediaRow(4L, "image", cut, cut.length.toLong)))
+    val cuts = Multimodal.sceneCuts(media).collect()
+    // exactly one cut, at frame 10 = 400 ms, |200-40| = 160
+    assert(cuts.length === 1)
+    assert(cuts.head === Multimodal.SceneCut(1L, 10, 400L, 160.0))
+    // the ramp's 10-per-frame drift is below threshold 30 — but a
+    // lower threshold sees every step, proving the walk is per-frame
+    val fine = Multimodal.sceneCuts(media, threshold = 5.0).collect()
+      .filter(_.media_id == 2L)
+    assert(fine.length === 19 && fine.forall(_.luma_diff === 10.0))
+    intercept[IllegalArgumentException](Multimodal.sceneCuts(media, 0.0))
+  }
+
   test("imagePhash: the same picture at 2x resolution hashes within a few bits (resize claim)") {
     def pngOf(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
