@@ -591,6 +591,47 @@ object Sampling {
       .drop(pctCols: _*)
   }
 
+  /** Proportional source interleaving — the ORDER half of mixture
+    * construction ([[mixtureSample]] decides how often a doc appears;
+    * this decides WHERE): a training stream wants every source spread
+    * evenly through the epoch, not concatenated blocks (a block order
+    * ends the epoch on one source and the optimizer forgets the rest —
+    * the reason published runs interleave). Stride-scheduling
+    * re-expressed declaratively: each doc takes its source-relative
+    * position pct = rank/n_source (the [[calibrateScores]] distributed
+    * ECDF over the deterministic per-source hash order — no per-source
+    * window sort), and the global order is (pct, source, key) — so
+    * after ANY prefix of the stream each source has contributed its
+    * proportional share ±1 doc (the low-discrepancy property, spec'd),
+    * and `salt` re-deals which doc takes which slot WITHOUT moving any
+    * source's slot pattern (prefix counts depend only on sizes).
+    * Exact 1..n `interleave_pos` via the shared two-level scan; output
+    * range-partitioned in stream order. To interleave at non-corpus
+    * proportions, upsample first ([[mixtureSample]]) and interleave
+    * the result. `key` must be globally unique (refused). */
+  def interleaveBySource(d: DataFrame, source: Column, key: Column,
+                         salt: Long = 0L, parts: Int = 0): DataFrame = {
+    require(parts >= 0, s"parts must be >= 0 (0 = session default), got $parts")
+    val reserved = Seq("interleave_pos", "_il_h", "_il_s")
+    reserved.foreach(r => require(!d.columns.contains(r),
+      s"input already has a $r column; rename it first"))
+    val probe = d.agg(count(lit(1)), countDistinct(key)).head()
+    require(probe.getLong(0) == probe.getLong(1),
+      s"interleave key is not unique (${probe.getLong(0)} rows, " +
+        s"${probe.getLong(1)} distinct) — tied rows have no defined slot")
+    val base = d.withColumn("_il_s", source.cast("string"))
+      .withColumn("_il_h",
+        Hashing.hash60(concat(key.cast("string"), lit("|"), lit(salt))))
+    val cal = calibrateScores(base, col("_il_s"), col("_il_h"))
+    val orderCols = Seq(col("score_pct"), col("_il_s"), key)
+    val ranged = graft.core.Caches.persist(
+      if (parts > 0) cal.repartitionByRange(parts, orderCols: _*)
+      else cal.repartitionByRange(orderCols: _*))
+    twoLevelCumSums(ranged, spark_partition_id(), orderCols,
+      Seq("interleave_pos" -> lit(1L)))
+      .drop("_il_h", "_il_s", "score_pct")
+  }
+
   /** Per-group sequence packing — [[packSequences]] with independent
     * token streams per group: a real run never packs train docs into
     * the same context windows as test docs (or English into the same

@@ -481,6 +481,45 @@ class SamplingSpec extends SparkSpec {
     } finally graft.core.Caches.release()
   }
 
+  test("interleaveBySource: low-discrepancy prefixes, salt keeps the slot pattern, determinism") {
+    import spark.implicits._
+    val d = ((1L to 90L).map(i => (i, "big")) ++
+      (101L to 110L).map(i => (i, "small"))).toDF("doc_id", "source")
+    try {
+      val out = Sampling.interleaveBySource(d, col("source"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getAs[Long]("interleave_pos")))
+      assert(out.map(_._3).sorted.toSeq === (1L to 100L).toSeq)
+      // the low-discrepancy property: after ANY prefix, each source has
+      // contributed its proportional share within one doc per source
+      val ordered = out.sortBy(_._3)
+      (1 to 100).foreach { l =>
+        val bigSeen = ordered.take(l).count(_._2 == "big")
+        assert(math.abs(bigSeen - 0.9 * l) <= 2.0,
+          s"prefix $l: $bigSeen big docs vs ${0.9 * l} expected")
+      }
+      // salt re-deals docs into slots but each source's slot PATTERN —
+      // the per-prefix counts — is a pure function of the sizes
+      val salted = Sampling.interleaveBySource(d.repartition(7), col("source"),
+        col("doc_id"), salt = 9L, parts = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getAs[Long]("interleave_pos")))
+      val slots = ordered.map(t => t._3 -> t._2).toMap
+      val saltedSlots = salted.map(t => t._3 -> t._2).toMap
+      assert(slots === saltedSlots, "slot pattern must depend only on sizes")
+      assert(salted.map(t => t._1 -> t._3).toMap !==
+        out.map(t => t._1 -> t._3).toMap, "salt must re-deal docs")
+      // determinism
+      val again = Sampling.interleaveBySource(d, col("source"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("interleave_pos"))).toMap
+      assert(again === out.map(t => (t._1, t._3)).toMap)
+      intercept[IllegalArgumentException](Sampling.interleaveBySource(
+        d.withColumn("doc_id", lit(1L)), col("source"), col("doc_id")))
+      intercept[IllegalArgumentException](Sampling.interleaveBySource(
+        d.withColumn("interleave_pos", lit(1L)), col("source"), col("doc_id")))
+    } finally graft.core.Caches.release()
+  }
+
   test("splitByTime: cuts respected on the real events table; null ts refuses") {
     import spark.implicits._
     val ev = graft.core.Tables(spark, sfDir, "events")
