@@ -21,13 +21,17 @@ object Curate {
   private def sqlIn(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
 
   /** The q39 quality formula over (len, n_tokens, n_stop) columns —
-    * shared by [[curate]] and [[curateFull]]. */
-  private def qualityCol = round(
-    lit(0.4) * least(col("n_tokens") / lit(100.0), lit(1.0)) +
-    lit(0.4) * (col("n_stop") / col("n_tokens")) +
-    lit(0.2) * (lit(1.0) - least(
-      abs((col("len") - col("n_tokens") + lit(1L)) / col("n_tokens") - lit(5.0)) / lit(10.0),
-      lit(1.0))), 6)
+    * shared by [[curate]], [[curateFull]] and [[datasheet]]. A
+    * zero-token document (empty text under the filtered count) scores
+    * 0.0 — the honest floor, and it keeps the ratio denominators away
+    * from ANSI division-by-zero. */
+  private def qualityCol =
+    when(col("n_tokens") === 0L, lit(0.0)).otherwise(round(
+      lit(0.4) * least(col("n_tokens") / lit(100.0), lit(1.0)) +
+      lit(0.4) * (col("n_stop") / col("n_tokens")) +
+      lit(0.2) * (lit(1.0) - least(
+        abs((col("len") - col("n_tokens") + lit(1L)) / col("n_tokens") - lit(5.0)) / lit(10.0),
+        lit(1.0))), 6))
 
   /** Curate any (doc_id, source, text) frame: keep documents with
     * quality ≥ `minQuality`, predicted language `keepLang`, and a
@@ -304,7 +308,11 @@ object Curate {
     val scored = graft.core.Caches.persist(d
       .select(col("doc_id"), col("source"),
         length(col("text")).cast("long").as("len"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        // empty tokens filtered — matching TextOps' counting in the
+        // same scan, so empty text is 0 tokens and runs of spaces
+        // don't inflate the size metrics
+        expr("CAST(size(filter(split(text, ' '), t -> length(t) > 0)) AS BIGINT)")
+          .as("n_tokens"),
         expr(s"CAST(size(filter(split(text, ' '), t -> t IN ${sqlIn(EnStop)})) AS BIGINT)")
           .as("n_stop"),
         TextOps.langIdCol(split(col("text"), " ")).as("pred_lang"),

@@ -715,11 +715,13 @@ object Relational {
     */
   def heavyHitters(d: DataFrame, groupCols: Seq[String], cols: Seq[String],
                    minShare: Double = 0.001, width: Int = 4096,
-                   depth: Int = 4): DataFrame = {
+                   depth: Int = 4,
+                   maxSketchBytes: Long = 1L << 30): DataFrame = {
     require(cols.nonEmpty, "heavyHitters needs at least one column")
     require(minShare > 0 && minShare <= 1,
       s"minShare must be in (0, 1], got $minShare")
     require(width >= 2 && depth >= 1, s"need width >= 2, depth >= 1")
+    require(maxSketchBytes > 0, s"maxSketchBytes must be > 0")
     import graft.functions.Hashing
     val keys = (groupCols :+ "colname").map(col)
     // the cell key as one string: null-safe (explicit sentinel — a null
@@ -731,6 +733,22 @@ object Relational {
         .withColumn("_hh_cell", cellKey(keys)))
     def bucket(di: Int): Column =
       (Hashing.hash60(concat(lit(s"$di|"), col("v"))) % width).cast("int")
+    // Driver-memory guard, BEFORE anything crosses to the driver: the
+    // dense per-cell sketch costs depth·width longs, so the collect
+    // below materializes ~cells·depth·width·8 bytes REGARDLESS of how
+    // many sketch rows are non-zero — a row-count check after collect
+    // would green-light a high-cardinality grouping straight into a
+    // driver OOM. Probe the cell cardinality first (approx, ±2 %; one
+    // partial-agg job over the already-persisted melt) and refuse while
+    // it is still just a number.
+    val estCells = melted
+      .agg(approx_count_distinct(col("_hh_cell"), 0.02)).head().getLong(0)
+    val estBytes = estCells * depth.toLong * width.toLong * 8L
+    require(estBytes <= maxSketchBytes,
+      s"~$estCells (group, column) cells × depth $depth × width $width " +
+        s"would materialize ~$estBytes bytes of dense sketch on the driver " +
+        s"(budget $maxSketchBytes) — coarsen the grouping, shrink " +
+        "width/depth, or raise maxSketchBytes")
     // pass 1: the sketch — one shuffle keyed on <= cells·depth·width
     val cmsRows = melted
       .select(col("_hh_cell"), explode(array((0 until depth).map(di =>
@@ -738,9 +756,6 @@ object Relational {
       .groupBy(col("_hh_cell"), col("p.d").as("d"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n"))
       .collect()
-    require(cmsRows.length <= (1 << 22),
-      s"sketch grew past ${1 << 22} rows (${cmsRows.length}) — too many " +
-        "(group, column) cells for these width/depth settings; coarsen the grouping")
     val cms = scala.collection.mutable.Map.empty[String, Array[Long]]
     cmsRows.foreach { r =>
       val a = cms.getOrElseUpdate(r.getString(0), Array.fill(depth * width)(0L))
@@ -881,7 +896,7 @@ object Relational {
                   maxRows: Long = 10000000L, autoSwap: Boolean = false,
                   approxAccuracy: Int = 10000): DataFrame = {
     require(k > 0.0, s"k must be positive, got $k")
-    Seq("med", "mad", "is_outlier", "_mad_v").foreach(r =>
+    Seq("med", "mad", "is_outlier", "_mad_v", "_mad_dev").foreach(r =>
       require(!d.columns.contains(r),
         s"input already has a $r column; rename it first"))
     val base = graft.core.Caches.persist(
@@ -900,7 +915,13 @@ object Relational {
     val medRow = base.agg(pct("_mad_v")).head()
     require(!medRow.isNullAt(0), "no non-null values to fit a median on")
     val med = medRow.getDouble(0)
-    val mad = base.agg(pct(s"abs(_mad_v - $med)")).head().getDouble(0)
+    // a NaN median (NaN inputs) would string-interpolate into an
+    // unresolvable identifier — refuse cleanly, and bind the median as
+    // a literal column rather than via SQL text
+    require(!med.isNaN && !med.isInfinite,
+      s"median is $med — NaN/Inf values in the input; filter them first")
+    val mad = base.withColumn("_mad_dev", abs(col("_mad_v") - lit(med)))
+      .agg(pct("_mad_dev")).head().getDouble(0)
     val scale = 1.4826 * mad
     base
       .withColumn("med", lit(med))

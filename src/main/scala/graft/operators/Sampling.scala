@@ -302,7 +302,26 @@ object Sampling {
     val nulls = d.filter(ts.isNull).limit(1).count()
     require(nulls == 0,
       "null timestamps cannot be placed on a timeline; filter or impute first")
-    val t = unix_millis(ts.cast("timestamp"))
+    // The cut parameters are milliseconds, so the column must reach
+    // them in milliseconds. Spark's numeric→timestamp cast reads
+    // SECONDS — a BIGINT epoch-ms column cast that way lands ~50,000
+    // years out and silently mis-splits a leak-prevention operator.
+    // Resolve the column's type and take each on its own terms:
+    // temporal types via unix_millis, integral epochs as milliseconds
+    // verbatim; anything else (string, double) refuses rather than
+    // guessing a unit.
+    val t = d.select(ts).schema.head.dataType match {
+      case _: org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.DateType =>
+        unix_millis(ts.cast("timestamp"))
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType =>
+        ts.cast("long")
+      case other => throw new IllegalArgumentException(
+        s"splitByTime needs a timestamp/date column or an integral " +
+          s"epoch-milliseconds column, got $other — cast explicitly " +
+          "so the unit is stated, not guessed")
+    }
     d.withColumn("split",
       when(t < trainUntilMs, "train")
         .when(t < valUntilMs, "val")
@@ -610,15 +629,36 @@ object Sampling {
     * proportions, upsample first ([[mixtureSample]]) and interleave
     * the result. `key` must be globally unique (refused). */
   def interleaveBySource(d: DataFrame, source: Column, key: Column,
-                         salt: Long = 0L, parts: Int = 0): DataFrame = {
+                         salt: Long = 0L, parts: Int = 0,
+                         validateKey: Boolean = true): DataFrame = {
     require(parts >= 0, s"parts must be >= 0 (0 = session default), got $parts")
     val reserved = Seq("interleave_pos", "_il_h", "_il_s")
     reserved.foreach(r => require(!d.columns.contains(r),
       s"input already has a $r column; rename it first"))
-    val probe = d.agg(count(lit(1)), countDistinct(key)).head()
-    require(probe.getLong(0) == probe.getLong(1),
-      s"interleave key is not unique (${probe.getLong(0)} rows, " +
-        s"${probe.getLong(1)} distinct) — tied rows have no defined slot")
+    // Uniqueness tripwire in the CHEAP cost class: an exact
+    // countDistinct on a unique key is a full-width shuffle with zero
+    // partial-agg reduction — corpus-shaped, the very thing this
+    // module's probes avoid. Instead compare count against the HLL
+    // estimate (partition-merge-safe, deterministic): a clean corpus
+    // reads inside the sketch's error band and pays NO exact distinct;
+    // only a near-miss escalates to the exact count, and the refusal
+    // then reports exact numbers. Duplication below the band's
+    // resolution (~4 % at rsd 0.01) passes the tripwire — the guard
+    // catches key misuse, not needle-in-haystack dups ([[hashDedup]]
+    // is the tool for those). `validateKey = false` skips the probe
+    // entirely for the 100 TB run where the key is unique by
+    // construction (a generated doc_id).
+    if (validateKey) {
+      val rsd = 0.01
+      val probe = d.agg(count(lit(1)), approx_count_distinct(key, rsd)).head()
+      val n = probe.getLong(0)
+      if (needsExactKeyProbe(n, probe.getLong(1), rsd)) {
+        val exact = d.agg(countDistinct(key)).head().getLong(0)
+        require(exact == n,
+          s"interleave key is not unique ($n rows, $exact distinct) — " +
+            "tied rows have no defined slot")
+      }
+    }
     val base = d.withColumn("_il_s", source.cast("string"))
       .withColumn("_il_h",
         Hashing.hash60(concat(key.cast("string"), lit("|"), lit(salt))))
@@ -631,6 +671,16 @@ object Sampling {
       Seq("interleave_pos" -> lit(1L)))
       .drop("_il_h", "_il_s", "score_pct")
   }
+
+  /** The [[interleaveBySource]] probe band, pure so the escalation
+    * policy is spec-able: escalate to the exact distinct only when the
+    * HLL estimate falls more than 4·rsd below the row count (a unique
+    * key's estimate sits within ~±rsd of n, so a clean corpus never
+    * pays the exact pass; a grossly duplicated key lands far below the
+    * band and escalates). */
+  private[operators] def needsExactKeyProbe(n: Long, approx: Long,
+                                            rsd: Double): Boolean =
+    approx < math.ceil(n * (1.0 - 4.0 * rsd)).toLong
 
   /** Per-group sequence packing — [[packSequences]] with independent
     * token streams per group: a real run never packs train docs into

@@ -656,10 +656,25 @@ object Similarity {
     * [[rankingSummary]].
     */
   def rankingMetrics(results: DataFrame, qrels: DataFrame,
-                     k: Int = 10): DataFrame = {
+                     k: Int = 10, scoreCol: String = "cos_sim"): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
-    val scoreCol = results.columns.last
+    // score by EXPLICIT name, never positionally: the module's own kNN
+    // heads emit (qid, neighbor_id, cos_sim, knn_rank) — taking
+    // columns.last would silently rank by knn_rank desc, an inverted
+    // ranking with healthy-looking wrong metrics
+    require(results.columns.contains(scoreCol),
+      s"results has no '$scoreCol' column (columns: " +
+        s"${results.columns.mkString(", ")}) — name the score column " +
+        "via scoreCol")
+    // ideal-DCG and the recall denominator assume one judgment per
+    // (qid, doc_id); duplicates would silently inflate both, so probe
+    // and refuse (bounded: qrels is a judgment file, not a corpus)
+    val dup = qrels.groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("_nj")).filter(col("_nj") > 1).limit(1).count()
+    require(dup == 0,
+      "qrels carries duplicate (qid, doc_id) judgments — they inflate " +
+        "ideal DCG and recall denominators; dedup the judgment file first")
     val ranked = results
       .withColumn("_rk", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col(scoreCol).desc, col("neighbor_id"))))

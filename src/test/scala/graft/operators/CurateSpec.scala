@@ -256,6 +256,15 @@ class CurateSpec extends SparkSpec {
     assert(sheet(("languages", "en")) === 0.75)
     assert(sheet(("languages", "de")) === 0.25)
     assert(sheet.contains(("quality", "p50")) && sheet.contains(("length", "tokens_p95")))
+    // token counts filter empty tokens (TextOps' discipline): empty
+    // text is 0 tokens and repeated spaces don't inflate the count
+    val ragged = Seq((1L, "web", ""), (2L, "web", "two   spaced    words"))
+      .toDF("doc_id", "source", "text")
+    val rSheet = try Curate.datasheet(ragged).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    finally graft.core.Caches.release()
+    assert(rSheet(("size", "n_tokens")) === 3.0,
+      "empty text = 0 tokens; runs of spaces are one separator")
     // guard: tiny maxRows refuses, autoSwap runs
     val e = intercept[IllegalArgumentException](
       Curate.datasheet(d, maxRows = 2))

@@ -462,6 +462,23 @@ class RelationalSpec extends SparkSpec {
       Relational.heavyHitters(d, Nil, Seq("v"), minShare = 0.0))
     intercept[IllegalArgumentException](
       Relational.heavyHitters(d, Nil, Nil))
+    // driver guard bounds the DENSE expansion (cells·depth·width·8),
+    // probed BEFORE the sketch collect: a high-cardinality grouping
+    // (every row its own cell → 1000 cells × 3 × 64 × 8 ≈ 1.5 MB)
+    // refuses under a 1 MB budget even though the non-zero sketch ROWS
+    // (≤ 3000) would sail through any row-count check
+    val hiCard = try {
+      intercept[IllegalArgumentException](
+        Relational.heavyHitters(d, Seq("id"), Seq("v"), minShare = 0.1,
+          width = 64, depth = 3, maxSketchBytes = 1L << 20))
+    } finally graft.core.Caches.release()
+    assert(hiCard.getMessage.contains("dense sketch"), hiCard.getMessage)
+    // same call under the default budget is fine
+    val hiOk = try {
+      Relational.heavyHitters(d, Seq("id"), Seq("v"), minShare = 0.1,
+        width = 64, depth = 3).count()
+    } finally graft.core.Caches.release()
+    assert(hiOk == 1000L, "every singleton cell keeps its own 100% value")
   }
 
   test("madOutliers: robust to the outliers themselves; degenerate and null handling") {
@@ -509,6 +526,12 @@ class RelationalSpec extends SparkSpec {
         .map(r => r.getDouble(1) -> r.getBoolean(4)).toMap
       assert(swapped(1000.0) === true)
       assert(swapped.filter(_._1 < 100).values.forall(_ === false))
+      // NaN inputs → NaN median: a clean refusal, not an unresolvable
+      // SQL identifier from string-interpolating "NaN" into an expr
+      val nan = intercept[IllegalArgumentException](
+        Relational.madOutliers(
+          Seq((1L, Double.NaN), (2L, Double.NaN)).toDF("id", "v"), col("v")))
+      assert(nan.getMessage.contains("NaN"))
     } finally graft.core.Caches.release()
   }
 

@@ -513,10 +513,28 @@ class SamplingSpec extends SparkSpec {
       val again = Sampling.interleaveBySource(d, col("source"), col("doc_id"))
         .collect().map(r => (r.getLong(0), r.getAs[Long]("interleave_pos"))).toMap
       assert(again === out.map(t => (t._1, t._3)).toMap)
-      intercept[IllegalArgumentException](Sampling.interleaveBySource(
-        d.withColumn("doc_id", lit(1L)), col("source"), col("doc_id")))
+      // a grossly duplicated key still refuses, with EXACT numbers
+      // (the approx probe escalates to the exact distinct on a miss)
+      val dupRefuse = intercept[IllegalArgumentException](
+        Sampling.interleaveBySource(
+          d.withColumn("doc_id", lit(1L)), col("source"), col("doc_id")))
+      assert(dupRefuse.getMessage.contains("100 rows, 1 distinct"))
       intercept[IllegalArgumentException](Sampling.interleaveBySource(
         d.withColumn("interleave_pos", lit(1L)), col("source"), col("doc_id")))
+      // the escalation band is pure and spec-able: a clean corpus's
+      // estimate (within rsd of n) never escalates — one fewer
+      // corpus-wide exact distinct on every clean call — while an
+      // estimate below the 4·rsd band does
+      assert(!Sampling.needsExactKeyProbe(1000000L, 995000L, 0.01))
+      assert(!Sampling.needsExactKeyProbe(1000000L, 1004000L, 0.01))
+      assert(Sampling.needsExactKeyProbe(1000000L, 900000L, 0.01))
+      assert(Sampling.needsExactKeyProbe(1000000L, 959999L, 0.01))
+      // validateKey = false skips the probe entirely (unique-by-
+      // construction keys on the 100 TB run): a duplicated key then
+      // flows through un-refused — documented as the caller's contract
+      assert(Sampling.interleaveBySource(
+        d.withColumn("doc_id", col("doc_id") % 7), col("source"),
+        col("doc_id"), validateKey = false).count() === 100L)
     } finally graft.core.Caches.release()
   }
 
@@ -546,6 +564,21 @@ class SamplingSpec extends SparkSpec {
         .otherwise($"ts").as("ts"))
     intercept[IllegalArgumentException](
       Sampling.splitByTime(withNull, $"ts", cut1, cut2))
+    // a BIGINT epoch-MILLISECONDS column splits identically to the
+    // timestamp column — Spark's numeric→timestamp cast reads seconds,
+    // so the naive cast would shove every row into "test"
+    val evMs = ev.withColumn("ts_ms", unix_millis($"ts"))
+    val outMs = Sampling.splitByTime(evMs.drop("ts"), $"ts_ms", cut1, cut2)
+    val byId = out.select($"event_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(outMs.select($"event_id", $"split").collect()
+      .forall(r => byId(r.getLong(0)) == r.getString(1)),
+      "epoch-ms long column must split identically to the timestamp column")
+    // an un-stated unit (string / double) refuses rather than guessing
+    val strTs = intercept[IllegalArgumentException](
+      Sampling.splitByTime(ev.withColumn("s", $"ts".cast("string")),
+        $"s", cut1, cut2))
+    assert(strTs.getMessage.contains("epoch-milliseconds"))
   }
 
   test("packSequencesBy: per group identical to a solo packSequences run; bins never cross groups") {

@@ -665,6 +665,30 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(s.getDouble(1) - (dcg / idcg + 0.0) / 2) <= 1e-6)
     assert(s.getDouble(2) === 0.5)
     intercept[IllegalArgumentException](Similarity.rankingMetrics(results, qrels, 0))
+    // a kNN head with an extra trailing rank column: selecting the
+    // score by NAME keeps the ranking right even when the score isn't
+    // the last column
+    val withRank = results.withColumn("knn_rank",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(org.apache.spark.sql.functions.col("qid"))
+          .orderBy(org.apache.spark.sql.functions.col("cos_sim").desc)))
+    val mr = Similarity.rankingMetrics(withRank, qrels, k = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(mr(1L).getDouble(3) === 1.0, "score picked by name, not position")
+    // a missing score column refuses instead of silently mis-ranking
+    val noScore = intercept[IllegalArgumentException](
+      Similarity.rankingMetrics(
+        results.withColumnRenamed("cos_sim", "bm25"), qrels, 3))
+    assert(noScore.getMessage.contains("scoreCol"))
+    assert(Similarity.rankingMetrics(
+      results.withColumnRenamed("cos_sim", "bm25"), qrels, 3,
+      scoreCol = "bm25").count() === 2L)
+    // duplicate judgments refuse — they would inflate IDCG and recall
+    val dupQrels = qrels.union(Seq((1L, 10L, 2.0)).toDF("qid", "doc_id", "rel"))
+    val dup = intercept[IllegalArgumentException](
+      Similarity.rankingMetrics(results, dupQrels, 3))
+    assert(dup.getMessage.contains("duplicate"))
   }
 
   test("prototypicality: hand-computed per-cell ECDF, pruning keeps the declared tail") {
