@@ -13,7 +13,7 @@ object Plans {
   val Headline = Seq(
     "q01_agg", "q02_filter_project", "q03_join_broadcast", "q04_join_shuffle",
     "q05_multi_join", "q09_topk", "q12_approx_distinct", "q19_bucketed_join",
-    "q21_consume_from_offset", "q28_asof_join", "q30_dedup_exact",
+    "q28_asof_join", "q30_dedup_exact",
     "q31_dedup_minhash", "q32_dedup_simhash", "q33_ngram_jaccard",
     "q34_knn_brute", "q35_embed_neardup", "q36_knn_lsh", "q41_fingerprint",
     "q43_knn_ivf", "q44_bucketed_star", "q45_curate", "q46_hopping",
@@ -26,7 +26,9 @@ object Plans {
     "q70_incremental_dedup", "q71_pack_sequences", "q72_mixture_manifest",
     "q73_normalize", "q74_knn_accuracy", "q76_funnel", "q77_retention",
     "q78_chunk", "q79_snapshot_diff", "q80_decontaminate", "q82_profile",
-    "q83_hist", "q84_dup_spans", "q85_rate_z")
+    "q83_hist", "q84_dup_spans", "q85_rate_z", "q86_heavy_hitters")
+  // q21_consume_from_offset left the registry in r13 (slot swap to
+  // q86; its shape duplicated q20's) — spec-gated in EventOpsSpec.
   // q75_pagerank is deliberately absent: Graph.pageRank executes eagerly
   // at build time (the co-partitioned RDD iteration materializes before
   // a plan exists), so its "plan" is just a scan of the result RDD —
@@ -98,6 +100,22 @@ three-long rows reach the gh exchange, and the span-level
 decontamination twin (contamSpanIntervals) needs NO persist at all:
 its corpus grams are traversed once against the broadcast benchmark
 hash set.
+""",
+    "q86_heavy_hitters" -> """### q86 audit note: eager sketch, plan-literal probe, bounded recount (r13)
+
+Two jobs run BEFORE this plan exists: the approx cell-cardinality
+probe (the driver guard — refuses while cells·depth·width is still a
+number) and the CMS sketch aggregation (one shuffle keyed on ≤
+cells·depth·width, collected because the SKETCH, not the data, is what
+crosses to the driver). The audited plan is pass 2: the persisted melt
+re-read from InMemoryRelation, the sketch applied as a zero-fan-out
+plan-literal predicate (element_at over a typedlit map — no join, no
+explode), then the exact recount whose groupBy is keyed on the
+surviving candidates (~1/minShare per cell + collision strays), a
+bounded set regardless of the column's distinct cardinality. That
+bound is the whole point at 100 TB: a billion-distinct column never
+keys a shuffle here — compare topValues, whose first exchange is keyed
+on every distinct value.
 """,
     "q85_rate_z" -> """### q85 audit note: one count shuffle, stats broadcast back (r12)
 
@@ -192,8 +210,15 @@ adds a gated query (bench registry capped at 83).
       "are wide, exchanges only on semantic keys.\n")
     Headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
+      // escape control chars (q86's plan-literal cell keys embed the
+      // u0001/u0000 sentinels verbatim — raw, they make the whole
+      // file read as binary to grep/diff tooling)
       val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+          org.apache.spark.sql.execution.FormattedMode)
+        .flatMap {
+          case c if c < ' ' && c != '\n' && c != '\t' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
       sb.append(s"\n## $name\n\n```\n$plan```\n")
       Notes.get(name).foreach(n => sb.append(s"\n$n"))
       graft.core.Caches.release()

@@ -80,6 +80,10 @@ object EventOps {
     * The stream-log analog prunes segments before the scan (StreamLog
     * .readAfter); on the flat table the filter pushes to parquet and
     * orderBy+limit plans as TakeOrderedAndProject.
+    * Held a gated registry slot through r12; retired in r13 (its
+    * surface shape — offset projection over the same EvCte — duplicates
+    * q20's, bench-slot swap policy SURVEY §2.6) in favor of
+    * q86_heavy_hitters. Spec-gated differentially against q20 since.
     */
   def q21ConsumeFromOffset(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -715,7 +719,6 @@ object EventOps {
     "q28_asof_join" -> (q28AsofJoin _),
     "q29_range_join" -> (q29RangeJoin _),
     "q20_stream_offsets" -> (q20StreamOffsets _),
-    "q21_consume_from_offset" -> (q21ConsumeFromOffset _),
     "q22_time_travel" -> (q22TimeTravel _),
     "q23_tumbling" -> (q23Tumbling _),
     "q46_hopping" -> (q46HoppingWindow _),
@@ -764,11 +767,6 @@ object EventOps {
     "q20_stream_offsets" ->
       s"""$EvCte
          |SELECT event_id, event_type, "offset" FROM ev ORDER BY "offset"""".stripMargin,
-    "q21_consume_from_offset" ->
-      s"""$EvCte
-         |SELECT "offset", event_id, event_type, user_id FROM ev
-         |WHERE "offset" > '${Offset.serialize(1705276800000L, 0L)}'
-         |ORDER BY "offset" LIMIT 500""".stripMargin,
     "q22_time_travel" ->
       s"""$EvCte
          |SELECT event_type, count(*) AS n_events,

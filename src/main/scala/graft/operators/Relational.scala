@@ -1158,6 +1158,16 @@ object Relational {
   def q83Histogram(spark: SparkSession, dir: String): DataFrame =
     histogram(Tables(spark, dir, "documents"), Seq("source"), "n_chars", 16)
 
+  /** q86: heavy hitters over the documents source column per language
+    * — the CMS-probe-then-exact-recount operator hash-gated against
+    * DuckDB's exact groupBy/threshold twin (took q21's registry slot
+    * in r13: q21's surface shape duplicated q20's, and heavyHitters'
+    * EXACTNESS claim — sketch for candidates, exact recount for the
+    * answer — is precisely what the oracle gate is for). */
+  def q86HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables(spark, dir, "documents"), Seq("lang"),
+      Seq("source"), minShare = 0.05)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_profile" -> (q82Profile _),
     "q83_hist" -> (q83Histogram _),
@@ -1184,7 +1194,8 @@ object Relational {
     "q11_sort" -> (q11Sort _),
     "q12_approx_distinct" -> (q12ApproxDistinct _),
     "q19_bucketed_join" -> (q19BucketedJoin _),
-    "q44_bucketed_star" -> (q44BucketedStar _)
+    "q44_bucketed_star" -> (q44BucketedStar _),
+    "q86_heavy_hitters" -> (q86HeavyHitters _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1429,7 +1440,25 @@ object Relational {
         |  l_quantity
         |FROM lineitem
         |WHERE l_returnflag = 'R'
-        |ORDER BY ship_ms, l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY ship_ms, l_orderkey, l_linenumber""".stripMargin,
+    // q86: the EXACT twin — the operator's sketch only nominates
+    // candidates, so DuckDB's plain groupBy + ceil-threshold filter
+    // must reproduce it value-for-value, count-for-count
+    "q86_heavy_hitters" ->
+      """WITH cell AS (
+        |  SELECT lang, 'source' AS colname, source AS v, count(*) AS n
+        |  FROM documents WHERE source IS NOT NULL
+        |  GROUP BY lang, source
+        |), tot AS (
+        |  SELECT lang, sum(n) AS n_cell FROM cell GROUP BY lang
+        |)
+        |SELECT c.lang, c.colname,
+        |  CAST(row_number() OVER (PARTITION BY c.lang ORDER BY c.n DESC, c.v) AS INT) AS rank,
+        |  c.v, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(t.n_cell AS DOUBLE), 6) AS share
+        |FROM cell c JOIN tot t USING (lang)
+        |WHERE c.n >= GREATEST(1, CAST(ceil(0.05 * t.n_cell) AS BIGINT))
+        |ORDER BY c.lang, rank""".stripMargin
     // q12_approx_distinct: rows-only (estimator is engine-specific);
     // exactness bound is checked in RelationalSpec against q07.
   )

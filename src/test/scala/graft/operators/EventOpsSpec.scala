@@ -8,6 +8,25 @@ import graft.SparkSpec
   */
 class EventOpsSpec extends SparkSpec {
 
+  test("q21 consume-from-offset pins to q20's offset frame (slot retired to this spec in r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // q21 is q20's offset assignment + exclusive-start filter + limit;
+    // since its oracle slot went to q86_heavy_hitters, pin it here
+    // differentially: same offsets, correct boundary, correct cap
+    val after = graft.streamlog.Offset.serialize(1705276800000L, 0L)
+    val got = EventOps.q21ConsumeFromOffset(spark, sfDir).collect()
+    val expect = EventOps.q20StreamOffsets(spark, sfDir)
+      .filter(col("offset") > after).orderBy(col("offset"))
+      .limit(500).select(col("offset"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length === expect.length)
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq === expect.toSeq)
+    // exclusive start: nothing at or before the boundary
+    assert(got.forall(_.getString(0) > after))
+    assert(got.length <= 500)
+  }
+
   test("asofJoin is row-consistent when right rows hold NULL value columns") {
     import spark.implicits._
     // user 1 has right rows at t=1 (price=10, qty=NULL) and t=2
