@@ -542,35 +542,17 @@ class StreamLogStreamingWrite(root: String, stream: String,
       case _ =>
     }
     Files.createDirectories(dir)
-    StreamLogBatchWrite.commitMonitor(dir.toString).synchronized {
-      val lockCh = java.nio.channels.FileChannel.open(dir.resolve(".commit.lock"),
-        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = lockCh.lock()
-        try {
-          val metaPath = dir.resolve("meta.jsonl")
-          val st = MetaLog.replay(metaPath)
-          if (st.writerEpoch > writerEpoch)
-            throw graft.streamlog.WriterFencedException(writerEpoch, st.writerEpoch)
-          // idempotent replay: epochs commit in order within a query,
-          // so one high-water mark per query id decides
-          if (MetaLog.maxSinkEpoch(metaPath, queryId) >= epochId) return
-          st.index.max.foreach { m =>
-            require(m.lastOffset < segs.head.firstOffset,
-              s"streaming epoch $epochId overlaps the log: " +
-                s"last=${m.lastOffset} incoming=${segs.head.firstOffset}")
-          }
-          val now = System.currentTimeMillis()
-          val lines = segs.map(s => graft.streamlog.MetaJson.add(
-            SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes))) :+
-            graft.streamlog.MetaJson.sinkEpoch(queryId, epochId)
-          Files.write(metaPath,
-            lines.mkString("", "\n", "\n").getBytes(UTF_8),
-            java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.APPEND)
-        } finally lock.release()
-      } finally lockCh.close()
-    }
+    // fencing + idempotent replay + overlap validation all live in the
+    // storage-agnostic conditional-append protocol (MetaCommits) — on
+    // POSIX the store locks per primitive; on an object store the
+    // If-Match tag compare is the whole mechanism
+    val now = System.currentTimeMillis()
+    val metas = segs.map(s =>
+      SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes)).toSeq
+    graft.streamlog.MetaCommits.commitSinkEpoch(
+      new graft.streamlog.PosixMetaStore(dir.resolve("meta.jsonl"), dir),
+      writerEpoch, queryId, epochId, metas)
+    ()
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -632,15 +614,6 @@ case class StreamLogStreamingWriterFactory(segmentDir: String, base: Long)
     }
 }
 
-object StreamLogBatchWrite {
-  /** One monitor per stream directory: same-JVM commit serialization
-    * (nio file locks throw rather than wait within one JVM). Shared
-    * with StreamLog's own metadata appends via [[graft.streamlog.StreamLocks]]
-    * so bulk loads and maintenance passes exclude each other. */
-  private[sources] def commitMonitor(dir: String): Object =
-    graft.streamlog.StreamLocks.monitor(dir)
-}
-
 class StreamLogBatchWrite(root: String, stream: String,
                           writerEpoch: Long = 0L) extends BatchWrite {
 
@@ -658,43 +631,26 @@ class StreamLogBatchWrite(root: String, stream: String,
     }
     val dir = Paths.get(root, stream)
     Files.createDirectories(dir)
-    // The read-validate-append below must be atomic against OTHER bulk
-    // loads: two concurrent commits could both validate against the same
-    // meta snapshot and append overlapping ranges. Two layers of
-    // exclusion, because java.nio file locks are per-JVM (a second
-    // lock() in the SAME JVM throws OverlappingFileLockException rather
-    // than waiting): a JVM-level monitor keyed by the stream directory
-    // serializes commits within one driver, and the OS file lock
-    // serializes across processes. publish() remains single-writer by
-    // contract (class scaladoc) and replays the log on refresh(), so
-    // load-vs-publish serialization is the caller's job — matching the
-    // reference, where one Durable Object serializes all writes.
-    StreamLogBatchWrite.commitMonitor(dir.toString).synchronized {
-      val lockCh = java.nio.channels.FileChannel.open(dir.resolve(".commit.lock"),
-        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = lockCh.lock()
-        try {
-          val st = MetaLog.replay(dir.resolve("meta.jsonl"))
-          // commit-layer fencing: a claimWriter() newer than this load's
-          // token refuses the commit (segments already moved into place
-          // become orphans the next purgeOrphans() collects) — see
-          // StreamLog.claimWriter
-          if (st.writerEpoch > writerEpoch)
-            throw graft.streamlog.WriterFencedException(writerEpoch, st.writerEpoch)
-          st.index.max.foreach { m =>
-            require(m.lastOffset < segs.head.firstOffset,
-              s"bulk load overlaps existing log: last=${m.lastOffset} incoming=${segs.head.firstOffset}")
-          }
-          val now = System.currentTimeMillis()
-          val lines = segs.map(s => graft.streamlog.MetaJson.add(
-            SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes)))
-          Files.write(dir.resolve("meta.jsonl"),
-            lines.mkString("", "\n", "\n").getBytes(UTF_8),
-            java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-        } finally lock.release()
-      } finally lockCh.close()
-    }
+    // The read-validate-append must be atomic against OTHER bulk loads:
+    // two concurrent commits could both validate against the same meta
+    // snapshot and append overlapping ranges. That atomicity is now the
+    // conditional-append protocol (MetaCommits over the MetaStore seam):
+    // each attempt re-reads the log with a tag, re-validates fencing +
+    // non-overlap against the CURRENT index, and appends iff the tag
+    // still matches — a lost race re-decides against the interloper's
+    // commit instead of appending blindly. publish() remains
+    // single-writer by contract (class scaladoc) and replays the log on
+    // refresh(), so load-vs-publish serialization is the caller's job —
+    // matching the reference, where one Durable Object serializes all
+    // writes. Commit-layer fencing: a claimWriter() newer than this
+    // load's token refuses the commit (segments already moved into
+    // place become orphans the next purgeOrphans() collects).
+    val now = System.currentTimeMillis()
+    val metas = segs.map(s =>
+      SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes)).toSeq
+    graft.streamlog.MetaCommits.commitBulk(
+      new graft.streamlog.PosixMetaStore(dir.resolve("meta.jsonl"), dir),
+      writerEpoch, metas)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

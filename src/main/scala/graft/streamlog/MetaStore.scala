@@ -1,0 +1,205 @@
+package graft.streamlog
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, StandardOpenOption}
+
+/** The storage seam under the metadata log: CONDITIONAL APPEND.
+  *
+  * The fencing protocol (writer epochs, sink-epoch high-water marks —
+  * SURVEY §2.1 #21/#22) needs exactly two storage primitives: read the
+  * small metadata log with a version tag, and append iff the log is
+  * still at that tag. POSIX gives both via an advisory lock + file
+  * size; object storage gives both via GET (ETag) + conditional PUT
+  * (If-Match — S3 and R2 both ship it). Everything above this trait —
+  * fence checks, idempotent epoch replay, overlap validation — is
+  * storage-agnostic and lives in [[MetaCommits]], so moving a stream
+  * from a shared filesystem to a bucket swaps THIS implementation and
+  * nothing else.
+  *
+  * Contract:
+  *   - `readWithTag` returns the complete log (whole lines only — a
+  *     committed append is visible atomically or not at all) and an
+  *     opaque tag that changes on EVERY committed append.
+  *   - `appendIf(tag, lines)` commits atomically iff the log is still
+  *     at `tag`; a lost race returns false and commits nothing.
+  *   - `clear()` resets the log to empty (truncate-reset — the
+  *     rebuild/destroy path; S3: DELETE).
+  */
+trait MetaStore {
+
+  /** Snapshot the log: (lines, tag). An absent log is (empty, 0). */
+  def readWithTag(): (Vector[String], Long)
+
+  /** Append `lines` iff the log is still at `tag`. True = committed. */
+  def appendIf(tag: Long, lines: Seq[String]): Boolean
+
+  /** Truncate-reset the log (crash rebuild / destroy). */
+  def clear(): Unit
+
+  /** Drive one conditional commit to completion: read, let `decide`
+    * inspect the CURRENT log (it may throw to refuse — fencing — or
+    * return None when there is nothing left to do — an already-
+    * committed epoch replay), then compare-and-append; on a lost race,
+    * re-read and re-decide against the interloper's log. Lock-free
+    * progress: a CAS failure means some OTHER writer committed, so the
+    * system advances even when this commit retries. Returns true iff
+    * an append landed here.
+    */
+  final def commit(maxAttempts: Int = 64)
+                  (decide: Vector[String] => Option[Seq[String]]): Boolean = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val (cur, tag) = readWithTag()
+      decide(cur) match {
+        case None => return false
+        case Some(lines) =>
+          if (appendIf(tag, lines)) return true
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"metadata conditional append lost $maxAttempts consecutive races — " +
+        "pathological commit contention on one stream's metadata log")
+  }
+}
+
+/** POSIX filesystem implementation — the default. The tag is the file
+  * size in bytes (every committed append grows the file; truncate-reset
+  * deletes it), and each primitive runs under the stream's commit lock
+  * ([[StreamLocks]]: JVM monitor + OS file lock), so reads never see a
+  * torn append and the size check inside [[appendIf]] is atomic with
+  * the write. Read and append take the lock SEPARATELY — the protocol
+  * correctness lives in the tag compare, exactly as it would against a
+  * bucket where no lock exists at all.
+  */
+final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
+
+  override def readWithTag(): (Vector[String], Long) =
+    // no-file fast path OUTSIDE the lock: taking it would re-create the
+    // stream directory (the lock file lives inside it), resurrecting a
+    // destroyed stream on a mere read. A log appearing between the check
+    // and a subsequent appendIf is caught by the tag compare (0 ≠ size).
+    if (!Files.exists(path)) (Vector.empty, 0L)
+    else StreamLocks.withLock(lockDir) {
+      if (!Files.exists(path)) (Vector.empty, 0L)
+      else {
+        import scala.jdk.CollectionConverters._
+        (Files.readAllLines(path, UTF_8).asScala.toVector, Files.size(path))
+      }
+    }
+
+  override def appendIf(tag: Long, lines: Seq[String]): Boolean =
+    StreamLocks.withLock(lockDir) {
+      val size = if (Files.exists(path)) Files.size(path) else 0L
+      if (size != tag) false
+      else {
+        Files.write(path, lines.mkString("", "\n", "\n").getBytes(UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        true
+      }
+    }
+
+  override def clear(): Unit =
+    if (Files.exists(path))
+      StreamLocks.withLock(lockDir)(Files.deleteIfExists(path)): Unit
+}
+
+/** In-memory implementation with If-Match semantics — the spec's stand-
+  * in for a conditional-PUT object store (no filesystem, no locks; the
+  * tag is a revision counter bumped per committed append, the ETag
+  * analog). Specs subclass it to inject lost races between read and
+  * append — the 412-retry path a real bucket produces under writer
+  * contention.
+  */
+class InMemoryMetaStore extends MetaStore {
+  private var rev = 0L
+  private var lines = Vector.empty[String]
+
+  override def readWithTag(): (Vector[String], Long) =
+    synchronized((lines, rev))
+
+  override def appendIf(tag: Long, ls: Seq[String]): Boolean = synchronized {
+    if (rev != tag) false
+    else { lines = lines ++ ls; rev += 1; true }
+  }
+
+  override def clear(): Unit = synchronized { lines = Vector.empty; rev += 1 }
+}
+
+/** The fencing/epoch commit protocols, defined ONCE over the
+  * [[MetaStore]] seam and shared by every metadata writer — StreamLog's
+  * in-process appends, the DSv2 bulk-load commit, and the DSv2
+  * streaming sink's exactly-once epoch commit. Each is a single
+  * conditional append whose decision re-runs against the freshest log
+  * on every CAS retry, so the check-on-apply guarantee ("a stale
+  * writer's distributed work may complete, but its COMMIT cannot
+  * land") holds on any backend the seam supports.
+  */
+object MetaCommits {
+
+  /** Fenced append: refuse when the log records a writer epoch newer
+    * than `myEpoch` (0 = fencing dormant, the legacy single-writer-by-
+    * contract mode). */
+  def fencedAppend(store: MetaStore, myEpoch: Long, lines: Seq[String]): Unit = {
+    store.commit() { cur =>
+      val disk = MetaLog.writerEpochOf(cur)
+      if (disk > myEpoch) throw WriterFencedException(myEpoch, disk)
+      Some(lines)
+    }
+    ()
+  }
+
+  /** Claim single-writership: bump the epoch past whatever the log
+    * records AT COMMIT TIME (racing claimants each retry against the
+    * other's token and land distinct, ordered epochs). Returns the
+    * claimed epoch. */
+  def claimWriter(store: MetaStore, atLeast: Long): Long = {
+    var next = 0L
+    store.commit() { cur =>
+      next = math.max(MetaLog.writerEpochOf(cur), atLeast) + 1
+      Some(Seq(MetaJson.writer(next)))
+    }
+    next
+  }
+
+  /** The streaming sink's exactly-once epoch commit: fenced, idempotent
+    * on replay (an epoch at/below the query's high-water mark commits
+    * nothing), and overlap-validated against the CURRENT index — all
+    * inside one conditional append. Returns true iff this call
+    * committed the epoch, false on an already-committed replay. */
+  def commitSinkEpoch(store: MetaStore, myEpoch: Long, queryId: String,
+                      epochId: Long, segs: Seq[SegmentMeta]): Boolean = {
+    require(segs.nonEmpty, "empty epoch commits nothing")
+    store.commit() { cur =>
+      val disk = MetaLog.writerEpochOf(cur)
+      if (disk > myEpoch) throw WriterFencedException(myEpoch, disk)
+      if (MetaLog.maxSinkEpochOf(cur, queryId) >= epochId) None
+      else {
+        MetaLog.replayLines(cur).index.max.foreach { m =>
+          require(m.lastOffset < segs.head.firstOffset,
+            s"streaming epoch $epochId overlaps the log: " +
+              s"last=${m.lastOffset} incoming=${segs.head.firstOffset}")
+        }
+        Some(segs.map(MetaJson.add) :+ MetaJson.sinkEpoch(queryId, epochId))
+      }
+    }
+  }
+
+  /** The bulk-load commit: fenced + overlap-validated conditional
+    * append of the loaded segments. */
+  def commitBulk(store: MetaStore, myEpoch: Long,
+                 segs: Seq[SegmentMeta]): Unit = {
+    require(segs.nonEmpty, "empty bulk load commits nothing")
+    store.commit() { cur =>
+      val disk = MetaLog.writerEpochOf(cur)
+      if (disk > myEpoch) throw WriterFencedException(myEpoch, disk)
+      MetaLog.replayLines(cur).index.max.foreach { m =>
+        require(m.lastOffset < segs.head.firstOffset,
+          s"bulk load overlaps existing log: " +
+            s"last=${m.lastOffset} incoming=${segs.head.firstOffset}")
+      }
+      Some(segs.map(MetaJson.add))
+    }
+    ()
+  }
+}

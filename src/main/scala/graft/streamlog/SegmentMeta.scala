@@ -109,34 +109,44 @@ object MetaLog {
       epoch: Long,
       writerEpoch: Long = 0L)
 
-  def replay(metaPath: java.nio.file.Path): State = {
+  def replay(metaPath: java.nio.file.Path): State =
+    replayLines(readLines(metaPath))
+
+  private def readLines(metaPath: java.nio.file.Path): Seq[String] = {
     import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(metaPath)) Seq.empty
+    else java.nio.file.Files
+      .readAllLines(metaPath, java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.toSeq
+  }
+
+  /** Replay from already-read log lines — the [[MetaStore]] form (a
+    * conditional commit decides against the lines its read returned,
+    * not against a possibly-fresher file). */
+  def replayLines(allLines: Seq[String]): State = {
     var index = SegmentIndex.empty
     var tombstones = Map.empty[String, Long]
     var version = 0L
     var writerEpoch = 0L
-    if (java.nio.file.Files.exists(metaPath)) {
-      java.nio.file.Files.readAllLines(metaPath, java.nio.charset.StandardCharsets.UTF_8)
-        .asScala.foreach { line =>
-          if (line.nonEmpty) {
-            val (s, n) = MetaJson.parseLine(line)
-            s.get("type").orElse(Some(if (n.contains("producer_version")) "version" else "")).get match {
-              case "add" =>
-                index = index.add(SegmentMeta(s("name"), s("firstOffset"), s("lastOffset"),
-                  n("createdMS"), n("records"), n("bytes")))
-              case "tombstone" =>
-                index.segments.find(_.name == s("name")).foreach(m => index = index.remove(m))
-                tombstones += s("name") -> n("tombstonedMS")
-              case "purge" => tombstones -= s("name")
-              case "version" => version = n("producer_version")
-              case "writer" => writerEpoch = n("writer_epoch")
-              case "destroy" =>
-                index = SegmentIndex.empty; tombstones = Map.empty; version = 0L
-                writerEpoch = 0L
-              case _ => // unknown entry type: ignore (forward compatibility)
-            }
-          }
+    allLines.foreach { line =>
+      if (line.nonEmpty) {
+        val (s, n) = MetaJson.parseLine(line)
+        s.get("type").orElse(Some(if (n.contains("producer_version")) "version" else "")).get match {
+          case "add" =>
+            index = index.add(SegmentMeta(s("name"), s("firstOffset"), s("lastOffset"),
+              n("createdMS"), n("records"), n("bytes")))
+          case "tombstone" =>
+            index.segments.find(_.name == s("name")).foreach(m => index = index.remove(m))
+            tombstones += s("name") -> n("tombstonedMS")
+          case "purge" => tombstones -= s("name")
+          case "version" => version = n("producer_version")
+          case "writer" => writerEpoch = n("writer_epoch")
+          case "destroy" =>
+            index = SegmentIndex.empty; tombstones = Map.empty; version = 0L
+            writerEpoch = 0L
+          case _ => // unknown entry type: ignore (forward compatibility)
         }
+      }
     }
     State(index, tombstones, version,
       index.max.map(_.lastOffset).getOrElse(""),
@@ -147,18 +157,18 @@ object MetaLog {
   /** The streaming sink's committed-epoch high-water mark for one query
     * id (−1 = none) — the idempotent-replay read, same shape as
     * [[writerEpoch]]: scans only sink_epoch/destroy lines. */
-  def maxSinkEpoch(metaPath: java.nio.file.Path, queryId: String): Long = {
-    import scala.jdk.CollectionConverters._
+  def maxSinkEpoch(metaPath: java.nio.file.Path, queryId: String): Long =
+    maxSinkEpochOf(readLines(metaPath), queryId)
+
+  /** [[maxSinkEpoch]] over already-read lines (the [[MetaStore]] form). */
+  def maxSinkEpochOf(allLines: Seq[String], queryId: String): Long = {
     var e = -1L
-    if (java.nio.file.Files.exists(metaPath)) {
-      java.nio.file.Files.readAllLines(metaPath, java.nio.charset.StandardCharsets.UTF_8)
-        .asScala.foreach { line =>
-          if (line.contains("\"sink_epoch\"")) {
-            val (s, n) = MetaJson.parseLine(line)
-            if (s.get("qid").contains(queryId))
-              n.get("epoch_id").foreach(v => e = math.max(e, v))
-          } else if (line.contains("\"destroy\"")) e = -1L
-        }
+    allLines.foreach { line =>
+      if (line.contains("\"sink_epoch\"")) {
+        val (s, n) = MetaJson.parseLine(line)
+        if (s.get("qid").contains(queryId))
+          n.get("epoch_id").foreach(v => e = math.max(e, v))
+      } else if (line.contains("\"destroy\"")) e = -1L
     }
     e
   }
@@ -169,17 +179,17 @@ object MetaLog {
     * is one sequential read of a small metadata file, an operation every
     * storage backend (POSIX, S3/R2 GET) supports — unlike advisory locks.
     */
-  def writerEpoch(metaPath: java.nio.file.Path): Long = {
-    import scala.jdk.CollectionConverters._
+  def writerEpoch(metaPath: java.nio.file.Path): Long =
+    writerEpochOf(readLines(metaPath))
+
+  /** [[writerEpoch]] over already-read lines (the [[MetaStore]] form). */
+  def writerEpochOf(allLines: Seq[String]): Long = {
     var e = 0L
-    if (java.nio.file.Files.exists(metaPath)) {
-      java.nio.file.Files.readAllLines(metaPath, java.nio.charset.StandardCharsets.UTF_8)
-        .asScala.foreach { line =>
-          if (line.contains("\"writer_epoch\"")) {
-            val (_, n) = MetaJson.parseLine(line)
-            n.get("writer_epoch").foreach(e = _)
-          } else if (line.contains("\"destroy\"")) e = 0L
-        }
+    allLines.foreach { line =>
+      if (line.contains("\"writer_epoch\"")) {
+        val (_, n) = MetaJson.parseLine(line)
+        n.get("writer_epoch").foreach(e = _)
+      } else if (line.contains("\"destroy\"")) e = 0L
     }
     e
   }

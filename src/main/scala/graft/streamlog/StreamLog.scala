@@ -48,11 +48,20 @@ final case class WriterFencedException(provided: Long, current: Long)
   *
   * Single-writer per stream (the reference serializes through one DO).
   */
-final class StreamLog(val spark: SparkSession, root: String, val name: String) {
+final class StreamLog(val spark: SparkSession, root: String, val name: String,
+                      metaStore: MetaStore = null) {
 
   val streamDir: Path = Paths.get(root, name)
   val segmentDir: Path = streamDir.resolve("segments")
   private val metaPath: Path = streamDir.resolve("meta.jsonl")
+  /** The metadata log's storage backend — conditional append
+    * ([[MetaStore]]). POSIX by default; specs pass an [[InMemoryMetaStore]]
+    * (or a contended subclass) to drive the fencing/epoch protocols over
+    * simulated object-store If-Match semantics. Segments themselves stay
+    * on the filesystem either way — the seam is the METADATA commit,
+    * which is where all the cross-writer correctness lives. */
+  private val store: MetaStore =
+    Option(metaStore).getOrElse(new PosixMetaStore(metaPath, streamDir))
 
   // -- in-memory state (rebuilt from the metadata log on construction).
   // Single writer; @volatile so concurrent pollers/readers see fresh state.
@@ -110,21 +119,16 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     * advisory locks. Returns the claimed epoch (pass to DSv2 writes as
     * the `writerEpoch` option). */
   def claimWriter(): Long = stateLock.synchronized {
-    StreamLocks.withLock(streamDir) {
-      val disk = MetaLog.writerEpoch(metaPath)
-      val next = math.max(disk, myWriterEpoch) + 1
-      Files.write(metaPath, (MetaJson.writer(next) + "\n").getBytes(UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-      myWriterEpoch = next
-      writerEpochVar = next
-      next
-    }
+    val next = MetaCommits.claimWriter(store, myWriterEpoch)
+    myWriterEpoch = next
+    writerEpochVar = next
+    next
   }
 
   /** Replay the metadata log — crash-safe cold start
     * (stream_manager.ts:138-179,503-511). */
   private def load(): Unit = {
-    val st = MetaLog.replay(metaPath)
+    val st = MetaLog.replayLines(store.readWithTag()._1)
     index = st.index; tombstones = st.tombstones
     producerVersionVar = st.producerVersion
     lastOffsetVar = st.lastOffset
@@ -132,17 +136,21 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     writerEpochVar = st.writerEpoch
   }
 
-  /** Every metadata append holds the stream's JVM monitor + OS file lock
-    * (the same pair the DSv2 bulk-load commit takes), so a maintenance
-    * pass concurrent with a cross-process bulk load can neither
-    * interleave half-written meta lines nor append between the load's
-    * replay-validate and its own append (ADVICE r2). Record publishing
-    * itself remains single-writer per stream by contract (class
-    * scaladoc) — the lock makes the METADATA log safe against the one
-    * concurrent writer the design does allow, the bulk loader.
+  /** Every metadata append is a CONDITIONAL APPEND through the
+    * [[MetaStore]] seam ([[MetaCommits.fencedAppend]]): read the log
+    * with a tag, check, append iff still at that tag, retry on a lost
+    * race — so a maintenance pass concurrent with a cross-process bulk
+    * load can neither interleave half-written meta lines nor append
+    * between the load's replay-validate and its own append (ADVICE r2).
+    * On POSIX the primitives additionally take the commit lock; on an
+    * object store the tag compare (If-Match) is the whole mechanism.
+    * Record publishing itself remains single-writer per stream by
+    * contract (class scaladoc) — the conditional append makes the
+    * METADATA log safe against the concurrent writers the design does
+    * allow: bulk loaders and superseding claimants.
     *
-    * FENCING: inside the lock, the log's writer epoch is re-read from
-    * DISK; if a newer [[claimWriter]] has superseded this handle the
+    * FENCING: the decide step re-reads the log's writer epoch on every
+    * attempt; if a newer [[claimWriter]] has superseded this handle the
     * append throws [[WriterFencedException]] instead of committing —
     * the check-on-apply half of the fencing-token protocol (a stale
     * writer's distributed work may complete, but its COMMIT cannot
@@ -151,12 +159,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     * contract behavior is unchanged.
     */
   private def appendMeta(lines: String*): Unit =
-    StreamLocks.withLock(streamDir) {
-      val disk = MetaLog.writerEpoch(metaPath)
-      if (disk > myWriterEpoch) throw WriterFencedException(myWriterEpoch, disk)
-      Files.write(metaPath, (lines.mkString("", "\n", "\n")).getBytes(UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    }
+    MetaCommits.fencedAppend(store, myWriterEpoch, lines)
 
   // ------------------------------------------------------------------
   // Publish
@@ -545,6 +548,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     * with fresh state (ts:722-758). */
   def destroy(): Unit = stateLock.synchronized {
     if (Files.exists(streamDir)) deleteRecursively(streamDir)
+    store.clear() // non-POSIX backends hold the log outside streamDir
     load()
   }
 
@@ -592,7 +596,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String) {
     tombstones = Map.empty
     lastOffsetVar = index.max.map(_.lastOffset).getOrElse("")
     epoch = index.max.map(m => Offset.parse(m.lastOffset)._1).getOrElse(0L)
-    Files.deleteIfExists(metaPath)
+    store.clear()
     if (keepVersion > 0) appendMeta(MetaJson.version(keepVersion))
     producerVersionVar = keepVersion
     if (metas.nonEmpty) appendMeta(metas.map(MetaJson.add): _*)

@@ -1,0 +1,186 @@
+package graft.streamlog
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+
+/** The conditional-append storage seam (r13): the fencing/epoch
+  * protocols proven over BOTH backends — the POSIX default and the
+  * in-memory If-Match simulation of an object store (no filesystem, no
+  * locks, only tag-compare appends) — plus the protocols under injected
+  * lost races, the 412-retry path a real bucket produces.
+  */
+class MetaStoreSpec extends SparkSpec {
+
+  /** An If-Match store that loses its first `n` CAS attempts to a
+    * concurrently-appending interloper — run between read and append,
+    * exactly where a bucket writer's PUT hits a 412. */
+  private class ContendedStore(interloperLines: Seq[String], var n: Int)
+      extends InMemoryMetaStore {
+    var injected = 0
+    override def appendIf(tag: Long, ls: Seq[String]): Boolean = {
+      if (n > 0) {
+        n -= 1; injected += 1
+        // the interloper commits first — at the CURRENT tag, so the
+        // victim's append (at its stale tag) must lose and retry
+        assert(super.appendIf(readWithTag()._2, interloperLines),
+          "interloper append must land")
+      }
+      super.appendIf(tag, ls)
+    }
+  }
+
+  private def clock(start: Long): () => Long = {
+    var t = start
+    () => { t += 1; t }
+  }
+
+  test("both backends honor the CAS contract: stale tag refuses, fresh tag lands, clear resets") {
+    val dir = Files.createTempDirectory("graft-metastore")
+    val posix = new PosixMetaStore(dir.resolve("meta.jsonl"), dir)
+    val mem = new InMemoryMetaStore
+    for (store <- Seq[MetaStore](posix, mem)) {
+      val (l0, t0) = store.readWithTag()
+      assert(l0.isEmpty)
+      assert(store.appendIf(t0, Seq(MetaJson.writer(1))))
+      val (l1, t1) = store.readWithTag()
+      assert(l1 == Vector(MetaJson.writer(1)) && t1 != t0)
+      // the stale tag must refuse — this IS the object-store If-Match
+      assert(!store.appendIf(t0, Seq(MetaJson.writer(99))),
+        "an append at a superseded tag must lose")
+      assert(store.readWithTag()._1 == Vector(MetaJson.writer(1)),
+        "a lost race commits nothing")
+      // fresh tag appends; whole lines, order preserved
+      assert(store.appendIf(t1, Seq(MetaJson.version(5), MetaJson.writer(2))))
+      assert(store.readWithTag()._1 ==
+        Vector(MetaJson.writer(1), MetaJson.version(5), MetaJson.writer(2)))
+      assert(MetaLog.writerEpochOf(store.readWithTag()._1) == 2L)
+      store.clear()
+      val (l2, t2) = store.readWithTag()
+      assert(l2.isEmpty)
+      assert(store.appendIf(t2, Seq(MetaJson.writer(7))), "usable after clear")
+      store.clear()
+    }
+  }
+
+  test("fencedAppend retries through lost races and lands once; a newer claim refuses") {
+    // 3 injected 412s: the commit must retry and land EXACTLY once
+    val store = new ContendedStore(Seq(MetaJson.version(1)), n = 3)
+    MetaCommits.fencedAppend(store, myEpoch = 0L, Seq("""{"type":"add","name":"x","firstOffset":"a","lastOffset":"b","createdMS":1,"records":1,"bytes":1}"""))
+    assert(store.injected == 3)
+    val lines = store.readWithTag()._1
+    assert(lines.count(_.contains("\"add\"")) == 1, "exactly one append landed")
+    // a claim arriving DURING the retries fences the commit: the
+    // re-decide sees the interloper's newer epoch and refuses
+    val fencing = new ContendedStore(Seq(MetaJson.writer(5)), n = 1)
+    val f = intercept[WriterFencedException](
+      MetaCommits.fencedAppend(fencing, myEpoch = 0L, Seq(MetaJson.version(2))))
+    assert(f.provided == 0 && f.current == 5)
+    assert(!fencing.readWithTag()._1.exists(_.contains("producer_version")),
+      "the fenced commit appended nothing")
+  }
+
+  test("claimWriter race at the seam: 16 raw-store claimants land distinct ordered epochs, no locks") {
+    val store = new InMemoryMetaStore
+    val epochs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (1 to 16).map { _ =>
+      new Thread(() => epochs.add(MetaCommits.claimWriter(store, 0L)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    // no POSIX lock exists here — ONLY the tag compare serializes, and
+    // it is enough: exactly 1..16, each claim superseding the last
+    assert(epochs.asScala.toSeq.sorted == (1L to 16L), s"epochs: $epochs")
+    assert(MetaLog.writerEpochOf(store.readWithTag()._1) == 16L)
+  }
+
+  test("commitSinkEpoch over the simulated store: exactly-once under replay AND under a racing twin") {
+    val store = new InMemoryMetaStore
+    val seg1 = SegmentMeta("s1.seg", Offset.serialize(1000, 0), Offset.serialize(1000, 4), 1L, 5L, 50L)
+    assert(MetaCommits.commitSinkEpoch(store, 0L, "qA", 0L, Seq(seg1)))
+    // replay of the same epoch (driver died between sink commit and
+    // checkpoint write): commits NOTHING, returns false
+    assert(!MetaCommits.commitSinkEpoch(store, 0L, "qA", 0L, Seq(seg1)))
+    val afterReplay = store.readWithTag()._1
+    assert(afterReplay.count(_.contains("sink_epoch")) == 1)
+    assert(MetaLog.replayLines(afterReplay).index.segments.map(_.name) == Seq("s1.seg"))
+    // a second query id keeps its own high-water mark
+    val seg2 = SegmentMeta("s2.seg", Offset.serialize(2000, 0), Offset.serialize(2000, 0), 2L, 1L, 10L)
+    assert(MetaCommits.commitSinkEpoch(store, 0L, "qB", 0L, Seq(seg2)))
+    // overlap with the live index refuses (offsets must advance)
+    val overlap = SegmentMeta("s3.seg", Offset.serialize(1500, 0), Offset.serialize(2500, 0), 3L, 1L, 10L)
+    intercept[IllegalArgumentException](
+      MetaCommits.commitSinkEpoch(store, 0L, "qB", 1L, Seq(overlap)))
+    // fencing: a claimed writer epoch above the sink's token refuses
+    MetaCommits.claimWriter(store, 0L)
+    intercept[WriterFencedException](
+      MetaCommits.commitSinkEpoch(store, 0L, "qB", 1L,
+        Seq(SegmentMeta("s4.seg", Offset.serialize(3000, 0), Offset.serialize(3000, 0), 4L, 1L, 10L))))
+    // THE RACE: a twin driver commits the SAME epoch between this
+    // commit's read and append (the checkpoint-recovery double-driver
+    // window) — the retry re-decides, sees the epoch committed, and
+    // appends nothing: exactly-once with no lock anywhere
+    val race = new ContendedStore(
+      Seq(MetaJson.add(seg1), MetaJson.sinkEpoch("qR", 7L)), n = 1)
+    assert(!MetaCommits.commitSinkEpoch(race, 0L, "qR", 7L,
+      Seq(SegmentMeta("dup.seg", seg1.firstOffset, seg1.lastOffset, 9L, 5L, 50L))))
+    val lines = race.readWithTag()._1
+    assert(lines.count(_.contains("\"sink_epoch\"")) == 1, "epoch committed once")
+    assert(!lines.exists(_.contains("dup.seg")), "the losing twin appended nothing")
+  }
+
+  test("commitBulk re-validates overlap against the interloper's commit, not the stale snapshot") {
+    val a = SegmentMeta("a.seg", Offset.serialize(1000, 0), Offset.serialize(1000, 9), 1L, 10L, 100L)
+    val b = SegmentMeta("b.seg", Offset.serialize(1000, 5), Offset.serialize(1000, 20), 1L, 10L, 100L)
+    // both loads validated against the same empty snapshot; the seam
+    // forces the loser to re-validate against the winner's index — and
+    // b overlaps a, so the second commit REFUSES instead of corrupting
+    val store = new ContendedStore(Seq(MetaJson.add(a)), n = 1)
+    intercept[IllegalArgumentException](MetaCommits.commitBulk(store, 0L, Seq(b)))
+    assert(store.readWithTag()._1.count(_.contains("\"add\"")) == 1)
+    // a non-overlapping load retries through the same race and lands
+    val store2 = new ContendedStore(Seq(MetaJson.add(a)), n = 1)
+    val c = SegmentMeta("c.seg", Offset.serialize(2000, 0), Offset.serialize(2000, 9), 2L, 10L, 100L)
+    MetaCommits.commitBulk(store2, 0L, Seq(c))
+    assert(MetaLog.replayLines(store2.readWithTag()._1).index.segments.map(_.name)
+      == Seq("a.seg", "c.seg"))
+  }
+
+  test("StreamLog end-to-end over the simulated conditional store: publish, fence, supersede, re-claim") {
+    // the r12 fencing scenario re-run with NO metadata on the
+    // filesystem at all: two handles (two drivers sharing a bucket)
+    // share one in-memory If-Match log; segments stay on disk
+    val root = Files.createTempDirectory("graft-memstore").toString
+    val sharedLog = new InMemoryMetaStore
+    val c = clock(7000000)
+    val a = new StreamLog(spark, root, "s1", sharedLog)
+    a.publish(Seq("""{"w":0}"""), nowMs = c)
+    assert(a.claimWriter() == 1L)
+    a.publish(Seq("""{"w":1}"""), nowMs = c)
+
+    val b = new StreamLog(spark, root, "s1", sharedLog)
+    assert(b.claimWriter() == 2L)
+    val f = intercept[WriterFencedException](a.publish(Seq("""{"w":2}"""), nowMs = c))
+    assert(f.provided == 1 && f.current == 2)
+
+    // the live writer reads everything the fenced eras committed
+    b.refresh()
+    assert(b.consume(Offset.Beginning, 100).map(_._2) ==
+      Seq("""{"w":0}""", """{"w":1}"""))
+    b.publish(Seq("""{"w":3}"""), nowMs = c)
+
+    // compaction (a metadata commit) works over the seam too
+    b.publish((1 to 4).map(i => s"""{"b":$i}"""), nowMs = c)
+    assert(b.compactOnce(nowMs = c).isDefined)
+    assert(b.consume(Offset.Beginning, 100).size == 7)
+
+    // A re-claims and resumes; B fences — same protocol, no POSIX lock
+    assert(a.claimWriter() == 3L)
+    a.refresh()
+    a.publish(Seq("""{"w":4}"""), nowMs = c)
+    intercept[WriterFencedException](b.publish(Seq("""{"x":1}"""), nowMs = c))
+    // nothing ever reached a meta.jsonl file
+    assert(!Files.exists(java.nio.file.Paths.get(root, "s1", "meta.jsonl")))
+  }
+}
