@@ -320,4 +320,73 @@ class StreamingPipelineSpec extends SparkSpec {
     log.refresh()
     assert(log.consume(Offset.Beginning, 100).size == 2, "fenced epoch landed")
   }
+
+  test("native sink soak: per-epoch commit appends O(segments added), maintenance keeps pace") {
+    import scala.jdk.CollectionConverters._
+    val landing = Files.createTempDirectory("graft-soak-landing")
+    val root = Files.createTempDirectory("graft-soak-log").toString
+    val ckpt = Files.createTempDirectory("graft-soak-ckpt").toString
+    def shard(name: String, lines: Seq[String]): Unit = {
+      val tmp = Files.createTempFile("graft-soak", ".tmp")
+      Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
+      Files.move(tmp, landing.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val log = new StreamLog(spark, root, "soak")
+    val token = log.claimWriter()
+    val metaPath = java.nio.file.Paths.get(root, "soak", "meta.jsonl")
+    def metaLines: Vector[String] =
+      if (Files.exists(metaPath))
+        Files.readAllLines(metaPath, UTF_8).asScala.toVector
+      else Vector.empty
+
+    // 4-way repartition so every epoch commits MULTIPLE partition
+    // segments through one fenced conditional append
+    val q = spark.readStream.text(landing.toString)
+      .repartition(4, col("value"))
+      .select(col("value").as("data"))
+      .writeStream.format("streamlog")
+      .option("path", root).option("stream", "soak")
+      .option("writerEpoch", token.toString)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val epochs = 12
+    val rowsPerEpoch = 20
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Int]
+    try {
+      for (e <- 0 until epochs) {
+        val before = metaLines.size
+        shard(s"s$e.txt", (0 until rowsPerEpoch).map(i => s"""{"e":$e,"i":$i}"""))
+        q.processAllAvailable()
+        // the commit APPENDED exactly (segments added + 1 marker) lines
+        // — never a function of how much history the log already holds,
+        // and never a rewrite: the soak's whole claim is that epoch 12
+        // costs the same metadata write as epoch 1
+        val fresh = metaLines.drop(before)
+        val adds = fresh.count(_.contains("\"add\""))
+        val marks = fresh.count(_.contains("\"sink_epoch\""))
+        assert(adds >= 1 && adds <= 4, s"epoch $e: $adds segment adds")
+        assert(marks == 1, s"epoch $e: $marks sink-epoch markers")
+        assert(fresh.size == adds + marks,
+          s"epoch $e appended unexpected lines: $fresh")
+        deltas += fresh.size
+        // maintenance interleaves with the live query and keeps pace
+        if (e % 4 == 3) { log.refresh(); log.maintain() }
+      }
+    } finally q.stop()
+    assert(deltas.max <= 5, s"a commit appended ${deltas.max} lines")
+
+    log.refresh()
+    val all = log.consume(Offset.Beginning, 100000)
+    assert(all.size == epochs * rowsPerEpoch, s"lost records: ${all.size}")
+    assert(all.map(_._1) == all.map(_._1).sorted &&
+      all.map(_._1).distinct.size == all.size, "offset order / uniqueness broke")
+    // maintenance kept the LIVE segment count well under one-per-epoch
+    // (compaction merged the small epoch segments; records intact)
+    log.maintain()
+    assert(log.segments.size < epochs,
+      s"maintenance fell behind: ${log.segments.size} live segments")
+    assert(log.segments.map(_.records).sum == epochs * rowsPerEpoch)
+  }
 }

@@ -1,0 +1,37 @@
+package graft.streamlog
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+/** Test fixture: a SEPARATE PROCESS that claims writership of a stream,
+  * fabricates the on-disk debris of a compaction caught mid-flight (a
+  * `.merge-*` scratch directory and a merged segment moved into
+  * `segments/` whose metadata commit never landed), reports, then hangs
+  * until the spec kill -9s it — the process-death half of the fencing
+  * story that an in-JVM soak cannot exercise. Spark-free on purpose:
+  * the claim is one conditional metadata append ([[MetaCommits]] over
+  * [[PosixMetaStore]]), exactly what a dying coordinator would have
+  * durably left behind.
+  */
+object DyingWriter {
+  def main(args: Array[String]): Unit = {
+    val root = args(0)
+    val stream = args(1)
+    val dir = Paths.get(root, stream)
+    val store = new PosixMetaStore(dir.resolve("meta.jsonl"), dir)
+    val epoch = MetaCommits.claimWriter(store, 0L)
+
+    // mid-compaction debris, created while holding the claim:
+    val scratch = dir.resolve(".merge-dying-writer")
+    Files.createDirectories(scratch)
+    Files.write(scratch.resolve("part-00000"), "partial merge output".getBytes(UTF_8))
+    Files.createDirectories(dir.resolve("segments"))
+    Files.write(dir.resolve("segments").resolve("zzzz-uncommitted-merge.seg"),
+      "never committed\n".getBytes(UTF_8))
+
+    // the spec waits for this line, then SIGKILLs us mid-"compaction"
+    println(s"CLAIMED $epoch")
+    Console.out.flush()
+    Thread.sleep(600000)
+  }
+}

@@ -183,4 +183,52 @@ class MetaStoreSpec extends SparkSpec {
     // nothing ever reached a meta.jsonl file
     assert(!Files.exists(java.nio.file.Paths.get(root, "s1", "meta.jsonl")))
   }
+
+  test("kill -9 mid-compaction in ANOTHER PROCESS: survivor takeover leaves zero orphans, zero lost records") {
+    val root = Files.createTempDirectory("graft-kill9").toString
+    val c = clock(8000000)
+    val log = new StreamLog(spark, root, "s1")
+    log.publish((1 to 5).map(i => s"""{"a":$i}"""), nowMs = c)
+    log.publish((1 to 5).map(i => s"""{"b":$i}"""), nowMs = c)
+    val before = log.consume(Offset.Beginning, 100)
+
+    // spawn a REAL second JVM that claims writership and dies (SIGKILL)
+    // holding it, with compaction debris on disk — no shutdown hooks,
+    // no lock release, exactly a machine loss
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    val pb = new ProcessBuilder(javaBin, "-cp", sys.props("java.class.path"),
+      "graft.streamlog.DyingWriter", root, "s1")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    val claimed = Iterator.continually(reader.readLine())
+      .takeWhile(_ != null).find(_.startsWith("CLAIMED"))
+    assert(claimed.contains("CLAIMED 1"), s"subprocess said: $claimed")
+
+    // the dead-to-be writer's claim fences this JVM's handle
+    intercept[WriterFencedException](log.publish(Seq("""{"x":1}"""), nowMs = c))
+
+    proc.destroyForcibly() // SIGKILL
+    assert(proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+
+    // survivor takeover: re-claim past the dead writer's epoch, then one
+    // maintenance pass must reclaim ALL its debris — the scratch merge
+    // dir AND the moved-but-never-committed segment — without touching
+    // a single committed record
+    assert(log.claimWriter() == 2L)
+    log.refresh()
+    val report = log.maintain(orphanGraceMs = 0L, nowMs = c)
+    assert(report.orphansPurged.contains("zzzz-uncommitted-merge.seg"),
+      s"purged: ${report.orphansPurged}")
+    assert(report.orphansPurged.contains(".merge-dying-writer"),
+      s"purged: ${report.orphansPurged}")
+    assert(!Files.exists(java.nio.file.Paths.get(root, "s1", ".merge-dying-writer")))
+    assert(!Files.exists(
+      java.nio.file.Paths.get(root, "s1", "segments", "zzzz-uncommitted-merge.seg")))
+    assert(log.consume(Offset.Beginning, 100) == before, "records lost in takeover")
+    log.publish(Seq("""{"resumed":1}"""), nowMs = c)
+    assert(log.consume(Offset.Beginning, 100).size == before.size + 1)
+  }
 }
