@@ -596,47 +596,103 @@ object Multimodal {
     * 2-hour video emits its frames without materializing them as one
     * array row.
     */
-  /** A detected scene cut: frame index, display time, mean |Δluma|. */
+  /** A detected scene cut: frame index, display time, mean |Δluma| —
+    * or, for a video-kind payload NEITHER parser decodes, one
+    * accounting row with `decoded = false` and sentinel fields (the
+    * [[ImageStats]] convention: an undecodable row is ENUMERATED, never
+    * silently absent — at corpus scale "no cuts" and "couldn't decode"
+    * must be distinguishable without a second pass). */
   final case class SceneCut(media_id: Long, frame_idx: Int, ts_ms: Long,
-                            luma_diff: Double)
+                            luma_diff: Double, decoded: Boolean)
+
+  /** The per-frame luma planes of any decodable video payload, as a
+    * lazy (frame_idx, ts_ms, luma) iterator — the ONE frame walk
+    * [[sceneCuts]] rides for both containers: Y4M reads its luma plane
+    * out of the payload directly; MJPEG/AVI decodes each frame's JPEG
+    * via ImageIO and projects Rec.601 luma (the [[imageStats]]
+    * weights). A frame ImageIO rejects yields null luma (the caller
+    * skips the pair); a payload neither parser accepts is None. */
+  private def lumaFrames(payload: Array[Byte]): Option[Iterator[(Int, Long, Array[Int])]] =
+    Y4m.parse(payload) match {
+      case Some(v) =>
+        val n = v.width * v.height
+        Some((0 until v.frames).iterator.map { idx =>
+          val off = v.frameOffsets(idx)
+          val a = new Array[Int](n)
+          var i = 0
+          while (i < n) { a(i) = payload(off + i) & 0xff; i += 1 }
+          (idx, v.tsMs(idx), a)
+        })
+      case None => Mjpeg.parse(payload) match {
+        case Some(v) =>
+          Some((0 until v.frames).iterator.map { idx =>
+            val luma =
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(v.frameBytes(payload, idx)))
+                if (img == null || img.getWidth <= 0 || img.getHeight <= 0) null
+                else {
+                  val w = img.getWidth; val h = img.getHeight
+                  val px = img.getRGB(0, 0, w, h, null, 0, w)
+                  val a = new Array[Int](px.length)
+                  var i = 0
+                  while (i < px.length) {
+                    val p = px(i)
+                    a(i) = math.round(0.299 * ((p >> 16) & 0xff) +
+                      0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)).toInt
+                    i += 1
+                  }
+                  a
+                }
+              } catch { case _: Exception => null }
+            (idx, v.tsMs(idx), luma)
+          })
+        case None => None
+      }
+    }
 
   /** Scene-cut detection over decodable video — the shot-boundary pass
     * a video-curation pipeline runs before captioning per SHOT instead
     * of per fixed interval (a 2-minute static shot needs one caption,
     * not 120): a cut is a frame whose mean absolute luma difference
     * from its predecessor reaches `threshold` (0-255 scale) — the
-    * classic pixel-wise frame-differencing baseline, REAL over the Y4M
-    * parser's frame offsets (the luma plane is read in place; nothing
-    * re-encodes). Gradual ramps stay below any sane threshold while a
-    * hard cut saturates it (spec'd with both). Same contract as
-    * [[sampleFrames]]: non-video kinds and unparseable payloads emit
-    * nothing; pure per-row flatMap, payloads never shuffle. */
+    * classic pixel-wise frame-differencing baseline, REAL over BOTH
+    * decode paths via the shared [[lumaFrames]] walk (Y4M planes read
+    * in place; MJPEG/AVI frames decoded per frame, r13). Gradual ramps
+    * stay below any sane threshold while a hard cut saturates it
+    * (spec'd with both, in both containers). Non-video kinds emit
+    * nothing; an UNDECODABLE video-kind payload emits one
+    * `decoded = false` accounting row instead of silence. Pure per-row
+    * flatMap, payloads never shuffle; frames stream one at a time. */
   def sceneCuts(media: Dataset[MediaRow],
                 threshold: Double = 30.0): Dataset[SceneCut] = {
     require(threshold > 0.0 && threshold <= 255.0,
       s"threshold must be in (0, 255], got $threshold")
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").flatMap { m =>
-      Y4m.parse(m.payload) match {
-        case Some(v) if v.frames >= 2 =>
-          val n = v.width * v.height
-          (1 until v.frames).iterator.flatMap { idx =>
-            val a = v.frameOffsets(idx - 1)
-            val b = v.frameOffsets(idx)
-            var s = 0L
-            var i = 0
-            while (i < n) {
-              s += math.abs((m.payload(b + i) & 0xff) - (m.payload(a + i) & 0xff))
-              i += 1
-            }
-            val diff = s.toDouble / n
-            if (diff >= threshold)
-              Iterator.single(SceneCut(m.media_id, idx, v.tsMs(idx),
-                BigDecimal(diff).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-                  .toDouble))
-            else Iterator.empty
+      lumaFrames(m.payload) match {
+        case Some(it) =>
+          var prev: Array[Int] = null
+          it.flatMap { case (idx, ts, luma) =>
+            val out =
+              if (prev == null || luma == null || prev.length != luma.length ||
+                  luma.length == 0) Iterator.empty
+              else {
+                var s = 0L
+                var i = 0
+                while (i < luma.length) { s += math.abs(luma(i) - prev(i)); i += 1 }
+                val diff = s.toDouble / luma.length
+                if (diff >= threshold)
+                  Iterator.single(SceneCut(m.media_id, idx, ts,
+                    BigDecimal(diff).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                      .toDouble, decoded = true))
+                else Iterator.empty
+              }
+            prev = luma
+            out
           }
-        case _ => Iterator.empty
+        case None =>
+          Iterator.single(SceneCut(m.media_id, -1, -1L, 0.0, decoded = false))
       }
     }
   }

@@ -684,15 +684,44 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRow(3L, "video", "junk".getBytes("UTF-8"), 4L),
       Multimodal.MediaRow(4L, "image", cut, cut.length.toLong)))
     val cuts = Multimodal.sceneCuts(media).collect()
-    // exactly one cut, at frame 10 = 400 ms, |200-40| = 160
-    assert(cuts.length === 1)
-    assert(cuts.head === Multimodal.SceneCut(1L, 10, 400L, 160.0))
+    // exactly one cut, at frame 10 = 400 ms, |200-40| = 160 — plus the
+    // junk video's decoded=false accounting row (r13: undecodable
+    // video is enumerated, never silent)
+    assert(cuts.length === 2)
+    assert(cuts.filter(_.decoded).toSeq ===
+      Seq(Multimodal.SceneCut(1L, 10, 400L, 160.0, decoded = true)))
+    assert(cuts.filter(!_.decoded).toSeq ===
+      Seq(Multimodal.SceneCut(3L, -1, -1L, 0.0, decoded = false)))
     // the ramp's 10-per-frame drift is below threshold 30 — but a
     // lower threshold sees every step, proving the walk is per-frame
     val fine = Multimodal.sceneCuts(media, threshold = 5.0).collect()
       .filter(_.media_id == 2L)
     assert(fine.length === 19 && fine.forall(_.luma_diff === 10.0))
     intercept[IllegalArgumentException](Multimodal.sceneCuts(media, 0.0))
+  }
+
+  test("sceneCuts over an MJPG AVI: the cut fires through the JPEG decode path; one-scene AVI is silent but decoded") {
+    import spark.implicits._
+    // two scenes of real JPEG frames: 5 dark (gray 40) then 5 bright
+    // (gray 200) at 10 fps — the cut lands at frame 5 = 500 ms
+    val twoScene = makeAvi(
+      (0 until 5).map(_ => jpegFrame(8, 6, 40)) ++
+        (0 until 5).map(_ => jpegFrame(8, 6, 200)), 8, 6, scale = 1, rate = 10)
+    val oneScene = makeAvi(
+      (0 until 6).map(_ => jpegFrame(8, 6, 90)), 8, 6, scale = 1, rate = 10)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", twoScene, twoScene.length.toLong),
+      Multimodal.MediaRow(2L, "video", oneScene, oneScene.length.toLong)))
+    val cuts = Multimodal.sceneCuts(media).collect()
+    // JPEG is lossy: the decoded grays land within a few codes of the
+    // originals, so the diff is ~160, comfortably over threshold 30
+    assert(cuts.length === 1, s"cuts: ${cuts.toSeq}")
+    val c = cuts.head
+    assert(c.media_id === 1L && c.frame_idx === 5 && c.ts_ms === 500L &&
+      c.decoded && math.abs(c.luma_diff - 160.0) < 10.0, s"cut: $c")
+    // the static AVI decodes fine and reports no cut — and no
+    // decoded=false row either, so absence now MEANS "no cuts"
+    assert(!cuts.exists(_.media_id == 2L))
   }
 
   test("imagePhash: the same picture at 2x resolution hashes within a few bits (resize claim)") {
