@@ -325,7 +325,7 @@ object Bpe {
 
   /** Per-partition memo bound: Zipf keeps real memos tiny; the cap just
     * keeps an adversarial all-distinct-words partition from hoarding. */
-  private val MemoCap = 1 << 20
+  private[operators] val MemoCap = 1 << 20
 
   /** Tokenize every document: (id, keepCols…, tokens, n_tokens). The
     * model broadcasts; encoding is a zero-shuffle partition-parallel

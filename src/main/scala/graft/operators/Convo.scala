@@ -14,11 +14,10 @@ import org.apache.spark.sql.expressions.Window
   * render+mask pass; here it is declarative and deterministic.
   *
   * Token accounting uses the module's whitespace convention (non-empty
-  * `\s+` splits) so spans are exact over the rendered text — a real
-  * deployment re-derives spans for its subword tokenizer by the same
-  * offsets discipline ([[Bpe.encode]] preserves word boundaries, so
-  * word spans lift to piece spans by prefix sums of per-word piece
-  * counts).
+  * `\s+` splits) so spans are exact over the rendered text; [[liftSpans]]
+  * re-derives them for a trained subword tokenizer ([[Bpe.encode]]
+  * preserves word boundaries, so word spans lift to piece spans by
+  * prefix sums of per-word piece counts).
   *
   * Shape at scale: per-turn rendering and token counts are in-row
   * projections; the running token offset is a window PARTITIONed BY
@@ -86,6 +85,61 @@ object Convo {
           when(col("_cv_span").isNotNull,
             struct(col("turn_idx"), col("_cv_span").as("sp"))))),
           x => x.getField("sp")).as("loss_spans"))
+      .orderBy(col("conv_id"))
+  }
+
+  /** Lift [[render]]'s whitespace-token loss spans to SUBWORD piece
+    * spans for a trained [[Bpe.Model]] — the "re-derive spans for your
+    * tokenizer" step the class scaladoc stated in prose, as code (r13):
+    * [[Bpe.encode]] splits on the same `\s+` convention and never
+    * merges across words, so the piece stream is the per-word piece
+    * arrays concatenated in word order, and a word span [s, e) lifts
+    * EXACTLY to [P(s), P(e)) where P is the prefix sum of per-word
+    * piece counts. Same broadcast-model memoized partition scan as
+    * encode (zero shuffles, state bounded per conversation); the lift
+    * re-encodes each word once, so running it beside encode costs one
+    * extra pass over the words, not a new design. Output: (conv_id,
+    * n_tokens, n_pieces, piece_spans ARRAY<STRUCT<s, e>>) with spans
+    * [s, e) into encode's `tokens` array for the same text.
+    */
+  def liftSpans(rendered: DataFrame, model: Bpe.Model): DataFrame = {
+    val spark = rendered.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model)
+    val in = rendered.select(col("conv_id").cast("long"), col("text"),
+      col("n_tokens").cast("long"), col("loss_spans"))
+    in.map { r =>
+      (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getSeq[org.apache.spark.sql.Row](3)
+          .map(sp => (sp.getLong(0), sp.getLong(1))))
+    }.mapPartitions { it =>
+      val m = b.value
+      val memo = new java.util.HashMap[String, Integer]()
+      it.map { case (id, text, nTok, spans) =>
+        val words = text.split("\\s+").filter(_.nonEmpty)
+        // the lift is only sound against render's own token accounting
+        require(words.length == nTok,
+          s"conversation $id: text splits to ${words.length} tokens but " +
+            s"render counted $nTok — the frame is not render output")
+        val prefix = new Array[Long](words.length + 1)
+        var i = 0
+        while (i < words.length) {
+          var c = memo.get(words(i))
+          if (c == null) {
+            c = Integer.valueOf(m.encodeWord(words(i)).length)
+            if (memo.size < Bpe.MemoCap) memo.put(words(i), c)
+          }
+          prefix(i + 1) = prefix(i) + c.intValue
+          i += 1
+        }
+        (id, nTok, prefix(words.length),
+          spans.map { case (s, e) => (prefix(s.toInt), prefix(e.toInt)) })
+      }
+    }.toDF("conv_id", "n_tokens", "n_pieces", "_ls")
+      .select(col("conv_id"), col("n_tokens"), col("n_pieces"),
+        transform(col("_ls"),
+          x => struct(x.getField("_1").as("s"), x.getField("_2").as("e")))
+          .as("piece_spans"))
       .orderBy(col("conv_id"))
   }
 

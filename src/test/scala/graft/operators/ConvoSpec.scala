@@ -69,4 +69,49 @@ class ConvoSpec extends SparkSpec {
       Seq((1L, 0, "user", null.asInstanceOf[String]))
         .toDF("conv_id", "turn_idx", "role", "content")))
   }
+
+  test("liftSpans round-trip: piece spans select exactly the assistant pieces of a trained BPE") {
+    // train a toy BPE on text containing the conversation words so
+    // some words merge to single pieces and others stay fragments
+    val corpus = Seq((1L, "Four Four Four Eight Eight of course course"),
+      (2L, "What is two plus two And doubled Be helpful"))
+      .toDF("doc_id", "text")
+    val model = Bpe.train(corpus, numMerges = 30)
+    val rendered = Convo.render(turns)
+    val lifted = Convo.liftSpans(rendered, model).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    // encode the SAME rendered text with the same model: the lifted
+    // spans must slice exactly the assistant-content pieces out of the
+    // real token stream — the round-trip the scaladoc promises
+    val enc = Bpe.encode(
+        rendered.select(col("conv_id").as("doc_id"), col("text")), model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val c1 = lifted(1L)
+    assert(c1.getLong(1) === 18L) // word tokens, unchanged
+    assert(c1.getLong(2).toInt === enc(1L).length,
+      "n_pieces must equal the real encode's token count")
+    val pieceSpans = c1.getSeq[org.apache.spark.sql.Row](3)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pieceSpans.length === 2)
+    val selected = pieceSpans.flatMap { case (s, e) =>
+      enc(1L).slice(s.toInt, e.toInt) }
+    // the selected pieces reassemble the assistant words, whole and alone
+    assert(selected.mkString === "FourEightofcourse", s"pieces: $selected")
+    // and they are exactly the per-word encodings in order
+    assert(selected === Seq("Four", "Eight", "of", "course")
+      .flatMap(w => model.encodeWord(w).toSeq))
+
+    // the empty assistant turn lifts to no spans; totals still real
+    val c2 = lifted(2L)
+    assert(c2.getSeq[org.apache.spark.sql.Row](3).isEmpty)
+    assert(c2.getLong(2).toInt === enc(2L).length)
+
+    // a frame that isn't render output refuses instead of mis-masking
+    val doctored = rendered.withColumn("n_tokens", col("n_tokens") + 1L)
+    val e = intercept[org.apache.spark.SparkException](
+      Convo.liftSpans(doctored, model).collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(_.getMessage.contains("not render output")))
+  }
 }
