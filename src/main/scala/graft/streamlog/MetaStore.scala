@@ -36,6 +36,13 @@ trait MetaStore {
   /** Truncate-reset the log (crash rebuild / destroy). */
   def clear(): Unit
 
+  /** Replace the WHOLE log with `lines` iff still at `tag` — the
+    * checkpoint primitive (S3: conditional PUT of the full object with
+    * If-Match; POSIX: tmp-file + atomic move under the lock, so
+    * lock-free readers see the old or new log, never a partial one).
+    * True = committed; a lost race replaces nothing. */
+  def replaceIf(tag: Long, lines: Seq[String]): Boolean
+
   /** Drive one conditional commit to completion: read, let `decide`
     * inspect the CURRENT log (it may throw to refuse — fencing — or
     * return None when there is nothing left to do — an already-
@@ -102,6 +109,20 @@ final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
   override def clear(): Unit =
     if (Files.exists(path))
       StreamLocks.withLock(lockDir)(Files.deleteIfExists(path)): Unit
+
+  override def replaceIf(tag: Long, lines: Seq[String]): Boolean =
+    StreamLocks.withLock(lockDir) {
+      val size = if (Files.exists(path)) Files.size(path) else 0L
+      if (size != tag) false
+      else {
+        val tmp = path.resolveSibling(path.getFileName.toString + ".ckpt")
+        Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
+        Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        true
+      }
+    }
 }
 
 /** In-memory implementation with If-Match semantics — the spec's stand-
@@ -124,6 +145,11 @@ class InMemoryMetaStore extends MetaStore {
   }
 
   override def clear(): Unit = synchronized { lines = Vector.empty; rev += 1 }
+
+  override def replaceIf(tag: Long, ls: Seq[String]): Boolean = synchronized {
+    if (rev != tag) false
+    else { lines = ls.toVector; rev += 1; true }
+  }
 }
 
 /** The fencing/epoch commit protocols, defined ONCE over the
@@ -183,6 +209,52 @@ object MetaCommits {
         Some(segs.map(MetaJson.add) :+ MetaJson.sinkEpoch(queryId, epochId))
       }
     }
+  }
+
+  /** The minimal log that replays to the same state as `cur`: writer
+    * epoch, producer version, per-query sink-epoch high-water marks,
+    * live segment adds, live tombstones — every purge/superseded-
+    * claim/compacted-add line dropped. Deterministic order. */
+  def snapshotLines(cur: Seq[String]): Vector[String] = {
+    val st = MetaLog.replayLines(cur)
+    val b = Vector.newBuilder[String]
+    if (st.writerEpoch > 0) b += MetaJson.writer(st.writerEpoch)
+    if (st.producerVersion > 0) b += MetaJson.version(st.producerVersion)
+    MetaLog.sinkEpochsOf(cur).toSeq.sortBy(_._1).foreach {
+      case (q, e) => b += MetaJson.sinkEpoch(q, e)
+    }
+    st.index.segments.foreach(m => b += MetaJson.add(m))
+    st.tombstones.toSeq.sortBy(_._1).foreach {
+      case (n, ts) => b += MetaJson.tombstone(n, ts)
+    }
+    b.result()
+  }
+
+  /** Checkpoint the metadata log: rewrite it as its minimal snapshot
+    * in ONE conditional replace — the garbage-collection half of the
+    * append-only design. Every conditional commit reads the whole log,
+    * so an ever-growing log makes commit cost grow with HISTORY (the
+    * soak proves appends are O(segments added); this bounds the read
+    * side too). Fenced like every commit; a racing append between the
+    * read and the replace loses the tag compare and the checkpoint
+    * re-reads — so nothing committed is ever dropped, and exactly-once
+    * state (sink-epoch marks) survives the rewrite by construction.
+    * Returns true iff a strictly-smaller snapshot replaced the log
+    * (a log already minimal is left untouched). */
+  def checkpoint(store: MetaStore, myEpoch: Long,
+                 maxAttempts: Int = 64): Boolean = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val (cur, tag) = store.readWithTag()
+      val disk = MetaLog.writerEpochOf(cur)
+      if (disk > myEpoch) throw WriterFencedException(myEpoch, disk)
+      val snap = snapshotLines(cur)
+      if (snap.length >= cur.length) return false
+      if (store.replaceIf(tag, snap)) return true
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"metadata checkpoint lost $maxAttempts consecutive races")
   }
 
   /** The bulk-load commit: fenced + overlap-validated conditional

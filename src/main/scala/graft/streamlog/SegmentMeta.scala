@@ -160,6 +160,21 @@ object MetaLog {
   def maxSinkEpoch(metaPath: java.nio.file.Path, queryId: String): Long =
     maxSinkEpochOf(readLines(metaPath), queryId)
 
+  /** EVERY query id's sink-epoch high-water mark — what a metadata-log
+    * checkpoint must carry forward so exactly-once survives the
+    * rewrite ([[MetaCommits.checkpoint]]). */
+  def sinkEpochsOf(allLines: Seq[String]): Map[String, Long] = {
+    var m = Map.empty[String, Long]
+    allLines.foreach { line =>
+      if (line.contains("\"sink_epoch\"")) {
+        val (s, n) = MetaJson.parseLine(line)
+        for (q <- s.get("qid"); e <- n.get("epoch_id"))
+          m += q -> math.max(m.getOrElse(q, -1L), e)
+      } else if (line.contains("\"destroy\"")) m = Map.empty
+    }
+    m
+  }
+
   /** [[maxSinkEpoch]] over already-read lines (the [[MetaStore]] form). */
   def maxSinkEpochOf(allLines: Seq[String], queryId: String): Long = {
     var e = -1L

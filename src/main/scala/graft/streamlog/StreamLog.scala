@@ -470,7 +470,23 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String,
       .takeWhile(_.nonEmpty).flatten.toVector
     val cleaned = cleanTombstones(tombstoneMaxAgeMs, nowMs)
     val orphans = purgeOrphans(orphanGraceMs)
-    StreamLog.MaintenanceReport(merged, cleaned, orphans)
+    val ckpt = checkpointMetaLog()
+    StreamLog.MaintenanceReport(merged, cleaned, orphans, ckpt)
+  }
+
+  /** Rewrite the metadata log as its minimal snapshot
+    * ([[MetaCommits.checkpoint]]): compaction/cleanup append add +
+    * tombstone + purge lines forever, and since every conditional
+    * commit READS the whole log, an unbounded log makes commit cost
+    * grow with history — this bounds it at O(live segments). Runs at
+    * the end of every [[maintain]] pass (a no-op when the log is
+    * already minimal); fenced and CAS-guarded like every commit, so a
+    * sink epoch landing mid-checkpoint just wins the race and the
+    * checkpoint retries over it. Returns true iff the log shrank. */
+  def checkpointMetaLog(): Boolean = stateLock.synchronized {
+    val did = MetaCommits.checkpoint(store, myWriterEpoch)
+    if (did) load()
+    did
   }
 
   /** Self-scheduled maintenance — the analog of the reference's
@@ -621,5 +637,6 @@ object StreamLog {
   final case class MaintenanceReport(
       compacted: Seq[SegmentMeta],
       tombstonesPurged: Seq[String],
-      orphansPurged: Seq[String])
+      orphansPurged: Seq[String],
+      metaCheckpointed: Boolean = false)
 }

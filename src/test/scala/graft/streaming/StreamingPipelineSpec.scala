@@ -388,5 +388,18 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(log.segments.size < epochs,
       s"maintenance fell behind: ${log.segments.size} live segments")
     assert(log.segments.map(_.records).sum == epochs * rowsPerEpoch)
+    // and the metadata-log CHECKPOINT bounds the READ side the same
+    // way the append deltas bound the write side: once tombstones age
+    // out (forced here with age 0) the log holds only the minimal
+    // snapshot — live adds + the sink high-water mark + the writer
+    // token — not the ~60-line append history the epochs accumulated
+    log.maintain(tombstoneMaxAgeMs = 0L)
+    val lines = metaLines
+    assert(lines.size <= log.segments.size + 3,
+      s"log not checkpointed: ${lines.size} lines for ${log.segments.size} segments")
+    assert(lines.exists(_.contains("\"sink_epoch\"")),
+      "the sink high-water mark must survive the checkpoint")
+    assert(log.consume(Offset.Beginning, 100000).size == epochs * rowsPerEpoch,
+      "checkpoint must not lose a record")
   }
 }

@@ -61,6 +61,14 @@ class MetaStoreSpec extends SparkSpec {
       val (l2, t2) = store.readWithTag()
       assert(l2.isEmpty)
       assert(store.appendIf(t2, Seq(MetaJson.writer(7))), "usable after clear")
+      // replaceIf (the checkpoint primitive) honors the same tag
+      // compare: stale refuses, fresh swaps the WHOLE log
+      val (_, t3) = store.readWithTag()
+      assert(!store.replaceIf(t2, Seq(MetaJson.writer(99))),
+        "a replace at a superseded tag must lose")
+      assert(store.replaceIf(t3, Seq(MetaJson.writer(8), MetaJson.version(2))))
+      assert(store.readWithTag()._1 ==
+        Vector(MetaJson.writer(8), MetaJson.version(2)))
       store.clear()
     }
   }
@@ -182,6 +190,69 @@ class MetaStoreSpec extends SparkSpec {
     intercept[WriterFencedException](b.publish(Seq("""{"x":1}"""), nowMs = c))
     // nothing ever reached a meta.jsonl file
     assert(!Files.exists(java.nio.file.Paths.get(root, "s1", "meta.jsonl")))
+  }
+
+  test("checkpoint: the rewritten log replays to identical state, keeps exactly-once, loses races cleanly") {
+    val store = new InMemoryMetaStore
+    // build a log with plenty of garbage: a claim superseded twice, a
+    // compacted-away add + tombstone + purge, sink epochs 0..3 of one
+    // query, and live state on top
+    MetaCommits.claimWriter(store, 0L) // 1 (superseded)
+    MetaCommits.claimWriter(store, 0L) // 2 (superseded)
+    val my = MetaCommits.claimWriter(store, 0L) // 3 (live)
+    val dead = SegmentMeta("dead.seg", Offset.serialize(100, 0), Offset.serialize(100, 9), 1L, 10L, 100L)
+    val live = SegmentMeta("live.seg", Offset.serialize(200, 0), Offset.serialize(200, 9), 2L, 10L, 100L)
+    MetaCommits.fencedAppend(store, my, Seq(
+      MetaJson.version(7), MetaJson.add(dead),
+      MetaJson.tombstone("dead.seg", 50L), MetaJson.purge("dead.seg"),
+      MetaJson.add(live)))
+    (0L to 3L).foreach { e =>
+      MetaCommits.commitSinkEpoch(store, my, "qA",
+        e, Seq(SegmentMeta(s"sink$e.seg", Offset.serialize(300 + e, 0),
+          Offset.serialize(300 + e, 0), 3L, 1L, 10L)))
+    }
+    val before = store.readWithTag()._1
+    val stBefore = MetaLog.replayLines(before)
+    assert(MetaCommits.checkpoint(store, my), "a garbage-heavy log must shrink")
+    val after = store.readWithTag()._1
+    assert(after.length < before.length, s"${after.length} !< ${before.length}")
+    // replayed state is IDENTICAL: index, version, writer epoch,
+    // tombstones — and the sink high-water mark, so exactly-once
+    // survives the rewrite (a replayed epoch still commits nothing)
+    val stAfter = MetaLog.replayLines(after)
+    assert(stAfter.index.segments == stBefore.index.segments)
+    assert(stAfter.producerVersion == 7L && stAfter.writerEpoch == my)
+    assert(stAfter.tombstones == stBefore.tombstones)
+    assert(MetaLog.maxSinkEpochOf(after, "qA") == 3L)
+    assert(!MetaCommits.commitSinkEpoch(store, my, "qA", 3L,
+      Seq(SegmentMeta("dup.seg", Offset.serialize(900, 0),
+        Offset.serialize(900, 0), 9L, 1L, 10L))),
+      "exactly-once must survive the checkpoint")
+    // a second checkpoint is a no-op: the log is already minimal
+    assert(!MetaCommits.checkpoint(store, my))
+    // a fenced handle cannot checkpoint
+    MetaCommits.claimWriter(store, my)
+    intercept[WriterFencedException](MetaCommits.checkpoint(store, my))
+    // a racing append between read and replace wins — the checkpoint
+    // retries over it and the interloper's line SURVIVES the rewrite
+    val contended = new InMemoryMetaStore {
+      private var n = 1
+      override def replaceIf(tag: Long, ls: Seq[String]): Boolean = {
+        if (n > 0) {
+          n -= 1
+          assert(appendIf(readWithTag()._2, Seq(MetaJson.add(
+            SegmentMeta("racer.seg", Offset.serialize(500, 0),
+              Offset.serialize(500, 0), 5L, 1L, 10L)))))
+        }
+        super.replaceIf(tag, ls)
+      }
+    }
+    MetaCommits.claimWriter(contended, 0L)
+    MetaCommits.claimWriter(contended, 0L) // garbage so the snapshot shrinks
+    assert(MetaCommits.checkpoint(contended, 2L))
+    val racedLines = contended.readWithTag()._1
+    assert(MetaLog.replayLines(racedLines).index.segments.map(_.name)
+      .contains("racer.seg"), "a mid-checkpoint commit must never be dropped")
   }
 
   test("kill -9 mid-compaction in ANOTHER PROCESS: survivor takeover leaves zero orphans, zero lost records") {

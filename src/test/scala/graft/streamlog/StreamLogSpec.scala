@@ -264,8 +264,13 @@ class StreamLogSpec extends SparkSpec {
       assert(errors.get() >= 1)
 
       // backoff: once fenced, no further attempts → the error count
-      // freezes (one grace interval for any in-flight pass)
-      Thread.sleep(200)
+      // freezes. The grace sleep lets any IN-FLIGHT pass (one that
+      // started before the fence was recorded) finish and report: under
+      // a loaded machine such a pass can take well over an interval
+      // (this flaked once at 200 ms while a full bench saturated the
+      // box), so the grace is generous — the assertion is about the
+      // freeze AFTER it, which is load-independent.
+      Thread.sleep(1500)
       val frozen = errors.get()
       Thread.sleep(600) // ~6 sweep intervals
       assert(errors.get() == frozen,
