@@ -88,6 +88,75 @@ object Convo {
       .orderBy(col("conv_id"))
   }
 
+  /** Preference-pair (DPO/RLHF reward-model) rendering — the other
+    * assembly step a post-training pipeline needs beside [[render]]:
+    * each pair is a shared conversation PREFIX plus two candidate
+    * final assistant responses, and the trainer computes log-probs
+    * over the RESPONSE tokens of both branches only (the prompt is
+    * conditioning in both, so it must be byte-identical across the
+    * branches — rendering it twice independently invites drift).
+    * Input: `promptTurns` = (pair_id, turn_idx, role, content), the
+    * prefix in [[render]]'s shape (same validations — roles, duplicate
+    * turn keys, null content); `pairs` = (pair_id, chosen, rejected).
+    * Output LONG (one row per branch, the [[liftSpans]]-composable
+    * shape): (pair_id, branch ∈ chosen|rejected, text, n_tokens,
+    * loss_spans, n_prompt_tokens) where text = rendered prefix + one
+    * rendered assistant turn and the single span covers exactly the
+    * response's tokens. Refuses duplicate pair_ids, null responses,
+    * chosen = rejected (a tie teaches nothing and usually means an
+    * upstream join bug), and pairs with no prompt rows (a bare
+    * response is not a preference example). Shape at scale: one
+    * [[render]] over the prefixes, a 2-way explode, one join keyed on
+    * pair_id — nothing corpus-sized sorts in one task.
+    */
+  def renderPreference(promptTurns: DataFrame, pairs: DataFrame): DataFrame = {
+    val probe = pairs.agg(
+      count(lit(1)), countDistinct(col("pair_id")),
+      sum(when(col("chosen").isNull || col("rejected").isNull, 1L)
+        .otherwise(0L)),
+      sum(when(col("chosen") === col("rejected"), 1L).otherwise(0L))).head()
+    require(probe.getLong(0) == probe.getLong(1),
+      s"duplicate pair_id: ${probe.getLong(0)} rows, " +
+        s"${probe.getLong(1)} distinct")
+    require(probe.isNullAt(2) || probe.getLong(2) == 0,
+      s"${probe.getLong(2)} pairs carry a null chosen/rejected response")
+    require(probe.isNullAt(3) || probe.getLong(3) == 0,
+      s"${probe.getLong(3)} pairs have chosen = rejected — a tie teaches " +
+        "nothing and usually means an upstream join bug")
+    val prefix = render(
+        promptTurns.withColumnRenamed("pair_id", "conv_id"))
+      .select(col("conv_id").as("pair_id"), col("text").as("_pp_text"),
+        col("n_tokens").as("n_prompt_tokens"))
+    val orphans = pairs.join(prefix, Seq("pair_id"), "left_anti")
+      .limit(1).count()
+    require(orphans == 0,
+      "pairs exist with no prompt turns — a bare response is not a " +
+        "preference example; fix the pair_id join upstream")
+    val respToks =
+      size(filter(split(col("resp"), "\\s+"), t => length(t) > 0)).cast("long")
+    pairs
+      .select(col("pair_id"), explode(array(
+        struct(lit("chosen").as("branch"), col("chosen").as("resp")),
+        struct(lit("rejected").as("branch"), col("rejected").as("resp"))))
+        .as("_pp_b"))
+      .select(col("pair_id"), col("_pp_b.branch").as("branch"),
+        col("_pp_b.resp").as("resp"))
+      .join(prefix, Seq("pair_id"))
+      .withColumn("_pp_rtoks", respToks)
+      .select(col("pair_id"), col("branch"),
+        concat(col("_pp_text"), lit("<|assistant|>\n"), col("resp"), lit("\n"))
+          .as("text"),
+        (col("n_prompt_tokens") + 1L + col("_pp_rtoks")).as("n_tokens"),
+        // one span over exactly the response tokens; an empty response
+        // keeps its header token but carries no span
+        filter(array(struct(
+            (col("n_prompt_tokens") + 1L).as("s"),
+            (col("n_prompt_tokens") + 1L + col("_pp_rtoks")).as("e"))),
+          sp => sp.getField("e") > sp.getField("s")).as("loss_spans"),
+        col("n_prompt_tokens"))
+      .orderBy(col("pair_id"), col("branch"))
+  }
+
   /** Lift [[render]]'s whitespace-token loss spans to SUBWORD piece
     * spans for a trained [[Bpe.Model]] — the "re-derive spans for your
     * tokenizer" step the class scaladoc stated in prose, as code (r13):
@@ -102,11 +171,12 @@ object Convo {
     * n_tokens, n_pieces, piece_spans ARRAY<STRUCT<s, e>>) with spans
     * [s, e) into encode's `tokens` array for the same text.
     */
-  def liftSpans(rendered: DataFrame, model: Bpe.Model): DataFrame = {
+  def liftSpans(rendered: DataFrame, model: Bpe.Model,
+                idCol: String = "conv_id"): DataFrame = {
     val spark = rendered.sparkSession
     import spark.implicits._
     val b = spark.sparkContext.broadcast(model)
-    val in = rendered.select(col("conv_id").cast("long"), col("text"),
+    val in = rendered.select(col(idCol).cast("long").as("conv_id"), col("text"),
       col("n_tokens").cast("long"), col("loss_spans"))
     in.map { r =>
       (r.getLong(0), r.getString(1), r.getLong(2),
@@ -136,11 +206,11 @@ object Convo {
           spans.map { case (s, e) => (prefix(s.toInt), prefix(e.toInt)) })
       }
     }.toDF("conv_id", "n_tokens", "n_pieces", "_ls")
-      .select(col("conv_id"), col("n_tokens"), col("n_pieces"),
+      .select(col("conv_id").as(idCol), col("n_tokens"), col("n_pieces"),
         transform(col("_ls"),
           x => struct(x.getField("_1").as("s"), x.getField("_2").as("e")))
           .as("piece_spans"))
-      .orderBy(col("conv_id"))
+      .orderBy(col(idCol))
   }
 
   /** The mask accounting a run reports: per conversation, loss tokens

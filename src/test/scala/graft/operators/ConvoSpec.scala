@@ -70,6 +70,57 @@ class ConvoSpec extends SparkSpec {
         .toDF("conv_id", "turn_idx", "role", "content")))
   }
 
+  test("renderPreference: branches share the byte-identical prompt; spans cover exactly the response") {
+    val prompts = Seq(
+      (10L, 0, "system", "Be helpful"),
+      (10L, 1, "user", "What is two plus two"),
+      (20L, 0, "user", "Only a question")).toDF("pair_id", "turn_idx", "role", "content")
+    val pairs = Seq(
+      (10L, "Four exactly", "Probably five"),
+      (20L, "A short answer", "")).toDF("pair_id", "chosen", "rejected")
+    val out = Convo.renderPreference(prompts, pairs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    assert(out.size === 4)
+    val c10 = out((10L, "chosen")); val r10 = out((10L, "rejected"))
+    val prefix = "<|system|>\nBe helpful\n<|user|>\nWhat is two plus two\n"
+    assert(c10.getString(2) === prefix + "<|assistant|>\nFour exactly\n")
+    assert(r10.getString(2) === prefix + "<|assistant|>\nProbably five\n")
+    // the DPO invariant: both branches condition on the SAME bytes
+    assert(c10.getString(2).startsWith(prefix) &&
+      r10.getString(2).startsWith(prefix))
+    // prompt = 2 headers + 2 + 5 content = 9 tokens; response header at
+    // 9, response tokens [10, 12) for both two-word responses
+    assert(c10.getLong(5) === 9L && c10.getLong(3) === 12L)
+    def spans(r: org.apache.spark.sql.Row) =
+      r.getSeq[org.apache.spark.sql.Row](4).map(x => (x.getLong(0), x.getLong(1)))
+    assert(spans(c10) === Seq((10L, 12L)) && spans(r10) === Seq((10L, 12L)))
+    // the span really selects the response words, nothing of the prompt
+    val toks = c10.getString(2).split("\\s+").filter(_.nonEmpty)
+    assert(spans(c10).flatMap { case (s, e) => toks.slice(s.toInt, e.toInt) }
+      === Seq("Four", "exactly"))
+    // an empty response keeps its header token but carries no span
+    val r20 = out((20L, "rejected"))
+    assert(r20.getLong(3) === 4L + 1L && spans(r20).isEmpty)
+    // composes with liftSpans via a surrogate id (pair_id·2 + branch)
+    val corpus = Seq((1L, "Four exactly Probably five A short answer"))
+      .toDF("doc_id", "text")
+    val model = Bpe.train(corpus, numMerges = 10)
+    val branchId = expr("pair_id * 2 + CAST(branch = 'chosen' AS INT)")
+    val lifted = Convo.liftSpans(
+      Convo.renderPreference(prompts, pairs).withColumn("bid", branchId),
+      model, idCol = "bid")
+    assert(lifted.count() === 4L)
+    // refusals: dup pair, null response, tie, orphan pair
+    intercept[IllegalArgumentException](Convo.renderPreference(prompts,
+      Seq((10L, "a", "b"), (10L, "c", "d")).toDF("pair_id", "chosen", "rejected")))
+    intercept[IllegalArgumentException](Convo.renderPreference(prompts,
+      Seq((10L, null.asInstanceOf[String], "b")).toDF("pair_id", "chosen", "rejected")))
+    intercept[IllegalArgumentException](Convo.renderPreference(prompts,
+      Seq((10L, "same", "same")).toDF("pair_id", "chosen", "rejected")))
+    intercept[IllegalArgumentException](Convo.renderPreference(prompts,
+      Seq((99L, "a", "b")).toDF("pair_id", "chosen", "rejected")))
+  }
+
   test("liftSpans round-trip: piece spans select exactly the assistant pieces of a trained BPE") {
     // train a toy BPE on text containing the conversation words so
     // some words merge to single pieces and others stay fragments
