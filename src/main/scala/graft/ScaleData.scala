@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a larger scale factor from an existing testdata
+  * directory, for scaling runs past the largest driver-provided SF
+  * (SURVEY §6: the floor-then-linear claims deserve a measured point at
+  * 10× the gated scale, and the container ships no sf1.0).
+  *
+  * `documents` and `lineitem` — the tables behind every expensive
+  * bench query — are replicated `factor`× with shifted primary keys;
+  * each document replica's text is PERTURBED with a per-replica suffix
+  * so the scaled corpus carries near-dup structure (each doc gains
+  * factor−1 near-identical variants — a 10× crawl with duplication,
+  * deliberately HARDER for the dedup/graph family than independent
+  * text would be) instead of a degenerate 10× exact-dup explosion.
+  * Every other table is copied verbatim. Usage:
+  * `runMain graft.ScaleData <srcDir> <outDir> <factor>`.
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = args(2).toInt
+    require(factor >= 2, s"factor must be >= 2, got $factor")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+
+    val replicas = spark.range(factor).select(col("id").cast("int").as("_rep"))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    docs.crossJoin(replicas)
+      .select(
+        (col("doc_id") + col("_rep") * maxDoc).as("doc_id"),
+        when(col("_rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("_rep"))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val maxOrd = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    li.crossJoin(replicas)
+      .select((Seq((col("l_orderkey") + col("_rep") * maxOrd).as("l_orderkey")) ++
+        li.columns.filterNot(_ == "l_orderkey").map(col)): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "events", "embeddings").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$t.parquet"),
+        java.nio.file.Paths.get(s"$out/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    println(s"scaled $src x$factor -> $out")
+    spark.stop()
+  }
+}
