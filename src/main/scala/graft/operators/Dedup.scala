@@ -419,6 +419,51 @@ object Dedup {
       .drop("_graft_ck", "_graft_r", "cluster_id")
   }
 
+  /** Soft dedup — duplicate-count-aware DOWNWEIGHTING, the continuous
+    * alternative to binary keep/drop: each document's sampling weight
+    * is cluster_size^(−alpha), so at alpha = 1 every duplicate cluster
+    * contributes ONE expected copy in total (dedup in expectation —
+    * the cluster's probability mass, not an arbitrary survivor,
+    * carries forward), alpha = 0 keeps natural duplication untouched,
+    * and intermediate alpha is the compromise "Scaling Laws and
+    * Interpretability of Learning from Repeated Data" (Hernandez et
+    * al. 2022) motivates: repetition hurts superlinearly, but SOME
+    * natural duplication is signal (popular ≈ quality), so a 500×
+    * boilerplate cluster is tamed without betting everything on one
+    * representative. `clusters` is any (doc_id, cluster_id) evidence
+    * frame ([[duplicateClusters]]' shape); absent docs are singletons
+    * at weight 1. The weight is REALIZED deterministically as
+    * `n_repeats` by [[graft.operators.Sampling.mixtureSample]]'s
+    * fractional-repetition rule (hash bucket on doc_id — rerunnable,
+    * partition-independent), so the output feeds a manifest builder
+    * directly. Output: d's rows + (cluster_size, w, n_repeats).
+    *
+    * Scale shape: one count aggregation over the cluster frame
+    * (bounded by clusters), one broadcast-or-shuffle join on unique
+    * doc_id, then in-row arithmetic — no window, nothing corpus-sized
+    * in one task.
+    */
+  def repetitionWeights(d: DataFrame, clusters: DataFrame,
+                        alpha: Double = 1.0): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    Seq("cluster_size", "w", "n_repeats", "_graft_cs").foreach(r =>
+      require(!d.columns.contains(r),
+        s"input already has a $r column; rename it first"))
+    val sizes = clusters
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("_graft_cs"))
+      .join(clusters, Seq("cluster_id"))
+      .select(col("doc_id"), col("_graft_cs"))
+    val b = Hashing.hash60(col("doc_id").cast("string")) % 1000
+    d.join(sizes, Seq("doc_id"), "left")
+      .withColumn("cluster_size", coalesce(col("_graft_cs"), lit(1L)))
+      .drop("_graft_cs")
+      .withColumn("w",
+        round(pow(col("cluster_size").cast("double"), lit(-alpha)), 6))
+      .withColumn("n_repeats", (floor(col("w")).cast("long") +
+        when(b < (col("w") - floor(col("w"))) * 1000, 1L).otherwise(0L)))
+  }
+
   /** Benchmark-contamination detection — the decontamination primitive
     * of a training pipeline: for every (benchmark doc, corpus doc) pair
     * sharing at least one word-`n`-gram shingle, the exact CONTAINMENT

@@ -456,6 +456,59 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Matryoshka truncation evaluation (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): recall@k of cosine top-k computed on the
+    * FIRST `d` dimensions against the full-dimension exact top-k, one
+    * report row per candidate `d` — the measurement behind the "store
+    * 256 of the 1024 dims" decision, which at 100 TB is a 4× cut in
+    * scan bytes, index size, AND every downstream dot product, paid
+    * for only by whatever recall this report shows lost. Re-uses the
+    * [[knnBrute]] scan per dim (queries broadcast once per dim, only
+    * narrow triples shuffle) and [[annRecall]] as the judge; the
+    * full-dim exact result computes once and persists. Truncation can
+    * zero a vector (a prefix of exact zeros); those rows are DROPPED
+    * from that dim's scan — cosine is undefined on them — and counted
+    * in `n_zero_norm` so the drop is visible, never silent. Input is
+    * [[prepare]] output; `isQuery` selects the guarded query batch.
+    * Output: (dim, n_queries, mean_recall, min_recall, n_zero_norm),
+    * dim-ordered.
+    */
+  def truncationReport(corpus: DataFrame, isQuery: Column, dims: Seq[Int],
+                       k: Int = 10, maxQueries: Int = 10000): DataFrame = {
+    require(dims.nonEmpty, "truncationReport needs at least one dim")
+    require(dims.forall(_ > 0), s"dims must be positive, got $dims")
+    require(k > 0, s"k must be positive, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cached = graft.core.Caches.persist(corpus)
+    val fullDim = cached.select(size(col("v"))).head().getInt(0)
+    require(dims.forall(_ <= fullDim),
+      s"dims $dims exceed the corpus vector width $fullDim — a slice past " +
+        "the end would silently evaluate the full vector against itself")
+    val queries = graft.core.Caches.persist(
+      cached.filter(isQuery).select(col("vec_id").as("qid"),
+        col("v").as("qv"), col("norm").as("qnorm")))
+    val exact = graft.core.Caches.persist(knnBrute(cached, queries, k, maxQueries))
+    val rows = dims.distinct.sorted.map { d =>
+      val cT = cached
+        .select(col("vec_id"), slice(col("v"), 1, d).as("v"))
+        .withColumn("norm", l2norm(col("v")))
+      val qT = queries
+        .select(col("qid"), slice(col("qv"), 1, d).as("qv"))
+        .withColumn("qnorm", l2norm(col("qv")))
+      val zeros = cT.filter(col("norm") === 0.0).count() +
+        qT.filter(col("qnorm") === 0.0).count()
+      val approx = knnBrute(cT.filter(col("norm") > 0.0),
+        qT.filter(col("qnorm") > 0.0), k, maxQueries)
+      val agg = annRecall(approx, exact)
+        .agg(count(lit(1)), round(avg(col("recall")), 6),
+          round(min(col("recall")), 6)).head()
+      (d, agg.getLong(0), agg.getDouble(1), agg.getDouble(2), zeros)
+    }
+    rows.toDF("dim", "n_queries", "mean_recall", "min_recall", "n_zero_norm")
+      .orderBy(col("dim"))
+  }
+
   /** Product-quantization codebooks: the vector space is split into
     * `nSub` contiguous subspaces and each gets its own small codebook
     * via the same deterministic decimal-rounded Lloyd refinement as

@@ -299,6 +299,44 @@ class DedupSpec extends SparkSpec {
       corpus.withColumn("_graft_ck", lit(1)), clusters, col("quality")))
   }
 
+  test("repetitionWeights: cluster_size^-alpha, dedup-in-expectation at alpha=1, deterministic realization") {
+    import spark.implicits._
+    val corpus = ((1L to 4L).map(i => (i, "quad")) ++
+      Seq((5L, "pair"), (6L, "pair"), (7L, "solo")))
+      .toDF("doc_id", "text")
+    val clusters = ((1L to 4L).map(i => (i, 1L)) ++ Seq((5L, 5L), (6L, 5L)))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.repetitionWeights(corpus, clusters).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // alpha = 1: w = 1/size → each CLUSTER carries one expected copy
+    assert((1L to 4L).forall(i => out(i).getLong(2) == 4L &&
+      out(i).getDouble(3) == 0.25))
+    assert(Seq(5L, 6L).forall(i => out(i).getLong(2) == 2L &&
+      out(i).getDouble(3) == 0.5))
+    assert(out(7L).getLong(2) == 1L && out(7L).getDouble(3) == 1.0 &&
+      out(7L).getLong(4) == 1L, "singletons keep weight 1 and one copy")
+    // expected total = sum of weights = 1 + 1 + 1 = 3 clusters' worth
+    val expTotal = out.values.map(_.getDouble(3)).sum
+    assert(math.abs(expTotal - 3.0) < 1e-9)
+    // the realization is a pure function of doc_id (rerunnable): the
+    // same frame repartitioned realizes identically
+    val again = Dedup.repetitionWeights(corpus.repartition(5), clusters)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert((1L to 7L).forall(i => again(i) == out(i).getLong(4)))
+    assert(out.values.forall(r => r.getLong(4) == 0L || r.getLong(4) == 1L))
+    // alpha = 0 keeps everything untouched; alpha = 0.5 sits between
+    val flat = Dedup.repetitionWeights(corpus, clusters, alpha = 0.0)
+      .collect()
+    assert(flat.forall(r => r.getDouble(3) == 1.0 && r.getLong(4) == 1L))
+    val half = Dedup.repetitionWeights(corpus, clusters, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(half(1L) == 0.5 && math.abs(half(5L) - 0.707107) < 1e-6)
+    intercept[IllegalArgumentException](
+      Dedup.repetitionWeights(corpus, clusters, alpha = -0.1))
+    intercept[IllegalArgumentException](Dedup.repetitionWeights(
+      corpus.withColumn("w", lit(1.0)), clusters))
+  }
+
   test("sourceOverlap counts distinct shared windows per source pair") {
     import spark.implicits._
     val corpus = Seq(

@@ -23,6 +23,61 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("truncationReport: per-dim recall matches a driver brute-force replay; full dim reads 1.0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val corpus = Similarity.prepare(e, "vec_id", "embedding")
+    val k = 5
+    val rep = try Similarity.truncationReport(corpus, col("vec_id") < 5,
+        dims = Seq(2, 8, 16), k = k).collect()
+      finally graft.core.Caches.release()
+    val byDim = rep.map(r => r.getInt(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(byDim.keySet === Set(2, 8, 16))
+    // driver replay: cosine top-k at each dim vs full, straight math
+    val vecs = e.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    val dim = vecs.values.head.length
+    def top(qid: Long, d: Int): Set[Long] = {
+      val q = vecs(qid).take(d)
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      vecs.toSeq.filter(_._1 != qid).map { case (id, v0) =>
+        val v = v0.take(d)
+        val vn = math.sqrt(v.map(x => x * x).sum)
+        val cos = BigDecimal(q.zip(v).map { case (a, b) => a * b }.sum / (qn * vn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, cos)
+      }.sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    }
+    Seq(2, 8, 16).foreach { d =>
+      val recalls = (0L until 5L).map(q =>
+        top(q, dim).intersect(top(q, d)).size.toDouble / k)
+      val mean = BigDecimal(recalls.sum / recalls.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(byDim(d)._1 === 5L)
+      assert(math.abs(byDim(d)._2 - mean) <= 1e-6,
+        s"dim $d: got ${byDim(d)._2}, replay $mean")
+      assert(byDim(d)._4 === 0L)
+    }
+    // the full dimension IS the exact result
+    val full = try Similarity.truncationReport(corpus, col("vec_id") < 5,
+        dims = Seq(dim), k = k).head()
+      finally graft.core.Caches.release()
+    assert(full.getDouble(2) === 1.0 && full.getDouble(3) === 1.0)
+    // refusals: empty/over-width dims, corpus-sized query batch
+    intercept[IllegalArgumentException](
+      Similarity.truncationReport(corpus, col("vec_id") < 5, Nil))
+    val over = try intercept[IllegalArgumentException](
+        Similarity.truncationReport(corpus, col("vec_id") < 5, Seq(dim + 1)))
+      finally graft.core.Caches.release()
+    assert(over.getMessage.contains("vector width"))
+    val broad = try intercept[IllegalArgumentException](
+        Similarity.truncationReport(corpus, lit(true), Seq(2), maxQueries = 3))
+      finally graft.core.Caches.release()
+    assert(broad.getMessage.contains("maxQueries"))
+  }
+
   test("q59 cluster summary: occupancy sums to corpus, dominant label is the argmax") {
     val out = try Similarity.q59ClusterSummary(spark, sfDir).collect()
     finally graft.core.Caches.release()
