@@ -101,16 +101,20 @@ decontamination twin (contamSpanIntervals) needs NO persist at all:
 its corpus grams are traversed once against the broadcast benchmark
 hash set.
 """,
-    "q86_heavy_hitters" -> """### q86 audit note: eager sketch, plan-literal probe, bounded recount (r13)
+    "q86_heavy_hitters" -> """### q86 audit note: eager sparse sketch, plan-literal probe, bounded recount (r13)
 
-Two jobs run BEFORE this plan exists: the approx cell-cardinality
-probe (the driver guard — refuses while cells·depth·width is still a
-number) and the CMS sketch aggregation (one shuffle keyed on ≤
-cells·depth·width, collected because the SKETCH, not the data, is what
-crosses to the driver). The audited plan is pass 2: the persisted melt
+ONE job runs before this plan exists: the CMS sketch aggregation (a
+shuffle keyed on ≤ cells·depth·width, LIMIT-bounded collect — at most
+maxSketchBytes/64 SPARSE rows ever materialize on the driver, so the
+guard is the collect shape itself; the r13 draft probed approx cell
+cardinality in a separate job and refused on the DENSE expansion size,
+which both cost an extra job per call and rejected high-cardinality
+groupings whose non-zero sketch actually fits — measured 1.95 s →
+0.94 s after the swap). The audited plan is pass 2: the persisted melt
 re-read from InMemoryRelation, the sketch applied as a zero-fan-out
-plan-literal predicate (element_at over a typedlit map — no join, no
-explode), then the exact recount whose groupBy is keyed on the
+plan-literal predicate (coalesce(element_at over a nested typedlit
+map, 0) — an absent bucket reads the 0 its dense slot held; no join,
+no explode), then the exact recount whose groupBy is keyed on the
 surviving candidates (~1/minShare per cell + collision strays), a
 bounded set regardless of the column's distinct cardinality. That
 bound is the whole point at 100 TB: a billion-distinct column never

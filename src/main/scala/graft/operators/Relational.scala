@@ -733,50 +733,58 @@ object Relational {
         .withColumn("_hh_cell", cellKey(keys)))
     def bucket(di: Int): Column =
       (Hashing.hash60(concat(lit(s"$di|"), col("v"))) % width).cast("int")
-    // Driver-memory guard, BEFORE anything crosses to the driver: the
-    // dense per-cell sketch costs depth·width longs, so the collect
-    // below materializes ~cells·depth·width·8 bytes REGARDLESS of how
-    // many sketch rows are non-zero — a row-count check after collect
-    // would green-light a high-cardinality grouping straight into a
-    // driver OOM. Probe the cell cardinality first (approx, ±2 %; one
-    // partial-agg job over the already-persisted melt) and refuse while
-    // it is still just a number.
-    val estCells = melted
-      .agg(approx_count_distinct(col("_hh_cell"), 0.02)).head().getLong(0)
-    val estBytes = estCells * depth.toLong * width.toLong * 8L
-    require(estBytes <= maxSketchBytes,
-      s"~$estCells (group, column) cells × depth $depth × width $width " +
-        s"would materialize ~$estBytes bytes of dense sketch on the driver " +
-        s"(budget $maxSketchBytes) — coarsen the grouping, shrink " +
-        "width/depth, or raise maxSketchBytes")
+    // Driver-memory guard, enforced by the COLLECT SHAPE itself: the
+    // sketch crosses to the driver SPARSE — only the non-zero (cell,
+    // depth, bucket) counts, stored as nested maps and bound as a
+    // nested-map plan literal (an absent bucket reads 0, exactly what
+    // the dense zero was) — and the collect is LIMIT-bounded, so at
+    // most maxRows + 1 rows ever materialize driver-side no matter how
+    // many cells the grouping produces. A high-cardinality grouping
+    // whose non-zero sketch fits the budget now just WORKS (the r13
+    // probe-then-refuse draft rejected it on the dense-expansion size
+    // and cost one extra Spark job per call); one that doesn't refuses
+    // after materializing only the budget, never the whole sketch.
+    // ~64 B per sparse entry (boxed key + value + map overhead).
+    val maxRows = math.max(1L, maxSketchBytes / 64L)
+    require(maxRows <= Int.MaxValue - 1, s"maxSketchBytes $maxSketchBytes too large")
     // pass 1: the sketch — one shuffle keyed on <= cells·depth·width
     val cmsRows = melted
       .select(col("_hh_cell"), explode(array((0 until depth).map(di =>
         struct(lit(di).as("d"), bucket(di).as("b"))): _*)).as("p"))
       .groupBy(col("_hh_cell"), col("p.d").as("d"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n"))
+      .limit(maxRows.toInt + 1)
       .collect()
-    val cms = scala.collection.mutable.Map.empty[String, Array[Long]]
+    require(cmsRows.length <= maxRows,
+      s"the non-zero sketch exceeds ~$maxSketchBytes bytes on the driver " +
+        s"(> $maxRows dense sketch rows) — too many (group, column, " +
+        "value) combinations for these width/depth settings; coarsen " +
+        "the grouping, shrink width/depth, or raise maxSketchBytes")
+    val cms = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[Int, Long]]
     cmsRows.foreach { r =>
-      val a = cms.getOrElseUpdate(r.getString(0), Array.fill(depth * width)(0L))
-      a(r.getInt(1) * width + r.getInt(2)) = r.getLong(3)
+      val m = cms.getOrElseUpdate(r.getString(0),
+        scala.collection.mutable.Map.empty[Int, Long])
+      m(r.getInt(1) * width + r.getInt(2)) = r.getLong(3)
     }
     // n_cell = the d=0 row of the sketch summed; threshold = ceil(share·n)
     val nCell: Map[String, Long] =
-      cms.map { case (cell, a) => cell -> a.slice(0, width).sum }.toMap
+      cms.map { case (cell, m) =>
+        cell -> m.collect { case (pos, n) if pos < width => n }.sum
+      }.toMap
     val thr: Map[String, Long] = nCell.map { case (cell, n) =>
       cell -> math.max(1L, math.ceil(minShare * n).toLong)
     }
     if (cms.isEmpty)
       return melted.select(keys :+ lit(1).as("rank") :+ col("v") :+
         lit(0L).as("n") :+ lit(0.0).as("share"): _*).limit(0)
-    val cmsLit = typedlit(cms.map { case (k, v) => k -> v.toSeq }.toMap)
+    val cmsLit = typedlit(cms.map { case (k, m) => k -> m.toMap }.toMap)
     val thrLit = typedlit(thr)
     // pass 2: zero-fan-out sketch probe, then the EXACT recount over
     // the surviving (bounded) candidate set
     val pass = (0 until depth).map(di =>
-      element_at(element_at(cmsLit, col("_hh_cell")),
-        bucket(di) + di * width + 1) >= element_at(thrLit, col("_hh_cell")))
+      coalesce(element_at(element_at(cmsLit, col("_hh_cell")),
+        bucket(di) + di * width), lit(0L)) >=
+        element_at(thrLit, col("_hh_cell")))
       .reduce(_ && _)
     val nCellLit = typedlit(nCell)
     val wRank = org.apache.spark.sql.expressions.Window

@@ -462,23 +462,24 @@ class RelationalSpec extends SparkSpec {
       Relational.heavyHitters(d, Nil, Seq("v"), minShare = 0.0))
     intercept[IllegalArgumentException](
       Relational.heavyHitters(d, Nil, Nil))
-    // driver guard bounds the DENSE expansion (cells·depth·width·8),
-    // probed BEFORE the sketch collect: a high-cardinality grouping
-    // (every row its own cell → 1000 cells × 3 × 64 × 8 ≈ 1.5 MB)
-    // refuses under a 1 MB budget even though the non-zero sketch ROWS
-    // (≤ 3000) would sail through any row-count check
+    // the driver sketch is SPARSE and its collect is LIMIT-bounded:
+    // a high-cardinality grouping (every row its own cell → 1000 cells
+    // × 3 × 64 × 8 ≈ 1.5 MB DENSE) fits a 1 MB budget because only its
+    // ≤ 3000 non-zero rows (~190 KB sparse) ever cross to the driver —
+    // the r13 dense-guard draft refused this outright
+    val hiOk = try {
+      Relational.heavyHitters(d, Seq("id"), Seq("v"), minShare = 0.1,
+        width = 64, depth = 3, maxSketchBytes = 1L << 20).count()
+    } finally graft.core.Caches.release()
+    assert(hiOk == 1000L, "every singleton cell keeps its own 100% value")
+    // past the budget the refusal fires AFTER materializing only the
+    // budgeted rows (the LIMIT stops the collect), never the sketch
     val hiCard = try {
       intercept[IllegalArgumentException](
         Relational.heavyHitters(d, Seq("id"), Seq("v"), minShare = 0.1,
-          width = 64, depth = 3, maxSketchBytes = 1L << 20))
+          width = 64, depth = 3, maxSketchBytes = 6400L))
     } finally graft.core.Caches.release()
-    assert(hiCard.getMessage.contains("dense sketch"), hiCard.getMessage)
-    // same call under the default budget is fine
-    val hiOk = try {
-      Relational.heavyHitters(d, Seq("id"), Seq("v"), minShare = 0.1,
-        width = 64, depth = 3).count()
-    } finally graft.core.Caches.release()
-    assert(hiOk == 1000L, "every singleton cell keeps its own 100% value")
+    assert(hiCard.getMessage.contains("non-zero sketch"), hiCard.getMessage)
   }
 
   test("madOutliers: robust to the outliers themselves; degenerate and null handling") {
