@@ -405,6 +405,42 @@ object Curate {
     * under any clustering); range partitioning on z still balances ROW
     * counts per file regardless.
     */
+  /** Per-group acceptance rate with a Wilson score interval — the
+    * crawl-triage report behind "which domains do we drop at this
+    * threshold": a bare rate treats a 3/4 domain and a 30 000/40 000
+    * domain as the same 75 %, and the drop decision then whipsaws on
+    * every small domain's luck. The Wilson interval (Wilson 1927 — the
+    * standard small-n binomial interval, what ranking-by-lower-bound
+    * uses everywhere) gives the defensible bound: drop when
+    * `wilson_hi` is still below the bar, keep when `wilson_lo` clears
+    * it, and everything between is "not enough evidence". `accepted`
+    * is any boolean column (e.g. `quality_prob >= 0.5`); null groups
+    * are a group (the [[Relational.profileColumns]] rule); z defaults
+    * to 1.96 (95 %). One bounded aggregation — two counters per group
+    * cross the shuffle, the interval is in-row arithmetic on the
+    * result. Output: (group, n, n_accepted, rate, wilson_lo,
+    * wilson_hi), group-ordered.
+    */
+  def acceptanceCI(d: DataFrame, group: Column, accepted: Column,
+                   z: Double = 1.96): DataFrame = {
+    require(z > 0.0, s"z must be positive, got $z")
+    val counts = d
+      .groupBy(group.as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(accepted, 1L).otherwise(0L)).as("n_accepted"))
+    val nD = col("n").cast("double")
+    val p = col("n_accepted").cast("double") / nD
+    val z2 = lit(z * z)
+    val center = (p + z2 / (nD * 2.0)) / (lit(1.0) + z2 / nD)
+    val spread = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (nD * nD * 4.0))) / (lit(1.0) + z2 / nD)
+    counts
+      .withColumn("rate", round(p, 6))
+      .withColumn("wilson_lo", round(greatest(center - spread, lit(0.0)), 6))
+      .withColumn("wilson_hi", round(least(center + spread, lit(1.0)), 6))
+      .orderBy(col("group"))
+  }
+
   def zorderWrite(d: DataFrame, path: String, clusterCols: Seq[String],
                   bits: Int = 16, nFiles: Int = 32,
                   maxRecordsPerFile: Long = 5000000L): Unit = {

@@ -280,6 +280,41 @@ class CurateSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("acceptanceCI: hand-computed Wilson bounds; small n stays wide; nulls group; clamped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two domains at the same 75% rate but 100x the evidence, plus a
+    // perfect tiny one and a null-source bucket
+    val d = ((1 to 3).map(i => ("small.com", true)) ++ Seq(("small.com", false)) ++
+      (1 to 300).map(i => ("big.com", true)) ++ (1 to 100).map(i => ("big.com", false)) ++
+      Seq(("tiny.org", true), ("tiny.org", true)) ++
+      Seq((null.asInstanceOf[String], false)))
+      .toDF("source", "ok")
+    val out = Curate.acceptanceCI(d, col("source"), col("ok")).collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    def wilson(k: Long, n: Long, z: Double = 1.96): (Double, Double) = {
+      val p = k.toDouble / n; val z2 = z * z
+      val c = (p + z2 / (2 * n)) / (1 + z2 / n)
+      val s = z * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n)) / (1 + z2 / n)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6(math.max(0.0, c - s)), r6(math.min(1.0, c + s)))
+    }
+    val (sLo, sHi) = wilson(3, 4); val (bLo, bHi) = wilson(300, 400)
+    assert(out("small.com") === ((4L, 3L, 0.75, sLo, sHi)))
+    assert(out("big.com") === ((400L, 300L, 0.75, bLo, bHi)))
+    // same rate, 100x evidence → much tighter interval; both contain 0.75
+    assert(bHi - bLo < (sHi - sLo) / 3)
+    assert(sLo < 0.75 && 0.75 < sHi && bLo < 0.75 && 0.75 < bHi)
+    // perfect 2/2 must NOT read certainty: lo well below 1, hi clamps to 1
+    val t = out("tiny.org")
+    assert(t._3 === 1.0 && t._4 < 0.75 && t._5 === 1.0)
+    // the null source is a group, not a dropped row
+    assert(out("NULL")._1 === 1L && out("NULL")._3 === 0.0)
+    intercept[IllegalArgumentException](
+      Curate.acceptanceCI(d, col("source"), col("ok"), z = 0.0))
+  }
+
   test("duplicateClusters salted path returns the plain path's clusters") {
     val d = graft.core.Tables(spark, sfDir, "documents")
     def run(salt: Int) = try Dedup.duplicateClusters(d, saltHubs = salt)
