@@ -697,34 +697,46 @@ class StreamLogSpec extends SparkSpec {
     // sweep. The old stagger ADDED work to the pauses (~740 ms/sweep
     // steady); the deadline design absorbs it (~500 ms). Median over
     // several sweeps with a wide bound keeps this robust to CI noise.
-    val root = Files.createTempDirectory("graft-fleet-cadence").toString
-    val stamps = new java.util.concurrent.CopyOnWriteArrayList[Long]()
-    val fleet = StreamLogs.startMaintenance(spark, root, intervalMs = 500,
-      tombstoneMaxAgeMs = Long.MaxValue, orphanGraceMs = Long.MaxValue,
-      onReport = (n, _) => {
-        if (n == "a") stamps.add(System.currentTimeMillis())
-        Thread.sleep(80)
-      })
-    try {
-      val c = clock(9995000)
-      Seq("a", "b", "c").foreach(n =>
-        fleet.open(n).publish(Seq("""{"i":1}"""), nowMs = c))
-      val deadline = System.currentTimeMillis() + 30000
-      while (System.currentTimeMillis() < deadline && stamps.size() < 6)
-        Thread.sleep(25)
-      assert(stamps.size() >= 6, s"only ${stamps.size()} sweeps in 30 s")
-      import scala.jdk.CollectionConverters._
-      val periods = stamps.asScala.toSeq.sliding(2)
-        .map { case Seq(x, y) => y - x }.toSeq.sorted
-      val median = periods(periods.size / 2)
-      // drift design would sit at ~740 ms; deadline design at ~500 ms
-      assert(median <= 650,
-        s"sweep cadence drifted: median period $median ms for intervalMs=500 " +
-          s"with 240 ms of maintenance (periods: $periods)")
-      // and the interval is still respected as a lower bound (no busy
-      // sweeping): nothing fires dramatically early
-      assert(median >= 400, s"sweeping too fast: $median ms (periods: $periods)")
-    } finally fleet.close()
+    // measured once and, on a miss, ONCE more: the upper bound is a
+    // wall-clock discriminator (~500 ms deadline design vs ~740 ms
+    // drift design), and a box saturated by a concurrent suite can
+    // stretch an honest 500 into the drift band for one window — a
+    // real drift regression sits at ~740 steadily and fails BOTH
+    // measurements, so the retry absorbs load, not bugs.
+    def measureOnce(): (Long, Seq[Long]) = {
+      val root = Files.createTempDirectory("graft-fleet-cadence").toString
+      val stamps = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+      val fleet = StreamLogs.startMaintenance(spark, root, intervalMs = 500,
+        tombstoneMaxAgeMs = Long.MaxValue, orphanGraceMs = Long.MaxValue,
+        onReport = (n, _) => {
+          if (n == "a") stamps.add(System.currentTimeMillis())
+          Thread.sleep(80)
+        })
+      try {
+        val c = clock(9995000)
+        Seq("a", "b", "c").foreach(n =>
+          fleet.open(n).publish(Seq("""{"i":1}"""), nowMs = c))
+        val deadline = System.currentTimeMillis() + 30000
+        while (System.currentTimeMillis() < deadline && stamps.size() < 6)
+          Thread.sleep(25)
+        assert(stamps.size() >= 6, s"only ${stamps.size()} sweeps in 30 s")
+        import scala.jdk.CollectionConverters._
+        val periods = stamps.asScala.toSeq.sliding(2)
+          .map { case Seq(x, y) => y - x }.toSeq.sorted
+        (periods(periods.size / 2), periods)
+      } finally fleet.close()
+    }
+    val (median, periods) = {
+      val first = measureOnce()
+      if (first._1 <= 650 && first._1 >= 400) first else measureOnce()
+    }
+    // drift design would sit at ~740 ms; deadline design at ~500 ms
+    assert(median <= 650,
+      s"sweep cadence drifted: median period $median ms for intervalMs=500 " +
+        s"with 240 ms of maintenance (periods: $periods)")
+    // and the interval is still respected as a lower bound (no busy
+    // sweeping): nothing fires dramatically early
+    assert(median >= 400, s"sweeping too fast: $median ms (periods: $periods)")
   }
 
   test("describe and describeSegments expose stream metadata as DataFrames") {
