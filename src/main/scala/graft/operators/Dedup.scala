@@ -193,6 +193,78 @@ object Dedup {
       .orderBy(col("bands"))
   }
 
+  /** Measured LSH s-curve vs the closed form — [[lshPlan]] predicts the
+    * banding's catch probability P(s) = 1 − (1 − s^r)^b; this report
+    * MEASURES it on the corpus' own similarity distribution, the same
+    * closed-loop discipline [[Similarity.annRecall]] gives the ANN
+    * family: per Jaccard decile of the true pair distribution, how many
+    * pairs exist, how many the bands actually caught, and what the
+    * curve said they should catch. Buckets at/above the verify τ read
+    * as RECALL (true near-dups the bands would silently drop); buckets
+    * below read as the wasted-verify rate the candidate join pays.
+    *
+    * Ground truth is exact Jaccard over every pair sharing ≥ 1 shingle
+    * WITHIN A DETERMINISTIC DOC SAMPLE (hash60(doc_id|salt) %
+    * `sampleMod` == 0 — the [[Sampling.hashSample]] membership rule):
+    * exact pairwise truth is inherently quadratic-risk, so the sample
+    * is the scale knob, its size probed and refused past
+    * `maxSampleDocs` BEFORE any pair work (the q47 probe-then-refuse
+    * pattern). Minhash band keys collide only on a shared shingle
+    * achieving both minima, so every candidate pair shares ≥ 1 shingle
+    * — the truth frame covers all candidates and one left join scores
+    * them. Disjoint-shingle pairs (J = 0 exactly) are out of frame on
+    * both sides.
+    *
+    * Output: (j_bucket, n_pairs, n_candidates, p_measured, p_expected)
+    * — bucket = floor(J·10)/10, identical docs land in bucket 1.0 —
+    * ordered by bucket.
+    */
+  def lshRecallReport(d: DataFrame, n: Int = 3, seeds: Int = 16,
+                      bands: Int = 4, sampleMod: Int = 1, salt: Long = 0L,
+                      maxSampleDocs: Int = 20000): DataFrame = {
+    require(seeds % bands == 0, s"$seeds signatures must band evenly into $bands")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val r = seeds / bands
+    val member = pmod(Hashing.hash60(
+      concat(col("doc_id").cast("string"), lit("|"), lit(salt))), lit(sampleMod)) === 0
+    val sample = graft.core.Caches.persist(
+      d.select(col("doc_id"), col("text")).filter(member))
+    val nDocs = sample.count()
+    require(nDocs <= maxSampleDocs,
+      s"$nDocs sampled docs > maxSampleDocs=$maxSampleDocs — raise sampleMod " +
+        "(exact pairwise truth is quadratic in the sample)")
+    val sets = graft.core.Caches.persist(
+      docSets(sample, n).withColumn("n_sh", size(col("hs"))))
+    val inv = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val truth = inv.as("a")
+      .join(inv.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("j", col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")).cast("double"))
+    val banded = bandIndex(sample, n, seeds, bands, persistSigs = true)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("_lr_hit", lit(1L))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("p_exp",
+        lit(1.0) - pow(lit(1.0) - pow(col("j"), lit(r.toDouble)), lit(bands.toDouble)))
+      .groupBy((floor(col("j") * 10) / 10.0).as("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("_lr_hit"), lit(0L))).as("n_candidates"),
+        round(avg(col("p_exp")), 6).as("p_expected"))
+      .select(col("j_bucket"), col("n_pairs"), col("n_candidates"),
+        round(col("n_candidates").cast("double") / col("n_pairs"), 6).as("p_measured"),
+        col("p_expected"))
+      .orderBy(col("j_bucket"))
+  }
+
   /** SimHash near-duplicate detection over any (id, text) frame: 60-bit
     * signature via per-token ±count votes on each bit of hash60(token)
     * (integer sums — no float anywhere, commutative-exact, so the

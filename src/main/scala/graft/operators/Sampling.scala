@@ -973,6 +973,87 @@ object Sampling {
     cal.withColumn("ppl_bucket", bucket)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): each row draws the
+    * exponential-race key ln(u)/w with u ∈ (0,1] derived from
+    * hash60(key | salt) — NOT an RNG — and the global top-`k` by that
+    * key is exactly a weight-proportional sample without replacement
+    * (row i enters with the probability of winning the exponential
+    * race at rate wᵢ). The module's determinism contract holds: the
+    * sample is a pure function of (data, salt), reproducible across
+    * runs, engines, and partitionings, and `salt` re-deals it.
+    *
+    * Scale shape: the score is a zero-shuffle projection and the
+    * top-k is Spark's TakeOrderedAndProject — each partition keeps its
+    * local k and only k·partitions candidate rows ever move, no global
+    * sort, no corpus shuffle. `k` is driver-materialization-bounded
+    * (refused past `maxK`, the q47 probe-then-refuse budget pattern).
+    *
+    * Weights must be strictly positive and non-null — refused via one
+    * partial-agg probe (min + null count in a single reduce; a w ≤ 0
+    * row has no defined race rate, and silently dropping it would bias
+    * the sample the caller asked this operator to make defensible).
+    * `key` should be unique per row (duplicate keys draw the same u —
+    * their race is decided by weight alone, documented not refused:
+    * the probe-or-not knob belongs to [[interleaveBySource]]-style
+    * positional ops, while a duplicated sample key usually means the
+    * caller is sampling pre-aggregated rows on purpose).
+    * Output: the sampled rows, ordered by descending race key (a
+    * deterministic "sample order"), original columns only.
+    */
+  def weightedSample(d: DataFrame, key: Column, weight: Column, k: Int,
+                     salt: Long = 0L, maxK: Int = 10000000): DataFrame = {
+    require(k > 0 && k <= maxK, s"need 0 < k <= maxK=$maxK, got $k")
+    val w = weight.cast("double")
+    val probe = d.agg(min(w), sum(when(w.isNull, 1L).otherwise(0L))).head()
+    val nulls = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    require(nulls == 0L, s"weight has $nulls null rows — no defined race rate")
+    if (!probe.isNullAt(0))
+      require(probe.getDouble(0) > 0.0,
+        s"weight must be strictly positive, min = ${probe.getDouble(0)}")
+    d.withColumn("_ws_key", raceKey(key, w, salt))
+      .orderBy(col("_ws_key").desc, key)
+      .limit(k)
+      .drop("_ws_key")
+  }
+
+  /** ln(u)/w with u = (hash60(key|salt) + 1) / 2⁶⁰ ∈ (0, 1] — the
+    * shared race key of [[weightedSample]]/[[weightedSamplePerGroup]],
+    * all double math in codegen'd builtins (java.lang.Math.log), so a
+    * driver replay of the same formula is bit-identical. Keys are ≤ 0;
+    * larger (closer to 0) wins. */
+  private def raceKey(key: Column, w: Column, salt: Long): Column =
+    log((Hashing.hash60(concat(key.cast("string"), lit("|"), lit(salt)))
+      .cast("double") + lit(1.0)) / lit(math.pow(2.0, 60))) / w
+
+  /** [[weightedSample]] per group — k winners of the exponential race
+    * INSIDE each `group` (per-source holdouts, per-language eval
+    * slices). One shuffle on the group key + a per-group top-k window;
+    * a group with fewer than k rows returns all of them. Same weight
+    * refusal, same determinism. Output: input columns, ordered by
+    * (group, descending race key).
+    */
+  def weightedSamplePerGroup(d: DataFrame, group: Column, key: Column,
+                             weight: Column, k: Int,
+                             salt: Long = 0L): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(!d.columns.contains("_ws_rank"),
+      "input already has a _ws_rank column; rename it first")
+    val w = weight.cast("double")
+    val probe = d.agg(min(w), sum(when(w.isNull, 1L).otherwise(0L))).head()
+    val nulls = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    require(nulls == 0L, s"weight has $nulls null rows — no defined race rate")
+    if (!probe.isNullAt(0))
+      require(probe.getDouble(0) > 0.0,
+        s"weight must be strictly positive, min = ${probe.getDouble(0)}")
+    val keyed = d.withColumn("_ws_key", raceKey(key, w, salt))
+    keyed.withColumn("_ws_rank", row_number().over(
+        Window.partitionBy(group).orderBy(col("_ws_key").desc, key)))
+      .filter(col("_ws_rank") <= k)
+      .orderBy(group, col("_ws_key").desc, key)
+      .drop("_ws_key", "_ws_rank")
+  }
+
   /** Curriculum ordering — the training-order policy between
     * [[perplexityBuckets]] (which bands) and [[shuffleDeterministic]]
     * (which shuffles): rows ordered best-band-first in `bands` global

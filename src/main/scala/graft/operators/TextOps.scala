@@ -393,6 +393,87 @@ object TextOps {
     chunkDocuments(docs(spark, dir), maxTokens = 64, overlap = 16)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Sentence-boundary split regex: break after [.!?] + whitespace when
+    * the next char opens a sentence (capital / digit / quote / paren),
+    * EXCEPT after the common abbreviations (Mr./Dr./e.g./et al./…) —
+    * the classic rule-based segmenter (Grefenstette & Tapanainen 1994
+    * lineage), deliberately deterministic and language-thin: a
+    * heuristic the oracle-free spec can pin exactly, not a model.
+    * Decimal points ("3.5") never match (no whitespace follows the
+    * dot); "..." splits once at its end like a single terminator.
+    */
+  private val SentenceSplit =
+    "(?<!\\b(?:Mr|Mrs|Ms|Dr|Prof|Sr|Jr|St|vs|etc|e\\.g|i\\.e|Fig|No|al)\\.)" +
+      "(?<=[.!?])\\s+(?=[\"'(]?[A-Z0-9])"
+
+  /** Sentence segmentation: one row per sentence, per document —
+    * (doc_id, sent_idx, sentence). A zero-shuffle projection + lateral
+    * explode (the [[chunkDocuments]] shape): the regex runs once per
+    * doc in the scan projection and the generate streams sentences
+    * out. Documents with no boundary emit themselves as sentence 0;
+    * empty/whitespace-only text emits nothing.
+    */
+  def segmentSentences(d: DataFrame, text: Column = col("text")): DataFrame =
+    d.select(col("doc_id"),
+        filter(split(trim(text), SentenceSplit), s => length(s) > 0).as("_ss"))
+      .filter(size(col("_ss")) > 0)
+      .select(col("doc_id"), posexplode(col("_ss")).as(Seq("sent_idx", "sentence")))
+
+  /** Sentence-respecting chunking — [[chunkDocuments]] cuts exactly at
+    * `maxTokens` mid-sentence; retrieval/eval corpora usually want the
+    * greedy alternative that NEVER splits a sentence: pack consecutive
+    * sentences into a chunk until the next one would overflow
+    * `maxTokens`, then start a new chunk (first-fit in order — chunks
+    * are contiguous, so document order survives). A single sentence
+    * longer than `maxTokens` gets its own oversized chunk rather than
+    * being broken (route such corpora through [[chunkDocuments]] or
+    * trim first; the report row makes them visible via chunk_tokens >
+    * maxTokens).
+    *
+    * Zero shuffles: the greedy pass is one `aggregate()` over the
+    * per-doc sentence-count array (sequential by nature, per-doc
+    * bounded exactly like every text kernel here), and chunk texts
+    * materialize via a per-chunk filter — O(sentences · chunks) per
+    * doc, fine for documents, wrong for book-length monsters (which
+    * the token-window chunker handles in O(tokens)).
+    * Output: (doc_id, chunk_idx, n_chunks, chunk_tokens, chunk_text).
+    */
+  def chunkBySentences(d: DataFrame, maxTokens: Int,
+                       text: Column = col("text")): DataFrame = {
+    require(maxTokens > 0, s"need maxTokens > 0, got $maxTokens")
+    val sents = filter(split(trim(text), SentenceSplit), s => length(s) > 0)
+    val counts = transform(col("_sents"),
+      s => size(filter(split(s, " "), t => length(t) > 0)))
+    val zero = struct(lit(0).as("idx"), lit(0).as("cur"),
+      array().cast("array<int>").as("ids"))
+    val ids = aggregate(counts, zero,
+      (a, c) => {
+        val nc = a("cur") > 0 && a("cur") + c > lit(maxTokens)
+        val idx2 = when(nc, a("idx") + 1).otherwise(a("idx"))
+        struct(idx2.as("idx"),
+          when(nc, c).otherwise(a("cur") + c).as("cur"),
+          concat(a("ids"), array(idx2)).as("ids"))
+      },
+      a => a("ids"))
+    d.select(col("doc_id"), sents.as("_sents"))
+      .filter(size(col("_sents")) > 0)
+      .withColumn("_ids", ids)
+      .withColumn("n_chunks", element_at(col("_ids"), -1) + 1)
+      .withColumn("_zip",
+        zip_with(col("_sents"), col("_ids"),
+          (s, i) => struct(i.as("cid"), s.as("s"))))
+      .select(col("doc_id"), col("n_chunks"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          k => array_join(transform(
+            filter(col("_zip"), p => p("cid") === k), p => p("s")), " ")))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("n_chunks").cast("long").as("n_chunks"),
+        size(filter(split(col("chunk_text"), " "), t => length(t) > 0))
+          .cast("long").as("chunk_tokens"),
+        col("chunk_text"))
+  }
+
   /** The Gopher quality rules (Rae et al. 2021, Appendix A1.1) as one
     * zero-shuffle projection — the PUBLISHED heuristic rule set every
     * large-scale curation recipe starts from (Gopher itself, then

@@ -527,4 +527,80 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.lshPlan(spark, tau = 0.03))
     intercept[IllegalArgumentException](Dedup.lshPlan(spark, tau = 0.97))
   }
+
+  /** Driver-side replay of Hashing.hash60 (sample-membership replay). */
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("lshRecallReport: truth buckets replay exactly, curve matches closed form") {
+    import spark.implicits._
+    graft.core.Caches.release()
+    try {
+      // 3 pairs per similarity tier (shared prefix of t tokens out of
+      // 40; tier vocabularies are disjoint so pairs never cross-talk),
+      // plus 10 unrelated singletons that must stay out of frame
+      def words(p: Int, tag: String, from: Int, n: Int): Seq[String] =
+        (from until from + n).map(i => s"p$p${tag}_w$i")
+      val fixture = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      var id = 0L
+      def add(toks: Seq[String]): Unit = { id += 1; fixture += ((id, toks.mkString(" "))) }
+      for (t <- Seq(40, 38, 28, 15, 5); rep <- 0 until 3) {
+        val p = t * 10 + rep
+        val base = words(p, "", 0, 40)
+        add(base)
+        add(base.take(t) ++ words(p, "x", t, 40 - t))
+      }
+      for (s <- 0 until 10) add(words(9000 + s, "s", 0, 40))
+      val d = fixture.toSeq.toDF("doc_id", "text")
+
+      val rep = Dedup.lshRecallReport(d, n = 3, seeds = 16, bands = 4)
+        .collect().map(r => r.getDouble(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+
+      // driver truth: exact 3-gram Jaccard of every shingle-sharing pair
+      def grams(t: String) = t.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet
+      val sets = fixture.map { case (i, t) => i -> grams(t) }.toMap
+      val pairs = for {
+        a <- fixture; b <- fixture; if a._1 < b._1
+        sh = (sets(a._1) & sets(b._1)).size; if sh > 0
+      } yield sh.toDouble / (sets(a._1).size + sets(b._1).size - sh)
+      val byBucket = pairs.groupBy(j => math.floor(j * 10) / 10.0)
+      assert(rep.keySet === byBucket.keySet)
+      for ((bk, js) <- byBucket) {
+        assert(rep(bk)._1 === js.size.toLong, s"n_pairs at $bk")
+        val pExp = js.map(j => 1.0 - math.pow(1.0 - math.pow(j, 4.0), 4.0)).sum / js.size
+        assert(math.abs(rep(bk)._4 - pExp) < 1e-6, s"p_expected at $bk")
+      }
+      // identical docs share every band: bucket 1.0 is fully caught
+      assert(rep(1.0)._1 === 3L && rep(1.0)._3 === 1.0)
+
+      // candidates cross-check: minhashNearDup at a floor tau verifies
+      // every candidate (all true pairs here sit above 0.01), so its
+      // verified pairs bucketed by their own jaccard ARE n_candidates
+      graft.core.Caches.release()
+      val mh = Dedup.minhashNearDup(d, n = 3, seeds = 16, bands = 4, tau = 0.01)
+        .collect().map(r => math.floor(r.getDouble(2) * 10) / 10.0)
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      for ((bk, t) <- rep)
+        assert(t._2 === mh.getOrElse(bk, 0L), s"n_candidates at $bk")
+
+      // the sample knob: membership is the deterministic hash rule, so
+      // sampleMod=2 equals the report over the pre-filtered frame
+      graft.core.Caches.release()
+      val member = fixture.map(_._1).filter(i => h60(s"$i|0") % 2 == 0).toSeq
+      val want = Dedup.lshRecallReport(
+        d.filter(col("doc_id").isin(member: _*)), n = 3).collect().toSeq
+      graft.core.Caches.release()
+      val got = Dedup.lshRecallReport(d, n = 3, sampleMod = 2).collect().toSeq
+      assert(got === want)
+
+      intercept[IllegalArgumentException](
+        Dedup.lshRecallReport(d, maxSampleDocs = 3))
+      intercept[IllegalArgumentException](
+        Dedup.lshRecallReport(d, seeds = 16, bands = 3))
+    } finally graft.core.Caches.release()
+  }
 }

@@ -766,4 +766,63 @@ class SamplingSpec extends SparkSpec {
         f.withColumn("ppl_bucket", lit("x")), col("src"), col("ppl")))
     } finally graft.core.Caches.release()
   }
+
+  /** Driver replay of weightedSample's exponential race key. */
+  private def race(id: Long, w: Double, salt: Long): Double =
+    math.log((h60(s"$id|$salt").toDouble + 1.0) / math.pow(2.0, 60)) / w
+
+  test("weightedSample equals the driver replay of the exponential race") {
+    import spark.implicits._
+    val rows = (1L to 60L).map(i => (i, (i % 7 + 1).toDouble * 0.5))
+    val d = rows.toDF("doc_id", "w")
+    val got = Sampling.weightedSample(d, col("doc_id"), col("w"), k = 12)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val want = rows.sortBy { case (i, w) => (-race(i, w, 0L), i) }
+      .take(12).map(_._1)
+    assert(got === want)
+    // deterministic: a second run and a repartitioned input agree
+    val again = Sampling.weightedSample(d.repartition(7), col("doc_id"),
+      col("w"), k = 12).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(again === got)
+    // salt re-deals: the salted sample matches ITS replay
+    val salted = Sampling.weightedSample(d, col("doc_id"), col("w"),
+      k = 12, salt = 9L).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(salted === rows.sortBy { case (i, w) => (-race(i, w, 9L), i) }
+      .take(12).map(_._1))
+  }
+
+  test("weightedSample: weight dominance, short input, and refusals") {
+    import spark.implicits._
+    val d = ((1L to 30L).map(i => (i, 1.0)) :+ (99L, 1e9)).toDF("doc_id", "w")
+    // ln(u)/1e9 ≈ 0 beats every unit-weight key — the heavy row always wins
+    val top = Sampling.weightedSample(d, col("doc_id"), col("w"), k = 5)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(top.head === 99L)
+    // k past the row count returns everything
+    assert(Sampling.weightedSample(d, col("doc_id"), col("w"), k = 1000)
+      .count() === 31L)
+    intercept[IllegalArgumentException](Sampling.weightedSample(
+      d.withColumn("w", lit(0.0)), col("doc_id"), col("w"), k = 5))
+    intercept[IllegalArgumentException](Sampling.weightedSample(
+      d.withColumn("w", when(col("doc_id") === 3, lit(null))
+        .otherwise(col("w"))), col("doc_id"), col("w"), k = 5))
+    intercept[IllegalArgumentException](Sampling.weightedSample(
+      d, col("doc_id"), col("w"), k = 11, maxK = 10))
+  }
+
+  test("weightedSamplePerGroup: per-group replay, small groups whole") {
+    import spark.implicits._
+    val rows = (1L to 30L).map(i => ("a", i, (i % 5 + 1).toDouble)) ++
+      (101L to 104L).map(i => ("b", i, 2.0))
+    val d = rows.toDF("g", "doc_id", "w")
+    val got = Sampling.weightedSamplePerGroup(d, col("g"), col("doc_id"),
+        col("w"), k = 6)
+      .select("g", "doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (_, grp) =>
+      grp.sortBy { case (_, i, w) => (-race(i, w, 0L), i) }.take(6)
+        .map(t => (t._1, t._2))
+    }
+    assert(got.toSeq === want)
+    assert(got.count(_._1 == "b") === 4) // under-k group returns all rows
+  }
 }

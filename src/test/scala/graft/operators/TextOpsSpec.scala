@@ -483,4 +483,76 @@ class TextOpsSpec extends SparkSpec {
     val plan = TextOps.compressionSignal(d).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"signal plan shuffles:\n$plan")
   }
+
+  test("segmentSentences: boundaries, abbreviations, decimals, degenerate docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "Dr. Smith went home. He slept! Did he? Yes."),
+      (2L, "It cost 3.5 dollars. Cheap."),
+      (3L, "See Fig. 4 for details. Then stop."),
+      (4L, "no terminator here at all"),
+      (5L, ""),
+      (6L, "   ")
+    ).toDF("doc_id", "text")
+    val out = TextOps.segmentSentences(d).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+      }
+    assert(out(1L) === Seq("Dr. Smith went home.", "He slept!", "Did he?", "Yes."))
+    assert(out(2L) === Seq("It cost 3.5 dollars.", "Cheap."))
+    // "Fig. 4" survives even though a digit follows the period
+    assert(out(3L) === Seq("See Fig. 4 for details.", "Then stop."))
+    assert(out(4L) === Seq("no terminator here at all"))
+    assert(!out.contains(5L) && !out.contains(6L))
+    // zero-shuffle projection + generate
+    val plan = TextOps.segmentSentences(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"segment plan shuffles:\n$plan")
+  }
+
+  test("chunkBySentences: greedy first-fit, oversized sentences whole, conservation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // sentence token counts 5, 4, 3, 6, 2 -> at max 9: [5+4][3+6][2]
+    val s = Seq("One two three four five.", "Six seven eight nine.",
+      "Ten eleven twelve.", "A b c d e f.", "Tail end.")
+    val over = "W1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12." // 12 tokens, alone
+    val d = Seq(
+      (1L, s.mkString(" ")),
+      (2L, Seq("Two words.", over, "Last one.").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkBySentences(d, maxTokens = 9).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.sortBy(_.getLong(1)).map(r => (r.getLong(3), r.getString(4))).toSeq
+      }
+    assert(out(1L) === Seq(
+      (9L, s"${s(0)} ${s(1)}"), (9L, s"${s(2)} ${s(3)}"), (2L, s(4))))
+    // the 12-token sentence exceeds the budget but is never split
+    assert(out(2L) === Seq((2L, "Two words."), (12L, over), (2L, "Last one.")))
+    // conservation on real corpus text: chunks concatenate back to the
+    // segmented doc, and every boundary is a sentence boundary (the
+    // greedy driver replay agrees chunk-for-chunk)
+    val docs = graft.core.Tables(spark, sfDir, "documents").limit(50)
+    val sents = TextOps.segmentSentences(docs).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.sortBy(_.getInt(1)).map(_.getString(2)).toSeq }
+    val chunks = TextOps.chunkBySentences(docs, maxTokens = 64).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.sortBy(_.getLong(1)).map(_.getString(4)).toSeq }
+    assert(chunks.keySet === sents.keySet)
+    for ((id, ss) <- sents) {
+      val replay = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      var curTok = 0
+      for (sent <- ss) {
+        val t = sent.split(" ").count(_.nonEmpty)
+        if (curTok > 0 && curTok + t > 64) {
+          replay += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer(sent); curTok = t
+        } else { cur += sent; curTok += t }
+      }
+      if (cur.nonEmpty) replay += cur.toSeq
+      assert(chunks(id) === replay.map(_.mkString(" ")).toSeq, s"doc $id")
+    }
+    intercept[IllegalArgumentException](TextOps.chunkBySentences(d, 0))
+  }
 }
