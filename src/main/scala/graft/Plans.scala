@@ -26,9 +26,11 @@ object Plans {
     "q70_incremental_dedup", "q71_pack_sequences", "q72_mixture_manifest",
     "q73_normalize", "q74_knn_accuracy", "q76_funnel", "q77_retention",
     "q78_chunk", "q79_snapshot_diff", "q80_decontaminate", "q82_profile",
-    "q83_hist", "q84_dup_spans", "q85_rate_z", "q86_heavy_hitters")
-  // q21_consume_from_offset left the registry in r13 (slot swap to
-  // q86; its shape duplicated q20's) — spec-gated in EventOpsSpec.
+    "q83_hist", "q84_dup_spans", "q85_rate_z", "q86_heavy_hitters",
+    "q87_weighted_sample")
+  // q21_consume_from_offset and q22_time_travel left the registry in
+  // r13 (slot swaps to q86 and q87; both shapes were filters over
+  // q20's offset frame) — spec-gated differentially in EventOpsSpec.
   // q75_pagerank is deliberately absent: Graph.pageRank executes eagerly
   // at build time (the co-partitioned RDD iteration materializes before
   // a plan exists), so its "plan" is just a scan of the result RDD —
@@ -120,6 +122,22 @@ bounded set regardless of the column's distinct cardinality. That
 bound is the whole point at 100 TB: a billion-distinct column never
 keys a shuffle here — compare topValues, whose first exchange is keyed
 on every distinct value.
+""",
+    "q87_weighted_sample" -> """### q87 audit note: one probe reduce, then TakeOrdered — no corpus shuffle (r13)
+
+ONE job runs before this plan exists: the positive-weight probe
+(min(w) + null count in a single partial-agg reduce — a few longs per
+partition move, nothing else). The audited plan is the sample itself:
+the race key ln(u)/w is a codegen'd projection fused into the parquet
+scan (ReadSchema carries only doc_id/source/text), and the top-k is
+TakeOrderedAndProject — every partition keeps its local 100, the
+driver merges k·partitions candidate rows, and NO exchange appears in
+the plan at any corpus size. That shape is why Efraimidis–Spirakis
+sampling scales where sort-based weighted sampling doesn't: the global
+sort a naive ORDER BY rk would pay is replaced by per-partition heaps,
+so a 100 TB corpus pays one scan and moves ~100 rows per partition.
+The md5-derived u keeps the whole race a pure function of the data —
+the DuckDB oracle replays the ORDER, not just the membership.
 """,
     "q85_rate_z" -> """### q85 audit note: one count shuffle, stats broadcast back (r12)
 

@@ -97,6 +97,11 @@ object EventOps {
 
   /** q22: time-travel read — "everything flushed at/after T" via the
     * boundary offset (README.md:103-108), aggregated per event type.
+    * Held a gated registry slot through r13's first swap; retired later
+    * in r13 (like q21, its surface is a filter over q20's offset frame
+    * — the registry's last duplicated shape; bench-slot swap policy
+    * SURVEY §2.6) in favor of q87_weighted_sample. Spec-gated
+    * differentially against q20 since.
     */
   def q22TimeTravel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -719,7 +724,6 @@ object EventOps {
     "q28_asof_join" -> (q28AsofJoin _),
     "q29_range_join" -> (q29RangeJoin _),
     "q20_stream_offsets" -> (q20StreamOffsets _),
-    "q22_time_travel" -> (q22TimeTravel _),
     "q23_tumbling" -> (q23Tumbling _),
     "q46_hopping" -> (q46HoppingWindow _),
     "q24_sessionize" -> (q24Sessionize _),
@@ -767,12 +771,6 @@ object EventOps {
     "q20_stream_offsets" ->
       s"""$EvCte
          |SELECT event_id, event_type, "offset" FROM ev ORDER BY "offset"""".stripMargin,
-    "q22_time_travel" ->
-      s"""$EvCte
-         |SELECT event_type, count(*) AS n_events,
-         |  min("offset") AS first_offset, max("offset") AS last_offset
-         |FROM ev WHERE "offset" > '${Offset.timeTravel(1705708800000L)}'
-         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q23_tumbling" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |  count(*) AS n_events,

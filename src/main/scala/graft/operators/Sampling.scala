@@ -1017,6 +1017,21 @@ object Sampling {
       .drop("_ws_key")
   }
 
+  /** q87: weighted sample of 100 documents, weight = whitespace token
+    * count (split("") is [""], so the weight is ≥ 1 and the positive
+    * probe never refuses). Gated in r13 (the slot came from q22, whose
+    * surface shape — offset projection over q20's frame — was the
+    * registry's last remaining duplicate; swap policy SURVEY §2.6):
+    * the DuckDB oracle replays the exponential race bit-for-bit from
+    * the same md5-derived u and the same double formula, so the gate
+    * pins the race ORDER, not just membership.
+    */
+  def q87WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(
+      docs(spark, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      col("doc_id"), col("n_tokens"), k = 100)
+
   /** ln(u)/w with u = (hash60(key|salt) + 1) / 2⁶⁰ ∈ (0, 1] — the
     * shared race key of [[weightedSample]]/[[weightedSamplePerGroup]],
     * all double math in codegen'd builtins (java.lang.Math.log), so a
@@ -1108,7 +1123,8 @@ object Sampling {
     "q62_split_manifest" -> (q62SplitManifest _),
     "q63_length_trim" -> (q63LengthTrim _),
     "q71_pack_sequences" -> (q71PackSequences _),
-    "q72_mixture_manifest" -> (q72MixtureManifest _)
+    "q72_mixture_manifest" -> (q72MixtureManifest _),
+    "q87_weighted_sample" -> (q87WeightedSample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1179,6 +1195,21 @@ object Sampling {
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN n_repeats > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(sum(n_repeats) AS BIGINT) AS n_instances
-         |FROM r GROUP BY source ORDER BY source""".stripMargin
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // the exponential race ln(u)/w replayed verbatim: same md5-derived
+    // u, same double ops in the same order (ln of the quotient, then
+    // the divide by w) — key gaps are ~10 orders of magnitude above
+    // 1 ulp, so a libm-vs-JVM ln difference can't reorder the race
+    "q87_weighted_sample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ln((${Hashing.duckHash60("CAST(doc_id AS VARCHAR) || '|0'")} + 1.0)
+         |        / 1152921504606846976.0)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS rk
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, n_tokens FROM w
+         |ORDER BY rk DESC, doc_id LIMIT 100""".stripMargin
   )
 }

@@ -27,6 +27,28 @@ class EventOpsSpec extends SparkSpec {
     assert(got.length <= 500)
   }
 
+  test("q22 time-travel pins to q20's offset frame (slot retired to this spec in r13)") {
+    import org.apache.spark.sql.functions.col
+    // q22 is q20's offset assignment filtered at the time-travel
+    // boundary + a per-type rollup; its oracle slot went to
+    // q87_weighted_sample, so pin it here by replaying the rollup from
+    // q20's own (already differentially gated) frame
+    val boundary = graft.streamlog.Offset.timeTravel(1705708800000L)
+    val got = EventOps.q22TimeTravel(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getString(3)))
+    val base = EventOps.q20StreamOffsets(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("offset")))
+      .filter(_._2 > boundary)
+    val expect = base.groupBy(_._1).map { case (t, rs) =>
+      t -> (rs.length.toLong, rs.map(_._2).min, rs.map(_._2).max)
+    }
+    assert(got.toMap === expect)
+    // output ordered by event_type, every first_offset past the boundary
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+    assert(got.forall(_._2._2 > boundary))
+  }
+
   test("asofJoin is row-consistent when right rows hold NULL value columns") {
     import spark.implicits._
     // user 1 has right rows at t=1 (price=10, qty=NULL) and t=2
