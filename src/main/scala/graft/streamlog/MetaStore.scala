@@ -1,7 +1,7 @@
 package graft.streamlog
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, StandardOpenOption}
+import java.nio.file.{Files, Path}
 
 /** The storage seam under the metadata log: CONDITIONAL APPEND.
   *
@@ -78,8 +78,44 @@ trait MetaStore {
   * the write. Read and append take the lock SEPARATELY — the protocol
   * correctness lives in the tag compare, exactly as it would against a
   * bucket where no lock exists at all.
+  *
+  * CRASH ATOMICITY (r13): `appendIf` commits via whole-file rewrite +
+  * atomic rename, NOT `O_APPEND` — a writer killed at any instant
+  * (kill -9, power loss) leaves either the old committed log or the
+  * new one, never a partial append. This matters most for MULTI-LINE
+  * appends: a torn sink-epoch commit (add lines landed, epoch marker
+  * lost) would wedge the stream — the retry sees its own debris as an
+  * overlap and refuses forever. The rewrite is the same cost model as
+  * the conditional-PUT object store this seam targets (S3 "append" IS
+  * a full-object If-Match PUT), and [[MetaCommits.checkpoint]] bounds
+  * the log at O(live segments), so the rewrite stays KB-scale at any
+  * corpus size. Logs written by a pre-atomic-append writer that died
+  * mid-`O_APPEND` are repaired on first touch: a committed log always
+  * ends in '\n', so a file that doesn't is cut back to its last
+  * committed line (safe under the lock — no append can be in flight).
   */
 final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
+
+  /** tmp-write + atomic rename: readers (and any kill point) see the
+    * old bytes or the new bytes, never a prefix. */
+  private def writeAtomic(bytes: Array[Byte]): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Cut a torn trailing line (legacy O_APPEND crash debris) back to
+    * the last '\n'. Caller holds the lock. */
+  private def repairTornTail(): Unit =
+    if (Files.exists(path)) {
+      val bytes = Files.readAllBytes(path)
+      if (bytes.nonEmpty && bytes.last != '\n') {
+        val cut = bytes.lastIndexOf('\n'.toByte) + 1
+        writeAtomic(java.util.Arrays.copyOfRange(bytes, 0, cut))
+      }
+    }
 
   override def readWithTag(): (Vector[String], Long) =
     // no-file fast path OUTSIDE the lock: taking it would re-create the
@@ -90,6 +126,7 @@ final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
     else StreamLocks.withLock(lockDir) {
       if (!Files.exists(path)) (Vector.empty, 0L)
       else {
+        repairTornTail()
         import scala.jdk.CollectionConverters._
         (Files.readAllLines(path, UTF_8).asScala.toVector, Files.size(path))
       }
@@ -97,11 +134,12 @@ final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
 
   override def appendIf(tag: Long, lines: Seq[String]): Boolean =
     StreamLocks.withLock(lockDir) {
-      val size = if (Files.exists(path)) Files.size(path) else 0L
-      if (size != tag) false
+      repairTornTail()
+      val old = if (Files.exists(path)) Files.readAllBytes(path)
+        else Array.emptyByteArray
+      if (old.length.toLong != tag) false
       else {
-        Files.write(path, lines.mkString("", "\n", "\n").getBytes(UTF_8),
-          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        writeAtomic(old ++ lines.mkString("", "\n", "\n").getBytes(UTF_8))
         true
       }
     }
@@ -112,14 +150,11 @@ final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
 
   override def replaceIf(tag: Long, lines: Seq[String]): Boolean =
     StreamLocks.withLock(lockDir) {
+      repairTornTail()
       val size = if (Files.exists(path)) Files.size(path) else 0L
       if (size != tag) false
       else {
-        val tmp = path.resolveSibling(path.getFileName.toString + ".ckpt")
-        Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
-        Files.move(tmp, path,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        writeAtomic(lines.mkString("", "\n", "\n").getBytes(UTF_8))
         true
       }
     }

@@ -73,6 +73,66 @@ class MetaStoreSpec extends SparkSpec {
     }
   }
 
+  test("torn O_APPEND debris: repaired on first touch, the committed tag survives, appends never glue") {
+    val dir = Files.createTempDirectory("graft-torn")
+    val meta = dir.resolve("meta.jsonl")
+    val store = new PosixMetaStore(meta, dir)
+    val (_, t0) = store.readWithTag()
+    assert(store.appendIf(t0, Seq(MetaJson.writer(1), MetaJson.version(3))))
+    val (committed, tag) = store.readWithTag()
+    // a pre-atomic-append writer died mid-write: raw partial line, no '\n'
+    Files.write(meta, """{"type":"add","name":"torn-seg","firstOff""".getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(Files.size(meta) > tag, "the tear must actually grow the file")
+    // read repairs: only whole committed lines, and the tag is RESTORED
+    // to the committed size — a reader holding the pre-tear tag commits
+    val (repaired, rTag) = store.readWithTag()
+    assert(repaired == committed)
+    assert(rTag == tag, "repair must restore the last committed tag")
+    assert(store.appendIf(tag, Seq(MetaJson.writer(2))),
+      "the pre-tear tag must still commit after repair")
+    val (after, _) = store.readWithTag()
+    assert(after == committed :+ MetaJson.writer(2),
+      "the new line must not glue onto torn bytes")
+    assert(MetaLog.writerEpochOf(after) == 2L)
+    // the log always ends clean and atomic-rename leaves no tmp debris
+    val bytes = Files.readAllBytes(meta)
+    assert(bytes.last == '\n'.toByte)
+    assert(!Files.exists(dir.resolve("meta.jsonl.tmp")))
+    // a tear with NO prior commit (first-ever append died): repairs to empty
+    val dir2 = Files.createTempDirectory("graft-torn2")
+    val meta2 = dir2.resolve("meta.jsonl")
+    Files.write(meta2, "half-a-first-line".getBytes)
+    val store2 = new PosixMetaStore(meta2, dir2)
+    val (l2, t2) = store2.readWithTag()
+    assert(l2.isEmpty && t2 == 0L)
+    assert(store2.appendIf(0L, Seq(MetaJson.writer(1))))
+    assert(store2.readWithTag()._1 == Vector(MetaJson.writer(1)))
+  }
+
+  test("a torn tail cannot wedge the sink-epoch commit") {
+    val dir = Files.createTempDirectory("graft-torn-sink")
+    val store = new PosixMetaStore(dir.resolve("meta.jsonl"), dir)
+    val my = MetaCommits.claimWriter(store, 0L)
+    val seg1 = SegmentMeta("s1", Offset.serialize(1000L, 0L),
+      Offset.serialize(1000L, 9L), 1000L, 10L, 100L)
+    assert(MetaCommits.commitSinkEpoch(store, my, "q", 0L, Seq(seg1)))
+    // debris lands after the committed epoch (the r12 O_APPEND shape)
+    Files.write(dir.resolve("meta.jsonl"),
+      """{"type":"add","name":"s2","firstOffset":"x""".getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    val seg2 = SegmentMeta("s2", Offset.serialize(2000L, 0L),
+      Offset.serialize(2000L, 9L), 2000L, 10L, 100L)
+    // the next epoch proceeds: repair drops the torn line, the overlap
+    // check sees only committed segments, the marker lands exactly once
+    assert(MetaCommits.commitSinkEpoch(store, my, "q", 1L, Seq(seg2)))
+    assert(!MetaCommits.commitSinkEpoch(store, my, "q", 1L, Seq(seg2)),
+      "replay of the committed epoch must be a no-op")
+    val st = MetaLog.replayLines(store.readWithTag()._1)
+    assert(st.index.segments.map(_.name) == Seq("s1", "s2"))
+    assert(st.index.segments.map(_.records).sum == 20L)
+  }
+
   test("fencedAppend retries through lost races and lands once; a newer claim refuses") {
     // 3 injected 412s: the commit must retry and land EXACTLY once
     val store = new ContendedStore(Seq(MetaJson.version(1)), n = 3)
