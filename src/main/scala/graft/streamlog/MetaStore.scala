@@ -126,9 +126,18 @@ final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
     else StreamLocks.withLock(lockDir) {
       if (!Files.exists(path)) (Vector.empty, 0L)
       else {
-        repairTornTail()
-        import scala.jdk.CollectionConverters._
-        (Files.readAllLines(path, UTF_8).asScala.toVector, Files.size(path))
+        // torn-tail tolerance WITHOUT writing (a pure reader may sit on
+        // a read-only mount): return only whole committed lines and the
+        // committed tag — the size up to the last '\n'. The write paths
+        // repair the file physically before their own tag compare, so a
+        // reader's tag from here still commits there.
+        val bytes = Files.readAllBytes(path)
+        val cut =
+          if (bytes.isEmpty || bytes.last == '\n') bytes.length
+          else bytes.lastIndexOf('\n'.toByte) + 1
+        val lines = new String(bytes, 0, cut, UTF_8)
+          .split("\n", -1).toVector.filter(_.nonEmpty)
+        (lines, cut.toLong)
       }
     }
 

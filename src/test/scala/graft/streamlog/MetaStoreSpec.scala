@@ -84,11 +84,13 @@ class MetaStoreSpec extends SparkSpec {
     Files.write(meta, """{"type":"add","name":"torn-seg","firstOff""".getBytes,
       java.nio.file.StandardOpenOption.APPEND)
     assert(Files.size(meta) > tag, "the tear must actually grow the file")
-    // read repairs: only whole committed lines, and the tag is RESTORED
-    // to the committed size — a reader holding the pre-tear tag commits
+    // read tolerates the tear WITHOUT writing (a pure reader may sit on
+    // a read-only mount): whole committed lines only, committed tag
+    val tornSize = Files.size(meta)
     val (repaired, rTag) = store.readWithTag()
     assert(repaired == committed)
-    assert(rTag == tag, "repair must restore the last committed tag")
+    assert(rTag == tag, "read must report the last committed tag")
+    assert(Files.size(meta) == tornSize, "a pure read must not write")
     assert(store.appendIf(tag, Seq(MetaJson.writer(2))),
       "the pre-tear tag must still commit after repair")
     val (after, _) = store.readWithTag()
