@@ -1037,7 +1037,7 @@ object Sampling {
     * all double math in codegen'd builtins (java.lang.Math.log), so a
     * driver replay of the same formula is bit-identical. Keys are ≤ 0;
     * larger (closer to 0) wins. */
-  private def raceKey(key: Column, w: Column, salt: Long): Column =
+  private[graft] def raceKey(key: Column, w: Column, salt: Long): Column =
     log((Hashing.hash60(concat(key.cast("string"), lit("|"), lit(salt)))
       .cast("double") + lit(1.0)) / lit(math.pow(2.0, 60))) / w
 

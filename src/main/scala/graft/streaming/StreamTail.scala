@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -302,4 +302,73 @@ object StreamTail {
           }
       }
   }
+
+  final case class ReservoirAdmit(group: String, doc_id: Long, race: Double)
+
+  /** Streaming weighted reservoir — the CONTINUOUS twin of
+    * [[graft.operators.Sampling.weightedSample]] (Efraimidis–Spirakis
+    * A-ES over an unbounded stream): each arriving row draws the same
+    * deterministic exponential-race key ln(u)/w (hash-derived u — an
+    * epoch replay re-draws identical keys, so checkpoint recovery is
+    * value-safe), and a per-`group` state holds the CURRENT top-`k` —
+    * bounded at k (race, id) pairs per group forever, the only reservoir
+    * shape that survives an unbounded stream.
+    *
+    * Output is the ADMISSIONS JOURNAL, not the evolving sample: a row
+    * emits exactly when it enters its group's reservoir (append-mode
+    * honest — nothing retracts). That journal is sufficient: a row in
+    * the FINAL top-k was in the top-k of every prefix ending at its
+    * arrival (race keys never change), so it was necessarily admitted —
+    * the final sample is exactly the top-k by race of the admitted
+    * rows, a bounded batch rollup in the sink ([[reservoirSample]]; the
+    * rateAnomaliesFromCounts deployment seam again: cheap in-stream
+    * signal, exact selection offline). Expected journal size is
+    * O(k·log n) per group, the classic reservoir-admission bound.
+    *
+    * Rows with null/non-positive weight are DROPPED in-stream (their
+    * race key ln(u)/w ≥ 0 would beat every valid key and poison the
+    * sample; the batch twin refuses the whole call, a streaming gate
+    * cannot — route weight hygiene upstream). Admission within a batch
+    * is computed against the batch's merged set, so it is independent
+    * of row order inside the batch.
+    */
+  def weightedReservoir(docs: DataFrame, weight: Column, k: Int,
+                        group: Column = lit("all"),
+                        key: Column = col("doc_id"),
+                        salt: Long = 0L): Dataset[ReservoirAdmit] = {
+    require(k > 0 && k <= 100000,
+      s"need 0 < k <= 100000 (k entries per group live in executor state), got $k")
+    import docs.sparkSession.implicits._
+    val w = weight.cast("double")
+    val rows = docs
+      .select(group.cast("string").as("g"), key.cast("long").as("id"),
+        graft.operators.Sampling.raceKey(key, w, salt).as("race"), w.as("w"))
+      .filter(col("w").isNotNull && col("w") > 0.0)
+      .select(col("g"), col("id"), col("race")).as[(String, Long, Double)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[(Double, Long)], ReservoirAdmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (g, it, state: GroupState[Vector[(Double, Long)]]) =>
+          val cur = state.getOption.getOrElse(Vector.empty)
+          val merged = (cur ++ it.map(t => (t._3, t._2))).distinct
+          val top = merged.sortBy { case (r, id) => (-r, id) }.take(k)
+          state.update(top)
+          val held = cur.toSet
+          top.filterNot(held.contains)
+            .map { case (r, id) => ReservoirAdmit(g, id, r) }.iterator
+      }
+  }
+
+  /** The sink-side rollup of a [[weightedReservoir]] admissions journal:
+    * the current sample = top-k by race per group (bounded — the journal
+    * is O(k·log n) rows). Equals the batch twin on the same data.
+    */
+  def reservoirSample(admits: DataFrame, k: Int): DataFrame =
+    admits
+      .withColumn("_rs_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
+          .orderBy(col("race").desc, col("doc_id"))))
+      .filter(col("_rs_rank") <= k)
+      .drop("_rs_rank")
+      .orderBy(col("group"), col("race").desc, col("doc_id"))
 }

@@ -372,6 +372,52 @@ class StreamTailSpec extends SparkSpec {
       StreamTail.nearDupCandidates(short.toDS().toDF("doc_id", "text"), seeds = 10, bands = 4))
   }
 
+  test("streaming weighted reservoir: admissions journal reconstructs the batch sample exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    val a = (1L to 30L).map(i => ("a", i, (i % 7 + 1).toDouble))
+    val b = Seq(("b", 101L, 2.0), ("b", 102L, 5.0), ("b", 103L, 1.0))
+    val input = MemoryStream[(String, Long, Double)]
+    val admits = StreamTail.weightedReservoir(
+      input.toDS().toDF("src", "doc_id", "w"),
+      weight = col("w"), k = 5, group = col("src"), key = col("doc_id"))
+    val q = admits.writeStream.format("memory").queryName("reservoir_t")
+      .outputMode("append").start()
+    try {
+      input.addData(a.take(10) ++ b.take(1): _*)
+      q.processAllAvailable()
+      // batch 1: at most k admits for group a, plus b's single row
+      assert(spark.sql("SELECT count(*) FROM reservoir_t").head().getLong(0) <= 6L)
+      // batch 2 carries a poison zero-weight row — dropped in-stream
+      input.addData((a.slice(10, 20) :+ (("a", 999L, 0.0))) ++ b.slice(1, 2): _*)
+      q.processAllAvailable()
+      input.addData(a.slice(20, 30) ++ b.slice(2, 3): _*)
+      q.processAllAvailable()
+      val journal = spark.sql("SELECT group, doc_id, race FROM reservoir_t")
+      val rows = journal.collect()
+      assert(!rows.exists(_.getLong(1) == 999L), "zero weight must not poison")
+      // the final sample from the journal equals the BATCH twin on the
+      // same (clean) data — same rows, same race order
+      val sample = StreamTail.reservoirSample(journal, 5).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val batch = Sampling.weightedSamplePerGroup(
+        (a ++ b).toDF("src", "doc_id", "w"),
+        col("src"), col("doc_id"), col("w"), k = 5).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(sample.toSeq === batch.toSeq)
+      // an under-k group keeps everything it ever saw
+      assert(sample.count(_._1 == "b") === 3)
+      // the journal is an admissions log, not the stream: fewer rows
+      // than arrivals, never fewer than the reservoir
+      val nA = rows.count(_.getString(0) == "a")
+      assert(nA >= 5 && nA < 30, s"admissions for a: $nA")
+    } finally q.stop()
+    intercept[IllegalArgumentException](StreamTail.weightedReservoir(
+      input.toDS().toDF("src", "doc_id", "w"), col("w"), k = 0))
+  }
+
   test("stateful sessionization closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
