@@ -509,6 +509,61 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** IVF nProbe tuning sweep — the measured recall/cost curve behind
+    * the one knob every IVF deployment turns, the ANN-side analog of
+    * what [[graft.operators.Dedup.lshPlan]]/`lshRecallReport` give the
+    * dedup family: per candidate `nProbe`, recall@k against the exact
+    * [[knnBrute]] baseline AND the mean fraction of the corpus the
+    * probed cells actually contain — the scan-cost axis, so the row a
+    * caller picks is an explicit recall-for-bytes trade, not a guess.
+    * At 100 TB that fraction IS the query bill: cells ≈ corpus/nCells
+    * vectors each, and a probe scans nProbe of them.
+    *
+    * Codebook trains ONCE ([[ivfCentroids]], `sampleMod` honored), the
+    * exact baseline computes once and persists; each sweep point is
+    * one candidate join over the shared assignment. Monotone by
+    * construction — a larger nProbe probes a SUPERSET of cells, so
+    * recall can only rise — and nProbe = nCells probes everything:
+    * recall exactly 1.0, scanned fraction exactly 1.0 (the brute-force
+    * anchor the spec pins). Queries are a bounded batch
+    * ([[knnBrute]]'s probe-then-refuse `maxQueries` guard applies).
+    * Output: (n_probe, n_queries, mean_recall, min_recall,
+    * mean_scanned_frac), ordered by n_probe.
+    */
+  def ivfSweep(corpus: DataFrame, isQuery: Column, nCells: Int,
+               nProbes: Seq[Int], k: Int = 10, trainIters: Int = 2,
+               sampleMod: Int = 1, maxQueries: Int = 10000): DataFrame = {
+    require(nProbes.nonEmpty, "nProbes must be non-empty")
+    require(nProbes.distinct.length == nProbes.length,
+      s"duplicate nProbe values in $nProbes")
+    nProbes.foreach(p => require(p >= 1 && p <= nCells,
+      s"nProbe must be in 1..nCells=$nCells, got $p"))
+    val spark = corpus.sparkSession
+    val cached = graft.core.Caches.persist(corpus)
+    val cents = ivfCentroids(cached, nCells, trainIters, sampleMod)
+    val queries = graft.core.Caches.persist(
+      cached.filter(isQuery).select(col("vec_id").as("qid"),
+        col("v").as("qv"), col("norm").as("qnorm")))
+    val exact = graft.core.Caches.persist(knnBrute(cached, queries, k, maxQueries))
+    val n = cached.count().toDouble
+    val cellSizes = ivfAssign(cached, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    val rows = nProbes.sorted.map { p =>
+      val approx = knnIvfWith(cached, isQuery, cents, p, k)
+      val agg = annRecall(approx, exact)
+        .agg(count(lit(1)), round(avg(col("recall")), 6),
+          round(min(col("recall")), 6)).head()
+      val scanned = queryProbes(cached, isQuery, cents, p)
+        .join(cellSizes, "cell")
+        .groupBy(col("qid")).agg(sum(col("cell_n")).as("probed"))
+        .agg(round(avg(col("probed") / lit(n)), 6)).head().getDouble(0)
+      (p, agg.getLong(0), agg.getDouble(1), agg.getDouble(2), scanned)
+    }
+    import spark.implicits._
+    rows.toDF("n_probe", "n_queries", "mean_recall", "min_recall",
+      "mean_scanned_frac").orderBy(col("n_probe"))
+  }
+
   /** Product-quantization codebooks: the vector space is split into
     * `nSub` contiguous subspaces and each gets its own small codebook
     * via the same deterministic decimal-rounded Lloyd refinement as

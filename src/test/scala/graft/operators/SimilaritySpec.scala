@@ -814,4 +814,46 @@ class SimilaritySpec extends SparkSpec {
     val self = Similarity.embeddingDriftSummary(corpus, corpus).head()
     assert(self.getDouble(4) === 0.0)
   }
+
+  test("ivfSweep: monotone recall/cost curve anchored at brute force, cross-checked per point") {
+    graft.core.Caches.release()
+    try {
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      val corpus = Similarity.prepare(e, "vec_id", "embedding")
+      val nQ = corpus.filter(col("vec_id") < 5).count()
+      val out = Similarity.ivfSweep(corpus, col("vec_id") < 5, nCells = 8,
+        nProbes = Seq(1, 2, 4, 8), k = 10).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+      assert(out.map(_._1).toSeq === Seq(1, 2, 4, 8))
+      assert(out.forall(_._2 == nQ), "every point scores every query")
+      // a larger nProbe probes a superset of cells: recall and scanned
+      // fraction are non-decreasing
+      assert(out.map(_._3).toSeq === out.map(_._3).toSeq.sorted)
+      assert(out.map(_._4).toSeq === out.map(_._4).toSeq.sorted)
+      assert(out.map(_._5).toSeq === out.map(_._5).toSeq.sorted)
+      // nProbe = nCells IS brute force: the anchor row reads exactly 1.0
+      val anchor = out.last
+      assert(anchor._3 === 1.0 && anchor._4 === 1.0 && anchor._5 === 1.0)
+      // each point's mean recall equals an independent annRecall run of
+      // the same (codebook-trained-once) configuration
+      val cents = Similarity.ivfCentroids(corpus, nCells = 8, trainIters = 2)
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+      val exact = Similarity.knnBrute(corpus, queries, 10)
+      for ((p, _, meanRec, _, _) <- out) {
+        val again = Similarity.annRecall(
+          Similarity.knnIvfWith(corpus, col("vec_id") < 5, cents, p, 10), exact)
+          .agg(org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.avg(col("recall")), 6)).head().getDouble(0)
+        assert(again === meanRec, s"nProbe=$p")
+      }
+      intercept[IllegalArgumentException](
+        Similarity.ivfSweep(corpus, col("vec_id") < 5, 8, Seq.empty))
+      intercept[IllegalArgumentException](
+        Similarity.ivfSweep(corpus, col("vec_id") < 5, 8, Seq(2, 2)))
+      intercept[IllegalArgumentException](
+        Similarity.ivfSweep(corpus, col("vec_id") < 5, 8, Seq(9)))
+    } finally graft.core.Caches.release()
+  }
 }
