@@ -1004,13 +1004,10 @@ object Sampling {
   def weightedSample(d: DataFrame, key: Column, weight: Column, k: Int,
                      salt: Long = 0L, maxK: Int = 10000000): DataFrame = {
     require(k > 0 && k <= maxK, s"need 0 < k <= maxK=$maxK, got $k")
+    require(!d.columns.contains("_ws_key"),
+      "input already has a _ws_key column; rename it first")
     val w = weight.cast("double")
-    val probe = d.agg(min(w), sum(when(w.isNull, 1L).otherwise(0L))).head()
-    val nulls = if (probe.isNullAt(1)) 0L else probe.getLong(1)
-    require(nulls == 0L, s"weight has $nulls null rows — no defined race rate")
-    if (!probe.isNullAt(0))
-      require(probe.getDouble(0) > 0.0,
-        s"weight must be strictly positive, min = ${probe.getDouble(0)}")
+    requirePositiveWeights(d, w)
     d.withColumn("_ws_key", raceKey(key, w, salt))
       .orderBy(col("_ws_key").desc, key)
       .limit(k)
@@ -1037,6 +1034,23 @@ object Sampling {
     * all double math in codegen'd builtins (java.lang.Math.log), so a
     * driver replay of the same formula is bit-identical. Keys are ≤ 0;
     * larger (closer to 0) wins. */
+  /** One partial-agg reduce refusing null, non-positive, AND NaN
+    * weights (Spark's min() ranks NaN above every double, so a NaN
+    * would pass a bare min > 0 check and then SORT FIRST under the
+    * descending race order — a silent permanent slot in the sample). */
+  private def requirePositiveWeights(d: DataFrame, w: Column): Unit = {
+    val probe = d.agg(min(w),
+      sum(when(w.isNull, 1L).otherwise(0L)),
+      sum(when(isnan(w), 1L).otherwise(0L))).head()
+    val nulls = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    require(nulls == 0L, s"weight has $nulls null rows — no defined race rate")
+    val nans = if (probe.isNullAt(2)) 0L else probe.getLong(2)
+    require(nans == 0L, s"weight has $nans NaN rows — no defined race rate")
+    if (!probe.isNullAt(0))
+      require(probe.getDouble(0) > 0.0,
+        s"weight must be strictly positive, min = ${probe.getDouble(0)}")
+  }
+
   private[graft] def raceKey(key: Column, w: Column, salt: Long): Column =
     log((Hashing.hash60(concat(key.cast("string"), lit("|"), lit(salt)))
       .cast("double") + lit(1.0)) / lit(math.pow(2.0, 60))) / w
@@ -1052,15 +1066,10 @@ object Sampling {
                              weight: Column, k: Int,
                              salt: Long = 0L): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
-    require(!d.columns.contains("_ws_rank"),
-      "input already has a _ws_rank column; rename it first")
+    Seq("_ws_rank", "_ws_key").foreach(r => require(!d.columns.contains(r),
+      s"input already has a $r column; rename it first"))
     val w = weight.cast("double")
-    val probe = d.agg(min(w), sum(when(w.isNull, 1L).otherwise(0L))).head()
-    val nulls = if (probe.isNullAt(1)) 0L else probe.getLong(1)
-    require(nulls == 0L, s"weight has $nulls null rows — no defined race rate")
-    if (!probe.isNullAt(0))
-      require(probe.getDouble(0) > 0.0,
-        s"weight must be strictly positive, min = ${probe.getDouble(0)}")
+    requirePositiveWeights(d, w)
     val keyed = d.withColumn("_ws_key", raceKey(key, w, salt))
     keyed.withColumn("_ws_rank", row_number().over(
         Window.partitionBy(group).orderBy(col("_ws_key").desc, key)))

@@ -544,10 +544,14 @@ object Similarity {
     val queries = graft.core.Caches.persist(
       cached.filter(isQuery).select(col("vec_id").as("qid"),
         col("v").as("qv"), col("norm").as("qnorm")))
+    require(queries.limit(1).count() == 1L,
+      "isQuery matched zero rows — nothing to sweep")
     val exact = graft.core.Caches.persist(knnBrute(cached, queries, k, maxQueries))
     val n = cached.count().toDouble
-    val cellSizes = ivfAssign(cached, cents)
-      .groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    // tiny (≤ nCells rows) and read once per sweep point — persisted so
+    // the assignment scan + groupBy runs once, not per point
+    val cellSizes = graft.core.Caches.persist(ivfAssign(cached, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("cell_n")))
     val rows = nProbes.sorted.map { p =>
       val approx = knnIvfWith(cached, isQuery, cents, p, k)
       val agg = annRecall(approx, exact)

@@ -303,7 +303,7 @@ object StreamTail {
       }
   }
 
-  final case class ReservoirAdmit(group: String, doc_id: Long, race: Double)
+  final case class ReservoirAdmit(group: String, doc_id: String, race: Double)
 
   /** Streaming weighted reservoir — the CONTINUOUS twin of
     * [[graft.operators.Sampling.weightedSample]] (Efraimidis–Spirakis
@@ -325,12 +325,14 @@ object StreamTail {
     * signal, exact selection offline). Expected journal size is
     * O(k·log n) per group, the classic reservoir-admission bound.
     *
-    * Rows with null/non-positive weight are DROPPED in-stream (their
-    * race key ln(u)/w ≥ 0 would beat every valid key and poison the
-    * sample; the batch twin refuses the whole call, a streaming gate
-    * cannot — route weight hygiene upstream). Admission within a batch
-    * is computed against the batch's merged set, so it is independent
-    * of row order inside the batch.
+    * Rows with null/non-positive/NaN weight are DROPPED in-stream
+    * (their race key would beat every valid key — NaN sorts above all —
+    * and poison the sample; the batch twin refuses the whole call, a
+    * streaming gate cannot — route weight hygiene upstream). Admission
+    * within a batch is computed against the batch's merged set, so it
+    * is independent of row order inside the batch; a re-arriving
+    * doc_id keeps its BEST race key (state is unique per id), so
+    * duplicate deliveries never hold two slots.
     */
   def weightedReservoir(docs: DataFrame, weight: Column, k: Int,
                         group: Column = lit("all"),
@@ -341,16 +343,17 @@ object StreamTail {
     import docs.sparkSession.implicits._
     val w = weight.cast("double")
     val rows = docs
-      .select(group.cast("string").as("g"), key.cast("long").as("id"),
+      .select(group.cast("string").as("g"), key.cast("string").as("id"),
         graft.operators.Sampling.raceKey(key, w, salt).as("race"), w.as("w"))
-      .filter(col("w").isNotNull && col("w") > 0.0)
-      .select(col("g"), col("id"), col("race")).as[(String, Long, Double)]
+      .filter(col("w").isNotNull && !isnan(col("w")) && col("w") > 0.0)
+      .select(col("g"), col("id"), col("race")).as[(String, String, Double)]
     rows.groupByKey(_._1)
-      .flatMapGroupsWithState[Vector[(Double, Long)], ReservoirAdmit](
+      .flatMapGroupsWithState[Vector[(Double, String)], ReservoirAdmit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (g, it, state: GroupState[Vector[(Double, Long)]]) =>
+        case (g, it, state: GroupState[Vector[(Double, String)]]) =>
           val cur = state.getOption.getOrElse(Vector.empty)
-          val merged = (cur ++ it.map(t => (t._3, t._2))).distinct
+          val merged = (cur ++ it.map(t => (t._3, t._2)))
+            .groupBy(_._2).valuesIterator.map(_.maxBy(_._1)).toVector
           val top = merged.sortBy { case (r, id) => (-r, id) }.take(k)
           state.update(top)
           val held = cur.toSet
@@ -361,14 +364,26 @@ object StreamTail {
 
   /** The sink-side rollup of a [[weightedReservoir]] admissions journal:
     * the current sample = top-k by race per group (bounded — the journal
-    * is O(k·log n) rows). Equals the batch twin on the same data.
+    * is O(k·log n) rows). The journal is at-least-once against
+    * non-transactional sinks (a restart between sink write and
+    * checkpoint commit replays a batch) and a doc may be re-admitted at
+    * a better race after a duplicate delivery — so the rollup first
+    * keeps the best row per (group, doc_id), then ranks: duplicates
+    * never hold two of the k slots. Equals the batch twin on the same
+    * data.
     */
-  def reservoirSample(admits: DataFrame, k: Int): DataFrame =
+  def reservoirSample(admits: DataFrame, k: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     admits
+      .withColumn("_rs_dup", row_number().over(
+        W.partitionBy(col("group"), col("doc_id"))
+          .orderBy(col("race").desc)))
+      .filter(col("_rs_dup") === 1)
       .withColumn("_rs_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
+        W.partitionBy(col("group"))
           .orderBy(col("race").desc, col("doc_id"))))
       .filter(col("_rs_rank") <= k)
-      .drop("_rs_rank")
+      .drop("_rs_dup", "_rs_rank")
       .orderBy(col("group"), col("race").desc, col("doc_id"))
+  }
 }

@@ -96,14 +96,33 @@ trait MetaStore {
   */
 final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
 
-  /** tmp-write + atomic rename: readers (and any kill point) see the
-    * old bytes or the new bytes, never a prefix. */
+  /** tmp-write + fsync + atomic rename + directory fsync: readers (and
+    * any kill point) see the old bytes or the new bytes, never a
+    * prefix. The force() calls are what make the rename's atomicity
+    * hold through POWER LOSS, not just process death: without them the
+    * filesystem may journal the rename before the tmp file's data
+    * blocks flush, resurrecting an empty/truncated log — worse than
+    * the torn tail this path exists to prevent. */
   private def writeAtomic(bytes: Array[Byte]): Unit = {
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    Files.write(tmp, bytes)
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(bytes))
+      ch.force(true)
+    } finally ch.close()
     Files.move(tmp, path,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // fsync the directory so the rename itself is durable (Linux
+    // allows opening a directory read-only for exactly this)
+    try {
+      val dch = java.nio.channels.FileChannel.open(
+        path.getParent, java.nio.file.StandardOpenOption.READ)
+      try dch.force(true) finally dch.close()
+    } catch { case _: java.io.IOException => () } // non-POSIX fs: best effort
   }
 
   /** Cut a torn trailing line (legacy O_APPEND crash debris) back to

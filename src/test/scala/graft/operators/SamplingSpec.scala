@@ -806,8 +806,15 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.weightedSample(
       d.withColumn("w", when(col("doc_id") === 3, lit(null))
         .otherwise(col("w"))), col("doc_id"), col("w"), k = 5))
+    // a NaN weight would pass a bare min > 0 probe (Spark min ranks NaN
+    // above every double) and then sort FIRST in the race — refused
+    intercept[IllegalArgumentException](Sampling.weightedSample(
+      d.withColumn("w", when(col("doc_id") === 3, lit(Double.NaN))
+        .otherwise(col("w"))), col("doc_id"), col("w"), k = 5))
     intercept[IllegalArgumentException](Sampling.weightedSample(
       d, col("doc_id"), col("w"), k = 11, maxK = 10))
+    intercept[IllegalArgumentException](Sampling.weightedSample(
+      d.withColumn("_ws_key", lit(1)), col("doc_id"), col("w"), k = 5))
   }
 
   test("weightedSamplePerGroup: per-group replay, small groups whole") {

@@ -854,6 +854,8 @@ class SimilaritySpec extends SparkSpec {
         Similarity.ivfSweep(corpus, col("vec_id") < 5, 8, Seq(2, 2)))
       intercept[IllegalArgumentException](
         Similarity.ivfSweep(corpus, col("vec_id") < 5, 8, Seq(9)))
+      intercept[IllegalArgumentException](
+        Similarity.ivfSweep(corpus, lit(false), 8, Seq(1)))
     } finally graft.core.Caches.release()
   }
 }

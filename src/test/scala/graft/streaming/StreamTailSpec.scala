@@ -397,22 +397,29 @@ class StreamTailSpec extends SparkSpec {
       q.processAllAvailable()
       val journal = spark.sql("SELECT group, doc_id, race FROM reservoir_t")
       val rows = journal.collect()
-      assert(!rows.exists(_.getLong(1) == 999L), "zero weight must not poison")
+      assert(!rows.exists(_.getString(1) == "999"), "zero weight must not poison")
       // the final sample from the journal equals the BATCH twin on the
       // same (clean) data — same rows, same race order
       val sample = StreamTail.reservoirSample(journal, 5).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
+        .map(r => (r.getString(0), r.getString(1)))
       val batch = Sampling.weightedSamplePerGroup(
         (a ++ b).toDF("src", "doc_id", "w"),
         col("src"), col("doc_id"), col("w"), k = 5).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
+        .map(r => (r.getString(0), r.getLong(1).toString))
       assert(sample.toSeq === batch.toSeq)
+      // journal replay tolerance: duplicating the whole journal (the
+      // at-least-once sink shape) changes nothing in the rollup
+      val doubled = StreamTail.reservoirSample(journal.union(journal), 5)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(doubled.toSeq === sample.toSeq)
       // an under-k group keeps everything it ever saw
       assert(sample.count(_._1 == "b") === 3)
       // the journal is an admissions log, not the stream: fewer rows
       // than arrivals, never fewer than the reservoir
       val nA = rows.count(_.getString(0) == "a")
       assert(nA >= 5 && nA < 30, s"admissions for a: $nA")
+      // a non-numeric key streams fine (identity is a string)
+      assert(rows.forall(_.getString(1).nonEmpty))
     } finally q.stop()
     intercept[IllegalArgumentException](StreamTail.weightedReservoir(
       input.toDS().toDF("src", "doc_id", "w"), col("w"), k = 0))
