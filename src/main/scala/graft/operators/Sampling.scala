@@ -547,6 +547,102 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Whole-document bin packing — the complement of [[packSequences]]:
+    * stream packing SPLITS a doc at bin boundaries (zero waste, its
+    * cost dial is truncated training examples); this never splits —
+    * each document lands whole in exactly one `budget`-token bin, the
+    * SFT/eval-corpus shape where truncation is unacceptable — and the
+    * cost dial becomes WASTE (unfilled bin tails), which is why the
+    * packing heuristic matters. Docs are hash-partitioned (narrow
+    * (doc_id, n_tokens) rows — the ONLY shuffle) so every partition
+    * sees a representative length mix, then packed locally by
+    * BEST-FIT-DECREASING: sort desc, place each doc in the fullest bin
+    * it still fits (TreeMap ceiling lookup, O(n log n) per partition;
+    * same 11/9·OPT+1 approximation class as first-fit-decreasing,
+    * without FFD's linear bin scan). Bins never cross partitions
+    * (bin = partition·2⁴⁰ + local index), per-partition state is one
+    * fill counter per bin, and the whole layout is a pure function of
+    * (data, salt, parts) — ties inside a partition break by doc_id,
+    * and `salt` re-deals the partition mix. Docs longer than `budget`
+    * REFUSE (one max() probe — route them through
+    * [[graft.operators.TextOps.chunkDocuments]] or [[q63LengthTrim]]
+    * first; silently overflowing a bin would corrupt every example in
+    * it). Input: (doc_id, n_tokens, …); output: (doc_id, n_tokens,
+    * bin, offset_in_bin), ordered by doc_id.
+    */
+  def packWhole(d: DataFrame, budget: Int, parts: Int = 0,
+                salt: Long = 0L): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(parts >= 0, s"parts must be >= 0 (0 = session default), got $parts")
+    val probe = d.agg(max(col("n_tokens")), min(col("n_tokens"))).head()
+    if (!probe.isNullAt(0)) {
+      require(probe.getLong(0) <= budget,
+        s"a ${probe.getLong(0)}-token doc cannot pack whole into a $budget-token " +
+          "bin — chunk or trim first (overflowing would corrupt the bin)")
+      require(probe.getLong(1) >= 0L,
+        s"negative n_tokens (${probe.getLong(1)})")
+    }
+    val keyed = d.select(col("doc_id").cast("long").as("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("_pw_h", Hashing.hash60(
+        concat(col("doc_id").cast("string"), lit("|"), lit(salt))))
+    val parted = if (parts > 0) keyed.repartition(parts, col("_pw_h"))
+      else keyed.repartition(col("_pw_h"))
+    import d.sparkSession.implicits._
+    parted.select(col("doc_id"), col("n_tokens")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val docs = it.toArray.sortBy { case (id, n) => (-n, id) }
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        // remaining capacity -> bin indexes holding it (best-fit =
+        // smallest sufficient remaining; ties to the oldest bin)
+        val byRem = new java.util.TreeMap[Long, java.util.TreeSet[Int]]()
+        val fill = scala.collection.mutable.ArrayBuffer[Long]()
+        def place(n: Long): (Int, Long) = {
+          val e = byRem.ceilingEntry(n)
+          if (e == null) {
+            val idx = fill.length
+            fill += n
+            if (budget - n > 0)
+              byRem.computeIfAbsent(budget - n,
+                _ => new java.util.TreeSet[Int]()).add(idx)
+            (idx, 0L)
+          } else {
+            val rem = e.getKey
+            val set = e.getValue
+            val idx = set.first()
+            set.remove(idx)
+            if (set.isEmpty) byRem.remove(rem)
+            val off = fill(idx)
+            fill(idx) += n
+            if (rem - n > 0)
+              byRem.computeIfAbsent(rem - n,
+                _ => new java.util.TreeSet[Int]()).add(idx)
+            (idx, off)
+          }
+        }
+        docs.iterator.map { case (id, n) =>
+          val (b, off) = place(n)
+          (id, n, pid * (1L << 40) + b, off)
+        }
+      }.toDF("doc_id", "n_tokens", "bin", "offset_in_bin")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Accounting for a [[packWhole]] layout: bins, fill, waste — the
+    * number the BFD heuristic exists to shrink. One bounded agg.
+    * Output: (n_docs, total_tokens, n_bins, mean_fill, waste_frac). */
+  def packWholeReport(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    packed.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      countDistinct(col("bin")).as("n_bins"))
+      .withColumn("mean_fill", round(
+        col("total_tokens") / (col("n_bins") * lit(budget.toDouble)), 6))
+      .withColumn("waste_frac", round(lit(1.0) -
+        col("total_tokens") / (col("n_bins") * lit(budget.toDouble)), 6))
+  }
+
   /** Packing accounting for a [[packSequences]] layout — the numbers
     * that pick `budget`: contiguous stream packing wastes no tokens
     * (every bin but the tail is full by construction), so the cost

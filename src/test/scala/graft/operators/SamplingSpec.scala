@@ -767,6 +767,54 @@ class SamplingSpec extends SparkSpec {
     } finally graft.core.Caches.release()
   }
 
+  test("packWhole: hand-traced best-fit-decreasing, conservation, no splits, refusals") {
+    import spark.implicits._
+    // single partition -> the BFD trace is checkable by hand.
+    // desc order: 1900->bin0@0; 1000->bin1@0; 1000->bin1@1000 (rem 1048
+    // is the smallest sufficient); 100->bin0@1900 (rem 148 beats 48s);
+    // 48->bin0@2000 (rem 48 fits exactly, oldest-bin tie-break)
+    val f = Seq((1L, 1900L), (2L, 1000L), (3L, 1000L), (4L, 100L), (5L, 48L))
+      .toDF("doc_id", "n_tokens")
+    val out = Sampling.packWhole(f, budget = 2048, parts = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(1L -> ((0L, 0L)), 4L -> ((0L, 1900L)), 5L -> ((0L, 2000L)),
+      2L -> ((1L, 0L)), 3L -> ((1L, 1000L))))
+    val rep = Sampling.packWholeReport(
+      Sampling.packWhole(f, 2048, parts = 1), 2048).head()
+    assert(rep.getLong(0) == 5L && rep.getLong(1) == 4048L && rep.getLong(2) == 2L)
+    assert(rep.getDouble(3) == math.rint(4048.0 / 4096.0 * 1e6) / 1e6)
+
+    // mixed-size corpus: every doc placed whole exactly once, no bin
+    // overflows, offsets tile each bin, deterministic, waste small
+    val docs = (1L to 500L).map(i => (i, (i * 2654435761L % 400L) + 1L))
+      .toDF("doc_id", "n_tokens")
+    val packed = Sampling.packWhole(docs, budget = 1024, parts = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.map(_._1).toSet === (1L to 500L).toSet)
+    for ((_, rows) <- packed.groupBy(_._3)) {
+      val sorted = rows.sortBy(_._4)
+      var cursor = -1L
+      for ((_, n, _, off) <- sorted) {
+        assert(off > cursor, "offsets must not overlap")
+        cursor = off + n - 1
+      }
+      assert(rows.map(_._2).sum <= 1024L, "bin overflow")
+    }
+    val again = Sampling.packWhole(docs.repartition(7), budget = 1024, parts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(again.toSet === packed.map(t => (t._1, t._3, t._4)).toSet,
+      "layout must be a pure function of (data, salt, parts)")
+    val fill = Sampling.packWholeReport(
+      Sampling.packWhole(docs, 1024, parts = 4), 1024)
+      .head().getDouble(3)
+    assert(fill >= 0.9, s"BFD fill $fill")
+    intercept[IllegalArgumentException](
+      Sampling.packWhole(docs, budget = 300, parts = 4)) // 400-token doc
+    intercept[IllegalArgumentException](Sampling.packWhole(
+      docs.withColumn("n_tokens", lit(-1L)), budget = 300))
+    intercept[IllegalArgumentException](Sampling.packWhole(docs, budget = 0))
+  }
+
   /** Driver replay of weightedSample's exponential race key. */
   private def race(id: Long, w: Double, salt: Long): Double =
     math.log((h60(s"$id|$salt").toDouble + 1.0) / math.pow(2.0, 60)) / w
