@@ -419,6 +419,51 @@ object TextOps {
       .filter(size(col("_ss")) > 0)
       .select(col("doc_id"), posexplode(col("_ss")).as(Seq("sent_idx", "sentence")))
 
+  /** Readability scoring (Flesch 1948 / Kincaid et al. 1975) — the
+    * classic published quality signals beside q39's ratio score and
+    * the Gopher/C4 rule sets: Flesch Reading Ease
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) and
+    * the Flesch–Kincaid grade 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59, both zero-shuffle projections
+    * composing into any curation scan. Sentences come from the shared
+    * [[segmentSentences]] rule; words are tokens carrying ≥ 1 letter;
+    * syllables use the standard vowel-group heuristic (runs of
+    * [aeiouy] in the letters-only lowercased word, minus a silent
+    * final 'e' that isn't '-le' when another group exists, floor 1) —
+    * deterministic and language-thin like the boundary rule, a
+    * heuristic the spec pins exactly, not a dictionary. Documents with
+    * zero sentences or zero words keep their row with null metrics
+    * (the [[encodingSignal]] convention — visible, never a divide).
+    * Output: doc_id + (n_sentences, n_words, n_syllables,
+    * words_per_sentence, syllables_per_word, flesch_ease, fk_grade).
+    */
+  def readability(d: DataFrame, text: Column = col("text")): DataFrame = {
+    val sents = filter(split(trim(text), SentenceSplit), s => length(s) > 0)
+    val words = filter(
+      transform(split(text, " "),
+        t => lower(regexp_replace(t, "[^a-zA-Z]", ""))),
+      w => length(w) > 0)
+    val syl = (w: Column) => {
+      val groups = size(filter(split(w, "[^aeiouy]+"), g => length(g) > 0))
+      greatest(lit(1), groups -
+        when(w.rlike("[^l]e$") && groups > 1, 1).otherwise(0))
+    }
+    val ok = col("n_sentences") > 0 && col("n_words") > 0
+    val wps = col("n_words").cast("double") / col("n_sentences")
+    val spw = col("n_syllables").cast("double") / col("n_words")
+    d.select(col("doc_id"),
+        size(sents).cast("long").as("n_sentences"),
+        size(words).cast("long").as("n_words"),
+        aggregate(words, lit(0L), (a, w) => a + syl(w)).as("n_syllables"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"), col("n_syllables"),
+        when(ok, round(wps, 6)).as("words_per_sentence"),
+        when(ok, round(spw, 6)).as("syllables_per_word"),
+        when(ok, round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6))
+          .as("flesch_ease"),
+        when(ok, round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6))
+          .as("fk_grade"))
+  }
+
   /** Sentence-respecting chunking — [[chunkDocuments]] cuts exactly at
     * `maxTokens` mid-sentence; retrieval/eval corpora usually want the
     * greedy alternative that NEVER splits a sentence: pack consecutive

@@ -510,6 +510,36 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"segment plan shuffles:\n$plan")
   }
 
+  test("readability: hand-computed Flesch/FK, silent-e vs -le, degenerate docs stay null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d = Seq(
+      (1L, "The cat sat. It was happy."),
+      (2L, "I like table wine."),
+      (3L, ""),
+      (4L, "!!! ...")
+    ).toDF("doc_id", "text")
+    val out = TextOps.readability(d).collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 2 sentences, 6 words, 7 syllables (hap-py)
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 2L && r1.getLong(2) == 6L && r1.getLong(3) == 7L)
+    val (wps1, spw1) = (6.0 / 2.0, 7.0 / 6.0)
+    assert(r1.getDouble(4) == 3.0)
+    assert(r1.getDouble(6) == r6(206.835 - 1.015 * wps1 - 84.6 * spw1))
+    assert(r1.getDouble(7) == r6(0.39 * wps1 + 11.8 * spw1 - 15.59))
+    // doc 2: like/wine drop their silent e (1 each), table keeps -le (2)
+    val r2 = out(2L)
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 4L && r2.getLong(3) == 5L)
+    // empty text and letterless tokens: rows kept, metrics null
+    assert(out(3L).isNullAt(4) && out(3L).isNullAt(6) && out(3L).isNullAt(7))
+    assert(out(4L).getLong(2) == 0L && out(4L).isNullAt(6))
+    // zero-shuffle projection
+    val plan = TextOps.readability(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"readability plan shuffles:\n$plan")
+  }
+
   test("chunkBySentences: greedy first-fit, oversized sentences whole, conservation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
