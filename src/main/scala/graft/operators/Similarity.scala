@@ -568,6 +568,64 @@ object Similarity {
       "mean_scanned_frac").orderBy(col("n_probe"))
   }
 
+  /** PQ configuration sweep — [[ivfSweep]]'s sibling for the OTHER two
+    * knobs of the scale architecture (how many subspaces, how many
+    * centroids each): per candidate (nSub, nCentroids), the measured
+    * reconstruction MSE (sum of per-subspace [[pqDistortion]] MSEs —
+    * squared error adds across subspaces), recall@k of the ADC+rerank
+    * path against the exact baseline, and the storage arithmetic
+    * (code bits = nSub·⌈log₂ nCentroids⌉, compression× vs the 64-bit
+    * double vector) — so the chosen row is an explicit
+    * bytes-for-recall trade with the distortion that explains it.
+    * Codebooks train per config (that IS the sweep); the exact
+    * baseline computes once and persists. `rerank` is the third knob:
+    * rerank ≥ corpus size makes any config exact (recall 1.0 — the
+    * spec's anchor), and the gap between a config's recall at the
+    * production rerank and 1.0 is what the ADC ordering loses.
+    * Output: (n_sub, n_centroids, code_bits, compression_x, mse,
+    * n_queries, mean_recall, min_recall), ordered by (n_sub,
+    * n_centroids).
+    */
+  def pqSweep(corpus: DataFrame, isQuery: Column, dim: Int,
+              configs: Seq[(Int, Int)], k: Int = 10, rerank: Int = 50,
+              trainIters: Int = 2, sampleMod: Int = 1,
+              maxQueries: Int = 10000): DataFrame = {
+    require(configs.nonEmpty, "configs must be non-empty")
+    require(configs.distinct.length == configs.length,
+      s"duplicate configs in $configs")
+    configs.foreach { case (s, c) =>
+      require(s >= 1 && dim % s == 0,
+        s"dim $dim must split evenly into nSub=$s subspaces")
+      require(c >= 2, s"nCentroids must be >= 2, got $c")
+    }
+    val spark = corpus.sparkSession
+    val cached = graft.core.Caches.persist(corpus)
+    val queries = graft.core.Caches.persist(
+      cached.filter(isQuery).select(col("vec_id").as("qid"),
+        col("v").as("qv"), col("norm").as("qnorm")))
+    require(queries.limit(1).count() == 1L,
+      "isQuery matched zero rows — nothing to sweep")
+    val exact = graft.core.Caches.persist(knnBrute(cached, queries, k, maxQueries))
+    val rows = configs.sorted.map { case (nSub, nCent) =>
+      val books = pqTrain(cached, dim, nSub, nCent, trainIters, sampleMod)
+      val mse = pqDistortion(cached, books)
+        .agg(round(sum(col("mse").cast("decimal(28,6)")).cast("double"), 6))
+        .head().getDouble(0)
+      val agg = annRecall(knnPq(cached, isQuery, books, k, rerank,
+          maxQueries = maxQueries), exact)
+        .agg(count(lit(1)), round(avg(col("recall")), 6),
+          round(min(col("recall")), 6)).head()
+      val bits = nSub * (64 - java.lang.Long.numberOfLeadingZeros(nCent - 1L))
+      val comp = math.rint(dim * 64.0 / bits * 1e3) / 1e3
+      (nSub, nCent, bits, comp, mse, agg.getLong(0),
+        agg.getDouble(1), agg.getDouble(2))
+    }
+    import spark.implicits._
+    rows.toDF("n_sub", "n_centroids", "code_bits", "compression_x",
+      "mse", "n_queries", "mean_recall", "min_recall")
+      .orderBy(col("n_sub"), col("n_centroids"))
+  }
+
   /** Product-quantization codebooks: the vector space is split into
     * `nSub` contiguous subspaces and each gets its own small codebook
     * via the same deterministic decimal-rounded Lloyd refinement as

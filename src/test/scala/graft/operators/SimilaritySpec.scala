@@ -815,6 +815,42 @@ class SimilaritySpec extends SparkSpec {
     assert(self.getDouble(4) === 0.0)
   }
 
+  test("pqSweep: distortion falls with centroids, full rerank is exact, storage arithmetic pinned") {
+    import org.apache.spark.sql.functions.size
+    graft.core.Caches.release()
+    try {
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      val corpus = Similarity.prepare(e, "vec_id", "embedding")
+      val dim = corpus.select(size(col("v"))).head().getInt(0)
+      val n = corpus.count().toInt
+      val out = Similarity.pqSweep(corpus, col("vec_id") < 5, dim,
+        configs = Seq((2, 2), (2, 4)), k = 5, rerank = 20).collect()
+      val m = out.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+      assert(m((2, 4)).getDouble(4) <= m((2, 2)).getDouble(4),
+        "more centroids must not raise distortion")
+      assert(m((2, 2)).getInt(2) == 2 && m((2, 4)).getInt(2) == 4)
+      assert(m((2, 2)).getDouble(3) == math.rint(dim * 64.0 / 2 * 1e3) / 1e3)
+      assert(out.forall(r => r.getLong(5) == 5L &&
+        r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0))
+      // rerank >= corpus: the exact re-rank sees everything, so the ADC
+      // ordering cannot lose a neighbor — any config reads exactly 1.0
+      graft.core.Caches.release()
+      val anchor = Similarity.pqSweep(corpus, col("vec_id") < 5, dim,
+        configs = Seq((2, 2)), k = 5, rerank = n).head()
+      assert(anchor.getDouble(6) == 1.0 && anchor.getDouble(7) == 1.0)
+      intercept[IllegalArgumentException](
+        Similarity.pqSweep(corpus, col("vec_id") < 5, dim, Seq.empty))
+      intercept[IllegalArgumentException](Similarity.pqSweep(
+        corpus, col("vec_id") < 5, dim, Seq((2, 2), (2, 2))))
+      intercept[IllegalArgumentException](Similarity.pqSweep(
+        corpus, col("vec_id") < 5, dim, Seq((dim + 1, 2))))
+      intercept[IllegalArgumentException](Similarity.pqSweep(
+        corpus, col("vec_id") < 5, dim, Seq((2, 1))))
+      intercept[IllegalArgumentException](Similarity.pqSweep(
+        corpus, lit(false), dim, Seq((2, 2))))
+    } finally graft.core.Caches.release()
+  }
+
   test("ivfSweep: monotone recall/cost curve anchored at brute force, cross-checked per point") {
     graft.core.Caches.release()
     try {
