@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** K-minimum-values distinct sketch (Bar-Yossef et al. 2002; the
+  * union/intersection estimators from Beyer et al. 2007, "On synopses
+  * for distinct-value estimation under multiset operations") — the
+  * member of the bounded-state sketch family (CMS §2.2, Bloom §2.4,
+  * HLL q12) that supports SET OPERATIONS: mergeable distinct counts
+  * whose union, intersection, and Jaccard estimates compose between
+  * corpora, answering "how many distinct URLs/doc hashes do crawl A
+  * and crawl B share" in ONE pass per corpus with no join anywhere.
+  * HLL unions but cannot intersect (inclusion–exclusion amplifies its
+  * error); KMV's combined sketch gives a direct unbiased intersection.
+  *
+  * The sketch of a key set is the `k` SMALLEST DISTINCT hash60 values.
+  * Determinism contract: md5-based hashes make the sketch a pure
+  * function of the data — bit-identical under any partitioning or
+  * duplication, reproducible across engines (the module rule every
+  * sampler here follows). The closure property is EXACT, not
+  * approximate: the k smallest of A∪B are computable from the k
+  * smallest of A and of B, so sharded builds merge losslessly
+  * ([[union]] ≡ a one-shot build, spec-gated bit-for-bit — the Bloom
+  * `merge` artifact story with distinct-count semantics).
+  *
+  * Scale shape: [[KmvAggregator]] is a typed Spark `Aggregator` with
+  * partial-agg — each partition keeps its own k smallest in a bounded
+  * sorted buffer (an arriving hash ≥ the buffer max is rejected in
+  * O(1); once a partition's sketch saturates, acceptance decays to
+  * ~k/n) and only k longs per partition ever move. No distinct
+  * shuffle, no corpus-wide exchange: the classic
+  * `distinct().orderBy().limit(k)` spelling would shuffle every
+  * distinct key — the exact corpus-shaped cost this module's probes
+  * refuse elsewhere.
+  *
+  * Estimators (u = h / 2⁶⁰ normalizes to (0,1)):
+  *   - distinct:  D̂ = (k−1) / u₍ₖ₎ when the sketch is full; EXACT
+  *     (the sketch size) when the set had < k distinct keys.
+  *   - Jaccard:   ρ = |X ∩ A ∩ B| / |X| over X = the k smallest of
+  *     A∪B — an unbiased sample of the union.
+  *   - intersection: D̂∩ = ρ · D̂∪.
+  */
+object Kmv {
+
+  private val Norm = math.pow(2.0, 60)
+
+  /** Insert `h` into the sorted, capped, distinct buffer. */
+  private def insert(buf: Array[Long], h: Long, k: Int): Array[Long] = {
+    val n = buf.length
+    if (n == k && h >= buf(n - 1)) buf
+    else {
+      val i = java.util.Arrays.binarySearch(buf, h)
+      if (i >= 0) buf // already present
+      else {
+        val at = -i - 1
+        val out = new Array[Long](math.min(n + 1, k))
+        System.arraycopy(buf, 0, out, 0, at)
+        out(at) = h
+        System.arraycopy(buf, at, out, at + 1, out.length - at - 1)
+        out
+      }
+    }
+  }
+
+  /** Merge two sorted distinct arrays, keep the k smallest. */
+  private def mergeArrays(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var o = 0
+    var last = Long.MinValue
+    while (o < out.length && (i < a.length || j < b.length)) {
+      val next =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val v = a(i); i += 1; v }
+        else { val v = b(j); j += 1; v }
+      if (o == 0 || next != last) { out(o) = next; o += 1; last = next }
+    }
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+  }
+
+  /** The typed partial-agg sketch builder: each partition reduces into
+    * its own bounded sorted buffer, merge is the lossless k-smallest
+    * union — only k longs per partition move. `f` extracts the hash
+    * from the dataset's element type. */
+  final class KmvAggregator[I](k: Int, f: I => Long)
+      extends Aggregator[I, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], r: I): Array[Long] = insert(b, f(r), k)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      mergeArrays(a, b, k)
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Build the sketch of a whole frame's key column (driver artifact —
+    * at most k longs, sorted). */
+  def build(d: DataFrame, key: Column, k: Int = 1024): Array[Long] = {
+    require(k >= 16 && k <= (1 << 20),
+      s"need 16 <= k <= 2^20 (estimator variance / driver budget), got $k")
+    import d.sparkSession.implicits._
+    d.select(Hashing.hash60(key.cast("string")).as("h")).as[Long]
+      .select(new KmvAggregator[Long](k, identity).toColumn)
+      .head()
+  }
+
+  /** Distinct-count estimate: exact when the sketch never filled. */
+  def estimate(sketch: Array[Long], k: Int): Double =
+    if (sketch.length < k) sketch.length.toDouble
+    else (k - 1).toDouble / (sketch.last.toDouble / Norm)
+
+  /** Lossless sketch union (the k smallest of A∪B). */
+  def union(a: Array[Long], b: Array[Long], k: Int): Array[Long] =
+    mergeArrays(a, b, k)
+
+  /** Jaccard estimate: the fraction of the combined sketch present in
+    * BOTH input sketches (Beyer et al. 2007). */
+  def jaccard(a: Array[Long], b: Array[Long], k: Int): Double = {
+    val x = union(a, b, k)
+    if (x.isEmpty) 0.0
+    else {
+      val sa = a.toSet; val sb = b.toSet
+      x.count(h => sa.contains(h) && sb.contains(h)).toDouble / x.length
+    }
+  }
+
+  /** Intersection-cardinality estimate: ρ · D̂(A∪B). */
+  def intersectEstimate(a: Array[Long], b: Array[Long], k: Int): Double =
+    jaccard(a, b, k) * estimate(union(a, b, k), k)
+
+  /** TSV artifact round trip (the codebook/Bloom `save` discipline). */
+  def save(sketch: Array[Long], k: Int, path: String): Unit = {
+    val sb = new StringBuilder
+    sb.append("kmv\t").append(k).append('\t').append(sketch.length).append('\n')
+    sketch.foreach(h => sb.append(h).append('\n'))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def load(path: String): (Array[Long], Int) = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    require(lines.size >= 1, s"empty KMV artifact at $path")
+    val hdr = lines.get(0).split("\t", -1)
+    require(hdr.length == 3 && hdr(0) == "kmv",
+      s"not a KMV artifact: header '${lines.get(0)}'")
+    val k = hdr(1).toInt
+    val n = hdr(2).toInt
+    require(lines.size == n + 1, s"KMV artifact truncated: $n declared, ${lines.size - 1} present")
+    val sk = (1 to n).map(i => lines.get(i).toLong).toArray
+    require(sk.sameElements(sk.sorted.distinct), "KMV artifact not sorted-distinct")
+    (sk, k)
+  }
+
+  /** Pairwise distinct-overlap matrix across groups — "how many
+    * distinct `key`s do each pair of sources share": ONE corpus scan
+    * builds a per-group sketch (groupBy(group) over the bounded
+    * partial-agg — only groups·k longs reach the driver), then the
+    * pairwise estimates are driver math over the tiny sketches. The
+    * sketch-space sibling of [[Dedup.sourceOverlap]] (exact, window
+    * shuffle): this one never shuffles anything wider than the
+    * sketches and scales to any cardinality. Output per unordered
+    * pair (a < b): estimated distinct of each side, of the union and
+    * intersection, and the Jaccard — plus the per-group diagonal rows
+    * (group_b null) carrying each group's own estimate.
+    */
+  def overlapMatrix(d: DataFrame, group: Column, key: Column,
+                    k: Int = 1024, maxGroups: Int = 1000): DataFrame = {
+    require(k >= 16 && k <= (1 << 20),
+      s"need 16 <= k <= 2^20 (estimator variance / driver budget), got $k")
+    import d.sparkSession.implicits._
+    val sketches = d
+      .select(group.cast("string").as("g"),
+        Hashing.hash60(key.cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(new KmvAggregator[(String, Long)](k, _._2).toColumn.name("sk"))
+      .limit(maxGroups + 1)
+      .collect()
+    require(sketches.length <= maxGroups,
+      s"> $maxGroups groups — the pairwise matrix is groups², raise maxGroups deliberately")
+    val sorted = sketches.sortBy(_._1)
+    val rows =
+      sorted.map { case (g, sk) =>
+        (g, Option.empty[String], math.rint(estimate(sk, k)), 0.0, 0.0, 0.0)
+      }.toSeq ++
+      (for {
+        i <- sorted.indices; j <- (i + 1) until sorted.length
+      } yield {
+        val (ga, sa) = sorted(i); val (gb, sb) = sorted(j)
+        val u = estimate(union(sa, sb, k), k)
+        val jac = jaccard(sa, sb, k)
+        (ga, Option(gb), math.rint(estimate(sa, k)), math.rint(u),
+          math.rint(jac * u), math.rint(jac * 1e6) / 1e6)
+      })
+    rows.toDF("group_a", "group_b", "est_distinct_a", "est_union",
+      "est_intersect", "jaccard")
+      .orderBy(col("group_a"), col("group_b"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** KMV distinct sketch: exact regime, estimator accuracy, the EXACT
+  * merge-closure property, set-operation estimates against known
+  * ground truth, artifact round trip, and the overlap matrix.
+  */
+class KmvSpec extends SparkSpec {
+
+  /** Driver replay of Hashing.hash60 (exact-regime cross-check). */
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("exact regime: under k distinct keys the sketch IS the distinct hash set") {
+    import spark.implicits._
+    // 40 distinct keys, each duplicated 5x — duplication is invisible
+    val d = (1L to 200L).map(i => i % 40).toDF("id")
+    val sk = Kmv.build(d, col("id"), k = 64)
+    val want = (0L until 40L).map(i => h60(i.toString)).sorted.toArray
+    assert(sk.sameElements(want))
+    assert(Kmv.estimate(sk, 64) === 40.0)
+  }
+
+  test("estimate within the sketch's error band; partitioning-invariant") {
+    import spark.implicits._
+    val n = 5000
+    val d = (1L to n.toLong).toDF("id")
+    val k = 256
+    val sk = Kmv.build(d, col("id"), k)
+    val est = Kmv.estimate(sk, k)
+    // sd ≈ D/sqrt(k-2) ≈ 314; allow 4 sigma
+    assert(math.abs(est - n) < 4 * n / math.sqrt(k - 2.0), s"est $est")
+    val sk2 = Kmv.build(d.repartition(13), col("id"), k)
+    assert(sk2.sameElements(sk), "sketch must be partitioning-invariant")
+  }
+
+  test("merge closure is EXACT: union of shard sketches equals the one-shot build") {
+    import spark.implicits._
+    val k = 128
+    val a = (1L to 3000L).toDF("id")
+    val b = (2001L to 5000L).toDF("id")
+    val ska = Kmv.build(a, col("id"), k)
+    val skb = Kmv.build(b, col("id"), k)
+    val oneShot = Kmv.build(a.union(b), col("id"), k)
+    assert(Kmv.union(ska, skb, k).sameElements(oneShot))
+  }
+
+  test("jaccard / intersection / union estimates track known ground truth") {
+    import spark.implicits._
+    val k = 512
+    // |A|=3000, |B|=3000, |A∩B|=1000, |A∪B|=5000, J=0.2
+    val a = (1L to 3000L).toDF("id")
+    val b = (2001L to 5000L).toDF("id")
+    val ska = Kmv.build(a, col("id"), k)
+    val skb = Kmv.build(b, col("id"), k)
+    val jac = Kmv.jaccard(ska, skb, k)
+    assert(math.abs(jac - 0.2) < 0.06, s"jaccard $jac")
+    val inter = Kmv.intersectEstimate(ska, skb, k)
+    assert(math.abs(inter - 1000.0) < 300.0, s"intersection $inter")
+    val uni = Kmv.estimate(Kmv.union(ska, skb, k), k)
+    assert(math.abs(uni - 5000.0) < 1000.0, s"union $uni")
+    // disjoint sets: the combined sketch contains nothing shared
+    val c = (100001L to 103000L).toDF("id")
+    assert(Kmv.jaccard(ska, Kmv.build(c, col("id"), k), k) === 0.0)
+  }
+
+  test("artifact round trip and corruption refusals") {
+    import spark.implicits._
+    val sk = Kmv.build((1L to 500L).toDF("id"), col("id"), k = 64)
+    val p = java.nio.file.Files.createTempDirectory("kmv").resolve("s.tsv").toString
+    Kmv.save(sk, 64, p)
+    val (back, k) = Kmv.load(p)
+    assert(back.sameElements(sk) && k === 64)
+    val bad = java.nio.file.Files.createTempDirectory("kmv").resolve("bad.tsv")
+    java.nio.file.Files.write(bad, "kmv\t64\t3\n5\n1\n".getBytes)
+    intercept[IllegalArgumentException](Kmv.load(bad.toString)) // truncated
+    java.nio.file.Files.write(bad, "kmv\t64\t2\n5\n1\n".getBytes)
+    intercept[IllegalArgumentException](Kmv.load(bad.toString)) // unsorted
+    intercept[IllegalArgumentException](
+      Kmv.build((1L to 5L).toDF("id"), col("id"), k = 4)) // k too small
+  }
+
+  test("overlapMatrix: diagonal estimates, pairwise overlap on the real corpus") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val k = 256
+    val out = Kmv.overlapMatrix(docs, col("source"), col("doc_id"), k).collect()
+    val diag = out.filter(_.isNullAt(1)).map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = docs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diag.keySet === exact.keySet)
+    for ((s, est) <- diag) {
+      val n = exact(s).toDouble
+      val tol = if (n < k) 0.5 else 4 * n / math.sqrt(k - 2.0)
+      assert(math.abs(est - n) <= tol, s"$s est $est exact $n")
+    }
+    // doc_id is unique across sources: every pairwise overlap is zero
+    val pairs = out.filter(!_.isNullAt(1))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0))
+    // group-count guard
+    intercept[IllegalArgumentException](
+      Kmv.overlapMatrix(docs, col("doc_id"), col("doc_id"), k, maxGroups = 3))
+  }
+}
