@@ -147,12 +147,18 @@ object Classifier {
             out: String = "quality_prob"): DataFrame = {
     require(!d.columns.contains(out),
       s"input already has a $out column; pick another output name")
+    d.withColumn(out,
+      lit(1.0) / (lit(1.0) + exp(-marginCol(model, text))))
+  }
+
+  /** The model's pre-sigmoid margin w·x + b as a zero-shuffle column —
+    * shared by [[score]], [[calibrate]], and [[scoreCalibrated]]. */
+  private def marginCol(model: QualityModel, text: Column): Column = {
     require(model.weights.length == model.dim,
       s"inconsistent model: dim ${model.dim} but ${model.weights.length} weights")
     val wl = typedlit(model.weights.toSeq)
-    val m = aggregate(featurize(text, model.dim, model.bigrams),
+    aggregate(featurize(text, model.dim, model.bigrams),
       lit(model.bias), (acc, f) => acc + element_at(wl, f + 1))
-    d.withColumn(out, lit(1.0) / (lit(1.0) + exp(-m)))
   }
 
   /** Held-out evaluation report — the train→EVALUATE→score gate every
@@ -418,6 +424,122 @@ object Classifier {
     * curve is a training-time diagnostic, not scoring state, and is
     * not persisted. Non-finite values refuse on both ends.
     */
+  /** A fitted Platt calibration p = σ(a·margin + b), with the NLL at
+    * each accepted Newton step (monotone — backtracking enforces it). */
+  case class Calibration(a: Double, b: Double, nllPath: Array[Double])
+
+  /** Platt scaling (Platt 1999, "Probabilistic outputs for support
+    * vector machines") — the FIX for what [[reliability]] measures: a
+    * model whose score ORDERS well but whose probabilities are off
+    * gets a 2-parameter sigmoid remap p = σ(a·m + b) fitted by
+    * maximum likelihood on a held-out margin/label frame, using
+    * Platt's shrunk targets t₊ = (N₊+1)/(N₊+2), t₋ = 1/(N₋+2) (the
+    * paper's out-of-sample correction). Newton iterations with
+    * step-halving backtracking, so the recorded NLL path is monotone
+    * non-increasing by construction; a tiny ridge keeps the 2×2
+    * Hessian invertible on degenerate (constant-margin) data.
+    *
+    * Distribution discipline: each Newton step is ONE bounded
+    * aggregation over the persisted (margin, target) frame — five
+    * sufficient statistics (g₁ g₂ h₁₁ h₁₂ h₂₂), each row term rounded
+    * to 9 dp and summed as exact DECIMAL, so the fit is bit-identical
+    * under any partitioning (the [[train]]/[[reliability]] rule); the
+    * backtracking NLL evaluations are the same shape. Nothing
+    * corpus-sized ever reaches the driver — the held-out frame itself
+    * never does, only the five sums per iteration.
+    */
+  def calibrateMargins(d: DataFrame, margin: Column, label: Column,
+                       iters: Int = 25): Calibration = {
+    require(iters >= 1 && iters <= 200, s"need 1 <= iters <= 200, got $iters")
+    val prep0 = d.select(margin.cast("double").as("_m"),
+      label.cast("double").as("_y"))
+    val counts = prep0.agg(count(lit(1)),
+      sum(when(col("_y") === 1.0, 1L).otherwise(0L)),
+      sum(when(col("_y").isNull || col("_m").isNull || isnan(col("_m")) ||
+        (col("_y") =!= 0.0 && col("_y") =!= 1.0), 1L).otherwise(0L))).head()
+    val n = counts.getLong(0)
+    require(n > 0, "cannot calibrate on an empty frame")
+    require(counts.getLong(2) == 0,
+      s"${counts.getLong(2)} rows carry a null/NaN margin or a label not in {0,1}")
+    val nPos = counts.getLong(1)
+    val nNeg = n - nPos
+    require(nPos > 0 && nNeg > 0,
+      s"need both classes to calibrate, got $nPos positive / $nNeg negative")
+    val tPos = (nPos + 1.0) / (nPos + 2.0)
+    val tNeg = 1.0 / (nNeg + 2.0)
+    val prep = graft.core.Caches.persist(prep0.select(col("_m"),
+      when(col("_y") === 1.0, tPos).otherwise(tNeg).as("_t")))
+
+    def dsum(c: Column): Column =
+      sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+    def probCol(a: Double, b: Double): Column = {
+      val p = lit(1.0) / (lit(1.0) + exp(-(lit(a) * col("_m") + lit(b))))
+      least(greatest(p, lit(1e-15)), lit(1.0 - 1e-15))
+    }
+    def nllAt(a: Double, b: Double): Double = {
+      val p = probCol(a, b)
+      prep.agg(dsum(-(col("_t") * log(p) +
+        (lit(1.0) - col("_t")) * log(lit(1.0) - p)))).head().getDouble(0)
+    }
+
+    val ridge = 1e-9
+    var a = 0.0
+    var b = math.log((nNeg + 1.0) / (nPos + 1.0))
+    var nll = nllAt(a, b)
+    val path = scala.collection.mutable.ArrayBuffer(nll)
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val p = probCol(a, b)
+      val w = p * (lit(1.0) - p)
+      val r = prep.agg(
+        dsum(col("_m") * (p - col("_t"))), dsum(p - col("_t")),
+        dsum(col("_m") * col("_m") * w), dsum(col("_m") * w), dsum(w)).head()
+      val (g1, g2) = (r.getDouble(0), r.getDouble(1))
+      val (h11, h12, h22) = (r.getDouble(2) + ridge, r.getDouble(3),
+        r.getDouble(4) + ridge)
+      val det = h11 * h22 - h12 * h12
+      val dA = (h22 * g1 - h12 * g2) / det
+      val dB = (h11 * g2 - h12 * g1) / det
+      // backtrack until the step actually lowers the NLL
+      var step = 1.0
+      var accepted = false
+      var halvings = 0
+      while (!accepted && halvings <= 20) {
+        val cand = nllAt(a - step * dA, b - step * dB)
+        if (cand <= nll) {
+          a -= step * dA; b -= step * dB
+          converged = nll - cand < 1e-9 * n
+          nll = cand
+          path += nll
+          accepted = true
+        } else { step /= 2; halvings += 1 }
+      }
+      if (!accepted) converged = true // at a numerical optimum
+      it += 1
+    }
+    Calibration(a, b, path.toArray)
+  }
+
+  /** [[calibrateMargins]] over a [[QualityModel]]'s own margins. */
+  def calibrate(d: DataFrame, model: QualityModel, text: Column,
+                label: Column, iters: Int = 25): Calibration =
+    calibrateMargins(
+      d.select(marginCol(model, text).as("_cal_m"),
+        label.cast("double").as("_cal_y")),
+      col("_cal_m"), col("_cal_y"), iters)
+
+  /** Calibrated scoring: σ(a·margin + b) as the same zero-shuffle
+    * projection as [[score]]. */
+  def scoreCalibrated(d: DataFrame, model: QualityModel, cal: Calibration,
+                      text: Column, out: String = "quality_prob"): DataFrame = {
+    require(!d.columns.contains(out),
+      s"input already has a $out column; pick another output name")
+    val m = marginCol(model, text)
+    d.withColumn(out,
+      lit(1.0) / (lit(1.0) + exp(-(lit(cal.a) * m + lit(cal.b)))))
+  }
+
   def save(model: QualityModel, path: String): Unit = {
     require(model.weights.length == model.dim,
       s"inconsistent model: dim ${model.dim} but ${model.weights.length} weights")

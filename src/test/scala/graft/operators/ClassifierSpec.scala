@@ -405,4 +405,50 @@ class ClassifierSpec extends SparkSpec {
       assert(ps.nonEmpty && ps.forall(p => p > 0.0 && p < 1.0))
     } finally graft.core.Caches.release()
   }
+
+  test("Platt calibration: recovers a planted sigmoid, monotone NLL, deterministic, refusals") {
+    graft.core.Caches.release()
+    try {
+      // labels drawn from σ(1.7·m − 0.3) via deterministic hash uniforms
+      def u(i: Long) = (h60(i.toString).toDouble + 1.0) / math.pow(2.0, 60)
+      val rows = (1L to 20000L).map { i =>
+        val m = (i % 1000).toDouble / 100.0 - 5.0
+        val p = 1.0 / (1.0 + math.exp(-(1.7 * m - 0.3)))
+        (m, if (u(i) < p) 1.0 else 0.0)
+      }
+      val d = rows.toDF("m", "y")
+      val cal = Classifier.calibrateMargins(d, col("m"), col("y"))
+      assert(math.abs(cal.a - 1.7) < 0.15, s"a=${cal.a}")
+      assert(math.abs(cal.b + 0.3) < 0.15, s"b=${cal.b}")
+      assert(cal.nllPath.length >= 2)
+      assert(cal.nllPath.zip(cal.nllPath.tail).forall { case (x, y) => y <= x },
+        "backtracked Newton NLL must be monotone non-increasing")
+      // bit-deterministic under repartitioning (decimal sufficient stats)
+      graft.core.Caches.release()
+      val cal2 = Classifier.calibrateMargins(d.repartition(13), col("m"), col("y"))
+      assert(cal2.a == cal.a && cal2.b == cal.b)
+      graft.core.Caches.release()
+      // end-to-end over a trained model: calibrated scores still separate
+      // and the projection stays zero-shuffle
+      val m0 = Classifier.train(separable, col("label"), dim = 1 << 10, epochs = 8)
+      graft.core.Caches.release()
+      val c = Classifier.calibrate(separable, m0, col("text"), col("label"), iters = 10)
+      val scored = Classifier.scoreCalibrated(separable, m0, c, col("text"))
+      assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"))
+      val byLabel = scored.select(col("label"), col("quality_prob")).collect()
+        .groupBy(_.getDouble(0)).map { case (k, v) =>
+          k -> v.map(_.getDouble(1)).sum / v.length }
+      assert(byLabel(1.0) > byLabel(0.0))
+      // refusals: one-class, bad label, NaN margin, empty
+      graft.core.Caches.release()
+      intercept[IllegalArgumentException](Classifier.calibrateMargins(
+        d.filter(col("y") === 1.0), col("m"), col("y")))
+      intercept[IllegalArgumentException](Classifier.calibrateMargins(
+        d.withColumn("y", lit(2.0)), col("m"), col("y")))
+      intercept[IllegalArgumentException](Classifier.calibrateMargins(
+        d.withColumn("m", lit(Double.NaN)), col("m"), col("y")))
+      intercept[IllegalArgumentException](Classifier.calibrateMargins(
+        d.filter(lit(false)), col("m"), col("y")))
+    } finally graft.core.Caches.release()
+  }
 }
