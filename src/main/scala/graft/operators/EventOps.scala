@@ -281,7 +281,10 @@ object EventOps {
     * semantics, not per-column.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
-               rightVals: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+               rightVals: Seq[String], tieBreak: Seq[String] = Nil,
+               direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward/forward/nearest, got '$direction'")
     val leftCols = left.columns.toSeq
     val lrowType = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
     val rrowType = right.select(struct(rightVals.map(col): _*)).schema.head.dataType
@@ -295,11 +298,39 @@ object EventOps {
         lit(null).cast(lrowType).as("__lrow"),
         struct(rightVals.map(col): _*).as("__rrow")) ++
         tieBreak.map(c => col(c).as(s"__tb_$c")): _*)
-    val w = Window.partitionBy(col("__k"))
+    // backward scans time ascending (nearest right AT-OR-BEFORE wins);
+    // forward scans time DESCENDING — the same prefix-window machinery
+    // picks the nearest right AT-OR-AFTER, ties at the boundary instant
+    // included on both (rights sort before lefts at equal t in either
+    // scan) and equal-t ties broken toward the largest tieBreak in both
+    val wb = Window.partitionBy(col("__k"))
       .orderBy(col("__t") +: col("__is_left") +: tieBreak.map(c => col(s"__tb_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    l.unionByName(r)
-      .withColumn("__asof", last(col("__rrow"), ignoreNulls = true).over(w))
+    val wf = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc +: col("__is_left") +: tieBreak.map(c => col(s"__tb_$c")): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val u = l.unionByName(r)
+      .withColumn("__rt", when(col("__is_left") === 0, col("__t")))
+    val joined = direction match {
+      case "backward" =>
+        u.withColumn("__asof", last(col("__rrow"), ignoreNulls = true).over(wb))
+      case "forward" =>
+        u.withColumn("__asof", last(col("__rrow"), ignoreNulls = true).over(wf))
+      case "nearest" =>
+        // both scans share one partitioning (a single shuffle, two
+        // sorts); the closer side wins, exact ties go backward
+        u.withColumn("__b", last(col("__rrow"), ignoreNulls = true).over(wb))
+          .withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(wb))
+          .withColumn("__f", last(col("__rrow"), ignoreNulls = true).over(wf))
+          .withColumn("__ft", last(col("__rt"), ignoreNulls = true).over(wf))
+          .withColumn("__asof",
+            when(col("__f").isNull, col("__b"))
+              .when(col("__b").isNull, col("__f"))
+              .when(abs(col("__t") - col("__bt")) <= abs(col("__ft") - col("__t")),
+                col("__b"))
+              .otherwise(col("__f")))
+    }
+    joined
       .filter(col("__is_left") === 1)
       .select(leftCols.map(c => col(s"__lrow.$c")) ++
         rightVals.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)

@@ -70,6 +70,37 @@ class EventOpsSpec extends SparkSpec {
     assert(out("p0") == (None, None))
   }
 
+  test("asofJoin directions: forward mirrors backward, nearest picks the closer side") {
+    import spark.implicits._
+    val right = Seq((1L, 3L, 1L, 30.0), (1L, 6L, 1L, 60.0),
+      (1L, 6L, 2L, 61.0), (1L, 20L, 1L, 200.0))
+      .toDF("k", "t", "rid", "v")
+    val left = Seq((1L, 5L, "L5"), (1L, 6L, "L6"), (1L, 25L, "L25"),
+      (2L, 1L, "Lx")).toDF("k", "t", "pid")
+    def run(dir: String) = EventOps.asofJoin(left, right, "k", "t",
+        rightVals = Seq("v"), tieBreak = Seq("rid"), direction = dir)
+      .collect().map(r => r.getAs[String]("pid") ->
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble)).toMap
+    val b = run("backward")
+    assert(b === Map("L5" -> Some(30.0), "L6" -> Some(61.0),
+      "L25" -> Some(200.0), "Lx" -> None))
+    // forward: smallest t >= left t, boundary inclusive, largest-rid tie
+    val f = run("forward")
+    assert(f === Map("L5" -> Some(61.0), "L6" -> Some(61.0),
+      "L25" -> None, "Lx" -> None))
+    // nearest: |5-3|=2 > |6-5|=1 -> forward side; exact tie -> backward;
+    // one-sided rows fall back to whichever side exists
+    val near = run("nearest")
+    assert(near === Map("L5" -> Some(61.0), "L6" -> Some(61.0),
+      "L25" -> Some(200.0), "Lx" -> None))
+    intercept[IllegalArgumentException](EventOps.asofJoin(
+      left, right, "k", "t", Seq("v"), direction = "sideways"))
+    // every direction returns exactly one row per left row
+    for (dir <- Seq("backward", "forward", "nearest"))
+      assert(EventOps.asofJoin(left, right, "k", "t", Seq("v"),
+        direction = dir).count() === 4L)
+  }
+
   test("funnel enforces strict step ordering per user") {
     import spark.implicits._
     // ms-epoch longs (eMsOf treats LongType ts as nanos → use ns here)
