@@ -683,6 +683,64 @@ object EventOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Time-grid resampling with gap fill — the regularization step
+    * between raw events and anything that assumes an evenly-spaced
+    * series (the [[rateAnomalies]] moment fit, trend deltas, join-by-
+    * bucket): per key, a complete `stepMs` grid from its first to its
+    * last observation, each cell carrying the LAST observed value in
+    * that cell (ties at one instant take the max value — deterministic)
+    * and empty cells filled by `fill`: "locf" carries the last
+    * observation forward (one running last(ignoreNulls) per key — the
+    * as-of machinery pointed at a grid), "null" leaves gaps explicit.
+    * `filled` marks synthesized cells so downstream consumers can
+    * weigh them.
+    *
+    * Scale shape: everything keys on (key) or (key, cell) — bounded
+    * map-side-combined shuffles, no corpus-wide anything. The grid
+    * materializes per key as a sequence() array, so a key's span is
+    * the state bound: probed up front and REFUSED past
+    * `maxCellsPerKey` (a years-long key at a 1 s step is a resample
+    * you want split or coarsened, not silently materialized). Cell
+    * indices floor toward −∞ (pmod arithmetic — negative epochs land
+    * in the right cell). Null timestamps drop (the module rule).
+    * Output: (key, bucket_ms, value, filled), ordered.
+    */
+  def resample(d: DataFrame, key: Column, ts: Column, value: Column,
+               stepMs: Long, fill: String = "locf",
+               maxCellsPerKey: Long = 100000L): DataFrame = {
+    require(stepMs > 0, s"stepMs must be positive, got $stepMs")
+    require(Set("locf", "null")(fill),
+      s"fill must be locf or null, got '$fill'")
+    require(maxCellsPerKey > 0, s"maxCellsPerKey must be positive")
+    val t = ts.cast("long")
+    val cell = ((t - pmod(t, lit(stepMs))) / lit(stepMs)).cast("long")
+    val base = d.filter(t.isNotNull)
+      .select(key.as("key"), cell.as("_c"), t.as("_t"), value.as("_v"))
+    val obs = base.groupBy(col("key"), col("_c"))
+      .agg(max(struct(col("_t"), col("_v"))).as("_last"))
+      .select(col("key"), col("_c"), col("_last._v").as("_obs"))
+    val spans = base.groupBy(col("key"))
+      .agg(min(col("_c")).as("_c0"), max(col("_c")).as("_c1"))
+    val widest = spans.agg(max(col("_c1") - col("_c0") + 1)).head()
+    if (!widest.isNullAt(0))
+      require(widest.getLong(0) <= maxCellsPerKey,
+        s"a key spans ${widest.getLong(0)} cells > maxCellsPerKey=" +
+          s"$maxCellsPerKey — coarsen stepMs or resample in shards")
+    val grid = spans.select(col("key"),
+      explode(sequence(col("_c0"), col("_c1"))).as("_c"))
+    val joined = grid.join(obs, Seq("key", "_c"), "left")
+    val valued = fill match {
+      case "null" => joined.withColumn("_val", col("_obs"))
+      case "locf" => joined.withColumn("_val",
+        last(col("_obs"), ignoreNulls = true).over(
+          Window.partitionBy(col("key")).orderBy(col("_c"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    }
+    valued.select(col("key"), (col("_c") * stepMs).as("bucket_ms"),
+        col("_val").as("value"), col("_obs").isNull.as("filled"))
+      .orderBy(col("key"), col("bucket_ms"))
+  }
+
   /** Exponentially time-decayed counts — the recency-weighted leaderboard
     * behind "what's trending NOW" (a plain window count weights an event
     * from six hours ago equally; decay halves an event's vote every

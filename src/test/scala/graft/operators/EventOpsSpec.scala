@@ -101,6 +101,42 @@ class EventOpsSpec extends SparkSpec {
         direction = dir).count() === 4L)
   }
 
+  test("resample: complete grid, LOCF vs null fill, last-in-cell, floor cells, span guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, 0L, 10.0), (1L, 500L, 11.0), // same cell: last-by-t wins
+      (1L, 3000L, 13.0), (1L, 4999L, 14.0),
+      (2L, 10000L, 99.0),
+      (3L, 7000L, 1.0), (3L, 7000L, 2.0), // same instant: max value wins
+      (4L, -1500L, 5.0) // negative epoch floors toward -inf
+    ).toDF("k", "t", "v")
+    def run(fill: String) = EventOps.resample(d, col("k"), col("t"), col("v"),
+        stepMs = 1000L, fill = fill).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))))
+      .toMap
+    val locf = run("locf")
+    assert(locf((1L, 0L)) === ((Some(11.0), false)))
+    assert(locf((1L, 1000L)) === ((Some(11.0), true)))
+    assert(locf((1L, 2000L)) === ((Some(11.0), true)))
+    assert(locf((1L, 3000L)) === ((Some(13.0), false)))
+    assert(locf((1L, 4000L)) === ((Some(14.0), false)))
+    assert(locf((2L, 10000L)) === ((Some(99.0), false)))
+    assert(locf((3L, 7000L)) === ((Some(2.0), false)))
+    assert(locf((4L, -2000L)) === ((Some(5.0), false)))
+    assert(locf.size === 8, "grid must be exactly first..last per key")
+    val nulls = run("null")
+    assert(nulls((1L, 1000L)) === ((None, true)))
+    assert(nulls((1L, 3000L)) === ((Some(13.0), false)))
+    intercept[IllegalArgumentException](EventOps.resample(
+      d, col("k"), col("t"), col("v"), stepMs = 1000L, maxCellsPerKey = 3L))
+    intercept[IllegalArgumentException](EventOps.resample(
+      d, col("k"), col("t"), col("v"), stepMs = 1000L, fill = "interp"))
+    intercept[IllegalArgumentException](EventOps.resample(
+      d, col("k"), col("t"), col("v"), stepMs = 0L))
+  }
+
   test("funnel enforces strict step ordering per user") {
     import spark.implicits._
     // ms-epoch longs (eMsOf treats LongType ts as nanos → use ns here)
