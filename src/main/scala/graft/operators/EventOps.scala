@@ -683,6 +683,75 @@ object EventOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Two-sided CUSUM changepoint detection (Page 1954) — the LEVEL-SHIFT
+    * complement of [[rateAnomalies]]' spike z-scores: a rate that drifts
+    * 1σ for fifty buckets never trips a per-bucket z test, but its
+    * cumulative sum walks straight over the CUSUM threshold. Per key,
+    * the classic recursion over the bucket-ordered series normalized by
+    * the key's own mean/stddev (decimal-exact sums — the fit is a pure
+    * function of the data): s⁺ = max(0, s⁺ + z − drift), s⁻ = max(0,
+    * s⁻ − z − drift), alarm and reset when either exceeds `threshold`
+    * (both in σ units — the textbook k/h parameterization). A
+    * zero-variance key emits nothing (no scale to measure shifts in).
+    *
+    * The recursion is inherently sequential per key, so it runs as one
+    * `aggregate()` HOF over the key's collected bucket array — per-key
+    * state is the series itself, which is why `maxPointsPerKey` is
+    * probed FIRST (one cheap count agg) and refused before any
+    * collect_list materializes (the [[resample]] span-guard discipline;
+    * feed windowed counts or a resampled grid, not raw events).
+    * Output: (key, bucket_ms, direction ±1, stat), ordered.
+    */
+  def cusum(series: DataFrame, key: Column, bucket: Column, value: Column,
+            threshold: Double = 5.0, drift: Double = 0.5,
+            maxPointsPerKey: Long = 100000L): DataFrame = {
+    require(threshold > 0.0, s"threshold must be positive, got $threshold")
+    require(drift >= 0.0, s"drift must be >= 0, got $drift")
+    require(maxPointsPerKey > 0, "maxPointsPerKey must be positive")
+    val base = series.filter(bucket.isNotNull && value.isNotNull)
+      .select(key.as("key"), bucket.cast("long").as("b"),
+        value.cast("double").as("v"))
+    val widest = base.groupBy(col("key")).count()
+      .agg(max(col("count"))).head()
+    if (!widest.isNullAt(0))
+      require(widest.getLong(0) <= maxPointsPerKey,
+        s"a key holds ${widest.getLong(0)} points > maxPointsPerKey=" +
+          s"$maxPointsPerKey — pre-aggregate (resample/windowed counts) first")
+    val stats = base.groupBy(col("key")).agg(
+      sort_array(collect_list(struct(col("b"), col("v")))).as("pts"),
+      count(lit(1)).as("n"),
+      sum(round(col("v"), 9).cast("decimal(38,9)")).cast("double").as("s1"),
+      sum(round(col("v") * col("v"), 9).cast("decimal(38,9)")).cast("double").as("s2"))
+      .withColumn("mu", col("s1") / col("n"))
+      .withColumn("sigma",
+        sqrt(greatest(lit(0.0), col("s2") / col("n") - col("mu") * col("mu"))))
+      .filter(col("sigma") > 0.0)
+    val alT = "array<struct<b:bigint,dir:int,stat:double>>"
+    val zero = struct(lit(0.0).as("sp"), lit(0.0).as("sn"),
+      array().cast(alT).as("al"))
+    val alarms = aggregate(col("pts"), zero,
+      (a, p) => {
+        val z = (p("v") - col("mu")) / col("sigma")
+        val sp1 = greatest(lit(0.0), a("sp") + z - lit(drift))
+        val sn1 = greatest(lit(0.0), a("sn") - z - lit(drift))
+        val up = sp1 > threshold
+        val dn = sn1 > threshold
+        struct(
+          when(up, lit(0.0)).otherwise(sp1).as("sp"),
+          when(dn, lit(0.0)).otherwise(sn1).as("sn"),
+          concat(a("al"),
+            when(up, array(struct(p("b").as("b"), lit(1).as("dir"),
+              round(sp1, 6).as("stat")))).otherwise(array().cast(alT)),
+            when(dn, array(struct(p("b").as("b"), lit(-1).as("dir"),
+              round(sn1, 6).as("stat")))).otherwise(array().cast(alT))).as("al"))
+      },
+      a => a("al"))
+    stats.select(col("key"), explode(alarms).as("_a"))
+      .select(col("key"), col("_a.b").as("bucket_ms"),
+        col("_a.dir").as("direction"), col("_a.stat").as("stat"))
+      .orderBy(col("key"), col("bucket_ms"), col("direction"))
+  }
+
   /** Time-grid resampling with gap fill — the regularization step
     * between raw events and anything that assumes an evenly-spaced
     * series (the [[rateAnomalies]] moment fit, trend deltas, join-by-

@@ -1116,6 +1116,53 @@ object Relational {
           .otherwise(lit(0.0)), 6).as("entropy_norm"))
   }
 
+  /** Equi-DEPTH histogram — the complement of [[histogram]]'s
+    * equi-width buckets: bin edges at the value's own quantiles, so
+    * every bin carries ~1/nBins of the rows regardless of how skewed
+    * the distribution is (the long-tailed doc-length / value columns
+    * where equi-width puts 99 % of rows in bucket 0). Edges come from
+    * ONE `percentile_approx` aggregation (the t-digest-style sketch —
+    * bounded state at any scale; `accuracy` is the knob, default
+    * 10 000 ≈ sub-0.01 % quantile error) and bind back as a plan
+    * literal: bin = #edges strictly below the value, a zero-shuffle
+    * projection, then one bounded groupBy. A heavy point mass
+    * collapses adjacent edges — the duplicate edges land every tied
+    * row in the LOWEST of their bins (deterministic; the empty bins
+    * that result are reported absent, visible, not papered over).
+    * Output: (bin, lo, hi, n) — lo/hi are the bin's edge bounds
+    * (−∞/+∞ at the ends as nulls), ordered by bin.
+    */
+  def histogramEquiDepth(d: DataFrame, valueCol: String, nBins: Int,
+                         accuracy: Int = 10000): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    require(accuracy >= 100, s"need accuracy >= 100, got $accuracy")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val edgesRow = d.filter(col(valueCol).isNotNull).agg(
+      percentile_approx(col(valueCol).cast("double"),
+        typedlit(qs), lit(accuracy))).head()
+    if (edgesRow.isNullAt(0)) {
+      // empty / all-null input: zero rows, normal schema
+      val spark = d.sparkSession
+      import spark.implicits._
+      Seq.empty[(Long, Option[Double], Option[Double], Long)]
+        .toDF("bin", "lo", "hi", "n")
+    } else {
+      val edges = edgesRow.getSeq[Double](0)
+      val bin = size(filter(typedlit(edges),
+        e => col(valueCol).cast("double") > e)).cast("long")
+      val lo = (b: Column) => when(b === 0, lit(null).cast("double"))
+        .otherwise(element_at(typedlit(edges), b.cast("int")))
+      val hi = (b: Column) => when(b === (nBins - 1), lit(null).cast("double"))
+        .otherwise(element_at(typedlit(edges), b.cast("int") + 1))
+      d.filter(col(valueCol).isNotNull)
+        .groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("bin"), lo(col("bin")).as("lo"), hi(col("bin")).as("hi"),
+          col("n"))
+        .orderBy(col("bin"))
+    }
+  }
+
   def histogram(d: DataFrame, groupCols: Seq[String], valueCol: String,
                 nBins: Int): DataFrame = {
     require(nBins > 0)

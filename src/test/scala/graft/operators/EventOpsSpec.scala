@@ -137,6 +137,60 @@ class EventOpsSpec extends SparkSpec {
       d, col("k"), col("t"), col("v"), stepMs = 0L))
   }
 
+  test("cusum: level shift alarms where the driver replay says, flat and zero-variance silent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // key 1: 30 buckets around 10, then 20 buckets at 14 — a sustained
+    // ~1.7sigma shift no single bucket would flag; key 2: flat; key 3:
+    // zero variance
+    val pts1 = (0 until 30).map(i => (1L, i.toLong, if (i % 2 == 0) 9.5 else 10.5)) ++
+      (30 until 50).map(i => (1L, i.toLong, 14.0))
+    val pts2 = (0 until 50).map(i => (2L, i.toLong, if (i % 2 == 0) 9.5 else 10.5))
+    val pts3 = (0 until 50).map(i => (3L, i.toLong, 7.0))
+    val d = (pts1 ++ pts2 ++ pts3).toDF("k", "b", "v")
+    val out = EventOps.cusum(d, col("k"), col("b"), col("v"),
+      threshold = 5.0, drift = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // driver replay of the identical recursion (same mu/sigma formula)
+    def replay(pts: Seq[(Long, Long, Double)]) = {
+      val vs = pts.sortBy(_._2)
+      def dsum(xs: Seq[Double]) = xs.map(x => BigDecimal(x).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val n = vs.length
+      val mu = dsum(vs.map(_._3)) / n
+      val sg = math.sqrt(math.max(0.0, dsum(vs.map(p => p._3 * p._3)) / n - mu * mu))
+      if (sg == 0.0) Seq.empty else {
+        var sp = 0.0; var sn = 0.0
+        val al = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double)]()
+        for ((k, b, v) <- vs) {
+          val z = (v - mu) / sg
+          val sp1 = math.max(0.0, sp + z - 0.5)
+          val sn1 = math.max(0.0, sn - z - 0.5)
+          if (sp1 > 5.0) {
+            al += ((k, b, 1, BigDecimal(sp1).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)); sp = 0.0
+          } else sp = sp1
+          if (sn1 > 5.0) {
+            al += ((k, b, -1, BigDecimal(sn1).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)); sn = 0.0
+          } else sn = sn1
+        }
+        al.toSeq
+      }
+    }
+    val want = (replay(pts1) ++ replay(pts2) ++ replay(pts3))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(out.toSeq === want)
+    // the shift IS detected, upward, inside the shifted region
+    assert(out.exists(a => a._1 == 1L && a._3 == 1 && a._2 >= 30L))
+    // flat and constant keys stay silent
+    assert(!out.exists(a => a._1 == 2L || a._1 == 3L))
+    intercept[IllegalArgumentException](EventOps.cusum(
+      d, col("k"), col("b"), col("v"), maxPointsPerKey = 10L))
+    intercept[IllegalArgumentException](EventOps.cusum(
+      d, col("k"), col("b"), col("v"), threshold = 0.0))
+  }
+
   test("funnel enforces strict step ordering per user") {
     import spark.implicits._
     // ms-epoch longs (eMsOf treats LongType ts as nanos → use ns here)

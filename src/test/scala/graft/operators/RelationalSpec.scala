@@ -655,4 +655,39 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.skewReport(docs.repartition(7), col("source")).head()
       .toString === s1.toString)
   }
+
+  test("histogramEquiDepth: near-equal uniform bins, point mass collapses deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = (1 to 100).toDF("v")
+    val out = Relational.histogramEquiDepth(d, "v", 4).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getLong(3)))
+    assert(out.map(_._4).sum === 100L)
+    // verify every bin count against a driver recount using the
+    // operator's OWN edges (robust to the sketch's rank convention)
+    val edges = out.flatMap(_._2).distinct.sorted
+    assert(edges.length === 3)
+    for ((bin, _, _, n) <- out) {
+      val want = (1 to 100).count(v => edges.count(e => v > e) == bin)
+      assert(n === want.toLong, s"bin $bin")
+      assert(n >= 20L && n <= 30L, s"uniform bin $bin holds $n")
+    }
+    // end bins are open (-inf / +inf as nulls)
+    assert(out.head._2.isEmpty && out.last._3.isEmpty)
+    // 91 copies of 7 collapse all three edges: ties land in the LOWEST
+    // bin, the empties are absent, the tail keeps its own bin
+    val sk = (Seq.fill(90)(7) ++ (1 to 10)).toDF("v")
+    val skOut = Relational.histogramEquiDepth(sk, "v", 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(skOut === Map(0L -> 97L, 3L -> 3L))
+    // empty input: zero rows with the normal schema
+    assert(Relational.histogramEquiDepth(d.filter(col("v") > 1000), "v", 4)
+      .collect().isEmpty)
+    intercept[IllegalArgumentException](Relational.histogramEquiDepth(d, "v", 1))
+    intercept[IllegalArgumentException](
+      Relational.histogramEquiDepth(d, "v", 4, accuracy = 10))
+  }
 }
