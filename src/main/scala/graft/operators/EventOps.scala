@@ -616,9 +616,36 @@ object EventOps {
     rateAnomaliesCore(idx, stepMs, zThresh, dense)
   }
 
+  /** Seasonal-baseline rate anomalies — [[rateAnomaliesFromCounts]]
+    * with the fit grouped by (event_type, window-index mod `period`):
+    * hourly windows at period 24 give an hour-of-day baseline, 168 an
+    * hour-of-week one. The production gap this closes: on diurnal
+    * traffic the GLOBAL fit's variance is dominated by the day-night
+    * swing itself, so a peak-hour outage that drops traffic to
+    * off-peak levels scores |z| ≈ 1 and sails through — against its
+    * own phase's baseline the same window is a multi-σ alarm (the
+    * spec plants exactly this: globally invisible, seasonally
+    * caught). Same one-count-shuffle shape — the stats rollup keys on
+    * (type, phase), bounded by types·period; `dense` zero-fills
+    * missing windows BEFORE the fit so quiet phases aren't biased
+    * upward. Output adds the `phase` column.
+    */
+  def rateAnomaliesSeasonal(counts: DataFrame, windowSec: Long, period: Int,
+                            zThresh: Double = 3.0,
+                            dense: Boolean = false): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    require(period >= 2, s"period must be >= 2 windows, got $period")
+    val stepMs = windowSec * 1000L
+    val idx = counts.select(col("event_type"),
+      (col("window_start_ms").cast("long") / stepMs).cast("long").as("w"),
+      col("n_events").cast("long").as("n_events"))
+    rateAnomaliesCore(idx, stepMs, zThresh, dense, Some(period))
+  }
+
   /** Shared fit+flag core over index-form counts (event_type, w, n_events). */
   private def rateAnomaliesCore(counts1: DataFrame, stepMs: Long,
-                                zThresh: Double, dense: Boolean): DataFrame = {
+                                zThresh: Double, dense: Boolean,
+                                period: Option[Int] = None): DataFrame = {
     require(zThresh > 0, s"zThresh must be positive, got $zThresh")
     // pinned: the counts frame feeds both the stats fit and the flag
     // join (and, dense, the span probe) — one count shuffle, not three
@@ -631,24 +658,35 @@ object EventOps {
         .join(counts0, Seq("event_type", "w"), "left")
         .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
     }
-    val stats = counts.groupBy(col("event_type").as("_ra_t")).agg(
+    val phased = period match {
+      case Some(p) => counts.withColumn("_ph", pmod(col("w"), lit(p.toLong)))
+      case None => counts
+    }
+    val statKeys = col("event_type").as("_ra_t") +:
+      period.map(_ => col("_ph").as("_ra_p")).toSeq
+    val stats = phased.groupBy(statKeys: _*).agg(
         count(lit(1)).as("n_w"), sum(col("n_events")).as("s1"),
         sum(col("n_events").cast("decimal(19,0)") *
           col("n_events").cast("decimal(19,0)")).as("s2"))
-      .select(col("_ra_t"),
+      .select((Seq(col("_ra_t")) ++ period.map(_ => col("_ra_p"))) ++ Seq(
         (col("s1").cast("double") / col("n_w")).as("mean_events"),
         sqrt(greatest(lit(0.0),
           col("s2").cast("double") / col("n_w") -
-            pow(col("s1").cast("double") / col("n_w"), 2))).as("std_events"))
-    counts.join(stats, col("event_type") <=> col("_ra_t"))
+            pow(col("s1").cast("double") / col("n_w"), 2))).as("std_events")): _*)
+    val joinCond = period match {
+      case Some(_) => col("event_type") <=> col("_ra_t") && col("_ph") <=> col("_ra_p")
+      case None => col("event_type") <=> col("_ra_t")
+    }
+    phased.join(stats, joinCond)
       .withColumn("z", when(col("std_events") > 0,
         (col("n_events").cast("double") - col("mean_events")) /
           col("std_events")).otherwise(lit(0.0)))
       .filter(abs(col("z")) >= zThresh)
-      .select(col("event_type"), (col("w") * stepMs).as("window_start_ms"),
+      .select(Seq(col("event_type"), (col("w") * stepMs).as("window_start_ms")) ++
+        period.map(_ => col("_ph").as("phase")) ++ Seq(
         col("n_events"), round(col("mean_events"), 6).as("mean_events"),
         round(col("std_events"), 6).as("std_events"),
-        round(col("z"), 6).as("z"))
+        round(col("z"), 6).as("z")): _*)
       .orderBy(col("event_type"), col("window_start_ms"))
   }
 

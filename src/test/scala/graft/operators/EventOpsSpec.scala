@@ -137,6 +137,33 @@ class EventOpsSpec extends SparkSpec {
       d, col("k"), col("t"), col("v"), stepMs = 0L))
   }
 
+  test("rateAnomaliesSeasonal: a peak-hour drop invisible to the global fit is a seasonal alarm") {
+    import spark.implicits._
+    // hourly counts over 21 days: 12 peak hours ~100, 12 off-peak ~10
+    // (small deterministic jitter so stds are nonzero), and ONE peak
+    // window dropped to off-peak level — an outage during rush hour
+    val anomalyMs = (10 * 24 + 3).toLong * 3600000L
+    val rows = for (d <- 0 until 21; h <- 0 until 24) yield {
+      val base = if (h < 12) 100L + d % 3 else 10L + d % 3
+      val n = if (d == 10 && h == 3) 10L else base
+      ("click", (d * 24 + h).toLong * 3600000L, n)
+    }
+    val counts = rows.toDF("event_type", "window_start_ms", "n_events")
+    // the global fit's variance IS the day-night swing: nothing flags
+    val global = EventOps.rateAnomaliesFromCounts(counts, 3600L, zThresh = 3.0)
+    assert(global.collect().isEmpty, "global fit must miss the seasonal drop")
+    // the hour-of-day baseline catches exactly the planted window
+    val seasonal = EventOps.rateAnomaliesSeasonal(counts, 3600L, period = 24,
+      zThresh = 3.0).collect()
+    assert(seasonal.length === 1)
+    val a = seasonal.head
+    assert(a.getLong(1) === anomalyMs)
+    assert(a.getLong(2) === 3L, "phase column")
+    assert(a.getDouble(6) < -3.0, s"z = ${a.getDouble(6)}")
+    intercept[IllegalArgumentException](
+      EventOps.rateAnomaliesSeasonal(counts, 3600L, period = 1))
+  }
+
   test("cusum: level shift alarms where the driver replay says, flat and zero-variance silent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
