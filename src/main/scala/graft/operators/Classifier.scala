@@ -456,11 +456,15 @@ object Classifier {
     val counts = prep0.agg(count(lit(1)),
       sum(when(col("_y") === 1.0, 1L).otherwise(0L)),
       sum(when(col("_y").isNull || col("_m").isNull || isnan(col("_m")) ||
+        // ±Infinity would pass a NaN-only check and then silently drop
+        // from the decimal sufficient-statistic sums — refuse instead
+        abs(col("_m")) > lit(Double.MaxValue) ||
         (col("_y") =!= 0.0 && col("_y") =!= 1.0), 1L).otherwise(0L))).head()
     val n = counts.getLong(0)
     require(n > 0, "cannot calibrate on an empty frame")
     require(counts.getLong(2) == 0,
-      s"${counts.getLong(2)} rows carry a null/NaN margin or a label not in {0,1}")
+      s"${counts.getLong(2)} rows carry a null/non-finite margin or a " +
+        "label not in {0,1}")
     val nPos = counts.getLong(1)
     val nNeg = n - nPos
     require(nPos > 0 && nNeg > 0,

@@ -293,7 +293,11 @@ object EventOps {
         struct(leftCols.map(col): _*).as("__lrow"),
         lit(null).cast(rrowType).as("__rrow")) ++
         tieBreak.map(c => lit(null).cast(right.schema(c).dataType).as(s"__tb_$c")): _*)
-    val r = right.select(
+    // null-timestamp RIGHT rows drop (no position on the timeline —
+    // the module rule); null-timestamp LEFT rows sort FIRST in both
+    // scan directions (nulls_first below), so they match nothing in
+    // any direction instead of matching everything in one of them
+    val r = right.filter(col(time).isNotNull).select(
       Seq(col(key).as("__k"), col(time).as("__t"), lit(0).as("__is_left"),
         lit(null).cast(lrowType).as("__lrow"),
         struct(rightVals.map(col): _*).as("__rrow")) ++
@@ -304,10 +308,12 @@ object EventOps {
     // included on both (rights sort before lefts at equal t in either
     // scan) and equal-t ties broken toward the largest tieBreak in both
     val wb = Window.partitionBy(col("__k"))
-      .orderBy(col("__t") +: col("__is_left") +: tieBreak.map(c => col(s"__tb_$c")): _*)
+      .orderBy(col("__t").asc_nulls_first +: col("__is_left") +:
+        tieBreak.map(c => col(s"__tb_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wf = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").desc +: col("__is_left") +: tieBreak.map(c => col(s"__tb_$c")): _*)
+      .orderBy(col("__t").desc_nulls_first +: col("__is_left") +:
+        tieBreak.map(c => col(s"__tb_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val u = l.unionByName(r)
       .withColumn("__rt", when(col("__is_left") === 0, col("__t")))
@@ -610,11 +616,15 @@ object EventOps {
                               dense: Boolean = false): DataFrame = {
     require(windowSec > 0, s"windowSec must be positive, got $windowSec")
     val stepMs = windowSec * 1000L
-    val idx = counts.select(col("event_type"),
+    rateAnomaliesCore(countsIndex(counts, stepMs), stepMs, zThresh, dense)
+  }
+
+  /** The shared counts → (event_type, w, n_events) index projection of
+    * the global and seasonal fits (one derivation, not two). */
+  private def countsIndex(counts: DataFrame, stepMs: Long): DataFrame =
+    counts.select(col("event_type"),
       (col("window_start_ms").cast("long") / stepMs).cast("long").as("w"),
       col("n_events").cast("long").as("n_events"))
-    rateAnomaliesCore(idx, stepMs, zThresh, dense)
-  }
 
   /** Seasonal-baseline rate anomalies — [[rateAnomaliesFromCounts]]
     * with the fit grouped by (event_type, window-index mod `period`):
@@ -636,10 +646,8 @@ object EventOps {
     require(windowSec > 0, s"windowSec must be positive, got $windowSec")
     require(period >= 2, s"period must be >= 2 windows, got $period")
     val stepMs = windowSec * 1000L
-    val idx = counts.select(col("event_type"),
-      (col("window_start_ms").cast("long") / stepMs).cast("long").as("w"),
-      col("n_events").cast("long").as("n_events"))
-    rateAnomaliesCore(idx, stepMs, zThresh, dense, Some(period))
+    rateAnomaliesCore(countsIndex(counts, stepMs), stepMs, zThresh, dense,
+      Some(period))
   }
 
   /** Shared fit+flag core over index-form counts (event_type, w, n_events). */
@@ -746,9 +754,10 @@ object EventOps {
     require(threshold > 0.0, s"threshold must be positive, got $threshold")
     require(drift >= 0.0, s"drift must be >= 0, got $drift")
     require(maxPointsPerKey > 0, "maxPointsPerKey must be positive")
-    val base = series.filter(bucket.isNotNull && value.isNotNull)
-      .select(key.as("key"), bucket.cast("long").as("b"),
-        value.cast("double").as("v"))
+    val base = graft.core.Caches.persist(
+      series.filter(bucket.isNotNull && value.isNotNull)
+        .select(key.as("key"), bucket.cast("long").as("b"),
+          value.cast("double").as("v")))
     val widest = base.groupBy(col("key")).count()
       .agg(max(col("count"))).head()
     if (!widest.isNullAt(0))
@@ -821,13 +830,18 @@ object EventOps {
     require(maxCellsPerKey > 0, s"maxCellsPerKey must be positive")
     val t = ts.cast("long")
     val cell = ((t - pmod(t, lit(stepMs))) / lit(stepMs)).cast("long")
-    val base = d.filter(t.isNotNull)
-      .select(key.as("key"), cell.as("_c"), t.as("_t"), value.as("_v"))
+    // null timestamps AND null values drop — neither has a place on the
+    // grid (a valueless row is not an observation; letting one win its
+    // cell would mislabel the cell as a gap and LOCF over real data)
+    val base = graft.core.Caches.persist(
+      d.filter(t.isNotNull && value.isNotNull)
+        .select(key.as("key"), cell.as("_c"), t.as("_t"), value.as("_v")))
     val obs = base.groupBy(col("key"), col("_c"))
       .agg(max(struct(col("_t"), col("_v"))).as("_last"))
-      .select(col("key"), col("_c"), col("_last._v").as("_obs"))
-    val spans = base.groupBy(col("key"))
-      .agg(min(col("_c")).as("_c0"), max(col("_c")).as("_c1"))
+      .select(col("key").as("_ok"), col("_c").as("_oc"),
+        col("_last._v").as("_obs"))
+    val spans = graft.core.Caches.persist(base.groupBy(col("key"))
+      .agg(min(col("_c")).as("_c0"), max(col("_c")).as("_c1")))
     val widest = spans.agg(max(col("_c1") - col("_c0") + 1)).head()
     if (!widest.isNullAt(0))
       require(widest.getLong(0) <= maxCellsPerKey,
@@ -835,7 +849,12 @@ object EventOps {
           s"$maxCellsPerKey — coarsen stepMs or resample in shards")
     val grid = spans.select(col("key"),
       explode(sequence(col("_c0"), col("_c1"))).as("_c"))
-    val joined = grid.join(obs, Seq("key", "_c"), "left")
+    // null-safe key equality: a null grouping key is a legitimate group
+    // (the rateAnomaliesCore <=> rule) — a plain equi-join would orphan
+    // its own observations
+    val joined = grid.join(obs,
+        col("key") <=> col("_ok") && col("_c") === col("_oc"), "left")
+      .drop("_ok", "_oc")
     val valued = fill match {
       case "null" => joined.withColumn("_val", col("_obs"))
       case "locf" => joined.withColumn("_val",

@@ -103,7 +103,10 @@ object Kmv {
     require(k >= 16 && k <= (1 << 20),
       s"need 16 <= k <= 2^20 (estimator variance / driver budget), got $k")
     import d.sparkSession.implicits._
-    d.select(Hashing.hash60(key.cast("string")).as("h")).as[Long]
+    // null keys drop — they have no hash position (the module rule),
+    // and a null would kill the primitive-Long decode mid-job
+    d.select(Hashing.hash60(key.cast("string")).as("h"))
+      .filter(col("h").isNotNull).as[Long]
       .select(new KmvAggregator[Long](k, identity).toColumn)
       .head()
   }
@@ -165,9 +168,10 @@ object Kmv {
     * sketch-space sibling of [[Dedup.sourceOverlap]] (exact, window
     * shuffle): this one never shuffles anything wider than the
     * sketches and scales to any cardinality. Output per unordered
-    * pair (a < b): estimated distinct of each side, of the union and
-    * intersection, and the Jaccard — plus the per-group diagonal rows
-    * (group_b null) carrying each group's own estimate.
+    * pair (a < b): estimated distinct of BOTH sides (so containment
+    * |A∩B|/|B| reads off one row), of the union and intersection, and
+    * the Jaccard — plus the per-group diagonal rows (group_b null)
+    * carrying each group's own estimate. Null keys drop.
     */
   def overlapMatrix(d: DataFrame, group: Column, key: Column,
                     k: Int = 1024, maxGroups: Int = 1000): DataFrame = {
@@ -177,6 +181,7 @@ object Kmv {
     val sketches = d
       .select(group.cast("string").as("g"),
         Hashing.hash60(key.cast("string")).as("h"))
+      .filter(col("h").isNotNull) // null keys drop, as in [[build]]
       .as[(String, Long)]
       .groupByKey(_._1)
       .agg(new KmvAggregator[(String, Long)](k, _._2).toColumn.name("sk"))
@@ -187,7 +192,8 @@ object Kmv {
     val sorted = sketches.sortBy(_._1)
     val rows =
       sorted.map { case (g, sk) =>
-        (g, Option.empty[String], math.rint(estimate(sk, k)), 0.0, 0.0, 0.0)
+        (g, Option.empty[String], math.rint(estimate(sk, k)),
+          Option.empty[Double], 0.0, 0.0, 0.0)
       }.toSeq ++
       (for {
         i <- sorted.indices; j <- (i + 1) until sorted.length
@@ -195,11 +201,12 @@ object Kmv {
         val (ga, sa) = sorted(i); val (gb, sb) = sorted(j)
         val u = estimate(union(sa, sb, k), k)
         val jac = jaccard(sa, sb, k)
-        (ga, Option(gb), math.rint(estimate(sa, k)), math.rint(u),
+        (ga, Option(gb), math.rint(estimate(sa, k)),
+          Option(math.rint(estimate(sb, k))), math.rint(u),
           math.rint(jac * u), math.rint(jac * 1e6) / 1e6)
       })
-    rows.toDF("group_a", "group_b", "est_distinct_a", "est_union",
-      "est_intersect", "jaccard")
+    rows.toDF("group_a", "group_b", "est_distinct_a", "est_distinct_b",
+      "est_union", "est_intersect", "jaccard")
       .orderBy(col("group_a"), col("group_b"))
   }
 }

@@ -448,6 +448,9 @@ class ClassifierSpec extends SparkSpec {
       intercept[IllegalArgumentException](Classifier.calibrateMargins(
         d.withColumn("m", lit(Double.NaN)), col("m"), col("y")))
       intercept[IllegalArgumentException](Classifier.calibrateMargins(
+        d.withColumn("m", when(col("m") > 4.9, Double.PositiveInfinity)
+          .otherwise(col("m"))), col("m"), col("y")))
+      intercept[IllegalArgumentException](Classifier.calibrateMargins(
         d.filter(lit(false)), col("m"), col("y")))
     } finally graft.core.Caches.release()
   }

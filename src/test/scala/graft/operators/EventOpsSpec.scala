@@ -99,6 +99,23 @@ class EventOpsSpec extends SparkSpec {
     for (dir <- Seq("backward", "forward", "nearest"))
       assert(EventOps.asofJoin(left, right, "k", "t", Seq("v"),
         direction = dir).count() === 4L)
+    // null timestamps: a null-t LEFT row matches nothing in EVERY
+    // direction (not everything in one of them), and a null-t RIGHT
+    // row is dropped rather than becoming anyone's match
+    val leftN = left.unionByName(
+      Seq((Option(1L), Option.empty[Long], "Lnull")).toDF("k", "t", "pid"))
+    val rightN = right.unionByName(
+      Seq((Option(1L), Option.empty[Long], Option(9L), Option(999.0)))
+        .toDF("k", "t", "rid", "v"))
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val o = EventOps.asofJoin(leftN, rightN, "k", "t",
+          rightVals = Seq("v"), tieBreak = Seq("rid"), direction = dir)
+        .collect().map(r => r.getAs[String]("pid") ->
+          Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble)).toMap
+      assert(o("Lnull") === None, s"null-t left must match nothing ($dir)")
+      assert(!o.values.flatten.exists(_ == 999.0),
+        s"null-t right must never match ($dir)")
+    }
   }
 
   test("resample: complete grid, LOCF vs null fill, last-in-cell, floor cells, span guard") {
@@ -111,12 +128,23 @@ class EventOpsSpec extends SparkSpec {
       (3L, 7000L, 1.0), (3L, 7000L, 2.0), // same instant: max value wins
       (4L, -1500L, 5.0) // negative epoch floors toward -inf
     ).toDF("k", "t", "v")
+      // a null VALUE is not an observation (dropped, so it can't claim
+      // its cell and mislabel it as a gap); null keys are a legitimate
+      // group and must keep their own observations through the join
+      .unionByName(Seq((Option.empty[Long], 0L, Option(1.0)),
+        (Option.empty[Long], 2000L, Option(3.0)),
+        (Option(1L), 4500L, Option.empty[Double]))
+        .toDF("k", "t", "v"))
     def run(fill: String) = EventOps.resample(d, col("k"), col("t"), col("v"),
         stepMs = 1000L, fill = fill).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) ->
+      .map(r => ((if (r.isNullAt(0)) -999L else r.getLong(0)), r.getLong(1)) ->
         ((Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))))
       .toMap
     val locf = run("locf")
+    // the null-key group keeps its own observations (null-safe join)
+    assert(locf((-999L, 0L)) === ((Some(1.0), false)))
+    assert(locf((-999L, 1000L)) === ((Some(1.0), true)))
+    assert(locf((-999L, 2000L)) === ((Some(3.0), false)))
     assert(locf((1L, 0L)) === ((Some(11.0), false)))
     assert(locf((1L, 1000L)) === ((Some(11.0), true)))
     assert(locf((1L, 2000L)) === ((Some(11.0), true)))
@@ -125,7 +153,7 @@ class EventOpsSpec extends SparkSpec {
     assert(locf((2L, 10000L)) === ((Some(99.0), false)))
     assert(locf((3L, 7000L)) === ((Some(2.0), false)))
     assert(locf((4L, -2000L)) === ((Some(5.0), false)))
-    assert(locf.size === 8, "grid must be exactly first..last per key")
+    assert(locf.size === 11, "grid must be exactly first..last per key")
     val nulls = run("null")
     assert(nulls((1L, 1000L)) === ((None, true)))
     assert(nulls((1L, 3000L)) === ((Some(13.0), false)))

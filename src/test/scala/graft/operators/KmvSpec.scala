@@ -24,6 +24,11 @@ class KmvSpec extends SparkSpec {
     val want = (0L until 40L).map(i => h60(i.toString)).sorted.toArray
     assert(sk.sameElements(want))
     assert(Kmv.estimate(sk, 64) === 40.0)
+    // null keys drop rather than killing the Long decode
+    val withNull = d.select(when(col("id") === 5L, lit(null))
+      .otherwise(col("id")).as("id"))
+    val skN = Kmv.build(withNull, col("id"), k = 64)
+    assert(skN.length === 39 && !skN.contains(h60("5")))
   }
 
   test("estimate within the sketch's error band; partitioning-invariant") {
@@ -99,10 +104,15 @@ class KmvSpec extends SparkSpec {
       val tol = if (n < k) 0.5 else 4 * n / math.sqrt(k - 2.0)
       assert(math.abs(est - n) <= tol, s"$s est $est exact $n")
     }
-    // doc_id is unique across sources: every pairwise overlap is zero
+    // doc_id is unique across sources: every pairwise overlap is zero,
+    // and each pair row carries BOTH sides' own estimates
     val pairs = out.filter(!_.isNullAt(1))
     assert(pairs.nonEmpty)
-    assert(pairs.forall(r => r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0))
+    assert(pairs.forall(r => r.getDouble(5) === 0.0 && r.getDouble(6) === 0.0))
+    for (p <- pairs) {
+      assert(p.getDouble(2) === diag(p.getString(0)), "est_distinct_a")
+      assert(p.getDouble(3) === diag(p.getString(1)), "est_distinct_b")
+    }
     // group-count guard
     intercept[IllegalArgumentException](
       Kmv.overlapMatrix(docs, col("doc_id"), col("doc_id"), k, maxGroups = 3))
