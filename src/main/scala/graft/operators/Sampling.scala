@@ -547,6 +547,63 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Length-sorted inference batching — the third member of the packing
+    * family: [[packSequences]] splits into fixed token windows
+    * (training), [[packWhole]] bins whole docs by token budget (SFT),
+    * and this one builds FIXED-ROW batches of similar-length documents
+    * for batched inference/scoring, where every sequence in a batch
+    * pads to the batch's longest member — so batch composition IS the
+    * padding bill, and sorting by length before batching is the
+    * standard fix (any serving stack's "length bucketing"). Global
+    * length order comes from the shared two-level prefix scan (range
+    * partition on (n_tokens, key), no corpus-wide single-partition
+    * window), batch = (position − 1) div batchSize — contiguous runs
+    * of the sorted order, deterministic, with `key` required unique
+    * (the [[curriculumOrder]] probe: tied rows have no defined
+    * position). Output: input + (batch_pos, batch_id), range-ordered
+    * so a writer streams batches out without another sort.
+    * [[paddingReport]] prices the layout: per-batch padding to the
+    * longest member, one bounded two-level aggregation.
+    */
+  def lengthBatches(d: DataFrame, key: Column, nTokens: Column,
+                    batchSize: Int, parts: Int = 0): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(parts >= 0, s"parts must be >= 0 (0 = session default), got $parts")
+    val reserved = Seq("batch_pos", "batch_id", "_lb_n")
+    reserved.foreach(r => require(!d.columns.contains(r),
+      s"input already has a $r column; rename it first"))
+    val probe = d.agg(count(lit(1)), countDistinct(key)).head()
+    require(probe.getLong(0) == probe.getLong(1),
+      s"batch key is not unique (${probe.getLong(0)} rows, " +
+        s"${probe.getLong(1)} distinct) — tied rows have no defined position")
+    val base = d.withColumn("_lb_n", nTokens.cast("long"))
+    val orderCols = Seq(col("_lb_n"), key)
+    val ranged = graft.core.Caches.persist(
+      if (parts > 0) base.repartitionByRange(parts, orderCols: _*)
+      else base.repartitionByRange(orderCols: _*))
+    twoLevelCumSums(ranged, spark_partition_id(), orderCols,
+      Seq("batch_pos" -> lit(1L)))
+      .withColumn("batch_id", expr(s"(batch_pos - 1) DIV $batchSize"))
+      .drop("_lb_n")
+  }
+
+  /** Padding accounting for a batch layout: every sequence pads to its
+    * batch's longest member, so padded = Σ_b n_docs(b)·max_len(b).
+    * Works over ANY (batchCol, lenCol) assignment — price
+    * [[lengthBatches]] against an unsorted layout to see the win.
+    * Output (1 row): n_docs, n_batches, useful_tokens, padded_tokens,
+    * padding_frac. */
+  def paddingReport(d: DataFrame, batch: Column, len: Column): DataFrame =
+    d.groupBy(batch.as("_pr_b"))
+      .agg(count(lit(1)).as("_pr_n"), max(len.cast("long")).as("_pr_mx"),
+        sum(len.cast("long")).as("_pr_sum"))
+      .agg(sum(col("_pr_n")).as("n_docs"),
+        count(lit(1)).as("n_batches"),
+        sum(col("_pr_sum")).as("useful_tokens"),
+        sum(col("_pr_n") * col("_pr_mx")).as("padded_tokens"))
+      .withColumn("padding_frac", round(lit(1.0) -
+        col("useful_tokens").cast("double") / col("padded_tokens"), 6))
+
   /** Whole-document bin packing — the complement of [[packSequences]]:
     * stream packing SPLITS a doc at bin boundaries (zero waste, its
     * cost dial is truncated training examples); this never splits —

@@ -815,6 +815,45 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.packWhole(docs, budget = 0))
   }
 
+  test("lengthBatches: contiguous sorted runs, padding beats the unsorted layout") {
+    import spark.implicits._
+    graft.core.Caches.release()
+    try {
+      val rows = (1L to 100L).map(i => (i, (i * 37 % 90) + 10))
+      val d = rows.toDF("doc_id", "n")
+      val out = Sampling.lengthBatches(d, col("doc_id"), col("n"),
+        batchSize = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // driver replay: sort by (n, doc_id), chunk in 8s
+      val want = rows.sortBy { case (id, n) => (n, id) }.zipWithIndex
+        .map { case ((id, n), i) => id -> ((i + 1).toLong, (i / 8).toLong) }
+        .toMap
+      assert(out.map(r => r._1 -> ((r._3, r._4))).toMap === want)
+      // the sorted layout strictly beats batching in arrival order here
+      val sorted = Sampling.paddingReport(
+        Sampling.lengthBatches(d, col("doc_id"), col("n"), 8),
+        col("batch_id"), col("n")).head()
+      val naive = Sampling.paddingReport(
+        d.withColumn("b", expr("(doc_id - 1) DIV 8")), col("b"), col("n")).head()
+      assert(sorted.getLong(0) === 100L && sorted.getLong(1) === 13L)
+      assert(sorted.getLong(2) === rows.map(_._2).sum)
+      assert(sorted.getDouble(4) < naive.getDouble(4),
+        s"sorted ${sorted.getDouble(4)} vs naive ${naive.getDouble(4)}")
+      // driver cross-check of the padded-token arithmetic
+      val padWant = want.toSeq.map { case (id, (_, b)) =>
+        (b, rows.find(_._1 == id).get._2) }
+        .groupBy(_._1).map { case (_, g) => g.length.toLong * g.map(_._2).max }
+        .sum
+      assert(sorted.getLong(3) === padWant)
+      intercept[IllegalArgumentException](Sampling.lengthBatches(
+        d.withColumn("doc_id", lit(1L)), col("doc_id"), col("n"), 8))
+      intercept[IllegalArgumentException](Sampling.lengthBatches(
+        d, col("doc_id"), col("n"), 0))
+      intercept[IllegalArgumentException](Sampling.lengthBatches(
+        d.withColumn("batch_id", lit(1)), col("doc_id"), col("n"), 8))
+    } finally graft.core.Caches.release()
+  }
+
   /** Driver replay of weightedSample's exponential race key. */
   private def race(id: Long, w: Double, salt: Long): Double =
     math.log((h60(s"$id|$salt").toDouble + 1.0) / math.pow(2.0, 60)) / w
