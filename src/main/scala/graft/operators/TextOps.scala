@@ -419,6 +419,63 @@ object TextOps {
       .filter(size(col("_ss")) > 0)
       .select(col("doc_id"), posexplode(col("_ss")).as(Seq("sent_idx", "sentence")))
 
+  /** Markdown structure segmentation — the markdown sibling of
+    * [[stripHtml]] for the other big structured corpus (READMEs, docs,
+    * wikis): one row per ATX-heading section, with the PREAMBLE (lines
+    * before the first heading) as section 0 when non-empty, each
+    * section carrying its heading level/text and body. Fence-aware: a
+    * `#` line inside a ``` code fence is CODE, not a heading — the
+    * classic segmentation bug that shreds every README with a shell
+    * snippet ("# comment") into garbage sections.
+    *
+    * Two zero-shuffle HOF passes per doc (the [[chunkBySentences]]
+    * shape): pass 1 walks the line array once carrying (section idx,
+    * fence bit) and emits per-line section ids; pass 2 materializes
+    * each section's lines in-row. Per-doc state is the line array —
+    * the standard text-kernel bound. Output: (doc_id, sec_idx, level,
+    * heading, sec_text, n_lines); level 0 + null heading for the
+    * preamble; heading lines are not repeated inside sec_text.
+    */
+  def segmentMarkdown(d: DataFrame, text: Column = col("text")): DataFrame = {
+    val isFence = (l: Column) => l.rlike("^\\s{0,3}```")
+    val isHeading = (l: Column) => l.rlike("^#{1,6}\\s")
+    val zero = struct(lit(0).as("idx"), lit(false).as("fence"),
+      array().cast("array<int>").as("ids"))
+    val ids = aggregate(col("_ml"), zero,
+      (a, l) => {
+        val opens = isHeading(l) && !a("fence")
+        val idx2 = when(opens, a("idx") + 1).otherwise(a("idx"))
+        struct(idx2.as("idx"),
+          when(isFence(l), !a("fence")).otherwise(a("fence")).as("fence"),
+          concat(a("ids"), array(idx2)).as("ids"))
+      },
+      a => a("ids"))
+    d.select(col("doc_id"), split(text, "\n").as("_ml"))
+      .filter(size(col("_ml")) > 0 && length(trim(array_join(col("_ml"), ""))) > 0)
+      .withColumn("_ids", ids)
+      .withColumn("_zip", zip_with(col("_ml"), col("_ids"),
+        (l, i) => struct(i.as("sid"), l.as("l"))))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), element_at(col("_ids"), -1)),
+          k => transform(filter(col("_zip"), p => p("sid") === k), p => p("l"))))
+          .as(Seq("sec_idx", "_lines")))
+      .filter(size(col("_lines")) > 0)
+      .withColumn("_head",
+        when(col("sec_idx") > 0, element_at(col("_lines"), 1)))
+      .select(col("doc_id"), col("sec_idx").cast("long").as("sec_idx"),
+        when(col("sec_idx") === 0, lit(0))
+          .otherwise(length(regexp_extract(col("_head"), "^(#{1,6})\\s", 1)))
+          .cast("int").as("level"),
+        when(col("sec_idx") > 0,
+          trim(regexp_replace(col("_head"), "^#{1,6}\\s+", ""))).as("heading"),
+        array_join(
+          when(col("sec_idx") === 0, col("_lines"))
+            .otherwise(slice(col("_lines"), lit(2), size(col("_lines")))), "\n")
+          .as("sec_text"),
+        when(col("sec_idx") === 0, size(col("_lines")))
+          .otherwise(size(col("_lines")) - 1).cast("long").as("n_lines"))
+  }
+
   /** Readability scoring (Flesch 1948 / Kincaid et al. 1975) — the
     * classic published quality signals beside q39's ratio score and
     * the Gopher/C4 rule sets: Flesch Reading Ease

@@ -510,6 +510,37 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"segment plan shuffles:\n$plan")
   }
 
+  test("segmentMarkdown: fence-aware sections, preamble, levels, degenerate docs") {
+    import spark.implicits._
+    val md = Seq(
+      "intro line",
+      "# Title",
+      "body a", "body b",
+      "```",
+      "# not a heading", // inside the fence: code, not a section break
+      "```",
+      "## Sub (x)",
+      "last").mkString("\n")
+    val d = Seq((1L, md), (2L, "# Only\njust body"), (3L, ""),
+      (4L, "no headings at all")).toDF("doc_id", "text")
+    val out = TextOps.segmentMarkdown(d).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.sortBy(_.getLong(1)).map(r => (r.getInt(2),
+          Option(r.getString(3)), r.getString(4), r.getLong(5))).toSeq
+      }
+    assert(out(1L) === Seq(
+      (0, None, "intro line", 1L),
+      (1, Some("Title"), "body a\nbody b\n```\n# not a heading\n```", 5L),
+      (2, Some("Sub (x)"), "last", 1L)))
+    // a doc starting with a heading has no preamble row
+    assert(out(2L) === Seq((1, Some("Only"), "just body", 1L)))
+    assert(!out.contains(3L))
+    assert(out(4L) === Seq((0, None, "no headings at all", 1L)))
+    // zero-shuffle plan
+    val plan = TextOps.segmentMarkdown(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"segmentMarkdown shuffles:\n$plan")
+  }
+
   test("readability: hand-computed Flesch/FK, silent-e vs -le, degenerate docs stay null") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
