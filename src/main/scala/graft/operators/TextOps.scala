@@ -419,6 +419,90 @@ object TextOps {
       .filter(size(col("_ss")) > 0)
       .select(col("doc_id"), posexplode(col("_ss")).as(Seq("sent_idx", "sentence")))
 
+  /** Unicode-script profile — the writing-system census beside
+    * [[langIdCol]]'s Latin-n-gram heuristic and Unigram.coverage's
+    * tokenizer view: per document, the fraction of script-bearing
+    * characters in each major script (Java's Unicode script classes —
+    * exact, not heuristic), the dominant script, and its share. The
+    * published pipelines gate on exactly this (a "French" crawl slice
+    * that is 40 % Cyrillic is mislabeled; a CJK doc in a Latin
+    * tokenizer's corpus burns fertility) and [[langIdCol]] cannot see
+    * it — its n-grams are Latin by construction. One zero-shuffle
+    * projection of regexp_count per script class; docs with no
+    * script-bearing characters keep their row with null dominant.
+    */
+  def scriptProfile(d: DataFrame, text: Column = col("text")): DataFrame = {
+    val scripts = Seq(
+      "latin" -> "\\p{IsLatin}", "cyrillic" -> "\\p{IsCyrillic}",
+      "greek" -> "\\p{IsGreek}", "arabic" -> "\\p{IsArabic}",
+      "hebrew" -> "\\p{IsHebrew}", "devanagari" -> "\\p{IsDevanagari}",
+      "han" -> "\\p{IsHan}", "kana" -> "[\\p{IsHiragana}\\p{IsKatakana}]",
+      "hangul" -> "\\p{IsHangul}", "thai" -> "\\p{IsThai}")
+    val counts = scripts.map { case (n, re) =>
+      regexp_count(text, lit(re)).cast("long").as(s"_sc_$n")
+    }
+    val withCounts = d.select(col("doc_id") +: counts: _*)
+      .withColumn("n_script_chars",
+        scripts.map(s => col(s"_sc_${s._1}")).reduce(_ + _))
+    val fracs = scripts.map { case (n, _) =>
+      when(col("n_script_chars") > 0,
+        round(col(s"_sc_$n") / col("n_script_chars"), 6)).as(s"frac_$n")
+    }
+    // dominant = max fraction, first-in-list tie-break (deterministic)
+    val best = scripts.map { case (n, _) =>
+      struct(col(s"_sc_$n").as("c"), lit(n).as("s"))
+    }.reduce((a, b) => when(b("c") > a("c"), b).otherwise(a))
+    withCounts.select(
+      Seq(col("doc_id"), col("n_script_chars")) ++ fracs ++ Seq(
+        when(col("n_script_chars") > 0, best("s")).as("dominant_script"),
+        when(col("n_script_chars") > 0,
+          round(best("c") / col("n_script_chars"), 6)).as("dominant_frac")): _*)
+  }
+
+  /** License detection — the compliance gate a code/document corpus
+    * runs before training (the BigCode/StarCoder recipe: keep
+    * permissive, drop copyleft/unlicensed): an explicit
+    * SPDX-License-Identifier tag wins outright (exact, machine-stated
+    * intent), else the license's canonical phrase fingerprint
+    * (case-insensitive, whitespace-normalized — MIT's "permission is
+    * hereby granted", Apache-2.0's "version 2.0" header line, GPL
+    * family split by version, BSD's redistribution clause, MPL,
+    * Unlicense, CC marks), else the bare "all rights reserved" notice
+    * as `proprietary-notice` (the weakest signal, only when nothing
+    * better matched). One zero-shuffle projection; evidence says which
+    * rule fired. Output: (doc_id, spdx_id, license_guess, evidence) —
+    * both null when nothing matched (unknown ≠ unlicensed; the
+    * downstream policy decides).
+    */
+  def licenseScan(d: DataFrame, text: Column = col("text")): DataFrame = {
+    val norm = lower(regexp_replace(text, "\\s+", " "))
+    val spdx = regexp_extract(text,
+      "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)", 1)
+    val phrases = Seq(
+      "MIT" -> "permission is hereby granted, free of charge",
+      "Apache-2.0" -> "apache license, version 2.0",
+      "AGPL-3.0" -> "gnu affero general public license",
+      "LGPL" -> "gnu lesser general public license",
+      "GPL" -> "gnu general public license",
+      "BSD" -> "redistribution and use in source and binary forms",
+      "MPL-2.0" -> "mozilla public license, v. 2.0",
+      "Unlicense" -> "this is free and unencumbered software",
+      "CC" -> "creative commons")
+    val phraseGuess = phrases.foldRight(lit(null).cast("string")) {
+      case ((id, p), acc) => when(norm.contains(p), lit(id)).otherwise(acc)
+    }
+    d.select(col("doc_id"),
+        when(spdx =!= "", spdx).as("spdx_id"),
+        phraseGuess.as("_ph"),
+        norm.contains("all rights reserved").as("_arr"))
+      .select(col("doc_id"), col("spdx_id"),
+        coalesce(col("spdx_id"), col("_ph"),
+          when(col("_arr"), lit("proprietary-notice"))).as("license_guess"),
+        when(col("spdx_id").isNotNull, lit("spdx-tag"))
+          .when(col("_ph").isNotNull, lit("phrase"))
+          .when(col("_arr"), lit("all-rights-reserved")).as("evidence"))
+  }
+
   /** Markdown structure segmentation — the markdown sibling of
     * [[stripHtml]] for the other big structured corpus (READMEs, docs,
     * wikis): one row per ATX-heading section, with the PREAMBLE (lines

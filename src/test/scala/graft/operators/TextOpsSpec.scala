@@ -510,6 +510,57 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"segment plan shuffles:\n$plan")
   }
 
+  test("scriptProfile: exact per-script fractions, dominant tie-break, scriptless null") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hello мир"), // latin 5, cyrillic 3
+      (2L, "你好世界"), // han 4
+      (3L, "12345 !!!"), // no script-bearing chars
+      (4L, "αβ אב") // greek 2, hebrew 2: tie -> first in script list wins
+    ).toDF("doc_id", "text")
+    val out = TextOps.scriptProfile(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) === 8L)
+    assert(r1.getAs[Double]("frac_latin") === 0.625)
+    assert(r1.getAs[Double]("frac_cyrillic") === 0.375)
+    assert(r1.getAs[String]("dominant_script") === "latin")
+    assert(r1.getAs[Double]("dominant_frac") === 0.625)
+    assert(out(2L).getAs[String]("dominant_script") === "han")
+    assert(out(2L).getAs[Double]("dominant_frac") === 1.0)
+    assert(out(3L).getLong(1) === 0L && out(3L).isNullAt(
+      out(3L).fieldIndex("dominant_script")))
+    assert(out(4L).getAs[String]("dominant_script") === "greek")
+    val plan = TextOps.scriptProfile(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scriptProfile shuffles:\n$plan")
+  }
+
+  test("licenseScan: SPDX wins, phrase precedence, proprietary notice weakest") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "// SPDX-License-Identifier: Apache-2.0\nwords"),
+      (2L, "Permission is hereby granted, free of charge. All rights reserved."),
+      (3L, "Copyright X.\nAll  Rights\nReserved."),
+      (4L, "nothing to see"),
+      (5L, "under the GNU Lesser General Public License as published"),
+      (6L, "Licensed under the Apache License,\n Version 2.0 (the License)")
+    ).toDF("doc_id", "text")
+    val out = TextOps.licenseScan(d).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)),
+        Option(r.getString(2)), Option(r.getString(3))))).toMap
+    assert(out(1L) === ((Some("Apache-2.0"), Some("Apache-2.0"), Some("spdx-tag"))))
+    // the MIT phrase outranks the also-present all-rights-reserved notice
+    assert(out(2L) === ((None, Some("MIT"), Some("phrase"))))
+    // whitespace-normalized matching catches the wrapped notice
+    assert(out(3L) === ((None, Some("proprietary-notice"), Some("all-rights-reserved"))))
+    assert(out(4L) === ((None, None, None)))
+    // LGPL matches before the GPL substring family
+    assert(out(5L) === ((None, Some("LGPL"), Some("phrase"))))
+    assert(out(6L) === ((None, Some("Apache-2.0"), Some("phrase"))))
+    val plan = TextOps.licenseScan(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"licenseScan shuffles:\n$plan")
+  }
+
   test("segmentMarkdown: fence-aware sections, preamble, levels, degenerate docs") {
     import spark.implicits._
     val md = Seq(
