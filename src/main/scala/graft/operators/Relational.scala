@@ -995,6 +995,52 @@ object Relational {
     out.toDF("col_a", "col_b", "corr").orderBy(col("col_a"), col("col_b"))
   }
 
+  /** Spearman rank-correlation matrix — [[corrMatrix]] over AVERAGE
+    * RANKS (the standard tie-corrected Spearman), the robust sibling
+    * for the long-tailed metadata columns where one 10⁹ outlier owns
+    * the Pearson numerator: rank correlation is invariant under any
+    * strictly monotone transform (spec-pins ρ(x, x³) = 1 exactly) and
+    * bounded by construction. Ranks are computed SCALE-HONESTLY — no
+    * single-partition ORDER BY window: per column, one groupBy(value)
+    * count, the shared two-level prefix scan over the value-ordered
+    * count frame (average rank = cum − cnt + (cnt+1)/2 — ties share
+    * their mean rank), and one value-keyed join back; k columns cost
+    * k bounded scans + joins, then ONE [[corrMatrix]] moment pass
+    * over the rank columns. Null policy mirrors corrMatrix (complete
+    * rows only, refuse < 2).
+    */
+  def spearmanMatrix(d: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.length >= 2, s"need >= 2 columns, got ${cols.length}")
+    require(cols.length <= 16,
+      s"${cols.length} columns is a reduction problem, not a profile — use Pca")
+    require(cols.distinct.length == cols.length, "duplicate column names")
+    val vs = cols.map(c => col(s"`$c`").cast("double"))
+    val complete = graft.core.Caches.persist(
+      d.filter(vs.map(_.isNotNull).reduce(_ && _))
+        .select(cols.zipWithIndex.map { case (c, i) =>
+          col(s"`$c`").cast("double").as(s"_sp_v$i") }: _*))
+    var ranked = complete
+    for (i <- cols.indices) {
+      val v = s"_sp_v$i"
+      val counts = complete.groupBy(col(v)).agg(count(lit(1)).as("_cnt"))
+        .repartitionByRange(col(v))
+      val ranks = Sampling.twoLevelCumSums(counts, spark_partition_id(),
+          Seq(col(v)), Seq("_cum" -> col("_cnt")))
+        .select(col(v),
+          (col("_cum") - col("_cnt") + (col("_cnt") + 1) / 2.0).as(s"_rk$i"))
+      ranked = ranked.join(ranks, Seq(v))
+    }
+    val m = corrMatrix(ranked, cols.indices.map(i => s"_rk$i"))
+      .collect()
+    val name = cols.indices.map(i => s"_rk$i" -> cols(i)).toMap
+    val spark = d.sparkSession
+    import spark.implicits._
+    m.map(r => (name(r.getString(0)), name(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSeq.toDF("col_a", "col_b", "spearman")
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   /** Feature standardization — the (x − center) ∕ scale projection a
     * numeric feature needs before it meets a distance, a regression,
     * or [[graft.operators.Classifier]]: classic mode uses the exact

@@ -656,6 +656,55 @@ class RelationalSpec extends SparkSpec {
       .toString === s1.toString)
   }
 
+  test("spearmanMatrix: monotone-invariant, tie-corrected, equals a driver average-rank replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.core.Caches.release()
+    try {
+      // x distinct, y = x^3 (monotone), z = -x: Spearman pins exactly
+      val d1 = (1 to 50).map(i => (i.toDouble, math.pow(i, 3), -i.toDouble))
+        .toDF("x", "y", "z")
+      val m1 = Relational.spearmanMatrix(d1, Seq("x", "y", "z")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(m1(("x", "y")) === 1.0)
+      assert(m1(("x", "z")) === -1.0)
+      assert(m1(("y", "z")) === -1.0)
+      // Pearson on the same frame is NOT 1 for the cubic — the contrast
+      val p = Relational.corrMatrix(d1, Seq("x", "y")).head().getDouble(2)
+      assert(p < 1.0)
+      // ties share their AVERAGE rank: mirrored tie structure reads -1
+      graft.core.Caches.release()
+      val d2 = Seq((1.0, 4.0), (2.0, 3.0), (2.0, 3.0), (3.0, 1.0)).toDF("a", "b")
+      assert(Relational.spearmanMatrix(d2, Seq("a", "b")).head()
+        .getDouble(2) === -1.0)
+      // driver replay on a messy tied fixture
+      graft.core.Caches.release()
+      val rows = (1 to 40).map(i => ((i % 7).toDouble, (i % 5).toDouble))
+      val d3 = rows.toDF("a", "b")
+      def avgRanks(xs: Seq[Double]): Seq[Double] = {
+        val sorted = xs.sorted
+        xs.map { v =>
+          val lt = sorted.count(_ < v); val eq = sorted.count(_ == v)
+          lt + (eq + 1) / 2.0
+        }
+      }
+      val ra = avgRanks(rows.map(_._1)); val rb = avgRanks(rows.map(_._2))
+      val n = rows.length
+      val (ma, mb) = (ra.sum / n, rb.sum / n)
+      val cov = ra.zip(rb).map { case (x, y) => (x - ma) * (y - mb) }.sum / n
+      val sd = math.sqrt(ra.map(x => (x - ma) * (x - ma)).sum / n) *
+        math.sqrt(rb.map(y => (y - mb) * (y - mb)).sum / n)
+      val want = BigDecimal(cov / sd).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = Relational.spearmanMatrix(d3, Seq("a", "b")).head().getDouble(2)
+      assert(math.abs(got - want) <= 1e-6, s"got $got want $want")
+      intercept[IllegalArgumentException](
+        Relational.spearmanMatrix(d1, Seq("x")))
+      intercept[IllegalArgumentException](
+        Relational.spearmanMatrix(d1, Seq("x", "x")))
+    } finally graft.core.Caches.release()
+  }
+
   test("histogramEquiDepth: near-equal uniform bins, point mass collapses deterministically") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
