@@ -213,6 +213,47 @@ object Convo {
       .orderBy(col(idCol))
   }
 
+  /** Context-budget truncation — the standard SFT fit policy when a
+    * conversation's rendered form exceeds the model context: DROP THE
+    * OLDEST non-system turns (the most recent exchange is the
+    * supervision target; early turns are the cheapest context to
+    * lose), keeping system turns always (`keepSystem`, the default —
+    * they carry the behavioral contract) and keeping turn order
+    * intact. Token accounting matches [[render]] exactly (whitespace
+    * content tokens + 1 header token per turn), so `render` on the
+    * result is guaranteed to fit `maxTokens`.
+    *
+    * Per conversation: one suffix cumsum over the non-system turns in
+    * reverse turn order (bounded per-conv window state, the render
+    * discipline) — a turn survives iff its suffix total plus the
+    * always-kept system total fits. A conversation that cannot fit
+    * even its most recent non-system turn (or retains none) drops
+    * ENTIRELY — a system-only remnant trains nothing; count survivors
+    * against the input to see what the budget cost. Output: the kept
+    * turn rows, original schema, composable straight into [[render]].
+    */
+  def truncateToBudget(d: DataFrame, maxTokens: Int,
+                       keepSystem: Boolean = true): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val ttoks = (size(filter(split(col("content"), "\\s+"),
+      t => length(t) > 0)) + 1).cast("long")
+    val base = d.withColumn("_tb_t", ttoks)
+    val isSys = col("role") === "system" && lit(keepSystem)
+    val sysTot = sum(when(isSys, col("_tb_t")).otherwise(0L))
+      .over(Window.partitionBy(col("conv_id")))
+    val wDesc = Window.partitionBy(col("conv_id"))
+      .orderBy(col("turn_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val suffix = sum(when(!isSys, col("_tb_t")).otherwise(0L)).over(wDesc)
+    val scored = base
+      .withColumn("_tb_keep", isSys || (suffix + sysTot <= maxTokens))
+    val alive = scored.filter(col("_tb_keep") && !isSys)
+      .groupBy(col("conv_id")).agg(count(lit(1)).as("_tb_alive"))
+    scored.join(alive, Seq("conv_id"))
+      .filter(col("_tb_keep") && col("_tb_alive") > 0)
+      .select(d.columns.map(col): _*)
+  }
+
   /** The mask accounting a run reports: per conversation, loss tokens
     * vs total and the loss fraction — near-zero means the data is
     * mostly conditioning (long documents with one-line answers) and a

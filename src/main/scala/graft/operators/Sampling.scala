@@ -547,6 +547,107 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Neyman optimal allocation (Neyman 1934) — the PLANNING step in
+    * front of [[stratifiedSample]]: given a total label/eval budget
+    * `n`, allocate per-stratum sample sizes ∝ N_h·σ_h (stratum size ×
+    * its value's spread), the allocation that minimizes the variance
+    * of the stratified estimate — a noisy stratum earns labels, a
+    * near-constant one stops wasting them (equal and proportional
+    * allocation are both strictly worse unless σ is flat). Moments per
+    * stratum come from ONE bounded decimal-exact aggregation (the
+    * corrMatrix discipline); the apportionment is driver math over the
+    * strata: largest-remainder rounding (deterministic ties: remainder
+    * desc, stratum asc) with per-stratum capacity caps (alloc ≤ N_h)
+    * and capped overflow redistributed among uncapped strata until the
+    * budget lands (≤ strata iterations). All-zero-σ inputs refuse —
+    * Neyman is undefined with nothing to weigh. Output: (stratum,
+    * n_rows, sigma, share, alloc), ordered.
+    */
+  def neymanAllocation(d: DataFrame, stratum: Column, value: Column,
+                       n: Int): DataFrame = {
+    require(n > 0, s"budget n must be positive, got $n")
+    val v = value.cast("double")
+    // null strata / values drop — a null stratum has no defined budget
+    // line (the module rule)
+    val stats = d.filter(stratum.isNotNull && v.isNotNull)
+      .groupBy(stratum.cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(v, 9).cast("decimal(38,9)")).cast("double").as("_s1"),
+        sum(round(v * v, 9).cast("decimal(38,9)")).cast("double").as("_s2"))
+      .collect()
+      .map { r =>
+        val nr = r.getLong(1)
+        val mu = r.getDouble(2) / nr
+        val sg = math.sqrt(math.max(0.0, r.getDouble(3) / nr - mu * mu))
+        (r.getString(0), nr, sg)
+      }.sortBy(_._1)
+    require(stats.nonEmpty, "cannot allocate over an empty frame")
+    val totalW = stats.map { case (_, nr, sg) => nr * sg }.sum
+    require(totalW > 0.0,
+      "every stratum has zero variance — Neyman allocation is undefined " +
+        "(use stratifiedSample's equal allocation)")
+    // largest-remainder apportionment with capacity caps
+    val share = stats.map { case (s, nr, sg) => s -> nr * sg / totalW }.toMap
+    var alloc = scala.collection.mutable.Map(stats.map(s => s._1 -> 0L): _*)
+    var capped = Set.empty[String]
+    var remaining = math.min(n.toLong, stats.map(_._2).sum)
+    var rounds = 0
+    while (remaining > 0 && rounds <= stats.length) {
+      val open = stats.filterNot(s => capped.contains(s._1))
+      val w = open.map { case (_, nr, sg) => nr * sg }.sum
+      if (w <= 0.0) {
+        // only zero-variance strata still have room: spread by capacity
+        val room = open.map(s => s._1 -> (s._2 - alloc(s._1))).filter(_._2 > 0)
+        for ((s, r) <- room.sortBy(_._1); if remaining > 0) {
+          val take = math.min(r, remaining); alloc(s) += take; remaining -= take
+        }
+      } else {
+        val quotas = open.map { case (s, nr, sg) =>
+          (s, remaining * nr * sg / w, nr) }
+        var grant = quotas.map { case (s, q, _) => s -> q.toLong }.toMap
+        var left = remaining - grant.values.sum
+        for ((s, q, _) <- quotas.sortBy { case (s, q, _) =>
+            (-(q - q.toLong), s) }; if left > 0) {
+          grant += s -> (grant(s) + 1); left -= 1
+        }
+        for ((s, _, nr) <- quotas) {
+          val want = alloc(s) + grant.getOrElse(s, 0L)
+          val got = math.min(want, nr)
+          if (want >= nr) capped += s
+          remaining -= (got - alloc(s))
+          alloc(s) = got
+        }
+      }
+      rounds += 1
+    }
+    val spark = d.sparkSession
+    import spark.implicits._
+    stats.map { case (s, nr, sg) =>
+      (s, nr, math.rint(sg * 1e6) / 1e6,
+        math.rint(share(s) * 1e6) / 1e6, alloc(s))
+    }.toSeq.toDF("stratum", "n_rows", "sigma", "share", "alloc")
+      .orderBy(col("stratum"))
+  }
+
+  /** Materialize a [[neymanAllocation]]: each stratum's `alloc_h`
+    * smallest-hash rows — the [[stratifiedSample]] membership rule with
+    * a per-stratum size, so the sample is a pure function of (data,
+    * budget). One window per stratum partition (the stratified rank),
+    * allocation bound as a plan-literal map. */
+  def neymanSample(d: DataFrame, stratum: Column, key: Column, value: Column,
+                   n: Int): DataFrame = {
+    val allocs = neymanAllocation(d, stratum, value, n).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val lim = element_at(
+      typedlit(allocs), stratum.cast("string"))
+    d.filter(stratum.isNotNull)
+      .withColumn("_ny_rank", row_number().over(
+        Window.partitionBy(stratum)
+          .orderBy(Hashing.hash60(key.cast("string")), key)))
+      .filter(col("_ny_rank") <= coalesce(lim, lit(0L)))
+      .drop("_ny_rank")
+  }
+
   /** Length-sorted inference batching — the third member of the packing
     * family: [[packSequences]] splits into fixed token windows
     * (training), [[packWhole]] bins whole docs by token budget (SFT),

@@ -165,4 +165,36 @@ class ConvoSpec extends SparkSpec {
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .take(8).exists(_.getMessage.contains("not render output")))
   }
+
+  test("truncateToBudget: oldest turns drop first, system kept, render fits exactly") {
+    // per-turn rendered tokens: content words + 1 header
+    val five = "w1 w2 w3 w4 w5" // 5 -> 6 with header
+    val ten = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10" // 10 -> 11
+    val four = "b1 b2 b3 b4" // 4 -> 5
+    val d = Seq(
+      (1L, 0L, "system", five), // 6
+      (1L, 1L, "user", ten), // 11
+      (1L, 2L, "assistant", ten), // 11
+      (1L, 3L, "user", four), // 5
+      (1L, 4L, "assistant", four) // 5
+    ).toDF("conv_id", "turn_idx", "role", "content")
+    // budget 20: suffix sums (from the end) 5, 10, 21... -> keep turns
+    // 3,4 (+ system): 6 + 5 + 5 = 16 <= 20
+    val kept = Convo.truncateToBudget(d, maxTokens = 20).collect()
+      .map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(kept.toSeq === Seq((0L, "system"), (3L, "user"), (4L, "assistant")))
+    // the render contract holds on the truncated frame
+    val rendered = Convo.render(Convo.truncateToBudget(d, 20)).head()
+    assert(rendered.getAs[Long]("n_tokens") === 16L)
+    // budget 10: even the last turn + system (5 + 6) exceeds -> conv drops
+    assert(Convo.truncateToBudget(d, 10).collect().isEmpty)
+    // keepSystem = false: the system turn competes like any turn (it is
+    // the OLDEST, so it drops first)
+    val noSys = Convo.truncateToBudget(d, 20, keepSystem = false).collect()
+      .map(r => r.getLong(1)).sorted
+    assert(noSys.toSeq === Seq(3L, 4L))
+    // an untouched conversation passes through whole
+    assert(Convo.truncateToBudget(d, 100).count() === 5L)
+    intercept[IllegalArgumentException](Convo.truncateToBudget(d, 0))
+  }
 }

@@ -815,6 +815,45 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.packWhole(docs, budget = 0))
   }
 
+  test("neymanAllocation: sigma-proportional budget, capacity caps redistribute, sample materializes") {
+    import spark.implicits._
+    graft.core.Caches.release()
+    try {
+      // stratum a: 100 rows, sigma 1 (alternating ±1 around 10);
+      // stratum b: 100 rows, sigma 3 — Neyman at n=40 gives exactly 10/30
+      val a = (1L to 100L).map(i => ("a", i, 10.0 + (if (i % 2 == 0) 1.0 else -1.0)))
+      val b = (101L to 200L).map(i => ("b", i, 10.0 + (if (i % 2 == 0) 3.0 else -3.0)))
+      val d = (a ++ b).toDF("s", "id", "v")
+      val rep = Sampling.neymanAllocation(d, col("s"), col("v"), n = 40)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getLong(4)))).toMap
+      assert(rep("a") === ((100L, 1.0, 10L)))
+      assert(rep("b") === ((100L, 3.0, 30L)))
+      // capacity: a tiny high-sigma stratum caps and its excess flows on
+      val c = Seq(("c", 201L, 0.0), ("c", 202L, 200.0)) // 2 rows, huge sigma
+      val d2 = (a ++ b ++ c).toDF("s", "id", "v")
+      val rep2 = Sampling.neymanAllocation(d2, col("s"), col("v"), n = 40)
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      assert(rep2("c") === 2L, "capped at capacity")
+      assert(rep2.values.sum === 40L, "capped excess redistributed")
+      assert(rep2("b") > rep2("a"), "sigma ordering survives redistribution")
+      // the materialized sample hits the allocation exactly and is the
+      // smallest-hash prefix of each stratum (pure function of the data)
+      val sample = Sampling.neymanSample(d, col("s"), col("id"), col("v"), 40)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val bySize = sample.groupBy(_._1).map { case (k, v) => k -> v.length }
+      assert(bySize === Map("a" -> 10, "b" -> 30))
+      val again = Sampling.neymanSample(d.repartition(7), col("s"), col("id"),
+        col("v"), 40).collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(again.toSet === sample.toSet)
+      // all-zero-sigma refuses
+      intercept[IllegalArgumentException](Sampling.neymanAllocation(
+        d.withColumn("v", lit(5.0)), col("s"), col("v"), 40))
+      intercept[IllegalArgumentException](Sampling.neymanAllocation(
+        d, col("s"), col("v"), 0))
+    } finally graft.core.Caches.release()
+  }
+
   test("lengthBatches: contiguous sorted runs, padding beats the unsorted layout") {
     import spark.implicits._
     graft.core.Caches.release()
