@@ -30,6 +30,12 @@ object Convo {
 
   val Roles: Seq[String] = Seq("system", "user", "assistant")
 
+  /** The shared whitespace-token count — render, renderPreference, and
+    * truncateToBudget must agree byte-exactly on this accounting
+    * (truncation's "render on the result provably fits" contract). */
+  private def contentTokens(c: Column): Column =
+    size(filter(split(c, "\\s+"), t => length(t) > 0))
+
   /** Render conversations and emit loss spans. Input: (conv_id,
     * turn_idx, role, content). Each turn renders as
     * `<|role|>\n{content}\n`; the role header is one whitespace token
@@ -56,8 +62,7 @@ object Convo {
         s"${probe.getLong(2)} distinct keys — turn order is ill-defined")
     require(probe.isNullAt(3) || probe.getLong(3) == 0,
       s"${probe.getLong(3)} turns carry null content; use '' for an empty turn")
-    val contentToks =
-      size(filter(split(col("content"), "\\s+"), t => length(t) > 0))
+    val contentToks = contentTokens(col("content"))
     val turns = d
       .withColumn("_cv_rendered",
         concat(lit("<|"), col("role"), lit("|>\n"), col("content"), lit("\n")))
@@ -132,8 +137,7 @@ object Convo {
     require(orphans == 0,
       "pairs exist with no prompt turns — a bare response is not a " +
         "preference example; fix the pair_id join upstream")
-    val respToks =
-      size(filter(split(col("resp"), "\\s+"), t => length(t) > 0)).cast("long")
+    val respToks = contentTokens(col("resp")).cast("long")
     pairs
       .select(col("pair_id"), explode(array(
         struct(lit("chosen").as("branch"), col("chosen").as("resp")),
@@ -235,21 +239,32 @@ object Convo {
   def truncateToBudget(d: DataFrame, maxTokens: Int,
                        keepSystem: Boolean = true): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
-    val ttoks = (size(filter(split(col("content"), "\\s+"),
-      t => length(t) > 0)) + 1).cast("long")
-    val base = d.withColumn("_tb_t", ttoks)
+    // the render probes apply here too: a null-content turn would
+    // budget at 0 tokens (sum skips null) and ride along for free, and
+    // duplicate turn_idx makes the suffix order — and thus the kept
+    // set — nondeterministic
+    val probe = d.agg(count(lit(1)),
+      countDistinct(col("conv_id"), col("turn_idx")),
+      sum(when(col("content").isNull, 1L).otherwise(0L))).head()
+    require(probe.getLong(0) == probe.getLong(1),
+      s"duplicate (conv_id, turn_idx): ${probe.getLong(0)} rows, " +
+        s"${probe.getLong(1)} distinct keys — turn order is ill-defined")
+    require(probe.isNullAt(2) || probe.getLong(2) == 0,
+      s"${probe.getLong(2)} turns carry null content; use '' for an empty turn")
+    val base = d.withColumn("_tb_t", (contentTokens(col("content")) + 1).cast("long"))
     val isSys = col("role") === "system" && lit(keepSystem)
-    val sysTot = sum(when(isSys, col("_tb_t")).otherwise(0L))
-      .over(Window.partitionBy(col("conv_id")))
-    val wDesc = Window.partitionBy(col("conv_id"))
-      .orderBy(col("turn_idx").desc)
+    val byConv = Window.partitionBy(col("conv_id"))
+    val sysTot = sum(when(isSys, col("_tb_t")).otherwise(0L)).over(byConv)
+    val wDesc = byConv.orderBy(col("turn_idx").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val suffix = sum(when(!isSys, col("_tb_t")).otherwise(0L)).over(wDesc)
     val scored = base
       .withColumn("_tb_keep", isSys || (suffix + sysTot <= maxTokens))
-    val alive = scored.filter(col("_tb_keep") && !isSys)
-      .groupBy(col("conv_id")).agg(count(lit(1)).as("_tb_alive"))
-    scored.join(alive, Seq("conv_id"))
+    // a conversation keeping no non-system turn drops whole (a system-
+    // only remnant trains nothing) — one window count, no extra shuffle
+    scored
+      .withColumn("_tb_alive",
+        sum(when(col("_tb_keep") && !isSys, 1L).otherwise(0L)).over(byConv))
       .filter(col("_tb_keep") && col("_tb_alive") > 0)
       .select(d.columns.map(col): _*)
   }

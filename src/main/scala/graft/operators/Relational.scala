@@ -1019,15 +1019,22 @@ object Relational {
       d.filter(vs.map(_.isNotNull).reduce(_ && _))
         .select(cols.zipWithIndex.map { case (c, i) =>
           col(s"`$c`").cast("double").as(s"_sp_v$i") }: _*))
+    val total = complete.count()
+    require(total >= 2, s"need >= 2 complete rows, got $total")
     var ranked = complete
     for (i <- cols.indices) {
       val v = s"_sp_v$i"
       val counts = complete.groupBy(col(v)).agg(count(lit(1)).as("_cnt"))
         .repartitionByRange(col(v))
+      // rank FRACTIONS, not raw ranks: Pearson is affine-invariant, and
+      // raw ranks reach n — their cross-products would overflow
+      // corrMatrix's decimal(28,12) moment casts (silently, to null-
+      // skipped sums) at exactly the corpus sizes this op targets
       val ranks = Sampling.twoLevelCumSums(counts, spark_partition_id(),
           Seq(col(v)), Seq("_cum" -> col("_cnt")))
         .select(col(v),
-          (col("_cum") - col("_cnt") + (col("_cnt") + 1) / 2.0).as(s"_rk$i"))
+          ((col("_cum") - col("_cnt") + (col("_cnt") + 1) / 2.0) /
+            lit(total.toDouble)).as(s"_rk$i"))
       ranked = ranked.join(ranks, Seq(v))
     }
     val m = corrMatrix(ranked, cols.indices.map(i => s"_rk$i"))

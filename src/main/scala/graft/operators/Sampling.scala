@@ -602,8 +602,10 @@ object Sampling {
           val take = math.min(r, remaining); alloc(s) += take; remaining -= take
         }
       } else {
+        // remaining.toDouble FIRST: Long·Long would overflow for large
+        // budgets over billion-row strata before the Double promotion
         val quotas = open.map { case (s, nr, sg) =>
-          (s, remaining * nr * sg / w, nr) }
+          (s, remaining.toDouble * nr * sg / w, nr) }
         var grant = quotas.map { case (s, q, _) => s -> q.toLong }.toMap
         var left = remaining - grant.values.sum
         for ((s, q, _) <- quotas.sortBy { case (s, q, _) =>
@@ -640,7 +642,10 @@ object Sampling {
       .map(r => r.getString(0) -> r.getLong(4)).toMap
     val lim = element_at(
       typedlit(allocs), stratum.cast("string"))
-    d.filter(stratum.isNotNull)
+    // sample only the allocation's universe: the capacity counts came
+    // from non-null-value rows, so a null-value row must not consume
+    // one of the stratum's allocated slots
+    d.filter(stratum.isNotNull && value.cast("double").isNotNull)
       .withColumn("_ny_rank", row_number().over(
         Window.partitionBy(stratum)
           .orderBy(Hashing.hash60(key.cast("string")), key)))
@@ -694,7 +699,10 @@ object Sampling {
     * [[lengthBatches]] against an unsorted layout to see the win.
     * Output (1 row): n_docs, n_batches, useful_tokens, padded_tokens,
     * padding_frac. */
-  def paddingReport(d: DataFrame, batch: Column, len: Column): DataFrame =
+  def paddingReport(d: DataFrame, batch: Column, len: Column): DataFrame = {
+    val nulls = d.agg(sum(when(len.isNull, 1L).otherwise(0L))).head()
+    require(nulls.isNullAt(0) || nulls.getLong(0) == 0,
+      s"${nulls.getLong(0)} rows carry a null length — padding is undefined")
     d.groupBy(batch.as("_pr_b"))
       .agg(count(lit(1)).as("_pr_n"), max(len.cast("long")).as("_pr_mx"),
         sum(len.cast("long")).as("_pr_sum"))
@@ -702,8 +710,11 @@ object Sampling {
         count(lit(1)).as("n_batches"),
         sum(col("_pr_sum")).as("useful_tokens"),
         sum(col("_pr_n") * col("_pr_mx")).as("padded_tokens"))
-      .withColumn("padding_frac", round(lit(1.0) -
-        col("useful_tokens").cast("double") / col("padded_tokens"), 6))
+      .withColumn("padding_frac",
+        when(col("padded_tokens") > 0, round(lit(1.0) -
+          col("useful_tokens").cast("double") / col("padded_tokens"), 6))
+          .otherwise(lit(0.0))) // all-zero lengths: nothing padded
+  }
 
   /** Whole-document bin packing — the complement of [[packSequences]]:
     * stream packing SPLITS a doc at bin boundaries (zero waste, its

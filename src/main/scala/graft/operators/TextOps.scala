@@ -439,7 +439,9 @@ object TextOps {
       "han" -> "\\p{IsHan}", "kana" -> "[\\p{IsHiragana}\\p{IsKatakana}]",
       "hangul" -> "\\p{IsHangul}", "thai" -> "\\p{IsThai}")
     val counts = scripts.map { case (n, re) =>
-      regexp_count(text, lit(re)).cast("long").as(s"_sc_$n")
+      // null text counts 0 (the "null text = zero words" convention) —
+      // a null n_script_chars would hide null-text docs from === 0
+      coalesce(regexp_count(text, lit(re)), lit(0)).cast("long").as(s"_sc_$n")
     }
     val withCounts = d.select(col("doc_id") +: counts: _*)
       .withColumn("n_script_chars",
@@ -476,8 +478,12 @@ object TextOps {
     */
   def licenseScan(d: DataFrame, text: Column = col("text")): DataFrame = {
     val norm = lower(regexp_replace(text, "\\s+", " "))
-    val spdx = regexp_extract(text,
-      "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)", 1)
+    // capture the WHOLE SPDX expression — "GPL-2.0-only OR MIT" dual
+    // licensing and "Apache-2.0 WITH LLVM-exception" must not truncate
+    // to their first token in a compliance gate (space/parens included,
+    // comment terminators like */ excluded)
+    val spdx = trim(regexp_extract(text,
+      "SPDX-License-Identifier:\\s*([A-Za-z0-9 .+()-]+)", 1))
     val phrases = Seq(
       "MIT" -> "permission is hereby granted, free of charge",
       "Apache-2.0" -> "apache license, version 2.0",
@@ -544,6 +550,10 @@ object TextOps {
           k => transform(filter(col("_zip"), p => p("sid") === k), p => p("l"))))
           .as(Seq("sec_idx", "_lines")))
       .filter(size(col("_lines")) > 0)
+      // a preamble of blank lines only is no preamble (the documented
+      // contract; "\n# Title" must not emit a junk empty section 0)
+      .filter(col("sec_idx") > 0 ||
+        length(trim(array_join(col("_lines"), " "))) > 0)
       .withColumn("_head",
         when(col("sec_idx") > 0, element_at(col("_lines"), 1)))
       .select(col("doc_id"), col("sec_idx").cast("long").as("sec_idx"),

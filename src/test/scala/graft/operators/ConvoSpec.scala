@@ -196,5 +196,11 @@ class ConvoSpec extends SparkSpec {
     // an untouched conversation passes through whole
     assert(Convo.truncateToBudget(d, 100).count() === 5L)
     intercept[IllegalArgumentException](Convo.truncateToBudget(d, 0))
+    // the render probes apply: null content and duplicate turns refuse
+    intercept[IllegalArgumentException](Convo.truncateToBudget(
+      d.withColumn("content",
+        when(col("turn_idx") === 2L, lit(null)).otherwise(col("content"))), 20))
+    intercept[IllegalArgumentException](Convo.truncateToBudget(
+      d.withColumn("turn_idx", least(col("turn_idx"), lit(3L))), 20))
   }
 }

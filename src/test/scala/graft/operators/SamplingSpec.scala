@@ -846,6 +846,16 @@ class SamplingSpec extends SparkSpec {
       val again = Sampling.neymanSample(d.repartition(7), col("s"), col("id"),
         col("v"), 40).collect().map(r => (r.getString(0), r.getLong(1)))
       assert(again.toSet === sample.toSet)
+      // null-value rows are outside the allocation universe: they must
+      // not consume a stratum's allocated slots
+      val withNulls = d.unionByName((1L to 50L)
+        .map(i => ("a", 1000L + i, Option.empty[Double]))
+        .toDF("s", "id", "v"))
+      val s2 = Sampling.neymanSample(withNulls, col("s"), col("id"),
+        col("v"), 40).collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(s2.groupBy(_._1).map { case (k, v) => k -> v.length } ===
+        Map("a" -> 10, "b" -> 30))
+      assert(!s2.exists(_._2 > 1000L), "null-value rows must not be sampled")
       // all-zero-sigma refuses
       intercept[IllegalArgumentException](Sampling.neymanAllocation(
         d.withColumn("v", lit(5.0)), col("s"), col("v"), 40))
@@ -884,6 +894,14 @@ class SamplingSpec extends SparkSpec {
         .groupBy(_._1).map { case (_, g) => g.length.toLong * g.map(_._2).max }
         .sum
       assert(sorted.getLong(3) === padWant)
+      // null lengths refuse (padding undefined); all-zero reads 0.0
+      intercept[IllegalArgumentException](Sampling.paddingReport(
+        d.withColumn("b", lit(0)).withColumn("n",
+          when(col("doc_id") === 1L, lit(null)).otherwise(col("n"))),
+        col("b"), col("n")))
+      assert(Sampling.paddingReport(
+        d.withColumn("b", lit(0)).withColumn("n", lit(0L)),
+        col("b"), col("n")).head().getDouble(4) === 0.0)
       intercept[IllegalArgumentException](Sampling.lengthBatches(
         d.withColumn("doc_id", lit(1L)), col("doc_id"), col("n"), 8))
       intercept[IllegalArgumentException](Sampling.lengthBatches(

@@ -531,6 +531,10 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L).getLong(1) === 0L && out(3L).isNullAt(
       out(3L).fieldIndex("dominant_script")))
     assert(out(4L).getAs[String]("dominant_script") === "greek")
+    // null text reads zero script chars, not null
+    val nul = TextOps.scriptProfile(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text")).head()
+    assert(nul.getLong(1) === 0L && nul.isNullAt(nul.fieldIndex("dominant_script")))
     val plan = TextOps.scriptProfile(d).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scriptProfile shuffles:\n$plan")
   }
@@ -557,6 +561,14 @@ class TextOpsSpec extends SparkSpec {
     // LGPL matches before the GPL substring family
     assert(out(5L) === ((None, Some("LGPL"), Some("phrase"))))
     assert(out(6L) === ((None, Some("Apache-2.0"), Some("phrase"))))
+    // compound SPDX expressions capture whole; comment terminators don't
+    val compound = TextOps.licenseScan(Seq(
+      (7L, "// SPDX-License-Identifier: GPL-2.0-only OR MIT\ncode"),
+      (8L, "/* SPDX-License-Identifier: MIT */ body"))
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(compound(7L) === "GPL-2.0-only OR MIT")
+    assert(compound(8L) === "MIT")
     val plan = TextOps.licenseScan(d).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"licenseScan shuffles:\n$plan")
   }
@@ -585,6 +597,11 @@ class TextOpsSpec extends SparkSpec {
       (2, Some("Sub (x)"), "last", 1L)))
     // a doc starting with a heading has no preamble row
     assert(out(2L) === Seq((1, Some("Only"), "just body", 1L)))
+    // ...and neither does one starting with blank lines
+    val blanks = TextOps.segmentMarkdown(
+      Seq((9L, "\n# Title\nbody")).toDF("doc_id", "text")).collect()
+    assert(blanks.map(_.getLong(1)).toSeq === Seq(1L),
+      "blank-line preamble must not emit a junk section 0")
     assert(!out.contains(3L))
     assert(out(4L) === Seq((0, None, "no headings at all", 1L)))
     // zero-shuffle plan
