@@ -547,6 +547,26 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic k-fold assignment — the cross-validation form of
+    * [[splitAssign]]: fold = hash60(key|salt) mod k, so every row's
+    * fold is a pure function of the data (the [[hashSample]]
+    * contract), folds are disjoint and exhaustive by construction, and
+    * the one-liner the confident-learning audit
+    * ([[graft.operators.Classifier.suspectLabels]]) tells callers to
+    * hand-roll becomes an operator: train on `fold =!= i`, audit
+    * `fold === i`, rotate. Zero-shuffle projection; `salt` re-deals.
+    * Output: input + `fold` ∈ 0..k−1.
+    */
+  def kFoldAssign(d: DataFrame, key: Column, k: Int,
+                  salt: Long = 0L): DataFrame = {
+    require(k >= 2 && k <= 1000, s"need 2 <= k <= 1000 folds, got $k")
+    require(!d.columns.contains("fold"),
+      "input already has a fold column; rename it first")
+    d.withColumn("fold", pmod(Hashing.hash60(
+      concat(key.cast("string"), lit("|"), lit(salt))), lit(k.toLong))
+      .cast("int"))
+  }
+
   /** Neyman optimal allocation (Neyman 1934) — the PLANNING step in
     * front of [[stratifiedSample]]: given a total label/eval budget
     * `n`, allocate per-stratum sample sizes ∝ N_h·σ_h (stratum size ×

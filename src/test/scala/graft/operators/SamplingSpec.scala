@@ -815,6 +815,32 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.packWhole(docs, budget = 0))
   }
 
+  test("kFoldAssign: disjoint exhaustive folds, hash replay, salt re-deals, zero-shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = (1L to 500L).toDF("doc_id")
+    val out = Sampling.kFoldAssign(d, col("doc_id"), k = 5).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.size === 500 && out.values.forall(f => f >= 0 && f < 5))
+    // exact membership replays from the driver hash
+    assert(out.forall { case (id, f) => f == (h60(s"$id|0") % 5).toInt })
+    // every fold populated at ~n/k (binomial 4 sigma)
+    val sizes = out.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size === 5 && sizes.forall(s => math.abs(s - 100) < 54))
+    // salt re-deals, partitioning doesn't
+    val salted = Sampling.kFoldAssign(d, col("doc_id"), 5, salt = 7L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(salted !== out)
+    assert(Sampling.kFoldAssign(d.repartition(7), col("doc_id"), 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap === out)
+    val plan = Sampling.kFoldAssign(d, col("doc_id"), 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"kFoldAssign shuffles:\n$plan")
+    intercept[IllegalArgumentException](Sampling.kFoldAssign(d, col("doc_id"), 1))
+    intercept[IllegalArgumentException](Sampling.kFoldAssign(
+      d.withColumn("fold", lit(0)), col("doc_id"), 5))
+  }
+
   test("neymanAllocation: sigma-proportional budget, capacity caps redistribute, sample materializes") {
     import spark.implicits._
     graft.core.Caches.release()
