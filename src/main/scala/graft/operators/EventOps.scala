@@ -427,18 +427,31 @@ object EventOps {
     * 100 TB partitioning for behavioral data. The report is a
     * bounded |steps|-row frame with per-stage user counts and
     * step-over-step conversion.
+    *
+    * `maxGapMs` (r13) bounds each step to a CONVERSION WINDOW after
+    * the previous stage's completion ("purchase within 30 min of
+    * click" — the product-analytics question the unbounded form can't
+    * ask). Semantics are the greedy earliest-entry policy every
+    * funnel product ships: each stage anchors at its earliest
+    * qualifying time, so a user who would convert only via a LATER
+    * anchor does not count — deterministic, and exact when unbounded.
     */
-  def funnel(ev: DataFrame, steps: Seq[String]): DataFrame = {
+  def funnel(ev: DataFrame, steps: Seq[String],
+             maxGapMs: Long = Long.MaxValue): DataFrame = {
     import ev.sparkSession.implicits._
     require(steps.nonEmpty)
+    require(maxGapMs > 0, s"maxGapMs must be positive, got $maxGapMs")
     val base = ev.withColumn("e_ms", eMsOf(ev))
       .select($"user_id", $"event_type", $"e_ms")
     val first = base.filter($"event_type" === steps.head)
       .groupBy($"user_id").agg(min($"e_ms").as("t"))
     val stageFrames = steps.tail.scanLeft(first) { (prev, step) =>
+      val inWindow =
+        if (maxGapMs == Long.MaxValue) $"e_ms" > $"t_prev"
+        else $"e_ms" > $"t_prev" && $"e_ms" <= $"t_prev" + maxGapMs
       base.filter($"event_type" === step)
         .join(prev.select($"user_id", $"t".as("t_prev")), "user_id")
-        .filter($"e_ms" > $"t_prev")
+        .filter(inWindow)
         .groupBy($"user_id").agg(min($"e_ms").as("t"))
     }
     val counts = stageFrames.zip(steps).zipWithIndex.map { case ((f, step), i) =>

@@ -266,6 +266,25 @@ class EventOpsSpec extends SparkSpec {
     assert(out(0).isNullAt(3)) // no conversion into the first stage
     assert(out(1).getDouble(3) == math.rint(2.0 / 3.0 * 1e6) / 1e6)
     assert(out(2).getDouble(3) == 0.5)
+
+    // conversion window: purchase must land within maxGapMs of the click
+    // anchor. user 5 clicks fast but purchases late -> stalls at stage 2
+    val ev2 = ev.unionByName(Seq(
+      (5L, "view", ns(0)), (5L, "click", ns(3)), (5L, "purchase", ns(5000)))
+      .toDF("user_id", "event_type", "ts"))
+    val bounded = EventOps.funnel(ev2, Seq("view", "click", "purchase"),
+      maxGapMs = 50L).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    // user 1 converts fully inside the window (gaps 10/10); user 5's
+    // purchase misses its 50ms window; user 3's ordered purchase never
+    // follows the click
+    assert(bounded === Seq(("view", 4L), ("click", 3L), ("purchase", 1L)))
+    // the boundary is inclusive: gap == maxGapMs still converts
+    val edge = EventOps.funnel(ev, Seq("view", "click"), maxGapMs = 10L)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(edge === Seq(("view", 3L), ("click", 2L)))
+    intercept[IllegalArgumentException](
+      EventOps.funnel(ev, Seq("view"), maxGapMs = 0L))
   }
 
   test("retention: the day-0 cell equals the cohort size") {
