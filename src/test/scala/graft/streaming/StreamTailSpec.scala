@@ -223,6 +223,68 @@ class StreamTailSpec extends SparkSpec {
     log.destroy()
   }
 
+  test("cusum composes over the same streaming counts table: the level shift flags batch-identically") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.EventOps
+    val log = freshLog()
+    val stepSec = 600L
+    def tev(w: Long, i: Long): String =
+      s"""{"t":"a","ts":${(w * stepSec + i) * 1000L}}"""
+    val counts = StreamTail.records(spark, log).select(
+        get_json_object(col("data"), "$.t").as("event_type"),
+        timestamp_millis(get_json_object(col("data"), "$.ts").cast("long")).as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("event_type"), window(col("ts"), s"$stepSec seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), unix_millis(col("w.start")).as("window_start_ms"),
+        col("n_events"))
+    val q = counts.writeStream.format("memory").queryName("cu_counts")
+      .outputMode("append").start()
+    try {
+      // a sustained LEVEL SHIFT, not a spike: windows 0-19 at ~10
+      // events (alternating 9/11), windows 20-39 at 14 — the shape the
+      // per-window z-test misses and CUSUM exists for; arrives across
+      // three micro-batches with a sentinel closing the last windows
+      def n(w: Long): Long = if (w < 20) (if (w % 2 == 0) 9L else 11L) else 14L
+      log.publish((0L until 15L).flatMap(w => (0L until n(w)).map(i => tev(w, i))))
+      q.processAllAvailable()
+      log.publish((15L until 30L).flatMap(w => (0L until n(w)).map(i => tev(w, i))))
+      q.processAllAvailable()
+      log.publish((30L until 40L).flatMap(w => (0L until n(w)).map(i => tev(w, i)))
+        :+ s"""{"t":"zz","ts":${1000L * stepSec * 1000L}}""")
+      q.processAllAvailable()
+
+      val sink = spark.table("cu_counts").filter(col("event_type") === "a")
+      assert(sink.count() == 40, "all 40 finalized windows must have accumulated")
+      // the per-window z-test over the same table misses the shift...
+      val z = try EventOps.rateAnomaliesFromCounts(sink, stepSec).collect()
+      finally graft.core.Caches.release()
+      assert(z.isEmpty, "the drift must be invisible to the spike test")
+      // ...CUSUM over the accumulated counts catches it, upward, inside
+      // the shifted region, identically to the batch run on equal data
+      val alarms = try EventOps.cusum(sink, col("event_type"),
+        col("window_start_ms"), col("n_events")).collect()
+      finally graft.core.Caches.release()
+      assert(alarms.nonEmpty)
+      // the pooled self-calibrated mean straddles both levels, so the
+      // LOW pre-shift region legitimately drifts downward too — the
+      // load-bearing claim is an UPWARD alarm inside the shifted region
+      assert(alarms.exists(a => a.getInt(2) == 1 &&
+        a.getLong(1) / (stepSec * 1000L) >= 20L),
+        s"upward alarm in the shift: ${alarms.mkString(";")}")
+      import spark.implicits._
+      val batchCounts = (0L until 40L).map(w =>
+        ("a", w * stepSec * 1000L, n(w))).toDF(
+        "event_type", "window_start_ms", "n_events")
+      val batch = try EventOps.cusum(batchCounts, col("event_type"),
+        col("window_start_ms"), col("n_events")).collect()
+      finally graft.core.Caches.release()
+      assert(alarms.map(_.toString).toSeq === batch.map(_.toString).toSeq,
+        "streaming-composed and batch cusum must agree row-for-row")
+    } finally q.stop()
+    log.destroy()
+  }
+
   test("topTerms composes over a streaming windowed term count across micro-batches") {
     import org.apache.spark.sql.functions._
     import graft.operators.EventOps
