@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.streamlog.{MetaLog, Offset, SegmentMeta}
+import graft.streamlog.{MetaLog, Offset, SegmentMeta, StreamStores}
 
 /** DataSource V2 batch connector for the stream-log:
   *
@@ -249,7 +249,7 @@ class StreamLogCountScan(root: String, stream: String,
     s"StreamLogCountScan($root/$stream, metadata-only ${specs.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val st = MetaLog.replay(Paths.get(root, stream).resolve("meta.jsonl"))
+    val st = StreamStores.replay(root, stream)
     val segs = st.index.segments
     val values: Array[Any] = specs.map {
       case MetaAgg.Count     => segs.map(_.records).sum: Any
@@ -291,8 +291,7 @@ class StreamLogScan(root: String, stream: String, lowerBound: String,
       limitHint.map(l => s", limit=$l").getOrElse("") + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = Paths.get(root, stream)
-    val st = MetaLog.replay(dir.resolve("meta.jsonl"))
+    val st = StreamStores.replay(root, stream)
     // THE pruning step: only segments whose range can intersect survive
     val segs = st.index.segmentsAfter(lowerBound)
     // limit/top-N pruning on metadata record counts: stop once the
@@ -313,8 +312,7 @@ class StreamLogScan(root: String, stream: String, lowerBound: String,
       case None => segs
     }
     kept
-      .map(m => StreamLogPartition(
-        dir.resolve("segments").resolve(m.name).toString, lowerBound, ""): InputPartition)
+      .map(m => StreamLogPartition(root, stream, m.name, lowerBound, ""): InputPartition)
       .toArray
   }
 
@@ -358,8 +356,6 @@ class StreamLogMicroBatch(root: String, stream: String, startAfter: String,
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => SOffset, ReadLimit, ReadMaxBytes, ReadMaxRows}
 
-  private def dir = Paths.get(root, stream)
-
   // Trigger.AvailableNow contract: the horizon is FROZEN at query start
   // (prepareForTriggerAvailableNow), then the engine drains up to it in
   // read-limit-bounded batches and stops — records published while
@@ -369,7 +365,7 @@ class StreamLogMicroBatch(root: String, stream: String, startAfter: String,
   override def initialOffset(): SOffset = StreamLogOffset(startAfter)
 
   override def latestOffset(): SOffset = {
-    val st = MetaLog.replay(dir.resolve("meta.jsonl"))
+    val st = StreamStores.replay(root, stream)
     StreamLogOffset(if (st.lastOffset.isEmpty) Offset.Beginning else st.lastOffset)
   }
 
@@ -398,7 +394,7 @@ class StreamLogMicroBatch(root: String, stream: String, startAfter: String,
 
   override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
     val after = start.asInstanceOf[StreamLogOffset].last
-    val st = MetaLog.replay(dir.resolve("meta.jsonl"))
+    val st = StreamStores.replay(root, stream)
     val live = if (st.lastOffset.isEmpty) Offset.Beginning else st.lastOffset
     val horizon = availableNowHorizon.filter(_ < live).getOrElse(live)
     val (maxRows, maxBytes) = limitsOf(limit)
@@ -430,11 +426,10 @@ class StreamLogMicroBatch(root: String, stream: String, startAfter: String,
     val after = start.asInstanceOf[StreamLogOffset].last
     val until = end.asInstanceOf[StreamLogOffset].last
     if (until == Offset.Beginning) return Array.empty
-    val st = MetaLog.replay(dir.resolve("meta.jsonl"))
+    val st = StreamStores.replay(root, stream)
     st.index.segmentsAfter(after)
       .filter(m => m.firstOffset <= until)
-      .map(m => StreamLogPartition(
-        dir.resolve("segments").resolve(m.name).toString, after, until): InputPartition)
+      .map(m => StreamLogPartition(root, stream, m.name, after, until): InputPartition)
       .toArray
   }
 
@@ -521,16 +516,14 @@ class StreamLogStreamingWrite(root: String, stream: String,
                               writerEpoch: Long, queryId: String)
     extends StreamingWrite {
 
-  private val dir = Paths.get(root, stream)
-
   // per-query epoch base: above the wall clock AND everything in the log
   private val base: Long = {
-    val st = MetaLog.replay(dir.resolve("meta.jsonl"))
+    val st = StreamStores.replay(root, stream)
     math.max(System.currentTimeMillis(), st.epoch + 1)
   }
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    StreamLogStreamingWriterFactory(dir.resolve("segments").toString, base)
+    StreamLogStreamingWriterFactory(root, stream, base)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case s: SegmentCommit if s.records > 0 => s }
@@ -541,7 +534,6 @@ class StreamLogStreamingWrite(root: String, stream: String,
         s"overlapping segments in streaming epoch $epochId: ${a.name} / ${b.name}")
       case _ =>
     }
-    Files.createDirectories(dir)
     // fencing + idempotent replay + overlap validation all live in the
     // storage-agnostic conditional-append protocol (MetaCommits) — on
     // POSIX the store locks per primitive; on an object store the
@@ -550,7 +542,7 @@ class StreamLogStreamingWrite(root: String, stream: String,
     val metas = segs.map(s =>
       SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes)).toSeq
     graft.streamlog.MetaCommits.commitSinkEpoch(
-      new graft.streamlog.PosixMetaStore(dir.resolve("meta.jsonl"), dir),
+      StreamStores.metaStore(root, stream),
       writerEpoch, queryId, epochId, metas)
     ()
   }
@@ -558,12 +550,12 @@ class StreamLogStreamingWrite(root: String, stream: String,
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case s: SegmentCommit if s.name.nonEmpty =>
-        Files.deleteIfExists(Paths.get(root, stream, "segments", s.name))
+        StreamStores.segmentStore(root, stream).delete(s.name)
       case _ =>
     }
 }
 
-case class StreamLogStreamingWriterFactory(segmentDir: String, base: Long)
+case class StreamLogStreamingWriterFactory(root: String, stream: String, base: Long)
     extends StreamingDataWriterFactory {
   /** 10^10 rows per partition per epoch; 10^6 partitions fit the
     * 16-digit counter field. */
@@ -577,11 +569,9 @@ case class StreamLogStreamingWriterFactory(segmentDir: String, base: Long)
       private var records = 0L
       private var bytes = 0L
       private val epoch = base + epochId
-      private val tmp = Paths.get(segmentDir, s".s-$partitionId-$taskId-$epochId.tmp")
-      private lazy val out = {
-        Files.createDirectories(Paths.get(segmentDir))
-        Files.newBufferedWriter(tmp, UTF_8)
-      }
+      private val store = StreamStores.segmentStore(root, stream)
+      private val tmp = store.newSpool(s"s-$partitionId-$taskId-$epochId")
+      private lazy val out = Files.newBufferedWriter(tmp, UTF_8)
 
       override def write(row: InternalRow): Unit = {
         val data = row.getUTF8String(0).toString
@@ -601,8 +591,7 @@ case class StreamLogStreamingWriterFactory(segmentDir: String, base: Long)
         if (records == 0) return SegmentCommit("", "", "", 0L, 0L)
         out.close()
         val name = s"$first-${java.util.UUID.randomUUID()}.seg"
-        Files.move(tmp, Paths.get(segmentDir, name),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        store.putFromFile(name, tmp)
         SegmentCommit(name, first, last, records, bytes)
       }
 
@@ -618,7 +607,7 @@ class StreamLogBatchWrite(root: String, stream: String,
                           writerEpoch: Long = 0L) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    StreamLogWriterFactory(Paths.get(root, stream, "segments").toString)
+    StreamLogWriterFactory(root, stream)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case s: SegmentCommit if s.records > 0 => s }
@@ -629,8 +618,6 @@ class StreamLogBatchWrite(root: String, stream: String,
         s"overlapping segments in bulk load: ${a.name} / ${b.name}")
       case _ =>
     }
-    val dir = Paths.get(root, stream)
-    Files.createDirectories(dir)
     // The read-validate-append must be atomic against OTHER bulk loads:
     // two concurrent commits could both validate against the same meta
     // snapshot and append overlapping ranges. That atomicity is now the
@@ -649,30 +636,28 @@ class StreamLogBatchWrite(root: String, stream: String,
     val metas = segs.map(s =>
       SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes)).toSeq
     graft.streamlog.MetaCommits.commitBulk(
-      new graft.streamlog.PosixMetaStore(dir.resolve("meta.jsonl"), dir),
+      StreamStores.metaStore(root, stream),
       writerEpoch, metas)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case s: SegmentCommit =>
-        Files.deleteIfExists(Paths.get(root, stream, "segments", s.name))
+      case s: SegmentCommit if s.name.nonEmpty =>
+        StreamStores.segmentStore(root, stream).delete(s.name)
       case _ =>
     }
 }
 
-case class StreamLogWriterFactory(segmentDir: String) extends DataWriterFactory {
+case class StreamLogWriterFactory(root: String, stream: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private var first: String = _
       private var last: String = _
       private var records = 0L
       private var bytes = 0L
-      private val tmp = Paths.get(segmentDir, s".w-$partitionId-$taskId.tmp")
-      private lazy val out = {
-        Files.createDirectories(Paths.get(segmentDir))
-        Files.newBufferedWriter(tmp, UTF_8)
-      }
+      private val store = StreamStores.segmentStore(root, stream)
+      private val tmp = store.newSpool(s"w-$partitionId-$taskId")
+      private lazy val out = Files.newBufferedWriter(tmp, UTF_8)
 
       override def write(row: InternalRow): Unit = {
         val off = row.getUTF8String(0).toString
@@ -692,8 +677,7 @@ case class StreamLogWriterFactory(segmentDir: String) extends DataWriterFactory 
         if (records == 0) return SegmentCommit("", "", "", 0L, 0L)
         out.close()
         val name = s"$first-${java.util.UUID.randomUUID()}.seg"
-        Files.move(tmp, Paths.get(segmentDir, name),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        store.putFromFile(name, tmp)
         SegmentCommit(name, first, last, records, bytes)
       }
 
@@ -702,17 +686,21 @@ case class StreamLogWriterFactory(segmentDir: String) extends DataWriterFactory 
     }
 }
 
-/** One segment file scanned for offsets in (after, until]; empty `until`
-  * means unbounded (batch reads).
+/** One segment scanned for offsets in (after, until]; empty `until`
+  * means unbounded (batch reads). Carries only (root, stream, segment)
+  * strings — the reading task re-resolves the [[SegmentStore]] locally
+  * and GETs the whole object, the task shape a bucket reader has.
   */
-case class StreamLogPartition(file: String, after: String, until: String)
+case class StreamLogPartition(root: String, stream: String, seg: String,
+                              after: String, until: String)
     extends InputPartition
 
 object StreamLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StreamLogPartition]
     new PartitionReader[InternalRow] {
-      private val lines = Files.readAllLines(Paths.get(p.file), UTF_8).asScala.iterator
+      private val lines =
+        StreamStores.segmentStore(p.root, p.stream).getLines(p.seg).iterator
         .filter { l =>
           l.length >= Offset.Width && {
             val off = l.substring(0, Offset.Width)

@@ -1,0 +1,250 @@
+package graft.streamlog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+/** One listed segment object: name + last-modified stamp (the shape an
+  * object-store LIST returns — S3/R2 `ListObjectsV2` carries
+  * LastModified per key; POSIX carries it as the file mtime). The
+  * stamp feeds [[StreamLog.purgeOrphans]]'s grace window. */
+final case class ObjectInfo(name: String, lastModifiedMs: Long)
+
+/** The storage seam under segment DATA — the twin of [[MetaStore]] for
+  * the bytes themselves. The reference's data plane IS an object store
+  * (R2 `get` /root/reference/src/stream_manager.ts:345,548, `put`
+  * :479,544, `delete` :627, paginated `list` :645-676), so the trait
+  * exposes exactly the primitives a bucket ships and NOTHING more:
+  *
+  *   - `put(name, bytes)` — whole-object, atomic: a reader sees the
+  *     complete object or no object, never a prefix. No append, no
+  *     rename — an implementation may USE rename internally for
+  *     atomicity (POSIX), but the protocol above never asks for one.
+  *   - `get(name)` — whole object back.
+  *   - `list()` — every object under the stream's segment prefix.
+  *   - `delete(name)` — idempotent.
+  *
+  * Segments are immutable and bounded by the compaction planner's
+  * MaxBytes, so whole-object put/get is the natural unit at any corpus
+  * size — a 100 TB stream is many bounded objects, never one large one.
+  *
+  * Everything above this trait (offset assignment, fenced metadata
+  * commits, compaction, orphan collection) is storage-agnostic:
+  * atomicity of the STREAM lives in the metadata log's conditional
+  * append — a put that lands without its metadata commit is an orphan
+  * [[StreamLog.purgeOrphans]] collects, which is why the seam needs no
+  * cross-object transaction.
+  */
+trait SegmentStore {
+
+  /** Store the complete object atomically (visible-whole-or-absent). */
+  def put(name: String, bytes: Array[Byte]): Unit
+
+  /** The complete object's bytes; throws if absent. */
+  def get(name: String): Array[Byte]
+
+  /** Every object under the prefix (no pagination at the trait level —
+    * implementations over paginated LISTs drain the cursor). */
+  def list(): Seq[ObjectInfo]
+
+  /** Remove the object; absent = no-op (idempotent, like bucket DELETE). */
+  def delete(name: String): Unit
+
+  /** Remove everything under the prefix (stream destroy). */
+  def deleteAll(): Unit = list().foreach(o => delete(o.name))
+
+  /** The object's NDJSON lines (segments are line-oriented). */
+  def getLines(name: String): Vector[String] =
+    new String(get(name), java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n", -1).toVector.filter(_.nonEmpty)
+
+  /** A task-local spool file to stage one segment's bytes before
+    * [[putFromFile]] — object-store uploads buffer locally anyway;
+    * POSIX overrides to a same-filesystem hidden file so the final put
+    * is a zero-copy atomic rename. */
+  def newSpool(hint: String): Path =
+    Files.createTempFile(s"graft-spool-$hint", ".tmp")
+
+  /** Commit a spooled local file as the object `name`, consuming the
+    * local file. Default = read + [[put]] + delete (what an upload is);
+    * POSIX overrides with an atomic same-filesystem rename. */
+  def putFromFile(name: String, local: Path): Unit = {
+    put(name, Files.readAllBytes(local))
+    Files.deleteIfExists(local)
+    ()
+  }
+
+  /** Paths a Spark/Hadoop scan can read these objects from directly
+    * (POSIX file paths; a real bucket adapter returns `s3a://…` URIs),
+    * or None when the backend is not Hadoop-addressable (the in-memory
+    * bucket sim) — [[StreamLog.readAfter]] then distributes GETs over
+    * the object names instead. */
+  def scanPaths(names: Seq[String]): Option[Seq[String]]
+}
+
+/** POSIX filesystem implementation — the default, byte-compatible with
+  * the pre-seam layout (`<stream>/segments/<name>`). Atomic visibility
+  * comes from hidden-tmp-write + ATOMIC_MOVE, an internal detail the
+  * seam does not expose. Hidden (dot-prefixed) spool/tmp files are
+  * excluded from [[list]], matching a bucket where an in-flight
+  * multipart upload is not listable. */
+final class PosixSegmentStore(dir: Path) extends SegmentStore {
+
+  override def put(name: String, bytes: Array[Byte]): Unit = {
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".$name.tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  override def get(name: String): Array[Byte] =
+    Files.readAllBytes(dir.resolve(name))
+
+  override def list(): Seq[ObjectInfo] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val st = Files.list(dir)
+      try st.iterator().asScala
+        .filter(p => !p.getFileName.toString.startsWith("."))
+        .map(p => ObjectInfo(p.getFileName.toString,
+          Files.getLastModifiedTime(p).toMillis))
+        .toSeq
+      finally st.close()
+    }
+
+  override def delete(name: String): Unit =
+    Files.deleteIfExists(dir.resolve(name)): Unit
+
+  override def newSpool(hint: String): Path = {
+    Files.createDirectories(dir)
+    dir.resolve(s".$hint.tmp")
+  }
+
+  override def putFromFile(name: String, local: Path): Unit =
+    try Files.move(local, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE): Unit
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        super.putFromFile(name, local) // cross-filesystem spool
+    }
+
+  override def scanPaths(names: Seq[String]): Option[Seq[String]] =
+    Some(names.map(n => dir.resolve(n).toString))
+}
+
+/** In-memory bucket simulator — the spec stand-in for R2/S3 segment
+  * storage, mirroring [[InMemoryMetaStore]] on the metadata side: a
+  * map of name → (bytes, putMs), whole-object put/get, idempotent
+  * delete, no filesystem, no rename anywhere. Not Hadoop-addressable,
+  * so [[scanPaths]] is None and readers distribute GETs by name. */
+class InMemorySegmentStore(nowMs: () => Long = () => System.currentTimeMillis())
+    extends SegmentStore {
+  protected val objects =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Long)]()
+
+  override def put(name: String, bytes: Array[Byte]): Unit =
+    objects.put(name, (bytes.clone(), nowMs())): Unit
+
+  override def get(name: String): Array[Byte] = {
+    val v = objects.get(name)
+    if (v == null) throw new java.nio.file.NoSuchFileException(s"mem:$name")
+    v._1.clone()
+  }
+
+  override def list(): Seq[ObjectInfo] =
+    objects.asScala.toSeq.map { case (n, (_, ts)) => ObjectInfo(n, ts) }
+      .sortBy(_.name)
+
+  override def delete(name: String): Unit = objects.remove(name): Unit
+
+  override def scanPaths(names: Seq[String]): Option[Seq[String]] = None
+}
+
+/** Eventually-consistent LIST sim: puts and deletes become visible to
+  * [[list]] only after `lagMs` — a fresh put is invisible (the classic
+  * bucket LIST lag) and a fresh delete still shows (stale listing).
+  * GET stays read-after-write consistent, which is what S3 (since 2020)
+  * and R2 guarantee; the lagged LIST is the conservative stress the
+  * maintenance protocol must survive: purgeOrphans must not need to
+  * see a just-put segment (it can't), and must tolerate re-deleting a
+  * ghost (bucket DELETE is idempotent). */
+class EventualListSegmentStore(lagMs: Long,
+                               nowMs: () => Long = () => System.currentTimeMillis())
+    extends InMemorySegmentStore(nowMs) {
+  // name -> deleteMs ghosts that still show in stale listings
+  private val ghosts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  override def delete(name: String): Unit = {
+    if (objects.containsKey(name)) ghosts.put(name, nowMs())
+    super.delete(name)
+  }
+
+  override def list(): Seq[ObjectInfo] = {
+    val now = nowMs()
+    ghosts.asScala.foreach { case (n, ts) => if (now - ts >= lagMs) ghosts.remove(n) }
+    val visible = objects.asScala.toSeq.collect {
+      case (n, (_, ts)) if now - ts >= lagMs => ObjectInfo(n, ts)
+    }
+    val stale = ghosts.asScala.toSeq.map { case (n, ts) => ObjectInfo(n, ts) }
+    (visible ++ stale).sortBy(_.name)
+  }
+}
+
+/** Resolves a stream's [[MetaStore]] + [[SegmentStore]] from its
+  * (root, stream) address — the one mapping both StreamLog handles and
+  * the DataSource V2 connector's driver/executor sides share, so a
+  * partition can carry just `(root, stream, segment)` strings and the
+  * reading task re-resolves the store locally (exactly how an s3a URI
+  * resolves to a client in each task).
+  *
+  *   - Any filesystem root → POSIX stores under `<root>/<stream>/`
+  *     (the default; byte-identical to the pre-seam layout).
+  *   - A root starting with `"mem:"` → a process-wide registry of
+  *     in-memory bucket sims, one (meta, segments) pair per
+  *     (root, stream). Single-JVM by nature — the spec/local[N] path;
+  *     a real bucket adapter would register here the same way with
+  *     Hadoop-addressable [[SegmentStore.scanPaths]].
+  */
+object StreamStores {
+  private final case class Mem(meta: MetaStore, segs: SegmentStore)
+  private val mem = new java.util.concurrent.ConcurrentHashMap[String, Mem]()
+
+  def isMem(root: String): Boolean = root.startsWith("mem:")
+
+  private def key(root: String, stream: String) = s"$root/$stream"
+
+  /** Install custom simulators (e.g. an [[EventualListSegmentStore]] or
+    * a race-injecting MetaStore subclass) for a mem-rooted stream so
+    * every resolver — handles, DSv2 planner, reading tasks — sees the
+    * same instances. */
+  def register(root: String, stream: String,
+               meta: MetaStore, segs: SegmentStore): Unit = {
+    require(isMem(root), s"only mem: roots are registrable, got $root")
+    mem.put(key(root, stream), Mem(meta, segs)): Unit
+  }
+
+  def metaStore(root: String, stream: String): MetaStore =
+    if (isMem(root))
+      mem.computeIfAbsent(key(root, stream),
+        _ => Mem(new InMemoryMetaStore, new InMemorySegmentStore)).meta
+    else {
+      val dir = Paths.get(root, stream)
+      new PosixMetaStore(dir.resolve("meta.jsonl"), dir)
+    }
+
+  def segmentStore(root: String, stream: String): SegmentStore =
+    if (isMem(root))
+      mem.computeIfAbsent(key(root, stream),
+        _ => Mem(new InMemoryMetaStore, new InMemorySegmentStore)).segs
+    else new PosixSegmentStore(Paths.get(root, stream, "segments"))
+
+  /** Replay a stream's metadata log through the seam — the DSv2
+    * driver-side read ([[MetaLog.replayLines]] over the store's
+    * committed lines). */
+  def replay(root: String, stream: String): MetaLog.State =
+    MetaLog.replayLines(metaStore(root, stream).readWithTag()._1)
+
+  /** Drop a mem-rooted stream's registry entry (destroy path). */
+  def dropMem(root: String, stream: String): Unit =
+    if (isMem(root)) mem.remove(key(root, stream)): Unit
+}

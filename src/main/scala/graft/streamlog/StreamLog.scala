@@ -1,7 +1,7 @@
 package graft.streamlog
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -48,20 +48,39 @@ final case class WriterFencedException(provided: Long, current: Long)
   *
   * Single-writer per stream (the reference serializes through one DO).
   */
-final class StreamLog(val spark: SparkSession, root: String, val name: String,
-                      metaStore: MetaStore = null) {
+final class StreamLog(val spark: SparkSession, val root: String, val name: String,
+                      metaStore: MetaStore = null,
+                      segmentStore: SegmentStore = null) {
 
-  val streamDir: Path = Paths.get(root, name)
+  private val memRooted = StreamStores.isMem(root)
+
+  /** Local working directory: the stream's home on a POSIX root; for a
+    * mem-rooted (bucket-sim) stream, a temp scratch area that holds only
+    * compaction's distributed-write staging — segment bytes and the
+    * metadata log live in the stores, never here. */
+  val streamDir: Path =
+    if (memRooted)
+      Paths.get(sys.props("java.io.tmpdir"), "graft-mem-scratch",
+        (root + "-" + name).replaceAll("[^A-Za-z0-9._-]", "_"))
+    else Paths.get(root, name)
   val segmentDir: Path = streamDir.resolve("segments")
   private val metaPath: Path = streamDir.resolve("meta.jsonl")
+
   /** The metadata log's storage backend — conditional append
     * ([[MetaStore]]). POSIX by default; specs pass an [[InMemoryMetaStore]]
     * (or a contended subclass) to drive the fencing/epoch protocols over
-    * simulated object-store If-Match semantics. Segments themselves stay
-    * on the filesystem either way — the seam is the METADATA commit,
-    * which is where all the cross-writer correctness lives. */
+    * simulated object-store If-Match semantics. */
   private val store: MetaStore =
-    Option(metaStore).getOrElse(new PosixMetaStore(metaPath, streamDir))
+    Option(metaStore).getOrElse(StreamStores.metaStore(root, name))
+  /** The segment DATA plane — whole-object put/get/list/delete
+    * ([[SegmentStore]]); POSIX under `segments/` by default, a bucket
+    * sim for mem-rooted streams. No rename crosses this seam. */
+  private val segStore: SegmentStore =
+    Option(segmentStore).getOrElse(StreamStores.segmentStore(root, name))
+  // explicit stores on a mem root are registered so DSv2 tasks (which
+  // re-resolve by (root, stream) strings) reach the SAME instances
+  if (memRooted && (metaStore != null || segmentStore != null))
+    StreamStores.register(root, name, store, segStore)
 
   // -- in-memory state (rebuilt from the metadata log on construction).
   // Single writer; @volatile so concurrent pollers/readers see fresh state.
@@ -196,11 +215,8 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String,
     // 32-char offset + '\n' + UTF-8 payload bytes (String.length would
     // undercount non-ASCII and break the compaction MaxBytes bound)
     val bytes = records.map(r => 33L + r.getBytes(UTF_8).length).sum
-    Files.createDirectories(segmentDir)
-    val tmp = segmentDir.resolve(s".$segName.tmp")
     val content = offsets.zip(records).map { case (o, r) => o + r }.mkString("", "\n", "\n")
-    Files.write(tmp, content.getBytes(UTF_8))
-    Files.move(tmp, segmentDir.resolve(segName), StandardCopyOption.ATOMIC_MOVE)
+    segStore.put(segName, content.getBytes(UTF_8)) // atomic whole-object PUT
 
     val meta = SegmentMeta(segName, offsets.head, offsets.last, nowMs(),
       records.size.toLong, bytes)
@@ -214,26 +230,44 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String,
   // Read
   // ------------------------------------------------------------------
 
-  private def segPath(m: SegmentMeta): String =
-    segmentDir.resolve(m.name).toString
-
   /** DataFrame of (offset STRING, data STRING) for all records with
     * offset strictly greater than `after` ("-" = beginning). Only segments
     * whose range can intersect are handed to the scan (metadata pruning).
     * Ordering/limit are left to the caller so Catalyst can pick
-    * TakeOrderedAndProject for consume-with-limit. */
+    * TakeOrderedAndProject for consume-with-limit.
+    *
+    * Hadoop-addressable stores ([[SegmentStore.scanPaths]] Some) go
+    * through `spark.read.text` — pushdown, codegen, the works. A
+    * non-addressable store (the bucket sim) distributes whole-object
+    * GETs over the segment NAMES instead: one task per segment
+    * re-resolves the store and reads its lines — the same task shape
+    * the DSv2 reader uses, nothing driver-side. */
   def readAfter(after: String = Offset.Beginning): DataFrame = {
     val segs = index.segmentsAfter(after)
-    if (segs.isEmpty) {
-      import spark.implicits._
-      return Seq.empty[(String, String)].toDF("offset", "data")
-    }
-    val df = spark.read.text(segs.map(segPath): _*)
-      .select(
-        substring(col("value"), 1, Offset.Width).as("offset"),
-        expr(s"substring(value, ${Offset.Width + 1})").as("data"))
+    import spark.implicits._
+    if (segs.isEmpty) return Seq.empty[(String, String)].toDF("offset", "data")
+    val df = rawLines(segs).select(
+      substring(col("value"), 1, Offset.Width).as("offset"),
+      expr(s"substring(value, ${Offset.Width + 1})").as("data"))
     if (after == Offset.Beginning) df else df.filter(col("offset") > after)
   }
+
+  /** Raw segment lines as a one-column ("value") DataFrame: through
+    * `spark.read.text` when the store is Hadoop-addressable, else one
+    * distributed GET task per segment (names only in the closure — the
+    * task re-resolves the store from (root, stream), the same shape as
+    * an s3a client resolving per task). */
+  private def rawLines(segs: Seq[SegmentMeta]): DataFrame =
+    segStore.scanPaths(segs.map(_.name)) match {
+      case Some(paths) => spark.read.text(paths: _*)
+      case None =>
+        import spark.implicits._
+        val (r, n) = (root, name)
+        spark.createDataset(segs.map(_.name))
+          .repartition(segs.size)
+          .flatMap(seg => StreamStores.segmentStore(r, n).getLines(seg))
+          .toDF("value")
+    }
 
   /** Driver-side consume: exclusive-start offset, in-order, limited —
     * the reference's getMessagesFromOffset with segment chaining
@@ -245,7 +279,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String,
     var seg = index.segmentAfter(cursor)
     while (n < limit && seg.isDefined) {
       val m = seg.get
-      val lines = Files.readAllLines(segmentDir.resolve(m.name), UTF_8).asScala
+      val lines = segStore.getLines(m.name)
       val it = lines.iterator.filter(l => l.length >= Offset.Width && l.substring(0, Offset.Width) > cursor)
       while (n < limit && it.hasNext) {
         val l = it.next()
@@ -309,7 +343,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String,
     // Window output is bounded (< 2*MaxBytes), so one partition; offsets are
     // the 32-char line prefix, so sorting whole lines == sorting by offset.
     val tmpDir = streamDir.resolve(s".merge-${UUID.randomUUID()}")
-    spark.read.text(window.map(segPath): _*)
+    rawLines(window)
       .repartition(1)
       .sortWithinPartitions("value")
       .write.mode("overwrite").text(tmpDir.toString)
@@ -318,7 +352,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String,
         case Seq(p) => p
         case ps => throw new IllegalStateException(s"expected 1 part file, got $ps")
       }
-    Files.move(part, segmentDir.resolve(merged.name), StandardCopyOption.ATOMIC_MOVE)
+    segStore.putFromFile(merged.name, part)
     deleteRecursively(tmpDir)
 
     stateLock.synchronized {
@@ -338,7 +372,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String,
     val cutoff = nowMs() - maxAgeMs
     val expired = tombstones.filter(_._2 <= cutoff).keys.toSeq.sorted
     expired.foreach { n =>
-      Files.deleteIfExists(segmentDir.resolve(n))
+      segStore.delete(n)
       tombstones -= n
     }
     if (expired.nonEmpty) appendMeta(expired.map(MetaJson.purge): _*)
@@ -375,18 +409,17 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String,
         }
         .sortBy(_.getFileName.toString)
     staleMerges.foreach(deleteRecursively)
-    if (!Files.isDirectory(segmentDir))
-      return staleMerges.map(_.getFileName.toString)
     val referenced = index.segments.map(_.name).toSet ++ tombstones.keySet
-    val orphans = listDir(segmentDir)
-      .filter { p =>
-        val f = p.getFileName.toString
-        !f.startsWith(".") && !referenced.contains(f) &&
-          Files.getLastModifiedTime(p).toMillis <= cutoff
-      }
-      .map(_.getFileName.toString)
-      .toSeq.sorted
-    orphans.foreach(n => Files.deleteIfExists(segmentDir.resolve(n)))
+    // the store's LIST (bucket ListObjects / POSIX dirlist) is the
+    // discovery mechanism; the grace window tolerates eventual LIST
+    // visibility — an object a lagged LIST can't show yet is by
+    // definition young, and a stale listing of a deleted object just
+    // re-issues an idempotent DELETE
+    val orphans = segStore.list()
+      .filter(o => !referenced.contains(o.name) && o.lastModifiedMs <= cutoff)
+      .map(_.name)
+      .sorted
+    orphans.foreach(segStore.delete)
     orphans ++ staleMerges.map(_.getFileName.toString)
   }
 
@@ -426,9 +459,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String,
     }
     val tmpDir = streamDir.resolve(s".merge-${UUID.randomUUID()}")
     windows.zipWithIndex
-      .map { case (w, i) =>
-        spark.read.text(w.map(segPath): _*).withColumn("wid", lit(i))
-      }
+      .map { case (w, i) => rawLines(w).withColumn("wid", lit(i)) }
       .reduce(_ unionAll _) // CombineUnions flattens to one n-ary Union
       .repartition(windows.size, col("wid"))
       .sortWithinPartitions("wid", "value")
@@ -439,7 +470,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String,
         case Seq(p) => p
         case ps => throw new IllegalStateException(s"expected 1 part file for wid=$i, got $ps")
       }
-      Files.move(part, segmentDir.resolve(merged(i).name), StandardCopyOption.ATOMIC_MOVE)
+      segStore.putFromFile(merged(i).name, part)
     }
     deleteRecursively(tmpDir)
 
@@ -563,6 +594,7 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String,
   /** Delete the stream's data + metadata; the name is immediately reusable
     * with fresh state (ts:722-758). */
   def destroy(): Unit = stateLock.synchronized {
+    segStore.deleteAll()
     if (Files.exists(streamDir)) deleteRecursively(streamDir)
     store.clear() // non-POSIX backends hold the log outside streamDir
     load()
@@ -579,21 +611,16 @@ final class StreamLog(val spark: SparkSession, root: String, val name: String,
     * orphans for the next purgeOrphans().
     */
   def rebuildFromSegments(nowMs: () => Long = () => System.currentTimeMillis()): Unit = stateLock.synchronized {
-    val listed = if (!Files.isDirectory(segmentDir)) Seq.empty else {
-      val stream = Files.list(segmentDir)
-      try {
-        stream.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".seg"))
-          .map { p =>
-            val lines = Files.readAllLines(p, UTF_8).asScala.filter(_.nonEmpty)
-            SegmentMeta(p.getFileName.toString,
-              lines.head.substring(0, Offset.Width),
-              lines.last.substring(0, Offset.Width),
-              nowMs(), lines.size.toLong,
-              lines.map(_.getBytes(UTF_8).length + 1L).sum)
-          }.toSeq
-      } finally stream.close()
-    }
+    val listed = segStore.list()
+      .filter(_.name.endsWith(".seg"))
+      .map { o =>
+        val lines = segStore.getLines(o.name)
+        SegmentMeta(o.name,
+          lines.head.substring(0, Offset.Width),
+          lines.last.substring(0, Offset.Width),
+          nowMs(), lines.size.toLong,
+          lines.map(_.getBytes(UTF_8).length + 1L).sum)
+      }
     // widest-first sweep: sort (firstOffset asc, lastOffset desc) and keep
     // a segment only if it starts after the last kept one ends — a merged
     // segment sorts before (and covers) its originals, which become orphans
