@@ -521,6 +521,16 @@ object Dedup {
     Seq("cluster_size", "w", "n_repeats", "_graft_cs").foreach(r =>
       require(!d.columns.contains(r),
         s"input already has a $r column; rename it first"))
+    // probe-then-refuse (the module discipline, ADVICE r13): a doc_id
+    // in more than one cluster row — two clusters, or duplicate
+    // evidence rows — would fan out through the size join and silently
+    // DUPLICATE that doc's output rows while inflating cluster sizes;
+    // the aggregation is over the cluster frame, bounded by clusters
+    val probe = clusters.agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+    require(probe.getLong(0) == probe.getLong(1),
+      s"clusters frame maps a doc_id to multiple rows (${probe.getLong(0)} " +
+        s"rows, ${probe.getLong(1)} distinct doc_ids) — dedupe the evidence " +
+        "to one (doc_id, cluster_id) row per doc first")
     val sizes = clusters
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("_graft_cs"))

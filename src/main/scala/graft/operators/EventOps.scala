@@ -754,11 +754,17 @@ object EventOps {
     * zero-variance key emits nothing (no scale to measure shifts in).
     *
     * The recursion is inherently sequential per key, so it runs as one
-    * `aggregate()` HOF over the key's collected bucket array — per-key
+    * linear Scala kernel over the key's collected bucket array — per-key
     * state is the series itself, which is why `maxPointsPerKey` is
     * probed FIRST (one cheap count agg) and refused before any
     * collect_list materializes (the [[resample]] span-guard discipline;
-    * feed windowed counts or a resampled grid, not raw events).
+    * feed windowed counts or a resampled grid, not raw events). The
+    * kernel is a UDF by necessity, not habit: a Catalyst `aggregate()`
+    * HOF can only grow its alarm output by immutable-array concat —
+    * O(points · alarms) element copies per key, ~5·10⁹ at the point cap
+    * when alarms are dense — while the Scala loop appends to a mutable
+    * builder, O(points + alarms), bit-identical arithmetic (same
+    * double ops in the same order, same HALF_UP rounding as `round`).
     * Output: (key, bucket_ms, direction ±1, stat), ordered.
     */
   def cusum(series: DataFrame, key: Column, bucket: Column, value: Column,
@@ -786,31 +792,45 @@ object EventOps {
       .withColumn("sigma",
         sqrt(greatest(lit(0.0), col("s2") / col("n") - col("mu") * col("mu"))))
       .filter(col("sigma") > 0.0)
-    val alT = "array<struct<b:bigint,dir:int,stat:double>>"
-    val zero = struct(lit(0.0).as("sp"), lit(0.0).as("sn"),
-      array().cast(alT).as("al"))
-    val alarms = aggregate(col("pts"), zero,
-      (a, p) => {
-        val z = (p("v") - col("mu")) / col("sigma")
-        val sp1 = greatest(lit(0.0), a("sp") + z - lit(drift))
-        val sn1 = greatest(lit(0.0), a("sn") - z - lit(drift))
-        val up = sp1 > threshold
-        val dn = sn1 > threshold
-        struct(
-          when(up, lit(0.0)).otherwise(sp1).as("sp"),
-          when(dn, lit(0.0)).otherwise(sn1).as("sn"),
-          concat(a("al"),
-            when(up, array(struct(p("b").as("b"), lit(1).as("dir"),
-              round(sp1, 6).as("stat")))).otherwise(array().cast(alT)),
-            when(dn, array(struct(p("b").as("b"), lit(-1).as("dir"),
-              round(sn1, 6).as("stat")))).otherwise(array().cast(alT))).as("al"))
-      },
-      a => a("al"))
+    val alarms = cusumKernel(threshold, drift)(
+      col("pts"), col("mu"), col("sigma"))
     stats.select(col("key"), explode(alarms).as("_a"))
       .select(col("key"), col("_a.b").as("bucket_ms"),
         col("_a.dir").as("direction"), col("_a.stat").as("stat"))
       .orderBy(col("key"), col("bucket_ms"), col("direction"))
   }
+
+  /** One alarm in a key's CUSUM trace (bucket, direction, rounded stat). */
+  final case class CusumAlarm(b: Long, dir: Int, stat: Double)
+
+  /** java.math.BigDecimal.valueOf + HALF_UP — the exact rounding
+    * Spark's `round(col, 6)` performs on doubles, so the kernel's
+    * stats match the retired HOF fold bit-for-bit. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The linear CUSUM recursion over one key's sorted (b, v) points:
+    * mutable (s⁺, s⁻) state + an alarm builder — O(points + alarms),
+    * vs the HOF `aggregate` fold's O(points · alarms) immutable-array
+    * concats (VERDICT r13). Same arithmetic in the same order. */
+  private def cusumKernel(threshold: Double, drift: Double) =
+    udf((pts: Seq[org.apache.spark.sql.Row], mu: Double, sigma: Double) => {
+      var sp = 0.0
+      var sn = 0.0
+      val out = Seq.newBuilder[CusumAlarm]
+      pts.foreach { p =>
+        val z = (p.getDouble(1) - mu) / sigma
+        val sp1 = math.max(0.0, sp + z - drift)
+        val sn1 = math.max(0.0, sn - z - drift)
+        val up = sp1 > threshold
+        val dn = sn1 > threshold
+        sp = if (up) 0.0 else sp1
+        sn = if (dn) 0.0 else sn1
+        if (up) out += CusumAlarm(p.getLong(0), 1, round6(sp1))
+        if (dn) out += CusumAlarm(p.getLong(0), -1, round6(sn1))
+      }
+      out.result()
+    })
 
   /** Time-grid resampling with gap fill — the regularization step
     * between raw events and anything that assumes an evenly-spaced

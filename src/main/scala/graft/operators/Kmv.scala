@@ -171,7 +171,9 @@ object Kmv {
     * pair (a < b): estimated distinct of BOTH sides (so containment
     * |A∩B|/|B| reads off one row), of the union and intersection, and
     * the Jaccard — plus the per-group diagonal rows (group_b null)
-    * carrying each group's own estimate. Null keys drop.
+    * carrying each group's own estimate, with the set-operation
+    * columns NULL (padding, not a measured zero self-overlap —
+    * ADVICE r13). Null keys drop.
     */
   def overlapMatrix(d: DataFrame, group: Column, key: Column,
                     k: Int = 1024, maxGroups: Int = 1000): DataFrame = {
@@ -193,7 +195,8 @@ object Kmv {
     val rows =
       sorted.map { case (g, sk) =>
         (g, Option.empty[String], math.rint(estimate(sk, k)),
-          Option.empty[Double], 0.0, 0.0, 0.0)
+          Option.empty[Double], Option.empty[Double],
+          Option.empty[Double], Option.empty[Double])
       }.toSeq ++
       (for {
         i <- sorted.indices; j <- (i + 1) until sorted.length
@@ -202,8 +205,8 @@ object Kmv {
         val u = estimate(union(sa, sb, k), k)
         val jac = jaccard(sa, sb, k)
         (ga, Option(gb), math.rint(estimate(sa, k)),
-          Option(math.rint(estimate(sb, k))), math.rint(u),
-          math.rint(jac * u), math.rint(jac * 1e6) / 1e6)
+          Option(math.rint(estimate(sb, k))), Option(math.rint(u)),
+          Option(math.rint(jac * u)), Option(math.rint(jac * 1e6) / 1e6))
       })
     rows.toDF("group_a", "group_b", "est_distinct_a", "est_distinct_b",
       "est_union", "est_intersect", "jaccard")

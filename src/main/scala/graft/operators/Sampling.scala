@@ -915,33 +915,44 @@ object Sampling {
     * the result. `key` must be globally unique (refused). */
   def interleaveBySource(d: DataFrame, source: Column, key: Column,
                          salt: Long = 0L, parts: Int = 0,
-                         validateKey: Boolean = true): DataFrame = {
+                         validateKey: Boolean = true,
+                         sketchProbe: Boolean = false): DataFrame = {
     require(parts >= 0, s"parts must be >= 0 (0 = session default), got $parts")
     val reserved = Seq("interleave_pos", "_il_h", "_il_s")
     reserved.foreach(r => require(!d.columns.contains(r),
       s"input already has a $r column; rename it first"))
-    // Uniqueness tripwire in the CHEAP cost class: an exact
-    // countDistinct on a unique key is a full-width shuffle with zero
-    // partial-agg reduction — corpus-shaped, the very thing this
-    // module's probes avoid. Instead compare count against the HLL
-    // estimate (partition-merge-safe, deterministic): a clean corpus
-    // reads inside the sketch's error band and pays NO exact distinct;
-    // only a near-miss escalates to the exact count, and the refusal
-    // then reports exact numbers. Duplication below the band's
-    // resolution (~4 % at rsd 0.01) passes the tripwire — the guard
-    // catches key misuse, not needle-in-haystack dups ([[hashDedup]]
-    // is the tool for those). `validateKey = false` skips the probe
-    // entirely for the 100 TB run where the key is unique by
-    // construction (a generated doc_id).
+    // The uniqueness guard is the operator's DETERMINISM contract, not
+    // just misuse hygiene: duplicated keys draw the same hash and tie
+    // in the order, so their interleave positions come out of the sort
+    // nondeterministically — the exact probe (default) refuses that
+    // outright. The exact countDistinct is a full-width shuffle with
+    // zero partial-agg reduction, so two cheaper tiers exist
+    // (ADVICE r13): `sketchProbe = true` swaps in the HLL tripwire —
+    // a clean corpus reads inside the sketch's error band and pays NO
+    // exact distinct; only an estimate > 4·rsd below the row count
+    // escalates to the exact pass, and duplication below the band's
+    // resolution (~4 % at rsd 0.01) then passes SILENTLY, accepting
+    // nondeterministic positions for those rows. `validateKey = false`
+    // skips probing entirely — for the 100 TB run whose key is unique
+    // by construction (a generated doc_id); a duplicated key then
+    // flows through with nondeterministically ordered positions, the
+    // caller's stated trade.
     if (validateKey) {
       val rsd = 0.01
-      val probe = d.agg(count(lit(1)), approx_count_distinct(key, rsd)).head()
-      val n = probe.getLong(0)
-      if (needsExactKeyProbe(n, probe.getLong(1), rsd)) {
-        val exact = d.agg(countDistinct(key)).head().getLong(0)
-        require(exact == n,
-          s"interleave key is not unique ($n rows, $exact distinct) — " +
-            "tied rows have no defined slot")
+      if (sketchProbe) {
+        val probe = d.agg(count(lit(1)), approx_count_distinct(key, rsd)).head()
+        val n = probe.getLong(0)
+        if (needsExactKeyProbe(n, probe.getLong(1), rsd)) {
+          val exact = d.agg(countDistinct(key)).head().getLong(0)
+          require(exact == n,
+            s"interleave key is not unique ($n rows, $exact distinct) — " +
+              "tied rows have no defined slot")
+        }
+      } else {
+        val probe = d.agg(count(lit(1)), countDistinct(key)).head()
+        require(probe.getLong(0) == probe.getLong(1),
+          s"interleave key is not unique (${probe.getLong(0)} rows, " +
+            s"${probe.getLong(1)} distinct) — tied rows have no defined slot")
       }
     }
     val base = d.withColumn("_il_s", source.cast("string"))
@@ -1342,21 +1353,54 @@ object Sampling {
 
   /** [[weightedSample]] per group — k winners of the exponential race
     * INSIDE each `group` (per-source holdouts, per-language eval
-    * slices). One shuffle on the group key + a per-group top-k window;
-    * a group with fewer than k rows returns all of them. Same weight
-    * refusal, same determinism. Output: input columns, ordered by
-    * (group, descending race key).
-    */
+    * slices). A group with fewer than k rows returns all of them. Same
+    * weight refusal, same determinism. Output: input columns, ordered
+    * by (group, descending race key).
+    *
+    * Scale shape: TWO-PHASE top-k (the [[graft.operators.Relational]]
+    * `topValues` pattern), not one per-group window — a window
+    * partitioned on `group` alone shuffles EVERY row of a group into a
+    * single task and sorts it there, and per-source sampling on a real
+    * crawl (one source = most of the corpus) makes that task
+    * corpus-sized. Phase 1 ranks within (group, source partition) —
+    * task state bounded by one scan partition — and keeps ≤ k rows per
+    * (group, partition); phase 2 ranks the surviving
+    * ≤ groups·partitions·k candidates per group. Exact by the subset
+    * argument: a global top-k row of its group is necessarily in the
+    * top-k of whichever partition held it. */
   def weightedSamplePerGroup(d: DataFrame, group: Column, key: Column,
                              weight: Column, k: Int,
                              salt: Long = 0L): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
-    Seq("_ws_rank", "_ws_key").foreach(r => require(!d.columns.contains(r),
-      s"input already has a $r column; rename it first"))
+    Seq("_ws_rank", "_ws_key", "_ws_p", "_ws_lr").foreach(r =>
+      require(!d.columns.contains(r),
+        s"input already has a $r column; rename it first"))
     val w = weight.cast("double")
     requirePositiveWeights(d, w)
     val keyed = d.withColumn("_ws_key", raceKey(key, w, salt))
-    keyed.withColumn("_ws_rank", row_number().over(
+      .withColumn("_ws_p", spark_partition_id())
+    val wLocal = Window.partitionBy(group, col("_ws_p"))
+      .orderBy(col("_ws_key").desc, key)
+    val wGlobal = Window.partitionBy(group).orderBy(col("_ws_key").desc, key)
+    keyed
+      .withColumn("_ws_lr", row_number().over(wLocal))
+      .filter(col("_ws_lr") <= k)
+      .withColumn("_ws_rank", row_number().over(wGlobal))
+      .filter(col("_ws_rank") <= k)
+      .orderBy(group, col("_ws_key").desc, key)
+      .drop("_ws_key", "_ws_rank", "_ws_p", "_ws_lr")
+  }
+
+  /** The textbook one-window form of [[weightedSamplePerGroup]] — the
+    * differential oracle, never the shipped path (its per-group window
+    * sorts each whole group in one task). */
+  private[operators] def weightedSamplePerGroupNaive(
+      d: DataFrame, group: Column, key: Column, weight: Column, k: Int,
+      salt: Long = 0L): DataFrame = {
+    val w = weight.cast("double")
+    requirePositiveWeights(d, w)
+    d.withColumn("_ws_key", raceKey(key, w, salt))
+      .withColumn("_ws_rank", row_number().over(
         Window.partitionBy(group).orderBy(col("_ws_key").desc, key)))
       .filter(col("_ws_rank") <= k)
       .orderBy(group, col("_ws_key").desc, key)

@@ -8,8 +8,8 @@ import java.nio.file.{Files, Path}
   * The fencing protocol (writer epochs, sink-epoch high-water marks —
   * SURVEY §2.1 #21/#22) needs exactly two storage primitives: read the
   * small metadata log with a version tag, and append iff the log is
-  * still at that tag. POSIX gives both via an advisory lock + file
-  * size; object storage gives both via GET (ETag) + conditional PUT
+  * still at that tag. POSIX gives both via an advisory lock + a
+  * content digest; object storage gives both via GET (ETag) + conditional PUT
   * (If-Match — S3 and R2 both ship it). Everything above this trait —
   * fence checks, idempotent epoch replay, overlap validation — is
   * storage-agnostic and lives in [[MetaCommits]], so moving a stream
@@ -19,7 +19,11 @@ import java.nio.file.{Files, Path}
   * Contract:
   *   - `readWithTag` returns the complete log (whole lines only — a
   *     committed append is visible atomically or not at all) and an
-  *     opaque tag that changes on EVERY committed append.
+  *     opaque tag identifying the committed log a decision ran
+  *     against: any commit that changes the log changes the tag (an
+  *     implementation may identify by CONTENT, ETag-style — two
+  *     byte-identical logs sharing a tag is safe, since a decision
+  *     valid against one is valid against the other).
   *   - `appendIf(tag, lines)` commits atomically iff the log is still
   *     at `tag`; a lost race returns false and commits nothing.
   *   - `clear()` resets the log to empty (truncate-reset — the
@@ -70,14 +74,24 @@ trait MetaStore {
   }
 }
 
-/** POSIX filesystem implementation — the default. The tag is the file
-  * size in bytes (every committed append grows the file; truncate-reset
-  * deletes it), and each primitive runs under the stream's commit lock
+/** POSIX filesystem implementation — the default. The tag is a 64-bit
+  * digest of the log's committed CONTENT (SHA-256 prefix; 0 = absent/
+  * empty), and each primitive runs under the stream's commit lock
   * ([[StreamLocks]]: JVM monitor + OS file lock), so reads never see a
-  * torn append and the size check inside [[appendIf]] is atomic with
+  * torn append and the tag check inside [[appendIf]] is atomic with
   * the write. Read and append take the lock SEPARATELY — the protocol
   * correctness lives in the tag compare, exactly as it would against a
   * bucket where no lock exists at all.
+  *
+  * Content digest, not file SIZE (ADVICE r13): a size tag is ABA-prone
+  * — a log cleared and regrown to exactly the old byte length between a
+  * commit's read and its append would let a decision made against the
+  * OLD log commit onto an unrelated one. A content tag closes ABA by
+  * construction: the append lands only when the bytes on disk are THE
+  * bytes the decision inspected — and if a regrown log is literally
+  * byte-identical, the decision is still valid against it, so
+  * committing is correct, not a hazard. (Same reasoning as an ETag,
+  * which S3 also derives from content.)
   *
   * CRASH ATOMICITY (r13): `appendIf` commits via whole-file rewrite +
   * atomic rename, NOT `O_APPEND` — a writer killed at any instant
@@ -95,6 +109,20 @@ trait MetaStore {
   * committed line (safe under the lock — no append can be in flight).
   */
 final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
+
+  /** 64 bits of SHA-256 over the committed bytes; 0 reserved for
+    * absent/empty (a non-empty log hashing to 0 maps to 1). */
+  private def tagOf(bytes: Array[Byte], len: Int): Long =
+    if (len == 0) 0L
+    else {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(bytes, 0, len)
+      val h = md.digest()
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+      if (v == 0L) 1L else v
+    }
 
   /** tmp-write + fsync + atomic rename + directory fsync: readers (and
     * any kill point) see the old bytes or the new bytes, never a
@@ -140,7 +168,7 @@ final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
     // no-file fast path OUTSIDE the lock: taking it would re-create the
     // stream directory (the lock file lives inside it), resurrecting a
     // destroyed stream on a mere read. A log appearing between the check
-    // and a subsequent appendIf is caught by the tag compare (0 ≠ size).
+    // and a subsequent appendIf is caught by the tag compare (0 = absent).
     if (!Files.exists(path)) (Vector.empty, 0L)
     else StreamLocks.withLock(lockDir) {
       if (!Files.exists(path)) (Vector.empty, 0L)
@@ -156,7 +184,7 @@ final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
           else bytes.lastIndexOf('\n'.toByte) + 1
         val lines = new String(bytes, 0, cut, UTF_8)
           .split("\n", -1).toVector.filter(_.nonEmpty)
-        (lines, cut.toLong)
+        (lines, tagOf(bytes, cut))
       }
     }
 
@@ -165,7 +193,7 @@ final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
       repairTornTail()
       val old = if (Files.exists(path)) Files.readAllBytes(path)
         else Array.emptyByteArray
-      if (old.length.toLong != tag) false
+      if (tagOf(old, old.length) != tag) false
       else {
         writeAtomic(old ++ lines.mkString("", "\n", "\n").getBytes(UTF_8))
         true
@@ -179,8 +207,9 @@ final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
   override def replaceIf(tag: Long, lines: Seq[String]): Boolean =
     StreamLocks.withLock(lockDir) {
       repairTornTail()
-      val size = if (Files.exists(path)) Files.size(path) else 0L
-      if (size != tag) false
+      val old = if (Files.exists(path)) Files.readAllBytes(path)
+        else Array.emptyByteArray
+      if (tagOf(old, old.length) != tag) false
       else {
         writeAtomic(lines.mkString("", "\n", "\n").getBytes(UTF_8))
         true

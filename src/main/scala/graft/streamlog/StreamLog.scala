@@ -91,6 +91,7 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
   @volatile private var lastOffsetVar: String = ""
   @volatile private var writerEpochVar: Long = 0L  // log's recorded epoch
   @volatile private var myWriterEpoch: Long = 0L   // this handle's claim (0 = unclaimed)
+  @volatile private var loadedTag: Long = 0L       // meta-log tag the state was replayed at
 
   /** Flush notification monitor: publish() pokes it after a segment lands,
     * so same-process pollers wake immediately instead of sleeping out
@@ -147,7 +148,9 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
   /** Replay the metadata log — crash-safe cold start
     * (stream_manager.ts:138-179,503-511). */
   private def load(): Unit = {
-    val st = MetaLog.replayLines(store.readWithTag()._1)
+    val (lines, tag) = store.readWithTag()
+    val st = MetaLog.replayLines(lines)
+    loadedTag = tag
     index = st.index; tombstones = st.tombstones
     producerVersionVar = st.producerVersion
     lastOffsetVar = st.lastOffset
@@ -294,12 +297,21 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
 
   /** Long-poll batch fallback: wait up to `timeoutMs` for records after
     * `after` (streaming tail lives in graft.streaming.StreamTail).
-    * A same-process publish() wakes the poll immediately via the flush
-    * monitor (the reference's poke); `intervalMs` remains the re-check
-    * cadence for segments landed by EXTERNAL writers (bulk loads from
-    * another process), which can't poke this JVM. */
+    *
+    * Two wake paths, matching the reference's post-flush consumer poke
+    * (stream_manager.ts:454-467) across the process boundary it can't
+    * see: a same-process publish() pokes the flush monitor and the poll
+    * returns immediately; an EXTERNAL writer (second JVM, DSv2 bulk
+    * load, streaming sink) can't poke this JVM, so each `intervalMs`
+    * wake probes the metadata log's cheap version TAG
+    * ([[MetaStore.readWithTag]] — file size / ETag, the same probe every
+    * conditional commit performs) and replays state only when the tag
+    * moved — a cross-process consumer therefore wakes within the probe
+    * interval, not the full timeout, and an idle stream costs one small
+    * metadata read per interval, never a segment LIST or GET. */
   def poll(after: String, limit: Int, timeoutMs: Long, intervalMs: Long = 50): Seq[(String, String)] = {
     val deadline = System.currentTimeMillis() + timeoutMs
+    probeExternal()
     var res = consume(after, limit)
     while (res.isEmpty && System.currentTimeMillis() < deadline) {
       val remaining = deadline - System.currentTimeMillis()
@@ -308,9 +320,19 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
       val waitMs = math.max(1L, math.min(intervalMs, remaining))
       if (remaining > 0)
         flushMonitor.synchronized(flushMonitor.wait(waitMs))
+      probeExternal()
       res = consume(after, limit)
     }
     res
+  }
+
+  /** Replay the metadata log iff its tag moved past what this handle
+    * last loaded — the cross-process wake probe. A tag that matches is
+    * a no-op read of the small metadata log; a moved tag (own commits
+    * included — they advance it too) replays to fresh state. */
+  private def probeExternal(): Unit = {
+    val tag = store.readWithTag()._2
+    if (tag != loadedTag) refresh()
   }
 
   /** Time-travel read: everything flushed at/after wall-clock T

@@ -335,6 +335,14 @@ class DedupSpec extends SparkSpec {
       Dedup.repetitionWeights(corpus, clusters, alpha = -0.1))
     intercept[IllegalArgumentException](Dedup.repetitionWeights(
       corpus.withColumn("w", lit(1.0)), clusters))
+    // a doc in two clusters (or duplicate evidence rows) would fan out
+    // through the size join - refused, per the probe-then-refuse
+    // discipline (ADVICE r13)
+    val multi = intercept[IllegalArgumentException](Dedup.repetitionWeights(
+      corpus, clusters.union(Seq((5L, 9L)).toDF("doc_id", "cluster_id"))))
+    assert(multi.getMessage.contains("multiple rows"))
+    intercept[IllegalArgumentException](Dedup.repetitionWeights(
+      corpus, clusters.union(clusters))) // duplicate evidence rows
   }
 
   test("sourceOverlap counts distinct shared windows per source pair") {

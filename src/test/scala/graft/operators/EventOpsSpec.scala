@@ -246,6 +246,25 @@ class EventOpsSpec extends SparkSpec {
       d, col("k"), col("b"), col("v"), threshold = 0.0))
   }
 
+  test("cusum: dense-alarm series at the point cap completes linearly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // drift 0 + tiny threshold + alternating series: every step fires an
+    // alarm. 100k points (the cap) x 100k alarms would be ~5e9 element
+    // copies under an immutable-array fold; the linear kernel finishes
+    // in seconds. v alternates 0/10 -> mu=5, sigma=5, z=+-1: each step
+    // pushes one side past 0.5 and resets it.
+    val n = 100000
+    val d = (0 until n).map(i => (1L, i.toLong, if (i % 2 == 0) 0.0 else 10.0))
+      .toDF("k", "b", "v")
+    val out = EventOps.cusum(d, col("k"), col("b"), col("v"),
+      threshold = 0.5, drift = 0.0)
+    assert(out.count() == n.toLong, "every step should alarm on this fixture")
+    val head = out.limit(4).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(head.toSeq == Seq((0L, -1, 1.0), (1L, 1, 1.0), (2L, -1, 1.0), (3L, 1, 1.0)))
+  }
+
   test("funnel enforces strict step ordering per user") {
     import spark.implicits._
     // ms-epoch longs (eMsOf treats LongType ts as nanos → use ns here)

@@ -104,6 +104,10 @@ class KmvSpec extends SparkSpec {
       val tol = if (n < k) 0.5 else 4 * n / math.sqrt(k - 2.0)
       assert(math.abs(est - n) <= tol, s"$s est $est exact $n")
     }
+    // diagonal rows carry NULL set-operation columns — padding, not a
+    // measured zero self-overlap (ADVICE r13)
+    assert(out.filter(_.isNullAt(1)).forall(r =>
+      r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6)))
     // doc_id is unique across sources: every pairwise overlap is zero,
     // and each pair row carries BOTH sides' own estimates
     val pairs = out.filter(!_.isNullAt(1))

@@ -513,12 +513,19 @@ class SamplingSpec extends SparkSpec {
       val again = Sampling.interleaveBySource(d, col("source"), col("doc_id"))
         .collect().map(r => (r.getLong(0), r.getAs[Long]("interleave_pos"))).toMap
       assert(again === out.map(t => (t._1, t._3)).toMap)
-      // a grossly duplicated key still refuses, with EXACT numbers
-      // (the approx probe escalates to the exact distinct on a miss)
+      // a duplicated key refuses with EXACT numbers under the default
+      // exact probe (the determinism contract, ADVICE r13)...
       val dupRefuse = intercept[IllegalArgumentException](
         Sampling.interleaveBySource(
           d.withColumn("doc_id", lit(1L)), col("source"), col("doc_id")))
       assert(dupRefuse.getMessage.contains("100 rows, 1 distinct"))
+      // ...and under the opt-in sketch tripwire, via escalation (gross
+      // duplication lands far below the HLL band)
+      val sketchRefuse = intercept[IllegalArgumentException](
+        Sampling.interleaveBySource(
+          d.withColumn("doc_id", lit(1L)), col("source"), col("doc_id"),
+          sketchProbe = true))
+      assert(sketchRefuse.getMessage.contains("100 rows, 1 distinct"))
       intercept[IllegalArgumentException](Sampling.interleaveBySource(
         d.withColumn("interleave_pos", lit(1L)), col("source"), col("doc_id")))
       // the escalation band is pure and spec-able: a clean corpus's
@@ -1001,5 +1008,34 @@ class SamplingSpec extends SparkSpec {
     }
     assert(got.toSeq === want)
     assert(got.count(_._1 == "b") === 4) // under-k group returns all rows
+  }
+
+  test("weightedSamplePerGroup: two-phase == window oracle on a skewed fixture, repartition-invariant") {
+    import spark.implicits._
+    // one group is 90% of the corpus — the shape that makes the naive
+    // per-group window a single corpus-sized task
+    val rows = (1L to 900L).map(i => ("big", i, (i % 7 + 1).toDouble)) ++
+      (1001L to 1100L).map(i => ("small", i, 3.0))
+    val d = rows.toDF("g", "doc_id", "w")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("g", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val oracle = collect(Sampling.weightedSamplePerGroupNaive(
+      d, col("g"), col("doc_id"), col("w"), k = 25))
+    val got = collect(Sampling.weightedSamplePerGroup(
+      d, col("g"), col("doc_id"), col("w"), k = 25))
+    assert(got === oracle)
+    // physical layout must not change the sample: the local phase keys
+    // on spark_partition_id, so this is the invariance that proves the
+    // subset argument (global top-k ⊆ union of per-partition top-ks)
+    Seq(1, 3, 13).foreach { p =>
+      assert(collect(Sampling.weightedSamplePerGroup(
+        d.repartition(p), col("g"), col("doc_id"), col("w"), k = 25)) === oracle,
+        s"two-phase sample changed under repartition($p)")
+    }
+    // salt re-deals both implementations identically
+    assert(collect(Sampling.weightedSamplePerGroup(
+        d, col("g"), col("doc_id"), col("w"), k = 25, salt = 7L)) ===
+      collect(Sampling.weightedSamplePerGroupNaive(
+        d, col("g"), col("doc_id"), col("w"), k = 25, salt = 7L)))
   }
 }

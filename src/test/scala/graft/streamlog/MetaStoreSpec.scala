@@ -73,6 +73,27 @@ class MetaStoreSpec extends SparkSpec {
     }
   }
 
+  test("ABA: a log cleared and regrown to the SAME byte length refuses the stale tag") {
+    val dir = Files.createTempDirectory("graft-aba")
+    val store = new PosixMetaStore(dir.resolve("meta.jsonl"), dir)
+    assert(store.appendIf(0L, Seq(MetaJson.writer(1))))
+    val (_, staleTag) = store.readWithTag()
+    // destroy + regrow to a byte-identical LENGTH but different content:
+    // a size-based tag would match and let the stale decision commit
+    // onto an unrelated log (ADVICE r13)
+    store.clear()
+    assert(store.appendIf(0L, Seq(MetaJson.writer(2)))) // same line length
+    assert(!store.appendIf(staleTag, Seq(MetaJson.version(9))),
+      "a tag from the pre-clear log must not commit onto the regrown one")
+    // while a regrown log with byte-identical CONTENT shares the tag by
+    // construction - and committing against it is correct, because the
+    // decision inspected exactly these bytes
+    store.clear()
+    assert(store.appendIf(0L, Seq(MetaJson.writer(1))))
+    assert(store.appendIf(staleTag, Seq(MetaJson.version(9))))
+    assert(MetaLog.writerEpochOf(store.readWithTag()._1) == 1L)
+  }
+
   test("torn O_APPEND debris: repaired on first touch, the committed tag survives, appends never glue") {
     val dir = Files.createTempDirectory("graft-torn")
     val meta = dir.resolve("meta.jsonl")
@@ -80,10 +101,11 @@ class MetaStoreSpec extends SparkSpec {
     val (_, t0) = store.readWithTag()
     assert(store.appendIf(t0, Seq(MetaJson.writer(1), MetaJson.version(3))))
     val (committed, tag) = store.readWithTag()
+    val committedSize = Files.size(meta)
     // a pre-atomic-append writer died mid-write: raw partial line, no '\n'
     Files.write(meta, """{"type":"add","name":"torn-seg","firstOff""".getBytes,
       java.nio.file.StandardOpenOption.APPEND)
-    assert(Files.size(meta) > tag, "the tear must actually grow the file")
+    assert(Files.size(meta) > committedSize, "the tear must actually grow the file")
     // read tolerates the tear WITHOUT writing (a pure reader may sit on
     // a read-only mount): whole committed lines only, committed tag
     val tornSize = Files.size(meta)

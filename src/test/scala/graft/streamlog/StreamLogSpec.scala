@@ -128,6 +128,34 @@ class StreamLogSpec extends SparkSpec {
     assert(!waiter.isAlive)
   }
 
+  test("long-poll wakes for an EXTERNAL writer within the probe interval, not the timeout") {
+    // two handles over the same root = two processes: they share no
+    // in-memory state and no flush monitor, so the consumer can only
+    // learn of the producer's publish through the metadata-tag probe
+    val root = Files.createTempDirectory("graft-streamlog").toString
+    val consumer = new StreamLog(spark, root, "s1")
+    val producer = new StreamLog(spark, root, "s1")
+    val t = new Thread(null, () => {
+      Thread.sleep(150)
+      producer.publish(Seq("""{"ext":1}"""))
+      ()
+    }, "external-writer")
+    val t0 = System.currentTimeMillis()
+    t.start()
+    val got = consumer.poll(Offset.Beginning, 10, timeoutMs = 30000, intervalMs = 25)
+    t.join()
+    val elapsed = System.currentTimeMillis() - t0
+    assert(got.map(_._2) == Seq("""{"ext":1}"""))
+    assert(elapsed < 15000, s"poll should wake within the probe cadence, took ${elapsed}ms")
+    // stale-handle entry probe: a THIRD handle created before a further
+    // publish sees it on poll entry without an explicit refresh()
+    val late = new StreamLog(spark, root, "s1")
+    producer.refresh()
+    val off2 = producer.publish(Seq("""{"ext":2}""")).head
+    val got2 = late.poll(got.head._1, 10, timeoutMs = 30000, intervalMs = 25)
+    assert(got2.map(_._1) == Seq(off2))
+  }
+
   test("producer-version fencing: stale rejected, higher bumps, equal ok, absent ok") {
     val log = freshLog()
     log.publish(Seq("""{"v":1}"""), version = Some(5))
