@@ -28,6 +28,34 @@ import java.nio.file.{Files, Path}
   *     at `tag`; a lost race returns false and commits nothing.
   *   - `clear()` resets the log to empty (truncate-reset — the
   *     rebuild/destroy path; S3: DELETE).
+  *
+  * STATED REQUIREMENTS for a real bucket adapter (the semantics the
+  * conformance battery in MetaStoreSpec simulates and the protocols
+  * are proven against):
+  *   1. Read-after-write GET: `readWithTag` after a committed write
+  *      returns that write. S3 (since 2020) and R2 both provide this;
+  *      an eventually-consistent metadata GET is NOT supported. (LIST
+  *      may lag — the segment DATA plane tolerates that, see
+  *      [[SegmentStore]]; the metadata log never relies on LIST.)
+  *   2. Spurious conditional-write failure is allowed: a bucket may
+  *      reject a conditional PUT even though the precondition held
+  *      (S3 returns 409 ConcurrentModification when attempts overlap
+  *      in flight). `commit()` re-reads and retries, so a spurious
+  *      reject costs one round trip, never correctness.
+  *   3. Ambiguous outcomes resolve as LOST: a PUT whose response never
+  *      arrived (timeout after the write landed) must be treated as
+  *      failed and retried through a fresh read. This is safe because
+  *      every protocol decision is replay-idempotent: segment adds key
+  *      on unique names/offsets (duplicate lines replay to identical
+  *      state and the next checkpoint drops them), sink epochs are
+  *      high-water marks, a claim retry lands a FRESH higher epoch
+  *      (never assumes the ambiguous claim was its own — two claimants
+  *      writing byte-identical lines are indistinguishable, so
+  *      assuming ownership would split-brain), and the bulk commit
+  *      recognizes its own landed segments (see
+  *      [[MetaCommits.commitBulk]]). A protocol-level return value may
+  *      read false ("replay") for a commit that physically landed here
+  *      — callers treat false as benign by design.
   */
 trait MetaStore {
 
@@ -350,19 +378,28 @@ object MetaCommits {
   }
 
   /** The bulk-load commit: fenced + overlap-validated conditional
-    * append of the loaded segments. */
+    * append of the loaded segments. Idempotent under AMBIGUOUS
+    * conditional-PUT outcomes (the write landed, the response was
+    * lost — a real bucket failure mode): the retry's re-decide finds
+    * its own segments already live and commits nothing, instead of
+    * refusing its own committed work as an overlap. */
   def commitBulk(store: MetaStore, myEpoch: Long,
                  segs: Seq[SegmentMeta]): Unit = {
     require(segs.nonEmpty, "empty bulk load commits nothing")
     store.commit() { cur =>
       val disk = MetaLog.writerEpochOf(cur)
       if (disk > myEpoch) throw WriterFencedException(myEpoch, disk)
-      MetaLog.replayLines(cur).index.max.foreach { m =>
-        require(m.lastOffset < segs.head.firstOffset,
-          s"bulk load overlaps existing log: " +
-            s"last=${m.lastOffset} incoming=${segs.head.firstOffset}")
+      val st = MetaLog.replayLines(cur)
+      val live = st.index.segments.map(_.name).toSet
+      if (segs.forall(m => live.contains(m.name))) None // ambiguous replay
+      else {
+        st.index.max.foreach { m =>
+          require(m.lastOffset < segs.head.firstOffset,
+            s"bulk load overlaps existing log: " +
+              s"last=${m.lastOffset} incoming=${segs.head.firstOffset}")
+        }
+        Some(segs.map(MetaJson.add))
       }
-      Some(segs.map(MetaJson.add))
     }
     ()
   }

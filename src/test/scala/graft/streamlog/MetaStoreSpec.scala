@@ -37,6 +37,29 @@ class MetaStoreSpec extends SparkSpec {
     () => { t += 1; t }
   }
 
+  /** The two failure modes a real bucket adds on top of a clean
+    * interloper race (MetaStore's stated requirements #2/#3):
+    * `spurious` conditional writes REJECT although the precondition
+    * held (S3 409 ConcurrentModification under overlapping attempts —
+    * nothing commits); `ambiguous` conditional writes LAND but the
+    * response is lost (timeout after the write) — reported as failure,
+    * so the protocol retries against a log that already contains its
+    * own lines. Counts apply to appendIf and replaceIf alike. */
+  private class FaultyMetaStore(var spurious: Int = 0, var ambiguous: Int = 0)
+      extends InMemoryMetaStore {
+    private def fault(attempt: => Boolean): Boolean =
+      if (spurious > 0) { spurious -= 1; false }
+      else if (ambiguous > 0) {
+        ambiguous -= 1
+        assert(attempt, "the ambiguous write must actually land")
+        false
+      } else attempt
+    override def appendIf(tag: Long, ls: Seq[String]): Boolean =
+      fault(super.appendIf(tag, ls))
+    override def replaceIf(tag: Long, ls: Seq[String]): Boolean =
+      fault(super.replaceIf(tag, ls))
+  }
+
   test("both backends honor the CAS contract: stale tag refuses, fresh tag lands, clear resets") {
     val dir = Files.createTempDirectory("graft-metastore")
     val posix = new PosixMetaStore(dir.resolve("meta.jsonl"), dir)
@@ -337,6 +360,125 @@ class MetaStoreSpec extends SparkSpec {
     val racedLines = contended.readWithTag()._1
     assert(MetaLog.replayLines(racedLines).index.segments.map(_.name)
       .contains("racer.seg"), "a mid-checkpoint commit must never be dropped")
+  }
+
+  test("conformance matrix: the full protocol battery replays to IDENTICAL state on every backend sim") {
+    // one scenario — claim, publish-shaped fenced appends, three sink
+    // epochs (one replayed), a bulk load, a checkpoint — driven over
+    // the POSIX default, the clean bucket sim, a bucket that spuriously
+    // rejects (409), and a bucket whose writes land ambiguously. The
+    // protocols must produce the same replayed state everywhere; only
+    // then is the seam's "swap the store, change nothing above"
+    // claim real.
+    def battery(store: MetaStore): MetaLog.State = {
+      val my = MetaCommits.claimWriter(store, 0L)
+      MetaCommits.fencedAppend(store, my, Seq(MetaJson.version(3),
+        MetaJson.add(SegmentMeta("p1.seg", Offset.serialize(1000, 0),
+          Offset.serialize(1000, 4), 1L, 5L, 50L))))
+      (0L to 1L).foreach { e =>
+        assert(MetaCommits.commitSinkEpoch(store, my, "qA", e,
+          Seq(SegmentMeta(s"sink$e.seg", Offset.serialize(2000 + e, 0),
+            Offset.serialize(2000 + e, 0), 2L, 1L, 10L))))
+      }
+      // replay of epoch 1 commits nothing on ANY backend
+      assert(!MetaCommits.commitSinkEpoch(store, my, "qA", 1L,
+        Seq(SegmentMeta("dup.seg", Offset.serialize(9000, 0),
+          Offset.serialize(9000, 0), 9L, 1L, 10L))))
+      MetaCommits.commitBulk(store, my, Seq(
+        SegmentMeta("bulk.seg", Offset.serialize(3000, 0),
+          Offset.serialize(3000, 9), 3L, 10L, 100L)))
+      MetaCommits.checkpoint(store, my)
+      val st = MetaLog.replayLines(store.readWithTag()._1)
+      assert(MetaLog.maxSinkEpochOf(store.readWithTag()._1, "qA") == 1L)
+      st
+    }
+    val dir = Files.createTempDirectory("graft-matrix")
+    val backends = Seq[(String, MetaStore)](
+      "posix" -> new PosixMetaStore(dir.resolve("meta.jsonl"), dir),
+      "bucket" -> new InMemoryMetaStore,
+      "bucket+409s" -> new FaultyMetaStore(spurious = 7),
+      "bucket+ambiguous" -> new FaultyMetaStore(ambiguous = 4))
+    val states = backends.map { case (name, s) => name -> battery(s) }
+    val (_, ref) = states.head
+    states.tail.foreach { case (name, st) =>
+      assert(st.index.segments == ref.index.segments, s"$name index diverged")
+      assert(st.producerVersion == ref.producerVersion, s"$name version")
+      assert(st.writerEpoch >= 1L, s"$name claims none")
+    }
+    assert(ref.index.segments.map(_.name) ==
+      Seq("p1.seg", "sink0.seg", "sink1.seg", "bulk.seg"))
+  }
+
+  test("ambiguous outcomes: every protocol is exactly-once when its landed write reports failure") {
+    // claimWriter: the ambiguous claim is NOT assumed owned (a twin's
+    // byte-identical claim is indistinguishable) — the retry lands a
+    // FRESH higher epoch and owns that one
+    val claim = new FaultyMetaStore(ambiguous = 1)
+    val owned = MetaCommits.claimWriter(claim, 0L)
+    assert(owned == 2L, "retry must claim past the ambiguous claim")
+    assert(MetaLog.writerEpochOf(claim.readWithTag()._1) == 2L)
+
+    // fencedAppend: the duplicate lines replay to identical state
+    // (adds key on offset) and the next checkpoint drops them
+    val app = new FaultyMetaStore(ambiguous = 1)
+    val seg = SegmentMeta("a.seg", Offset.serialize(1000, 0),
+      Offset.serialize(1000, 4), 1L, 5L, 50L)
+    MetaCommits.fencedAppend(app, 0L, Seq(MetaJson.add(seg)))
+    val lines = app.readWithTag()._1
+    assert(lines.count(_.contains("a.seg")) == 2, "landed twice by design")
+    assert(MetaLog.replayLines(lines).index.segments == Seq(seg),
+      "duplicate add lines must replay to the single segment")
+    assert(MetaCommits.checkpoint(app, 0L))
+    assert(app.readWithTag()._1.count(_.contains("a.seg")) == 1)
+
+    // commitSinkEpoch: the retry sees its own high-water mark, commits
+    // nothing, reports replay — exactly one marker, one add
+    val sink = new FaultyMetaStore(ambiguous = 1)
+    assert(!MetaCommits.commitSinkEpoch(sink, 0L, "q", 0L, Seq(seg)),
+      "ambiguous sink commit reads as replay (benign false)")
+    val sl = sink.readWithTag()._1
+    assert(sl.count(_.contains("sink_epoch")) == 1)
+    assert(sl.count(_.contains("a.seg")) == 1)
+
+    // commitBulk: the retry recognizes its own landed segments instead
+    // of refusing them as an overlap — no exception, no duplicates
+    val bulk = new FaultyMetaStore(ambiguous = 1)
+    MetaCommits.commitBulk(bulk, 0L, Seq(seg))
+    assert(bulk.readWithTag()._1.count(_.contains("a.seg")) == 1)
+    // ...and a GENUINE overlap (different name, crossing offsets)
+    // still refuses
+    intercept[IllegalArgumentException](MetaCommits.commitBulk(bulk, 0L,
+      Seq(SegmentMeta("b.seg", Offset.serialize(1000, 2),
+        Offset.serialize(1000, 7), 2L, 5L, 50L))))
+
+    // checkpoint: the ambiguous replace landed; the retry finds the log
+    // already minimal and reports no-op — state is the snapshot
+    val ck = new FaultyMetaStore()
+    MetaCommits.claimWriter(ck, 0L)
+    MetaCommits.claimWriter(ck, 0L) // garbage so the snapshot shrinks
+    ck.ambiguous = 1
+    assert(!MetaCommits.checkpoint(ck, 2L),
+      "ambiguous checkpoint reads as no-op (benign false)")
+    val ckLines = ck.readWithTag()._1
+    assert(ckLines == MetaCommits.snapshotLines(ckLines),
+      "the log must BE its minimal snapshot after the landed replace")
+    assert(MetaLog.writerEpochOf(ckLines) == 2L)
+  }
+
+  test("publish end-to-end over a faulty bucket: spurious 409s and ambiguous landings lose no records") {
+    val root = Files.createTempDirectory("graft-faulty").toString
+    val c = clock(9000000)
+    val faulty = new FaultyMetaStore()
+    val log = new StreamLog(spark, root, "s1", faulty)
+    log.publish(Seq("""{"n":1}"""), nowMs = c)
+    faulty.spurious = 2 // two 409s: publish retries through them
+    log.publish(Seq("""{"n":2}"""), nowMs = c)
+    faulty.ambiguous = 1 // landed-but-reported-failed: retry double-adds
+    log.publish(Seq("""{"n":3}"""), nowMs = c)
+    log.refresh()
+    assert(log.consume(Offset.Beginning, 100).map(_._2) ==
+      Seq("""{"n":1}""", """{"n":2}""", """{"n":3}"""),
+      "every record exactly once, in order, through both failure modes")
   }
 
   test("kill -9 mid-compaction in ANOTHER PROCESS: survivor takeover leaves zero orphans, zero lost records") {
