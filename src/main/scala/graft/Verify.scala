@@ -6,6 +6,15 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    run(sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
+  }
+
+  /** Dump one (queries, oracles) registry — shared by the driver's
+    * SparkEntry contract above and [[VerifyExtras]]' extra-registry
+    * crosscheck entries. */
+  def run(sfDir: String, outDir: String,
+          queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+          oracleSql: Map[String, String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +28,7 @@ object Verify {
     // comma-separated allowlist for quick single-query oracle iteration
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -40,7 +49,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curate, Relational}
+
+/** EXTRA-registry oracle crosschecks (r14): the strongest spec-only
+  * operators, hash-gated against the DuckDB oracle WITHOUT touching
+  * the driver's 83-entry [[SparkEntry.queries]] registry. Run locally:
+  *
+  *   sbt -batch "runMain graft.VerifyExtras /root/testdata/sf0.01 /tmp/extras_out"
+  *   python3 tools/crosscheck.py /root/testdata/sf0.01 /tmp/extras_out
+  *
+  * Same dump format as [[Verify]] (result parquet + oracle_sql.json),
+  * so the crosscheck replica gates these exactly like registry entries.
+  */
+object VerifyExtras {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_spearman" -> ((s, dir) =>
+      Relational.spearmanMatrix(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    "x_skew_report" -> ((s, dir) =>
+      Relational.skewReport(
+        s.read.parquet(s"$dir/orders.parquet"), col("o_orderpriority"))),
+    "x_acceptance_ci" -> ((s, dir) =>
+      Curate.acceptanceCI(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("lang"), col("n_chars") >= 500)),
+    // accuracy 1e6 pins the sketch to the exact rank at sf0.01 (error
+    // n/accuracy = 0.06 ranks < 1), so the quantile-edged recount is
+    // deterministic against DuckDB's discrete quantile; the operator's
+    // default accuracy stays 10000 for corpus-scale use
+    "x_hist_equidepth" -> ((s, dir) =>
+      Relational.histogramEquiDepth(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_extendedprice", nBins = 4, accuracy = 1000000)))
+
+  def oracleSql: Map[String, String] = Map(
+    // average-rank FRACTIONS per column (ties share their mean rank,
+    // divided by n — the overflow-proof form spearmanMatrix correlates),
+    // then plain Pearson over the fractions
+    "x_spearman" ->
+      """WITH c AS (
+        |  SELECT l_quantity::DOUBLE AS v0, l_extendedprice::DOUBLE AS v1,
+        |         l_discount::DOUBLE AS v2
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |n AS (SELECT count(*)::DOUBLE AS total FROM c),
+        |r AS (
+        |  SELECT
+        |    (rank() OVER (ORDER BY v0) + (count(*) OVER (PARTITION BY v0) - 1) / 2.0) / n.total AS r0,
+        |    (rank() OVER (ORDER BY v1) + (count(*) OVER (PARTITION BY v1) - 1) / 2.0) / n.total AS r1,
+        |    (rank() OVER (ORDER BY v2) + (count(*) OVER (PARTITION BY v2) - 1) / 2.0) / n.total AS r2
+        |  FROM c, n)
+        |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |       round(corr(r0, r1), 6) AS spearman FROM r
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_discount', round(corr(r0, r2), 6) FROM r
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_discount', round(corr(r1, r2), 6) FROM r
+        |""".stripMargin,
+    // the tie-break is (count, key) struct-max = highest count, then
+    // lexicographically greatest key
+    "x_skew_report" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority::VARCHAR AS k, count(*)::BIGINT AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS keys FROM c)
+        |SELECT t.tot AS n_rows, t.keys AS n_keys,
+        |  (SELECT round(max(n)::DOUBLE / t.tot, 6) FROM c) AS max_share,
+        |  (SELECT k FROM c ORDER BY n DESC, k DESC LIMIT 1) AS top_key,
+        |  (SELECT CASE WHEN t.keys > 1
+        |     THEN round(-sum((n::DOUBLE / t.tot) * ln(n::DOUBLE / t.tot))
+        |                  / ln(t.keys::DOUBLE), 6)
+        |     ELSE 0.0 END FROM c) AS entropy_norm
+        |FROM t
+        |""".stripMargin,
+    // closed-form Wilson interval, same expression order as the Spark
+    // columns (center ± spread, clamped to [0, 1], rounded to 6)
+    "x_acceptance_ci" ->
+      """WITH c AS (
+        |  SELECT lang AS "group", count(*)::BIGINT AS n,
+        |         sum(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END)::BIGINT AS n_accepted
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT *, n_accepted::DOUBLE / n::DOUBLE AS p, n::DOUBLE AS nd,
+        |         1.96 AS z, 1.96 * 1.96 AS zz
+        |  FROM c)
+        |SELECT "group", n, n_accepted, round(p, 6) AS rate,
+        |  round(greatest((p + zz / (nd * 2)) / (1 + zz / nd)
+        |    - (z * sqrt(p * (1 - p) / nd + zz / (nd * nd * 4))) / (1 + zz / nd),
+        |    0.0), 6) AS wilson_lo,
+        |  round(least((p + zz / (nd * 2)) / (1 + zz / nd)
+        |    + (z * sqrt(p * (1 - p) / nd + zz / (nd * nd * 4))) / (1 + zz / nd),
+        |    1.0), 6) AS wilson_hi
+        |FROM w
+        |""".stripMargin,
+    // quantile-edged recount: DuckDB's discrete quantiles as the edges,
+    // bin = #edges strictly below the value, lowest-bin rule for ties
+    "x_hist_equidepth" ->
+      """WITH e AS (
+        |  SELECT quantile_disc(l_extendedprice::DOUBLE, [0.25, 0.5, 0.75]) AS ed
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (
+        |  SELECT len(list_filter(e.ed, x -> l.l_extendedprice::DOUBLE > x))::BIGINT AS bin
+        |  FROM lineitem l, e WHERE l.l_extendedprice IS NOT NULL)
+        |SELECT b.bin,
+        |  CASE WHEN b.bin = 0 THEN NULL ELSE e.ed[b.bin::INT] END AS lo,
+        |  CASE WHEN b.bin = 3 THEN NULL ELSE e.ed[(b.bin + 1)::INT] END AS hi,
+        |  count(*)::BIGINT AS n
+        |FROM b, e GROUP BY 1, 2, 3 ORDER BY 1
+        |""".stripMargin)
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    Verify.run(sfDir, outDir, queries, oracleSql)
+  }
+}
