@@ -34,6 +34,25 @@ final case class ObjectInfo(name: String, lastModifiedMs: Long)
   * append — a put that lands without its metadata commit is an orphan
   * [[StreamLog.purgeOrphans]] collects, which is why the seam needs no
   * cross-object transaction.
+  *
+  * STATED REQUIREMENTS for a real bucket adapter (weaker than
+  * [[MetaStore]]'s — the data plane tolerates more because the
+  * metadata commit is the correctness point):
+  *   1. Read-after-write GET for COMMITTED names: a segment named in a
+  *      committed metadata line must be GETtable (S3/R2 provide
+  *      read-after-write for new objects; names are never reused
+  *      before a destroy, so no stale-overwrite reads exist).
+  *   2. LIST may lag and may return deleted ghosts: only
+  *      [[StreamLog.purgeOrphans]] consumes LIST, and it tolerates
+  *      both — young objects are grace-protected by LastModified,
+  *      ghosts get idempotent re-deletes
+  *      ([[EventualListSegmentStore]] is the conformance sim).
+  *   3. An ambiguous put (upload landed, response lost) needs NO
+  *      resolution: retrying produces either the same bytes under the
+  *      same name (publish/compaction derive names deterministically —
+  *      an overwrite with identical content) or an uncommitted twin
+  *      the orphan sweep collects. Data-plane writes are never the
+  *      commit point.
   */
 trait SegmentStore {
 
