@@ -230,6 +230,26 @@ object StreamStores {
 
   def isMem(root: String): Boolean = root.startsWith("mem:")
 
+  /** An S3-compatible bucket root: `s3:<endpoint>/<bucket>` (e.g.
+    * `s3:http://127.0.0.1:9000/graft-streams`). Resolves to the
+    * [[S3MetaStore]]/[[S3SegmentStore]] HTTP adapters; the root string
+    * is self-describing, so executors re-resolve a client from the
+    * same `(root, stream)` strings a partition already carries. */
+  def isS3(root: String): Boolean = root.startsWith("s3:")
+
+  /** A root whose stream state lives OUTSIDE the local filesystem
+    * (bucket sim or S3 endpoint) — the local streamDir is then only
+    * compaction's Spark staging scratch. */
+  def isBucket(root: String): Boolean = isMem(root) || isS3(root)
+
+  private def parseS3(root: String): (String, String) = {
+    val u = root.stripPrefix("s3:")
+    val i = u.lastIndexOf('/')
+    require(i > "http://".length && i < u.length - 1,
+      s"s3 root must be s3:<endpoint>/<bucket>, got $root")
+    (u.substring(0, i), u.substring(i + 1))
+  }
+
   private def key(root: String, stream: String) = s"$root/$stream"
 
   /** Install custom simulators (e.g. an [[EventualListSegmentStore]] or
@@ -246,7 +266,10 @@ object StreamStores {
     if (isMem(root))
       mem.computeIfAbsent(key(root, stream),
         _ => Mem(new InMemoryMetaStore, new InMemorySegmentStore)).meta
-    else {
+    else if (isS3(root)) {
+      val (ep, bucket) = parseS3(root)
+      new S3MetaStore(ep, bucket, s"$stream/meta.jsonl")
+    } else {
       val dir = Paths.get(root, stream)
       new PosixMetaStore(dir.resolve("meta.jsonl"), dir)
     }
@@ -255,7 +278,10 @@ object StreamStores {
     if (isMem(root))
       mem.computeIfAbsent(key(root, stream),
         _ => Mem(new InMemoryMetaStore, new InMemorySegmentStore)).segs
-    else new PosixSegmentStore(Paths.get(root, stream, "segments"))
+    else if (isS3(root)) {
+      val (ep, bucket) = parseS3(root)
+      new S3SegmentStore(ep, bucket, s"$stream/segments/")
+    } else new PosixSegmentStore(Paths.get(root, stream, "segments"))
 
   /** Replay a stream's metadata log through the seam — the DSv2
     * driver-side read ([[MetaLog.replayLines]] over the store's

@@ -52,14 +52,14 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
                       metaStore: MetaStore = null,
                       segmentStore: SegmentStore = null) {
 
-  private val memRooted = StreamStores.isMem(root)
+  private val bucketRooted = StreamStores.isBucket(root)
 
   /** Local working directory: the stream's home on a POSIX root; for a
-    * mem-rooted (bucket-sim) stream, a temp scratch area that holds only
-    * compaction's distributed-write staging — segment bytes and the
-    * metadata log live in the stores, never here. */
+    * bucket-rooted stream (mem: sim or s3: endpoint), a temp scratch
+    * area that holds only compaction's distributed-write staging —
+    * segment bytes and the metadata log live in the stores, never here. */
   val streamDir: Path =
-    if (memRooted)
+    if (bucketRooted)
       Paths.get(sys.props("java.io.tmpdir"), "graft-mem-scratch",
         (root + "-" + name).replaceAll("[^A-Za-z0-9._-]", "_"))
     else Paths.get(root, name)
@@ -79,7 +79,7 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
     Option(segmentStore).getOrElse(StreamStores.segmentStore(root, name))
   // explicit stores on a mem root are registered so DSv2 tasks (which
   // re-resolve by (root, stream) strings) reach the SAME instances
-  if (memRooted && (metaStore != null || segmentStore != null))
+  if (StreamStores.isMem(root) && (metaStore != null || segmentStore != null))
     StreamStores.register(root, name, store, segStore)
 
   // -- in-memory state (rebuilt from the metadata log on construction).

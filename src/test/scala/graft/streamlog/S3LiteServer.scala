@@ -1,0 +1,134 @@
+package graft.streamlog
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** In-process S3-semantics conformance server — the spec fixture the
+  * [[S3MetaStore]]/[[S3SegmentStore]] adapters are driven against over
+  * REAL sockets. Implements the documented subset the adapters speak:
+  *
+  *   - `PUT /bucket/key` with `If-Match: <etag>` (compare-and-swap on
+  *     overwrite) and `If-None-Match: *` (create-only) — 200 with the
+  *     new ETag, 412 on a lost precondition, exactly the S3
+  *     conditional-write API; unconditional PUT always lands.
+  *   - `GET /bucket/key` — 200 + ETag (MD5 of content, quoted, as S3
+  *     computes for non-multipart objects) or 404.
+  *   - `DELETE /bucket/key` — 204, idempotent.
+  *   - `GET /bucket?list-type=2&prefix=&continuation-token=` —
+  *     ListObjectsV2 XML, `maxKeys` per page with a continuation
+  *     cursor (set it low in specs to force the adapters to drain
+  *     pagination the way a 1000-key S3 page boundary would).
+  *
+  * `failPuts` injects 409 ConcurrentModification responses — the
+  * spurious rejection S3 returns when conditional attempts overlap in
+  * flight (MetaStore stated requirement #2) — so specs can prove the
+  * retry path through a real status code, not a simulated boolean.
+  * All object state is strongly consistent (read-after-write GET and
+  * LIST), matching current S3/R2; the lagged-LIST stress lives in
+  * [[EventualListSegmentStore]].
+  */
+final class S3LiteServer(maxKeys: Int = 1000) {
+
+  // key -> (bytes, etag, lastModifiedMs); one lock = the linearizable
+  // conditional-write point a real bucket's backend provides
+  private val objects =
+    scala.collection.mutable.TreeMap.empty[String, (Array[Byte], String, Long)]
+  @volatile var failPuts: Int = 0
+  @volatile var puts: Int = 0
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.start()
+
+  def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def stop(): Unit = server.stop(0)
+  def keys: Seq[String] = objects.synchronized(objects.keys.toSeq)
+
+  private def md5(b: Array[Byte]): String =
+    "\"" + java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString + "\""
+
+  private def respond(ex: HttpExchange, status: Int,
+                      body: Array[Byte] = Array.emptyByteArray,
+                      etag: Option[String] = None): Unit = {
+    etag.foreach(e => ex.getResponseHeaders.set("ETag", e))
+    ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val path = ex.getRequestURI.getPath.stripPrefix("/")
+    val slash = path.indexOf('/')
+    val key = if (slash < 0) "" else path.substring(slash + 1)
+    val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+    (ex.getRequestMethod, key) match {
+      case ("GET", "") if query.contains("list-type=2") => list(ex, query)
+      case ("GET", k) => objects.synchronized(objects.get(k)) match {
+        case Some((b, e, _)) => respond(ex, 200, b, Some(e))
+        case None => respond(ex, 404)
+      }
+      case ("DELETE", k) =>
+        objects.synchronized(objects.remove(k))
+        respond(ex, 204)
+      case ("PUT", k) =>
+        val body = ex.getRequestBody.readAllBytes()
+        val ifMatch = Option(ex.getRequestHeaders.getFirst("If-Match"))
+        val ifNone = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+        objects.synchronized {
+          puts += 1
+          if (failPuts > 0) { failPuts -= 1; respond(ex, 409) }
+          else {
+            val cur = objects.get(k)
+            if (ifNone.contains("*") && cur.isDefined) respond(ex, 412)
+            else if (ifMatch.isDefined && !cur.map(_._2).equals(ifMatch))
+              respond(ex, 412)
+            else {
+              val e = md5(body)
+              objects.put(k, (body, e, System.currentTimeMillis()))
+              respond(ex, 200, etag = Some(e))
+            }
+          }
+        }
+      case _ => respond(ex, 400)
+    }
+  } catch {
+    case t: Throwable =>
+      System.err.println(s"[s3lite] ${t.getMessage}")
+      respond(ex, 500)
+  }
+
+  private def qparam(query: String, name: String): Option[String] =
+    query.split("&").collectFirst {
+      case p if p.startsWith(s"$name=") =>
+        java.net.URLDecoder.decode(p.substring(name.length + 1), UTF_8)
+    }
+
+  private def list(ex: HttpExchange, query: String): Unit = {
+    val prefix = qparam(query, "prefix").getOrElse("")
+    val after = qparam(query, "continuation-token")
+    val xml = objects.synchronized {
+      val all = objects.iterator
+        .filter { case (k, _) => k.startsWith(prefix) }
+        .dropWhile { case (k, _) => after.exists(k <= _) }
+        .toSeq
+      val page = all.take(maxKeys)
+      val truncated = all.size > maxKeys
+      val contents = page.map { case (k, (_, _, ts)) =>
+        s"<Contents><Key>$k</Key><LastModified>" +
+          java.time.Instant.ofEpochMilli(ts).toString +
+          s"</LastModified></Contents>"
+      }.mkString
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?><ListBucketResult>" +
+        s"<IsTruncated>$truncated</IsTruncated>" +
+        (if (truncated)
+          s"<NextContinuationToken>${page.last._1}</NextContinuationToken>"
+         else "") +
+        contents + "</ListBucketResult>"
+    }
+    respond(ex, 200, xml.getBytes(UTF_8))
+  }
+}
