@@ -17,17 +17,21 @@ object DyingWriter {
   def main(args: Array[String]): Unit = {
     val root = args(0)
     val stream = args(1)
-    val dir = Paths.get(root, stream)
-    val store = new PosixMetaStore(dir.resolve("meta.jsonl"), dir)
+    val store = StreamStores.metaStore(root, stream)
     val epoch = MetaCommits.claimWriter(store, 0L)
 
-    // mid-compaction debris, created while holding the claim:
-    val scratch = dir.resolve(".merge-dying-writer")
-    Files.createDirectories(scratch)
-    Files.write(scratch.resolve("part-00000"), "partial merge output".getBytes(UTF_8))
-    Files.createDirectories(dir.resolve("segments"))
-    Files.write(dir.resolve("segments").resolve("zzzz-uncommitted-merge.seg"),
-      "never committed\n".getBytes(UTF_8))
+    // mid-compaction debris, created while holding the claim. On a
+    // bucket root the only debris that SURVIVES a machine loss is the
+    // uncommitted object itself (local Spark staging dies with the
+    // box); on POSIX the local scratch dir persists too, so plant both.
+    if (!StreamStores.isBucket(root)) {
+      val dir = Paths.get(root, stream)
+      val scratch = dir.resolve(".merge-dying-writer")
+      Files.createDirectories(scratch)
+      Files.write(scratch.resolve("part-00000"), "partial merge output".getBytes(UTF_8))
+    }
+    StreamStores.segmentStore(root, stream)
+      .put("zzzz-uncommitted-merge.seg", "never committed\n".getBytes(UTF_8))
 
     // the spec waits for this line, then SIGKILLs us mid-"compaction"
     println(s"CLAIMED $epoch")

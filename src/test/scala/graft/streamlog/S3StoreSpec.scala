@@ -206,6 +206,47 @@ class S3StoreSpec extends SparkSpec {
     }
   }
 
+  test("kill -9 of a SECOND PROCESS holding the claim over the wire: survivor reclaims, zero loss") {
+    // the posix kill-9 soak re-run with the bucket between the two
+    // processes: the dying writer's claim is an If-Match PUT over a
+    // real socket, its debris is an uncommitted object in the bucket,
+    // and the survivor's takeover + orphan purge go through HTTP LIST
+    // + DELETE — a machine loss in a shared-bucket deployment
+    withServer() { srv =>
+      val root = s"s3:${srv.endpoint}/b"
+      val c = clock(8000000)
+      val log = new StreamLog(spark, root, "s1")
+      log.publish((1 to 5).map(i => s"""{"a":$i}"""), nowMs = c)
+      val before = log.consume(Offset.Beginning, 100)
+
+      val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+      val pb = new ProcessBuilder(javaBin, "-cp", sys.props("java.class.path"),
+        "graft.streamlog.DyingWriter", root, "s1")
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      val claimed = Iterator.continually(reader.readLine())
+        .takeWhile(_ != null).find(_.startsWith("CLAIMED"))
+      assert(claimed.contains("CLAIMED 1"), s"subprocess said: $claimed")
+
+      intercept[WriterFencedException](log.publish(Seq("""{"x":1}"""), nowMs = c))
+
+      proc.destroyForcibly() // SIGKILL holding the claim
+      assert(proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+
+      assert(log.claimWriter() == 2L)
+      log.refresh()
+      val report = log.maintain(orphanGraceMs = 0L, nowMs = c)
+      assert(report.orphansPurged.contains("zzzz-uncommitted-merge.seg"),
+        s"purged: ${report.orphansPurged}")
+      assert(!srv.keys.contains("s1/segments/zzzz-uncommitted-merge.seg"))
+      assert(log.consume(Offset.Beginning, 100) == before, "records lost")
+      log.publish(Seq("""{"resumed":1}"""), nowMs = c)
+      assert(log.consume(Offset.Beginning, 100).size == before.size + 1)
+    }
+  }
+
   test("maintenance + fencing protocols run unchanged over the s3: root") {
     withServer() { srv =>
       val root = s"s3:${srv.endpoint}/b"
