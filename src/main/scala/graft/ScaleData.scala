@@ -80,8 +80,9 @@ object ScaleData {
 
     // events: ids shift, timestamps stay — factor× DENSER stream
     val ev = spark.read.parquet(s"$src/events.parquet")
-    val maxEv = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    val maxUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    val evMaxima = ev.agg(max(col("event_id")), max(col("user_id"))).head()
+    val maxEv = evMaxima.getLong(0) + 1
+    val maxUser = evMaxima.getLong(1) + 1
     ev.crossJoin(replicas)
       .select((Seq(
         (col("event_id") + col("_rep") * maxEv).as("event_id"),

@@ -526,7 +526,12 @@ object Dedup {
     // evidence rows — would fan out through the size join and silently
     // DUPLICATE that doc's output rows while inflating cluster sizes;
     // the aggregation is over the cluster frame, bounded by clusters
-    val probe = clusters.agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+    val probe = clusters.agg(count(lit(1)), countDistinct(col("doc_id")),
+      count(when(col("doc_id").isNull, 1))).head()
+    require(probe.getLong(2) == 0L,
+      s"clusters frame has ${probe.getLong(2)} null doc_id rows — they " +
+        "join to no document yet inflate their cluster's size; drop them " +
+        "first")
     require(probe.getLong(0) == probe.getLong(1),
       s"clusters frame maps a doc_id to multiple rows (${probe.getLong(0)} " +
         s"rows, ${probe.getLong(1)} distinct doc_ids) — dedupe the evidence " +

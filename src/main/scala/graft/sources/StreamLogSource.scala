@@ -588,7 +588,13 @@ case class StreamLogStreamingWriterFactory(root: String, stream: String, base: L
       }
 
       override def commit(): WriterCommitMessage = {
-        if (records == 0) return SegmentCommit("", "", "", 0L, 0L)
+        if (records == 0) {
+          // the spool may exist even though write() never ran (the
+          // default newSpool creates the file eagerly) — delete it or
+          // every empty partition of every epoch leaks one tmp file
+          Files.deleteIfExists(tmp)
+          return SegmentCommit("", "", "", 0L, 0L)
+        }
         out.close()
         val name = s"$first-${java.util.UUID.randomUUID()}.seg"
         store.putFromFile(name, tmp)
@@ -674,7 +680,10 @@ case class StreamLogWriterFactory(root: String, stream: String) extends DataWrit
       }
 
       override def commit(): WriterCommitMessage = {
-        if (records == 0) return SegmentCommit("", "", "", 0L, 0L)
+        if (records == 0) {
+          Files.deleteIfExists(tmp) // eager default spool — don't leak it
+          return SegmentCommit("", "", "", 0L, 0L)
+        }
         out.close()
         val name = s"$first-${java.util.UUID.randomUUID()}.seg"
         store.putFromFile(name, tmp)

@@ -136,21 +136,28 @@ trait MetaStore {
   * ends in '\n', so a file that doesn't is cut back to its last
   * committed line (safe under the lock — no append can be in flight).
   */
+/** The shared tag derivation: 64 bits of SHA-256, with 0 reserved for
+  * the absent/empty log (a digest folding to 0 maps to 1). One helper
+  * for every backend — PosixMetaStore folds the log CONTENT, the S3
+  * adapter folds the server's ETag — so the reserved-0 handling can
+  * never diverge between backends. */
+private[streamlog] object StoreTags {
+  def sha64(bytes: Array[Byte], len: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(bytes, 0, len)
+    val h = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    if (v == 0L) 1L else v
+  }
+}
+
 final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
 
-  /** 64 bits of SHA-256 over the committed bytes; 0 reserved for
-    * absent/empty (a non-empty log hashing to 0 maps to 1). */
+  /** Content tag; 0 = absent/empty. */
   private def tagOf(bytes: Array[Byte], len: Int): Long =
-    if (len == 0) 0L
-    else {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      md.update(bytes, 0, len)
-      val h = md.digest()
-      var v = 0L
-      var i = 0
-      while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
-      if (v == 0L) 1L else v
-    }
+    if (len == 0) 0L else StoreTags.sha64(bytes, len)
 
   /** tmp-write + fsync + atomic rename + directory fsync: readers (and
     * any kill point) see the old bytes or the new bytes, never a
@@ -390,8 +397,12 @@ object MetaCommits {
       val disk = MetaLog.writerEpochOf(cur)
       if (disk > myEpoch) throw WriterFencedException(myEpoch, disk)
       val st = MetaLog.replayLines(cur)
-      val live = st.index.segments.map(_.name).toSet
-      if (segs.forall(m => live.contains(m.name))) None // ambiguous replay
+      // ambiguous-replay recognition must see COMPACTED segments too: a
+      // maintenance pass may have tombstoned the landed segments between
+      // the ambiguous attempt and this retry — they are still this
+      // commit's own work, not an overlap
+      val known = st.index.segments.map(_.name).toSet ++ st.tombstones.keySet
+      if (segs.forall(m => known.contains(m.name))) None // ambiguous replay
       else {
         st.index.max.foreach { m =>
           require(m.lastOffset < segs.head.firstOffset,

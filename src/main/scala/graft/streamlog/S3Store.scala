@@ -46,15 +46,12 @@ private[streamlog] object S3Http {
       Option(r.headers().firstValue("ETag").orElse(null)))
   }
 
-  /** 64 bits of SHA-256 over the ETag string — the [[MetaStore]] tag
-    * for the log version that ETag identifies (0 reserved = absent). */
+  /** The [[MetaStore]] tag for the log version an ETag identifies —
+    * the shared [[StoreTags]] fold over the ETag string (0 = absent,
+    * never produced here). */
   def tagOf(etag: String): Long = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    val h = md.digest(etag.getBytes(UTF_8))
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
-    if (v == 0L) 1L else v
+    val b = etag.getBytes(UTF_8)
+    StoreTags.sha64(b, b.length)
   }
 }
 
@@ -86,8 +83,15 @@ final class S3MetaStore(endpoint: String, bucket: String, key: String)
     }
   }
 
+  /** One conditional-write attempt. AMBIGUOUS outcomes — the request
+    * threw after it may have reached the server (timeout, reset) —
+    * resolve as LOST per the contract's stated requirement #3: report
+    * false so [[MetaStore.commit]] re-reads and re-decides, which is
+    * safe because every protocol decision is replay-idempotent. A
+    * persistent outage still surfaces: the retry's fresh
+    * [[readWithTag]] GET propagates its failure instead of looping. */
   private def putIf(tag: Long, bytes: Array[Byte],
-                    appendTo: Boolean): Boolean = {
+                    appendTo: Boolean): Boolean = try {
     if (tag == 0L) {
       val r = S3Http.send("PUT", url, bytes, Seq("If-None-Match" -> "*"))
       r.status match {
@@ -110,6 +114,8 @@ final class S3MetaStore(endpoint: String, bucket: String, key: String)
         case s => throw new IllegalStateException(s"PUT $url -> $s")
       }
     }
+  } catch {
+    case _: java.io.IOException => false // ambiguous → lost, retry re-reads
   }
 
   override def appendIf(tag: Long, lines: Seq[String]): Boolean =

@@ -147,10 +147,14 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
 
   /** Replay the metadata log — crash-safe cold start
     * (stream_manager.ts:138-179,503-511). */
-  private def load(): Unit = {
-    val (lines, tag) = store.readWithTag()
-    val st = MetaLog.replayLines(lines)
-    loadedTag = tag
+  private def load(): Unit = applyReplay(store.readWithTag())
+
+  /** Install the state an already-read (lines, tag) snapshot replays
+    * to — load() and the poll probe share it so a probe that already
+    * paid the read never reads the log a second time. */
+  private def applyReplay(snap: (Vector[String], Long)): Unit = {
+    val st = MetaLog.replayLines(snap._1)
+    loadedTag = snap._2
     index = st.index; tombstones = st.tombstones
     producerVersionVar = st.producerVersion
     lastOffsetVar = st.lastOffset
@@ -327,9 +331,17 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
   }
 
   /** Replay the metadata log iff its tag moved past what this handle
-    * last loaded — the cross-process wake probe. A tag that matches is
-    * a no-op read of the small metadata log; a moved tag (own commits
-    * included — they advance it too) replays to fresh state. */
+    * last loaded — the cross-process wake probe. The idle case (tag
+    * unchanged — almost every wake) costs exactly ONE read of the
+    * small, checkpoint-bounded metadata log. A moved tag refreshes via
+    * a SECOND read under the state lock — deliberately not reusing the
+    * probe's own snapshot: that snapshot was taken unlocked, so a
+    * concurrent same-handle publish (producer + poller threads sharing
+    * one handle) could commit between the probe read and the apply,
+    * and installing the older snapshot would regress lastOffset/epoch;
+    * content tags don't order, so staleness can't be detected — only a
+    * locked re-read is safe. One extra read per actual data arrival is
+    * the right trade. */
   private def probeExternal(): Unit = {
     val tag = store.readWithTag()._2
     if (tag != loadedTag) refresh()

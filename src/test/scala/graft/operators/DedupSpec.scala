@@ -343,6 +343,13 @@ class DedupSpec extends SparkSpec {
     assert(multi.getMessage.contains("multiple rows"))
     intercept[IllegalArgumentException](Dedup.repetitionWeights(
       corpus, clusters.union(clusters))) // duplicate evidence rows
+    // a null doc_id joins to nothing yet inflates its cluster's size —
+    // refused with ITS OWN message, not misdiagnosed as a duplicate
+    val nullRefuse = intercept[IllegalArgumentException](
+      Dedup.repetitionWeights(corpus, clusters.union(
+        Seq((Option.empty[Long], Option(9L)))
+          .toDF("doc_id", "cluster_id"))))
+    assert(nullRefuse.getMessage.contains("null doc_id"))
   }
 
   test("sourceOverlap counts distinct shared windows per source pair") {

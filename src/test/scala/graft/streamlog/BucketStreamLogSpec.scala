@@ -30,6 +30,33 @@ class BucketStreamLogSpec extends SparkSpec {
     new StreamLog(spark, root, "s1")
   }
 
+  test("an empty DSv2 partition deletes its eagerly-created spool file instead of leaking it") {
+    // the default newSpool (bucket stores) CREATES the temp file; a
+    // partition that writes zero records must delete it on commit, or
+    // a streaming sink leaks one file per empty partition per epoch
+    val root = s"mem:bucket-${UUID.randomUUID()}"
+    def spools(prefix: String) = {
+      val st = Files.list(java.nio.file.Paths.get(sys.props("java.io.tmpdir")))
+      try {
+        val it = st.iterator()
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getFileName.toString.startsWith(prefix)) n += 1
+        }
+        n
+      } finally st.close()
+    }
+    val w = graft.sources.StreamLogWriterFactory(root, "s1").createWriter(0, 777001L)
+    assert(spools("graft-spool-w-0-777001") == 1, "eager spool exists")
+    w.commit()
+    assert(spools("graft-spool-w-0-777001") == 0, "empty commit must delete it")
+    val s = graft.sources.StreamLogStreamingWriterFactory(root, "s1", 5000000L)
+      .createWriter(0, 777002L, 3L)
+    assert(spools("graft-spool-s-0-777002") == 1)
+    s.commit()
+    assert(spools("graft-spool-s-0-777002") == 0)
+  }
+
   test("publish/consume/poll round-trip with zero segment files on disk") {
     val log = freshMemLog()
     val c = clock(1000000)

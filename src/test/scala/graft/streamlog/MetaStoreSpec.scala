@@ -445,6 +445,28 @@ class MetaStoreSpec extends SparkSpec {
     val bulk = new FaultyMetaStore(ambiguous = 1)
     MetaCommits.commitBulk(bulk, 0L, Seq(seg))
     assert(bulk.readWithTag()._1.count(_.contains("a.seg")) == 1)
+    // ...even when a maintenance pass COMPACTED the landed segments
+    // before the retry ran: they are tombstoned, not live, and must
+    // still read as this commit's own work, not an overlap
+    val merged = SegmentMeta("m.seg", seg.firstOffset, seg.lastOffset,
+      2L, 5L, 50L)
+    val compacted = new InMemoryMetaStore {
+      private var n = 1
+      override def appendIf(tag: Long, ls: Seq[String]): Boolean = {
+        if (n > 0) {
+          n -= 1
+          // the ambiguous landing + an immediate compaction of it
+          assert(super.appendIf(readWithTag()._2,
+            ls ++ Seq(MetaJson.tombstone(seg.name, 9L), MetaJson.add(merged))))
+          false
+        } else super.appendIf(tag, ls)
+      }
+    }
+    MetaCommits.commitBulk(compacted, 0L, Seq(seg)) // must not throw
+    val clines = compacted.readWithTag()._1
+    assert(clines.count(_.contains("\"a.seg\"")) == 2,
+      "one add + one tombstone — the retry appended nothing")
+    assert(MetaLog.replayLines(clines).index.segments.map(_.name) == Seq("m.seg"))
     // ...and a GENUINE overlap (different name, crossing offsets)
     // still refuses
     intercept[IllegalArgumentException](MetaCommits.commitBulk(bulk, 0L,

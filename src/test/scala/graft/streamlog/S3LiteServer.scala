@@ -36,6 +36,11 @@ final class S3LiteServer(maxKeys: Int = 1000) {
   private val objects =
     scala.collection.mutable.TreeMap.empty[String, (Array[Byte], String, Long)]
   @volatile var failPuts: Int = 0
+  /** Apply the next n PUTs but close the connection WITHOUT a response
+    * — the ambiguous outcome (write landed, response lost) that
+    * MetaStore's stated requirement #3 demands adapters resolve as
+    * lost-and-retry. */
+  @volatile var dropResponses: Int = 0
   @volatile var puts: Int = 0
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -89,7 +94,8 @@ final class S3LiteServer(maxKeys: Int = 1000) {
             else {
               val e = md5(body)
               objects.put(k, (body, e, System.currentTimeMillis()))
-              respond(ex, 200, etag = Some(e))
+              if (dropResponses > 0) { dropResponses -= 1; ex.close() }
+              else respond(ex, 200, etag = Some(e))
             }
           }
         }

@@ -78,6 +78,32 @@ class S3StoreSpec extends SparkSpec {
     }
   }
 
+  test("ambiguous outcome over the wire: the PUT lands, the response is dropped, the protocol stays exactly-once") {
+    withServer() { srv =>
+      val store = new S3MetaStore(srv.endpoint, "b", "s1/meta.jsonl")
+      // appendIf under a dropped response resolves as LOST (stated
+      // requirement #3) instead of throwing out of the commit loop
+      srv.dropResponses = 1
+      MetaCommits.fencedAppend(store, 0L, Seq(MetaJson.version(7)))
+      val lines = store.readWithTag()._1
+      assert(lines.count(_.contains("producer_version")) == 2,
+        "the landed ambiguous write + the retry both present by design")
+      assert(MetaLog.replayLines(lines).producerVersion == 7L,
+        "duplicate lines replay to the single committed state")
+      // the exactly-once protocol: a dropped-response sink commit
+      // reads as replay on retry — one marker, one add
+      store.clear()
+      val seg = SegmentMeta("a.seg", Offset.serialize(1000, 0),
+        Offset.serialize(1000, 4), 1L, 5L, 50L)
+      srv.dropResponses = 1
+      assert(!MetaCommits.commitSinkEpoch(store, 0L, "q", 0L, Seq(seg)),
+        "ambiguous sink commit reads as benign replay")
+      val sl = store.readWithTag()._1
+      assert(sl.count(_.contains("sink_epoch")) == 1)
+      assert(sl.count(_.contains("a.seg")) == 1)
+    }
+  }
+
   test("SegmentStore over HTTP: put/get/delete round-trip; paginated LIST drains the cursor") {
     withServer(maxKeys = 3) { srv =>
       val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/")
