@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Relational}
+import graft.operators.{Curate, EventOps, Relational}
 
 /** EXTRA-registry oracle crosschecks (r14): the strongest spec-only
   * operators, hash-gated against the DuckDB oracle WITHOUT touching
@@ -36,7 +36,41 @@ object VerifyExtras {
     "x_hist_equidepth" -> ((s, dir) =>
       Relational.histogramEquiDepth(
         s.read.parquet(s"$dir/lineitem.parquet"),
-        "l_extendedprice", nBins = 4, accuracy = 1000000)))
+        "l_extendedprice", nBins = 4, accuracy = 1000000)),
+    "x_corr" -> ((s, dir) =>
+      Relational.corrMatrix(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "x_standardize" -> ((s, dir) =>
+      Relational.standardize(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        col("l_extendedprice"))),
+    // med/mad re-rounded so the two engines' percentile interpolation
+    // compares at 6 decimals, not at the last ulp
+    "x_mad_outliers" -> ((s, dir) =>
+      Relational.madOutliers(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        col("l_extendedprice"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), round(col("med"), 6).as("med"),
+          round(col("mad"), 6).as("mad"), col("is_outlier"))),
+    "x_frequent_values" -> ((s, dir) =>
+      Relational.topValues(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq("source"), Seq("lang"), k = 3)),
+    // asOf pinned just past the synthetic events' range; halfLife 1 day
+    "x_decayed_counts" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ts = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000"))
+        case _ => col("ts").cast("timestamp")
+      }
+      EventOps.decayedCounts(ev, col("event_type"), ts,
+        halfLifeMs = 86400000L, asOfMs = 1706659200000L)
+    }))
 
   def oracleSql: Map[String, String] = Map(
     // average-rank FRACTIONS per column (ties share their mean rank,
@@ -98,6 +132,76 @@ object VerifyExtras {
         |    + (z * sqrt(p * (1 - p) / nd + zz / (nd * nd * 4))) / (1 + zz / nd),
         |    1.0), 6) AS wilson_hi
         |FROM w
+        |""".stripMargin,
+    // exact decimal moment sums (the corrMatrix discipline) replayed
+    // as DuckDB corr — scale-invariant, so sample-vs-population cancels
+    "x_corr" ->
+      """WITH c AS (
+        |  SELECT l_quantity::DOUBLE AS v0, l_extendedprice::DOUBLE AS v1,
+        |         l_discount::DOUBLE AS v2, l_tax::DOUBLE AS v3
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL)
+        |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |       round(corr(v0, v1), 6) AS corr FROM c
+        |UNION ALL SELECT 'l_quantity', 'l_discount', round(corr(v0, v2), 6) FROM c
+        |UNION ALL SELECT 'l_quantity', 'l_tax', round(corr(v0, v3), 6) FROM c
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount', round(corr(v1, v2), 6) FROM c
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax', round(corr(v1, v3), 6) FROM c
+        |UNION ALL SELECT 'l_discount', 'l_tax', round(corr(v2, v3), 6) FROM c
+        |""".stripMargin,
+    // exact decimal sums -> double mu/sigma in the same operation order
+    "x_standardize" ->
+      """WITH m AS (
+        |  SELECT count(_std_v)::BIGINT AS n,
+        |         (sum(CAST(_std_v AS DECIMAL(28,12)))::DOUBLE) AS sx,
+        |         (sum(CAST(_std_v * _std_v AS DECIMAL(28,12)))::DOUBLE) AS sxx
+        |  FROM (SELECT l_extendedprice::DOUBLE AS _std_v FROM lineitem)),
+        |p AS (SELECT sx / n AS mu,
+        |             sqrt(greatest(0.0, sxx / n - (sx / n) * (sx / n))) AS sigma
+        |      FROM m)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  round(p.mu, 6) AS center, round(p.sigma, 6) AS scale,
+        |  round((l_extendedprice::DOUBLE - p.mu) / p.sigma, 6) AS standardized
+        |FROM lineitem, p
+        |""".stripMargin,
+    // interpolated medians (quantile_cont = Spark's exact percentile
+    // formula: lower + (upper - lower) * frac), MAD-scaled flags
+    "x_mad_outliers" ->
+      """WITH m AS (
+        |  SELECT quantile_cont(l_extendedprice::DOUBLE, 0.5) AS med
+        |  FROM lineitem),
+        |d AS (
+        |  SELECT quantile_cont(abs(l_extendedprice::DOUBLE - m.med), 0.5) AS mad
+        |  FROM lineitem, m)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  round(m.med, 6) AS med, round(d.mad, 6) AS mad,
+        |  (abs(l_extendedprice::DOUBLE - m.med) > 3.0 * 1.4826 * d.mad) AS is_outlier
+        |FROM lineitem, m, d
+        |""".stripMargin,
+    // the two-phase top-k's exact contract: count desc, value asc ties
+    "x_frequent_values" ->
+      """WITH c AS (
+        |  SELECT source, 'lang' AS colname, lang AS v, count(*)::BIGINT AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY source, colname ORDER BY n DESC, v) AS rank
+        |  FROM c)
+        |SELECT source, colname, rank, v, n FROM r WHERE rank <= 3
+        |""".stripMargin,
+    // per-event 2^(-age/halfLife) rounded to 9, exact decimal sum,
+    // rounded to 6 — the operator's own stated arithmetic
+    "x_decayed_counts" ->
+      """WITH w AS (
+        |  SELECT event_type AS key,
+        |    round(power(2.0, -((1706659200000 - epoch_ms(ts))::DOUBLE
+        |      / 86400000.0)), 9) AS wt
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND epoch_ms(ts) <= 1706659200000)
+        |SELECT key, count(*)::BIGINT AS n_events,
+        |  round(sum(CAST(wt AS DECIMAL(28,9)))::DOUBLE, 6) AS decayed_count
+        |FROM w GROUP BY key
         |""".stripMargin,
     // quantile-edged recount: DuckDB's discrete quantiles as the edges,
     // bin = #edges strictly below the value, lowest-bin rule for ties
