@@ -1,0 +1,287 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenizer (SURVEY §2.6) — the third member of the subword
+  * family beside [[Bpe]] and [[Unigram]]: the likelihood-driven merge
+  * learner of Schuster & Nakajima 2012 that BERT-class models ship.
+  * Same algorithm family as BPE, different ARGMAX: where BPE merges
+  * the most FREQUENT adjacent pair, WordPiece merges the pair
+  * maximizing the language-model likelihood gain
+  * `count(ab) / (count(a) · count(b))` — a rarer pair of rare symbols
+  * beats a frequent pair of ubiquitous ones (spec-gated on a fixture
+  * where the two rules demonstrably diverge). Continuation pieces
+  * carry the `##` prefix; encoding is greedy LONGEST-MATCH-FIRST
+  * against the vocabulary (not merge replay), and a word with any
+  * unencodable remainder collapses to `[UNK]` — both exactly the
+  * published BERT semantics.
+  *
+  * == Scale shape ==
+  *
+  * Identical to [[Bpe]]'s, stated there in full: ONE distributed
+  * word-count shuffle → the `vocabCap` most frequent words collected
+  * (the only driver state, explicitly sized) → in-memory merge
+  * learning → broadcast vocabulary → ZERO-shuffle memoized partition
+  * scan for encode. The trainer is the textbook full-recount loop, not
+  * [[Bpe.learnMerges]]' incremental heap, ON PURPOSE: WordPiece's
+  * score DENOMINATOR holds the two symbols' own counts, and a merge
+  * changes `count(a)`/`count(b)` for every pair touching either symbol
+  * — the incremental-argmax invariant ("a polled entry matching its
+  * live count is the argmax") does not survive denominator
+  * invalidation, so the honest exact loop costs one vocab sweep per
+  * merge (the [[Bpe.learnMergesNaive]] cost class; seconds at the
+  * capped-vocab sizes the trainer bounds itself to).
+  *
+  * Like BPE, no SQL oracle exists (iterative training, longest-match
+  * encoding); correctness is spec-gated: the diverging-argmax fixture,
+  * greedy longest-match against a handcrafted vocabulary, round-trip
+  * concatenation, UNK semantics, partitioning invariance, artifact
+  * round-trip.
+  */
+object WordPiece {
+
+  /** A trained tokenizer: the vocabulary (initial alphabet +
+    * merged symbols, deterministic order), the unknown token, and the
+    * BERT-standard long-word guard. */
+  final case class Model(vocab: Array[String], unk: String = "[UNK]",
+                         maxInputChars: Int = 200) extends Serializable {
+
+    @transient lazy val pieces: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      vocab.foreach(s.add)
+      s
+    }
+
+    /** Greedy longest-match-first: the longest vocabulary prefix, then
+      * repeatedly the longest `##`-continuation of the remainder; any
+      * unencodable remainder makes the WHOLE word `[UNK]` (published
+      * WordPiece semantics — a word is in-vocabulary or it isn't). */
+    def encodeWord(word: String): Array[String] = {
+      if (word.isEmpty) return Array.empty
+      if (word.length > maxInputChars) return Array(unk)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var start = 0
+      while (start < word.length) {
+        var end = word.length
+        var hit: String = null
+        while (end > start && hit == null) {
+          val sub =
+            if (start == 0) word.substring(start, end)
+            else "##" + word.substring(start, end)
+          if (pieces.contains(sub)) hit = sub else end -= 1
+        }
+        if (hit == null) return Array(unk)
+        out += hit
+        start = end
+      }
+      out.toArray
+    }
+  }
+
+  /** Persist: one piece per line in vocabulary order (the order IS part
+    * of the model only in that it is deterministic; matching is
+    * set-based). Pieces never contain whitespace (training words come
+    * from a `\s+` split) — refuse any that would corrupt the lines. */
+  def save(model: Model, path: String): Unit = {
+    model.vocab.foreach(p =>
+      require(!p.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+        s"vocabulary pieces must not contain tab/newline: '$p'"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      model.vocab.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def load(path: String, unk: String = "[UNK]",
+           maxInputChars: Int = 200): Model = {
+    import scala.jdk.CollectionConverters._
+    val vocab = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty).toArray
+    require(vocab.nonEmpty, s"empty vocabulary at $path")
+    Model(vocab, unk, maxInputChars)
+  }
+
+  /** Learn a vocabulary from the corpus' capped word-frequency table —
+    * the [[Bpe.train]] distributed pass, WordPiece's argmax. */
+  def train(d: DataFrame, textCol: String = "text",
+            numMerges: Int = 200, vocabCap: Int = 100000): Model = {
+    val vocab: Array[(String, Long)] = d
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    Model(learnVocab(vocab, numMerges))
+  }
+
+  /** The full-recount merge loop (see the object scaladoc for why the
+    * incremental heap does not transfer): each iteration sweeps the
+    * segmented vocabulary once for symbol AND adjacent-pair counts,
+    * picks the pair maximizing `c(ab) / (c(a)·c(b))` — compared
+    * EXACTLY by BigInt cross-multiplication, never floating division,
+    * ties broken by pair lexicographic order so training is a pure
+    * function of the frequency table — then fuses it everywhere.
+    * Returns alphabet (sorted) ++ merged symbols (learn order). */
+  private[graft] def learnVocab(vocab: Array[(String, Long)],
+                                numMerges: Int): Array[String] = {
+    vocab.foreach { case (w, f) =>
+      require(f > 0, s"non-positive frequency for '$w': $f")
+    }
+    // segment every word: first char bare, continuations ##-prefixed
+    val words: Array[Array[String]] = vocab.map { case (w, _) =>
+      w.iterator.zipWithIndex
+        .map { case (c, i) => if (i == 0) c.toString else "##" + c }
+        .toArray
+    }
+    val freqs = vocab.map(_._2)
+    val alphabet = words.flatten.distinct.sorted
+    val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    var iter = 0
+    var exhausted = false
+    while (iter < numMerges && !exhausted) {
+      val symCount = scala.collection.mutable.HashMap.empty[String, Long]
+      val pairCount =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < words.length) {
+        val syms = words(wi)
+        val f = freqs(wi)
+        var i = 0
+        while (i < syms.length) {
+          symCount.updateWith(syms(i))(v => Some(v.getOrElse(0L) + f))
+          if (i + 1 < syms.length)
+            pairCount.updateWith((syms(i), syms(i + 1)))(v =>
+              Some(v.getOrElse(0L) + f))
+          i += 1
+        }
+        wi += 1
+      }
+      if (pairCount.isEmpty) exhausted = true
+      else {
+        // argmax of c(ab)/(c(a)·c(b)): cross-multiplied BigInt compare
+        var best: (String, String) = null
+        var bestNum = BigInt(0) // c(ab) of current best
+        var bestDen = BigInt(1) // c(a)·c(b) of current best
+        pairCount.foreach { case (p, c) =>
+          val num = BigInt(c)
+          val den = BigInt(symCount(p._1)) * BigInt(symCount(p._2))
+          val cmp = (num * bestDen).compare(bestNum * den)
+          val better = best == null || cmp > 0 ||
+            (cmp == 0 && (p._1 < best._1 ||
+              (p._1 == best._1 && p._2 < best._2)))
+          if (better) { best = p; bestNum = num; bestDen = den }
+        }
+        val fused = best._1 + best._2.stripPrefix("##")
+        merged += fused
+        wi = 0
+        while (wi < words.length) {
+          words(wi) = fusePair(words(wi), best, fused)
+          wi += 1
+        }
+        iter += 1
+      }
+    }
+    alphabet ++ merged
+  }
+
+  /** Fuse every (leftmost-first) occurrence of `p` in one pass. */
+  private def fusePair(syms: Array[String], p: (String, String),
+                       fused: String): Array[String] = {
+    if (syms.length < 2) return syms
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == p._1 && syms(i + 1) == p._2) {
+        out += fused
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Distributed encode — [[Bpe.encode]]'s broadcast-model memoized
+    * zero-shuffle scan with WordPiece's longest-match word encoder.
+    * Output: (idCol, keepCols…, tokens, n_tokens). */
+  def encode(d: DataFrame, model: Model, textCol: String = "text",
+             idCol: String = "doc_id", keepCols: Seq[String] = Nil): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model)
+    val in = d.select((Seq(col(idCol).cast("long"), col(textCol).cast("string")) ++
+      keepCols.map(c => col(c).cast("string"))): _*)
+    val encoded = in.map { row =>
+      val id: Option[Long] = if (row.isNullAt(0)) None else Some(row.getLong(0))
+      val text = if (row.isNullAt(1)) "" else row.getString(1)
+      (id, text, (2 until row.length).map(row.getString))
+    }.mapPartitions { it =>
+      val m = b.value
+      val memo = new java.util.HashMap[String, Array[String]]()
+      it.map { case (id, text, keeps) =>
+        val toks = text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+          var t = memo.get(w)
+          if (t == null) {
+            t = m.encodeWord(w)
+            if (memo.size < Bpe.MemoCap) memo.put(w, t)
+          }
+          t
+        }.toArray
+        (id, keeps, toks, toks.length.toLong)
+      }
+    }
+    encoded.toDF(idCol, "keeps", "tokens", "n_tokens")
+      .select((Seq(col(idCol)) ++
+        keepCols.zipWithIndex.map { case (c, i) => col("keeps")(i).as(c) } ++
+        Seq(col("tokens"), col("n_tokens"))): _*)
+  }
+
+  /** Per-group fertility + UNK-rate report — the [[Bpe.fertility]]
+    * probe with the metric WordPiece adds: `unk_frac`, the fraction of
+    * words that fell out of the vocabulary entirely (BPE never has
+    * one — it can always fall back to characters; WordPiece's [UNK] is
+    * a DATA-LOSS signal worth its own column). Zero shuffles + one
+    * bounded rollup. */
+  def fertility(d: DataFrame, model: Model, groupCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model)
+    d.select(col(groupCol).cast("string"), col(textCol).cast("string"))
+      .map(r => (r.getString(0), if (r.isNullAt(1)) "" else r.getString(1)))
+      .mapPartitions { it =>
+        val m = b.value
+        val memo = new java.util.HashMap[String, Array[String]]()
+        it.map { case (g, text) =>
+          var words = 0L; var pieces = 0L; var unks = 0L
+          text.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+            var t = memo.get(w)
+            if (t == null) {
+              t = m.encodeWord(w)
+              if (memo.size < Bpe.MemoCap) memo.put(w, t)
+            }
+            words += 1; pieces += t.length
+            if (t.length == 1 && t(0) == m.unk) unks += 1
+          }
+          (g, words, pieces, unks)
+        }
+      }
+      .toDF("grp", "n_words", "n_pieces", "n_unk")
+      .groupBy(col("grp").as(groupCol))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_unk")).as("n_unk"))
+      .withColumn("fertility", when(col("n_words") === 0L, lit(0.0))
+        .otherwise(round(col("n_pieces") / col("n_words"), 6)))
+      .withColumn("unk_frac", when(col("n_words") === 0L, lit(0.0))
+        .otherwise(round(col("n_unk") / col("n_words"), 6)))
+      .select(col(groupCol), col("n_words"), col("n_pieces"),
+        col("fertility"), col("unk_frac"))
+      .orderBy(col(groupCol))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class WordPieceSpec extends SparkSpec {
+
+  test("the likelihood argmax diverges from BPE's frequency argmax on the constructed fixture") {
+    import spark.implicits._
+    // pair (x,##y): count 4, both symbols count 4 -> score 4/16 = 0.25
+    // pair (a,##b): count 6, but a also opens 'ac' and b also ends 'db'
+    //   -> c(a)=12, c(##b)=12, score 6/144 ≈ 0.042
+    // frequency (BPE) picks (a,##b); likelihood (WordPiece) picks (x,##y)
+    val rows =
+      Seq.fill(4)("xy") ++ Seq.fill(6)("ab") ++
+        Seq.fill(6)("ac") ++ Seq.fill(6)("db")
+    val d = rows.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val wp = WordPiece.train(d, numMerges = 1)
+    assert(wp.vocab.contains("xy"), s"vocab: ${wp.vocab.mkString(",")}")
+    assert(!wp.vocab.contains("ab"))
+    val bpe = Bpe.train(d, numMerges = 1)
+    assert(bpe.merges.head == ("a", "b"),
+      "BPE's frequency rule must pick the other pair — that IS the divergence")
+    // encoding reflects it: the merged word is one piece, the
+    // frequency-winner still splits
+    assert(wp.encodeWord("xy").toSeq == Seq("xy"))
+    assert(wp.encodeWord("ab").toSeq == Seq("a", "##b"))
+  }
+
+  test("greedy longest-match-first with ## continuations, whole-word UNK, long-word guard") {
+    val m = WordPiece.Model(Array(
+      "un", "##able", "##ab", "##le", "u", "##n", "a", "##b", "##l", "##e",
+      "unable"))
+    assert(m.encodeWord("unable").toSeq == Seq("unable"),
+      "the whole word is in vocab — one piece")
+    val m2 = WordPiece.Model(m.vocab.filterNot(_ == "unable"))
+    assert(m2.encodeWord("unable").toSeq == Seq("un", "##able"),
+      "longest prefix then longest continuation")
+    // a word with an out-of-alphabet char collapses WHOLLY to [UNK] —
+    // the published semantics, not a partial encode
+    assert(m2.encodeWord("unablez").toSeq == Seq("[UNK]"))
+    assert(m2.encodeWord("zunable").toSeq == Seq("[UNK]"))
+    assert(m2.encodeWord("").isEmpty)
+    val guarded = WordPiece.Model(m.vocab, maxInputChars = 5)
+    assert(guarded.encodeWord("unable").toSeq == Seq("[UNK]"),
+      "past maxInputChars the word is [UNK] without scanning")
+  }
+
+  test("round-trip: stripping ## and concatenating reproduces every non-UNK word") {
+    import spark.implicits._
+    val d = docs().select(col("doc_id"), col("text"))
+    val m = WordPiece.train(d, numMerges = 30, vocabCap = 5000)
+    val words = d.limit(50).collect().flatMap(_.getString(1).split("\\s+"))
+      .filter(_.nonEmpty).distinct
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      val pieces = m.encodeWord(w)
+      if (!pieces.sameElements(Array(m.unk))) {
+        val glued = pieces.map(_.stripPrefix("##")).mkString
+        assert(glued == w, s"'$w' -> ${pieces.mkString("|")} -> '$glued'")
+      }
+    }
+  }
+
+  test("encode: distributed tokens match the driver encoder, partition-invariant, null-tolerant") {
+    import spark.implicits._
+    val d = docs().select(col("doc_id"), col("text"), col("source"))
+    val m = WordPiece.train(d, numMerges = 20, vocabCap = 5000)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      WordPiece.encode(df, m, keepCols = Seq("source"))
+        .select("doc_id", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val base = run(d)
+    assert(run(d.repartition(7)) == base, "partitioning must not matter")
+    // driver replay of one doc
+    val one = d.filter(col("doc_id") === base.keys.head).head()
+    val expect = one.getString(1).split("\\s+").filter(_.nonEmpty)
+      .flatMap(m.encodeWord).length.toLong
+    assert(base(one.getLong(0)) == expect)
+    // null text -> zero tokens
+    val withNull = Seq((Option(99L), Option.empty[String], Option("s")))
+      .toDF("doc_id", "text", "source")
+    assert(run(withNull)(99L) == 0L)
+  }
+
+  test("fertility report: unk_frac isolates the out-of-vocabulary data loss per group") {
+    import spark.implicits._
+    val m = WordPiece.Model(Array("a", "##b", "ab"))
+    val d = Seq(
+      ("clean", "ab ab a"),   // all encodable, 3 words -> 3 pieces
+      ("noisy", "ab zz qq")   // 2 of 3 words are [UNK]
+    ).toDF("source", "text")
+    val rep = WordPiece.fertility(d, m).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(rep("clean") == ((3L, 3L, 1.0, 0.0)))
+    assert(rep("noisy") == ((3L, 3L, 1.0, 0.666667)),
+      "each [UNK] is one piece; unk_frac carries the loss signal")
+  }
+
+  test("save/load round-trip; corrupt pieces refused") {
+    import spark.implicits._
+    val d = docs().select(col("doc_id"), col("text"))
+    val m = WordPiece.train(d, numMerges = 15, vocabCap = 3000)
+    val f = Files.createTempDirectory("graft-wp").resolve("vocab.txt").toString
+    WordPiece.save(m, f)
+    val loaded = WordPiece.load(f)
+    assert(loaded.vocab.toSeq == m.vocab.toSeq)
+    assert(loaded.encodeWord("the").toSeq == m.encodeWord("the").toSeq)
+    intercept[IllegalArgumentException](
+      WordPiece.save(WordPiece.Model(Array("bad\tpiece")), f))
+  }
+
+  private def docs() =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+}
