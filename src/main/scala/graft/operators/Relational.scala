@@ -1137,6 +1137,140 @@ object Relational {
       .drop("_win_v")
   }
 
+  /** Deterministic Poisson-bootstrap confidence interval for the MEAN
+    * of `value` — the arbitrary-statistic uncertainty primitive beside
+    * [[graft.operators.Curate.acceptanceCI]]'s binomial-only Wilson
+    * bound: "is the quality-score difference between these two
+    * pipelines real" needs a CI on a mean, and the bootstrap (Efron
+    * 1979; the Poisson(1)-weight streaming form is the standard
+    * distributed variant — resample multiplicities are independent
+    * Poisson draws, n_b ≈ n) is the assumption-free way to get one.
+    *
+    * DETERMINISM (the [[graft.operators.Sampling]] discipline): weights
+    * are NOT an RNG — resample b's multiplicity for a row is the
+    * inverse-CDF Poisson of a splitmix64 stream seeded by
+    * hash60(key|salt), a pure function of (row key, b, salt), so the
+    * report is reproducible across runs, engines, and partitionings,
+    * and `salt` re-deals the resamples. `key` must identify the row
+    * (null keys/values drop, stated).
+    *
+    * Scale shape: ONE zero-shuffle partition scan accumulating
+    * 2·B bounded per-partition aggregates (Σ w·v and Σ w per
+    * resample), reduced associatively — values scale to
+    * DECIMAL(·,12) and weights are integers, so every sum is EXACT
+    * and the result is partition-order independent (the q48
+    * discipline; float accumulation would make the CI depend on the
+    * merge tree). The driver then divides B pairs and reads the
+    * percentile band off the sorted resample means — O(B) state,
+    * whatever the corpus size. Resamples that draw zero total weight
+    * (probability e^−n per resample) are dropped and reported via
+    * `n_resamples`. Output: one row (n, mean, ci_lo, ci_hi,
+    * n_resamples, alpha), 6-decimal rounded.
+    */
+  def bootstrapCI(d: DataFrame, value: Column, key: Column,
+                  b: Int = 200, alpha: Double = 0.05,
+                  salt: Long = 0L): DataFrame = {
+    require(b >= 20 && b <= 10000, s"need 20 <= b <= 10000, got $b")
+    require(alpha > 0.0 && alpha < 1.0, s"need 0 < alpha < 1, got $alpha")
+    val spark = d.sparkSession
+    import spark.implicits._
+    val rows = d
+      .select(key.cast("string").as("k"), value.cast("double").as("v"))
+      .filter(col("k").isNotNull && col("v").isNotNull &&
+        !isnan(col("v")))
+      .as[(String, Double)]
+    val nB = b
+    val saltV = salt
+    // per-partition exact accumulators, merged associatively: exact
+    // decimal adds commute, so the reduce tree's shape cannot matter
+    val zeroSums = () => Array.fill(nB)(java.math.BigDecimal.ZERO)
+    val acc = rows.rdd.mapPartitions { it =>
+      val wsum = zeroSums()
+      val wcnt = new Array[Long](nB)
+      var n = 0L
+      var sum = java.math.BigDecimal.ZERO
+      it.foreach { case (k, v) =>
+        val vd = new java.math.BigDecimal(v)
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+        n += 1
+        sum = sum.add(vd)
+        val seed = graft.functions.HashKernels.hash60(s"g-boot:$saltV:$k")
+        var bi = 0
+        while (bi < nB) {
+          val w = poisson1(uniform53(splitmix64(seed + bi * 0x9e3779b97f4a7c15L)))
+          if (w > 0) {
+            wsum(bi) = wsum(bi).add(vd.multiply(
+              java.math.BigDecimal.valueOf(w.toLong)))
+            wcnt(bi) += w
+          }
+          bi += 1
+        }
+      }
+      Iterator.single((n, sum, wsum, wcnt))
+    }.fold((0L, java.math.BigDecimal.ZERO, zeroSums(), new Array[Long](nB))) {
+      case ((n1, s1, ws1, wc1), (n2, s2, ws2, wc2)) =>
+        val ws = Array.tabulate(nB)(i => ws1(i).add(ws2(i)))
+        val wc = Array.tabulate(nB)(i => wc1(i) + wc2(i))
+        (n1 + n2, s1.add(s2), ws, wc)
+    }
+    val (n, total, wsum, wcnt) = acc
+    require(n > 0, "no non-null (key, value) rows to bootstrap")
+    val mean = total.doubleValue() / n
+    val means = (0 until nB).iterator
+      .filter(i => wcnt(i) > 0L)
+      .map(i => wsum(i).doubleValue() / wcnt(i))
+      .toArray.sorted
+    require(means.length >= 2, s"only ${means.length} non-empty resamples")
+    // interpolated percentile (the exact-percentile formula: lower +
+    // (upper − lower)·frac) off the sorted resample means
+    def q(p: Double): Double = {
+      val pos = p * (means.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      means(lo) + (means(hi) - means(lo)) * (pos - lo)
+    }
+    val r6 = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n, r6(mean), r6(q(alpha / 2)), r6(q(1 - alpha / 2)),
+      means.length, alpha))
+      .toDF("n", "mean", "ci_lo", "ci_hi", "n_resamples", "alpha")
+  }
+
+  /** splitmix64 — the public-domain (Vigna) 64-bit mix; the counter
+    * stream behind [[bootstrapCI]]'s per-(row, resample) weights. */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Top 53 bits → uniform in [0, 1). */
+  private def uniform53(x: Long): Double = (x >>> 11) * 1.1102230246251565e-16
+
+  /** Inverse-CDF Poisson(1): thresholds are the exact partial sums of
+    * e⁻¹/k! — a flat array lookup, capped where the CDF exhausts
+    * double precision. */
+  private val poisson1Cdf: Array[Double] = {
+    val out = Array.newBuilder[Double]
+    var cdf = 0.0
+    var pmf = math.exp(-1.0)
+    var k = 0
+    while (cdf < 1.0 - 1e-15 && k < 32) {
+      cdf += pmf
+      out += cdf
+      k += 1
+      pmf /= k
+    }
+    out.result()
+  }
+
+  private def poisson1(u: Double): Int = {
+    var k = 0
+    while (k < poisson1Cdf.length && u >= poisson1Cdf(k)) k += 1
+    k
+  }
+
   /** Key-skew diagnosis — the report a shuffle-tuning decision
     * (salting, AQE skew thresholds, [[graft.operators.Dedup]]'s
     * `saltHubs`) should come from: per key column, the distinct-key

@@ -739,4 +739,45 @@ class RelationalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Relational.histogramEquiDepth(d, "v", 4, accuracy = 10))
   }
+
+  test("bootstrapCI: deterministic, partition-invariant, sane band, 1/sqrt(n) narrowing, salt re-deal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    def run(df: org.apache.spark.sql.DataFrame, salt: Long = 0L) =
+      Relational.bootstrapCI(df, col("v"), col("id"), salt = salt)
+        .head()
+    val r = run(d)
+    val (n, mean, lo, hi) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))
+    assert(n == 1000L && mean == 500.5)
+    assert(lo < mean && mean < hi, s"[$lo, $hi] must bracket $mean")
+    // sanity vs the known sampling error: se = sigma/sqrt(n) ≈ 9.13 for
+    // uniform 1..1000; a 95% band is ~4·se wide, allow a generous band
+    val width = hi - lo
+    val se = math.sqrt((1000.0 * 1000.0 - 1) / 12.0) / math.sqrt(1000.0)
+    assert(width > 2 * se && width < 6 * se, s"width $width vs se $se")
+    // pure function of (data, salt): reruns and partitionings agree
+    assert(run(d) == r)
+    assert(run(d.repartition(13)) == r, "weights key on rows, not partitions")
+    val redealt = run(d, salt = 7L)
+    assert(redealt != r, "salt must re-deal the resamples")
+    assert(redealt.getDouble(2) < mean && mean < redealt.getDouble(3))
+    // 10x the data (fresh ids) -> the band narrows like 1/sqrt(n)
+    val big = (1 to 10000).map(i => (i.toLong, ((i - 1) % 1000 + 1).toDouble))
+      .toDF("id", "v")
+    val rb = run(big)
+    val widthBig = rb.getDouble(3) - rb.getDouble(2)
+    assert(widthBig < 0.55 * width,
+      s"10x rows must narrow the CI ~3x: $widthBig vs $width")
+    // null key/value rows drop; refusals
+    assert(run(d.union(Seq((Option.empty[Long], Option(5.0)))
+      .toDF("id", "v"))) == r)
+    intercept[IllegalArgumentException](
+      Relational.bootstrapCI(d.filter(col("v") > 1e9), col("v"), col("id")))
+    intercept[IllegalArgumentException](
+      Relational.bootstrapCI(d, col("v"), col("id"), b = 5))
+    intercept[IllegalArgumentException](
+      Relational.bootstrapCI(d, col("v"), col("id"), alpha = 0.0))
+  }
 }
