@@ -1236,6 +1236,108 @@ object Relational {
       .toDF("n", "mean", "ci_lo", "ci_hi", "n_resamples", "alpha")
   }
 
+  /** [[bootstrapCI]] per group — one CI per `group` value (per-source /
+    * per-language quality means) in the SAME single zero-shuffle scan:
+    * per-partition state is a map group → (2·B exact-decimal
+    * aggregates), so it is bounded by groups·B, which is why
+    * `maxGroups` is probed FIRST (one cheap distinct count) and
+    * refused before any scan state materializes (the module's
+    * probe-then-refuse discipline; a billion-group key would make the
+    * accumulator the corpus). Weights key on (row key, resample, salt)
+    * ALONE — group never enters the hash — so each group's interval
+    * EQUALS the ungrouped [[bootstrapCI]] of that group's slice
+    * exactly (the differential spec), and moving a row between groups
+    * cannot re-deal anyone else's resamples. Null groups are a group
+    * (the [[profileColumns]] rule). Output: one row per group
+    * (group, n, mean, ci_lo, ci_hi, n_resamples, alpha),
+    * group-ordered. */
+  def bootstrapCIPerGroup(d: DataFrame, value: Column, key: Column,
+                          group: Column, b: Int = 200,
+                          alpha: Double = 0.05, salt: Long = 0L,
+                          maxGroups: Int = 1000): DataFrame = {
+    require(b >= 20 && b <= 10000, s"need 20 <= b <= 10000, got $b")
+    require(alpha > 0.0 && alpha < 1.0, s"need 0 < alpha < 1, got $alpha")
+    require(maxGroups > 0, s"maxGroups must be positive, got $maxGroups")
+    val spark = d.sparkSession
+    import spark.implicits._
+    val base = d
+      .select(group.cast("string").as("g"), key.cast("string").as("k"),
+        value.cast("double").as("v"))
+      .filter(col("k").isNotNull && col("v").isNotNull && !isnan(col("v")))
+    val nGroups = base.agg(countDistinct(col("g"))).head().getLong(0)
+    require(nGroups <= maxGroups,
+      s"$nGroups distinct groups × $b resamples is accumulator-state, " +
+        s"not a report (maxGroups = $maxGroups) — raise it deliberately " +
+        "or bucket the key first")
+    val rows = base.as[(String, String, Double)]
+    val nB = b
+    val saltV = salt
+    final case class Acc(var n: Long, var sum: java.math.BigDecimal,
+                         wsum: Array[java.math.BigDecimal],
+                         wcnt: Array[Long])
+    def freshAcc() = Acc(0L, java.math.BigDecimal.ZERO,
+      Array.fill(nB)(java.math.BigDecimal.ZERO), new Array[Long](nB))
+    val acc = rows.rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[Option[String], Acc]
+      it.foreach { case (g, k, v) =>
+        val a = m.getOrElseUpdate(Option(g), freshAcc())
+        val vd = new java.math.BigDecimal(v)
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+        a.n += 1
+        a.sum = a.sum.add(vd)
+        val seed = graft.functions.HashKernels.hash60(s"g-boot:$saltV:$k")
+        var bi = 0
+        while (bi < nB) {
+          val w = poisson1(uniform53(splitmix64(seed + bi * 0x9e3779b97f4a7c15L)))
+          if (w > 0) {
+            a.wsum(bi) = a.wsum(bi).add(vd.multiply(
+              java.math.BigDecimal.valueOf(w.toLong)))
+            a.wcnt(bi) += w
+          }
+          bi += 1
+        }
+      }
+      Iterator.single(m)
+    }.reduce { (m1, m2) =>
+      m2.foreach { case (g, a2) =>
+        m1.get(g) match {
+          case None => m1.put(g, a2)
+          case Some(a1) =>
+            a1.n += a2.n
+            a1.sum = a1.sum.add(a2.sum)
+            var i = 0
+            while (i < nB) {
+              a1.wsum(i) = a1.wsum(i).add(a2.wsum(i))
+              a1.wcnt(i) += a2.wcnt(i)
+              i += 1
+            }
+        }
+      }
+      m1
+    }
+    val r6 = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = acc.toSeq.map { case (g, a) =>
+      val mean = a.sum.doubleValue() / a.n
+      val means = (0 until nB).iterator
+        .filter(i => a.wcnt(i) > 0L)
+        .map(i => a.wsum(i).doubleValue() / a.wcnt(i))
+        .toArray.sorted
+      require(means.length >= 2,
+        s"group $g has only ${means.length} non-empty resamples")
+      def q(p: Double): Double = {
+        val pos = p * (means.length - 1)
+        val lo = math.floor(pos).toInt
+        val hi = math.ceil(pos).toInt
+        means(lo) + (means(hi) - means(lo)) * (pos - lo)
+      }
+      (g, a.n, r6(mean), r6(q(alpha / 2)), r6(q(1 - alpha / 2)),
+        means.length, alpha)
+    }
+    out.toDF("group", "n", "mean", "ci_lo", "ci_hi", "n_resamples", "alpha")
+      .orderBy(col("group"))
+  }
+
   /** splitmix64 — the public-domain (Vigna) 64-bit mix; the counter
     * stream behind [[bootstrapCI]]'s per-(row, resample) weights. */
   private def splitmix64(x0: Long): Long = {

@@ -780,4 +780,40 @@ class RelationalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Relational.bootstrapCI(d, col("v"), col("id"), alpha = 0.0))
   }
+
+  test("bootstrapCIPerGroup: each group's CI EQUALS the ungrouped run on its slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // weights key on (row key, resample, salt) alone — group membership
+    // must not re-deal anything, so the grouped run is EXACTLY the
+    // ungrouped run per slice. Null groups are a group.
+    val d = (1 to 600).map { i =>
+      val g = if (i % 3 == 0) None else Some(if (i % 3 == 1) "a" else "b")
+      (i.toLong, g, i.toDouble * (i % 7 + 1))
+    }.toDF("id", "g", "v")
+    val grouped = Relational.bootstrapCIPerGroup(
+        d, col("v"), col("id"), col("g"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getInt(5))).toMap
+    assert(grouped.keySet == Set(Some("a"), Some("b"), None))
+    for (g <- grouped.keySet) {
+      val slice = g match {
+        case Some(x) => d.filter(col("g") === x)
+        case None => d.filter(col("g").isNull)
+      }
+      val solo = Relational.bootstrapCI(slice, col("v"), col("id")).head()
+      assert(grouped(g) == ((solo.getLong(0), solo.getDouble(1),
+        solo.getDouble(2), solo.getDouble(3), solo.getInt(4))),
+        s"group $g diverged from its ungrouped slice")
+    }
+    // deterministic + partition-invariant like the ungrouped form
+    val again = Relational.bootstrapCIPerGroup(
+        d.repartition(11), col("v"), col("id"), col("g"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(2)).toMap
+    assert(again == grouped.view.mapValues(_._2).toMap)
+    // the accumulator-state guard refuses a group explosion
+    intercept[IllegalArgumentException](Relational.bootstrapCIPerGroup(
+      d, col("v"), col("id"), col("id"), maxGroups = 100))
+  }
 }
