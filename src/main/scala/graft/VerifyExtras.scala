@@ -63,12 +63,7 @@ object VerifyExtras {
     // asOf pinned just past the synthetic events' range; halfLife 1 day
     "x_decayed_counts" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
-      val ts = ev.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          timestamp_micros(expr("ts div 1000"))
-        case _ => col("ts").cast("timestamp")
-      }
-      EventOps.decayedCounts(ev, col("event_type"), ts,
+      EventOps.decayedCounts(ev, col("event_type"), EventOps.tsOf(ev),
         halfLifeMs = 86400000L, asOfMs = 1706659200000L)
     }))
 

@@ -325,45 +325,18 @@ object Bpe {
 
   /** Per-partition memo bound: Zipf keeps real memos tiny; the cap just
     * keeps an adversarial all-distinct-words partition from hoarding. */
-  private[operators] val MemoCap = 1 << 20
+  private[operators] val MemoCap = SubwordScan.MemoCap
 
   /** Tokenize every document: (id, keepCols…, tokens, n_tokens). The
     * model broadcasts; encoding is a zero-shuffle partition-parallel
     * projection with a per-partition word memo. */
   def encode(d: DataFrame, model: Model, textCol: String = "text",
-             idCol: String = "doc_id", keepCols: Seq[String] = Nil): DataFrame = {
-    val spark = d.sparkSession
-    import spark.implicits._
-    val b = spark.sparkContext.broadcast(model)
-    val in = d.select((Seq(col(idCol).cast("long"), col(textCol).cast("string")) ++
-      keepCols.map(c => col(c).cast("string"))): _*)
+             idCol: String = "doc_id", keepCols: Seq[String] = Nil): DataFrame =
     // NULL tolerance matches the other text operators (and train(),
     // whose SQL split/explode drops nulls): null text → zero tokens,
-    // null id passes through as null (Option → nullable long)
-    val encoded = in.map { row =>
-      val id: Option[Long] = if (row.isNullAt(0)) None else Some(row.getLong(0))
-      val text = if (row.isNullAt(1)) "" else row.getString(1)
-      (id, text, (2 until row.length).map(row.getString))
-    }.mapPartitions { it =>
-      val m = b.value
-      val memo = new java.util.HashMap[String, Array[String]]()
-      it.map { case (id, text, keeps) =>
-        val toks = text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
-          var t = memo.get(w)
-          if (t == null) {
-            t = m.encodeWord(w)
-            if (memo.size < MemoCap) memo.put(w, t)
-          }
-          t
-        }.toArray
-        (id, keeps, toks, toks.length.toLong)
-      }
-    }
-    encoded.toDF(idCol, "keeps", "tokens", "n_tokens")
-      .select((Seq(col(idCol)) ++
-        keepCols.zipWithIndex.map { case (c, i) => col("keeps")(i).as(c) } ++
-        Seq(col("tokens"), col("n_tokens"))): _*)
-  }
+    // null id passes through as null — the shared scan's contract
+    SubwordScan.encodeScan(d, model, textCol, idCol, keepCols,
+      "tokens", "n_tokens")((m, w) => m.encodeWord(w))
 
   /** Tokenizer-fit (fertility) report: per group, how many BPE pieces
     * the model spends per whitespace word (`fertility` = pieces/words)

@@ -47,8 +47,11 @@ object EventOps {
     case _ => unix_millis(col("ts").cast("timestamp"))
   }
 
-  /** Event time as a µs timestamp regardless of on-disk representation. */
-  private def tsOf(df: DataFrame): Column = df.schema("ts").dataType match {
+  /** Event time as a µs timestamp regardless of on-disk representation
+    * (`private[graft]`: VerifyExtras' event oracles need the SAME
+    * dispatch — a second copy of the nanos-as-long convention would
+    * silently diverge if the on-disk representation ever changes). */
+  private[graft] def tsOf(df: DataFrame): Column = df.schema("ts").dataType match {
     case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
     case _ => col("ts").cast("timestamp")
   }

@@ -1152,7 +1152,8 @@ object Relational {
     * hash60(key|salt), a pure function of (row key, b, salt), so the
     * report is reproducible across runs, engines, and partitionings,
     * and `salt` re-deals the resamples. `key` must identify the row
-    * (null keys/values drop, stated).
+    * (null keys and null/NaN/±Infinity values drop, stated — see
+    * [[finiteV]]).
     *
     * Scale shape: ONE zero-shuffle partition scan accumulating
     * 2·B bounded per-partition aggregates (Σ w·v and Σ w per
@@ -1176,79 +1177,37 @@ object Relational {
     import spark.implicits._
     val rows = d
       .select(key.cast("string").as("k"), value.cast("double").as("v"))
-      .filter(col("k").isNotNull && col("v").isNotNull &&
-        !isnan(col("v")))
+      .filter(col("k").isNotNull && finiteV)
       .as[(String, Double)]
     val nB = b
     val saltV = salt
-    // per-partition exact accumulators, merged associatively: exact
-    // decimal adds commute, so the reduce tree's shape cannot matter
-    val zeroSums = () => Array.fill(nB)(java.math.BigDecimal.ZERO)
     val acc = rows.rdd.mapPartitions { it =>
-      val wsum = zeroSums()
-      val wcnt = new Array[Long](nB)
-      var n = 0L
-      var sum = java.math.BigDecimal.ZERO
-      it.foreach { case (k, v) =>
-        val vd = new java.math.BigDecimal(v)
-          .setScale(12, java.math.RoundingMode.HALF_UP)
-        n += 1
-        sum = sum.add(vd)
-        val seed = graft.functions.HashKernels.hash60(s"g-boot:$saltV:$k")
-        var bi = 0
-        while (bi < nB) {
-          val w = poisson1(uniform53(splitmix64(seed + bi * 0x9e3779b97f4a7c15L)))
-          if (w > 0) {
-            wsum(bi) = wsum(bi).add(vd.multiply(
-              java.math.BigDecimal.valueOf(w.toLong)))
-            wcnt(bi) += w
-          }
-          bi += 1
-        }
-      }
-      Iterator.single((n, sum, wsum, wcnt))
-    }.fold((0L, java.math.BigDecimal.ZERO, zeroSums(), new Array[Long](nB))) {
-      case ((n1, s1, ws1, wc1), (n2, s2, ws2, wc2)) =>
-        val ws = Array.tabulate(nB)(i => ws1(i).add(ws2(i)))
-        val wc = Array.tabulate(nB)(i => wc1(i) + wc2(i))
-        (n1 + n2, s1.add(s2), ws, wc)
-    }
-    val (n, total, wsum, wcnt) = acc
-    require(n > 0, "no non-null (key, value) rows to bootstrap")
-    val mean = total.doubleValue() / n
-    val means = (0 until nB).iterator
-      .filter(i => wcnt(i) > 0L)
-      .map(i => wsum(i).doubleValue() / wcnt(i))
-      .toArray.sorted
-    require(means.length >= 2, s"only ${means.length} non-empty resamples")
-    // interpolated percentile (the exact-percentile formula: lower +
-    // (upper − lower)·frac) off the sorted resample means
-    def q(p: Double): Double = {
-      val pos = p * (means.length - 1)
-      val lo = math.floor(pos).toInt
-      val hi = math.ceil(pos).toInt
-      means(lo) + (means(hi) - means(lo)) * (pos - lo)
-    }
-    val r6 = (x: Double) =>
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    Seq((n, r6(mean), r6(q(alpha / 2)), r6(q(1 - alpha / 2)),
-      means.length, alpha))
+      val a = new BootAcc(nB)
+      it.foreach { case (k, v) => a.add(k, v, saltV) }
+      Iterator.single(a)
+    }.fold(new BootAcc(nB))(_.merge(_))
+    require(acc.n > 0, "no non-null (key, value) rows to bootstrap")
+    val (n, mean, lo, hi, nr) = acc.summarize(alpha, "the input")
+    Seq((n, mean, lo, hi, nr, alpha))
       .toDF("n", "mean", "ci_lo", "ci_hi", "n_resamples", "alpha")
   }
 
   /** [[bootstrapCI]] per group — one CI per `group` value (per-source /
     * per-language quality means) in the SAME single zero-shuffle scan:
     * per-partition state is a map group → (2·B exact-decimal
-    * aggregates), so it is bounded by groups·B, which is why
-    * `maxGroups` is probed FIRST (one cheap distinct count) and
-    * refused before any scan state materializes (the module's
+    * aggregates), so it is bounded by groups·B, which is why the
+    * distinct-group count (null group INCLUDED — it is a group, the
+    * [[profileColumns]] rule) is probed FIRST and refused past
+    * `maxGroups` before any scan state materializes (the module's
     * probe-then-refuse discipline; a billion-group key would make the
-    * accumulator the corpus). Weights key on (row key, resample, salt)
-    * ALONE — group never enters the hash — so each group's interval
-    * EQUALS the ungrouped [[bootstrapCI]] of that group's slice
-    * exactly (the differential spec), and moving a row between groups
-    * cannot re-deal anyone else's resamples. Null groups are a group
-    * (the [[profileColumns]] rule). Output: one row per group
+    * accumulator the corpus). The probed frame is persisted so the
+    * probe and the scan execute the upstream lineage once (the
+    * [[madOutliers]] shape). Weights key on (row key, resample, salt)
+    * ALONE — group never enters the hash — and both paths run the one
+    * shared [[BootAcc]] kernel, so each group's interval EQUALS the
+    * ungrouped [[bootstrapCI]] of that group's slice BY CONSTRUCTION
+    * (still spec-gated differentially). An all-filtered input refuses
+    * like the ungrouped twin. Output: one row per group
     * (group, n, mean, ci_lo, ci_hi, n_resamples, alpha),
     * group-ordered. */
   def bootstrapCIPerGroup(d: DataFrame, value: Column, key: Column,
@@ -1260,11 +1219,13 @@ object Relational {
     require(maxGroups > 0, s"maxGroups must be positive, got $maxGroups")
     val spark = d.sparkSession
     import spark.implicits._
-    val base = d
+    val base = graft.core.Caches.persist(d
       .select(group.cast("string").as("g"), key.cast("string").as("k"),
         value.cast("double").as("v"))
-      .filter(col("k").isNotNull && col("v").isNotNull && !isnan(col("v")))
-    val nGroups = base.agg(countDistinct(col("g"))).head().getLong(0)
+      .filter(col("k").isNotNull && finiteV))
+    // distinct().count(), not countDistinct: the null group counts
+    // toward the accumulator bound like any other
+    val nGroups = base.select(col("g")).distinct().count()
     require(nGroups <= maxGroups,
       s"$nGroups distinct groups × $b resamples is accumulator-state, " +
         s"not a report (maxGroups = $maxGroups) — raise it deliberately " +
@@ -1272,70 +1233,106 @@ object Relational {
     val rows = base.as[(String, String, Double)]
     val nB = b
     val saltV = salt
-    final case class Acc(var n: Long, var sum: java.math.BigDecimal,
-                         wsum: Array[java.math.BigDecimal],
-                         wcnt: Array[Long])
-    def freshAcc() = Acc(0L, java.math.BigDecimal.ZERO,
-      Array.fill(nB)(java.math.BigDecimal.ZERO), new Array[Long](nB))
     val acc = rows.rdd.mapPartitions { it =>
-      val m = scala.collection.mutable.HashMap.empty[Option[String], Acc]
+      val m = scala.collection.mutable.HashMap.empty[Option[String], BootAcc]
       it.foreach { case (g, k, v) =>
-        val a = m.getOrElseUpdate(Option(g), freshAcc())
-        val vd = new java.math.BigDecimal(v)
-          .setScale(12, java.math.RoundingMode.HALF_UP)
-        a.n += 1
-        a.sum = a.sum.add(vd)
-        val seed = graft.functions.HashKernels.hash60(s"g-boot:$saltV:$k")
-        var bi = 0
-        while (bi < nB) {
-          val w = poisson1(uniform53(splitmix64(seed + bi * 0x9e3779b97f4a7c15L)))
-          if (w > 0) {
-            a.wsum(bi) = a.wsum(bi).add(vd.multiply(
-              java.math.BigDecimal.valueOf(w.toLong)))
-            a.wcnt(bi) += w
-          }
-          bi += 1
-        }
+        m.getOrElseUpdate(Option(g), new BootAcc(nB)).add(k, v, saltV)
       }
       Iterator.single(m)
     }.reduce { (m1, m2) =>
       m2.foreach { case (g, a2) =>
         m1.get(g) match {
           case None => m1.put(g, a2)
-          case Some(a1) =>
-            a1.n += a2.n
-            a1.sum = a1.sum.add(a2.sum)
-            var i = 0
-            while (i < nB) {
-              a1.wsum(i) = a1.wsum(i).add(a2.wsum(i))
-              a1.wcnt(i) += a2.wcnt(i)
-              i += 1
-            }
+          case Some(a1) => a1.merge(a2); ()
         }
       }
       m1
     }
-    val r6 = (x: Double) =>
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    require(acc.nonEmpty, "no non-null (key, value) rows to bootstrap")
     val out = acc.toSeq.map { case (g, a) =>
-      val mean = a.sum.doubleValue() / a.n
+      val (n, mean, lo, hi, nr) = a.summarize(alpha, s"group $g")
+      (g, n, mean, lo, hi, nr, alpha)
+    }
+    out.toDF("group", "n", "mean", "ci_lo", "ci_hi", "n_resamples", "alpha")
+      .orderBy(col("group"))
+  }
+
+  /** Finite-value filter shared by both bootstrap paths: null, NaN,
+    * and ±Infinity values drop (stated — an Infinity would throw
+    * inside the exact-decimal conversion mid-task otherwise). */
+  private def finiteV: Column =
+    col("v").isNotNull && !isnan(col("v")) &&
+      col("v") =!= lit(Double.PositiveInfinity) &&
+      col("v") =!= lit(Double.NegativeInfinity)
+
+  /** One slice's exact bootstrap accumulator — the SHARED kernel of
+    * [[bootstrapCI]] and [[bootstrapCIPerGroup]] (weight stream,
+    * exact-decimal adds, associative merge, interpolated-percentile
+    * summary all live here once), so the grouped path equals the
+    * ungrouped path on a slice by construction, not by parallel-edit
+    * discipline. */
+  private final class BootAcc(nB: Int) extends Serializable {
+    var n = 0L
+    var sum = java.math.BigDecimal.ZERO
+    val wsum: Array[java.math.BigDecimal] =
+      Array.fill(nB)(java.math.BigDecimal.ZERO)
+    val wcnt = new Array[Long](nB)
+
+    def add(k: String, v: Double, salt: Long): Unit = {
+      val vd = new java.math.BigDecimal(v)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+      n += 1
+      sum = sum.add(vd)
+      val seed = graft.functions.HashKernels.hash60(s"g-boot:$salt:$k")
+      var bi = 0
+      while (bi < nB) {
+        val w = poisson1(uniform53(splitmix64(seed + bi * 0x9e3779b97f4a7c15L)))
+        if (w > 0) {
+          wsum(bi) = wsum(bi).add(vd.multiply(
+            java.math.BigDecimal.valueOf(w.toLong)))
+          wcnt(bi) += w
+        }
+        bi += 1
+      }
+    }
+
+    /** Exact decimal adds commute, so the reduce tree's shape cannot
+      * matter. Returns this. */
+    def merge(o: BootAcc): BootAcc = {
+      n += o.n
+      sum = sum.add(o.sum)
+      var i = 0
+      while (i < nB) {
+        wsum(i) = wsum(i).add(o.wsum(i))
+        wcnt(i) += o.wcnt(i)
+        i += 1
+      }
+      this
+    }
+
+    /** (n, mean, ci_lo, ci_hi, n_resamples), 6-decimal rounded; zero-
+      * weight resamples drop (probability e^−n each) and the count
+      * reports how many survived. */
+    def summarize(alpha: Double, label: => String): (Long, Double, Double, Double, Int) = {
+      val mean = sum.doubleValue() / n
       val means = (0 until nB).iterator
-        .filter(i => a.wcnt(i) > 0L)
-        .map(i => a.wsum(i).doubleValue() / a.wcnt(i))
+        .filter(i => wcnt(i) > 0L)
+        .map(i => wsum(i).doubleValue() / wcnt(i))
         .toArray.sorted
       require(means.length >= 2,
-        s"group $g has only ${means.length} non-empty resamples")
+        s"$label has only ${means.length} non-empty resamples")
+      // interpolated percentile (the exact-percentile formula: lower +
+      // (upper − lower)·frac) off the sorted resample means
       def q(p: Double): Double = {
         val pos = p * (means.length - 1)
         val lo = math.floor(pos).toInt
         val hi = math.ceil(pos).toInt
         means(lo) + (means(hi) - means(lo)) * (pos - lo)
       }
-      (g, a.n, r6(mean), r6(q(alpha / 2)), r6(q(1 - alpha / 2)),
-        means.length, alpha)
+      val r6 = (x: Double) =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n, r6(mean), r6(q(alpha / 2)), r6(q(1 - alpha / 2)), means.length)
     }
-    out.toDF("group", "n", "mean", "ci_lo", "ci_hi", "n_resamples", "alpha")
-      .orderBy(col("group"))
   }
 
   /** splitmix64 — the public-domain (Vigna) 64-bit mix; the counter

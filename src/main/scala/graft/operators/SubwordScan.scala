@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The ONE broadcast-model memoized zero-shuffle encode scan shared by
+  * all three subword tokenizers ([[Bpe]], [[Unigram]], [[WordPiece]]):
+  * null-tolerant (id null passes through, text null encodes to zero
+  * tokens), a size-capped per-partition word → pieces memo (Zipf makes
+  * it hit almost always; the cap stops a pathological partition from
+  * hoarding memory), keep-columns re-projected after the scan. Only
+  * the per-word encoder and the output column names differ per
+  * tokenizer, so they are the parameters — a fix to the scan shape
+  * lands once, not three times. (Unigram's `encodeSampled` is NOT this
+  * scan: it seeds per word position and memoizes nothing, by design.)
+  */
+private[operators] object SubwordScan {
+
+  private[operators] val MemoCap = 1 << 20
+
+  def encodeScan[M: scala.reflect.ClassTag](
+      d: DataFrame, model: M, textCol: String, idCol: String,
+      keepCols: Seq[String], tokCol: String, nCol: String)(
+      encodeWord: (M, String) => Array[String]): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model)
+    val in = d.select((Seq(col(idCol).cast("long"), col(textCol).cast("string")) ++
+      keepCols.map(c => col(c).cast("string"))): _*)
+    val encoded = in.map { row =>
+      val id: Option[Long] = if (row.isNullAt(0)) None else Some(row.getLong(0))
+      val text = if (row.isNullAt(1)) "" else row.getString(1)
+      (id, text, (2 until row.length).map(row.getString))
+    }.mapPartitions { it =>
+      val m = b.value
+      val memo = new java.util.HashMap[String, Array[String]]()
+      it.map { case (id, text, keeps) =>
+        val toks = text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+          var t = memo.get(w)
+          if (t == null) {
+            t = encodeWord(m, w)
+            if (memo.size < MemoCap) memo.put(w, t)
+          }
+          t
+        }.toArray
+        (id, keeps, toks, toks.length.toLong)
+      }
+    }
+    encoded.toDF(idCol, "keeps", tokCol, nCol)
+      .select((Seq(col(idCol)) ++
+        keepCols.zipWithIndex.map { case (c, i) => col("keeps")(i).as(c) } ++
+        Seq(col(tokCol), col(nCol))): _*)
+  }
+}

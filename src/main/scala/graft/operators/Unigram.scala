@@ -424,36 +424,9 @@ object Unigram {
     * projection with a per-partition Viterbi memo ([[Bpe.encode]]'s
     * shape; null text → zero pieces, null id passes through). */
   def encode(d: DataFrame, model: Model, textCol: String = "text",
-             idCol: String = "doc_id", keepCols: Seq[String] = Nil): DataFrame = {
-    val spark = d.sparkSession
-    import spark.implicits._
-    val b = spark.sparkContext.broadcast(model)
-    val in = d.select((Seq(col(idCol).cast("long"), col(textCol).cast("string")) ++
-      keepCols.map(c => col(c).cast("string"))): _*)
-    val encoded = in.map { row =>
-      val id: Option[Long] = if (row.isNullAt(0)) None else Some(row.getLong(0))
-      val text = if (row.isNullAt(1)) "" else row.getString(1)
-      (id, text, (2 until row.length).map(row.getString))
-    }.mapPartitions { it =>
-      val m = b.value
-      val memo = new java.util.HashMap[String, Array[String]]()
-      it.map { case (id, text, keeps) =>
-        val toks = text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
-          var t = memo.get(w)
-          if (t == null) {
-            t = m.encodeWord(w)
-            if (memo.size < MemoCap) memo.put(w, t)
-          }
-          t
-        }.toArray
-        (id, keeps, toks, toks.length.toLong)
-      }
-    }
-    encoded.toDF(idCol, "keeps", "pieces", "n_pieces")
-      .select((Seq(col(idCol)) ++
-        keepCols.zipWithIndex.map { case (c, i) => col("keeps")(i).as(c) } ++
-        Seq(col("pieces"), col("n_pieces"))): _*)
-  }
+             idCol: String = "doc_id", keepCols: Seq[String] = Nil): DataFrame =
+    SubwordScan.encodeScan(d, model, textCol, idCol, keepCols,
+      "pieces", "n_pieces")((m, w) => m.encodeWord(w))
 
   /** Sampled-segmentation encode — corpus-scale subword
     * regularization: every word occurrence draws its segmentation ∝

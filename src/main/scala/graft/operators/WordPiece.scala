@@ -206,40 +206,13 @@ object WordPiece {
     out.toArray
   }
 
-  /** Distributed encode — [[Bpe.encode]]'s broadcast-model memoized
-    * zero-shuffle scan with WordPiece's longest-match word encoder.
-    * Output: (idCol, keepCols…, tokens, n_tokens). */
+  /** Distributed encode — the shared [[SubwordScan]] broadcast-model
+    * memoized zero-shuffle scan with WordPiece's longest-match word
+    * encoder. Output: (idCol, keepCols…, tokens, n_tokens). */
   def encode(d: DataFrame, model: Model, textCol: String = "text",
-             idCol: String = "doc_id", keepCols: Seq[String] = Nil): DataFrame = {
-    val spark = d.sparkSession
-    import spark.implicits._
-    val b = spark.sparkContext.broadcast(model)
-    val in = d.select((Seq(col(idCol).cast("long"), col(textCol).cast("string")) ++
-      keepCols.map(c => col(c).cast("string"))): _*)
-    val encoded = in.map { row =>
-      val id: Option[Long] = if (row.isNullAt(0)) None else Some(row.getLong(0))
-      val text = if (row.isNullAt(1)) "" else row.getString(1)
-      (id, text, (2 until row.length).map(row.getString))
-    }.mapPartitions { it =>
-      val m = b.value
-      val memo = new java.util.HashMap[String, Array[String]]()
-      it.map { case (id, text, keeps) =>
-        val toks = text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
-          var t = memo.get(w)
-          if (t == null) {
-            t = m.encodeWord(w)
-            if (memo.size < Bpe.MemoCap) memo.put(w, t)
-          }
-          t
-        }.toArray
-        (id, keeps, toks, toks.length.toLong)
-      }
-    }
-    encoded.toDF(idCol, "keeps", "tokens", "n_tokens")
-      .select((Seq(col(idCol)) ++
-        keepCols.zipWithIndex.map { case (c, i) => col("keeps")(i).as(c) } ++
-        Seq(col("tokens"), col("n_tokens"))): _*)
-  }
+             idCol: String = "doc_id", keepCols: Seq[String] = Nil): DataFrame =
+    SubwordScan.encodeScan(d, model, textCol, idCol, keepCols,
+      "tokens", "n_tokens")((m, w) => m.encodeWord(w))
 
   /** Per-group fertility + UNK-rate report — the [[Bpe.fertility]]
     * probe with the metric WordPiece adds: `unk_frac`, the fraction of

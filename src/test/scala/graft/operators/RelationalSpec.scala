@@ -770,8 +770,12 @@ class RelationalSpec extends SparkSpec {
     val widthBig = rb.getDouble(3) - rb.getDouble(2)
     assert(widthBig < 0.55 * width,
       s"10x rows must narrow the CI ~3x: $widthBig vs $width")
-    // null key/value rows drop; refusals
-    assert(run(d.union(Seq((Option.empty[Long], Option(5.0)))
+    // null-key and non-finite-value rows drop (an Infinity would
+    // throw inside the exact-decimal conversion mid-task otherwise)
+    assert(run(d.union(Seq(
+      (Option.empty[Long], Option(5.0)),
+      (Option(5000L), Option(Double.PositiveInfinity)),
+      (Option(5001L), Option(Double.NaN)))
       .toDF("id", "v"))) == r)
     intercept[IllegalArgumentException](
       Relational.bootstrapCI(d.filter(col("v") > 1e9), col("v"), col("id")))
