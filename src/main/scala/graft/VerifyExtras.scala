@@ -60,6 +60,11 @@ object VerifyExtras {
       Relational.topValues(
         s.read.parquet(s"$dir/documents.parquet"),
         Seq("source"), Seq("lang"), k = 3)),
+    "x_winsorize" -> ((s, dir) =>
+      Relational.winsorize(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        col("l_extendedprice"))),
     // asOf pinned just past the synthetic events' range; halfLife 1 day
     "x_decayed_counts" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -184,6 +189,18 @@ object VerifyExtras {
         |    PARTITION BY source, colname ORDER BY n DESC, v) AS rank
         |  FROM c)
         |SELECT source, colname, rank, v, n FROM r WHERE rank <= 3
+        |""".stripMargin,
+    // the 6-decimal-rounded percentile bounds clamp the raw values —
+    // the operator's own order of operations
+    "x_winsorize" ->
+      """WITH bnd AS (
+        |  SELECT round(quantile_cont(l_extendedprice::DOUBLE, 0.05), 6) AS lo,
+        |         round(quantile_cont(l_extendedprice::DOUBLE, 0.95), 6) AS hi
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  bnd.lo AS lo_bound, bnd.hi AS hi_bound,
+        |  least(greatest(l_extendedprice::DOUBLE, bnd.lo), bnd.hi) AS winsorized
+        |FROM lineitem, bnd
         |""".stripMargin,
     // per-event 2^(-age/halfLife) rounded to 9, exact decimal sum,
     // rounded to 6 — the operator's own stated arithmetic
