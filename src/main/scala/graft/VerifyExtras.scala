@@ -70,6 +70,14 @@ object VerifyExtras {
       val ev = s.read.parquet(s"$dir/events.parquet")
       EventOps.decayedCounts(ev, col("event_type"), EventOps.tsOf(ev),
         halfLifeMs = 86400000L, asOfMs = 1706659200000L)
+    }),
+    // millisecond grid (eMsOf's on-disk dispatch — exact integer
+    // arithmetic below 2^53 on BOTH engines, where raw nanos would hit
+    // double-division rounding at the cell boundary)
+    "x_resample" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      EventOps.resample(ev, col("event_type"), EventOps.eMsOf(ev),
+        col("value"), stepMs = 3600000L)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -214,6 +222,31 @@ object VerifyExtras {
         |SELECT key, count(*)::BIGINT AS n_events,
         |  round(sum(CAST(wt AS DECIMAL(28,9)))::DOUBLE, 6) AS decayed_count
         |FROM w GROUP BY key
+        |""".stripMargin,
+    // hourly grid per key spanning [min, max] cells, last observation
+    // wins its cell ((t, v) struct max = t desc then v desc), LOCF via
+    // the IGNORE NULLS running window — the operator's exact semantics
+    "x_resample" ->
+      """WITH base AS (
+        |  SELECT event_type AS key, epoch_ms(ts)::BIGINT AS t, value AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT key, t // 3600000 AS c, t, v FROM base),
+        |obs AS (
+        |  SELECT key, c, v AS o FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY key, c ORDER BY t DESC, v DESC) AS rn
+        |    FROM cells)
+        |  WHERE rn = 1),
+        |spans AS (SELECT key, min(c) AS c0, max(c) AS c1 FROM cells GROUP BY key),
+        |grid AS (SELECT key, unnest(generate_series(c0, c1)) AS c FROM spans),
+        |j AS (
+        |  SELECT g.key, g.c, o.o
+        |  FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.c = o.c)
+        |SELECT key, c * 3600000 AS bucket_ms,
+        |  last_value(o IGNORE NULLS) OVER (
+        |    PARTITION BY key ORDER BY c ROWS UNBOUNDED PRECEDING) AS value,
+        |  (o IS NULL) AS filled
+        |FROM j
         |""".stripMargin,
     // quantile-edged recount: DuckDB's discrete quantiles as the edges,
     // bin = #edges strictly below the value, lowest-bin rule for ties

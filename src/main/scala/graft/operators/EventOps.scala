@@ -42,7 +42,7 @@ object EventOps {
     * integer `div` avoids the precision loss a double division would have
     * at 1.7e18 ns. Handles either representation.
     */
-  private def eMsOf(df: DataFrame): Column = df.schema("ts").dataType match {
+  private[graft] def eMsOf(df: DataFrame): Column = df.schema("ts").dataType match {
     case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
     case _ => unix_millis(col("ts").cast("timestamp"))
   }
