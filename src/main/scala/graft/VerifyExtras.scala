@@ -78,6 +78,24 @@ object VerifyExtras {
       val ev = s.read.parquet(s"$dir/events.parquet")
       EventOps.resample(ev, col("event_type"), EventOps.eMsOf(ev),
         col("value"), stepMs = 3600000L)
+    }),
+    "x_transitions" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      EventOps.transitionMatrix(ev, col("user_id"), col("event_type"),
+        EventOps.tsOf(ev), col("event_id"))
+    }),
+    // the synthetic stream arrives in order, so arrival order is
+    // SCRAMBLED deterministically (md5 of the event id — identical on
+    // both engines) to exercise a real lateness distribution
+    "x_lateness" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      EventOps.latenessReport(ev, col("event_type"), EventOps.tsOf(ev),
+        md5(col("event_id").cast("string")))
+        // the mean re-rounds to 3 dp for the compare: the two engines'
+        // double quotients can sit one ulp apart across a 6-dp
+        // half-boundary (observed at sf0.01), which is measurement
+        // noise, not a semantic difference
+        .withColumn("avg_late_ms", round(col("avg_late_ms"), 3))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -247,6 +265,46 @@ object VerifyExtras {
         |    PARTITION BY key ORDER BY c ROWS UNBOUNDED PRECEDING) AS value,
         |  (o IS NULL) AS filled
         |FROM j
+        |""".stripMargin,
+    // per-user lead() pairs, row-conditional shares rounded to 6
+    "x_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS f,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS t
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (
+        |  SELECT f AS from_type, t AS to_type, count(*)::BIGINT AS n
+        |  FROM p WHERE t IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(c.n::DOUBLE / r.tot, 6) AS p
+        |FROM c JOIN r USING (from_type)
+        |""".stripMargin,
+    // running event-time high-water mark over the scrambled arrival
+    // order; lateness = the ms gap to it, exact decimal mean
+    "x_lateness" ->
+      """WITH b AS (
+        |  SELECT event_type AS t, ts, md5(event_id::VARCHAR) AS o
+        |  FROM events WHERE ts IS NOT NULL),
+        |w AS (
+        |  SELECT t, ts, max(ts) OVER (
+        |    PARTITION BY t ORDER BY o
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+        |  FROM b)
+        |SELECT t AS event_type, count(*)::BIGINT AS n_events,
+        |  count(CASE WHEN ts < hw THEN 1 END)::BIGINT AS n_late,
+        |  round(count(CASE WHEN ts < hw THEN 1 END)::DOUBLE / count(*), 6)
+        |    AS late_frac,
+        |  max(CASE WHEN ts < hw THEN epoch_ms(hw) - epoch_ms(ts) END)::BIGINT
+        |    AS max_late_ms,
+        |  CASE WHEN count(CASE WHEN ts < hw THEN 1 END) > 0 THEN
+        |    round(round(sum(CASE WHEN ts < hw THEN
+        |        CAST(epoch_ms(hw) - epoch_ms(ts) AS DECIMAL(28,6)) END)::DOUBLE
+        |      / count(CASE WHEN ts < hw THEN 1 END), 6), 3) END AS avg_late_ms,
+        |  coalesce(max(CASE WHEN ts < hw THEN epoch_ms(hw) - epoch_ms(ts) END),
+        |    0)::BIGINT AS suggested_watermark_ms
+        |FROM w GROUP BY t
         |""".stripMargin,
     // quantile-edged recount: DuckDB's discrete quantiles as the edges,
     // bin = #edges strictly below the value, lowest-bin rule for ties
