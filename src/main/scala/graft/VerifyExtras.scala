@@ -225,7 +225,9 @@ object VerifyExtras {
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber, l_extendedprice,
         |  bnd.lo AS lo_bound, bnd.hi AS hi_bound,
-        |  least(greatest(l_extendedprice::DOUBLE, bnd.lo), bnd.hi) AS winsorized
+        |  CASE WHEN l_extendedprice IS NULL THEN NULL
+        |       ELSE least(greatest(l_extendedprice::DOUBLE, bnd.lo), bnd.hi)
+        |  END AS winsorized
         |FROM lineitem, bnd
         |""".stripMargin,
     // per-event 2^(-age/halfLife) rounded to 9, exact decimal sum,
@@ -248,7 +250,12 @@ object VerifyExtras {
       """WITH base AS (
         |  SELECT event_type AS key, epoch_ms(ts)::BIGINT AS t, value AS v
         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
-        |cells AS (SELECT key, t // 3600000 AS c, t, v FROM base),
+        |cells AS (
+        |  -- pmod flooring, not //: DuckDB // truncates toward zero,
+        |  -- the operator floors toward -inf (negative epochs)
+        |  SELECT key,
+        |    (t - ((t % 3600000) + 3600000) % 3600000) // 3600000 AS c, t, v
+        |  FROM base),
         |obs AS (
         |  SELECT key, c, v AS o FROM (
         |    SELECT *, row_number() OVER (
@@ -258,20 +265,24 @@ object VerifyExtras {
         |spans AS (SELECT key, min(c) AS c0, max(c) AS c1 FROM cells GROUP BY key),
         |grid AS (SELECT key, unnest(generate_series(c0, c1)) AS c FROM spans),
         |j AS (
+        |  -- null-safe key equality: a null grouping key is a group
         |  SELECT g.key, g.c, o.o
-        |  FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.c = o.c)
+        |  FROM grid g LEFT JOIN obs o
+        |    ON g.key IS NOT DISTINCT FROM o.key AND g.c = o.c)
         |SELECT key, c * 3600000 AS bucket_ms,
         |  last_value(o IGNORE NULLS) OVER (
         |    PARTITION BY key ORDER BY c ROWS UNBOUNDED PRECEDING) AS value,
         |  (o IS NULL) AS filled
         |FROM j
         |""".stripMargin,
-    // per-user lead() pairs, row-conditional shares rounded to 6
+    // per-user lead() pairs, row-conditional shares rounded to 6;
+    // ordering at epoch_us — the µs precision the Spark side's tsOf
+    // sees — so an ns-granular corpus cannot order differently here
     "x_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS f,
         |    lead(event_type) OVER (
-        |      PARTITION BY user_id ORDER BY ts, event_id) AS t
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t
         |  FROM events WHERE ts IS NOT NULL),
         |c AS (
         |  SELECT f AS from_type, t AS to_type, count(*)::BIGINT AS n
@@ -283,26 +294,30 @@ object VerifyExtras {
         |""".stripMargin,
     // running event-time high-water mark over the scrambled arrival
     // order; lateness = the ms gap to it, exact decimal mean
+    // the late verdict compares at epoch_us (what the Spark side's
+    // µs-truncated tsOf compares), the gap converts to floor-ms like
+    // unix_millis — an ns-granular corpus cannot diverge here
     "x_lateness" ->
       """WITH b AS (
-        |  SELECT event_type AS t, ts, md5(event_id::VARCHAR) AS o
+        |  SELECT event_type AS t, epoch_us(ts)::BIGINT AS u,
+        |    md5(event_id::VARCHAR) AS o
         |  FROM events WHERE ts IS NOT NULL),
         |w AS (
-        |  SELECT t, ts, max(ts) OVER (
+        |  SELECT t, u, max(u) OVER (
         |    PARTITION BY t ORDER BY o
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
         |  FROM b)
         |SELECT t AS event_type, count(*)::BIGINT AS n_events,
-        |  count(CASE WHEN ts < hw THEN 1 END)::BIGINT AS n_late,
-        |  round(count(CASE WHEN ts < hw THEN 1 END)::DOUBLE / count(*), 6)
+        |  count(CASE WHEN u < hw THEN 1 END)::BIGINT AS n_late,
+        |  round(count(CASE WHEN u < hw THEN 1 END)::DOUBLE / count(*), 6)
         |    AS late_frac,
-        |  max(CASE WHEN ts < hw THEN epoch_ms(hw) - epoch_ms(ts) END)::BIGINT
+        |  max(CASE WHEN u < hw THEN hw // 1000 - u // 1000 END)::BIGINT
         |    AS max_late_ms,
-        |  CASE WHEN count(CASE WHEN ts < hw THEN 1 END) > 0 THEN
-        |    round(round(sum(CASE WHEN ts < hw THEN
-        |        CAST(epoch_ms(hw) - epoch_ms(ts) AS DECIMAL(28,6)) END)::DOUBLE
-        |      / count(CASE WHEN ts < hw THEN 1 END), 6), 3) END AS avg_late_ms,
-        |  coalesce(max(CASE WHEN ts < hw THEN epoch_ms(hw) - epoch_ms(ts) END),
+        |  CASE WHEN count(CASE WHEN u < hw THEN 1 END) > 0 THEN
+        |    round(round(sum(CASE WHEN u < hw THEN
+        |        CAST(hw // 1000 - u // 1000 AS DECIMAL(28,6)) END)::DOUBLE
+        |      / count(CASE WHEN u < hw THEN 1 END), 6), 3) END AS avg_late_ms,
+        |  coalesce(max(CASE WHEN u < hw THEN hw // 1000 - u // 1000 END),
         |    0)::BIGINT AS suggested_watermark_ms
         |FROM w GROUP BY t
         |""".stripMargin,
