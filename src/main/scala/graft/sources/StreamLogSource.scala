@@ -311,8 +311,17 @@ class StreamLogScan(root: String, stream: String, lowerBound: String,
         out.result()
       case None => segs
     }
-    kept
-      .map(m => StreamLogPartition(root, stream, m.name, lowerBound, ""): InputPartition)
+    // Hadoop-addressable stores hand the reader a REAL path to stream
+    // lines through the FileSystem layer (range reads, no whole-object
+    // byte[]); non-addressable stores ("" path) fall back to one
+    // whole-object GET per segment
+    val paths = StreamStores.segmentStore(root, stream)
+      .scanPaths(kept.map(_.name))
+      .getOrElse(kept.map(_ => ""))
+    kept.zip(paths)
+      .map { case (m, p) =>
+        StreamLogPartition(root, stream, m.name, lowerBound, "", p): InputPartition
+      }
       .toArray
   }
 
@@ -427,9 +436,14 @@ class StreamLogMicroBatch(root: String, stream: String, startAfter: String,
     val until = end.asInstanceOf[StreamLogOffset].last
     if (until == Offset.Beginning) return Array.empty
     val st = StreamStores.replay(root, stream)
-    st.index.segmentsAfter(after)
-      .filter(m => m.firstOffset <= until)
-      .map(m => StreamLogPartition(root, stream, m.name, after, until): InputPartition)
+    val segs = st.index.segmentsAfter(after).filter(m => m.firstOffset <= until)
+    val paths = StreamStores.segmentStore(root, stream)
+      .scanPaths(segs.map(_.name))
+      .getOrElse(segs.map(_ => ""))
+    segs.zip(paths)
+      .map { case (m, p) =>
+        StreamLogPartition(root, stream, m.name, after, until, p): InputPartition
+      }
       .toArray
   }
 
@@ -696,20 +710,37 @@ case class StreamLogWriterFactory(root: String, stream: String) extends DataWrit
 }
 
 /** One segment scanned for offsets in (after, until]; empty `until`
-  * means unbounded (batch reads). Carries only (root, stream, segment)
-  * strings — the reading task re-resolves the [[SegmentStore]] locally
-  * and GETs the whole object, the task shape a bucket reader has.
+  * means unbounded (batch reads). `path` non-empty = a Hadoop-
+  * addressable URI the task STREAMS lines from (range reads through
+  * the FileSystem layer — the s3a/gcs/hdfs production shape); empty =
+  * the task re-resolves the [[SegmentStore]] from the (root, stream)
+  * strings and GETs the whole object (the non-addressable bucket-sim
+  * fallback).
   */
 case class StreamLogPartition(root: String, stream: String, seg: String,
-                              after: String, until: String)
+                              after: String, until: String,
+                              path: String = "")
     extends InputPartition
 
 object StreamLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StreamLogPartition]
     new PartitionReader[InternalRow] {
-      private val lines =
-        StreamStores.segmentStore(p.root, p.stream).getLines(p.seg).iterator
+      // Hadoop path: an incremental line reader over the open stream —
+      // constant memory regardless of segment size; GET fallback: the
+      // whole object's lines (bounded by the compaction MaxBytes)
+      private var toClose: java.io.Closeable = null
+      private val rawLines: Iterator[String] =
+        if (p.path.nonEmpty) {
+          val hp = new org.apache.hadoop.fs.Path(p.path)
+          val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(hp), UTF_8))
+          toClose = br
+          Iterator.continually(br.readLine()).takeWhile(_ != null)
+        } else
+          StreamStores.segmentStore(p.root, p.stream).getLines(p.seg).iterator
+      private val lines = rawLines
         .filter { l =>
           l.length >= Offset.Width && {
             val off = l.substring(0, Offset.Width)
@@ -724,7 +755,7 @@ object StreamLogReaderFactory extends PartitionReaderFactory {
           UTF8String.fromString(l.substring(0, Offset.Width)),
           UTF8String.fromString(l.substring(Offset.Width)))
       }
-      override def close(): Unit = ()
+      override def close(): Unit = if (toClose != null) toClose.close()
     }
   }
 }

@@ -1,0 +1,112 @@
+package graft.streamlog
+
+import java.io.FileNotFoundException
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** [[SegmentStore]] over `org.apache.hadoop.fs.FileSystem` — the
+  * adapter that closes r14's stated gap between "the bucket protocol is
+  * proven" and "point spark-submit at s3a:// and go": any
+  * Hadoop-addressable scheme (file, hdfs, s3a, gcs, abfs — they all
+  * implement create/open/listStatus/delete) roots the segment DATA
+  * plane here, and [[scanPaths]] returns the REAL URIs, so both
+  * [[StreamLog.readAfter]] and the DSv2 batch/micro-batch scan plan
+  * range-streaming file reads (locality, incremental line decoding)
+  * instead of the whole-object-GET fallback the non-addressable stores
+  * force.
+  *
+  * Atomic-visibility strategy per scheme ([[SegmentStore]] contract:
+  * a reader sees the complete object or no object):
+  *   - rename-capable filesystems (file, hdfs, viewfs): write a
+  *     dot-prefixed temp in the same directory, then `rename` — the
+  *     classic commit; dot-files are excluded from [[list]] (and from
+  *     Spark file scans), so an in-flight write is never visible.
+  *   - object stores (s3a, gcs, abfs, …): `create` + `close` IS the
+  *     whole-object PUT (visible only on close), so the bytes go
+  *     straight to the final name — a rename there would be a
+  *     copy+delete that adds cost without adding atomicity.
+  *
+  * The metadata COMMIT plane is deliberately not this class:
+  * conditional append needs a compare-and-swap primitive the generic
+  * FileSystem API does not ship. A `hadoop:file://…` root pairs with
+  * [[PosixMetaStore]] (same machine semantics) automatically via
+  * [[StreamStores]]; a cluster deployment over s3a pairs this data
+  * plane with [[S3MetaStore]]'s conditional-PUT commits (construct
+  * [[StreamLog]] with explicit stores, or register them).
+  *
+  * The `Configuration` is the process default (plus any `fs.*` entries
+  * a deployment ships in core-site); executors re-resolve the store
+  * from the same base-URI string a partition carries, exactly how an
+  * s3a path resolves to a client inside each task.
+  */
+final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
+
+  private val base = new HPath(baseUri)
+  // FileSystem.get is cache-backed (keyed by scheme+authority), so
+  // per-call resolution is a map lookup, not a client construction
+  private def fs: FileSystem = base.getFileSystem(new Configuration())
+
+  private def renameCapable(fs: FileSystem): Boolean =
+    HadoopSegmentStore.RenameSchemes.contains(fs.getScheme)
+
+  private def path(name: String): HPath = new HPath(base, name)
+
+  override def put(name: String, bytes: Array[Byte]): Unit = {
+    val f = fs
+    if (renameCapable(f)) {
+      val tmp = new HPath(base, s".$name.tmp")
+      val out = f.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      if (!f.rename(tmp, path(name)))
+        throw new java.io.IOException(s"rename $tmp -> ${path(name)} failed")
+    } else {
+      val out = f.create(path(name), true) // visible-whole-on-close
+      try out.write(bytes) finally out.close()
+    }
+  }
+
+  override def get(name: String): Array[Byte] = {
+    val in =
+      try fs.open(path(name))
+      catch { case _: FileNotFoundException =>
+        throw new java.nio.file.NoSuchFileException(path(name).toString) }
+    try in.readAllBytes()
+    finally in.close()
+  }
+
+  override def list(): Seq[ObjectInfo] =
+    try fs.listStatus(base).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .map(s => ObjectInfo(s.getPath.getName, s.getModificationTime))
+      .sortBy(_.name)
+    catch { case _: FileNotFoundException => Seq.empty }
+
+  override def delete(name: String): Unit =
+    fs.delete(path(name), false): Unit // idempotent: false on absent
+
+  override def putFromFile(name: String, local: java.nio.file.Path): Unit = {
+    val f = fs
+    val src = new HPath(local.toUri)
+    if (renameCapable(f)) {
+      val tmp = new HPath(base, s".$name.tmp")
+      f.mkdirs(base)
+      f.copyFromLocalFile(true, true, src, tmp)
+      if (!f.rename(tmp, path(name)))
+        throw new java.io.IOException(s"rename $tmp -> ${path(name)} failed")
+    } else f.copyFromLocalFile(true, true, src, path(name))
+  }
+
+  /** Real URIs — the whole point of this adapter: `spark.read.text`
+    * and the DSv2 reader stream these through the FileSystem layer
+    * (range reads, locality hints) instead of GETting whole objects. */
+  override def scanPaths(names: Seq[String]): Option[Seq[String]] =
+    Some(names.map(n => path(n).toString))
+}
+
+object HadoopSegmentStore {
+  /** Schemes whose rename is a metadata move (atomic commit point);
+    * everything else is treated as an object store where create+close
+    * is already the atomic whole-object put. */
+  private[streamlog] val RenameSchemes = Set("file", "hdfs", "viewfs")
+}

@@ -62,8 +62,34 @@ trait MetaStore {
   /** Snapshot the log: (lines, tag). An absent log is (empty, 0). */
   def readWithTag(): (Vector[String], Long)
 
+  /** The log's CURRENT tag, as cheaply as the backend allows — the
+    * idle-poll probe ([[StreamLog]] calls this every poll interval).
+    * Default = `readWithTag()._2` (pay the full read); backends with a
+    * metadata-only version check override it (S3: a HEAD returns the
+    * ETag for ~zero bytes, where the default would GET the whole log
+    * ~20×/sec per idle consumer at the default interval). */
+  def probeTag(): Long = readWithTag()._2
+
   /** Append `lines` iff the log is still at `tag`. True = committed. */
   def appendIf(tag: Long, lines: Seq[String]): Boolean
+
+  /** The tag [[commit]]'s LAST attempt read its decision against, and
+    * the tag the log moved to when this store's last successful
+    * conditional write landed (0 = none yet). Together they let a
+    * caller that tracks its own replay freshness fast-forward WITHOUT
+    * re-reading: if `lastReadTag` equals the tag the caller's state was
+    * replayed at, no external commit interleaved, so after a successful
+    * append the log is exactly caller-state + the appended lines and
+    * the caller may adopt `lastCommitTag` as its new replay tag
+    * ([[StreamLog]]'s poll probe uses this to skip the redundant
+    * replay after its own publishes — ADVICE r14). Implementations set
+    * `lastCommitTagVar` inside a SUCCESSFUL appendIf/replaceIf, where
+    * the new committed content (or the server's new ETag) is in hand.
+    * Both are advisory diagnostics — no protocol decision reads them. */
+  @volatile protected var lastReadTagVar: Long = 0L
+  @volatile protected var lastCommitTagVar: Long = 0L
+  final def lastReadTag: Long = lastReadTagVar
+  final def lastCommitTag: Long = lastCommitTagVar
 
   /** Truncate-reset the log (crash rebuild / destroy). */
   def clear(): Unit
@@ -89,6 +115,7 @@ trait MetaStore {
     var attempt = 0
     while (attempt < maxAttempts) {
       val (cur, tag) = readWithTag()
+      lastReadTagVar = tag
       decide(cur) match {
         case None => return false
         case Some(lines) =>
@@ -230,7 +257,9 @@ final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
         else Array.emptyByteArray
       if (tagOf(old, old.length) != tag) false
       else {
-        writeAtomic(old ++ lines.mkString("", "\n", "\n").getBytes(UTF_8))
+        val next = old ++ lines.mkString("", "\n", "\n").getBytes(UTF_8)
+        writeAtomic(next)
+        lastCommitTagVar = tagOf(next, next.length)
         true
       }
     }
@@ -246,7 +275,9 @@ final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
         else Array.emptyByteArray
       if (tagOf(old, old.length) != tag) false
       else {
-        writeAtomic(lines.mkString("", "\n", "\n").getBytes(UTF_8))
+        val next = lines.mkString("", "\n", "\n").getBytes(UTF_8)
+        writeAtomic(next)
+        lastCommitTagVar = tagOf(next, next.length)
         true
       }
     }
@@ -268,14 +299,14 @@ class InMemoryMetaStore extends MetaStore {
 
   override def appendIf(tag: Long, ls: Seq[String]): Boolean = synchronized {
     if (rev != tag) false
-    else { lines = lines ++ ls; rev += 1; true }
+    else { lines = lines ++ ls; rev += 1; lastCommitTagVar = rev; true }
   }
 
   override def clear(): Unit = synchronized { lines = Vector.empty; rev += 1 }
 
   override def replaceIf(tag: Long, ls: Seq[String]): Boolean = synchronized {
     if (rev != tag) false
-    else { lines = ls.toVector; rev += 1; true }
+    else { lines = ls.toVector; rev += 1; lastCommitTagVar = rev; true }
   }
 }
 

@@ -237,10 +237,22 @@ object StreamStores {
     * same `(root, stream)` strings a partition already carries. */
   def isS3(root: String): Boolean = root.startsWith("s3:")
 
-  /** A root whose stream state lives OUTSIDE the local filesystem
-    * (bucket sim or S3 endpoint) — the local streamDir is then only
-    * compaction's Spark staging scratch. */
-  def isBucket(root: String): Boolean = isMem(root) || isS3(root)
+  /** A Hadoop-FileSystem root: `hadoop:<fsUri>` (e.g.
+    * `hadoop:file:///data/streams`, `hadoop:s3a://bucket/streams`).
+    * The segment DATA plane resolves to [[HadoopSegmentStore]], whose
+    * [[SegmentStore.scanPaths]] returns real URIs so scans
+    * range-stream through the FileSystem layer. The metadata COMMIT
+    * plane needs compare-and-swap, which the generic FileSystem API
+    * lacks: a `file:` URI pairs with [[PosixMetaStore]] automatically;
+    * any other scheme must bring its own MetaStore (e.g.
+    * [[S3MetaStore]] over the same bucket) via [[StreamLog]]'s
+    * explicit-store constructor. */
+  def isHadoop(root: String): Boolean = root.startsWith("hadoop:")
+
+  /** A root whose stream state lives OUTSIDE the local streamDir
+    * (bucket sim, S3 endpoint, or Hadoop URI) — the local streamDir is
+    * then only compaction's Spark staging scratch. */
+  def isBucket(root: String): Boolean = isMem(root) || isS3(root) || isHadoop(root)
 
   private def parseS3(root: String): (String, String) = {
     val u = root.stripPrefix("s3:")
@@ -268,7 +280,17 @@ object StreamStores {
         _ => Mem(new InMemoryMetaStore, new InMemorySegmentStore)).meta
     else if (isS3(root)) {
       val (ep, bucket) = parseS3(root)
-      new S3MetaStore(ep, bucket, s"$stream/meta.jsonl")
+      new S3MetaStore(ep, bucket, s"$stream/meta.jsonl", S3Auth.forEndpoint(ep))
+    } else if (isHadoop(root)) {
+      val uri = java.net.URI.create(root.stripPrefix("hadoop:"))
+      require(uri.getScheme == null || uri.getScheme == "file",
+        s"hadoop:${uri.getScheme}:// roots need an explicit MetaStore — " +
+          "the generic FileSystem API has no compare-and-swap; pair the " +
+          "Hadoop data plane with a conditional-PUT MetaStore (e.g. " +
+          "S3MetaStore) via StreamLog's explicit-store constructor")
+      val dir = (if (uri.getScheme == null) Paths.get(uri.getPath)
+                 else Paths.get(uri)).resolve(stream)
+      new PosixMetaStore(dir.resolve("meta.jsonl"), dir)
     } else {
       val dir = Paths.get(root, stream)
       new PosixMetaStore(dir.resolve("meta.jsonl"), dir)
@@ -280,7 +302,11 @@ object StreamStores {
         _ => Mem(new InMemoryMetaStore, new InMemorySegmentStore)).segs
     else if (isS3(root)) {
       val (ep, bucket) = parseS3(root)
-      new S3SegmentStore(ep, bucket, s"$stream/segments/")
+      new S3SegmentStore(ep, bucket, s"$stream/segments/",
+        S3Auth.forEndpoint(ep))
+    } else if (isHadoop(root)) {
+      val base = root.stripPrefix("hadoop:").stripSuffix("/")
+      new HadoopSegmentStore(s"$base/$stream/segments")
     } else new PosixSegmentStore(Paths.get(root, stream, "segments"))
 
   /** Replay a stream's metadata log through the seam — the DSv2

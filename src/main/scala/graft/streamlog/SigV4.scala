@@ -1,0 +1,209 @@
+package graft.streamlog
+
+import java.net.URI
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Static credentials for AWS Signature Version 4 request signing.
+  * Always EXPLICIT configuration — nothing here sniffs environment
+  * variables, instance metadata, or config files; a deployment
+  * constructs these and registers them with [[S3Auth]] (or passes them
+  * straight to the adapters). */
+final case class SigV4Credentials(accessKey: String, secretKey: String,
+                                  region: String = "us-east-1",
+                                  service: String = "s3")
+
+/** AWS Signature Version 4 — the public request-signing algorithm
+  * (AWS General Reference, "Signature Version 4 signing process"),
+  * implemented from the spec: canonical request → string-to-sign →
+  * HMAC-SHA256 key derivation chain → hex signature. This is the one
+  * piece the r14 wire path declared out of scope (S3Store.scala
+  * scaladoc): with it, the `s3:` adapters speak to authenticated
+  * S3/R2/MinIO endpoints, not just open ones.
+  *
+  * Scope: header-based signing (Authorization header) of
+  * single-chunk requests with a signed payload hash
+  * (`x-amz-content-sha256`) — exactly what the adapters send. No
+  * presigned URLs, no chunked uploads, no STS session tokens.
+  *
+  * Verified against the published AWS test vectors (SigV4Spec): the
+  * signing-key derivation example, the signature-test-suite
+  * `get-vanilla` request, and the IAM ListUsers worked example from
+  * the signing-process documentation reproduce bit-for-bit. The
+  * S3LiteServer conformance fixture additionally RECOMPUTES every
+  * signature server-side from the received request, so the full
+  * adapter battery proves the signed wire shape end-to-end.
+  */
+object SigV4 {
+
+  private val Algorithm = "AWS4-HMAC-SHA256"
+
+  def sha256Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** SHA-256 of the empty payload — GET/DELETE/HEAD requests. */
+  val EmptyPayloadHash: String = sha256Hex(Array.emptyByteArray)
+
+  def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  /** The four-step key derivation: HMAC("AWS4"+secret, date) → region
+    * → service → "aws4_request". */
+  def signingKey(secret: String, dateStamp: String, region: String,
+                 service: String): Array[Byte] = {
+    val kDate = hmac(s"AWS4$secret".getBytes(UTF_8), dateStamp)
+    val kRegion = hmac(kDate, region)
+    val kService = hmac(kRegion, service)
+    hmac(kService, "aws4_request")
+  }
+
+  /** RFC 3986 percent-encoding with AWS's rules: unreserved characters
+    * (A–Z a–z 0–9 - _ . ~) pass through, everything else (including
+    * space → %20, never '+') is %XX with uppercase hex; '/' passes
+    * through only when `keepSlash` (canonical-URI mode — path
+    * separators are structure, not data). The ONE encoder shared by
+    * the adapters' URL building and the canonical request, so the path
+    * the server receives is byte-identical to the path that was
+    * signed. */
+  def uriEncode(s: String, keepSlash: Boolean = false): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.getBytes(UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      val unreserved = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~'
+      if (unreserved || (keepSlash && c == '/')) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** Canonical query string: decoded (key, value) pairs re-encoded and
+    * sorted by key then value, joined `k=v&...`. Pass the pairs
+    * DECODED — this re-encodes them canonically. */
+  def canonicalQuery(params: Seq[(String, String)]): String =
+    params.map { case (k, v) => (uriEncode(k), uriEncode(v)) }
+      .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+
+  /** The canonical request (spec step 1). `headers` are the headers to
+    * SIGN — name case is normalized here; values are trimmed. The
+    * canonical URI is taken as given (already single-encoded — S3
+    * semantics: do NOT double-encode or path-normalize). */
+  def canonicalRequest(method: String, canonicalUri: String,
+                       canonicalQueryString: String,
+                       headers: Seq[(String, String)],
+                       payloadHash: String): String = {
+    val hs = headers.map { case (k, v) => (k.toLowerCase, v.trim) }.sortBy(_._1)
+    val canonicalHeaders = hs.map { case (k, v) => s"$k:$v\n" }.mkString
+    val signedHeaders = hs.map(_._1).mkString(";")
+    s"$method\n$canonicalUri\n$canonicalQueryString\n" +
+      s"$canonicalHeaders\n$signedHeaders\n$payloadHash"
+  }
+
+  /** The credential scope: date/region/service/aws4_request. */
+  def scope(dateStamp: String, region: String, service: String): String =
+    s"$dateStamp/$region/$service/aws4_request"
+
+  /** String-to-sign (spec step 2). */
+  def stringToSign(amzDate: String, credScope: String,
+                   canonicalRequestText: String): String =
+    s"$Algorithm\n$amzDate\n$credScope\n" +
+      sha256Hex(canonicalRequestText.getBytes(UTF_8))
+
+  /** The hex signature for one request (steps 1–3 composed).
+    * `amzDate` is the `yyyyMMdd'T'HHmmss'Z'` timestamp; its first 8
+    * chars are the date stamp the scope and key derivation use. */
+  def signature(creds: SigV4Credentials, amzDate: String, method: String,
+                canonicalUri: String, canonicalQueryString: String,
+                headers: Seq[(String, String)], payloadHash: String): String = {
+    val ds = amzDate.take(8)
+    val sts = stringToSign(amzDate, scope(ds, creds.region, creds.service),
+      canonicalRequest(method, canonicalUri, canonicalQueryString, headers,
+        payloadHash))
+    hmac(signingKey(creds.secretKey, ds, creds.region, creds.service), sts)
+      .map("%02x".format(_)).mkString
+  }
+
+  /** The Authorization header value (spec step 4). */
+  def authorizationHeader(creds: SigV4Credentials, amzDate: String,
+                          signedHeaderNames: Seq[String],
+                          sig: String): String = {
+    val ds = amzDate.take(8)
+    s"$Algorithm Credential=${creds.accessKey}/" +
+      s"${scope(ds, creds.region, creds.service)}, " +
+      s"SignedHeaders=${signedHeaderNames.map(_.toLowerCase).sorted.mkString(";")}, " +
+      s"Signature=$sig"
+  }
+
+  private val AmzDateFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+
+  /** Sign one adapter request: returns the headers to ATTACH
+    * (x-amz-date, x-amz-content-sha256, Authorization). The Host
+    * header is signed but not returned — the HTTP client derives Host
+    * from the URI itself, so the signed value and the sent value
+    * cannot diverge (and the JDK client refuses an explicit Host
+    * header anyway). S3 rule: host plus every x-amz-* header present
+    * must be signed; the adapters' only other headers (If-Match /
+    * If-None-Match) are left unsigned, which SigV4 permits. */
+  def requestHeaders(creds: SigV4Credentials, method: String, url: String,
+                     body: Array[Byte],
+                     now: java.time.Instant = java.time.Instant.now()
+                    ): Seq[(String, String)] = {
+    val uri = URI.create(url)
+    val host =
+      if (uri.getPort == -1) uri.getHost else s"${uri.getHost}:${uri.getPort}"
+    val amzDate = AmzDateFmt.format(now)
+    val payloadHash =
+      if (body == null || body.isEmpty) EmptyPayloadHash else sha256Hex(body)
+    val signed = Seq(
+      "host" -> host,
+      "x-amz-content-sha256" -> payloadHash,
+      "x-amz-date" -> amzDate)
+    val cq = Option(uri.getRawQuery).map(rawQueryToCanonical).getOrElse("")
+    val sig = signature(creds, amzDate, method,
+      Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/"), cq,
+      signed, payloadHash)
+    Seq(
+      "x-amz-date" -> amzDate,
+      "x-amz-content-sha256" -> payloadHash,
+      "Authorization" -> authorizationHeader(creds, amzDate, signed.map(_._1), sig))
+  }
+
+  /** Canonicalize an ALREADY-ENCODED query string: split on & and the
+    * first =, decode, re-encode canonically, sort. Both the client
+    * signer and the server verifier run the same fold, so an
+    * inconsistently-encoded token cannot desynchronize them. */
+  def rawQueryToCanonical(rawQuery: String): String =
+    canonicalQuery(rawQuery.split("&").toSeq.filter(_.nonEmpty).map { p =>
+      val i = p.indexOf('=')
+      val (k, v) = if (i < 0) (p, "") else (p.take(i), p.drop(i + 1))
+      (decode(k), decode(v))
+    })
+
+  private def decode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), UTF_8)
+}
+
+/** Process-wide SigV4 credential registry, keyed by endpoint — the
+  * explicit-config seam [[StreamStores]] resolves through when it
+  * constructs [[S3MetaStore]]/[[S3SegmentStore]] from an
+  * `s3:<endpoint>/<bucket>` root, so executors that re-resolve a store
+  * from the same root strings sign the same way (a cluster deployment
+  * registers credentials at executor startup, e.g. from a Spark
+  * plugin; nothing here reads environment variables). No registration
+  * = unsigned requests, the r14 behavior. */
+object S3Auth {
+  private val byEndpoint =
+    new java.util.concurrent.ConcurrentHashMap[String, SigV4Credentials]()
+
+  def register(endpoint: String, creds: SigV4Credentials): Unit =
+    byEndpoint.put(endpoint, creds): Unit
+
+  def forEndpoint(endpoint: String): Option[SigV4Credentials] =
+    Option(byEndpoint.get(endpoint))
+
+  def unregister(endpoint: String): Unit = byEndpoint.remove(endpoint): Unit
+}

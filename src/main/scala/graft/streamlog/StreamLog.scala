@@ -184,8 +184,22 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
     * here), the check is vacuous and the legacy single-writer-by-
     * contract behavior is unchanged.
     */
-  private def appendMeta(lines: String*): Unit =
+  private def appendMeta(lines: String*): Unit = {
+    val before = loadedTag
     MetaCommits.fencedAppend(store, myWriterEpoch, lines)
+    // Fast-forward the replay tag past our OWN commit (ADVICE r14: the
+    // first poll probe after every same-handle publish otherwise sees
+    // tag != loadedTag and pays a redundant full locked replay) — but
+    // ONLY when the commit's decision ran against exactly the log this
+    // handle's state replays (lastReadTag == the tag we loaded at). If
+    // an external commit interleaved, the read tag differs and loadedTag
+    // stays stale on purpose, so the next probe still refreshes and
+    // picks the interloper's lines up. Callers hold stateLock, and the
+    // store instance is this handle's own (DSv2 writers re-resolve their
+    // own), so lastReadTag/lastCommitTag here describe OUR commit.
+    if (store.lastReadTag == before && store.lastCommitTag != 0L)
+      loadedTag = store.lastCommitTag
+  }
 
   // ------------------------------------------------------------------
   // Publish
@@ -343,7 +357,7 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
     * locked re-read is safe. One extra read per actual data arrival is
     * the right trade. */
   private def probeExternal(): Unit = {
-    val tag = store.readWithTag()._2
+    val tag = store.probeTag() // S3: a HEAD, never a whole-log GET
     if (tag != loadedTag) refresh()
   }
 

@@ -1,0 +1,187 @@
+package graft.streamlog
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** [[HadoopSegmentStore]] driven through the REAL
+  * `org.apache.hadoop.fs.FileSystem` layer over `file://` URIs — the
+  * API shape s3a/gcs/abfs implement — plus the r15 deliverable on top:
+  * [[SegmentStore.scanPaths]] returns real URIs, so the DSv2
+  * batch/micro-batch scan plans range-streaming file reads instead of
+  * the whole-object-GET fallback.
+  */
+class HadoopStreamLogSpec extends SparkSpec {
+
+  private def clock(start: Long): () => Long = {
+    var t = start
+    () => { t += 1; t }
+  }
+
+  private def freshRoot(): String = {
+    val dir = Files.createTempDirectory("graft-hadoop-root")
+    s"hadoop:file://$dir"
+  }
+
+  test("SegmentStore contract through the Hadoop FileSystem layer: put/get/list/delete, dot-tmp invisibility") {
+    val store = new HadoopSegmentStore(
+      s"file://${Files.createTempDirectory("graft-hseg")}/segments")
+    (1 to 4).foreach(i => store.put(s"seg$i.seg", s"line$i\n".getBytes))
+    assert(new String(store.get("seg2.seg")) == "line2\n")
+    intercept[java.nio.file.NoSuchFileException](store.get("absent.seg"))
+    // list: name + modtime, dot-files (in-flight tmp, crc sidecars) hidden
+    val listed = store.list()
+    assert(listed.map(_.name) == (1 to 4).map(i => s"seg$i.seg"))
+    assert(listed.forall(_.lastModifiedMs > 0))
+    store.delete("seg3.seg")
+    store.delete("seg3.seg") // idempotent
+    assert(store.list().map(_.name) == Seq("seg1.seg", "seg2.seg", "seg4.seg"))
+    // scanPaths: REAL URIs a file scan can open
+    val paths = store.scanPaths(Seq("seg1.seg")).get
+    assert(paths.head.startsWith("file:") && paths.head.endsWith("/seg1.seg"))
+    assert(spark.read.text(paths.head).count() == 1L)
+    // putFromFile commits a local spool through the FileSystem
+    val spool = store.newSpool("x")
+    Files.write(spool, "spooled\n".getBytes)
+    store.putFromFile("seg5.seg", spool)
+    assert(new String(store.get("seg5.seg")) == "spooled\n")
+    assert(!Files.exists(spool), "spool consumed")
+  }
+
+  test("full StreamLog battery on a hadoop: root — publish, consume, poll, compact, maintain, rebuild, destroy") {
+    val root = freshRoot()
+    val c = clock(20000000)
+    val log = new StreamLog(spark, root, "s1")
+    val offs = (1 to 4).flatMap(_ =>
+      log.publish((1 to 5).map(i => s"""{"i":$i}"""), nowMs = c))
+    assert(log.consume(Offset.Beginning, 100).map(_._1) == offs)
+    assert(log.consume(offs(7), 100).map(_._1) == offs.drop(8), "chaining")
+
+    // readAfter plans a FILE scan (scanPaths Some), not distributed GETs
+    assert(log.readAfter(Offset.Beginning).count() == 20L)
+    assert(log.readAfter(offs(12)).count() == 7L, "offset pruning intact")
+
+    // second handle wakes through the metadata tag probe
+    val other = new StreamLog(spark, root, "s1")
+    val t = new Thread(() => { Thread.sleep(80); log.publish(Seq("""{"late":1}"""), nowMs = c); () })
+    t.start()
+    val got = other.poll(offs.last, 10, timeoutMs = 30000, intervalMs = 20)
+    t.join()
+    assert(got.map(_._2) == Seq("""{"late":1}"""))
+
+    // compaction merges land through the FileSystem (putFromFile rename)
+    assert(log.compactOnce(nowMs = c).isDefined)
+    assert(log.consume(Offset.Beginning, 100).size == 21)
+    // orphan put + maintain sweep over listStatus
+    StreamStores.segmentStore(root, "s1").put("zzzz-orphan.seg", "junk\n".getBytes)
+    val report = log.maintain(tombstoneMaxAgeMs = 0, orphanGraceMs = -1, nowMs = c)
+    assert(report.orphansPurged.contains("zzzz-orphan.seg"))
+    assert(log.consume(Offset.Beginning, 100).size == 21)
+
+    // crash rebuild from listStatus + open alone
+    val rebuilt = new StreamLog(spark, root, "s1")
+    rebuilt.rebuildFromSegments(nowMs = c)
+    assert(rebuilt.consume(Offset.Beginning, 100).size == 21)
+
+    // destroy + name reuse
+    log.refresh()
+    log.destroy()
+    assert(StreamStores.segmentStore(root, "s1").list().isEmpty)
+    log.publish(Seq("""{"fresh":1}"""), nowMs = c)
+    assert(log.consume(Offset.Beginning, 100).size == 1)
+  }
+
+  test("DSv2 scan over a hadoop: root plans STREAMING file partitions — no GET fallback — with offset pruning intact") {
+    val root = freshRoot()
+    val c = clock(21000000)
+    val log = new StreamLog(spark, root, "s1")
+    val offs = (1 to 3).flatMap(_ =>
+      log.publish((1 to 5).map(i => s"""{"i":$i}"""), nowMs = c))
+
+    // the planner's own partitions: every one carries a real file: URI
+    val scan = new graft.sources.StreamLogScan(root, "s1", Offset.Beginning)
+    val parts = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.StreamLogPartition])
+    assert(parts.length == 3)
+    assert(parts.forall(p => p.path.startsWith("file:")),
+      s"hadoop-rooted partitions must carry scan paths: ${parts.map(_.path).toSeq}")
+    // offset pruning composes: a bounded scan plans fewer partitions
+    val bounded = new graft.sources.StreamLogScan(root, "s1", offs(9))
+      .planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.StreamLogPartition])
+    assert(bounded.length < 3 && bounded.forall(_.path.startsWith("file:")))
+
+    // a mem root (non-addressable) keeps the GET fallback shape
+    val memRoot = s"mem:bucket-${java.util.UUID.randomUUID()}"
+    val memLog = new StreamLog(spark, memRoot, "s1")
+    memLog.publish(Seq("""{"m":1}"""), nowMs = c)
+    val memParts = new graft.sources.StreamLogScan(memRoot, "s1", Offset.Beginning)
+      .planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.StreamLogPartition])
+    assert(memParts.forall(_.path.isEmpty), "non-addressable stores keep the GET path")
+
+    // end-to-end: the streamed read returns exactly the pruned records
+    val df = spark.read.format("streamlog")
+      .option("path", root).option("stream", "s1").load()
+    assert(df.count() == 15)
+    import org.apache.spark.sql.functions.col
+    val pruned = df.filter(col("offset") > offs(7))
+      .collect().map(_.getString(0)).sorted
+    assert(pruned.toSeq == offs.drop(8))
+  }
+
+  test("DSv2 bulk write, micro-batch read, and streaming sink run over the hadoop: root") {
+    val root = freshRoot()
+    val c = clock(22000000)
+    val log = new StreamLog(spark, root, "s1")
+    log.publish((1 to 5).map(i => s"""{"seed":$i}"""), nowMs = c)
+
+    import spark.implicits._
+    val rows = (0 until 12).map(i =>
+      (Offset.serialize(30000000L, i.toLong), s"""{"bulk":$i}"""))
+    rows.toDF("offset", "data").write.format("streamlog")
+      .option("path", root).option("stream", "s1").mode("append").save()
+    log.refresh()
+    assert(log.consume(Offset.Beginning, 100).size == 17)
+
+    // micro-batch partitions also carry file paths
+    val mb = new graft.sources.StreamLogMicroBatch(root, "s1", Offset.Beginning)
+    val end = mb.latestOffset()
+    val mbParts = mb.planInputPartitions(mb.initialOffset(), end)
+      .map(_.asInstanceOf[graft.sources.StreamLogPartition])
+    assert(mbParts.nonEmpty && mbParts.forall(_.path.startsWith("file:")))
+
+    // streaming sink with checkpoint restart: exactly-once over hadoop
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[String](spark)
+    val ckpt = Files.createTempDirectory("graft-hadoop-sink-ckpt").toString
+    def start() = ms.toDF().select($"value".as("data"))
+      .writeStream.format("streamlog")
+      .option("path", root).option("stream", "s1")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q = start()
+    try {
+      ms.addData((1 to 5).map(i => s"""{"s":$i}"""): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val q2 = start()
+    try {
+      ms.addData("""{"s":6}""")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    log.refresh()
+    val got = log.consume(Offset.Beginning, 1000).map(_._2)
+      .filter(_.contains("\"s\""))
+    assert(got.sorted == (1 to 6).map(i => s"""{"s":$i}""").sorted)
+  }
+
+  test("a non-file hadoop scheme refuses the implicit MetaStore pairing with guidance") {
+    val e = intercept[IllegalArgumentException](
+      StreamStores.metaStore("hadoop:hdfs://nn:8020/streams", "s1"))
+    assert(e.getMessage.contains("explicit MetaStore"))
+    // ...but the SEGMENT plane resolves fine (it is scheme-agnostic);
+    // constructing the store does not contact the cluster
+    StreamStores.segmentStore("hadoop:hdfs://nn:8020/streams", "s1"): Unit
+  }
+}

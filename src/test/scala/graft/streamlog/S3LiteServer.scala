@@ -15,21 +15,35 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *     conditional-write API; unconditional PUT always lands.
   *   - `GET /bucket/key` — 200 + ETag (MD5 of content, quoted, as S3
   *     computes for non-multipart objects) or 404.
+  *   - `HEAD /bucket/key` — 200 + ETag, no body (the idle-poll probe).
   *   - `DELETE /bucket/key` — 204, idempotent.
   *   - `GET /bucket?list-type=2&prefix=&continuation-token=` —
-  *     ListObjectsV2 XML, `maxKeys` per page with a continuation
-  *     cursor (set it low in specs to force the adapters to drain
-  *     pagination the way a 1000-key S3 page boundary would).
+  *     ListObjectsV2 XML (keys XML-escaped, as S3 does without an
+  *     encoding-type), `maxKeys` per page with a continuation cursor
+  *     (set it low in specs to force the adapters to drain pagination
+  *     the way a 1000-key S3 page boundary would).
+  *
+  * `auth = Some(creds)`: every request must carry a SigV4
+  * `Authorization` header that the server RE-DERIVES from the received
+  * request — method, raw path, canonicalized query, the received
+  * values of the signed headers, and the payload hash (which must also
+  * match the actual body) — with the shared secret; a missing or
+  * mismatched signature is a 403, as on real S3. This is what makes
+  * the signing spec end-to-end rather than a client self-check.
   *
   * `failPuts` injects 409 ConcurrentModification responses — the
   * spurious rejection S3 returns when conditional attempts overlap in
   * flight (MetaStore stated requirement #2) — so specs can prove the
   * retry path through a real status code, not a simulated boolean.
+  * Per-method hit counters (`gets`/`heads`/`puts`/`deletes`) let specs
+  * assert the wire ECONOMY — e.g. an idle poll loop issues HEADs only,
+  * and one uncontended commit is exactly 1 GET + 1 PUT.
   * All object state is strongly consistent (read-after-write GET and
   * LIST), matching current S3/R2; the lagged-LIST stress lives in
   * [[EventualListSegmentStore]].
   */
-final class S3LiteServer(maxKeys: Int = 1000) {
+final class S3LiteServer(maxKeys: Int = 1000,
+                         auth: Option[SigV4Credentials] = None) {
 
   // key -> (bytes, etag, lastModifiedMs); one lock = the linearizable
   // conditional-write point a real bucket's backend provides
@@ -42,6 +56,11 @@ final class S3LiteServer(maxKeys: Int = 1000) {
     * lost-and-retry. */
   @volatile var dropResponses: Int = 0
   @volatile var puts: Int = 0
+  @volatile var gets: Int = 0
+  @volatile var heads: Int = 0
+  @volatile var deletes: Int = 0
+  /** 403s issued by the SigV4 verifier (0 on a healthy signed run). */
+  @volatile var authRejects: Int = 0
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -51,6 +70,8 @@ final class S3LiteServer(maxKeys: Int = 1000) {
   def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
   def stop(): Unit = server.stop(0)
   def keys: Seq[String] = objects.synchronized(objects.keys.toSeq)
+  def hitCounts: Map[String, Int] =
+    Map("GET" -> gets, "HEAD" -> heads, "PUT" -> puts, "DELETE" -> deletes)
 
   private def md5(b: Array[Byte]): String =
     "\"" + java.security.MessageDigest.getInstance("MD5").digest(b)
@@ -60,27 +81,96 @@ final class S3LiteServer(maxKeys: Int = 1000) {
                       body: Array[Byte] = Array.emptyByteArray,
                       etag: Option[String] = None): Unit = {
     etag.foreach(e => ex.getResponseHeaders.set("ETag", e))
-    ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
-    if (body.nonEmpty) ex.getResponseBody.write(body)
+    if (ex.getRequestMethod == "HEAD")
+      ex.sendResponseHeaders(status, -1) // headers only, ETag included
+    else {
+      ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+    }
     ex.close()
   }
+
+  /** Recompute the SigV4 signature from the RECEIVED request and
+    * compare — returns None when authorized, Some(reason) otherwise. */
+  private def verifySig(ex: HttpExchange, body: Array[Byte]): Option[String] =
+    auth.flatMap { creds =>
+      val hdr = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .getOrElse(return Some("missing Authorization"))
+      // AWS4-HMAC-SHA256 Credential=AK/date/region/service/aws4_request,
+      //   SignedHeaders=a;b;c, Signature=hex
+      val credRe = "Credential=([^,\\s]+)".r
+      val shRe = "SignedHeaders=([^,\\s]+)".r
+      val sigRe = "Signature=([0-9a-f]+)".r
+      val credParts = credRe.findFirstMatchIn(hdr).map(_.group(1).split("/"))
+        .getOrElse(return Some("malformed Credential"))
+      if (credParts.length != 5) return Some("malformed scope")
+      val Array(ak, _, region, service, _) = credParts
+      if (ak != creds.accessKey) return Some(s"unknown access key $ak")
+      if (region != creds.region || service != creds.service)
+        return Some(s"scope mismatch: $region/$service")
+      val signedNames = shRe.findFirstMatchIn(hdr).map(_.group(1).split(";").toSeq)
+        .getOrElse(return Some("missing SignedHeaders"))
+      val claimed = sigRe.findFirstMatchIn(hdr).map(_.group(1))
+        .getOrElse(return Some("missing Signature"))
+      if (!signedNames.contains("host"))
+        return Some("host not signed")
+      val amzDate = Option(ex.getRequestHeaders.getFirst("x-amz-date"))
+        .getOrElse(return Some("missing x-amz-date"))
+      val payloadHash = Option(
+        ex.getRequestHeaders.getFirst("x-amz-content-sha256"))
+        .getOrElse(SigV4.EmptyPayloadHash)
+      if (ex.getRequestMethod == "PUT" && payloadHash != SigV4.sha256Hex(body))
+        return Some("payload hash does not match body")
+      val hs = signedNames.map { n =>
+        n -> Option(ex.getRequestHeaders.getFirst(n)).getOrElse(
+          return Some(s"signed header $n absent"))
+      }
+      val cq = Option(ex.getRequestURI.getRawQuery)
+        .map(SigV4.rawQueryToCanonical).getOrElse("")
+      val expect = SigV4.signature(
+        creds.copy(region = region, service = service), amzDate,
+        ex.getRequestMethod, ex.getRequestURI.getRawPath, cq, hs, payloadHash)
+      if (expect == claimed) None
+      else Some(s"signature mismatch (expected $expect)")
+    }
 
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getPath.stripPrefix("/")
     val slash = path.indexOf('/')
     val key = if (slash < 0) "" else path.substring(slash + 1)
     val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+    val body =
+      if (ex.getRequestMethod == "PUT") ex.getRequestBody.readAllBytes()
+      else Array.emptyByteArray
+    verifySig(ex, body) match {
+      case Some(reason) =>
+        authRejects += 1
+        System.err.println(s"[s3lite] 403: $reason")
+        respond(ex, 403)
+        return
+      case None => ()
+    }
     (ex.getRequestMethod, key) match {
-      case ("GET", "") if query.contains("list-type=2") => list(ex, query)
-      case ("GET", k) => objects.synchronized(objects.get(k)) match {
-        case Some((b, e, _)) => respond(ex, 200, b, Some(e))
-        case None => respond(ex, 404)
-      }
+      case ("GET", "") if query.contains("list-type=2") =>
+        gets += 1
+        list(ex, query)
+      case ("GET", k) =>
+        gets += 1
+        objects.synchronized(objects.get(k)) match {
+          case Some((b, e, _)) => respond(ex, 200, b, Some(e))
+          case None => respond(ex, 404)
+        }
+      case ("HEAD", k) =>
+        heads += 1
+        objects.synchronized(objects.get(k)) match {
+          case Some((_, e, _)) => respond(ex, 200, etag = Some(e))
+          case None => respond(ex, 404)
+        }
       case ("DELETE", k) =>
+        deletes += 1
         objects.synchronized(objects.remove(k))
         respond(ex, 204)
       case ("PUT", k) =>
-        val body = ex.getRequestBody.readAllBytes()
         val ifMatch = Option(ex.getRequestHeaders.getFirst("If-Match"))
         val ifNone = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
         objects.synchronized {
@@ -113,6 +203,10 @@ final class S3LiteServer(maxKeys: Int = 1000) {
         java.net.URLDecoder.decode(p.substring(name.length + 1), UTF_8)
     }
 
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
+
   private def list(ex: HttpExchange, query: String): Unit = {
     val prefix = qparam(query, "prefix").getOrElse("")
     val after = qparam(query, "continuation-token")
@@ -124,14 +218,14 @@ final class S3LiteServer(maxKeys: Int = 1000) {
       val page = all.take(maxKeys)
       val truncated = all.size > maxKeys
       val contents = page.map { case (k, (_, _, ts)) =>
-        s"<Contents><Key>$k</Key><LastModified>" +
+        s"<Contents><Key>${xmlEscape(k)}</Key><LastModified>" +
           java.time.Instant.ofEpochMilli(ts).toString +
           s"</LastModified></Contents>"
       }.mkString
       "<?xml version=\"1.0\" encoding=\"UTF-8\"?><ListBucketResult>" +
         s"<IsTruncated>$truncated</IsTruncated>" +
         (if (truncated)
-          s"<NextContinuationToken>${page.last._1}</NextContinuationToken>"
+          s"<NextContinuationToken>${xmlEscape(page.last._1)}</NextContinuationToken>"
          else "") +
         contents + "</ListBucketResult>"
     }

@@ -14,8 +14,10 @@ import graft.SparkSpec
   */
 class S3StoreSpec extends SparkSpec {
 
-  private def withServer(maxKeys: Int = 1000)(f: S3LiteServer => Unit): Unit = {
-    val srv = new S3LiteServer(maxKeys)
+  private def withServer(maxKeys: Int = 1000,
+                         auth: Option[SigV4Credentials] = None)
+                        (f: S3LiteServer => Unit): Unit = {
+    val srv = new S3LiteServer(maxKeys, auth)
     try f(srv) finally srv.stop()
   }
 
@@ -270,6 +272,172 @@ class S3StoreSpec extends SparkSpec {
       assert(log.consume(Offset.Beginning, 100) == before, "records lost")
       log.publish(Seq("""{"resumed":1}"""), nowMs = c)
       assert(log.consume(Offset.Beginning, 100).size == before.size + 1)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // SigV4 signing (r15): the server RE-DERIVES every signature from the
+  // received request with the shared secret — 403 on any mismatch
+  // ------------------------------------------------------------------
+
+  private val testCreds = SigV4Credentials(
+    "GRAFTTESTACCESSKEY00", "graft-test-secret-key/with+chars",
+    region = "us-east-1", service = "s3")
+
+  test("SigV4: signed CAS battery — server-side verification accepts every adapter request, rejects unsigned") {
+    withServer(auth = Some(testCreds)) { srv =>
+      // unsigned client against a signing-required server: 403 surfaces
+      val unsigned = new S3MetaStore(srv.endpoint, "b", "s1/meta.jsonl")
+      intercept[IllegalStateException](unsigned.readWithTag())
+      assert(srv.authRejects >= 1)
+
+      val store = new S3MetaStore(srv.endpoint, "b", "s1/meta.jsonl",
+        Some(testCreds))
+      val (l0, t0) = store.readWithTag()
+      assert(l0.isEmpty && t0 == 0L)
+      assert(store.appendIf(0L, Seq(MetaJson.writer(1))))
+      val (_, t1) = store.readWithTag()
+      assert(!store.appendIf(t0, Seq(MetaJson.writer(99))), "stale tag: real 412")
+      assert(store.appendIf(t1, Seq(MetaJson.version(5))))
+      val (l2, t2) = store.readWithTag()
+      assert(l2 == Vector(MetaJson.writer(1), MetaJson.version(5)))
+      assert(store.replaceIf(t2, Seq(MetaJson.writer(8))))
+      assert(store.probeTag() == store.readWithTag()._2, "HEAD signs too")
+      store.clear()
+      assert(store.readWithTag() == (Vector.empty, 0L))
+
+      // segment plane: put/get/list/delete all signed, pagination signed
+      val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+        Some(testCreds))
+      (1 to 5).foreach(i => segs.put(s"seg$i.seg", s"line$i\n".getBytes))
+      assert(new String(segs.get("seg3.seg")) == "line3\n")
+      assert(segs.list().map(_.name) == (1 to 5).map(i => s"seg$i.seg"))
+      segs.delete("seg2.seg")
+      assert(segs.list().size == 4)
+      val before = srv.authRejects
+      assert(before == 1, s"only the unsigned probe was rejected: $before")
+    }
+  }
+
+  test("SigV4: StreamLog end-to-end on a signed s3: root via the S3Auth registry") {
+    withServer(auth = Some(testCreds)) { srv =>
+      S3Auth.register(srv.endpoint, testCreds)
+      try {
+        val root = s"s3:${srv.endpoint}/b"
+        val c = clock(7100000)
+        val log = new StreamLog(spark, root, "s1")
+        val offs = (1 to 3).flatMap(_ =>
+          log.publish((1 to 4).map(i => s"""{"i":$i}"""), nowMs = c))
+        assert(log.consume(Offset.Beginning, 100).size == 12)
+        // distributed read: executor tasks re-resolve creds from the
+        // registry and sign their own GETs
+        assert(log.readAfter(Offset.Beginning).count() == 12L)
+        // DSv2 batch read over the signed root
+        val df = spark.read.format("streamlog")
+          .option("path", root).option("stream", "s1").load()
+        assert(df.count() == 12)
+        // compaction + maintenance: merged put, tombstone deletes, LIST
+        // sweeps — all signed
+        assert(log.compactOnce(nowMs = c).isDefined)
+        log.maintain(tombstoneMaxAgeMs = 0, orphanGraceMs = 0, nowMs = c)
+        assert(log.consume(Offset.Beginning, 100).map(_._1) == offs)
+        assert(srv.authRejects == 0, "a healthy signed run never 403s")
+        // claim race through signed sockets
+        assert(log.claimWriter() == 1L)
+        intercept[WriterFencedException] {
+          val other = new StreamLog(spark, root, "s1")
+          other.claimWriter() // epoch 2 — fences the first handle
+          log.publish(Seq("""{"x":1}"""), nowMs = c)
+        }
+      } finally S3Auth.unregister(srv.endpoint)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Wire GET economy (r15): HEAD probes, single-GET commits
+  // ------------------------------------------------------------------
+
+  test("idle long-poll issues HEAD probes only — zero GETs, zero PUTs") {
+    withServer() { srv =>
+      val root = s"s3:${srv.endpoint}/b"
+      val c = clock(7200000)
+      val log = new StreamLog(spark, root, "s1")
+      log.publish((1 to 3).map(i => s"""{"i":$i}"""), nowMs = c)
+      val tip = log.lastOffset.get
+      val (g0, p0, h0) = (srv.gets, srv.puts, srv.heads)
+      val got = log.poll(tip, 10, timeoutMs = 400, intervalMs = 20)
+      assert(got.isEmpty)
+      assert(srv.heads - h0 >= 2, s"expected repeated HEAD probes, got ${srv.heads - h0}")
+      assert(srv.gets == g0,
+        s"an idle poll paid ${srv.gets - g0} GETs — the r14 whole-log-GET-per-probe regression")
+      assert(srv.puts == p0)
+    }
+  }
+
+  test("same-handle publish fast-forwards the replay tag: the next poll probe replays nothing") {
+    withServer() { srv =>
+      val root = s"s3:${srv.endpoint}/b"
+      val c = clock(7300000)
+      val log = new StreamLog(spark, root, "s1")
+      log.publish(Seq("""{"a":1}"""), nowMs = c)
+      val tip = log.lastOffset.get
+      // ADVICE r14: loadedTag used to stay at the pre-publish tag, so the
+      // FIRST probe after a same-handle publish saw movement and paid a
+      // full locked replay (a whole-log GET). With the fast-forward the
+      // probe's HEAD matches and the poll window costs zero GETs.
+      val g0 = srv.gets
+      assert(log.poll(tip, 10, timeoutMs = 200, intervalMs = 25).isEmpty)
+      assert(srv.gets == g0,
+        s"first-probe-after-publish paid ${srv.gets - g0} GETs — loadedTag not fast-forwarded")
+      // an EXTERNAL commit still wakes the poller through the tag probe
+      val other = new StreamLog(spark, root, "s1")
+      val t = new Thread(() => { Thread.sleep(80); other.publish(Seq("""{"b":2}"""), nowMs = c); () })
+      t.start()
+      val got = log.poll(tip, 10, timeoutMs = 30000, intervalMs = 20)
+      t.join()
+      assert(got.map(_._2) == Seq("""{"b":2}"""))
+    }
+  }
+
+  test("one uncontended metadata commit = exactly 1 GET + 1 PUT (the read is threaded into the conditional PUT)") {
+    withServer() { srv =>
+      val store = new S3MetaStore(srv.endpoint, "b", "s1/meta.jsonl")
+      MetaCommits.claimWriter(store, 0L) // seed: log exists
+      val (g0, p0) = (srv.gets, srv.puts)
+      MetaCommits.fencedAppend(store, 1L, Seq(MetaJson.version(7)))
+      assert(srv.gets - g0 == 1,
+        s"uncontended commit paid ${srv.gets - g0} GETs (r14 paid 2: the loop's read + putIf's re-GET)")
+      assert(srv.puts - p0 == 1)
+      assert(MetaLog.replayLines(store.readWithTag()._1).producerVersion == 7L)
+
+      // contended: an interloper commits between read and PUT — the 412
+      // re-read path still pays exactly one extra (GET, PUT) round
+      val interloper = new S3MetaStore(srv.endpoint, "b", "s1/meta.jsonl")
+      val (cur, tag) = store.readWithTag()
+      assert(cur.nonEmpty)
+      assert(interloper.appendIf(interloper.readWithTag()._2,
+        Seq(MetaJson.version(8))))
+      val (g1, p1) = (srv.gets, srv.puts)
+      // stale-tag append: cached body matches our tag, PUT loses 412
+      assert(!store.appendIf(tag, Seq(MetaJson.version(9))))
+      assert(srv.gets - g1 == 0 && srv.puts - p1 == 1,
+        "the losing attempt reuses its cached read and pays only the PUT")
+      // and the full commit loop converges with one more (GET, PUT)
+      MetaCommits.fencedAppend(store, 1L, Seq(MetaJson.version(9)))
+      assert(MetaLog.replayLines(store.readWithTag()._1).producerVersion == 9L)
+    }
+  }
+
+  test("injected 409s and dropped responses still converge with the threaded single-GET commit") {
+    withServer() { srv =>
+      val store = new S3MetaStore(srv.endpoint, "b", "s1/meta.jsonl")
+      MetaCommits.claimWriter(store, 0L)
+      srv.failPuts = 2
+      MetaCommits.fencedAppend(store, 1L, Seq(MetaJson.version(3)))
+      assert(MetaLog.replayLines(store.readWithTag()._1).producerVersion == 3L)
+      srv.dropResponses = 1
+      MetaCommits.fencedAppend(store, 1L, Seq(MetaJson.version(4)))
+      assert(MetaLog.replayLines(store.readWithTag()._1).producerVersion == 4L)
     }
   }
 

@@ -1,0 +1,106 @@
+package graft.streamlog
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SigV4 against the PUBLISHED AWS vectors — the bit-for-bit gate that
+  * breaks the circularity of client and server sharing one
+  * implementation: these expected strings come from AWS's own
+  * documentation and signature test suite, not from this codebase.
+  */
+class SigV4Spec extends AnyFunSuite {
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  // The worked key-derivation example from the AWS General Reference
+  // ("Signature Version 4 signing process", task 3): the documented
+  // secret/date/region/service must derive exactly this signing key.
+  test("signing-key derivation reproduces the documented example key") {
+    val k = SigV4.signingKey(
+      "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+      "20150830", "us-east-1", "iam")
+    assert(hex(k) ==
+      "c4afb1cc5771d871763a393e44b703571b55cc28424d1a5e86da6ed3c154a4b9")
+  }
+
+  // AWS signature test suite, `get-vanilla`: GET / against
+  // example.amazonaws.com, signed headers host;x-amz-date, empty payload.
+  test("get-vanilla from the AWS signature test suite") {
+    val creds = SigV4Credentials("AKIDEXAMPLE",
+      "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+      region = "us-east-1", service = "service")
+    val sig = SigV4.signature(creds, "20150830T123600Z", "GET", "/", "",
+      Seq("host" -> "example.amazonaws.com",
+        "x-amz-date" -> "20150830T123600Z"),
+      SigV4.EmptyPayloadHash)
+    assert(sig ==
+      "5fa00fa31553b73ebf1942676e86291e8372ff2a2260956d9b8aae1d763fbf31")
+  }
+
+  // The end-to-end worked example from the signing-process docs:
+  // GET https://iam.amazonaws.com/?Action=ListUsers&Version=2010-05-08
+  test("IAM ListUsers worked example signs bit-for-bit") {
+    val creds = SigV4Credentials("AKIDEXAMPLE",
+      "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+      region = "us-east-1", service = "iam")
+    val headers = Seq(
+      "content-type" -> "application/x-www-form-urlencoded; charset=utf-8",
+      "host" -> "iam.amazonaws.com",
+      "x-amz-date" -> "20150830T123600Z")
+    val cq = SigV4.canonicalQuery(
+      Seq("Action" -> "ListUsers", "Version" -> "2010-05-08"))
+    assert(cq == "Action=ListUsers&Version=2010-05-08")
+    // the docs also publish the canonical request's hash — pin the
+    // intermediate so a failure localizes to step 1 vs step 3
+    val cr = SigV4.canonicalRequest("GET", "/", cq, headers,
+      SigV4.EmptyPayloadHash)
+    assert(SigV4.sha256Hex(cr.getBytes("UTF-8")) ==
+      "f536975d06c0309214f805bb90ccff089219ecd68b2577efef23edd43b7e1a59")
+    val sig = SigV4.signature(creds, "20150830T123600Z", "GET", "/", cq,
+      headers, SigV4.EmptyPayloadHash)
+    assert(sig ==
+      "5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7")
+  }
+
+  test("uriEncode follows the AWS rules: unreserved pass-through, %20 not '+', uppercase hex, optional slash") {
+    assert(SigV4.uriEncode("AZaz09-_.~") == "AZaz09-_.~")
+    assert(SigV4.uriEncode("a b+c") == "a%20b%2Bc")
+    assert(SigV4.uriEncode("s1/meta.jsonl") == "s1%2Fmeta.jsonl")
+    assert(SigV4.uriEncode("s1/meta.jsonl", keepSlash = true) == "s1/meta.jsonl")
+    assert(SigV4.uriEncode("k&<>\"'") == "k%26%3C%3E%22%27")
+    assert(SigV4.uriEncode("é") == "%C3%A9") // UTF-8 bytes, each escaped
+  }
+
+  test("canonical query sorts by key then value and re-encodes canonically") {
+    assert(SigV4.canonicalQuery(Seq("b" -> "2", "a" -> "1", "a" -> "0")) ==
+      "a=0&a=1&b=2")
+    assert(SigV4.rawQueryToCanonical("list-type=2&prefix=s1%2Fsegments%2F") ==
+      "list-type=2&prefix=s1%2Fsegments%2F")
+    // '+' in a raw query is NOT decoded to space (S3 object keys may
+    // contain literal '+'); re-encoding keeps it a %2B
+    assert(SigV4.rawQueryToCanonical("continuation-token=a+b") ==
+      "continuation-token=a%2Bb")
+  }
+
+  test("requestHeaders produce a server-verifiable triple for exactly what is sent") {
+    val creds = SigV4Credentials("AK", "secret")
+    val body = "hello\n".getBytes("UTF-8")
+    val hs = SigV4.requestHeaders(creds, "PUT",
+      "http://127.0.0.1:9000/b/s1/meta.jsonl", body,
+      java.time.Instant.parse("2026-08-15T00:00:00Z")).toMap
+    assert(hs("x-amz-date") == "20260815T000000Z")
+    assert(hs("x-amz-content-sha256") == SigV4.sha256Hex(body))
+    val auth = hs("Authorization")
+    assert(auth.startsWith("AWS4-HMAC-SHA256 Credential=AK/20260815/us-east-1/s3/aws4_request"))
+    assert(auth.contains("SignedHeaders=host;x-amz-content-sha256;x-amz-date"))
+    // recompute exactly as the conformance server does
+    val sigRe = "Signature=([0-9a-f]+)".r
+    val claimed = sigRe.findFirstMatchIn(auth).get.group(1)
+    val expect = SigV4.signature(creds, "20260815T000000Z", "PUT",
+      "/b/s1/meta.jsonl", "",
+      Seq("host" -> "127.0.0.1:9000",
+        "x-amz-content-sha256" -> SigV4.sha256Hex(body),
+        "x-amz-date" -> "20260815T000000Z"),
+      SigV4.sha256Hex(body))
+    assert(claimed == expect)
+  }
+}
