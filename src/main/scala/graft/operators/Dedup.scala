@@ -516,30 +516,42 @@ object Dedup {
     * in one task.
     */
   def repetitionWeights(d: DataFrame, clusters: DataFrame,
-                        alpha: Double = 1.0): DataFrame = {
+                        alpha: Double = 1.0,
+                        validate: Boolean = true): DataFrame = {
     require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
     Seq("cluster_size", "w", "n_repeats", "_graft_cs").foreach(r =>
       require(!d.columns.contains(r),
         s"input already has a $r column; rename it first"))
+    // the evidence frame is read twice when validating (probe + size
+    // aggregation) and twice regardless (groupBy + self-join), and on a
+    // heavily duplicated crawl it is corpus-shaped — persist it so the
+    // upstream lineage (often an LSH/CC pipeline) executes once
+    // (ADVICE r14), same shape as bootstrapCIPerGroup's probed frame
+    val ev = graft.core.Caches.persist(clusters)
     // probe-then-refuse (the module discipline, ADVICE r13): a doc_id
     // in more than one cluster row — two clusters, or duplicate
     // evidence rows — would fan out through the size join and silently
     // DUPLICATE that doc's output rows while inflating cluster sizes;
-    // the aggregation is over the cluster frame, bounded by clusters
-    val probe = clusters.agg(count(lit(1)), countDistinct(col("doc_id")),
-      count(when(col("doc_id").isNull, 1))).head()
-    require(probe.getLong(2) == 0L,
-      s"clusters frame has ${probe.getLong(2)} null doc_id rows — they " +
-        "join to no document yet inflate their cluster's size; drop them " +
-        "first")
-    require(probe.getLong(0) == probe.getLong(1),
-      s"clusters frame maps a doc_id to multiple rows (${probe.getLong(0)} " +
-        s"rows, ${probe.getLong(1)} distinct doc_ids) — dedupe the evidence " +
-        "to one (doc_id, cluster_id) row per doc first")
-    val sizes = clusters
+    // the aggregation is over the cluster frame, bounded by clusters.
+    // `validate = false` skips the probe for callers whose evidence is
+    // unique by construction (duplicateClusters' output already is) —
+    // the interleaveBySource escape-hatch shape.
+    if (validate) {
+      val probe = ev.agg(count(lit(1)), countDistinct(col("doc_id")),
+        count(when(col("doc_id").isNull, 1))).head()
+      require(probe.getLong(2) == 0L,
+        s"clusters frame has ${probe.getLong(2)} null doc_id rows — they " +
+          "join to no document yet inflate their cluster's size; drop them " +
+          "first")
+      require(probe.getLong(0) == probe.getLong(1),
+        s"clusters frame maps a doc_id to multiple rows (${probe.getLong(0)} " +
+          s"rows, ${probe.getLong(1)} distinct doc_ids) — dedupe the evidence " +
+          "to one (doc_id, cluster_id) row per doc first")
+    }
+    val sizes = ev
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("_graft_cs"))
-      .join(clusters, Seq("cluster_id"))
+      .join(ev, Seq("cluster_id"))
       .select(col("doc_id"), col("_graft_cs"))
     val b = Hashing.hash60(col("doc_id").cast("string")) % 1000
     d.join(sizes, Seq("doc_id"), "left")

@@ -912,7 +912,15 @@ object Sampling {
     * Exact 1..n `interleave_pos` via the shared two-level scan; output
     * range-partitioned in stream order. To interleave at non-corpus
     * proportions, upsample first ([[mixtureSample]]) and interleave
-    * the result. `key` must be globally unique (refused). */
+    * the result. `key` must be globally unique (refused).
+    *
+    * COST NOTE (r14 default change): the default uniqueness probe is an
+    * EXACT `countDistinct` — a full-width zero-reduction shuffle over
+    * the corpus on every call, the price of the determinism contract.
+    * Callers whose key is unique by construction should pass
+    * `validateKey = false`; callers who can tolerate ~4 % undetected
+    * duplication can pass `sketchProbe = true` for the HLL tripwire
+    * that escalates to exact only on suspicion. */
   def interleaveBySource(d: DataFrame, source: Column, key: Column,
                          salt: Long = 0L, parts: Int = 0,
                          validateKey: Boolean = true,

@@ -431,9 +431,22 @@ object MetaCommits {
       // ambiguous-replay recognition must see COMPACTED segments too: a
       // maintenance pass may have tombstoned the landed segments between
       // the ambiguous attempt and this retry — they are still this
-      // commit's own work, not an overlap
+      // commit's own work, not an overlap. And it must survive
+      // tombstone-then-PURGE (ADVICE r14): after purgeTombstones the
+      // landed names are gone from BOTH sets, but compaction merged
+      // them into a live segment whose range COVERS theirs — so a
+      // name-unknown segment whose entire [first,last] range sits
+      // inside one live segment is also this commit's replayed work.
+      // Sound because a FRESH (non-replay) load's offsets are strictly
+      // greater than everything in the index (the overlap require
+      // below enforces exactly that), so a fresh segment can never
+      // appear covered; a PARTIALLY-overlapping foreign load still
+      // fails the overlap check rather than passing as a replay.
       val known = st.index.segments.map(_.name).toSet ++ st.tombstones.keySet
-      if (segs.forall(m => known.contains(m.name))) None // ambiguous replay
+      def covered(m: SegmentMeta): Boolean =
+        st.index.segments.exists(live =>
+          live.firstOffset <= m.firstOffset && m.lastOffset <= live.lastOffset)
+      if (segs.forall(m => known.contains(m.name) || covered(m))) None // replay
       else {
         st.index.max.foreach { m =>
           require(m.lastOffset < segs.head.firstOffset,

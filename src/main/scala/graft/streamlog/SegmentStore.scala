@@ -318,4 +318,55 @@ object StreamStores {
   /** Drop a mem-rooted stream's registry entry (destroy path). */
   def dropMem(root: String, stream: String): Unit =
     if (isMem(root)) mem.remove(key(root, stream)): Unit
+
+  /** Stream names under `root`, across every scheme — the fleet
+    * catalog's discovery primitive ([[StreamLogs.list]] delegates here
+    * for non-POSIX roots, r15: the fleet daemon was POSIX-only before):
+    *   - mem: the registry's keys under this root;
+    *   - s3: one bucket-wide paginated LIST, a stream being any first
+    *     path component that carries a `meta.jsonl` or a `segments/`
+    *     object (the same marker rule as the POSIX listing);
+    *   - hadoop: `listStatus` of the base URI, same marker rule.
+    * Only streams with committed STATE are listed — a name addressed
+    * but never published to has no objects, exactly like the
+    * reference, where a Durable Object exists the moment it is named
+    * but is observable only through its stored state. */
+  def listStreams(root: String): Seq[String] =
+    if (isMem(root)) {
+      val p = root + "/"
+      mem.keySet.asScala.toSeq.collect {
+        case k if k.startsWith(p) && streamExists(root, k.drop(p.length)) =>
+          k.drop(p.length)
+      }.sorted
+    } else if (isS3(root)) {
+      val (ep, bucket) = parseS3(root)
+      val all = new S3SegmentStore(ep, bucket, "", S3Auth.forEndpoint(ep))
+        .list().map(_.name)
+      all.collect {
+        case k if k.endsWith("/meta.jsonl") && k.count(_ == '/') == 1 =>
+          k.stripSuffix("/meta.jsonl")
+        case k if k.split("/", -1).length >= 3 && k.split("/", -1)(1) == "segments" =>
+          k.takeWhile(_ != '/')
+      }.distinct.sorted
+    } else if (isHadoop(root)) {
+      val base = new org.apache.hadoop.fs.Path(root.stripPrefix("hadoop:"))
+      val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      try fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory &&
+          (fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "meta.jsonl")) ||
+            fs.isDirectory(new org.apache.hadoop.fs.Path(s.getPath, "segments"))))
+        .map(_.getPath.getName).sorted
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    } else Seq.empty // POSIX handled by StreamLogs.list's dirlist
+
+  /** Does `stream` have committed state under `root`? Scheme-agnostic:
+    * a non-empty metadata log (one read of the checkpoint-bounded log —
+    * deliberately lines-not-tag, because the in-memory sim's revision
+    * tag stays nonzero after a destroy's clear()) or any segment
+    * object. The fleet sweep's liveness check (replaces the POSIX-only
+    * `Files.isDirectory(streamDir)`, which on a bucket root pointed at
+    * local scratch and made every bucket stream look destroyed). */
+  def streamExists(root: String, stream: String): Boolean =
+    metaStore(root, stream).readWithTag()._1.nonEmpty ||
+      segmentStore(root, stream).list().nonEmpty
 }

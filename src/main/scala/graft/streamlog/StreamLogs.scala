@@ -16,8 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamLogs {
 
-  /** Stream names under `root`, sorted. */
+  /** Stream names under `root`, sorted. Bucket roots (mem:/s3:/hadoop:)
+    * discover through the storage seams ([[StreamStores.listStreams]],
+    * r15 — the fleet catalog was POSIX-only before); POSIX roots keep
+    * the direct dirlist. */
   def list(root: String): Seq[String] = {
+    if (StreamStores.isBucket(root)) return StreamStores.listStreams(root)
     val p = Paths.get(root)
     if (!Files.isDirectory(p)) return Seq.empty
     val st = Files.list(p)
@@ -120,6 +124,14 @@ object StreamLogs {
     def open(name: String): StreamLog =
       streams.computeIfAbsent(name, n => new StreamLog(spark, root, n))
 
+    /** Is the stream's state still present? POSIX: its directory
+      * (cheap stat, the pre-r15 check); bucket roots: the storage
+      * seams — the streamDir there is local scratch, which would make
+      * every bucket stream look destroyed. */
+    private def streamLives(n: String, log: StreamLog): Boolean =
+      if (StreamStores.isBucket(root)) StreamStores.streamExists(root, n)
+      else Files.isDirectory(log.streamDir)
+
     /** Number of cached stream handles (fleet introspection; the churn
       * spec bounds this against the live stream count). */
     def cachedHandles: Int = streams.size()
@@ -183,7 +195,7 @@ object StreamLogs {
                 val fEpoch = fencedAt.get(n)
                 if (fencedAt.containsKey(n) &&
                     log.claimedWriterEpoch <= fEpoch) ()
-                else if (Files.isDirectory(log.streamDir)) {
+                else if (streamLives(n, log)) {
                   fencedAt.remove(n)
                   seenOnDisk.add(n)
                   onReport(n, log.maintain(limits, tombstoneMaxAgeMs, orphanGraceMs))
@@ -208,9 +220,12 @@ object StreamLogs {
           // cache forever. Only names a sweep has SEEN on disk are
           // candidates, so a handle opened ahead of its first publish
           // is never evicted out from under its caller.
-          streams.keySet.removeIf(n =>
-            seenOnDisk.contains(n) && !Files.isDirectory(Paths.get(root, n)) &&
-              { seenOnDisk.remove(n); true })
+          streams.keySet.removeIf { n =>
+            seenOnDisk.contains(n) && {
+              val h = streams.get(n)
+              h == null || !streamLives(n, h)
+            } && { seenOnDisk.remove(n); true }
+          }
           // wait out the interval's remainder so the NEXT sweep starts
           // exactly intervalMs after this one did
           val rem = intervalMs - elapsedMs

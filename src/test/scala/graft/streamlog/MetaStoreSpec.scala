@@ -467,6 +467,30 @@ class MetaStoreSpec extends SparkSpec {
     assert(clines.count(_.contains("\"a.seg\"")) == 2,
       "one add + one tombstone — the retry appended nothing")
     assert(MetaLog.replayLines(clines).index.segments.map(_.name) == Seq("m.seg"))
+    // ...and even when the compacted originals were ALSO PURGED before
+    // the retry (tombstone-then-purge, ADVICE r14): the landed names
+    // are gone from index AND tombstones, but the merged segment's
+    // range covers theirs — the retry must resolve as a replay instead
+    // of wedging on its own committed work forever
+    val purged = new InMemoryMetaStore {
+      private var n = 1
+      override def appendIf(tag: Long, ls: Seq[String]): Boolean = {
+        if (n > 0) {
+          n -= 1
+          assert(super.appendIf(readWithTag()._2,
+            ls ++ Seq(MetaJson.tombstone(seg.name, 9L), MetaJson.add(merged),
+              MetaJson.purge(seg.name))))
+          false
+        } else super.appendIf(tag, ls)
+      }
+    }
+    MetaCommits.commitBulk(purged, 0L, Seq(seg)) // must not throw or wedge
+    val plines = purged.readWithTag()._1
+    val pst = MetaLog.replayLines(plines)
+    assert(pst.index.segments.map(_.name) == Seq("m.seg"))
+    assert(pst.tombstones.isEmpty)
+    assert(plines.count(_.contains("\"a.seg\"")) == 3,
+      "add + tombstone + purge — the retry appended nothing")
     // ...and a GENUINE overlap (different name, crossing offsets)
     // still refuses
     intercept[IllegalArgumentException](MetaCommits.commitBulk(bulk, 0L,

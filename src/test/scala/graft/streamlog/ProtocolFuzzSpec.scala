@@ -1,0 +1,212 @@
+package graft.streamlog
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generative conformance sweep over the conditional-commit protocols
+  * (VERDICT r15 #7): seeded random interleavings of {claim, publish
+  * append, sink-epoch commit, bulk commit, compaction apply, tombstone
+  * purge, checkpoint} across 2–4 writer handles, over a store that
+  * randomly injects the two bucket failure modes — SPURIOUS rejections
+  * (S3 409: the precondition held, nothing landed) and AMBIGUOUS
+  * landings (the write landed, the response was lost) — at seeded
+  * points. After EVERY operation (the sequential driver makes every
+  * point quiescent) the store's replayed state is compared against an
+  * independently-maintained shadow model:
+  *
+  *   - no lost adds, no duplicated adds: live ∪ tombstoned ∪ purged
+  *     exactly equals the model's committed names;
+  *   - live index sorted and non-overlapping;
+  *   - sink-epoch high-water marks exactly the model's (exactly-once:
+  *     a replayed epoch commits nothing, an ambiguous landing is
+  *     recognized on retry);
+  *   - writer epoch strictly monotonic, fencing refuses EXACTLY the
+  *     stale handles;
+  *   - checkpoint is replay-invariant.
+  *
+  * A failure reports its seed — re-running the one seed replays the
+  * exact interleaving and injection schedule. The hand-written
+  * conformance matrix (MetaStoreSpec) pins the known-tricky cases;
+  * this sweep is how the NEXT protocol bug gets found before a soak
+  * does.
+  */
+class ProtocolFuzzSpec extends AnyFunSuite {
+
+  /** InMemory store with seeded fault injection on every conditional
+    * write: spurious (report false, land nothing) and ambiguous (land,
+    * report false). Rates are per-attempt. */
+  private class SeededFaultyStore(rng: scala.util.Random,
+                                  spuriousRate: Double,
+                                  ambiguousRate: Double)
+      extends InMemoryMetaStore {
+    var spuriousInjected = 0
+    var ambiguousInjected = 0
+    private def fault(attempt: => Boolean): Boolean = {
+      val draw = rng.nextDouble()
+      if (draw < spuriousRate) { spuriousInjected += 1; false }
+      else if (draw < spuriousRate + ambiguousRate) {
+        ambiguousInjected += 1
+        assert(attempt, "an ambiguous write must actually land")
+        false
+      } else attempt
+    }
+    override def appendIf(tag: Long, ls: Seq[String]): Boolean =
+      fault(super.appendIf(tag, ls))
+    override def replaceIf(tag: Long, ls: Seq[String]): Boolean =
+      fault(super.replaceIf(tag, ls))
+  }
+
+  /** The shadow model: what the protocols PROMISE the replayed state
+    * is, tracked without reading the store. */
+  private final class Model {
+    var writerEpoch = 0L
+    var live = Vector.empty[SegmentMeta] // sorted by construction
+    var tombstoned = Set.empty[String]
+    var purged = Set.empty[String]
+    var sinkEpochs = Map.empty[String, Long]
+    var offsetEpoch = 1000000L // strictly-increasing offset assignment
+    def nextSegs(n: Int, k: Int): Seq[SegmentMeta] = {
+      (1 to n).map { _ =>
+        offsetEpoch += 1
+        SegmentMeta(s"$offsetEpoch-${live.size}-${tombstoned.size}-${purged.size}.seg",
+          Offset.serialize(offsetEpoch, 0), Offset.serialize(offsetEpoch, k - 1L),
+          offsetEpoch, k.toLong, 10L * k)
+      }
+    }
+  }
+
+  private def check(seed: Long, op: String, store: MetaStore, m: Model): Unit = {
+    val lines = store.readWithTag()._1
+    val st = MetaLog.replayLines(lines)
+    def ctx = s"seed=$seed op=$op"
+    assert(st.writerEpoch == m.writerEpoch, s"$ctx writerEpoch")
+    assert(st.index.segments.map(_.name) == m.live.map(_.name),
+      s"$ctx live segments: got ${st.index.segments.map(_.name)}, " +
+        s"want ${m.live.map(_.name)}")
+    st.index.segments.sliding(2).foreach {
+      case Seq(a, b) => assert(a.lastOffset < b.firstOffset,
+        s"$ctx overlap: ${a.name}/${b.name}")
+      case _ =>
+    }
+    assert(st.tombstones.keySet == m.tombstoned, s"$ctx tombstones")
+    assert(st.index.segments.map(_.name).toSet.intersect(m.tombstoned).isEmpty,
+      s"$ctx a name is both live and tombstoned")
+    assert(MetaLog.sinkEpochsOf(lines) == m.sinkEpochs, s"$ctx sink epochs")
+    // completeness: nothing committed was lost, nothing appears twice
+    val all = st.index.segments.map(_.name) ++ st.tombstones.keySet
+    assert(all.distinct.length == all.length, s"$ctx duplicate names")
+  }
+
+  private def runOne(seed: Long, steps: Int): (Int, Int) = {
+    val rng = new scala.util.Random(seed)
+    val store = new SeededFaultyStore(rng, spuriousRate = 0.12,
+      ambiguousRate = 0.12)
+    val m = new Model
+    // 2-4 handles, each remembering its own claimed epoch (0 = unclaimed)
+    val handles = Array.fill(2 + rng.nextInt(3))(0L)
+    var sinkNext = Map.empty[String, Long].withDefaultValue(0L)
+
+    for (step <- 1 to steps) {
+      val h = rng.nextInt(handles.length)
+      val stale = handles(h) < m.writerEpoch
+      val op = rng.nextInt(7)
+      val name = s"op$step/${Seq("claim", "publish", "sink", "bulk",
+        "compact", "purge", "checkpoint")(op)}(h$h${if (stale) " stale" else ""})"
+      op match {
+        case 0 => // claim: always allowed, lands a strictly newer epoch
+          val e = MetaCommits.claimWriter(store, handles(h))
+          assert(e > m.writerEpoch, s"seed=$seed $name non-monotonic epoch")
+          handles(h) = e
+          m.writerEpoch = e
+        case 1 => // publish-shaped fenced append of one segment add
+          val segs = m.nextSegs(1, 1 + rng.nextInt(4))
+          if (stale)
+            intercept[WriterFencedException](
+              MetaCommits.fencedAppend(store, handles(h), segs.map(MetaJson.add)))
+          else {
+            MetaCommits.fencedAppend(store, handles(h), segs.map(MetaJson.add))
+            m.live = m.live ++ segs
+          }
+        case 2 => // sink-epoch commit: fresh epoch or a replayed one
+          val q = s"q${rng.nextInt(2)}"
+          val replay = rng.nextBoolean() && sinkNext(q) > 0
+          val epochId = if (replay) rng.nextLong(sinkNext(q)) else sinkNext(q)
+          val segs = m.nextSegs(1 + rng.nextInt(2), 2)
+          if (stale)
+            intercept[WriterFencedException](
+              MetaCommits.commitSinkEpoch(store, handles(h), q, epochId, segs))
+          else {
+            val committed = MetaCommits.commitSinkEpoch(store, handles(h), q, epochId, segs)
+            if (replay) assert(!committed, s"seed=$seed $name replayed epoch re-committed")
+            else {
+              // true OR ambiguous-landed false — either way the state holds it
+              m.live = m.live ++ segs
+              m.sinkEpochs = m.sinkEpochs + (q -> epochId)
+              sinkNext = sinkNext.updated(q, epochId + 1)
+            }
+          }
+        case 3 => // bulk commit; sometimes immediately re-commit (replay)
+          val segs = m.nextSegs(1 + rng.nextInt(3), 2)
+          if (stale)
+            intercept[WriterFencedException](
+              MetaCommits.commitBulk(store, handles(h), segs))
+          else {
+            MetaCommits.commitBulk(store, handles(h), segs)
+            m.live = m.live ++ segs
+            if (rng.nextBoolean())
+              MetaCommits.commitBulk(store, handles(h), segs) // replay: no-op
+          }
+        case 4 => // compaction apply: merge a window of the oldest live
+          if (m.live.size >= 2) {
+            val w = m.live.take(2 + rng.nextInt(math.min(3, m.live.size - 1)))
+            val merged = SegmentMeta(s"merged-$step.seg",
+              w.head.firstOffset, w.last.lastOffset, 1L,
+              w.map(_.records).sum, w.map(_.bytes).sum)
+            val linesToAdd = w.map(s => MetaJson.tombstone(s.name, step.toLong)) :+
+              MetaJson.add(merged)
+            if (stale)
+              intercept[WriterFencedException](
+                MetaCommits.fencedAppend(store, handles(h), linesToAdd))
+            else {
+              MetaCommits.fencedAppend(store, handles(h), linesToAdd)
+              m.live = merged +: m.live.drop(w.size)
+              m.tombstoned = m.tombstoned ++ w.map(_.name)
+            }
+          }
+        case 5 => // purge all tombstones
+          if (m.tombstoned.nonEmpty) {
+            val names = m.tombstoned.toSeq.sorted
+            if (stale)
+              intercept[WriterFencedException](
+                MetaCommits.fencedAppend(store, handles(h), names.map(MetaJson.purge)))
+            else {
+              MetaCommits.fencedAppend(store, handles(h), names.map(MetaJson.purge))
+              m.tombstoned = Set.empty
+              m.purged = m.purged ++ names
+            }
+          }
+        case 6 => // checkpoint (replay-invariant by check())
+          if (stale)
+            intercept[WriterFencedException](
+              MetaCommits.checkpoint(store, handles(h)))
+          else MetaCommits.checkpoint(store, handles(h)): Unit
+      }
+      check(seed, name, store, m)
+    }
+    (store.spuriousInjected, store.ambiguousInjected)
+  }
+
+  test("1200 seeded interleavings with injected 409s/ambiguity replay to the model at every quiescent point") {
+    val (sp, am) = (1L to 1200L).map(seed => runOne(seed, steps = 30))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    // an individual seed may happen to draw few write attempts; across
+    // the sweep both failure modes must have fired heavily or the rates
+    // are meaningless
+    assert(sp > 500 && am > 500,
+      s"fault coverage too thin: spurious=$sp ambiguous=$am")
+  }
+
+  test("a deep interleaving (400 steps) stays exact under sustained fault pressure") {
+    val (sp, am) = runOne(seed = 777L, steps = 400)
+    assert(sp > 5 && am > 5, s"deep run injected spurious=$sp ambiguous=$am")
+  }
+}

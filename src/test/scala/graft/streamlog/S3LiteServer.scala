@@ -62,13 +62,29 @@ final class S3LiteServer(maxKeys: Int = 1000,
   /** 403s issued by the SigV4 verifier (0 on a healthy signed run). */
   @volatile var authRejects: Int = 0
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-  server.createContext("/", (ex: HttpExchange) => handle(ex))
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
-  server.start()
+  private def boot(port: Int): HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    s.createContext("/", (ex: HttpExchange) => handle(ex))
+    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    s.start()
+    s
+  }
+  @volatile private var server = boot(0)
 
   def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
   def stop(): Unit = server.stop(0)
+
+  /** Simulate a bucket-endpoint process restart: tear the HTTP server
+    * down and re-bind the SAME port over the SAME (durable) object
+    * state — in-flight connections die, clients reconnect, and every
+    * ETag re-derives identically because S3 ETags are content digests
+    * (which is exactly why the MetaStore tag survives a server
+    * restart). */
+  def restart(): Unit = {
+    val port = server.getAddress.getPort
+    server.stop(0)
+    server = boot(port)
+  }
   def keys: Seq[String] = objects.synchronized(objects.keys.toSeq)
   def hitCounts: Map[String, Int] =
     Map("GET" -> gets, "HEAD" -> heads, "PUT" -> puts, "DELETE" -> deletes)

@@ -441,6 +441,87 @@ class S3StoreSpec extends SparkSpec {
     }
   }
 
+  test("two-coordinator fleet soak over the s3: root with a server RESTART mid-soak — fences only, zero records lost") {
+    import scala.jdk.CollectionConverters._
+    withServer() { srv =>
+      val root = s"s3:${srv.endpoint}/b"
+      val names = (1 to 3).map(i => s"s$i")
+      val errorsA = new java.util.concurrent.ConcurrentLinkedQueue[(String, Throwable)]()
+      val errorsB = new java.util.concurrent.ConcurrentLinkedQueue[(String, Throwable)]()
+      val compactedB = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+      val fleetA = StreamLogs.startMaintenance(spark, root, intervalMs = 100,
+        onError = (n, e) => errorsA.add((n, e)))
+      val expected = scala.collection.mutable.Map[String, Seq[String]]()
+      try {
+        names.foreach { n =>
+          val h = fleetA.open(n)
+          h.claimWriter()
+          expected(n) = (1 to 3).flatMap(b =>
+            h.publish((1 to 3).map(i => s"""{"era":"a","b":$b,"i":$i}""")))
+        }
+
+        val fleetB = StreamLogs.startMaintenance(spark, root, intervalMs = 100,
+          onReport = (n, r) => if (r.compacted.nonEmpty) compactedB.add(n),
+          onError = (n, e) => errorsB.add((n, e)))
+        try {
+          val epochsB = fleetB.claimWriters()
+          assert(epochsB.keySet == names.toSet && epochsB.values.forall(_ >= 2))
+          names.foreach { n =>
+            val h = fleetB.open(n)
+            expected(n) = expected(n) ++
+              h.publish((1 to 3).map(i => s"""{"era":"b","i":$i}"""))
+          }
+
+          // ---- mid-soak endpoint restart: connections die, object
+          // state (and therefore every content-derived ETag/tag)
+          // survives; both daemons keep running through it
+          srv.restart()
+
+          names.foreach { n =>
+            val h = fleetB.open(n)
+            h.refresh()
+            expected(n) = expected(n) ++
+              h.publish((1 to 3).map(i => s"""{"era":"b2","i":$i}"""))
+          }
+
+          val deadline = System.currentTimeMillis() + 30000
+          def fencedA = errorsA.asScala.exists(_._2.isInstanceOf[WriterFencedException])
+          while ((!fencedA || compactedB.isEmpty) &&
+            System.currentTimeMillis() < deadline) Thread.sleep(50)
+          assert(fencedA, s"superseded coordinator never fenced; " +
+            s"errors=${errorsA.asScala.map(_._2.getClass.getSimpleName).toSeq}")
+          assert(compactedB.asScala.nonEmpty, "live coordinator never compacted")
+          // A's failures: fences, plus (only around the restart) the
+          // transient connection losses a real endpoint blip produces
+          def transient(e: Throwable) = e.isInstanceOf[java.io.IOException] ||
+            Option(e.getCause).exists(_.isInstanceOf[java.io.IOException])
+          errorsA.asScala.foreach { case (n, e) =>
+            assert(e.isInstanceOf[WriterFencedException] || transient(e),
+              s"$n threw $e")
+          }
+          // B is the live writer: nothing but restart transients allowed
+          errorsB.asScala.foreach { case (n, e) =>
+            assert(transient(e), s"live coordinator $n threw $e")
+          }
+          intercept[WriterFencedException] {
+            fleetA.open(names.head).publish(Seq("""{"era":"a-late"}"""))
+          }
+        } finally fleetB.close()
+      } finally fleetA.close()
+
+      // zero lost records across both eras AND the restart, from fresh
+      // handles over fresh HTTP connections
+      names.foreach { n =>
+        val fresh = new StreamLog(spark, root, n)
+        val got = fresh.consume(Offset.Beginning, 1000)
+        assert(got.map(_._1) == expected(n),
+          s"$n: expected ${expected(n).size} records, got ${got.size}")
+      }
+      assert(srv.authRejects == 0)
+    }
+  }
+
   test("maintenance + fencing protocols run unchanged over the s3: root") {
     withServer() { srv =>
       val root = s"s3:${srv.endpoint}/b"
