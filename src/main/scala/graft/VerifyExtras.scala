@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, EventOps, Relational}
+import graft.operators.{Curate, EventOps, Relational, Sampling}
 
 /** EXTRA-registry oracle crosschecks (r14): the strongest spec-only
   * operators, hash-gated against the DuckDB oracle WITHOUT touching
@@ -96,7 +96,51 @@ object VerifyExtras {
         // half-boundary (observed at sf0.01), which is measurement
         // noise, not a semantic difference
         .withColumn("avg_late_ms", round(col("avg_late_ms"), 3))
+    }),
+    // r15 additions: the remaining strongest SQL-expressible spec-only
+    // operators (VERDICT r14 item 5)
+    "x_asof_forward" -> ((s, dir) => asofDirection(s, dir, "forward")),
+    "x_asof_nearest" -> ((s, dir) => asofDirection(s, dir, "nearest")),
+    "x_calibrate" -> ((s, dir) =>
+      Sampling.calibrateScores(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "n_chars"),
+        col("source"), col("n_chars"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("score_pct"), 6).as("score_pct"))),
+    "x_kfold" -> ((s, dir) =>
+      Sampling.kFoldAssign(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+        col("doc_id"), k = 5)),
+    "x_cap_tokens" -> ((s, dir) =>
+      Sampling.capTokensPerGroup(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "n_chars"),
+        col("source"), col("doc_id"), col("n_chars"), budget = 4000L)),
+    "x_top_terms" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      EventOps.topTermsPerWindow(ev, EventOps.tsOf(ev), col("event_type"),
+        windowSec = 86400L, k = 3)
     }))
+
+  /** The q28 as-of shape (purchases ← most recent/nearest click per
+    * user) in the two directions the registry entry doesn't cover. */
+  private def asofDirection(s: SparkSession, dir: String,
+                            direction: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val base = ev.withColumn("e_ms", EventOps.eMsOf(ev))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("e_ms"), col("event_id"),
+        col("e_ms").as("click_ms"), col("value").as("click_value"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("e_ms"))
+    EventOps.asofJoin(purchases, clicks, "user_id", "e_ms",
+      rightVals = Seq("click_ms", "click_value"), tieBreak = Seq("event_id"),
+      direction = direction)
+      .select(col("event_id"), col("user_id"), col("e_ms").as("purchase_ms"),
+        col("asof_click_ms"), col("asof_click_value"))
+      .orderBy(col("event_id"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     // average-rank FRACTIONS per column (ties share their mean rank,
@@ -320,6 +364,108 @@ object VerifyExtras {
         |  coalesce(max(CASE WHEN u < hw THEN hw // 1000 - u // 1000 END),
         |    0)::BIGINT AS suggested_watermark_ms
         |FROM w GROUP BY t
+        |""".stripMargin,
+    // forward as-of: the q28 tagged-union + IGNORE NULLS carry, scanned
+    // time-DESCENDING — at equal ms rights sort before lefts
+    // ("at-or-after" includes the boundary) and the last right before
+    // the left in scan order is the largest event_id (the tie-break)
+    "x_asof_forward" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, value,
+        |  epoch_ms(ts) AS e_ms FROM events),
+        |tagged AS (
+        |  SELECT user_id, e_ms, event_id, 0 AS is_left,
+        |         e_ms AS click_ms, value AS click_value
+        |  FROM base WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, e_ms, event_id, 1 AS is_left, NULL, NULL
+        |  FROM base WHERE event_type = 'purchase'
+        |), carried AS (
+        |  SELECT *,
+        |    last_value(click_ms IGNORE NULLS) OVER w AS asof_click_ms,
+        |    last_value(click_value IGNORE NULLS) OVER w AS asof_click_value
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY e_ms DESC, is_left, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, e_ms AS purchase_ms,
+        |  asof_click_ms, asof_click_value
+        |FROM carried WHERE is_left = 1 ORDER BY event_id
+        |""".stripMargin,
+    // nearest: both directional carries share the partition; the closer
+    // side wins, exact ties go backward — the operator's stated rule
+    "x_asof_nearest" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, value,
+        |  epoch_ms(ts) AS e_ms FROM events),
+        |tagged AS (
+        |  SELECT user_id, e_ms, event_id, 0 AS is_left,
+        |         e_ms AS click_ms, value AS click_value
+        |  FROM base WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, e_ms, event_id, 1 AS is_left, NULL, NULL
+        |  FROM base WHERE event_type = 'purchase'
+        |), carried AS (
+        |  SELECT *,
+        |    last_value(click_ms IGNORE NULLS) OVER wb AS b_ms,
+        |    last_value(click_value IGNORE NULLS) OVER wb AS b_v,
+        |    last_value(click_ms IGNORE NULLS) OVER wf AS f_ms,
+        |    last_value(click_value IGNORE NULLS) OVER wf AS f_v
+        |  FROM tagged
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY e_ms, is_left, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY e_ms DESC, is_left, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, e_ms AS purchase_ms,
+        |  CASE WHEN f_ms IS NULL THEN b_ms WHEN b_ms IS NULL THEN f_ms
+        |       WHEN abs(e_ms - b_ms) <= abs(f_ms - e_ms) THEN b_ms
+        |       ELSE f_ms END AS asof_click_ms,
+        |  CASE WHEN f_ms IS NULL THEN b_v WHEN b_ms IS NULL THEN f_v
+        |       WHEN abs(e_ms - b_ms) <= abs(f_ms - e_ms) THEN b_v
+        |       ELSE f_v END AS asof_click_value
+        |FROM carried WHERE is_left = 1 ORDER BY event_id
+        |""".stripMargin,
+    // the distributed ECDF's contract IS cume_dist within source
+    "x_calibrate" ->
+      """SELECT doc_id, source, n_chars,
+        |  round(cume_dist() OVER (PARTITION BY source ORDER BY n_chars), 6)
+        |    AS score_pct
+        |FROM documents
+        |""".stripMargin,
+    // the fold is a pure function of the key: hash60(key || '|salt') mod k
+    "x_kfold" ->
+      """SELECT doc_id,
+        |  (CAST('0x' || substr(md5(doc_id::VARCHAR || '|0'), 1, 15) AS BIGINT)
+        |    % 5)::INTEGER AS fold
+        |FROM documents
+        |""".stripMargin,
+    // deterministic-hash order per group, running token sum, keep while
+    // under budget — the two-level scan's one-window textbook twin
+    "x_cap_tokens" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b)
+        |SELECT doc_id, source, n_chars FROM c WHERE cum <= 4000
+        |""".stripMargin,
+    // epoch-aligned daily windows, complete counts, k best per window
+    // (count desc, term asc — topValues' tie rule)
+    "x_top_terms" ->
+      """WITH c AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS window_start_ms,
+        |    event_type AS term, count(*)::BIGINT AS n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY window_start_ms ORDER BY n DESC, term) AS rank
+        |  FROM c)
+        |SELECT window_start_ms, term, n, rank FROM r WHERE rank <= 3
         |""".stripMargin,
     // quantile-edged recount: DuckDB's discrete quantiles as the edges,
     // bin = #edges strictly below the value, lowest-bin rule for ties
