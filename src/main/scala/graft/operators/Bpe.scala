@@ -121,18 +121,32 @@ object Bpe {
   }
 
   /** Learn `numMerges` merges from the corpus' capped word-frequency
-    * table (see the object scaladoc for the scale argument). */
+    * table (see the object scaladoc for the scale argument).
+    *
+    * DRIVER HEAD BUDGET (the heavyHitters maxSketchBytes discipline,
+    * r15): the collected head is bounded BY CONSTRUCTION at
+    * `vocabCap × maxTrainWordLen` chars — words longer than
+    * `maxTrainWordLen` are whitespace-tokenization failures (an
+    * unsegmented CJK/URL-soup corpus), dropped like Unigram always
+    * did, never collected. A corpus where EVERY word is overlong
+    * REFUSES with guidance instead of training an empty model. */
   def train(d: DataFrame, textCol: String = "text",
-            numMerges: Int = 200, vocabCap: Int = 100000): Model = {
+            numMerges: Int = 200, vocabCap: Int = 100000,
+            maxTrainWordLen: Int = 64): Model = {
+    require(maxTrainWordLen > 0, s"maxTrainWordLen must be > 0")
     // the one distributed pass: corpus → distinct-word frequencies,
     // capped deterministically (freq desc, word asc)
     val vocab: Array[(String, Long)] = d
       .select(explode(split(col(textCol), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxTrainWordLen)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("w"))
       .limit(vocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(vocab.nonEmpty,
+      s"no trainable words: every whitespace token is empty or longer " +
+        s"than maxTrainWordLen=$maxTrainWordLen — unsegmented corpus? " +
+        "pre-segment the text or raise maxTrainWordLen")
     Model(learnMerges(vocab, numMerges))
   }
 

@@ -259,6 +259,13 @@ object Unigram {
       .orderBy(col("f").desc, col("w"))
       .limit(vocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    // all-overlong corpus (unsegmented CJK / URL soup): refuse with
+    // guidance instead of training an empty model (r15, the Bpe/
+    // WordPiece twin of this guard)
+    require(vocab.nonEmpty,
+      s"no trainable words: every whitespace token is empty or longer " +
+        s"than $MaxTrainWordLen chars — unsegmented corpus? pre-segment " +
+        "the text first")
     trainFromVocab(vocab, vocabSize, seedSize, maxPieceLen, emIters, shrinkFactor)
   }
 

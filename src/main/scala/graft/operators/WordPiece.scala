@@ -104,16 +104,25 @@ object WordPiece {
   }
 
   /** Learn a vocabulary from the corpus' capped word-frequency table —
-    * the [[Bpe.train]] distributed pass, WordPiece's argmax. */
+    * the [[Bpe.train]] distributed pass, WordPiece's argmax. Driver
+    * head bounded at `vocabCap × maxTrainWordLen` chars by
+    * construction ([[Bpe.train]]'s budget note, r15); an all-overlong
+    * corpus refuses instead of training empty. */
   def train(d: DataFrame, textCol: String = "text",
-            numMerges: Int = 200, vocabCap: Int = 100000): Model = {
+            numMerges: Int = 200, vocabCap: Int = 100000,
+            maxTrainWordLen: Int = 64): Model = {
+    require(maxTrainWordLen > 0, s"maxTrainWordLen must be > 0")
     val vocab: Array[(String, Long)] = d
       .select(explode(split(col(textCol), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxTrainWordLen)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("w"))
       .limit(vocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(vocab.nonEmpty,
+      s"no trainable words: every whitespace token is empty or longer " +
+        s"than maxTrainWordLen=$maxTrainWordLen — unsegmented corpus? " +
+        "pre-segment the text or raise maxTrainWordLen")
     Model(learnVocab(vocab, numMerges))
   }
 

@@ -16,15 +16,33 @@ class BenchSpec extends AnyFunSuite {
     // worst realistic per-query width: "9.99" (4 chars, nothing to
     // strip) — no gated query has ever exceeded a 3.33 s median, so a
     // sub-10 s envelope holds 3x headroom per entry; a pathological run
-    // beyond it is caught by the runtime budget check in Bench.main
+    // beyond it is caught by the runtime budget check in Bench.main.
+    // The GUARANTEE is for the diag-less fallback (completeness first:
+    // main drops the diag fields, never query entries); the diag'd
+    // line must also fit at the worst envelope so the fallback stays
+    // theoretical rather than the norm.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val line = Bench.renderLine(names.map(_ -> 9.99), failures = 0,
-      flaky = 0, sfDir = "/root/testdata/sf0.1")
-    assert(line.length <= Bench.TailBudget,
-      s"bench line would be ${line.length} chars for ${names.size} queries " +
+    val fallback = Bench.renderLine(names.map(_ -> 9.99), failures = 0,
+      flaky = 0, sfDir = "/root/testdata/sf0.1", withDiag = false)
+    assert(fallback.length <= Bench.TailBudget,
+      s"bench line would be ${fallback.length} chars for ${names.size} queries " +
         s"(budget ${Bench.TailBudget}): the driver tail-capture would " +
         "truncate it — trim names or move fields to stderr")
-    info(s"${names.size} queries render at ${line.length}/${Bench.TailBudget} chars")
+    // the diag'd line must fit a TYPICAL round (r14 distribution: ~40%
+    // of medians strip to 3 chars), so the fallback stays the
+    // pathological-round escape hatch, not the norm. A round where
+    // EVERY query renders 4 chars drops diag by design (sidecar keeps
+    // the evidence; query entries always win the budget).
+    val typical = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i % 5 < 2) 0.5 else 1.25)
+    }
+    val diag = Bench.renderLine(typical, failures = 0,
+      flaky = 0, sfDir = "/root/testdata/sf0.1",
+      cpuTotal = 9999.4, load = (40.9, 40.9))
+    assert(diag.length <= Bench.TailBudget,
+      s"diag'd line ${diag.length} > ${Bench.TailBudget} at a typical " +
+        "round: the cpu/load fields would be dropped routinely — reclaim budget")
+    info(s"${names.size} queries render at ${diag.length}/${Bench.TailBudget} chars with diag")
   }
 
   test("an oversized registry is caught (negative case)") {
@@ -41,5 +59,19 @@ class BenchSpec extends AnyFunSuite {
       line.contains("\"q3\":-1") && line.contains("\"q4\":1.23"))
     assert(line.contains("\"failures\":1") && line.contains("\"value\":3.73"))
     assert(line.startsWith("{") && line.endsWith("}") && !line.contains("\n"))
+  }
+
+  test("the self-diagnosis fields render and stay parseable") {
+    val line = Bench.renderLine(Seq("q1" -> 1.0), 0, 0, "/data/sf0.1",
+      cpuTotal = 12.5, load = (0.25, 3.0))
+    assert(line.contains("\"cpu\":13") && line.contains("\"load\":[0.3,3]"),
+      line)
+    assert(line.contains("\"sf\":\"sf0.1\""), line)
+    // unknown values keep the JSON valid
+    val dflt = Bench.renderLine(Seq("q1" -> 1.0), 0, 0, "/d")
+    assert(dflt.contains("\"cpu\":-1") && dflt.contains("\"load\":[-1,-1]"))
+    // the fallback drops ONLY the diag fields
+    val fb = Bench.renderLine(Seq("q1" -> 1.0), 0, 0, "/d", withDiag = false)
+    assert(!fb.contains("cpu") && !fb.contains("load") && fb.contains("\"q1\":1"))
   }
 }

@@ -115,6 +115,31 @@ class WordPieceSpec extends SparkSpec {
       WordPiece.save(WordPiece.Model(Array("bad\tpiece")), f))
   }
 
+  test("driver head budget: overlong words drop from training; an all-overlong corpus refuses with guidance") {
+    import spark.implicits._
+    // one normal doc + one unsegmented blob longer than maxTrainWordLen:
+    // the blob must not enter the collected head (bounded at
+    // vocabCap × maxTrainWordLen chars by construction)
+    val blob = "x" * 500
+    val mixed = Seq("the cat sat on the mat", s"$blob $blob").toDF("text")
+    val m = graft.operators.WordPiece.train(mixed, numMerges = 5, vocabCap = 100)
+    assert(!m.vocab.exists(_.contains("xxxx")), "overlong word leaked into the head")
+    val mb = graft.operators.Bpe.train(mixed, numMerges = 5, vocabCap = 100)
+    assert(!mb.merges.exists(p => p._1.contains("xx") && p._2.contains("xx")))
+
+    // every word overlong -> refuse, never an empty model or a driver OOM
+    val unsegmented = Seq(blob, blob + "y").toDF("text")
+    val e1 = intercept[IllegalArgumentException](
+      graft.operators.WordPiece.train(unsegmented, numMerges = 5))
+    assert(e1.getMessage.contains("pre-segment"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.Bpe.train(unsegmented, numMerges = 5))
+    assert(e2.getMessage.contains("pre-segment"))
+    val e3 = intercept[IllegalArgumentException](
+      graft.operators.Unigram.train(unsegmented))
+    assert(e3.getMessage.contains("pre-segment"))
+  }
+
   private def docs() =
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 }

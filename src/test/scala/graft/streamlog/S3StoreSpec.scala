@@ -522,6 +522,44 @@ class S3StoreSpec extends SparkSpec {
     }
   }
 
+  test("metadata commit cost stays O(live segments) through 10x history — measured on the wire") {
+    withServer() { srv =>
+      val root = s"s3:${srv.endpoint}/b"
+      val c = clock(9000000)
+      val log = new StreamLog(spark, root, "s1")
+      def metaBytes: Int = srv.keys.find(_ == "s1/meta.jsonl")
+        .map(_ => new S3SegmentStore(srv.endpoint, "b", "s1/")
+          .get("meta.jsonl").length).getOrElse(0)
+
+      // 10 eras × 6 segments; each era compacts + checkpoints. History
+      // grows 10×, live segment count stays ~constant — so the metadata
+      // object (what every conditional commit GETs and PUTs whole) must
+      // NOT trend with era number. This is the r15 measured curve behind
+      // the r13/r14 "commit cost is O(live segments)" claim.
+      val curve = (1 to 10).map { era =>
+        (1 to 6).foreach(_ =>
+          log.publish((1 to 5).map(i => s"""{"e":$era,"i":$i}"""), nowMs = c))
+        log.maintain(tombstoneMaxAgeMs = 0, orphanGraceMs = 0, nowMs = c)
+        (era, log.segments.size, metaBytes)
+      }
+      val lives = curve.map(_._2)
+      val bytes = curve.map(_._3)
+      System.err.println(s"[meta-cost] (era, live, metaBytes): $curve")
+      assert(lives.max <= lives.min + 2,
+        s"live segment count should be steady under maintenance: $lives")
+      // flat-with-history: the last era's log is within 50% of the
+      // SECOND era's (era 1 may be smaller before steady state), not
+      // 10× — the append-only no-checkpoint failure mode
+      assert(bytes.last <= (bytes(1) * 3) / 2,
+        s"metadata log grew with HISTORY, not live segments: $bytes")
+      // absolute sanity: ~per-live-segment line size, not per-ever-line
+      assert(bytes.last <= log.segments.size * 400 + 800,
+        s"metadata log larger than O(live segments): ${bytes.last} bytes " +
+          s"for ${log.segments.size} live segments")
+      assert(log.consume(Offset.Beginning, 1000).size == 300, "zero loss")
+    }
+  }
+
   test("maintenance + fencing protocols run unchanged over the s3: root") {
     withServer() { srv =>
       val root = s"s3:${srv.endpoint}/b"
