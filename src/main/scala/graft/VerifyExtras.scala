@@ -145,7 +145,12 @@ object VerifyExtras {
   def oracleSql: Map[String, String] = Map(
     // average-rank FRACTIONS per column (ties share their mean rank,
     // divided by n — the overflow-proof form spearmanMatrix correlates),
-    // then plain Pearson over the fractions
+    // then Pearson from EXACT DECIMAL moment sums in corrMatrix's own
+    // cov order (p/n − (s/n)(s/n)) — DuckDB's streaming double corr()
+    // cancels catastrophically on a near-zero coefficient at sf1.0's
+    // 6M tied rows (observed 1.3e-4 relative, enough to flip the 6th
+    // decimal); `+ 0.0` normalizes IEEE −0.0, which Spark's BigDecimal
+    // rounding never emits
     "x_spearman" ->
       """WITH c AS (
         |  SELECT l_quantity::DOUBLE AS v0, l_extendedprice::DOUBLE AS v1,
@@ -159,13 +164,36 @@ object VerifyExtras {
         |    (rank() OVER (ORDER BY v0) + (count(*) OVER (PARTITION BY v0) - 1) / 2.0) / n.total AS r0,
         |    (rank() OVER (ORDER BY v1) + (count(*) OVER (PARTITION BY v1) - 1) / 2.0) / n.total AS r1,
         |    (rank() OVER (ORDER BY v2) + (count(*) OVER (PARTITION BY v2) - 1) / 2.0) / n.total AS r2
-        |  FROM c, n)
+        |  FROM c, n),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CAST(r0 AS DECIMAL(28,12)))::DOUBLE AS s0,
+        |    sum(CAST(r1 AS DECIMAL(28,12)))::DOUBLE AS s1,
+        |    sum(CAST(r2 AS DECIMAL(28,12)))::DOUBLE AS s2,
+        |    sum(CAST(r0 * r0 AS DECIMAL(28,12)))::DOUBLE AS p00,
+        |    sum(CAST(r0 * r1 AS DECIMAL(28,12)))::DOUBLE AS p01,
+        |    sum(CAST(r0 * r2 AS DECIMAL(28,12)))::DOUBLE AS p02,
+        |    sum(CAST(r1 * r1 AS DECIMAL(28,12)))::DOUBLE AS p11,
+        |    sum(CAST(r1 * r2 AS DECIMAL(28,12)))::DOUBLE AS p12,
+        |    sum(CAST(r2 * r2 AS DECIMAL(28,12)))::DOUBLE AS p22
+        |  FROM r)
         |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-        |       round(corr(r0, r1), 6) AS spearman FROM r
+        |  round((p01 / n - (s0 / n) * (s1 / n))
+        |    / (sqrt(p00 / n - (s0 / n) * (s0 / n))
+        |       * sqrt(p11 / n - (s1 / n) * (s1 / n))), 6) + 0.0 AS spearman
+        |FROM m
         |UNION ALL
-        |SELECT 'l_quantity', 'l_discount', round(corr(r0, r2), 6) FROM r
+        |SELECT 'l_quantity', 'l_discount',
+        |  round((p02 / n - (s0 / n) * (s2 / n))
+        |    / (sqrt(p00 / n - (s0 / n) * (s0 / n))
+        |       * sqrt(p22 / n - (s2 / n) * (s2 / n))), 6) + 0.0
+        |FROM m
         |UNION ALL
-        |SELECT 'l_extendedprice', 'l_discount', round(corr(r1, r2), 6) FROM r
+        |SELECT 'l_extendedprice', 'l_discount',
+        |  round((p12 / n - (s1 / n) * (s2 / n))
+        |    / (sqrt(p11 / n - (s1 / n) * (s1 / n))
+        |       * sqrt(p22 / n - (s2 / n) * (s2 / n))), 6) + 0.0
+        |FROM m
         |""".stripMargin,
     // the tie-break is (count, key) struct-max = highest count, then
     // lexicographically greatest key
@@ -232,7 +260,10 @@ object VerifyExtras {
         |      FROM m)
         |SELECT l_orderkey, l_linenumber, l_extendedprice,
         |  round(p.mu, 6) AS center, round(p.sigma, 6) AS scale,
-        |  round((l_extendedprice::DOUBLE - p.mu) / p.sigma, 6) AS standardized
+        |  -- + 0.0 normalizes IEEE -0.0 (a value equal to mu at sf1.0
+        |  -- rounds to negative zero here; Spark's BigDecimal rounding
+        |  -- has no signed zero)
+        |  round((l_extendedprice::DOUBLE - p.mu) / p.sigma, 6) + 0.0 AS standardized
         |FROM lineitem, p
         |""".stripMargin,
     // interpolated medians (quantile_cont = Spark's exact percentile

@@ -1024,8 +1024,15 @@ object Relational {
     var ranked = complete
     for (i <- cols.indices) {
       val v = s"_sp_v$i"
-      val counts = complete.groupBy(col(v)).agg(count(lit(1)).as("_cnt"))
-        .repartitionByRange(col(v))
+      // persisted: twoLevelCumSums evaluates its input in TWO plan arms
+      // (bucket offsets + the join-back), and spark_partition_id over an
+      // UNPERSISTED sampled range partitioning can assign the same row
+      // different buckets across those arms — at sf1.0's millions of
+      // distinct values this produced nondeterministic ranks (r15,
+      // caught by the scaled extras run)
+      val counts = graft.core.Caches.persist(
+        complete.groupBy(col(v)).agg(count(lit(1)).as("_cnt"))
+          .repartitionByRange(col(v)))
       // rank FRACTIONS, not raw ranks: Pearson is affine-invariant, and
       // raw ranks reach n — their cross-products would overflow
       // corrMatrix's decimal(28,12) moment casts (silently, to null-

@@ -243,9 +243,14 @@ object Sampling {
       col("_ctg_n"))
     // totals derive from the PERSISTED ranged frame, not the raw
     // input — one corpus scan serves both levels of the machinery
+    // the offsets frame ALSO persists: the two-level scan reads its
+    // input in two plan arms, and spark_partition_id over an
+    // unpersisted sampled range partitioning can bucket a group
+    // differently across them (the r15 spearmanMatrix lesson)
     val offs = twoLevelCumSum(
-        ranged.groupBy(col("_ctg_g")).agg(sum(col("_ctg_n")).as("_ctg_t"))
-          .repartitionByRange(col("_ctg_g")),
+        graft.core.Caches.persist(
+          ranged.groupBy(col("_ctg_g")).agg(sum(col("_ctg_n")).as("_ctg_t"))
+            .repartitionByRange(col("_ctg_g"))),
         spark_partition_id(), Seq(col("_ctg_g")), col("_ctg_t"))
       .select(col("_ctg_g").as("_ctg_gj"),
         (col("_graft_cum") - col("_ctg_t")).as("_ctg_off"))
@@ -1012,8 +1017,10 @@ object Sampling {
       struct(col("_pk_g"), shiftright(col("h"), 52)),
       Seq(col("_pk_g"), col("h"), col("doc_id")), col("n_tokens"))
     val totals = withH.groupBy(col("_pk_g")).agg(sum(col("n_tokens")).as("_pk_tot"))
+    // persisted for bucket stability across the scan's two plan arms
+    // (the r15 spearmanMatrix lesson)
     val offs = twoLevelCumSum(
-        totals.repartitionByRange(col("_pk_g")),
+        graft.core.Caches.persist(totals.repartitionByRange(col("_pk_g"))),
         spark_partition_id(), Seq(col("_pk_g")), col("_pk_tot"))
       .select(col("_pk_g").as("_pk_gj"),
         (col("_graft_cum") - col("_pk_tot")).as("_pk_off"))
@@ -1227,8 +1234,10 @@ object Sampling {
     // funnels through one task; totals derive from the PERSISTED
     // ranged frame so the distinct-collapse shuffle runs once
     val totals = ranged.groupBy(col("_cal_s")).agg(sum(col("_cal_c")).as("_cal_n"))
+    // persisted for bucket stability across the scan's two plan arms
+    // (the r15 spearmanMatrix lesson)
     val offs = twoLevelCumSum(
-        totals.repartitionByRange(col("_cal_s")),
+        graft.core.Caches.persist(totals.repartitionByRange(col("_cal_s"))),
         spark_partition_id(), Seq(col("_cal_s")), col("_cal_n"))
       .select(col("_cal_s").as("_cal_sj"), col("_cal_n"),
         (col("_graft_cum") - col("_cal_n")).as("_cal_off"))

@@ -912,7 +912,11 @@ object TextOps {
       .join(firstSeen.withColumnRenamed("first_doc", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("new_types"), lit(0L)).as("new_types"))
-    val ranged = perDoc.repartitionByRange(col("doc_id"))
+    // persisted: the two-level scan reads this in two plan arms, and an
+    // unpersisted sampled range partitioning can bucket a row
+    // differently across them (the r15 spearmanMatrix lesson)
+    val ranged = graft.core.Caches.persist(
+      perDoc.repartitionByRange(col("doc_id")))
     Sampling.twoLevelCumSums(ranged, spark_partition_id(), Seq(col("doc_id")),
       Seq("cum_tokens" -> col("n_tokens"), "cum_types" -> col("new_types")))
       .orderBy(col("doc_id"))

@@ -705,6 +705,26 @@ class RelationalSpec extends SparkSpec {
     } finally graft.core.Caches.release()
   }
 
+  test("spearmanMatrix: run-to-run deterministic on a wide tied corpus (r15 regression)") {
+    // r15: an UNPERSISTED repartitionByRange fed spark_partition_id
+    // into the two-level scan, whose two plan arms re-sampled range
+    // boundaries independently — at sf1.0 (millions of distinct
+    // values) the same row bucketed differently across arms and the
+    // ranks went nondeterministic. Persisting the ranged counts frame
+    // pins the partitioning; this re-runs the operator on the real
+    // corpus and demands bit-equal output (cheap at sf0.01, and the
+    // discipline now covers every spark_partition_id call site).
+    graft.core.Caches.release()
+    try {
+      val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val a = Relational.spearmanMatrix(li, cols).collect().toSeq
+      graft.core.Caches.release()
+      val b = Relational.spearmanMatrix(li, cols).collect().toSeq
+      assert(a == b, s"nondeterministic spearman: $a vs $b")
+    } finally graft.core.Caches.release()
+  }
+
   test("histogramEquiDepth: near-equal uniform bins, point mass collapses deterministically") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
