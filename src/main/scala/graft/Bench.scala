@@ -213,8 +213,11 @@ object Bench {
     val cpuTotal = results.map(_._2._2).filter(_ >= 0).sum
     // the per-query detail sidecar: wall + cpu medians AND raw samples,
     // machine-readable, committed per round — the evidence the stdout
-    // line has no room for
-    val detailPath = sys.env.getOrElse(DetailFileEnv, "BENCH_DETAIL.json")
+    // line has no room for. A SPARK_GRAFT_BENCH_ONLY subset run
+    // (bisection) writes a .partial variant instead of clobbering the
+    // committed full-registry evidence (r15 review)
+    val detailPath = sys.env.getOrElse(DetailFileEnv,
+      if (only.isDefined) "BENCH_DETAIL.partial.json" else "BENCH_DETAIL.json")
     try {
       def m(vs: Seq[(String, String)]) =
         vs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -326,7 +326,8 @@ class StreamLogScan(root: String, stream: String, lowerBound: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    StreamLogReaderFactory
+    StreamLogReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 
   /** Micro-batch view: the stream's cursor IS the record offset — the
     * exact consumer semantics of the reference's long-poll loop
@@ -447,7 +448,9 @@ class StreamLogMicroBatch(root: String, stream: String, startAfter: String,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = StreamLogReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    StreamLogReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
   override def commit(end: SOffset): Unit = () // cursor durability = Spark checkpoint
   override def stop(): Unit = ()
 }
@@ -722,7 +725,15 @@ case class StreamLogPartition(root: String, stream: String, seg: String,
                               path: String = "")
     extends InputPartition
 
-object StreamLogReaderFactory extends PartitionReaderFactory {
+/** Carries the DRIVER's Hadoop configuration to the reading tasks
+  * (r15 review: a bare `new Configuration()` in the task ignores
+  * `spark.hadoop.*` session properties — the standard spark-submit way
+  * to configure s3a credentials — so the DSv2 path and
+  * `spark.read.text` would silently resolve different filesystems).
+  * Built once per scan on the driver from the active session. */
+case class StreamLogReaderFactory(
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StreamLogPartition]
     new PartitionReader[InternalRow] {
@@ -733,7 +744,7 @@ object StreamLogReaderFactory extends PartitionReaderFactory {
       private val rawLines: Iterator[String] =
         if (p.path.nonEmpty) {
           val hp = new org.apache.hadoop.fs.Path(p.path)
-          val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = hp.getFileSystem(conf.value)
           val br = new java.io.BufferedReader(new java.io.InputStreamReader(
             fs.open(hp), UTF_8))
           toClose = br

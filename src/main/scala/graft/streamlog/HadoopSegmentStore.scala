@@ -52,14 +52,30 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
 
   private def path(name: String): HPath = new HPath(base, name)
 
+  /** rename with overwrite semantics: HDFS/viewfs `rename(src, dst)`
+    * returns false when dst exists, but the [[SegmentStore]] contract's
+    * requirement #3 makes retried puts OVERWRITES (an ambiguous upload
+    * retried under the same deterministic name, identical content) —
+    * so a refused rename deletes the stale dst and renames again
+    * (r15 review; LocalFileSystem masked this by delegating to
+    * File.renameTo, which overwrites on POSIX). The brief absence
+    * window is safe exactly because a retried put implies the
+    * metadata commit for this name never landed — nothing reads an
+    * uncommitted name except the orphan sweep, which re-lists. */
+  private def renameOver(f: FileSystem, tmp: HPath, dst: HPath): Unit =
+    if (!f.rename(tmp, dst)) {
+      f.delete(dst, false)
+      if (!f.rename(tmp, dst))
+        throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    }
+
   override def put(name: String, bytes: Array[Byte]): Unit = {
     val f = fs
     if (renameCapable(f)) {
       val tmp = new HPath(base, s".$name.tmp")
       val out = f.create(tmp, true)
       try out.write(bytes) finally out.close()
-      if (!f.rename(tmp, path(name)))
-        throw new java.io.IOException(s"rename $tmp -> ${path(name)} failed")
+      renameOver(f, tmp, path(name))
     } else {
       val out = f.create(path(name), true) // visible-whole-on-close
       try out.write(bytes) finally out.close()
@@ -92,8 +108,7 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
       val tmp = new HPath(base, s".$name.tmp")
       f.mkdirs(base)
       f.copyFromLocalFile(true, true, src, tmp)
-      if (!f.rename(tmp, path(name)))
-        throw new java.io.IOException(s"rename $tmp -> ${path(name)} failed")
+      renameOver(f, tmp, path(name))
     } else f.copyFromLocalFile(true, true, src, path(name))
   }
 
@@ -105,8 +120,16 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
 }
 
 object HadoopSegmentStore {
-  /** Schemes whose rename is a metadata move (atomic commit point);
-    * everything else is treated as an object store where create+close
-    * is already the atomic whole-object put. */
-  private[streamlog] val RenameSchemes = Set("file", "hdfs", "viewfs")
+  /** Schemes whose rename is a metadata move (atomic commit point) AND
+    * whose create() makes the path visible before close — these MUST
+    * commit via dot-tmp + rename or a reader can observe a partial
+    * file. abfs/abfss (ADLS Gen2) belongs here: it is hierarchical
+    * with atomic rename, and its create() is visible immediately with
+    * progressive flushes (r15 review — create-on-close would violate
+    * the whole-or-absent contract there). s3a/gcs stay on the
+    * create-on-close path: their "rename" is a copy+delete that adds
+    * cost without adding atomicity, and the object becomes visible
+    * only at close. */
+  private[streamlog] val RenameSchemes =
+    Set("file", "hdfs", "viewfs", "abfs", "abfss")
 }

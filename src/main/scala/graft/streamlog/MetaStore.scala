@@ -73,23 +73,22 @@ trait MetaStore {
   /** Append `lines` iff the log is still at `tag`. True = committed. */
   def appendIf(tag: Long, lines: Seq[String]): Boolean
 
-  /** The tag [[commit]]'s LAST attempt read its decision against, and
-    * the tag the log moved to when this store's last successful
-    * conditional write landed (0 = none yet). Together they let a
-    * caller that tracks its own replay freshness fast-forward WITHOUT
-    * re-reading: if `lastReadTag` equals the tag the caller's state was
-    * replayed at, no external commit interleaved, so after a successful
-    * append the log is exactly caller-state + the appended lines and
-    * the caller may adopt `lastCommitTag` as its new replay tag
-    * ([[StreamLog]]'s poll probe uses this to skip the redundant
-    * replay after its own publishes — ADVICE r14). Implementations set
-    * `lastCommitTagVar` inside a SUCCESSFUL appendIf/replaceIf, where
-    * the new committed content (or the server's new ETag) is in hand.
-    * Both are advisory diagnostics — no protocol decision reads them. */
-  @volatile protected var lastReadTagVar: Long = 0L
-  @volatile protected var lastCommitTagVar: Long = 0L
-  final def lastReadTag: Long = lastReadTagVar
-  final def lastCommitTag: Long = lastCommitTagVar
+  /** (tagItLandedOn → tagItMovedTo) of this store's last SUCCESSFUL
+    * conditional write ((0,0) = none yet). Lets a caller that tracks
+    * its own replay freshness fast-forward WITHOUT re-reading: if the
+    * pair's FIRST element equals the tag the caller's state was
+    * replayed at, the committed log is exactly caller-state + the
+    * appended lines, and the caller may adopt the SECOND element as
+    * its new replay tag ([[StreamLog]]'s poll probe uses this to skip
+    * the redundant replay after its own publishes — ADVICE r14). ONE
+    * volatile tuple, written atomically inside the successful
+    * appendIf/replaceIf where both tags are in hand — two separate
+    * fields would let an interleaved commit from ANOTHER handle
+    * sharing this store instance (mem: roots) pair our read tag with
+    * its commit tag, silently hiding its lines from the adopter (r15
+    * review). Advisory diagnostics — no protocol decision reads it. */
+  @volatile protected var lastCommitInfoVar: (Long, Long) = (0L, 0L)
+  final def lastCommitInfo: (Long, Long) = lastCommitInfoVar
 
   /** Truncate-reset the log (crash rebuild / destroy). */
   def clear(): Unit
@@ -115,7 +114,6 @@ trait MetaStore {
     var attempt = 0
     while (attempt < maxAttempts) {
       val (cur, tag) = readWithTag()
-      lastReadTagVar = tag
       decide(cur) match {
         case None => return false
         case Some(lines) =>
@@ -259,7 +257,7 @@ final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
       else {
         val next = old ++ lines.mkString("", "\n", "\n").getBytes(UTF_8)
         writeAtomic(next)
-        lastCommitTagVar = tagOf(next, next.length)
+        lastCommitInfoVar = (tag, tagOf(next, next.length))
         true
       }
     }
@@ -277,7 +275,7 @@ final class PosixMetaStore(path: Path, lockDir: Path) extends MetaStore {
       else {
         val next = lines.mkString("", "\n", "\n").getBytes(UTF_8)
         writeAtomic(next)
-        lastCommitTagVar = tagOf(next, next.length)
+        lastCommitInfoVar = (tag, tagOf(next, next.length))
         true
       }
     }
@@ -299,14 +297,14 @@ class InMemoryMetaStore extends MetaStore {
 
   override def appendIf(tag: Long, ls: Seq[String]): Boolean = synchronized {
     if (rev != tag) false
-    else { lines = lines ++ ls; rev += 1; lastCommitTagVar = rev; true }
+    else { lines = lines ++ ls; rev += 1; lastCommitInfoVar = (tag, rev); true }
   }
 
   override def clear(): Unit = synchronized { lines = Vector.empty; rev += 1 }
 
   override def replaceIf(tag: Long, ls: Seq[String]): Boolean = synchronized {
     if (rev != tag) false
-    else { lines = ls.toVector; rev += 1; lastCommitTagVar = rev; true }
+    else { lines = ls.toVector; rev += 1; lastCommitInfoVar = (tag, rev); true }
   }
 }
 
@@ -437,14 +435,17 @@ object MetaCommits {
       // them into a live segment whose range COVERS theirs — so a
       // name-unknown segment whose entire [first,last] range sits
       // inside one live segment is also this commit's replayed work.
-      // Sound because a FRESH (non-replay) load's offsets are strictly
-      // greater than everything in the index (the overlap require
-      // below enforces exactly that), so a fresh segment can never
-      // appear covered; a PARTIALLY-overlapping foreign load still
+      // The range test is gated on ACTIVE FENCING (r15 review): with a
+      // claimed writer epoch, any stale foreign committer was already
+      // refused above, so a covered range can only be our own landed
+      // work; in legacy epoch-0 mode (no claim ever) a covered foreign
+      // commit — e.g. offsets reused across a destroy/recreate — must
+      // keep failing the overlap require LOUDLY, so epoch-0 keeps the
+      // r14 name-only recognition. A PARTIALLY-overlapping load still
       // fails the overlap check rather than passing as a replay.
       val known = st.index.segments.map(_.name).toSet ++ st.tombstones.keySet
       def covered(m: SegmentMeta): Boolean =
-        st.index.segments.exists(live =>
+        disk > 0 && st.index.segments.exists(live =>
           live.firstOffset <= m.firstOffset && m.lastOffset <= live.lastOffset)
       if (segs.forall(m => known.contains(m.name) || covered(m))) None // replay
       else {

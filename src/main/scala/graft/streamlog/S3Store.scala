@@ -145,7 +145,7 @@ final class S3MetaStore(endpoint: String, bucket: String, key: String,
       val r = S3Http.send("PUT", url, bytes, Seq("If-None-Match" -> "*"), auth)
       r.status match {
         case 200 =>
-          r.etag.foreach(e => lastCommitTagVar = S3Http.tagOf(e))
+          r.etag.foreach(e => lastCommitInfoVar = (tag, S3Http.tagOf(e)))
           true
         case 412 | 409 => false
         case s => throw new IllegalStateException(s"PUT $url -> $s")
@@ -171,7 +171,7 @@ final class S3MetaStore(endpoint: String, bucket: String, key: String,
       val r = S3Http.send("PUT", url, body, Seq("If-Match" -> etag), auth)
       r.status match {
         case 200 =>
-          r.etag.foreach(e => lastCommitTagVar = S3Http.tagOf(e))
+          r.etag.foreach(e => lastCommitInfoVar = (tag, S3Http.tagOf(e)))
           true
         case 412 | 409 => false
         case s => throw new IllegalStateException(s"PUT $url -> $s")

@@ -359,14 +359,23 @@ object StreamStores {
       catch { case _: java.io.FileNotFoundException => Seq.empty }
     } else Seq.empty // POSIX handled by StreamLogs.list's dirlist
 
-  /** Does `stream` have committed state under `root`? Scheme-agnostic:
-    * a non-empty metadata log (one read of the checkpoint-bounded log —
-    * deliberately lines-not-tag, because the in-memory sim's revision
-    * tag stays nonzero after a destroy's clear()) or any segment
-    * object. The fleet sweep's liveness check (replaces the POSIX-only
+  /** Does `stream` have committed state under `root`? Scheme-aware
+    * (the fleet sweep's liveness check — replaces the POSIX-only
     * `Files.isDirectory(streamDir)`, which on a bucket root pointed at
-    * local scratch and made every bucket stream look destroyed). */
+    * local scratch and made every bucket stream look destroyed):
+    *   - mem: a REGISTRY PEEK, never `computeIfAbsent` — probing a name
+    *     destroy just dropped must not resurrect a phantom registry
+    *     entry (r15 review: one leaked pair per churned name forever),
+    *     and the sim's revision tag stays nonzero after clear(), so the
+    *     state check reads lines, which is free in-memory;
+    *   - everywhere else: one cheap `probeTag` (a HEAD on S3, a stat
+    *     on POSIX — tag 0 IS absent on these backends) with a segment
+    *     LIST only as the metadata-less fallback. */
   def streamExists(root: String, stream: String): Boolean =
-    metaStore(root, stream).readWithTag()._1.nonEmpty ||
-      segmentStore(root, stream).list().nonEmpty
+    if (isMem(root)) {
+      val m = mem.get(key(root, stream))
+      m != null && (m.meta.readWithTag()._1.nonEmpty || m.segs.list().nonEmpty)
+    } else
+      metaStore(root, stream).probeTag() != 0L ||
+        segmentStore(root, stream).list().nonEmpty
 }

@@ -190,15 +190,17 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
     // Fast-forward the replay tag past our OWN commit (ADVICE r14: the
     // first poll probe after every same-handle publish otherwise sees
     // tag != loadedTag and pays a redundant full locked replay) — but
-    // ONLY when the commit's decision ran against exactly the log this
-    // handle's state replays (lastReadTag == the tag we loaded at). If
-    // an external commit interleaved, the read tag differs and loadedTag
-    // stays stale on purpose, so the next probe still refreshes and
-    // picks the interloper's lines up. Callers hold stateLock, and the
-    // store instance is this handle's own (DSv2 writers re-resolve their
-    // own), so lastReadTag/lastCommitTag here describe OUR commit.
-    if (store.lastReadTag == before && store.lastCommitTag != 0L)
-      loadedTag = store.lastCommitTag
+    // ONLY when the landed write's read-tag equals the tag this
+    // handle's state replays. The (landedOn, movedTo) pair is ONE
+    // atomic snapshot from the store (r15 review: mem: roots share one
+    // store instance across handles, so reading two separate fields
+    // could pair our read tag with ANOTHER handle's commit tag and
+    // silently hide its lines). If anything interleaved, the pair's
+    // first element differs from `before`, loadedTag stays stale on
+    // purpose, and the next probe refreshes.
+    val (landedOn, movedTo) = store.lastCommitInfo
+    if (landedOn == before && movedTo != 0L)
+      loadedTag = movedTo
   }
 
   // ------------------------------------------------------------------

@@ -219,12 +219,16 @@ object StreamLogs {
           // create-use-destroy churn of fresh names must not grow the
           // cache forever. Only names a sweep has SEEN on disk are
           // candidates, so a handle opened ahead of its first publish
-          // is never evicted out from under its caller.
+          // is never evicted out from under its caller. Membership in
+          // THIS sweep's listing is the test (r15 review: a per-name
+          // liveness re-probe paid bucket I/O for names just
+          // maintained, and an exception from it — transient endpoint
+          // blip — would have killed the daemon thread, since only the
+          // per-stream maintain path routes errors to onError).
+          val listed = names.toSet
           streams.keySet.removeIf { n =>
-            seenOnDisk.contains(n) && {
-              val h = streams.get(n)
-              h == null || !streamLives(n, h)
-            } && { seenOnDisk.remove(n); true }
+            seenOnDisk.contains(n) && !listed.contains(n) &&
+              { seenOnDisk.remove(n); true }
           }
           // wait out the interval's remainder so the NEXT sweep starts
           // exactly intervalMs after this one did

@@ -470,12 +470,14 @@ class MetaStoreSpec extends SparkSpec {
     // ...and even when the compacted originals were ALSO PURGED before
     // the retry (tombstone-then-purge, ADVICE r14): the landed names
     // are gone from index AND tombstones, but the merged segment's
-    // range covers theirs — the retry must resolve as a replay instead
-    // of wedging on its own committed work forever
+    // range covers theirs — a FENCED retry must resolve as a replay
+    // instead of wedging on its own committed work forever (the range
+    // test is gated on a claimed epoch: with fencing active, a covered
+    // range can only be this committer's own landed work)
     val purged = new InMemoryMetaStore {
       private var n = 1
       override def appendIf(tag: Long, ls: Seq[String]): Boolean = {
-        if (n > 0) {
+        if (n > 0 && ls.exists(_.contains("a.seg"))) {
           n -= 1
           assert(super.appendIf(readWithTag()._2,
             ls ++ Seq(MetaJson.tombstone(seg.name, 9L), MetaJson.add(merged),
@@ -484,13 +486,24 @@ class MetaStoreSpec extends SparkSpec {
         } else super.appendIf(tag, ls)
       }
     }
-    MetaCommits.commitBulk(purged, 0L, Seq(seg)) // must not throw or wedge
+    val pEpoch = MetaCommits.claimWriter(purged, 0L)
+    MetaCommits.commitBulk(purged, pEpoch, Seq(seg)) // must not throw or wedge
     val plines = purged.readWithTag()._1
     val pst = MetaLog.replayLines(plines)
     assert(pst.index.segments.map(_.name) == Seq("m.seg"))
     assert(pst.tombstones.isEmpty)
     assert(plines.count(_.contains("\"a.seg\"")) == 3,
       "add + tombstone + purge — the retry appended nothing")
+    // in LEGACY epoch-0 mode (no claim ever) the same covered-range
+    // shape keeps r14's loud overlap refusal — a foreign epoch-0
+    // committer whose reused offsets land inside a live segment must
+    // never silently read as someone's replay
+    val legacy = new InMemoryMetaStore
+    assert(legacy.appendIf(0L, Seq(MetaJson.add(merged))))
+    intercept[IllegalArgumentException](
+      MetaCommits.commitBulk(legacy, 0L,
+        Seq(SegmentMeta("foreign.seg", seg.firstOffset, seg.lastOffset,
+          3L, 5L, 50L))))
     // ...and a GENUINE overlap (different name, crossing offsets)
     // still refuses
     intercept[IllegalArgumentException](MetaCommits.commitBulk(bulk, 0L,
