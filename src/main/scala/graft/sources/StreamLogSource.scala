@@ -325,9 +325,10 @@ class StreamLogScan(root: String, stream: String, lowerBound: String,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    StreamLogReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+  private lazy val readerFactory = StreamLogReaderFactory(
+    new org.apache.spark.util.SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
   /** Micro-batch view: the stream's cursor IS the record offset — the
     * exact consumer semantics of the reference's long-poll loop
@@ -448,9 +449,12 @@ class StreamLogMicroBatch(root: String, stream: String, startAfter: String,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    StreamLogReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+  // built ONCE per stream, not per micro-batch (a short-trigger query
+  // would otherwise pay a full Configuration copy every batch)
+  private lazy val readerFactory = StreamLogReaderFactory(
+    new org.apache.spark.util.SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
   override def commit(end: SOffset): Unit = () // cursor durability = Spark checkpoint
   override def stop(): Unit = ()
 }

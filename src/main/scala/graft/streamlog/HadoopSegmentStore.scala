@@ -18,11 +18,13 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *
   * Atomic-visibility strategy per scheme ([[SegmentStore]] contract:
   * a reader sees the complete object or no object):
-  *   - rename-capable filesystems (file, hdfs, viewfs): write a
-  *     dot-prefixed temp in the same directory, then `rename` — the
-  *     classic commit; dot-files are excluded from [[list]] (and from
-  *     Spark file scans), so an in-flight write is never visible.
-  *   - object stores (s3a, gcs, abfs, …): `create` + `close` IS the
+  *   - rename-commit filesystems (file, hdfs, viewfs, abfs/abfss —
+  *     hierarchical stores whose create() is visible BEFORE close and
+  *     whose rename is an atomic metadata move): write a dot-prefixed
+  *     temp in the same directory, then `rename` — the classic commit;
+  *     dot-files are excluded from [[list]] (and from Spark file
+  *     scans), so an in-flight write is never visible.
+  *   - flat object stores (s3a, gcs): `create` + `close` IS the
   *     whole-object PUT (visible only on close), so the bytes go
   *     straight to the final name — a rename there would be a
   *     copy+delete that adds cost without adding atomicity.
@@ -45,7 +47,7 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
   private val base = new HPath(baseUri)
   // FileSystem.get is cache-backed (keyed by scheme+authority), so
   // per-call resolution is a map lookup, not a client construction
-  private def fs: FileSystem = base.getFileSystem(new Configuration())
+  private def fs: FileSystem = base.getFileSystem(HadoopSegmentStore.conf())
 
   private def renameCapable(fs: FileSystem): Boolean =
     HadoopSegmentStore.RenameSchemes.contains(fs.getScheme)
@@ -120,6 +122,27 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
 }
 
 object HadoopSegmentStore {
+  /** The Hadoop configuration for this JVM: the defaults (core-site on
+    * the classpath) PLUS any `spark.hadoop.*` properties from the
+    * running Spark application — the standard spark-submit way to ship
+    * s3a/abfs credentials, which a bare `new Configuration()` would
+    * ignore (r15 review: the DSv2 readers were fixed to carry the
+    * session conf; the data-plane writes and fleet discovery resolve
+    * through here, which works on the DRIVER and on EXECUTORS alike
+    * via SparkEnv). Outside any Spark application (plain JVM specs)
+    * it degrades to the defaults. */
+  private[streamlog] def conf(): Configuration = {
+    val c = new Configuration()
+    try {
+      val env = org.apache.spark.SparkEnv.get
+      if (env != null) env.conf.getAll.foreach { case (k, v) =>
+        if (k.startsWith("spark.hadoop."))
+          c.set(k.substring("spark.hadoop.".length), v)
+      }
+    } catch { case _: Throwable => () } // no Spark runtime: defaults only
+    c
+  }
+
   /** Schemes whose rename is a metadata move (atomic commit point) AND
     * whose create() makes the path visible before close — these MUST
     * commit via dot-tmp + rename or a reader can observe a partial

@@ -422,6 +422,10 @@ object MetaCommits {
   def commitBulk(store: MetaStore, myEpoch: Long,
                  segs: Seq[SegmentMeta]): Unit = {
     require(segs.nonEmpty, "empty bulk load commits nothing")
+    // true once THIS call has passed overlap validation and issued a
+    // conditional append — the precondition for trusting the
+    // covered-range replay test below
+    var attempted = false
     store.commit() { cur =>
       val disk = MetaLog.writerEpochOf(cur)
       if (disk > myEpoch) throw WriterFencedException(myEpoch, disk)
@@ -429,23 +433,30 @@ object MetaCommits {
       // ambiguous-replay recognition must see COMPACTED segments too: a
       // maintenance pass may have tombstoned the landed segments between
       // the ambiguous attempt and this retry — they are still this
-      // commit's own work, not an overlap. And it must survive
-      // tombstone-then-PURGE (ADVICE r14): after purgeTombstones the
-      // landed names are gone from BOTH sets, but compaction merged
-      // them into a live segment whose range COVERS theirs — so a
-      // name-unknown segment whose entire [first,last] range sits
-      // inside one live segment is also this commit's replayed work.
-      // The range test is gated on ACTIVE FENCING (r15 review): with a
-      // claimed writer epoch, any stale foreign committer was already
-      // refused above, so a covered range can only be our own landed
-      // work; in legacy epoch-0 mode (no claim ever) a covered foreign
-      // commit — e.g. offsets reused across a destroy/recreate — must
-      // keep failing the overlap require LOUDLY, so epoch-0 keeps the
-      // r14 name-only recognition. A PARTIALLY-overlapping load still
-      // fails the overlap check rather than passing as a replay.
+      // commit's own work, not an overlap (names are UUID-unique, so
+      // the name test is safe at any epoch and any attempt). And it
+      // must survive tombstone-then-PURGE (ADVICE r14): after
+      // purgeTombstones the landed names are gone from BOTH sets, but
+      // compaction merged them into a live segment whose range COVERS
+      // theirs — so a name-unknown, range-covered segment can ALSO be
+      // this commit's replayed work. The range test is trusted only
+      // when BOTH hold (r15 review, second pass):
+      //   - this very call already validated non-overlap and issued an
+      //     append (`attempted`) — a FRESH load whose caller-supplied
+      //     offsets sit inside a live segment (a duplicate re-load, a
+      //     clock-regression reuse) sees coverage on its FIRST decide
+      //     and must fall through to the loud overlap refusal, never
+      //     silently read as someone's replay;
+      //   - fencing is active (disk > 0) — with a claimed epoch, no
+      //     stale foreign writer can have committed between our
+      //     attempts, so an in-call coverage can only be our own
+      //     landing. Legacy epoch-0 keeps r14's name-only recognition
+      //     (and r14's narrow exposure: an unfenced retry whose landed
+      //     work was compacted AND purged mid-call still refuses —
+      //     unchanged from r14, where the range test did not exist).
       val known = st.index.segments.map(_.name).toSet ++ st.tombstones.keySet
       def covered(m: SegmentMeta): Boolean =
-        disk > 0 && st.index.segments.exists(live =>
+        attempted && disk > 0 && st.index.segments.exists(live =>
           live.firstOffset <= m.firstOffset && m.lastOffset <= live.lastOffset)
       if (segs.forall(m => known.contains(m.name) || covered(m))) None // replay
       else {
@@ -454,6 +465,7 @@ object MetaCommits {
             s"bulk load overlaps existing log: " +
               s"last=${m.lastOffset} incoming=${segs.head.firstOffset}")
         }
+        attempted = true
         Some(segs.map(MetaJson.add))
       }
     }

@@ -350,7 +350,7 @@ object StreamStores {
       }.distinct.sorted
     } else if (isHadoop(root)) {
       val base = new org.apache.hadoop.fs.Path(root.stripPrefix("hadoop:"))
-      val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = base.getFileSystem(HadoopSegmentStore.conf())
       try fs.listStatus(base).toSeq
         .filter(s => s.isDirectory &&
           (fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "meta.jsonl")) ||

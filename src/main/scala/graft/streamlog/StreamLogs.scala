@@ -127,10 +127,14 @@ object StreamLogs {
     /** Is the stream's state still present? POSIX: its directory
       * (cheap stat, the pre-r15 check); bucket roots: the storage
       * seams — the streamDir there is local scratch, which would make
-      * every bucket stream look destroyed. */
-    private def streamLives(n: String, log: StreamLog): Boolean =
+      * every bucket stream look destroyed. Takes only the NAME (r15
+      * review, second pass): probing liveness must not construct a
+      * handle first, because a StreamLog constructor re-resolves its
+      * stores and on a mem: root that `computeIfAbsent` would
+      * resurrect the registry pair destroy just dropped. */
+    private def streamLives(n: String): Boolean =
       if (StreamStores.isBucket(root)) StreamStores.streamExists(root, n)
-      else Files.isDirectory(log.streamDir)
+      else Files.isDirectory(Paths.get(root, n))
 
     /** Number of cached stream handles (fleet introspection; the churn
       * spec bounds this against the live stream count). */
@@ -170,10 +174,27 @@ object StreamLogs {
         def elapsedMs = (System.nanoTime() - sweepStart) / 1000000L
         // a listing failure (root unreadable for a beat) must not kill
         // the fleet daemon — report it like a stream failure and retry
-        // next interval
-        val names =
-          try list(root)
-          catch { case e: Throwable => onError("<root>", e); Seq.empty }
+        // next interval. A FAILED listing also must not evict anything
+        // (an endpoint blip is not a destroy), so success is tracked.
+        val (names, listedOk) =
+          try (list(root), true)
+          catch { case e: Throwable => onError("<root>", e); (Seq.empty, false) }
+        // evict handles for streams destroyed BETWEEN sweeps (no longer
+        // listed) — a create-use-destroy churn of fresh names must not
+        // grow the cache forever. Runs on every SUCCESSFUL listing,
+        // including an empty one (r15 review, second pass: the last
+        // stream's destroy used to leave its handle cached forever
+        // because the empty-listing branch skipped eviction). Only
+        // names a sweep has SEEN are candidates, so a handle opened
+        // ahead of its first publish is never evicted from under its
+        // caller.
+        if (listedOk) {
+          val listed = names.toSet
+          streams.keySet.removeIf { n =>
+            seenOnDisk.contains(n) && !listed.contains(n) &&
+              { seenOnDisk.remove(n); true }
+          }
+        }
         if (names.isEmpty) pause(intervalMs)
         else {
           // deadline-based stagger: stream i is scheduled at i/n of
@@ -189,18 +210,22 @@ object StreamLogs {
             if (deadlineMs > elapsedMs) pause(deadlineMs - elapsedMs)
             if (!stop.get()) {
               try {
-                val log = open(n)
                 // fence backoff: skip until the handle re-claims past
-                // the epoch it held when it was fenced
+                // the epoch it held when it was fenced (checked on the
+                // CACHED handle — fencing implies one was opened)
                 val fEpoch = fencedAt.get(n)
-                if (fencedAt.containsKey(n) &&
-                    log.claimedWriterEpoch <= fEpoch) ()
-                else if (streamLives(n, log)) {
+                val cached = streams.get(n)
+                if (fencedAt.containsKey(n) && cached != null &&
+                    cached.claimedWriterEpoch <= fEpoch) ()
+                else if (streamLives(n)) { // liveness BEFORE open(): a
+                  // handle construction on a destroyed mem name would
+                  // resurrect the registry pair (r15 review)
+                  val log = open(n)
                   fencedAt.remove(n)
                   seenOnDisk.add(n)
                   onReport(n, log.maintain(limits, tombstoneMaxAgeMs, orphanGraceMs))
                 } else { // destroyed since listing: drop BOTH maps — a
-                  // handle evicted here never reaches the post-loop
+                  // handle evicted here never reaches the post-listing
                   // sweep, so leaving seenOnDisk behind would grow it
                   // one entry per churned name forever
                   streams.remove(n)
@@ -213,22 +238,6 @@ object StreamLogs {
                 case e: Throwable => onError(n, e)
               }
             }
-          }
-          // evict handles for streams destroyed BETWEEN sweeps (never
-          // listed again, so the in-loop branch can't reach them) — a
-          // create-use-destroy churn of fresh names must not grow the
-          // cache forever. Only names a sweep has SEEN on disk are
-          // candidates, so a handle opened ahead of its first publish
-          // is never evicted out from under its caller. Membership in
-          // THIS sweep's listing is the test (r15 review: a per-name
-          // liveness re-probe paid bucket I/O for names just
-          // maintained, and an exception from it — transient endpoint
-          // blip — would have killed the daemon thread, since only the
-          // per-stream maintain path routes errors to onError).
-          val listed = names.toSet
-          streams.keySet.removeIf { n =>
-            seenOnDisk.contains(n) && !listed.contains(n) &&
-              { seenOnDisk.remove(n); true }
           }
           // wait out the interval's remainder so the NEXT sweep starts
           // exactly intervalMs after this one did

@@ -504,6 +504,20 @@ class MetaStoreSpec extends SparkSpec {
       MetaCommits.commitBulk(legacy, 0L,
         Seq(SegmentMeta("foreign.seg", seg.firstOffset, seg.lastOffset,
           3L, 5L, 50L))))
+    // ...and a FENCED but FRESH duplicate load (caller-supplied offsets
+    // already covered by a live segment — a re-load or clock-regression
+    // reuse) ALSO refuses loudly: coverage is trusted only for this
+    // call's own post-append retry, never a first decide (r15 review,
+    // second pass — silently reading a fresh load as "someone's replay"
+    // would orphan its data)
+    val fencedDup = new InMemoryMetaStore
+    val fdEpoch = MetaCommits.claimWriter(fencedDup, 0L)
+    assert(fencedDup.appendIf(fencedDup.readWithTag()._2,
+      Seq(MetaJson.add(merged))))
+    intercept[IllegalArgumentException](
+      MetaCommits.commitBulk(fencedDup, fdEpoch,
+        Seq(SegmentMeta("fresh-dup.seg", seg.firstOffset, seg.lastOffset,
+          4L, 5L, 50L))))
     // ...and a GENUINE overlap (different name, crossing offsets)
     // still refuses
     intercept[IllegalArgumentException](MetaCommits.commitBulk(bulk, 0L,

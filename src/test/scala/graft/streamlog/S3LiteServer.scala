@@ -83,7 +83,20 @@ final class S3LiteServer(maxKeys: Int = 1000,
   def restart(): Unit = {
     val port = server.getAddress.getPort
     server.stop(0)
-    server = boot(port)
+    // same-port re-bind can briefly lose to lingering connections
+    // (TIME_WAIT) — retry within a bounded window, as a restarting
+    // real endpoint process effectively does
+    val deadline = System.currentTimeMillis() + 10000
+    var booted: HttpServer = null
+    while (booted == null) {
+      try booted = boot(port)
+      catch {
+        case e: java.net.BindException =>
+          if (System.currentTimeMillis() > deadline) throw e
+          Thread.sleep(50)
+      }
+    }
+    server = booted
   }
   def keys: Seq[String] = objects.synchronized(objects.keys.toSeq)
   def hitCounts: Map[String, Int] =
