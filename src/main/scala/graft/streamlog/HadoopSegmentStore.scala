@@ -37,10 +37,13 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * plane with [[S3MetaStore]]'s conditional-PUT commits (construct
   * [[StreamLog]] with explicit stores, or register them).
   *
-  * The `Configuration` is the process default (plus any `fs.*` entries
-  * a deployment ships in core-site); executors re-resolve the store
-  * from the same base-URI string a partition carries, exactly how an
-  * s3a path resolves to a client inside each task.
+  * The `Configuration` is the process default (core-site on the
+  * classpath) ENRICHED with the running Spark application's
+  * `spark.hadoop.*` properties — the standard spark-submit way to
+  * ship s3a/abfs credentials — resolved once per JVM via SparkEnv, so
+  * it works identically on the driver and on executors re-resolving
+  * the store from the same base-URI string a partition carries,
+  * exactly how an s3a path resolves to a client inside each task.
   */
 final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
 
@@ -129,19 +132,25 @@ object HadoopSegmentStore {
     * ignore (r15 review: the DSv2 readers were fixed to carry the
     * session conf; the data-plane writes and fleet discovery resolve
     * through here, which works on the DRIVER and on EXECUTORS alike
-    * via SparkEnv). Outside any Spark application (plain JVM specs)
-    * it degrades to the defaults. */
-  private[streamlog] def conf(): Configuration = {
+    * via SparkEnv). Memoized — SparkEnv and its spark.hadoop.* entries
+    * are stable for the JVM's lifetime, and rebuilding a Configuration
+    * per put/get/list would be pure hot-path overhead (FileSystem.get
+    * ignores the conf on cache hits anyway). Only Spark's ABSENCE
+    * (LinkageError on a plain JVM) is absorbed; a failure while
+    * copying entries propagates rather than silently truncating the
+    * credential set. */
+  private lazy val enrichedConf: Configuration = {
     val c = new Configuration()
-    try {
-      val env = org.apache.spark.SparkEnv.get
-      if (env != null) env.conf.getAll.foreach { case (k, v) =>
-        if (k.startsWith("spark.hadoop."))
-          c.set(k.substring("spark.hadoop.".length), v)
-      }
-    } catch { case _: Throwable => () } // no Spark runtime: defaults only
+    val env =
+      try org.apache.spark.SparkEnv.get
+      catch { case _: LinkageError => null } // no Spark on the classpath
+    if (env != null) env.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.hadoop."))
+        c.set(k.substring("spark.hadoop.".length), v)
+    }
     c
   }
+  private[streamlog] def conf(): Configuration = enrichedConf
 
   /** Schemes whose rename is a metadata move (atomic commit point) AND
     * whose create() makes the path visible before close — these MUST

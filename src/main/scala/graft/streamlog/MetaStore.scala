@@ -423,8 +423,8 @@ object MetaCommits {
                  segs: Seq[SegmentMeta]): Unit = {
     require(segs.nonEmpty, "empty bulk load commits nothing")
     // true once THIS call has passed overlap validation and issued a
-    // conditional append — the precondition for trusting the
-    // covered-range replay test below
+    // conditional append — used only to make the rare wedge diagnosis
+    // below specific, never to auto-recognize by range
     var attempted = false
     store.commit() { cur =>
       val disk = MetaLog.writerEpochOf(cur)
@@ -434,36 +434,32 @@ object MetaCommits {
       // maintenance pass may have tombstoned the landed segments between
       // the ambiguous attempt and this retry — they are still this
       // commit's own work, not an overlap (names are UUID-unique, so
-      // the name test is safe at any epoch and any attempt). And it
-      // must survive tombstone-then-PURGE (ADVICE r14): after
-      // purgeTombstones the landed names are gone from BOTH sets, but
-      // compaction merged them into a live segment whose range COVERS
-      // theirs — so a name-unknown, range-covered segment can ALSO be
-      // this commit's replayed work. The range test is trusted only
-      // when BOTH hold (r15 review, second pass):
-      //   - this very call already validated non-overlap and issued an
-      //     append (`attempted`) — a FRESH load whose caller-supplied
-      //     offsets sit inside a live segment (a duplicate re-load, a
-      //     clock-regression reuse) sees coverage on its FIRST decide
-      //     and must fall through to the loud overlap refusal, never
-      //     silently read as someone's replay;
-      //   - fencing is active (disk > 0) — with a claimed epoch, no
-      //     stale foreign writer can have committed between our
-      //     attempts, so an in-call coverage can only be our own
-      //     landing. Legacy epoch-0 keeps r14's name-only recognition
-      //     (and r14's narrow exposure: an unfenced retry whose landed
-      //     work was compacted AND purged mid-call still refuses —
-      //     unchanged from r14, where the range test did not exist).
+      // the name test is safe at any epoch and any attempt).
       val known = st.index.segments.map(_.name).toSet ++ st.tombstones.keySet
-      def covered(m: SegmentMeta): Boolean =
-        attempted && disk > 0 && st.index.segments.exists(live =>
-          live.firstOffset <= m.firstOffset && m.lastOffset <= live.lastOffset)
-      if (segs.forall(m => known.contains(m.name) || covered(m))) None // replay
+      if (segs.forall(m => known.contains(m.name))) None // ambiguous replay
       else {
+        // NO range-based auto-recognition (r15, three review passes):
+        // a name-unknown segment whose range is covered by a live one
+        // is AMBIGUOUS between (a) our own ambiguous landing that a
+        // concurrent maintenance pass compacted AND purged AND
+        // checkpointed inside this call's retry loop — which needs
+        // tombstoneMaxAgeMs ≈ 0 and is benign to re-run — and (b) a
+        // same-epoch concurrent committer having landed overlapping
+        // offsets, where silently reporting success would orphan this
+        // load's data. Loud refusal wins; the message distinguishes
+        // the post-append retry shape so case (a) is diagnosable
+        // (ADVICE r14 accepted documenting this maxAgeMs-bounded
+        // window as the resolution).
         st.index.max.foreach { m =>
           require(m.lastOffset < segs.head.firstOffset,
             s"bulk load overlaps existing log: " +
-              s"last=${m.lastOffset} incoming=${segs.head.firstOffset}")
+              s"last=${m.lastOffset} incoming=${segs.head.firstOffset}" +
+              (if (attempted)
+                " (this call already appended once: if maintenance with" +
+                  " a near-zero tombstone age ran concurrently, the landed" +
+                  " segments may have been compacted and purged — verify" +
+                  " the records are present before re-running the load)"
+               else ""))
         }
         attempted = true
         Some(segs.map(MetaJson.add))

@@ -135,6 +135,12 @@ object StreamLogs {
     private def streamLives(n: String): Boolean =
       if (StreamStores.isBucket(root)) StreamStores.streamExists(root, n)
       else Files.isDirectory(Paths.get(root, n))
+    // residual mem-sim caveat (r15 third pass, accepted): a destroy
+    // landing in the window between streamLives(n) and open(n) can
+    // still recreate one EMPTY registry pair via the constructor's
+    // computeIfAbsent. mem: roots are the single-JVM spec backend;
+    // closing the window would need a registry-level create/destroy
+    // handshake that the real bucket backends don't have or need.
 
     /** Number of cached stream handles (fleet introspection; the churn
       * spec bounds this against the live stream count). */
@@ -192,7 +198,7 @@ object StreamLogs {
           val listed = names.toSet
           streams.keySet.removeIf { n =>
             seenOnDisk.contains(n) && !listed.contains(n) &&
-              { seenOnDisk.remove(n); true }
+              { seenOnDisk.remove(n); fencedAt.remove(n); true }
           }
         }
         if (names.isEmpty) pause(intervalMs)
@@ -224,12 +230,14 @@ object StreamLogs {
                   fencedAt.remove(n)
                   seenOnDisk.add(n)
                   onReport(n, log.maintain(limits, tombstoneMaxAgeMs, orphanGraceMs))
-                } else { // destroyed since listing: drop BOTH maps — a
+                } else { // destroyed since listing: drop ALL maps — a
                   // handle evicted here never reaches the post-listing
-                  // sweep, so leaving seenOnDisk behind would grow it
-                  // one entry per churned name forever
+                  // sweep, so leaving seenOnDisk (or a fence record,
+                  // r15 third pass) behind would grow them one entry
+                  // per churned name forever
                   streams.remove(n)
                   seenOnDisk.remove(n)
+                  fencedAt.remove(n)
                 }
               } catch {
                 case e: WriterFencedException =>

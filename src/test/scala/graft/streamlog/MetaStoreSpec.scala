@@ -467,13 +467,14 @@ class MetaStoreSpec extends SparkSpec {
     assert(clines.count(_.contains("\"a.seg\"")) == 2,
       "one add + one tombstone — the retry appended nothing")
     assert(MetaLog.replayLines(clines).index.segments.map(_.name) == Seq("m.seg"))
-    // ...and even when the compacted originals were ALSO PURGED before
-    // the retry (tombstone-then-purge, ADVICE r14): the landed names
-    // are gone from index AND tombstones, but the merged segment's
-    // range covers theirs — a FENCED retry must resolve as a replay
-    // instead of wedging on its own committed work forever (the range
-    // test is gated on a claimed epoch: with fencing active, a covered
-    // range can only be this committer's own landed work)
+    // ...but tombstone-then-PURGE inside the retry window (ADVICE r14)
+    // deliberately does NOT auto-recognize: a name-unknown range-covered
+    // segment is ambiguous between our own compacted-and-purged landing
+    // and a same-epoch concurrent committer's overlapping load — and
+    // silently reporting success for the latter would orphan its data
+    // (r15, three review passes). The refusal is LOUD and carries the
+    // post-append diagnosis so the benign case (needs a near-zero
+    // tombstone age racing this very call) is actionable.
     val purged = new InMemoryMetaStore {
       private var n = 1
       override def appendIf(tag: Long, ls: Seq[String]): Boolean = {
@@ -487,29 +488,23 @@ class MetaStoreSpec extends SparkSpec {
       }
     }
     val pEpoch = MetaCommits.claimWriter(purged, 0L)
-    MetaCommits.commitBulk(purged, pEpoch, Seq(seg)) // must not throw or wedge
-    val plines = purged.readWithTag()._1
-    val pst = MetaLog.replayLines(plines)
-    assert(pst.index.segments.map(_.name) == Seq("m.seg"))
-    assert(pst.tombstones.isEmpty)
-    assert(plines.count(_.contains("\"a.seg\"")) == 3,
-      "add + tombstone + purge — the retry appended nothing")
-    // in LEGACY epoch-0 mode (no claim ever) the same covered-range
-    // shape keeps r14's loud overlap refusal — a foreign epoch-0
-    // committer whose reused offsets land inside a live segment must
-    // never silently read as someone's replay
+    val pe = intercept[IllegalArgumentException](
+      MetaCommits.commitBulk(purged, pEpoch, Seq(seg)))
+    assert(pe.getMessage.contains("this call already appended once"),
+      s"the post-append retry diagnosis must be present: ${pe.getMessage}")
+    val pst = MetaLog.replayLines(purged.readWithTag()._1)
+    assert(pst.index.segments.map(_.name) == Seq("m.seg"),
+      "the landed work is committed (under its merged form) despite the refusal")
+    // a FRESH load (fenced or legacy) whose caller-supplied offsets sit
+    // inside a live segment refuses WITHOUT the post-append diagnosis —
+    // a duplicate re-load / clock-regression reuse, never a replay
     val legacy = new InMemoryMetaStore
     assert(legacy.appendIf(0L, Seq(MetaJson.add(merged))))
-    intercept[IllegalArgumentException](
+    val le = intercept[IllegalArgumentException](
       MetaCommits.commitBulk(legacy, 0L,
         Seq(SegmentMeta("foreign.seg", seg.firstOffset, seg.lastOffset,
           3L, 5L, 50L))))
-    // ...and a FENCED but FRESH duplicate load (caller-supplied offsets
-    // already covered by a live segment — a re-load or clock-regression
-    // reuse) ALSO refuses loudly: coverage is trusted only for this
-    // call's own post-append retry, never a first decide (r15 review,
-    // second pass — silently reading a fresh load as "someone's replay"
-    // would orphan its data)
+    assert(!le.getMessage.contains("already appended"))
     val fencedDup = new InMemoryMetaStore
     val fdEpoch = MetaCommits.claimWriter(fencedDup, 0L)
     assert(fencedDup.appendIf(fencedDup.readWithTag()._2,
