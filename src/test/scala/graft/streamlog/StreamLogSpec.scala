@@ -687,6 +687,28 @@ class StreamLogSpec extends SparkSpec {
         Thread.sleep(20)
       assert(fleet.cachedHandles <= 50,
         s"handle leak: ${fleet.cachedHandles} cached for 50 live streams")
+      // fenced-then-destroyed churn (r15 third pass): a stream whose
+      // maintenance FENCED is then destroyed — the fence record must be
+      // evicted with the handle, or fencedStreams reports ghosts and
+      // the map grows one entry per churned name forever
+      val fenced = fleet.open("fencedchurn")
+      fenced.claimWriter()
+      fenced.publish((1 to 4).map(i => s"""{"x":$i}"""), nowMs = c)
+      fenced.publish((1 to 4).map(i => s"""{"y":$i}"""), nowMs = c)
+      val usurper = new StreamLog(spark, root, "fencedchurn")
+      usurper.claimWriter() // supersedes the fleet's handle
+      val dF = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < dF &&
+          !fleet.fencedStreams.contains("fencedchurn"))
+        Thread.sleep(20)
+      assert(fleet.fencedStreams.contains("fencedchurn"), "never fenced")
+      usurper.destroy()
+      val dG = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < dG &&
+          fleet.fencedStreams.contains("fencedchurn"))
+        Thread.sleep(20)
+      assert(!fleet.fencedStreams.contains("fencedchurn"),
+        "destroyed stream's fence record leaked")
       // sub-sweep churn (create-use-destroy faster than a sweep can
       // list it): the seen-on-disk eviction can't reach these — the
       // owner releases explicitly and the cache stays bounded
