@@ -100,12 +100,22 @@ class ProtocolFuzzSpec extends AnyFunSuite {
     val rng = new scala.util.Random(seed)
     val store = new SeededFaultyStore(rng, spuriousRate = 0.12,
       ambiguousRate = 0.12)
+    driveOps(seed, steps, store, rng, () => ())
+    (store.spuriousInjected, store.ambiguousInjected)
+  }
+
+  /** The seeded op driver, shared between the in-memory sweep and the
+    * WIRE variant (real HTTP against the conformance server, faults
+    * injected as real 409 responses and dropped-response ambiguity). */
+  private def driveOps(seed: Long, steps: Int, store: MetaStore,
+                       rng: scala.util.Random, beforeOp: () => Unit): Unit = {
     val m = new Model
     // 2-4 handles, each remembering its own claimed epoch (0 = unclaimed)
     val handles = Array.fill(2 + rng.nextInt(3))(0L)
     var sinkNext = Map.empty[String, Long].withDefaultValue(0L)
 
     for (step <- 1 to steps) {
+      beforeOp()
       val h = rng.nextInt(handles.length)
       val stale = handles(h) < m.writerEpoch
       val op = rng.nextInt(7)
@@ -192,7 +202,6 @@ class ProtocolFuzzSpec extends AnyFunSuite {
       }
       check(seed, name, store, m)
     }
-    (store.spuriousInjected, store.ambiguousInjected)
   }
 
   test("1200 seeded interleavings with injected 409s/ambiguity replay to the model at every quiescent point") {
@@ -208,5 +217,29 @@ class ProtocolFuzzSpec extends AnyFunSuite {
   test("a deep interleaving (400 steps) stays exact under sustained fault pressure") {
     val (sp, am) = runOne(seed = 777L, steps = 400)
     assert(sp > 5 && am > 5, s"deep run injected spurious=$sp ambiguous=$am")
+  }
+
+  test("WIRE fuzz: 40 seeded interleavings over real HTTP with real 409s and dropped responses stay exact") {
+    // same ops, same model, but every fault is a REAL wire event:
+    // failPuts makes the server answer an actual 409, dropResponses
+    // makes it apply the PUT and close the connection without
+    // responding (the ambiguous outcome) — so the adapters' status
+    // handling and IOException-as-lost resolution are inside the
+    // fuzzed surface, not simulated booleans
+    val srv = new S3LiteServer()
+    try {
+      var faults = 0
+      (1L to 40L).foreach { seed =>
+        val rng = new scala.util.Random(seed)
+        val store = new S3MetaStore(srv.endpoint, "b",
+          s"fuzz-$seed/meta.jsonl")
+        driveOps(seed, steps = 20, store, rng, () => {
+          val draw = rng.nextDouble()
+          if (draw < 0.12) { srv.failPuts = 1; faults += 1 }
+          else if (draw < 0.24) { srv.dropResponses = 1; faults += 1 }
+        })
+      }
+      assert(faults > 100, s"wire fault coverage too thin: $faults")
+    } finally srv.stop()
   }
 }
