@@ -46,6 +46,15 @@ class HadoopStreamLogSpec extends SparkSpec {
     store.putFromFile("seg5.seg", spool)
     assert(new String(store.get("seg5.seg")) == "spooled\n")
     assert(!Files.exists(spool), "spool consumed")
+    // re-put under the SAME name is an overwrite (SegmentStore stated
+    // requirement #3: an ambiguous upload's retry must land, not wedge
+    // — the renameOver path on rename-capable schemes, r15 review)
+    store.put("seg5.seg", "retried\n".getBytes)
+    assert(new String(store.get("seg5.seg")) == "retried\n")
+    val spool2 = store.newSpool("y")
+    Files.write(spool2, "respooled\n".getBytes)
+    store.putFromFile("seg5.seg", spool2)
+    assert(new String(store.get("seg5.seg")) == "respooled\n")
   }
 
   test("full StreamLog battery on a hadoop: root — publish, consume, poll, compact, maintain, rebuild, destroy") {
