@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.streamlog.{MetaLog, Offset, SegmentMeta, StreamStores}
+import graft.streamlog.{MetaLog, Offset, S3Auth, SegmentMeta, SigV4Credentials, StreamStores}
 
 /** DataSource V2 batch connector for the stream-log:
   *
@@ -318,9 +318,12 @@ class StreamLogScan(root: String, stream: String, lowerBound: String,
     val paths = StreamStores.segmentStore(root, stream)
       .scanPaths(kept.map(_.name))
       .getOrElse(kept.map(_ => ""))
+    // driver credentials ride the partition so a fresh executor JVM
+    // signs its GETs (ADVICE r15 — the S3Auth registry is per-JVM)
+    val auth = StreamStores.s3AuthFor(root)
     kept.zip(paths)
       .map { case (m, p) =>
-        StreamLogPartition(root, stream, m.name, lowerBound, "", p): InputPartition
+        StreamLogPartition(root, stream, m.name, lowerBound, "", p, auth): InputPartition
       }
       .toArray
   }
@@ -442,9 +445,10 @@ class StreamLogMicroBatch(root: String, stream: String, startAfter: String,
     val paths = StreamStores.segmentStore(root, stream)
       .scanPaths(segs.map(_.name))
       .getOrElse(segs.map(_ => ""))
+    val auth = StreamStores.s3AuthFor(root)
     segs.zip(paths)
       .map { case (m, p) =>
-        StreamLogPartition(root, stream, m.name, after, until, p): InputPartition
+        StreamLogPartition(root, stream, m.name, after, until, p, auth): InputPartition
       }
       .toArray
   }
@@ -544,7 +548,7 @@ class StreamLogStreamingWrite(root: String, stream: String,
   }
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    StreamLogStreamingWriterFactory(root, stream, base)
+    StreamLogStreamingWriterFactory(root, stream, base, StreamStores.s3AuthFor(root))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case s: SegmentCommit if s.records > 0 => s }
@@ -576,7 +580,8 @@ class StreamLogStreamingWrite(root: String, stream: String,
     }
 }
 
-case class StreamLogStreamingWriterFactory(root: String, stream: String, base: Long)
+case class StreamLogStreamingWriterFactory(root: String, stream: String, base: Long,
+                                           auth: Option[(String, SigV4Credentials)] = None)
     extends StreamingDataWriterFactory {
   /** 10^10 rows per partition per epoch; 10^6 partitions fit the
     * 16-digit counter field. */
@@ -590,6 +595,7 @@ case class StreamLogStreamingWriterFactory(root: String, stream: String, base: L
       private var records = 0L
       private var bytes = 0L
       private val epoch = base + epochId
+      auth.foreach { case (ep, c) => S3Auth.ensureRegistered(ep, c) }
       private val store = StreamStores.segmentStore(root, stream)
       private val tmp = store.newSpool(s"s-$partitionId-$taskId-$epochId")
       private lazy val out = Files.newBufferedWriter(tmp, UTF_8)
@@ -634,7 +640,7 @@ class StreamLogBatchWrite(root: String, stream: String,
                           writerEpoch: Long = 0L) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    StreamLogWriterFactory(root, stream)
+    StreamLogWriterFactory(root, stream, StreamStores.s3AuthFor(root))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case s: SegmentCommit if s.records > 0 => s }
@@ -675,13 +681,16 @@ class StreamLogBatchWrite(root: String, stream: String,
     }
 }
 
-case class StreamLogWriterFactory(root: String, stream: String) extends DataWriterFactory {
+case class StreamLogWriterFactory(root: String, stream: String,
+                                  auth: Option[(String, SigV4Credentials)] = None)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private var first: String = _
       private var last: String = _
       private var records = 0L
       private var bytes = 0L
+      auth.foreach { case (ep, c) => S3Auth.ensureRegistered(ep, c) }
       private val store = StreamStores.segmentStore(root, stream)
       private val tmp = store.newSpool(s"w-$partitionId-$taskId")
       private lazy val out = Files.newBufferedWriter(tmp, UTF_8)
@@ -726,7 +735,8 @@ case class StreamLogWriterFactory(root: String, stream: String) extends DataWrit
   */
 case class StreamLogPartition(root: String, stream: String, seg: String,
                               after: String, until: String,
-                              path: String = "")
+                              path: String = "",
+                              auth: Option[(String, SigV4Credentials)] = None)
     extends InputPartition
 
 /** Carries the DRIVER's Hadoop configuration to the reading tasks
@@ -753,8 +763,12 @@ case class StreamLogReaderFactory(
             fs.open(hp), UTF_8))
           toClose = br
           Iterator.continually(br.readLine()).takeWhile(_ != null)
-        } else
-          StreamStores.segmentStore(p.root, p.stream).getLines(p.seg).iterator
+        } else {
+          p.auth.foreach { case (ep, c) => S3Auth.ensureRegistered(ep, c) }
+          // lazy range-streaming where the store supports it (s3:) —
+          // the task never materializes the whole segment
+          StreamStores.segmentStore(p.root, p.stream).linesIterator(p.seg)
+        }
       private val lines = rawLines
         .filter { l =>
           l.length >= Offset.Width && {

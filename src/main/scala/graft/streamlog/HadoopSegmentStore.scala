@@ -1,6 +1,7 @@
 package graft.streamlog
 
 import java.io.FileNotFoundException
+import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
@@ -66,18 +67,47 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
     * File.renameTo, which overwrites on POSIX). The brief absence
     * window is safe exactly because a retried put implies the
     * metadata commit for this name never landed — nothing reads an
-    * uncommitted name except the orphan sweep, which re-lists. */
-  private def renameOver(f: FileSystem, tmp: HPath, dst: HPath): Unit =
-    if (!f.rename(tmp, dst)) {
+    * uncommitted name except the orphan sweep, which re-lists.
+    *
+    * SUCCESS-BY-PEER (ADVICE r15): concurrent retries of the same
+    * deterministic put share the dot-tmp path, so one retry can rename
+    * the shared tmp out from under another. dst is therefore only
+    * deleted while OUR tmp still exists — a vanished tmp with dst
+    * present means a peer committed the identical content, which IS
+    * this put's postcondition; the old code deleted the landed object
+    * unconditionally and could leave absence on a second failure. */
+  private def renameOver(f: FileSystem, tmp: HPath, dst: HPath): Unit = {
+    var attempts = 0
+    while (true) {
+      if (f.rename(tmp, dst)) return
+      if (!f.exists(tmp)) {
+        if (f.exists(dst)) return // a peer's identical put landed
+        throw new java.io.IOException(
+          s"rename $tmp -> $dst failed: tmp vanished without dst landing")
+      }
+      // refused = dst exists; concurrent same-name racers can re-land
+      // dst between our delete and rename, so a single retry is a
+      // check-then-act race — loop, and past the bound accept the
+      // peer's landing (identical content) and drop our staging
+      attempts += 1
+      if (attempts > 100) {
+        if (f.exists(dst)) { f.delete(tmp, false); return }
+        throw new java.io.IOException(
+          s"rename $tmp -> $dst failed after $attempts attempts")
+      }
       f.delete(dst, false)
-      if (!f.rename(tmp, dst))
-        throw new java.io.IOException(s"rename $tmp -> $dst failed")
     }
+  }
 
   override def put(name: String, bytes: Array[Byte]): Unit = {
     val f = fs
     if (renameCapable(f)) {
-      val tmp = new HPath(base, s".$name.tmp")
+      // per-attempt UNIQUE tmp (ADVICE r15): concurrent retries of the
+      // same deterministic put must not collide on one tmp path — with
+      // a shared name one retry renames (or chmods) the tmp out from
+      // under another mid-create; unique tmps make every attempt's
+      // staging private, and the rename itself stays the commit point
+      val tmp = new HPath(base, s".$name.${UUID.randomUUID()}.tmp")
       val out = f.create(tmp, true)
       try out.write(bytes) finally out.close()
       renameOver(f, tmp, path(name))
@@ -106,16 +136,46 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
   override def delete(name: String): Unit =
     fs.delete(path(name), false): Unit // idempotent: false on absent
 
+  /** Remove the empty `segments/` dir and (if then empty) the stream
+    * directory a destroy leaves behind on hierarchical schemes —
+    * without this, [[StreamStores.listStreams]] would catalog the
+    * destroyed stream forever while streamExists reports false
+    * (ADVICE r15). Non-empty directories are left untouched. */
+  override def dropContainer(): Unit = {
+    val f = fs
+    try {
+      if (f.exists(base) && f.listStatus(base).isEmpty)
+        f.delete(base, false)
+      val parent = base.getParent
+      if (parent != null && f.exists(parent) && f.listStatus(parent).isEmpty)
+        f.delete(parent, false): Unit
+    } catch { case _: FileNotFoundException => () }
+  }
+
   override def putFromFile(name: String, local: java.nio.file.Path): Unit = {
     val f = fs
     val src = new HPath(local.toUri)
     if (renameCapable(f)) {
-      val tmp = new HPath(base, s".$name.tmp")
+      val tmp = new HPath(base, s".$name.${UUID.randomUUID()}.tmp")
       f.mkdirs(base)
       f.copyFromLocalFile(true, true, src, tmp)
       renameOver(f, tmp, path(name))
     } else f.copyFromLocalFile(true, true, src, path(name))
   }
+
+  /** Stale write debris: a crash between create and rename leaves a
+    * unique `.name.<uuid>.tmp` behind that [[list]] hides and the
+    * orphan sweep therefore cannot see — collect those past the grace
+    * window here (called from StreamLog.purgeOrphans). Deleting
+    * through the FileSystem also removes checksum sidecars. */
+  override def sweepDebris(olderThanMs: Long, nowMs: Long): Seq[String] =
+    try fs.listStatus(base).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(".") &&
+        s.getPath.getName.endsWith(".tmp") &&
+        s.getModificationTime <= nowMs - olderThanMs)
+      .map { s => fs.delete(s.getPath, false); s.getPath.getName }
+      .sorted
+    catch { case _: FileNotFoundException => Seq.empty }
 
   /** Real URIs — the whole point of this adapter: `spark.read.text`
     * and the DSv2 reader stream these through the FileSystem layer

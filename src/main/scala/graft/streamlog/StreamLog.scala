@@ -286,9 +286,15 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
       case None =>
         import spark.implicits._
         val (r, n) = (root, name)
+        // driver credentials ride the closure so a fresh executor JVM
+        // signs its GETs (ADVICE r15 — the S3Auth registry is per-JVM)
+        val auth = StreamStores.s3AuthFor(root)
         spark.createDataset(segs.map(_.name))
           .repartition(segs.size)
-          .flatMap(seg => StreamStores.segmentStore(r, n).getLines(seg))
+          .flatMap { seg =>
+            auth.foreach { case (ep, c) => S3Auth.ensureRegistered(ep, c) }
+            StreamStores.segmentStore(r, n).linesIterator(seg)
+          }
           .toDF("value")
     }
 
@@ -302,8 +308,10 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
     var seg = index.segmentAfter(cursor)
     while (n < limit && seg.isDefined) {
       val m = seg.get
-      val lines = segStore.getLines(m.name)
-      val it = lines.iterator.filter(l => l.length >= Offset.Width && l.substring(0, Offset.Width) > cursor)
+      // lazy lines: a limit hit mid-segment stops fetching (Range GETs
+      // on s3: roots never pull the bytes past the limit)
+      val it = segStore.linesIterator(m.name)
+        .filter(l => l.length >= Offset.Width && l.substring(0, Offset.Width) > cursor)
       while (n < limit && it.hasNext) {
         val l = it.next()
         out += ((l.substring(0, Offset.Width), l.substring(Offset.Width)))
@@ -328,20 +336,35 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
     * conditional commit performs) and replays state only when the tag
     * moved — a cross-process consumer therefore wakes within the probe
     * interval, not the full timeout, and an idle stream costs one small
-    * metadata read per interval, never a segment LIST or GET. */
-  def poll(after: String, limit: Int, timeoutMs: Long, intervalMs: Long = 50): Seq[(String, String)] = {
+    * metadata read per interval, never a segment LIST or GET.
+    *
+    * IDLE BACKOFF (VERDICT r15 #6): each consecutive empty probe
+    * doubles the wait from `intervalMs` up to `maxIntervalMs`, so a
+    * long-idle consumer settles at ~1 probe per `maxIntervalMs`
+    * instead of 20/s forever (a thousand idle consumers at the
+    * defaults would otherwise sit at 20k HEADs/s fleet-wide). Latency
+    * is bounded by the CAP, not the timeout: a same-process publish
+    * still wakes the monitor instantly, and an external commit is seen
+    * within one capped interval. Delivery resets the cadence by
+    * construction — poll returns on data, and the next call starts at
+    * `intervalMs` again. */
+  def poll(after: String, limit: Int, timeoutMs: Long, intervalMs: Long = 50,
+           maxIntervalMs: Long = 1000): Seq[(String, String)] = {
     val deadline = System.currentTimeMillis() + timeoutMs
     probeExternal()
     var res = consume(after, limit)
+    var interval = intervalMs
+    val cap = math.max(intervalMs, maxIntervalMs)
     while (res.isEmpty && System.currentTimeMillis() < deadline) {
       val remaining = deadline - System.currentTimeMillis()
       // wait(0) means wait-forever: clamp to ≥ 1 ms so intervalMs = 0
       // still honors the deadline (degrades to a near-busy poll)
-      val waitMs = math.max(1L, math.min(intervalMs, remaining))
+      val waitMs = math.max(1L, math.min(interval, remaining))
       if (remaining > 0)
         flushMonitor.synchronized(flushMonitor.wait(waitMs))
       probeExternal()
       res = consume(after, limit)
+      interval = math.min(interval * 2, cap)
     }
     res
   }
@@ -470,7 +493,10 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
       .map(_.name)
       .sorted
     orphans.foreach(segStore.delete)
-    orphans ++ staleMerges.map(_.getFileName.toString)
+    // crash-leaked unique tmp staging is invisible to list() by design
+    // — the store's own debris sweep collects it past the same grace
+    val debris = segStore.sweepDebris(graceMs, System.currentTimeMillis())
+    orphans ++ staleMerges.map(_.getFileName.toString) ++ debris
   }
 
   /** Compact EVERY window of one planning pass in a single distributed
@@ -647,6 +673,7 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
     segStore.deleteAll()
     if (Files.exists(streamDir)) deleteRecursively(streamDir)
     store.clear() // non-POSIX backends hold the log outside streamDir
+    segStore.dropContainer() // hierarchical schemes: drop the empty dirs
     load()
   }
 

@@ -89,6 +89,14 @@ object StreamLogs {
       onError: (String, Throwable) => Unit = (_, e) => e.printStackTrace())
       : FleetMaintenance = {
     require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
+    // fail fast: a hadoop non-file root cannot resolve the commit
+    // store implicitly, so every sweep would list streams then throw
+    // once per stream per sweep into onError (ADVICE r15)
+    require(StreamStores.supportsImplicitMetaStore(root),
+      s"fleet maintenance unsupported on '$root': hadoop roots with a " +
+        "non-file scheme need an explicit conditional-PUT MetaStore " +
+        "(e.g. S3MetaStore over the same bucket) — run per-stream " +
+        "maintenance via StreamLog's explicit-store constructor instead")
     new FleetMaintenance(spark, root, intervalMs, limits,
       tombstoneMaxAgeMs, orphanGraceMs, onReport, onError)
   }

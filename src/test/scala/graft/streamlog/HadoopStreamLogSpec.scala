@@ -193,4 +193,71 @@ class HadoopStreamLogSpec extends SparkSpec {
     // constructing the store does not contact the cluster
     StreamStores.segmentStore("hadoop:hdfs://nn:8020/streams", "s1"): Unit
   }
+
+  test("fleet maintenance FAILS FAST on a hadoop non-file root instead of throwing per stream per sweep") {
+    // ADVICE r15: listStreams happily enumerates hadoop:s3a:// roots
+    // but the sweep's open path would throw IllegalArgumentException
+    // per stream per sweep — refuse at start with guidance instead
+    val e = intercept[IllegalArgumentException](
+      StreamLogs.startMaintenance(spark, "hadoop:hdfs://nn:8020/streams",
+        intervalMs = 100))
+    assert(e.getMessage.contains("explicit"), e.getMessage)
+    // file-scheme hadoop roots still start (and stop) cleanly
+    val fleet = StreamLogs.startMaintenance(spark, freshRoot(), intervalMs = 100)
+    fleet.close()
+  }
+
+  test("destroy drops the stream from the hadoop catalog: no bare-segments ghost, streamExists consistent, name reusable") {
+    val root = freshRoot()
+    val c = clock(23000000)
+    val a = new StreamLog(spark, root, "alive")
+    val d = new StreamLog(spark, root, "doomed")
+    a.publish(Seq("""{"a":1}"""), nowMs = c)
+    d.publish(Seq("""{"d":1}"""), nowMs = c)
+    assert(StreamLogs.list(root) == Seq("alive", "doomed"))
+    assert(StreamStores.streamExists(root, "doomed"))
+
+    d.destroy()
+    // ADVICE r15: destroy used to leave an empty segments/ directory
+    // behind, so the catalog listed the stream forever while
+    // streamExists said false — both must now agree on absence
+    assert(StreamLogs.list(root) == Seq("alive"),
+      s"destroyed stream still cataloged: ${StreamLogs.list(root)}")
+    assert(!StreamStores.streamExists(root, "doomed"))
+    assert(StreamStores.streamExists(root, "alive"))
+
+    // the name is immediately reusable with fresh state
+    d.publish(Seq("""{"reborn":1}"""), nowMs = c)
+    assert(StreamLogs.list(root) == Seq("alive", "doomed"))
+    assert(d.consume(Offset.Beginning, 10).map(_._2) == Seq("""{"reborn":1}"""))
+  }
+
+  test("streamExists on a hadoop non-file root probes the FileSystem — no MetaStore construction, no throw") {
+    // the probe must not route through StreamStores.metaStore (which
+    // rejects non-file hadoop schemes); RawLocalFileSystem answers for
+    // file:, and the code path is scheme-generic. A root that does not
+    // exist is simply absent.
+    assert(!StreamStores.streamExists(freshRoot(), "nope"))
+  }
+
+  test("concurrent same-name puts through renameOver: no thrown absence, final content is one of the writers'") {
+    // ADVICE r15: the fixed dot-tmp name makes concurrent retries of
+    // the same deterministic put collide on one tmp path — one retry
+    // renames the shared tmp out from under another, and the loser
+    // used to DELETE the landed object then throw. With success-by-peer
+    // every put call returns and the object exists with valid content.
+    val store = new HadoopSegmentStore(
+      s"file://${Files.createTempDirectory("graft-race")}/segments")
+    val content = "identical-retry-content\n".getBytes
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 20).foreach { _ =>
+      val threads = (1 to 8).map(_ => new Thread(() =>
+        try store.put("same.seg", content)
+        catch { case t: Throwable => errors.add(t) }))
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      assert(errors.isEmpty, s"a racing put failed: ${errors.peek()}")
+      assert(new String(store.get("same.seg")) == new String(content),
+        "the object must exist with the put content after every race round")
+    }
+  }
 }

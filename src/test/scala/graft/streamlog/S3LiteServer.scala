@@ -59,6 +59,9 @@ final class S3LiteServer(maxKeys: Int = 1000,
   @volatile var gets: Int = 0
   @volatile var heads: Int = 0
   @volatile var deletes: Int = 0
+  /** GETs that carried a `Range: bytes=a-b` header and were answered
+    * 206 — the range-streaming read path's wire evidence. */
+  @volatile var rangeGets: Int = 0
   /** 403s issued by the SigV4 verifier (0 on a healthy signed run). */
   @volatile var authRejects: Int = 0
 
@@ -120,9 +123,16 @@ final class S3LiteServer(maxKeys: Int = 1000,
   }
 
   /** Recompute the SigV4 signature from the RECEIVED request and
-    * compare — returns None when authorized, Some(reason) otherwise. */
+    * compare — returns None when authorized, Some(reason) otherwise.
+    * Accepts either header-based auth (Authorization) or query-string
+    * auth (presigned URLs — X-Amz-Signature in the query), re-deriving
+    * both from the received request exactly as real S3 does. */
   private def verifySig(ex: HttpExchange, body: Array[Byte]): Option[String] =
     auth.flatMap { creds =>
+      val rawQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      if (Option(ex.getRequestHeaders.getFirst("Authorization")).isEmpty &&
+          rawQuery.contains("X-Amz-Signature="))
+        return verifyPresigned(ex, creds, rawQuery)
       val hdr = Option(ex.getRequestHeaders.getFirst("Authorization"))
         .getOrElse(return Some("missing Authorization"))
       // AWS4-HMAC-SHA256 Credential=AK/date/region/service/aws4_request,
@@ -143,6 +153,16 @@ final class S3LiteServer(maxKeys: Int = 1000,
         .getOrElse(return Some("missing Signature"))
       if (!signedNames.contains("host"))
         return Some("host not signed")
+      // STS: a server configured with temporary credentials REQUIRES
+      // the session token to be present, correct, AND inside the
+      // signed header set — as real S3 does for temporary creds
+      creds.sessionToken.foreach { tok =>
+        val got = Option(ex.getRequestHeaders.getFirst("x-amz-security-token"))
+          .getOrElse(return Some("missing x-amz-security-token"))
+        if (got != tok) return Some("session token mismatch")
+        if (!signedNames.contains("x-amz-security-token"))
+          return Some("x-amz-security-token not signed")
+      }
       val amzDate = Option(ex.getRequestHeaders.getFirst("x-amz-date"))
         .getOrElse(return Some("missing x-amz-date"))
       val payloadHash = Option(
@@ -162,6 +182,57 @@ final class S3LiteServer(maxKeys: Int = 1000,
       if (expect == claimed) None
       else Some(s"signature mismatch (expected $expect)")
     }
+
+  /** Presigned-URL verification (query-string auth): rebuild the
+    * canonical query from every received parameter EXCEPT
+    * X-Amz-Signature, re-derive with UNSIGNED-PAYLOAD over the signed
+    * headers the URL names, and enforce the X-Amz-Date + X-Amz-Expires
+    * window against the server clock — the documented semantics. */
+  private def verifyPresigned(ex: HttpExchange, creds: SigV4Credentials,
+                              rawQuery: String): Option[String] = {
+    if (ex.getRequestMethod == "PUT" || ex.getRequestMethod == "DELETE")
+      return Some("presigned auth only accepted for reads here")
+    val pairs = rawQuery.split("&").toSeq.filter(_.nonEmpty).map { p =>
+      val i = p.indexOf('=')
+      val (k, v) = if (i < 0) (p, "") else (p.take(i), p.drop(i + 1))
+      (java.net.URLDecoder.decode(k.replace("+", "%2B"), UTF_8),
+        java.net.URLDecoder.decode(v.replace("+", "%2B"), UTF_8))
+    }
+    val m = pairs.toMap
+    val claimed = m.getOrElse("X-Amz-Signature", return Some("missing X-Amz-Signature"))
+    if (!m.get("X-Amz-Algorithm").contains("AWS4-HMAC-SHA256"))
+      return Some("bad X-Amz-Algorithm")
+    val credParts = m.getOrElse("X-Amz-Credential",
+      return Some("missing X-Amz-Credential")).split("/")
+    if (credParts.length != 5) return Some("malformed X-Amz-Credential")
+    if (credParts(0) != creds.accessKey)
+      return Some(s"unknown access key ${credParts(0)}")
+    val amzDate = m.getOrElse("X-Amz-Date", return Some("missing X-Amz-Date"))
+    val expires = m.getOrElse("X-Amz-Expires", return Some("missing X-Amz-Expires")).toLong
+    val issued = java.time.Instant.from(java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+      .parse(amzDate))
+    if (java.time.Instant.now().isAfter(issued.plusSeconds(expires)))
+      return Some("presigned URL expired")
+    creds.sessionToken.foreach { tok =>
+      if (!m.get("X-Amz-Security-Token").contains(tok))
+        return Some("missing or wrong X-Amz-Security-Token")
+    }
+    val signedNames = m.getOrElse("X-Amz-SignedHeaders",
+      return Some("missing X-Amz-SignedHeaders")).split(";").toSeq
+    if (!signedNames.contains("host")) return Some("host not signed")
+    val hs = signedNames.map { n =>
+      n -> Option(ex.getRequestHeaders.getFirst(n)).getOrElse(
+        return Some(s"signed header $n absent"))
+    }
+    val cq = SigV4.canonicalQuery(pairs.filterNot(_._1 == "X-Amz-Signature"))
+    val expect = SigV4.signature(
+      creds.copy(region = credParts(2), service = credParts(3)), amzDate,
+      ex.getRequestMethod, ex.getRequestURI.getRawPath, cq, hs,
+      "UNSIGNED-PAYLOAD")
+    if (expect == claimed) None
+    else Some(s"presigned signature mismatch (expected $expect)")
+  }
 
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getPath.stripPrefix("/")
@@ -186,7 +257,25 @@ final class S3LiteServer(maxKeys: Int = 1000,
       case ("GET", k) =>
         gets += 1
         objects.synchronized(objects.get(k)) match {
-          case Some((b, e, _)) => respond(ex, 200, b, Some(e))
+          case Some((b, e, _)) =>
+            // Range: bytes=a-b (inclusive, as S3 serves) → 206 with the
+            // slice; a start at/past the object's end → 416, the signal
+            // the range-streaming reader uses for end-of-object
+            Option(ex.getRequestHeaders.getFirst("Range")) match {
+              case Some(r) if r.startsWith("bytes=") =>
+                val Array(a, bEnd) = r.stripPrefix("bytes=").split("-", 2)
+                val start = a.toLong
+                if (start >= b.length) respond(ex, 416)
+                else {
+                  val endIncl = if (bEnd.isEmpty) b.length - 1L
+                    else math.min(bEnd.toLong, b.length - 1L)
+                  rangeGets += 1
+                  respond(ex, 206,
+                    java.util.Arrays.copyOfRange(b, start.toInt, endIncl.toInt + 1),
+                    Some(e))
+                }
+              case _ => respond(ex, 200, b, Some(e))
+            }
           case None => respond(ex, 404)
         }
       case ("HEAD", k) =>

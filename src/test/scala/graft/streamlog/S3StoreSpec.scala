@@ -522,6 +522,338 @@ class S3StoreSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------
+  // STS session tokens (r16): temporary credentials sign
+  // x-amz-security-token; the server REQUIRES and re-derives it
+  // ------------------------------------------------------------------
+
+  private val stsCreds = testCreds.copy(
+    sessionToken = Some("IQoJb3JpZ2luX2VjEBYaDGdyYWZ0LXRlc3QtdG9rZW4hExample/Session+Token=="))
+
+  test("STS: tokenless and wrong-token clients 403; the session-token battery runs CAS + claim race + lifecycle + DSv2 end-to-end") {
+    withServer(auth = Some(stsCreds)) { srv =>
+      // long-lived-key client (no token) against an STS-required server
+      val tokenless = new S3MetaStore(srv.endpoint, "b", "s1/meta.jsonl",
+        Some(testCreds))
+      intercept[IllegalStateException](tokenless.readWithTag())
+      val wrongTok = new S3MetaStore(srv.endpoint, "b", "s1/meta.jsonl",
+        Some(testCreds.copy(sessionToken = Some("forged-token"))))
+      intercept[IllegalStateException](wrongTok.readWithTag())
+      assert(srv.authRejects >= 2)
+
+      // CAS battery with session-token credentials
+      val store = new S3MetaStore(srv.endpoint, "b", "s1/meta.jsonl",
+        Some(stsCreds))
+      assert(store.readWithTag() == (Vector.empty, 0L))
+      assert(store.appendIf(0L, Seq(MetaJson.writer(1))))
+      val (_, t1) = store.readWithTag()
+      assert(!store.appendIf(0L, Seq(MetaJson.writer(9))), "create-only refused")
+      assert(store.appendIf(t1, Seq(MetaJson.version(5))))
+      assert(store.probeTag() == store.readWithTag()._2, "HEAD signs the token too")
+      store.clear()
+
+      // claim race: 8 token-signed HTTP claimants serialize to 1..8
+      val epochs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val threads = (1 to 8).map { _ =>
+        new Thread(() => epochs.add(MetaCommits.claimWriter(
+          new S3MetaStore(srv.endpoint, "b", "s1/meta.jsonl", Some(stsCreds)), 0L)))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(60000))
+      assert(epochs.asScala.toSeq.sorted == (1L to 8L), s"epochs: $epochs")
+
+      // full lifecycle + DSv2 through the S3Auth registry — executors
+      // re-resolve the SAME session credentials from the plan snapshot
+      S3Auth.register(srv.endpoint, stsCreds)
+      try {
+        val root = s"s3:${srv.endpoint}/b"
+        val c = clock(7500000)
+        val log = new StreamLog(spark, root, "s2")
+        val offs = (1 to 3).flatMap(_ =>
+          log.publish((1 to 4).map(i => s"""{"i":$i}"""), nowMs = c))
+        assert(log.consume(Offset.Beginning, 100).size == 12)
+        assert(log.readAfter(Offset.Beginning).count() == 12L)
+        val df = spark.read.format("streamlog")
+          .option("path", root).option("stream", "s2").load()
+        assert(df.count() == 12)
+        assert(log.compactOnce(nowMs = c).isDefined)
+        log.maintain(tombstoneMaxAgeMs = 0, orphanGraceMs = 0, nowMs = c)
+        assert(log.consume(Offset.Beginning, 100).map(_._1) == offs)
+        val rejectsBefore = srv.authRejects
+        log.destroy()
+        assert(srv.keys.forall(!_.startsWith("s2/")), "destroy sweeps the prefix")
+        assert(srv.authRejects == rejectsBefore,
+          "a healthy session-token run never 403s")
+      } finally S3Auth.unregister(srv.endpoint)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Range-streaming reads (r16): chunked HTTP Range GETs, byte-level
+  // line reassembly, early-exit economy
+  // ------------------------------------------------------------------
+
+  test("range-streaming linesIterator: 7-byte chunks reassemble multi-byte UTF-8 lines exactly; early exit stops fetching") {
+    withServer() { srv =>
+      // chunk far below line size forces splits INSIDE lines and INSIDE
+      // multi-byte UTF-8 sequences (é, 汉字, emoji)
+      val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+        rangeChunkBytes = 7)
+      val lines = Vector("""{"a":"héllo"}""", """{"b":"汉字テスト"}""",
+        """{"c":"🎉🎊"}""", """{"d":1}""")
+      segs.put("u.seg", lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      assert(segs.linesIterator("u.seg").toVector == lines)
+      assert(srv.rangeGets > 1, "must have taken multiple ranged requests")
+      // whole-object getLines agrees (the two paths decode identically)
+      assert(segs.getLines("u.seg") == lines)
+
+      // early exit: taking 1 line of a 1000-line object must not fetch
+      // the tail — with a 64B chunk a full read would need ~hundreds of
+      // range GETs; taking one line costs a handful
+      val big = (1 to 1000).map(i => s"""{"i":$i,"pad":"xxxxxxxxxxxxxxxx"}""")
+      val segs64 = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+        rangeChunkBytes = 64)
+      segs64.put("big.seg", big.mkString("", "\n", "\n").getBytes("UTF-8"))
+      val before = srv.rangeGets
+      val firstTwo = segs64.linesIterator("big.seg").take(2).toVector
+      assert(firstTwo == big.take(2).toVector)
+      assert(srv.rangeGets - before <= 4,
+        s"early exit paid ${srv.rangeGets - before} range GETs for 2 lines")
+      // an iterator past EOF terminates via 416
+      assert(segs64.linesIterator("big.seg").size == 1000)
+      intercept[java.nio.file.NoSuchFileException](
+        segs.linesIterator("absent.seg").hasNext)
+    }
+  }
+
+  test("DSv2 batch read over a bucket root streams segments through Range GETs — no whole-object materialization") {
+    withServer() { srv =>
+      val root = s"s3:${srv.endpoint}/b"
+      val c = clock(7600000)
+      val log = new StreamLog(spark, root, "s1")
+      (1 to 4).foreach(_ =>
+        log.publish((1 to 50).map(i => s"""{"i":$i}"""), nowMs = c))
+      val before = srv.rangeGets
+      val df = spark.read.format("streamlog")
+        .option("path", root).option("stream", "s1").load()
+      // NOT df.count(): COUNT(*) is answered from segment METADATA
+      // (complete agg pushdown — zero files opened, zero GETs of any
+      // kind); materialize actual rows to drive the reading tasks
+      assert(df.collect().length == 200)
+      assert(srv.rangeGets > before,
+        "the DSv2 reading tasks must use the range-streaming path")
+      // driver-side consume with a limit also rides ranges
+      val b2 = srv.rangeGets
+      assert(log.consume(Offset.Beginning, 3).size == 3)
+      assert(srv.rangeGets > b2)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Presigned URLs (r16 stretch): query-string auth end-to-end
+  // ------------------------------------------------------------------
+
+  test("presigned URL: a bare uncredentialed HTTP client reads the object; tampered or expired URLs 403") {
+    withServer(auth = Some(stsCreds)) { srv =>
+      val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+        Some(stsCreds))
+      segs.put("share.seg", "shared-bytes\n".getBytes("UTF-8"))
+
+      val url = SigV4.presignUrl(stsCreds, "GET",
+        s"${srv.endpoint}/b/s1/segments/share.seg", 300)
+      val client = java.net.http.HttpClient.newHttpClient()
+      def fetch(u: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(u)).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      val ok = fetch(url)
+      assert(ok.statusCode() == 200)
+      assert(new String(ok.body(), "UTF-8") == "shared-bytes\n")
+
+      // flip one signature nibble → 403
+      val tampered = url.dropRight(1) + (if (url.last == '0') '1' else '0')
+      assert(fetch(tampered).statusCode() == 403)
+      // expired (issued 400s ago, valid 300s) → 403
+      val expired = SigV4.presignUrl(stsCreds, "GET",
+        s"${srv.endpoint}/b/s1/segments/share.seg", 300,
+        java.time.Instant.now().minusSeconds(400))
+      assert(fetch(expired).statusCode() == 403)
+      // presigned with the WRONG secret → 403
+      val forged = SigV4.presignUrl(stsCreds.copy(secretKey = "wrong"), "GET",
+        s"${srv.endpoint}/b/s1/segments/share.seg", 300)
+      assert(fetch(forged).statusCode() == 403)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // S3 single-PUT ceiling (r16)
+  // ------------------------------------------------------------------
+
+  test("putFromFile refuses a spool above the 5 GiB single-PUT ceiling before any bytes cross the wire") {
+    withServer() { srv =>
+      val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/")
+      val sparse = Files.createTempFile("graft-sparse", ".seg")
+      try {
+        val raf = new java.io.RandomAccessFile(sparse.toFile, "rw")
+        try raf.setLength(5L * 1024 * 1024 * 1024 + 1) finally raf.close()
+        val puts0 = srv.puts
+        val e = intercept[IllegalArgumentException](
+          segs.putFromFile("huge.seg", sparse))
+        assert(e.getMessage.contains("5 GiB"), e.getMessage)
+        assert(e.getMessage.contains("maxBytes"), "message must carry guidance")
+        assert(srv.puts == puts0, "nothing crossed the wire")
+        // at the ceiling exactly: allowed (boundary is inclusive)
+        val raf2 = new java.io.RandomAccessFile(sparse.toFile, "rw")
+        try raf2.setLength(16) finally raf2.close()
+        segs.putFromFile("ok.seg", sparse)
+        assert(segs.get("ok.seg").length == 16)
+      } finally Files.deleteIfExists(sparse)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Idle long-poll backoff (r16)
+  // ------------------------------------------------------------------
+
+  test("idle poll backs off 50ms -> 1s: O(log) probes early, capped cadence after; delivery within the cap") {
+    withServer() { srv =>
+      val root = s"s3:${srv.endpoint}/b"
+      val c = clock(7700000)
+      val log = new StreamLog(spark, root, "s1")
+      log.publish(Seq("""{"i":1}"""), nowMs = c)
+      val tip = log.lastOffset.get
+
+      // 3 s idle at intervalMs=50: without backoff ~60 HEAD probes;
+      // with doubling-to-1s the schedule is ~50,100,200,400,800,1000…
+      // ≈ 7 probes (+1 initial)
+      val h0 = srv.heads
+      assert(log.poll(tip, 10, timeoutMs = 3000, intervalMs = 50).isEmpty)
+      val probes = srv.heads - h0
+      assert(probes <= 12, s"idle window paid $probes probes — backoff missing")
+      assert(probes >= 4, s"only $probes probes — poll not probing at all?")
+
+      // delivery latency: let the poller reach the cap, then publish
+      // from a SECOND handle — the poll must return within ~one cap
+      val other = new StreamLog(spark, root, "s1")
+      @volatile var publishedAt = 0L
+      val t = new Thread(() => {
+        Thread.sleep(2500) // poller is at the 1 s cap by now
+        publishedAt = System.currentTimeMillis()
+        other.publish(Seq("""{"late":1}"""), nowMs = c)
+        ()
+      })
+      t.start()
+      val got = log.poll(tip, 10, timeoutMs = 30000, intervalMs = 50)
+      val seenAt = System.currentTimeMillis()
+      t.join()
+      assert(got.map(_._2) == Seq("""{"late":1}"""))
+      assert(seenAt - publishedAt <= 1500,
+        s"delivery took ${seenAt - publishedAt} ms — exceeds the 1 s cap (+slack)")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Fleet-scale soak (r16 stretch): 50 streams, two coordinators,
+  // STS-signed wire, restart + churn
+  // ------------------------------------------------------------------
+
+  test("50-stream STS-signed fleet soak: takeover, server restart, create/destroy churn — fences only, zero loss, catalog consistent") {
+    withServer(auth = Some(stsCreds)) { srv =>
+      S3Auth.register(srv.endpoint, stsCreds)
+      try {
+        val root = s"s3:${srv.endpoint}/b"
+        val names = (1 to 50).map(i => f"s$i%02d")
+        val errorsA = new java.util.concurrent.ConcurrentLinkedQueue[(String, Throwable)]()
+        val errorsB = new java.util.concurrent.ConcurrentLinkedQueue[(String, Throwable)]()
+        val compactedB = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        val expected = scala.collection.mutable.Map[String, Seq[String]]()
+
+        val fleetA = StreamLogs.startMaintenance(spark, root, intervalMs = 500,
+          onError = (n, e) => errorsA.add((n, e)))
+        try {
+          names.foreach { n =>
+            val h = fleetA.open(n)
+            h.claimWriter()
+            expected(n) = h.publish((1 to 3).map(i => s"""{"era":"a","i":$i}"""))
+          }
+          assert(StreamLogs.list(root) == names,
+            "bucket-wide discovery sees all 50 streams")
+
+          val fleetB = StreamLogs.startMaintenance(spark, root, intervalMs = 500,
+            onReport = (n, r) => if (r.compacted.nonEmpty) compactedB.add(n),
+            onError = (n, e) => errorsB.add((n, e)))
+          try {
+            val epochsB = fleetB.claimWriters()
+            assert(epochsB.keySet == names.toSet && epochsB.values.forall(_ >= 2))
+            names.foreach { n =>
+              val h = fleetB.open(n)
+              expected(n) = expected(n) ++
+                h.publish((1 to 2).map(i => s"""{"era":"b","i":$i}"""))
+            }
+
+            // mid-soak endpoint restart — object state and every
+            // content-derived tag survive; both daemons ride through
+            srv.restart()
+
+            // churn: destroy the last 10 streams, re-create 5 of them
+            val destroyed = names.takeRight(10)
+            destroyed.foreach { n =>
+              val h = fleetB.open(n)
+              h.refresh(); h.destroy(); fleetB.release(n)
+              expected.remove(n)
+            }
+            val reborn = destroyed.take(5)
+            reborn.foreach { n =>
+              val h = fleetB.open(n)
+              h.claimWriter()
+              expected(n) = h.publish(Seq(s"""{"era":"c"}"""))
+            }
+            names.dropRight(10).foreach { n =>
+              val h = fleetB.open(n)
+              h.refresh()
+              expected(n) = expected(n) ++ h.publish(Seq(s"""{"era":"b2"}"""))
+            }
+
+            // catalog: exactly the live streams, none of the destroyed
+            val live = (names.dropRight(10) ++ reborn).sorted
+            assert(StreamLogs.list(root) == live,
+              s"catalog drift: ${StreamLogs.list(root)}")
+            destroyed.drop(5).foreach(n =>
+              assert(!StreamStores.streamExists(root, n), s"$n still exists"))
+
+            val deadline = System.currentTimeMillis() + 60000
+            def fencedA = errorsA.asScala.exists(_._2.isInstanceOf[WriterFencedException])
+            while ((!fencedA || compactedB.isEmpty) &&
+              System.currentTimeMillis() < deadline) Thread.sleep(100)
+            assert(fencedA, "superseded coordinator never fenced")
+            assert(compactedB.asScala.nonEmpty, "live coordinator never compacted")
+            def transient(e: Throwable) = e.isInstanceOf[java.io.IOException] ||
+              Option(e.getCause).exists(_.isInstanceOf[java.io.IOException])
+            errorsA.asScala.foreach { case (n, e) =>
+              assert(e.isInstanceOf[WriterFencedException] || transient(e),
+                s"A/$n threw $e")
+            }
+            // B's sweeper starts BEFORE claimWriters() lands, so its
+            // first pass can maintain a not-yet-claimed handle (epoch
+            // 0) on a stream A already claimed — the fence-backoff
+            // records it and the claim clears it; that startup fence
+            // is expected at 50-stream width (the claim handshake
+            // takes ~1 sweep), everything else must be transient
+            errorsB.asScala.foreach { case (n, e) =>
+              assert(transient(e) || e.isInstanceOf[WriterFencedException],
+                s"live coordinator B/$n threw $e")
+            }
+          } finally fleetB.close()
+        } finally fleetA.close()
+
+        // zero loss across eras, restart, and churn — fresh handles
+        expected.foreach { case (n, offs) =>
+          val got = new StreamLog(spark, root, n).consume(Offset.Beginning, 1000)
+          assert(got.map(_._1) == offs, s"$n: ${got.size} records, want ${offs.size}")
+        }
+        assert(srv.authRejects == 0, "a healthy STS-signed soak never 403s")
+      } finally S3Auth.unregister(srv.endpoint)
+    }
+  }
+
   test("metadata commit cost stays O(live segments) through 10x history — measured on the wire") {
     withServer() { srv =>
       val root = s"s3:${srv.endpoint}/b"
