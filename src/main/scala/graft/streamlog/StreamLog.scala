@@ -686,17 +686,33 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
     * candidates are resolved by a widest-first sweep — the merged segment
     * covers its originals' ranges, so originals are skipped and become
     * orphans for the next purgeOrphans().
+    *
+    * LIST-consistency caveat (the [[SegmentStore]] contract lets LIST
+    * lag): a listed-but-already-deleted GHOST is tolerated — its GET
+    * throws and the entry is skipped (r16 data-plane fuzz finding: a
+    * ghost from a just-purged tombstone crashed the rebuild). A
+    * just-put segment a lagged LIST cannot show yet is NOT recoverable
+    * here by construction — run rebuild against a settled listing (S3
+    * LIST lag is seconds at worst; a crash-recovery pass minutes later
+    * is settled by definition).
     */
   def rebuildFromSegments(nowMs: () => Long = () => System.currentTimeMillis()): Unit = stateLock.synchronized {
     val listed = segStore.list()
       .filter(_.name.endsWith(".seg"))
-      .map { o =>
-        val lines = segStore.getLines(o.name)
-        SegmentMeta(o.name,
-          lines.head.substring(0, Offset.Width),
-          lines.last.substring(0, Offset.Width),
-          nowMs(), lines.size.toLong,
-          lines.map(_.getBytes(UTF_8).length + 1L).sum)
+      .flatMap { o =>
+        try {
+          val lines = segStore.getLines(o.name)
+          Some(SegmentMeta(o.name,
+            lines.head.substring(0, Offset.Width),
+            lines.last.substring(0, Offset.Width),
+            nowMs(), lines.size.toLong,
+            lines.map(_.getBytes(UTF_8).length + 1L).sum))
+        } catch {
+          // stale-LIST ghost: the object was deleted but the lagged
+          // listing still names it — skip, exactly as purgeOrphans
+          // tolerates re-deleting one
+          case _: java.nio.file.NoSuchFileException => None
+        }
       }
     // widest-first sweep: sort (firstOffset asc, lastOffset desc) and keep
     // a segment only if it starts after the last kept one ends — a merged
