@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, EventOps, Relational, Sampling}
+import graft.operators.{Curate, Dedup, EventOps, NgramLm, Paragraphs, Relational, Sampling}
 
 /** EXTRA-registry oracle crosschecks (r14): the strongest spec-only
   * operators, hash-gated against the DuckDB oracle WITHOUT touching
@@ -121,7 +121,60 @@ object VerifyExtras {
       val ev = s.read.parquet(s"$dir/events.parquet")
       EventOps.topTermsPerWindow(ev, EventOps.tsOf(ev), col("event_type"),
         windowSec = 86400L, k = 3)
-    }))
+    }),
+    // r16 additions (VERDICT r15 item 4): the next six strongest
+    // SQL-expressible spec-only operators
+    //
+    // profile drift between two deterministic corpus snapshots: old
+    // misses src0 entirely (its cells read "added" in new), new misses
+    // every 7th doc (counts shift -> "changed"); relTol 0 = exact
+    "x_profile_drift" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val prof = (d: DataFrame) =>
+        Relational.profileColumns(d, Seq("source"), Seq("lang", "n_chars"))
+      Relational.profileDrift(
+        prof(docs.filter(col("source") =!= "src0")),
+        prof(docs.filter(col("doc_id") % 7 =!= 0)))
+    }),
+    // keep-best dedup over a deterministic cluster frame (doc_id % 50,
+    // docs with doc_id % 3 == 0 left out -> the singleton path):
+    // survivor = n_chars desc, doc_id asc per coalesced cluster key
+    "x_keep_best" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val clusters = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), (col("doc_id") % 50).as("cluster_id"))
+      Dedup.keepBest(docs.select("doc_id", "source", "n_chars"),
+        clusters, col("n_chars")).orderBy(col("doc_id"))
+    }),
+    // corpus-wide paragraph dedup over a derived 3-paragraph corpus
+    // (shared per-lang header + unique body + shared per-source
+    // footer): every header/footer occurrence beyond its first
+    // (doc_id, idx) strips, bodies survive
+    "x_paragraph_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.select(col("doc_id"),
+        concat_ws("\n\n",
+          concat(lit("header "), col("lang")),
+          col("text"),
+          concat(lit("footer "), col("source"))).as("text"))
+      Paragraphs.paragraphDedup(corpus, minCount = 2, minChars = 1)
+    }),
+    // the q76 funnel bounded to a 48 h conversion window per step —
+    // greedy earliest-entry anchoring (150 -> 96 -> 58 at sf0.01,
+    // vs 150 -> 150 -> 149 unbounded)
+    "x_funnel_gap" -> ((s, dir) =>
+      EventOps.funnel(s.read.parquet(s"$dir/events.parquet"),
+        Seq("view", "click", "purchase"), maxGapMs = 172800000L)),
+    // cross-source duplication matrix: distinct shared 6-token windows
+    // per source pair (the corpus-forensics view over q84's spans)
+    "x_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(
+        s.read.parquet(s"$dir/documents.parquet").select("source", "text"))),
+    // PMI/NPMI collocation mining, top-100 by npmi (count floor 5)
+    "x_collocations" -> ((s, dir) =>
+      NgramLm.collocations(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        minCount = 5, k = 100)))
 
   /** The q28 as-of shape (purchases ← most recent/nearest click per
     * user) in the two directions the registry entry doesn't cover. */
@@ -497,6 +550,178 @@ object VerifyExtras {
         |    PARTITION BY window_start_ms ORDER BY n DESC, term) AS rank
         |  FROM c)
         |SELECT window_start_ms, term, n, rank FROM r WHERE rank <= 3
+        |""".stripMargin,
+    // two q82-shaped profile CTEs (filters applied), full-outer-joined
+    // null-safely on (source, colname); status from presence markers
+    // then exact metric equality — profileDrift's relTol-0 semantics
+    "x_profile_drift" ->
+      """WITH mo AS (
+        |  SELECT source, 'lang' AS colname, CAST(lang AS VARCHAR) AS v,
+        |    TRY_CAST(CAST(lang AS VARCHAR) AS DOUBLE) AS num
+        |  FROM documents WHERE source <> 'src0'
+        |  UNION ALL
+        |  SELECT source, 'n_chars', CAST(n_chars AS VARCHAR),
+        |    TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE)
+        |  FROM documents WHERE source <> 'src0'),
+        |po AS (
+        |  SELECT source, colname, count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |    count(DISTINCT v)::BIGINT AS n_distinct,
+        |    min(v) AS min_v, max(v) AS max_v, round(avg(num), 6) AS avg_num
+        |  FROM mo GROUP BY 1, 2),
+        |mn AS (
+        |  SELECT source, 'lang' AS colname, CAST(lang AS VARCHAR) AS v,
+        |    TRY_CAST(CAST(lang AS VARCHAR) AS DOUBLE) AS num
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT source, 'n_chars', CAST(n_chars AS VARCHAR),
+        |    TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE)
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |pn AS (
+        |  SELECT source, colname, count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |    count(DISTINCT v)::BIGINT AS n_distinct,
+        |    min(v) AS min_v, max(v) AS max_v, round(avg(num), 6) AS avg_num
+        |  FROM mn GROUP BY 1, 2)
+        |SELECT coalesce(po.source, pn.source) AS source,
+        |  coalesce(po.colname, pn.colname) AS colname,
+        |  CASE WHEN po.colname IS NULL THEN 'added'
+        |       WHEN pn.colname IS NULL THEN 'removed'
+        |       WHEN po.n_rows IS NOT DISTINCT FROM pn.n_rows
+        |        AND po.n_null IS NOT DISTINCT FROM pn.n_null
+        |        AND po.n_distinct IS NOT DISTINCT FROM pn.n_distinct
+        |        AND po.min_v IS NOT DISTINCT FROM pn.min_v
+        |        AND po.max_v IS NOT DISTINCT FROM pn.max_v
+        |        AND po.avg_num IS NOT DISTINCT FROM pn.avg_num
+        |       THEN 'unchanged' ELSE 'changed' END AS status,
+        |  po.n_rows AS n_rows_old, pn.n_rows AS n_rows_new,
+        |  po.n_null AS n_null_old, pn.n_null AS n_null_new,
+        |  po.n_distinct AS n_distinct_old, pn.n_distinct AS n_distinct_new,
+        |  po.min_v AS min_v_old, pn.min_v AS min_v_new,
+        |  po.max_v AS max_v_old, pn.max_v AS max_v_new,
+        |  po.avg_num AS avg_num_old, pn.avg_num AS avg_num_new
+        |FROM po FULL OUTER JOIN pn
+        |  ON po.source IS NOT DISTINCT FROM pn.source
+        |  AND po.colname = pn.colname
+        |""".stripMargin,
+    // survivor per coalesced cluster key: score desc, doc_id asc —
+    // keepBest's exact window; unclustered docs are their own key
+    "x_keep_best" ->
+      """WITH cl AS (
+        |  SELECT doc_id, doc_id % 50 AS cluster_id
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |j AS (
+        |  SELECT d.doc_id, d.source, d.n_chars,
+        |    coalesce(cl.cluster_id, d.doc_id) AS ck
+        |  FROM documents d LEFT JOIN cl USING (doc_id)),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY ck ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM j)
+        |SELECT doc_id, source, n_chars FROM r WHERE rn = 1
+        |""".stripMargin,
+    // the same derived corpus split back into trimmed non-empty
+    // paragraphs; strip = repeated (>= 2 total) and not the first
+    // occurrence in (doc_id, idx) order; rebuild in idx order
+    "x_paragraph_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    'header ' || lang || chr(10) || chr(10) || text ||
+        |    chr(10) || chr(10) || 'footer ' || source AS t2
+        |  FROM documents),
+        |p0 AS (
+        |  SELECT doc_id, list_filter(list_transform(
+        |    regexp_split_to_array(t2, '\n{2,}'), x -> trim(x)),
+        |    x -> len(x) > 0) AS ps
+        |  FROM t),
+        |pars AS (
+        |  SELECT doc_id, unnest(ps) AS par,
+        |    unnest(range(len(ps)))::BIGINT AS idx
+        |  FROM p0),
+        |v AS (
+        |  SELECT doc_id, idx, par,
+        |    count(*) OVER (PARTITION BY par) AS n,
+        |    row_number() OVER (PARTITION BY par ORDER BY doc_id, idx) AS rn
+        |  FROM pars),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_pars,
+        |    sum(CASE WHEN n >= 2 AND rn > 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_dropped,
+        |    string_agg(CASE WHEN NOT (n >= 2 AND rn > 1) THEN par END,
+        |      chr(10) || chr(10) ORDER BY idx) AS cleaned
+        |  FROM v GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_pars, 0)::BIGINT AS n_pars,
+        |  coalesce(a.n_dropped, 0)::BIGINT AS n_dropped,
+        |  coalesce(a.cleaned, '') AS cleaned
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |""".stripMargin,
+    // greedy earliest-entry funnel with a 48 h per-step window: each
+    // stage anchors at its earliest qualifying completion
+    "x_funnel_gap" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS e FROM events),
+        |s1 AS (SELECT user_id, min(e) AS t FROM b
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT b.user_id, min(b.e) AS t FROM b JOIN s1 USING (user_id)
+        |       WHERE b.event_type = 'click' AND b.e > s1.t
+        |         AND b.e <= s1.t + 172800000 GROUP BY 1),
+        |s3 AS (SELECT b.user_id, min(b.e) AS t FROM b JOIN s2 USING (user_id)
+        |       WHERE b.event_type = 'purchase' AND b.e > s2.t
+        |         AND b.e <= s2.t + 172800000 GROUP BY 1),
+        |c AS (
+        |  SELECT 1::BIGINT AS stage, 'view' AS step,
+        |    (SELECT count(*) FROM s1)::BIGINT AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT stage, step, n_users,
+        |  round(n_users::DOUBLE / lag(n_users) OVER (ORDER BY stage), 6)
+        |    AS conv_from_prev
+        |FROM c
+        |""".stripMargin,
+    // distinct 6-token windows per source, pairs per shared window —
+    // sourceOverlap's gram scan replayed on the window text itself
+    "x_source_overlap" ->
+      """WITH d AS (
+        |  SELECT source, string_split(text, ' ') AS a FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source, gram FROM (
+        |    SELECT source, unnest(CASE WHEN len(a) >= 6
+        |      THEN list_transform(range(len(a) - 5),
+        |                          i -> array_to_string(a[i+1:i+6], ' '))
+        |      ELSE CAST([] AS VARCHAR[]) END) AS gram
+        |    FROM d))
+        |SELECT g1.source AS src_a, g2.source AS src_b,
+        |  count(*)::BIGINT AS shared_windows
+        |FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.source < g2.source
+        |GROUP BY 1, 2
+        |""".stripMargin,
+    // PMI = ln(c12*N / c1*c2), npmi = pmi / -ln(c12/N), both over
+    // double products (collocations' stated arithmetic); top-100 by
+    // rounded npmi desc then (w1, w2); + 0.0 normalizes IEEE -0.0
+    "x_collocations" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(a) AS w, unnest(range(len(a))) AS pos FROM d),
+        |uni AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+        |n AS (SELECT sum(c)::DOUBLE AS nt FROM uni),
+        |bg AS (
+        |  SELECT w1, w2, count(*)::BIGINT AS c12 FROM (
+        |    SELECT doc_id, w AS w1,
+        |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM tok)
+        |  WHERE w2 IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 5),
+        |j AS (
+        |  SELECT bg.w1, bg.w2, bg.c12, u1.c AS c1, u2.c AS c2, n.nt
+        |  FROM bg JOIN uni u1 ON bg.w1 = u1.w
+        |          JOIN uni u2 ON bg.w2 = u2.w CROSS JOIN n)
+        |SELECT w1, w2, c12, c1, c2,
+        |  round(ln(c12::DOUBLE * nt / (c1::DOUBLE * c2::DOUBLE)), 6) + 0.0
+        |    AS pmi,
+        |  (CASE WHEN c12::DOUBLE = nt THEN 1.0
+        |        ELSE round(ln(c12::DOUBLE * nt / (c1::DOUBLE * c2::DOUBLE))
+        |               / -ln(c12::DOUBLE / nt), 6) END) + 0.0 AS npmi
+        |FROM j ORDER BY npmi DESC, w1, w2 LIMIT 100
         |""".stripMargin,
     // quantile-edged recount: DuckDB's discrete quantiles as the edges,
     // bin = #edges strictly below the value, lowest-bin rule for ties
