@@ -114,6 +114,34 @@ object Bench {
     * raw sample without depending on the driver's stderr capture). */
   private[graft] val DetailFileEnv = "SPARK_GRAFT_BENCH_DETAIL"
 
+  /** Extract the per-query wall-median map from a detail-sidecar JSON
+    * (the `"wall":{...}` object). Hand-rolled like the writer — the
+    * sidecar format is ours on both ends. Empty on any shape miss. */
+  private[graft] def parseWallMap(detailJson: String): Map[String, Double] = {
+    val i = detailJson.indexOf("\"wall\":{")
+    if (i < 0) return Map.empty
+    val start = detailJson.indexOf('{', i + 7)
+    val end = detailJson.indexOf('}', start)
+    if (start < 0 || end < 0) return Map.empty
+    detailJson.substring(start + 1, end).split(",").toSeq
+      .filter(_.contains(":")).flatMap { e =>
+        val Array(k, v) = e.split(":", 2)
+        try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
+        catch { case _: NumberFormatException => None }
+      }.toMap
+  }
+
+  /** Per-query wall ratios current/reference for queries present and
+    * healthy in both — the SCALE CURVE evidence (VERDICT r15 #5): a
+    * bench pass at sf1.0 against the committed sf0.1 sidecar prints
+    * how far from linear each family sits, diffable round-over-round
+    * instead of narrated. */
+  private[graft] def scaleRatios(cur: Seq[(String, Double)],
+                                 ref: Map[String, Double]): Seq[(String, Double)] =
+    cur.flatMap { case (n, w) =>
+      ref.get(n).filter(r => r > 0 && w >= 0).map(r => n -> w / r)
+    }
+
   /** 1-minute loadavg (other-process pressure — the contention
     * signature's third leg); -1 where /proc is unavailable. */
   private[graft] def loadAvg1(): Double =
@@ -238,6 +266,34 @@ object Bench {
       System.err.println(s"[bench] detail -> $detailPath")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+    // scale-ratio line (VERDICT r15 #5): when a reference sidecar from a
+    // DIFFERENT sf exists (default: the committed sf0.1 BENCH_DETAIL
+    // .json), print per-pass scaling evidence — median/p90/max of the
+    // per-query wall ratios — so the sf1.0 curve is a diffable artifact
+    // line, not prose. stderr: the stdout budget belongs to the queries.
+    try {
+      val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_DETAIL.json")
+      val rp = java.nio.file.Paths.get(refPath)
+      if (refPath != detailPath && java.nio.file.Files.isRegularFile(rp)) {
+        val refJson = new String(java.nio.file.Files.readAllBytes(rp), "UTF-8")
+        val refSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(refJson)
+          .map(_.group(1)).getOrElse("?")
+        if (refSf != sfDir) {
+          val ratios = scaleRatios(
+            results.map { case (n, (w, _)) => n -> w }, parseWallMap(refJson))
+            .map(_._2).sorted
+          if (ratios.nonEmpty) {
+            val med = ratios(ratios.size / 2)
+            val p90 = ratios((ratios.size * 9) / 10 min (ratios.size - 1))
+            System.err.println(s"[bench] scale vs $refSf: n=${ratios.size} " +
+              s"median-ratio=${fmt2(med)} p90=${fmt2(p90)} " +
+              s"max=${fmt2(ratios.last)} min=${fmt2(ratios.head)}")
+          }
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] scale-ratio skipped: ${e.getMessage}")
     }
     // failures are reported explicitly AND fail the process: a broken
     // query must never shrink the headline number into a fake speedup.

@@ -78,6 +78,7 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
     * unconditionally and could leave absence on a second failure. */
   private def renameOver(f: FileSystem, tmp: HPath, dst: HPath): Unit = {
     var attempts = 0
+    var nonDstFailures = 0
     while (true) {
       if (f.rename(tmp, dst)) return
       if (!f.exists(tmp)) {
@@ -85,17 +86,28 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
         throw new java.io.IOException(
           s"rename $tmp -> $dst failed: tmp vanished without dst landing")
       }
-      // refused = dst exists; concurrent same-name racers can re-land
-      // dst between our delete and rename, so a single retry is a
-      // check-then-act race — loop, and past the bound accept the
-      // peer's landing (identical content) and drop our staging
-      attempts += 1
-      if (attempts > 100) {
-        if (f.exists(dst)) { f.delete(tmp, false); return }
-        throw new java.io.IOException(
-          s"rename $tmp -> $dst failed after $attempts attempts")
+      if (!f.exists(dst)) {
+        // refused with NO dst present: either a transient window (a
+        // peer deleted dst between our failed rename and this check —
+        // retry covers it) or a genuine FS refusal (bad parent,
+        // transient store error) — fail FAST on the latter instead of
+        // burning a hundred RPC cycles with a misleading message
+        // (r16 review)
+        nonDstFailures += 1
+        if (nonDstFailures > 2)
+          throw new java.io.IOException(
+            s"rename $tmp -> $dst failed with no destination present")
+      } else {
+        // dst exists: concurrent same-name racers can re-land dst
+        // between our delete and rename, so a single retry is a
+        // check-then-act race — loop, and past the bound accept the
+        // peer's landing (identical content) and drop our staging
+        attempts += 1
+        if (attempts > 100) {
+          f.delete(tmp, false); return
+        }
+        f.delete(dst, false)
       }
-      f.delete(dst, false)
     }
   }
 
@@ -107,7 +119,7 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
       // a shared name one retry renames (or chmods) the tmp out from
       // under another mid-create; unique tmps make every attempt's
       // staging private, and the rename itself stays the commit point
-      val tmp = new HPath(base, s".$name.${UUID.randomUUID()}.tmp")
+      val tmp = new HPath(base, s".$name.${UUID.randomUUID()}.put.tmp")
       val out = f.create(tmp, true)
       try out.write(bytes) finally out.close()
       renameOver(f, tmp, path(name))
@@ -143,20 +155,25 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
     * (ADVICE r15). Non-empty directories are left untouched. */
   override def dropContainer(): Unit = {
     val f = fs
+    // best-effort by contract: the stream is already destroyed when
+    // this runs. A concurrent re-creation between the empty check and
+    // the non-recursive delete makes the delete throw (dir no longer
+    // empty) — absorb ANY IOException, not just absence, so destroy()
+    // never fails after having succeeded (r16 review)
     try {
       if (f.exists(base) && f.listStatus(base).isEmpty)
         f.delete(base, false)
       val parent = base.getParent
       if (parent != null && f.exists(parent) && f.listStatus(parent).isEmpty)
         f.delete(parent, false): Unit
-    } catch { case _: FileNotFoundException => () }
+    } catch { case _: java.io.IOException => () }
   }
 
   override def putFromFile(name: String, local: java.nio.file.Path): Unit = {
     val f = fs
     val src = new HPath(local.toUri)
     if (renameCapable(f)) {
-      val tmp = new HPath(base, s".$name.${UUID.randomUUID()}.tmp")
+      val tmp = new HPath(base, s".$name.${UUID.randomUUID()}.put.tmp")
       f.mkdirs(base)
       f.copyFromLocalFile(true, true, src, tmp)
       renameOver(f, tmp, path(name))
@@ -169,9 +186,11 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
     * window here (called from StreamLog.purgeOrphans). Deleting
     * through the FileSystem also removes checksum sidecars. */
   override def sweepDebris(olderThanMs: Long, nowMs: Long): Seq[String] =
+    // only `.put.tmp` PUT staging — a writer spool parked here by a
+    // slow task must never be collected (r16 review)
     try fs.listStatus(base).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith(".") &&
-        s.getPath.getName.endsWith(".tmp") &&
+        s.getPath.getName.endsWith(".put.tmp") &&
         s.getModificationTime <= nowMs - olderThanMs)
       .map { s => fs.delete(s.getPath, false); s.getPath.getName }
       .sorted

@@ -66,6 +66,39 @@ private[streamlog] object S3Http {
       Option(r.headers().firstValue("ETag").orElse(null)))
   }
 
+  /** PUT a FILE body without materializing it: the payload streams
+    * from disk (BodyPublishers.ofFile) and the SigV4 payload hash is
+    * computed by a streaming read — so the documented 5 GiB single-PUT
+    * ceiling is the REAL ceiling, not the JVM's 2 GiB byte[] cap the
+    * whole-object path would hit first (r16 review). */
+  def sendFile(url: String, file: java.nio.file.Path,
+               auth: Option[SigV4Credentials] = None): Resp = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(java.time.Duration.ofMinutes(10))
+    auth.foreach { c =>
+      val hash = sha256HexOfFile(file)
+      SigV4.requestHeadersForHash(c, "PUT", url, hash)
+        .foreach { case (k, v) => b.header(k, v) }
+    }
+    val req = b.PUT(HttpRequest.BodyPublishers.ofFile(file)).build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    Resp(r.statusCode(), r.body(),
+      Option(r.headers().firstValue("ETag").orElse(null)))
+  }
+
+  /** Streaming SHA-256 of a file (bounded buffer — the signed-upload
+    * hash for bodies too large to hold). */
+  def sha256HexOfFile(file: java.nio.file.Path): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val in = java.nio.file.Files.newInputStream(file)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** The [[MetaStore]] tag for the log version an ETag identifies —
     * the shared [[StoreTags]] fold over the ETag string (0 = absent,
     * never produced here). */
@@ -241,7 +274,14 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
       s"segment $name is $size bytes — above the 5 GiB S3 single-PUT " +
         "ceiling. Lower Compaction.Limits.maxBytes so merged segments " +
         "stay bounded (multipart upload is out of scope by design)")
-    super.putFromFile(name, local)
+    // STREAM the upload (body from disk, hash by streaming read) — the
+    // default read-then-put would cap at the JVM's 2 GiB byte[] limit,
+    // making the documented ceiling a lie for (2, 5] GiB spools (r16
+    // review)
+    val r = S3Http.sendFile(url(name), local, auth)
+    require(r.status == 200, s"PUT ${url(name)} -> ${r.status}")
+    java.nio.file.Files.deleteIfExists(local)
+    ()
   }
 
   override def get(name: String): Array[Byte] = {

@@ -138,8 +138,12 @@ final class PosixSegmentStore(dir: Path) extends SegmentStore {
     Files.createDirectories(dir)
     // per-attempt unique tmp (ADVICE r15, same hazard as the Hadoop
     // adapter): concurrent same-name puts sharing one tmp path could
-    // move it out from under each other mid-commit
-    val tmp = dir.resolve(s".$name.${java.util.UUID.randomUUID()}.tmp")
+    // move it out from under each other mid-commit. The `.put.tmp`
+    // suffix marks PUT STAGING — the debris sweep matches only it, so
+    // live writer SPOOLS (`.hint.tmp` from newSpool, which may sit
+    // legitimately for minutes under a stalled upstream) are never
+    // collected (r16 review)
+    val tmp = dir.resolve(s".$name.${java.util.UUID.randomUUID()}.put.tmp")
     Files.write(tmp, bytes)
     Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -183,7 +187,9 @@ final class PosixSegmentStore(dir: Path) extends SegmentStore {
       try st.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
-          n.startsWith(".") && n.endsWith(".tmp") &&
+          // ONLY put-staging debris: a live writer spool (.hint.tmp)
+          // may legitimately outlive any grace window mid-task
+          n.startsWith(".") && n.endsWith(".put.tmp") &&
             Files.getLastModifiedTime(p).toMillis <= nowMs - olderThanMs
         }
         .map { p => Files.deleteIfExists(p); p.getFileName.toString }

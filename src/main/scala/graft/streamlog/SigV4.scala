@@ -18,7 +18,15 @@ import java.nio.charset.StandardCharsets.UTF_8
 final case class SigV4Credentials(accessKey: String, secretKey: String,
                                   region: String = "us-east-1",
                                   service: String = "s3",
-                                  sessionToken: Option[String] = None)
+                                  sessionToken: Option[String] = None) {
+  /** Redacted: these ride inside serialized plan objects (DSv2
+    * partitions, writer factories), and the generated toString would
+    * print the secret key and session token into Spark logs/UI the
+    * first time a partition is formatted (r16 review). */
+  override def toString: String =
+    s"SigV4Credentials($accessKey,<redacted>,$region,$service," +
+      s"${if (sessionToken.isDefined) "<redacted-token>" else "None"})"
+}
 
 /** AWS Signature Version 4 — the public request-signing algorithm
   * (AWS General Reference, "Signature Version 4 signing process"),
@@ -165,13 +173,21 @@ object SigV4 {
   def requestHeaders(creds: SigV4Credentials, method: String, url: String,
                      body: Array[Byte],
                      now: java.time.Instant = java.time.Instant.now()
-                    ): Seq[(String, String)] = {
+                    ): Seq[(String, String)] =
+    requestHeadersForHash(creds, method, url,
+      if (body == null || body.isEmpty) EmptyPayloadHash else sha256Hex(body),
+      now)
+
+  /** [[requestHeaders]] with a PRE-COMPUTED payload hash — the signed
+    * streaming-upload path (the body never exists as one byte[]). */
+  def requestHeadersForHash(creds: SigV4Credentials, method: String,
+                            url: String, payloadHash: String,
+                            now: java.time.Instant = java.time.Instant.now()
+                           ): Seq[(String, String)] = {
     val uri = URI.create(url)
     val host =
       if (uri.getPort == -1) uri.getHost else s"${uri.getHost}:${uri.getPort}"
     val amzDate = AmzDateFmt.format(now)
-    val payloadHash =
-      if (body == null || body.isEmpty) EmptyPayloadHash else sha256Hex(body)
     val signed = Seq(
       "host" -> host,
       "x-amz-content-sha256" -> payloadHash,
@@ -266,18 +282,32 @@ object SigV4 {
 object S3Auth {
   private val byEndpoint =
     new java.util.concurrent.ConcurrentHashMap[String, SigV4Credentials]()
+  // endpoints registered EXPLICITLY (driver code / an executor startup
+  // hook) — a task-side snapshot never overrides these
+  private val explicit =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  def register(endpoint: String, creds: SigV4Credentials): Unit =
+  def register(endpoint: String, creds: SigV4Credentials): Unit = {
+    explicit.add(endpoint)
     byEndpoint.put(endpoint, creds): Unit
+  }
 
-  /** Task-side registration from a closure-carried snapshot: installs
-    * the driver's credentials iff the executor has none for this
-    * endpoint (an explicit executor-startup registration wins). */
+  /** Task-side registration from a closure-carried snapshot. An
+    * explicit [[register]] for the endpoint wins; otherwise the
+    * snapshot INSTALLS OR REPLACES the cached entry — snapshots are
+    * taken at plan time on the driver, so a newer one carries newer
+    * credentials, and keeping the old entry would pin an executor to
+    * an EXPIRED STS session token for the life of its JVM (r16
+    * review: putIfAbsent broke exactly the temporary-credential
+    * deployments the token support exists for). */
   def ensureRegistered(endpoint: String, creds: SigV4Credentials): Unit =
-    byEndpoint.putIfAbsent(endpoint, creds): Unit
+    if (!explicit.contains(endpoint)) byEndpoint.put(endpoint, creds): Unit
 
   def forEndpoint(endpoint: String): Option[SigV4Credentials] =
     Option(byEndpoint.get(endpoint))
 
-  def unregister(endpoint: String): Unit = byEndpoint.remove(endpoint): Unit
+  def unregister(endpoint: String): Unit = {
+    explicit.remove(endpoint)
+    byEndpoint.remove(endpoint): Unit
+  }
 }

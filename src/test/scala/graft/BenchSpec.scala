@@ -74,4 +74,25 @@ class BenchSpec extends AnyFunSuite {
     val fb = Bench.renderLine(Seq("q1" -> 1.0), 0, 0, "/d", withDiag = false)
     assert(!fb.contains("cpu") && !fb.contains("load") && fb.contains("\"q1\":1"))
   }
+
+  test("scale-ratio evidence: the sidecar wall map parses and ratios pair per query") {
+    val detail = """{"sf":"/d/sf0.1","runs":5,"load_start":0.10,""" +
+      """"wall_total":3.00,"cpu_total":9.00,""" +
+      """"wall":{"q01_agg":0.50,"q02_filter":1.00,"q03_join":-1},""" +
+      """"cpu":{"q01_agg":1.50,"q02_filter":3.00,"q03_join":-1},""" +
+      """"samples_wall":{"q01_agg":[0.50,0.51]}}"""
+    val ref = Bench.parseWallMap(detail)
+    assert(ref == Map("q01_agg" -> 0.5, "q02_filter" -> 1.0, "q03_join" -> -1.0))
+    // ratios: only queries healthy (>= 0 current, > 0 reference) in BOTH
+    val ratios = Bench.scaleRatios(
+      Seq("q01_agg" -> 1.0, "q02_filter" -> 1.7, "q03_join" -> 2.0,
+        "q99_new" -> 5.0),
+      ref)
+    assert(ratios == Seq("q01_agg" -> 2.0, "q02_filter" -> 1.7))
+    // failed current runs drop out too
+    assert(Bench.scaleRatios(Seq("q01_agg" -> -1.0), ref).isEmpty)
+    // shape misses degrade to empty, never throw
+    assert(Bench.parseWallMap("{}").isEmpty)
+    assert(Bench.parseWallMap("not json").isEmpty)
+  }
 }

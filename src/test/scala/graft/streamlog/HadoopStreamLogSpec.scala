@@ -240,6 +240,27 @@ class HadoopStreamLogSpec extends SparkSpec {
     assert(!StreamStores.streamExists(freshRoot(), "nope"))
   }
 
+  test("the debris sweep collects stale put staging but never a live writer spool") {
+    val dir = Files.createTempDirectory("graft-debris")
+    val store = new HadoopSegmentStore(s"file://$dir/segments")
+    store.put("live.seg", "x\n".getBytes) // creates the segments dir
+    // crash-leaked put staging: old enough -> swept
+    val stale = dir.resolve("segments")
+      .resolve(".dead.seg.00000000-0000-0000-0000-000000000000.put.tmp")
+    Files.write(stale, "partial".getBytes)
+    // a writer SPOOL parked by a slow task: same age, must survive
+    // (r16 review: the first sweep matched any .tmp and would have
+    // deleted an in-flight task's spool out from under its commit)
+    val spool = dir.resolve("segments").resolve(".w-3-17.tmp")
+    Files.write(spool, "in-flight".getBytes)
+    val swept = store.sweepDebris(olderThanMs = 0L,
+      nowMs = System.currentTimeMillis() + 1000)
+    assert(swept.exists(_.contains("dead.seg")), s"swept: $swept")
+    assert(!Files.exists(stale))
+    assert(Files.exists(spool), "live spool must never be collected")
+    assert(new String(store.get("live.seg")) == "x\n")
+  }
+
   test("concurrent same-name puts through renameOver: no thrown absence, final content is one of the writers'") {
     // ADVICE r15: the fixed dot-tmp name makes concurrent retries of
     // the same deterministic put collide on one tmp path — one retry

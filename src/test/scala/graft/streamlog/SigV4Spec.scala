@@ -149,6 +149,39 @@ class SigV4Spec extends AnyFunSuite {
     assert(sigRe.findFirstMatchIn(noTok("Authorization")).get.group(1) != claimed)
   }
 
+  test("credentials never print their secrets (they ride inside serialized plan objects)") {
+    val creds = SigV4Credentials("AK", "super-secret-key",
+      sessionToken = Some("super-secret-token"))
+    val printed = Seq(creds.toString, Option(creds).toString,
+      ("ep" -> creds).toString)
+    printed.foreach { s =>
+      assert(!s.contains("super-secret-key"), s)
+      assert(!s.contains("super-secret-token"), s)
+    }
+    assert(creds.toString.contains("AK"), "the access key stays diagnosable")
+  }
+
+  test("snapshot re-registration replaces stale creds (STS rotation) but never an explicit registration") {
+    val ep = "http://rotation-test:1"
+    try {
+      val t1 = SigV4Credentials("AK", "s", sessionToken = Some("token-1"))
+      val t2 = t1.copy(sessionToken = Some("token-2"))
+      // task snapshots install AND refresh: an executor pinned to an
+      // expired session token would 403 forever (r16 review)
+      S3Auth.ensureRegistered(ep, t1)
+      assert(S3Auth.forEndpoint(ep).contains(t1))
+      S3Auth.ensureRegistered(ep, t2)
+      assert(S3Auth.forEndpoint(ep).contains(t2),
+        "a newer plan-time snapshot must replace the cached entry")
+      // an EXPLICIT registration (executor startup hook) wins over
+      // any later snapshot
+      val explicit = t1.copy(sessionToken = Some("explicit"))
+      S3Auth.register(ep, explicit)
+      S3Auth.ensureRegistered(ep, t2)
+      assert(S3Auth.forEndpoint(ep).contains(explicit))
+    } finally S3Auth.unregister(ep)
+  }
+
   test("requestHeaders produce a server-verifiable triple for exactly what is sent") {
     val creds = SigV4Credentials("AK", "secret")
     val body = "hello\n".getBytes("UTF-8")
