@@ -594,6 +594,37 @@ class S3StoreSpec extends SparkSpec {
     }
   }
 
+  test("a FRESH JVM with an empty credential registry reads a signed segment through the partition's snapshot alone") {
+    // the cluster condition ADVICE r15 called uncatchable in local
+    // mode: a real executor JVM has an EMPTY S3Auth registry, and the
+    // only credential source is the snapshot the serialized partition
+    // carries. The subprocess asserts its registry is empty, builds
+    // the partition + reader exactly as a deserialized task would, and
+    // must stream the rows signed — with STS session-token creds.
+    withServer(auth = Some(stsCreds)) { srv =>
+      val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+        Some(stsCreds))
+      val off = Offset.serialize(1000, 0)
+      segs.put(s"$off-exec.seg",
+        (0 until 7).map(i => Offset.serialize(1000, i.toLong) + s"""{"i":$i}""")
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+
+      val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+      val pb = new ProcessBuilder(javaBin, "-cp", sys.props("java.class.path"),
+        "graft.streamlog.FreshJvmReader", srv.endpoint, "b", "s1",
+        s"$off-exec.seg", stsCreds.accessKey, stsCreds.secretKey,
+        stsCreds.sessionToken.get)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+      assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS), out)
+      assert(proc.exitValue() == 0, s"reader subprocess failed:\n$out")
+      assert(out.contains("ROWS 7"), s"subprocess said:\n$out")
+      assert(srv.authRejects == 0,
+        "the fresh JVM must have signed every request from the snapshot")
+    }
+  }
+
   // ------------------------------------------------------------------
   // Range-streaming reads (r16): chunked HTTP Range GETs, byte-level
   // line reassembly, early-exit economy
