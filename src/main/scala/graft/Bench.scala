@@ -285,7 +285,11 @@ object Bench {
             .map(_._2).sorted
           if (ratios.nonEmpty) {
             val med = ratios(ratios.size / 2)
-            val p90 = ratios((ratios.size * 9) / 10 min (ratios.size - 1))
+            // nearest-rank p90 = ceil(0.9 n) - 1 ((9n)/10 rounds the
+            // wrong way exactly when 0.9 n is integral, printing the
+            // max as p90 at n = 10)
+            val p90 = ratios(math.min(ratios.size - 1,
+              math.ceil(0.9 * ratios.size).toInt - 1))
             System.err.println(s"[bench] scale vs $refSf: n=${ratios.size} " +
               s"median-ratio=${fmt2(med)} p90=${fmt2(p90)} " +
               s"max=${fmt2(ratios.last)} min=${fmt2(ratios.head)}")

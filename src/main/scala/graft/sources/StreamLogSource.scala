@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.streamlog.{MetaLog, Offset, S3Auth, SegmentMeta, SigV4Credentials, StreamStores}
+import graft.streamlog.{AuthSnapshot, MetaLog, Offset, S3Auth, SegmentMeta, StreamStores}
 
 /** DataSource V2 batch connector for the stream-log:
   *
@@ -581,7 +581,7 @@ class StreamLogStreamingWrite(root: String, stream: String,
 }
 
 case class StreamLogStreamingWriterFactory(root: String, stream: String, base: Long,
-                                           auth: Option[(String, SigV4Credentials)] = None)
+                                           auth: Option[AuthSnapshot] = None)
     extends StreamingDataWriterFactory {
   /** 10^10 rows per partition per epoch; 10^6 partitions fit the
     * 16-digit counter field. */
@@ -595,7 +595,7 @@ case class StreamLogStreamingWriterFactory(root: String, stream: String, base: L
       private var records = 0L
       private var bytes = 0L
       private val epoch = base + epochId
-      auth.foreach { case (ep, c) => S3Auth.ensureRegistered(ep, c) }
+      auth.foreach(S3Auth.ensureRegistered)
       private val store = StreamStores.segmentStore(root, stream)
       private val tmp = store.newSpool(s"s-$partitionId-$taskId-$epochId")
       private lazy val out = Files.newBufferedWriter(tmp, UTF_8)
@@ -682,7 +682,7 @@ class StreamLogBatchWrite(root: String, stream: String,
 }
 
 case class StreamLogWriterFactory(root: String, stream: String,
-                                  auth: Option[(String, SigV4Credentials)] = None)
+                                  auth: Option[AuthSnapshot] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -690,7 +690,7 @@ case class StreamLogWriterFactory(root: String, stream: String,
       private var last: String = _
       private var records = 0L
       private var bytes = 0L
-      auth.foreach { case (ep, c) => S3Auth.ensureRegistered(ep, c) }
+      auth.foreach(S3Auth.ensureRegistered)
       private val store = StreamStores.segmentStore(root, stream)
       private val tmp = store.newSpool(s"w-$partitionId-$taskId")
       private lazy val out = Files.newBufferedWriter(tmp, UTF_8)
@@ -736,7 +736,7 @@ case class StreamLogWriterFactory(root: String, stream: String,
 case class StreamLogPartition(root: String, stream: String, seg: String,
                               after: String, until: String,
                               path: String = "",
-                              auth: Option[(String, SigV4Credentials)] = None)
+                              auth: Option[AuthSnapshot] = None)
     extends InputPartition
 
 /** Carries the DRIVER's Hadoop configuration to the reading tasks
@@ -764,7 +764,7 @@ case class StreamLogReaderFactory(
           toClose = br
           Iterator.continually(br.readLine()).takeWhile(_ != null)
         } else {
-          p.auth.foreach { case (ep, c) => S3Auth.ensureRegistered(ep, c) }
+          p.auth.foreach(S3Auth.ensureRegistered)
           // lazy range-streaming where the store supports it (s3:) —
           // the task never materializes the whole segment
           StreamStores.segmentStore(p.root, p.stream).linesIterator(p.seg)

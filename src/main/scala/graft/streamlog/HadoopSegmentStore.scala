@@ -98,6 +98,8 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
           throw new java.io.IOException(
             s"rename $tmp -> $dst failed with no destination present")
       } else {
+        nonDstFailures = 0 // the no-dst window closed — a genuine FS
+        // refusal repeats consecutively; contention alternates
         // dst exists: concurrent same-name racers can re-land dst
         // between our delete and rename, so a single retry is a
         // check-then-act race — loop, and past the bound accept the
@@ -129,14 +131,17 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
     }
   }
 
-  override def get(name: String): Array[Byte] = {
-    val in =
-      try fs.open(path(name))
-      catch { case _: FileNotFoundException =>
-        throw new java.nio.file.NoSuchFileException(path(name).toString) }
-    try in.readAllBytes()
-    finally in.close()
-  }
+  override def get(name: String): Array[Byte] =
+    // the FNFE -> NoSuchFileException translation wraps the READ too,
+    // not just open(): object-store schemes (s3a) open lazily and
+    // surface absence from the first byte fetch (r16 review, second
+    // pass — the rebuild ghost-skip depends on this contract)
+    try {
+      val in = fs.open(path(name))
+      try in.readAllBytes()
+      finally in.close()
+    } catch { case _: FileNotFoundException =>
+      throw new java.nio.file.NoSuchFileException(path(name).toString) }
 
   override def list(): Seq[ObjectInfo] =
     try fs.listStatus(base).toSeq
@@ -186,12 +191,20 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
     * window here (called from StreamLog.purgeOrphans). Deleting
     * through the FileSystem also removes checksum sidecars. */
   override def sweepDebris(olderThanMs: Long, nowMs: Long): Seq[String] =
-    // only `.put.tmp` PUT staging — a writer spool parked here by a
-    // slow task must never be collected (r16 review)
+    // `.put.tmp` PUT staging at the caller's grace; any OTHER hidden
+    // .tmp (crash-leaked writer spools, pre-r16 fixed-name staging)
+    // only past a 24 h floor — a live spool's mtime moves as its task
+    // flushes, and a day-stale one has no living owner (r16 review,
+    // second pass: the narrow suffix left legacy debris uncollectable)
     try fs.listStatus(base).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith(".") &&
-        s.getPath.getName.endsWith(".put.tmp") &&
-        s.getModificationTime <= nowMs - olderThanMs)
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.startsWith(".") && n.endsWith(".tmp") && {
+          val age = if (n.endsWith(".put.tmp")) olderThanMs
+            else math.max(olderThanMs, SegmentStore.SpoolSweepFloorMs)
+          s.getModificationTime <= nowMs - age
+        }
+      }
       .map { s => fs.delete(s.getPath, false); s.getPath.getName }
       .sorted
     catch { case _: FileNotFoundException => Seq.empty }

@@ -54,6 +54,15 @@ final case class ObjectInfo(name: String, lastModifiedMs: Long)
   *      the orphan sweep collects. Data-plane writes are never the
   *      commit point.
   */
+object SegmentStore {
+  /** Conservative age floor for sweeping NON-put-staging hidden .tmp
+    * files (crash-leaked writer spools, legacy staging names): a live
+    * spool's mtime advances as its task flushes, so a day of silence
+    * means no living owner. Put staging (`.put.tmp`) lives
+    * milliseconds and sweeps at the caller's grace window instead. */
+  val SpoolSweepFloorMs: Long = 24L * 3600 * 1000
+}
+
 trait SegmentStore {
 
   /** Store the complete object atomically (visible-whole-or-absent). */
@@ -187,10 +196,15 @@ final class PosixSegmentStore(dir: Path) extends SegmentStore {
       try st.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
-          // ONLY put-staging debris: a live writer spool (.hint.tmp)
-          // may legitimately outlive any grace window mid-task
-          n.startsWith(".") && n.endsWith(".put.tmp") &&
-            Files.getLastModifiedTime(p).toMillis <= nowMs - olderThanMs
+          // put-staging debris at the caller's grace; other hidden
+          // .tmp (crash-leaked writer spools) only past the 24 h
+          // floor — a LIVE spool may legitimately outlive any grace
+          // window mid-task, but a day-stale one has no living owner
+          n.startsWith(".") && n.endsWith(".tmp") && {
+            val age = if (n.endsWith(".put.tmp")) olderThanMs
+              else math.max(olderThanMs, SegmentStore.SpoolSweepFloorMs)
+            Files.getLastModifiedTime(p).toMillis <= nowMs - age
+          }
         }
         .map { p => Files.deleteIfExists(p); p.getFileName.toString }
         .toSeq.sorted
@@ -304,18 +318,20 @@ object StreamStores {
     * then only compaction's Spark staging scratch. */
   def isBucket(root: String): Boolean = isMem(root) || isS3(root) || isHadoop(root)
 
-  /** The DRIVER's credentials for an s3: root, as an (endpoint, creds)
-    * snapshot a task closure can carry to executors (ADVICE r15: the
-    * [[S3Auth]] registry is per-JVM, so a task that re-resolves a store
-    * from (root, stream) strings on a fresh executor would otherwise
-    * sign nothing). Tasks call `S3Auth.ensureRegistered` with this
-    * snapshot before resolving. None for non-s3 roots or unsigned
-    * endpoints. */
-  def s3AuthFor(root: String): Option[(String, SigV4Credentials)] =
+  /** The DRIVER's credentials for an s3: root, as a plan-time
+    * [[AuthSnapshot]] a task closure carries to executors (ADVICE r15:
+    * the [[S3Auth]] registry is per-JVM, so a task that re-resolves a
+    * store from (root, stream) strings on a fresh executor would
+    * otherwise sign nothing). Tasks call `S3Auth.ensureRegistered`
+    * with it before resolving; the embedded plan time is the
+    * freshness order replacement follows. None for non-s3 roots or
+    * unsigned endpoints. */
+  def s3AuthFor(root: String): Option[AuthSnapshot] =
     if (!isS3(root)) None
     else {
       val (ep, _) = parseS3(root)
-      S3Auth.forEndpoint(ep).map(ep -> _)
+      S3Auth.forEndpoint(ep)
+        .map(AuthSnapshot(ep, _, System.currentTimeMillis()))
     }
 
   private def parseS3(root: String): (String, String) = {

@@ -279,35 +279,43 @@ object SigV4 {
   * serializable case class, the same shape as the Hadoop path's
   * SerializableConfiguration) and calls [[ensureRegistered]] before
   * resolving, so the registry self-populates on every executor. */
+/** A plan-time credential snapshot a task closure carries to
+  * executors: the endpoint, the driver's credentials for it, and WHEN
+  * the plan captured them — the freshness ordering
+  * [[S3Auth.ensureRegistered]] replaces by, so an old still-running
+  * job's stale snapshot can never overwrite a newer job's rotated STS
+  * token (r16 review, second pass). */
+final case class AuthSnapshot(endpoint: String, creds: SigV4Credentials,
+                              plannedAtMs: Long)
+
 object S3Auth {
+  // creds + the snapshot stamp they arrived with; explicit entries
+  // (driver code / an executor startup hook) pin with an infinite
+  // stamp so no snapshot replaces them
+  private final case class Entry(creds: SigV4Credentials, stampMs: Long,
+                                 explicit: Boolean)
   private val byEndpoint =
-    new java.util.concurrent.ConcurrentHashMap[String, SigV4Credentials]()
-  // endpoints registered EXPLICITLY (driver code / an executor startup
-  // hook) — a task-side snapshot never overrides these
-  private val explicit =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
-  def register(endpoint: String, creds: SigV4Credentials): Unit = {
-    explicit.add(endpoint)
-    byEndpoint.put(endpoint, creds): Unit
-  }
+  def register(endpoint: String, creds: SigV4Credentials): Unit =
+    byEndpoint.put(endpoint, Entry(creds, Long.MaxValue, explicit = true)): Unit
 
-  /** Task-side registration from a closure-carried snapshot. An
-    * explicit [[register]] for the endpoint wins; otherwise the
-    * snapshot INSTALLS OR REPLACES the cached entry — snapshots are
-    * taken at plan time on the driver, so a newer one carries newer
-    * credentials, and keeping the old entry would pin an executor to
-    * an EXPIRED STS session token for the life of its JVM (r16
-    * review: putIfAbsent broke exactly the temporary-credential
-    * deployments the token support exists for). */
-  def ensureRegistered(endpoint: String, creds: SigV4Credentials): Unit =
-    if (!explicit.contains(endpoint)) byEndpoint.put(endpoint, creds): Unit
+  /** Task-side registration from a closure-carried [[AuthSnapshot]].
+    * One ATOMIC compute (r16 review, second pass: contains-then-put
+    * could interleave with a concurrent explicit register and make the
+    * snapshot stick over it): an explicit registration always wins;
+    * between snapshots the NEWER plan time wins — so a fresh plan's
+    * rotated STS token replaces a stale cached one, while an older
+    * job's tasks can never roll a newer job's credentials back. */
+  def ensureRegistered(snap: AuthSnapshot): Unit =
+    byEndpoint.compute(snap.endpoint, (_, cur) =>
+      if (cur == null || (!cur.explicit && snap.plannedAtMs > cur.stampMs))
+        Entry(snap.creds, snap.plannedAtMs, explicit = false)
+      else cur): Unit
 
   def forEndpoint(endpoint: String): Option[SigV4Credentials] =
-    Option(byEndpoint.get(endpoint))
+    Option(byEndpoint.get(endpoint)).map(_.creds)
 
-  def unregister(endpoint: String): Unit = {
-    explicit.remove(endpoint)
+  def unregister(endpoint: String): Unit =
     byEndpoint.remove(endpoint): Unit
-  }
 }

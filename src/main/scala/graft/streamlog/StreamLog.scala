@@ -292,7 +292,7 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
         spark.createDataset(segs.map(_.name))
           .repartition(segs.size)
           .flatMap { seg =>
-            auth.foreach { case (ep, c) => S3Auth.ensureRegistered(ep, c) }
+            auth.foreach(S3Auth.ensureRegistered)
             StreamStores.segmentStore(r, n).linesIterator(seg)
           }
           .toDF("value")

@@ -24,7 +24,8 @@ object FreshJvmReader {
       "this fixture must start with an empty credential registry")
     val root = s"s3:$endpoint/$bucket"
     val p = graft.sources.StreamLogPartition(root, stream, seg,
-      Offset.Beginning, "", "", Some(endpoint -> creds))
+      Offset.Beginning, "", "",
+      Some(AuthSnapshot(endpoint, creds, System.currentTimeMillis())))
     // the reader factory's Hadoop conf is only used for path-bearing
     // partitions; the GET fallback (path = "") never touches it
     val factory = graft.sources.StreamLogReaderFactory(

@@ -161,23 +161,28 @@ class SigV4Spec extends AnyFunSuite {
     assert(creds.toString.contains("AK"), "the access key stays diagnosable")
   }
 
-  test("snapshot re-registration replaces stale creds (STS rotation) but never an explicit registration") {
+  test("snapshot registration: newer plan time replaces, older never rolls back, explicit always wins") {
     val ep = "http://rotation-test:1"
     try {
       val t1 = SigV4Credentials("AK", "s", sessionToken = Some("token-1"))
       val t2 = t1.copy(sessionToken = Some("token-2"))
-      // task snapshots install AND refresh: an executor pinned to an
-      // expired session token would 403 forever (r16 review)
-      S3Auth.ensureRegistered(ep, t1)
+      // task snapshots install AND refresh BY PLAN TIME: an executor
+      // pinned to an expired session token would 403 forever, and an
+      // OLD still-running job's stale snapshot must not roll a newer
+      // job's rotated token back (r16 review, both passes)
+      S3Auth.ensureRegistered(AuthSnapshot(ep, t1, plannedAtMs = 100L))
       assert(S3Auth.forEndpoint(ep).contains(t1))
-      S3Auth.ensureRegistered(ep, t2)
+      S3Auth.ensureRegistered(AuthSnapshot(ep, t2, plannedAtMs = 200L))
       assert(S3Auth.forEndpoint(ep).contains(t2),
         "a newer plan-time snapshot must replace the cached entry")
+      S3Auth.ensureRegistered(AuthSnapshot(ep, t1, plannedAtMs = 100L))
+      assert(S3Auth.forEndpoint(ep).contains(t2),
+        "a STALE snapshot must never roll back a newer one")
       // an EXPLICIT registration (executor startup hook) wins over
-      // any later snapshot
+      // any snapshot, of any age
       val explicit = t1.copy(sessionToken = Some("explicit"))
       S3Auth.register(ep, explicit)
-      S3Auth.ensureRegistered(ep, t2)
+      S3Auth.ensureRegistered(AuthSnapshot(ep, t2, plannedAtMs = 9999L))
       assert(S3Auth.forEndpoint(ep).contains(explicit))
     } finally S3Auth.unregister(ep)
   }
