@@ -244,8 +244,29 @@ object Bench {
     // line has no room for. A SPARK_GRAFT_BENCH_ONLY subset run
     // (bisection) writes a .partial variant instead of clobbering the
     // committed full-registry evidence (r15 review)
+    // the reference sidecar is read BEFORE any detail write: the
+    // default-env cross-sf flow would otherwise clobber the committed
+    // reference first and then skip the comparison entirely (r16
+    // review, third pass)
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_DETAIL.json")
+    val refJson: Option[String] =
+      try {
+        val rp = java.nio.file.Paths.get(refPath)
+        if (java.nio.file.Files.isRegularFile(rp))
+          Some(new String(java.nio.file.Files.readAllBytes(rp), "UTF-8"))
+        else None
+      } catch { case _: Throwable => None }
+    val refSf = refJson.flatMap(j =>
+      "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(j).map(_.group(1)))
+    val sfBase = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse("sf")
     val detailPath = sys.env.getOrElse(DetailFileEnv,
-      if (only.isDefined) "BENCH_DETAIL.partial.json" else "BENCH_DETAIL.json")
+      if (only.isDefined) "BENCH_DETAIL.partial.json"
+      // a cross-sf run must not overwrite the committed reference
+      // sidecar it is being compared against — default to an
+      // sf-suffixed sibling instead
+      else if (refSf.exists(_ != sfDir) && refPath == "BENCH_DETAIL.json")
+        s"BENCH_DETAIL.$sfBase.json"
+      else "BENCH_DETAIL.json")
     try {
       def m(vs: Seq[(String, String)]) =
         vs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -267,21 +288,18 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
-    // scale-ratio line (VERDICT r15 #5): when a reference sidecar from a
-    // DIFFERENT sf exists (default: the committed sf0.1 BENCH_DETAIL
-    // .json), print per-pass scaling evidence — median/p90/max of the
-    // per-query wall ratios — so the sf1.0 curve is a diffable artifact
-    // line, not prose. stderr: the stdout budget belongs to the queries.
+    // scale-ratio line (VERDICT r15 #5): when the PRE-READ reference
+    // sidecar came from a DIFFERENT sf, print per-pass scaling
+    // evidence — median/p90/max of the per-query wall ratios — so the
+    // sf1.0 curve is a diffable artifact line, not prose. stderr: the
+    // stdout budget belongs to the queries. Uses the snapshot read
+    // BEFORE the detail write, so it works even when both point at
+    // the same path.
     try {
-      val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_DETAIL.json")
-      val rp = java.nio.file.Paths.get(refPath)
-      if (refPath != detailPath && java.nio.file.Files.isRegularFile(rp)) {
-        val refJson = new String(java.nio.file.Files.readAllBytes(rp), "UTF-8")
-        val refSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(refJson)
-          .map(_.group(1)).getOrElse("?")
-        if (refSf != sfDir) {
+      refJson.foreach { rj =>
+        if (refSf.exists(_ != sfDir)) {
           val ratios = scaleRatios(
-            results.map { case (n, (w, _)) => n -> w }, parseWallMap(refJson))
+            results.map { case (n, (w, _)) => n -> w }, parseWallMap(rj))
             .map(_._2).sorted
           if (ratios.nonEmpty) {
             val med = ratios(ratios.size / 2)
@@ -290,7 +308,7 @@ object Bench {
             // max as p90 at n = 10)
             val p90 = ratios(math.min(ratios.size - 1,
               math.ceil(0.9 * ratios.size).toInt - 1))
-            System.err.println(s"[bench] scale vs $refSf: n=${ratios.size} " +
+            System.err.println(s"[bench] scale vs ${refSf.get}: n=${ratios.size} " +
               s"median-ratio=${fmt2(med)} p90=${fmt2(p90)} " +
               s"max=${fmt2(ratios.last)} min=${fmt2(ratios.head)}")
           }

@@ -82,9 +82,14 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
     while (true) {
       if (f.rename(tmp, dst)) return
       if (!f.exists(tmp)) {
-        if (f.exists(dst)) return // a peer's identical put landed
+        // tmps are per-attempt UNIQUE, so nothing legitimate takes
+        // ours — a vanished tmp means external interference (a debris
+        // sweep, a manual clean). Returning success against whatever
+        // dst holds would be a silent lost update when the contents
+        // differ (r16 review, third pass) — fail loudly instead.
         throw new java.io.IOException(
-          s"rename $tmp -> $dst failed: tmp vanished without dst landing")
+          s"rename $tmp -> $dst failed: staging vanished mid-commit " +
+            "(debris sweep or external interference?)")
       }
       if (!f.exists(dst)) {
         // refused with NO dst present: either a transient window (a
@@ -105,9 +110,13 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
         // check-then-act race — loop, and past the bound accept the
         // peer's landing (identical content) and drop our staging
         attempts += 1
-        if (attempts > 100) {
-          f.delete(tmp, false); return
-        }
+        if (attempts > 100)
+          // NOT success-by-peer: a persistently undeletable dst
+          // (permissions) would otherwise read as success while dst
+          // holds STALE content (r16 review, third pass)
+          throw new java.io.IOException(
+            s"rename $tmp -> $dst failed after $attempts attempts " +
+              "(destination persistently present)")
         f.delete(dst, false)
       }
     }
@@ -200,7 +209,12 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
       .filter { s =>
         val n = s.getPath.getName
         s.isFile && n.startsWith(".") && n.endsWith(".tmp") && {
-          val age = if (n.endsWith(".put.tmp")) olderThanMs
+          // put staging floors at 1 h: a multi-GiB copyFromLocalFile
+          // staging's mtime may not advance until close, and sweeping
+          // it mid-upload fails the commit (r16 review, third pass);
+          // spools/legacy floors at 24 h as before
+          val age = if (n.endsWith(".put.tmp"))
+              math.max(olderThanMs, SegmentStore.PutStagingSweepFloorMs)
             else math.max(olderThanMs, SegmentStore.SpoolSweepFloorMs)
           s.getModificationTime <= nowMs - age
         }

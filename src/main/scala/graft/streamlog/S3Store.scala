@@ -73,8 +73,13 @@ private[streamlog] object S3Http {
     * whole-object path would hit first (r16 review). */
   def sendFile(url: String, file: java.nio.file.Path,
                auth: Option[SigV4Credentials] = None): Resp = {
+    // size-proportional timeout (~1 MiB/s floor + 10 min base): a
+    // fixed cap would make the documented 5 GiB ceiling unreachable
+    // on slow links — aborting after streaming gigabytes, every retry
+    // (r16 review, third pass)
+    val size = java.nio.file.Files.size(file)
     val b = HttpRequest.newBuilder(URI.create(url))
-      .timeout(java.time.Duration.ofMinutes(10))
+      .timeout(java.time.Duration.ofSeconds(600L + size / (1L << 20)))
     auth.foreach { c =>
       val hash = sha256HexOfFile(file)
       SigV4.requestHeadersForHash(c, "PUT", url, hash)
@@ -315,6 +320,15 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
         r.status match {
           case 416 => done = true // start at/past EOF
           case 404 => throw new java.nio.file.NoSuchFileException(url(name))
+          case 200 if pos > 0 =>
+            // a server ignoring Range MID-STREAM (proxy swap, restart
+            // onto a non-range backend) answers 200 from offset 0 —
+            // absorbing it would re-emit every line before pos and
+            // splice the pending carry with the object's head: silent
+            // duplication + one garbled record (r16 review, third
+            // pass). Only pos == 0 may absorb a 200.
+            throw new IllegalStateException(
+              s"GET(range) ${url(name)}: server ignored Range at offset $pos")
           case 206 | 200 =>
             val got = r.body
             pos += got.length

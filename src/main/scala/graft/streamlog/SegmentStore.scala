@@ -61,6 +61,13 @@ object SegmentStore {
     * means no living owner. Put staging (`.put.tmp`) lives
     * milliseconds and sweeps at the caller's grace window instead. */
   val SpoolSweepFloorMs: Long = 24L * 3600 * 1000
+
+  /** Age floor for PUT-staging (`.put.tmp`) debris: normally it lives
+    * milliseconds, but a multi-GiB staging copy can take minutes with
+    * an unmoving mtime — an hour of headroom keeps a concurrent sweep
+    * from failing an in-flight commit while still collecting genuine
+    * crash debris promptly. */
+  val PutStagingSweepFloorMs: Long = 3600L * 1000
 }
 
 trait SegmentStore {
@@ -183,7 +190,12 @@ final class PosixSegmentStore(dir: Path) extends SegmentStore {
   }
 
   override def putFromFile(name: String, local: Path): Unit =
-    try Files.move(local, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE): Unit
+    // REPLACE_EXISTING like put(): the same-name re-put overwrite
+    // contract covers the commit path too — an ambiguous upload's
+    // retry must land, not throw FileAlreadyExists (r16 review,
+    // third pass)
+    try Files.move(local, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING): Unit
     catch {
       case _: java.nio.file.AtomicMoveNotSupportedException =>
         super.putFromFile(name, local) // cross-filesystem spool
@@ -201,7 +213,8 @@ final class PosixSegmentStore(dir: Path) extends SegmentStore {
           // floor — a LIVE spool may legitimately outlive any grace
           // window mid-task, but a day-stale one has no living owner
           n.startsWith(".") && n.endsWith(".tmp") && {
-            val age = if (n.endsWith(".put.tmp")) olderThanMs
+            val age = if (n.endsWith(".put.tmp"))
+                math.max(olderThanMs, SegmentStore.PutStagingSweepFloorMs)
               else math.max(olderThanMs, SegmentStore.SpoolSweepFloorMs)
             Files.getLastModifiedTime(p).toMillis <= nowMs - age
           }

@@ -702,7 +702,11 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
       .flatMap { o =>
         try {
           val lines = segStore.getLines(o.name)
-          Some(SegmentMeta(o.name,
+          // a zero-line object (truncated/empty debris) carries no
+          // records — skip it like a ghost instead of crashing the
+          // recovery on lines.head (r16 review, third pass)
+          if (lines.isEmpty) None
+          else Some(SegmentMeta(o.name,
             lines.head.substring(0, Offset.Width),
             lines.last.substring(0, Offset.Width),
             nowMs(), lines.size.toLong,

@@ -248,16 +248,30 @@ class HadoopStreamLogSpec extends SparkSpec {
     val stale = dir.resolve("segments")
       .resolve(".dead.seg.00000000-0000-0000-0000-000000000000.put.tmp")
     Files.write(stale, "partial".getBytes)
-    // a writer SPOOL parked by a slow task: same age, must survive
-    // (r16 review: the first sweep matched any .tmp and would have
-    // deleted an in-flight task's spool out from under its commit)
+    // a writer SPOOL parked by a slow task: must survive far past any
+    // grace window (r16 review: the first sweep matched any .tmp and
+    // would have deleted an in-flight task's spool; spools sweep only
+    // at the 24 h floor, put staging at the 1 h floor)
     val spool = dir.resolve("segments").resolve(".w-3-17.tmp")
     Files.write(spool, "in-flight".getBytes)
-    val swept = store.sweepDebris(olderThanMs = 0L,
+    // within the put-staging floor: NOTHING sweeps (an in-flight
+    // multi-GiB staging copy must survive a concurrent purge)
+    val early = store.sweepDebris(olderThanMs = 0L,
       nowMs = System.currentTimeMillis() + 1000)
+    assert(early.isEmpty && Files.exists(stale), s"swept early: $early")
+    // past the 1 h floor: the staging debris goes, the spool stays
+    val swept = store.sweepDebris(olderThanMs = 0L,
+      nowMs = System.currentTimeMillis() +
+        SegmentStore.PutStagingSweepFloorMs + 1000)
     assert(swept.exists(_.contains("dead.seg")), s"swept: $swept")
     assert(!Files.exists(stale))
     assert(Files.exists(spool), "live spool must never be collected")
+    // past the 24 h floor: the abandoned spool goes too
+    val late = store.sweepDebris(olderThanMs = 0L,
+      nowMs = System.currentTimeMillis() +
+        SegmentStore.SpoolSweepFloorMs + 1000)
+    assert(late.exists(_.contains("w-3-17")), s"late sweep: $late")
+    assert(!Files.exists(spool))
     assert(new String(store.get("live.seg")) == "x\n")
   }
 
