@@ -230,8 +230,13 @@ class DataPlaneFuzzSpec extends SparkSpec {
     } finally StreamStores.dropMem(root, name)
   }
 
+  /** Env knob for one-off deep soaks (gate default stays 600). */
+  private val sweepSeeds: Long =
+    math.max(600L, sys.env.get("SPARK_GRAFT_FUZZ_SEEDS")
+      .map(_.toLong / 2).getOrElse(600L))
+
   test("600 seeded data-plane interleavings over lagged LIST + faulty metadata: committed bytes always readable, live never purged") {
-    val (sp, am) = (1L to 600L).map(seed => runOne(seed, steps = 30))
+    val (sp, am) = (1L to sweepSeeds).map(seed => runOne(seed, steps = 30))
       .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
     assert(sp > 500 && am > 500,
       s"fault coverage too thin: spurious=$sp ambiguous=$am")

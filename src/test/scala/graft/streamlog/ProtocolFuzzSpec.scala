@@ -204,8 +204,14 @@ class ProtocolFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** Env knob for one-off deep soaks (the committed gate counts stay
+    * the default): SPARK_GRAFT_FUZZ_SEEDS scales every sweep. */
+  private val seedScale: Double =
+    sys.env.get("SPARK_GRAFT_FUZZ_SEEDS").map(_.toDouble / 1200.0).getOrElse(1.0)
+
   test("1200 seeded interleavings with injected 409s/ambiguity replay to the model at every quiescent point") {
-    val (sp, am) = (1L to 1200L).map(seed => runOne(seed, steps = 30))
+    val n = math.max(1200L, (1200 * seedScale).toLong)
+    val (sp, am) = (1L to n).map(seed => runOne(seed, steps = 30))
       .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
     // an individual seed may happen to draw few write attempts; across
     // the sweep both failure modes must have fired heavily or the rates
@@ -229,7 +235,7 @@ class ProtocolFuzzSpec extends AnyFunSuite {
     val srv = new S3LiteServer()
     try {
       var faults = 0
-      (1L to 40L).foreach { seed =>
+      (1L to math.max(40L, (40 * seedScale).toLong)).foreach { seed =>
         val rng = new scala.util.Random(seed)
         val store = new S3MetaStore(srv.endpoint, "b",
           s"fuzz-$seed/meta.jsonl")
