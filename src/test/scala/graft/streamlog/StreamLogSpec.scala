@@ -286,7 +286,12 @@ class StreamLogSpec extends SparkSpec {
       a.refresh() // A sees the segments; its claim stays stale
 
       val deadline = System.currentTimeMillis() + 30000
-      while (fleet.fencedStreams.isEmpty && System.currentTimeMillis() < deadline)
+      // wait for BOTH the fence record and its error report: the
+      // sweeper records fencedAt BEFORE calling onError, so observing
+      // fencedStreams alone can race the increment by a few
+      // microseconds (flaked once under a loaded closing run)
+      while ((fleet.fencedStreams.isEmpty || errors.get() < 1) &&
+        System.currentTimeMillis() < deadline)
         Thread.sleep(50)
       assert(fleet.fencedStreams == Set("s1"), "daemon never recorded the fence")
       assert(errors.get() >= 1)
