@@ -337,15 +337,13 @@ object StreamStores {
     * store from (root, stream) strings on a fresh executor would
     * otherwise sign nothing). Tasks call `S3Auth.ensureRegistered`
     * with it before resolving; the embedded plan time is the
-    * freshness order replacement follows. None for non-s3 roots or
-    * unsigned endpoints. */
+    * freshness order replacement follows. When the driver registered a
+    * [[CredentialProvider]], the snapshot carries it too, so executor
+    * tasks inherit refresh-on-rotation, not a frozen token (r17).
+    * None for non-s3 roots or unsigned endpoints. */
   def s3AuthFor(root: String): Option[AuthSnapshot] =
     if (!isS3(root)) None
-    else {
-      val (ep, _) = parseS3(root)
-      S3Auth.forEndpoint(ep)
-        .map(AuthSnapshot(ep, _, System.currentTimeMillis()))
-    }
+    else S3Auth.snapshotFor(parseS3(root)._1)
 
   private def parseS3(root: String): (String, String) = {
     val u = root.stripPrefix("s3:")
@@ -373,7 +371,10 @@ object StreamStores {
         _ => Mem(new InMemoryMetaStore, new InMemorySegmentStore)).meta
     else if (isS3(root)) {
       val (ep, bucket) = parseS3(root)
-      new S3MetaStore(ep, bucket, s"$stream/meta.jsonl", S3Auth.forEndpoint(ep))
+      // Registry ref, not a frozen Option: every request re-resolves
+      // through S3Auth, so a registered CredentialProvider's rotated
+      // STS token reaches long-lived handles mid-job (r17)
+      new S3MetaStore(ep, bucket, s"$stream/meta.jsonl", S3AuthRef.Registry(ep))
     } else if (isHadoop(root)) {
       val uri = java.net.URI.create(root.stripPrefix("hadoop:"))
       require(uri.getScheme == null || uri.getScheme == "file",
@@ -396,7 +397,7 @@ object StreamStores {
     else if (isS3(root)) {
       val (ep, bucket) = parseS3(root)
       new S3SegmentStore(ep, bucket, s"$stream/segments/",
-        S3Auth.forEndpoint(ep))
+        S3AuthRef.Registry(ep))
     } else if (isHadoop(root)) {
       val base = root.stripPrefix("hadoop:").stripSuffix("/")
       new HadoopSegmentStore(s"$base/$stream/segments")
@@ -433,7 +434,7 @@ object StreamStores {
       }.sorted
     } else if (isS3(root)) {
       val (ep, bucket) = parseS3(root)
-      val all = new S3SegmentStore(ep, bucket, "", S3Auth.forEndpoint(ep))
+      val all = new S3SegmentStore(ep, bucket, "", S3AuthRef.Registry(ep))
         .list().map(_.name)
       all.collect {
         case k if k.endsWith("/meta.jsonl") && k.count(_ == '/') == 1 =>

@@ -45,6 +45,18 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 final class S3LiteServer(maxKeys: Int = 1000,
                          auth: Option[SigV4Credentials] = None) {
 
+  /** The credentials the verifier CURRENTLY accepts — rotatable
+    * mid-run to simulate STS token expiry: after [[rotate]], requests
+    * signed with the old token 403 exactly as real S3 does when a
+    * session token expires (r17 — the credential-refresh battery's
+    * server side). */
+  @volatile private var acceptedAuth: Option[SigV4Credentials] = auth
+  def rotate(fresh: SigV4Credentials): Unit = {
+    require(acceptedAuth.isDefined,
+      "rotate() only makes sense on a server that requires auth")
+    acceptedAuth = Some(fresh)
+  }
+
   // key -> (bytes, etag, lastModifiedMs); one lock = the linearizable
   // conditional-write point a real bucket's backend provides
   private val objects =
@@ -128,7 +140,7 @@ final class S3LiteServer(maxKeys: Int = 1000,
     * auth (presigned URLs — X-Amz-Signature in the query), re-deriving
     * both from the received request exactly as real S3 does. */
   private def verifySig(ex: HttpExchange, body: Array[Byte]): Option[String] =
-    auth.flatMap { creds =>
+    acceptedAuth.flatMap { creds =>
       val rawQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
       if (Option(ex.getRequestHeaders.getFirst("Authorization")).isEmpty &&
           rawQuery.contains("X-Amz-Signature="))

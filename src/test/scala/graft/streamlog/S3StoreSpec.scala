@@ -594,6 +594,89 @@ class S3StoreSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Credential rotation (r17): a registered CredentialProvider rides
+  // STS token expiry mid-job — 403 → ONE re-resolve → retry
+  // ------------------------------------------------------------------
+
+  test("credential rotation mid-battery: cached token 403s once, provider re-resolves, publish -> rotate -> compaction continues with zero failures") {
+    val tokA = testCreds.copy(sessionToken = Some("sts-token-A"))
+    val tokB = testCreds.copy(sessionToken = Some("sts-token-B"))
+    withServer(auth = Some(tokA)) { srv =>
+      val current = new java.util.concurrent.atomic.AtomicReference(tokA)
+      val resolves = new java.util.concurrent.atomic.AtomicInteger(0)
+      S3Auth.registerProvider(srv.endpoint, new CredentialProvider {
+        override def resolve(): SigV4Credentials = {
+          resolves.incrementAndGet(); current.get()
+        }
+      }, ttlMs = 3600000L) // long TTL: only an expired-token 403 forces re-resolution
+      try {
+        val root = s"s3:${srv.endpoint}/b"
+        val c = clock(8500000)
+        val log = new StreamLog(spark, root, "s1")
+        val offs1 = (1 to 3).flatMap(_ =>
+          log.publish((1 to 4).map(i => s"""{"i":$i}"""), nowMs = c))
+        assert(srv.authRejects == 0)
+        assert(resolves.get() >= 1, "requests resolve through the provider")
+
+        // rotation, in the real STS order: the fresher token is ISSUED
+        // first (provider), then the old one EXPIRES (server). The
+        // long TTL pins the stale cache, so the next request 403s
+        // exactly once, re-resolves, retries — and the SAME long-lived
+        // handle continues: the 6-hour-compaction-fleet scenario that
+        // died on 403 mid-run before r17.
+        current.set(tokB)
+        srv.rotate(tokB)
+        val rejects0 = srv.authRejects
+        val offs2 = log.publish((1 to 4).map(i => s"""{"x":$i}"""), nowMs = c)
+        assert(log.compactOnce(nowMs = c).isDefined,
+          "compaction continues across the rotation")
+        log.maintain(tombstoneMaxAgeMs = 0, orphanGraceMs = 0, nowMs = c)
+        assert(log.consume(Offset.Beginning, 100).map(_._1) == offs1 ++ offs2,
+          "zero loss across the rotation")
+        assert(srv.authRejects > rejects0,
+          "the stale cached token must 403 once — the refresh trigger")
+        assert(srv.authRejects - rejects0 <= 4,
+          s"one re-resolve per stale request, not a 403 storm: ${srv.authRejects - rejects0}")
+
+        // a SECOND rotation, then a DSv2 read: executor tasks inherit
+        // the provider through the plan-time AuthSnapshot and refresh
+        // on their side
+        current.set(tokA)
+        srv.rotate(tokA)
+        val df = spark.read.format("streamlog")
+          .option("path", root).option("stream", "s1").load()
+        assert(df.collect().length == 16)
+      } finally S3Auth.unregister(srv.endpoint)
+    }
+  }
+
+  test("a provider still serving the expired token gets ONE forced re-resolve then fails loudly — no retry loop") {
+    val tokA = testCreds.copy(sessionToken = Some("sts-stale-A"))
+    val tokB = testCreds.copy(sessionToken = Some("sts-stale-B"))
+    withServer(auth = Some(tokA)) { srv =>
+      val resolves = new java.util.concurrent.atomic.AtomicInteger(0)
+      S3Auth.registerProvider(srv.endpoint, new CredentialProvider {
+        override def resolve(): SigV4Credentials = {
+          resolves.incrementAndGet(); tokA // never rotates — misconfigured
+        }
+      }, ttlMs = 0L)
+      try {
+        val store = StreamStores.metaStore(s"s3:${srv.endpoint}/b", "s1")
+        assert(store.appendIf(0L, Seq(MetaJson.writer(1))))
+        srv.rotate(tokB) // tokA is now expired; the provider is stuck on it
+        val r0 = resolves.get()
+        val rej0 = srv.authRejects
+        intercept[IllegalStateException](store.readWithTag())
+        assert(srv.authRejects - rej0 == 1,
+          s"a same-token refresh must NOT retry on the wire: " +
+            s"${srv.authRejects - rej0} rejected attempts")
+        assert(resolves.get() == r0 + 2,
+          "the per-request resolve plus exactly one forced refresh")
+      } finally S3Auth.unregister(srv.endpoint)
+    }
+  }
+
   test("a FRESH JVM with an empty credential registry reads a signed segment through the partition's snapshot alone") {
     // the cluster condition ADVICE r15 called uncatchable in local
     // mode: a real executor JVM has an EMPTY S3Auth registry, and the
@@ -804,9 +887,16 @@ class S3StoreSpec extends SparkSpec {
   // STS-signed wire, restart + churn
   // ------------------------------------------------------------------
 
-  test("50-stream STS-signed fleet soak: takeover, server restart, create/destroy churn — fences only, zero loss, catalog consistent") {
+  test("50-stream STS-signed fleet soak: takeover, server restart, token rotation, create/destroy churn — fences only, zero loss, catalog consistent") {
     withServer(auth = Some(stsCreds)) { srv =>
-      S3Auth.register(srv.endpoint, stsCreds)
+      // PROVIDER registration (r17): the soak's credentials come from a
+      // refreshable source so the mid-soak token rotation below is
+      // survivable — exactly the instance-role fleet deployment shape
+      val currentCreds =
+        new java.util.concurrent.atomic.AtomicReference(stsCreds)
+      S3Auth.registerProvider(srv.endpoint, new CredentialProvider {
+        override def resolve(): SigV4Credentials = currentCreds.get()
+      }, ttlMs = 3600000L)
       try {
         val root = s"s3:${srv.endpoint}/b"
         val names = (1 to 50).map(i => f"s$i%02d")
@@ -841,6 +931,16 @@ class S3StoreSpec extends SparkSpec {
             // mid-soak endpoint restart — object state and every
             // content-derived tag survive; both daemons ride through
             srv.restart()
+
+            // mid-soak STS rotation (r17): a fresher token is issued
+            // (provider), then the old one expires (server). Every
+            // live handle and both maintenance daemons ride the
+            // 403 -> refresh -> retry path; the churn + fence waits
+            // below all run on the rotated token.
+            val rotated = stsCreds.copy(
+              sessionToken = stsCreds.sessionToken.map(_ + "-rotated"))
+            currentCreds.set(rotated)
+            srv.rotate(rotated)
 
             // churn: destroy the last 10 streams, re-create 5 of them
             val destroyed = names.takeRight(10)
@@ -898,7 +998,15 @@ class S3StoreSpec extends SparkSpec {
           val got = new StreamLog(spark, root, n).consume(Offset.Beginning, 1000)
           assert(got.map(_._1) == offs, s"$n: ${got.size} records, want ${offs.size}")
         }
-        assert(srv.authRejects == 0, "a healthy STS-signed soak never 403s")
+        // the rotation MUST have exercised the refresh path (the stale
+        // cached token 403s at least once), and each stale in-flight
+        // request costs exactly one 403 before its refresh — bounded,
+        // never a storm; zero operation FAILURES is what the error
+        // queues + zero-loss checks above already proved
+        assert(srv.authRejects >= 1,
+          "the mid-soak rotation never hit the wire — refresh path untested")
+        assert(srv.authRejects <= 64,
+          s"403 storm after rotation: ${srv.authRejects} rejects")
       } finally S3Auth.unregister(srv.endpoint)
     }
   }

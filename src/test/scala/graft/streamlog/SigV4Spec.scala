@@ -187,6 +187,67 @@ class SigV4Spec extends AnyFunSuite {
     } finally S3Auth.unregister(ep)
   }
 
+  test("provider registry: TTL caching, forced refresh on 403, stale-token refusal, snapshot inheritance") {
+    val ep = "http://provider-test:1"
+    try {
+      val tokA = SigV4Credentials("AK", "s", sessionToken = Some("prov-A"))
+      val tokB = tokA.copy(sessionToken = Some("prov-B"))
+      val current = new java.util.concurrent.atomic.AtomicReference(tokA)
+      val resolves = new java.util.concurrent.atomic.AtomicInteger(0)
+      val provider = new CredentialProvider {
+        override def resolve(): SigV4Credentials = {
+          resolves.incrementAndGet(); current.get()
+        }
+      }
+      // long TTL: resolution is cached — N lookups, one resolve
+      S3Auth.registerProvider(ep, provider, ttlMs = 3600000L)
+      (1 to 5).foreach(_ => assert(S3Auth.forEndpoint(ep).contains(tokA)))
+      assert(resolves.get() == 1, s"TTL window must cache: ${resolves.get()}")
+      // rotation inside the TTL window: the cache still serves A; only
+      // the 403 path (refreshAfter403) may force the re-resolve
+      current.set(tokB)
+      assert(S3Auth.forEndpoint(ep).contains(tokA), "cached within TTL")
+      assert(S3Auth.refreshAfter403(ep, Some(tokA)).contains(tokB))
+      assert(S3Auth.forEndpoint(ep).contains(tokB),
+        "a forced refresh must replace the cached resolution")
+      // provider still serving the stale token -> None (fail loudly,
+      // never a retry loop)
+      assert(S3Auth.refreshAfter403(ep, Some(tokB)).isEmpty)
+      assert(resolves.get() == 3)
+
+      // ttl = 0: resolve every call
+      S3Auth.registerProvider(ep, provider, ttlMs = 0L)
+      val before = resolves.get()
+      (1 to 3).foreach(_ => assert(S3Auth.forEndpoint(ep).isDefined))
+      assert(resolves.get() == before + 3, "ttl=0 resolves per call")
+
+      // static registrations have nothing fresher: refresh yields None
+      S3Auth.register(ep, tokA)
+      assert(S3Auth.refreshAfter403(ep, Some(tokA)).isEmpty)
+
+      // snapshotFor on a provider registration carries the provider;
+      // ensureRegistered on a FRESH endpoint (an executor JVM) installs
+      // it primed — no resolve for the first lookup, refresh works
+      S3Auth.registerProvider(ep, provider, ttlMs = 3600000L)
+      val snap = S3Auth.snapshotFor(ep).get
+      assert(snap.provider.contains(provider) && snap.providerTtlMs == 3600000L)
+      val ep2 = "http://provider-test-exec:1"
+      try {
+        val r0 = resolves.get()
+        S3Auth.ensureRegistered(snap.copy(endpoint = ep2))
+        assert(S3Auth.forEndpoint(ep2).contains(snap.creds))
+        assert(resolves.get() == r0, "primed cache — no resolve on install")
+        current.set(tokA)
+        assert(S3Auth.refreshAfter403(ep2, S3Auth.forEndpoint(ep2)).contains(tokA),
+          "the snapshot-installed provider must refresh on the executor side")
+      } finally S3Auth.unregister(ep2)
+      // explicit provider registration survives snapshot attempts
+      S3Auth.ensureRegistered(AuthSnapshot(ep, tokB, plannedAtMs = Long.MaxValue - 1))
+      assert(S3Auth.snapshotFor(ep).get.provider.isDefined,
+        "explicit provider must not be replaced by a static snapshot")
+    } finally S3Auth.unregister(ep)
+  }
+
   test("requestHeaders produce a server-verifiable triple for exactly what is sent") {
     val creds = SigV4Credentials("AK", "secret")
     val body = "hello\n".getBytes("UTF-8")
