@@ -61,6 +61,15 @@ final class S3LiteServer(maxKeys: Int = 1000,
   // conditional-write point a real bucket's backend provides
   private val objects =
     scala.collection.mutable.TreeMap.empty[String, (Array[Byte], String, Long)]
+  // pending multipart uploads: uploadId -> (key, partNumber -> bytes).
+  // Parts of a pending upload are NOT objects (not GETtable, not
+  // listed) — exactly S3's model, which is why client abort is the
+  // only cleanup path for a failed upload.
+  private val uploads = scala.collection.mutable.Map
+    .empty[String, (String, scala.collection.mutable.TreeMap[Int, Array[Byte]])]
+  /** Pending multipart uploads — 0 after every completed OR aborted
+    * upload (the no-billable-parts-left assertion). */
+  def pendingUploads: Int = objects.synchronized(uploads.size)
   @volatile var failPuts: Int = 0
   /** Apply the next n PUTs but close the connection WITHOUT a response
     * — the ambiguous outcome (write landed, response lost) that
@@ -68,6 +77,8 @@ final class S3LiteServer(maxKeys: Int = 1000,
     * lost-and-retry. */
   @volatile var dropResponses: Int = 0
   @volatile var puts: Int = 0
+  /** Multipart control-plane POSTs (initiate + complete). */
+  @volatile var posts: Int = 0
   @volatile var gets: Int = 0
   @volatile var heads: Int = 0
   @volatile var deletes: Int = 0
@@ -180,7 +191,8 @@ final class S3LiteServer(maxKeys: Int = 1000,
       val payloadHash = Option(
         ex.getRequestHeaders.getFirst("x-amz-content-sha256"))
         .getOrElse(SigV4.EmptyPayloadHash)
-      if (ex.getRequestMethod == "PUT" && payloadHash != SigV4.sha256Hex(body))
+      if ((ex.getRequestMethod == "PUT" || ex.getRequestMethod == "POST") &&
+          payloadHash != SigV4.sha256Hex(body))
         return Some("payload hash does not match body")
       val hs = signedNames.map { n =>
         n -> Option(ex.getRequestHeaders.getFirst(n)).getOrElse(
@@ -252,7 +264,8 @@ final class S3LiteServer(maxKeys: Int = 1000,
     val key = if (slash < 0) "" else path.substring(slash + 1)
     val query = Option(ex.getRequestURI.getQuery).getOrElse("")
     val body =
-      if (ex.getRequestMethod == "PUT") ex.getRequestBody.readAllBytes()
+      if (ex.getRequestMethod == "PUT" || ex.getRequestMethod == "POST")
+        ex.getRequestBody.readAllBytes()
       else Array.emptyByteArray
     verifySig(ex, body) match {
       case Some(reason) =>
@@ -262,10 +275,56 @@ final class S3LiteServer(maxKeys: Int = 1000,
         return
       case None => ()
     }
+    def q(name: String) = qparam(query, name)
+    def hasBare(name: String) =
+      query.split("&").exists(p => p == name || p.startsWith(s"$name="))
     (ex.getRequestMethod, key) match {
       case ("GET", "") if query.contains("list-type=2") =>
         gets += 1
         list(ex, query)
+
+      // ---- multipart upload (the documented S3 MPU protocol) ----
+      case ("POST", k) if hasBare("uploads") =>
+        posts += 1
+        val id = java.util.UUID.randomUUID().toString
+        objects.synchronized {
+          uploads.put(id, (k, scala.collection.mutable.TreeMap.empty))
+        }
+        respond(ex, 200,
+          ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+            "<InitiateMultipartUploadResult>" +
+            s"<Bucket>${path.takeWhile(_ != '/')}</Bucket>" +
+            s"<Key>${xmlEscape(k)}</Key><UploadId>$id</UploadId>" +
+            "</InitiateMultipartUploadResult>").getBytes(UTF_8))
+
+      case ("PUT", k) if q("partNumber").isDefined && q("uploadId").isDefined =>
+        val pn = q("partNumber").get.toInt
+        val id = q("uploadId").get
+        objects.synchronized {
+          puts += 1
+          if (failPuts > 0) { failPuts -= 1; respond(ex, 409) }
+          else uploads.get(id) match {
+            case Some((uk, parts)) if uk == k && pn >= 1 && pn <= 10000 =>
+              parts.put(pn, body)
+              respond(ex, 200, etag = Some(md5(body)))
+            case _ => respond(ex, 404) // NoSuchUpload / key mismatch
+          }
+        }
+
+      case ("POST", k) if q("uploadId").isDefined =>
+        posts += 1
+        completeMultipart(ex, k, q("uploadId").get, body)
+
+      case ("DELETE", k) if q("uploadId").isDefined =>
+        deletes += 1
+        objects.synchronized {
+          uploads.remove(q("uploadId").get) match {
+            case Some((uk, _)) if uk == k => respond(ex, 204)
+            case Some(other) => // wrong key: restore, refuse
+              uploads.put(q("uploadId").get, other); respond(ex, 404)
+            case None => respond(ex, 404)
+          }
+        }
       case ("GET", k) =>
         gets += 1
         objects.synchronized(objects.get(k)) match {
@@ -325,6 +384,58 @@ final class S3LiteServer(maxKeys: Int = 1000,
     case t: Throwable =>
       System.err.println(s"[s3lite] ${t.getMessage}")
       respond(ex, 500)
+  }
+
+  /** CompleteMultipartUpload: validate the client's part manifest
+    * against the stored parts (every listed (partNumber, ETag) must
+    * match, numbers strictly ascending, every non-final LISTED part
+    * ≥ 5 MiB — EntityTooSmall below, as documented), then assemble the
+    * object in part order. The object's ETag is the documented
+    * multipart form: MD5 of the concatenated binary part-MD5s,
+    * suffixed `-<partCount>`. */
+  private def completeMultipart(ex: HttpExchange, key: String, id: String,
+                                body: Array[Byte]): Unit = {
+    val partRe =
+      "(?s)<Part>.*?<PartNumber>(\\d+)</PartNumber>.*?<ETag>(.*?)</ETag>.*?</Part>".r
+    val listed = partRe.findAllMatchIn(new String(body, UTF_8))
+      .map(m => (m.group(1).toInt, m.group(2).replace("&quot;", "\""))).toSeq
+    objects.synchronized {
+      uploads.get(id) match {
+        case Some((uk, parts)) if uk == key =>
+          def err(code: String): Unit = respond(ex, 400,
+            s"<Error><Code>$code</Code></Error>".getBytes(UTF_8))
+          if (listed.isEmpty) return err("MalformedXML")
+          if (listed.map(_._1) != listed.map(_._1).sorted.distinct)
+            return err("InvalidPartOrder")
+          listed.foreach { case (pn, etag) =>
+            parts.get(pn) match {
+              case Some(b) if md5(b) == etag => ()
+              case _ => return err("InvalidPart")
+            }
+          }
+          // every non-final listed part must be >= 5 MiB
+          listed.dropRight(1).foreach { case (pn, _) =>
+            if (parts(pn).length < 5 * 1024 * 1024)
+              return err("EntityTooSmall")
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          listed.foreach { case (pn, _) => out.write(parts(pn)) }
+          val assembled = out.toByteArray
+          val md = java.security.MessageDigest.getInstance("MD5")
+          listed.foreach { case (pn, _) => md.update(
+            java.security.MessageDigest.getInstance("MD5").digest(parts(pn))) }
+          val etag = "\"" + md.digest().map("%02x".format(_)).mkString +
+            s"-${listed.size}\""
+          objects.put(key, (assembled, etag, System.currentTimeMillis()))
+          uploads.remove(id)
+          respond(ex, 200,
+            ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+              "<CompleteMultipartUploadResult>" +
+              s"<Key>${xmlEscape(key)}</Key><ETag>${xmlEscape(etag)}</ETag>" +
+              "</CompleteMultipartUploadResult>").getBytes(UTF_8), Some(etag))
+        case _ => respond(ex, 404)
+      }
+    }
   }
 
   private def qparam(query: String, name: String): Option[String] =

@@ -819,9 +819,14 @@ class S3StoreSpec extends SparkSpec {
   // S3 single-PUT ceiling (r16)
   // ------------------------------------------------------------------
 
-  test("putFromFile refuses a spool above the 5 GiB single-PUT ceiling before any bytes cross the wire") {
+  test("the single-PUT ceiling refusal fires only on the single-PUT path (a misconfigured threshold), before any bytes cross the wire") {
     withServer() { srv =>
-      val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/")
+      // threshold ABOVE the ceiling = misconfiguration: the oversized
+      // spool is routed to the single-PUT path, which refuses with
+      // guidance. With the DEFAULT threshold (= the ceiling) the same
+      // spool takes the multipart path instead (r17).
+      val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+        multipartThresholdBytes = 6L * 1024 * 1024 * 1024)
       val sparse = Files.createTempFile("graft-sparse", ".seg")
       try {
         val raf = new java.io.RandomAccessFile(sparse.toFile, "rw")
@@ -830,14 +835,141 @@ class S3StoreSpec extends SparkSpec {
         val e = intercept[IllegalArgumentException](
           segs.putFromFile("huge.seg", sparse))
         assert(e.getMessage.contains("5 GiB"), e.getMessage)
-        assert(e.getMessage.contains("maxBytes"), "message must carry guidance")
+        assert(e.getMessage.contains("multipartThresholdBytes"),
+          "message must carry guidance to the multipart path")
         assert(srv.puts == puts0, "nothing crossed the wire")
+        assert(Files.exists(sparse), "the refused spool is kept")
         // at the ceiling exactly: allowed (boundary is inclusive)
         val raf2 = new java.io.RandomAccessFile(sparse.toFile, "rw")
         try raf2.setLength(16) finally raf2.close()
         segs.putFromFile("ok.seg", sparse)
         assert(segs.get("ok.seg").length == 16)
       } finally Files.deleteIfExists(sparse)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Multipart upload (r17): the documented S3 path above the
+  // single-PUT ceiling — initiate / UploadPart / complete, signed per
+  // request, abort-on-failure
+  // ------------------------------------------------------------------
+
+  test("multipart upload above the threshold: signed parts round-trip bit-identically; below it the single-PUT path is untouched") {
+    withServer(auth = Some(stsCreds)) { srv =>
+      val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+        Some(stsCreds),
+        multipartThresholdBytes = 8L * 1024 * 1024,
+        multipartPartBytes = 5L * 1024 * 1024)
+      // 10.5 MiB -> parts of 5 + 5 + 0.5 MiB (the last may be small)
+      val size = 10 * 1024 * 1024 + 512 * 1024
+      val data = new Array[Byte](size)
+      new java.util.Random(17).nextBytes(data)
+      val spool = Files.createTempFile("graft-mpu", ".seg")
+      try {
+        Files.write(spool, data)
+        val posts0 = srv.posts
+        segs.putFromFile("big.seg", spool)
+        assert(!Files.exists(spool), "spool consumed on success")
+        assert(srv.posts - posts0 == 2, "exactly initiate + complete")
+        assert(srv.pendingUploads == 0, "no billable parts left behind")
+        val back = segs.get("big.seg")
+        assert(back.length == size && java.util.Arrays.equals(back, data),
+          "bit-identical round-trip through three parts")
+        // the landed object carries the documented multipart ETag form
+        // (md5-of-part-md5s + "-<n>"); the MetaStore tag fold over the
+        // ETag string is form-agnostic
+        val head = S3Http.send("HEAD",
+          s"${srv.endpoint}/b/s1/segments/big.seg", auth = Some(stsCreds))
+        assert(head.etag.exists(_.endsWith("-3\"")), s"etag: ${head.etag}")
+
+        // below the threshold: plain streamed PUT, no control plane
+        val spool2 = Files.createTempFile("graft-small", ".seg")
+        Files.write(spool2, "small\n".getBytes("UTF-8"))
+        val p0 = srv.posts
+        segs.putFromFile("small.seg", spool2)
+        assert(srv.posts == p0, "below threshold: no multipart POSTs")
+        assert(new String(segs.get("small.seg"), "UTF-8") == "small\n")
+        assert(srv.authRejects == 0,
+          "every part PUT and control POST was correctly signed")
+      } finally Files.deleteIfExists(spool)
+    }
+  }
+
+  test("a mid-upload part failure aborts the multipart upload cleanly: no pending parts, no object, spool kept; the retry lands whole") {
+    withServer() { srv =>
+      val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+        multipartThresholdBytes = 8L * 1024 * 1024,
+        multipartPartBytes = 5L * 1024 * 1024)
+      val data = new Array[Byte](11 * 1024 * 1024)
+      new java.util.Random(7).nextBytes(data)
+      val spool = Files.createTempFile("graft-mpu-fault", ".seg")
+      try {
+        Files.write(spool, data)
+        srv.failPuts = 1 // the first part PUT fails on the wire
+        intercept[IllegalArgumentException](
+          segs.putFromFile("fault.seg", spool))
+        assert(srv.pendingUploads == 0,
+          "abort must remove the pending upload — no billable parts")
+        intercept[java.nio.file.NoSuchFileException](segs.get("fault.seg"))
+        assert(Files.exists(spool), "spool kept for the caller's retry")
+        // the retry (same spool, same name) lands the whole object
+        segs.putFromFile("fault.seg", spool)
+        assert(segs.get("fault.seg").length == data.length)
+        assert(srv.pendingUploads == 0)
+      } finally Files.deleteIfExists(spool)
+    }
+  }
+
+  test("server enforces the documented part rules: EntityTooSmall, InvalidPart, small-final-part legal, unknown uploadId 404") {
+    withServer() { srv =>
+      // hand-rolled MPU — the client's 5 MiB partBytes floor prevents
+      // driving these misuses through S3SegmentStore itself
+      val u = s"${srv.endpoint}/b/s1/segments/tiny.seg"
+      val init = S3Http.send("POST", s"$u?uploads")
+      assert(init.status == 200)
+      val id = "<UploadId>(.*?)</UploadId>".r
+        .findFirstMatchIn(new String(init.body, "UTF-8")).get.group(1)
+      val p1 = S3Http.send("PUT", s"$u?partNumber=1&uploadId=$id",
+        "tiny-1\n".getBytes("UTF-8"))
+      val p2 = S3Http.send("PUT", s"$u?partNumber=2&uploadId=$id",
+        "tiny-2\n".getBytes("UTF-8"))
+      assert(p1.status == 200 && p2.status == 200)
+      def manifest(parts: (Int, String)*): Array[Byte] =
+        parts.map { case (n, e) =>
+          s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>"
+        }.mkString("<CompleteMultipartUpload>", "",
+          "</CompleteMultipartUpload>").getBytes("UTF-8")
+      // a sub-5 MiB NON-final part is refused exactly as S3 documents
+      val small = S3Http.send("POST", s"$u?uploadId=$id",
+        manifest(1 -> p1.etag.get, 2 -> p2.etag.get))
+      assert(small.status == 400 &&
+        new String(small.body, "UTF-8").contains("EntityTooSmall"))
+      // a manifest ETag that matches no stored part
+      val bad = S3Http.send("POST", s"$u?uploadId=$id",
+        manifest(1 -> "\"deadbeef\"", 2 -> p2.etag.get))
+      assert(bad.status == 400 &&
+        new String(bad.body, "UTF-8").contains("InvalidPart"))
+      // a SINGLE small part is legal (the final part may be any size)
+      val ok = S3Http.send("POST", s"$u?uploadId=$id", manifest(2 -> p2.etag.get))
+      assert(ok.status == 200, new String(ok.body, "UTF-8"))
+      assert(new String(
+        new S3SegmentStore(srv.endpoint, "b", "s1/segments/").get("tiny.seg"),
+        "UTF-8") == "tiny-2\n")
+      assert(srv.pendingUploads == 0, "complete consumed the upload")
+      // unknown uploadId: complete and abort both 404
+      assert(S3Http.send("POST", s"$u?uploadId=nope",
+        manifest(1 -> "\"x\"")).status == 404)
+      assert(S3Http.send("DELETE", s"$u?uploadId=nope").status == 404)
+      // a pending upload's parts are INVISIBLE: not GETtable, not listed
+      val init2 = S3Http.send("POST", s"$u?uploads")
+      val id2 = "<UploadId>(.*?)</UploadId>".r
+        .findFirstMatchIn(new String(init2.body, "UTF-8")).get.group(1)
+      S3Http.send("PUT", s"$u?partNumber=1&uploadId=$id2", "x".getBytes)
+      val listed = new S3SegmentStore(srv.endpoint, "b", "s1/segments/")
+        .list().map(_.name)
+      assert(listed == Seq("tiny.seg"), s"pending parts leaked into LIST: $listed")
+      assert(S3Http.send("DELETE", s"$u?uploadId=$id2").status == 204)
+      assert(srv.pendingUploads == 0)
     }
   }
 
