@@ -261,11 +261,12 @@ object Bench {
     val sfBase = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse("sf")
     val detailPath = sys.env.getOrElse(DetailFileEnv,
       if (only.isDefined) "BENCH_DETAIL.partial.json"
-      // a cross-sf run must not overwrite the committed reference
-      // sidecar it is being compared against — default to an
-      // sf-suffixed sibling instead
-      else if (refSf.exists(_ != sfDir) && refPath == "BENCH_DETAIL.json")
-        s"BENCH_DETAIL.$sfBase.json"
+      // a cross-sf run must not clobber committed evidence — neither
+      // the reference sidecar it compares against NOR the default-sf
+      // BENCH_DETAIL.json (a custom SPARK_GRAFT_BENCH_REF still left
+      // the default path in the line of fire, ADVICE r16) — so ANY
+      // ref-sf/run-sf mismatch defaults to an sf-suffixed sibling
+      else if (refSf.exists(_ != sfDir)) s"BENCH_DETAIL.$sfBase.json"
       else "BENCH_DETAIL.json")
     try {
       def m(vs: Seq[(String, String)]) =

@@ -69,13 +69,13 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
     * metadata commit for this name never landed — nothing reads an
     * uncommitted name except the orphan sweep, which re-lists.
     *
-    * SUCCESS-BY-PEER (ADVICE r15): concurrent retries of the same
-    * deterministic put share the dot-tmp path, so one retry can rename
-    * the shared tmp out from under another. dst is therefore only
-    * deleted while OUR tmp still exists — a vanished tmp with dst
-    * present means a peer committed the identical content, which IS
-    * this put's postcondition; the old code deleted the landed object
-    * unconditionally and could leave absence on a second failure. */
+    * FAIL-LOUDLY (r16 review, third pass — this REVERSED the r15
+    * "success-by-peer" design, do not restore it): tmps are
+    * per-attempt UNIQUE, so nothing legitimate ever takes ours — a
+    * vanished tmp means external interference and throws; and a dst
+    * that persists through the retry bound throws rather than reading
+    * as success, because an undeletable dst (permissions) may hold
+    * STALE content. Both silent-success paths were lost-update bugs. */
   private def renameOver(f: FileSystem, tmp: HPath, dst: HPath): Unit = {
     var attempts = 0
     var nonDstFailures = 0
@@ -107,8 +107,8 @@ final class HadoopSegmentStore(baseUri: String) extends SegmentStore {
         // refusal repeats consecutively; contention alternates
         // dst exists: concurrent same-name racers can re-land dst
         // between our delete and rename, so a single retry is a
-        // check-then-act race — loop, and past the bound accept the
-        // peer's landing (identical content) and drop our staging
+        // check-then-act race — loop, bounded, and THROW past the
+        // bound (see the fail-loudly scaladoc note above)
         attempts += 1
         if (attempts > 100)
           // NOT success-by-peer: a persistently undeletable dst

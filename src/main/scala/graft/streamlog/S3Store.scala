@@ -467,7 +467,18 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
     * most one chunk plus one partial line, never the whole segment,
     * and an early-exiting consumer stops issuing GETs at its limit.
     * A 416 ends the stream (start past EOF); a 200 means the server
-    * ignored Range and returned everything — absorbed as one chunk. */
+    * ignored Range and returned everything — absorbed as one chunk.
+    *
+    * DELETION-RACE EXPOSURE (ADVICE r16): spreading one read across
+    * many GETs over time widens the window in which a concurrent
+    * tombstone clean / orphan purge can delete the segment mid-scan —
+    * the whole-object path's exposure was near-instant. On s3: roots,
+    * `tombstoneMaxAgeMs` / `orphanGraceMs` must exceed the longest
+    * expected scan duration (a committed, still-referenced segment is
+    * never eligible, so this only concerns reads racing a DESTROY or
+    * reads of already-superseded segments under tiny grace windows).
+    * A mid-stream 404 (pos > 0) throws a distinct message so it reads
+    * as the deletion race it is, not as data loss. */
   override def linesIterator(name: String): Iterator[String] = new Iterator[String] {
     private var pos = 0L
     private var done = false
@@ -480,6 +491,19 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
           headers = Seq("Range" -> s"bytes=$pos-${pos + rangeChunkBytes - 1}"))
         r.status match {
           case 416 => done = true // start at/past EOF
+          case 404 if pos > 0 =>
+            // the object existed when this scan started (lines were
+            // already emitted) and vanished mid-read: a concurrent
+            // tombstone clean / orphan purge / destroy raced this
+            // scan. The data was deleted ON PURPOSE by maintenance —
+            // this is a grace-window misconfiguration, not data loss
+            // (ADVICE r16); task retries pin the same deleted name,
+            // so surface the cause instead of a bare not-found.
+            throw new java.nio.file.NoSuchFileException(
+              s"${url(name)} deleted mid-scan at offset $pos — a " +
+                "maintenance sweep raced this read; on s3: roots set " +
+                "tombstoneMaxAgeMs/orphanGraceMs above the longest " +
+                "scan duration")
           case 404 => throw new java.nio.file.NoSuchFileException(url(name))
           case 200 if pos > 0 =>
             // a server ignoring Range MID-STREAM (proxy swap, restart
