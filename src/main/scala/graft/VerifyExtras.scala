@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Dedup, EventOps, NgramLm, Paragraphs, Relational, Sampling}
+import graft.operators.{Curate, Dedup, EventOps, NgramLm, Paragraphs, Relational, Sampling, TextOps}
 
 /** EXTRA-registry oracle crosschecks (r14): the strongest spec-only
   * operators, hash-gated against the DuckDB oracle WITHOUT touching
@@ -174,7 +174,81 @@ object VerifyExtras {
     "x_collocations" -> ((s, dir) =>
       NgramLm.collocations(
         s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
-        minCount = 5, k = 100)))
+        minCount = 5, k = 100)),
+    // r17 additions (VERDICT r16 item 4): extras 25 -> 30
+    //
+    // Gopher rules over deterministically-enriched text (the raw
+    // synthetic corpus is single-line lowercase, so doc_id-keyed
+    // affixes exercise every rule: required-stopword presence, the
+    // symbol/ellipsis runs, bullet-only lines, trailing-... lines)
+    "x_gopher" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val t2 = concat(
+        when(col("doc_id") % 11 === 0, lit("- ")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit(" and that of the")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" ### … more")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" trailing...")).otherwise(lit("")))
+      TextOps.gopherRules(docs.select(col("doc_id"), t2.as("gtext")),
+          col("gtext"))
+        .select("doc_id", "words_ok", "word_len_ok", "symbols_ok",
+          "bullets_ok", "ellipsis_ok", "alpha_ok", "stopwords_ok",
+          "gopher_pass", "first_fail")
+    }),
+    // C4 line filter + document rules over sentence-ified text (every
+    // 8-word run gains '.\n' — real multi-line input), with doc_id-
+    // keyed javascript/lorem/brace lines driving each rule
+    "x_c4" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val t2 = concat(
+        regexp_replace(col("text"), "((\\w+ ){7}\\w+) ", "$1.\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nThis line mentions javascript and ends properly today."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("\nlorem ipsum inside"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\ncurly { here"))
+          .otherwise(lit("")))
+      TextOps.c4Rules(docs.select(col("doc_id"), t2.as("ctext")), col("ctext"))
+        .select("doc_id", "c4_text", "lines_kept", "lines_dropped",
+          "sentences_ok", "no_lorem", "no_brace", "no_blockwords",
+          "c4_pass", "first_fail")
+    }),
+    // readability over sentence-ified text with a capitalized opener
+    // (the boundary regex requires [A-Z0-9] after the terminator; the
+    // oracle counts the SAME boundaries with a consuming regex, valid
+    // here because sentence openers are always the literal 'Stop' and
+    // no abbreviation precedes a terminator); the vowel-group syllable
+    // heuristic replays closed-form in SQL
+    "x_readability" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val t2 = regexp_replace(col("text"), "((\\w+ ){7}\\w+) ", "$1. Stop ")
+      TextOps.readability(docs.select(col("doc_id"), t2.as("rtext")),
+        col("rtext"))
+    }),
+    // Unicode-script census over per-doc script suffixes plus whole-doc
+    // Han docs (the dominant/tie-break path) — the cross-engine risk IS
+    // the gate: Java's \p{IsX} and RE2's \p{X} script tables must agree
+    // character by character
+    "x_script_profile" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val t2 = when(col("doc_id") % 17 === 0, lit("漢字文化圏の文書 ひらがな"))
+        .otherwise(concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" слово мир зеркало"))
+            .when(col("doc_id") % 4 === 1, lit(" 漢字文化圏"))
+            .when(col("doc_id") % 4 === 2, lit(" γλώσσα ελληνική"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit(" 한국어 ひらがな"))
+            .otherwise(lit(""))))
+      TextOps.scriptProfile(docs.select(col("doc_id"), t2.as("stext")),
+        col("stext"))
+    }),
+    // the Zipf rank table (rank 1 = most frequent, term tie-break) —
+    // k=200 over the ~40-term synthetic vocabulary = the whole table,
+    // a total order both engines must reproduce exactly; the OLS fit
+    // on top stays spec-side (driver math over this bounded table)
+    "x_zipf_ranks" -> ((s, dir) =>
+      TextOps.zipfRanks(s.read.parquet(s"$dir/documents.parquet"), k = 200)))
 
   /** The q28 as-of shape (purchases ← most recent/nearest click per
     * user) in the two directions the registry entry doesn't cover. */
@@ -737,6 +811,218 @@ object VerifyExtras {
         |  CASE WHEN b.bin = 3 THEN NULL ELSE e.ed[(b.bin + 1)::INT] END AS hi,
         |  count(*)::BIGINT AS n
         |FROM b, e GROUP BY 1, 2, 3 ORDER BY 1
+        |""".stripMargin,
+    // the Gopher integer-ratio rules replayed exactly (n*den <= k*num
+    // comparisons in integer space — no float boundary), over the same
+    // doc_id-keyed affixes the Spark side builds
+    "x_gopher" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 11 = 0 THEN '- ' ELSE '' END) || text ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN ' and that of the' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ' ### … more' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 13 = 0 THEN ' trailing...' ELSE '' END) AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, t,
+        |    list_filter(regexp_split_to_array(t, '\s+'), w -> len(w) > 0) AS toks,
+        |    list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+        |      l -> len(l) > 0) AS lines
+        |  FROM d0),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS nw, len(lines)::BIGINT AS nl,
+        |    coalesce(list_aggregate(list_transform(toks, w -> len(w)), 'sum'), 0)::BIGINT AS charsum,
+        |    (len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '…')) +
+        |     len(regexp_extract_all(t, '\.{3}')))::BIGINT AS nsym,
+        |    len(list_filter(lines, l -> regexp_matches(l, '^[-*•‣▪]')))::BIGINT AS nbullet,
+        |    len(list_filter(lines, l -> regexp_matches(l, '(\.{3}|…)$')))::BIGINT AS nellip,
+        |    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS nalpha,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(list_transform(toks, w -> lower(w)), s)))::BIGINT AS nstop
+        |  FROM f),
+        |r AS (
+        |  SELECT doc_id,
+        |    (nw >= 50 AND nw <= 100000) AS words_ok,
+        |    (nw > 0 AND charsum >= nw * 3 AND charsum <= nw * 10) AS word_len_ok,
+        |    (nw > 0 AND nsym * 10 <= nw) AS symbols_ok,
+        |    (nl = 0 OR nbullet * 10 <= nl * 9) AS bullets_ok,
+        |    (nl = 0 OR nellip * 10 <= nl * 3) AS ellipsis_ok,
+        |    (nw > 0 AND nalpha * 5 >= nw * 4) AS alpha_ok,
+        |    (nstop >= 2) AS stopwords_ok
+        |  FROM m)
+        |SELECT doc_id, words_ok, word_len_ok, symbols_ok, bullets_ok,
+        |  ellipsis_ok, alpha_ok, stopwords_ok,
+        |  (words_ok AND word_len_ok AND symbols_ok AND bullets_ok AND
+        |   ellipsis_ok AND alpha_ok AND stopwords_ok) AS gopher_pass,
+        |  CASE WHEN NOT words_ok THEN 'words_ok'
+        |       WHEN NOT word_len_ok THEN 'word_len_ok'
+        |       WHEN NOT symbols_ok THEN 'symbols_ok'
+        |       WHEN NOT bullets_ok THEN 'bullets_ok'
+        |       WHEN NOT ellipsis_ok THEN 'ellipsis_ok'
+        |       WHEN NOT alpha_ok THEN 'alpha_ok'
+        |       WHEN NOT stopwords_ok THEN 'stopwords_ok' END AS first_fail
+        |FROM r
+        |""".stripMargin,
+    // the C4 retention tests + document rules replayed line by line on
+    // the same sentence-ified construction
+    "x_c4" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((\w+ ){7}\w+) ', '\1.' || chr(10), 'g') ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+        |      'This line mentions javascript and ends properly today.' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'lorem ipsum inside' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'curly { here' ELSE '' END) AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, t,
+        |    list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+        |      l -> len(l) > 0) AS lines
+        |  FROM d0),
+        |k AS (
+        |  SELECT doc_id, t, lines,
+        |    list_filter(lines, l -> regexp_matches(l, '[.!?"”]$')
+        |      AND len(list_filter(regexp_split_to_array(l, '\s+'), w -> len(w) > 0)) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM f),
+        |m AS (
+        |  SELECT doc_id, t,
+        |    array_to_string(kept, chr(10)) AS c4_text,
+        |    len(kept)::BIGINT AS lines_kept,
+        |    (len(lines) - len(kept))::BIGINT AS lines_dropped,
+        |    len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]'))::BIGINT AS nsent
+        |  FROM k),
+        |r AS (
+        |  SELECT doc_id, c4_text, lines_kept, lines_dropped,
+        |    (nsent >= 3) AS sentences_ok,
+        |    NOT contains(lower(t), 'lorem ipsum') AS no_lorem,
+        |    NOT contains(t, '{') AS no_brace,
+        |    TRUE AS no_blockwords
+        |  FROM m)
+        |SELECT doc_id, c4_text, lines_kept, lines_dropped, sentences_ok,
+        |  no_lorem, no_brace, no_blockwords,
+        |  (sentences_ok AND no_lorem AND no_brace AND no_blockwords) AS c4_pass,
+        |  CASE WHEN NOT sentences_ok THEN 'sentences_ok'
+        |       WHEN NOT no_lorem THEN 'no_lorem'
+        |       WHEN NOT no_brace THEN 'no_brace'
+        |       WHEN NOT no_blockwords THEN 'no_blockwords' END AS first_fail
+        |FROM r
+        |""".stripMargin,
+    // Flesch/FK replay: sentence boundaries via a CONSUMING regex
+    // (valid for this construction — openers are always 'Stop', no
+    // abbreviation precedes a terminator, boundaries >= 8 words apart
+    // so matches never overlap); the vowel-group syllable heuristic
+    // closed-form; metrics are IEEE-identical divisions of exact
+    // integers rounded at 6
+    "x_readability" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((\w+ ){7}\w+) ', '\1. Stop ', 'g') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, t,
+        |    list_filter(list_transform(string_split(t, ' '),
+        |      x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+        |      x -> len(x) > 0) AS words
+        |  FROM d0),
+        |m AS (
+        |  SELECT doc_id,
+        |    (1 + len(regexp_extract_all(trim(t), '[.!?]\s+["''(]?[A-Z0-9]')))::BIGINT AS n_sentences,
+        |    len(words)::BIGINT AS n_words,
+        |    coalesce(list_aggregate(list_transform(words, x ->
+        |      greatest(1,
+        |        len(list_filter(regexp_split_to_array(x, '[^aeiouy]+'),
+        |          g -> len(g) > 0)) -
+        |        CASE WHEN regexp_matches(x, '[^l]e$') AND
+        |          len(list_filter(regexp_split_to_array(x, '[^aeiouy]+'),
+        |            g -> len(g) > 0)) > 1 THEN 1 ELSE 0 END)), 'sum'), 0)::BIGINT
+        |      AS n_syllables
+        |  FROM w)
+        |SELECT doc_id, n_sentences, n_words, n_syllables,
+        |  CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+        |    round(n_words::DOUBLE / n_sentences, 6) END AS words_per_sentence,
+        |  CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+        |    round(n_syllables::DOUBLE / n_words, 6) END AS syllables_per_word,
+        |  CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+        |    round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+        |      - 84.6 * (n_syllables::DOUBLE / n_words), 6) END AS flesch_ease,
+        |  CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+        |    round(0.39 * (n_words::DOUBLE / n_sentences)
+        |      + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 6) END AS fk_grade
+        |FROM m
+        |""".stripMargin,
+    // the script census replayed on RE2's script classes (\p{X}) vs
+    // Java's (\p{IsX}) — dominant = FIRST script in the operator's
+    // list order reaching the max count (the strict-greater fold)
+    "x_script_profile" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN '漢字文化圏の文書 ひらがな'
+        |    ELSE text ||
+        |      (CASE WHEN doc_id % 4 = 0 THEN ' слово мир зеркало'
+        |            WHEN doc_id % 4 = 1 THEN ' 漢字文化圏'
+        |            WHEN doc_id % 4 = 2 THEN ' γλώσσα ελληνική'
+        |            ELSE '' END) ||
+        |      (CASE WHEN doc_id % 9 = 0 THEN ' 한국어 ひらがな' ELSE '' END)
+        |    END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '\p{Latin}'))::BIGINT AS c_latin,
+        |    len(regexp_extract_all(t, '\p{Cyrillic}'))::BIGINT AS c_cyrillic,
+        |    len(regexp_extract_all(t, '\p{Greek}'))::BIGINT AS c_greek,
+        |    len(regexp_extract_all(t, '\p{Arabic}'))::BIGINT AS c_arabic,
+        |    len(regexp_extract_all(t, '\p{Hebrew}'))::BIGINT AS c_hebrew,
+        |    len(regexp_extract_all(t, '\p{Devanagari}'))::BIGINT AS c_devanagari,
+        |    len(regexp_extract_all(t, '\p{Han}'))::BIGINT AS c_han,
+        |    len(regexp_extract_all(t, '[\p{Hiragana}\p{Katakana}]'))::BIGINT AS c_kana,
+        |    len(regexp_extract_all(t, '\p{Hangul}'))::BIGINT AS c_hangul,
+        |    len(regexp_extract_all(t, '\p{Thai}'))::BIGINT AS c_thai
+        |  FROM d0),
+        |s AS (
+        |  SELECT *,
+        |    (c_latin + c_cyrillic + c_greek + c_arabic + c_hebrew +
+        |     c_devanagari + c_han + c_kana + c_hangul + c_thai) AS n_script_chars,
+        |    greatest(c_latin, c_cyrillic, c_greek, c_arabic, c_hebrew,
+        |      c_devanagari, c_han, c_kana, c_hangul, c_thai) AS mx
+        |  FROM c)
+        |SELECT doc_id, n_script_chars,
+        |  CASE WHEN n_script_chars > 0 THEN round(c_latin::DOUBLE / n_script_chars, 6) END AS frac_latin,
+        |  CASE WHEN n_script_chars > 0 THEN round(c_cyrillic::DOUBLE / n_script_chars, 6) END AS frac_cyrillic,
+        |  CASE WHEN n_script_chars > 0 THEN round(c_greek::DOUBLE / n_script_chars, 6) END AS frac_greek,
+        |  CASE WHEN n_script_chars > 0 THEN round(c_arabic::DOUBLE / n_script_chars, 6) END AS frac_arabic,
+        |  CASE WHEN n_script_chars > 0 THEN round(c_hebrew::DOUBLE / n_script_chars, 6) END AS frac_hebrew,
+        |  CASE WHEN n_script_chars > 0 THEN round(c_devanagari::DOUBLE / n_script_chars, 6) END AS frac_devanagari,
+        |  CASE WHEN n_script_chars > 0 THEN round(c_han::DOUBLE / n_script_chars, 6) END AS frac_han,
+        |  CASE WHEN n_script_chars > 0 THEN round(c_kana::DOUBLE / n_script_chars, 6) END AS frac_kana,
+        |  CASE WHEN n_script_chars > 0 THEN round(c_hangul::DOUBLE / n_script_chars, 6) END AS frac_hangul,
+        |  CASE WHEN n_script_chars > 0 THEN round(c_thai::DOUBLE / n_script_chars, 6) END AS frac_thai,
+        |  CASE WHEN n_script_chars > 0 THEN
+        |    CASE WHEN c_latin = mx THEN 'latin'
+        |         WHEN c_cyrillic = mx THEN 'cyrillic'
+        |         WHEN c_greek = mx THEN 'greek'
+        |         WHEN c_arabic = mx THEN 'arabic'
+        |         WHEN c_hebrew = mx THEN 'hebrew'
+        |         WHEN c_devanagari = mx THEN 'devanagari'
+        |         WHEN c_han = mx THEN 'han'
+        |         WHEN c_kana = mx THEN 'kana'
+        |         WHEN c_hangul = mx THEN 'hangul'
+        |         ELSE 'thai' END END AS dominant_script,
+        |  CASE WHEN n_script_chars > 0 THEN round(mx::DOUBLE / n_script_chars, 6) END AS dominant_frac
+        |FROM s
+        |""".stripMargin,
+    // rank table: count desc, term asc — a total order
+    "x_zipf_ranks" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '),
+        |    w -> len(w) > 0)) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+        |t AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 200)
+        |SELECT row_number() OVER (ORDER BY cnt DESC, term)::INT AS rank,
+        |  term, cnt
+        |FROM t
         |""".stripMargin)
 
   def main(args: Array[String]): Unit = {
