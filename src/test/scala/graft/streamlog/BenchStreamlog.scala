@@ -1,0 +1,154 @@
+package graft.streamlog
+
+import org.apache.spark.sql.SparkSession
+
+/** Streamlog throughput benchmark (VERDICT r16 #3 — the one unmeasured
+  * axis: queries have BENCH_*, the stream side had only correctness):
+  * measures records/s AND wire ops/record for the four protocol phases
+  * over the conformance server's real sockets, at two segment counts,
+  * and writes the committed round-over-round artifact
+  * `BENCH_STREAMLOG.json`.
+  *
+  * Phases, per segment count S (fresh server + stream each):
+  *   - `publish@S`  — S batches of `RecordsPerBatch` records through one
+  *     handle (the uncontended-commit wire shape: 1 meta GET + 1 segment
+  *     PUT + 1 meta PUT per batch);
+  *   - `consume@S`  — a FRESH handle reads everything back through the
+  *     range-streaming path (1 meta GET + ~1 range GET per segment at
+  *     the default 4 MiB chunk);
+  *   - `compact@S`  — compactOnce loops to steady state (the distributed
+  *     Spark merge + put-then-tombstone+add commits);
+  *   - `maintain@S` — ONE idle maintenance sweep on the steady log (the
+  *     wire-economy floor: what a no-op sweep costs).
+  *
+  * Wall seconds vary run to run (this is a loopback microbenchmark);
+  * the OPS columns are deterministic modulo compaction windowing — the
+  * diffable wire-economy signal the r17+ rounds regress against. Run:
+  *
+  *   sbt -batch "Test/runMain graft.streamlog.BenchStreamlog"
+  *
+  * (test scope: the conformance server is a spec fixture, not library
+  * surface). The JSON assembly/parsing are pure and unit-tested by
+  * BenchStreamlogSpec, the BenchSpec pattern.
+  */
+object BenchStreamlog {
+
+  val SegmentCounts: Seq[Int] = Seq(24, 96)
+  val RecordsPerBatch: Int = 200
+
+  /** One measured phase: record count, wall seconds, and the server's
+    * per-method wire-op deltas. */
+  final case class Phase(records: Long, wallSec: Double,
+                         gets: Int, puts: Int, heads: Int, deletes: Int,
+                         rangeGets: Int) {
+    def wireOps: Int = gets + puts + heads + deletes
+    def recsPerSec: Double = if (wallSec > 0) records / wallSec else 0.0
+    def opsPerRecord: Double = if (records > 0) wireOps.toDouble / records else 0.0
+  }
+
+  private def fmt(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+
+  /** Assemble the artifact JSON (pure — the spec gates it). Phase order
+    * is preserved so round-over-round diffs stay line-stable. */
+  def render(phases: Seq[(String, Phase)]): String = {
+    val body = phases.map { case (n, p) =>
+      s""""$n":{"records":${p.records},"wall_s":${fmt(p.wallSec)},""" +
+        s""""recs_per_s":${fmt(p.recsPerSec)},"wire_ops":${p.wireOps},""" +
+        s""""ops_per_record":${String.format(java.util.Locale.ROOT, "%.4f",
+          Double.box(p.opsPerRecord))},""" +
+        s""""gets":${p.gets},"puts":${p.puts},"heads":${p.heads},""" +
+        s""""deletes":${p.deletes},"range_gets":${p.rangeGets}}"""
+    }.mkString(",")
+    s"""{"metric":"streamlog_bench","unit":"mixed","records_per_batch":$RecordsPerBatch,""" +
+      s""""segment_counts":[${SegmentCounts.mkString(",")}],"phases":{$body}}"""
+  }
+
+  /** Minimal artifact reader: phase name -> (records, wire_ops,
+    * range_gets) — the deterministic columns a round-over-round
+    * comparison scripts against. Wall/throughput fields are parsed for
+    * presence but not returned (they are machine-speed, not contract).
+    */
+  def parse(json: String): Map[String, (Long, Int, Int)] = {
+    val phaseRe = ("\"([a-z]+@\\d+)\":\\{\"records\":(\\d+),\"wall_s\":[0-9.]+," +
+      "\"recs_per_s\":[0-9.]+,\"wire_ops\":(\\d+),\"ops_per_record\":[0-9.]+," +
+      "\"gets\":\\d+,\"puts\":\\d+,\"heads\":\\d+,\"deletes\":\\d+," +
+      "\"range_gets\":(\\d+)\\}").r
+    phaseRe.findAllMatchIn(json).map(m =>
+      m.group(1) -> ((m.group(2).toLong, m.group(3).toInt, m.group(4).toInt))).toMap
+  }
+
+  /** Run the four phases at one segment count over a private server. */
+  def runAt(spark: SparkSession, segments: Int): Seq[(String, Phase)] = {
+    val srv = new S3LiteServer()
+    try {
+      val root = s"s3:${srv.endpoint}/bench"
+      var t = 1000000L
+      val clock = () => { t += 1; t }
+      def snap() = (srv.gets, srv.puts, srv.heads, srv.deletes, srv.rangeGets)
+      def phase(records: Long, t0: Long,
+                s0: (Int, Int, Int, Int, Int)): Phase = {
+        val w = (System.nanoTime() - t0) / 1e9
+        Phase(records, w, srv.gets - s0._1, srv.puts - s0._2,
+          srv.heads - s0._3, srv.deletes - s0._4, srv.rangeGets - s0._5)
+      }
+      val total = segments.toLong * RecordsPerBatch
+      val out = Seq.newBuilder[(String, Phase)]
+
+      val log = new StreamLog(spark, root, "s")
+      locally {
+        val s0 = snap(); val t0 = System.nanoTime()
+        (1 to segments).foreach { b =>
+          log.publish((1 to RecordsPerBatch).map(i =>
+            s"""{"b":$b,"i":$i,"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}"""),
+            nowMs = clock)
+        }
+        out += s"publish@$segments" -> phase(total, t0, s0)
+      }
+      locally {
+        val s0 = snap(); val t0 = System.nanoTime()
+        val n = new StreamLog(spark, root, "s")
+          .consume(Offset.Beginning, segments * RecordsPerBatch + 16).size
+        require(n == total, s"consume read $n of $total")
+        out += s"consume@$segments" -> phase(total, t0, s0)
+      }
+      locally {
+        val s0 = snap(); val t0 = System.nanoTime()
+        var passes = 0
+        while (log.compactOnce(nowMs = clock).isDefined) passes += 1
+        require(passes > 0, "compaction never ran — segment count too low")
+        out += s"compact@$segments" -> phase(total, t0, s0)
+      }
+      locally {
+        val s0 = snap(); val t0 = System.nanoTime()
+        log.maintain(tombstoneMaxAgeMs = 0L, orphanGraceMs = 0L, nowMs = clock)
+        out += s"maintain@$segments" -> phase(total, t0, s0)
+      }
+      // zero-loss sanity before the artifact is trusted
+      val n = new StreamLog(spark, root, "s")
+        .consume(Offset.Beginning, segments * RecordsPerBatch + 16).size
+      require(n == total, s"post-maintenance read $n of $total")
+      out.result()
+    } finally srv.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      // one warm pass so JVM/HTTP-stack warm-up isn't billed to the
+      // first phase (the Bench discipline)
+      runAt(spark, 4)
+      val phases = SegmentCounts.flatMap(s => runAt(spark, s))
+      val json = render(phases)
+      require(parse(json).size == phases.size, "render/parse drift")
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STREAMLOG.json"),
+        json.getBytes("UTF-8"))
+      println(json)
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streamlog
+
+import graft.SparkSpec
+
+/** Gates the BENCH_STREAMLOG.json artifact contract (the BenchSpec
+  * pattern): the pure render/parse pair round-trips, and a tiny real
+  * run over the conformance server produces every phase with sane wire
+  * economy — so a format drift or an economy regression fails the
+  * build before a round's artifact silently changes shape.
+  */
+class BenchStreamlogSpec extends SparkSpec {
+
+  test("render/parse round-trip preserves the deterministic columns for every phase") {
+    val phases = Seq(
+      "publish@24" -> BenchStreamlog.Phase(4800, 1.234, 24, 48, 0, 0, 0),
+      "consume@24" -> BenchStreamlog.Phase(4800, 0.5, 25, 0, 0, 0, 24),
+      "compact@24" -> BenchStreamlog.Phase(4800, 2.0, 40, 12, 0, 24, 30),
+      "maintain@24" -> BenchStreamlog.Phase(4800, 0.1, 3, 1, 0, 0, 0))
+    val json = BenchStreamlog.render(phases)
+    assert(json.startsWith("""{"metric":"streamlog_bench""""))
+    assert(json.contains(""""records_per_batch":200"""))
+    val parsed = BenchStreamlog.parse(json)
+    assert(parsed.keySet == phases.map(_._1).toSet)
+    phases.foreach { case (n, p) =>
+      assert(parsed(n) == ((p.records, p.wireOps, p.rangeGets)),
+        s"$n round-trip")
+    }
+    // derived fields are consistent with their inputs
+    assert(json.contains(""""wire_ops":72"""), "publish 24+48")
+    assert(json.contains(""""ops_per_record":0.0150"""), "72/4800")
+  }
+
+  test("a tiny real run produces all four phases with the uncontended wire economy") {
+    val phases = BenchStreamlog.runAt(spark, segments = 6).toMap
+    assert(phases.keySet ==
+      Set("publish@6", "consume@6", "compact@6", "maintain@6"))
+    val pub = phases("publish@6")
+    assert(pub.records == 6L * BenchStreamlog.RecordsPerBatch)
+    // uncontended publish = 1 meta GET + 1 segment PUT + 1 meta PUT per
+    // batch (the r14 GET-economy contract, now regressed via the bench)
+    assert(pub.gets <= 6 + 2, s"publish paid ${pub.gets} GETs for 6 batches")
+    assert(pub.puts <= 12 + 2, s"publish paid ${pub.puts} PUTs for 6 batches")
+    val con = phases("consume@6")
+    assert(con.records == pub.records)
+    // range-streaming consume: ~1 meta GET + 1 range GET per segment
+    assert(con.rangeGets >= 1, "consume must ride the range path")
+    assert(con.wireOps <= 6 * 2 + 4, s"consume paid ${con.wireOps} ops")
+    assert(phases("compact@6").puts >= 1, "compaction must land a merge")
+    // an idle sweep on a steady log costs O(1) wire ops (measured 13:
+    // refresh + plan reads + clean/purge LIST + checkpoint commit) —
+    // the artifact tracks the exact number; this bound only catches a
+    // per-segment or per-record blowup
+    val m = phases("maintain@6")
+    assert(m.wireOps <= 20, s"an idle sweep paid ${m.wireOps} wire ops")
+  }
+}

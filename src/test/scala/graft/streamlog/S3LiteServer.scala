@@ -98,7 +98,20 @@ final class S3LiteServer(maxKeys: Int = 1000,
   @volatile private var server = boot(0)
 
   def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
-  def stop(): Unit = server.stop(0)
+
+  /** Stop serving AND shut the worker pool down: the pool's threads
+    * are non-daemon, so a leaked pool keeps a forked `runMain` JVM
+    * (BenchStreamlog) alive forever after main returns — the test
+    * framework's force-exit masked this for specs (r17). */
+  def stop(): Unit = {
+    server.stop(0)
+    shutdownPool(server)
+  }
+
+  private def shutdownPool(s: HttpServer): Unit = s.getExecutor match {
+    case es: java.util.concurrent.ExecutorService => es.shutdown(): Unit
+    case _ => ()
+  }
 
   /** Simulate a bucket-endpoint process restart: tear the HTTP server
     * down and re-bind the SAME port over the SAME (durable) object
@@ -109,6 +122,7 @@ final class S3LiteServer(maxKeys: Int = 1000,
   def restart(): Unit = {
     val port = server.getAddress.getPort
     server.stop(0)
+    shutdownPool(server)
     // same-port re-bind can briefly lose to lingering connections
     // (TIME_WAIT) — retry within a bounded window, as a restarting
     // real endpoint process effectively does
