@@ -35,8 +35,11 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * FileSystem API does not ship. A `hadoop:file://…` root pairs with
   * [[PosixMetaStore]] (same machine semantics) automatically via
   * [[StreamStores]]; a cluster deployment over s3a pairs this data
-  * plane with [[S3MetaStore]]'s conditional-PUT commits (construct
-  * [[StreamLog]] with explicit stores, or register them).
+  * plane with [[S3MetaStore]]'s conditional-PUT commits — either via
+  * the COMPOSITE root string
+  * `hadoop:<fsUri>;meta=s3:<endpoint>/<bucket>` (r17: one string,
+  * executor-resolvable, battery-tested in HadoopStreamLogSpec) or by
+  * constructing [[StreamLog]] with explicit stores.
   *
   * The `Configuration` is the process default (core-site on the
   * classpath) ENRICHED with the running Spark application's

@@ -321,10 +321,35 @@ object StreamStores {
     * range-stream through the FileSystem layer. The metadata COMMIT
     * plane needs compare-and-swap, which the generic FileSystem API
     * lacks: a `file:` URI pairs with [[PosixMetaStore]] automatically;
-    * any other scheme must bring its own MetaStore (e.g.
-    * [[S3MetaStore]] over the same bucket) via [[StreamLog]]'s
-    * explicit-store constructor. */
+    * any other scheme either brings its own MetaStore via
+    * [[StreamLog]]'s explicit-store constructor, or uses the COMPOSITE
+    * form (r17, VERDICT r16 stretch #9 — the one-root-string
+    * ergonomics the explicit constructor lacked):
+    *
+    *   `hadoop:<fsUri>;meta=s3:<endpoint>/<bucket>`
+    *
+    * which pairs the Hadoop data plane with [[S3MetaStore]] commits
+    * (meta object key `<stream>/meta.jsonl` in that bucket) — e.g.
+    * `hadoop:s3a://corp/streams;meta=s3:https://s3.amazonaws.com/corp`
+    * keeps bytes AND commits in one bucket while scans range-stream
+    * through s3a. Because the whole pairing lives in the root STRING,
+    * executors re-resolve both planes from the (root, stream) strings
+    * a partition already carries — the property the explicit
+    * constructor could not provide. */
   def isHadoop(root: String): Boolean = root.startsWith("hadoop:")
+
+  /** Split a hadoop root into (fsUri, optional composite meta root). */
+  private def hadoopParts(root: String): (String, Option[String]) = {
+    val u = root.stripPrefix("hadoop:")
+    val i = u.indexOf(";meta=")
+    if (i < 0) (u, None)
+    else {
+      val mr = u.drop(i + ";meta=".length)
+      require(isS3(mr),
+        s"composite hadoop root meta plane must be s3:<endpoint>/<bucket>, got $mr")
+      (u.take(i), Some(mr))
+    }
+  }
 
   /** A root whose stream state lives OUTSIDE the local streamDir
     * (bucket sim, S3 endpoint, or Hadoop URI) — the local streamDir is
@@ -376,15 +401,23 @@ object StreamStores {
       // STS token reaches long-lived handles mid-job (r17)
       new S3MetaStore(ep, bucket, s"$stream/meta.jsonl", S3AuthRef.Registry(ep))
     } else if (isHadoop(root)) {
-      val uri = java.net.URI.create(root.stripPrefix("hadoop:"))
-      require(uri.getScheme == null || uri.getScheme == "file",
-        s"hadoop:${uri.getScheme}:// roots need an explicit MetaStore — " +
-          "the generic FileSystem API has no compare-and-swap; pair the " +
-          "Hadoop data plane with a conditional-PUT MetaStore (e.g. " +
-          "S3MetaStore) via StreamLog's explicit-store constructor")
-      val dir = (if (uri.getScheme == null) Paths.get(uri.getPath)
-                 else Paths.get(uri)).resolve(stream)
-      new PosixMetaStore(dir.resolve("meta.jsonl"), dir)
+      hadoopParts(root) match {
+        case (_, Some(mr)) => // composite: S3 conditional-PUT commits
+          val (ep, bucket) = parseS3(mr)
+          new S3MetaStore(ep, bucket, s"$stream/meta.jsonl",
+            S3AuthRef.Registry(ep))
+        case (fsUri, None) =>
+          val uri = java.net.URI.create(fsUri)
+          require(uri.getScheme == null || uri.getScheme == "file",
+            s"hadoop:${uri.getScheme}:// roots need an explicit MetaStore — " +
+              "the generic FileSystem API has no compare-and-swap; pair the " +
+              "Hadoop data plane with a conditional-PUT MetaStore via the " +
+              "composite root form (hadoop:<fsUri>;meta=s3:<endpoint>/" +
+              "<bucket>) or StreamLog's explicit-store constructor")
+          val dir = (if (uri.getScheme == null) Paths.get(uri.getPath)
+                     else Paths.get(uri)).resolve(stream)
+          new PosixMetaStore(dir.resolve("meta.jsonl"), dir)
+      }
     } else {
       val dir = Paths.get(root, stream)
       new PosixMetaStore(dir.resolve("meta.jsonl"), dir)
@@ -399,7 +432,7 @@ object StreamStores {
       new S3SegmentStore(ep, bucket, s"$stream/segments/",
         S3AuthRef.Registry(ep))
     } else if (isHadoop(root)) {
-      val base = root.stripPrefix("hadoop:").stripSuffix("/")
+      val base = hadoopParts(root)._1.stripSuffix("/")
       new HadoopSegmentStore(s"$base/$stream/segments")
     } else new PosixSegmentStore(Paths.get(root, stream, "segments"))
 
@@ -443,7 +476,8 @@ object StreamStores {
           k.takeWhile(_ != '/')
       }.distinct.sorted
     } else if (isHadoop(root)) {
-      val base = new org.apache.hadoop.fs.Path(root.stripPrefix("hadoop:"))
+      val (fsUri, metaRoot) = hadoopParts(root)
+      val base = new org.apache.hadoop.fs.Path(fsUri)
       val fs = base.getFileSystem(HadoopSegmentStore.conf())
       // marker = a meta log, or a segments/ dir with at least one real
       // object — a BARE segments/ directory is what destroy leaves on
@@ -453,12 +487,25 @@ object StreamStores {
         try fs.listStatus(new org.apache.hadoop.fs.Path(d, "segments"))
           .exists(st => st.isFile && !st.getPath.getName.startsWith("."))
         catch { case _: java.io.FileNotFoundException => false }
-      try fs.listStatus(base).toSeq
-        .filter(s => s.isDirectory &&
-          (fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "meta.jsonl")) ||
-            hasSegments(s.getPath)))
-        .map(_.getPath.getName).sorted
-      catch { case _: java.io.FileNotFoundException => Seq.empty }
+      val fromFs =
+        try fs.listStatus(base).toSeq
+          .filter(s => s.isDirectory &&
+            (fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "meta.jsonl")) ||
+              hasSegments(s.getPath)))
+          .map(_.getPath.getName)
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      // composite roots: meta logs live in the S3 bucket, so a stream
+      // with committed metadata but no data-plane segments yet is
+      // discoverable only there
+      val fromMeta = metaRoot.toSeq.flatMap { mr =>
+        val (ep, bucket) = parseS3(mr)
+        new S3SegmentStore(ep, bucket, "", S3AuthRef.Registry(ep))
+          .list().map(_.name).collect {
+            case k if k.endsWith("/meta.jsonl") && k.count(_ == '/') == 1 =>
+              k.stripSuffix("/meta.jsonl")
+          }
+      }
+      (fromFs ++ fromMeta).distinct.sorted
     } else Seq.empty // POSIX handled by StreamLogs.list's dirlist
 
   /** Does `stream` have committed state under `root`? Scheme-aware
@@ -478,16 +525,24 @@ object StreamStores {
       val m = mem.get(key(root, stream))
       m != null && (m.meta.readWithTag()._1.nonEmpty || m.segs.list().nonEmpty)
     } else if (isHadoop(root)) {
-      // probe through the FileSystem layer listStreams already uses —
-      // constructing a MetaStore here would REJECT hadoop non-file
-      // roots (they need an explicit commit store) and turn every
-      // fleet sweep over such a root into one throw per stream
-      // (ADVICE r15)
-      val base = new org.apache.hadoop.fs.Path(root.stripPrefix("hadoop:"))
-      val fs = base.getFileSystem(HadoopSegmentStore.conf())
-      val sd = new org.apache.hadoop.fs.Path(base, stream)
-      fs.exists(new org.apache.hadoop.fs.Path(sd, "meta.jsonl")) ||
-        segmentStore(root, stream).list().nonEmpty
+      val (fsUri, metaRoot) = hadoopParts(root)
+      if (metaRoot.isDefined)
+        // composite: the commit plane answers probeTag (a HEAD), the
+        // same liveness rule every bucket root uses
+        metaStore(root, stream).probeTag() != 0L ||
+          segmentStore(root, stream).list().nonEmpty
+      else {
+        // probe through the FileSystem layer listStreams already uses —
+        // constructing a MetaStore here would REJECT hadoop non-file
+        // roots (they need an explicit commit store) and turn every
+        // fleet sweep over such a root into one throw per stream
+        // (ADVICE r15)
+        val base = new org.apache.hadoop.fs.Path(fsUri)
+        val fs = base.getFileSystem(HadoopSegmentStore.conf())
+        val sd = new org.apache.hadoop.fs.Path(base, stream)
+        fs.exists(new org.apache.hadoop.fs.Path(sd, "meta.jsonl")) ||
+          segmentStore(root, stream).list().nonEmpty
+      }
     } else
       metaStore(root, stream).probeTag() != 0L ||
         segmentStore(root, stream).list().nonEmpty
@@ -500,7 +555,10 @@ object StreamStores {
     * (ADVICE r15). */
   def supportsImplicitMetaStore(root: String): Boolean =
     !isHadoop(root) || {
-      val uri = java.net.URI.create(root.stripPrefix("hadoop:"))
-      uri.getScheme == null || uri.getScheme == "file"
+      val (fsUri, metaRoot) = hadoopParts(root)
+      metaRoot.isDefined || {
+        val uri = java.net.URI.create(fsUri)
+        uri.getScheme == null || uri.getScheme == "file"
+      }
     }
 }

