@@ -387,11 +387,16 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
     * (every part ≥ 5 MiB except the last; ≤ 10000 parts) → complete
     * (`POST ?uploadId=` with the part-number/ETag manifest). Holds ONE
     * part in memory at a time. ANY failure aborts the upload
-    * (`DELETE ?uploadId=`) before rethrowing, so a crashed upload
+    * (`DELETE ?uploadId=`) before rethrowing, so a failed upload
     * leaves no billable parts behind — the parts of a pending MPU are
     * not objects, so the orphan sweep cannot reach them; abort is the
-    * only cleanup path. The spool is left in place on failure (the
-    * caller's retry story, same as the single-PUT path). */
+    * only in-band cleanup path. A HARD process kill (or an abort that
+    * itself fails) can still strand a pending upload: deployments
+    * should configure the bucket's documented
+    * AbortIncompleteMultipartUpload lifecycle rule as the out-of-band
+    * backstop, exactly as AWS recommends. The spool is left in place
+    * on failure (the caller's retry story, same as the single-PUT
+    * path). */
   private def multipartUpload(name: String, local: java.nio.file.Path,
                               size: Long): Unit = {
     val u = url(name)

@@ -317,8 +317,12 @@ final class S3LiteServer(maxKeys: Int = 1000,
         objects.synchronized {
           puts += 1
           if (failPuts > 0) { failPuts -= 1; respond(ex, 409) }
+          else if (pn < 1 || pn > 10000)
+            // real S3: InvalidArgument, not NoSuchUpload
+            respond(ex, 400,
+              "<Error><Code>InvalidArgument</Code></Error>".getBytes(UTF_8))
           else uploads.get(id) match {
-            case Some((uk, parts)) if uk == k && pn >= 1 && pn <= 10000 =>
+            case Some((uk, parts)) if uk == k =>
               parts.put(pn, body)
               respond(ex, 200, etag = Some(md5(body)))
             case _ => respond(ex, 404) // NoSuchUpload / key mismatch

@@ -169,8 +169,11 @@ class StreamingSinkFuzzSpec extends SparkSpec {
           model ++= payloads; lastCommitted = epochId
           check("abort-rerun", epochId)
         } else {
-          // the healthy path (with possible marker-plane wire faults,
-          // which the conditional-commit loop must absorb exactly-once)
+          // the healthy path, with a possible wire fault armed BEFORE
+          // the batch: it lands on whichever PUT comes next — a segment
+          // put (task retry absorbs it) or the marker append (the
+          // conditional-commit loop absorbs it) — both must stay
+          // exactly-once
           armMarkerFault()
           write.commit(epochId, runBatch(parts, epochId))
           if (nonEmpty) { model ++= payloads; lastCommitted = epochId }
