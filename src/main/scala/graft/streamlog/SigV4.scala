@@ -261,24 +261,6 @@ object SigV4 {
     java.net.URLDecoder.decode(s.replace("+", "%2B"), UTF_8)
 }
 
-/** Process-wide SigV4 credential registry, keyed by endpoint — the
-  * explicit-config seam [[StreamStores]] resolves through when it
-  * constructs [[S3MetaStore]]/[[S3SegmentStore]] from an
-  * `s3:<endpoint>/<bucket>` root, so executors that re-resolve a store
-  * from the same root strings sign the same way (a cluster deployment
-  * registers credentials at executor startup, e.g. from a Spark
-  * plugin; nothing here reads environment variables). No registration
-  * = unsigned requests, the r14 behavior.
-  *
-  * EXECUTOR propagation (ADVICE r15): driver-only registration is not
-  * enough on a real cluster — executor JVMs re-resolving stores from
-  * (root, stream) strings would find this registry empty and silently
-  * fall back to unsigned requests. Every Spark task closure that
-  * resolves an s3: store therefore CARRIES the driver's credentials
-  * (captured at plan/factory-build time — [[SigV4Credentials]] is a
-  * serializable case class, the same shape as the Hadoop path's
-  * SerializableConfiguration) and calls [[ensureRegistered]] before
-  * resolving, so the registry self-populates on every executor. */
 /** A refreshable credential source — the production-lifecycle seam for
   * STS/instance-role credentials that EXPIRE mid-job (12 h ceiling,
   * often 1 h): register one via [[S3Auth.registerProvider]] and the
@@ -310,6 +292,28 @@ final case class AuthSnapshot(endpoint: String, creds: SigV4Credentials,
                               provider: Option[CredentialProvider] = None,
                               providerTtlMs: Long = 0L)
 
+/** Process-wide SigV4 credential registry, keyed by endpoint — the
+  * explicit-config seam [[StreamStores]] resolves through when it
+  * constructs [[S3MetaStore]]/[[S3SegmentStore]] from an
+  * `s3:<endpoint>/<bucket>` root, so executors that re-resolve a store
+  * from the same root strings sign the same way (a cluster deployment
+  * registers credentials at executor startup, e.g. from a Spark
+  * plugin; nothing here reads environment variables). No registration
+  * = unsigned requests, the r14 behavior. Registrations are either
+  * frozen credentials ([[register]]) or refreshable providers
+  * ([[registerProvider]] — the STS-rotation seam, r17); the adapters
+  * read through [[S3AuthRef.Registry]] PER REQUEST, so a rotation
+  * reaches long-lived handles mid-job.
+  *
+  * EXECUTOR propagation (ADVICE r15): driver-only registration is not
+  * enough on a real cluster — executor JVMs re-resolving stores from
+  * (root, stream) strings would find this registry empty and silently
+  * fall back to unsigned requests. Every Spark task closure that
+  * resolves an s3: store therefore CARRIES the driver's credentials
+  * (captured at plan/factory-build time — [[SigV4Credentials]] is a
+  * serializable case class, the same shape as the Hadoop path's
+  * SerializableConfiguration) and calls [[ensureRegistered]] before
+  * resolving, so the registry self-populates on every executor. */
 object S3Auth {
   // an entry is either a frozen credential or a provider; the stamp is
   // the snapshot time it arrived with. Explicit entries (driver code /
