@@ -85,8 +85,17 @@ trait SegmentStore {
   /** Remove the object; absent = no-op (idempotent, like bucket DELETE). */
   def delete(name: String): Unit
 
+  /** Remove MANY objects — the maintenance bulk path (tombstone clean,
+    * orphan purge, destroy, r17). Default: one [[delete]] per name;
+    * object-store adapters override with the documented batch API
+    * ([[S3SegmentStore]]: multi-object delete, 1000 keys/request) so a
+    * sweep that collects k objects pays ceil(k/1000) round-trips, not
+    * k — the DELETE-side wire economy beside the r14 GET economy.
+    * Idempotent like [[delete]] (absent names are no-ops). */
+  def deleteMany(names: Seq[String]): Unit = names.foreach(delete)
+
   /** Remove everything under the prefix (stream destroy). */
-  def deleteAll(): Unit = list().foreach(o => delete(o.name))
+  def deleteAll(): Unit = deleteMany(list().map(_.name))
 
   /** Remove stale WRITE DEBRIS — in-flight tmp staging older than the
     * grace window that [[list]] deliberately hides (so the orphan

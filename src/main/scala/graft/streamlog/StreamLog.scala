@@ -444,10 +444,11 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
                       nowMs: () => Long = () => System.currentTimeMillis()): Seq[String] = stateLock.synchronized {
     val cutoff = nowMs() - maxAgeMs
     val expired = tombstones.filter(_._2 <= cutoff).keys.toSeq.sorted
-    expired.foreach { n =>
-      segStore.delete(n)
-      tombstones -= n
-    }
+    // ONE batch round on bucket stores (ceil(k/1000) requests instead
+    // of k DELETEs, r17); the purge lines append only after the
+    // deletes land, same as the per-name loop did
+    segStore.deleteMany(expired)
+    tombstones --= expired
     if (expired.nonEmpty) appendMeta(expired.map(MetaJson.purge): _*)
     expired
   }
@@ -492,7 +493,7 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
       .filter(o => !referenced.contains(o.name) && o.lastModifiedMs <= cutoff)
       .map(_.name)
       .sorted
-    orphans.foreach(segStore.delete)
+    segStore.deleteMany(orphans) // batch round on bucket stores (r17)
     // crash-leaked unique tmp staging is invisible to list() by design
     // — the store's own debris sweep collects it past the same grace
     val debris = segStore.sweepDebris(graceMs, System.currentTimeMillis())

@@ -37,11 +37,12 @@ object BenchStreamlog {
   val RecordsPerBatch: Int = 200
 
   /** One measured phase: record count, wall seconds, and the server's
-    * per-method wire-op deltas. */
+    * per-method wire-op deltas (posts = batch-delete / multipart
+    * control-plane POSTs, r17). */
   final case class Phase(records: Long, wallSec: Double,
-                         gets: Int, puts: Int, heads: Int, deletes: Int,
-                         rangeGets: Int) {
-    def wireOps: Int = gets + puts + heads + deletes
+                         gets: Int, puts: Int, posts: Int, heads: Int,
+                         deletes: Int, rangeGets: Int) {
+    def wireOps: Int = gets + puts + posts + heads + deletes
     def recsPerSec: Double = if (wallSec > 0) records / wallSec else 0.0
     def opsPerRecord: Double = if (records > 0) wireOps.toDouble / records else 0.0
   }
@@ -57,8 +58,9 @@ object BenchStreamlog {
         s""""recs_per_s":${fmt(p.recsPerSec)},"wire_ops":${p.wireOps},""" +
         s""""ops_per_record":${String.format(java.util.Locale.ROOT, "%.4f",
           Double.box(p.opsPerRecord))},""" +
-        s""""gets":${p.gets},"puts":${p.puts},"heads":${p.heads},""" +
-        s""""deletes":${p.deletes},"range_gets":${p.rangeGets}}"""
+        s""""gets":${p.gets},"puts":${p.puts},"posts":${p.posts},""" +
+        s""""heads":${p.heads},"deletes":${p.deletes},""" +
+        s""""range_gets":${p.rangeGets}}"""
     }.mkString(",")
     s"""{"metric":"streamlog_bench","unit":"mixed","records_per_batch":$RecordsPerBatch,""" +
       s""""segment_counts":[${SegmentCounts.mkString(",")}],"phases":{$body}}"""
@@ -72,8 +74,8 @@ object BenchStreamlog {
   def parse(json: String): Map[String, (Long, Int, Int)] = {
     val phaseRe = ("\"([a-z]+@\\d+)\":\\{\"records\":(\\d+),\"wall_s\":[0-9.]+," +
       "\"recs_per_s\":[0-9.]+,\"wire_ops\":(\\d+),\"ops_per_record\":[0-9.]+," +
-      "\"gets\":\\d+,\"puts\":\\d+,\"heads\":\\d+,\"deletes\":\\d+," +
-      "\"range_gets\":(\\d+)\\}").r
+      "\"gets\":\\d+,\"puts\":\\d+,\"posts\":\\d+,\"heads\":\\d+," +
+      "\"deletes\":\\d+,\"range_gets\":(\\d+)\\}").r
     phaseRe.findAllMatchIn(json).map(m =>
       m.group(1) -> ((m.group(2).toLong, m.group(3).toInt, m.group(4).toInt))).toMap
   }
@@ -85,12 +87,14 @@ object BenchStreamlog {
       val root = s"s3:${srv.endpoint}/bench"
       var t = 1000000L
       val clock = () => { t += 1; t }
-      def snap() = (srv.gets, srv.puts, srv.heads, srv.deletes, srv.rangeGets)
+      def snap() = (srv.gets, srv.puts, srv.posts, srv.heads, srv.deletes,
+        srv.rangeGets)
       def phase(records: Long, t0: Long,
-                s0: (Int, Int, Int, Int, Int)): Phase = {
+                s0: (Int, Int, Int, Int, Int, Int)): Phase = {
         val w = (System.nanoTime() - t0) / 1e9
         Phase(records, w, srv.gets - s0._1, srv.puts - s0._2,
-          srv.heads - s0._3, srv.deletes - s0._4, srv.rangeGets - s0._5)
+          srv.posts - s0._3, srv.heads - s0._4, srv.deletes - s0._5,
+          srv.rangeGets - s0._6)
       }
       val total = segments.toLong * RecordsPerBatch
       val out = Seq.newBuilder[(String, Phase)]

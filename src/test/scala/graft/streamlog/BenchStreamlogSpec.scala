@@ -12,10 +12,10 @@ class BenchStreamlogSpec extends SparkSpec {
 
   test("render/parse round-trip preserves the deterministic columns for every phase") {
     val phases = Seq(
-      "publish@24" -> BenchStreamlog.Phase(4800, 1.234, 24, 48, 0, 0, 0),
-      "consume@24" -> BenchStreamlog.Phase(4800, 0.5, 25, 0, 0, 0, 24),
-      "compact@24" -> BenchStreamlog.Phase(4800, 2.0, 40, 12, 0, 24, 30),
-      "maintain@24" -> BenchStreamlog.Phase(4800, 0.1, 3, 1, 0, 0, 0))
+      "publish@24" -> BenchStreamlog.Phase(4800, 1.234, 24, 48, 0, 0, 0, 0),
+      "consume@24" -> BenchStreamlog.Phase(4800, 0.5, 25, 0, 0, 0, 0, 24),
+      "compact@24" -> BenchStreamlog.Phase(4800, 2.0, 40, 12, 0, 0, 24, 30),
+      "maintain@24" -> BenchStreamlog.Phase(4800, 0.1, 3, 1, 1, 0, 0, 0))
     val json = BenchStreamlog.render(phases)
     assert(json.startsWith("""{"metric":"streamlog_bench""""))
     assert(json.contains(""""records_per_batch":200"""))
@@ -46,11 +46,15 @@ class BenchStreamlogSpec extends SparkSpec {
     assert(con.rangeGets >= 1, "consume must ride the range path")
     assert(con.wireOps <= 6 * 2 + 4, s"consume paid ${con.wireOps} ops")
     assert(phases("compact@6").puts >= 1, "compaction must land a merge")
-    // an idle sweep on a steady log costs O(1) wire ops (measured 13:
-    // refresh + plan reads + clean/purge LIST + checkpoint commit) —
-    // the artifact tracks the exact number; this bound only catches a
-    // per-segment or per-record blowup
+    // an idle sweep on a steady log costs O(1) wire ops (refresh +
+    // plan reads + clean/purge LIST + ONE batch-delete POST +
+    // checkpoint commit) — the artifact tracks the exact number; this
+    // bound only catches a per-segment or per-record blowup. With
+    // batch delete (r17) the sweep's k tombstone collections cost 1
+    // POST, so the bound holds however many segments compacted.
     val m = phases("maintain@6")
     assert(m.wireOps <= 20, s"an idle sweep paid ${m.wireOps} wire ops")
+    assert(m.deletes <= 1,
+      s"tombstone collection must batch, paid ${m.deletes} single DELETEs")
   }
 }

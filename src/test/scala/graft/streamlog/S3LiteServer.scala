@@ -85,6 +85,9 @@ final class S3LiteServer(maxKeys: Int = 1000,
   /** GETs that carried a `Range: bytes=a-b` header and were answered
     * 206 — the range-streaming read path's wire evidence. */
   @volatile var rangeGets: Int = 0
+  /** Keys removed through multi-object delete (`POST ?delete`) — the
+    * batch-economy evidence: k keys for posts += 1. */
+  @volatile var batchDeletedKeys: Int = 0
   /** 403s issued by the SigV4 verifier (0 on a healthy signed run). */
   @volatile var authRejects: Int = 0
 
@@ -297,6 +300,33 @@ final class S3LiteServer(maxKeys: Int = 1000,
         gets += 1
         list(ex, query)
 
+      // ---- multi-object delete (the documented DeleteObjects API:
+      // bucket-level POST ?delete, <= 1000 keys, Content-MD5 REQUIRED,
+      // quiet mode returns an empty DeleteResult; absent keys are
+      // no-ops, exactly like single DELETE) ----
+      case ("POST", "") if hasBare("delete") =>
+        posts += 1
+        val want = java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("MD5").digest(body))
+        if (!Option(ex.getRequestHeaders.getFirst("Content-MD5")).contains(want))
+          respond(ex, 400,
+            "<Error><Code>InvalidDigest</Code></Error>".getBytes(UTF_8))
+        else {
+          val keys = "(?s)<Key>(.*?)</Key>".r
+            .findAllMatchIn(new String(body, UTF_8))
+            .map(m => xmlUnescapeSrv(m.group(1))).toSeq
+          if (keys.isEmpty || keys.size > 1000)
+            respond(ex, 400,
+              "<Error><Code>MalformedXML</Code></Error>".getBytes(UTF_8))
+          else objects.synchronized {
+            keys.foreach(k => objects.remove(k))
+            batchDeletedKeys += keys.size
+            respond(ex, 200,
+              ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+                "<DeleteResult></DeleteResult>").getBytes(UTF_8))
+          }
+        }
+
       // ---- multipart upload (the documented S3 MPU protocol) ----
       case ("POST", k) if hasBare("uploads") =>
         posts += 1
@@ -465,6 +495,12 @@ final class S3LiteServer(maxKeys: Int = 1000,
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;").replace("'", "&apos;")
+
+  /** Decode the five predefined entities in client-sent key XML (the
+    * DeleteObjects body — keys with `&`/`<` must round-trip). */
+  private def xmlUnescapeSrv(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
 
   private def list(ex: HttpExchange, query: String): Unit = {
     val prefix = qparam(query, "prefix").getOrElse("")

@@ -1238,6 +1238,66 @@ class S3StoreSpec extends SparkSpec {
     }
   }
 
+  test("multi-object delete: 1001 keys ride 2 POSTs, escaped keys round-trip, absent keys are no-ops, bad digest and oversize refused") {
+    withServer(auth = Some(stsCreds)) { srv =>
+      val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+        Some(stsCreds))
+      // 1001 keys = the batch boundary: exactly 2 POSTs, zero DELETEs
+      val names = (1 to 1001).map(i => f"k$i%04d.seg")
+      names.foreach(n => segs.put(n, "x\n".getBytes("UTF-8")))
+      // plus a key that needs XML escaping in the request body
+      segs.put("odd & <name>.seg", "y\n".getBytes("UTF-8"))
+      val (p0, d0) = (srv.posts, srv.deletes)
+      segs.deleteMany(names :+ "odd & <name>.seg" :+ "never-existed.seg")
+      assert(srv.posts - p0 == 2, s"paid ${srv.posts - p0} POSTs for 1003 keys")
+      assert(srv.deletes == d0, "no single DELETEs on the batch path")
+      assert(srv.batchDeletedKeys == 1003)
+      assert(segs.list().isEmpty, "every key removed, escaped name included")
+      assert(srv.authRejects == 0, "batch POSTs signed correctly")
+
+      // server conformance: a wrong Content-MD5 must refuse (the
+      // integrity guard — a corrupted body could delete wrong keys)
+      val body = "<Delete><Quiet>true</Quiet><Object><Key>a</Key></Object></Delete>"
+        .getBytes("UTF-8")
+      val bad = S3Http.send("POST", s"${srv.endpoint}/b?delete", body,
+        Seq("Content-MD5" -> "bm90LXRoZS1kaWdlc3Q="), auth = Some(stsCreds))
+      assert(bad.status == 400 &&
+        new String(bad.body, "UTF-8").contains("InvalidDigest"))
+      // and >1000 keys in ONE request must refuse (the client batches;
+      // the server enforces the documented ceiling)
+      val big = (1 to 1001).map(i => s"<Object><Key>z$i</Key></Object>")
+        .mkString("<Delete><Quiet>true</Quiet>", "", "</Delete>").getBytes("UTF-8")
+      val md5 = java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("MD5").digest(big))
+      val over = S3Http.send("POST", s"${srv.endpoint}/b?delete", big,
+        Seq("Content-MD5" -> md5), auth = Some(stsCreds))
+      assert(over.status == 400 &&
+        new String(over.body, "UTF-8").contains("MalformedXML"))
+    }
+  }
+
+  test("maintenance sweeps ride the batch-delete path: k tombstones cost 1 POST, not k DELETEs") {
+    withServer() { srv =>
+      val root = s"s3:${srv.endpoint}/b"
+      val c = clock(9500000)
+      val log = new StreamLog(spark, root, "s1")
+      (1 to 8).foreach(_ =>
+        log.publish((1 to 10).map(i => s"""{"i":$i}"""), nowMs = c))
+      // orphan debris joins the same sweep
+      new S3SegmentStore(srv.endpoint, "b", "s1/segments/")
+        .put("zzz-orphan.seg", "debris\n".getBytes)
+      val (p0, d0) = (srv.posts, srv.deletes)
+      val r = log.maintain(tombstoneMaxAgeMs = 0L, orphanGraceMs = 0L, nowMs = c)
+      assert(r.tombstonesPurged.size >= 8, s"$r")
+      assert(r.orphansPurged.contains("zzz-orphan.seg"))
+      assert(srv.deletes == d0,
+        s"maintenance paid ${srv.deletes - d0} single DELETEs — batching lost")
+      assert(srv.posts - p0 <= 2,
+        s"one batch POST per collection phase, got ${srv.posts - p0}")
+      assert(log.consume(Offset.Beginning, 100).size == 80, "zero loss")
+    }
+  }
+
   test("maintenance + fencing protocols run unchanged over the s3: root") {
     withServer() { srv =>
       val root = s"s3:${srv.endpoint}/b"
