@@ -651,6 +651,46 @@ class S3StoreSpec extends SparkSpec {
     }
   }
 
+  test("rotation composes with multipart upload: a 403 inside the MPU sequence refreshes once and the upload completes — no abort") {
+    // the round's two features composed: the token expires while a
+    // multipart upload is in flight (cache primed with the old token,
+    // server already rotated) — the first MPU request 403s, refreshes
+    // through the provider, and the WHOLE protocol (initiate + parts +
+    // complete) finishes signed with the fresh token instead of
+    // aborting a multi-GiB upload over an auth blip
+    val tokA = testCreds.copy(sessionToken = Some("mpu-rot-A"))
+    val tokB = testCreds.copy(sessionToken = Some("mpu-rot-B"))
+    withServer(auth = Some(tokA)) { srv =>
+      val current = new java.util.concurrent.atomic.AtomicReference(tokA)
+      S3Auth.registerProvider(srv.endpoint, new CredentialProvider {
+        override def resolve(): SigV4Credentials = current.get()
+      }, ttlMs = 3600000L)
+      try {
+        val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+          S3AuthRef.Registry(srv.endpoint),
+          multipartThresholdBytes = 8L * 1024 * 1024,
+          multipartPartBytes = 5L * 1024 * 1024)
+        assert(S3Auth.forEndpoint(srv.endpoint).contains(tokA)) // prime cache
+        current.set(tokB)
+        srv.rotate(tokB)
+        val data = new Array[Byte](11 * 1024 * 1024)
+        new java.util.Random(3).nextBytes(data)
+        val spool = Files.createTempFile("graft-mpu-rot", ".seg")
+        try {
+          Files.write(spool, data)
+          val rejects0 = srv.authRejects
+          segs.putFromFile("rot.seg", spool)
+          assert(srv.authRejects - rejects0 == 1,
+            s"exactly one 403 (the refresh trigger) for the whole upload, " +
+              s"got ${srv.authRejects - rejects0}")
+          assert(srv.pendingUploads == 0)
+          assert(java.util.Arrays.equals(segs.get("rot.seg"), data),
+            "bit-identical through the rotation")
+        } finally Files.deleteIfExists(spool)
+      } finally S3Auth.unregister(srv.endpoint)
+    }
+  }
+
   test("a provider still serving the expired token gets ONE forced re-resolve then fails loudly — no retry loop") {
     val tokA = testCreds.copy(sessionToken = Some("sts-stale-A"))
     val tokB = testCreds.copy(sessionToken = Some("sts-stale-B"))
