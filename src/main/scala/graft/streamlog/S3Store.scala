@@ -384,7 +384,11 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
     * CreateMultipartUpload / UploadPart / CompleteMultipartUpload /
     * AbortMultipartUpload): initiate (`POST ?uploads`) → one signed
     * `PUT ?partNumber=N&uploadId=` per `multipartPartBytes` slice
-    * (every part ≥ 5 MiB except the last; ≤ 10000 parts) → complete
+    * (every part ≥ 5 MiB except the last; ≤ 10000 parts; ONE in-place
+    * retry per part for transient failures — re-uploading a part
+    * number is a documented replace, so an ambiguous landing is
+    * harmlessly overwritten, and one 409 blip on part 800 no longer
+    * aborts a multi-GiB upload) → complete
     * (`POST ?uploadId=` with the part-number/ETag manifest). Holds ONE
     * part in memory at a time. ANY failure aborts the upload
     * (`DELETE ?uploadId=`) before rethrowing, so a failed upload
@@ -428,9 +432,21 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
           }
           val body = if (want == buf.length) buf
             else java.util.Arrays.copyOf(buf, want)
-          val r = S3Http.sendWith(auth, "PUT",
-            s"$u?partNumber=$pn&uploadId=${enc(uploadId)}", body)
-          require(r.status == 200, s"UploadPart $pn/$partCount -> ${r.status}")
+          // ONE retry per part for transient failures (the SDKs'
+          // behavior): re-uploading a part NUMBER is a documented
+          // replace, so an ambiguously-landed first attempt is
+          // harmlessly overwritten — without this, one 409 blip on
+          // part 800 aborts a multi-GiB upload. A part that fails
+          // twice aborts the whole upload as before.
+          def putPart(): Option[S3Http.Resp] =
+            try {
+              val r = S3Http.sendWith(auth, "PUT",
+                s"$u?partNumber=$pn&uploadId=${enc(uploadId)}", body)
+              if (r.status == 200) Some(r) else None
+            } catch { case _: java.io.IOException => None }
+          val r = putPart().orElse(putPart()).getOrElse(
+            throw new IllegalStateException(
+              s"UploadPart $pn/$partCount failed twice — aborting the upload"))
           etags(pn - 1) = r.etag.getOrElse(throw new IllegalStateException(
             s"UploadPart $pn returned no ETag"))
           pn += 1

@@ -935,7 +935,7 @@ class S3StoreSpec extends SparkSpec {
     }
   }
 
-  test("a mid-upload part failure aborts the multipart upload cleanly: no pending parts, no object, spool kept; the retry lands whole") {
+  test("a transient part failure retries IN PLACE; a part failing twice aborts cleanly: no pending parts, no object, spool kept") {
     withServer() { srv =>
       val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
         multipartThresholdBytes = 8L * 1024 * 1024,
@@ -944,15 +944,26 @@ class S3StoreSpec extends SparkSpec {
       new java.util.Random(7).nextBytes(data)
       val spool = Files.createTempFile("graft-mpu-fault", ".seg")
       try {
+        // ONE transient 409 on a part: retried in place (the SDK
+        // behavior) — the upload completes, no abort, bit-identical
         Files.write(spool, data)
-        srv.failPuts = 1 // the first part PUT fails on the wire
-        intercept[IllegalArgumentException](
+        srv.failPuts = 1
+        segs.putFromFile("blip.seg", spool)
+        assert(java.util.Arrays.equals(segs.get("blip.seg"), data),
+          "one 409 blip must not abort a multipart upload")
+        assert(srv.pendingUploads == 0)
+
+        // the SAME part failing twice (fault + its retry) aborts the
+        // whole upload cleanly
+        Files.write(spool, data)
+        srv.failPuts = 2
+        intercept[IllegalStateException](
           segs.putFromFile("fault.seg", spool))
         assert(srv.pendingUploads == 0,
           "abort must remove the pending upload — no billable parts")
         intercept[java.nio.file.NoSuchFileException](segs.get("fault.seg"))
         assert(Files.exists(spool), "spool kept for the caller's retry")
-        // the retry (same spool, same name) lands the whole object
+        // the caller's retry (same spool, same name) lands whole
         segs.putFromFile("fault.seg", spool)
         assert(segs.get("fault.seg").length == data.length)
         assert(srv.pendingUploads == 0)
