@@ -748,6 +748,66 @@ class S3StoreSpec extends SparkSpec {
     }
   }
 
+  test("a FRESH JVM refreshes a ROTATED token through the java-serialized snapshot's provider alone") {
+    // the provider-inheritance path made real across a process
+    // boundary (the in-JVM registry simulation cannot prove
+    // serialization): the subprocess's ONLY credential source is a
+    // java-serialized AuthSnapshot whose plan-time resolution is
+    // ALREADY STALE — the parent rotated the server (and the
+    // credentials file the provider re-reads) after taking it. The
+    // read must 403 once, refresh through the DESERIALIZED
+    // FileBackedProvider, and stream the rows signed.
+    val tokA = testCreds.copy(sessionToken = Some("fresh-rot-A"))
+    val tokB = testCreds.copy(sessionToken = Some("fresh-rot-B"))
+    withServer(auth = Some(tokA)) { srv =>
+      def writeCreds(c: SigV4Credentials, path: java.nio.file.Path): Unit =
+        Files.write(path,
+          s"${c.accessKey}\n${c.secretKey}\n${c.sessionToken.get}".getBytes("UTF-8")): Unit
+      val credsFile = Files.createTempFile("graft-rot-creds", ".txt")
+      val snapFile = Files.createTempFile("graft-rot-snap", ".bin")
+      try {
+        writeCreds(tokA, credsFile)
+        S3Auth.registerProvider(srv.endpoint,
+          new FileBackedProvider(credsFile.toString), ttlMs = 3600000L)
+        try {
+          val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+            S3AuthRef.Registry(srv.endpoint))
+          val off = Offset.serialize(1000, 0)
+          segs.put(s"$off-rot.seg",
+            (0 until 5).map(i => Offset.serialize(1000, i.toLong) + s"""{"i":$i}""")
+              .mkString("", "\n", "\n").getBytes("UTF-8"))
+          // the plan-time snapshot resolves tok A and carries the provider
+          val snap = StreamStores.s3AuthFor(s"s3:${srv.endpoint}/b").get
+          assert(snap.creds == tokA && snap.provider.isDefined)
+          val out0 = new java.io.ObjectOutputStream(Files.newOutputStream(snapFile))
+          try out0.writeObject(snap) finally out0.close()
+          // ROTATE after the snapshot: its resolution is now stale
+          writeCreds(tokB, credsFile)
+          srv.rotate(tokB)
+
+          val rejects0 = srv.authRejects
+          val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+          val pb = new ProcessBuilder(javaBin, "-cp", sys.props("java.class.path"),
+            "graft.streamlog.FreshJvmRotatingReader", srv.endpoint, "b", "s1",
+            s"$off-rot.seg", snapFile.toString)
+          pb.redirectErrorStream(true)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+          assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS), out)
+          assert(proc.exitValue() == 0, s"rotating reader failed:\n$out")
+          assert(out.contains("ROWS 5"), s"subprocess said:\n$out")
+          assert(srv.authRejects - rejects0 == 1,
+            "exactly one 403 — the stale snapshot resolution triggering " +
+              "the deserialized provider's refresh")
+        } finally S3Auth.unregister(srv.endpoint)
+      } finally {
+        Files.deleteIfExists(credsFile)
+        Files.deleteIfExists(snapFile)
+        ()
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
   // Range-streaming reads (r16): chunked HTTP Range GETs, byte-level
   // line reassembly, early-exit economy
