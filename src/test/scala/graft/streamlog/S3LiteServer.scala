@@ -42,6 +42,24 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * LIST), matching current S3/R2; the lagged-LIST stress lives in
   * [[EventualListSegmentStore]].
   */
+object S3LiteServer {
+  /** Throttle storm (r18 — the real-cloud failure mode every fleet
+    * hits): with a storm armed, each request draws from a SEEDED rng;
+    * a draw below `p` starts a burst of `burstLen` consecutive
+    * throttle responses (bursts are how per-prefix rate limits
+    * actually manifest — a hot prefix rejects everything for a beat,
+    * not a Bernoulli trickle). Each injected fault is a 503 SlowDown,
+    * except a `mix500` fraction which answer 500 InternalError (the
+    * other documented retry-me class). `retryAfterSec` emits the
+    * delta-seconds `Retry-After` header on the 503s so clients'
+    * header-honoring path is exercisable. Faults fire BEFORE the
+    * method handlers — pre-side-effect, exactly the semantics that
+    * make client replay unconditionally safe. */
+  final case class ThrottleStorm(seed: Long, p: Double, burstLen: Int = 1,
+                                 retryAfterSec: Option[Int] = None,
+                                 mix500: Double = 0.0)
+}
+
 final class S3LiteServer(maxKeys: Int = 1000,
                          auth: Option[SigV4Credentials] = None) {
 
@@ -70,6 +88,57 @@ final class S3LiteServer(maxKeys: Int = 1000,
   /** Pending multipart uploads — 0 after every completed OR aborted
     * upload (the no-billable-parts-left assertion). */
   def pendingUploads: Int = objects.synchronized(uploads.size)
+  import S3LiteServer.ThrottleStorm
+
+  @volatile private var storm: Option[ThrottleStorm] = None
+  private var stormRng: java.util.Random = null
+  private var stormBurstLeft = 0
+  /** Injected throttle responses, by class (the storm evidence specs
+    * and BENCH_STREAMLOG reconcile against client retry counters). */
+  @volatile var throttled503: Int = 0
+  @volatile var throttled500: Int = 0
+
+  def startStorm(s: ThrottleStorm): Unit = synchronized {
+    require(s.p >= 0 && s.p <= 1 && s.burstLen >= 1 &&
+      s.mix500 >= 0 && s.mix500 <= 1, s"malformed storm: $s")
+    stormRng = new java.util.Random(s.seed)
+    stormBurstLeft = 0
+    storm = Some(s)
+  }
+  def stopStorm(): Unit = synchronized { storm = None }
+
+  /** One-shot deterministic throttles: the next n requests answer 503
+    * (with the storm's Retry-After if one is armed via [[startStorm]],
+    * else `throttleRetryAfterSec`) — the surgical counterpart of the
+    * probabilistic storm, for specs that need exactly one fault on a
+    * known request. */
+  @volatile var throttleNext: Int = 0
+  @volatile var throttleRetryAfterSec: Option[Int] = None
+
+  /** Draw the storm/one-shot decision for one request: None = serve
+    * normally, Some(status -> retryAfter) = inject. */
+  private def throttleDraw(): Option[(Int, Option[Int])] = synchronized {
+    if (throttleNext > 0) {
+      throttleNext -= 1
+      throttled503 += 1
+      return Some(503 -> throttleRetryAfterSec)
+    }
+    storm match {
+      case None => None
+      case Some(s) =>
+        if (stormBurstLeft > 0) stormBurstLeft -= 1
+        else if (stormRng.nextDouble() < s.p) stormBurstLeft = s.burstLen - 1
+        else return None
+        if (s.mix500 > 0 && stormRng.nextDouble() < s.mix500) {
+          throttled500 += 1
+          Some(500 -> None) // S3 sends Retry-After on SlowDown, not 500
+        } else {
+          throttled503 += 1
+          Some(503 -> s.retryAfterSec)
+        }
+    }
+  }
+
   @volatile var failPuts: Int = 0
   /** Apply the next n PUTs but close the connection WITHOUT a response
     * — the ambiguous outcome (write landed, response lost) that
@@ -289,6 +358,19 @@ final class S3LiteServer(maxKeys: Int = 1000,
         authRejects += 1
         System.err.println(s"[s3lite] 403: $reason")
         respond(ex, 403)
+        return
+      case None => ()
+    }
+    // storm injection AFTER auth (the request is genuine) and BEFORE
+    // any handler: a throttled request has no side effect, which is
+    // what licenses the client's unconditional replay
+    throttleDraw() match {
+      case Some((status, retryAfter)) =>
+        retryAfter.foreach(s =>
+          ex.getResponseHeaders.set("Retry-After", s.toString))
+        val code = if (status == 503) "SlowDown" else "InternalError"
+        respond(ex, status,
+          s"<Error><Code>$code</Code></Error>".getBytes(UTF_8))
         return
       case None => ()
     }
