@@ -438,7 +438,8 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
                            auth: S3AuthRef = S3AuthRef.Unsigned,
                            rangeChunkBytes: Int = S3SegmentStore.DefaultRangeChunk,
                            multipartThresholdBytes: Long = S3SegmentStore.MaxSinglePutBytes,
-                           multipartPartBytes: Long = S3SegmentStore.DefaultPartBytes)
+                           multipartPartBytes: Long = S3SegmentStore.DefaultPartBytes,
+                           multipartConcurrency: Int = S3SegmentStore.DefaultMpuConcurrency)
     extends SegmentStore {
 
   require(rangeChunkBytes >= 1, s"rangeChunkBytes must be >= 1, got $rangeChunkBytes")
@@ -446,6 +447,8 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
     multipartPartBytes <= Int.MaxValue.toLong,
     s"multipartPartBytes must be in [5 MiB, 2 GiB), got $multipartPartBytes " +
       "(S3 rejects sub-5 MiB non-final parts with EntityTooSmall)")
+  require(multipartConcurrency >= 1 && multipartConcurrency <= 64,
+    s"multipartConcurrency must be in [1, 64], got $multipartConcurrency")
 
   private def enc(s: String) = SigV4.uriEncode(s)
 
@@ -490,23 +493,49 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
     * CreateMultipartUpload / UploadPart / CompleteMultipartUpload /
     * AbortMultipartUpload): initiate (`POST ?uploads`) → one signed
     * `PUT ?partNumber=N&uploadId=` per `multipartPartBytes` slice
-    * (every part ≥ 5 MiB except the last; ≤ 10000 parts; ONE in-place
-    * retry per part for transient failures — re-uploading a part
-    * number is a documented replace, so an ambiguous landing is
-    * harmlessly overwritten, and one 409 blip on part 800 no longer
-    * aborts a multi-GiB upload) → complete
-    * (`POST ?uploadId=` with the part-number/ETag manifest). Holds ONE
-    * part in memory at a time. ANY failure aborts the upload
-    * (`DELETE ?uploadId=`) before rethrowing, so a failed upload
-    * leaves no billable parts behind — the parts of a pending MPU are
-    * not objects, so the orphan sweep cannot reach them; abort is the
-    * only in-band cleanup path. A HARD process kill (or an abort that
-    * itself fails) can still strand a pending upload: deployments
-    * should configure the bucket's documented
-    * AbortIncompleteMultipartUpload lifecycle rule as the out-of-band
-    * backstop, exactly as AWS recommends. The spool is left in place
-    * on failure (the caller's retry story, same as the single-PUT
-    * path). */
+    * (every part ≥ 5 MiB except the last; ≤ 10000 parts) → complete
+    * (`POST ?uploadId=` with the part-number/ETag manifest).
+    *
+    * Parts upload with up to `multipartConcurrency` in flight (r18 —
+    * VERDICT r17 #2: the serial path's 80 round-trips for a 5 GiB
+    * spool at 64 MiB parts is the difference between minutes and an
+    * hour; N-parts-in-flight is the documented MPU design point and
+    * every SDK TransferManager's behavior). The caller's thread reads
+    * the spool SEQUENTIALLY — disk access stays streaming — into at
+    * most `multipartConcurrency` part buffers (a semaphore bounds
+    * allocation), and a fixed pool drives the sends; parts may
+    * COMPLETE out of order, which the API permits (the manifest, not
+    * upload order, fixes assembly order — proven against the
+    * conformance server).
+    *
+    * Per-part retry is for genuinely transient outcomes only (ADVICE
+    * r17 #2): one in-place re-upload on a 409 blip or an ambiguous
+    * IOException — re-uploading a part NUMBER is a documented replace,
+    * so an ambiguously-landed first attempt is harmlessly overwritten.
+    * 5xx/429 throttling is already absorbed below this layer by
+    * [[S3Http]]'s backoff (r18), so a status reaching here is either
+    * success or deterministic: any 4xx aborts immediately with the
+    * server's error body in the message instead of re-sending up to a
+    * full part that is guaranteed to fail identically.
+    *
+    * The FIRST failure wins: it stops new submissions, interrupts
+    * in-flight peers (pool shutdownNow — the JDK HTTP client's send is
+    * interruptible), then aborts the upload (`DELETE ?uploadId=`)
+    * before rethrowing, so a failed upload leaves no billable parts
+    * behind — the parts of a pending MPU are not objects, so the
+    * orphan sweep cannot reach them; abort is the only in-band cleanup
+    * path. A HARD process kill (or an abort that itself fails) can
+    * still strand a pending upload: deployments should configure the
+    * bucket's documented AbortIncompleteMultipartUpload lifecycle rule
+    * as the out-of-band backstop, exactly as AWS recommends. The spool
+    * is left in place on failure (the caller's retry story, same as
+    * the single-PUT path).
+    *
+    * The spool must be QUIESCENT for the whole upload, exactly like
+    * [[S3Http.sendFile]]'s contract: a spool that SHRINKS mid-upload
+    * fails the in-loop short-read require; one that GROWS is caught by
+    * the size re-check before CompleteMultipartUpload (ADVICE r17 #1 —
+    * previously silently truncated to the entry-time size). */
   private def multipartUpload(name: String, local: java.nio.file.Path,
                               size: Long): Unit = {
     val u = url(name)
@@ -521,43 +550,80 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
       .map(m => xmlUnescape(m.group(1)))
       .getOrElse(throw new IllegalStateException(
         s"initiate multipart for $u returned no UploadId"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(multipartConcurrency, partCount))
+    // first failure wins; later ones (including the interrupts it
+    // causes in peers) are suppressed
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     try {
       val etags = new Array[String](partCount)
+      // bounds live part BUFFERS, not just threads — the reader blocks
+      // before allocating slice N+concurrency until a peer releases
+      val permits = new java.util.concurrent.Semaphore(multipartConcurrency)
+
+      def putPart(pn: Int, body: Array[Byte]): Unit = {
+        // Left(None) = transient (retry in place once), Left(Some) =
+        // deterministic failure (abort now), Right = etag
+        def once(): Either[Option[String], String] =
+          try {
+            val r = S3Http.sendWith(auth, "PUT",
+              s"$u?partNumber=$pn&uploadId=${enc(uploadId)}", body)
+            r.status match {
+              case 200 => Right(r.etag.getOrElse(throw new IllegalStateException(
+                s"UploadPart $pn returned no ETag")))
+              case 409 => Left(None) // concurrent blip — replayable
+              case s => Left(Some(s"UploadPart $pn/$partCount -> $s: " +
+                new String(r.body, UTF_8).take(200)))
+            }
+          } catch { case _: java.io.IOException => Left(None) } // ambiguous
+        val etag = once() match {
+          case Right(e) => e
+          case Left(Some(msg)) => throw new IllegalStateException(msg)
+          case Left(None) => once() match {
+            case Right(e) => e
+            case Left(Some(msg)) => throw new IllegalStateException(msg)
+            case Left(None) => throw new IllegalStateException(
+              s"UploadPart $pn/$partCount failed twice — aborting the upload")
+          }
+        }
+        etags(pn - 1) = etag
+      }
+
       val in = java.nio.file.Files.newInputStream(local)
       try {
-        val buf = new Array[Byte](multipartPartBytes.toInt)
         var pn = 1
-        while (pn <= partCount) {
+        while (pn <= partCount && failed.get() == null) {
           val want = math.min(multipartPartBytes,
             size - (pn - 1).toLong * multipartPartBytes).toInt
+          permits.acquire()
+          val body = new Array[Byte](want)
           var got = 0
           while (got < want) {
-            val n = in.read(buf, got, want - got)
+            val n = in.read(body, got, want - got)
             require(n > 0, s"spool $local truncated mid-upload at part $pn")
             got += n
           }
-          val body = if (want == buf.length) buf
-            else java.util.Arrays.copyOf(buf, want)
-          // ONE retry per part for transient failures (the SDKs'
-          // behavior): re-uploading a part NUMBER is a documented
-          // replace, so an ambiguously-landed first attempt is
-          // harmlessly overwritten — without this, one 409 blip on
-          // part 800 aborts a multi-GiB upload. A part that fails
-          // twice aborts the whole upload as before.
-          def putPart(): Option[S3Http.Resp] =
-            try {
-              val r = S3Http.sendWith(auth, "PUT",
-                s"$u?partNumber=$pn&uploadId=${enc(uploadId)}", body)
-              if (r.status == 200) Some(r) else None
-            } catch { case _: java.io.IOException => None }
-          val r = putPart().orElse(putPart()).getOrElse(
-            throw new IllegalStateException(
-              s"UploadPart $pn/$partCount failed twice — aborting the upload"))
-          etags(pn - 1) = r.etag.getOrElse(throw new IllegalStateException(
-            s"UploadPart $pn returned no ETag"))
+          val thisPn = pn
+          pool.execute { () =>
+            try putPart(thisPn, body)
+            catch { case t: Throwable => failed.compareAndSet(null, t): Unit }
+            finally permits.release()
+          }
           pn += 1
         }
       } finally in.close()
+      pool.shutdown()
+      if (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS))
+        throw new IllegalStateException(
+          s"multipart upload of $name stalled — parts still in flight after 1h")
+      Option(failed.get()).foreach(throw _)
+      // quiescence guard (ADVICE r17 #1), mirroring sendFile's: a spool
+      // that GREW mid-upload would otherwise complete successfully with
+      // the tail bytes silently dropped
+      val now = java.nio.file.Files.size(local)
+      require(now == size,
+        s"spool $local changed size mid-upload ($size -> $now bytes): the " +
+          "file must be quiescent for the duration of the multipart upload")
       val manifest = etags.zipWithIndex.map { case (e, i) =>
         s"<Part><PartNumber>${i + 1}</PartNumber><ETag>$e</ETag></Part>"
       }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
@@ -571,11 +637,17 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
           new String(done.body, UTF_8).take(200))
     } catch {
       case t: Throwable =>
-        // abort failure is secondary — the original error surfaces
+        // cancel in-flight peers FIRST (their late landings after the
+        // abort would 404 harmlessly, but interrupting stops wasted
+        // upload work immediately), then abort; abort failure is
+        // secondary — the original error surfaces
+        pool.shutdownNow()
+        try pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
         try S3Http.sendWith(auth, "DELETE", s"$u?uploadId=${enc(uploadId)}")
         catch { case _: Throwable => () }
         throw t
-    }
+    } finally pool.shutdown()
   }
 
   override def get(name: String): Array[Byte] = {
@@ -699,9 +771,20 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
         body, Seq("Content-MD5" -> md5b64))
       require(r.status == 200,
         s"POST $endpoint/$bucket?delete -> ${r.status}")
+      // parse per-key <Error> entries explicitly (ADVICE r17 #5 — the
+      // bare contains("<Error>") substring oracle was brittle against
+      // verbose <Deleted> echoes or escaped markup in error text, and
+      // dropped WHICH keys failed from the thrown message)
       val resp = new String(r.body, UTF_8)
-      require(!resp.contains("<Error>"),
-        s"multi-object delete reported failures: ${resp.take(300)}")
+      val failures = "(?s)<Error>(.*?)</Error>".r.findAllMatchIn(resp).map { m =>
+        val e = m.group(1)
+        def field(tag: String) = s"(?s)<$tag>(.*?)</$tag>".r
+          .findFirstMatchIn(e).map(x => xmlUnescape(x.group(1))).getOrElse("?")
+        s"${field("Key")} (${field("Code")})"
+      }.toSeq
+      require(failures.isEmpty,
+        s"multi-object delete failed for ${failures.size} key(s): " +
+          failures.take(10).mkString(", "))
     }
 
   /** The inverse of [[xmlUnescape]] for keys embedded in request XML
@@ -787,6 +870,10 @@ object S3SegmentStore {
     * last (EntityTooSmall below it). */
   val MinPartBytes: Long = 5L * 1024 * 1024
   /** Default multipart part size: 64 MiB keeps a >5 GiB upload around
-    * ~100 parts with one part in memory at a time. */
+    * ~100 parts with `multipartConcurrency` parts in memory at a time. */
   val DefaultPartBytes: Long = 64L * 1024 * 1024
+  /** Default parts in flight for multipart upload: 4 balances wire
+    * parallelism against the 4 × partBytes buffer footprint (256 MiB
+    * at the default part size — executor-budget-safe). */
+  val DefaultMpuConcurrency: Int = 4
 }

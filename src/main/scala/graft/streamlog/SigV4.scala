@@ -367,28 +367,42 @@ object S3Auth {
           case Some(p) =>
             val e = new ProviderEntry(p, snap.providerTtlMs, snap.plannedAtMs,
               explicit = false)
-            e.cache.set((snap.creds, snap.plannedAtMs))
+            // prime with the LOCAL clock, not the driver's plannedAtMs:
+            // forEndpoint's TTL arithmetic compares against THIS host's
+            // System.currentTimeMillis, and cross-host skew would
+            // silently stretch or nullify the window (ADVICE r17 #4).
+            // The snapshot creds are known fresh enough at install time
+            // — the driver resolved them when it planned.
+            e.cache.set((snap.creds, System.currentTimeMillis()))
             e
           case None => StaticEntry(snap.creds, snap.plannedAtMs, explicit = false)
         }
       else cur): Unit
 
+  /** Resolve ONE entry reference to credentials — shared by
+    * [[forEndpoint]] and [[snapshotFor]] so a snapshot's credentials
+    * and its provider/ttl always come from the SAME registration
+    * (ADVICE r17 #3: two separate registry reads could pair one
+    * registration's provider with another's resolved creds across a
+    * concurrent re-registration). */
+  private def resolveEntry(e: Entry): SigV4Credentials = e match {
+    case StaticEntry(c, _, _) => c
+    case p: ProviderEntry =>
+      val now = System.currentTimeMillis()
+      val cached = p.cache.get()
+      if (cached != null && p.ttlMs > 0 && now - cached._2 < p.ttlMs)
+        cached._1
+      else {
+        // concurrent resolves at a TTL boundary are benign: each gets
+        // a valid credential; last write wins the cache
+        val fresh = p.provider.resolve()
+        p.cache.set((fresh, now))
+        fresh
+      }
+  }
+
   def forEndpoint(endpoint: String): Option[SigV4Credentials] =
-    Option(byEndpoint.get(endpoint)).map {
-      case StaticEntry(c, _, _) => c
-      case p: ProviderEntry =>
-        val now = System.currentTimeMillis()
-        val cached = p.cache.get()
-        if (cached != null && p.ttlMs > 0 && now - cached._2 < p.ttlMs)
-          cached._1
-        else {
-          // concurrent resolves at a TTL boundary are benign: each gets
-          // a valid credential; last write wins the cache
-          val fresh = p.provider.resolve()
-          p.cache.set((fresh, now))
-          fresh
-        }
-    }
+    Option(byEndpoint.get(endpoint)).map(resolveEntry)
 
   /** Force a provider re-resolve after an auth failure. Returns the
     * fresh credentials ONLY if they differ from the stale ones the
@@ -408,9 +422,11 @@ object S3Auth {
     * resolution plus — when the registration is a provider — the
     * provider itself, so executors inherit refresh, not a frozen
     * token. None when nothing is registered (unsigned endpoint). */
-  def snapshotFor(endpoint: String): Option[AuthSnapshot] = {
-    val entry = byEndpoint.get(endpoint)
-    forEndpoint(endpoint).map { c =>
+  def snapshotFor(endpoint: String): Option[AuthSnapshot] =
+    // ONE registry read; creds and provider/ttl derive from the same
+    // Entry reference (ADVICE r17 #3)
+    Option(byEndpoint.get(endpoint)).map { entry =>
+      val c = resolveEntry(entry)
       entry match {
         case p: ProviderEntry =>
           AuthSnapshot(endpoint, c, System.currentTimeMillis(),
@@ -418,7 +434,6 @@ object S3Auth {
         case _ => AuthSnapshot(endpoint, c, System.currentTimeMillis())
       }
     }
-  }
 
   def unregister(endpoint: String): Unit =
     byEndpoint.remove(endpoint): Unit

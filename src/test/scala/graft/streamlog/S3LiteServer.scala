@@ -139,6 +139,20 @@ final class S3LiteServer(maxKeys: Int = 1000,
     }
   }
 
+  /** Part numbers whose UploadPart PUTs ALWAYS 409 — the deterministic
+    * concurrent-abort gate (a `failPuts` count is consumed by whichever
+    * PUT arrives first, which is racy once parts fly in parallel). */
+  @volatile var failPartNumbers409: Set[Int] = Set.empty
+  /** Part numbers whose UploadPart PUTs ALWAYS 400 InvalidArgument —
+    * the deterministic-4xx gate (ADVICE r17 #2: a 4xx must abort
+    * immediately, never re-upload the part). */
+  @volatile var failPartNumbers400: Set[Int] = Set.empty
+  private val partPutTries = scala.collection.mutable.Map.empty[Int, Int]
+  /** How many UploadPart PUTs arrived for part `pn` (all uploads on
+    * this server instance) — the no-wasted-re-upload evidence. */
+  def partPutCount(pn: Int): Int =
+    objects.synchronized(partPutTries.getOrElse(pn, 0))
+
   @volatile var failPuts: Int = 0
   /** Apply the next n PUTs but close the connection WITHOUT a response
     * — the ambiguous outcome (write landed, response lost) that
@@ -157,6 +171,11 @@ final class S3LiteServer(maxKeys: Int = 1000,
   /** Keys removed through multi-object delete (`POST ?delete`) — the
     * batch-economy evidence: k keys for posts += 1. */
   @volatile var batchDeletedKeys: Int = 0
+  /** Per-key failure injection for multi-object delete: keys in this
+    * set are NOT removed and come back as `<Error>` entries inside the
+    * 200 DeleteResult (quiet mode lists only failures) — the
+    * documented partial-failure shape real S3 reports. */
+  @volatile var failDeleteKeys: Set[String] = Set.empty
   /** 403s issued by the SigV4 verifier (0 on a healthy signed run). */
   @volatile var authRejects: Int = 0
 
@@ -401,11 +420,15 @@ final class S3LiteServer(maxKeys: Int = 1000,
             respond(ex, 400,
               "<Error><Code>MalformedXML</Code></Error>".getBytes(UTF_8))
           else objects.synchronized {
-            keys.foreach(k => objects.remove(k))
-            batchDeletedKeys += keys.size
+            val (bad, ok) = keys.partition(failDeleteKeys.contains)
+            ok.foreach(k => objects.remove(k))
+            batchDeletedKeys += ok.size
+            val errs = bad.map(k =>
+              s"<Error><Key>${xmlEscape(k)}</Key><Code>InternalError</Code>" +
+                "<Message>injected per-key failure</Message></Error>").mkString
             respond(ex, 200,
               ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
-                "<DeleteResult></DeleteResult>").getBytes(UTF_8))
+                s"<DeleteResult>$errs</DeleteResult>").getBytes(UTF_8))
           }
         }
 
@@ -428,7 +451,13 @@ final class S3LiteServer(maxKeys: Int = 1000,
         val id = q("uploadId").get
         objects.synchronized {
           puts += 1
-          if (failPuts > 0) { failPuts -= 1; respond(ex, 409) }
+          partPutTries(pn) = partPutTries.getOrElse(pn, 0) + 1
+          if (failPartNumbers409.contains(pn)) respond(ex, 409)
+          else if (failPartNumbers400.contains(pn))
+            respond(ex, 400,
+              "<Error><Code>InvalidArgument</Code><Message>injected</Message></Error>"
+                .getBytes(UTF_8))
+          else if (failPuts > 0) { failPuts -= 1; respond(ex, 409) }
           else if (pn < 1 || pn > 10000)
             // real S3: InvalidArgument, not NoSuchUpload
             respond(ex, 400,

@@ -1013,21 +1013,189 @@ class S3StoreSpec extends SparkSpec {
           "one 409 blip must not abort a multipart upload")
         assert(srv.pendingUploads == 0)
 
-        // the SAME part failing twice (fault + its retry) aborts the
-        // whole upload cleanly
+        // the SAME part failing twice (fault + its in-place retry)
+        // aborts the whole upload cleanly — pinned by PART NUMBER so
+        // the gate stays deterministic under parallel parts (r18)
         Files.write(spool, data)
-        srv.failPuts = 2
+        srv.failPartNumbers409 = Set(2)
         intercept[IllegalStateException](
           segs.putFromFile("fault.seg", spool))
+        assert(srv.partPutCount(2) >= 2,
+          "the transient 409 must be retried in place before aborting")
         assert(srv.pendingUploads == 0,
           "abort must remove the pending upload — no billable parts")
         intercept[java.nio.file.NoSuchFileException](segs.get("fault.seg"))
         assert(Files.exists(spool), "spool kept for the caller's retry")
         // the caller's retry (same spool, same name) lands whole
+        srv.failPartNumbers409 = Set.empty
         segs.putFromFile("fault.seg", spool)
         assert(segs.get("fault.seg").length == data.length)
         assert(srv.pendingUploads == 0)
       } finally Files.deleteIfExists(spool)
+    }
+  }
+
+  test("parallel multipart: 9 parts with 8 in flight round-trip bit-identically; out-of-order part upload is legal") {
+    withServer(auth = Some(stsCreds)) { srv =>
+      val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+        Some(stsCreds),
+        multipartThresholdBytes = 8L * 1024 * 1024,
+        multipartPartBytes = 5L * 1024 * 1024,
+        multipartConcurrency = 8)
+      // 41 MiB -> 8 full parts + a 1 MiB tail = 9 parts, so the pool
+      // genuinely runs 8 concurrent sends
+      val size = 41 * 1024 * 1024
+      val data = new Array[Byte](size)
+      new java.util.Random(99).nextBytes(data)
+      val spool = Files.createTempFile("graft-mpu-par", ".seg")
+      try {
+        Files.write(spool, data)
+        val posts0 = srv.posts
+        segs.putFromFile("par.seg", spool)
+        assert(srv.posts - posts0 == 2, "exactly initiate + complete")
+        assert(srv.pendingUploads == 0)
+        val back = segs.get("par.seg")
+        assert(java.util.Arrays.equals(back, data),
+          "bit-identical through 8-way-parallel parts")
+        val head = S3Http.send("HEAD",
+          s"${srv.endpoint}/b/s1/segments/par.seg", auth = Some(stsCreds))
+        assert(head.etag.exists(_.endsWith("-9\"")), s"etag: ${head.etag}")
+        assert(srv.authRejects == 0, "every concurrent part signed cleanly")
+      } finally Files.deleteIfExists(spool)
+
+      // out-of-order UPLOAD order is legal — the manifest, not arrival
+      // order, fixes assembly (the property that licenses parallel
+      // parts at all); proven against the server directly
+      val u = s"${srv.endpoint}/b/s1/segments/ooo.seg"
+      val init = S3Http.send("POST", s"$u?uploads", auth = Some(stsCreds))
+      val id = "<UploadId>(.*?)</UploadId>".r
+        .findFirstMatchIn(new String(init.body, "UTF-8")).get.group(1)
+      val big = new Array[Byte](5 * 1024 * 1024)
+      java.util.Arrays.fill(big, 'a'.toByte)
+      // part 2 arrives BEFORE part 1
+      val p2 = S3Http.send("PUT", s"$u?partNumber=2&uploadId=$id",
+        "tail\n".getBytes("UTF-8"), auth = Some(stsCreds))
+      val p1 = S3Http.send("PUT", s"$u?partNumber=1&uploadId=$id", big,
+        auth = Some(stsCreds))
+      assert(p1.status == 200 && p2.status == 200)
+      val done = S3Http.send("POST", s"$u?uploadId=$id",
+        (s"<CompleteMultipartUpload><Part><PartNumber>1</PartNumber>" +
+          s"<ETag>${p1.etag.get}</ETag></Part><Part><PartNumber>2</PartNumber>" +
+          s"<ETag>${p2.etag.get}</ETag></Part></CompleteMultipartUpload>")
+          .getBytes("UTF-8"), auth = Some(stsCreds))
+      assert(done.status == 200, new String(done.body, "UTF-8"))
+      val back = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+        Some(stsCreds)).get("ooo.seg")
+      assert(back.length == big.length + 5 &&
+        new String(back.takeRight(5), "UTF-8") == "tail\n",
+        "assembly follows manifest order despite reversed upload order")
+    }
+  }
+
+  test("concurrent-failure abort: one part failing mid-flight cancels peers and aborts — no pending upload, no object, spool kept; a deterministic 4xx aborts with ZERO re-upload") {
+    withServer() { srv =>
+      val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+        multipartThresholdBytes = 8L * 1024 * 1024,
+        multipartPartBytes = 5L * 1024 * 1024,
+        multipartConcurrency = 4)
+      val data = new Array[Byte](26 * 1024 * 1024) // 6 parts
+      new java.util.Random(3).nextBytes(data)
+      val spool = Files.createTempFile("graft-mpu-cfail", ".seg")
+      try {
+        // part 3 persistently 409s: its in-place retry fails too, the
+        // first failure wins while peers are in flight, and the abort
+        // leaves nothing billable
+        Files.write(spool, data)
+        srv.failPartNumbers409 = Set(3)
+        val e = intercept[IllegalStateException](
+          segs.putFromFile("cfail.seg", spool))
+        assert(e.getMessage.contains("failed twice"), e.getMessage)
+        assert(srv.partPutCount(3) == 2,
+          s"one transient retry exactly: ${srv.partPutCount(3)}")
+        assert(srv.pendingUploads == 0, "peers cancelled, upload aborted")
+        intercept[java.nio.file.NoSuchFileException](segs.get("cfail.seg"))
+        assert(Files.exists(spool), "spool kept for the caller's retry")
+        srv.failPartNumbers409 = Set.empty
+
+        // ADVICE r17 #2: a deterministic 4xx (400 InvalidArgument)
+        // aborts IMMEDIATELY with the server's error body — exactly
+        // one PUT for that part, no guaranteed-to-fail re-upload of up
+        // to a full part
+        val srv2 = new S3LiteServer()
+        try {
+          val segs2 = new S3SegmentStore(srv2.endpoint, "b", "s1/segments/",
+            multipartThresholdBytes = 8L * 1024 * 1024,
+            multipartPartBytes = 5L * 1024 * 1024,
+            multipartConcurrency = 1)
+          srv2.failPartNumbers400 = Set(2)
+          val e2 = intercept[IllegalStateException](
+            segs2.putFromFile("det.seg", spool))
+          assert(e2.getMessage.contains("400") &&
+            e2.getMessage.contains("InvalidArgument"),
+            s"the server's error body must surface: ${e2.getMessage}")
+          assert(srv2.partPutCount(2) == 1,
+            s"a deterministic 4xx must NOT be re-uploaded: ${srv2.partPutCount(2)}")
+          assert(srv2.pendingUploads == 0)
+          assert(Files.exists(spool))
+        } finally srv2.stop()
+      } finally Files.deleteIfExists(spool)
+    }
+  }
+
+  test("quiescence guard: a spool that GROWS mid-upload fails loud before complete — nothing billable, nothing assembled (ADVICE r17)") {
+    withServer() { srv =>
+      val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+        multipartThresholdBytes = 8L * 1024 * 1024,
+        multipartPartBytes = 5L * 1024 * 1024,
+        multipartConcurrency = 1) // serial: the append lands well before the final size re-check
+      val data = new Array[Byte](26 * 1024 * 1024) // 6 parts of wire time
+      new java.util.Random(11).nextBytes(data)
+      val spool = Files.createTempFile("graft-mpu-grow", ".seg")
+      try {
+        Files.write(spool, data)
+        val thrown = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+        val t = new Thread(() => {
+          try segs.putFromFile("grow.seg", spool)
+          catch { case e: Throwable => thrown.set(e) }
+        })
+        val p0 = srv.puts
+        t.start()
+        // wait until the upload is demonstrably mid-flight, then grow
+        // the spool under it
+        val deadline = System.currentTimeMillis() + 30000
+        while (srv.puts == p0 && System.currentTimeMillis() < deadline)
+          Thread.sleep(5)
+        assert(srv.puts > p0, "upload never started")
+        java.nio.file.Files.write(spool, "late-grown-bytes".getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.APPEND)
+        t.join(120000)
+        assert(!t.isAlive, "upload thread hung")
+        val e = thrown.get()
+        assert(e != null, "a grown spool must fail the upload")
+        assert(e.getMessage.contains("changed size mid-upload"), e.getMessage)
+        assert(srv.pendingUploads == 0, "the grown upload aborted cleanly")
+        intercept[java.nio.file.NoSuchFileException](segs.get("grow.seg"))
+        assert(Files.exists(spool), "spool kept")
+      } finally Files.deleteIfExists(spool)
+    }
+  }
+
+  test("deleteMany surfaces per-key failures with key and code; the other keys in the batch still delete") {
+    withServer() { srv =>
+      val segs = new S3SegmentStore(srv.endpoint, "b", "p/")
+      (1 to 4).foreach(i => segs.put(s"x$i.seg", s"x$i\n".getBytes))
+      srv.failDeleteKeys = Set("p/x2.seg", "p/x4.seg")
+      val e = intercept[IllegalArgumentException](
+        segs.deleteMany(Seq("x1.seg", "x2.seg", "x3.seg", "x4.seg")))
+      assert(e.getMessage.contains("x2.seg (InternalError)") &&
+        e.getMessage.contains("x4.seg (InternalError)") &&
+        e.getMessage.contains("2 key(s)"),
+        s"failed keys and codes must surface: ${e.getMessage}")
+      srv.failDeleteKeys = Set.empty
+      assert(segs.list().map(_.name) == Seq("x2.seg", "x4.seg"),
+        "the non-injected keys in the batch deleted despite the failures")
+      segs.deleteMany(Seq("x2.seg", "x4.seg"))
+      assert(segs.list().isEmpty)
     }
   }
 
