@@ -35,6 +35,19 @@ object BenchStreamlog {
 
   val SegmentCounts: Seq[Int] = Seq(24, 96)
   val RecordsPerBatch: Int = 200
+  /** Batch-size sweep (VERDICT r17 #3): the 200-record wire-bound
+    * measurement said "throughput scales with batch size" without
+    * measuring it; {200, 2k, 20k} records/batch pins the wire-bound →
+    * payload-bound crossover, with the 3-wire-ops-per-batch invariant
+    * spec-gated at every size. */
+  val SweepBatchSizes: Seq[Int] = Seq(200, 2000, 20000)
+  val SweepBatches: Int = 16
+  /** MPU speedup pair (VERDICT r17 #2): one multi-hundred-MiB spool
+    * uploaded serial (concurrency 1) then parallel — same code path,
+    * same part size; the wall ratio is the artifact's speedup. */
+  val MpuSpoolBytes: Long = 256L * 1024 * 1024
+  val MpuPartBytes: Long = 16L * 1024 * 1024
+  val MpuParallel: Int = 8
 
   /** One measured phase: record count, wall seconds, and the server's
     * per-method wire-op deltas (posts = batch-delete / multipart
@@ -50,9 +63,19 @@ object BenchStreamlog {
   private def fmt(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
 
+  /** Storm-phase evidence (r18 — VERDICT r17 #1 "SlowDown counters
+    * visible in the wire-op deltas"): server-injected fault counts and
+    * the client's retry counters for the publish-under-storm phase.
+    * Deterministic for a fixed seed: the publish request sequence is
+    * serial, so the seeded draw sequence (and therefore the injected
+    * counts) repeats run over run. */
+  final case class StormSummary(injected503: Int, injected500: Int,
+                                clientRetries: Long, clientExhausted: Long)
+
   /** Assemble the artifact JSON (pure — the spec gates it). Phase order
     * is preserved so round-over-round diffs stay line-stable. */
-  def render(phases: Seq[(String, Phase)]): String = {
+  def render(phases: Seq[(String, Phase)],
+             storm: Option[StormSummary] = None): String = {
     val body = phases.map { case (n, p) =>
       s""""$n":{"records":${p.records},"wall_s":${fmt(p.wallSec)},""" +
         s""""recs_per_s":${fmt(p.recsPerSec)},"wire_ops":${p.wireOps},""" +
@@ -62,8 +85,15 @@ object BenchStreamlog {
         s""""heads":${p.heads},"deletes":${p.deletes},""" +
         s""""range_gets":${p.rangeGets}}"""
     }.mkString(",")
+    val stormPart = storm.map(s =>
+      s""","storm":{"injected_503":${s.injected503},""" +
+        s""""injected_500":${s.injected500},""" +
+        s""""client_retries":${s.clientRetries},""" +
+        s""""client_exhausted":${s.clientExhausted}}""").getOrElse("")
     s"""{"metric":"streamlog_bench","unit":"mixed","records_per_batch":$RecordsPerBatch,""" +
-      s""""segment_counts":[${SegmentCounts.mkString(",")}],"phases":{$body}}"""
+      s""""segment_counts":[${SegmentCounts.mkString(",")}],""" +
+      s""""sweep_batch_sizes":[${SweepBatchSizes.mkString(",")}],""" +
+      s""""phases":{$body}$stormPart}"""
   }
 
   /** Minimal artifact reader: phase name -> (records, wire_ops,
@@ -72,13 +102,21 @@ object BenchStreamlog {
     * presence but not returned (they are machine-speed, not contract).
     */
   def parse(json: String): Map[String, (Long, Int, Int)] = {
-    val phaseRe = ("\"([a-z]+@\\d+)\":\\{\"records\":(\\d+),\"wall_s\":[0-9.]+," +
+    val phaseRe = ("\"([a-z0-9_]+@\\d+)\":\\{\"records\":(\\d+),\"wall_s\":[0-9.]+," +
       "\"recs_per_s\":[0-9.]+,\"wire_ops\":(\\d+),\"ops_per_record\":[0-9.]+," +
       "\"gets\":\\d+,\"puts\":\\d+,\"posts\":\\d+,\"heads\":\\d+," +
       "\"deletes\":\\d+,\"range_gets\":(\\d+)\\}").r
     phaseRe.findAllMatchIn(json).map(m =>
       m.group(1) -> ((m.group(2).toLong, m.group(3).toInt, m.group(4).toInt))).toMap
   }
+
+  /** The storm block, if present: (injected_503, injected_500,
+    * client_retries, client_exhausted). */
+  def parseStorm(json: String): Option[(Int, Int, Long, Long)] =
+    ("\"storm\":\\{\"injected_503\":(\\d+),\"injected_500\":(\\d+)," +
+      "\"client_retries\":(\\d+),\"client_exhausted\":(\\d+)\\}").r
+      .findFirstMatchIn(json).map(m => (m.group(1).toInt, m.group(2).toInt,
+        m.group(3).toLong, m.group(4).toLong))
 
   /** Run the four phases at one segment count over a private server. */
   def runAt(spark: SparkSession, segments: Int): Seq[(String, Phase)] = {
@@ -136,6 +174,151 @@ object BenchStreamlog {
     } finally srv.stop()
   }
 
+  /** Publish/consume at one batch size over a fresh server+stream —
+    * the crossover sweep. The 3-wire-ops-per-batch publish invariant
+    * (1 meta GET + 1 segment PUT + 1 meta PUT, batch size IRRELEVANT)
+    * is required here at artifact-generation time and pinned by the
+    * spec at two sizes. */
+  def runSweep(spark: SparkSession, batchSize: Int,
+               batches: Int): Seq[(String, Phase)] = {
+    val srv = new S3LiteServer()
+    try {
+      val root = s"s3:${srv.endpoint}/bench"
+      var t = 2000000L
+      val clock = () => { t += 1; t }
+      val total = batches.toLong * batchSize
+      val out = Seq.newBuilder[(String, Phase)]
+      val log = new StreamLog(spark, root, "s")
+      locally {
+        val (g0, p0) = (srv.gets, srv.puts)
+        val t0 = System.nanoTime()
+        (1 to batches).foreach { b =>
+          log.publish((1 to batchSize).map(i =>
+            s"""{"b":$b,"i":$i,"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}"""),
+            nowMs = clock)
+        }
+        val w = (System.nanoTime() - t0) / 1e9
+        val (gets, puts) = (srv.gets - g0, srv.puts - p0)
+        // the invariant the sweep exists to prove: wire ops per batch
+        // stays EXACTLY 3 as batch size grows 100x
+        require(gets == batches && puts == 2 * batches,
+          s"publish wire economy broke at batchSize=$batchSize: " +
+            s"$gets GETs + $puts PUTs for $batches batches (want 1+2 per batch)")
+        out += s"publish_b$batchSize@$batches" ->
+          Phase(total, w, gets, puts, 0, 0, 0, 0)
+      }
+      locally {
+        val s0 = (srv.gets, srv.puts, srv.posts, srv.heads, srv.deletes,
+          srv.rangeGets)
+        val t0 = System.nanoTime()
+        val n = new StreamLog(spark, root, "s")
+          .consume(Offset.Beginning, batches * batchSize + 16).size
+        require(n == total, s"sweep consume read $n of $total")
+        val w = (System.nanoTime() - t0) / 1e9
+        out += s"consume_b$batchSize@$batches" ->
+          Phase(total, w, srv.gets - s0._1, srv.puts - s0._2,
+            srv.posts - s0._3, srv.heads - s0._4, srv.deletes - s0._5,
+            srv.rangeGets - s0._6)
+      }
+      out.result()
+    } finally srv.stop()
+  }
+
+  /** One multipart upload of `sizeBytes` at `concurrency` parts in
+    * flight; `records` = part count (so ops_per_record reads as wire
+    * ops per part). Verifies the landed ETag carries the documented
+    * multipart form for the expected part count before trusting the
+    * wall number. */
+  def runMpu(sizeBytes: Long, partBytes: Long, concurrency: Int,
+             label: String): (String, Phase) = {
+    val srv = new S3LiteServer()
+    val spool = java.nio.file.Files.createTempFile("graft-bench-mpu", ".seg")
+    try {
+      val parts = ((sizeBytes + partBytes - 1) / partBytes).toInt
+      val segs = new S3SegmentStore(srv.endpoint, "bench", "mpu/",
+        multipartThresholdBytes = partBytes,
+        multipartPartBytes = partBytes,
+        multipartConcurrency = concurrency)
+      // deterministic bulk content, written in bounded chunks
+      val out = java.nio.file.Files.newOutputStream(spool)
+      try {
+        val chunk = new Array[Byte](1 << 20)
+        val rng = new java.util.Random(4242)
+        var left = sizeBytes
+        while (left > 0) {
+          rng.nextBytes(chunk)
+          val n = math.min(left, chunk.length.toLong).toInt
+          out.write(chunk, 0, n)
+          left -= n
+        }
+      } finally out.close()
+      val s0 = (srv.gets, srv.puts, srv.posts, srv.heads, srv.deletes)
+      val t0 = System.nanoTime()
+      segs.putFromFile("big.seg", spool)
+      val w = (System.nanoTime() - t0) / 1e9
+      require(srv.pendingUploads == 0, "upload left pending parts")
+      val head = S3Http.send("HEAD", s"${srv.endpoint}/bench/mpu/big.seg")
+      require(head.etag.exists(_.endsWith(s"-$parts\"")),
+        s"expected a $parts-part multipart ETag, got ${head.etag}")
+      s"$label@$parts" -> Phase(parts.toLong, w, srv.gets - s0._1,
+        srv.puts - s0._2, srv.posts - s0._3, srv.heads - s0._4,
+        srv.deletes - s0._5, 0)
+    } finally {
+      java.nio.file.Files.deleteIfExists(spool)
+      srv.stop()
+    }
+  }
+
+  /** Publish under a seeded p=0.2 burst-2 503/500 storm with a
+    * fast-backoff policy: the phase's wire-op columns count SERVED
+    * requests; the returned [[StormSummary]] carries the injected
+    * fault counts and the client's reconciling retry counters
+    * (deterministic for the fixed seed — the serial request sequence
+    * draws the same storm decisions every run). Zero-loss and
+    * zero-exhaustion are REQUIRED before the artifact is trusted. */
+  def runStorm(spark: SparkSession,
+               segments: Int): ((String, Phase), StormSummary) = {
+    val srv = new S3LiteServer()
+    val prevPolicy = S3Http.retryPolicy
+    try {
+      S3Http.retryPolicy = S3Http.RetryPolicy(maxAttempts = 12,
+        baseDelayMs = 2, maxDelayMs = 20, totalBudgetMs = 10000)
+      S3Http.resetThrottleCounters()
+      val root = s"s3:${srv.endpoint}/bench"
+      var t = 3000000L
+      val clock = () => { t += 1; t }
+      val total = segments.toLong * RecordsPerBatch
+      val log = new StreamLog(spark, root, "s")
+      srv.startStorm(S3LiteServer.ThrottleStorm(seed = 1234L, p = 0.2,
+        burstLen = 2, retryAfterSec = None, mix500 = 0.25))
+      val s0 = (srv.gets, srv.puts, srv.posts, srv.heads, srv.deletes,
+        srv.rangeGets)
+      val t0 = System.nanoTime()
+      (1 to segments).foreach { b =>
+        log.publish((1 to RecordsPerBatch).map(i =>
+          s"""{"b":$b,"i":$i,"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}"""),
+          nowMs = clock)
+      }
+      val w = (System.nanoTime() - t0) / 1e9
+      srv.stopStorm()
+      val n = new StreamLog(spark, root, "s")
+        .consume(Offset.Beginning, segments * RecordsPerBatch + 16).size
+      require(n == total, s"storm publish lost records: $n of $total")
+      val summary = StormSummary(srv.throttled503, srv.throttled500,
+        S3Http.throttleRetries.get(), S3Http.throttleExhausted.get())
+      require(summary.clientExhausted == 0,
+        s"storm publish exhausted retries: $summary")
+      require(summary.injected503 + summary.injected500 > 0,
+        "storm never fired — seed/probability drift")
+      (s"publish_storm@$segments" -> Phase(total, w, srv.gets - s0._1,
+        srv.puts - s0._2, srv.posts - s0._3, srv.heads - s0._4,
+        srv.deletes - s0._5, srv.rangeGets - s0._6), summary)
+    } finally {
+      S3Http.retryPolicy = prevPolicy
+      srv.stop()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -147,9 +330,18 @@ object BenchStreamlog {
       // one warm pass so JVM/HTTP-stack warm-up isn't billed to the
       // first phase (the Bench discipline)
       runAt(spark, 4)
-      val phases = SegmentCounts.flatMap(s => runAt(spark, s))
-      val json = render(phases)
+      val core = SegmentCounts.flatMap(s => runAt(spark, s))
+      val sweep = SweepBatchSizes.flatMap(b => runSweep(spark, b, SweepBatches))
+      val mpu = Seq(
+        runMpu(MpuSpoolBytes, MpuPartBytes, 1, "mpu_serial"),
+        runMpu(MpuSpoolBytes, MpuPartBytes, MpuParallel, "mpu_parallel"))
+      val (stormPhase, stormSummary) = runStorm(spark, SegmentCounts.head)
+      val phases = core ++ sweep ++ mpu :+ stormPhase
+      val json = render(phases, Some(stormSummary))
       require(parse(json).size == phases.size, "render/parse drift")
+      require(parseStorm(json).contains((stormSummary.injected503,
+        stormSummary.injected500, stormSummary.clientRetries,
+        stormSummary.clientExhausted)), "storm render/parse drift")
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STREAMLOG.json"),
         json.getBytes("UTF-8"))
       println(json)

@@ -10,15 +10,21 @@ import graft.SparkSpec
   */
 class BenchStreamlogSpec extends SparkSpec {
 
-  test("render/parse round-trip preserves the deterministic columns for every phase") {
+  test("render/parse round-trip preserves the deterministic columns for every phase, sweep/MPU names, and the storm block") {
     val phases = Seq(
       "publish@24" -> BenchStreamlog.Phase(4800, 1.234, 24, 48, 0, 0, 0, 0),
       "consume@24" -> BenchStreamlog.Phase(4800, 0.5, 25, 0, 0, 0, 0, 24),
       "compact@24" -> BenchStreamlog.Phase(4800, 2.0, 40, 12, 0, 0, 24, 30),
-      "maintain@24" -> BenchStreamlog.Phase(4800, 0.1, 3, 1, 1, 0, 0, 0))
-    val json = BenchStreamlog.render(phases)
+      "maintain@24" -> BenchStreamlog.Phase(4800, 0.1, 3, 1, 1, 0, 0, 0),
+      // r18 names carry digits + underscores — the parser must keep up
+      "publish_b20000@16" -> BenchStreamlog.Phase(320000, 9.9, 16, 32, 0, 0, 0, 0),
+      "mpu_parallel@16" -> BenchStreamlog.Phase(16, 1.5, 0, 16, 2, 0, 0, 0),
+      "publish_storm@24" -> BenchStreamlog.Phase(4800, 2.2, 24, 48, 0, 0, 0, 0))
+    val storm = BenchStreamlog.StormSummary(17, 5, 22L, 0L)
+    val json = BenchStreamlog.render(phases, Some(storm))
     assert(json.startsWith("""{"metric":"streamlog_bench""""))
     assert(json.contains(""""records_per_batch":200"""))
+    assert(json.contains(""""sweep_batch_sizes":[200,2000,20000]"""))
     val parsed = BenchStreamlog.parse(json)
     assert(parsed.keySet == phases.map(_._1).toSet)
     phases.foreach { case (n, p) =>
@@ -28,6 +34,40 @@ class BenchStreamlogSpec extends SparkSpec {
     // derived fields are consistent with their inputs
     assert(json.contains(""""wire_ops":72"""), "publish 24+48")
     assert(json.contains(""""ops_per_record":0.0150"""), "72/4800")
+    assert(BenchStreamlog.parseStorm(json).contains((17, 5, 22L, 0L)),
+      "the storm block round-trips")
+    // stormless renders parse with no storm block (back-compat)
+    assert(BenchStreamlog.parseStorm(
+      BenchStreamlog.render(phases.take(2))).isEmpty)
+  }
+
+  test("batch-size sweep invariant: publish stays EXACTLY 3 wire ops per batch as batch size grows 10x") {
+    // the crossover claim's load-bearing half (VERDICT r17 #3): bigger
+    // batches must not change the per-batch wire shape — runSweep
+    // itself REQUIREs gets==batches && puts==2*batches, so reaching
+    // the phase list at both sizes IS the invariant
+    Seq(200, 2000).foreach { size =>
+      val phases = BenchStreamlog.runSweep(spark, size, batches = 3).toMap
+      val pub = phases(s"publish_b$size@3")
+      assert(pub.records == 3L * size)
+      assert(pub.wireOps == 9, s"b=$size: ${pub.wireOps} ops for 3 batches")
+      val con = phases(s"consume_b$size@3")
+      assert(con.records == pub.records)
+      assert(con.rangeGets >= 1, "sweep consume rides the range path")
+    }
+  }
+
+  test("MPU bench phase: serial and parallel upload the same spool with identical wire economy (init + parts + complete)") {
+    // tiny spool (12 MiB / 5 MiB parts = 3 parts) — the ARTIFACT run
+    // uses 256 MiB; this gates the harness shape, not the speedup
+    val (n1, p1) = BenchStreamlog.runMpu(12L * 1024 * 1024,
+      5L * 1024 * 1024, 1, "mpu_serial")
+    val (n2, p2) = BenchStreamlog.runMpu(12L * 1024 * 1024,
+      5L * 1024 * 1024, 2, "mpu_parallel")
+    assert(n1 == "mpu_serial@3" && n2 == "mpu_parallel@3")
+    assert(p1.records == 3 && p2.records == 3)
+    assert(p1.puts == 3 && p2.puts == 3, "one PUT per part, both modes")
+    assert(p1.posts == 2 && p2.posts == 2, "initiate + complete, both modes")
   }
 
   test("a tiny real run produces all four phases with the uncontended wire economy") {

@@ -79,12 +79,17 @@ final class S3LiteServer(maxKeys: Int = 1000,
   // conditional-write point a real bucket's backend provides
   private val objects =
     scala.collection.mutable.TreeMap.empty[String, (Array[Byte], String, Long)]
-  // pending multipart uploads: uploadId -> (key, partNumber -> bytes).
+  // pending multipart uploads: uploadId -> (key, partNumber ->
+  // (bytes, md5 digest)). The digest is computed ONCE at part-PUT time
+  // (outside the lock); complete validates and derives the composite
+  // ETag from the STORED digests — re-hashing every part at complete
+  // time measured ~1.1 s of pure lock-held MD5 on a 256 MiB upload.
   // Parts of a pending upload are NOT objects (not GETtable, not
   // listed) — exactly S3's model, which is why client abort is the
   // only cleanup path for a failed upload.
-  private val uploads = scala.collection.mutable.Map
-    .empty[String, (String, scala.collection.mutable.TreeMap[Int, Array[Byte]])]
+  private val uploads = scala.collection.mutable.Map.empty[
+    String,
+    (String, scala.collection.mutable.TreeMap[Int, (Array[Byte], Array[Byte])])]
   /** Pending multipart uploads — 0 after every completed OR aborted
     * upload (the no-billable-parts-left assertion). */
   def pendingUploads: Int = objects.synchronized(uploads.size)
@@ -233,9 +238,13 @@ final class S3LiteServer(maxKeys: Int = 1000,
   def hitCounts: Map[String, Int] =
     Map("GET" -> gets, "HEAD" -> heads, "PUT" -> puts, "DELETE" -> deletes)
 
-  private def md5(b: Array[Byte]): String =
-    "\"" + java.security.MessageDigest.getInstance("MD5").digest(b)
-      .map("%02x".format(_)).mkString + "\""
+  private def md5digest(b: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+
+  private def quoteHex(digest: Array[Byte]): String =
+    "\"" + digest.map("%02x".format(_)).mkString + "\""
+
+  private def md5(b: Array[Byte]): String = quoteHex(md5digest(b))
 
   private def respond(ex: HttpExchange, status: Int,
                       body: Array[Byte] = Array.emptyByteArray,
@@ -449,6 +458,12 @@ final class S3LiteServer(maxKeys: Int = 1000,
       case ("PUT", k) if q("partNumber").isDefined && q("uploadId").isDefined =>
         val pn = q("partNumber").get.toInt
         val id = q("uploadId").get
+        // part-body digest OUTSIDE the object lock: a 64 MiB MD5 held
+        // under the global lock would serialize parallel part uploads
+        // server-side, masking the client concurrency the MPU bench
+        // exists to measure (real S3 obviously hashes parts in
+        // parallel)
+        val partDigest = md5digest(body)
         objects.synchronized {
           puts += 1
           partPutTries(pn) = partPutTries.getOrElse(pn, 0) + 1
@@ -464,8 +479,8 @@ final class S3LiteServer(maxKeys: Int = 1000,
               "<Error><Code>InvalidArgument</Code></Error>".getBytes(UTF_8))
           else uploads.get(id) match {
             case Some((uk, parts)) if uk == k =>
-              parts.put(pn, body)
-              respond(ex, 200, etag = Some(md5(body)))
+              parts.put(pn, (body, partDigest))
+              respond(ex, 200, etag = Some(quoteHex(partDigest)))
             case _ => respond(ex, 404) // NoSuchUpload / key mismatch
           }
         }
@@ -521,6 +536,12 @@ final class S3LiteServer(maxKeys: Int = 1000,
       case ("PUT", k) =>
         val ifMatch = Option(ex.getRequestHeaders.getFirst("If-Match"))
         val ifNone = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+        // content digest OUTSIDE the lock (pure function of the body):
+        // a segment-sized MD5 under the global lock serializes parallel
+        // writers server-side — measured at ~0.5 s of the parallel MPU
+        // wall (the lock must only cover the conditional decision +
+        // store, which is what a real bucket's linearization point is)
+        val e = md5(body)
         objects.synchronized {
           puts += 1
           if (failPuts > 0) { failPuts -= 1; respond(ex, 409) }
@@ -530,7 +551,6 @@ final class S3LiteServer(maxKeys: Int = 1000,
             else if (ifMatch.isDefined && !cur.map(_._2).equals(ifMatch))
               respond(ex, 412)
             else {
-              val e = md5(body)
               objects.put(k, (body, e, System.currentTimeMillis()))
               if (dropResponses > 0) { dropResponses -= 1; ex.close() }
               else respond(ex, 200, etag = Some(e))
@@ -566,23 +586,32 @@ final class S3LiteServer(maxKeys: Int = 1000,
           if (listed.isEmpty) return err("MalformedXML")
           if (listed.map(_._1) != listed.map(_._1).sorted.distinct)
             return err("InvalidPartOrder")
+          // validate against the digests STORED at part-PUT time — no
+          // re-hashing at complete (the real-S3 shape: part ETags were
+          // fixed when the parts landed)
           listed.foreach { case (pn, etag) =>
             parts.get(pn) match {
-              case Some(b) if md5(b) == etag => ()
+              case Some((_, d)) if quoteHex(d) == etag => ()
               case _ => return err("InvalidPart")
             }
           }
           // every non-final listed part must be >= 5 MiB
           listed.dropRight(1).foreach { case (pn, _) =>
-            if (parts(pn).length < 5 * 1024 * 1024)
+            if (parts(pn)._1.length < 5 * 1024 * 1024)
               return err("EntityTooSmall")
           }
-          val out = new java.io.ByteArrayOutputStream()
-          listed.foreach { case (pn, _) => out.write(parts(pn)) }
-          val assembled = out.toByteArray
+          // exact-size assembly (a doubling stream would copy ~2x the
+          // object and dominate large-MPU complete time)
+          val assembled =
+            new Array[Byte](listed.map(p => parts(p._1)._1.length).sum)
+          var off = 0
+          listed.foreach { case (pn, _) =>
+            val b = parts(pn)._1
+            System.arraycopy(b, 0, assembled, off, b.length)
+            off += b.length
+          }
           val md = java.security.MessageDigest.getInstance("MD5")
-          listed.foreach { case (pn, _) => md.update(
-            java.security.MessageDigest.getInstance("MD5").digest(parts(pn))) }
+          listed.foreach { case (pn, _) => md.update(parts(pn)._2) }
           val etag = "\"" + md.digest().map("%02x".format(_)).mkString +
             s"-${listed.size}\""
           objects.put(key, (assembled, etag, System.currentTimeMillis()))
