@@ -1,0 +1,23 @@
+#!/bin/bash
+# Full-suite run with a durable, per-run log (VERDICT r17 #6): the one
+# suspected r17 flake is nameless because the only record of it was a
+# truncated terminal scrollback. Every full run now tees to
+# logs/test-run-<timestamp>.log (last 8 runs kept), so any future
+# failure carries its suite + test name + seed.
+#
+# Usage: tools/run_tests.sh [extra sbt test args]
+#   e.g.  tools/run_tests.sh                       # sbt -batch test
+#         tools/run_tests.sh 'testOnly graft.streamlog.*'
+set -o pipefail
+cd "$(dirname "$0")/.."
+mkdir -p logs
+ts=$(date +%Y%m%dT%H%M%S)
+log="logs/test-run-$ts.log"
+cmd="${1:-test}"
+echo "[run_tests] sbt -batch \"$cmd\" -> $log"
+sbt -batch "$cmd" 2>&1 | tee "$log"
+status=$?
+# rotate: keep the last 8 run logs
+ls -1t logs/test-run-*.log 2>/dev/null | tail -n +9 | xargs -r rm --
+echo "[run_tests] exit=$status log=$log"
+exit $status
