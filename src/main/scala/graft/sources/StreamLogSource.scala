@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.streamlog.{AuthSnapshot, MetaLog, Offset, S3Auth, SegmentMeta, StreamStores}
+import graft.streamlog.{AuthSnapshot, MetaLog, Offset, S3Auth, SegmentIntegrity, SegmentMeta, StreamStores}
 
 /** DataSource V2 batch connector for the stream-log:
   *
@@ -323,7 +323,8 @@ class StreamLogScan(root: String, stream: String, lowerBound: String,
     val auth = StreamStores.s3AuthFor(root)
     kept.zip(paths)
       .map { case (m, p) =>
-        StreamLogPartition(root, stream, m.name, lowerBound, "", p, auth): InputPartition
+        StreamLogPartition(root, stream, m.name, lowerBound, "", p, auth,
+          m.sha256): InputPartition
       }
       .toArray
   }
@@ -448,7 +449,8 @@ class StreamLogMicroBatch(root: String, stream: String, startAfter: String,
     val auth = StreamStores.s3AuthFor(root)
     segs.zip(paths)
       .map { case (m, p) =>
-        StreamLogPartition(root, stream, m.name, after, until, p, auth): InputPartition
+        StreamLogPartition(root, stream, m.name, after, until, p, auth,
+          m.sha256): InputPartition
       }
       .toArray
   }
@@ -515,7 +517,8 @@ class StreamLogWriteBuilder(root: String, stream: String,
 }
 
 case class SegmentCommit(name: String, firstOffset: String, lastOffset: String,
-                         records: Long, bytes: Long) extends WriterCommitMessage
+                         records: Long, bytes: Long,
+                         sha256: String = "") extends WriterCommitMessage
 
 /** Structured Streaming sink for the stream log — exactly-once,
   * offset-assigning, fenced: the native `writeStream.format("streamlog")`
@@ -565,7 +568,8 @@ class StreamLogStreamingWrite(root: String, stream: String,
     // If-Match tag compare is the whole mechanism
     val now = System.currentTimeMillis()
     val metas = segs.map(s =>
-      SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes)).toSeq
+      SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes,
+        s.sha256)).toSeq
     graft.streamlog.MetaCommits.commitSinkEpoch(
       StreamStores.metaStore(root, stream),
       writerEpoch, queryId, epochId, metas)
@@ -599,6 +603,10 @@ case class StreamLogStreamingWriterFactory(root: String, stream: String, base: L
       private val store = StreamStores.segmentStore(root, stream)
       private val tmp = store.newSpool(s"s-$partitionId-$taskId-$epochId")
       private lazy val out = Files.newBufferedWriter(tmp, UTF_8)
+      // running digest of the exact spooled bytes (r18 read-path
+      // integrity) — costs one hash pass interleaved with the write,
+      // no re-read of the spool at commit
+      private val md = java.security.MessageDigest.getInstance("SHA-256")
 
       override def write(row: InternalRow): Unit = {
         val data = row.getUTF8String(0).toString
@@ -610,8 +618,10 @@ case class StreamLogStreamingWriterFactory(root: String, stream: String, base: L
         if (first == null) first = off
         last = off
         out.write(off); out.write(data); out.write("\n")
+        val dataBytes = data.getBytes(UTF_8)
+        md.update(off.getBytes(UTF_8)); md.update(dataBytes); md.update('\n'.toByte)
         records += 1
-        bytes += Offset.Width + 1L + data.getBytes(UTF_8).length
+        bytes += Offset.Width + 1L + dataBytes.length
       }
 
       override def commit(): WriterCommitMessage = {
@@ -625,7 +635,8 @@ case class StreamLogStreamingWriterFactory(root: String, stream: String, base: L
         out.close()
         val name = s"$first-${java.util.UUID.randomUUID()}.seg"
         store.putFromFile(name, tmp)
-        SegmentCommit(name, first, last, records, bytes)
+        SegmentCommit(name, first, last, records, bytes,
+          md.digest().map("%02x".format(_)).mkString)
       }
 
       override def abort(): Unit = {
@@ -667,7 +678,8 @@ class StreamLogBatchWrite(root: String, stream: String,
     // place become orphans the next purgeOrphans() collects).
     val now = System.currentTimeMillis()
     val metas = segs.map(s =>
-      SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes)).toSeq
+      SegmentMeta(s.name, s.firstOffset, s.lastOffset, now, s.records, s.bytes,
+        s.sha256)).toSeq
     graft.streamlog.MetaCommits.commitBulk(
       StreamStores.metaStore(root, stream),
       writerEpoch, metas)
@@ -694,6 +706,7 @@ case class StreamLogWriterFactory(root: String, stream: String,
       private val store = StreamStores.segmentStore(root, stream)
       private val tmp = store.newSpool(s"w-$partitionId-$taskId")
       private lazy val out = Files.newBufferedWriter(tmp, UTF_8)
+      private val md = java.security.MessageDigest.getInstance("SHA-256")
 
       override def write(row: InternalRow): Unit = {
         val off = row.getUTF8String(0).toString
@@ -705,8 +718,10 @@ case class StreamLogWriterFactory(root: String, stream: String,
         if (first == null) first = off
         last = off
         out.write(off); out.write(data); out.write("\n")
+        val dataBytes = data.getBytes(UTF_8)
+        md.update(off.getBytes(UTF_8)); md.update(dataBytes); md.update('\n'.toByte)
         records += 1
-        bytes += Offset.Width + 1L + data.getBytes(UTF_8).length
+        bytes += Offset.Width + 1L + dataBytes.length
       }
 
       override def commit(): WriterCommitMessage = {
@@ -717,7 +732,8 @@ case class StreamLogWriterFactory(root: String, stream: String,
         out.close()
         val name = s"$first-${java.util.UUID.randomUUID()}.seg"
         store.putFromFile(name, tmp)
-        SegmentCommit(name, first, last, records, bytes)
+        SegmentCommit(name, first, last, records, bytes,
+          md.digest().map("%02x".format(_)).mkString)
       }
 
       override def abort(): Unit = { try out.close() catch { case _: Throwable => () }; Files.deleteIfExists(tmp) }
@@ -736,7 +752,8 @@ case class StreamLogWriterFactory(root: String, stream: String,
 case class StreamLogPartition(root: String, stream: String, seg: String,
                               after: String, until: String,
                               path: String = "",
-                              auth: Option[AuthSnapshot] = None)
+                              auth: Option[AuthSnapshot] = None,
+                              sha256: String = "")
     extends InputPartition
 
 /** Carries the DRIVER's Hadoop configuration to the reading tasks
@@ -755,7 +772,8 @@ case class StreamLogReaderFactory(
       // constant memory regardless of segment size; GET fallback: the
       // whole object's lines (bounded by the compaction MaxBytes)
       private var toClose: java.io.Closeable = null
-      private val rawLines: Iterator[String] =
+      private val rawLines: Iterator[String] = SegmentIntegrity.verified(
+        p.seg, p.sha256,
         if (p.path.nonEmpty) {
           val hp = new org.apache.hadoop.fs.Path(p.path)
           val fs = hp.getFileSystem(conf.value)
@@ -768,7 +786,10 @@ case class StreamLogReaderFactory(
           // lazy range-streaming where the store supports it (s3:) —
           // the task never materializes the whole segment
           StreamStores.segmentStore(p.root, p.stream).linesIterator(p.seg)
-        }
+        })
+      // the wrapper checks its digest only when the RAW iterator is
+      // drained, so a limit-pushed early exit (a partial read by
+      // definition) neither pays nor fakes a verification
       private val lines = rawLines
         .filter { l =>
           l.length >= Offset.Width && {

@@ -4,6 +4,14 @@ package graft.streamlog
   * Mirrors the reference's SegmentMetadata (/root/reference/src/segment.ts:3-14):
   * {name, firstOffset, lastOffset, createdMS, records, bytes}. Segments never
   * overlap in offset range; the index is keyed by firstOffset.
+  *
+  * `sha256` (r18, VERDICT r17 #7) is the hex SHA-256 of the segment's
+  * exact stored bytes, recorded at COMMIT time by every writer (publish,
+  * compaction, DSv2 bulk/streaming) and verified by full-segment readers
+  * ([[SegmentIntegrity]]). Empty = unknown (legacy metadata lines, or a
+  * crash-rebuild where the on-store bytes are themselves the source of
+  * truth) — readers skip verification for those segments, so old logs
+  * replay unchanged.
   */
 final case class SegmentMeta(
     name: String,
@@ -11,7 +19,8 @@ final case class SegmentMeta(
     lastOffset: String,
     createdMS: Long,
     records: Long,
-    bytes: Long)
+    bytes: Long,
+    sha256: String = "")
 
 /** Hand-rolled JSON for the tiny metadata log — zero deps, line-oriented.
   * Entry types: add (segment becomes live), tombstone (segment compacted
@@ -30,8 +39,13 @@ object MetaJson {
       case c => c.toString
     }
 
-  def add(m: SegmentMeta): String =
-    s"""{"type":"add","name":"${esc(m.name)}","firstOffset":"${m.firstOffset}","lastOffset":"${m.lastOffset}","createdMS":${m.createdMS},"records":${m.records},"bytes":${m.bytes}}"""
+  def add(m: SegmentMeta): String = {
+    // sha256 emitted only when known, so logs written before r18 and
+    // logs written after it round-trip byte-identically through the
+    // checkpoint rewrite (replay → re-emit must be a fixpoint)
+    val sha = if (m.sha256.isEmpty) "" else s""","sha256":"${m.sha256}""""
+    s"""{"type":"add","name":"${esc(m.name)}","firstOffset":"${m.firstOffset}","lastOffset":"${m.lastOffset}","createdMS":${m.createdMS},"records":${m.records},"bytes":${m.bytes}$sha}"""
+  }
 
   def tombstone(name: String, tombstonedMS: Long): String =
     s"""{"type":"tombstone","name":"${esc(name)}","tombstonedMS":$tombstonedMS}"""
@@ -134,7 +148,7 @@ object MetaLog {
         s.get("type").orElse(Some(if (n.contains("producer_version")) "version" else "")).get match {
           case "add" =>
             index = index.add(SegmentMeta(s("name"), s("firstOffset"), s("lastOffset"),
-              n("createdMS"), n("records"), n("bytes")))
+              n("createdMS"), n("records"), n("bytes"), s.getOrElse("sha256", "")))
           case "tombstone" =>
             index.segments.find(_.name == s("name")).foreach(m => index = index.remove(m))
             tombstones += s("name") -> n("tombstonedMS")

@@ -239,10 +239,12 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
     // undercount non-ASCII and break the compaction MaxBytes bound)
     val bytes = records.map(r => 33L + r.getBytes(UTF_8).length).sum
     val content = offsets.zip(records).map { case (o, r) => o + r }.mkString("", "\n", "\n")
-    segStore.put(segName, content.getBytes(UTF_8)) // atomic whole-object PUT
+    val contentBytes = content.getBytes(UTF_8)
+    segStore.put(segName, contentBytes) // atomic whole-object PUT
 
     val meta = SegmentMeta(segName, offsets.head, offsets.last, nowMs(),
-      records.size.toLong, bytes)
+      records.size.toLong, bytes,
+      sha256 = SegmentIntegrity.sha256Hex(contentBytes))
     index = index.add(meta)
     appendMeta(MetaJson.add(meta))
     flushMonitor.synchronized(flushMonitor.notifyAll())
@@ -282,6 +284,10 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
     * an s3a client resolving per task). */
   private def rawLines(segs: Seq[SegmentMeta]): DataFrame =
     segStore.scanPaths(segs.map(_.name)) match {
+      // Hadoop-addressable path: spark.read.text — integrity there is
+      // the FileSystem layer's own story (HDFS block checksums, s3a
+      // ETag validation); the recorded sha256 guards the bucket path
+      // below, where OUR client is the transport
       case Some(paths) => spark.read.text(paths: _*)
       case None =>
         import spark.implicits._
@@ -289,11 +295,15 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
         // driver credentials ride the closure so a fresh executor JVM
         // signs its GETs (ADVICE r15 — the S3Auth registry is per-JVM)
         val auth = StreamStores.s3AuthFor(root)
-        spark.createDataset(segs.map(_.name))
+        spark.createDataset(segs.map(m => (m.name, m.sha256)))
           .repartition(segs.size)
-          .flatMap { seg =>
+          .flatMap { case (seg, sha) =>
             auth.foreach(S3Auth.ensureRegistered)
-            StreamStores.segmentStore(r, n).linesIterator(seg)
+            // full-segment read (compaction merge / readAfter drains
+            // it) → the running digest is checked at exhaustion, so a
+            // flipped stored byte fails HERE, before any merge commits
+            SegmentIntegrity.verified(seg, sha,
+              StreamStores.segmentStore(r, n).linesIterator(seg))
           }
           .toDF("value")
     }
@@ -425,17 +435,21 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
         case Seq(p) => p
         case ps => throw new IllegalStateException(s"expected 1 part file, got $ps")
       }
+    // digest the spool BEFORE putFromFile consumes it (one streaming
+    // pass; the commit's add entry records it for future readers)
+    val mergedSha = S3Http.sha256HexOfFile(part)
     segStore.putFromFile(merged.name, part)
     deleteRecursively(tmpDir)
+    val mergedWithSha = merged.copy(sha256 = mergedSha)
 
     stateLock.synchronized {
       val ts = nowMs()
       window.foreach(m => index = index.remove(m))
-      index = index.add(merged)
+      index = index.add(mergedWithSha)
       tombstones ++= window.map(_.name -> ts)
-      appendMeta(window.map(m => MetaJson.tombstone(m.name, ts)) :+ MetaJson.add(merged): _*)
+      appendMeta(window.map(m => MetaJson.tombstone(m.name, ts)) :+ MetaJson.add(mergedWithSha): _*)
     }
-    Some(merged)
+    Some(mergedWithSha)
   }
 
   /** Delete tombstoned segment files older than `maxAgeMs` (ts:590-636;
@@ -541,13 +555,15 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
       .repartition(windows.size, col("wid"))
       .sortWithinPartitions("wid", "value")
       .write.partitionBy("wid").mode("overwrite").text(tmpDir.toString)
-    merged.indices.foreach { i =>
+    val mergedWithSha = merged.indices.map { i =>
       val widDir = tmpDir.resolve(s"wid=$i")
       val part = listDir(widDir).filter(_.getFileName.toString.startsWith("part-")) match {
         case Seq(p) => p
         case ps => throw new IllegalStateException(s"expected 1 part file for wid=$i, got $ps")
       }
+      val sha = S3Http.sha256HexOfFile(part)
       segStore.putFromFile(merged(i).name, part)
+      merged(i).copy(sha256 = sha)
     }
     deleteRecursively(tmpDir)
 
@@ -555,11 +571,11 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
       val ts = nowMs()
       val all = windows.flatten
       all.foreach(m => index = index.remove(m))
-      merged.foreach(m => index = index.add(m))
+      mergedWithSha.foreach(m => index = index.add(m))
       tombstones ++= all.map(_.name -> ts)
-      appendMeta(all.map(m => MetaJson.tombstone(m.name, ts)) ++ merged.map(MetaJson.add): _*)
+      appendMeta(all.map(m => MetaJson.tombstone(m.name, ts)) ++ mergedWithSha.map(MetaJson.add): _*)
     }
-    merged
+    mergedWithSha
   }
 
   /** One full maintenance pass — the library-side analog of the
@@ -711,7 +727,11 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
             lines.head.substring(0, Offset.Width),
             lines.last.substring(0, Offset.Width),
             nowMs(), lines.size.toLong,
-            lines.map(_.getBytes(UTF_8).length + 1L).sum))
+            lines.map(_.getBytes(UTF_8).length + 1L).sum,
+            // the on-store bytes ARE the recovery's source of truth —
+            // record their digest so verification re-arms for all
+            // future reads of the adopted segment
+            sha256 = SegmentIntegrity.sha256HexOfLines(lines)))
         } catch {
           // stale-LIST ghost: the object was deleted but the lagged
           // listing still names it — skip, exactly as purgeOrphans
