@@ -668,12 +668,17 @@ object Curate {
          |  SELECT count(*) AS v FROM uni
          |), bi AS MATERIALIZED (
          |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
-         |), lmscored AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    round(CAST(sum(CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
-         |      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_logp
+         |), lmsum AS MATERIALIZED (
+         |  SELECT doc_id, count(*) AS n,
+         |    CAST(sum(CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s
          |  FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
          |  GROUP BY doc_id
+         |), lmscored AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    (CASE WHEN s >= 0 THEN floor((2*s + n) / (2.0*n))
+         |          ELSE -floor((2*(-s) + n) / (2.0*n)) END) / 1000000.0 AS avg_logp
+         |  FROM lmsum
          |), flagged AS (
          |  SELECT b.source, b.n_tokens,
          |    CASE WHEN b.keep_rank <> 1 THEN 'dup'

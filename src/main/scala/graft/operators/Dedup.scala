@@ -1124,14 +1124,20 @@ object Dedup {
     * subtraction (one ulp higher); the casts force DuckDB onto the
     * same IEEE operation.
     */
+  /** The PageRank iteration chain, mirroring [[Graph.pageRank]]'s
+    * integer-picounit kernel (r18): ranks are BIGINT picounits, each
+    * rounding is `roundDivPos(a, b) = floor((2a + b) / 2b)` — spelled
+    * with double division here, exact because 2a ≤ ~1.7e14 « 2^53 —
+    * so the oracle computes the SAME longs as the Spark kernel, with
+    * no engine-specific round(double) tie behavior anywhere. */
   private def prIterCtes(iters: Int): String =
     (1 to iters).map { i =>
       s"""r$i AS MATERIALIZED (
-         |  SELECT vt.v, round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n + 0.85 * coalesce(c.s, 0.0), 12) AS r
-         |  FROM verts vt CROSS JOIN nn
+         |  SELECT vt.v, bp.basep + CAST(floor((2 * 85 * coalesce(c.s, 0) + 100) / (2.0 * 100)) AS BIGINT) AS r
+         |  FROM verts vt CROSS JOIN bp
          |  LEFT JOIN (
          |    SELECT ed.t AS v,
-         |      CAST(sum(CAST(round(pr.r / ed.outdeg, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s
+         |      sum(CAST(floor((2 * pr.r + ed.outdeg) / (2.0 * ed.outdeg)) AS BIGINT)) AS s
          |    FROM ed JOIN r${i - 1} pr ON ed.s = pr.v
          |    GROUP BY ed.t) c ON c.v = vt.v
          |)""".stripMargin
@@ -1162,21 +1168,32 @@ object Dedup {
          |)
          |${verifyOracleTail("0.5")}""".stripMargin,
     "q75_pagerank" ->
-      s"""WITH $SimhashCtes, pairs AS (
+      // every CTE on the iteration chain is MATERIALIZED: duckdb
+      // inlines plain CTEs per reference, so the 10 rK iterations
+      // (each touching verts + nn + deg) would re-run the whole
+      // simhash pipeline ~20x — ~80 GB of spilled temp at sf1.0
+      // before running the disk out (observed r18); materialized,
+      // the pipeline runs once and the chain is 10 cheap joins
+      s"""WITH $SimhashCtes, pairs AS MATERIALIZED (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |), ed0 AS (
+         |), ed0 AS MATERIALIZED (
          |  SELECT doc_a AS s, doc_b AS t FROM pairs
          |  UNION ALL SELECT doc_b, doc_a FROM pairs
-         |), deg AS (SELECT s, count(*) AS outdeg FROM ed0 GROUP BY s),
+         |), deg AS MATERIALIZED (SELECT s, count(*) AS outdeg FROM ed0 GROUP BY s),
          |ed AS MATERIALIZED (SELECT ed0.s, ed0.t, deg.outdeg FROM ed0 JOIN deg USING (s)),
-         |verts AS (SELECT s AS v FROM deg),
-         |nn AS (SELECT count(*) AS n FROM verts),
-         |r0 AS (SELECT v, round(1.0 / nn.n, 12) AS r FROM verts CROSS JOIN nn),
+         |verts AS MATERIALIZED (SELECT s AS v FROM deg),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+         |bp AS MATERIALIZED (
+         |  SELECT CAST(floor((2 * 15 * 1000000000000 + 100 * nn.n) / (2.0 * 100 * nn.n)) AS BIGINT) AS basep FROM nn),
+         |r0 AS MATERIALIZED (
+         |  SELECT v, CAST(floor((2 * 1000000000000 + nn.n) / (2.0 * nn.n)) AS BIGINT) AS r
+         |  FROM verts CROSS JOIN nn),
          |${prIterCtes(10)}
-         |SELECT r10.v AS doc_id, deg.outdeg AS degree, r10.r AS pagerank
+         |SELECT r10.v AS doc_id, deg.outdeg AS degree,
+         |  CAST(r10.r AS DOUBLE) / 1000000000000.0 AS pagerank
          |FROM r10 JOIN deg ON deg.s = r10.v
          |ORDER BY pagerank DESC, doc_id""".stripMargin,
     "q70_incremental_dedup" ->

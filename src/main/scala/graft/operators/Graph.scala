@@ -34,11 +34,13 @@ import graft.core.Caches
   * is the `reduceByKey` that re-keys messages by destination — with
   * map-side combine, so hub vertices aggregate before the wire exactly
   * as the DataFrame partial-aggregate did. Fixed iterations chain
-  * lazily into ONE job instead of a job per round. Numeric semantics
-  * are bit-identical to the SQL expressions (see [[round12]]/[[dec12]];
-  * the replication is property-tested against the real expressions, and
-  * both algorithms are differentially tested against their retained
-  * DataFrame reference implementations on every spec run).
+  * lazily into ONE job instead of a job per round. PageRank's numeric
+  * semantics are exact integer picounits ([[Pico]]/[[roundDivPos]],
+  * r18 — the same longs fall out of the RDD kernel, the SQL twin, and
+  * the DuckDB oracle), and both algorithms are differentially tested
+  * against their retained DataFrame reference implementations on every
+  * spec run ([[round12]]/[[dec12]] remain as the general
+  * round-replication kernels, property-tested in GraphSpec).
   *
   * Skew note: hash-partitioning edges by source vertex concentrates a
   * hub's whole adjacency list in one partition (GraphX has the same
@@ -93,6 +95,35 @@ object Graph {
   private[graft] def dec12(x: Double): java.math.BigDecimal =
     java.math.BigDecimal.valueOf(x)
       .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  /** PageRank's fixed-point unit: ranks are held as integer PICOUNITS
+    * (1e-12) end-to-end, not as 12-decimal-rounded doubles (r18). The
+    * old double kernel was deterministic WITHIN one engine, but its
+    * per-iteration `round(x, 12)` has engine-specific tie behavior —
+    * Spark rounds the double's exact binary expansion, DuckDB scales
+    * by 1e12 first — so at sf1.0 (50k ranks ~1e-5, 10 iterations) ~2%
+    * of cells drifted one ulp-of-round from the oracle. Integer
+    * arithmetic has no ties to break differently: the same longs fall
+    * out of the RDD kernel, the SQL twin, and the DuckDB oracle. */
+  private[graft] val Pico = 1000000000000L
+
+  /** Round-half-up integer division for a >= 0, b > 0 —
+    * floor((2a + b) / 2b), the one rounding kernel every PageRank
+    * implementation AND the DuckDB oracle share (there spelled
+    * `floor((2a + b) / (2.0 * b))`, exact because 2a stays far below
+    * 2^53: contributions cap at ~2*Pico, damped sums at ~85*Pico). */
+  private[graft] def roundDivPos(a: Long, b: Long): Long = (2 * a + b) / (2 * b)
+
+  /** damping as an exact decimal rational (num/den), via the canonical
+    * Double.toString form — 0.85 is exactly 85/100, so the damped step
+    * is integer arithmetic, never a binary-double multiply. */
+  private[graft] def dampingRational(damping: Double): (Long, Long) = {
+    val d = java.math.BigDecimal.valueOf(damping)
+    require(d.scale <= 6 && d.scale >= 0,
+      s"damping must have at most 6 decimal digits, got $damping " +
+        "(the picounit kernel keeps num*rank below 2^63)")
+    (d.unscaledValue.longValueExact, math.pow(10, d.scale.toDouble).toLong)
+  }
 
   /** Target edges per partition for the iteration partitioner — small
     * enough to fit comfortably in executor memory with the per-key
@@ -466,18 +497,20 @@ object Graph {
   /** PageRank over an undirected (src, dst) edge frame — the "which
     * duplicate is the canonical hub" / influence score on the dedup
     * graph. Returns (v, degree, pagerank) for every vertex appearing in
-    * an edge. Runs at most `iters` iterations, stopping early at a
-    * DECIMAL-EXACT fixpoint (see below).
+    * an edge. Runs at most `iters` iterations, stopping early at an
+    * INTEGER-EXACT fixpoint (see below).
     *
-    * Determinism (SURVEY §4): per-edge contributions are rounded to 12
-    * decimals and summed exactly at scale 12 — partition-order
-    * independent — and each new rank is re-rounded to 12 decimals, so
-    * every iteration's rank vector is bit-identical across engines and
-    * cluster widths; the DuckDB oracle replays the same `iters`
-    * iterations as unrolled MATERIALIZED CTEs, and the numeric kernels
-    * ([[round12]]/[[dec12]]) are property-tested bit-for-bit against
-    * the SQL expressions they replicate. Symmetrized edges mean
-    * degree ≥ 1 — no dangling-mass term.
+    * Determinism (SURVEY §4): ranks are integer picounits ([[Pico]],
+    * r18) — per-edge contributions are [[roundDivPos]] integer
+    * divisions, summed as longs (exact, partition-order independent),
+    * and the damped step is integer arithmetic on the exact decimal
+    * rational of `damping` — so every iteration's rank vector is the
+    * SAME longs across engines and cluster widths, with no
+    * round(double) tie behavior anywhere (the old 12-decimal double
+    * kernel drifted one ulp-of-round from DuckDB on ~2% of sf1.0
+    * cells). The DuckDB oracle replays the same `iters` iterations as
+    * unrolled MATERIALIZED CTEs over the same kernel. Symmetrized
+    * edges mean degree ≥ 1 — no dangling-mass term.
     *
     * Early exit (VERDICT r7 item 3): at each probe boundary (i = 1,
     * every [[CheckpointEvery]], and i = iters) the update carries the
@@ -522,9 +555,10 @@ object Graph {
       StructField("degree", LongType), StructField("pagerank", DoubleType)))
     if (n == 0)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
-    val r0 = round12(1.0 / n)
-    val base = (1 - damping) / n
-    var ranks: RDD[(Long, Double)] = deg.mapValues(_ => r0)
+    val (dNum, dDen) = dampingRational(damping)
+    val r0p = roundDivPos(Pico, n)
+    val basep = roundDivPos((dDen - dNum) * Pico, dDen * n)
+    var ranks: RDD[(Long, Long)] = deg.mapValues(_ => r0p)
     lastIters = 0
     var prevPersist: RDD[_] = null
     var converged = false
@@ -532,11 +566,11 @@ object Graph {
     while (!converged && i <= iters) {
       val rankDeg = deg.join(ranks, part) // narrow: (v, (outdeg, r))
       val contribs = edges.join(rankDeg, part) // narrow: (s, (d, (outdeg, r)))
-        .map { case (_, (d, (dg, r))) => (d, dec12(round12(r / dg))) }
-      val sums = contribs.reduceByKey(part, _.add(_)) // THE shuffle: exact, map-side combined
+        .map { case (_, (d, (dg, r))) => (d, roundDivPos(r, dg)) }
+      val sums = contribs.reduceByKey(part, _ + _) // THE shuffle: exact, map-side combined
       val next = ranks.leftOuterJoin(sums, part) // narrow; carries r_prev for the probe
         .mapValues { case (rPrev, s) =>
-          (round12(base + damping * s.map(_.doubleValue).getOrElse(0.0)), rPrev)
+          (basep + roundDivPos(dNum * s.getOrElse(0L), dDen), rPrev)
         }
       if (i == 1 || i % CheckpointEvery == 0 || i == iters) {
         next.persist(StorageLevel.MEMORY_AND_DISK)
@@ -553,16 +587,18 @@ object Graph {
     }
     if (prevPersist != null) Caches.trackRdd(prevPersist)
     spark.createDataFrame(
-      ranks.join(deg, part).map { case (v, (r, dg)) => Row(v, dg, r) },
+      ranks.join(deg, part).map { case (v, (r, dg)) =>
+        Row(v, dg, r.toDouble / Pico) },
       outSchema)
   }
 
-  /** The hub-salted [[pageRank]] core: same exact-decimal contribution
-    * sums, probes, and early exit, but the contribution join runs on
-    * salt lanes — the (degree, rank) frame is replicated onto each hot
-    * vertex's k lanes every iteration (each lane contributes only its
-    * own edges' shares, and decimal sums are associative, so the
-    * per-destination totals are bit-identical to the plain loop's). */
+  /** The hub-salted [[pageRank]] core: same exact integer-picounit
+    * contribution sums, probes, and early exit, but the contribution
+    * join runs on salt lanes — the (degree, rank) frame is replicated
+    * onto each hot vertex's k lanes every iteration (each lane
+    * contributes only its own edges' shares, and long sums are
+    * associative, so the per-destination totals are bit-identical to
+    * the plain loop's). */
   private def pageRankSalted(edges0: DataFrame, iters: Int, damping: Double,
                              earlyExit: Boolean, k: Int): DataFrame = {
     val spark = edges0.sparkSession
@@ -572,9 +608,10 @@ object Graph {
       StructField("degree", LongType), StructField("pagerank", DoubleType)))
     if (n == 0)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
-    val r0 = round12(1.0 / n)
-    val base = (1 - damping) / n
-    var ranks: RDD[(Long, Double)] = deg.mapValues(_ => r0)
+    val (dNum, dDen) = dampingRational(damping)
+    val r0p = roundDivPos(Pico, n)
+    val basep = roundDivPos((dDen - dNum) * Pico, dDen * n)
+    var ranks: RDD[(Long, Long)] = deg.mapValues(_ => r0p)
     lastIters = 0
     var prevPersist: RDD[_] = null
     var converged = false
@@ -582,11 +619,11 @@ object Graph {
     while (!converged && i <= iters) {
       val rankDeg = deg.join(ranks, part) // narrow plain-keyed lookup
       val contribs = edges.join(saltView(rankDeg, k, part, hot), part)
-        .map { case (_, (d, (dg, r))) => (d, dec12(round12(r / dg))) }
-      val sums = contribs.reduceByKey(part, _.add(_)) // exact, map-side combined
+        .map { case (_, (d, (dg, r))) => (d, roundDivPos(r, dg)) }
+      val sums = contribs.reduceByKey(part, _ + _) // exact, map-side combined
       val next = ranks.leftOuterJoin(sums, part)
         .mapValues { case (rPrev, s) =>
-          (round12(base + damping * s.map(_.doubleValue).getOrElse(0.0)), rPrev)
+          (basep + roundDivPos(dNum * s.getOrElse(0L), dDen), rPrev)
         }
       if (i == 1 || i % CheckpointEvery == 0 || i == iters) {
         next.persist(StorageLevel.MEMORY_AND_DISK)
@@ -603,7 +640,8 @@ object Graph {
     }
     if (prevPersist != null) Caches.trackRdd(prevPersist)
     spark.createDataFrame(
-      ranks.join(deg, part).map { case (v, (r, dg)) => Row(v, dg, r) },
+      ranks.join(deg, part).map { case (v, (r, dg)) =>
+        Row(v, dg, r.toDouble / Pico) },
       outSchema)
   }
 
@@ -623,10 +661,19 @@ object Graph {
     val edgesDeg = Caches.persist(edges.join(deg, "src"))
     val verts = Caches.persist(deg.select(col("src").as("v"), col("outdeg")))
     val n = verts.count()
+    if (n == 0) // mirror pageRank's empty-graph early return (the
+      // picounit divisions below would otherwise / by zero at plan time)
+      return verts.select(col("v"), col("outdeg").cast("long").as("degree"),
+        lit(0.0).as("pagerank"))
+    val (dNum, dDen) = dampingRational(damping)
+    val basep = roundDivPos((dDen - dNum) * Pico, dDen * n)
     lastIters = 0
     var ranks: DataFrame = null
     withLoopParallelism(verts, n) {
-      ranks = verts.select(col("v"), round(lit(1.0 / n), 12).as("r"))
+      // ranks as integer picounits throughout (see [[Pico]]): `div` is
+      // Spark SQL's integral division, so the whole loop is exact long
+      // arithmetic — the same longs as the RDD kernel and the oracle
+      ranks = verts.select(col("v"), lit(roundDivPos(Pico, n)).as("r"))
         .localCheckpoint(true)
       var converged = false
       var i = 1
@@ -634,12 +681,13 @@ object Graph {
         val contribs = edgesDeg
           .join(ranks.select(col("v").as("src"), col("r")), "src")
           .select(col("dst"),
-            round(col("r") / col("outdeg"), 12).cast("decimal(38,12)").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).cast("double").as("s"))
+            expr("(2L * r + outdeg) div (2L * outdeg)").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
         val next = ranks.select(col("v"), col("r").as("r_prev"))
           .join(contribs.withColumnRenamed("dst", "v"), Seq("v"), "left")
           .select(col("v"),
-            round(lit((1 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("r"),
+            expr(s"${basep}L + (2L * ${dNum}L * coalesce(s, 0L) + ${dDen}L) " +
+              s"div (2L * ${dDen}L)").as("r"),
             col("r_prev"))
         if (i == 1 || i % CheckpointEvery == 0 || i == iters) {
           val checked = next.localCheckpoint(true)
@@ -654,7 +702,7 @@ object Graph {
     }
     ranks.join(verts, "v")
       .select(col("v"), col("outdeg").cast("long").as("degree"),
-        col("r").as("pagerank"))
+        (col("r").cast("double") / lit(Pico.toDouble)).as("pagerank"))
   }
 
   /** Community detection by SYNCHRONOUS label propagation (Raghavan,

@@ -60,13 +60,24 @@ object NgramLm {
     val bi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val logp = round(
       log((col("c2") + lit(1)).cast("double") / (col("c1") + lit(v)).cast("double")), 6)
+    // the mean's final rounding is INTEGER arithmetic in micro-units,
+    // not round(double, 6): the decimal sum is already engine-exact,
+    // but Spark rounds a double via its exact binary expansion while
+    // DuckDB scales by 1e6 first — a quotient within one ulp of a .5
+    // micro-boundary flips between them (one cell at sf1.0, r18).
+    // half-away-from-zero on integers is unambiguous everywhere:
+    // floor((2s + n) / 2n) for s >= 0, mirrored for s < 0
+    val sMicro = (sum(logp.cast("decimal(18,6)")) * lit(1000000)).cast("long")
+    val nBg = count(lit(1))
+    val avgMicro = when(sMicro >= 0,
+      floor((sMicro * lit(2) + nBg).cast("double") / (nBg * lit(2)).cast("double")))
+      .otherwise(-floor(((-sMicro) * lit(2) + nBg).cast("double") / (nBg * lit(2)).cast("double")))
     val scored = bg
       .join(bi, Seq("w1", "w2"))
       .join(vocab, Seq("w1"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(logp.cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
-          .as("avg_logp"))
+      .agg(nBg.as("n_bigrams"),
+        (avgMicro.cast("double") / lit(1000000.0)).as("avg_logp"))
     d.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -225,12 +236,17 @@ object NgramLm {
         |  SELECT count(*) AS v FROM uni
         |), bi AS (
         |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
-        |), scored AS (
-        |  SELECT doc_id, count(*) AS n_bigrams,
-        |    round(CAST(sum(CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
-        |      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_logp
+        |), ssum AS (
+        |  SELECT doc_id, count(*) AS n,
+        |    CAST(sum(CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s
         |  FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
         |  GROUP BY doc_id
+        |), scored AS (
+        |  SELECT doc_id, n AS n_bigrams,
+        |    (CASE WHEN s >= 0 THEN floor((2*s + n) / (2.0*n))
+        |          ELSE -floor((2*(-s) + n) / (2.0*n)) END) / 1000000.0 AS avg_logp
+        |  FROM ssum
         |)
         |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
         |  coalesce(s.avg_logp, 0.0) AS avg_logp

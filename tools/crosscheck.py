@@ -72,6 +72,13 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # scaled runs (sf1.0) need headroom: duckdb's default memory cap
+    # forces the q75 banded self-join to spill ~80 GB of temp to disk
+    # (observed r18) when the whole thing fits in this box's RAM;
+    # GRAFT_DUCKDB_MEM=0 keeps the library default for small SFs
+    mem = os.environ.get("GRAFT_DUCKDB_MEM", "96GB")
+    if mem and mem != "0":
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table dir (e.g. a ScaleData sf1.0)

@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-end evidence gate (VERDICT r17 #4: PLANS.md was three rounds
+# stale and only accidentally accurate — plan evidence must be
+# regenerated ON THE SHIPPED TREE every round, alongside the bench
+# sidecar, instead of resting on a "no query paths changed" diff
+# argument).
+#
+# Runs, in order, each against the CURRENT tree:
+#   1. PLANS.md      — formatted physical plan of every headline query
+#                      at sf0.01 (pushdown / pruning / join strategy /
+#                      codegen span audit trail);
+#   2. BENCH_DETAIL.json — the per-query wall+cpu sidecar at sf0.1
+#                      (medians + raw samples + load sentinels), the
+#                      round-over-round comparison surface;
+#   3. full suite    — via run_tests.sh so the output survives in a
+#                      rotated per-run log (no more nameless flakes).
+#
+# Usage: tools/roundend.sh [--skip-tests]
+set -eo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== [1/3] PLANS.md on the shipped tree =="
+sbt -batch "runMain graft.Plans /root/testdata/sf0.01 PLANS.md"
+
+echo "== [2/3] bench sidecar (sf0.1, BENCH_DETAIL.json) =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench"
+
+if [[ "${1:-}" != "--skip-tests" ]]; then
+  echo "== [3/3] full suite (logged) =="
+  tools/run_tests.sh
+fi
+
+echo "== roundend: done — commit PLANS.md + BENCH_DETAIL.json =="
