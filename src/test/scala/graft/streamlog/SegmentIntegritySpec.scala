@@ -165,6 +165,38 @@ class SegmentIntegritySpec extends SparkSpec {
       SegmentIntegrity.sha256Hex(raw))
   }
 
+  test("range-GET streaming reads verify across chunk boundaries (s3: plane, multibyte)") {
+    // the mem: gates exercise whole-object getLines; THIS gate drives
+    // the chunked Range-GET streamer (7-byte chunks split lines AND
+    // UTF-8 multibyte sequences) — the digest is reconstructed from
+    // decoded lines, so chunking must be invisible to it
+    val srv = new S3LiteServer()
+    try {
+      val segs = new S3SegmentStore(srv.endpoint, "b", "s1/segments/",
+        rangeChunkBytes = 7)
+      val off = Offset.serialize(1000000000000L, 0L)
+      val off2 = Offset.serialize(1000000000000L, 1L)
+      val body = (off + """{"t":"héllo wörld"}""" + "\n" +
+        off2 + """{"t":"ünïcode"}""" + "\n").getBytes(UTF_8)
+      segs.put("a.seg", body)
+      val sha = SegmentIntegrity.sha256Hex(body)
+      // clean: full drain across ~10 chunks verifies green
+      val lines = SegmentIntegrity.verified("a.seg", sha,
+        segs.linesIterator("a.seg")).toVector
+      assert(lines.size == 2 && lines(0).contains("héllo wörld"))
+      // flipped byte INSIDE a multibyte char's payload region: loud
+      val bad = body.clone(); bad(off.length + 9) = (bad(off.length + 9) ^ 0x01).toByte
+      segs.put("a.seg", bad)
+      intercept[CorruptSegmentException] {
+        SegmentIntegrity.verified("a.seg", sha, segs.linesIterator("a.seg")).toVector
+      }
+      // early exit after line 1 is a partial read: no verification fires
+      val one = SegmentIntegrity.verified("a.seg", sha,
+        segs.linesIterator("a.seg")).take(1).toVector
+      assert(one.size == 1)
+    } finally srv.stop()
+  }
+
   test("verified() catches truncation and extension, not just flips") {
     val body = "aaa\nbbb\n".getBytes(UTF_8)
     val sha = SegmentIntegrity.sha256Hex(body)
