@@ -670,14 +670,12 @@ object Curate {
          |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
          |), lmsum AS MATERIALIZED (
          |  SELECT doc_id, count(*) AS n,
-         |    CAST(sum(CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
-         |      AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s
+         |    ${NgramLm.lmMicroSumSql} AS s
          |  FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
          |  GROUP BY doc_id
          |), lmscored AS MATERIALIZED (
          |  SELECT doc_id,
-         |    (CASE WHEN s >= 0 THEN floor((2*s + n) / (2.0*n))
-         |          ELSE -floor((2*(-s) + n) / (2.0*n)) END) / 1000000.0 AS avg_logp
+         |    ${NgramLm.lmAvgFromMicroSql("s", "n")} AS avg_logp
          |  FROM lmsum
          |), flagged AS (
          |  SELECT b.source, b.n_tokens,

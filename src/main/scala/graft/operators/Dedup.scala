@@ -1114,22 +1114,14 @@ object Dedup {
        |)""".stripMargin
 
   /** The q75 oracle's unrolled PageRank iterations: r{i} from r{i-1},
-    * MATERIALIZED (DuckDB would otherwise inline the chain
-    * combinatorially — the q54 Lloyd-CTE lesson). Arithmetic matches
-    * [[Graph.pageRank]] op-for-op: 12-decimal rounded contributions,
-    * exact DECIMAL(38,12) sums, and the teleport numerator spelled as
-    * `CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)` — bare `1.0 - 0.85`
-    * would be exact DECIMAL subtraction in DuckDB (0.15, → the double
-    * nearest 0.15), while Scala's `1 - damping` is the IEEE double
-    * subtraction (one ulp higher); the casts force DuckDB onto the
-    * same IEEE operation.
-    */
-  /** The PageRank iteration chain, mirroring [[Graph.pageRank]]'s
-    * integer-picounit kernel (r18): ranks are BIGINT picounits, each
-    * rounding is `roundDivPos(a, b) = floor((2a + b) / 2b)` — spelled
-    * with double division here, exact because 2a ≤ ~1.7e14 « 2^53 —
-    * so the oracle computes the SAME longs as the Spark kernel, with
-    * no engine-specific round(double) tie behavior anywhere. */
+    * each MATERIALIZED (DuckDB would otherwise inline the chain
+    * combinatorially — the q54 Lloyd-CTE lesson), mirroring
+    * [[Graph.pageRank]]'s integer-picounit kernel (r18): ranks are
+    * BIGINT picounits, each rounding is `roundDivPos(a, b) =
+    * floor((2a + b) / 2b)` — spelled with double division here, exact
+    * because 2a ≤ ~1.7e14 « 2^53 — so the oracle computes the SAME
+    * longs as the Spark kernel, with no engine-specific round(double)
+    * tie behavior anywhere. */
   private def prIterCtes(iters: Int): String =
     (1 to iters).map { i =>
       s"""r$i AS MATERIALIZED (

@@ -219,9 +219,28 @@ object NgramLm {
     "q68_lm_score" -> (q68LmScore _)
   )
 
+  /** The cross-engine-critical lm-score SQL kernel, SHARED verbatim
+    * between the q68 oracle below and Curate's q69 lm CTEs (r18
+    * review: the r18 exactness fix had to land in two copies — one
+    * shared fragment makes divergence impossible).
+    *
+    * [[lmMicroSumSql]]: per-doc exact-decimal sum of the 6-dp-rounded
+    * bigram log-likelihoods, scaled to BIGINT micro-units (exact —
+    * the decimal has scale 6). [[lmAvgFromMicroSql]]: the mean with
+    * half-away-from-zero INTEGER rounding — floor((2s + n) / 2n)
+    * mirrored for s < 0, double-division-exact at these magnitudes —
+    * divided back to a double; no round(double) tie behavior. */
+  private[operators] val lmMicroSumSql: String =
+    """CAST(sum(CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
+      |      AS DECIMAL(18,6))) * 1000000 AS BIGINT)""".stripMargin
+
+  private[operators] def lmAvgFromMicroSql(s: String, n: String): String =
+    s"(CASE WHEN $s >= 0 THEN floor((2*$s + $n) / (2.0*$n)) " +
+      s"ELSE -floor((2*(-$s) + $n) / (2.0*$n)) END) / 1000000.0"
+
   val oracle: Map[String, String] = Map(
     "q68_lm_score" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
         |), tok AS (
         |  SELECT doc_id, unnest(arr) AS w, unnest(range(len(arr))) AS pos FROM d
@@ -238,14 +257,12 @@ object NgramLm {
         |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
         |), ssum AS (
         |  SELECT doc_id, count(*) AS n,
-        |    CAST(sum(CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
-        |      AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s
+        |    $lmMicroSumSql AS s
         |  FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
         |  GROUP BY doc_id
         |), scored AS (
         |  SELECT doc_id, n AS n_bigrams,
-        |    (CASE WHEN s >= 0 THEN floor((2*s + n) / (2.0*n))
-        |          ELSE -floor((2*(-s) + n) / (2.0*n)) END) / 1000000.0 AS avg_logp
+        |    ${lmAvgFromMicroSql("s", "n")} AS avg_logp
         |  FROM ssum
         |)
         |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,

@@ -636,7 +636,7 @@ case class StreamLogStreamingWriterFactory(root: String, stream: String, base: L
         val name = s"$first-${java.util.UUID.randomUUID()}.seg"
         store.putFromFile(name, tmp)
         SegmentCommit(name, first, last, records, bytes,
-          md.digest().map("%02x".format(_)).mkString)
+          SegmentIntegrity.hex(md))
       }
 
       override def abort(): Unit = {
@@ -733,7 +733,7 @@ case class StreamLogWriterFactory(root: String, stream: String,
         val name = s"$first-${java.util.UUID.randomUUID()}.seg"
         store.putFromFile(name, tmp)
         SegmentCommit(name, first, last, records, bytes,
-          md.digest().map("%02x".format(_)).mkString)
+          SegmentIntegrity.hex(md))
       }
 
       override def abort(): Unit = { try out.close() catch { case _: Throwable => () }; Files.deleteIfExists(tmp) }

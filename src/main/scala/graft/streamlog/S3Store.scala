@@ -130,8 +130,9 @@ private[streamlog] object S3Http {
 
   /** Run one send thunk under [[retryPolicy]]: re-send while the
     * response status is transient, sleeping full-jitter backoff
-    * (or the server's own Retry-After when present — never longer
-    * than the remaining budget) between attempts. Exhaustion returns
+    * (or the server's own Retry-After when present — capped at the
+    * policy's `maxDelayMs` like the AWS SDKs cap theirs, and never
+    * longer than the remaining budget) between attempts. Exhaustion returns
     * the last transient response so every caller's existing
     * status-check `require` fails loudly with the real status — no
     * error path changes shape. An interrupt during backoff (the
@@ -144,12 +145,17 @@ private[streamlog] object S3Http {
     var r = once()
     while (isTransient(r.status) && attempt < policy.maxAttempts &&
            sleptMs < policy.totalBudgetMs) {
-      val backoff = r.retryAfterSec.map(_ * 1000L).getOrElse {
-        val cap = math.min(policy.maxDelayMs,
-          policy.baseDelayMs * (1L << math.min(attempt - 1, 30)))
-        if (cap <= 0) 0L
-        else java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1)
-      }
+      // a server Retry-After is a HINT, capped at the policy's
+      // per-sleep ceiling exactly as the AWS SDKs cap theirs (r18
+      // review: uncapped, a hostile/buggy 'Retry-After: 120' made
+      // every request sleep the whole 30 s budget instead of 5 s)
+      val backoff = r.retryAfterSec.map(s => math.min(s * 1000L, policy.maxDelayMs))
+        .getOrElse {
+          val cap = math.min(policy.maxDelayMs,
+            policy.baseDelayMs * (1L << math.min(attempt - 1, 30)))
+          if (cap <= 0) 0L
+          else java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1)
+        }
       val sleep = math.min(backoff, policy.totalBudgetMs - sleptMs)
       if (sleep > 0) {
         try Thread.sleep(sleep)
@@ -214,9 +220,11 @@ private[streamlog] object S3Http {
   private val clients = Array.fill(8)(HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(10))
     .build())
-  private val clientPick = new java.util.concurrent.atomic.AtomicInteger(0)
+  // ACTUAL thread stickiness (r18 review: a global round-robin counter
+  // rotated every CALL, so a serial caller cycled through all 8 clients
+  // and opened 8 connections where keep-alive reuse wants 1)
   private def client: HttpClient =
-    clients(Math.floorMod(clientPick.getAndIncrement(), clients.length))
+    clients(Math.floorMod(Thread.currentThread().getId.toInt, clients.length))
 
   /** [[send]] through an [[S3AuthRef]]: credentials resolve PER
     * REQUEST, and a 403 gets exactly one re-resolve-and-retry when the
@@ -624,9 +632,19 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
         }
       } finally in.close()
       pool.shutdown()
-      if (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS))
+      // a failure recorded DURING the read loop cancels in-flight peers
+      // NOW (the docstring's first-failure-wins contract): without
+      // shutdownNow here, up to `multipartConcurrency` peers would each
+      // burn their full retry budget before the graceful wait returned
+      // and the catch block finally interrupted them
+      if (failed.get() != null) pool.shutdownNow()
+      if (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)) {
+        // the stall is secondary when a real failure is already in
+        // hand — never mask the root cause with the timeout message
+        Option(failed.get()).foreach(throw _)
         throw new IllegalStateException(
           s"multipart upload of $name stalled — parts still in flight after 1h")
+      }
       Option(failed.get()).foreach(throw _)
       // quiescence guard (ADVICE r17 #1), mirroring sendFile's: a spool
       // that GREW mid-upload would otherwise complete successfully with

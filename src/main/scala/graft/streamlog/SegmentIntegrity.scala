@@ -44,6 +44,18 @@ object SegmentIntegrity {
     * segment bytes are already in memory when committed). */
   def sha256Hex(bytes: Array[Byte]): String = SigV4.sha256Hex(bytes)
 
+  /** Finish a digest as lowercase hex — the ONE formatter every
+    * committer and verifier shares, so the comparison can never be
+    * broken by one site drifting to a different encoding (r18 review:
+    * the expression was previously copy-pasted at five sites). */
+  def hex(md: java.security.MessageDigest): String = {
+    val d = md.digest()
+    val sb = new java.lang.StringBuilder(d.length * 2)
+    d.foreach(b => sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+      .append(Character.forDigit(b & 0xf, 16)))
+    sb.toString
+  }
+
   /** Hex SHA-256 reconstructed from decoded LINES (the crash-rebuild
     * form: the rebuilder has the lines in hand and the on-store bytes
     * ARE the source of truth, so recording their digest re-arms
@@ -51,7 +63,7 @@ object SegmentIntegrity {
   def sha256HexOfLines(lines: Iterable[String]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     lines.foreach { l => md.update(l.getBytes(UTF_8)); md.update('\n'.toByte) }
-    md.digest().map("%02x".format(_)).mkString
+    hex(md)
   }
 
   /** Wrap a segment's line iterator with a running SHA-256 that is
@@ -69,7 +81,7 @@ object SegmentIntegrity {
         val h = lines.hasNext
         if (!h && !checked) {
           checked = true
-          val got = md.digest().map("%02x".format(_)).mkString
+          val got = hex(md)
           if (got != expectedHex)
             throw new CorruptSegmentException(
               s"segment $segName failed integrity verification: stored " +

@@ -601,9 +601,15 @@ final class S3LiteServer(maxKeys: Int = 1000,
               return err("EntityTooSmall")
           }
           // exact-size assembly (a doubling stream would copy ~2x the
-          // object and dominate large-MPU complete time)
-          val assembled =
-            new Array[Byte](listed.map(p => parts(p._1)._1.length).sum)
+          // object and dominate large-MPU complete time); sum as LONG —
+          // an Int sum goes negative past 2 GiB and would fail a
+          // future large-MPU gate with a confusing server-side
+          // NegativeArraySizeException instead of the documented cap
+          val totalBytes = listed.map(p => parts(p._1)._1.length.toLong).sum
+          require(totalBytes <= Int.MaxValue.toLong,
+            s"S3LiteServer holds assembled objects in one byte[] — " +
+              s"$totalBytes bytes exceeds its 2 GiB in-memory ceiling")
+          val assembled = new Array[Byte](totalBytes.toInt)
           var off = 0
           listed.foreach { case (pn, _) =>
             val b = parts(pn)._1

@@ -88,10 +88,12 @@ class ThrottleRetrySpec extends SparkSpec {
 
   test("Retry-After is honored: the client sleeps the server's delta-seconds, not its own jitter") {
     withServer() { srv =>
-      // jitter cap 1ms makes any observed >=900ms sleep attributable
-      // only to the Retry-After header
+      // baseDelayMs 1 caps attempt-1 jitter at 1ms (jitter grows as
+      // base*2^k, independent of maxDelayMs), so any observed >=900ms
+      // sleep is attributable only to the Retry-After header;
+      // maxDelayMs 5000 leaves the header under the r18 hint cap
       withPolicy(S3Http.RetryPolicy(maxAttempts = 3, baseDelayMs = 1,
-        maxDelayMs = 1, totalBudgetMs = 10000)) {
+        maxDelayMs = 5000, totalBudgetMs = 10000)) {
         val segs = new S3SegmentStore(srv.endpoint, "b", "p/")
         segs.put("a.seg", "x\n".getBytes)
         srv.throttleRetryAfterSec = Some(1)
@@ -129,12 +131,37 @@ class ThrottleRetrySpec extends SparkSpec {
     }
   }
 
+  test("a hostile Retry-After is capped at the policy's per-sleep ceiling, not the whole budget") {
+    withServer() { srv =>
+      // Retry-After: 2 (2000ms) against maxDelayMs 100: the hint must
+      // clamp to ~100ms per sleep — uncapped it would stall the caller
+      // the full header value on every attempt (r18 review)
+      withPolicy(S3Http.RetryPolicy(maxAttempts = 3, baseDelayMs = 1,
+        maxDelayMs = 100, totalBudgetMs = 10000)) {
+        val segs = new S3SegmentStore(srv.endpoint, "b", "p/")
+        segs.put("a.seg", "x\n".getBytes)
+        srv.throttleRetryAfterSec = Some(2)
+        srv.throttleNext = 1
+        val t0 = System.nanoTime()
+        assert(new String(segs.get("a.seg")) == "x\n")
+        val elapsedMs = (System.nanoTime() - t0) / 1e6
+        srv.throttleRetryAfterSec = None
+        assert(elapsedMs < 1500,
+          s"Retry-After: 2 must clamp to maxDelayMs=100, slept ${elapsedMs}ms")
+        assert(S3Http.throttleSleptMs.get() <= 150L,
+          s"slept-ms ${S3Http.throttleSleptMs.get()} — hint not capped")
+      }
+    }
+  }
+
   test("backoff sleep budget caps a persistent outage in bounded time") {
     withServer() { srv =>
-      // budget 50ms with Retry-After: 1 → the first retry sleeps the
-      // capped 50ms, the budget is spent, the second 503 exhausts
+      // budget 50ms with Retry-After: 1 → the first retry's 1000ms
+      // header hint (maxDelayMs 10000 leaves it uncapped) clamps to
+      // the remaining 50ms budget, the budget is spent, the second
+      // 503 exhausts
       withPolicy(S3Http.RetryPolicy(maxAttempts = 10, baseDelayMs = 1,
-        maxDelayMs = 2, totalBudgetMs = 50)) {
+        maxDelayMs = 10000, totalBudgetMs = 50)) {
         val segs = new S3SegmentStore(srv.endpoint, "b", "p/")
         segs.put("a.seg", "x\n".getBytes)
         srv.throttleRetryAfterSec = Some(1)
