@@ -209,22 +209,25 @@ private[streamlog] object S3Http {
     Option(r.headers().firstValue("Retry-After").orElse(null))
       .flatMap(_.toLongOption).filter(_ >= 0)
 
-  /** A small bank of HTTP clients, picked by thread affinity: the JDK
-    * HttpClient funnels ALL of an instance's socket I/O through ONE
-    * SelectorManager thread, so a single shared client serializes
+  /** A small bank of HTTP clients, picked ROUND-ROBIN per call: the
+    * JDK HttpClient funnels ALL of an instance's socket I/O through
+    * ONE SelectorManager thread, so a single shared client serializes
     * concurrent large-body transfers (measured: 8-way parallel
     * multipart uploads gained 1.1x over serial through one client).
-    * Thread-sticky selection keeps connection affinity (and keep-alive
-    * reuse) for serial callers while letting a parallel part pool or a
-    * maintenance fleet spread across selectors. */
+    * Round-robin deliberately beats thread-sticky selection here —
+    * measured on the loopback bench (r18): pinning a serial caller to
+    * ONE client/connection costs 2-5x (publish 7.7k → 4.0k rec/s,
+    * consume 21.9k → 4.3k — ~40 ms/op, the classic delayed-ACK /
+    * Nagle interaction on a strictly-serial reused connection), while
+    * rotation still reuses each connection every 8th request (warm
+    * keep-alive pool) and spreads concurrent callers across
+    * selectors. */
   private val clients = Array.fill(8)(HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(10))
     .build())
-  // ACTUAL thread stickiness (r18 review: a global round-robin counter
-  // rotated every CALL, so a serial caller cycled through all 8 clients
-  // and opened 8 connections where keep-alive reuse wants 1)
+  private val clientPick = new java.util.concurrent.atomic.AtomicInteger(0)
   private def client: HttpClient =
-    clients(Math.floorMod(Thread.currentThread().getId.toInt, clients.length))
+    clients(Math.floorMod(clientPick.getAndIncrement(), clients.length))
 
   /** [[send]] through an [[S3AuthRef]]: credentials resolve PER
     * REQUEST, and a 403 gets exactly one re-resolve-and-retry when the
