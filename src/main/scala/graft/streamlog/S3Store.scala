@@ -148,8 +148,13 @@ private[streamlog] object S3Http {
       // a server Retry-After is a HINT, capped at the policy's
       // per-sleep ceiling exactly as the AWS SDKs cap theirs (r18
       // review: uncapped, a hostile/buggy 'Retry-After: 120' made
-      // every request sleep the whole 30 s budget instead of 5 s)
-      val backoff = r.retryAfterSec.map(s => math.min(s * 1000L, policy.maxDelayMs))
+      // every request sleep the whole 30 s budget instead of 5 s).
+      // Clamp the SECONDS before multiplying — `s * 1000L` on an
+      // absurd header value wraps negative and would turn the cap
+      // into zero-sleep instant retries (r18 review, second pass)
+      val backoff = r.retryAfterSec
+        .map(s => math.min(s, 86400L) * 1000L) // a day, overflow-safe
+        .map(ms => math.min(ms, policy.maxDelayMs))
         .getOrElse {
           val cap = math.min(policy.maxDelayMs,
             policy.baseDelayMs * (1L << math.min(attempt - 1, 30)))
@@ -311,7 +316,7 @@ private[streamlog] object S3Http {
       var n = in.read(buf)
       while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
     } finally in.close()
-    md.digest().map("%02x".format(_)).mkString
+    SigV4.hexLower(md.digest())
   }
 
   /** The [[MetaStore]] tag for the log version an ETag identifies —

@@ -44,17 +44,12 @@ object SegmentIntegrity {
     * segment bytes are already in memory when committed). */
   def sha256Hex(bytes: Array[Byte]): String = SigV4.sha256Hex(bytes)
 
-  /** Finish a digest as lowercase hex — the ONE formatter every
-    * committer and verifier shares, so the comparison can never be
-    * broken by one site drifting to a different encoding (r18 review:
-    * the expression was previously copy-pasted at five sites). */
-  def hex(md: java.security.MessageDigest): String = {
-    val d = md.digest()
-    val sb = new java.lang.StringBuilder(d.length * 2)
-    d.foreach(b => sb.append(Character.forDigit((b >> 4) & 0xf, 16))
-      .append(Character.forDigit(b & 0xf, 16)))
-    sb.toString
-  }
+  /** Finish a digest as lowercase hex via [[SigV4.hexLower]] — every
+    * committer and verifier (and the signing layer's payload hashes)
+    * shares that one formatter, so the comparison can never be broken
+    * by one site drifting to a different encoding (r18 review: the
+    * expression was previously copy-pasted at five sites). */
+  def hex(md: java.security.MessageDigest): String = SigV4.hexLower(md.digest())
 
   /** Hex SHA-256 reconstructed from decoded LINES (the crash-rebuild
     * form: the rebuilder has the lines in hand and the on-store bytes

@@ -55,9 +55,20 @@ object SigV4 {
 
   private val Algorithm = "AWS4-HMAC-SHA256"
 
+  /** Lowercase hex of a digest's remaining bytes — the ONE formatter
+    * every sha-producing site shares (signing payload hashes, file
+    * hashes, segment-integrity digests), so commit/verify comparisons
+    * can never be broken by one site drifting to a different
+    * encoding. */
+  def hexLower(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(d.length * 2)
+    d.foreach(b => sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+      .append(Character.forDigit(b & 0xf, 16)))
+    sb.toString
+  }
+
   def sha256Hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
-      .map("%02x".format(_)).mkString
+    hexLower(java.security.MessageDigest.getInstance("SHA-256").digest(bytes))
 
   /** SHA-256 of the empty payload — GET/DELETE/HEAD requests. */
   val EmptyPayloadHash: String = sha256Hex(Array.emptyByteArray)

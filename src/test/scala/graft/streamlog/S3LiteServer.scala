@@ -604,11 +604,14 @@ final class S3LiteServer(maxKeys: Int = 1000,
           // object and dominate large-MPU complete time); sum as LONG —
           // an Int sum goes negative past 2 GiB and would fail a
           // future large-MPU gate with a confusing server-side
-          // NegativeArraySizeException instead of the documented cap
+          // NegativeArraySizeException. The sim's one-byte[] ceiling
+          // surfaces as a DETERMINISTIC in-band 400 (r18 review,
+          // second pass: a thrown require escaped as a retryable
+          // empty-body 500, so the client re-POSTed complete 4 times
+          // and the explanatory message only reached stderr)
           val totalBytes = listed.map(p => parts(p._1)._1.length.toLong).sum
-          require(totalBytes <= Int.MaxValue.toLong,
-            s"S3LiteServer holds assembled objects in one byte[] — " +
-              s"$totalBytes bytes exceeds its 2 GiB in-memory ceiling")
+          if (totalBytes > Int.MaxValue.toLong)
+            return err("EntityTooLarge") // sim ceiling: one byte[] per object
           val assembled = new Array[Byte](totalBytes.toInt)
           var off = 0
           listed.foreach { case (pn, _) =>

@@ -263,4 +263,70 @@ class ThrottleRetrySpec extends SparkSpec {
       }
     }
   }
+
+  test("everything-at-once wire gate: throttle storm + mid-run rotation + MPU compaction + integrity catch") {
+    // the r18 features COMPOSED on one signed wire: a 503/500 storm
+    // rages the whole time, credentials rotate mid-run through a
+    // provider, compaction's merged segment takes the multipart path,
+    // its recorded sha verifies green through the storm — and a
+    // server-side flipped byte is still caught loudly afterwards.
+    // fastPolicy's 12 attempts make exhaustion-by-aligned-draws
+    // vanishingly improbable (p^11) AND keep storm sleeps at
+    // milliseconds — the default 5-attempt/100ms policy would both
+    // flake (~p^3 per throttled op) and stall the suite
+    val creds0 = SigV4Credentials("AKIDCOMPOSE", "composesecret",
+      sessionToken = Some("tok-0"))
+    val srv = new S3LiteServer(auth = Some(creds0))
+    try withPolicy(fastPolicy) {
+      @volatile var current = creds0
+      S3Auth.registerProvider(srv.endpoint, new CredentialProvider {
+        def resolve(): SigV4Credentials = current
+      }, ttlMs = 0L) // ttl 0 = re-resolve every request
+      srv.startStorm(S3LiteServer.ThrottleStorm(seed = 18L, p = 0.15,
+        burstLen = 2, retryAfterSec = None, mix500 = 0.3))
+      try {
+        val root = s"s3:${srv.endpoint}/b"
+        val meta = new S3MetaStore(srv.endpoint, "b", "s9/meta.jsonl",
+          S3AuthRef.Registry(srv.endpoint))
+        // 64 KiB threshold: the ~90 KiB merged segment takes the MPU
+        // path (one final part — the part-size floor binds non-final
+        // parts only)
+        val segs = new S3SegmentStore(srv.endpoint, "b", "s9/segments/",
+          S3AuthRef.Registry(srv.endpoint),
+          multipartThresholdBytes = 64L * 1024)
+        val log = new StreamLog(spark, root, "s9", meta, segs)
+        val t = { var x = 1500000000000L; () => { x += 1; x } }
+        val payload = "x" * 400
+        log.publish((1 to 120).map(i => s"""{"i":$i,"p":"$payload"}"""), nowMs = t)
+        // rotate MID-RUN: server flips first, the next signed request
+        // 403s once and refreshes through the provider
+        val creds1 = creds0.copy(sessionToken = Some("tok-1"))
+        current = creds1
+        srv.rotate(creds1)
+        log.publish((121 to 240).map(i => s"""{"i":$i,"p":"$payload"}"""), nowMs = t)
+        val merged = log.compactOnce(Compaction.Limits(maxSegments = 10), nowMs = t).get
+        assert(merged.bytes > 64L * 1024, "merged segment must cross the MPU threshold")
+        assert(merged.sha256.matches("[0-9a-f]{64}"))
+        // full verified read THROUGH the storm
+        assert(log.readAfter().count() == 240L)
+        assert(S3Http.throttleRetries.get() > 0L, "the storm must have bitten")
+        assert(S3Http.throttleExhausted.get() == 0L, "nothing may exhaust")
+        // server-side corruption of the MPU-written object is caught
+        val b = segs.get(merged.name)
+        val i = Offset.Width + 2
+        b(i) = (b(i) ^ 0x01).toByte
+        segs.put(merged.name, b)
+        val log2 = new StreamLog(spark, root, "s9", meta,
+          new S3SegmentStore(srv.endpoint, "b", "s9/segments/",
+            S3AuthRef.Registry(srv.endpoint)))
+        val ex = intercept[Exception] { log2.readAfter().collect() }
+        assert(ex.toString.contains("integrity") ||
+          Option(ex.getCause).exists(_.toString.contains("integrity")),
+          s"corrupted MPU segment must fail loud, got: $ex")
+      } finally {
+        srv.stopStorm()
+        S3Auth.unregister(srv.endpoint)
+      }
+    } finally srv.stop()
+  }
 }
