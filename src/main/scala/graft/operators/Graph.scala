@@ -515,8 +515,8 @@ object Graph {
     * Early exit (VERDICT r7 item 3): at each probe boundary (i = 1,
     * every [[CheckpointEvery]], and i = iters) the update carries the
     * previous rank alongside the new one, and the loop stops when
-    * `r == r_prev` for EVERY vertex. Ranks are 12-decimal rounded, so
-    * that equality is exact — it means f(ranks) = ranks, hence every
+    * `r == r_prev` for EVERY vertex. Ranks are exact long picounits,
+    * so that equality is exact — it means f(ranks) = ranks, hence every
     * later iteration returns the same vector and stopping PROVABLY
     * equals running all `iters` (the fixed-iteration oracle needs no
     * change; GraphSpec asserts the equivalence both on a graph that
@@ -540,7 +540,7 @@ object Graph {
     * lazy builders in `queries`).
     *
     * `saltHubs > 1` switches to the hub-salted loop (bit-identical
-    * ranks — decimal sums are associative — at the cost of one
+    * ranks — long sums are associative — at the cost of one
     * replication shuffle per iteration); see the object scaladoc.
     */
   def pageRank(edges0: DataFrame, iters: Int = 10, damping: Double = 0.85,

@@ -120,12 +120,18 @@ private[streamlog] object S3Http {
   /** Wire-observability counters, exposed like the 403 rotation path's
     * server-side counters: retries actually performed, operations that
     * exhausted the policy with a transient status still in hand, and
-    * total backoff slept (the BENCH_STREAMLOG storm evidence). */
+    * total backoff slept (the BENCH_STREAMLOG storm evidence).
+    * `transport*` are the r19 twins for connection faults (IOException)
+    * — counted separately so storm specs can reconcile each class
+    * against what the server injected. */
   val throttleRetries = new java.util.concurrent.atomic.AtomicLong(0)
   val throttleExhausted = new java.util.concurrent.atomic.AtomicLong(0)
   val throttleSleptMs = new java.util.concurrent.atomic.AtomicLong(0)
+  val transportRetries = new java.util.concurrent.atomic.AtomicLong(0)
+  val transportExhausted = new java.util.concurrent.atomic.AtomicLong(0)
   def resetThrottleCounters(): Unit = {
     throttleRetries.set(0); throttleExhausted.set(0); throttleSleptMs.set(0)
+    transportRetries.set(0); transportExhausted.set(0)
   }
 
   /** Run one send thunk under [[retryPolicy]]: re-send while the
@@ -137,14 +143,38 @@ private[streamlog] object S3Http {
     * status-check `require` fails loudly with the real status — no
     * error path changes shape. An interrupt during backoff (the
     * parallel-MPU cancel path) re-asserts the flag and returns the
-    * pending response immediately. */
-  private def withRetries(once: () => Resp): Resp = {
+    * pending response (or rethrows the pending fault) immediately.
+    *
+    * `retryIo` (r19 — VERDICT r18 #1, the last real-cloud transient
+    * class): when true, an IOException from the thunk — connection
+    * reset, broken pipe, read timeout, truncated body — is retried
+    * under the SAME attempts/budget, with full-jitter backoff (a dead
+    * connection carries no Retry-After). Callers enable it only where
+    * an ambiguously-landed replay is provably safe: idempotent verbs
+    * (GET/HEAD/DELETE — [[send]] enables it by method), and the writes
+    * whose replay is a documented no-op overwrite (whole-segment PUT,
+    * UploadPart, quiet-mode DeleteObjects — `replaySafe` at the call
+    * site). Conditional PUTs stay retryIo=false: their IOException
+    * routes to the commit protocol's ambiguity machinery
+    * ([[S3MetaStore]].putIf → false → re-read-and-redecide), which
+    * resolves landed-but-lost exactly; CompleteMultipartUpload has its
+    * own observation-based resolution in [[S3SegmentStore]]. On
+    * exhaustion the LAST fault is rethrown — loud, with the transport
+    * counter recording it. */
+  private def withRetries(retryIo: Boolean)(once: () => Resp): Resp = {
     val policy = retryPolicy
     var attempt = 1
     var sleptMs = 0L
-    var r = once()
-    while (isTransient(r.status) && attempt < policy.maxAttempts &&
-           sleptMs < policy.totalBudgetMs) {
+    var resp: Resp = null
+    var ioFault: java.io.IOException = null
+    def attemptOnce(): Unit = {
+      resp = null; ioFault = null
+      try resp = once()
+      catch { case io: java.io.IOException if retryIo => ioFault = io }
+    }
+    attemptOnce()
+    while ((ioFault != null || isTransient(resp.status)) &&
+           attempt < policy.maxAttempts && sleptMs < policy.totalBudgetMs) {
       // a server Retry-After is a HINT, capped at the policy's
       // per-sleep ceiling exactly as the AWS SDKs cap theirs (r18
       // review: uncapped, a hostile/buggy 'Retry-After: 120' made
@@ -152,7 +182,8 @@ private[streamlog] object S3Http {
       // Clamp the SECONDS before multiplying — `s * 1000L` on an
       // absurd header value wraps negative and would turn the cap
       // into zero-sleep instant retries (r18 review, second pass)
-      val backoff = r.retryAfterSec
+      val hint = if (ioFault != null) None else resp.retryAfterSec
+      val backoff = hint
         .map(s => math.min(s, 86400L) * 1000L) // a day, overflow-safe
         .map(ms => math.min(ms, policy.maxDelayMs))
         .getOrElse {
@@ -167,23 +198,37 @@ private[streamlog] object S3Http {
         catch {
           case _: InterruptedException =>
             Thread.currentThread().interrupt()
-            return r
+            if (ioFault != null) throw ioFault
+            return resp
         }
         sleptMs += sleep
         throttleSleptMs.addAndGet(sleep): Unit
       }
       attempt += 1
-      throttleRetries.incrementAndGet(): Unit
-      r = once()
+      if (ioFault != null) transportRetries.incrementAndGet(): Unit
+      else throttleRetries.incrementAndGet(): Unit
+      attemptOnce()
     }
-    if (isTransient(r.status)) throttleExhausted.incrementAndGet(): Unit
-    r
+    if (ioFault != null) {
+      transportExhausted.incrementAndGet(): Unit
+      throw ioFault
+    }
+    if (isTransient(resp.status)) throttleExhausted.incrementAndGet(): Unit
+    resp
   }
+
+  /** Is this verb's identical replay safe without caller cooperation?
+    * GET/HEAD are side-effect-free; DELETE is documented idempotent
+    * (removing an already-removed key is a no-op 204). */
+  private def idempotent(method: String): Boolean =
+    method == "GET" || method == "HEAD" || method == "DELETE"
 
   def send(method: String, url: String, body: Array[Byte] = null,
            headers: Seq[(String, String)] = Nil,
-           auth: Option[SigV4Credentials] = None): Resp =
-    withRetries(() => sendOnce(method, url, body, headers, auth))
+           auth: Option[SigV4Credentials] = None,
+           replaySafe: Boolean = false): Resp =
+    withRetries(retryIo = replaySafe || idempotent(method))(
+      () => sendOnce(method, url, body, headers, auth))
 
   private def sendOnce(method: String, url: String, body: Array[Byte],
                        headers: Seq[(String, String)],
@@ -212,7 +257,25 @@ private[streamlog] object S3Http {
 
   private def retryAfterOf(r: HttpResponse[_]): Option[Long] =
     Option(r.headers().firstValue("Retry-After").orElse(null))
-      .flatMap(_.toLongOption).filter(_ >= 0)
+      .flatMap(parseRetryAfter)
+
+  /** RFC 7231 `Retry-After`: delta-seconds (what S3 sends) OR an
+    * HTTP-date (IMF-fixdate, what proxies/gateways in front of a
+    * bucket may send — r18 parsed delta-seconds only, ADVICE/VERDICT
+    * r18 #6). A date in the past means "retry now" → 0; garbage → None
+    * (the client falls back to its own jittered backoff). The same
+    * per-sleep ceiling in [[withRetries]] clamps both forms. */
+  private[streamlog] def parseRetryAfter(v: String): Option[Long] =
+    v.toLongOption match {
+      case Some(s) => Some(s).filter(_ >= 0)
+      case None =>
+        try {
+          val at = java.time.ZonedDateTime.parse(v,
+            java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME).toInstant
+          Some(math.max(0L, java.time.Duration.between(
+            java.time.Instant.now(), at).toSeconds))
+        } catch { case _: java.time.format.DateTimeParseException => None }
+    }
 
   /** A small bank of HTTP clients, picked ROUND-ROBIN per call: the
     * JDK HttpClient funnels ALL of an instance's socket I/O through
@@ -243,12 +306,13 @@ private[streamlog] object S3Http {
     * signature is unconditionally safe, conditional PUTs included. */
   def sendWith(ref: S3AuthRef, method: String, url: String,
                body: Array[Byte] = null,
-               headers: Seq[(String, String)] = Nil): Resp = {
+               headers: Seq[(String, String)] = Nil,
+               replaySafe: Boolean = false): Resp = {
     val creds = ref.current()
-    val r = send(method, url, body, headers, creds)
+    val r = send(method, url, body, headers, creds, replaySafe)
     if (r.status != 403) r
     else ref.refreshAfter403(creds) match {
-      case Some(fresh) => send(method, url, body, headers, Some(fresh))
+      case Some(fresh) => send(method, url, body, headers, Some(fresh), replaySafe)
       case None => r // nothing fresher — surface the 403 loudly
     }
   }
@@ -271,10 +335,13 @@ private[streamlog] object S3Http {
     * from disk (BodyPublishers.ofFile) and the SigV4 payload hash is
     * computed by a streaming read — so the documented 5 GiB single-PUT
     * ceiling is the REAL ceiling, not the JVM's 2 GiB byte[] cap the
-    * whole-object path would hit first (r16 review). */
+    * whole-object path would hit first (r16 review). Transport faults
+    * retry (retryIo): a segment PUT is never the commit point and an
+    * ambiguously-landed replay is a no-op overwrite of identical
+    * bytes — the quiescent spool re-streams. */
   def sendFile(url: String, file: java.nio.file.Path,
                auth: Option[SigV4Credentials] = None): Resp =
-    withRetries(() => sendFileOnce(url, file, auth))
+    withRetries(retryIo = true)(() => sendFileOnce(url, file, auth))
 
   private def sendFileOnce(url: String, file: java.nio.file.Path,
                            auth: Option[SigV4Credentials]): Resp = {
@@ -487,7 +554,10 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
     // guard documents the invariant beside putFromFile's real check
     require(bytes.length <= S3SegmentStore.MaxSinglePutBytes,
       s"PUT of ${bytes.length} bytes exceeds the S3 single-PUT ceiling")
-    val r = S3Http.sendWith(auth, "PUT", url(name), bytes)
+    // replaySafe: a segment PUT is never the commit point (class note)
+    // and a replay overwrites with identical bytes — so a connection
+    // fault retries instead of killing the publish (r19)
+    val r = S3Http.sendWith(auth, "PUT", url(name), bytes, replaySafe = true)
     require(r.status == 200, s"PUT ${url(name)} -> ${r.status}")
   }
 
@@ -570,7 +640,13 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
     require(partCount <= 10000,
       s"$name at $size bytes needs $partCount parts — above S3's 10000-part " +
         "limit; raise multipartPartBytes")
-    val init = S3Http.sendWith(auth, "POST", s"$u?uploads")
+    // replaySafe: if the initiate's response is lost after the server
+    // acted, the retry simply opens a SECOND pending upload and the
+    // first is stranded — invisible to readers (pending parts are not
+    // objects) and reaped by the bucket's AbortIncompleteMultipartUpload
+    // lifecycle rule, the documented backstop this class already
+    // requires for hard process kills
+    val init = S3Http.sendWith(auth, "POST", s"$u?uploads", replaySafe = true)
     require(init.status == 200, s"POST $u?uploads -> ${init.status}")
     val uploadId = "(?s)<UploadId>(.*?)</UploadId>".r
       .findFirstMatchIn(new String(init.body, UTF_8))
@@ -593,8 +669,12 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
         // deterministic failure (abort now), Right = etag
         def once(): Either[Option[String], String] =
           try {
+            // replaySafe: re-uploading a part NUMBER is a documented
+            // replace — transport faults retry under the policy, the
+            // in-place Left(None) retry below is the residual belt
             val r = S3Http.sendWith(auth, "PUT",
-              s"$u?partNumber=$pn&uploadId=${enc(uploadId)}", body)
+              s"$u?partNumber=$pn&uploadId=${enc(uploadId)}", body,
+              replaySafe = true)
             r.status match {
               case 200 => Right(r.etag.getOrElse(throw new IllegalStateException(
                 s"UploadPart $pn returned no ETag")))
@@ -664,14 +744,46 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
       val manifest = etags.zipWithIndex.map { case (e, i) =>
         s"<Part><PartNumber>${i + 1}</PartNumber><ETag>$e</ETag></Part>"
       }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
-      val done = S3Http.sendWith(auth, "POST", s"$u?uploadId=${enc(uploadId)}",
-        manifest.getBytes(UTF_8))
-      // S3's documented complete-time hazard: a 200 whose BODY is an
-      // <Error> (the assembly can fail after the response line)
-      require(done.status == 200 &&
-        !new String(done.body, UTF_8).contains("<Error>"),
-        s"CompleteMultipartUpload $u -> ${done.status}: " +
-          new String(done.body, UTF_8).take(200))
+      // the composite ETag this complete WILL produce is deterministic
+      // (documented: MD5 over the concatenated binary part-MD5s,
+      // suffixed -partCount) and computable from the part ETags already
+      // in hand — which makes a lost complete-response RESOLVABLE by
+      // observation instead of ambiguous (r19): a HEAD whose ETag
+      // matches proves THIS assembly landed
+      val expectEtag = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        etags.foreach { e =>
+          val hex = e.stripPrefix("\"").stripSuffix("\"")
+          md.update(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        }
+        "\"" + SigV4.hexLower(md.digest()) + s"-$partCount\""
+      }
+      var completed = false
+      var completeTries = 0
+      while (!completed) {
+        try {
+          val done = S3Http.sendWith(auth, "POST",
+            s"$u?uploadId=${enc(uploadId)}", manifest.getBytes(UTF_8))
+          // S3's documented complete-time hazard: a 200 whose BODY is an
+          // <Error> (the assembly can fail after the response line)
+          require(done.status == 200 &&
+            !new String(done.body, UTF_8).contains("<Error>"),
+            s"CompleteMultipartUpload $u -> ${done.status}: " +
+              new String(done.body, UTF_8).take(200))
+          completed = true
+        } catch {
+          case io: java.io.IOException =>
+            // landed-but-lost? complete is NOT blindly replayable (a
+            // replay after success 404s NoSuchUpload), so observe:
+            // strong read-after-write + the deterministic composite
+            // ETag decide exactly which world we are in
+            completeTries += 1
+            val h = S3Http.sendWith(auth, "HEAD", u)
+            if (h.status == 200 && h.etag.contains(expectEtag)) completed = true
+            else if (completeTries >= S3Http.retryPolicy.maxAttempts) throw io
+            // else: the upload still pends server-side — re-POST
+        }
+      }
     } catch {
       case t: Throwable =>
         // cancel in-flight peers FIRST (their late landings after the
@@ -804,8 +916,11 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
       // — a corrupted body could delete the wrong objects)
       val md5b64 = java.util.Base64.getEncoder.encodeToString(
         java.security.MessageDigest.getInstance("MD5").digest(body))
+      // replaySafe: bucket deletes are idempotent and quiet mode makes
+      // re-deleting already-removed keys a no-op, so an ambiguously-
+      // landed batch replays harmlessly
       val r = S3Http.sendWith(auth, "POST", s"$endpoint/$bucket?delete",
-        body, Seq("Content-MD5" -> md5b64))
+        body, Seq("Content-MD5" -> md5b64), replaySafe = true)
       require(r.status == 200,
         s"POST $endpoint/$bucket?delete -> ${r.status}")
       // parse per-key <Error> entries explicitly (ADVICE r17 #5 — the

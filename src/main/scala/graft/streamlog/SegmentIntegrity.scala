@@ -64,7 +64,17 @@ object SegmentIntegrity {
   /** Wrap a segment's line iterator with a running SHA-256 that is
     * checked when (and only when) the iterator is fully drained.
     * `expectedHex` empty = legacy metadata without a recorded digest →
-    * passthrough (verification never blocks reading old logs). */
+    * passthrough (verification never blocks reading old logs).
+    *
+    * CONTRACT (ADVICE r18): the check fires from `hasNext` observing
+    * exhaustion — a consumer that calls `next()` exactly records-count
+    * times and never asks `hasNext` again has not armed verification.
+    * Every in-tree consumer (compaction's merge drain, the DSv2
+    * reader's `next()/get()` loop, `flatMap` over the iterator) drains
+    * via `hasNext` naturally; the alternative — probing the underlying
+    * iterator from `next()` — would force the range-GET streamer to
+    * fetch one chunk PAST a pushed limit on every read, breaking the
+    * early-exit wire economy for a case no consumer exhibits. */
   def verified(segName: String, expectedHex: String,
                lines: Iterator[String]): Iterator[String] =
     if (expectedHex.isEmpty) lines

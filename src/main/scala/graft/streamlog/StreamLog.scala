@@ -284,11 +284,36 @@ final class StreamLog(val spark: SparkSession, val root: String, val name: Strin
     * an s3a client resolving per task). */
   private def rawLines(segs: Seq[SegmentMeta]): DataFrame =
     segStore.scanPaths(segs.map(_.name)) match {
-      // Hadoop-addressable path: spark.read.text — integrity there is
-      // the FileSystem layer's own story (HDFS block checksums, s3a
-      // ETag validation); the recorded sha256 guards the bucket path
-      // below, where OUR client is the transport
-      case Some(paths) => spark.read.text(paths: _*)
+      // Hadoop-addressable path: one streaming task per segment over
+      // the FileSystem API, wrapped in the SAME recorded-sha256
+      // verification as the bucket branch and the DSv2 reader
+      // (StreamLogReaderFactory) — previously this branch was
+      // spark.read.text and TRUSTED the FileSystem layer, making the
+      // "corruption caught at compaction" guarantee plane-dependent
+      // (notably s3a ETag validation does not cover multipart-uploaded
+      // objects end-to-end; ADVICE r18). The driver's Hadoop conf
+      // rides the closure so spark.hadoop.* session properties (s3a
+      // credentials et al.) reach the task exactly as they reach
+      // spark.read.text.
+      case Some(paths) =>
+        import spark.implicits._
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        spark.createDataset(paths.zip(segs.map(m => (m.name, m.sha256))))
+          .repartition(segs.size)
+          .flatMap { case (path, (seg, sha)) =>
+            val hp = new org.apache.hadoop.fs.Path(path)
+            val fs = hp.getFileSystem(conf.value)
+            val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+              fs.open(hp), java.nio.charset.StandardCharsets.UTF_8))
+            // close on task end, not just on drain — a downstream limit
+            // may abandon the iterator mid-segment
+            Option(org.apache.spark.TaskContext.get()).foreach(
+              _.addTaskCompletionListener[Unit](_ => br.close()))
+            SegmentIntegrity.verified(seg, sha,
+              Iterator.continually(br.readLine()).takeWhile(_ != null))
+          }
+          .toDF("value")
       case None =>
         import spark.implicits._
         val (r, n) = (root, name)

@@ -256,7 +256,7 @@ class DataPlaneFuzzSpec extends SparkSpec {
     // an unreferenced orphan the sweep collects — the exact recovery
     // story SegmentStore requirement #3 states, proven on the wire.
     val srv = new S3LiteServer()
-    try {
+    try WireFaultSerial.synchronized {
       val root = s"s3:${srv.endpoint}/b"
       val rng = new scala.util.Random(99L)
       var t = 9000000L
@@ -276,10 +276,11 @@ class DataPlaneFuzzSpec extends SparkSpec {
         while (!done) {
           try { log.publish(recs, nowMs = clock); done = true }
           catch {
-            // 409 surfaces as a require failure, a dropped response as
-            // the client's IOException; a fault drawn against the
-            // METADATA put instead is absorbed inside the commit loop
-            // and publish returns normally
+            // 409 surfaces as a require failure; a fault drawn against
+            // the METADATA put is absorbed inside the commit loop; a
+            // dropped segment-PUT response is since r19 RETRIED in
+            // place (replay-safe identical bytes) rather than surfaced
+            // — IOException stays caught for policy-exhaustion paths
             case _: IllegalStateException | _: IllegalArgumentException |
                  _: java.io.IOException => ()
           }

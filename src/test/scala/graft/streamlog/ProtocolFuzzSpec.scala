@@ -225,16 +225,24 @@ class ProtocolFuzzSpec extends AnyFunSuite {
     assert(sp > 5 && am > 5, s"deep run injected spurious=$sp ambiguous=$am")
   }
 
-  test("WIRE fuzz: 40 seeded interleavings over real HTTP with real 409s and dropped responses stay exact") {
+  test("WIRE fuzz: 40 seeded interleavings over real HTTP with real 409s, dropped responses, AND connection kills stay exact") {
     // same ops, same model, but every fault is a REAL wire event:
     // failPuts makes the server answer an actual 409, dropResponses
     // makes it apply the PUT and close the connection without
-    // responding (the ambiguous outcome) — so the adapters' status
-    // handling and IOException-as-lost resolution are inside the
-    // fuzzed surface, not simulated booleans
+    // responding (the ambiguous outcome), and killNext (r19) tears the
+    // TCP conversation down at a seeded point — pre-handler, mid
+    // request body, truncated response, or post-side-effect — so the
+    // adapters' status handling, IOException-as-lost resolution, AND
+    // the transport retry layer are all inside the fuzzed surface, not
+    // simulated booleans. (The kill may land on the op's decision GET
+    // or the model check's read instead of the PUT — reads retry
+    // transparently; every landing spot must stay exact.)
     val srv = new S3LiteServer()
-    try {
+    // connection kills move the process-wide transport counters —
+    // serialize with the counter-exact suites (WireFaultSerial, r19)
+    try WireFaultSerial.synchronized {
       var faults = 0
+      val killModes = Vector("pre", "reqbody", "mid", "post")
       (1L to math.max(40L, (40 * seedScale).toLong)).foreach { seed =>
         val rng = new scala.util.Random(seed)
         val store = new S3MetaStore(srv.endpoint, "b",
@@ -243,9 +251,15 @@ class ProtocolFuzzSpec extends AnyFunSuite {
           val draw = rng.nextDouble()
           if (draw < 0.12) { srv.failPuts = 1; faults += 1 }
           else if (draw < 0.24) { srv.dropResponses = 1; faults += 1 }
+          else if (draw < 0.36) {
+            srv.killNext.add(killModes(rng.nextInt(killModes.size)))
+            faults += 1
+          }
         })
       }
-      assert(faults > 100, s"wire fault coverage too thin: $faults")
+      assert(faults > 150, s"wire fault coverage too thin: $faults")
+      assert(srv.connectionKills > 40,
+        s"kill coverage too thin: ${srv.connectionKills}")
     } finally srv.stop()
   }
 }

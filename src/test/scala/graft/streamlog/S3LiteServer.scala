@@ -42,6 +42,17 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * LIST), matching current S3/R2; the lagged-LIST stress lives in
   * [[EventualListSegmentStore]].
   */
+/** JVM-wide serialization for tests that GENERATE wire faults or tune
+  * [[S3Http.retryPolicy]] / read the process-wide retry counters.
+  * Suites run concurrently in the forked test JVM; before r19 only one
+  * suite could move the throttle counters, but transport-fault retry
+  * means ANY suite that kills connections (fault storms, server
+  * restarts, dropped responses on segment PUTs) now increments the
+  * shared transport counters — an exact counter assertion in one suite
+  * would race a fault generated in another. Hold this lock for the
+  * duration of any such test. */
+object WireFaultSerial
+
 object S3LiteServer {
   /** Throttle storm (r18 — the real-cloud failure mode every fleet
     * hits): with a storm armed, each request draws from a SEEDED rng;
@@ -58,6 +69,39 @@ object S3LiteServer {
   final case class ThrottleStorm(seed: Long, p: Double, burstLen: Int = 1,
                                  retryAfterSec: Option[Int] = None,
                                  mix500: Double = 0.0)
+
+  /** Connection-fault storm (r19 — the transport-level transient class:
+    * real networks reset connections far more often than servers send
+    * 503). Each request draws from a SEEDED rng; a draw below `p` kills
+    * the TCP conversation instead of answering, at a kill point drawn
+    * uniformly from `modes`:
+    *
+    *   - `pre`     — close after reading the request, before any side
+    *                 effect or response byte (reset/refused shape; a
+    *                 replay is trivially safe);
+    *   - `reqbody` — read only a prefix of the request body, then
+    *                 close (mid-request-body kill: a large upload sees
+    *                 broken-pipe while still streaming);
+    *   - `mid`     — apply the handler, declare the full response
+    *                 length, write about half the body, close
+    *                 (truncated read — the client must DISCARD the
+    *                 partial bytes and re-request);
+    *   - `post`    — apply the side effect, then close with no
+    *                 response at all (landed-but-lost: the ambiguous
+    *                 write the commit protocol must resolve).
+    *
+    * Unlike the throttle storm, `mid`/`post` kills are NOT
+    * pre-side-effect — that asymmetry is the point: they are exactly
+    * the faults whose replay safety each adapter path must earn
+    * (idempotent verb, documented-replace write, or the conditional
+    * protocol's re-read-and-redecide). */
+  final case class FaultStorm(seed: Long, p: Double,
+                              modes: Seq[String] =
+                                Seq("pre", "reqbody", "mid", "post")) {
+    require(modes.nonEmpty &&
+      modes.forall(Set("pre", "reqbody", "mid", "post")),
+      s"malformed FaultStorm modes: $modes")
+  }
 }
 
 final class S3LiteServer(maxKeys: Int = 1000,
@@ -93,11 +137,48 @@ final class S3LiteServer(maxKeys: Int = 1000,
   /** Pending multipart uploads — 0 after every completed OR aborted
     * upload (the no-billable-parts-left assertion). */
   def pendingUploads: Int = objects.synchronized(uploads.size)
-  import S3LiteServer.ThrottleStorm
+  import S3LiteServer.{FaultStorm, ThrottleStorm}
 
   @volatile private var storm: Option[ThrottleStorm] = None
   private var stormRng: java.util.Random = null
   private var stormBurstLeft = 0
+
+  // ---- connection-fault injection (r19) ----
+  @volatile private var faultStorm: Option[FaultStorm] = None
+  private var faultRng: java.util.Random = null
+  /** One-shot deterministic kills: each entry is a mode consumed by the
+    * next request — the surgical counterpart of the probabilistic
+    * [[FaultStorm]]. */
+  val killNext = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** Injected connection kills, by kill point. */
+  @volatile var killedPre: Int = 0
+  @volatile var killedReq: Int = 0
+  @volatile var killedMid: Int = 0
+  @volatile var killedPost: Int = 0
+  def connectionKills: Int = killedPre + killedReq + killedMid + killedPost
+
+  def startFaults(f: FaultStorm): Unit = synchronized {
+    require(f.p >= 0 && f.p <= 1, s"malformed fault storm: $f")
+    faultRng = new java.util.Random(f.seed)
+    faultStorm = Some(f)
+  }
+  def stopFaults(): Unit = synchronized { faultStorm = None }
+
+  /** Draw the kill decision for one request: None = serve normally,
+    * Some(mode) = kill the connection at that point. A one-shot `none`
+    * entry is an explicit passthrough — padding that lets specs aim a
+    * kill at the Nth request of a deterministic sequence. */
+  private def faultDraw(): Option[String] = synchronized {
+    Option(killNext.poll()) match {
+      case Some("none") => None
+      case Some(m) => Some(m)
+      case None => faultStorm.flatMap { f =>
+        if (faultRng.nextDouble() < f.p)
+          Some(f.modes(faultRng.nextInt(f.modes.size)))
+        else None
+      }
+    }
+  }
   /** Injected throttle responses, by class (the storm evidence specs
     * and BENCH_STREAMLOG reconcile against client retry counters). */
   @volatile var throttled503: Int = 0
@@ -119,6 +200,10 @@ final class S3LiteServer(maxKeys: Int = 1000,
     * known request. */
   @volatile var throttleNext: Int = 0
   @volatile var throttleRetryAfterSec: Option[Int] = None
+  /** Verbatim `Retry-After` header value for injected throttles —
+    * takes precedence over the delta-seconds knobs, for exercising the
+    * RFC 7231 HTTP-date form (and garbage values) on the wire. */
+  @volatile var throttleRetryAfterRaw: Option[String] = None
 
   /** Draw the storm/one-shot decision for one request: None = serve
     * normally, Some(status -> retryAfter) = inject. */
@@ -246,9 +331,50 @@ final class S3LiteServer(maxKeys: Int = 1000,
 
   private def md5(b: Array[Byte]): String = quoteHex(md5digest(b))
 
+  /** Close the exchange knowing its streams may be mid-protocol — the
+    * server implementation terminates the CONNECTION when an exchange
+    * closes unfinished, which is exactly the abrupt TCP kill the fault
+    * modes simulate. */
+  private def abruptClose(ex: HttpExchange): Unit =
+    try ex.close() catch { case _: java.io.IOException => () }
+
+  /** The kill mode armed for the request currently being handled on
+    * THIS worker thread. NOT an HttpExchange attribute — those are
+    * stored in the shared HttpContext, so a per-request flag set there
+    * would leak onto every later request of the context (observed: one
+    * armed 'mid' kill poisoned the whole connection's future). Handlers
+    * are synchronous, so a ThreadLocal set in handle() and read in
+    * respond() is exactly request-scoped. */
+  private val armedKill = new ThreadLocal[String]
+
   private def respond(ex: HttpExchange, status: Int,
                       body: Array[Byte] = Array.emptyByteArray,
                       etag: Option[String] = None): Unit = {
+    // armed kill points that fire AT response time (side effects, if
+    // any, have been applied by now — that is their point)
+    val kill = armedKill.get
+    armedKill.remove() // consume: at most one kill per armed request
+    kill match {
+      case "post" =>
+        killedPost += 1; abruptClose(ex); return
+      case "mid" if ex.getRequestMethod != "HEAD" && body.length >= 2 =>
+        // declare the full length, deliver about half, kill: the
+        // client reads a truncated fixed-length body → IOException
+        killedMid += 1
+        etag.foreach(e => ex.getResponseHeaders.set("ETag", e))
+        ex.sendResponseHeaders(status, body.length.toLong)
+        try {
+          ex.getResponseBody.write(body, 0, body.length / 2)
+          ex.getResponseBody.flush()
+        } catch { case _: java.io.IOException => () }
+        abruptClose(ex)
+        return
+      case "mid" =>
+        // a headers-only response has no body to truncate — the
+        // closest faithful kill is close-without-response
+        killedPost += 1; abruptClose(ex); return
+      case _ => ()
+    }
     etag.foreach(e => ex.getResponseHeaders.set("ETag", e))
     if (ex.getRequestMethod == "HEAD")
       ex.sendResponseHeaders(status, -1) // headers only, ETag included
@@ -373,13 +499,31 @@ final class S3LiteServer(maxKeys: Int = 1000,
   }
 
   private def handle(ex: HttpExchange): Unit = try {
+    armedKill.remove() // request-scoped: never inherit a stale kill
     val path = ex.getRequestURI.getPath.stripPrefix("/")
     val slash = path.indexOf('/')
     val key = if (slash < 0) "" else path.substring(slash + 1)
     val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+    val hasBody =
+      ex.getRequestMethod == "PUT" || ex.getRequestMethod == "POST"
+    // connection-fault draw happens FIRST — a TCP reset does not wait
+    // for auth or handlers. pre/reqbody kill here; mid/post arm an
+    // attribute that fires inside respond(), AFTER side effects.
+    faultDraw() match {
+      case Some("reqbody") if hasBody =>
+        killedReq += 1
+        // read only a prefix, then kill: a client still streaming a
+        // large body sees broken-pipe; a small body sees lost-response
+        ex.getRequestBody.read(new Array[Byte](64)): Unit
+        abruptClose(ex)
+        return
+      case Some("pre") | Some("reqbody") =>
+        killedPre += 1; abruptClose(ex); return
+      case Some(m) => armedKill.set(m)
+      case None => ()
+    }
     val body =
-      if (ex.getRequestMethod == "PUT" || ex.getRequestMethod == "POST")
-        ex.getRequestBody.readAllBytes()
+      if (hasBody) ex.getRequestBody.readAllBytes()
       else Array.emptyByteArray
     verifySig(ex, body) match {
       case Some(reason) =>
@@ -394,8 +538,8 @@ final class S3LiteServer(maxKeys: Int = 1000,
     // what licenses the client's unconditional replay
     throttleDraw() match {
       case Some((status, retryAfter)) =>
-        retryAfter.foreach(s =>
-          ex.getResponseHeaders.set("Retry-After", s.toString))
+        throttleRetryAfterRaw.orElse(retryAfter.map(_.toString)).foreach(v =>
+          ex.getResponseHeaders.set("Retry-After", v))
         val code = if (status == 503) "SlowDown" else "InternalError"
         respond(ex, status,
           s"<Error><Code>$code</Code></Error>".getBytes(UTF_8))

@@ -443,7 +443,9 @@ class S3StoreSpec extends SparkSpec {
 
   test("two-coordinator fleet soak over the s3: root with a server RESTART mid-soak — fences only, zero records lost") {
     import scala.jdk.CollectionConverters._
-    withServer() { srv =>
+    // restart kills live connections -> transport retries; serialize
+    // with the counter-exact suites (WireFaultSerial contract, r19)
+    WireFaultSerial.synchronized(withServer() { srv =>
       val root = s"s3:${srv.endpoint}/b"
       val names = (1 to 3).map(i => s"s$i")
       val errorsA = new java.util.concurrent.ConcurrentLinkedQueue[(String, Throwable)]()
@@ -526,7 +528,7 @@ class S3StoreSpec extends SparkSpec {
           s"$n: expected ${expected(n).size} records, got ${got.size}")
       }
       assert(srv.authRejects == 0)
-    }
+    })
   }
 
   // ------------------------------------------------------------------
@@ -1299,7 +1301,9 @@ class S3StoreSpec extends SparkSpec {
   // ------------------------------------------------------------------
 
   test("50-stream STS-signed fleet soak: takeover, server restart, token rotation, create/destroy churn — fences only, zero loss, catalog consistent") {
-    withServer(auth = Some(stsCreds)) { srv =>
+    // restart kills live connections -> transport retries; serialize
+    // with the counter-exact suites (WireFaultSerial contract, r19)
+    WireFaultSerial.synchronized(withServer(auth = Some(stsCreds)) { srv =>
       // PROVIDER registration (r17): the soak's credentials come from a
       // refreshable source so the mid-soak token rotation below is
       // survivable — exactly the instance-role fleet deployment shape
@@ -1419,7 +1423,7 @@ class S3StoreSpec extends SparkSpec {
         assert(srv.authRejects <= 64,
           s"403 storm after rotation: ${srv.authRejects} rejects")
       } finally S3Auth.unregister(srv.endpoint)
-    }
+    })
   }
 
   test("a SECOND PROCESS takes over as coordinator: claim, publish, REAL maintenance from a fresh JVM over the signed wire — first process fenced, zero loss") {

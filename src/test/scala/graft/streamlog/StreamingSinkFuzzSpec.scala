@@ -212,8 +212,11 @@ class StreamingSinkFuzzSpec extends SparkSpec {
     // stay seed-deterministic — a failure replays by seed alone), the
     // seeds themselves run concurrently: every step is driver-side
     // HTTP, so the sweep is latency-bound, not CPU-bound
+    // a dropped segment-PUT response is retried in place since r19 —
+    // that moves the process-wide transport counters, so the sweep
+    // serializes with the counter-exact suites (WireFaultSerial)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
-    try {
+    try WireFaultSerial.synchronized {
       val futs = (1L to sweepSeeds).map { seed =>
         pool.submit(new java.util.concurrent.Callable[(Int, Int)] {
           override def call(): (Int, Int) = {
@@ -231,7 +234,7 @@ class StreamingSinkFuzzSpec extends SparkSpec {
 
   test("a deep sink run (60 epochs, one seed) stays exactly-once under sustained kill and fault pressure") {
     val srv = new S3LiteServer()
-    try {
+    try WireFaultSerial.synchronized {
       // a single long-lived query: the marker high-water mark and the
       // base re-derivation must stay exact across ~60 epochs' worth of
       // restarts and replays

@@ -14,11 +14,11 @@ import graft.SparkSpec
   * them out with exponential-backoff-plus-full-jitter, zero operation
   * failures, and exact client/server fault reconciliation.
   *
-  * SUITE-LOCAL GLOBAL STATE: every test that tunes
-  * [[S3Http.retryPolicy]] or asserts on the process-wide throttle
-  * counters lives in THIS suite (tests in a suite run sequentially;
-  * no other suite's server ever injects a 5xx, so the policy value is
-  * irrelevant to concurrently-running suites).
+  * SUITE-LOCAL GLOBAL STATE: every test here tunes
+  * [[S3Http.retryPolicy]] and asserts on the process-wide retry
+  * counters; since r19 the transport twin lives in TransportFaultSpec,
+  * and every policy-tuning or fault-generating test — in either suite
+  * or elsewhere — serializes on [[WireFaultSerial]].
   */
 class ThrottleRetrySpec extends SparkSpec {
 
@@ -30,13 +30,16 @@ class ThrottleRetrySpec extends SparkSpec {
 
   /** Run `f` under a test policy, always restoring the default —
     * and reset the process-wide counters so per-test deltas are
-    * absolute. */
-  private def withPolicy[A](p: S3Http.RetryPolicy)(f: => A): A = {
-    val prev = S3Http.retryPolicy
-    S3Http.retryPolicy = p
-    S3Http.resetThrottleCounters()
-    try f finally S3Http.retryPolicy = prev
-  }
+    * absolute. Serialized with every other wire-fault-generating test
+    * via [[WireFaultSerial]] (r19): transport-fault retry made the
+    * counters movable from any suite that kills connections. */
+  private def withPolicy[A](p: S3Http.RetryPolicy)(f: => A): A =
+    WireFaultSerial.synchronized {
+      val prev = S3Http.retryPolicy
+      S3Http.retryPolicy = p
+      S3Http.resetThrottleCounters()
+      try f finally S3Http.retryPolicy = prev
+    }
 
   /** Fast-backoff policy for storm batteries: generous attempts (a
     * burst of 2 costs two attempts back to back), millisecond sleeps. */

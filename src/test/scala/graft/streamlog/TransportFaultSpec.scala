@@ -1,0 +1,331 @@
+package graft.streamlog
+
+import graft.SparkSpec
+
+/** Transport-fault (connection-level) retry — VERDICT r18 #1, the last
+  * real-cloud transient class: networks reset connections far more
+  * often than servers send 503, and r18's storm-hardened status layer
+  * sat on a transport-fragile `sendOnce` that surfaced every reset as
+  * terminal. The reference's R2 fetch bindings absorb these invisibly
+  * (stream_manager.ts:548); here the conformance server KILLS real TCP
+  * conversations at four points — pre-handler, mid-request-body,
+  * mid-response (truncated fixed-length body), and post-side-effect
+  * (landed-but-lost) — and the batteries prove every adapter verb rides
+  * them out under the same RetryPolicy, with writes recovering only
+  * through provably-safe routes (idempotent replay, documented-replace
+  * re-upload, the conditional protocol's re-read-and-redecide, or
+  * CompleteMultipartUpload's observation-based resolution).
+  *
+  * Calibration fact (probed, r19): the JDK HttpClient itself retries
+  * idempotent requests whose connection died before any response byte
+  * (GET/HEAD `pre` kills are absorbed below our layer), while truncated
+  * bodies and killed writes surface as IOException. Assertions
+  * therefore reconcile exactly on write-path kills and by-bounds
+  * elsewhere.
+  *
+  * SUITE-LOCAL GLOBAL STATE: like ThrottleRetrySpec, every test that
+  * tunes [[S3Http.retryPolicy]] or reads the process-wide counters
+  * lives in this suite.
+  */
+class TransportFaultSpec extends SparkSpec {
+
+  private def withServer(auth: Option[SigV4Credentials] = None)
+                        (f: S3LiteServer => Unit): Unit = {
+    val srv = new S3LiteServer(auth = auth)
+    try f(srv) finally srv.stop()
+  }
+
+  /** Policy swap + counter reset, serialized across suites: any test
+    * that generates wire faults anywhere in the JVM takes
+    * [[WireFaultSerial]], so the exact counter assertions here can
+    * never race another suite's injected fault. */
+  private def withPolicy[A](p: S3Http.RetryPolicy)(f: => A): A =
+    WireFaultSerial.synchronized {
+      val prev = S3Http.retryPolicy
+      S3Http.retryPolicy = p
+      S3Http.resetThrottleCounters()
+      try f finally S3Http.retryPolicy = prev
+    }
+
+  private val fastPolicy =
+    S3Http.RetryPolicy(maxAttempts = 12, baseDelayMs = 2, maxDelayMs = 20,
+      totalBudgetMs = 10000)
+
+  // ---- Retry-After forms (VERDICT r18 #6) ----
+
+  test("Retry-After parses delta-seconds, RFC 7231 HTTP-date, past date -> 0, garbage -> None") {
+    assert(S3Http.parseRetryAfter("7").contains(7L))
+    assert(S3Http.parseRetryAfter("0").contains(0L))
+    assert(S3Http.parseRetryAfter("-3").isEmpty, "negative delta is garbage")
+    val fmt = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+      .withZone(java.time.ZoneOffset.UTC)
+    val future = fmt.format(java.time.Instant.now().plusSeconds(120))
+    val d = S3Http.parseRetryAfter(future)
+    assert(d.exists(s => s >= 118 && s <= 120), s"future date parsed to $d")
+    val past = fmt.format(java.time.Instant.now().minusSeconds(3600))
+    assert(S3Http.parseRetryAfter(past).contains(0L),
+      "a past HTTP-date means retry NOW, not never")
+    assert(S3Http.parseRetryAfter("Sat, 32 Foo 2026 99:00:00 GMT").isEmpty)
+    assert(S3Http.parseRetryAfter("soon").isEmpty)
+  }
+
+  test("HTTP-date Retry-After on the wire: honored like delta-seconds; past date retries immediately; garbage falls back to jitter") {
+    withServer() { srv =>
+      withPolicy(S3Http.RetryPolicy(maxAttempts = 3, baseDelayMs = 1,
+        maxDelayMs = 5000, totalBudgetMs = 10000)) {
+        val segs = new S3SegmentStore(srv.endpoint, "b", "p/")
+        segs.put("a.seg", "x\n".getBytes)
+        val fmt = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+          .withZone(java.time.ZoneOffset.UTC)
+        // a date ~3s out: the honored sleep must be clearly a date
+        // parse, not the 1ms jitter (second-granularity truncation
+        // makes the exact delta 2-3s)
+        srv.throttleRetryAfterRaw =
+          Some(fmt.format(java.time.Instant.now().plusSeconds(3)))
+        srv.throttleNext = 1
+        var t0 = System.nanoTime()
+        assert(new String(segs.get("a.seg")) == "x\n")
+        assert((System.nanoTime() - t0) / 1e6 >= 1500,
+          "HTTP-date Retry-After was not honored")
+        // past date -> 0 -> immediate retry
+        srv.throttleRetryAfterRaw =
+          Some(fmt.format(java.time.Instant.now().minusSeconds(60)))
+        srv.throttleNext = 1
+        t0 = System.nanoTime()
+        assert(new String(segs.get("a.seg")) == "x\n")
+        assert((System.nanoTime() - t0) / 1e6 < 1000,
+          "a past HTTP-date must mean retry now")
+        // garbage -> client's own jitter (1ms base here)
+        srv.throttleRetryAfterRaw = Some("eventually")
+        srv.throttleNext = 1
+        t0 = System.nanoTime()
+        assert(new String(segs.get("a.seg")) == "x\n")
+        assert((System.nanoTime() - t0) / 1e6 < 1000,
+          "garbage Retry-After must fall back to jittered backoff")
+        srv.throttleRetryAfterRaw = None
+      }
+    }
+  }
+
+  // ---- one-shot kills, every adapter verb ----
+
+  test("one-shot connection kills on every adapter verb: GET/HEAD/LIST/DELETE/PUT/batch-delete recover; zero exhaustion") {
+    withServer() { srv =>
+      withPolicy(fastPolicy) {
+        val segs = new S3SegmentStore(srv.endpoint, "b", "p/")
+        val meta = new S3MetaStore(srv.endpoint, "b", "p/meta.jsonl")
+
+        srv.killNext.add("pre")
+        segs.put("a.seg", "x\ny\n".getBytes)         // PUT through a pre-kill
+        srv.killNext.add("post")
+        segs.put("b.seg", "z\n".getBytes)            // landed-but-lost PUT
+        srv.killNext.add("reqbody")
+        segs.put("c.seg", ("w" * 65536 + "\n").getBytes) // killed mid-upload
+        srv.killNext.add("mid")
+        assert(new String(segs.get("a.seg")) == "x\ny\n") // truncated GET body
+        srv.killNext.add("pre")
+        assert(new String(segs.get("b.seg")) == "z\n")
+        srv.killNext.add("mid")
+        assert(segs.list().map(_.name).size == 3)    // truncated LIST XML
+        srv.killNext.add("pre")
+        assert(meta.probeTag() == 0L)                // HEAD (absent key)
+        srv.killNext.add("pre")
+        segs.delete("c.seg")                         // DELETE
+        srv.killNext.add("post")
+        segs.deleteMany(Seq("a.seg", "b.seg"))       // landed-but-lost batch
+        assert(segs.list().isEmpty, "batch delete must have landed exactly")
+        assert(S3Http.transportExhausted.get() == 0L)
+        assert(srv.connectionKills >= 9,
+          s"only ${srv.connectionKills} kills fired — the batteries missed")
+      }
+    }
+  }
+
+  test("landed-but-lost CONDITIONAL put under a connection kill resolves through the commit protocol, exactly once") {
+    withServer() { srv =>
+      withPolicy(fastPolicy) {
+        val store = new S3MetaStore(srv.endpoint, "b", "s1/meta.jsonl")
+        // fencedAppend = 1 GET (decision read) + 1 conditional PUT; aim
+        // the kill at the PUT with a passthrough pad on the GET
+        srv.killNext.add("none")
+        srv.killNext.add("post")
+        MetaCommits.fencedAppend(store, 0L, Seq(MetaJson.version(7)))
+        assert(srv.killedPost == 1, "the kill must have hit the PUT")
+        val lines = store.readWithTag()._1
+        assert(MetaLog.replayLines(lines).producerVersion == 7L,
+          "the ambiguous commit must resolve to exactly the intended state")
+        // mid-response kill on the conditional PUT (landed, ETag lost)
+        // resolves the same way
+        srv.killNext.add("none")
+        srv.killNext.add("mid")
+        MetaCommits.fencedAppend(store, 0L, Seq(MetaJson.version(9)))
+        assert(MetaLog.replayLines(store.readWithTag()._1).producerVersion == 9L)
+        assert(S3Http.transportExhausted.get() == 0L)
+      }
+    }
+  }
+
+  test("exhaustion is LOUD: a dead-network storm surfaces the IOException after maxAttempts, counters record it, recovery is immediate") {
+    withServer() { srv =>
+      withPolicy(S3Http.RetryPolicy(maxAttempts = 4, baseDelayMs = 1,
+        maxDelayMs = 2, totalBudgetMs = 10000)) {
+        val segs = new S3SegmentStore(srv.endpoint, "b", "p/")
+        segs.put("a.seg", "x\n".getBytes)
+        // mid kills surface to OUR layer on every attempt (pre kills on
+        // GET are partially absorbed by the JDK client's own retry)
+        srv.startFaults(S3LiteServer.FaultStorm(seed = 1L, p = 1.0,
+          modes = Seq("mid")))
+        val e = intercept[java.io.IOException](segs.get("a.seg"))
+        assert(e.getMessage != null)
+        assert(S3Http.transportExhausted.get() == 1L)
+        assert(S3Http.transportRetries.get() == 3L,
+          "maxAttempts=4 is 1 try + exactly 3 transport retries")
+        srv.stopFaults()
+        assert(new String(segs.get("a.seg")) == "x\n",
+          "healthy again the moment the network is")
+      }
+    }
+  }
+
+  // ---- multipart upload under kills ----
+
+  private def spool(dir: java.nio.file.Path, bytes: Array[Byte]): java.nio.file.Path = {
+    val f = dir.resolve(s"spool-${java.util.UUID.randomUUID()}.tmp")
+    java.nio.file.Files.write(f, bytes)
+    f
+  }
+
+  test("MPU: initiate/part/complete each survive kills; a lost complete-response resolves by ETag observation, never a double assembly") {
+    withServer() { srv =>
+      withPolicy(fastPolicy) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-mpu-kill")
+        try {
+          val segs = new S3SegmentStore(srv.endpoint, "b", "p/",
+            multipartThresholdBytes = 64L * 1024)
+          val body = ("payload-" * 16384).getBytes // ~128 KiB -> 1 part
+          // (a) initiate pre-kill: nothing landed, retry opens the one
+          // real upload
+          srv.killNext.add("pre")
+          segs.putFromFile("m1.seg", spool(dir, body))
+          assert(java.util.Arrays.equals(segs.get("m1.seg"), body))
+          assert(srv.pendingUploads == 0)
+
+          // (b) part reqbody-kill: the part re-streams (documented
+          // replace), assembly exact
+          srv.killNext.add("none") // initiate
+          srv.killNext.add("reqbody") // part 1, killed mid-body
+          segs.putFromFile("m2.seg", spool(dir, body))
+          assert(java.util.Arrays.equals(segs.get("m2.seg"), body))
+          assert(srv.pendingUploads == 0)
+
+          // (c) complete post-kill: the assembly LANDED, the response
+          // died — the client must recognize its own composite ETag via
+          // HEAD instead of failing (a blind re-POST would 404)
+          srv.killNext.add("none") // initiate
+          srv.killNext.add("none") // part 1
+          srv.killNext.add("post") // complete: landed-but-lost
+          val posts0 = srv.posts
+          segs.putFromFile("m3.seg", spool(dir, body))
+          assert(java.util.Arrays.equals(segs.get("m3.seg"), body))
+          assert(srv.pendingUploads == 0,
+            "the landed complete consumed the pending upload")
+          assert(srv.posts - posts0 == 2,
+            "initiate + ONE complete — resolution was by observation, not re-POST")
+
+          // (d) complete mid-kill (truncated 200): same resolution
+          srv.killNext.add("none")
+          srv.killNext.add("none")
+          srv.killNext.add("mid")
+          segs.putFromFile("m4.seg", spool(dir, body))
+          assert(java.util.Arrays.equals(segs.get("m4.seg"), body))
+          assert(srv.pendingUploads == 0)
+
+          // (e) initiate post-kill: the FIRST upload is stranded by
+          // design (pending parts are not objects; the lifecycle rule
+          // is the documented backstop) and the retry's upload wins
+          srv.killNext.add("post")
+          segs.putFromFile("m5.seg", spool(dir, body))
+          assert(java.util.Arrays.equals(segs.get("m5.seg"), body))
+          assert(srv.pendingUploads == 1,
+            "a lost initiate-response strands exactly the one pending upload")
+          assert(S3Http.transportExhausted.get() == 0L)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(dir).iterator().asScala
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          java.nio.file.Files.deleteIfExists(dir)
+          ()
+        }
+      }
+    }
+  }
+
+  // ---- storms over the full stream-log surface ----
+
+  test("publish/consume/compact/maintain under a four-mode fault storm: zero failures, zero loss, zero exhaustion") {
+    withServer() { srv =>
+      withPolicy(fastPolicy) {
+        val root = s"s3:${srv.endpoint}/b"
+        var t = 7000000L
+        val clock = () => { t += 1; t }
+        srv.startFaults(S3LiteServer.FaultStorm(seed = 19L, p = 0.18))
+        val log = new StreamLog(spark, root, "s1")
+        assert(log.claimWriter() == 1L)
+        val offsets = (1 to 12).flatMap(b =>
+          log.publish((1 to 20).map(i => s"""{"b":$b,"i":$i}"""), nowMs = clock))
+        val got = new StreamLog(spark, root, "s1").consume(Offset.Beginning, 1000)
+        assert(got.map(_._1) == offsets.take(1000),
+          s"consume under the fault storm lost records: ${got.size}/${offsets.size}")
+        var passes = 0
+        while (log.compactOnce(nowMs = clock).isDefined) passes += 1
+        assert(passes > 0, "compaction never ran under the storm")
+        log.maintain(tombstoneMaxAgeMs = 0L, orphanGraceMs = 0L, nowMs = clock)
+        val after = new StreamLog(spark, root, "s1").consume(Offset.Beginning, 1000)
+        assert(after.map(_._1) == offsets, "zero loss after compact+maintain")
+        srv.stopFaults()
+        assert(srv.connectionKills > 10,
+          s"storm too quiet to prove anything: ${srv.connectionKills}")
+        assert(S3Http.transportExhausted.get() == 0L,
+          "an operation exhausted its transport retries under p=0.12")
+      }
+    }
+  }
+
+  test("MIXED storm on the signed wire: 503/500 throttles AND connection kills compose — zero failures, zero loss, integrity still verified") {
+    val creds = SigV4Credentials("AKIDMIXED", "mixedsecret",
+      sessionToken = Some("mixed-token"))
+    withServer(auth = Some(creds)) { srv =>
+      S3Auth.register(srv.endpoint, creds)
+      try withPolicy(fastPolicy) {
+        val root = s"s3:${srv.endpoint}/b"
+        var t = 8000000L
+        val clock = () => { t += 1; t }
+        srv.startStorm(S3LiteServer.ThrottleStorm(seed = 5L, p = 0.10,
+          burstLen = 2, retryAfterSec = None, mix500 = 0.3))
+        srv.startFaults(S3LiteServer.FaultStorm(seed = 6L, p = 0.08))
+        val log = new StreamLog(spark, root, "sm")
+        assert(log.claimWriter() == 1L)
+        val offsets = (1 to 10).flatMap(b =>
+          log.publish((1 to 15).map(i => s"""{"b":$b,"i":$i}"""), nowMs = clock))
+        var passes = 0
+        while (log.compactOnce(nowMs = clock).isDefined) passes += 1
+        log.maintain(tombstoneMaxAgeMs = 0L, orphanGraceMs = 0L, nowMs = clock)
+        // full verified read THROUGH both storms: every segment's
+        // recorded sha256 must still check out over retried, truncated,
+        // and replayed transfers (a retry that spliced partial bytes
+        // would fail here)
+        assert(log.readAfter().count() == 150L)
+        val got = new StreamLog(spark, root, "sm").consume(Offset.Beginning, 1000)
+        assert(got.map(_._1) == offsets, "zero loss through the mixed storm")
+        srv.stopStorm(); srv.stopFaults()
+        assert(srv.connectionKills > 5 && srv.throttled503 + srv.throttled500 > 5,
+          s"mixed storm too quiet: kills=${srv.connectionKills} " +
+            s"throttles=${srv.throttled503 + srv.throttled500}")
+        assert(S3Http.transportExhausted.get() == 0L)
+        assert(S3Http.throttleExhausted.get() == 0L)
+        assert(srv.authRejects == 0,
+          "every retry and replay must re-sign cleanly")
+      } finally S3Auth.unregister(srv.endpoint)
+    }
+  }
+}

@@ -75,8 +75,19 @@ def main():
     # scaled runs (sf1.0) need headroom: duckdb's default memory cap
     # forces the q75 banded self-join to spill ~80 GB of temp to disk
     # (observed r18) when the whole thing fits in this box's RAM;
-    # GRAFT_DUCKDB_MEM=0 keeps the library default for small SFs
-    mem = os.environ.get("GRAFT_DUCKDB_MEM", "96GB")
+    # GRAFT_DUCKDB_MEM=0 keeps the library default for small SFs.
+    # The default derives from PHYSICAL RAM (~75%), not a hardcoded
+    # figure — a hardcoded 96GB on a smaller box would disable duckdb's
+    # spill-to-disk and invite the OS OOM killer instead (ADVICE r18)
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem is None:
+        try:
+            phys = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+            gib = int(phys * 0.75 / (1 << 30))
+            # below ~8 GiB the library's own default cap is already sane
+            mem = f"{gib}GB" if gib >= 8 else "0"
+        except (ValueError, OSError, AttributeError):
+            mem = "0"
     if mem and mem != "0":
         con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
