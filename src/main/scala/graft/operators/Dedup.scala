@@ -381,24 +381,41 @@ object Dedup {
     ngramJaccardJoin(docs(spark, dir))
 
   /** Embedding near-duplicate detection over any signed-signature frame
-    * (output of [[Vectors.signed]]): the 16 deterministic
-    * random-hyperplane sign bits (±1 planes derived from md5, so both
-    * engines build the identical matrix) banded `nBands` ways;
-    * bucket-mates are verified with exact cosine ≥ `tau`. Dot products
-    * are strict left folds over DOUBLE — bit-identical in Spark
-    * (`aggregate`) and DuckDB (`list_dot_product`). Output:
+    * (output of [[Vectors.signed]]/[[Vectors.signedN]]): `sigBits`
+    * deterministic random-hyperplane sign bits (±1 planes derived from
+    * md5, so both engines build the identical matrix) banded `nBands`
+    * ways; bucket-mates are verified with exact cosine ≥ `tau`. Dot
+    * products are strict left folds over DOUBLE — bit-identical in
+    * Spark (`aggregate`) and DuckDB (`list_dot_product`). Output:
     * (vec_a, vec_b, cos_sim), vec_a < vec_b, ordered.
+    *
+    * SCALE (r19): the default 16-bit/2-band shape is the ORACLE
+    * instantiation — its 256 bucket values per band are a hard bucket
+    * ceiling, so past ~10^5 vectors every bucket grows linearly with
+    * the corpus and the candidate join quadratically (measured: the
+    * sf10 q35 run spilled >70 GB on one box). The 100 TB shape is a
+    * wide signature with a near-dup τ — `embedNearDupWide` (60 planes,
+    * 4×15-bit bands, τ=0.9): 32 768 values per band keeps buckets
+    * bounded by the data's own twin clusters, not the signature
+    * alphabet, at the usual LSH recall trade (per-band collide
+    * probability (1-θ/π)^15 — negligible for unrelated vectors,
+    * near 1 for exact twins; raise nBands on
+    * a wider signature for more recall).
     */
-  def embedNearDup(signed: DataFrame, nBands: Int = 2, tau: Double = 0.4): DataFrame = {
-    require(16 % nBands == 0, s"16 signature bits must split evenly, got $nBands bands")
-    val bits = 16 / nBands
+  def embedNearDup(signed: DataFrame, nBands: Int = 2, tau: Double = 0.4,
+                   sigBits: Int = 16): DataFrame = {
+    require(sigBits >= 1 && sigBits <= 64 && sigBits % nBands == 0,
+      s"$sigBits signature bits must fit a BIGINT and split evenly into $nBands bands")
+    val bits = sigBits / nBands
+    require(bits <= 32, s"band width must be <= 32 bits, got $bits " +
+      "(the mask literal and the LSH recall curve both want narrower bands)")
     // persisted: the signature subtree feeds the band self-join AND both
     // verify joins — without persist it would evaluate 4× per run.
     // Released by the harness via Caches.release().
     val e = graft.core.Caches.persist(signed)
     val bands = e
       .select(col("vec_id"), explode(expr(s"sequence(0, ${nBands - 1})")).as("band"), col("sig"))
-      .withColumn("band_val", expr(s"(sig >> (band * $bits)) & ${(1 << bits) - 1}"))
+      .withColumn("band_val", expr(s"(sig >> (band * $bits)) & ${(1L << bits) - 1}L"))
       .select(col("vec_id"), col("band"), col("band_val"))
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -419,6 +436,26 @@ object Dedup {
   /** q35 = embedNearDup over `embeddings`: 2×8-bit bands, cosine ≥ 0.4. */
   def q35EmbedNeardup(spark: SparkSession, dir: String): DataFrame =
     embedNearDup(Vectors.signed(Tables(spark, dir, "embeddings")))
+
+  /** The wide-signature scale instantiation (see [[embedNearDup]]'s
+    * SCALE note): 60 planes × 4 bands of 15 bits (32 768 bucket values
+    * per band — 60 keeps the sign bit untouched on BOTH engines),
+    * near-dup τ=0.9 — bucket counts scale with the corpus instead of
+    * capping at the signature alphabet. Spec-gated against brute-force
+    * cosine on fixtures and measured at sf10 where the 16-bit form
+    * exceeds one box's disk; the generalized kernel itself is
+    * oracle-gated by q88 (60 bits × 10 bands, τ=0.4 — the
+    * recall-leaning parameterization this corpus has rows for). */
+  def embedNearDupWide(embeddings: DataFrame, nBands: Int = 4,
+                       tau: Double = 0.9): DataFrame =
+    embedNearDup(Vectors.signedN(embeddings, 60), nBands, tau, sigBits = 60)
+
+  /** q88 = the generalized (wide-signature) kernel, oracle-gated:
+    * 60 planes × 10 bands of 6 bits, τ=0.4. Deterministic banding →
+    * the found SUBSET of τ≥0.4 pairs replays exactly in DuckDB. */
+  def q88EmbedNeardupWide(spark: SparkSession, dir: String): DataFrame =
+    embedNearDup(Vectors.signedN(Tables(spark, dir, "embeddings"), 60),
+      nBands = 10, tau = 0.4, sigBits = 60)
 
   /** Duplicate-CLUSTER extraction — the step after pair detection that
     * a curation pipeline actually consumes: exact-duplicate edges
@@ -1084,6 +1121,7 @@ object Dedup {
     "q32_dedup_simhash" -> (q32DedupSimhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q35_embed_neardup" -> (q35EmbedNeardup _),
+    "q88_embed_neardup_wide" -> (q88EmbedNeardupWide _),
     "q55_dedup_clusters" -> (q55DedupClusters _),
     "q60_contamination" -> (q60Contamination _),
     "q70_incremental_dedup" -> (q70IncrementalDedup _),
@@ -1329,6 +1367,35 @@ object Dedup {
          |), bands AS (
          |  SELECT vec_id, band, (sig >> (band * 8)) & 255 AS band_val
          |  FROM sig, range(2) r(band)
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b,
+         |  round(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm), 6) AS cos_sim
+         |FROM cand
+         |JOIN sig ea ON ea.vec_id = vec_a
+         |JOIN sig eb ON eb.vec_id = vec_b
+         |WHERE list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // q88: the generalized wide-signature kernel — identical
+    // construction at 60 planes / 10 bands of 6 bits (the oracle builds
+    // the same extended md5 ±1 matrix via duckPlanesLitN)
+    "q88_embed_neardup_wide" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+         |    list_transform(${Vectors.duckPlanesLitN(60)},
+         |      pv -> list_dot_product(embedding::DOUBLE[], pv)) AS dots
+         |  FROM embeddings
+         |), sig AS (
+         |  SELECT vec_id, v, norm,
+         |    CAST(list_sum([CASE WHEN dots[p+1] > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END FOR p IN range(60)]) AS BIGINT) AS sig
+         |  FROM e
+         |), bands AS (
+         |  SELECT vec_id, band, (sig >> (band * 6)) & 63 AS band_val
+         |  FROM sig, range(10) r(band)
          |), cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM bands a JOIN bands b

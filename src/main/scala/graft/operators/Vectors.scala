@@ -15,10 +15,14 @@ object Vectors {
   val NPlanes = 16
   val Dims = 64
 
-  /** signs(p)(d) ∈ {+1, -1}. */
-  val signs: IndexedSeq[IndexedSeq[Int]] = {
+  /** signs for an arbitrary plane count: plane p's coin on dimension d
+    * depends only on (p, d), so widening the signature EXTENDS the
+    * 16-plane matrix rather than reshuffling it — `signsFor(16)` is
+    * exactly [[signs]], and a 64-plane signature's low 16 bits equal
+    * the oracle-pinned 16-bit signature. */
+  def signsFor(nPlanes: Int): IndexedSeq[IndexedSeq[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until NPlanes).map { p =>
+    (0 until nPlanes).map { p =>
       (0 until Dims).map { d =>
         val hex = md.digest(s"${p}_${d}".getBytes("UTF-8"))
         // first hex char < '8' == top bit of first byte clear
@@ -26,6 +30,9 @@ object Vectors {
       }
     }
   }
+
+  /** signs(p)(d) ∈ {+1, -1}. */
+  val signs: IndexedSeq[IndexedSeq[Int]] = signsFor(NPlanes)
 
   /** Spark literal: ARRAY<ARRAY<DOUBLE>> of ±1.0, indexed plane → dim.
     * The ±1.0-double form lets the signature fold be a bare multiply-add
@@ -41,23 +48,48 @@ object Vectors {
   def duckPlanesLit: String =
     signs.map(_.map(s => s"$s.0").mkString("[", ",", "]")).mkString("[", ",", "]")
 
+  /** [[duckPlanesLit]] at an arbitrary plane count (the wide-signature
+    * oracles build the identical extended matrix). */
+  def duckPlanesLitN(nPlanes: Int): String =
+    signsFor(nPlanes).map(_.map(s => s"$s.0").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
   /** embeddings → (vec_id, v DOUBLE[], norm, sig) where sig packs the 16
     * hyperplane sign bits. Dot products are strict left folds (oracle
     * bit-parity with list_dot_product). Callers persist this when they
     * reuse it across joins.
     */
-  def signed(embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def signed(embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    signedN(embeddings, NPlanes)
+
+  /** [[signed]] at an arbitrary signature width (≤ 63 bits in one
+    * BIGINT) — the SCALE knob (r19): 16 planes give at most 2^(16/b)
+    * distinct values per band, a bucket-count CEILING that saturates
+    * around ~10^5 vectors (every bucket's contents then grow linearly
+    * with the corpus and the candidate join quadratically — the
+    * measured sf10 q35 spill). Production near-dup at 100 TB runs
+    * wider signatures (64 planes × 4 bands = 16 bits/band = 65 536
+    * bucket values per band) and a near-dup τ (≥ 0.9), which keeps
+    * buckets bounded by the DATA's twin clusters, not by the signature
+    * alphabet. The 16-plane form stays the oracle-pinned default. */
+  def signedN(embeddings: org.apache.spark.sql.DataFrame,
+              nPlanes: Int): org.apache.spark.sql.DataFrame = {
+    // 64 is safe: bit 63's contribution is Long.MIN_VALUE and the adds
+    // are disjoint-bit (≡ OR), and banded readers mask after shifting,
+    // so a negative sig decodes exactly
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"signature must fit one BIGINT: got $nPlanes planes")
     import org.apache.spark.sql.functions.{col, expr}
     import graft.functions.VectorFunctions._
     // one codegen'd DotProduct per plane against a constant ±1 vector —
     // the whole signature is a single whole-stage-codegen projection.
     val dots = org.apache.spark.sql.functions.array(
-      signs.map(row => dot(col("v"), constVec(row.map(_.toDouble)))): _*)
+      signsFor(nPlanes).map(row => dot(col("v"), constVec(row.map(_.toDouble)))): _*)
     embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("dots", dots)
       .withColumn("sig", expr(
-        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, p) ->
+        s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, p) ->
           |  acc + (CASE WHEN dots[p] > 0D THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END))""".stripMargin))
       .withColumn("norm", l2norm(col("v")))
       .select(col("vec_id"), col("v"), col("norm"), col("sig"))

@@ -150,6 +150,57 @@ class DedupSpec extends SparkSpec {
     graft.core.Caches.release()
   }
 
+  test("wide-signature embedNearDup (r19 scale shape): plane prefix stable, exact twins always found, output exactly the brute-force pairs it claims") {
+    import spark.implicits._
+    // widening the signature must EXTEND the oracle-pinned matrix, not
+    // reshuffle it — q35's 16-bit signature is the low 16 bits of the
+    // 64-bit one by construction
+    assert(Vectors.signsFor(64).take(16) == Vectors.signs)
+
+    // fixture: 40 seeded random 64-dim vectors, the first 8 with an
+    // EXACT twin (θ=0 ⇒ every sign bit agrees ⇒ deterministic collision
+    // in every band — wide LSH can never miss them)
+    val rng = new scala.util.Random(7L)
+    def vec() = Array.fill(Vectors.Dims)((rng.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 40).map(i => (i.toLong, vec()))
+    val twins = (0 until 8).map(i => (100L + i, base(i)._2.clone()))
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+
+    val wide = Dedup.embedNearDupWide(emb, nBands = 4, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 8).foreach { i =>
+      assert(wide.contains((i.toLong, 100L + i)), s"missed exact twin $i")
+    }
+    // soundness: every reported pair really clears the brute-force bar
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val byId = (base ++ twins).toMap
+    wide.foreach { case (a, b) =>
+      assert(cos(byId(a), byId(b)) >= 0.9, s"unsound pair ($a,$b)")
+    }
+    // and no unrelated random pair sneaks in: brute says the ONLY
+    // cos>=0.9 pairs in this fixture are the 8 twins
+    val ids = byId.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j && cos(byId(i), byId(j)) >= 0.9
+    } yield (i, j)).toSet
+    assert(brute == (0 until 8).map(i => (i.toLong, 100L + i)).toSet)
+    assert(wide == brute,
+      "wide near-dup must equal brute force on a twin-only fixture")
+
+    // guard rails
+    intercept[IllegalArgumentException](
+      Dedup.embedNearDup(Vectors.signed(emb), nBands = 3, sigBits = 16))
+    intercept[IllegalArgumentException](Vectors.signedN(emb, 65))
+    intercept[IllegalArgumentException]( // 64-bit single band: mask + recall both wrong
+      Dedup.embedNearDup(Vectors.signedN(emb, 64), nBands = 1, sigBits = 64))
+    graft.core.Caches.release()
+  }
+
   // Shared fixture for the duplicated-substring pass: every filler token
   // is unique so ONLY the named runs (S.., O.., X.., Y.., r..) can form
   // cross-document duplicated windows.
