@@ -15,7 +15,8 @@ object Plans {
     "q05_multi_join", "q09_topk", "q12_approx_distinct", "q19_bucketed_join",
     "q28_asof_join", "q30_dedup_exact",
     "q31_dedup_minhash", "q32_dedup_simhash", "q33_ngram_jaccard",
-    "q34_knn_brute", "q35_embed_neardup", "q36_knn_lsh", "q41_fingerprint",
+    "q34_knn_brute", "q35_embed_neardup", "q88_neardup_wide",
+    "q36_knn_lsh", "q41_fingerprint",
     "q43_knn_ivf", "q44_bucketed_star", "q45_curate", "q46_hopping",
     "q47_percentile", "q48_stats", "q49_window_nav", "q50_wordcount",
     "q51_unpivot", "q52_outer_join", "q54_knn_pq", "q55_dedup_clusters",

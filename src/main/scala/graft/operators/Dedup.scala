@@ -1121,7 +1121,7 @@ object Dedup {
     "q32_dedup_simhash" -> (q32DedupSimhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q35_embed_neardup" -> (q35EmbedNeardup _),
-    "q88_embed_neardup_wide" -> (q88EmbedNeardupWide _),
+    "q88_neardup_wide" -> (q88EmbedNeardupWide _),
     "q55_dedup_clusters" -> (q55DedupClusters _),
     "q60_contamination" -> (q60Contamination _),
     "q70_incremental_dedup" -> (q70IncrementalDedup _),
@@ -1382,7 +1382,7 @@ object Dedup {
     // q88: the generalized wide-signature kernel — identical
     // construction at 60 planes / 10 bands of 6 bits (the oracle builds
     // the same extended md5 ±1 matrix via duckPlanesLitN)
-    "q88_embed_neardup_wide" ->
+    "q88_neardup_wide" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
