@@ -772,15 +772,25 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
       // suffixed -partCount) and computable from the part ETags already
       // in hand — which makes a lost complete-response RESOLVABLE by
       // observation instead of ambiguous (r19): a HEAD whose ETag
-      // matches proves THIS assembly landed
-      val expectEtag = {
+      // matches proves THIS assembly landed. LAZY and Try-guarded
+      // (ADVICE r19): on SSE-KMS / SSE-C buckets and some
+      // S3-compatibles, part ETags are NOT plain 32-hex MD5s — an
+      // eager unconditional hex decode here threw on every multipart
+      // upload, faulting the HEALTHY path; now the decode only runs
+      // when a lost complete-response actually needs resolving, and a
+      // non-MD5 alphabet yields None (observation impossible) instead
+      // of NumberFormatException.
+      lazy val expectEtag: Option[String] = scala.util.Try {
         val md = java.security.MessageDigest.getInstance("MD5")
         etags.foreach { e =>
           val hex = e.stripPrefix("\"").stripSuffix("\"")
+          require(hex.length == 32 && hex.forall(c =>
+            (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+              (c >= 'A' && c <= 'F')), s"non-MD5 part ETag: $e")
           md.update(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
         }
         "\"" + SigV4.hexLower(md.digest()) + s"-$partCount\""
-      }
+      }.toOption
       var completed = false
       var completeTries = 0
       while (!completed) {
@@ -799,12 +809,37 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
             // landed-but-lost? complete is NOT blindly replayable (a
             // replay after success 404s NoSuchUpload), so observe:
             // strong read-after-write + the deterministic composite
-            // ETag decide exactly which world we are in
+            // ETag decide exactly which world we are in. When the part
+            // ETags are not MD5s the composite is unpredictable and
+            // observation cannot disambiguate — surface the transport
+            // fault (the caller retries the whole segment write, whose
+            // name-level commit protocol tolerates a duplicate landing)
+            // rather than risk re-POSTing after a success and aborting
+            // an upload that actually landed (ADVICE r19).
+            val expect = expectEtag.getOrElse(throw io)
             completeTries += 1
             val h = S3Http.sendWith(auth, "HEAD", u)
-            if (h.status == 200 && h.etag.contains(expectEtag)) completed = true
+            if (h.status == 200 && h.etag.contains(expect)) completed = true
             else if (completeTries >= S3Http.retryPolicy.maxAttempts) throw io
-            // else: the upload still pends server-side — re-POST
+            else {
+              // the upload still pends server-side — re-POST, but only
+              // after the same full-jitter backoff every other
+              // transient path sleeps (ADVICE r19: a flapping
+              // connection previously burned all attempts in
+              // milliseconds)
+              val policy = S3Http.retryPolicy
+              val cap = math.min(policy.maxDelayMs,
+                policy.baseDelayMs * (1L << math.min(completeTries - 1, 30)))
+              val sleep = if (cap <= 0) 0L
+                else java.util.concurrent.ThreadLocalRandom.current()
+                  .nextLong(cap + 1)
+              if (sleep > 0)
+                try Thread.sleep(sleep)
+                catch {
+                  case _: InterruptedException =>
+                    Thread.currentThread().interrupt(); throw io
+                }
+            }
         }
       }
     } catch {
@@ -958,6 +993,13 @@ final class S3SegmentStore(endpoint: String, bucket: String, prefix: String,
             val got = r.body
             pos += got.length
             if (r.status == 200 || got.length < rangeChunkBytes) done = true
+            // exact-multiple EOF (ADVICE r19): with the Content-Range
+            // total in hand, a FULL chunk ending exactly at the total
+            // IS the last chunk — without this check done stayed false
+            // and a trailing synchronous GET was issued only to 416,
+            // one wasted wire round trip per read of any object whose
+            // length is an exact chunk multiple
+            if (totalLen >= 0 && pos >= totalLen) done = true
             // overlap: the readahead window's round trips run while
             // this chunk's lines are parsed and consumed
             topUp(lastWasFull = got.length == rangeChunkBytes)

@@ -165,6 +165,10 @@ class FleetSoakSpec extends SparkSpec {
           // post-churn starvation gate: reset counters, then every LIVE
           // stream must get >= 2 passes while the storms rage
           passes.clear()
+          // clear compacted too (ADVICE r19): the compaction gate below
+          // must be satisfiable only by a POST-churn pass, not by a
+          // compaction that happened before this reset point
+          compacted.clear()
           val deadline = System.currentTimeMillis() + 90000
           while (System.currentTimeMillis() < deadline &&
               (live.exists(n => passes.getOrDefault(n, 0) < 2) ||

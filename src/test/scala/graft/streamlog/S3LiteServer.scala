@@ -150,11 +150,18 @@ final class S3LiteServer(maxKeys: Int = 1000,
     * next request — the surgical counterpart of the probabilistic
     * [[FaultStorm]]. */
   val killNext = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  /** Injected connection kills, by kill point. */
-  @volatile var killedPre: Int = 0
-  @volatile var killedReq: Int = 0
-  @volatile var killedMid: Int = 0
-  @volatile var killedPost: Int = 0
+  /** Injected connection kills, by kill point. AtomicInteger (ADVICE
+    * r19): handler threads increment concurrently, and the client-side
+    * AtomicLong retry counters are reconciled against these — a lost
+    * `+= 1` read-modify-write would intermittently understate kills. */
+  private val killedPreN = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val killedReqN = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val killedMidN = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val killedPostN = new java.util.concurrent.atomic.AtomicInteger(0)
+  def killedPre: Int = killedPreN.get
+  def killedReq: Int = killedReqN.get
+  def killedMid: Int = killedMidN.get
+  def killedPost: Int = killedPostN.get
   def connectionKills: Int = killedPre + killedReq + killedMid + killedPost
 
   def startFaults(f: FaultStorm): Unit = synchronized {
@@ -232,6 +239,16 @@ final class S3LiteServer(maxKeys: Int = 1000,
   /** Part numbers whose UploadPart PUTs ALWAYS 409 — the deterministic
     * concurrent-abort gate (a `failPuts` count is consumed by whichever
     * PUT arrives first, which is racy once parts fly in parallel). */
+  /** SSE-style part ETags (ADVICE r19): when true, part PUTs answer an
+    * opaque non-MD5 ETag (as SSE-KMS / SSE-C buckets and some
+    * S3-compatibles do) and the composite object ETag is likewise not
+    * the predictable MD5-of-MD5s form — the client cannot decode or
+    * predict ETags, which is exactly the world the lazy/Try-guarded
+    * expectEtag must survive. */
+  @volatile var ssePartEtags: Boolean = false
+  private def partEtagOf(d: Array[Byte]): String =
+    if (ssePartEtags) "\"sse-" + d.map("%02x".format(_)).mkString + "\""
+    else quoteHex(d)
   @volatile var failPartNumbers409: Set[Int] = Set.empty
   /** Part numbers whose UploadPart PUTs ALWAYS 400 InvalidArgument —
     * the deterministic-4xx gate (ADVICE r17 #2: a 4xx must abort
@@ -258,6 +275,10 @@ final class S3LiteServer(maxKeys: Int = 1000,
   /** GETs that carried a `Range: bytes=a-b` header and were answered
     * 206 — the range-streaming read path's wire evidence. */
   @volatile var rangeGets: Int = 0
+  /** Range GETs answered 416 (start at/past EOF) — counted separately
+    * (ADVICE r19) so specs can assert the reader issues NO trailing
+    * past-EOF request when the object length is known. */
+  @volatile var range416s: Int = 0
   /** Keys removed through multi-object delete (`POST ?delete`) — the
     * batch-economy evidence: k keys for posts += 1. */
   @volatile var batchDeletedKeys: Int = 0
@@ -360,11 +381,11 @@ final class S3LiteServer(maxKeys: Int = 1000,
     armedKill.remove() // consume: at most one kill per armed request
     kill match {
       case "post" =>
-        killedPost += 1; abruptClose(ex); return
+        killedPostN.incrementAndGet(): Unit; abruptClose(ex); return
       case "mid" if ex.getRequestMethod != "HEAD" && body.length >= 2 =>
         // declare the full length, deliver about half, kill: the
         // client reads a truncated fixed-length body → IOException
-        killedMid += 1
+        killedMidN.incrementAndGet(): Unit
         etag.foreach(e => ex.getResponseHeaders.set("ETag", e))
         ex.sendResponseHeaders(status, body.length.toLong)
         try {
@@ -376,7 +397,7 @@ final class S3LiteServer(maxKeys: Int = 1000,
       case "mid" =>
         // a headers-only response has no body to truncate — the
         // closest faithful kill is close-without-response
-        killedPost += 1; abruptClose(ex); return
+        killedPostN.incrementAndGet(): Unit; abruptClose(ex); return
       case _ => ()
     }
     etag.foreach(e => ex.getResponseHeaders.set("ETag", e))
@@ -516,14 +537,14 @@ final class S3LiteServer(maxKeys: Int = 1000,
     // attribute that fires inside respond(), AFTER side effects.
     faultDraw() match {
       case Some("reqbody") if hasBody =>
-        killedReq += 1
+        killedReqN.incrementAndGet(): Unit
         // read only a prefix, then kill: a client still streaming a
         // large body sees broken-pipe; a small body sees lost-response
         ex.getRequestBody.read(new Array[Byte](64)): Unit
         abruptClose(ex)
         return
       case Some("pre") | Some("reqbody") =>
-        killedPre += 1; abruptClose(ex); return
+        killedPreN.incrementAndGet(): Unit; abruptClose(ex); return
       case Some(m) => armedKill.set(m)
       case None => ()
     }
@@ -629,7 +650,7 @@ final class S3LiteServer(maxKeys: Int = 1000,
           else uploads.get(id) match {
             case Some((uk, parts)) if uk == k =>
               parts.put(pn, (body, partDigest))
-              respond(ex, 200, etag = Some(quoteHex(partDigest)))
+              respond(ex, 200, etag = Some(partEtagOf(partDigest)))
             case _ => respond(ex, 404) // NoSuchUpload / key mismatch
           }
         }
@@ -659,7 +680,7 @@ final class S3LiteServer(maxKeys: Int = 1000,
               case Some(r) if r.startsWith("bytes=") =>
                 val Array(a, bEnd) = r.stripPrefix("bytes=").split("-", 2)
                 val start = a.toLong
-                if (start >= b.length) respond(ex, 416)
+                if (start >= b.length) { range416s += 1; respond(ex, 416) }
                 else {
                   val endIncl = if (bEnd.isEmpty) b.length - 1L
                     else math.min(bEnd.toLong, b.length - 1L)
@@ -745,7 +766,7 @@ final class S3LiteServer(maxKeys: Int = 1000,
           // fixed when the parts landed)
           listed.foreach { case (pn, etag) =>
             parts.get(pn) match {
-              case Some((_, d)) if quoteHex(d) == etag => ()
+              case Some((_, d)) if partEtagOf(d) == etag => ()
               case _ => return err("InvalidPart")
             }
           }
@@ -775,8 +796,8 @@ final class S3LiteServer(maxKeys: Int = 1000,
           }
           val md = java.security.MessageDigest.getInstance("MD5")
           listed.foreach { case (pn, _) => md.update(parts(pn)._2) }
-          val etag = "\"" + md.digest().map("%02x".format(_)).mkString +
-            s"-${listed.size}\""
+          val etag = (if (ssePartEtags) "\"sse-" else "\"") +
+            md.digest().map("%02x".format(_)).mkString + s"-${listed.size}\""
           objects.put(key, (assembled, etag, System.currentTimeMillis()))
           uploads.remove(id)
           respond(ex, 200,

@@ -851,6 +851,35 @@ class S3StoreSpec extends SparkSpec {
     }
   }
 
+  test("exact-chunk-multiple object reads issue zero trailing 416s on both readers") {
+    withServer() { srv =>
+      // 64 lines x 64 bytes = 4096 = exactly 4 x 1024-byte chunks: the
+      // last chunk is FULL, so before the r19 ADVICE fix the reader
+      // could not tell EOF from more-to-come and issued one more GET
+      // that 416'd — one wasted round trip per read of any object
+      // whose length is an exact chunk multiple. With the Content-Range
+      // total in hand the reader now stops at pos == total.
+      val lines = (1 to 64).map(i => f"$i%02d" + "x" * 61).toVector // 63B + \n
+      val body = lines.mkString("", "\n", "\n").getBytes("UTF-8")
+      assert(body.length == 4096, s"fixture drifted: ${body.length}")
+      val pre = new S3SegmentStore(srv.endpoint, "b", "m/",
+        rangeChunkBytes = 1024)
+      val ser = new S3SegmentStore(srv.endpoint, "b", "m/",
+        rangeChunkBytes = 1024, rangePrefetch = false)
+      pre.put("m.seg", body)
+      for ((segs, name) <- Seq((pre, "prefetch"), (ser, "serial"))) {
+        val g0 = srv.rangeGets
+        val e0 = srv.range416s
+        assert(segs.linesIterator("m.seg").toVector == lines, name)
+        assert(srv.rangeGets - g0 == 4,
+          s"$name reader issued ${srv.rangeGets - g0} range GETs for 4 chunks")
+        assert(srv.range416s == e0,
+          s"$name reader issued a trailing past-EOF GET (416) despite " +
+            "knowing the object length from Content-Range")
+      }
+    }
+  }
+
   test("range readahead pipelines an RTT-bound multi-chunk read ~(depth)x and never reads past EOF or out of order") {
     withServer() { srv =>
       // ~24 chunks of 1 KiB behind a 20ms simulated RTT: the serial

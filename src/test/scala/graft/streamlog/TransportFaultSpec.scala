@@ -260,6 +260,53 @@ class TransportFaultSpec extends SparkSpec {
     }
   }
 
+  test("MPU with non-MD5 (SSE-style) part ETags: healthy path completes; a lost complete-response surfaces the fault, never a blind re-POST") {
+    withServer() { srv =>
+      withPolicy(fastPolicy) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-mpu-sse")
+        try {
+          srv.ssePartEtags = true
+          val segs = new S3SegmentStore(srv.endpoint, "b", "p/",
+            multipartThresholdBytes = 64L * 1024)
+          val body = ("payload-" * 16384).getBytes // ~128 KiB -> 1 part
+          // (a) fault-free: before the r19 ADVICE fix, the EAGER hex
+          // decode of part ETags threw NumberFormatException right
+          // here — a healthy upload on an SSE bucket never completed
+          segs.putFromFile("s1.seg", spool(dir, body))
+          assert(java.util.Arrays.equals(segs.get("s1.seg"), body))
+          assert(srv.pendingUploads == 0)
+
+          // (b) landed-but-lost complete: with an unpredictable
+          // composite ETag, observation CANNOT disambiguate — the
+          // transport fault must surface loudly after exactly one
+          // complete POST (a blind re-POST after the landed assembly
+          // would 404 NoSuchUpload and abort a successful upload)
+          srv.killNext.add("none") // initiate
+          srv.killNext.add("none") // part 1
+          srv.killNext.add("post") // complete: landed, response lost
+          val posts0 = srv.posts
+          intercept[java.io.IOException](
+            segs.putFromFile("s2.seg", spool(dir, body)))
+          assert(srv.posts - posts0 == 2,
+            "initiate + exactly ONE complete POST — no re-POST storm " +
+              "when the composite is unpredictable")
+          // the assembly DID land server-side; the caller's name-level
+          // commit protocol tolerates the duplicate landing
+          assert(java.util.Arrays.equals(segs.get("s2.seg"), body))
+          assert(srv.pendingUploads == 0,
+            "the landed complete consumed the pending upload")
+        } finally {
+          srv.ssePartEtags = false
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(dir).iterator().asScala
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          java.nio.file.Files.deleteIfExists(dir)
+          ()
+        }
+      }
+    }
+  }
+
   test("the MPU stall bound is DERIVED from the policy, not a magic hour: exact ladder arithmetic, batch-monotonic") {
     val p = S3Http.RetryPolicy(maxAttempts = 2, baseDelayMs = 1,
       maxDelayMs = 10, totalBudgetMs = 100)
