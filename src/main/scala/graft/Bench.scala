@@ -82,7 +82,8 @@ object Bench {
                                 failures: Int, flaky: Int, sfDir: String,
                                 cpuTotal: Double = -1.0,
                                 load: (Double, Double) = (-1.0, -1.0),
-                                withDiag: Boolean = true): String = {
+                                withDiag: Boolean = true,
+                                ctn: String = ""): String = {
     // trailing zeros stripped ("0.50" -> "0.5", "2.00" -> "2"): still
     // valid JSON numbers, ~40-60 chars of budget back across 80 queries
     def f2c(x: Double): String = {
@@ -99,8 +100,15 @@ object Bench {
     // cpu as whole seconds, load at one decimal: the diagnosis needs
     // only the wall-vs-cpu RATIO and the other-process pressure, and
     // every char here competes with query entries for the budget
+    // the steal-guard flag rides the stdout artifact ONLY when it is a
+    // warning: absence == clean (the sidecar's contention block always
+    // carries the verdict either way) — a quiet round must not spend
+    // 12 chars of the tail budget saying "nothing happened"
+    val ctnField = if (ctn.isEmpty || ctn == "ok" || !withDiag) ""
+      else s""""ctn":"$ctn","""
     val diag = if (!withDiag) "" else
-      s""""cpu":${math.round(cpuTotal)},"load":[${f1c(load._1)},${f1c(load._2)}],"""
+      s""""cpu":${math.round(cpuTotal)},"load":[${f1c(load._1)},${f1c(load._2)}],""" +
+        ctnField
     // sf as the basename: the directory prefix is the same every round
     // and its 15 chars are better spent keeping the diag fields in
     val sf = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
@@ -117,10 +125,18 @@ object Bench {
   /** Extract the per-query wall-median map from a detail-sidecar JSON
     * (the `"wall":{...}` object). Hand-rolled like the writer — the
     * sidecar format is ours on both ends. Empty on any shape miss. */
-  private[graft] def parseWallMap(detailJson: String): Map[String, Double] = {
-    val i = detailJson.indexOf("\"wall\":{")
+  private[graft] def parseWallMap(detailJson: String): Map[String, Double] =
+    parseNumMap(detailJson, "wall")
+
+  /** The cpu-median sibling of [[parseWallMap]] — the steal guard's
+    * reference leg needs both axes. */
+  private[graft] def parseCpuMap(detailJson: String): Map[String, Double] =
+    parseNumMap(detailJson, "cpu")
+
+  private def parseNumMap(detailJson: String, key: String): Map[String, Double] = {
+    val i = detailJson.indexOf("\"" + key + "\":{")
     if (i < 0) return Map.empty
-    val start = detailJson.indexOf('{', i + 7)
+    val start = detailJson.indexOf('{', i + key.length + 2)
     val end = detailJson.indexOf('}', start)
     if (start < 0 || end < 0) return Map.empty
     detailJson.substring(start + 1, end).split(",").toSeq
@@ -141,6 +157,43 @@ object Bench {
     cur.flatMap { case (n, w) =>
       ref.get(n).filter(r => r > 0 && w >= 0).map(r => n -> w / r)
     }
+
+  /** Steal-guard verdict (r20 — VERDICT r19 #2: three poisoned driver
+    * sidecars in four rounds, each diagnosed AFTER commit from
+    * git-archived evidence; now the bench grades itself). Two legs,
+    * both riding data the run already collects:
+    *
+    * INTRA-RUN: samples are interleaved (pass p runs every query once),
+    * so host steal during one pass inflates THAT pass's wall total
+    * across many queries while its cpu total stays flat. wallSpread =
+    * max/min of per-pass wall totals; a spread > 1.25 that exceeds the
+    * cpu spread by > 1.15x is the documented signature.
+    *
+    * VS-REFERENCE (same-sf sidecar only): median per-query wall ratio
+    * vs median cpu ratio — the r19 episode read wall +28% / cpu +12%
+    * on a diff that touched no kernel. wallMed > 1.15 with wallMed >
+    * 1.10x cpuMed flags it.
+    *
+    * Returns "ok", "sus" (one leg fired), or "poi" (both, or the
+    * reference leg alone — cross-round poison is what reaches the
+    * committed artifact). Thresholds calibrated on the r2/r7/r17/r19
+    * episodes (ratios 1.28-6.6 on the poisoned side, <= 1.10 quiet).
+    */
+  private[graft] def contentionVerdict(
+      passWall: Seq[Double], passCpu: Seq[Double],
+      refRatios: Option[(Double, Double)]): String = {
+    def spread(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ > 0)
+      if (ok.size < 2) 1.0 else ok.max / ok.min
+    }
+    val wallSp = spread(passWall)
+    val cpuSp = spread(passCpu)
+    val intra = wallSp > 1.25 && wallSp > cpuSp * 1.15
+    val ref = refRatios.exists { case (wallMed, cpuMed) =>
+      wallMed > 1.15 && wallMed > cpuMed * 1.10
+    }
+    if (ref) "poi" else if (intra) "sus" else "ok"
+  }
 
   /** 1-minute loadavg (other-process pressure — the contention
     * signature's third leg); -1 where /proc is unavailable. */
@@ -170,6 +223,7 @@ object Bench {
     // CPU-bound kernels unchanged, nothing reproducible locally at n=5)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    var ccRounds: Option[(Long, Int, Vector[graft.operators.Graph.CcRound])] = None
     def run(dir: String, name: String): (Double, Double) = {
       val t0 = System.nanoTime()
       val c0 = osBean.getProcessCpuTime
@@ -182,6 +236,13 @@ object Bench {
         graft.core.Caches.release() // queries persist() reused subtrees;
         spark.catalog.clearCache()  // don't let dead cache skew timings
       }
+      // the CC fixpoint accounting (VERDICT r19 #3) — keep the LAST
+      // bench-sf q55 run's round table for the detail sidecar
+      if (name == "q55_dedup_clusters" && dir == sfDir &&
+          graft.operators.Graph.lastCcRounds.nonEmpty)
+        ccRounds = Some((graft.operators.Graph.lastCcEdges,
+          graft.operators.Graph.lastCcParts,
+          graft.operators.Graph.lastCcRounds))
       ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
     }
 
@@ -239,6 +300,12 @@ object Bench {
     val failures = results.count(_._2._1 < 0)
     val loadEnd = loadAvg1()
     val cpuTotal = results.map(_._2._2).filter(_ >= 0).sum
+    // ---- steal guard (r20): grade THIS run before it becomes the
+    // round's committed number ----
+    val passWall = (0 until runs).map(p =>
+      names.flatMap(n => samples(n).lift(p)).map(_._1).filter(_ >= 0).sum)
+    val passCpu = (0 until runs).map(p =>
+      names.flatMap(n => samples(n).lift(p)).map(_._2).filter(_ >= 0).sum)
     // the per-query detail sidecar: wall + cpu medians AND raw samples,
     // machine-readable, committed per round — the evidence the stdout
     // line has no room for. A SPARK_GRAFT_BENCH_ONLY subset run
@@ -258,6 +325,31 @@ object Bench {
       } catch { case _: Throwable => None }
     val refSf = refJson.flatMap(j =>
       "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(j).map(_.group(1)))
+    // same-sf reference: per-query wall and cpu ratio medians feed the
+    // steal guard's cross-round leg (the r19 poison signature)
+    val refRatioMed: Option[(Double, Double)] = refJson
+      .filter(_ => refSf.contains(sfDir))
+      .flatMap { rj =>
+        def med(rs: Seq[Double]): Option[Double] = {
+          val ok = rs.sorted
+          if (ok.isEmpty) None else Some(ok(ok.size / 2))
+        }
+        val wallR = scaleRatios(
+          results.map { case (n, (w, _)) => n -> w }, parseWallMap(rj)).map(_._2)
+        val cpuR = scaleRatios(
+          results.map { case (n, (_, c)) => n -> c }, parseCpuMap(rj)).map(_._2)
+        for (wm <- med(wallR); cm <- med(cpuR)) yield (wm, cm)
+      }
+    val ctn = contentionVerdict(passWall, passCpu, refRatioMed)
+    if (ctn != "ok") {
+      val refTxt = refRatioMed.map { case (w, c) =>
+        f" ref-ratios wall=$w%.2f cpu=$c%.2f" }.getOrElse("")
+      System.err.println(s"[bench] contention verdict: " +
+        (if (ctn == "poi") "POISONED — rerun on a quiet box" else
+          "SUSPECT pass detected") +
+        s" (pass walls ${passWall.map(fmt2).mkString("[", ",", "]")}" +
+        s" cpus ${passCpu.map(fmt2).mkString("[", ",", "]")}$refTxt)")
+    }
     val sfBase = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse("sf")
     val detailPath = sys.env.getOrElse(DetailFileEnv,
       if (only.isDefined) "BENCH_DETAIL.partial.json"
@@ -271,6 +363,21 @@ object Bench {
     try {
       def m(vs: Seq[(String, String)]) =
         vs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val contentionBlock = m(Seq(
+        "verdict" -> ("\"" + ctn + "\""),
+        "pass_wall" -> passWall.map(f2).mkString("[", ",", "]"),
+        "pass_cpu" -> passCpu.map(f2).mkString("[", ",", "]")) ++
+        refRatioMed.toSeq.flatMap { case (w, c) => Seq(
+          "ref_wall_ratio_median" -> f2(w),
+          "ref_cpu_ratio_median" -> f2(c)) })
+      val ccBlock = ccRounds.toSeq.map { case (ccEdges, ccParts, rs) =>
+        "cc_rounds" -> m(Seq(
+          "edges" -> ccEdges.toString,
+          "parts" -> ccParts.toString,
+          "rounds" -> rs.map(r =>
+            s"""[${r.round},${r.wallMs},"${r.sumDelta}"]""")
+            .mkString("[", ",", "]")))
+      }
       val detail = m(Seq(
         "sf" -> ("\"" + sfDir + "\""),
         "runs" -> runs.toString,
@@ -282,7 +389,8 @@ object Bench {
         "samples_wall" -> m(rawBoth.map { case (n, xs) =>
           n -> xs.map(t => f2(t._1)).mkString("[", ",", "]") }),
         "samples_cpu" -> m(rawBoth.map { case (n, xs) =>
-          n -> xs.map(t => f2(t._2)).mkString("[", ",", "]") })))
+          n -> xs.map(t => f2(t._2)).mkString("[", ",", "]") }),
+        "contention" -> contentionBlock) ++ ccBlock)
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         detail.getBytes("UTF-8"))
       System.err.println(s"[bench] detail -> $detailPath")
@@ -325,7 +433,7 @@ object Bench {
     // THEM — never query entries; the sidecar still has everything
     val wall = results.map { case (n, (w, _)) => n -> w }
     val withDiag = renderLine(wall, failures, flaky, sfDir,
-      cpuTotal, (loadStart, loadEnd))
+      cpuTotal, (loadStart, loadEnd), ctn = ctn)
     val line =
       if (withDiag.length <= TailBudget) withDiag
       else {

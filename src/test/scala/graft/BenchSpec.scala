@@ -36,9 +36,12 @@ class BenchSpec extends AnyFunSuite {
     val typical = names.zipWithIndex.map { case (n, i) =>
       n -> (if (i % 5 < 2) 0.5 else 1.25)
     }
+    // ctn="ok" must render nothing (the common case pays zero budget);
+    // a FLAGGED round pays 12 chars, covered by the info-line headroom
     val diag = Bench.renderLine(typical, failures = 0,
       flaky = 0, sfDir = "/root/testdata/sf0.1",
-      cpuTotal = 9999.4, load = (40.9, 40.9))
+      cpuTotal = 9999.4, load = (40.9, 40.9), ctn = "ok")
+    assert(!diag.contains("ctn"), "a clean verdict must not spend budget")
     assert(diag.length <= Bench.TailBudget,
       s"diag'd line ${diag.length} > ${Bench.TailBudget} at a typical " +
         "round: the cpu/load fields would be dropped routinely — reclaim budget")
@@ -73,6 +76,46 @@ class BenchSpec extends AnyFunSuite {
     // the fallback drops ONLY the diag fields
     val fb = Bench.renderLine(Seq("q1" -> 1.0), 0, 0, "/d", withDiag = false)
     assert(!fb.contains("cpu") && !fb.contains("load") && fb.contains("\"q1\":1"))
+  }
+
+  test("steal guard (r20): contentionVerdict grades the documented poison signatures; ctn renders in the artifact") {
+    // quiet run: balanced pass totals, same-sf reference ratios ~1
+    assert(Bench.contentionVerdict(
+      Seq(75.0, 76.0, 74.5, 75.5, 76.2), Seq(900.0, 905.0, 898.0, 902.0, 901.0),
+      Some((1.03, 1.01))) == "ok")
+    // the r19 episode: wall median +28% on cpu +12% vs the committed
+    // same-tree sidecar — the cross-round poison that reached three
+    // committed artifacts
+    assert(Bench.contentionVerdict(
+      Seq(75.0, 76.0, 74.5, 75.5, 76.2), Seq(900.0, 905.0, 898.0, 902.0, 901.0),
+      Some((1.28, 1.12))) == "poi")
+    // one stolen pass mid-run: its wall total inflates, cpu flat
+    assert(Bench.contentionVerdict(
+      Seq(75.0, 120.0, 74.5, 75.5, 76.2), Seq(900.0, 910.0, 898.0, 902.0, 901.0),
+      None) == "sus")
+    // uniform slowdown (bigger sf, real regression): wall AND cpu move
+    // together — NOT flagged (the guard must never eat a real signal)
+    assert(Bench.contentionVerdict(
+      Seq(75.0, 110.0, 74.5, 75.5, 76.2), Seq(900.0, 1320.0, 898.0, 902.0, 901.0),
+      Some((1.30, 1.29))) == "ok")
+    // no reference (first round at an sf): intra-run leg still works
+    assert(Bench.contentionVerdict(
+      Seq(75.0, 75.5), Seq(900.0, 901.0), None) == "ok")
+    // the flag reaches the stdout artifact inside the diag section and
+    // is dropped with it in the fallback
+    val line = Bench.renderLine(Seq("q1" -> 1.0), 0, 0, "/d",
+      cpuTotal = 1.0, load = (0.1, 0.1), ctn = "poi")
+    assert(line.contains("\"ctn\":\"poi\""), line)
+    val fb = Bench.renderLine(Seq("q1" -> 1.0), 0, 0, "/d",
+      withDiag = false, ctn = "poi")
+    assert(!fb.contains("ctn"), fb)
+  }
+
+  test("parseCpuMap reads the cpu medians the reference leg needs") {
+    val detail = """{"wall":{"q1":1.00,"q2":2.00},"cpu":{"q1":4.00,"q2":8.00}}"""
+    assert(Bench.parseCpuMap(detail) == Map("q1" -> 4.0, "q2" -> 8.0))
+    assert(Bench.parseWallMap(detail) == Map("q1" -> 1.0, "q2" -> 2.0))
+    assert(Bench.parseCpuMap("{}").isEmpty)
   }
 
   test("scale-ratio evidence: the sidecar wall map parses and ratios pair per query") {

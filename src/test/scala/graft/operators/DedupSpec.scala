@@ -201,6 +201,83 @@ class DedupSpec extends SparkSpec {
     graft.core.Caches.release()
   }
 
+  test("cosLshPlan/cosLshBands: closed-form s-curve math, planner-derived shipped defaults, loud refusal when the target is unreachable") {
+    val plan = Dedup.cosLshPlan(spark, sigBits = 60, tau = 0.9).collect()
+    assert(plan.map(_.getInt(0)).toSeq ==
+      Seq(1, 2, 3, 4, 5, 6, 10, 12, 15, 20, 30, 60), "divisor rows")
+    assert(plan.count(_.getBoolean(6)) == 1, "exactly one chosen banding")
+    // at fixed total bits, more bands = monotonically more recall at
+    // tau (and more below-threshold candidates) — the curve's shape
+    val pAtTau = plan.map(_.getDouble(2)).toSeq
+    assert(pAtTau == pAtTau.sorted, s"p_at_tau not monotone: $pAtTau")
+    val fpBelow = plan.map(_.getDouble(4)).toSeq
+    assert(fpBelow == fpBelow.sorted, s"fp_below not monotone: $fpBelow")
+    // every cell is the closed form exactly
+    plan.foreach { r =>
+      assert(r.getDouble(2) == Dedup.cosLshP(0.9, r.getInt(0), r.getInt(1)))
+    }
+    // the shipped defaults ARE the planner's answers (stretch r19 #8)
+    assert(Dedup.cosLshBands(60, 0.9, 0.3) == 4,
+      "embedNearDupWide's default banding must be planner-derived")
+    assert(Dedup.cosLshBands(60, 0.4, 0.45) == 10,
+      "q88's banding must be planner-derived")
+    // boundary recall figures quoted in the scaladocs
+    assert(math.abs(Dedup.cosLshP(0.9, 4, 15) - 0.337) < 0.005)
+    assert(math.abs(Dedup.cosLshP(0.4, 10, 6) - 0.480) < 0.005)
+    // unreachable target: loud refusal naming the best achievable
+    val ex = intercept[IllegalArgumentException](
+      Dedup.cosLshBands(16, -0.9, 0.99))
+    assert(ex.getMessage.contains("widen the signature"))
+  }
+
+  test("embedRecallReport: measured sign-bit LSH s-curve matches the closed form, twins always caught, quadratic truth probe-then-refused") {
+    import spark.implicits._
+    // seeded fixture: 72 random 64-dim vectors, the first 12 with an
+    // exact twin — dense enough that the mid buckets hold hundreds of
+    // pairs (binomial noise ~0.02), deterministic end to end
+    val rng = new scala.util.Random(11L)
+    def vec() = Array.fill(Vectors.Dims)((rng.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 72).map(i => (i.toLong, vec()))
+    val twins = (0 until 12).map(i => (100L + i, base(i)._2.clone()))
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+
+    val rep = Dedup.embedRecallReport(emb, sigBits = 60, nBands = 10)
+      .collect()
+    val total = rep.map(_.getLong(1)).sum
+    assert(total == 84L * 83 / 2, s"truth must cover every pair: $total")
+    // exact twins: wide sign-bit LSH can NEVER miss theta = 0, so the
+    // top buckets' measured recall is exactly 1. (Float dots put some
+    // twin cosines a hair under 1.0, so the 12 twins straddle the 0.9
+    // and 1.0 buckets — no random 64-dim pair gets near either.)
+    val top = rep.filter(_.getDouble(0) >= 0.9)
+    assert(top.map(_.getLong(1)).sum == 12, s"twin buckets: ${top.toSeq}")
+    top.foreach(r => assert(r.getDouble(3) == 1.0,
+      s"exact twins missed: $r"))
+    // measured ~= expected wherever the bucket has enough pairs for
+    // the binomial noise to settle (deterministic fixture: this is a
+    // fixed number, the tolerance just documents the closeness)
+    rep.filter(_.getLong(1) >= 200).foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 0.08,
+        s"measured ${r.getDouble(3)} vs expected ${r.getDouble(4)} in " +
+          s"bucket ${r.getDouble(0)} (${r.getLong(1)} pairs)")
+    }
+    // monotone s-curve on the measured side where populated (>= 200
+    // pairs): higher-cosine buckets are caught at least as often
+    val dense = rep.filter(_.getLong(1) >= 200).map(_.getDouble(4)).toSeq
+    assert(dense == dense.sorted, s"expected curve not monotone: $dense")
+
+    // the quadratic truth is probe-then-refused BEFORE pair work
+    val ex = intercept[IllegalArgumentException](
+      Dedup.embedRecallReport(emb, maxSampleVecs = 10))
+    assert(ex.getMessage.contains("raise sampleMod"))
+    // and the sample knob brings it back under the bound
+    val sampled = Dedup.embedRecallReport(emb, sampleMod = 4,
+      maxSampleVecs = 40).collect()
+    assert(sampled.map(_.getLong(1)).sum < 84L * 83 / 2,
+      "sampleMod must shrink the truth frame")
+    graft.core.Caches.release()
+  }
+
   // Shared fixture for the duplicated-substring pass: every filler token
   // is unique so ONLY the named runs (S.., O.., X.., Y.., r..) can form
   // cross-document duplicated windows.

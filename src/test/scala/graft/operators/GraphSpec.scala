@@ -37,6 +37,29 @@ class GraphSpec extends SparkSpec {
     assert(labels.values.forall(_ == 0L))
   }
 
+  test("per-round fixpoint accounting (r20): rounds/edges/parts recorded on both cores, zero extra jobs") {
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    cc(edges) // plain core
+    val rounds = Graph.lastCcRounds
+    assert(rounds.nonEmpty && rounds.size <= 10,
+      s"200-path must converge in O(log d) recorded rounds: ${rounds.size}")
+    assert(rounds.map(_.round) == (0 until rounds.size).toVector)
+    assert(rounds.forall(_.wallMs >= 0))
+    // the fixpoint round records delta 0; every earlier round progressed
+    assert(rounds.last.sumDelta == "0", rounds.last.toString)
+    assert(rounds.init.forall(r => BigInt(r.sumDelta) > 0), rounds.toString)
+    // symmetrized dedup: 199 pairs -> 398 directed edges
+    assert(Graph.lastCcEdges == 398L, s"edges=${Graph.lastCcEdges}")
+    assert(Graph.lastCcParts >= 1)
+    // salted core records the same table shape
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    try Graph.connectedComponents(df, saltHubs = 4).collect()
+    finally graft.core.Caches.release()
+    assert(Graph.lastCcRounds.nonEmpty && Graph.lastCcRounds.last.sumDelta == "0")
+    assert(Graph.lastCcParts >= 1)
+  }
+
   test("duplicate edges, self-loops, and reversed duplicates are harmless") {
     val labels = cc(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))

@@ -311,6 +311,41 @@ class SimilaritySpec extends SparkSpec {
     assert(byLabel(2) === ((1L, 0L, 0.0)))  // mislabeled query never matches
   }
 
+  test("knnLabelAccuracy probe sampling (r20): over-bound batches run on the deterministic hash60 sample; n_probes is the denominator; replayable") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val corpus = Similarity.prepare(e, "vec_id", "embedding")
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+    val out = try Similarity.knnLabelAccuracy(corpus,
+      col("vec_id") % 2 === 0, k = 3, maxProbes = 50)
+      .collect() finally graft.core.Caches.release()
+    // the denominator is visible on every row and the per-label counts
+    // sum to exactly the sample size
+    assert(out.forall(_.getLong(4) == 50L), "n_probes must report the cap")
+    assert(out.map(_.getLong(1)).sum == 50L,
+      "every sampled probe must be scored")
+    // the sample is the hash60(qid|salt)-order prefix — driver replay
+    val ids = e.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).filter(_._1 % 2 == 0)
+    val picked = ids.sortBy { case (id, _) =>
+      (graft.functions.HashKernels.hash60(s"$id|0"), id) }.take(50)
+    val wantByLabel = picked.groupBy(_._2).map { case (l, xs) => (l, xs.length.toLong) }
+    val gotByLabel = out.map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(gotByLabel == wantByLabel,
+      s"sampled label histogram drifted: got $gotByLabel want $wantByLabel")
+    // determinism: a second run is bit-identical
+    val out2 = try Similarity.knnLabelAccuracy(corpus,
+      col("vec_id") % 2 === 0, k = 3, maxProbes = 50)
+      .collect() finally graft.core.Caches.release()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+    // under the bound the limit is a no-op: every query is scored
+    val under = try Similarity.knnLabelAccuracy(corpus,
+      col("vec_id") % 2 === 0, k = 3)
+      .collect() finally graft.core.Caches.release()
+    assert(under.map(_.getLong(1)).sum == ids.length.toLong)
+    assert(under.forall(_.getLong(4) == ids.length.toLong))
+  }
+
   test("hardNegatives: filter-then-top-k equals a driver replay; labels never match") {
     val e = graft.core.Tables(spark, sfDir, "embeddings")
     val corpus = Similarity.prepare(e, "vec_id", "embedding")
