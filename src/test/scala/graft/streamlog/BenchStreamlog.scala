@@ -86,9 +86,67 @@ object BenchStreamlog {
 
   /** Assemble the artifact JSON (pure — the spec gates it). Phase order
     * is preserved so round-over-round diffs stay line-stable. */
+  /** Long-poll delivery-latency evidence (r20 — VERDICT r19 stretch
+    * #7: BENCH_STREAMLOG measured throughput and wire economy; the
+    * reference's consumer UX is LATENCY — its long-poll returns on the
+    * post-flush poke). Two rows: `active` publishes while the consumer
+    * is at fresh poll cadence (50 ms probes — p50 ≈ one probe
+    * interval); `idle_backoff` lets the poll escalate to the 1 s
+    * backoff cap first (p99 ≈ the CAP — the documented latency bound a
+    * long-idle consumer pays, visible in the artifact instead of
+    * asserted). The publisher is a SEPARATE handle, so delivery rides
+    * the cross-process probe path (HEAD tag probe), never the
+    * same-handle monitor poke. Nearest-rank percentiles. */
+  final case class LatencySummary(rounds: Int, p50Ms: Double, p99Ms: Double,
+                                  maxMs: Double)
+
+  /** Publish→poll-delivery latency over `rounds` one-record rounds;
+    * `idleBeforePublishMs` holds the publish back while the consumer's
+    * poll escalates its probe cadence (0 = fresh-cadence `active`
+    * row). */
+  def runPollLatency(spark: SparkSession, rounds: Int,
+                     idleBeforePublishMs: Long): LatencySummary = {
+    val srv = new S3LiteServer()
+    try {
+      val root = s"s3:${srv.endpoint}/bench"
+      val consumer = new StreamLog(spark, root, "lat")
+      val publisher = new StreamLog(spark, root, "lat")
+      var after = Offset.Beginning
+      val lats = Seq.newBuilder[Double]
+      for (_ <- 1 to rounds) {
+        val started = new java.util.concurrent.CountDownLatch(1)
+        @volatile var tDelivered = 0L
+        @volatile var got: Seq[(String, String)] = Nil
+        val pollFrom = after
+        val th = new Thread(() => {
+          started.countDown()
+          got = consumer.poll(pollFrom, limit = 10,
+            timeoutMs = idleBeforePublishMs + 15000,
+            intervalMs = 50, maxIntervalMs = 1000)
+          tDelivered = System.nanoTime()
+        })
+        th.setDaemon(true)
+        th.start()
+        started.await()
+        if (idleBeforePublishMs > 0) Thread.sleep(idleBeforePublishMs)
+        publisher.publish(Seq(s"""{"t":${System.nanoTime()}}"""))
+        val tPub = System.nanoTime()
+        th.join(30000)
+        require(got.size == 1, s"poll delivered ${got.size} records")
+        lats += (tDelivered - tPub) / 1e6
+        after = got.last._1
+      }
+      val xs = lats.result().sorted
+      def pct(q: Double): Double =
+        xs(math.min(xs.size - 1, math.ceil(q * xs.size).toInt - 1))
+      LatencySummary(rounds, pct(0.50), pct(0.99), xs.last)
+    } finally srv.stop()
+  }
+
   def render(phases: Seq[(String, Phase)],
              storm: Option[StormSummary] = None,
-             faults: Option[FaultSummary] = None): String = {
+             faults: Option[FaultSummary] = None,
+             latency: Seq[(String, LatencySummary)] = Nil): String = {
     val body = phases.map { case (n, p) =>
       s""""$n":{"records":${p.records},"wall_s":${fmt(p.wallSec)},""" +
         s""""recs_per_s":${fmt(p.recsPerSec)},"wire_ops":${p.wireOps},""" +
@@ -111,10 +169,15 @@ object BenchStreamlog {
         s""""transport_retries":${f.transportRetries},""" +
         s""""transport_exhausted":${f.transportExhausted},""" +
         s""""throttle_retries":${f.throttleRetries}}""").getOrElse("")
+    val latPart = if (latency.isEmpty) "" else
+      latency.map { case (n, l) =>
+        s""""$n":{"rounds":${l.rounds},"p50_ms":${fmt(l.p50Ms)},""" +
+          s""""p99_ms":${fmt(l.p99Ms)},"max_ms":${fmt(l.maxMs)}}"""
+      }.mkString(""","poll_latency":{""", ",", "}")
     s"""{"metric":"streamlog_bench","unit":"mixed","records_per_batch":$RecordsPerBatch,""" +
       s""""segment_counts":[${SegmentCounts.mkString(",")}],""" +
       s""""sweep_batch_sizes":[${SweepBatchSizes.mkString(",")}],""" +
-      s""""phases":{$body}$stormPart$faultPart}"""
+      s""""phases":{$body}$stormPart$faultPart$latPart}"""
   }
 
   /** Minimal artifact reader: phase name -> (records, wire_ops,
@@ -149,6 +212,15 @@ object BenchStreamlog {
         m.group(2).toInt, m.group(3).toInt, m.group(4).toInt,
         m.group(5).toInt, m.group(6).toInt, m.group(7).toLong,
         m.group(8).toLong, m.group(9).toLong))
+
+  /** The poll-latency block, if present: row -> (rounds, p50, p99,
+    * max) in ms. */
+  def parsePollLatency(json: String): Map[String, (Int, Double, Double, Double)] =
+    ("\"([a-z_]+)\":\\{\"rounds\":(\\d+),\"p50_ms\":([0-9.]+)," +
+      "\"p99_ms\":([0-9.]+),\"max_ms\":([0-9.]+)\\}").r
+      .findAllMatchIn(json).map(m => m.group(1) ->
+        ((m.group(2).toInt, m.group(3).toDouble, m.group(4).toDouble,
+          m.group(5).toDouble))).toMap
 
   /** Run the four phases at one segment count over a private server. */
   def runAt(spark: SparkSession, segments: Int): Seq[(String, Phase)] = {
@@ -472,9 +544,18 @@ object BenchStreamlog {
       // serial/parallel pair
       val rangeRead = runRangeRead(chunks = 32, chunkBytes = 64 * 1024,
         delayMs = 10)
+      // publish→poll delivery latency: fresh cadence vs escalated to
+      // the 1 s backoff cap (2.6 s of idle probes reaches the cap:
+      // 50+100+200+400+800 = 1550 ms, then capped)
+      val latency = Seq(
+        "active" -> runPollLatency(spark, rounds = 30, idleBeforePublishMs = 0),
+        "idle_backoff" -> runPollLatency(spark, rounds = 12,
+          idleBeforePublishMs = 2600))
       val phases = core ++ sweep ++ mpu ++ rangeRead :+ stormPhase :+ mixedPhase
-      val json = render(phases, Some(stormSummary), Some(faultSummary))
+      val json = render(phases, Some(stormSummary), Some(faultSummary), latency)
       require(parse(json).size == phases.size, "render/parse drift")
+      require(parsePollLatency(json).keySet == Set("active", "idle_backoff"),
+        "latency render/parse drift")
       require(parseStorm(json).contains((stormSummary.injected503,
         stormSummary.injected500, stormSummary.clientRetries,
         stormSummary.clientExhausted)), "storm render/parse drift")

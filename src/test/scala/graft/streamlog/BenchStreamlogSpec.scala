@@ -103,6 +103,35 @@ class BenchStreamlogSpec extends SparkSpec {
     assert(p1.posts == 2 && p2.posts == 2, "initiate + complete, both modes")
   }
 
+  test("poll-latency rows (r20): fresh cadence beats the backoff cap; the cap bounds idle p99; block renders and parses") {
+    // pure render/parse round-trip
+    val lat = Seq(
+      "active" -> BenchStreamlog.LatencySummary(30, 41.25, 55.0, 58.75),
+      "idle_backoff" -> BenchStreamlog.LatencySummary(12, 700.5, 990.25, 1010.0))
+    val json = BenchStreamlog.render(Nil, latency = lat)
+    val parsed = BenchStreamlog.parsePollLatency(json)
+    assert(parsed("active") == ((30, 41.25, 55.0, 58.75)))
+    assert(parsed("idle_backoff") == ((12, 700.5, 990.25, 1010.0)))
+    assert(BenchStreamlog.parsePollLatency("{}").isEmpty)
+
+    // behavioral gate (small rounds — the committed artifact runs more):
+    // a fresh-cadence delivery rides the 50 ms probe; a poll escalated
+    // to the 1 s cap pays up to the CAP, never the timeout
+    val active = BenchStreamlog.runPollLatency(spark, rounds = 5,
+      idleBeforePublishMs = 0)
+    assert(active.p50Ms < 400.0,
+      s"fresh-cadence p50 ${active.p50Ms} ms — the probe interval is 50 ms")
+    val idle = BenchStreamlog.runPollLatency(spark, rounds = 3,
+      idleBeforePublishMs = 2600)
+    assert(idle.p99Ms > 150.0,
+      s"idle p99 ${idle.p99Ms} ms — the poll never escalated past fresh cadence?")
+    assert(idle.p99Ms < 1500.0,
+      s"idle p99 ${idle.p99Ms} ms — latency must be bounded by the 1 s CAP, " +
+        "not the poll timeout")
+    assert(active.p50Ms < idle.p99Ms,
+      "fresh cadence must beat the escalated cap")
+  }
+
   test("a tiny real run produces all four phases with the uncontended wire economy") {
     val phases = BenchStreamlog.runAt(spark, segments = 6).toMap
     assert(phases.keySet ==
