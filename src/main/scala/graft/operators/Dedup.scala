@@ -403,9 +403,12 @@ object Dedup {
     * a wider signature for more recall).
     */
   def embedNearDup(signed: DataFrame, nBands: Int = 2, tau: Double = 0.4,
-                   sigBits: Int = 16): DataFrame = {
+                   sigBits: Int = 16,
+                   maxCandidatePairs: Long = 50000000L): DataFrame = {
     require(sigBits >= 1 && sigBits <= 64 && sigBits % nBands == 0,
       s"$sigBits signature bits must fit a BIGINT and split evenly into $nBands bands")
+    require(maxCandidatePairs > 0,
+      s"maxCandidatePairs must be positive, got $maxCandidatePairs")
     val bits = sigBits / nBands
     require(bits <= 32, s"band width must be <= 32 bits, got $bits " +
       "(the mask literal and the LSH recall curve both want narrower bands)")
@@ -417,6 +420,36 @@ object Dedup {
       .select(col("vec_id"), explode(expr(s"sequence(0, ${nBands - 1})")).as("band"), col("sig"))
       .withColumn("band_val", expr(s"(sig >> (band * $bits)) & ${(1L << bits) - 1}L"))
       .select(col("vec_id"), col("band"), col("band_val"))
+    // candidate-mass probe (r20): a band alphabet the corpus has
+    // outgrown makes every bucket scale with the corpus and the
+    // candidate join quadratic — the failure mode that spilled >70 GB
+    // at sf10 on q35's 16-bit shape (r19) and filled the disk on q88's
+    // 6-bit-band recall shape (r20 full-registry pass). Σ C(bucket, 2)
+    // over (band, band_val) is an exact UPPER bound on candidate rows
+    // (dedup across bands only shrinks it), costs one cheap aggregate
+    // over the narrow banded frame, and turns hours of doomed spill
+    // into an immediate refusal that names the fix. n·(n−1) is even,
+    // so the integer DIV is exact and the sum stays a BIGINT (Spark's
+    // `/` would promote to DOUBLE and lose exactness past 2^53).
+    val row = bands.groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("m"), max(col("n")).as("mx"))
+      .head()
+    // the hottest single bucket is checked in exact BigInt first: a
+    // bucket past ~3e9 rows would overflow the per-bucket long term
+    // NEGATIVE and silently pass the sum check below
+    val maxBucket = if (row.isNullAt(1)) 0L else row.getLong(1)
+    require(BigInt(maxBucket) * (maxBucket - 1) / 2 <= maxCandidatePairs,
+      s"embedNearDup: one band bucket holds $maxBucket vectors — its own " +
+        s"pair mass exceeds maxCandidatePairs=$maxCandidatePairs; widen " +
+        "the signature (embedNearDupWide / larger sigBits)")
+    val candMass = if (row.isNullAt(0)) 0L else row.getLong(0)
+    require(candMass <= maxCandidatePairs,
+      s"embedNearDup would generate ~$candMass within-bucket candidate " +
+        s"pairs (> maxCandidatePairs=$maxCandidatePairs): the $bits-bit " +
+        s"band alphabet (${1L << bits} values) has saturated at this " +
+        "corpus size — widen the signature (embedNearDupWide / larger " +
+        "sigBits with cosLshBands) or raise maxCandidatePairs deliberately")
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&

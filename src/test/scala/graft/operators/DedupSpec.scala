@@ -201,6 +201,29 @@ class DedupSpec extends SparkSpec {
     graft.core.Caches.release()
   }
 
+  test("embedNearDup candidate-mass guard (r20): a saturated band alphabet refuses BEFORE the join, with the fix in the message") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5L)
+    val emb = (0 until 40).map(i => (i.toLong,
+      Array.fill(Vectors.Dims)((rng.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    // sum of C(bucket,2) over 2x8-bit bands on 40 vectors is tiny but
+    // positive — a cap of 1 must trip the probe before any pair work
+    val ex = intercept[IllegalArgumentException] {
+      try Dedup.embedNearDup(Vectors.signed(emb), maxCandidatePairs = 1L)
+        .collect()
+      finally graft.core.Caches.release()
+    }
+    assert(ex.getMessage.contains("widen the signature"), ex.getMessage)
+    assert(ex.getMessage.contains("maxCandidatePairs=1"), ex.getMessage)
+    // the default cap admits every oracle-scale shape untouched
+    val ok = try Dedup.embedNearDup(Vectors.signed(emb), nBands = 4,
+      tau = 0.2).collect() finally graft.core.Caches.release()
+    assert(ok.forall(_.getDouble(2) >= 0.2))
+    intercept[IllegalArgumentException](
+      Dedup.embedNearDup(Vectors.signed(emb), maxCandidatePairs = 0L))
+  }
+
   test("cosLshPlan/cosLshBands: closed-form s-curve math, planner-derived shipped defaults, loud refusal when the target is unreachable") {
     val plan = Dedup.cosLshPlan(spark, sigBits = 60, tau = 0.9).collect()
     assert(plan.map(_.getInt(0)).toSeq ==
