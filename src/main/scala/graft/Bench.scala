@@ -83,7 +83,8 @@ object Bench {
                                 cpuTotal: Double = -1.0,
                                 load: (Double, Double) = (-1.0, -1.0),
                                 withDiag: Boolean = true,
-                                ctn: String = ""): String = {
+                                ctn: String = "",
+                                includeLoad: Boolean = true): String = {
     // trailing zeros stripped ("0.50" -> "0.5", "2.00" -> "2"): still
     // valid JSON numbers, ~40-60 chars of budget back across 80 queries
     def f2c(x: Double): String = {
@@ -106,9 +107,10 @@ object Bench {
     // 12 chars of the tail budget saying "nothing happened"
     val ctnField = if (ctn.isEmpty || ctn == "ok" || !withDiag) ""
       else s""""ctn":"$ctn","""
+    val loadField = if (!includeLoad) ""
+      else s""""load":[${f1c(load._1)},${f1c(load._2)}],"""
     val diag = if (!withDiag) "" else
-      s""""cpu":${math.round(cpuTotal)},"load":[${f1c(load._1)},${f1c(load._2)}],""" +
-        ctnField
+      s""""cpu":${math.round(cpuTotal)},""" + loadField + ctnField
     // sf as the basename: the directory prefix is the same every round
     // and its 15 chars are better spent keeping the diag fields in
     val sf = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
@@ -432,15 +434,21 @@ object Bench {
     // line past the tail budget (slow round, every query ≥ 10 s), drop
     // THEM — never query entries; the sidecar still has everything
     val wall = results.map { case (n, (w, _)) => n -> w }
-    val withDiag = renderLine(wall, failures, flaky, sfDir,
-      cpuTotal, (loadStart, loadEnd), ctn = ctn)
-    val line =
-      if (withDiag.length <= TailBudget) withDiag
-      else {
-        System.err.println("[bench] diag fields dropped: line would be " +
-          s"${withDiag.length} chars > $TailBudget (see the detail sidecar)")
-        renderLine(wall, failures, flaky, sfDir, withDiag = false)
-      }
+    // tiered fallback (r20): a slow round's line overflowed the budget
+    // and dropped ALL diagnosis; now load goes first (the sidecar
+    // carries it), keeping cpu + the steal-guard flag — the two fields
+    // the committed artifact's contention story actually needs — and
+    // only then the rest. Query entries always win the budget.
+    val tiers = Seq(
+      renderLine(wall, failures, flaky, sfDir, cpuTotal,
+        (loadStart, loadEnd), ctn = ctn),
+      renderLine(wall, failures, flaky, sfDir, cpuTotal,
+        (loadStart, loadEnd), ctn = ctn, includeLoad = false),
+      renderLine(wall, failures, flaky, sfDir, withDiag = false))
+    val line = tiers.find(_.length <= TailBudget).getOrElse(tiers.last)
+    if (line != tiers.head)
+      System.err.println("[bench] diag tier dropped: full line would be " +
+        s"${tiers.head.length} chars > $TailBudget (see the detail sidecar)")
     println(line)
     // the artifact must be COMPLETE above all: an over-budget line
     // would silently lose its head to the tail capture, so it fails

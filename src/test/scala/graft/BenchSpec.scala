@@ -42,6 +42,20 @@ class BenchSpec extends AnyFunSuite {
       flaky = 0, sfDir = "/root/testdata/sf0.1",
       cpuTotal = 9999.4, load = (40.9, 40.9), ctn = "ok")
     assert(!diag.contains("ctn"), "a clean verdict must not spend budget")
+    // the r20 middle tier (load dropped, cpu + flag kept) must fit at
+    // the TYPICAL envelope even when the steal guard flags the round —
+    // the committed artifact keeps its contention story exactly when
+    // it matters (the all-4-char worst envelope remains guaranteed for
+    // the bare fallback only, as ever)
+    val tier2 = Bench.renderLine(typical, failures = 0,
+      flaky = 0, sfDir = "/root/testdata/sf0.1",
+      cpuTotal = 9999.4, load = (40.9, 40.9), ctn = "poi",
+      includeLoad = false)
+    assert(tier2.contains("\"cpu\":") && tier2.contains("\"ctn\":\"poi\"") &&
+      !tier2.contains("load"), tier2)
+    assert(tier2.length <= Bench.TailBudget,
+      s"cpu+ctn tier ${tier2.length} > ${Bench.TailBudget}: a FLAGGED " +
+        "typical round would drop its own flag from the artifact")
     assert(diag.length <= Bench.TailBudget,
       s"diag'd line ${diag.length} > ${Bench.TailBudget} at a typical " +
         "round: the cpu/load fields would be dropped routinely — reclaim budget")
