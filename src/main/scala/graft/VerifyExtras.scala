@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Dedup, EventOps, NgramLm, Paragraphs, Relational, Sampling, TextOps}
+import graft.operators.{Curate, Dedup, EventOps, NgramLm, Paragraphs, Privacy, Relational, Sampling, TextOps}
 
 /** EXTRA-registry oracle crosschecks (r14): the strongest spec-only
   * operators, hash-gated against the DuckDB oracle WITHOUT touching
@@ -248,7 +248,29 @@ object VerifyExtras {
     // a total order both engines must reproduce exactly; the OLS fit
     // on top stays spec-side (driver math over this bounded table)
     "x_zipf_ranks" -> ((s, dir) =>
-      TextOps.zipfRanks(s.read.parquet(s"$dir/documents.parquet"), k = 200)))
+      TextOps.zipfRanks(s.read.parquet(s"$dir/documents.parquet"), k = 200)),
+    // k-anonymity / l-diversity audit: quasi = (source, 100-char length
+    // bucket), sensitive = lang — integer-exact everywhere except
+    // top_share's round-6 (the repo-wide double discipline). FLOOR of an
+    // int/100 double division is boundary-safe: only exact multiples land
+    // on integers and those divisions are IEEE-exact in both engines
+    "x_kanon" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("len_bucket", floor(col("n_chars") / lit(100)).cast("long"))
+      Privacy.kAnonymityReport(docs, Seq("source", "len_bucket"), col("lang"), k = 5)
+    }),
+    "x_kanon_summary" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("len_bucket", floor(col("n_chars") / lit(100)).cast("long"))
+      Privacy.kAnonymitySummary(docs, Seq("source", "len_bucket"), col("lang"), k = 5)
+    }),
+    // seeded ε-DP Laplace count release — the md5-derived inverse-CDF
+    // draw replays closed-form in SQL exactly like the A-ES sampler's
+    // exponential race; the released value is rounded to a whole count
+    // before the hash gate so the only cross-engine double op is ln()
+    "x_dp_counts" -> ((s, dir) =>
+      Privacy.dpCountRelease(s.read.parquet(s"$dir/documents.parquet"),
+        Seq("lang", "source"), epsilon = 0.5, salt = "r20")))
 
   /** The q28 as-of shape (purchases ← most recent/nearest click per
     * user) in the two directions the registry entry doesn't cover. */
@@ -1023,6 +1045,60 @@ object VerifyExtras {
         |SELECT row_number() OVER (ORDER BY cnt DESC, term)::INT AS rank,
         |  term, cnt
         |FROM t
+        |""".stripMargin,
+    // two-level roll-up exactly like the Spark plan: innermost on
+    // (quasi ++ sensitive), then the coarser quasi key
+    "x_kanon" ->
+      """WITH b AS (
+        |  SELECT source, CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket, lang
+        |  FROM documents),
+        |i AS (
+        |  SELECT source, len_bucket, lang, count(*)::BIGINT AS c
+        |  FROM b GROUP BY 1, 2, 3)
+        |SELECT source, len_bucket,
+        |  CAST(sum(c) AS BIGINT) AS group_size,
+        |  count(*)::BIGINT AS l_diversity,
+        |  CAST(max(c) AS BIGINT) AS top_count,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_share,
+        |  CAST(sum(c) AS BIGINT) < 5 AS risky
+        |FROM i GROUP BY 1, 2
+        |""".stripMargin,
+    "x_kanon_summary" ->
+      """WITH b AS (
+        |  SELECT source, CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket, lang
+        |  FROM documents),
+        |i AS (
+        |  SELECT source, len_bucket, lang, count(*)::BIGINT AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT source, len_bucket,
+        |    CAST(sum(c) AS BIGINT) AS group_size,
+        |    count(*)::BIGINT AS l_diversity,
+        |    CAST(sum(c) AS BIGINT) < 5 AS risky
+        |  FROM i GROUP BY 1, 2)
+        |SELECT count(*)::BIGINT AS n_groups,
+        |  CAST(sum(CASE WHEN risky THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+        |  CAST(sum(CASE WHEN risky THEN group_size ELSE 0 END) AS BIGINT) AS n_risky_rows,
+        |  CAST(min(group_size) AS BIGINT) AS k_achieved,
+        |  CAST(min(l_diversity) AS BIGINT) AS l_achieved
+        |FROM r
+        |""".stripMargin,
+    // the seeded Laplace draw, closed-form: u = (hash60(key|salt)+0.5)/2^60,
+    // noise = -(1/eps)*sign(u-1/2)*ln(1-2|u-1/2|), eps = 0.5, salt = 'r20'
+    "x_dp_counts" ->
+      """WITH g AS (
+        |  SELECT lang, source, count(*)::DOUBLE AS c
+        |  FROM documents GROUP BY 1, 2),
+        |u AS (
+        |  SELECT lang, source, c,
+        |    (CAST(CAST('0x' || substr(md5(concat_ws('|', lang, source, 'r20')), 1, 15)
+        |          AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0 AS u
+        |  FROM g)
+        |SELECT lang, source,
+        |  CAST(greatest(0.0, round(
+        |    c + (-2.0) * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+        |      * ln(1.0 - 2.0 * abs(u - 0.5)), 0)) AS BIGINT) AS released_count
+        |FROM u
         |""".stripMargin)
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Privacy auditing + private release (SURVEY §2.8) — the re-identification
+  * audit a compliant training-data pipeline runs AFTER the PII scrub
+  * ([[Pii]]): scrubbing removes direct identifiers, but a row can still be
+  * re-identified through a combination of quasi-identifiers (source,
+  * length bucket, language, date…). The standard audit vocabulary:
+  *
+  *  - '''k-anonymity''' (Sweeney, IJUFKS 2002): every quasi-identifier
+  *    combination must be shared by ≥ k rows; the achieved k of a corpus
+  *    is its smallest group.
+  *  - '''l-diversity''' (Machanavajjhala et al., ICDE 2006): a k-anonymous
+  *    group is still leaky if everyone in it shares one sensitive value;
+  *    each group must contain ≥ l distinct sensitive values. The dominance
+  *    share (top sensitive value / group size) is the companion signal.
+  *  - '''ε-DP count release''' (Dwork et al., TCC 2006): publish per-group
+  *    counts with Laplace(1/ε) noise so any one row's presence changes the
+  *    released distribution by at most e^ε. Counts have L1 sensitivity 1,
+  *    so the classic mechanism is noise ~ Laplace(0, 1/ε).
+  *
+  * Shape at scale: both audits are plain hierarchical aggregations — one
+  * shuffle keyed by (quasi ++ sensitive), a second on the strictly coarser
+  * quasi key (partial aggregation on both; output cardinality is the
+  * quasi-domain, not the row count). The DP release is one aggregation
+  * plus a codegen'd per-GROUP noise projection. No UDF, no collect, no
+  * all-pairs anything — at 100 TB these are exactly as expensive as the
+  * groupBy they contain.
+  *
+  * Determinism: the Laplace draw is NOT an RNG — it inverts the Laplace
+  * CDF at u = (hash60(groupKey|salt) + 0.5) / 2⁶⁰ ∈ (0,1), the repo-wide
+  * md5 discipline ([[graft.functions.Hashing]], same as the A-ES sampler's
+  * exponential race), so the release is a pure function of (data, ε, salt)
+  * and the DuckDB oracle replays it bit-for-bit. A fresh salt per release
+  * is the caller's privacy obligation (re-releasing with a new salt spends
+  * budget, exactly like re-running a seeded mechanism).
+  *
+  * The reference engine has no privacy surface; this extends the
+  * training-data pack the way [[Pii]] and [[Curate]] do.
+  */
+object Privacy {
+
+  /** Per-group k-anonymity / l-diversity audit. One output row per
+    * distinct quasi-identifier combination:
+    *
+    *  - `group_size`  — rows sharing the combination;
+    *  - `l_diversity` — distinct `sensitive` values in the group;
+    *  - `top_count` / `top_share` — the most common sensitive value's
+    *    count and share (dominance: share → 1.0 means the "diverse"
+    *    group still tells you everyone's sensitive value);
+    *  - `risky`       — group_size < k (the re-identifiable rows).
+    *
+    * Two-level aggregation: innermost on (quasi ++ sensitive) — the only
+    * shuffle that sees row-count-scale data — then a coarser roll-up to
+    * the quasi key. Both levels map-side combine.
+    */
+  def kAnonymityReport(
+      d: DataFrame,
+      quasi: Seq[String],
+      sensitive: Column,
+      k: Int): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymityReport: need at least one quasi-identifier column")
+    require(k >= 2, s"kAnonymityReport: k must be >= 2, got $k")
+    val qcols = quasi.map(col)
+    val inner = d.groupBy((qcols :+ sensitive.as("_sens")): _*)
+      .agg(count(lit(1)).as("_c"))
+    inner.groupBy(qcols: _*)
+      .agg(
+        sum(col("_c")).cast("long").as("group_size"),
+        count(lit(1)).cast("long").as("l_diversity"),
+        max(col("_c")).cast("long").as("top_count"))
+      .withColumn("top_share",
+        round(col("top_count").cast("double") / col("group_size"), 6))
+      .withColumn("risky", col("group_size") < k)
+  }
+
+  /** One-row corpus summary of [[kAnonymityReport]]: the achieved k
+    * (smallest group) and l (least-diverse group), plus how many groups /
+    * rows sit below the k target — the number a datasheet quotes.
+    */
+  def kAnonymitySummary(
+      d: DataFrame,
+      quasi: Seq[String],
+      sensitive: Column,
+      k: Int): DataFrame =
+    kAnonymityReport(d, quasi, sensitive, k).agg(
+      count(lit(1)).cast("long").as("n_groups"),
+      sum(when(col("risky"), 1L).otherwise(0L)).cast("long").as("n_risky_groups"),
+      sum(when(col("risky"), col("group_size")).otherwise(0L)).cast("long")
+        .as("n_risky_rows"),
+      min(col("group_size")).cast("long").as("k_achieved"),
+      min(col("l_diversity")).cast("long").as("l_achieved"))
+
+  /** ε-DP per-group count release (Laplace mechanism, seeded). Output is
+    * one row per group: the grouping columns plus `released_count` — the
+    * true count plus Laplace(1/ε) noise, rounded, clamped at 0. The true
+    * count is deliberately NOT in the output (releasing it next to the
+    * noisy one would defeat the mechanism).
+    *
+    * Noise inverts the Laplace CDF at the deterministic
+    * u = (hash60(groupKey|salt) + 0.5) / 2⁶⁰:
+    * noise = −(1/ε) · sign(u − ½) · ln(1 − 2·|u − ½|), giving the exact
+    * Laplace(0, 1/ε) quantile of u. |noise| ≤ (1/ε)·ln(2⁶⁰) ≈ 41.6/ε —
+    * the tail is truncated at the hash resolution, which is the standard
+    * finite-precision caveat of any inverse-CDF sampler.
+    */
+  def dpCountRelease(
+      d: DataFrame,
+      groupCols: Seq[String],
+      epsilon: Double,
+      salt: String): DataFrame = {
+    require(groupCols.nonEmpty, "dpCountRelease: need at least one grouping column")
+    require(epsilon > 0.0, s"dpCountRelease: epsilon must be > 0, got $epsilon")
+    val g = d.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("_true_c"))
+    val key = concat_ws("|", (groupCols.map(c => col(c).cast("string")) :+ lit(salt)): _*)
+    val u = (Hashing.hash60(key).cast("double") + lit(0.5)) /
+      lit(1152921504606846976.0d) // 2^60
+    val noise = lit(-1.0 / epsilon) *
+      when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    g.withColumn("released_count",
+        greatest(lit(0.0), round(col("_true_c").cast("double") + noise, 0))
+          .cast("long"))
+      .drop("_true_c")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Privacy auditing + seeded DP release (x_kanon, x_kanon_summary,
+  * x_dp_counts).
+  */
+class PrivacySpec extends SparkSpec {
+
+  // A hand-auditable corpus: quasi-identifier = (src, bucket),
+  // sensitive = lang.
+  //   (a,0): 3 rows, langs {en, en, de}  -> l=2, top 2/3, safe at k=3
+  //   (a,1): 2 rows, langs {fr, fr}      -> l=1, top 2/2, risky at k=3
+  //   (b,0): 1 row,  langs {en}          -> l=1, top 1/1, risky at k=3
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      ("a", 0L, "en"), ("a", 0L, "en"), ("a", 0L, "de"),
+      ("a", 1L, "fr"), ("a", 1L, "fr"),
+      ("b", 0L, "en")
+    ).toDF("src", "bucket", "lang")
+  }
+
+  test("kAnonymityReport: group sizes, l-diversity, dominance, risky flags") {
+    val rows = Privacy.kAnonymityReport(fixture, Seq("src", "bucket"), col("lang"), k = 3)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("bucket")) -> r).toMap
+    assert(rows.size === 3)
+
+    val a0 = rows(("a", 0L))
+    assert(a0.getAs[Long]("group_size") === 3L)
+    assert(a0.getAs[Long]("l_diversity") === 2L)
+    assert(a0.getAs[Long]("top_count") === 2L)
+    assert(a0.getAs[Double]("top_share") === 0.666667d) // round(2/3, 6)
+    assert(!a0.getAs[Boolean]("risky"))
+
+    val a1 = rows(("a", 1L))
+    assert(a1.getAs[Long]("group_size") === 2L)
+    assert(a1.getAs[Long]("l_diversity") === 1L)
+    assert(a1.getAs[Double]("top_share") === 1.0d)
+    assert(a1.getAs[Boolean]("risky"))
+
+    val b0 = rows(("b", 0L))
+    assert(b0.getAs[Long]("group_size") === 1L)
+    assert(b0.getAs[Boolean]("risky"))
+  }
+
+  test("kAnonymitySummary: achieved k and l, risky group/row accounting") {
+    val s = Privacy.kAnonymitySummary(fixture, Seq("src", "bucket"), col("lang"), k = 3).head()
+    assert(s.getAs[Long]("n_groups") === 3L)
+    assert(s.getAs[Long]("n_risky_groups") === 2L)
+    assert(s.getAs[Long]("n_risky_rows") === 3L) // the (a,1) pair + the (b,0) singleton
+    assert(s.getAs[Long]("k_achieved") === 1L)
+    assert(s.getAs[Long]("l_achieved") === 1L)
+  }
+
+  test("dpCountRelease: deterministic, clamped, within the truncated-tail bound") {
+    val rel1 = Privacy.dpCountRelease(fixture, Seq("src", "lang"), epsilon = 0.5, salt = "s1")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("released_count")).toMap
+    val rel2 = Privacy.dpCountRelease(fixture, Seq("src", "lang"), epsilon = 0.5, salt = "s1")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("released_count")).toMap
+    assert(rel1 === rel2, "same (data, epsilon, salt) must release identical counts")
+
+    val truth = fixture.groupBy("src", "lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count")).toMap
+    assert(rel1.keySet === truth.keySet)
+    // |noise| <= (1/eps) * ln(2^60) ~= 83.2 at eps=0.5; rounding adds 1/2
+    val bound = math.ceil(60.0 * math.log(2.0) / 0.5 + 0.5).toLong
+    rel1.foreach { case (k, v) =>
+      assert(v >= 0L, s"$k released negative")
+      assert(math.abs(v - truth(k)) <= bound, s"$k: released $v vs true ${truth(k)}")
+    }
+  }
+
+  test("dpCountRelease: a new salt is a fresh draw; huge epsilon releases the truth") {
+    import spark.implicits._
+    // 20 groups × ~50 rows: eps=2 bounds |noise| at 20.8, so the clamp
+    // never bites and two salts agreeing on ALL 20 rounded draws would
+    // need a ~1-in-20^20 coincidence — the 4-group fixture can (and did)
+    // collide after rounding
+    val wide = (0 until 20).flatMap(g => Seq.fill(50 + g)(s"g$g")).toDF("grp")
+    val a = Privacy.dpCountRelease(wide, Seq("grp"), epsilon = 2.0, salt = "s1")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("released_count")).toMap
+    val b = Privacy.dpCountRelease(wide, Seq("grp"), epsilon = 2.0, salt = "s2")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("released_count")).toMap
+    assert(a !== b, "different salts should give a different release at eps=2")
+
+    // eps = 1000: |noise| <= 41.6/1000 < 0.5, so every count rounds to truth
+    val exact = Privacy.dpCountRelease(fixture, Seq("src", "lang"), epsilon = 1000.0, salt = "s1")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("released_count")).toMap
+    val truth = fixture.groupBy("src", "lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count")).toMap
+    assert(exact === truth)
+  }
+
+  test("audit plans: two-level hierarchical aggregation, no all-pairs shape") {
+    import graft.core.Tables
+    val d = Tables(spark, sfDir, "documents")
+    val plan = Privacy.kAnonymityReport(
+        d, Seq("source"), col("lang"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"audit must stay an aggregation:\n$plan")
+  }
+}
