@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Dedup, EventOps, NgramLm, Paragraphs, Privacy, Relational, Sampling, TextOps}
+import graft.operators.{Curate, Dedup, EventOps, NgramLm, Paragraphs, Pii, Privacy, Relational, Sampling, TextOps}
 
 /** EXTRA-registry oracle crosschecks (r14): the strongest spec-only
   * operators, hash-gated against the DuckDB oracle WITHOUT touching
@@ -270,7 +270,20 @@ object VerifyExtras {
     // before the hash gate so the only cross-engine double op is ln()
     "x_dp_counts" -> ((s, dir) =>
       Privacy.dpCountRelease(s.read.parquet(s"$dir/documents.parquet"),
-        Seq("lang", "source"), epsilon = 0.5, salt = "r20")))
+        Seq("lang", "source"), epsilon = 0.5, salt = "r20")),
+    // email pseudonymization over the q67 planted fixtures PLUS a
+    // shared address on every 6th doc — the cross-document referential
+    // integrity (same address, same pseudonym) the gate must prove; the
+    // split/extract/zip rebuild replays in SQL list functions
+    "x_pseudonymize" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val t2 = concat(
+        Pii.plantFixtures(col("text"), col("doc_id")),
+        when(col("doc_id") % 6 === 0, lit(" ping ops@corp.net"))
+          .otherwise(lit("")))
+      Pii.pseudonymizeEmails(docs.select(col("doc_id"), t2.as("t")), col("t"))
+        .select("doc_id", "pseudonymized", "n_pseudonyms")
+    }))
 
   /** The q28 as-of shape (purchases ← most recent/nearest click per
     * user) in the two directions the registry entry doesn't cover. */
@@ -1099,6 +1112,27 @@ object VerifyExtras {
         |    c + (-2.0) * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
         |      * ln(1.0 - 2.0 * abs(u - 0.5)), 0)) AS BIGINT) AS released_count
         |FROM u
+        |""".stripMargin,
+    // the split/extract/zip rebuild in DuckDB list functions; same email
+    // regex as q67 (Java ≡ RE2 on this shape), md5-prefix pseudonyms;
+    // array_to_string of an EMPTY list is NULL in duckdb 1.0 — coalesce
+    "x_pseudonymize" ->
+      raw"""WITH planted AS (
+        |  SELECT doc_id, ${Pii.plantedSql("text", "doc_id")}
+        |    || CASE WHEN doc_id % 6 = 0 THEN ' ping ops@corp.net' ELSE '' END AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS ms,
+        |    regexp_split_to_array(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS segs
+        |  FROM planted)
+        |SELECT doc_id,
+        |  segs[1] || coalesce(array_to_string(
+        |    list_transform(list_zip(ms, segs[2:]),
+        |      s -> 'user-' || substr(md5(s[1]), 1, 8) || '@anon.example' || s[2]),
+        |    ''), '') AS pseudonymized,
+        |  len(ms)::BIGINT AS n_pseudonyms
+        |FROM m
         |""".stripMargin)
 
   def main(args: Array[String]): Unit = {

@@ -148,6 +148,41 @@ object Pii {
     Seq(AwsKeyRe, PemKeyRe, HexSecretRe, B64SecretRe).map(re =>
       size(regexp_extract_all(text, lit(re), lit(0))).cast("long")).reduce(_ + _)
 
+  /** Email pseudonymization with referential integrity — the
+    * training-data-friendly alternative to [[redactPii]]'s blank
+    * `[EMAIL]` mask: every address is replaced by a deterministic
+    * pseudonym `user-<md5(addr|salt) prefix>@anon.example`, so the SAME
+    * address maps to the SAME pseudonym everywhere in the corpus.
+    * Dialogue stays coherent ("write to X… I asked X…" keeps its
+    * coreference) and cross-document identity structure survives for
+    * dedup / graph analysis, while the identifier itself is gone.
+    *
+    * Adds `pseudonymized` and `n_pseudonyms` to `d`. Built entirely
+    * from codegen'd collection expressions — split on the email
+    * pattern (limit −1 keeps trailing empty segments, so an address at
+    * end-of-text rebuilds exactly), extract the matches, zip each
+    * rewritten match with its following segment, re-join. A pure
+    * zero-shuffle projection like redactPii; per-row state is the
+    * row's own match list.
+    *
+    * An unsalted hash is linkable by dictionary (hash the guess, look
+    * it up) — pass a private `salt` when the corpus leaves the trust
+    * boundary. The pseudonym map is never materialized anywhere.
+    */
+  def pseudonymizeEmails(d: DataFrame, text: Column, salt: String = ""): DataFrame = {
+    val segs = split(text, EmailRe, -1)
+    val ms = regexp_extract_all(text, lit(EmailRe), lit(0))
+    val rebuilt = concat(
+      element_at(segs, 1),
+      array_join(
+        zip_with(ms, slice(segs, lit(2), size(ms)), (m, s) =>
+          concat(lit("user-"), substring(md5(concat(m, lit(salt))), 1, 8),
+            lit("@anon.example"), s)),
+        ""))
+    d.withColumn("pseudonymized", rebuilt)
+      .withColumn("n_pseudonyms", size(ms).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pii_redact" -> (q67PiiRedact _)
   )

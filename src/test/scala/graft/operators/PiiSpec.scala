@@ -80,6 +80,46 @@ class PiiSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected shuffle-free projection:\n$plan")
   }
 
+  test("pseudonymizeEmails: referential integrity, edges, salt, pure projection") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail ann@corp.net about the Q3 report"),
+      (2L, "I already asked ann@corp.net and bob@corp.net"),
+      (3L, "no addresses at all"),
+      (4L, "ends with ann@corp.net"),
+      (5L, "ann@corp.net starts it")
+    ).toDF("doc_id", "text")
+    val out = Pii.pseudonymizeEmails(d, col("text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val p1 = out(1L).getAs[String]("pseudonymized")
+    val p2 = out(2L).getAs[String]("pseudonymized")
+    val pseudoOf = (s: String) => "user-[0-9a-f]{8}@anon\\.example".r
+      .findAllIn(s).toList
+    // same address -> same pseudonym across documents; distinct -> distinct
+    val ann = pseudoOf(p1).head
+    assert(pseudoOf(p2).head === ann, s"referential integrity broke: $p1 vs $p2")
+    assert(pseudoOf(p2).distinct.size === 2)
+    assert(p1 === s"mail $ann about the Q3 report")
+    // counts + untouched / boundary texts
+    assert(out(2L).getAs[Long]("n_pseudonyms") === 2L)
+    assert(out(3L).getAs[String]("pseudonymized") === "no addresses at all")
+    assert(out(3L).getAs[Long]("n_pseudonyms") === 0L)
+    assert(out(4L).getAs[String]("pseudonymized") === s"ends with $ann")
+    assert(out(5L).getAs[String]("pseudonymized") === s"$ann starts it")
+
+    // a salt re-keys every pseudonym (dictionary-attack mitigation)
+    val salted = Pii.pseudonymizeEmails(d, col("text"), salt = "secret")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("pseudonymized")).toMap
+    assert(pseudoOf(salted(1L)).head !== ann)
+    assert(pseudoOf(salted(1L)).head === pseudoOf(salted(2L)).head)
+
+    val plan = Pii.pseudonymizeEmails(
+        graft.core.Tables(spark, sfDir, "documents"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free projection:\n$plan")
+  }
+
   test("q67 on real data: planted densities come back out") {
     val agg = Pii.q67PiiRedact(spark, sfDir)
       .agg(sum("n_emails"), sum("n_phones"), sum("n_ips"), count(lit(1))).head()
