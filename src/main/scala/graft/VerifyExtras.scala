@@ -264,6 +264,13 @@ object VerifyExtras {
         .withColumn("len_bucket", floor(col("n_chars") / lit(100)).cast("long"))
       Privacy.kAnonymitySummary(docs, Seq("source", "len_bucket"), col("lang"), k = 5)
     }),
+    // t-closeness over the same quasi key — exact DECIMAL numerators
+    // (count products), ONE double division at the end, round 6
+    "x_tcloseness" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("len_bucket", floor(col("n_chars") / lit(100)).cast("long"))
+      Privacy.tClosenessReport(docs, Seq("source", "len_bucket"), col("lang"))
+    }),
     // seeded ε-DP Laplace count release — the md5-derived inverse-CDF
     // draw replays closed-form in SQL exactly like the A-ES sampler's
     // exponential race; the released value is rounded to a whole count
@@ -1095,6 +1102,32 @@ object VerifyExtras {
         |  CAST(min(group_size) AS BIGINT) AS k_achieved,
         |  CAST(min(l_diversity) AS BIGINT) AS l_achieved
         |FROM r
+        |""".stripMargin,
+    // HUGEINT count products (exact, order-independent), one double
+    // division at the end — the absent-values tail via the closed form
+    // ng*(nt - sum_present(cv))
+    "x_tcloseness" ->
+      """WITH b AS (
+        |  SELECT source, CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket, lang
+        |  FROM documents),
+        |i AS (
+        |  SELECT source, len_bucket, lang, count(*)::HUGEINT AS cgv
+        |  FROM b GROUP BY 1, 2, 3),
+        |g AS (SELECT lang, count(*)::HUGEINT AS cv FROM b GROUP BY 1),
+        |t AS (SELECT sum(cv) AS nt FROM g),
+        |ng AS (SELECT source, len_bucket, sum(cgv) AS ng FROM i GROUP BY 1, 2),
+        |j AS (
+        |  SELECT i.source, i.len_bucket, i.cgv, g.cv, t.nt, ng.ng
+        |  FROM i JOIN g USING (lang) CROSS JOIN t
+        |    JOIN ng USING (source, len_bucket)),
+        |s AS (
+        |  SELECT source, len_bucket, max(ng) AS ng, max(nt) AS nt,
+        |    sum(abs(cgv * nt - cv * ng)) AS present, sum(cv) AS cvp
+        |  FROM j GROUP BY 1, 2)
+        |SELECT source, len_bucket, CAST(ng AS BIGINT) AS group_size,
+        |  round(CAST(present + ng * (nt - cvp) AS DOUBLE)
+        |    / (2.0 * CAST(ng AS DOUBLE) * CAST(nt AS DOUBLE)), 6) AS tvd
+        |FROM s
         |""".stripMargin,
     // the seeded Laplace draw, closed-form: u = (hash60(key|salt)+0.5)/2^60,
     // noise = -(1/eps)*sign(u-1/2)*ln(1-2|u-1/2|), eps = 0.5, salt = 'r20'

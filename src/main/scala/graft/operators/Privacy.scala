@@ -95,6 +95,70 @@ object Privacy {
       min(col("group_size")).cast("long").as("k_achieved"),
       min(col("l_diversity")).cast("long").as("l_achieved"))
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third of the anonymity trilogy: a group can be k-anonymous AND
+    * l-diverse yet still leak when its sensitive-value DISTRIBUTION sits
+    * far from the corpus-wide one (a group that is 90% one diagnosis in a
+    * 1%-base-rate corpus identifies its members' condition with near
+    * certainty). Per quasi-identifier group: `group_size` and `tvd` — the
+    * total variation distance ½·Σ_v |p_group(v) − p_corpus(v)| over ALL
+    * sensitive values, including those absent from the group. A corpus
+    * satisfies t-closeness at t = max(tvd).
+    *
+    * Exact-arithmetic shape (SURVEY §4 discipline): with c_gv / n_g the
+    * group's value counts / size and c_v / N the corpus', the distance is
+    *   tvd = ( Σ_present |c_gv·N − c_v·n_g| + n_g·(N − Σ_present c_v) )
+    *         / (2·n_g·N)
+    * — every numerator term is an exact DECIMAL product of counts (the
+    * absent-values tail folds to the closed form on the right), summed
+    * order-independently; ONE double division at the end, rounded to 6.
+    *
+    * Plan shape: the row-scale shuffle is the (quasi ++ sensitive) count;
+    * the corpus distribution (bounded by the sensitive domain) broadcast-
+    * joins onto it; n_g rides a window over the already-shuffled group
+    * key, and the final roll-up reuses that partitioning. No UDF, no
+    * collect, nothing driver-side.
+    */
+  def tClosenessReport(
+      d: DataFrame,
+      quasi: Seq[String],
+      sensitive: Column): DataFrame = {
+    require(quasi.nonEmpty, "tClosenessReport: need at least one quasi-identifier column")
+    val qcols = quasi.map(col)
+    // decimal(18,0) counts: pairwise products stay inside decimal(38,0)
+    // exactly (1e18 rows is comfortably past 100 TB of documents)
+    val inner = d.groupBy((qcols :+ sensitive.as("_sens")): _*)
+      .agg(count(lit(1)).cast("decimal(18,0)").as("_cgv"))
+    val global = d.groupBy(sensitive.as("_sens"))
+      .agg(count(lit(1)).cast("decimal(18,0)").as("_cv"))
+      .withColumn("_n_total", sum(col("_cv")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy())
+        .cast("decimal(18,0)"))
+    // null-safe join key: a null sensitive value is a value, and a plain
+    // equi-join would silently drop its rows from the distance
+    val joined = inner.as("i")
+      .join(broadcast(global).as("g"), col("i._sens") <=> col("g._sens"))
+      .select((quasi.map(n => col("i." + n)) :+
+        col("i._cgv").as("_cgv") :+ col("g._cv").as("_cv") :+
+        col("g._n_total").as("_n_total")): _*)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(qcols: _*)
+    val withNg = joined.withColumn("_ng", sum(col("_cgv")).over(w))
+    withNg.groupBy(qcols: _*)
+      .agg(
+        max(col("_ng")).as("_ng"),
+        max(col("_n_total")).as("_nt"),
+        sum(abs(col("_cgv") * col("_n_total") - col("_cv") * col("_ng")))
+          .as("_present"),
+        sum(col("_cv")).as("_cv_present"))
+      .select((qcols :+
+        col("_ng").cast("long").as("group_size") :+
+        round(
+          (col("_present") + col("_ng") * (col("_nt") - col("_cv_present")))
+            .cast("double") /
+            (lit(2.0) * col("_ng").cast("double") * col("_nt").cast("double")),
+          6).as("tvd")): _*)
+  }
+
   /** ε-DP per-group count release (Laplace mechanism, seeded). Output is
     * one row per group: the grouping columns plus `released_count` — the
     * true count plus Laplace(1/ε) noise, rounded, clamped at 0. The true

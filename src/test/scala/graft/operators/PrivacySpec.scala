@@ -54,6 +54,31 @@ class PrivacySpec extends SparkSpec {
     assert(s.getAs[Long]("l_achieved") === 1L)
   }
 
+  test("tClosenessReport: hand-computed TVDs including absent sensitive values") {
+    // corpus: en 3/6, de 1/6, fr 2/6
+    //   (a,0) = {en,en,de}: |2/3-1/2| + |1/3-1/6| + |0-1/3|  -> tvd = 1/3
+    //   (a,1) = {fr,fr}:    |1-1/3|   + 1/2       + 1/6      -> tvd = 2/3
+    //   (b,0) = {en}:       |1-1/2|   + 1/6       + 1/3      -> tvd = 1/2
+    val rows = Privacy.tClosenessReport(fixture, Seq("src", "bucket"), col("lang"))
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("bucket")) -> r).toMap
+    assert(rows.size === 3)
+    assert(rows(("a", 0L)).getAs[Long]("group_size") === 3L)
+    assert(rows(("a", 0L)).getAs[Double]("tvd") === 0.333333d)
+    assert(rows(("a", 1L)).getAs[Double]("tvd") === 0.666667d)
+    assert(rows(("b", 0L)).getAs[Double]("tvd") === 0.5d)
+  }
+
+  test("tClosenessReport: groups mirroring the corpus distribution read tvd 0") {
+    import spark.implicits._
+    val mirrored = Seq(
+      ("g1", "en"), ("g1", "en"), ("g1", "de"),
+      ("g2", "en"), ("g2", "en"), ("g2", "de")
+    ).toDF("grp", "lang")
+    val rows = Privacy.tClosenessReport(mirrored, Seq("grp"), col("lang")).collect()
+    assert(rows.length === 2)
+    rows.foreach(r => assert(r.getAs[Double]("tvd") === 0.0d))
+  }
+
   test("dpCountRelease: deterministic, clamped, within the truncated-tail bound") {
     val rel1 = Privacy.dpCountRelease(fixture, Seq("src", "lang"), epsilon = 0.5, salt = "s1")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("released_count")).toMap
