@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Dedup, EventOps, NgramLm, Paragraphs, Pii, Privacy, Relational, Sampling, TextOps}
+import graft.operators.{Agreement, Curate, Dedup, EventOps, NgramLm, Paragraphs, Pii, Privacy, Relational, Sampling, TextOps}
+import graft.functions.Hashing
 
 /** EXTRA-registry oracle crosschecks (r14): the strongest spec-only
   * operators, hash-gated against the DuckDB oracle WITHOUT touching
@@ -290,7 +291,64 @@ object VerifyExtras {
           .otherwise(lit("")))
       Pii.pseudonymizeEmails(docs.select(col("doc_id"), t2.as("t")), col("t"))
         .select("doc_id", "pseudonymized", "n_pseudonyms")
+    }),
+    // best-of-n selection: prompt = doc_id % 211, score = n_chars % 40
+    // (deliberately tie-heavy so the gate pins the hash60 tie-break,
+    // not just the score order)
+    "x_bestofn" -> ((s, dir) => {
+      val cand = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), (col("doc_id") % 211).as("prompt_id"),
+          (col("n_chars") % 40).cast("long").as("score"))
+      Sampling.bestOfN(cand, col("prompt_id"), col("doc_id"), col("score"),
+          n = 3)
+        .select(col("prompt_id"), col("pick_rank"), col("doc_id"),
+          col("score"))
+    }),
+    // synthetic 3-rater panel: rater r's label = lang, except a
+    // hash-seeded 20% of (doc, rater) cells dissent to 'und' — enough
+    // disagreement to keep every kappa term away from its degenerate
+    // 0/0 edges, fully replayable in SQL
+    "x_fleiss" -> ((s, dir) =>
+      Agreement.fleissKappa(annRatings(s, dir),
+        col("doc_id"), col("rater"), col("label"))),
+    "x_kappa_pairs" -> ((s, dir) =>
+      Agreement.cohenKappaPairs(annRatings(s, dir),
+        col("doc_id"), col("rater"), col("label"))),
+    // the RAGGED panel (20% of cells hash-dropped) Fleiss refuses —
+    // Krippendorff's α and the per-item triage report both take it
+    "x_kripp" -> ((s, dir) =>
+      Agreement.krippendorffAlpha(raggedRatings(s, dir),
+        col("doc_id"), col("rater"), col("label"))),
+    "x_contentious" -> ((s, dir) =>
+      Agreement.itemAgreementReport(raggedRatings(s, dir),
+        col("doc_id"), col("rater"), col("label"))),
+    // novelty vs reference = every 7th doc; per-doc distinct-shingle
+    // accounting joins on the md5-60 shingle hash in BOTH engines
+    "x_novelty" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      Dedup.ngramNovelty(docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
     }))
+
+  /** [[annRatings]] with ~20% of (doc, rater) cells hash-dropped — the
+    * ragged-panel / missing-ratings shape for the Krippendorff gates
+    * (docs left with ≤ 1 rating exercise the inclusion rule). */
+  private def raggedRatings(s: SparkSession, dir: String): DataFrame =
+    annRatings(s, dir).filter(
+      pmod(Hashing.hash60(concat_ws("|",
+        col("doc_id"), col("rater"), lit("drop"))), lit(5L)) =!= 0)
+
+  /** The shared synthetic rating panel for the agreement gates. */
+  private def annRatings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rater", explode(array(lit(0L), lit(1L), lit(2L))))
+      .withColumn("label",
+        when(pmod(Hashing.hash60(concat_ws("|",
+          col("doc_id"), col("rater"), lit("ann"))), lit(10L)) < 2,
+          lit("und")).otherwise(col("lang")))
+      .drop("lang")
 
   /** The q28 as-of shape (purchases ← most recent/nearest click per
     * user) in the two directions the registry entry doesn't cover. */
@@ -1166,7 +1224,166 @@ object VerifyExtras {
         |    ''), '') AS pseudonymized,
         |  len(ms)::BIGINT AS n_pseudonyms
         |FROM m
+        |""".stripMargin,
+    // deterministic best-of-3: score desc, md5-60(key|salt) asc, key asc
+    "x_bestofn" ->
+      """WITH c AS (
+        |  SELECT doc_id, doc_id % 211 AS prompt_id,
+        |    CAST(n_chars % 40 AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT prompt_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY prompt_id ORDER BY
+        |      score DESC,
+        |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|0'), 1, 15)
+        |        AS BIGINT) ASC,
+        |      doc_id ASC) AS INTEGER) AS pick_rank
+        |  FROM c)
+        |SELECT prompt_id, pick_rank, doc_id, score FROM r WHERE pick_rank <= 3
+        |""".stripMargin,
+    // Fleiss 1971 over HUGEINT cell counts; po/pe/kappa are the same
+    // three divisions + two subtractions Spark applies, in the same
+    // order, then round 6
+    "x_fleiss" ->
+      (RatingsCte +
+        """,
+        |cells AS (SELECT doc_id, label, count(*)::HUGEINT AS nij
+        |  FROM r GROUP BY 1, 2),
+        |so AS (SELECT sum(nij * (nij - 1)) AS so FROM cells),
+        |pool AS (SELECT label, sum(nij) AS cj FROM cells GROUP BY 1),
+        |pp AS (SELECT sum(cj * cj) AS sc2, count(*)::BIGINT AS nl FROM pool),
+        |ni AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_items FROM r),
+        |p AS (SELECT ni.n_items, pp.nl,
+        |    CAST(so.so AS DOUBLE)
+        |      / CAST(ni.n_items * 3 * 2 AS DOUBLE) AS po,
+        |    CAST(pp.sc2 AS DOUBLE)
+        |      / CAST((ni.n_items * 3) * (ni.n_items * 3) AS DOUBLE) AS pe
+        |  FROM so, pp, ni)
+        |SELECT n_items, CAST(3 AS BIGINT) AS n_raters, nl AS n_labels,
+        |  round(po, 6) AS p_observed, round(pe, 6) AS p_expected,
+        |  round((po - pe) / (1 - pe), 6) AS kappa
+        |FROM p
+        |""".stripMargin),
+    // pairwise Cohen: per pair, exact HUGEINT agree/marginal products,
+    // one double division per rate
+    "x_kappa_pairs" ->
+      (RatingsCte +
+        """,
+        |p AS (
+        |  SELECT a.doc_id, a.rater AS rater_a, b.rater AS rater_b,
+        |    a.label AS la, b.label AS lb
+        |  FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.rater < b.rater),
+        |per AS (
+        |  SELECT rater_a, rater_b, count(*)::HUGEINT AS n,
+        |    sum(CASE WHEN la IS NOT DISTINCT FROM lb THEN 1 ELSE 0 END)::HUGEINT
+        |      AS agree
+        |  FROM p GROUP BY 1, 2),
+        |ca AS (SELECT rater_a, rater_b, la, count(*)::HUGEINT AS ca
+        |  FROM p GROUP BY 1, 2, 3),
+        |cb AS (SELECT rater_a, rater_b, lb, count(*)::HUGEINT AS cb
+        |  FROM p GROUP BY 1, 2, 3),
+        |cc AS (
+        |  SELECT ca.rater_a, ca.rater_b, sum(ca.ca * cb.cb) AS scc
+        |  FROM ca JOIN cb ON ca.rater_a = cb.rater_a
+        |    AND ca.rater_b = cb.rater_b
+        |    AND ca.la IS NOT DISTINCT FROM cb.lb
+        |  GROUP BY 1, 2)
+        |SELECT per.rater_a, per.rater_b, CAST(per.n AS BIGINT) AS n_items,
+        |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed,
+        |  round(CAST(coalesce(scc, 0) AS DOUBLE)
+        |    / CAST(n * n AS DOUBLE), 6) AS p_expected,
+        |  round(CAST(agree * n - coalesce(scc, 0) AS DOUBLE)
+        |    / CAST(n * n - coalesce(scc, 0) AS DOUBLE), 6) AS kappa
+        |FROM per LEFT JOIN cc ON per.rater_a = cc.rater_a
+        |  AND per.rater_b = cc.rater_b
+        |""".stripMargin),
+    // Krippendorff nominal alpha over the ragged panel: S_o is the only
+    // fractional sum — per-item double division quantized to 12 dp and
+    // summed as DECIMAL(38,12) (order-independent), marginals exact,
+    // final combination in Spark's fixed double-op order
+    "x_kripp" ->
+      (RatingsCte +
+        """,
+        |rr AS (SELECT * FROM r
+        |  WHERE CAST('0x' || substr(md5(concat_ws('|',
+        |      doc_id, rater, 'drop')), 1, 15) AS BIGINT) % 5 <> 0),
+        |cells AS (SELECT doc_id, label, count(*)::BIGINT AS nic
+        |  FROM rr GROUP BY 1, 2),
+        |wi AS (SELECT doc_id, label, nic,
+        |    sum(nic) OVER (PARTITION BY doc_id) AS ni
+        |  FROM cells),
+        |inc AS (SELECT * FROM wi WHERE ni >= 2),
+        |per AS (SELECT doc_id, max(ni) AS ni,
+        |    sum(nic * (nic - 1)) AS same
+        |  FROM inc GROUP BY 1),
+        |so AS (SELECT
+        |    sum(CAST(round(CAST(ni * (ni - 1) - same AS DOUBLE)
+        |      / (ni - 1), 12) AS DECIMAL(38,12))) AS so,
+        |    count(*)::BIGINT AS n_items, CAST(sum(ni) AS BIGINT) AS n
+        |  FROM per),
+        |mg AS (SELECT label, sum(nic)::HUGEINT AS nc FROM inc GROUP BY 1),
+        |m2 AS (SELECT sum(nc * nc) AS snc2, count(*)::BIGINT AS nl FROM mg)
+        |SELECT n_items, n AS n_ratings, nl AS n_labels,
+        |  round(CAST(so AS DOUBLE) / CAST(n AS DOUBLE), 6) AS d_o,
+        |  round(CAST(n * n - snc2 AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE), 6) AS d_e,
+        |  round(1 - CAST(n - 1 AS DOUBLE) * CAST(so AS DOUBLE)
+        |    / CAST(n * n - snc2 AS DOUBLE), 6) AS alpha
+        |FROM so, m2
+        |""".stripMargin),
+    // per-item triage over the same ragged panel — the kAnonymityReport
+    // two-level shape keyed on the item
+    "x_contentious" ->
+      (RatingsCte +
+        """,
+        |rr AS (SELECT * FROM r
+        |  WHERE CAST('0x' || substr(md5(concat_ws('|',
+        |      doc_id, rater, 'drop')), 1, 15) AS BIGINT) % 5 <> 0),
+        |cells AS (SELECT doc_id, label, count(*)::BIGINT AS c
+        |  FROM rr GROUP BY 1, 2)
+        |SELECT doc_id AS item,
+        |  CAST(sum(c) AS BIGINT) AS n_ratings,
+        |  count(*)::BIGINT AS n_labels,
+        |  CAST(max(c) AS BIGINT) AS top_count,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+        |    AS top_share,
+        |  count(*) = 1 AS unanimous
+        |FROM cells GROUP BY 1
+        |""".stripMargin),
+    // per-doc novelty vs the doc_id%7=0 reference — DISTINCT doc-level
+    // md5-60 shingle hashes on both sides (the sortedHashes image), so
+    // any 60-bit collision is shared by both engines
+    "x_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |        FOR i IN range(len(t)-2)]) AS sh
+        |    FROM toks)),
+        |ref AS (SELECT DISTINCT h FROM sh WHERE doc_id % 7 = 0),
+        |c AS (SELECT doc_id, h FROM sh WHERE doc_id % 7 <> 0)
+        |SELECT c.doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN ref.h IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  round(sum(CASE WHEN ref.h IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS novelty
+        |FROM c LEFT JOIN ref ON c.h = ref.h
+        |GROUP BY 1
         |""".stripMargin)
+
+  /** The agreement gates' shared ratings CTE (the Spark twin is
+    * [[annRatings]]): 3 raters per doc, 20% hash-seeded dissent. */
+  private val RatingsCte =
+    """WITH r AS (
+      |  SELECT doc_id, CAST(rt.rater AS BIGINT) AS rater,
+      |    CASE WHEN CAST('0x' || substr(md5(concat_ws('|',
+      |        doc_id, rt.rater, 'ann')), 1, 15) AS BIGINT) % 10 < 2
+      |      THEN 'und' ELSE lang END AS label
+      |  FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS rt(rater))""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

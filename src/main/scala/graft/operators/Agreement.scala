@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inter-annotator agreement for labeled training data (SURVEY §2.8) —
+  * the label-quality audit that sits UPSTREAM of [[Classifier]]: before
+  * training a quality classifier (or trusting an RLHF preference set),
+  * measure whether the raters who produced the labels agree with each
+  * other beyond chance. The standard vocabulary:
+  *
+  *  - '''Cohen's κ''' (Cohen, 1960): chance-corrected agreement for ONE
+  *    rater pair — κ = (p_o − p_e)/(1 − p_e) with p_o the observed
+  *    agreement rate and p_e the agreement expected from the two raters'
+  *    label marginals.
+  *  - '''Fleiss' κ''' (Fleiss, 1971): the multi-rater generalization —
+  *    per-item pairwise agreement averaged over items, chance-corrected
+  *    by the pooled label distribution. Defined for a constant number of
+  *    raters per item (refused otherwise — a variable panel is a
+  *    different statistic, Krippendorff's α, with different semantics).
+  *
+  * Input shape for both: one row per rating, (item, rater, label), with
+  * exactly one rating per (item, rater) (refused — a duplicated rating
+  * would silently double-count agreement).
+  *
+  * Exact-arithmetic discipline (SURVEY §4): every numerator and
+  * denominator is an exact integer count product in DECIMAL(18,0)
+  * (pairwise products provably inside decimal(38,0)); the only double
+  * ops are the final divisions and the κ combination, applied in one
+  * fixed IEEE order both engines replay, then rounded to 6.
+  *
+  * Plan shape at 100 TB: the only row-scale shuffles key on the item
+  * (cell counts; the pairwise self-join fans out at most
+  * raters²-per-item rows per item, and rating panels are small by
+  * construction). Every roll-up after that is bounded by the
+  * (rater-pair × label) domain, not the row count. No UDF, no collect,
+  * no all-pairs beyond the per-item panel.
+  */
+object Agreement {
+
+  private def ratings(d: DataFrame, item: Column, rater: Column,
+                      label: Column): DataFrame = {
+    val r = d.select(item.as("_item"), rater.as("_rater"), label.as("_label"))
+    val probe = r.agg(count(lit(1)),
+      countDistinct(col("_item"), col("_rater"))).head()
+    require(probe.getLong(0) == probe.getLong(1),
+      s"agreement input must have one rating per (item, rater): " +
+        s"${probe.getLong(0)} rows vs ${probe.getLong(1)} distinct pairs")
+    r
+  }
+
+  /** Fleiss' κ over a constant-size rating panel. One output row:
+    * `n_items`, `n_raters`, `n_labels`, `p_observed`, `p_expected`,
+    * `kappa` (each rate rounded to 6).
+    *
+    * With n_ij the count of raters giving item i label j, n the panel
+    * size, N the item count, and c_j = Σ_i n_ij the pooled label count:
+    *   p_o = Σ_ij n_ij(n_ij − 1) / (N·n·(n−1)),
+    *   p_e = Σ_j c_j² / (N·n)²,
+    *   κ  = (p_o − p_e) / (1 − p_e).
+    * Integer sums S_o = Σ n_ij(n_ij−1) and Σc² are exact in decimal;
+    * p_o, p_e, κ are three divisions and two subtractions in fixed
+    * order — bit-identical across engines on the same counts.
+    */
+  def fleissKappa(d: DataFrame, item: Column, rater: Column,
+                  label: Column): DataFrame = {
+    val r = ratings(d, item, rater, label)
+    // constant-panel probe: every item must carry the same rater count
+    val perItem = r.groupBy(col("_item")).agg(count(lit(1)).as("_n"))
+    val panel = perItem.agg(min(col("_n")), max(col("_n")),
+      count(lit(1))).head()
+    require(panel.getLong(0) == panel.getLong(1),
+      s"Fleiss' kappa needs a constant rater panel per item: item panels " +
+        s"range ${panel.getLong(0)}..${panel.getLong(1)} — use " +
+        s"cohenKappaPairs (pairwise, complete-case) for ragged panels")
+    val n = panel.getLong(0)
+    require(n >= 2, s"Fleiss' kappa needs >= 2 raters per item, got $n")
+    // the cell frame feeds both the S_o sum and the pooled marginals —
+    // persist it (item × label cardinality, far below the rating count)
+    val cells = graft.core.Caches.persist(
+      r.groupBy(col("_item"), col("_label"))
+        .agg(count(lit(1)).cast("decimal(18,0)").as("_nij")))
+    val so = cells.agg(
+      sum(col("_nij") * (col("_nij") - lit(1))).as("_so")).head()
+      .getDecimal(0)
+    val pooled = cells.groupBy(col("_label"))
+      .agg(sum(col("_nij")).cast("decimal(18,0)").as("_cj"))
+    val pool = pooled.agg(sum(col("_cj") * col("_cj")).as("_sc2"),
+      count(lit(1)).as("_nl")).head()
+    val nItems = panel.getLong(2)
+    val m = BigDecimal(nItems) * n               // total ratings N·n
+    val dDen = m * (n - 1)                       // N·n·(n−1)
+    val pObs = BigDecimal(so).toDouble / dDen.toDouble
+    val pExp = BigDecimal(pool.getDecimal(0)).toDouble / (m * m).toDouble
+    val kappa = (pObs - pExp) / (1.0d - pExp)
+    val spark = d.sparkSession
+    import spark.implicits._
+    // round via the engine (HALF_UP on the decimal rendering), the same
+    // round() the DuckDB oracle applies — not math.rint's half-even
+    Seq((nItems, n, pool.getLong(1), pObs, pExp, kappa))
+      .toDF("n_items", "n_raters", "n_labels",
+        "p_observed", "p_expected", "kappa")
+      .select(col("n_items"), col("n_raters"), col("n_labels"),
+        round(col("p_observed"), 6).as("p_observed"),
+        round(col("p_expected"), 6).as("p_expected"),
+        round(col("kappa"), 6).as("kappa"))
+  }
+
+  /** Krippendorff's α (nominal metric; Krippendorff 1970/2004) — the
+    * agreement statistic for RAGGED panels and missing ratings, i.e.
+    * exactly the inputs [[fleissKappa]] refuses: items may carry any
+    * number of ratings ≥ 2 (single-rating items contribute nothing, the
+    * standard treatment), raters need not overlap. One output row:
+    * `n_items` (items with ≥ 2 ratings), `n_ratings`, `n_labels`,
+    * `d_o`, `d_e`, `alpha` (each rounded to 6).
+    *
+    * Nominal-metric closed form: with n_ic the item-i count of label c,
+    * n_i = Σ_c n_ic, the per-item disagreement pair count
+    * D_i = n_i(n_i−1) − Σ_c n_ic(n_ic−1), the coincidence-matrix
+    * off-diagonal mass is S_o = Σ_i D_i/(n_i−1); the marginals are
+    * EXACT integers n_c = Σ_i n_ic, n = Σ_c n_c, and
+    *   D_o = S_o/n,   D_e = (n² − Σ_c n_c²)/(n(n−1)),
+    *   α = 1 − (n−1)·S_o / (n² − Σ_c n_c²).
+    *
+    * Determinism: S_o is the ONLY fractional sum — each item's
+    * D_i/(n_i−1) is one IEEE double division on exact small integers,
+    * quantized to 12 decimals and summed as DECIMAL(38,12), so the sum
+    * is order-independent and the DuckDB oracle replays it term for
+    * term; everything else is exact integer arithmetic with the final
+    * α combination in one fixed double-op order. The 1e-12
+    * quantization is far below the statistic's resolution at any
+    * corpus size (|error| ≤ n_items·5e-13 before two more divisions).
+    *
+    * Plan shape: cell counts shuffle on the item (row-scale, map-side
+    * combined), n_i rides a window over that same partitioning; the
+    * three scalar roll-ups run on the persisted cell frame. Bounded by
+    * the (item × label) cell count, never by pairs.
+    */
+  def krippendorffAlpha(d: DataFrame, item: Column, rater: Column,
+                        label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = ratings(d, item, rater, label)
+    val cells = graft.core.Caches.persist(
+      r.groupBy(col("_item"), col("_label"))
+        .agg(count(lit(1)).as("_nic"))
+        .withColumn("_ni",
+          sum(col("_nic")).over(Window.partitionBy(col("_item"))))
+        .filter(col("_ni") >= 2))
+    val perItem = cells.groupBy(col("_item"))
+      .agg(max(col("_ni")).as("_n_i"),
+        sum(col("_nic") * (col("_nic") - lit(1L))).as("_same"))
+      .select(col("_n_i"),
+        (col("_n_i") * (col("_n_i") - lit(1L)) - col("_same")).as("_di"))
+    val so = perItem.agg(
+      sum(round(col("_di").cast("double") / (col("_n_i") - lit(1L)), 12)
+        .cast("decimal(38,12)")).as("_so"),
+      count(lit(1)).as("_items"),
+      sum(col("_n_i")).as("_n")).head()
+    val nItems = so.getLong(1)
+    require(nItems > 0,
+      "krippendorffAlpha: no item has >= 2 ratings — alpha is undefined")
+    val n = so.getLong(2)
+    val sO = BigDecimal(so.getDecimal(0)).toDouble
+    val marg = cells.groupBy(col("_label"))
+      .agg(sum(col("_nic")).cast("decimal(18,0)").as("_nc"))
+      .agg(sum(col("_nc") * col("_nc")).as("_snc2"),
+        count(lit(1)).as("_nl")).head()
+    val sNc2 = BigDecimal(marg.getDecimal(0))
+    val nL = marg.getLong(1)
+    val eMass = (BigDecimal(n) * n - sNc2).toDouble // n² − Σ n_c², exact
+    val dO = sO / n.toDouble
+    val dE = eMass / (BigDecimal(n) * (n - 1)).toDouble
+    val alpha = 1.0d - (n - 1).toDouble * sO / eMass
+    val spark = d.sparkSession
+    import spark.implicits._
+    Seq((nItems, n, nL, dO, dE, alpha))
+      .toDF("n_items", "n_ratings", "n_labels", "d_o", "d_e", "alpha")
+      .select(col("n_items"), col("n_ratings"), col("n_labels"),
+        round(col("d_o"), 6).as("d_o"),
+        round(col("d_e"), 6).as("d_e"),
+        round(col("alpha"), 6).as("alpha"))
+  }
+
+  /** Per-item disagreement report — the label-triage companion: which
+    * items are contentious (re-adjudicate), which are unanimous
+    * (promote to gold). One row per item: `n_ratings`, `n_labels`
+    * (distinct), `top_count` / `top_share` (majority label mass,
+    * null-safe), `unanimous`. Two-level hierarchical aggregation
+    * keyed on the item — the [[Privacy.kAnonymityReport]] shape,
+    * output bounded by the item count.
+    */
+  def itemAgreementReport(d: DataFrame, item: Column, rater: Column,
+                          label: Column): DataFrame = {
+    val r = ratings(d, item, rater, label)
+    r.groupBy(col("_item").as("item"), col("_label"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("item"))
+      .agg(sum(col("_c")).cast("long").as("n_ratings"),
+        count(lit(1)).cast("long").as("n_labels"),
+        max(col("_c")).cast("long").as("top_count"))
+      .withColumn("top_share",
+        round(col("top_count").cast("double") / col("n_ratings"), 6))
+      .withColumn("unanimous", col("n_labels") === 1L)
+  }
+
+  /** Pairwise Cohen's κ matrix — one output row per rater pair
+    * (rater_a < rater_b, complete-case: items BOTH rated):
+    * `rater_a`, `rater_b`, `n_items`, `p_observed`, `p_expected`,
+    * `kappa` (rates rounded to 6). Null labels compare null-safely (two
+    * raters both declining to label an item IS agreement on the
+    * "unlabelable" category).
+    *
+    * Exact form: with n the pair's co-rated items, `agree` the count of
+    * matching labels, and c_aj / c_bj the within-pair marginals,
+    *   κ = (agree·n − Σ_j c_aj·c_bj) / (n² − Σ_j c_aj·c_bj)
+    * — both numerator and denominator are exact DECIMAL count products;
+    * ONE double division, rounded to 6 (p_o = agree/n and
+    * p_e = Σcc/n² are each one further exact-numerator division).
+    */
+  def cohenKappaPairs(d: DataFrame, item: Column, rater: Column,
+                      label: Column): DataFrame = {
+    val r = ratings(d, item, rater, label)
+    val a = r.select(col("_item"), col("_rater").as("rater_a"),
+      col("_label").as("_la"))
+    val b = r.select(col("_item"), col("_rater").as("rater_b"),
+      col("_label").as("_lb"))
+    // per-item panel self-join: fans out ≤ panel² rows per item
+    val pairs = a.join(b, Seq("_item"))
+      .filter(col("rater_a") < col("rater_b"))
+    val perPair = pairs.groupBy(col("rater_a"), col("rater_b"))
+      .agg(count(lit(1)).cast("decimal(18,0)").as("_n"),
+        sum(when(col("_la") <=> col("_lb"), 1L).otherwise(0L))
+          .cast("decimal(18,0)").as("_agree"))
+    // within-pair marginals: bounded by (pair × label) domain. The two
+    // marginal frames descend from the SAME pairs plan, so the pair-key
+    // columns are renamed apart before the join — ca("rater_a") ===
+    // cb("rater_a") would carry identical attribute ids (Spark's
+    // "trivially true predicate" ambiguity) and resolve by accident.
+    val ca = pairs.groupBy(col("rater_a"), col("rater_b"), col("_la"))
+      .agg(count(lit(1)).cast("decimal(18,0)").as("_ca"))
+    val cb = pairs.groupBy(col("rater_a").as("_ra2"), col("rater_b").as("_rb2"),
+        col("_lb"))
+      .agg(count(lit(1)).cast("decimal(18,0)").as("_cb"))
+    val ccSum = ca.join(cb,
+        col("rater_a") === col("_ra2") && col("rater_b") === col("_rb2") &&
+          (col("_la") <=> col("_lb")))
+      .groupBy(col("rater_a"), col("rater_b"))
+      .agg(sum(col("_ca") * col("_cb")).as("_scc0"))
+    // a pair sharing NO label mass has Σcc = 0, not "no row" — left-join
+    // so such a pair (p_e = 0, κ = p_o) still reports
+    perPair.join(ccSum, Seq("rater_a", "rater_b"), "left")
+      .withColumn("_scc", coalesce(col("_scc0"), lit(0)))
+      .select(col("rater_a"), col("rater_b"),
+        col("_n").cast("long").as("n_items"),
+        round(col("_agree").cast("double") / col("_n").cast("double"), 6)
+          .as("p_observed"),
+        round(col("_scc").cast("double") /
+          (col("_n") * col("_n")).cast("double"), 6).as("p_expected"),
+        round((col("_agree") * col("_n") - col("_scc")).cast("double") /
+          (col("_n") * col("_n") - col("_scc")).cast("double"), 6)
+          .as("kappa"))
+  }
+}

@@ -908,6 +908,42 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** N-gram novelty against a reference corpus — the per-document
+    * "how much of this is NEW text" signal (the memorization /
+    * synthetic-data metric of McCoy et al. 2023's n-gram novelty
+    * analyses, and the dedup-adjacent freshness score an incremental
+    * crawl uses to rank a candidate shard against what is already
+    * shipped). Per corpus document: `n_shingles` (distinct word
+    * `n`-grams), `n_novel` (those absent from the ENTIRE reference
+    * corpus's distinct shingle set), `novelty` = n_novel / n_shingles
+    * rounded to 6. Documents with fewer than `n` tokens have no
+    * shingles and no output row (same contract as the Jaccard family).
+    *
+    * Unlike [[contaminationCheck]] (pairwise containment against a
+    * broadcast-scale benchmark), the reference here is corpus-scale, so
+    * the plan is a flat hash join keyed on the 60-bit shingle hash —
+    * the reference set collapses to DISTINCT hashes first (its only
+    * shuffle), the corpus explodes to (doc_id, hash) rows once, and
+    * the per-doc roll-up is the second and last row-scale shuffle.
+    * Linear in both corpora at any scale; no pair blow-up is possible
+    * because nothing ever joins doc-to-doc. Hash faithfulness is the
+    * q33 caveat: two distinct shingles colliding in 60 bits (~2⁻⁶⁰ per
+    * pair) would count a novel shingle as seen.
+    */
+  def ngramNovelty(d: DataFrame, reference: DataFrame, n: Int = 3): DataFrame = {
+    val corpusSh = docSets(d, n)
+      .select(col("doc_id"), explode(col("hs")).as("_h"))
+    val refSh = docSets(reference, n)
+      .select(explode(col("hs")).as("_h")).distinct()
+      .withColumn("_seen", lit(1L))
+    corpusSh.join(refSh, Seq("_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
+
   /** (doc_id, start, gh) for every `n`-token window of every document —
     * hashed IN the projection so only three longs leave the scan. */
   private def gramsOf(d: DataFrame, n: Int): DataFrame = {

@@ -1473,6 +1473,40 @@ object Sampling {
       .drop("_cur_h")
   }
 
+  /** Best-of-n selection — the rejection-sampling step of preference-
+    * data prep (Stiennon et al. 2020; Touvron et al. 2023's "rejection
+    * sampling fine-tuning"): from each group of candidates (typically
+    * the k sampled responses to one prompt), keep the `n` highest-
+    * scoring, with a fully deterministic order so the selection is a
+    * pure function of the data. Rank order: score descending, then
+    * hash60(key | salt) — the repo-wide seeded tie-break, so equal-score
+    * candidates are broken by a re-dealable coin rather than input
+    * order — then `key` itself (total order even on the ~2⁻⁶⁰ hash tie).
+    *
+    * Output: the selected rows, original columns plus `pick_rank`
+    * (1 = best). Plan shape: ONE shuffle keyed on the group and a
+    * window rank inside each group — no global sort, no join; group
+    * sizes are candidate counts (k of best-of-k, typically ≤ 64), so
+    * no group ever outgrows a partition and the operator is exactly as
+    * expensive as the groupBy it contains at any corpus size. A skewed
+    * prompt with millions of candidates is a data bug this surfaces
+    * (via the window spill), not a plan pathology.
+    */
+  def bestOfN(d: DataFrame, group: Column, key: Column, score: Column,
+              n: Int = 1, salt: Long = 0L): DataFrame = {
+    require(n > 0, s"bestOfN: n must be >= 1, got $n")
+    val reserved = Seq("pick_rank", "_bo_h")
+    reserved.foreach(r => require(!d.columns.contains(r),
+      s"input already has a $r column; rename it first"))
+    val w = Window.partitionBy(group)
+      .orderBy(score.desc, col("_bo_h").asc, key.asc)
+    d.withColumn("_bo_h",
+        Hashing.hash60(concat(key.cast("string"), lit("|"), lit(salt))))
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= n)
+      .drop("_bo_h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_sample_stratified" -> (q58SampleStratified _),
     "q62_split_manifest" -> (q62SplitManifest _),

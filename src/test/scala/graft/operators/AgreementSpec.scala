@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Inter-annotator agreement (x_fleiss, x_kappa_pairs): hand-computed
+  * Fleiss / Cohen fixtures, degenerate edges, input refusals.
+  */
+class AgreementSpec extends SparkSpec {
+
+  // 4 items × 3 raters, labels {x, y} — the hand-computed Fleiss case:
+  //   i1: x,x,x   i2: x,x,y   i3: y,y,x   i4: y,y,y
+  // S_o = 6+2+2+6 = 16, D = 4·3·2 = 24 → p_o = 2/3
+  // pooled c_x = c_y = 6, M = 12 → p_e = 72/144 = 1/2
+  // κ = (2/3 − 1/2)/(1 − 1/2) = 1/3
+  private def fleissFixture = {
+    import spark.implicits._
+    Seq(
+      (1L, "a", "x"), (1L, "b", "x"), (1L, "c", "x"),
+      (2L, "a", "x"), (2L, "b", "x"), (2L, "c", "y"),
+      (3L, "a", "y"), (3L, "b", "y"), (3L, "c", "x"),
+      (4L, "a", "y"), (4L, "b", "y"), (4L, "c", "y")
+    ).toDF("item", "rater", "label")
+  }
+
+  test("fleissKappa: hand-computed 4x3 panel") {
+    val r = Agreement.fleissKappa(fleissFixture,
+      col("item"), col("rater"), col("label")).head()
+    assert(r.getAs[Long]("n_items") === 4L)
+    assert(r.getAs[Long]("n_raters") === 3L)
+    assert(r.getAs[Long]("n_labels") === 2L)
+    assert(r.getAs[Double]("p_observed") === 0.666667d)
+    assert(r.getAs[Double]("p_expected") === 0.5d)
+    assert(r.getAs[Double]("kappa") === 0.333333d)
+  }
+
+  test("fleissKappa: perfect agreement reads kappa 1") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", "x"), (1L, "b", "x"),
+      (2L, "a", "y"), (2L, "b", "y")
+    ).toDF("item", "rater", "label")
+    val r = Agreement.fleissKappa(d, col("item"), col("rater"), col("label"))
+      .head()
+    assert(r.getAs[Double]("p_observed") === 1.0d)
+    assert(r.getAs[Double]("kappa") === 1.0d)
+  }
+
+  test("fleissKappa: ragged panel refused, duplicate rating refused") {
+    import spark.implicits._
+    val ragged = fleissFixture.union(
+      Seq((5L, "a", "x")).toDF("item", "rater", "label"))
+    val e1 = intercept[IllegalArgumentException] {
+      Agreement.fleissKappa(ragged, col("item"), col("rater"), col("label"))
+    }
+    assert(e1.getMessage.contains("constant rater panel"))
+    val dup = fleissFixture.union(
+      Seq((1L, "a", "y")).toDF("item", "rater", "label"))
+    val e2 = intercept[IllegalArgumentException] {
+      Agreement.fleissKappa(dup, col("item"), col("rater"), col("label"))
+    }
+    assert(e2.getMessage.contains("one rating per"))
+  }
+
+  // Ragged hand-computed Krippendorff case:
+  //   i1: x,x        D=0
+  //   i2: x,y        D=2, /(n-1)=2
+  //   i3: x,x,y      D=6-2=4, /2 = 2
+  //   i4: y (single) excluded
+  // S_o = 4, n = 7, n_c = (x:5, y:2), Σnc² = 29, eMass = 49-29 = 20
+  // D_o = 4/7, D_e = 20/42, α = 1 − 6·4/20 = −0.2 exactly
+  test("krippendorffAlpha: hand-computed ragged panel") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", "x"), (1L, "b", "x"),
+      (2L, "a", "x"), (2L, "b", "y"),
+      (3L, "a", "x"), (3L, "b", "x"), (3L, "c", "y"),
+      (4L, "a", "y")
+    ).toDF("item", "rater", "label")
+    val r = Agreement.krippendorffAlpha(d,
+      col("item"), col("rater"), col("label")).head()
+    assert(r.getAs[Long]("n_items") === 3L)
+    assert(r.getAs[Long]("n_ratings") === 7L)
+    assert(r.getAs[Long]("n_labels") === 2L)
+    assert(r.getAs[Double]("d_o") === 0.571429d)
+    assert(r.getAs[Double]("d_e") === 0.47619d)
+    assert(r.getAs[Double]("alpha") === -0.2d)
+  }
+
+  test("krippendorffAlpha: perfect agreement reads 1; all-singletons refused") {
+    import spark.implicits._
+    val perfect = Seq(
+      (1L, "a", "x"), (1L, "b", "x"),
+      (2L, "a", "y"), (2L, "b", "y")
+    ).toDF("item", "rater", "label")
+    assert(Agreement.krippendorffAlpha(perfect,
+      col("item"), col("rater"), col("label"))
+      .head().getAs[Double]("alpha") === 1.0d)
+    val singles = Seq((1L, "a", "x"), (2L, "b", "y"))
+      .toDF("item", "rater", "label")
+    val e = intercept[IllegalArgumentException] {
+      Agreement.krippendorffAlpha(singles,
+        col("item"), col("rater"), col("label"))
+    }
+    assert(e.getMessage.contains("no item has >= 2 ratings"))
+  }
+
+  test("itemAgreementReport: per-item triage counts") {
+    val rows = Agreement.itemAgreementReport(fleissFixture,
+      col("item"), col("rater"), col("label"))
+      .collect().map(r => r.getAs[Long]("item") -> r).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L))
+    assert(rows(1L).getAs[Long]("n_labels") === 1L)
+    assert(rows(1L).getAs[Boolean]("unanimous"))
+    assert(rows(1L).getAs[Double]("top_share") === 1.0d)
+    assert(rows(2L).getAs[Long]("n_ratings") === 3L)
+    assert(rows(2L).getAs[Long]("n_labels") === 2L)
+    assert(rows(2L).getAs[Long]("top_count") === 2L)
+    assert(rows(2L).getAs[Double]("top_share") === 0.666667d)
+    assert(!rows(2L).getAs[Boolean]("unanimous"))
+  }
+
+  // raters a/b over 5 items: agree on 4, marginals a:(x3,y2) b:(x2,y3)
+  // → p_o = 0.8, p_e = 12/25 = 0.48, κ = 8/13 = 0.615385
+  test("cohenKappaPairs: hand-computed two-rater case") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", "x"), (1L, "b", "x"),
+      (2L, "a", "x"), (2L, "b", "y"),
+      (3L, "a", "y"), (3L, "b", "y"),
+      (4L, "a", "y"), (4L, "b", "y"),
+      (5L, "a", "x"), (5L, "b", "x")
+    ).toDF("item", "rater", "label")
+    val rows = Agreement.cohenKappaPairs(d,
+      col("item"), col("rater"), col("label")).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[String]("rater_a") === "a")
+    assert(r.getAs[String]("rater_b") === "b")
+    assert(r.getAs[Long]("n_items") === 5L)
+    assert(r.getAs[Double]("p_observed") === 0.8d)
+    assert(r.getAs[Double]("p_expected") === 0.48d)
+    assert(r.getAs[Double]("kappa") === 0.615385d)
+  }
+
+  test("cohenKappaPairs: 3 raters make 3 pairs; null labels agree null-safely") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", Some("x")), (1L, "b", Some("x")), (1L, "c", None),
+      (2L, "a", None), (2L, "b", None), (2L, "c", Some("y")),
+      (3L, "a", Some("y")), (3L, "b", Some("x")), (3L, "c", Some("y"))
+    ).toDF("item", "rater", "label")
+    val rows = Agreement.cohenKappaPairs(d,
+      col("item"), col("rater"), col("label"))
+      .collect().map(r => (r.getAs[String]("rater_a"),
+        r.getAs[String]("rater_b")) -> r).toMap
+    assert(rows.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // pair (a,b): items 1 (x=x agree), 2 (null=null agree), 3 (y≠x)
+    val ab = rows(("a", "b"))
+    assert(ab.getAs[Long]("n_items") === 3L)
+    assert(ab.getAs[Double]("p_observed") === 0.666667d)
+    // marginals a: x1,null1,y1; b: x2,null1 → Σcc = 1·2 + 1·1 = 3
+    // κ = (2·3 − 3)/(9 − 3) = 0.5
+    assert(ab.getAs[Double]("p_expected") === 0.333333d)
+    assert(ab.getAs[Double]("kappa") === 0.5d)
+  }
+
+  test("cohenKappaPairs: marginal pair-key join stays per-pair (no cross-pair leak)") {
+    import spark.implicits._
+    // rater c disagrees with everyone; a≡b. If the marginal join leaked
+    // across pairs, (a,b)'s p_e would absorb c's skewed marginals.
+    val d = Seq(
+      (1L, "a", "x"), (1L, "b", "x"), (1L, "c", "z"),
+      (2L, "a", "y"), (2L, "b", "y"), (2L, "c", "z"),
+      (3L, "a", "x"), (3L, "b", "x"), (3L, "c", "z"),
+      (4L, "a", "y"), (4L, "b", "y"), (4L, "c", "z")
+    ).toDF("item", "rater", "label")
+    val rows = Agreement.cohenKappaPairs(d,
+      col("item"), col("rater"), col("label"))
+      .collect().map(r => (r.getAs[String]("rater_a"),
+        r.getAs[String]("rater_b")) -> r).toMap
+    val ab = rows(("a", "b"))
+    // a≡b with balanced x/y marginals: p_o = 1, p_e = (2·2+2·2)/16 = 0.5
+    assert(ab.getAs[Double]("p_observed") === 1.0d)
+    assert(ab.getAs[Double]("p_expected") === 0.5d)
+    assert(ab.getAs[Double]("kappa") === 1.0d)
+    // (a,c) never agree and share no label mass: p_o = 0, p_e = 0, κ = 0/16·…
+    val ac = rows(("a", "c"))
+    assert(ac.getAs[Double]("p_observed") === 0.0d)
+    assert(ac.getAs[Double]("p_expected") === 0.0d)
+    assert(ac.getAs[Double]("kappa") === 0.0d)
+  }
+}

@@ -769,4 +769,32 @@ class DedupSpec extends SparkSpec {
         Dedup.lshRecallReport(d, seeds = 16, bands = 3))
     } finally graft.core.Caches.release()
   }
+
+  test("ngramNovelty: per-doc unseen-shingle accounting vs a reference") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    // doc 1: shingles {a b c, b c x} — "a b c" seen in ref → novelty 0.5
+    // doc 2: "z z z z z" collapses to ONE distinct shingle, fully novel
+    // doc 3: all shingles seen (a substring of the ref doc) → novelty 0
+    // doc 4: two tokens → no shingles, no output row
+    val corpus = Seq(
+      (1L, "a b c x"),
+      (2L, "z z z z z"),
+      (3L, "b c d"),
+      (4L, "a b")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(corpus, ref).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((2L, 1L, 0.5d)))
+    assert(got(2L) === ((1L, 1L, 1.0d)))
+    assert(got(3L) === ((1L, 0L, 0.0d)))
+    // reference docs below the shingle length contribute nothing: the
+    // whole corpus reads fully novel against an empty reference set
+    val emptyRef = Seq((200L, "a b")).toDF("doc_id", "text")
+    val allNovel = Dedup.ngramNovelty(corpus, emptyRef).collect()
+    assert(allNovel.forall(_.getAs[Double]("novelty") === 1.0d))
+  }
 }

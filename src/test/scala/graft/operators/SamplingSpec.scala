@@ -1038,4 +1038,44 @@ class SamplingSpec extends SparkSpec {
       collect(Sampling.weightedSamplePerGroupNaive(
         d, col("g"), col("doc_id"), col("w"), k = 25, salt = 7L)))
   }
+
+  test("bestOfN: per-group top-n by score, hash tie-break, deterministic") {
+    import spark.implicits._
+    // group A: distinct scores — order is pure score desc
+    // group B: ALL tied — order must be the hash60(key|salt) race
+    val d = Seq(
+      ("A", 1L, 10.0), ("A", 2L, 30.0), ("A", 3L, 20.0),
+      ("B", 11L, 5.0), ("B", 12L, 5.0), ("B", 13L, 5.0), ("B", 14L, 5.0)
+    ).toDF("g", "k", "s")
+    val got = Sampling.bestOfN(d, col("g"), col("k"), col("s"), n = 2)
+      .select("g", "pick_rank", "k").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted
+    // A's top-2 by score: k=2 (30.0) then k=3 (20.0)
+    assert(got.filter(_._1 == "A") === Seq(("A", 1, 2L), ("A", 2, 3L)))
+    // B's top-2 replays the explicit hash order of the tied keys
+    val hOrder = Seq(11L, 12L, 13L, 14L).sortBy(k =>
+      graft.functions.HashKernels.hash60(s"$k|0"))
+    assert(got.filter(_._1 == "B").map(_._3).toSeq === hOrder.take(2))
+    // deterministic under re-run and repartition; n >= group size keeps all
+    val rerun = Sampling.bestOfN(d.repartition(7), col("g"), col("k"),
+        col("s"), n = 2)
+      .select("g", "pick_rank", "k").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted
+    assert(rerun === got)
+    assert(Sampling.bestOfN(d, col("g"), col("k"), col("s"), n = 100)
+      .count() === 7L)
+    // a different salt re-deals the tied group
+    val salted = Sampling.bestOfN(d, col("g"), col("k"), col("s"),
+        n = 4, salt = 9L)
+      .filter(col("g") === "B").orderBy(col("pick_rank"))
+      .select("k").collect().map(_.getLong(0)).toSeq
+    assert(salted === Seq(11L, 12L, 13L, 14L).sortBy(k =>
+      graft.functions.HashKernels.hash60(s"$k|9")))
+    // reserved-column refusal
+    val e = intercept[IllegalArgumentException] {
+      Sampling.bestOfN(d.withColumn("pick_rank", lit(1)),
+        col("g"), col("k"), col("s"))
+    }
+    assert(e.getMessage.contains("pick_rank"))
+  }
 }
