@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Agreement, Curate, Dedup, EventOps, NgramLm, Paragraphs, Pii, Privacy, Relational, Sampling, TextOps}
+import graft.operators.{Agreement, Curate, Dedup, EventOps, Fuzzy, NgramLm, Paragraphs, Pii, Privacy, Relational, Sampling, TextOps}
 import graft.functions.Hashing
 
 /** EXTRA-registry oracle crosschecks (r14): the strongest spec-only
@@ -322,6 +322,27 @@ object VerifyExtras {
     "x_contentious" -> ((s, dir) =>
       Agreement.itemAgreementReport(raggedRatings(s, dir),
         col("doc_id"), col("rater"), col("label"))),
+    "x_rater_bias" -> ((s, dir) =>
+      Agreement.raterConsensusReport(raggedRatings(s, dir),
+        col("doc_id"), col("rater"), col("label"))),
+    // blocking-quality audit over the q66 entity domain (part names,
+    // block = leading token)
+    "x_blocking" -> ((s, dir) =>
+      Fuzzy.blockingReport(s.read.parquet(s"$dir/part.parquet"),
+        col("p_name"), v => split(v, " ").getItem(0))),
+    "x_blocking_summary" -> ((s, dir) =>
+      Fuzzy.blockingSummary(s.read.parquet(s"$dir/part.parquet"),
+        col("p_name"), v => split(v, " ").getItem(0))),
+    // completeness vs a deterministic stand-in truth set: consecutive
+    // part keys as known-match pairs
+    "x_completeness" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val truth = p.select(col("p_partkey"), col("p_name").as("va"))
+        .join(p.select((col("p_partkey") - 1).as("p_partkey"),
+          col("p_name").as("vb")), "p_partkey")
+      Fuzzy.pairsCompleteness(truth, col("va"), col("vb"),
+        v => split(v, " ").getItem(0))
+    }),
     // novelty vs reference = every 7th doc; per-doc distinct-shingle
     // accounting joins on the md5-60 shingle hash in BOTH engines
     "x_novelty" -> ((s, dir) => {
@@ -1350,6 +1371,70 @@ object VerifyExtras {
         |  count(*) = 1 AS unanimous
         |FROM cells GROUP BY 1
         |""".stripMargin),
+    // per-item majority by (count desc, label asc NULLS FIRST — Spark's
+    // asc default), then per-rater agreement with it
+    "x_rater_bias" ->
+      (RatingsCte +
+        """,
+        |rr AS (SELECT * FROM r
+        |  WHERE CAST('0x' || substr(md5(concat_ws('|',
+        |      doc_id, rater, 'drop')), 1, 15) AS BIGINT) % 5 <> 0),
+        |cells AS (SELECT doc_id, label, count(*)::BIGINT AS c
+        |  FROM rr GROUP BY 1, 2),
+        |mj AS (
+        |  SELECT doc_id, label AS maj FROM (
+        |    SELECT doc_id, label,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY c DESC, label ASC NULLS FIRST) AS rk
+        |    FROM cells) WHERE rk = 1)
+        |SELECT rater,
+        |  count(*)::BIGINT AS n_items,
+        |  sum(CASE WHEN rr.label IS NOT DISTINCT FROM mj.maj
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_majority,
+        |  round(sum(CASE WHEN rr.label IS NOT DISTINCT FROM mj.maj
+        |    THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS consensus_rate
+        |FROM rr JOIN mj USING (doc_id)
+        |GROUP BY 1
+        |""".stripMargin),
+    // block-size histogram over the distinct p_name vocabulary,
+    // block = leading token; (s*(s-1))//2 is exact (even product)
+    "x_blocking" ->
+      """WITH v AS (SELECT DISTINCT p_name AS value FROM part),
+        |b AS (SELECT split_part(value, ' ', 1) AS blk, count(*)::BIGINT AS s
+        |  FROM v GROUP BY 1)
+        |SELECT s AS block_size, count(*)::BIGINT AS n_blocks,
+        |  CAST((s * (s - 1)) // 2 * count(*) AS BIGINT) AS n_pairs
+        |FROM b GROUP BY 1
+        |""".stripMargin,
+    "x_blocking_summary" ->
+      """WITH v AS (SELECT DISTINCT p_name AS value FROM part),
+        |b AS (SELECT split_part(value, ' ', 1) AS blk, count(*)::BIGINT AS s
+        |  FROM v GROUP BY 1),
+        |agg AS (SELECT CAST(sum(s) AS BIGINT) AS n_values,
+        |    count(*)::BIGINT AS n_blocks,
+        |    CAST(max(s) AS BIGINT) AS max_block_size,
+        |    CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS n_candidate_pairs
+        |  FROM b)
+        |SELECT n_values, n_blocks, max_block_size, n_candidate_pairs,
+        |  round(1.0 - CAST(n_candidate_pairs AS DOUBLE)
+        |    / CAST((n_values * (n_values - 1)) // 2 AS DOUBLE), 6)
+        |    AS reduction_ratio
+        |FROM agg
+        |""".stripMargin,
+    // co-blocking is a pure projection of the truth pairs — the block
+    // is a function of the value
+    "x_completeness" ->
+      """WITH truth AS (
+        |  SELECT a.p_name AS va, b.p_name AS vb
+        |  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1),
+        |f AS (SELECT CASE WHEN split_part(va, ' ', 1)
+        |    IS NOT DISTINCT FROM split_part(vb, ' ', 1)
+        |    THEN 1 ELSE 0 END AS cob FROM truth)
+        |SELECT count(*)::BIGINT AS n_truth_pairs,
+        |  CAST(sum(cob) AS BIGINT) AS n_coblocked,
+        |  round(CAST(sum(cob) AS DOUBLE) / count(*), 6) AS completeness
+        |FROM f
+        |""".stripMargin,
     // per-doc novelty vs the doc_id%7=0 reference — DISTINCT doc-level
     // md5-60 shingle hashes on both sides (the sortedHashes image), so
     // any 60-bit collision is shared by both engines

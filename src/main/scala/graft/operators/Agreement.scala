@@ -203,6 +203,40 @@ object Agreement {
       .withColumn("unanimous", col("n_labels") === 1L)
   }
 
+  /** Per-rater consensus report — the "which annotator is off" triage:
+    * each item's majority label (count desc, then label ascending
+    * nulls-first — a fully deterministic tie-break), then per rater:
+    * `n_items` rated, `n_majority` (ratings that null-safely equal
+    * their item's majority), `consensus_rate` rounded to 6. A rater
+    * whose rate sits far below the panel's is mislabeling or reading a
+    * different rubric; the per-rater rows are what a labeling-ops
+    * dashboard plots.
+    *
+    * Plan: cell counts shuffle on the item, the majority pick is a
+    * window over that same partitioning, and the ratings→majority join
+    * keys on the item again (three same-key stages, one partitioning);
+    * the final roll-up is bounded by the rater domain.
+    */
+  def raterConsensusReport(d: DataFrame, item: Column, rater: Column,
+                           label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = ratings(d, item, rater, label)
+    val w = Window.partitionBy(col("_item"))
+      .orderBy(col("_c").desc, col("_label").asc_nulls_first)
+    val majority = r.groupBy(col("_item"), col("_label"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("_item"), col("_label").as("_maj"))
+    r.join(majority, Seq("_item"))
+      .groupBy(col("_rater").as("rater"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(when(col("_label") <=> col("_maj"), 1L).otherwise(0L))
+          .cast("long").as("n_majority"))
+      .withColumn("consensus_rate",
+        round(col("n_majority").cast("double") / col("n_items"), 6))
+  }
+
   /** Pairwise Cohen's κ matrix — one output row per rater pair
     * (rater_a < rater_b, complete-case: items BOTH rated):
     * `rater_a`, `rater_b`, `n_items`, `p_observed`, `p_expected`,

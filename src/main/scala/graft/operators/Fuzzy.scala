@@ -58,6 +58,77 @@ object Fuzzy {
     fuzzyMatch(Tables(spark, dir, "part"), col("p_name"),
       v => split(v, " ").getItem(0), maxDist = 3)
 
+  /** The distinct-value block frame shared by the blocking reports:
+    * one row per (block, value). */
+  private def blocks(d: DataFrame, value: Column,
+                     blockOf: Column => Column): DataFrame =
+    d.select(value.as("value")).distinct()
+      .withColumn("blk", blockOf(col("value")))
+
+  /** Blocking-quality histogram (Christen 2012's candidate-space
+    * audit) — the COST side of [[fuzzyMatch]]'s recall/cost trade,
+    * measured BEFORE the pair join runs: per distinct block size s,
+    * how many blocks have that size and how many candidate pairs
+    * C(s,2) they contribute. The tail row IS the quadratic risk — one
+    * mega-block (an empty-string key, a default value) dominates the
+    * entire join's cost, and this report names it for one extra
+    * aggregation over the vocabulary, never touching pairs.
+    */
+  def blockingReport(d: DataFrame, value: Column,
+                     blockOf: Column => Column): DataFrame =
+    blocks(d, value, blockOf)
+      .groupBy(col("blk")).agg(count(lit(1)).as("_s"))
+      .groupBy(col("_s").as("block_size"))
+      .agg(count(lit(1)).cast("long").as("n_blocks"))
+      .withColumn("n_pairs",
+        (col("block_size").cast("decimal(18,0)") *
+          (col("block_size") - lit(1)) / lit(2) *
+          col("n_blocks")).cast("long"))
+      .orderBy(col("block_size"))
+
+  /** One-row blocking summary: `n_values` (distinct vocabulary),
+    * `n_blocks`, `max_block_size`, `n_candidate_pairs` = Σ C(s,2)
+    * (exact decimal), and `reduction_ratio` = 1 − candidates/C(v,2)
+    * (Christen's RR; → 1.0 means the blocking key prunes nearly the
+    * whole quadratic space, → 0 means it prunes nothing) — the number
+    * a 100 TB ER run checks before paying for the pair join.
+    */
+  def blockingSummary(d: DataFrame, value: Column,
+                      blockOf: Column => Column): DataFrame = {
+    val perBlock = blocks(d, value, blockOf)
+      .groupBy(col("blk")).agg(count(lit(1)).as("_s"))
+    perBlock.agg(
+        sum(col("_s")).cast("long").as("n_values"),
+        count(lit(1)).cast("long").as("n_blocks"),
+        max(col("_s")).cast("long").as("max_block_size"),
+        // long pair counts: exact to 9.2e18 candidates — ~4e9 values in
+        // ONE block, which max_block_size flags as a broken key anyway
+        sum(col("_s").cast("decimal(18,0)") * (col("_s") - lit(1)) / lit(2))
+          .cast("long").as("n_candidate_pairs"))
+      .withColumn("reduction_ratio",
+        round(lit(1.0) - col("n_candidate_pairs").cast("double") /
+          (col("n_values").cast("decimal(18,0)") *
+            (col("n_values") - lit(1)) / lit(2)).cast("double"), 6))
+  }
+
+  /** Pairs completeness (Christen's PC) — the RECALL side: given a
+    * truth frame of known-match value pairs, the fraction whose two
+    * values land in the SAME block (a blocked join can only ever find
+    * co-blocked pairs). Because the block is a pure function of the
+    * value, co-blocking is a per-row projection on the truth frame —
+    * no join, no shuffle beyond the final count. One row:
+    * `n_truth_pairs`, `n_coblocked`, `completeness` (round 6).
+    */
+  def pairsCompleteness(truth: DataFrame, valueA: Column, valueB: Column,
+                        blockOf: Column => Column): DataFrame =
+    truth.select(
+        when(blockOf(valueA) <=> blockOf(valueB), 1L).otherwise(0L)
+          .as("_cob"))
+      .agg(count(lit(1)).cast("long").as("n_truth_pairs"),
+        sum(col("_cob")).cast("long").as("n_coblocked"))
+      .withColumn("completeness",
+        round(col("n_coblocked").cast("double") / col("n_truth_pairs"), 6))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_fuzzy_match" -> (q66FuzzyMatch _)
   )

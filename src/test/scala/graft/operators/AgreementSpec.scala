@@ -105,6 +105,29 @@ class AgreementSpec extends SparkSpec {
     assert(e.getMessage.contains("no item has >= 2 ratings"))
   }
 
+  test("raterConsensusReport: majority tie-break and per-rater rates") {
+    import spark.implicits._
+    // i1: majority x (2 vs 1); i2: TIE x/y → label-asc pick = x;
+    // i3: all distinct → tie at c=1, majority = label-min = "p"
+    val d = Seq(
+      (1L, "a", "x"), (1L, "b", "x"), (1L, "c", "y"),
+      (2L, "a", "x"), (2L, "b", "y"),
+      (3L, "a", "q"), (3L, "b", "p"), (3L, "c", "r")
+    ).toDF("item", "rater", "label")
+    val rows = Agreement.raterConsensusReport(d,
+      col("item"), col("rater"), col("label"))
+      .collect().map(r => r.getAs[String]("rater") -> r).toMap
+    // a: i1 x=maj ✓, i2 x=maj ✓, i3 q≠p → 2/3
+    assert(rows("a").getAs[Long]("n_items") === 3L)
+    assert(rows("a").getAs[Long]("n_majority") === 2L)
+    assert(rows("a").getAs[Double]("consensus_rate") === 0.666667d)
+    // b: i1 ✓, i2 y≠x, i3 p=maj ✓ → 2/3; c: i1 y≠x, i3 r≠p → 0/2
+    assert(rows("b").getAs[Long]("n_majority") === 2L)
+    assert(rows("c").getAs[Long]("n_items") === 2L)
+    assert(rows("c").getAs[Long]("n_majority") === 0L)
+    assert(rows("c").getAs[Double]("consensus_rate") === 0.0d)
+  }
+
   test("itemAgreementReport: per-item triage counts") {
     val rows = Agreement.itemAgreementReport(fleissFixture,
       col("item"), col("rater"), col("label"))

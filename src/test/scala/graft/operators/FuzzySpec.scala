@@ -37,4 +37,40 @@ class FuzzySpec extends SparkSpec {
     // every pair shares its leading token (the block)
     assert(out.forall(r => r.getString(0).split(" ")(0) == r.getString(1).split(" ")(0)))
   }
+
+  test("blockingReport/Summary: hand-counted histogram, RR, mega-block flag") {
+    import spark.implicits._
+    // vocab: block "a" = {a x, a y, a z} (s=3), "b" = {b x} (s=1),
+    // "c" = {c x, c y} (s=2); duplicate rows collapse to the vocabulary
+    val d = Seq("a x", "a x", "a y", "a z", "b x", "c x", "c y").toDF("name")
+    val blockOf = (v: org.apache.spark.sql.Column) => split(v, " ").getItem(0)
+    val hist = Fuzzy.blockingReport(d, col("name"), blockOf).collect()
+      .map(r => r.getAs[Long]("block_size") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_pairs"))).toMap
+    assert(hist === Map(1L -> ((1L, 0L)), 2L -> ((1L, 1L)), 3L -> ((1L, 3L))))
+    val s = Fuzzy.blockingSummary(d, col("name"), blockOf).head()
+    assert(s.getAs[Long]("n_values") === 6L)
+    assert(s.getAs[Long]("n_blocks") === 3L)
+    assert(s.getAs[Long]("max_block_size") === 3L)
+    assert(s.getAs[Long]("n_candidate_pairs") === 4L)
+    // RR = 1 − 4/C(6,2) = 1 − 4/15
+    assert(s.getAs[Double]("reduction_ratio") === 0.733333d)
+  }
+
+  test("pairsCompleteness: co-blocked truth fraction, no join in the plan") {
+    import spark.implicits._
+    val truth = Seq(
+      ("acme corp", "acme corp."),   // co-blocked ("acme")
+      ("acme corp", "emca corp"),    // different leading token
+      ("b x", "b y")                 // co-blocked ("b")
+    ).toDF("va", "vb")
+    val out = Fuzzy.pairsCompleteness(truth, col("va"), col("vb"),
+      v => split(v, " ").getItem(0))
+    val r = out.head()
+    assert(r.getAs[Long]("n_truth_pairs") === 3L)
+    assert(r.getAs[Long]("n_coblocked") === 2L)
+    assert(r.getAs[Double]("completeness") === 0.666667d)
+    // pure projection + one aggregate: no Join operator anywhere
+    assert(!out.queryExecution.executedPlan.toString.contains("Join"))
+  }
 }
