@@ -141,7 +141,7 @@ object Pca {
     * (eigenvalues, eigenvector matrix with eigenvectors as COLUMNS).
     * Rotation math uses only IEEE-exact ops and sqrt — deterministic.
     */
-  private def jacobiEigen(a0: Array[Array[Double]])
+  private[operators] def jacobiEigen(a0: Array[Array[Double]])
       : (Array[Double], Array[Array[Double]]) = {
     val n = a0.length
     val a = Array.tabulate(n, n)((i, j) => a0(i)(j))

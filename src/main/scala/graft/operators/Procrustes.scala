@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Orthogonal Procrustes alignment between two embedding spaces
+  * (SURVEY §2.5) — the re-embedding migration tool: when an embedder is
+  * retrained or upgraded, the new space is (approximately) a rotation +
+  * translation (+ scale) of the old one for the overlap both models
+  * embedded. Solving W = argmin_{WᵀW=I} ‖X_c·W − Y_c‖_F (Schönemann
+  * 1966; the cross-lingual-embedding alignment of Mikolov et al. 2013 /
+  * Artetxe et al. 2016) lets a pipeline map its EXISTING vectors into
+  * the new space instead of re-embedding 100 TB of documents: re-embed
+  * a small paired sample, align, project the rest.
+  *
+  * Closed form: with centered paired matrices X_c, Y_c and the d×d
+  * cross-covariance M = X_cᵀY_c = UΣVᵀ, the minimizer is W = UVᵀ, and
+  * the optimal uniform scale (when requested) is s = tr(Σ)/‖X_c‖²_F.
+  *
+  * Train shape (the [[Pca]] discipline end to end):
+  *  - ONE validation aggregate (dim bounds, pair count), then ONE
+  *    corpus pass computing every needed moment — Σx, Σy, Σx² and the
+  *    d² cross products x_i·y_j — flattened to DECIMAL(28,12) terms,
+  *    posexplode → groupBy(pos) with map-side combine: the shuffle
+  *    carries ≤ 3d + d² keys per partition regardless of corpus size,
+  *    and the exact decimal sums make the model bit-identical under any
+  *    repartitioning (spec-asserted).
+  *  - The driver computes M from the moments (centering folds to
+  *    Σxyᵀ − n·μx·μyᵀ), eigensolves the SYMMETRIC d×d MᵀM with
+  *    [[Pca.jacobiEigen]] (σᵢ = √λᵢ, uᵢ = M·vᵢ/σᵢ) — W = Σᵢ uᵢvᵢᵀ is
+  *    invariant to the eigenvector sign/order choices because every uᵢ
+  *    inherits its vᵢ's sign, so the model is a pure function of the
+  *    data.
+  *  - Rank deficiency (σ_min ≤ 1e-9·σ_max) REFUSES loudly: the rotation
+  *    is underdetermined on a degenerate sample and a silent answer
+  *    would be one of infinitely many minimizers.
+  *  - `sampleMod` trains on the deterministic `vec_id % m = 0` slice —
+  *    the 100 TB knob: alignment needs a representative paired sample,
+  *    not every vector.
+  *
+  * [[project]] is a ZERO-shuffle plan-literal projection (the
+  * [[Pca.project]] shape): d output dims, each one codegen'd dot
+  * against a literal column of W with the −s·Wᵀμx + μy constant folded
+  * per dimension. [[alignmentError]] is the closed-loop monitor: mean
+  * squared residual of the projected pairs, 12-dp-quantized decimal
+  * row terms so the sum is order-independent.
+  *
+  * The reference engine has no vector surface; this extends §2.5 the
+  * way PCA does.
+  */
+object Procrustes {
+
+  import graft.functions.VectorFunctions.{dot, constVec}
+
+  /** Trained alignment: `w` is d×d (row r, col c), maps a CENTERED old
+    * vector x to the new space as yhat = s·Wᵀ(x − μx) + μy;
+    * `singular` are Σ's diagonal (descending) — trailing near-zeros
+    * mean the overlap barely constrains those directions.
+    */
+  final case class Model(meanX: Array[Double], meanY: Array[Double],
+                         w: Array[Array[Double]], scale: Double,
+                         singular: Array[Double], nPairs: Long) {
+    def dim: Int = meanX.length
+  }
+
+  /** Align a paired frame `(vec_id, vx ARRAY<numeric>, vy
+    * ARRAY<numeric>)` — old-space and new-space vectors of the SAME
+    * entities (join the two embedding tables on the id first). Both
+    * sides must share one dimensionality ≤ [[Pca.MaxDim]].
+    * `center=false` pins μx = μy = 0 (pure rotation, the published
+    * cross-lingual setup); `withScale=true` adds the optimal uniform
+    * scale.
+    */
+  def align(pairs: DataFrame, center: Boolean = true,
+            withScale: Boolean = false, sampleMod: Int = 1): Model = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val tr0 = if (sampleMod == 1) pairs
+      else pairs.filter(col("vec_id") % sampleMod === 0)
+    val tr = tr0.select(
+      expr("transform(vx, x -> CAST(x AS DOUBLE))").as("vx"),
+      expr("transform(vy, x -> CAST(x AS DOUBLE))").as("vy"))
+    val probe = tr.agg(
+      min(size(col("vx"))).as("xlo"), max(size(col("vx"))).as("xhi"),
+      min(size(col("vy"))).as("ylo"), max(size(col("vy"))).as("yhi"),
+      count(lit(1)).as("n")).head()
+    val n = probe.getLong(4)
+    require(n >= 2, s"need at least 2 paired vectors, got $n")
+    val d = probe.getInt(0)
+    require(d == probe.getInt(1) && d == probe.getInt(2) && d == probe.getInt(3),
+      s"ragged or mismatched dims: vx [${probe.getInt(0)}, ${probe.getInt(1)}], " +
+        s"vy [${probe.getInt(2)}, ${probe.getInt(3)}] — Procrustes needs one shared dim")
+    require(d >= 1 && d <= Pca.MaxDim,
+      s"dim $d outside [1, ${Pca.MaxDim}] — reduce with PCA first")
+    // moment layout: [0,d) Σx | [d,2d) Σy | [2d,3d) Σx² | [3d,3d+d²) Σ xᵢyⱼ
+    val momentsExpr = expr(
+      s"""flatten(array(
+         |  transform(sequence(0, ${d - 1}), i ->
+         |    CAST(element_at(vx, i + 1) AS DECIMAL(28,12))),
+         |  transform(sequence(0, ${d - 1}), i ->
+         |    CAST(element_at(vy, i + 1) AS DECIMAL(28,12))),
+         |  transform(sequence(0, ${d - 1}), i ->
+         |    CAST(element_at(vx, i + 1) * element_at(vx, i + 1)
+         |      AS DECIMAL(28,12))),
+         |  flatten(transform(sequence(0, ${d - 1}), i ->
+         |    transform(sequence(0, ${d - 1}), j ->
+         |      CAST(element_at(vx, i + 1) * element_at(vy, j + 1)
+         |        AS DECIMAL(28,12)))))))""".stripMargin)
+    val sums = tr.select(posexplode(momentsExpr).as(Seq("pos", "m")))
+      .groupBy(col("pos")).agg(sum(col("m")).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue())
+      .toMap
+    val muX = Array.tabulate(d)(i => if (center) sums(i) / n else 0.0)
+    val muY = Array.tabulate(d)(i => if (center) sums(d + i) / n else 0.0)
+    // M = Σxyᵀ − n·μx·μyᵀ ; ‖X_c‖² = Σx² − n·Σμx²
+    val m = Array.tabulate(d, d)((i, j) =>
+      sums(3 * d + i * d + j) - n.toDouble * muX(i) * muY(j))
+    val sxx = (0 until d).map(i =>
+      sums(2 * d + i) - n.toDouble * muX(i) * muX(i)).sum
+    require(sxx > 0.0, "degenerate input: the old-space sample has zero variance")
+    // MᵀM is symmetric PSD; σᵢ = √λᵢ, uᵢ = M·vᵢ/σᵢ, W = Σᵢ uᵢvᵢᵀ
+    val mtm = Array.tabulate(d, d)((i, j) => {
+      var s = 0.0; var r = 0
+      while (r < d) { s += m(r)(i) * m(r)(j); r += 1 }
+      s
+    })
+    val (ev, evec) = Pca.jacobiEigen(mtm)
+    val order = (0 until d).sortBy(c => (-ev(c), c))
+    val sigma = order.map(c => math.sqrt(math.max(ev(c), 0.0))).toArray
+    require(sigma(0) > 0.0 && sigma(d - 1) > 1e-9 * sigma(0),
+      s"rank-deficient cross-covariance (sigma_min/sigma_max = " +
+        s"${if (sigma(0) > 0.0) sigma(d - 1) / sigma(0) else 0.0}) — the " +
+        "rotation is underdetermined on this sample; enlarge or diversify it")
+    val w = Array.ofDim[Double](d, d)
+    var k = 0
+    while (k < d) {
+      val c = order(k)
+      val vk = Array.tabulate(d)(r => evec(r)(c))
+      val uk = Array.tabulate(d) { r =>
+        var s = 0.0; var i = 0
+        while (i < d) { s += m(r)(i) * vk(i); i += 1 }
+        s / sigma(k)
+      }
+      var r = 0
+      while (r < d) {
+        var cc = 0
+        while (cc < d) { w(r)(cc) += uk(r) * vk(cc); cc += 1 }
+        r += 1
+      }
+      k += 1
+    }
+    val scale = if (withScale) sigma.sum / sxx else 1.0
+    Model(muX, muY, w, scale, sigma, n)
+  }
+
+  /** Map old-space vectors into the new space: appends `outCol` =
+    * ARRAY<DOUBLE>, yhatⱼ = s·Σᵣ W(r,j)·xᵣ + (μyⱼ − s·Σᵣ W(r,j)·μxᵣ) —
+    * per output dim one codegen'd dot against a plan-literal W column
+    * with the constant folded. Zero shuffle; composes into any scan.
+    */
+  def project(d: DataFrame, model: Model, vecCol: String = "vx",
+              outCol: String = "aligned"): DataFrame = {
+    require(!d.columns.contains(outCol),
+      s"output column `$outCol` already exists — rename first")
+    val dim = model.dim
+    val cols = (0 until dim).map { j =>
+      val wj = Array.tabulate(dim)(r => model.scale * model.w(r)(j))
+      val bias = model.meanY(j) - {
+        var s = 0.0; var r = 0
+        while (r < dim) { s += wj(r) * model.meanX(r); r += 1 }
+        s
+      }
+      dot(expr(s"transform(`$vecCol`, x -> CAST(x AS DOUBLE))"),
+        constVec(wj.toSeq)) + lit(bias)
+    }
+    d.withColumn(outCol, array(cols: _*))
+  }
+
+  /** Closed-loop alignment monitor over a paired frame: one row with
+    * `n_pairs`, `mse` (mean squared L2 residual ‖yhat − y‖² per pair,
+    * rounded to 6) and `rmse`. Per-row residuals quantize to 12 dp and
+    * sum as DECIMAL(38,12), so the report is deterministic under any
+    * partitioning. Compare against the same report for a held-out
+    * slice to detect an alignment that memorized a too-small sample.
+    */
+  def alignmentError(pairs: DataFrame, model: Model): DataFrame = {
+    val proj = project(pairs, model, vecCol = "vx", outCol = "_yhat")
+      .select(col("_yhat"),
+        expr("transform(vy, x -> CAST(x AS DOUBLE))").as("_vy"))
+    val res = proj.select(
+      round(expr(
+        """aggregate(zip_with(_yhat, _vy, (a, b) -> (a - b) * (a - b)),
+          |CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 12)
+        .cast("decimal(38,12)").as("_r2"))
+    res.agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("_r2")).as("_sum"))
+      .select(col("n_pairs"),
+        round((col("_sum") / col("n_pairs")).cast("double"), 6).as("mse"),
+        round(sqrt((col("_sum") / col("n_pairs")).cast("double")), 6)
+          .as("rmse"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Orthogonal Procrustes alignment: exact recovery of a planted
+  * rotation/translation/scale, permutation recovery on the real
+  * corpus, partition invariance, refusals.
+  */
+class ProcrustesSpec extends SparkSpec {
+
+  private val baseX: Seq[Array[Double]] = Seq(
+    Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0),
+    Array(1.0, 2.0, 3.0), Array(-2.0, 1.0, 0.5), Array(0.3, -1.0, 2.0))
+
+  /** Rz(θ)·Rx(φ) — a generic 3-D rotation. */
+  private def rot(theta: Double, phi: Double): Array[Array[Double]] = {
+    val (ct, st) = (math.cos(theta), math.sin(theta))
+    val (cp, sp) = (math.cos(phi), math.sin(phi))
+    val rz = Array(Array(ct, -st, 0.0), Array(st, ct, 0.0), Array(0.0, 0.0, 1.0))
+    val rx = Array(Array(1.0, 0.0, 0.0), Array(0.0, cp, -sp), Array(0.0, sp, cp))
+    Array.tabulate(3, 3)((i, j) => (0 until 3).map(k => rz(i)(k) * rx(k)(j)).sum)
+  }
+
+  private def apply3(r: Array[Array[Double]], x: Array[Double],
+                     s: Double, t: Array[Double]): Array[Double] =
+    Array.tabulate(3)(i => s * (0 until 3).map(k => r(i)(k) * x(k)).sum + t(i))
+
+  private def pairsDf(r: Array[Array[Double]], s: Double, t: Array[Double]) = {
+    import spark.implicits._
+    baseX.zipWithIndex.map { case (x, i) =>
+      (i.toLong, x.toSeq, apply3(r, x, s, t).toSeq)
+    }.toDF("vec_id", "vx", "vy")
+  }
+
+  test("align recovers a planted rotation + translation exactly") {
+    val r = rot(0.5, -1.1)
+    val t = Array(3.0, -2.0, 0.25)
+    val d = pairsDf(r, 1.0, t)
+    val m = Procrustes.align(d)
+    // W minimizes ‖X_c W − Y_c‖ with row vectors, so W = Rᵀ
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(math.abs(m.w(i)(j) - r(j)(i)) < 1e-9, s"w($i)($j)")
+    assert(m.scale === 1.0)
+    // projection reproduces Y to numerical noise; the monitor reads 0
+    val err = Procrustes.alignmentError(d, m).head()
+    assert(err.getAs[Long]("n_pairs") === 6L)
+    assert(err.getAs[Double]("mse") === 0.0d)
+    // per-row check through the zero-shuffle projection
+    val rows = Procrustes.project(d, m).select("vec_id", "aligned", "vy")
+      .collect()
+    rows.foreach { row =>
+      val a = row.getSeq[Double](1)
+      val y = row.getSeq[Double](2)
+      a.zip(y).foreach { case (u, v) => assert(math.abs(u - v) < 1e-9) }
+    }
+  }
+
+  test("withScale recovers a planted uniform scale") {
+    val d = pairsDf(rot(-0.3, 0.8), 2.5, Array(0.1, 0.0, -4.0))
+    val m = Procrustes.align(d, withScale = true)
+    assert(math.abs(m.scale - 2.5) < 1e-9)
+    assert(Procrustes.alignmentError(d, m).head()
+      .getAs[Double]("mse") === 0.0d)
+    // without scale the same input leaves a real residual
+    val m1 = Procrustes.align(d, withScale = false)
+    assert(Procrustes.alignmentError(d, m1).head()
+      .getAs[Double]("mse") > 0.1d)
+  }
+
+  test("real corpus: reversal permutation recovered; model partition-invariant") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vx"))
+      .withColumn("vy", reverse(col("vx")))
+    val m = Procrustes.align(emb)
+    val d = m.dim
+    assert(d === 64)
+    // W = the reversal permutation (symmetric), to solver tolerance
+    for (i <- 0 until d; j <- 0 until d) {
+      val want = if (j == d - 1 - i) 1.0 else 0.0
+      assert(math.abs(m.w(i)(j) - want) < 1e-6, s"w($i)($j)")
+    }
+    assert(Procrustes.alignmentError(emb, m).head()
+      .getAs[Double]("mse") === 0.0d)
+    // decimal moment sums → bit-identical model under repartition
+    val m2 = Procrustes.align(emb.repartition(13))
+    assert(m2.meanX.toSeq === m.meanX.toSeq)
+    assert(m2.w.map(_.toSeq).toSeq === m.w.map(_.toSeq).toSeq)
+    assert(m2.singular.toSeq === m.singular.toSeq)
+    // sampleMod trains on the deterministic slice only
+    val m3 = Procrustes.align(emb, sampleMod = 2)
+    assert(m3.nPairs < m.nPairs && m3.nPairs > 0)
+  }
+
+  test("refusals: mismatched dims, rank deficiency, degenerate variance") {
+    import spark.implicits._
+    val bad = Seq((1L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(2.0, 1.0), Seq(3.0, 2.0, 1.0))).toDF("vec_id", "vx", "vy")
+    val e1 = intercept[IllegalArgumentException](Procrustes.align(bad))
+    assert(e1.getMessage.contains("mismatched"))
+    // all X on a line in 2-D: cross-covariance rank 1
+    val line = Seq.tabulate(6)(i =>
+      (i.toLong, Seq(i + 1.0, 2.0 * (i + 1.0)), Seq(i + 1.0, 2.0 * (i + 1.0))))
+      .toDF("vec_id", "vx", "vy")
+    val e2 = intercept[IllegalArgumentException](Procrustes.align(line))
+    assert(e2.getMessage.contains("rank-deficient"))
+    val const = Seq((1L, Seq(1.0, 1.0), Seq(1.0, 1.0)),
+      (2L, Seq(1.0, 1.0), Seq(1.0, 1.0))).toDF("vec_id", "vx", "vy")
+    val e3 = intercept[IllegalArgumentException](Procrustes.align(const))
+    assert(e3.getMessage.contains("zero variance"))
+  }
+}
