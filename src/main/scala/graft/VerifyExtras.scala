@@ -325,6 +325,9 @@ object VerifyExtras {
     "x_rater_bias" -> ((s, dir) =>
       Agreement.raterConsensusReport(raggedRatings(s, dir),
         col("doc_id"), col("rater"), col("label"))),
+    "x_weighted_vote" -> ((s, dir) =>
+      Agreement.weightedVote(raggedRatings(s, dir),
+        col("doc_id"), col("rater"), col("label"))),
     // blocking-quality audit over the q66 entity domain (part names,
     // block = leading token)
     "x_blocking" -> ((s, dir) =>
@@ -1395,6 +1398,45 @@ object VerifyExtras {
         |    THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS consensus_rate
         |FROM rr JOIN mj USING (doc_id)
         |GROUP BY 1
+        |""".stripMargin),
+    // accuracy-weighted vote: integer micro-unit weights from the
+    // x_rater_bias consensus rates, exact long mass sums, one double
+    // division per item after all summing
+    "x_weighted_vote" ->
+      (RatingsCte +
+        """,
+        |rr AS (SELECT * FROM r
+        |  WHERE CAST('0x' || substr(md5(concat_ws('|',
+        |      doc_id, rater, 'drop')), 1, 15) AS BIGINT) % 5 <> 0),
+        |cells AS (SELECT doc_id, label, count(*)::BIGINT AS c
+        |  FROM rr GROUP BY 1, 2),
+        |mj AS (
+        |  SELECT doc_id, label AS maj FROM (
+        |    SELECT doc_id, label,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY c DESC, label ASC NULLS FIRST) AS rk
+        |    FROM cells) WHERE rk = 1),
+        |wt AS (
+        |  SELECT rater,
+        |    CAST(round(sum(CASE WHEN rr.label IS NOT DISTINCT FROM mj.maj
+        |      THEN 1 ELSE 0 END) * 1000000 / count(*), 0) AS BIGINT) AS w
+        |  FROM rr JOIN mj USING (doc_id) GROUP BY 1),
+        |mass AS (
+        |  SELECT rr.doc_id, rr.label, CAST(sum(wt.w) AS BIGINT) AS mass,
+        |    count(*)::BIGINT AS n
+        |  FROM rr JOIN wt USING (rater) GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT doc_id, label, mass,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY mass DESC, label ASC NULLS FIRST) AS rk,
+        |    sum(mass) OVER (PARTITION BY doc_id) AS total,
+        |    sum(n) OVER (PARTITION BY doc_id) AS nr
+        |  FROM mass)
+        |SELECT doc_id AS item, label, CAST(nr AS BIGINT) AS n_ratings,
+        |  CASE WHEN total > 0 THEN
+        |    round(CAST(mass AS DOUBLE) / CAST(total AS DOUBLE), 6) END
+        |    AS vote_share
+        |FROM fin WHERE rk = 1
         |""".stripMargin),
     // block-size histogram over the distinct p_name vocabulary,
     // block = leading token; (s*(s-1))//2 is exact (even product)

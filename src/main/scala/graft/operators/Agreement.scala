@@ -237,6 +237,53 @@ object Agreement {
         round(col("n_majority").cast("double") / col("n_items"), 6))
   }
 
+  /** Accuracy-weighted label aggregation — the weak-supervision vote
+    * (the one-step core of Dawid & Skene 1979, the Snorkel label-model
+    * family): instead of an unweighted majority, each rater votes with
+    * the consensus rate [[raterConsensusReport]] measured for them, so
+    * a rubric-misreading annotator stops dragging items they touched.
+    * One row per item: the winning `label`, `n_ratings`, and
+    * `vote_share` (the winner's weight mass / the item's total weight,
+    * rounded to 6) — the confidence a downstream filter thresholds on.
+    *
+    * Determinism: weights are INTEGER MICRO-UNITS — round(n_majority ·
+    * 1e6 / n_items) per rater — so every per-item sum is exact long
+    * arithmetic in any order; ties break by (weight mass desc, label
+    * asc nulls-first), and the one double division per item happens
+    * after all summing (the q68 micro-unit discipline). A rater whose
+    * consensus rate is exactly 0 still votes with weight 0 — present
+    * in n_ratings, mute in the election.
+    *
+    * Plan: the weight table is rater-domain-bounded and broadcast-
+    * joins onto the ratings; vote mass shuffles once on (item, label);
+    * the winner pick is a window over the item partitioning.
+    */
+  def weightedVote(d: DataFrame, item: Column, rater: Column,
+                   label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weights = raterConsensusReport(d, item, rater, label)
+      .select(col("rater").as("_rater"),
+        round(col("n_majority") * lit(1000000L) / col("n_items"), 0)
+          .cast("long").as("_w"))
+    val r = ratings(d, item, rater, label)
+    val mass = r.join(broadcast(weights), Seq("_rater"))
+      .groupBy(col("_item"), col("_label"))
+      .agg(sum(col("_w")).as("_mass"), count(lit(1)).as("_n"))
+    val w = Window.partitionBy(col("_item"))
+      .orderBy(col("_mass").desc, col("_label").asc_nulls_first)
+    val wi = Window.partitionBy(col("_item"))
+    mass
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_total", sum(col("_mass")).over(wi))
+      .withColumn("_n_ratings", sum(col("_n")).over(wi))
+      .filter(col("_rk") === 1)
+      .select(col("_item").as("item"), col("_label").as("label"),
+        col("_n_ratings").cast("long").as("n_ratings"),
+        when(col("_total") > 0,
+          round(col("_mass").cast("double") / col("_total"), 6))
+          .otherwise(lit(null).cast("double")).as("vote_share"))
+  }
+
   /** Pairwise Cohen's κ matrix — one output row per rater pair
     * (rater_a < rater_b, complete-case: items BOTH rated):
     * `rater_a`, `rater_b`, `n_items`, `p_observed`, `p_expected`,

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Diversity-maximizing coreset selection (SURVEY §2.5) — greedy
+  * k-center / farthest-point traversal (Gonzalez 1985), the coverage
+  * complement to [[Similarity.prototypicality]]'s density pruning and
+  * the standard seeding step of active learning and data-pruning
+  * pipelines (Sener & Savarese 2018's core-set approach): pick the
+  * point farthest from everything chosen so far, k times. The result
+  * 2-approximates the optimal k-center cover, so the selected set
+  * SPANS the embedding space instead of oversampling its dense modes —
+  * the "show the labeler/trainer one of everything" selection.
+  *
+  * Shape at scale: k rounds, each ONE distributed pass — the argmax is
+  * a per-partition top-1 (TakeOrderedAndProject, no global sort, only
+  * `partitions` candidate rows move) and the running min-distance
+  * update is a zero-shuffle projection against the new center as a
+  * plan literal. State per vector is ONE double (its distance² to the
+  * nearest chosen center), re-persisted each round with the previous
+  * round released. k is driver-materialization-bounded (each center's
+  * vector is collected): `k ≤ maxK` refuses the "select a million
+  * centers one job at a time" mistake — past a few hundred centers a
+  * sampled/tree variant is the right algorithm, not k sequential jobs.
+  *
+  * Determinism: the seed is the minimum `vec_id` (documented, not
+  * random), every argmax tie-breaks by minimum `vec_id`, and the
+  * distance update is plain IEEE arithmetic against literal centers —
+  * the selection is a pure function of the data, invariant to
+  * partitioning (spec-asserted).
+  *
+  * Input is the [[Similarity.prepare]] shape `(vec_id, v ARRAY<DOUBLE>)`;
+  * distances are Euclidean on the given vectors (L2-normalize first
+  * for the cosine geometry). Output: one row per selected center —
+  * `selection_order` (0-based), `vec_id`, `dist_when_selected` (the
+  * distance to the nearest earlier center at selection time, rounded
+  * to 6; row 0 reads 0.0) — a DESCENDING sequence whose tail is the
+  * cover radius achieved so far.
+  */
+object Coreset {
+
+  import graft.functions.VectorFunctions.{dot, constVec}
+
+  def kCenterSelect(prepared: DataFrame, k: Int,
+                    maxK: Int = 256): DataFrame = {
+    require(k >= 1 && k <= maxK,
+      s"need 1 <= k <= maxK=$maxK, got $k — past a few hundred " +
+        "sequential centers use a sampled variant instead")
+    val spark = prepared.sparkSession
+    val base = prepared.select(col("vec_id"),
+      expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
+    val probe = base.agg(count(lit(1)).as("n"),
+      min(size(col("v"))).as("lo"), max(size(col("v"))).as("hi"),
+      min(col("vec_id")).as("seed")).head()
+    val n = probe.getLong(0)
+    require(n >= 1, "empty input")
+    require(probe.getInt(1) == probe.getInt(2),
+      s"ragged vectors: size(v) spans [${probe.getInt(1)}, ${probe.getInt(2)}]")
+    require(k <= n, s"k=$k exceeds corpus size $n")
+    val seedId = probe.getLong(3)
+
+    def vecOf(id: Long): Array[Double] =
+      base.filter(col("vec_id") === id).head().getSeq[Double](1).toArray
+    // ‖x − c‖² = ‖x‖² − 2·x·c + ‖c‖², with the ‖x‖² term shared across
+    // rounds via a literal-center fold (dot is the codegen'd strict fold)
+    def dist2To(c: Array[Double]) = {
+      val c2 = c.map(x => x * x).sum
+      dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), constVec(c.toSeq)) +
+        lit(c2)
+    }
+
+    val selected = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+    selected += ((0, seedId, 0.0))
+    var cur = base.withColumn("best", greatest(lit(0.0), dist2To(vecOf(seedId))))
+    cur.persist()
+    var t = 1
+    while (t < k) {
+      // the argmax row carries its own vector — one job per round, no
+      // separate center lookup
+      val far = cur.orderBy(col("best").desc, col("vec_id").asc).limit(1).head()
+      val id = far.getLong(0)
+      val cv = far.getSeq[Double](1).toArray
+      val d = math.sqrt(math.max(far.getDouble(2), 0.0))
+      selected += ((t, id, d))
+      val next = cur
+        .withColumn("best", least(col("best"),
+          greatest(lit(0.0), dist2To(cv))))
+      next.persist()
+      // materialize before releasing the parent this round reads from
+      next.count()
+      cur.unpersist()
+      cur = next
+      t += 1
+    }
+    cur.unpersist()
+    import spark.implicits._
+    selected.toSeq
+      .map { case (o, id, d) => (o, id, math.rint(d * 1e6) / 1e6) }
+      .toDF("selection_order", "vec_id", "dist_when_selected")
+  }
+
+  /** The cover radius of a selected center set over the corpus: the
+    * maximum distance from any vector to its nearest center — ONE
+    * zero-shuffle projection (centers as plan literals) + a max. The
+    * quality number a curation run reports next to k.
+    */
+  def coverRadius(prepared: DataFrame, centers: Seq[Array[Double]]): Double = {
+    require(centers.nonEmpty, "need at least one center")
+    val base = prepared.select(
+      expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
+    val d2 = centers.map { c =>
+      val c2 = c.map(x => x * x).sum
+      dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), constVec(c.toSeq)) +
+        lit(c2)
+    }.reduce(least(_, _))
+    val m = base.agg(max(greatest(d2, lit(0.0)))).head().getDouble(0)
+    math.sqrt(m)
+  }
+}

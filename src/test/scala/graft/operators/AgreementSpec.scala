@@ -128,6 +128,29 @@ class AgreementSpec extends SparkSpec {
     assert(rows("c").getAs[Double]("consensus_rate") === 0.0d)
   }
 
+  test("weightedVote: accuracy weighting flips a colluding unweighted majority") {
+    import spark.implicits._
+    // 8 history items: g matches the (tie-broken) majority every time,
+    // b1/b2 never do → weights g 8/9, b1 1/9, b2 1/9. On item 9 the two
+    // low-weight raters agree on q against g's p — unweighted majority
+    // says q, the weighted election says p.
+    val history = (1L to 8L).flatMap(i =>
+      Seq((i, "g", "x"), (i, "b1", "y"), (i, "b2", "z")))
+    val d = (history ++ Seq((9L, "g", "p"), (9L, "b1", "q"), (9L, "b2", "q")))
+      .toDF("item", "rater", "label")
+    val rows = Agreement.weightedVote(d, col("item"), col("rater"), col("label"))
+      .collect().map(r => r.getAs[Long]("item") -> r).toMap
+    assert(rows.size === 9)
+    val i9 = rows(9L)
+    assert(i9.getAs[String]("label") === "p")
+    assert(i9.getAs[Long]("n_ratings") === 3L)
+    // p mass = round(8e6/9) = 888889; total = 888889 + 2·111111
+    assert(i9.getAs[Double]("vote_share") === 0.8d)
+    // a history item: winner x (g's vote), same share arithmetic
+    assert(rows(1L).getAs[String]("label") === "x")
+    assert(rows(1L).getAs[Double]("vote_share") === 0.8d)
+  }
+
   test("itemAgreementReport: per-item triage counts") {
     val rows = Agreement.itemAgreementReport(fleissFixture,
       col("item"), col("rater"), col("label"))

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Greedy k-center selection: hand-traced farthest-point order,
+  * determinism, cover radius, refusals.
+  */
+class CoresetSpec extends SparkSpec {
+
+  private def line = {
+    import spark.implicits._
+    (0L to 9L).map(i => (i, Seq(i.toDouble))).toDF("vec_id", "v")
+  }
+
+  test("kCenterSelect: hand-traced order on the 0..9 line") {
+    // seed = min id (0); farthest = 9 (d 9); then 4 beats 5 on the id
+    // tie-break at distance 4; then {2,6,7} tie at 2 → 2 wins
+    val got = Coreset.kCenterSelect(line, k = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((0, 0L, 0.0), (1, 9L, 9.0), (2, 4L, 4.0),
+      (3, 2L, 2.0)))
+  }
+
+  test("kCenterSelect: dist sequence non-increasing; k = n selects everything") {
+    val all = Coreset.kCenterSelect(line, k = 10).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(all.map(_._1).toSet === (0L to 9L).toSet)
+    val ds = all.map(_._2).drop(1)
+    assert(ds.zip(ds.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("real corpus: deterministic under re-run and repartition; radius shrinks") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val a = Coreset.kCenterSelect(emb, k = 6).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = Coreset.kCenterSelect(emb.repartition(11), k = 6).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a === b)
+    // the selection's own dist column is the shrinking cover radius;
+    // coverRadius over the selected centers must match the NEXT pick's
+    // distance (the farthest remaining point defines the radius)
+    val ids = a.map(_._2).toSet
+    val centers = emb.filter(col("vec_id").isin(ids.toSeq: _*))
+      .collect().map(_.getSeq[Double](1).toArray).toSeq
+    val r6 = Coreset.coverRadius(emb, centers)
+    val next = Coreset.kCenterSelect(emb, k = 7).collect()
+      .map(r => r.getDouble(2)).last
+    assert(math.abs(r6 - next) < 1e-6)
+    // more centers can only shrink the radius
+    val r1 = Coreset.coverRadius(emb,
+      centers.take(1))
+    assert(r6 <= r1)
+  }
+
+  test("refusals: k bounds, ragged input") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](Coreset.kCenterSelect(line, k = 0))
+    intercept[IllegalArgumentException](Coreset.kCenterSelect(line, k = 500))
+    intercept[IllegalArgumentException](Coreset.kCenterSelect(line, k = 11))
+    val ragged = Seq((1L, Seq(1.0)), (2L, Seq(1.0, 2.0)))
+      .toDF("vec_id", "v")
+    val e = intercept[IllegalArgumentException](
+      Coreset.kCenterSelect(ragged, k = 2))
+    assert(e.getMessage.contains("ragged"))
+  }
+}
