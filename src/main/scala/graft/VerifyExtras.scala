@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Agreement, Curate, Dedup, EventOps, Fuzzy, NgramLm, Paragraphs, Pii, Privacy, Relational, Sampling, TextOps}
+import graft.operators.{Agreement, Conformal, Curate, Dedup, EventOps, Fuzzy, NgramLm, Paragraphs, Pii, Privacy, Relational, Sampling, TextOps}
 import graft.functions.Hashing
 
 /** EXTRA-registry oracle crosschecks (r14): the strongest spec-only
@@ -328,6 +328,23 @@ object VerifyExtras {
     "x_weighted_vote" -> ((s, dir) =>
       Agreement.weightedVote(raggedRatings(s, dir),
         col("doc_id"), col("rater"), col("label"))),
+    // split-conformal report over a hash-planted calibrated world:
+    // p = (h_p + 0.5)/1000, y ⇔ h_y < h_p (exact Bernoulli(p) in
+    // integers) — threshold = exact order statistic, both engines
+    "x_conformal" -> ((s, dir) => {
+      val hp = pmod(Hashing.hash60(concat_ws("|",
+        col("doc_id"), lit("p"))), lit(1000L))
+      val hy = pmod(Hashing.hash60(concat_ws("|",
+        col("doc_id"), lit("y"))), lit(1000L))
+      val scored = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"))
+        .withColumn("p", (hp.cast("double") + lit(0.5)) / lit(1000.0))
+        .withColumn("y", hy < hp)
+      val cal = scored.filter(col("doc_id") % 2 === 0)
+      val test = scored.filter(col("doc_id") % 2 =!= 0)
+      val q = Conformal.threshold(cal, col("p"), col("y"), alpha = 0.1)
+      Conformal.report(test, col("p"), col("y"), q)
+    }),
     // blocking-quality audit over the q66 entity domain (part names,
     // block = leading token)
     "x_blocking" -> ((s, dir) =>
@@ -1438,6 +1455,38 @@ object VerifyExtras {
         |    AS vote_share
         |FROM fin WHERE rk = 1
         |""".stripMargin),
+    // qhat = min(s | rank >= ceil((n+1)·0.9)) ≡ the k-th smallest;
+    // coverage/set-size over the odd-id test half
+    "x_conformal" ->
+      """WITH s0 AS (
+        |  SELECT doc_id,
+        |    (CAST(CAST('0x' || substr(md5(concat_ws('|', doc_id, 'p')), 1, 15)
+        |        AS BIGINT) % 1000 AS DOUBLE) + 0.5) / 1000.0 AS p,
+        |    (CAST('0x' || substr(md5(concat_ws('|', doc_id, 'y')), 1, 15)
+        |        AS BIGINT) % 1000)
+        |      < (CAST('0x' || substr(md5(concat_ws('|', doc_id, 'p')), 1, 15)
+        |        AS BIGINT) % 1000) AS y
+        |  FROM documents),
+        |sc AS (SELECT doc_id, p, CASE WHEN y THEN 1.0 - p ELSE p END AS s
+        |  FROM s0),
+        |cal AS (SELECT s FROM sc WHERE doc_id % 2 = 0),
+        |n AS (SELECT count(*) AS n FROM cal),
+        |q AS (
+        |  SELECT min(s) AS qhat FROM
+        |    (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM cal) t, n
+        |  WHERE t.rn >= CAST(ceil((n.n + 1) * 0.9) AS BIGINT)),
+        |test AS (SELECT p, s FROM sc WHERE doc_id % 2 <> 0)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  round(q.qhat, 6) AS qhat,
+        |  round(sum(CASE WHEN s <= q.qhat THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS coverage,
+        |  round(sum((CASE WHEN 1.0 - p <= q.qhat THEN 1 ELSE 0 END)
+        |      + (CASE WHEN p <= q.qhat THEN 1 ELSE 0 END))::DOUBLE
+        |    / count(*), 6) AS avg_set_size,
+        |  sum(CASE WHEN 1.0 - p <= q.qhat AND p <= q.qhat
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_ambiguous
+        |FROM test, q GROUP BY q.qhat
+        |""".stripMargin,
     // block-size histogram over the distinct p_name vocabulary,
     // block = leading token; (s*(s-1))//2 is exact (even product)
     "x_blocking" ->

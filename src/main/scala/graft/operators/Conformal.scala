@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Split-conformal prediction for the quality-classifier surface
+  * (SURVEY §2.8) — the distribution-free wrapper (Vovk et al. 2005;
+  * Angelopoulos & Bates 2021) that turns any calibrated probability
+  * ([[Classifier.calibrate]]) into PREDICTION SETS with a finite-sample
+  * marginal coverage guarantee: calibrate a nonconformity threshold on
+  * a labeled calibration slice, and the set {labels whose nonconformity
+  * ≤ threshold} contains the true label with probability ≥ 1 − α, no
+  * matter how miscalibrated the underlying model is. For a curation
+  * pipeline this is the honest router: singleton {keep} / {drop} rows
+  * auto-route, {keep, drop} rows go to human review, and the review
+  * rate is an output, not a hope.
+  *
+  * Binary nonconformity is the standard 1 − p̂(true label): s = 1 − p
+  * for positives, s = p for negatives. The threshold is the EXACT
+  * ⌈(n+1)(1−α)⌉-th smallest calibration score (the finite-sample
+  * correction — an approximate quantile would void the guarantee).
+  *
+  * Exact order statistic at scale WITHOUT a global sort: the k-th
+  * smallest of n is the (n−k+1)-th largest, and n−k+1 ≈ α·(n+1) is
+  * SMALL for the α anyone uses — so it is a TakeOrderedAndProject of
+  * the top α-tail by descending score (per-partition top-k, only
+  * k·partitions rows move) followed by one min. `maxTail` refuses an α
+  * so large the tail stops being small. Everything else is exact
+  * integer counting with one final division (SURVEY §4).
+  */
+object Conformal {
+
+  /** The split-conformal threshold q̂ from a labeled calibration frame:
+    * the ⌈(n+1)(1−α)⌉-th smallest nonconformity score. `prob` is the
+    * calibrated P(positive); `label` is boolean-like (true/1 =
+    * positive). Ties are fine (the order statistic is over the
+    * multiset). Returns q̂; prediction sets built with it cover the
+    * true label with P ≥ 1 − α on exchangeable data.
+    */
+  def threshold(cal: DataFrame, prob: Column, label: Column,
+                alpha: Double, maxTail: Int = 10000000): Double = {
+    require(alpha > 0.0 && alpha < 1.0, s"need 0 < alpha < 1, got $alpha")
+    val s = scoreCol(prob, label)
+    val frame = cal.select(s.as("_s"))
+    val n = frame.count()
+    require(n >= 1, "empty calibration frame")
+    val k = math.ceil((n + 1) * (1.0 - alpha)).toLong
+    require(k <= n,
+      s"ceil((n+1)(1-alpha)) = $k exceeds n = $n — the guarantee needs " +
+        "a larger calibration set (or a larger alpha); conformal with " +
+        "q = +inf would return the trivial full set for every row")
+    val tail = n - k + 1
+    require(tail <= maxTail,
+      s"alpha-tail $tail exceeds maxTail=$maxTail rows — this alpha " +
+        "makes the exact order statistic a near-global sort")
+    frame.orderBy(col("_s").desc).limit(tail.toInt)
+      .agg(min(col("_s"))).head().getDouble(0)
+  }
+
+  /** Per-row prediction sets at threshold `qhat`: appends
+    * `set_pos` (positive is in the set ⇔ 1 − p ≤ q̂), `set_neg`
+    * (p ≤ q̂) and `set_size`. Pure zero-shuffle projection.
+    */
+  def sets(d: DataFrame, prob: Column, qhat: Double): DataFrame = {
+    val p = prob.cast("double")
+    d.withColumn("set_pos", lit(1.0) - p <= lit(qhat))
+      .withColumn("set_neg", p <= lit(qhat))
+      .withColumn("set_size",
+        (col("set_pos").cast("int") + col("set_neg").cast("int")))
+  }
+
+  /** Held-out evaluation of the guarantee: one row with `n_rows`,
+    * `qhat`, `coverage` (fraction of rows whose TRUE label is in the
+    * set — should read ≥ 1 − α up to binomial noise), `avg_set_size`
+    * (the efficiency price), and `n_ambiguous` (set_size = 2 — the
+    * human-review queue this α buys). Exact integer sums, one double
+    * division per rate, round 6.
+    */
+  def report(test: DataFrame, prob: Column, label: Column,
+             qhat: Double): DataFrame = {
+    val withSets = sets(test.select(prob.cast("double").as("_p"),
+      scoreCol(prob, label).as("_s")), col("_p"), qhat)
+    withSets.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("_s") <= qhat, 1L).otherwise(0L)).cast("long")
+          .as("_covered"),
+        sum(col("set_size").cast("long")).cast("long").as("_sizes"),
+        sum(when(col("set_size") === 2, 1L).otherwise(0L)).cast("long")
+          .as("n_ambiguous"))
+      .select(col("n_rows"), round(lit(qhat), 6).as("qhat"),
+        round(col("_covered").cast("double") / col("n_rows"), 6)
+          .as("coverage"),
+        round(col("_sizes").cast("double") / col("n_rows"), 6)
+          .as("avg_set_size"),
+        col("n_ambiguous"))
+  }
+
+  /** Binary nonconformity 1 − p̂(true label), null-intolerant on the
+    * label (a null label has no defined score — filter first). */
+  private def scoreCol(prob: Column, label: Column): Column = {
+    val p = prob.cast("double")
+    when(label.cast("boolean"), lit(1.0) - p).otherwise(p)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Split-conformal prediction (x_conformal): hand-computed threshold,
+  * set construction, held-out coverage, refusals.
+  */
+class ConformalSpec extends SparkSpec {
+
+  // s multiset: {0.05, 0.1, 0.1, 0.2, 0.2, 0.3, 0.3, 0.4, 0.85}
+  // n = 9, α = 0.2 → k = ceil(10·0.8) = 8 → q̂ = s_(8) = 0.4
+  private def cal = {
+    import spark.implicits._
+    Seq((0.9, true), (0.8, true), (0.7, true), (0.95, true), (0.6, true),
+      (0.1, false), (0.3, false), (0.2, false), (0.85, false))
+      .toDF("p", "y")
+  }
+
+  test("threshold: exact finite-sample order statistic") {
+    assert(Conformal.threshold(cal, col("p"), col("y"), alpha = 0.2) === 0.4d)
+    // α = 0.5 → k = ceil(10·0.5) = 5 → s_(5) = 0.2
+    assert(Conformal.threshold(cal, col("p"), col("y"), alpha = 0.5) === 0.2d)
+    // too-small alpha: k = 10 > n = 9 refuses (trivial full set otherwise)
+    val e = intercept[IllegalArgumentException](
+      Conformal.threshold(cal, col("p"), col("y"), alpha = 0.05))
+    assert(e.getMessage.contains("larger calibration set"))
+    intercept[IllegalArgumentException](
+      Conformal.threshold(cal, col("p"), col("y"), alpha = 1.5))
+  }
+
+  test("sets + report: hand-computed coverage, sizes, ambiguity") {
+    import spark.implicits._
+    val test = Seq((0.7, true), (0.35, false), (0.5, true), (0.9, false))
+      .toDF("p", "y")
+    // q̂ = 0.4: sets are {pos}, {neg}, {} (0.5 covers neither side), {pos}
+    val sized = Conformal.sets(test, col("p"), qhat = 0.4)
+      .select("p", "set_pos", "set_neg", "set_size").collect()
+      .map(r => r.getDouble(0) -> (r.getBoolean(1), r.getBoolean(2), r.getInt(3)))
+      .toMap
+    assert(sized(0.7) === ((true, false, 1)))
+    assert(sized(0.35) === ((false, true, 1)))
+    assert(sized(0.5) === ((false, false, 0)))
+    assert(sized(0.9) === ((true, false, 1)))
+    // a q̂ past 0.5 admits two-label sets
+    assert(Conformal.sets(test, col("p"), qhat = 0.6)
+      .filter(col("set_size") === 2).count() === 1L) // the p = 0.5 row
+    val r = Conformal.report(test, col("p"), col("y"), qhat = 0.4).head()
+    assert(r.getAs[Long]("n_rows") === 4L)
+    assert(r.getAs[Double]("qhat") === 0.4d)
+    // covered: (0.7,T) s=0.3 ✓, (0.35,F) s=0.35 ✓, (0.5,T) s=0.5 ✗,
+    // (0.9,F) s=0.9 ✗ → 0.5; sizes 1+1+0+1 → 0.75
+    assert(r.getAs[Double]("coverage") === 0.5d)
+    assert(r.getAs[Double]("avg_set_size") === 0.75d)
+    assert(r.getAs[Long]("n_ambiguous") === 0L)
+  }
+
+  test("well-calibrated world: held-out coverage honors the 1 - alpha guarantee") {
+    import graft.functions.Hashing
+    val hp = pmod(Hashing.hash60(concat_ws("|", col("doc_id"), lit("p"))),
+      lit(1000L))
+    val hy = pmod(Hashing.hash60(concat_ws("|", col("doc_id"), lit("y"))),
+      lit(1000L))
+    val scored = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"))
+      .withColumn("p", (hp.cast("double") + lit(0.5)) / lit(1000.0))
+      .withColumn("y", hy < hp)
+    val calHalf = scored.filter(col("doc_id") % 2 === 0)
+    val testHalf = scored.filter(col("doc_id") % 2 =!= 0)
+    val q = Conformal.threshold(calHalf, col("p"), col("y"), alpha = 0.1)
+    val rep = Conformal.report(testHalf, col("p"), col("y"), q).head()
+    val cov = rep.getAs[Double]("coverage")
+    // marginal guarantee ≥ 0.9 up to binomial noise on ~250 test rows
+    assert(cov > 0.85 && cov <= 1.0, s"coverage $cov")
+    // a run with the SAME data replays the identical threshold
+    assert(Conformal.threshold(calHalf.repartition(7), col("p"), col("y"),
+      alpha = 0.1) === q)
+  }
+}
