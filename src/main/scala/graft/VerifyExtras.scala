@@ -328,6 +328,8 @@ object VerifyExtras {
     "x_weighted_vote" -> ((s, dir) =>
       Agreement.weightedVote(raggedRatings(s, dir),
         col("doc_id"), col("rater"), col("label"))),
+    "x_entropy" -> ((s, dir) =>
+      TextOps.entropySignals(s.read.parquet(s"$dir/documents.parquet"))),
     // split-conformal report over a hash-planted calibrated world:
     // p = (h_p + 0.5)/1000, y ⇔ h_y < h_p (exact Bernoulli(p) in
     // integers) — threshold = exact order statistic, both engines
@@ -1455,6 +1457,32 @@ object VerifyExtras {
         |    AS vote_share
         |FROM fin WHERE rk = 1
         |""".stripMargin),
+    // per-(doc, unit) exact counts; c·ln c quantized 12 dp, decimal
+    // sums, one fixed-order double head per doc — both engines
+    "x_entropy" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) >= 1),
+        |wu AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS u
+        |  FROM t),
+        |wc AS (SELECT doc_id, u, count(*)::BIGINT AS c FROM wu GROUP BY 1, 2),
+        |w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 12)
+        |      AS DECIMAL(38,12))) AS s
+        |  FROM wc GROUP BY 1),
+        |cu AS (SELECT doc_id, unnest(string_split(text, '')) AS u FROM t),
+        |cc AS (SELECT doc_id, u, count(*)::BIGINT AS c FROM cu GROUP BY 1, 2),
+        |ch AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 12)
+        |      AS DECIMAL(38,12))) AS s
+        |  FROM cc GROUP BY 1)
+        |SELECT w.doc_id, w.n AS n_tokens,
+        |  round((ln(CAST(w.n AS DOUBLE)) - CAST(w.s AS DOUBLE) / w.n)
+        |    / ln(2.0), 6) AS word_entropy,
+        |  ch.n AS n_chars_text,
+        |  round((ln(CAST(ch.n AS DOUBLE)) - CAST(ch.s AS DOUBLE) / ch.n)
+        |    / ln(2.0), 6) AS char_entropy
+        |FROM w JOIN ch ON w.doc_id = ch.doc_id
+        |""".stripMargin,
     // qhat = min(s | rank >= ceil((n+1)·0.9)) ≡ the k-th smallest;
     // coverage/set-size over the odd-id test half
     "x_conformal" ->

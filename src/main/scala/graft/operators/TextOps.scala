@@ -1053,6 +1053,49 @@ object TextOps {
       .withColumn("compress_ratio",
         round(col("deflate_bytes") / col("utf8_bytes"), 6))
 
+  /** Shannon-entropy quality signals — the information-density probe
+    * beside [[compressionSignal]]'s zlib ratio: per document, the
+    * empirical entropy in bits of its character distribution and of
+    * its whitespace-token distribution. Both ends of each scale are
+    * quality flags — char entropy near 0 is a repeated-glyph
+    * degenerate page, char entropy far above a language's typical
+    * ~4 bits is random/encrypted/base64 payload; token entropy near 0
+    * is a keyword-stuffed or template page. Unlike the zlib signal
+    * this is PORTABLE math, so it is oracle-hashed.
+    *
+    * Determinism (SURVEY §4): per (doc, unit) counts are exact; each
+    * c·ln(c) term is one double op quantized to 12 dp and summed as
+    * DECIMAL(38,12) — order-independent — and the per-doc head
+    * H = (ln n − S/n)/ln 2 applies the same fixed op order in both
+    * engines, rounded to 6. Plan: two (doc, unit)-keyed map-side-
+    * combined shuffles (the TF-IDF shape) + a doc-keyed join; linear
+    * at any corpus size. Docs with no tokens (or empty text) have no
+    * output row, the shingle-family contract.
+    * Output: (doc_id, n_tokens, word_entropy, n_chars_text,
+    * char_entropy).
+    */
+  def entropySignals(d: DataFrame, docId: Column = col("doc_id"),
+                     text: Column = col("text")): DataFrame = {
+    val base = d.select(docId.as("doc_id"), text.as("_t"))
+      .filter(length(col("_t")) >= 1)
+    def ent(units: Column, nName: String, hName: String): DataFrame =
+      base.select(col("doc_id"), explode(units).as("_u"))
+        .groupBy(col("doc_id"), col("_u"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("_c")).as("_n"),
+          sum(round(col("_c").cast("double") * log(col("_c").cast("double")),
+            12).cast("decimal(38,12)")).as("_s"))
+        .select(col("doc_id"), col("_n").cast("long").as(nName),
+          round((log(col("_n").cast("double")) -
+            col("_s").cast("double") / col("_n").cast("double")) /
+            log(lit(2.0)), 6).as(hName))
+    val words = ent(expr("filter(split(_t, ' '), x -> x <> '')"),
+      "n_tokens", "word_entropy")
+    val chars = ent(split(col("_t"), ""), "n_chars_text", "char_entropy")
+    words.join(chars, Seq("doc_id"))
+  }
+
   /** Encoding-health signal — the mojibake/damage probe a crawl
     * pipeline runs before any text model sees the bytes (ftfy's
     * detection half as corpus accounting): per doc the replacement-

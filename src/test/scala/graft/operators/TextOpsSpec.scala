@@ -684,4 +684,38 @@ class TextOpsSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](TextOps.chunkBySentences(d, 0))
   }
+
+  test("entropySignals: hand-computed char/word entropy, degenerate poles") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "ab"),        // chars {a, b} → exactly 1 bit; one token → 0
+      (2L, "aaaa"),      // one char value → 0 bits; one token → 0
+      (3L, "x y x y"),   // tokens {x:2, y:2} → 1 bit
+      (4L, ""),          // empty: no output row
+      (5L, "q w e r")    // 4 uniform tokens → 2 bits
+    ).toDF("doc_id", "text")
+    val got = TextOps.entropySignals(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("word_entropy"),
+          r.getAs[Long]("n_chars_text"), r.getAs[Double]("char_entropy")))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 5L))
+    assert(got(1L) === ((1L, 0.0d, 2L, 1.0d)))
+    assert(got(2L) === ((1L, 0.0d, 4L, 0.0d)))
+    assert(got(3L)._2 === 1.0d)
+    assert(got(5L)._2 === 2.0d)
+    // doc 3 chars: {x:2, y:2, ' ':3} over 7 — the mixed-count formula
+    val c = Seq(2.0, 2.0, 3.0)
+    val n = 7.0
+    val s = c.map(x => math.rint(x * math.log(x) * 1e12) / 1e12).sum
+    val want = BigDecimal((math.log(n) - s / n) / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(3L)._4 === want)
+    // determinism under repartition on the real corpus
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = TextOps.entropySignals(docs).orderBy("doc_id").collect().toSeq
+    val b = TextOps.entropySignals(docs.repartition(13))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }
