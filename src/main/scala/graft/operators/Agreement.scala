@@ -35,6 +35,9 @@ import org.apache.spark.sql.functions._
   * construction). Every roll-up after that is bounded by the
   * (rater-pair × label) domain, not the row count. No UDF, no collect,
   * no all-pairs beyond the per-item panel.
+  *
+  * The reference engine has no labeling surface; this extends the
+  * training-data pack the way [[Classifier]] and [[Privacy]] do.
   */
 object Agreement {
 

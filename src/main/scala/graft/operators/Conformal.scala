@@ -27,6 +27,9 @@ import org.apache.spark.sql.functions._
   * k·partitions rows move) followed by one min. `maxTail` refuses an α
   * so large the tail stops being small. Everything else is exact
   * integer counting with one final division (SURVEY §4).
+  *
+  * The reference engine has no model-evaluation surface; this extends
+  * the training-data pack the way [[Classifier]] does.
   */
 object Conformal {
 

@@ -37,6 +37,9 @@ import org.apache.spark.sql.functions._
   * distance to the nearest earlier center at selection time, rounded
   * to 6; row 0 reads 0.0) — a DESCENDING sequence whose tail is the
   * cover radius achieved so far.
+  *
+  * The reference engine has no vector surface; this extends §2.5 the
+  * way [[Similarity]] and [[Pca]] do.
   */
 object Coreset {
 
