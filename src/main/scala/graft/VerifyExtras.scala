@@ -34,10 +34,16 @@ object VerifyExtras {
     // n/accuracy = 0.06 ranks < 1), so the quantile-edged recount is
     // deterministic against DuckDB's discrete quantile; the operator's
     // default accuracy stays 10000 for corpus-scale use
+    // accuracy must keep the quantile sketch UNCOMPRESSED at the gate
+    // SFs (threshold = n/accuracy < 1 rank merges nothing): 1e6 was
+    // exact through sf0.01's 60k lineitem rows but compressed at
+    // sf0.1's 600k (threshold 0.6 → one-rank drift against the
+    // oracle's quantile_disc exactly at the n%4=0 integer boundary);
+    // 1e8 holds the uncompressed-exact property through sf1.0's 6M
     "x_hist_equidepth" -> ((s, dir) =>
       Relational.histogramEquiDepth(
         s.read.parquet(s"$dir/lineitem.parquet"),
-        "l_extendedprice", nBins = 4, accuracy = 1000000)),
+        "l_extendedprice", nBins = 4, accuracy = 100000000)),
     "x_corr" -> ((s, dir) =>
       Relational.corrMatrix(
         s.read.parquet(s"$dir/lineitem.parquet"),
