@@ -287,6 +287,145 @@ object Agreement {
           .otherwise(lit(null).cast("double")).as("vote_share"))
   }
 
+  /** Estimated rater-confusion model from [[dawidSkene]]: `labels` is
+    * the deterministic (sorted) label vocabulary; `priors(l)` the
+    * estimated class prevalence; `confusion(r)(l)(k)` the estimated
+    * P(rater r says labels(k) | true labels(l)). */
+  final case class DawidSkeneModel(labels: Seq[String],
+                                   priors: Array[Double],
+                                   confusion: Map[String, Array[Array[Double]]],
+                                   iterations: Int)
+
+  /** Full Dawid & Skene 1979 EM — the label model [[weightedVote]]
+    * one-steps: jointly estimate each item's true-label posterior AND
+    * each rater's per-label confusion matrix, so a rater who is
+    * accurate on one class but blind on another (or who always answers
+    * the same label — whose votes then carry exactly zero likelihood
+    * ratio) is weighted per-CLASS instead of by one scalar rate.
+    * E-step: P(item = l) ∝ prior_l · Π_ratings π_r(l → observed);
+    * M-step: re-estimate priors and confusion from the posteriors
+    * (add-`smoothing` on confusion cells so an unseen (rater, truth,
+    * observed) cell never zeroes a whole posterior). Initialization =
+    * per-item vote proportions; fixed `iterations` (EM is monotone in
+    * likelihood; a fixed count keeps the run deterministic rather than
+    * gating on a float tolerance).
+    *
+    * Returns (per-item frame, model): the frame has `item`, `label`
+    * (posterior argmax, ties → label-index order), `posterior`
+    * (rounded 6) and `n_ratings`; the model carries the bounded
+    * estimates for inspection/reuse.
+    *
+    * Scale shape: the label vocabulary and rater set are DOMAIN-
+    * bounded (refused past `maxLabels` — the confusion state is
+    * R·L² and each M-step collects it); item posteriors stay
+    * distributed (N·L rows, persisted per iteration, previous
+    * released). Per iteration: one broadcast join of ratings against
+    * the R·L² literal confusion frame, one (item, l)-keyed sum —
+    * quantized to 12 dp DECIMAL so the log-likelihood sums are
+    * order-independent and the whole run is a pure function of the
+    * data (spec-asserted under repartition) — and one per-item
+    * softmax window over the same partitioning. 2·iterations
+    * row-scale shuffles total; nothing pairwise, nothing driver-side
+    * beyond the bounded model.
+    */
+  def dawidSkene(d: DataFrame, item: Column, rater: Column, label: Column,
+                 iterations: Int = 10, smoothing: Double = 0.01,
+                 maxLabels: Int = 50): (DataFrame, DawidSkeneModel) = {
+    import org.apache.spark.sql.expressions.Window
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    require(smoothing > 0.0, s"need smoothing > 0 (a zero cell would " +
+      s"veto whole posteriors), got $smoothing")
+    val spark = d.sparkSession
+    val r0 = ratings(d, item, rater, label)
+    require(r0.filter(col("_label").isNull).isEmpty,
+      "dawidSkene needs non-null labels — map abstentions to a token first")
+    // deterministic label index
+    val labels = r0.select(col("_label")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val L = labels.size
+    require(L >= 2 && L <= maxLabels,
+      s"label vocabulary $L outside [2, $maxLabels]")
+    val lidxOf = labels.zipWithIndex.toMap
+    import spark.implicits._
+    val lidxDf = broadcast(labels.zipWithIndex.toDF("_label", "_l"))
+    val r = graft.core.Caches.persist(r0.join(lidxDf, Seq("_label"))
+      .select(col("_item"), col("_rater"), col("_l").as("_k")))
+    val nItems = r.select(col("_item")).distinct().count()
+
+    val wi = Window.partitionBy(col("_item"))
+    // init: per-item observed vote proportions
+    var t = r.groupBy(col("_item"), col("_k").as("_l"))
+      .agg(count(lit(1)).cast("double").as("_c"))
+      .withColumn("_t", col("_c") / sum(col("_c")).over(wi))
+      .select(col("_item"), col("_l"), col("_t"))
+    t.persist(); t.count()
+
+    def dsum(c: Column): Column =
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+
+    var priors = Array.fill(L)(1.0 / L)
+    var confusion = Map.empty[String, Array[Array[Double]]]
+    var it = 0
+    while (it < iterations) {
+      // M-step: priors + per-rater confusion from current posteriors
+      priors = {
+        val p = t.groupBy(col("_l")).agg(dsum(col("_t")).as("_m"))
+          .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+        Array.tabulate(L)(l => p.getOrElse(l, 0.0) / nItems)
+      }
+      val conf = r.join(t, Seq("_item"))
+        .groupBy(col("_rater"), col("_l"), col("_k"))
+        .agg(dsum(col("_t")).as("_m"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (rt, rows) =>
+          val m = Array.ofDim[Double](L, L)
+          rows.foreach(row => m(row.getInt(1))(row.getInt(2)) = row.getDouble(3))
+          val pi = Array.tabulate(L, L) { (l, k) =>
+            val den = m(l).sum + smoothing * L
+            (m(l)(k) + smoothing) / den
+          }
+          rt -> pi
+        }
+      confusion = conf
+      // E-step: ln-likelihood per (item, l) via a broadcast literal
+      // (rater, k) -> [ln pi(l -> k)]_l frame
+      val piRows = conf.toSeq.flatMap { case (rt, pi) =>
+        (0 until L).map(k => (rt, k, (0 until L).map(l => math.log(pi(l)(k)))))
+      }
+      val piDf = broadcast(piRows.toDF("_rater", "_k", "_lp"))
+      val lpriors = typedlit(priors.map(math.log).toSeq)
+      val next0 = r.join(piDf, Seq("_rater", "_k"))
+        .select(col("_item"), posexplode(col("_lp")).as(Seq("_l", "_lpl")))
+        .groupBy(col("_item"), col("_l"))
+        .agg(dsum(col("_lpl")).as("_ll"))
+        .withColumn("_ll", col("_ll") + element_at(lpriors, col("_l") + 1))
+        .withColumn("_mx", max(col("_ll")).over(wi))
+        .withColumn("_e", exp(col("_ll") - col("_mx")))
+        .withColumn("_t", col("_e") / sum(col("_e")).over(wi))
+        .select(col("_item"), col("_l"), col("_t"))
+      next0.persist(); next0.count()
+      t.unpersist()
+      t = next0
+      it += 1
+    }
+    // the final posterior frame feeds the returned plan: hand it to the
+    // cache harness so the caller's release() cleans it up
+    graft.core.Caches.persist(t)
+    val byPost = Window.partitionBy(col("_item"))
+      .orderBy(col("_t").desc, col("_l").asc)
+    val out = t
+      .withColumn("_rk", row_number().over(byPost))
+      .filter(col("_rk") === 1)
+      .join(lidxDf.withColumnRenamed("_l", "_li"),
+        col("_l") === col("_li"))
+      .join(r.groupBy(col("_item")).agg(count(lit(1)).as("_n")), Seq("_item"))
+      .select(col("_item").as("item"), col("_label").as("label"),
+        round(col("_t"), 6).as("posterior"),
+        col("_n").cast("long").as("n_ratings"))
+    (out, DawidSkeneModel(labels, priors, confusion, iterations))
+  }
+
   /** Pairwise Cohen's κ matrix — one output row per rater pair
     * (rater_a < rater_b, complete-case: items BOTH rated):
     * `rater_a`, `rater_b`, `n_items`, `p_observed`, `p_expected`,

@@ -151,6 +151,68 @@ class AgreementSpec extends SparkSpec {
     assert(rows(1L).getAs[Double]("vote_share") === 0.8d)
   }
 
+  test("dawidSkene: recovers truth a majority vote gets wrong; confusion estimated") {
+    import spark.implicits._
+    // 60 items, truth x on even / y on odd. Raters a and dd are
+    // perfect, b flips 20% of items (i%5==0), c ALWAYS says x
+    // (zero-information on x-vs-y). On a flipped odd item the votes
+    // read {y: a, dd} vs {x: b, c} — a dead majority TIE that the
+    // deterministic label-asc pick resolves to x (wrong); DS learns
+    // c's column is constant (likelihood ratio 1) and b is the noisy
+    // one, so the posterior follows the accurate pair.
+    val rows = (0 until 60).flatMap { i =>
+      val truth = if (i % 2 == 0) "x" else "y"
+      val bSays = if (i % 5 == 0) (if (truth == "x") "y" else "x") else truth
+      Seq((i.toLong, "a", truth), (i.toLong, "dd", truth),
+        (i.toLong, "b", bSays), (i.toLong, "c", "x"))
+    }
+    val d = rows.toDF("item", "rater", "label")
+    try {
+      val (labeled, model) = Agreement.dawidSkene(d,
+        col("item"), col("rater"), col("label"))
+      val got = labeled.collect()
+        .map(r => r.getAs[Long]("item") -> r.getAs[String]("label")).toMap
+      (0 until 60).foreach { i =>
+        val want = if (i % 2 == 0) "x" else "y"
+        assert(got(i.toLong) === want, s"item $i")
+      }
+      // sanity: the fixture IS hard — the unweighted per-item majority
+      // mislabels the odd items where b flipped
+      val majority = Agreement.itemAgreementReport(d,
+        col("item"), col("rater"), col("label"))
+        .filter(col("top_count") === 2).count()
+      assert(majority > 0)
+      // estimated confusion: a/dd ≈ identity; c says x regardless of truth
+      assert(model.labels === Seq("x", "y"))
+      Seq("a", "dd").foreach { rt =>
+        val m = model.confusion(rt)
+        assert(m(0)(0) > 0.95 && m(1)(1) > 0.95, rt)
+      }
+      val c = model.confusion("c")
+      assert(c(0)(0) > 0.95 && c(1)(0) > 0.95) // column "x" for both truths
+      // b's flip rate ≈ 20%: P(b wrong | truth) in (0.1, 0.35)
+      val b = model.confusion("b")
+      assert(b(0)(1) > 0.1 && b(0)(1) < 0.35)
+      // posteriors are confident and rounded
+      assert(labeled.collect().forall(_.getAs[Double]("posterior") > 0.5))
+      // determinism: bit-identical under repartition
+      val (l2, m2) = Agreement.dawidSkene(d.repartition(7),
+        col("item"), col("rater"), col("label"))
+      assert(l2.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2))).sortBy(_._1).toSeq ===
+        labeled.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getDouble(2))).sortBy(_._1).toSeq)
+      assert(m2.priors.toSeq === model.priors.toSeq)
+      // null labels refused
+      val withNull = d.union(Seq((99L, "a", null.asInstanceOf[String]))
+        .toDF("item", "rater", "label"))
+      val e = intercept[IllegalArgumentException] {
+        Agreement.dawidSkene(withNull, col("item"), col("rater"), col("label"))
+      }
+      assert(e.getMessage.contains("non-null labels"))
+    } finally graft.core.Caches.release()
+  }
+
   test("itemAgreementReport: per-item triage counts") {
     val rows = Agreement.itemAgreementReport(fleissFixture,
       col("item"), col("rater"), col("label"))
