@@ -90,6 +90,10 @@ object Agreement {
       .agg(sum(col("_nij")).cast("decimal(18,0)").as("_cj"))
     val pool = pooled.agg(sum(col("_cj") * col("_cj")).as("_sc2"),
       count(lit(1)).as("_nl")).head()
+    require(pool.getLong(1) >= 2,
+      "Fleiss' kappa is undefined on a single-label corpus (p_e = 1 " +
+        "makes the chance correction 0/0) — the panel never disagreed " +
+        "or the label column is constant")
     val nItems = panel.getLong(2)
     val m = BigDecimal(nItems) * n               // total ratings N·n
     val dDen = m * (n - 1)                       // N·n·(n−1)
@@ -170,6 +174,10 @@ object Agreement {
         count(lit(1)).as("_nl")).head()
     val sNc2 = BigDecimal(marg.getDecimal(0))
     val nL = marg.getLong(1)
+    require(nL >= 2,
+      "Krippendorff's alpha is undefined on a single-label corpus " +
+        "(expected disagreement is 0) — the panel never disagreed or " +
+        "the label column is constant")
     val eMass = (BigDecimal(n) * n - sNc2).toDouble // n² − Σ n_c², exact
     val dO = sO / n.toDouble
     val dE = eMass / (BigDecimal(n) * (n - 1)).toDouble
@@ -221,9 +229,13 @@ object Agreement {
     * the final roll-up is bounded by the rater domain.
     */
   def raterConsensusReport(d: DataFrame, item: Column, rater: Column,
-                           label: Column): DataFrame = {
+                           label: Column): DataFrame =
+    consensusOf(ratings(d, item, rater, label))
+
+  /** [[raterConsensusReport]] over a pre-validated ratings frame — the
+    * shared core, so [[weightedVote]] probes and scans the input ONCE. */
+  private def consensusOf(r: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val r = ratings(d, item, rater, label)
     val w = Window.partitionBy(col("_item"))
       .orderBy(col("_c").desc, col("_label").asc_nulls_first)
     val majority = r.groupBy(col("_item"), col("_label"))
@@ -264,11 +276,13 @@ object Agreement {
   def weightedVote(d: DataFrame, item: Column, rater: Column,
                    label: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val weights = raterConsensusReport(d, item, rater, label)
+    // ONE validation probe + one persisted scan feed both the weight
+    // pass and the vote pass
+    val r = graft.core.Caches.persist(ratings(d, item, rater, label))
+    val weights = consensusOf(r)
       .select(col("rater").as("_rater"),
         round(col("n_majority") * lit(1000000L) / col("n_items"), 0)
           .cast("long").as("_w"))
-    val r = ratings(d, item, rater, label)
     val mass = r.join(broadcast(weights), Seq("_rater"))
       .groupBy(col("_item"), col("_label"))
       .agg(sum(col("_w")).as("_mass"), count(lit(1)).as("_n"))
@@ -316,8 +330,8 @@ object Agreement {
     * estimates for inspection/reuse.
     *
     * Scale shape: the label vocabulary and rater set are DOMAIN-
-    * bounded (refused past `maxLabels` — the confusion state is
-    * R·L² and each M-step collects it); item posteriors stay
+    * bounded (refused past `maxLabels` and `maxRaters` — the confusion
+    * state is R·L² and each M-step collects it); item posteriors stay
     * distributed (N·L rows, persisted per iteration, previous
     * released). Per iteration: one broadcast join of ratings against
     * the R·L² literal confusion frame, one (item, l)-keyed sum —
@@ -330,13 +344,17 @@ object Agreement {
     */
   def dawidSkene(d: DataFrame, item: Column, rater: Column, label: Column,
                  iterations: Int = 10, smoothing: Double = 0.01,
-                 maxLabels: Int = 50): (DataFrame, DawidSkeneModel) = {
+                 maxLabels: Int = 50,
+                 maxRaters: Int = 100000): (DataFrame, DawidSkeneModel) = {
     import org.apache.spark.sql.expressions.Window
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
     require(smoothing > 0.0, s"need smoothing > 0 (a zero cell would " +
       s"veto whole posteriors), got $smoothing")
     val spark = d.sparkSession
-    val r0 = ratings(d, item, rater, label)
+    // labels and raters are keyed by their STRING rendering internally
+    // (the model maps are string-keyed; the output label column is
+    // string) — cast here so any atomic input type works
+    val r0 = ratings(d, item, rater.cast("string"), label.cast("string"))
     require(r0.filter(col("_label").isNull).isEmpty,
       "dawidSkene needs non-null labels — map abstentions to a token first")
     // deterministic label index
@@ -350,7 +368,14 @@ object Agreement {
     val lidxDf = broadcast(labels.zipWithIndex.toDF("_label", "_l"))
     val r = graft.core.Caches.persist(r0.join(lidxDf, Seq("_label"))
       .select(col("_item"), col("_rater"), col("_l").as("_k")))
-    val nItems = r.select(col("_item")).distinct().count()
+    val sizes = r.agg(countDistinct(col("_item")),
+      countDistinct(col("_rater"))).head()
+    val nItems = sizes.getLong(0)
+    // the M-step collects R·L² confusion cells: bound the RATER domain
+    // too, not just the labels
+    require(sizes.getLong(1) <= maxRaters,
+      s"${sizes.getLong(1)} distinct raters exceed maxRaters=$maxRaters " +
+        "— the per-iteration confusion collect is R*L^2 driver rows")
 
     val wi = Window.partitionBy(col("_item"))
     // init: per-item observed vote proportions

@@ -44,9 +44,21 @@ object Conformal {
                 alpha: Double, maxTail: Int = 10000000): Double = {
     require(alpha > 0.0 && alpha < 1.0, s"need 0 < alpha < 1, got $alpha")
     val s = scoreCol(prob, label)
-    val frame = cal.select(s.as("_s"))
-    val n = frame.count()
+    val frame = cal.select(s.as("_s"), label.isNull.as("_ln"),
+      prob.isNull.as("_pn"))
+    // a null label would silently score as a negative and a null prob
+    // sorts out of the tail — both corrupt q̂'s multiset, so refuse
+    // (the guarantee this module exists for would be voided without an
+    // error)
+    val probe = frame.agg(count(lit(1)),
+      sum(when(col("_ln") || col("_pn"), 1L).otherwise(0L))).head()
+    val n = probe.getLong(0)
     require(n >= 1, "empty calibration frame")
+    val bad = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    require(bad == 0L,
+      s"$bad calibration rows have a null label or probability — " +
+        "filter or impute them first; scoring them silently would " +
+        "void the coverage guarantee")
     val k = math.ceil((n + 1) * (1.0 - alpha)).toLong
     require(k <= n,
       s"ceil((n+1)(1-alpha)) = $k exceeds n = $n — the guarantee needs " +
@@ -81,8 +93,14 @@ object Conformal {
     */
   def report(test: DataFrame, prob: Column, label: Column,
              qhat: Double): DataFrame = {
-    val withSets = sets(test.select(prob.cast("double").as("_p"),
-      scoreCol(prob, label).as("_s")), col("_p"), qhat)
+    val pre = test.select(prob.cast("double").as("_p"),
+      scoreCol(prob, label).as("_s"), label.isNull.as("_ln"))
+    val bad = pre.agg(sum(when(col("_ln") || col("_p").isNull, 1L)
+      .otherwise(0L))).head()
+    require(bad.isNullAt(0) || bad.getLong(0) == 0L,
+      s"${bad.getLong(0)} test rows have a null label or probability — " +
+        "filter them first; they would silently count as covered-or-not")
+    val withSets = sets(pre, col("_p"), qhat)
     withSets.agg(
         count(lit(1)).cast("long").as("n_rows"),
         sum(when(col("_s") <= qhat, 1L).otherwise(0L)).cast("long")

@@ -80,8 +80,14 @@ object Coreset {
     var t = 1
     while (t < k) {
       // the argmax row carries its own vector — one job per round, no
-      // separate center lookup
-      val far = cur.orderBy(col("best").desc, col("vec_id").asc).limit(1).head()
+      // separate center lookup. Already-selected ids are excluded from
+      // the argmax (a literal ≤ k-element list): chosen centers sit at
+      // best = 0, and once every REMAINING point is a duplicate of a
+      // center (also best = 0) the id tie-break would otherwise
+      // re-select a chosen id instead of the next duplicate row.
+      val chosen = selected.map(_._2).toSeq
+      val far = cur.filter(!col("vec_id").isin(chosen: _*))
+        .orderBy(col("best").desc, col("vec_id").asc).limit(1).head()
       val id = far.getLong(0)
       val cv = far.getSeq[Double](1).toArray
       val d = math.sqrt(math.max(far.getDouble(2), 0.0))

@@ -1498,6 +1498,13 @@ object Sampling {
     val reserved = Seq("pick_rank", "_bo_h")
     reserved.foreach(r => require(!d.columns.contains(r),
       s"input already has a $r column; rename it first"))
+    // two null-key candidates tie on ALL three sort keys (null hash,
+    // null key) — the promised total order has no leg to stand on, so
+    // refuse rather than return a partitioning-dependent pick_rank
+    val nullKeys = d.agg(sum(when(key.isNull, 1L).otherwise(0L))).head()
+    require(nullKeys.isNullAt(0) || nullKeys.getLong(0) == 0L,
+      s"bestOfN: ${nullKeys.getLong(0)} rows have a null key — the " +
+        "deterministic tie-break needs a non-null key per candidate")
     val w = Window.partitionBy(group)
       .orderBy(score.desc, col("_bo_h").asc, key.asc)
     d.withColumn("_bo_h",

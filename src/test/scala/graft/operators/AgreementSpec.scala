@@ -46,6 +46,23 @@ class AgreementSpec extends SparkSpec {
     assert(r.getAs[Double]("kappa") === 1.0d)
   }
 
+  test("single-label corpus refused: kappa and alpha have no chance correction") {
+    import spark.implicits._
+    val constant = Seq(
+      (1L, "a", "en"), (1L, "b", "en"),
+      (2L, "a", "en"), (2L, "b", "en")
+    ).toDF("item", "rater", "label")
+    val e1 = intercept[IllegalArgumentException] {
+      Agreement.fleissKappa(constant, col("item"), col("rater"), col("label"))
+    }
+    assert(e1.getMessage.contains("single-label"))
+    val e2 = intercept[IllegalArgumentException] {
+      Agreement.krippendorffAlpha(constant, col("item"), col("rater"),
+        col("label"))
+    }
+    assert(e2.getMessage.contains("single-label"))
+  }
+
   test("fleissKappa: ragged panel refused, duplicate rating refused") {
     import spark.implicits._
     val ragged = fleissFixture.union(
@@ -210,6 +227,14 @@ class AgreementSpec extends SparkSpec {
         Agreement.dawidSkene(withNull, col("item"), col("rater"), col("label"))
       }
       assert(e.getMessage.contains("non-null labels"))
+      // numeric rater/label columns work through the string keying
+      val numeric = Seq((1L, 0L, 1), (1L, 1L, 1), (2L, 0L, 2), (2L, 1L, 2))
+        .toDF("item", "rater", "label")
+      val (nl, nm) = Agreement.dawidSkene(numeric,
+        col("item"), col("rater"), col("label"), iterations = 2)
+      assert(nm.labels === Seq("1", "2"))
+      assert(nl.collect().map(r =>
+        (r.getLong(0), r.getString(1))).toMap === Map(1L -> "1", 2L -> "2"))
     } finally graft.core.Caches.release()
   }
 

@@ -27,6 +27,16 @@ class ConformalSpec extends SparkSpec {
     assert(e.getMessage.contains("larger calibration set"))
     intercept[IllegalArgumentException](
       Conformal.threshold(cal, col("p"), col("y"), alpha = 1.5))
+    // a null label would silently score as a negative: refused instead
+    import spark.implicits._
+    val withNull = cal.union(
+      Seq((0.5, null.asInstanceOf[java.lang.Boolean])).map(t =>
+        (t._1, Option(t._2).map(Boolean.unbox))).toDF("p", "y"))
+    val eNull = intercept[IllegalArgumentException](
+      Conformal.threshold(withNull, col("p"), col("y"), alpha = 0.5))
+    assert(eNull.getMessage.contains("null label"))
+    intercept[IllegalArgumentException](
+      Conformal.report(withNull, col("p"), col("y"), qhat = 0.4))
   }
 
   test("sets + report: hand-computed coverage, sizes, ambiguity") {

@@ -55,6 +55,19 @@ class CoresetSpec extends SparkSpec {
     assert(r6 <= r1)
   }
 
+  test("duplicate vectors: every id selected once, never a re-selected center") {
+    import spark.implicits._
+    // ids 0 and 1 share a vector; k = 3 must select {0, 2, 1} (or the
+    // duplicate last), NEVER id 0 twice
+    val d = Seq((0L, Seq(1.0)), (1L, Seq(1.0)), (2L, Seq(2.0)))
+      .toDF("vec_id", "v")
+    val got = Coreset.kCenterSelect(d, k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).toSeq === Seq(0L, 2L, 1L))
+    assert(got.map(_._2).distinct.length === 3)
+    assert(got(2)._3 === 0.0) // the duplicate joins at distance 0
+  }
+
   test("refusals: k bounds, ragged input") {
     import spark.implicits._
     intercept[IllegalArgumentException](Coreset.kCenterSelect(line, k = 0))

@@ -1077,5 +1077,12 @@ class SamplingSpec extends SparkSpec {
         col("g"), col("k"), col("s"))
     }
     assert(e.getMessage.contains("pick_rank"))
+    // null keys have no deterministic tie-break: refused
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.bestOfN(d.select(col("g"),
+        when(col("k") === 11L, lit(null)).otherwise(col("k")).as("k"),
+        col("s")), col("g"), col("k"), col("s"))
+    }
+    assert(e2.getMessage.contains("null key"))
   }
 }
