@@ -29,6 +29,20 @@ object Plans {
     "q78_chunk", "q79_snapshot_diff", "q80_decontaminate", "q82_profile",
     "q83_hist", "q84_dup_spans", "q85_rate_z", "q86_heavy_hitters",
     "q87_weighted_sample")
+  /** Extra-registry headliners (r20): the lazily-planned gates of the
+    * round's new operator families, audited exactly like the main
+    * registry. Eagerly-executing ops (fleissKappa, krippendorffAlpha,
+    * Conformal.threshold, dawidSkene — driver-side probes/EM before a
+    * result plan exists) are absent for the q75/q81 reason: the
+    * residual plan audits nothing; their scale arguments live in
+    * scaladoc + specs. weightedVote/rater gates run a validation probe
+    * job first (the q87 pattern) — the audited plan is the main pass.
+    */
+  val ExtraHeadline = Seq(
+    "x_kanon", "x_tcloseness", "x_dp_counts", "x_pseudonymize",
+    "x_novelty", "x_entropy", "x_bestofn", "x_weighted_vote",
+    "x_blocking_summary", "x_completeness")
+
   // q21_consume_from_offset and q22_time_travel left the registry in
   // r13 (slot swaps to q86 and q87; both shapes were filters over
   // q20's offset frame) — spec-gated differentially in EventOpsSpec.
@@ -231,8 +245,7 @@ adds a gated query (bench registry capped at 83).
       "PushedFilters reach the scan, ReadSchema is pruned, small dims are " +
       "BroadcastHashJoin, big-big is SortMergeJoin, `*(n)` codegen spans " +
       "are wide, exchanges only on semantic keys.\n")
-    Headline.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+    def emit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       // escape control chars (q86's plan-literal cell keys embed the
       // u0001/u0000 sentinels verbatim — raw, they make the whole
       // file read as binary to grep/diff tooling)
@@ -246,6 +259,9 @@ adds a gated query (bench registry capped at 83).
       Notes.get(name).foreach(n => sb.append(s"\n$n"))
       graft.core.Caches.release()
     }
+    Headline.foreach(name => emit(name, SparkEntry.queries(name)(spark, sfDir)))
+    ExtraHeadline.foreach(name =>
+      emit(name, VerifyExtras.queries(name)(spark, sfDir)))
     Files.writeString(Paths.get(outFile), sb.toString)
     println(s"wrote $outFile")
     spark.stop()
