@@ -832,4 +832,62 @@ object Graph {
     }
     labels
   }
+
+  /** k-core decomposition at a fixed k (Seidman 1983; the distributed
+    * peeling of Montresor et al. 2013): iteratively delete every vertex
+    * of degree < k until none remains — the surviving subgraph is the
+    * k-core. On the near-dup graph this is the spam-nucleus detector:
+    * boilerplate/mirror farms form dense cores (every page near-dups
+    * dozens of others) while legitimate occasional duplication lives in
+    * the low-degree shell, so "drop the 10-core" is a precision
+    * removal lever the CC clusters (which merge shells and cores into
+    * one component) cannot express. Output: (vertex, core_degree) for
+    * every k-core member, core_degree = its degree INSIDE the core
+    * (≥ k by construction), ordered.
+    *
+    * Shape: per round ONE degree aggregation keyed on the vertex and
+    * one semi-join of the edge set against the survivors (both ends) —
+    * row-scale shuffles only, state = the shrinking edge set, persisted
+    * per round with the previous released. Rounds = the peeling depth
+    * of the graph (deep only for path-like graphs — a near-dup graph's
+    * depth is small); `maxIters` REFUSES on non-convergence rather than
+    * returning a half-peeled subgraph that silently is not the k-core.
+    * An empty k-core (k exceeds the degeneracy) returns zero rows with
+    * the normal schema.
+    */
+  def kCore(edges0: DataFrame, k: Int, maxIters: Int = 100): DataFrame = {
+    require(k >= 2, s"need k >= 2 (the 1-core is every non-isolated " +
+      s"vertex — a filter, not a peeling), got $k")
+    require(maxIters >= 1, s"need maxIters >= 1, got $maxIters")
+    val half = edges0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    var edges = Caches.persist(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val degrees = edges.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
+      if (degrees.filter(col("_deg") < k).isEmpty) {
+        converged = true
+      } else {
+        val survivors = degrees.filter(col("_deg") >= k)
+          .select(col("src").as("_v"))
+        val next = Caches.persist(
+          edges.join(survivors, edges("src") === survivors("_v"), "left_semi")
+            .join(survivors, edges("dst") === survivors("_v"), "left_semi"))
+        next.count()
+        edges = next
+      }
+      it += 1
+    }
+    require(converged,
+      s"k-core peeling did not converge in $maxIters rounds — the graph's " +
+        "peeling depth exceeds the bound (raise maxIters); returning a " +
+        "half-peeled subgraph would silently not be the k-core")
+    edges.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).cast("long").as("core_degree"))
+      .orderBy(col("vertex"))
+  }
 }

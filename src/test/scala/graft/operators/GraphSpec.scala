@@ -300,4 +300,59 @@ class GraphSpec extends SparkSpec {
     assert(rddOut == sqlOut)
     intercept[IllegalArgumentException](Graph.labelPropagation(tri, iters = 0))
   }
+
+  test("kCore: peeling order, core degrees, empty core, brute-force differential") {
+    import spark.implicits._
+    // triangle {1,2,3} with a tail 3-4-5: the 2-core is the triangle
+    // (5 peels at round 1, which drops 4 to degree 1 at round 2);
+    // duplicate and reversed edges and a self-loop must not count
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (2L, 1L), (6L, 6L)).toDF("src", "dst")
+    try {
+      val core2 = Graph.kCore(g, k = 2).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+      // k past the degeneracy: zero rows, normal schema
+      val core3 = Graph.kCore(g, k = 3)
+      assert(core3.columns.toSeq === Seq("vertex", "core_degree"))
+      assert(core3.count() === 0L)
+      graft.core.Caches.release()
+      // brute-force differential on a seeded random graph: iterative
+      // in-memory peeling must agree exactly
+      val rnd = new scala.util.Random(7)
+      val pairs = Seq.fill(150)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val gd = pairs.toDF("src", "dst")
+      val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+      pairs.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+      }
+      val k = 3
+      var changed = true
+      while (changed) {
+        val drop = adj.collect { case (v, ns) if ns.size < k => v }.toSeq
+        changed = drop.nonEmpty
+        drop.foreach { v => adj.remove(v); adj.values.foreach(_ -= v) }
+      }
+      val want = adj.map { case (v, ns) => v -> ns.size.toLong }.toMap
+      val got = Graph.kCore(gd, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
+      graft.core.Caches.release()
+      // repartition invariance
+      val got2 = Graph.kCore(gd.repartition(9), k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 === want)
+      graft.core.Caches.release()
+      // a path graph peels two endpoints per round: depth > maxIters
+      // refuses loudly instead of returning a half-peeled subgraph
+      val path = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+        .toDF("src", "dst")
+      val e = intercept[IllegalArgumentException](
+        Graph.kCore(path, k = 2, maxIters = 2))
+      assert(e.getMessage.contains("did not converge"))
+      intercept[IllegalArgumentException](Graph.kCore(g, k = 1))
+    } finally graft.core.Caches.release()
+  }
 }
