@@ -34,5 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r20: a session running the whole 84-query registry × n passes
+  // generates far more JIT'd code than the 240 MB default code cache;
+  // sweeper/recompile churn showed up as C2 compiler threads burning
+  // as much CPU as all executor threads combined (OPTIMIZATION_r20.md)
+  "-XX:ReservedCodeCacheSize=512m",
 )
 scalacOptions += "-deprecation"

@@ -234,6 +234,10 @@ adds a gated query (bench registry capped at 83).
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // mirror graft.Bench's session (r20): the audit must show the plan
+      // the bench actually runs — sorted single-file-per-bucket scans
+      // drop the per-run Sorts under the q19/q44 sort-merge joins
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

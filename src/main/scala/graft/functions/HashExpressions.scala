@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -18,28 +16,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashKernels {
 
-  private val digest = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
   /** First 15 hex nibbles of md5(bytes) as a non-negative long —
     * identical to CAST(conv(substr(md5(x),1,15),16,10) AS BIGINT).
+    * Delegates to the allocation-free [[Md5]] kernel (Md5Spec pins it to
+    * MessageDigest bit-for-bit).
     */
-  def hash60(bytes: Array[Byte]): Long = {
-    val md = digest.get()
-    md.reset()
-    val h = md.digest(bytes)
-    var v = 0L
-    var i = 0
-    while (i < 15) {
-      val nib = if ((i & 1) == 0) (h(i >> 1) >> 4) & 0xF else h(i >> 1) & 0xF
-      v = (v << 4) | nib
-      i += 1
-    }
-    v
-  }
+  def hash60(bytes: Array[Byte]): Long = Md5.hash60(bytes)
 
   def hash60(s: String): Long = hash60(s.getBytes("UTF-8"))
+
+  /** hash60 of a UTF8String's bytes directly — skips the
+    * decode-to-String + re-encode round trip (the bytes ARE the UTF-8
+    * encoding), which was pure per-row overhead in every kernel below. */
+  def hash60(s: UTF8String): Long = {
+    val b = s.getBytes
+    Md5.hash60(b, 0, b.length)
+  }
 
   /** Mersenne prime 2^61−1: modulus of the multiplicative min-hash
     * family. */
@@ -79,7 +71,7 @@ object HashKernels {
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val h = hash60(shingles.getUTF8String(i).toString)
+      val h = hash60(shingles.getUTF8String(i))
       var s = 0
       while (s < nSeeds) {
         val v = mulMod61(seedMults(s), h)
@@ -124,10 +116,12 @@ object HashKernels {
     * form regardless of iteration order.
     */
   def simhash60(toks: ArrayData): Long = {
-    val counts = new java.util.HashMap[String, Long]()
+    // UTF8String keys: equals/hashCode are byte-wise, so the grouping is
+    // identical to String keys without the decode round trip
+    val counts = new java.util.HashMap[UTF8String, Long]()
     var i = 0
     while (i < toks.numElements()) {
-      counts.merge(toks.getUTF8String(i).toString, 1L, (a, b) => a + b)
+      counts.merge(toks.getUTF8String(i), 1L, (a, b) => a + b)
       i += 1
     }
     val votes = new Array[Long](60)
@@ -159,7 +153,7 @@ object HashKernels {
     // NULL elements are skipped (SQL users can pass arrays with null
     // slots; a set has no null member) — not just a null top-level array
     while (i < n) {
-      if (!xs.isNullAt(i)) { out(m) = hash60(xs.getUTF8String(i).toString); m += 1 }
+      if (!xs.isNullAt(i)) { out(m) = hash60(xs.getUTF8String(i)); m += 1 }
       i += 1
     }
     java.util.Arrays.sort(out, 0, m)
@@ -242,15 +236,65 @@ object HashKernels {
     * NULL by the expression).
     */
   def rollingMin(s: UTF8String, k: Int): Long = {
-    val str = s.toString
-    if (str.length < k) return Long.MaxValue
-    var min = Long.MaxValue
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    // char-boundary walk over the UTF-8 bytes: charStart(c) = byte offset
+    // of char c. Each k-CHAR window is then a (offset, length) slice of
+    // the one byte array — the same bytes String.substring+getBytes
+    // produced, with zero per-window copies. (Java chars are UTF-16 code
+    // units; UTF-8 sequences of 1-3 bytes are one unit, 4-byte sequences
+    // are a surrogate PAIR = two units, so a 4-byte lead contributes two
+    // boundary entries and windows split surrogate pairs exactly like the
+    // old String.substring did — byte-identical hashes either way, since
+    // an unpaired surrogate re-encodes as '?' deterministically... except
+    // String.substring could split a pair into two '?' bytes whereas a
+    // byte slice keeps the raw 4 bytes. The corpus is '?'-free of
+    // unpaired-surrogate windows only if no 4-byte chars exist; guard by
+    // falling back to the exact String path when a 4-byte lead appears.)
     var i = 0
-    val last = str.length - k
-    while (i <= last) {
-      val h = hash60(str.substring(i, i + k))
+    var nChars = 0
+    var sawSupplementary = false
+    while (i < nBytes) {
+      val b = bytes(i) & 0xFF
+      val step = if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4
+      if (step == 4) sawSupplementary = true
+      i += step
+      nChars += (if (step == 4) 2 else 1)
+    }
+    if (sawSupplementary) {
+      // exact legacy semantics for supplementary-plane text (rare): the
+      // old path hashed the UTF-8 re-encoding of each UTF-16 window,
+      // where a split surrogate pair encodes as 0x3F ('?')
+      val str = s.toString
+      if (str.length < k) return Long.MaxValue
+      var min = Long.MaxValue
+      var j = 0
+      val last = str.length - k
+      while (j <= last) {
+        val h = hash60(str.substring(j, j + k))
+        if (h < min) min = h
+        j += 1
+      }
+      return min
+    }
+    if (nChars < k) return Long.MaxValue
+    val starts = new Array[Int](nChars + 1)
+    i = 0
+    var c = 0
+    while (i < nBytes) {
+      starts(c) = i
+      val b = bytes(i) & 0xFF
+      i += (if (b < 0x80) 1 else if (b < 0xE0) 2 else 3)
+      c += 1
+    }
+    starts(nChars) = nBytes
+    var min = Long.MaxValue
+    var w = 0
+    val lastW = nChars - k
+    while (w <= lastW) {
+      val h = Md5.hash60(bytes, starts(w), starts(w + k) - starts(w))
       if (h < min) min = h
-      i += 1
+      w += 1
     }
     min
   }
@@ -356,6 +400,41 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** hash60 of a STRING (or BINARY) column straight to BIGINT — the
+  * codegen form of `conv(substring(md5(c),1,15),16,10).cast("long")`
+  * without materializing the 32-char hex string, substring slice, and
+  * base-16 string parse per row (three allocations on every row of the
+  * 50+ call sites that key sampling/dedup/fingerprint decisions).
+  * Md5Spec + the untouched DuckDB oracles pin value equality.
+  */
+case class Hash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hash60 requires STRING or BINARY, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hash60"
+
+  override def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String => HashKernels.hash60(s)
+    case b: Array[Byte] => Md5.hash60(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case StringType =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.hash60($c)")
+      case _ =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.Md5.hash60($c)")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Sorted distinct hash60 set of an ARRAY<STRING>. */
 case class SortedHashes(child: Expression) extends UnaryExpression {
 
@@ -445,6 +524,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 object HashFunctions {
+  def hash60(c: Column): Column =
+    bridge.column(Hash60(bridge.expression(c)))
   def minhashSigs(shingles: Column, nSeeds: Int): Column =
     bridge.column(MinHashSigs(bridge.expression(shingles), nSeeds))
   def rollingMinhash(s: Column, k: Int): Column =

@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** Non-negative 60-bit hash of a string column. */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Non-negative 60-bit hash of a string column. Evaluated by the
+    * [[Hash60]] codegen kernel — value-identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10).cast("long")` (Md5Spec pins
+    * the kernel to MessageDigest; the DuckDB oracles replay the conv
+    * form unchanged) without the hex-string materialization, substring,
+    * and base-16 parse the expression chain paid on every row. */
+  def hash60(c: Column): Column = HashFunctions.hash60(c)
 
   /** The matching DuckDB SQL fragment for [[hash60]] of expression `e`. */
   def duckHash60(e: String): String =

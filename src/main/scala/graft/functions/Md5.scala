@@ -1,0 +1,113 @@
+package graft.functions
+
+/** Allocation-free MD5 → hash60 kernel (RFC 1321 re-implemented).
+  *
+  * `java.security.MessageDigest` is semantically right but costs real CPU
+  * per call on short inputs: instance lookup/reset, a 16-byte digest
+  * allocation, engine dispatch — and for the suite's dominant use (a
+  * 20-40 byte shingle or key) those overheads exceed the one compression
+  * round the hash actually needs. The dedup/fingerprint/sampling kernels
+  * call hash60 once per shingle/row, so this is per-task hot-path work
+  * (optimization guide §1.2 step 2).
+  *
+  * This produces the EXACT md5 digest prefix the rest of the system (and
+  * every DuckDB oracle) is pinned to: hash60(x) = first 15 hex nibbles of
+  * md5(x) as a non-negative BIGINT. Md5Spec proves equality against
+  * MessageDigest over random inputs of every length class (empty,
+  * sub-block, block-boundary, multi-block, high unicode).
+  *
+  * The T table is computed from the RFC's own definition
+  * (T[i] = floor(2^32 * |sin(i)|), i = 1..64) at class init — nothing to
+  * mis-transcribe; the spec pins the values anyway.
+  */
+object Md5 {
+
+  private val T: Array[Int] =
+    Array.tabulate(64)(i => ((1L << 32) * math.abs(math.sin(i + 1.0))).toLong.toInt)
+
+  // per-round left-rotate amounts
+  private val S: Array[Int] = Array(
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21)
+
+  /** Thread-local scratch: 16-word block + 4-word state. hash60 runs once
+    * per shingle on every executor thread; a shared array would race and
+    * fresh ones per call are the allocations this object exists to avoid. */
+  private val scratch = new ThreadLocal[(Array[Int], Array[Int])] {
+    override def initialValue(): (Array[Int], Array[Int]) =
+      (new Array[Int](16), new Array[Int](4))
+  }
+
+  /** One MD5 compression of block `m` folded into `st` (a,b,c,d). */
+  private def compress(st: Array[Int], m: Array[Int]): Unit = {
+    var a = st(0); var b = st(1); var c = st(2); var d = st(3)
+    var i = 0
+    while (i < 64) {
+      var f = 0
+      var g = 0
+      if (i < 16) { f = (b & c) | (~b & d); g = i }
+      else if (i < 32) { f = (d & b) | (~d & c); g = (5 * i + 1) & 15 }
+      else if (i < 48) { f = b ^ c ^ d; g = (3 * i + 5) & 15 }
+      else { f = c ^ (b | ~d); g = (7 * i) & 15 }
+      val tmp = d
+      d = c
+      c = b
+      b = b + Integer.rotateLeft(a + f + T(i) + m(g), S(i))
+      a = tmp
+      i += 1
+    }
+    st(0) += a; st(1) += b; st(2) += c; st(3) += d
+  }
+
+  @inline private def le32(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+      ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+
+  /** First 15 hex nibbles of md5(msg[off, off+len)) as a non-negative
+    * long — identical to
+    * `CAST(conv(substr(md5(x),1,15),16,10) AS BIGINT)` in Spark and
+    * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)` in DuckDB. */
+  def hash60(msg: Array[Byte], off: Int, len: Int): Long = {
+    val (m, st) = scratch.get()
+    st(0) = 0x67452301
+    st(1) = 0xefcdab89
+    st(2) = 0x98badcfe
+    st(3) = 0x10325476
+    var p = off
+    var rem = len
+    while (rem >= 64) {
+      var i = 0
+      while (i < 16) { m(i) = le32(msg, p + (i << 2)); i += 1 }
+      compress(st, m)
+      p += 64
+      rem -= 64
+    }
+    // tail: rem in [0, 63] message bytes + 0x80 + zero pad + 8-byte length
+    var i = 0
+    while (i < 16) { m(i) = 0; i += 1 }
+    i = 0
+    while (i < rem) {
+      m(i >> 2) |= (msg(p + i) & 0xFF) << ((i & 3) << 3)
+      i += 1
+    }
+    m(rem >> 2) |= 0x80 << ((rem & 3) << 3)
+    if (rem >= 56) {
+      // the 8-byte length doesn't fit this block: flush, pad one more
+      compress(st, m)
+      i = 0
+      while (i < 16) { m(i) = 0; i += 1 }
+    }
+    val bits = len.toLong << 3
+    m(14) = bits.toInt
+    m(15) = (bits >>> 32).toInt
+    compress(st, m)
+    // digest bytes 0..7 are little-endian a then b; hash60 is the
+    // big-endian read of those 8 bytes, dropped to 60 bits
+    val ab = (st(0).toLong & 0xFFFFFFFFL) | (st(1).toLong << 32)
+    java.lang.Long.reverseBytes(ab) >>> 4
+  }
+
+  def hash60(msg: Array[Byte]): Long = hash60(msg, 0, msg.length)
+}

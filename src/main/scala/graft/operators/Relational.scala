@@ -142,7 +142,14 @@ object Relational {
     def ensure(src: String, key: String): String = {
       val t = s"graft_${src}_b_${bucketTag(dir, src)}"
       if (!spark.catalog.tableExists(t)) {
-        Tables(spark, dir, src).write
+        // repartition on the bucket key first (same murmur3-pmod hash as
+        // the bucket-id assignment), so each write task holds exactly one
+        // bucket and each bucket lands in exactly ONE sorted file — the
+        // precondition for the scan to expose the sortBy order (Spark
+        // only reports bucket sort order when every bucket has ≤ 1 file;
+        // multiple files per bucket silently re-Sort both join sides on
+        // every query — ~10 s CPU per q19/q44 run at sf0.1, r20 plans).
+        Tables(spark, dir, src).repartition(32, col(key)).write
           .bucketBy(32, key).sortBy(key)
           .option("path", warehouse.resolve(t).toString)
           .mode("overwrite").saveAsTable(t)

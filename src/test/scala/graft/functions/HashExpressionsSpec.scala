@@ -16,6 +16,25 @@ class HashExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(HashKernels.hash60(r.getString(1)) == r.getLong(0)))
   }
 
+  test("hash60 COLUMN expression matches the SQL conv(md5) form incl. NULL") {
+    import spark.implicits._
+    val df = Seq(Some("hello"), Some("a b c"), Some(""), None,
+      Some("héllo wörld 日本語"), Some("x" * 300)).toDF("s")
+    val rows = df.select(
+      hash60($"s").as("kernel"),
+      expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("sql")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+    // interpreted path too (codegen fallback contexts e.g. inside HOFs)
+    val hofRow = Seq(Seq("aa", "bb")).toDF("toks")
+      .select(transform($"toks", t => hash60(t)).as("hs"),
+        expr("transform(toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))").as("sql"))
+      .head()
+    assert(hofRow.getSeq[Long](0) == hofRow.getSeq[Long](1))
+  }
+
   test("minhash_sigs equals per-seed min of the multiplicative family") {
     import spark.implicits._
     val df = Seq(Seq("aa bb cc", "bb cc dd", "cc dd ee")).toDF("shs")

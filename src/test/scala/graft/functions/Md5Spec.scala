@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pins the allocation-free [[Md5]] kernel to java.security.MessageDigest
+  * bit-for-bit — every dedup/sampling/fingerprint decision in the suite
+  * rides hash60, so this equality IS the oracle-compatibility argument
+  * for the r20 hash-kernel swap.
+  */
+class Md5Spec extends AnyFunSuite {
+
+  private def reference(bytes: Array[Byte]): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 15) {
+      val nib = if ((i & 1) == 0) (h(i >> 1) >> 4) & 0xF else h(i >> 1) & 0xF
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
+  test("hash60 equals MessageDigest on every length 0..200 (random bytes)") {
+    val rnd = new scala.util.Random(42)
+    for (len <- 0 to 200; _ <- 0 until 8) {
+      val b = new Array[Byte](len)
+      rnd.nextBytes(b)
+      assert(Md5.hash60(b) == reference(b), s"len=$len bytes=${b.take(8).mkString(",")}")
+    }
+  }
+
+  test("hash60 hits the padding boundaries exactly (55/56/63/64/119/120/128)") {
+    val rnd = new scala.util.Random(7)
+    for (len <- Seq(54, 55, 56, 57, 63, 64, 65, 118, 119, 120, 121, 127, 128, 129, 1000, 4096)) {
+      val b = new Array[Byte](len)
+      rnd.nextBytes(b)
+      assert(Md5.hash60(b) == reference(b), s"len=$len")
+    }
+  }
+
+  test("hash60 over an (offset, len) slice equals the copied array") {
+    val rnd = new scala.util.Random(3)
+    val buf = new Array[Byte](512)
+    rnd.nextBytes(buf)
+    for (off <- Seq(0, 1, 7, 64, 100); len <- Seq(0, 1, 20, 55, 56, 70, 200)) {
+      assert(Md5.hash60(buf, off, len) ==
+        reference(java.util.Arrays.copyOfRange(buf, off, off + len)),
+        s"off=$off len=$len")
+    }
+  }
+
+  test("UTF8String overload equals the String→UTF-8 path incl. high unicode") {
+    val samples = Seq("", "hello world", "héllo wörld", "日本語のテスト",
+      "emoji 😀 mixed", "a" * 200, "snowman ☃ and\ttabs\nnewlines")
+    samples.foreach { s =>
+      assert(HashKernels.hash60(UTF8String.fromString(s)) ==
+        reference(s.getBytes("UTF-8")), s"s=$s")
+      assert(HashKernels.hash60(s) == reference(s.getBytes("UTF-8")), s"s=$s")
+    }
+  }
+
+  test("rollingMin byte-walk equals the legacy String.substring reference") {
+    def legacy(s: String, k: Int): Long = {
+      if (s.length < k) return Long.MaxValue
+      (0 to s.length - k).map(i => reference(s.substring(i, i + k).getBytes("UTF-8"))).min
+    }
+    val rnd = new scala.util.Random(11)
+    val alphabets = Seq(
+      "abcdefgh ",                 // ascii
+      "héllo wörld àé",            // 2-byte seqs
+      "日本語テストかきくけこ",       // 3-byte seqs
+      "abc😀xyz🎉") // supplementary (4-byte, surrogate pairs)
+    for (alpha <- alphabets; n <- Seq(0, 3, 8, 25, 60); k <- Seq(4, 8)) {
+      val s = new String(Array.fill(n)(alpha(rnd.nextInt(alpha.length))))
+      val got = HashKernels.rollingMin(UTF8String.fromString(s), k)
+      assert(got == legacy(s, k), s"alpha=$alpha n=$n k=$k s=$s")
+    }
+    // explicit supplementary-plane string exercising the fallback branch
+    val sup = "x😀😁😂yz01234"
+    assert(HashKernels.rollingMin(UTF8String.fromString(sup), 8) == legacy(sup, 8))
+  }
+}

@@ -37,9 +37,34 @@ class GraphSpec extends SparkSpec {
     assert(labels.values.forall(_ == 0L))
   }
 
+  test("local finish (r20): counted-small graphs equal the distributed fixpoint bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // random graph + adversarial shapes: chain, star hub, isolated pairs
+    val edges = (Seq.tabulate(300)(_ =>
+        (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)) ++
+      (200L until 260L).map(i => (i, i + 1)) ++
+      Seq.tabulate(40)(i => (500L, 600L + i))).filter(e => e._1 != e._2)
+    val df = edges.toDF("src", "dst")
+    val local = try Graph.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally graft.core.Caches.release()
+    assert(Graph.lastCcRounds.map(_.sumDelta) == Vector("local"),
+      s"small graph must take the local path: ${Graph.lastCcRounds}")
+    val dist = try Graph.connectedComponents(df, localEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally graft.core.Caches.release()
+    assert(Graph.lastCcRounds.last.sumDelta == "0",
+      s"localEdgeLimit=0 must force the distributed loop: ${Graph.lastCcRounds}")
+    assert(local == dist)
+  }
+
   test("per-round fixpoint accounting (r20): rounds/edges/parts recorded on both cores, zero extra jobs") {
     val edges = (0L until 199L).map(i => (i, i + 1))
-    cc(edges) // plain core
+    import spark.implicits._
+    try Graph.connectedComponents(edges.toDF("src", "dst"), localEdgeLimit = 0)
+      .collect()
+    finally graft.core.Caches.release() // distributed core (the local finish has no rounds to account)
     val rounds = Graph.lastCcRounds
     assert(rounds.nonEmpty && rounds.size <= 10,
       s"200-path must converge in O(log d) recorded rounds: ${rounds.size}")

@@ -1,0 +1,58 @@
+#!/bin/bash
+# Stack-sampling profiler for one bench query: runs graft.Bench restricted
+# to $1 with $2 runs (default 8), jstack-samples the forked JVM, and
+# aggregates executor-thread frames with tools/prof_agg.py.
+# Usage: tools/prof.sh q33_ngram_jaccard [runs] [sfdir]
+set -u
+Q="$1"; RUNS="${2:-8}"; SF="${3:-/root/testdata/sf0.1}"
+OUT="/tmp/prof_$Q"
+rm -rf "$OUT"; mkdir -p "$OUT"
+# Q=ALL profiles the full registry (no BENCH_ONLY filter)
+if [ "$Q" = "ALL" ]; then ONLY_ARG=(env -u SPARK_GRAFT_BENCH_ONLY)
+else ONLY_ARG=(env "SPARK_GRAFT_BENCH_ONLY=$Q"); fi
+"${ONLY_ARG[@]}" SPARK_GRAFT_BENCH_RUNS="$RUNS" \
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_DETAIL="$OUT/detail.json" \
+  sbt -batch "runMain graft.Bench" > "$OUT/bench.log" 2>&1 &
+SBT_PID=$!
+# find the forked bench JVM: a real java binary whose cmdline names
+# graft.Bench but not sbt-launch (the launcher's cmdline also has it)
+BPID=""
+for _ in $(seq 1 120); do
+  for p in $(pgrep -x java); do
+    CMD=$(tr '\0' ' ' < "/proc/$p/cmdline" 2>/dev/null || true)
+    case "$CMD" in
+      # sbt forks the run JVM with an @argfile; the main class is inside it
+      *"@/tmp/sbt-args"*)
+        AF="${CMD#*@}"; AF="${AF%% *}"
+        if grep -q "graft.Bench" "$AF" 2>/dev/null; then BPID=$p; fi ;;
+      *graft.Bench*) case "$CMD" in *sbt-launch*) ;; *) BPID=$p ;; esac ;;
+    esac
+  done
+  [ -n "$BPID" ] && break
+  sleep 1
+done
+if [ -z "$BPID" ]; then echo "forked JVM not found"; exit 1; fi
+echo "sampling pid $BPID"
+i=0
+while kill -0 "$BPID" 2>/dev/null; do
+  jstack "$BPID" > "$OUT/stack_$i.txt" 2>/dev/null
+  # per-native-thread cpu ticks (utime+stime), catches GC/JIT threads
+  python3 - "$BPID" > "$OUT/threads_$i.txt" 2>/dev/null <<'PY'
+import sys, glob
+pid = sys.argv[1]
+for f in glob.glob(f"/proc/{pid}/task/*/stat"):
+    try:
+        s = open(f).read()
+        name = s[s.index("(")+1:s.rindex(")")]
+        rest = s[s.rindex(")")+2:].split()
+        # rest[0] is field 3 (state); utime=field14, stime=15
+        print(f"{name}\t{int(rest[11]) + int(rest[12])}")
+    except Exception:
+        pass
+PY
+  i=$((i+1))
+  sleep 0.25
+done
+wait "$SBT_PID"
+echo "samples: $i"
+python3 "$(dirname "$0")/prof_agg.py" "$OUT"

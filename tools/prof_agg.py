@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Aggregate jstack samples from tools/prof.sh: count RUNNABLE
+executor-task-thread samples per top application frame (and per full
+frame anywhere in the stack), so the hot kernel is visible."""
+import sys, os, re, collections
+
+d = sys.argv[1]
+top = collections.Counter()      # topmost frame of runnable exec threads
+anywhere = collections.Counter() # frames seen anywhere (per-thread dedup)
+nthreads = 0
+for fn in sorted(os.listdir(d)):
+    if not fn.startswith("stack_"):
+        continue
+    txt = open(os.path.join(d, fn), errors="replace").read()
+    # split into thread blocks
+    for block in txt.split("\n\n"):
+        head = block.split("\n", 1)[0]
+        if "Executor task launch worker" not in head:
+            continue
+        if "RUNNABLE" not in block:
+            continue
+        frames = re.findall(r"at ([\w.$<>]+)\(", block)
+        if not frames:
+            continue
+        nthreads += 1
+        # topmost non-jvm-internal frame
+        top[frames[0]] += 1
+        for f in set(frames):
+            anywhere[f] += 1
+
+# per-native-thread-name CPU deltas (threads_*.txt: "name\tticks")
+def load_threads(fn):
+    m = {}
+    for line in open(fn, errors="replace"):
+        parts = line.rstrip("\n").split("\t")
+        if len(parts) == 2 and parts[1].isdigit():
+            # thread names repeat (worker pools): accumulate per name
+            m[parts[0]] = m.get(parts[0], 0) + int(parts[1])
+    return m
+
+tfiles = sorted((f for f in os.listdir(d) if f.startswith("threads_")),
+                key=lambda f: int(f.split("_")[1].split(".")[0]))
+snaps = [load_threads(os.path.join(d, f)) for f in tfiles]
+snaps = [s for s in snaps if s]  # drop empty (post-exit) snapshots
+if len(snaps) >= 2:
+    first, last = snaps[0], snaps[-1]
+    hz = os.sysconf("SC_CLK_TCK")
+    def bucket(name):
+        # strip trailing digits/ids to group pools
+        return re.sub(r"[#\d.\-]+$", "", name).strip() or name
+    agg = collections.Counter()
+    for n, t in last.items():
+        agg[bucket(n)] += t - first.get(n, 0)
+    print("== per-thread-pool CPU seconds (whole run) ==")
+    for n, t in agg.most_common(15):
+        if t > 0:
+            print(f"{t/hz:9.1f}s {n}")
+    print()
+
+print(f"runnable executor-thread samples: {nthreads}")
+print("\n== TOP frame (self time) ==")
+for f, c in top.most_common(25):
+    print(f"{c:6d} {100.0*c/max(nthreads,1):5.1f}% {f}")
+print("\n== ANYWHERE in stack (inclusive) ==")
+for f, c in anywhere.most_common(40):
+    print(f"{c:6d} {100.0*c/max(nthreads,1):5.1f}% {f}")
